@@ -1,13 +1,40 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Aggregates the full operator inventory: the reference's relational surface
+  * ([[graft.ops.Relational]]), the analytic extensions ([[graft.ops.Analytics]]),
+  * and the training-data pipeline operators (text/dedup/similarity/events
+  * modules). Every entry has a DuckDB oracle unless the operator is not
+  * SQL-expressible (hash-seeded MinHash/SimHash/LSH), per the driver contract.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Analytics.queries("q1_pricing")(spark, "/root/testdata/sf0.001")
+
+  private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
+    Map[String, String])] = Seq(
+    (Relational.queries, Relational.oracles),
+    (Analytics.queries, Analytics.oracles),
+    (TextOps.queries, TextOps.oracles),
+    (DedupOps.queries, DedupOps.oracles),
+    (SimilarityOps.queries, SimilarityOps.oracles),
+    (EventOps.queries, EventOps.oracles),
+    (MultimodalOps.queries, MultimodalOps.oracles)
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.map(_._1).reduce(_ ++ _)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    modules.map(_._2).reduce(_ ++ _)
 }

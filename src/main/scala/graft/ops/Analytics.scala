@@ -1,0 +1,329 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
+
+import Oracle._
+
+/** Analytic operator surface beyond the reference's 5 operators.
+  *
+  * The reference has no aggregate/window/sort/set operators (verified absent,
+  * SURVEY.md §2.3) — these are the capabilities a user of the optimized plans
+  * reaches through DataFusion. Here they are first-class, Catalyst-planned:
+  * hash aggregate with map-side partial aggregation, window functions over
+  * range/rows frames, rollup/cube, set operations, correlated subqueries.
+  * All scale-relevant: aggregation is partial+final (one shuffle on the group
+  * keys), top-k is TakeOrderedAndProject (no global sort), windows shuffle
+  * once on the partition key.
+  */
+object Analytics {
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // TPC-H Q1-style pricing summary — the flagship aggregation.
+    "q1_pricing" -> { (s, d) =>
+      Tables(s, d).lineitem
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    // TPC-H Q3-style: 3-way join + agg + top-k by revenue.
+    "q3_shipping" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    },
+    // TPC-H Q5-style: 5-way star join through region/nation.
+    "q5_region_revenue" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.region
+        .join(t.nation, col("r_regionkey") === col("n_regionkey"))
+        .join(t.customer, col("n_nationkey") === col("c_nationkey"))
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("r_name", "n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("r_name", "n_name")
+    },
+    "agg_stats" -> { (s, d) =>
+      Tables(s, d).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          min(col("l_quantity")).as("min_q"),
+          max(col("l_quantity")).as("max_q"),
+          countDistinct(col("l_partkey")).as("ndv_part"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+    "rollup_agg" -> { (s, d) =>
+      Tables(s, d).lineitem
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+    "cube_agg" -> { (s, d) =>
+      Tables(s, d).orders
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+    // Window: top-3 orders per customer (row_number with unique tiebreak).
+    "window_rank" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables(s, d).orders
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+    // Window: exact running sum per customer (decimal accumulator).
+    "window_running" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d).orders
+        .withColumn("running_price",
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).over(w)
+            .cast(DoubleType))
+        .select("o_custkey", "o_orderkey", "running_price")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    "window_lag" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables(s, d).orders
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .select("o_custkey", "o_orderkey", "prev_price")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    "set_union" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.customer.select(col("c_nationkey").as("k"))
+        .union(t.supplier.select(col("s_nationkey").as("k")))
+        .distinct()
+        .orderBy("k")
+    },
+    "set_intersect" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.part.select("p_partkey")
+        .intersect(t.lineitem.select(col("l_partkey").as("p_partkey")))
+        .orderBy("p_partkey")
+    },
+    "set_except" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.part.select("p_partkey")
+        .except(t.lineitem.select(col("l_partkey").as("p_partkey")))
+        .orderBy("p_partkey")
+    },
+    "distinct_op" -> { (s, d) =>
+      Tables(s, d).lineitem
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    "string_funcs" -> { (s, d) =>
+      Tables(s, d).customer
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("up"),
+          substring(col("c_name"), 1, 8).as("pre"),
+          length(col("c_name")).as("len"),
+          concat(col("c_mktsegment"), lit("-"), col("c_name")).as("cm"),
+          regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"))
+        .orderBy("c_custkey")
+    },
+    "date_funcs" -> { (s, d) =>
+      Tables(s, d).orders
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          // derived month-start as DATE: a derived TimestampType (LTZ) column
+          // round-trips through parquet as INT96/nanos and breaks the oracle
+          // schema compare; DATE is engine-portable.
+          to_date(date_trunc("month", col("o_orderdate"))).as("mon_start"))
+        .orderBy("o_orderkey")
+    },
+    "case_when_null" -> { (s, d) =>
+      Tables(s, d).orders
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 200000.0, lit("big"))
+            .when(col("o_totalprice") > 100000.0, lit("mid"))
+            .otherwise(lit("small")).as("bucket"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open"))
+            .as("status_or_open"))
+        .orderBy("o_orderkey")
+    },
+    // IN-subquery → left-semi join (Catalyst rewrites identically).
+    "subquery_in" -> { (s, d) =>
+      val t = Tables(s, d)
+      val building = t.customer
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      t.orders
+        .join(building, col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+    // Scalar aggregate subquery: orders above the (exact) mean price.
+    "subquery_scalar" -> { (s, d) =>
+      val t = Tables(s, d)
+      val avgPrice = t.orders.agg(davg(col("o_totalprice")).as("a"))
+      t.orders.crossJoin(avgPrice)
+        .filter(col("o_totalprice") > col("a"))
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+    // Multi-key high-cardinality aggregation (shuffle-heavy benchmark op).
+    "agg_by_partsupp" -> { (s, d) =>
+      Tables(s, d).lineitem
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .orderBy("l_partkey", "l_suppkey")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlSum("l_quantity")} AS sum_qty,
+         |  ${sqlSum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${sqlSum("(l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)")} AS sum_charge,
+         |  ${sqlAvg("l_quantity")} AS avg_qty,
+         |  ${sqlAvg("l_extendedprice")} AS avg_price,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping" ->
+      s"""SELECT l_orderkey, o_orderdate,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM customer JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1995-03-15'
+         |  AND l_shipdate > TIMESTAMP '1995-03-15'
+         |GROUP BY l_orderkey, o_orderdate
+         |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      s"""SELECT r_name, n_name,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  count(*) AS n
+         |FROM region JOIN nation ON r_regionkey = n_regionkey
+         |  JOIN customer ON n_nationkey = c_nationkey
+         |  JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_returnflag, min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+        |  count(DISTINCT l_partkey) AS ndv_part, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "rollup_agg" ->
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  ${sqlSum("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+        .stripMargin,
+    "cube_agg" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         |  ${sqlSum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST"""
+        .stripMargin,
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+        |  FROM orders) s
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "set_union" ->
+      """SELECT c_nationkey AS k FROM customer
+        |UNION SELECT s_nationkey FROM supplier ORDER BY k""".stripMargin,
+    "set_intersect" ->
+      """SELECT p_partkey FROM part
+        |INTERSECT SELECT l_partkey FROM lineitem ORDER BY p_partkey"""
+        .stripMargin,
+    "set_except" ->
+      """SELECT p_partkey FROM part
+        |EXCEPT SELECT l_partkey FROM lineitem ORDER BY p_partkey""".stripMargin,
+    "distinct_op" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS up, substr(c_name, 1, 8) AS pre,
+        |  CAST(length(c_name) AS INT) AS len,
+        |  c_mktsegment || '-' || c_name AS cm,
+        |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "date_funcs" ->
+      """SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mon_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "case_when_null" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 200000.0 THEN 'big'
+        |       WHEN o_totalprice > 100000.0 THEN 'mid'
+        |       ELSE 'small' END AS bucket,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "subquery_in" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+    "subquery_scalar" ->
+      s"""SELECT o_orderkey, o_totalprice FROM orders
+         |WHERE o_totalprice >
+         |  (SELECT ${sqlAvg("o_totalprice")} FROM orders)
+         |ORDER BY o_orderkey""".stripMargin,
+    "agg_by_partsupp" ->
+      s"""SELECT l_partkey, l_suppkey, ${sqlSum("l_quantity")} AS sum_qty,
+         |  count(*) AS n
+         |FROM lineitem GROUP BY l_partkey, l_suppkey
+         |HAVING count(*) >= 2
+         |ORDER BY l_partkey, l_suppkey""".stripMargin
+  )
+}

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+import Oracle._
+
+/** Event-stream analytics over the `events` table, batch-first (the reference
+  * has no streaming surface — SURVEY.md §2.3); the same logic runs under
+  * Structured Streaming in [[graft.streaming.StreamingOps]].
+  *
+  * The parquet `ts` column is nanosecond-precision; to stay engine-portable
+  * (Spark timestamps are microsecond) every query works on epoch
+  * milliseconds as BIGINT. Sessionization is the classic gap-split: one
+  * shuffle on user_id for the window, then an aggregation per session —
+  * at 100 TB the window partition key (user_id) bounds per-task state.
+  */
+object EventOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** events with a portable epoch-millisecond `ts_ms` column. */
+  private def withMs(events: DataFrame): DataFrame = {
+    val tsField = events.schema("ts").dataType
+    val ms = tsField match {
+      // ns → ms via integer division: `/` would go through double and lose
+      // precision (epoch-ns ≈ 1.7e18 > 2^53).
+      case LongType => expr("ts div 1000000")
+      case _        => unix_millis(col("ts"))
+    }
+    events.withColumn("ts_ms", ms)
+  }
+
+  private val HourMs = 3600000L
+  private val GapMs = 1800000L // 30 min session gap
+
+  def queries: Map[String, Q] = Map(
+    // Tumbling 1h window aggregation (batch form of a streaming windowed agg).
+    "events_hourly" -> { (s, d) =>
+      withMs(Tables(s, d).events)
+        .groupBy(expr(s"ts_ms div $HourMs").as("hour_bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("hour_bucket", "event_type")
+    },
+    // Gap-based sessionization: split a user's event sequence at >30min gaps.
+    "events_sessionize" -> { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ms").asc, col("event_id").asc)
+      withMs(Tables(s, d).events)
+        .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ms").isNull ||
+            col("ts_ms") - col("prev_ms") > GapMs, 1).otherwise(0))
+        .withColumn("session_idx",
+          sum(col("new_session")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_ms")).as("start_ms"),
+          max(col("ts_ms")).as("end_ms"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy("user_id", "session_idx")
+    },
+    // Semi-structured extraction: pull props.k out of the JSON payload.
+    "events_json" -> { (s, d) =>
+      Tables(s, d).events
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type")
+    },
+    "events_user_stats" -> { (s, d) =>
+      withMs(Tables(s, d).events)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_type")).as("n_types"),
+          dsum(col("value")).as("sum_value"),
+          max(col("ts_ms")).as("last_ms"))
+        .orderBy("user_id")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "events_hourly" ->
+      s"""SELECT epoch_ms(ts) // 3600000 AS hour_bucket, event_type,
+         |  count(*) AS n, ${sqlSum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type"""
+        .stripMargin,
+    "events_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms
+         |           FROM events),
+         |f AS (SELECT *,
+         |    CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id
+         |        ORDER BY ts_ms ASC, event_id ASC) IS NULL
+         |      OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+         |        ORDER BY ts_ms ASC, event_id ASC) > 1800000
+         |    THEN 1 ELSE 0 END AS new_session
+         |  FROM e),
+         |g AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+         |    ORDER BY ts_ms ASC, event_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         |  FROM f)
+         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         |  count(*) AS n_events, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+         |  ${sqlSum("value")} AS sum_value
+         |FROM g GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin,
+    "events_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_user_stats" ->
+      s"""SELECT user_id, count(*) AS n,
+         |  count(DISTINCT event_type) AS n_types,
+         |  ${sqlSum("value")} AS sum_value, max(epoch_ms(ts)) AS last_ms
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

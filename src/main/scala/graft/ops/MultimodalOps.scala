@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed metadata,
+  * partition-level batch "decode", and frame sampling.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB (byte statistics stand in for decoded
+  * features); everything Spark-side — the binary column handling, schema,
+  * partition-level batching, and the sampling plan shape — is real. At scale
+  * the binary payloads stay columnar in parquet, the decode is a
+  * mapPartitions batch (the Scala analog of mapInPandas), and nothing
+  * shuffles until after feature extraction reduces width.
+  */
+object MultimodalOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // Binary payload + metadata extraction (pure expressions, codegen'd).
+    "mm_binary_meta" -> { (s, d) =>
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"))
+        .select(col("doc_id"),
+          octet_length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("digest"))
+        .orderBy("doc_id")
+    },
+    // STUB decode: partition-batched feature extraction over the binary
+    // payload. A real pipeline would decode images/audio per batch here; the
+    // deterministic fake computes byte-level statistics with the same
+    // batch shape (mapPartitions = Scala analog of mapInPandas).
+    "mm_decode_features" -> { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      Tables(s, d).documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { batch =>
+          batch.map { case (id, bytes) =>
+            // --- STUB: stands in for image/audio decode + feature extract ---
+            var sumB = 0L
+            var i = 0
+            while (i < bytes.length) { sumB += bytes(i) & 0xFF; i += 1 }
+            val mean = if (bytes.length == 0) 0.0
+              else sumB.toDouble / bytes.length
+            (id, bytes.length, mean)
+          }
+        }
+        .toDF("doc_id", "n_bytes", "mean_byte")
+        .orderBy("doc_id")
+    },
+    // Frame sampling plan: every 2nd "frame" of a fake video whose frame
+    // count derives from the payload size — the explode/sequence shape a real
+    // frame sampler would use.
+    "mm_frame_sample" -> { (s, d) =>
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          explode(sequence(lit(0L), (col("n_chars") / lit(100L)).cast("long"),
+            lit(2L))).as("frame_idx"))
+        .orderBy("doc_id", "frame_idx")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, unnest(generate_series(0, n_chars // 100, 2))
+        |  AS frame_idx
+        |FROM documents ORDER BY doc_id, frame_idx""".stripMargin
+  )
+}

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the pieces of a
+  * large-scale training-data pipeline: token statistics, quality scoring,
+  * heuristic language ID, document fingerprinting.
+  *
+  * All pure per-row expressions (whole-stage-codegen'd, no UDFs, no shuffle
+  * except the final presentation sort) — at 100 TB these are embarrassingly
+  * parallel map stages over the document scan.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tokens of the whitespace-separated document text. */
+  private def toks(c: Column): Column = split(c, " ")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** n-token shingles (contiguous token n-grams) of the text; empty array if
+    * the document has fewer than n tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = toks(text)
+    when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - lit(n)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j + 1))): _*)))
+      .otherwise(array())
+  }
+
+  def queries: Map[String, Q] = Map(
+    // Token counting: whitespace tokens + a BPE-ish sub-token estimate
+    // (word-piece proxy: ceil(len/4) pieces per token, a common rough
+    // tokens-per-byte heuristic).
+    "text_tokens" -> { (s, d) =>
+      val t = toks(col("text"))
+      Tables(s, d).documents.select(
+        col("doc_id"),
+        size(t).as("n_tokens"),
+        length(col("text")).as("n_chars_obs"),
+        aggregate(t, lit(0), (acc, x) => acc + ceil(length(x) / lit(4.0)).cast("int"))
+          .as("n_subtokens"))
+        .orderBy("doc_id")
+    },
+    // Quality scoring: stopword ratio, mean token length, type-token ratio.
+    "text_quality" -> { (s, d) =>
+      val t = toks(col("text"))
+      val nTok = size(t)
+      val nStop = size(filter(t, x => x.isin(stopwords: _*)))
+      val nUniq = size(array_distinct(t))
+      // mean token len = (chars - spaces) / tokens, exact integer inputs
+      val meanLen = (length(col("text")) - (nTok - lit(1))).cast("double") /
+        nTok.cast("double")
+      Tables(s, d).documents.select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        (nStop.cast("double") / nTok.cast("double")).as("stopword_ratio"),
+        (nUniq.cast("double") / nTok.cast("double")).as("type_token_ratio"),
+        meanLen.as("mean_token_len"))
+        .orderBy("doc_id")
+    },
+    // Heuristic language ID: score candidate languages by marker-token hit
+    // counts (an n-gram-profile scorer degenerated to unigram markers — the
+    // corpus vocabulary is synthetic); deterministic argmax with fixed
+    // preference order on ties.
+    "text_lang_id" -> { (s, d) =>
+      val t = toks(col("text"))
+      def score(markers: Seq[String]): Column =
+        size(filter(t, x => x.isin(markers: _*)))
+      val sEn = score(Seq("the", "a", "fast", "slow"))
+      val sQl = score(Seq("query", "table", "scan", "filter"))
+      val sDf = score(Seq("data", "stream", "batch", "window"))
+      val pred = when(sEn >= sQl && sEn >= sDf, lit("en"))
+        .when(sQl >= sDf, lit("ql"))
+        .otherwise(lit("df"))
+      Tables(s, d).documents.select(
+        col("doc_id"), col("lang"),
+        sEn.as("score_en"), sQl.as("score_ql"), sDf.as("score_df"),
+        pred.as("pred_lang"))
+        .orderBy("doc_id")
+    },
+    // Document fingerprinting: full-content hash + winnowing-style minimum
+    // shingle hash (stable under local edits away from the minimum).
+    "text_fingerprint" -> { (s, d) =>
+      Tables(s, d).documents.select(
+        col("doc_id"),
+        md5(col("text")).as("content_hash"),
+        array_min(transform(shingles(col("text"), 5), x => md5(x)))
+          .as("min_shingle_hash"))
+        .orderBy("doc_id")
+    }
+  )
+
+  private val tokSql = "string_split(text, ' ')"
+
+  def oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      s"""SELECT doc_id, CAST(len($tokSql) AS INT) AS n_tokens,
+         |  CAST(length(text) AS INT) AS n_chars_obs,
+         |  CAST(list_sum(list_transform($tokSql,
+         |    x -> CAST(ceil(length(x) / 4.0) AS INT))) AS INT) AS n_subtokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id, CAST(len($tokSql) AS INT) AS n_tokens,
+         |  CAST(len(list_filter($tokSql,
+         |      x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+         |    / CAST(len($tokSql) AS DOUBLE) AS stopword_ratio,
+         |  CAST(len(list_distinct($tokSql)) AS DOUBLE)
+         |    / CAST(len($tokSql) AS DOUBLE) AS type_token_ratio,
+         |  CAST(length(text) - (len($tokSql) - 1) AS DOUBLE)
+         |    / CAST(len($tokSql) AS DOUBLE) AS mean_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(list_filter($tokSql,
+         |      x -> x IN ('the','a','fast','slow'))) AS INT) AS score_en,
+         |    CAST(len(list_filter($tokSql,
+         |      x -> x IN ('query','table','scan','filter'))) AS INT) AS score_ql,
+         |    CAST(len(list_filter($tokSql,
+         |      x -> x IN ('data','stream','batch','window'))) AS INT) AS score_df
+         |  FROM documents)
+         |SELECT doc_id, lang, score_en, score_ql, score_df,
+         |  CASE WHEN score_en >= score_ql AND score_en >= score_df THEN 'en'
+         |       WHEN score_ql >= score_df THEN 'ql'
+         |       ELSE 'df' END AS pred_lang
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS L
+        |             FROM documents),
+        |sh AS (SELECT doc_id,
+        |         L[i] || ' ' || L[i+1] || ' ' || L[i+2] || ' ' || L[i+3]
+        |           || ' ' || L[i+4] AS s
+        |       FROM tok,
+        |         LATERAL (SELECT unnest(generate_series(1, len(L)-4)) AS i) g)
+        |SELECT t.doc_id, md5(t.text) AS content_hash,
+        |  (SELECT min(md5(s)) FROM sh WHERE sh.doc_id = t.doc_id)
+        |    AS min_shingle_hash
+        |FROM tok t ORDER BY t.doc_id""".stripMargin
+  )
+}
