@@ -1,0 +1,109 @@
+package graft.cascades
+
+/** Minimal plan IR for the MiniCascades optimizer.
+  *
+  * Mirrors the reference's operator surface (SURVEY.md §2.1;
+  * `dolomite/src/operator/{table_scan,filter,projection,join,limit}.rs`) on a
+  * small sealed ADT instead of enum_dispatch. Execution never runs through
+  * this IR — real queries execute via Catalyst; MiniCascades reproduces the
+  * reference's *optimizer* capability (plan-space search) for plan-choice
+  * tests and explanation, as the reference itself does over DataFusion.
+  */
+sealed trait Expr
+final case class Col(name: String) extends Expr
+final case class EqCond(left: Col, right: Col) extends Expr
+
+sealed trait JoinType
+object JoinType {
+  case object Inner extends JoinType
+  case object Left extends JoinType
+  case object Full extends JoinType
+}
+
+/** Operator = logical or physical relational node (no children — arity is
+  * carried by the plan/memo structure, as in `plan/mod.rs:44-52`).
+  */
+sealed trait Operator {
+  def isLogical: Boolean
+  def arity: Int
+}
+
+sealed trait LogicalOp extends Operator { final def isLogical = true }
+sealed trait PhysicalOp extends Operator { final def isLogical = false }
+
+/** `TableScan { limit, table_name }` — `operator/table_scan.rs:13-19`. */
+final case class LogicalScan(table: String, limit: Option[Int] = None)
+    extends LogicalOp { def arity = 0 }
+/** `Filter { filter, projected_columns }` — `operator/filter.rs:14-27`. */
+final case class LogicalFilter(pred: Expr, projected: Seq[Col])
+    extends LogicalOp { def arity = 1 }
+/** `Projection { expr }` — `operator/projection.rs:15-28`. */
+final case class LogicalProject(exprs: Seq[Expr]) extends LogicalOp {
+  def arity = 1
+}
+/** `Join { join_type, expr }` (equi-only) — `operator/join.rs:14-33`. */
+final case class LogicalJoin(joinType: JoinType, cond: EqCond)
+    extends LogicalOp { def arity = 2 }
+/** `Limit { limit }` — `operator/limit.rs:7-13`. */
+final case class LogicalLimit(n: Int) extends LogicalOp { def arity = 1 }
+
+final case class PhysicalTableScan(table: String, limit: Option[Int] = None)
+    extends PhysicalOp { def arity = 0 }
+final case class PhysicalFilter(pred: Expr, projected: Seq[Col])
+    extends PhysicalOp { def arity = 1 }
+final case class PhysicalProject(exprs: Seq[Expr]) extends PhysicalOp {
+  def arity = 1
+}
+final case class PhysicalHashJoin(joinType: JoinType, cond: EqCond)
+    extends PhysicalOp { def arity = 2 }
+/** No physical Limit exists in the reference enum (`operator/physical.rs:
+  * 15-20`) — limits must be absorbed into scans by rules before
+  * implementation. Reproduced faithfully here.
+  */
+
+/** Single-root plan tree (`plan/mod.rs:65-72`). */
+final case class PlanNode(op: Operator, inputs: Seq[PlanNode] = Nil) {
+  require(inputs.length == op.arity, s"arity mismatch for $op")
+
+  /** Pretty tree, analogous to `plan/explain.rs:25-42`. */
+  def explain(indent: Int = 0): String = {
+    val self = "  " * indent + describe(op)
+    (self +: inputs.map(_.explain(indent + 1))).mkString("\n")
+  }
+
+  private def describe(op: Operator): String = op match {
+    case LogicalScan(t, l)       => s"LogicalScan($t${l.fold("")(n => s", limit=$n")})"
+    case LogicalFilter(p, _)     => s"LogicalFilter($p)"
+    case LogicalProject(e)       => s"LogicalProjection(${e.mkString(",")})"
+    case LogicalJoin(jt, c)      => s"LogicalJoin($jt, $c)"
+    case LogicalLimit(n)         => s"LogicalLimit($n)"
+    case PhysicalTableScan(t, l) => s"PhysicalTableScan($t${l.fold("")(n => s", limit=$n")})"
+    case PhysicalFilter(p, _)    => s"PhysicalFilter($p)"
+    case PhysicalProject(e)      => s"PhysicalProjection(${e.mkString(",")})"
+    case PhysicalHashJoin(jt, c) => s"PhysicalHashJoin($jt, $c)"
+  }
+}
+
+/** Physical properties — `properties/{physical,distribution,order}.rs`.
+  * The reference's `OrderSpec.satisfies` is stubbed `true` and enforcers
+  * return an empty vec; reproduced as-is (Spark's EnsureRequirements is the
+  * completed version of this stub — see SURVEY.md §4.2).
+  */
+sealed trait DistributionSpec
+object DistributionSpec {
+  case object Any extends DistributionSpec
+  case object Singleton extends DistributionSpec
+  final case class Hashed(cols: Seq[Col]) extends DistributionSpec
+  case object Random extends DistributionSpec
+}
+
+final case class PhysicalPropertySet(
+    distribution: DistributionSpec = DistributionSpec.Any) {
+  def satisfies(required: PhysicalPropertySet): Boolean =
+    required.distribution == DistributionSpec.Any ||
+      distribution == required.distribution
+}
+
+object PhysicalPropertySet {
+  val default: PhysicalPropertySet = PhysicalPropertySet()
+}

@@ -1,0 +1,163 @@
+package graft.cascades
+
+import scala.collection.mutable
+
+/** Cascades memo: equivalence groups of plan expressions with dedup and
+  * winner bookkeeping — mirrors `dolomite/src/cascades/memo.rs`:
+  *
+  *  - `GroupExpr` keyed by (operator, input group ids) — dedup via
+  *    `GroupExprKey` hash (`memo.rs:127-157`);
+  *  - `Group` holding logical + physical members, an explored flag, rule
+  *    bitmasks per expression, and per-`PhysicalPropertySet` winners
+  *    (`memo.rs:499-710`);
+  *  - duplicate-group *detection* on insert; merging exists
+  *    ([[Memo.mergeDuplicateGroups]]) but is not called by the task engine —
+  *    the reference ships the same machinery with the call site commented
+  *    out (`cascades/task.rs:148-149`, `memo.rs:160-279`).
+  */
+final case class GroupExpr(op: Operator, inputs: Seq[Int])
+
+final case class Winner(expr: GroupExpr, cost: Double)
+
+final class Group(val id: Int) {
+  val logicalExprs = mutable.LinkedHashSet[GroupExpr]()
+  val physicalExprs = mutable.LinkedHashSet[GroupExpr]()
+  val appliedRules = mutable.Map[GroupExpr, mutable.Set[RuleId]]()
+  var explored = false
+  val winners = mutable.Map[PhysicalPropertySet, Winner]()
+
+  def add(e: GroupExpr): Boolean = {
+    val set = if (e.op.isLogical) logicalExprs else physicalExprs
+    val isNew = set.add(e)
+    if (isNew) appliedRules.getOrElseUpdate(e, mutable.Set.empty)
+    isNew
+  }
+
+  def winner(prop: PhysicalPropertySet): Option[Winner] = winners.get(prop)
+
+  /** Keep the cheaper plan per required property (`Group::update_winner`). */
+  def updateWinner(prop: PhysicalPropertySet, w: Winner): Boolean =
+    winners.get(prop) match {
+      case Some(existing) if existing.cost <= w.cost => false
+      case _ => winners(prop) = w; true
+    }
+}
+
+final class Memo {
+  val groups = mutable.ArrayBuffer[Group]()
+  private val exprToGroup = mutable.Map[GroupExpr, Int]()
+  /** (kept group, duplicate group) pairs detected on insert. */
+  val duplicates = mutable.ArrayBuffer[(Int, Int)]()
+  var root: Int = -1
+
+  def group(id: Int): Group = groups(id)
+
+  private def newGroup(): Group = {
+    val g = new Group(groups.length)
+    groups += g
+    g
+  }
+
+  /** Bottom-up seeding from a plan tree (`Memo::from(plan)`,
+    * `memo.rs:331-366`): each node gets (or reuses) a group.
+    */
+  def insertPlan(plan: PlanNode): Int = {
+    val inputGroups = plan.inputs.map(insertPlan)
+    val expr = GroupExpr(plan.op, inputGroups)
+    val gid = insertExpr(expr, None)._1
+    root = gid
+    gid
+  }
+
+  /** Insert an expression, deduping on (op, inputs). Returns (groupId,
+    * isNewExpr). With `target` set (rule output), the expression joins that
+    * equivalence group; if it already lives in a different group the pair is
+    * recorded in [[duplicates]] AND the expression is aliased into the
+    * target group. The aliasing is our lightweight completion of the group
+    * merge the reference implemented but never wired in (`task.rs:148-149`):
+    * without it, a rule result that dedups into its source group never
+    * reaches the target group and the search cannot implement it (the
+    * reference's cascades golden cases avoid the situation by only ever
+    * optimizing join/scan plans).
+    */
+  def insertExpr(expr: GroupExpr, target: Option[Int]): (Int, Boolean) =
+    exprToGroup.get(expr) match {
+      case Some(existing) =>
+        target match {
+          case Some(t) if t != existing =>
+            duplicates += ((existing, t))
+            val isNew = group(t).add(expr)
+            (t, isNew)
+          case _ => (existing, false)
+        }
+      case None =>
+        val g = target.map(group).getOrElse(newGroup())
+        g.add(expr)
+        exprToGroup(expr) = g.id
+        (g.id, true)
+    }
+
+  /** Insert a rule-produced [[OptExpression]] into `targetGroup`; children
+    * land in fresh/deduped groups. Returns the new (groupId, expr) pairs
+    * actually added (for task scheduling).
+    */
+  def insertOptExpression(
+      e: OptExpression, targetGroup: Int): Seq[(Int, GroupExpr)] = {
+    val added = mutable.ArrayBuffer[(Int, GroupExpr)]()
+    def insert(e: OptExpression, target: Option[Int]): Int = e match {
+      case OptExpression.GroupHandle(g) => g
+      case OptExpression.PlanHandle(p)  => insertPlan(p)
+      case OptExpression.Node(op, inputs) =>
+        val inputGroups = inputs.map(insert(_, None))
+        val expr = GroupExpr(op, inputGroups)
+        val (gid, isNew) = insertExpr(expr, target)
+        if (isNew) added += ((gid, expr))
+        gid
+    }
+    insert(e, Some(targetGroup))
+    added.toSeq
+  }
+
+  /** Optional duplicate-group merge — the mark-then-merge design of
+    * `memo.rs:159-279`, shipped but (like the reference) not wired into the
+    * task engine.
+    */
+  def mergeDuplicateGroups(): Unit = while (duplicates.nonEmpty) {
+    val (a, b) = duplicates.remove(duplicates.length - 1)
+    val (keep, dup) = if (a <= b) (a, b) else (b, a)
+    if (keep != dup && dup < groups.length && keep < groups.length) {
+      val from = group(dup)
+      val to = group(keep)
+      (from.logicalExprs ++ from.physicalExprs).foreach { e =>
+        to.add(e)
+        exprToGroup(e) = to.id
+      }
+      // rewrite references to the dup group in every expression
+      groups.foreach { g =>
+        (g.logicalExprs ++ g.physicalExprs).toSeq.foreach { e =>
+          if (e.inputs.contains(dup)) {
+            val rewritten = e.copy(inputs = e.inputs.map(i =>
+              if (i == dup) keep else i))
+            val set = if (e.op.isLogical) g.logicalExprs else g.physicalExprs
+            set.remove(e)
+            g.add(rewritten)
+            exprToGroup.remove(e)
+            exprToGroup(rewritten) = g.id
+          }
+        }
+      }
+      from.logicalExprs.clear()
+      from.physicalExprs.clear()
+      if (root == dup) root = keep
+    }
+  }
+
+  /** Winner extraction (`memo.rs:66-82`, `Group::best_plan_of:669-710`). */
+  def bestPlan(gid: Int, prop: PhysicalPropertySet): Option[PlanNode] =
+    group(gid).winner(prop).flatMap { w =>
+      val childPlans = w.expr.inputs.map(bestPlan(_, PhysicalPropertySet.default))
+      if (childPlans.forall(_.isDefined))
+        Some(PlanNode(w.expr.op, childPlans.map(_.get)))
+      else None
+    }
+}

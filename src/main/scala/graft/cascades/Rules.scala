@@ -1,0 +1,184 @@
+package graft.cascades
+
+/** Rule framework: pattern-matched transformations decoupled from the
+  * optimizers — mirrors `dolomite/src/rules/mod.rs:99-120` (Rule trait),
+  * `rules/pattern.rs:27-80` (Pattern), `rules/opt_expr.rs:59-202`
+  * (OptExpression).
+  */
+
+/** Matcher-function tree with `any` wildcard leaves. */
+final case class Pattern(
+    matches: Operator => Boolean,
+    children: Seq[Pattern] = Nil)
+
+object Pattern {
+  /** Wildcard: matches any operator, binds the subtree/group unexpanded. */
+  val any: Pattern = Pattern(_ => true)
+  def node(f: Operator => Boolean, children: Pattern*): Pattern =
+    Pattern(f, children)
+}
+
+/** Rule input/output: a partially-bound plan fragment. Leaves that a pattern
+  * did not expand are [[OptExpression.GroupHandle]]s (memo group references)
+  * or raw subtrees in the heuristic optimizer.
+  */
+sealed trait OptExpression
+object OptExpression {
+  final case class Node(op: Operator, inputs: Seq[OptExpression])
+      extends OptExpression
+  /** Unexpanded memo group (cascades) — `opt_expr.rs` GroupHandleNode. */
+  final case class GroupHandle(groupId: Int) extends OptExpression
+  /** Unexpanded plan subtree (heuristic) — ExprHandleNode analog. */
+  final case class PlanHandle(plan: PlanNode) extends OptExpression
+}
+
+sealed trait RuleId
+object RuleId {
+  case object PushLimitOverProjection extends RuleId
+  case object RemoveLimit extends RuleId
+  case object PushLimitToTableScan extends RuleId
+  case object CommutateJoin extends RuleId
+  case object Join2HashJoin extends RuleId
+  case object Scan2TableScan extends RuleId
+  case object Project2PhysicalProject extends RuleId
+  case object Filter2PhysicalFilter extends RuleId
+}
+
+trait OptRule {
+  def id: RuleId
+  def pattern: Pattern
+  /** Higher promise → tried earlier (`rules/mod.rs:153-157`). */
+  def promise: Int = 1
+  /** Logical→logical rewrite/exploration vs logical→physical implementation. */
+  def isImplementation: Boolean = false
+  def apply(expr: OptExpression.Node): Option[OptExpression]
+}
+
+object Rules {
+  import OptExpression._
+
+  private def isLimit(op: Operator) = op.isInstanceOf[LogicalLimit]
+  private def isProject(op: Operator) = op.isInstanceOf[LogicalProject]
+  private def isScan(op: Operator) = op.isInstanceOf[LogicalScan]
+  private def isInnerJoin(op: Operator) = op match {
+    case LogicalJoin(JoinType.Inner, _) => true
+    case _                              => false
+  }
+
+  /** `Limit(a, Limit(b, x))` → `Limit(min(a,b), x)` —
+    * `dolomite/src/rules/limit.rs:73-115`.
+    */
+  object RemoveLimitRule extends OptRule {
+    val id = RuleId.RemoveLimit
+    val pattern = Pattern.node(isLimit, Pattern.node(isLimit, Pattern.any))
+    def apply(expr: Node): Option[OptExpression] = expr match {
+      case Node(LogicalLimit(a), Seq(Node(LogicalLimit(b), Seq(input)))) =>
+        Some(Node(LogicalLimit(math.min(a, b)), Seq(input)))
+      case _ => None
+    }
+  }
+
+  /** `Limit(n, Project(x))` → `Project(Limit(n, x))` —
+    * `dolomite/src/rules/limit.rs:33-71`.
+    */
+  object PushLimitOverProjectionRule extends OptRule {
+    val id = RuleId.PushLimitOverProjection
+    val pattern = Pattern.node(isLimit, Pattern.node(isProject, Pattern.any))
+    def apply(expr: Node): Option[OptExpression] = expr match {
+      case Node(LogicalLimit(n), Seq(Node(p: LogicalProject, Seq(input)))) =>
+        Some(Node(p, Seq(Node(LogicalLimit(n), Seq(input)))))
+      case _ => None
+    }
+  }
+
+  /** `Limit(n, Scan(t, l?))` → `Scan(t, min(n, l))` —
+    * `dolomite/src/rules/limit.rs:117-165`.
+    */
+  object PushLimitToTableScanRule extends OptRule {
+    val id = RuleId.PushLimitToTableScan
+    val pattern = Pattern.node(isLimit, Pattern.node(isScan))
+    def apply(expr: Node): Option[OptExpression] = expr match {
+      case Node(LogicalLimit(n), Seq(Node(LogicalScan(t, l), Nil))) =>
+        Some(Node(LogicalScan(t, Some(l.fold(n)(math.min(n, _)))), Nil))
+      case _ => None
+    }
+  }
+
+  /** Inner-join input swap (exploration) — `dolomite/src/rules/join.rs:27-69`.
+    * The reference swaps inputs and keeps the condition; with equi conditions
+    * the swapped condition is mirrored too.
+    */
+  object CommutateJoinRule extends OptRule {
+    val id = RuleId.CommutateJoin
+    val pattern = Pattern.node(isInnerJoin, Pattern.any, Pattern.any)
+    def apply(expr: Node): Option[OptExpression] = expr match {
+      case Node(LogicalJoin(JoinType.Inner, EqCond(l, r)), Seq(a, b)) =>
+        Some(Node(LogicalJoin(JoinType.Inner, EqCond(r, l)), Seq(b, a)))
+      case _ => None
+    }
+  }
+
+  /** Logical join → physical hash join (implementation) —
+    * `dolomite/src/rules/join.rs:71-114`.
+    */
+  object Join2HashJoinRule extends OptRule {
+    val id = RuleId.Join2HashJoin
+    override val isImplementation = true
+    val pattern = Pattern.node(isInnerJoin, Pattern.any, Pattern.any)
+    def apply(expr: Node): Option[OptExpression] = expr match {
+      case Node(LogicalJoin(jt, cond), inputs) =>
+        Some(Node(PhysicalHashJoin(jt, cond), inputs))
+      case _ => None
+    }
+  }
+
+  /** Logical scan → physical table scan (implementation) —
+    * `dolomite/src/rules/table_scan.rs:20-57`.
+    */
+  object Scan2TableScanRule extends OptRule {
+    val id = RuleId.Scan2TableScan
+    override val isImplementation = true
+    val pattern = Pattern.node(isScan)
+    def apply(expr: Node): Option[OptExpression] = expr match {
+      case Node(LogicalScan(t, l), Nil) =>
+        Some(Node(PhysicalTableScan(t, l), Nil))
+      case _ => None
+    }
+  }
+
+  /** Beyond the reference: it declares PhysicalFilter/PhysicalProjection but
+    * never plans them (`derive_properties` is `todo!()`, `filter.rs:29-36`,
+    * `projection.rs:32-39`, and no implementation rule exists in
+    * `rules/mod.rs:124-136`). These two complete the implementation-rule set
+    * so every limit-free logical plan is physically plannable.
+    */
+  object Project2PhysicalProjectRule extends OptRule {
+    val id = RuleId.Project2PhysicalProject
+    override val isImplementation = true
+    val pattern = Pattern.node(isProject, Pattern.any)
+    def apply(expr: Node): Option[OptExpression] = expr match {
+      case Node(LogicalProject(e), inputs) =>
+        Some(Node(PhysicalProject(e), inputs))
+      case _ => None
+    }
+  }
+
+  object Filter2PhysicalFilterRule extends OptRule {
+    val id = RuleId.Filter2PhysicalFilter
+    override val isImplementation = true
+    val pattern = Pattern.node(_.isInstanceOf[LogicalFilter], Pattern.any)
+    def apply(expr: Node): Option[OptExpression] = expr match {
+      case Node(LogicalFilter(p, cols), inputs) =>
+        Some(Node(PhysicalFilter(p, cols), inputs))
+      case _ => None
+    }
+  }
+
+  val rewriteRules: Seq[OptRule] =
+    Seq(RemoveLimitRule, PushLimitOverProjectionRule, PushLimitToTableScanRule)
+  val explorationRules: Seq[OptRule] = Seq(CommutateJoinRule)
+  val implementationRules: Seq[OptRule] =
+    Seq(Join2HashJoinRule, Scan2TableScanRule,
+      Project2PhysicalProjectRule, Filter2PhysicalFilterRule)
+  val all: Seq[OptRule] = rewriteRules ++ explorationRules ++ implementationRules
+}

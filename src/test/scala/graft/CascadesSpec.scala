@@ -1,0 +1,171 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cascades._
+import graft.cascades.OptExpression.{GroupHandle, Node}
+
+/** MiniCascades unit tests, porting the reference's own expectations:
+  * memo construction incl. multi-child (`cascades/memo.rs:851-994`),
+  * binding single/cartesian (`cascades/binding.rs:125-318`), rule-application
+  * semantics (`cascades/task.rs:620-694`), end-to-end join optimization
+  * (`cascades/optimizer.rs:97-137`), and the heuristic optimizer's golden
+  * limit cases (`datafusion-dolomite-integration/resources/limit.yaml`,
+  * `dolomite/src/rules/limit.rs:167-322`).
+  */
+class CascadesSpec extends AnyFunSuite {
+
+  private def scan(t: String, limit: Option[Int] = None) =
+    PlanNode(LogicalScan(t, limit))
+  private def join(l: PlanNode, r: PlanNode, lc: String, rc: String) =
+    PlanNode(LogicalJoin(JoinType.Inner, EqCond(Col(lc), Col(rc))), Seq(l, r))
+  private def limit(n: Int, in: PlanNode) =
+    PlanNode(LogicalLimit(n), Seq(in))
+  private def project(in: PlanNode, cols: String*) =
+    PlanNode(LogicalProject(cols.map(Col(_))), Seq(in))
+
+  // --- memo construction (memo.rs:851-994) ---
+
+  test("memo seeds one group per distinct plan node, bottom-up") {
+    val memo = new Memo
+    val root = memo.insertPlan(join(scan("t1"), scan("t2"), "c1", "c2"))
+    assert(memo.groups.size == 3)
+    assert(memo.group(root).logicalExprs.size == 1)
+    val joinExpr = memo.group(root).logicalExprs.head
+    assert(joinExpr.inputs.size == 2)
+  }
+
+  test("memo dedups identical expressions into one group") {
+    val memo = new Memo
+    memo.insertPlan(join(scan("t1"), scan("t1"), "a", "b"))
+    // scan(t1) appears twice but is one group expression
+    assert(memo.groups.size == 2)
+  }
+
+  test("duplicate-group detection: record + alias, full merge on demand") {
+    val memo = new Memo
+    val g1 = memo.insertPlan(scan("t1"))
+    val g2 = memo.insertPlan(scan("t2"))
+    // a rule claims scan(t2) is equivalent to group g1:
+    memo.insertOptExpression(Node(LogicalScan("t2"), Nil), g1)
+    assert(memo.duplicates.toSeq == Seq((g2, g1)))
+    // aliased into the target group (our completion of the merge the
+    // reference left unwired), original group untouched:
+    assert(memo.group(g1).logicalExprs.map(_.op).toSet ==
+      Set(LogicalScan("t1"), LogicalScan("t2")))
+    assert(memo.group(g2).logicalExprs.map(_.op).toSet ==
+      Set(LogicalScan("t2")))
+    memo.mergeDuplicateGroups() // mark-then-merge machinery (memo.rs:159-279)
+    assert(memo.group(math.min(g1, g2)).logicalExprs.map(_.op).toSet ==
+      Set(LogicalScan("t1"), LogicalScan("t2")))
+  }
+
+  // --- binding (binding.rs:125-318) ---
+
+  test("binding: wildcard children bind as group handles") {
+    val memo = new Memo
+    val root = memo.insertPlan(join(scan("t1"), scan("t2"), "c1", "c2"))
+    val e = memo.group(root).logicalExprs.head
+    val bound = Binding.bindExpr(memo, e, Rules.CommutateJoinRule.pattern)
+    assert(bound.size == 1)
+    val Node(op, children) = bound.head
+    assert(op == LogicalJoin(JoinType.Inner, EqCond(Col("c1"), Col("c2"))))
+    assert(children.forall(_.isInstanceOf[GroupHandle]))
+  }
+
+  test("binding: nested pattern takes cartesian product over group members") {
+    val memo = new Memo
+    val root = memo.insertPlan(limit(10, limit(5, scan("t1"))))
+    // add a second equivalent member to the inner limit group
+    val innerGroup = memo.group(root).logicalExprs.head.inputs.head
+    memo.insertOptExpression(
+      Node(LogicalLimit(7),
+        Seq(GroupHandle(memo.group(innerGroup).logicalExprs.head.inputs.head))),
+      innerGroup)
+    val e = memo.group(root).logicalExprs.head
+    val bound = Binding.bindExpr(memo, e, Rules.RemoveLimitRule.pattern)
+    assert(bound.size == 2) // limit(5) and limit(7) members both bind
+  }
+
+  // --- end-to-end cascades (optimizer.rs:97-137) ---
+
+  test("cascades implements join(scan,scan) as hash join over table scans") {
+    val plan = join(scan("t1"), scan("t2"), "c1", "c2")
+    val out = new CascadesOptimizer().optimize(plan)
+    assert(out.isDefined)
+    val p = out.get
+    p match {
+      case PlanNode(PhysicalHashJoin(JoinType.Inner, _),
+          Seq(PlanNode(PhysicalTableScan(a, None), Nil),
+              PlanNode(PhysicalTableScan(b, None), Nil))) =>
+        // commutation explored; constant cost model ties → either order wins
+        assert(Set(a, b) == Set("t1", "t2"))
+      case other => fail(s"unexpected plan:\n${other.explain()}")
+    }
+  }
+
+  test("cascades pushes limit into scan then implements (golden limit case)") {
+    val plan = limit(10, project(limit(5, scan("t1")), "f1"))
+    val out = new CascadesOptimizer().optimize(plan)
+    assert(out.isDefined)
+    out.get match {
+      case PlanNode(PhysicalProject(_),
+          Seq(PlanNode(PhysicalTableScan("t1", Some(5)), Nil))) =>
+      case other => fail(s"unexpected plan:\n${other.explain()}")
+    }
+  }
+
+  test("cascades cost: join plan costs 3.0 under the constant model") {
+    val memo = new Memo
+    val plan = join(scan("t1"), scan("t2"), "c1", "c2")
+    val opt = new CascadesOptimizer()
+    // optimize and re-derive cost by walking: 1 join + 2 scans = 3.0
+    val out = opt.optimize(plan).get
+    def countOps(p: PlanNode): Int = 1 + p.inputs.map(countOps).sum
+    assert(countOps(out) == 3)
+  }
+
+  test("plan with un-absorbable limit has no physical implementation") {
+    // no physical Limit exists (operator/physical.rs:15-20): a limit that
+    // cannot reach a scan cannot be implemented — faithful to the reference.
+    val plan = limit(3, join(scan("t1"), scan("t2"), "c1", "c2"))
+    assert(new CascadesOptimizer().optimize(plan).isEmpty)
+  }
+
+  // --- heuristic optimizer golden cases (resources/limit.yaml) ---
+
+  test("hep: limit 5 over scan absorbs into the scan (limit.yaml case 2)") {
+    val hep = new HepOptimizer(Rules.rewriteRules)
+    val out = hep.optimize(limit(5, project(scan("t1"), "f1", "f2")))
+    assert(out == project(scan("t1", Some(5)), "f1", "f2"),
+      s"got:\n${out.explain()}")
+  }
+
+  test("hep: nested limits collapse then absorb") {
+    val hep = new HepOptimizer(Rules.rewriteRules)
+    val out = hep.optimize(limit(10, limit(5, scan("t1"))))
+    assert(out == scan("t1", Some(5)), s"got:\n${out.explain()}")
+  }
+
+  test("hep: fixed point leaves non-matching plans untouched") {
+    val hep = new HepOptimizer(Rules.rewriteRules)
+    val plan = join(scan("t1"), scan("t2"), "c1", "c2")
+    assert(hep.optimize(plan) == plan)
+  }
+
+  test("hep respects maxIter cap") {
+    val hep = new HepOptimizer(Rules.rewriteRules, maxIter = 0)
+    val plan = limit(10, limit(5, scan("t1")))
+    assert(hep.optimize(plan) == plan)
+  }
+
+  // --- explain (plan/explain.rs:44-95) ---
+
+  test("explain renders the operator tree") {
+    val s = join(scan("t1"), scan("t2", Some(3)), "c1", "c2").explain()
+    assert(s ==
+      """LogicalJoin(Inner, EqCond(Col(c1),Col(c2)))
+        |  LogicalScan(t1)
+        |  LogicalScan(t2, limit=3)""".stripMargin)
+  }
+}
