@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass JVM kernels backing the custom Catalyst expressions — plain
+  * static-callable loops so generated code can invoke them from inside
+  * whole-stage codegen (no boxing, no per-element Catalyst eval).
+  */
+object Kernels {
+
+  /** Exact cosine over 1000x-quantized integer vectors. Bit-identical to the
+    * portable formula used by the DuckDB oracles (see SimilarityOps):
+    * q[i] = floor(x*1000 + 0.5) as long; cos = dot / (sqrt(na)*sqrt(nb)).
+    */
+  def quantCosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < n) {
+      val qa = math.floor(a.getFloat(i) * 1000.0 + 0.5).toLong
+      val qb = math.floor(b.getFloat(i) * 1000.0 + 0.5).toLong
+      dot += qa * qb
+      na += qa * qa
+      nb += qb * qb
+      i += 1
+    }
+    if (na == 0L || nb == 0L) 0.0
+    else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  /** Plain float cosine (double accumulation, left-to-right). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def hashString(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  /** MinHash signature: perm k = min over elements of xxh64(bytes, seed=k).
+    * One pass over the array per permutation set — replaces the
+    * explode + groupBy + k aggregates formulation (no shuffle at all).
+    * Empty input → Long.MaxValue sentinel per perm.
+    */
+  def minhashSig(items: ArrayData, perms: Int): ArrayData = {
+    val out = new Array[Long](perms)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    val n = items.numElements()
+    var i = 0
+    while (i < n) {
+      val s = items.getUTF8String(i)
+      if (s != null) {
+        var k = 0
+        while (k < perms) {
+          val h = hashString(s, k.toLong)
+          if (h < out(k)) out(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit SimHash over a token multiset: bit i of the signature is the
+    * sign of Σ_tokens count(t) * (bit_i(xxh64(t)) ? +1 : -1).
+    */
+  def simhash64(tokens: ArrayData): Long = {
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val s = tokens.getUTF8String(i)
+      if (s != null) counts.merge(s, 1, (a, b) => a + b)
+      i += 1
+    }
+    val bitSums = new Array[Int](64)
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val h = hashString(e.getKey, 42L)
+      val w = e.getValue.intValue()
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) bitSums(bit) += w
+        else bitSums(bit) -= w
+        bit += 1
+      }
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (bitSums(bit) > 0) sig |= (1L << bit)
+      bit += 1
+    }
+    sig
+  }
+
+  /** Jaccard similarity of two string arrays as distinct sets. */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val sa = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i < a.numElements()) {
+      val s = a.getUTF8String(i); if (s != null) sa.add(s); i += 1
+    }
+    val sb = new java.util.HashSet[UTF8String]()
+    i = 0
+    while (i < b.numElements()) {
+      val s = b.getUTF8String(i); if (s != null) sb.add(s); i += 1
+    }
+    if (sa.isEmpty && sb.isEmpty) return 0.0
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    inter.toDouble / (sa.size + sb.size - inter).toDouble
+  }
+}

@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Bridge between the public `Column` API and catalyst `Expression`s.
+  * Spark 4 moved this to `org.apache.spark.sql.classic.ExpressionUtils`,
+  * which is `private[sql]` at the Scala level (public in bytecode) — reached
+  * via reflection; driver-side plan construction only, never per-row.
+  */
+private[graft] object ColumnBridge {
+  private val cls = Class.forName("org.apache.spark.sql.classic.ExpressionUtils")
+  private val colM = cls.getMethod("column", classOf[Expression])
+  private val exprM = cls.getMethod("expression", classOf[Column])
+
+  def column(e: Expression): Column = colM.invoke(null, e).asInstanceOf[Column]
+  def expression(c: Column): Expression =
+    exprM.invoke(null, c).asInstanceOf[Expression]
+}
+
+/** Custom Catalyst expressions for the training-data operators — the
+  * preference-order step (b) of SURVEY.md §7.3: native `Expression`s with
+  * `doGenCode` emitting calls to the static [[Kernels]], so they stay inside
+  * whole-stage codegen (one virtual-free call per row, no UDF
+  * serialization, no per-element Catalyst eval).
+  */
+private object codegenNames {
+  val kernels: String = Kernels.getClass.getName.stripSuffix("$") + ".MODULE$"
+}
+
+abstract class BinaryKernelExpression extends BinaryExpression {
+  protected def kernelMethod: String
+  override def nullIntolerant: Boolean = true
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = ${codegenNames.kernels}.$kernelMethod($a, $b);")
+}
+
+/** Exact cosine over 1000x-quantized integer vectors (engine-portable — see
+  * [[Kernels.quantCosine]]).
+  */
+case class QuantizedCosine(left: Expression, right: Expression)
+    extends BinaryKernelExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "quant_cosine"
+  protected val kernelMethod = "quantCosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.quantCosine(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Float cosine similarity (double accumulation). */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryKernelExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+  protected val kernelMethod = "cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.cosine(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Distinct-set Jaccard over two string arrays. */
+case class JaccardSimilarity(left: Expression, right: Expression)
+    extends BinaryKernelExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sim"
+  protected val kernelMethod = "jaccard"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.jaccard(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** MinHash signature of a string array (`perms` permutations via xxh64
+  * seeds). Replaces explode + groupBy + N min-aggregates with a single
+  * shuffle-free pass.
+  */
+case class MinHashSignature(child: Expression, perms: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(items: Any): Any =
+    Kernels.minhashSig(
+      items.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], perms)
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"${codegenNames.kernels}.minhashSig($c, $perms)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a token array (frequency-weighted). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(tokens: Any): Any =
+    Kernels.simhash64(
+      tokens.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${codegenNames.kernels}.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-API facade, the user-facing function surface of the engine. */
+object functions {
+  def quant_cosine(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      QuantizedCosine(ColumnBridge.expression(a),
+        ColumnBridge.expression(b)))
+
+  def cosine_sim(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      CosineSimilarity(ColumnBridge.expression(a),
+        ColumnBridge.expression(b)))
+
+  def jaccard_sim(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      JaccardSimilarity(ColumnBridge.expression(a),
+        ColumnBridge.expression(b)))
+
+  def minhash_sig(items: Column, perms: Int): Column =
+    ColumnBridge.column(
+      MinHashSignature(ColumnBridge.expression(items), perms))
+
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+}

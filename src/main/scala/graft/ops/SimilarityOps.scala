@@ -1,45 +1,37 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.functions.quant_cosine
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
-  * The similarity kernel works on 1000x-quantized integer vectors so the
-  * arithmetic is exact and engine-portable (same doubles from the same exact
-  * integers in Spark and the DuckDB oracle).
+  * The similarity kernel is the codegen'd [[graft.functions.QuantizedCosine]]
+  * expression: exact integer arithmetic on 1000x-quantized vectors, so
+  * results are bit-identical to the DuckDB oracle while running as one
+  * whole-stage-codegen call per pair.
   *
-  * Scale design: brute-force top-k is the correctness baseline — a broadcast
-  * of the (small) query set against the full corpus scan, one shuffle for the
-  * per-query top-k (TakeOrderedAndProject-like via window row_number). The
-  * LSH path buckets vectors by random-hyperplane signature first: candidate
-  * generation becomes an equi-join on the bucket id, shrinking the pair count
-  * from |Q|x|N| to |Q|x|bucket|; at 100 TB the bucketed corpus would be
-  * written pre-partitioned by signature so probes touch one partition each.
+  * Scale design: brute-force top-k broadcasts the (small) query set against
+  * the corpus scan — no shuffle until the per-query top-k. The LSH path
+  * buckets vectors by random-hyperplane signature: candidate generation
+  * becomes an equi-join on the bucket id; at 100 TB the corpus would be
+  * written bucketed by signature so probes touch one bucket each. The
+  * centroid query is the IVF coarse-quantizer readout.
   */
 object SimilarityOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Quantized integer embedding + its squared norm. */
-  private def quantized(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"), col("label"),
-      transform(col("embedding"),
-        x => floor(x * lit(1000.0) + lit(0.5)).cast("long")).as("q"))
-      .withColumn("nn",
-        aggregate(transform(col("q"), x => x * x), lit(0L), (a, x) => a + x))
+  /** Quantized integer embedding (for the integer LSH planes). */
+  private def quantize(e: Column): Column =
+    transform(e, x => floor(x * lit(1000.0) + lit(0.5)).cast("long"))
 
-  /** Exact cosine between two quantized vectors (columns qa/qb, na/nb). */
-  private def cosine(qa: Column, qb: Column, na: Column, nb: Column): Column =
-    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-      .cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
-
-  /** Deterministic integer random-hyperplane weight for (plane k, dim i) —
-    * a fixed LCG-style formula both engines could reproduce.
-    */
+  /** Deterministic integer random-hyperplane weight for (plane k, dim i). */
   private def planeWeight(k: Int, i: Column): Column =
     ((lit(k) * lit(131) + i * lit(31) + lit(7)) % lit(61)) - lit(30)
 
-  /** Sign-bit signature of `q` under `planes` random integer hyperplanes. */
+  /** Sign-bit signature of quantized vector `q` under integer hyperplanes. */
   private def lshSignature(q: Column, planes: Int): Column =
     (0 until planes).map { k =>
       val dot = aggregate(
@@ -49,57 +41,54 @@ object SimilarityOps {
       when(dot > 0, lit(1L << k)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  private def topk(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "cos", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   def queries: Map[String, Q] = Map(
     // Brute-force cosine top-5 for query vectors (vec_id < 10) over the rest.
     "sim_topk_bruteforce" -> { (s, d) =>
-      val e = quantized(Tables(s, d).embeddings)
+      val e = Tables(s, d).embeddings
       val qs = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("q").as("qq"),
-          col("nn").as("qn"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       val corpus = e.filter(col("vec_id") >= 10)
-      val scored = corpus.join(broadcast(qs))
+      topk(corpus.join(broadcast(qs))
         .select(col("query_id"), col("vec_id"),
-          cosine(col("qq"), col("q"), col("qn"), col("nn")).as("cos"))
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select("query_id", "vec_id", "cos", "rk")
-        .orderBy("query_id", "rk")
+          quant_cosine(col("qe"), col("embedding")).as("cos")), 5)
     },
-    // LSH-bucketed ANN: 8-plane signature buckets; probe only the query's
-    // bucket. Approximate (recall < 1) but linear shuffle — the scale path.
-    // Deterministic (integer planes) but not SQL-expressible concisely →
-    // rows-only driver check; ScalaTest checks bucket recall vs brute force.
+    // LSH-bucketed ANN: 8-plane signature buckets with multi-probe (the
+    // query probes its own bucket plus every Hamming-1 neighbor — 9 probes),
+    // trading 9x probe fan-out for recall while staying an equi-join on the
+    // bucket id (linear shuffle — the scale path; single-probe recall on
+    // weakly-correlated vectors is near chance). Deterministic but not
+    // concisely SQL-expressible → rows-only check; DedupSpec measures recall
+    // against brute force.
     "sim_ann_lsh" -> { (s, d) =>
-      val e = quantized(Tables(s, d).embeddings)
-        .withColumn("bucket", lshSignature(col("q"), 8))
+      val e = Tables(s, d).embeddings
+        .withColumn("bucket", lshSignature(quantize(col("embedding")), 8))
+      val probes = typedLit(0L +: (0 until 8).map(k => 1L << k))
       val qs = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("q").as("qq"),
-          col("nn").as("qn"), col("bucket"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          explode(transform(probes, m => col("bucket").bitwiseXOR(m)))
+            .as("bucket"))
       val corpus = e.filter(col("vec_id") >= 10)
-      val scored = corpus.join(broadcast(qs), Seq("bucket"))
+      topk(corpus.join(broadcast(qs), Seq("bucket"))
         .select(col("query_id"), col("vec_id"),
-          cosine(col("qq"), col("q"), col("qn"), col("nn")).as("cos"))
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("vec_id").asc)
-      scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select("query_id", "vec_id", "cos", "rk")
-        .orderBy("query_id", "rk")
+          quant_cosine(col("qe"), col("embedding")).as("cos")), 5)
     },
-    // Per-label centroid similarity: an IVF-style coarse quantizer readout —
-    // mean quantized vector per label, then each vector's cosine to its own
-    // label centroid, aggregated. Exact integer/decimal math end-to-end.
+    // Per-label centroid similarity: IVF-style coarse quantizer readout —
+    // exact integer/decimal math end-to-end (oracle-checked).
     "sim_label_centroid" -> { (s, d) =>
-      val e = quantized(Tables(s, d).embeddings)
-      val byDim = e.select(col("vec_id"), col("label"),
-          posexplode(col("q")).as(Seq("i", "v")))
+      val byDim = Tables(s, d).embeddings
+        .select(col("vec_id"), col("label"),
+          posexplode(quantize(col("embedding"))).as(Seq("i", "v")))
       val cent = byDim.groupBy("label", "i")
         .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
-      // integer-scaled centroid: floor(1000 * sum / cnt) keeps exactness
       val centQ = cent.select(col("label"), col("i"),
         floor(col("sv") * lit(1000) / col("cnt")).cast("long").as("cv"))
       byDim.join(centQ, Seq("label", "i"))

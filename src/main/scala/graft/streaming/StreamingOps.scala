@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.ops.Oracle.dsum
+
+/** Structured Streaming versions of the event analytics (the reference has
+  * no streaming surface — SURVEY.md §2.3; this is north-star capability):
+  * the same declarative transforms as [[graft.ops.EventOps]], run
+  * incrementally with watermarks and keyed state.
+  *
+  * Scale design: the windowed aggregate is partial-per-microbatch with state
+  * in the state store keyed by (window, event_type) — the streaming analog
+  * of partial+final aggregation; sessionization keeps O(1) state per user
+  * key and emits on update, so state size is bounded by the key cardinality,
+  * not the stream length.
+  */
+object StreamingOps {
+
+  /** Streaming scan of the events parquet (ns `ts` read as long, converted
+    * to a proper timestamp column for event-time semantics).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1h event-time window with a 2h watermark for late data. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_ts", "2 hours")
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class UserEvent(user_id: Long, event_id: Long, ts_ms: Long,
+      value: Double)
+  final case class UserSessionState(nEvents: Long, startMs: Long, lastMs: Long)
+  final case class UserSessionUpdate(user_id: Long, n_events: Long,
+      start_ms: Long, last_ms: Long)
+
+  /** Keyed running-session state via mapGroupsWithState (the
+    * `KeyValueGroupedDataset` custom-state path): per user, the current
+    * gap-session's event count and bounds, emitted in Update mode.
+    */
+  def runningSessions(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val GapMs = 1800000L
+    events
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000000").as("ts_ms"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[UserEvent],
+         state: GroupState[UserSessionState]) => {
+          val sorted = rows.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+          var st = state.getOption.getOrElse(UserSessionState(0L, -1L, -1L))
+          sorted.foreach { e =>
+            st =
+              if (st.nEvents == 0L || e.ts_ms - st.lastMs > GapMs)
+                UserSessionState(1L, e.ts_ms, e.ts_ms)
+              else st.copy(nEvents = st.nEvents + 1, lastMs = e.ts_ms)
+          }
+          state.update(st)
+          UserSessionUpdate(user, st.nEvents, st.startMs, st.lastMs)
+        })
+      .toDF()
+  }
+
+  /** Run a streaming DataFrame to completion against the (finite) file
+    * source and return the materialized result from the memory sink.
+    */
+  def runToMemory(
+      df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.functions._
+
+/** Specs for the custom Catalyst expressions: semantics plus proof that the
+  * generated code actually compiles (no silent interpreted fallback).
+  */
+class FunctionsSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("quant_cosine: exact quantized cosine, identical vectors => 1.0") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f))
+    ).toDF("a", "b")
+    val got = df.select(quant_cosine($"a", $"b")).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12) // dot/(sqrt*sqrt) fp rounding
+    assert(got(1) == 0.0)
+    assert(got(2) == 0.0) // zero-norm guard
+  }
+
+  test("cosine_sim float path matches manual computation") {
+    val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
+    val got = df.select(cosine_sim($"a", $"b")).as[Double].collect()(0)
+    assert(math.abs(got - 24.0 / 25.0) < 1e-12)
+  }
+
+  test("jaccard_sim treats arrays as distinct sets") {
+    val df = Seq((Seq("a", "b", "b", "c"), Seq("b", "c", "d")))
+      .toDF("a", "b")
+    val got = df.select(jaccard_sim($"a", $"b")).as[Double].collect()(0)
+    assert(got == 2.0 / 4.0) // {a,b,c} vs {b,c,d}: inter 2, union 4
+  }
+
+  test("minhash_sig: equal sets => equal signatures; disjoint differ") {
+    val df = Seq(
+      (1L, Seq("x", "y", "z")),
+      (2L, Seq("z", "x", "y")), // same set, different order
+      (3L, Seq("p", "q", "r"))
+    ).toDF("id", "s")
+    val sigs = df.select($"id", minhash_sig($"s", 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs(1L).length == 16)
+  }
+
+  test("simhash64: near-identical docs have tiny Hamming distance") {
+    val base = (1 to 60).map(i => s"tok$i")
+    val perturbed = base.updated(5, "CHANGED")
+    val other = (1 to 60).map(i => s"other$i")
+    val df = Seq((1L, base), (2L, perturbed), (3L, other)).toDF("id", "t")
+    val sigs = df.select($"id", simhash64($"t").as("s"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L), sigs(2L)) <= 8,
+      s"near-dup hamming ${hamming(sigs(1L), sigs(2L))}")
+    assert(hamming(sigs(1L), sigs(3L)) > 12,
+      s"unrelated hamming ${hamming(sigs(1L), sigs(3L))}")
+  }
+
+  test("expressions stay inside whole-stage codegen (generated code compiles)") {
+    import org.apache.spark.sql.execution.debug._
+    val df = Tables0.embeddings(spark, sfDir)
+      .select(quant_cosine(col("embedding"), col("embedding")).as("c"),
+        simhash64(split(col("vec_id").cast("string"), "")).as("s"))
+    val code = df.queryExecution.debug.codegenToSeq()
+    assert(code.nonEmpty, "no whole-stage codegen stage in plan")
+    val all = code.map(_._2).mkString("\n")
+    assert(all.contains("quantCosine"),
+      "kernel call not present in generated code")
+    assert(all.contains("simhash64"),
+      "simhash kernel call not present in generated code")
+    df.collect() // would throw if the generated code failed to compile
+  }
+
+  private object Tables0 {
+    def embeddings(s: org.apache.spark.sql.SparkSession, d: String) =
+      s.read.parquet(s"$d/embeddings.parquet")
+  }
+}
