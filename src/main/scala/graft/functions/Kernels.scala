@@ -33,6 +33,18 @@ object Kernels {
     else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
   }
 
+  /** Integer dot product of two pre-quantized long vectors. */
+  def quantDot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L
+    var i = 0
+    while (i < n) {
+      dot += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    dot
+  }
+
   /** Plain float cosine (double accumulation, left-to-right). */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -112,6 +124,31 @@ object Kernels {
       bit += 1
     }
     sig
+  }
+
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Contiguous n-token shingles joined with single spaces; empty array when
+    * fewer than n tokens. Single pass — the Column-combinator formulation
+    * (transform over sequence + element_at) re-evaluates the token array per
+    * element because Catalyst does not CSE across lambda scopes.
+    */
+  def wordShingles(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[UTF8String](len)
+    var i = 0
+    while (i < len) { toks(i) = tokens.getUTF8String(i); i += 1 }
+    val out = new Array[Any](len - n + 1)
+    i = 0
+    while (i <= len - n) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = toks(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(SPACE, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Jaccard similarity of two string arrays as distinct sets. */

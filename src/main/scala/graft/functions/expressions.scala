@@ -56,6 +56,22 @@ case class QuantizedCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer dot product of two pre-quantized long vectors — for pair loops
+  * where quantization/norms are computed once per row, not once per pair.
+  */
+case class QuantizedDot(left: Expression, right: Expression)
+    extends BinaryKernelExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "quant_dot"
+  protected val kernelMethod = "quantDot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.quantDot(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Float cosine similarity (double accumulation). */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryKernelExpression {
@@ -104,6 +120,22 @@ case class MinHashSignature(child: Expression, perms: Int)
     copy(child = newChild)
 }
 
+/** Contiguous n-token shingles of a token array (single pass). */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(tokens: Any): Any =
+    Kernels.wordShingles(
+      tokens.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${codegenNames.kernels}.wordShingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of a token array (frequency-weighted). */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -126,6 +158,10 @@ object functions {
       QuantizedCosine(ColumnBridge.expression(a),
         ColumnBridge.expression(b)))
 
+  def quant_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      QuantizedDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(
       CosineSimilarity(ColumnBridge.expression(a),
@@ -142,4 +178,7 @@ object functions {
 
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  def word_shingles(tokens: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), n))
 }

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.functions.{jaccard_sim, minhash_sig, quant_cosine, simhash64}
+import graft.functions.functions.{jaccard_sim, minhash_sig, quant_dot, simhash64}
 
 /** Deduplication operators over `documents` / `embeddings` — the core of a
   * training-data pipeline at 100 TB.
@@ -45,11 +45,15 @@ object DedupOps {
     },
     // n-gram Jaccard near-dup: exact all-pairs via shingle inverted index —
     // the oracle-checked ground truth the approximate methods are judged by.
+    // The join key is the 64-bit shingle hash, not the shingle text: 3x less
+    // shuffle bytes, same counts (collisions vanish at 2^-64 rates).
     "dedup_ngram_jaccard" -> { (s, d) =>
       val docs = Tables(s, d).documents
       val sh = docs
-        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("s"))
+        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("sr"))
+        .select(col("doc_id"), xxhash64(col("sr")).as("s"))
         .distinct()
+        .persist()
       val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       sh.as("a")
         .join(sh.as("b"), col("a.s") === col("b.s") &&
@@ -69,9 +73,14 @@ object DedupOps {
     // Not SQL-expressible (xxh64 seeds) → rows-only driver check; DedupSpec
     // asserts it recovers exactly the exact-Jaccard pairs at this threshold.
     "dedup_minhash_lsh" -> { (s, d) =>
-      val sh = shingleSets(Tables(s, d).documents)
+      // persist: the signature table is read by both sides of the band
+      // self-join and the shingle sets by the verification join — without
+      // materialization every element_at(sig, _) re-runs the MinHash pass
+      // (no CSE across the generator boundary). At 100 TB this is the
+      // "write the signature table once" pattern.
+      val sh = shingleSets(Tables(s, d).documents).persist()
       val sig = sh.select(col("doc_id"),
-        minhash_sig(col("sh"), 16).as("sig"))
+        minhash_sig(col("sh"), 16).as("sig")).persist()
       val bands = sig.select(col("doc_id"),
         posexplode(array((0 until 4).map { b =>
           struct((0 until 4).map(r =>
@@ -96,6 +105,7 @@ object DedupOps {
     "dedup_simhash" -> { (s, d) =>
       val sig = Tables(s, d).documents
         .select(col("doc_id"), simhash64(split(col("text"), " ")).as("sig"))
+        .persist()
       val chunks = sig.select(col("doc_id"), col("sig"),
         posexplode(array((0 until 4).map(c =>
           shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -111,12 +121,22 @@ object DedupOps {
         .orderBy("id1", "id2")
     },
     // Embedding-cosine near-dup, exact quantized arithmetic (oracle-checked).
+    // Quantized vectors + squared norms are materialized once per row; the
+    // O(n^2) pair loop only runs the integer dot kernel.
     "dedup_embedding" -> { (s, d) =>
-      val emb = Tables(s, d).embeddings.select("vec_id", "embedding")
+      val emb = Tables(s, d).embeddings
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x * lit(1000.0) + lit(0.5)).cast("long")).as("q"))
+        .withColumn("nn",
+          aggregate(transform(col("q"), x => x * x), lit(0L), (a, x) => a + x))
+        .persist()
       emb.as("a")
         .join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-          quant_cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+          (quant_dot(col("a.q"), col("b.q")).cast("double") /
+            (sqrt(col("a.nn").cast("double")) *
+              sqrt(col("b.nn").cast("double")))).as("cos"))
         .filter(col("cos") >= 0.45)
         .orderBy("id1", "id2")
     }

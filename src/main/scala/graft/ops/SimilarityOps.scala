@@ -71,6 +71,7 @@ object SimilarityOps {
     "sim_ann_lsh" -> { (s, d) =>
       val e = Tables(s, d).embeddings
         .withColumn("bucket", lshSignature(quantize(col("embedding")), 8))
+        .persist() // bucketed corpus read by both the query and corpus sides
       val probes = typedLit(0L +: (0 until 8).map(k => 1L << k))
       val qs = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),

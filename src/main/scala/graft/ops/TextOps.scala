@@ -20,15 +20,11 @@ object TextOps {
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   /** n-token shingles (contiguous token n-grams) of the text; empty array if
-    * the document has fewer than n tokens.
+    * the document has fewer than n tokens. Single-pass kernel expression —
+    * see [[graft.functions.WordShingles]].
     */
-  def shingles(text: Column, n: Int): Column = {
-    val t = toks(text)
-    when(size(t) >= n,
-      transform(sequence(lit(0), size(t) - lit(n)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j + 1))): _*)))
-      .otherwise(array())
-  }
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.functions.word_shingles(toks(text), n)
 
   def queries: Map[String, Q] = Map(
     // Token counting: whitespace tokens + a BPE-ish sub-token estimate
