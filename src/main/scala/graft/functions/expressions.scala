@@ -27,7 +27,10 @@ private[graft] object ColumnBridge {
   * serialization, no per-element Catalyst eval).
   */
 private object codegenNames {
-  val kernels: String = Kernels.getClass.getName.stripSuffix("$") + ".MODULE$"
+  // the top-level object's static forwarder class: janino cannot resolve
+  // `Kernels.MODULE$` (MODULE$ lives on `Kernels$`), but the forwarder
+  // methods on `graft.functions.Kernels` are plain statics
+  val kernels: String = Kernels.getClass.getName.stripSuffix("$")
 }
 
 abstract class BinaryKernelExpression extends BinaryExpression {

@@ -17,6 +17,9 @@ object SparkTestBase {
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // fail hard if generated code does not compile — a silent interpreted
+    // fallback would hide codegen bugs behind correct-but-slow results
+    .config("spark.sql.codegen.fallback", "false")
     .withExtensions(new graft.rules.GraftExtensions)
     .getOrCreate()
 
