@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** User-facing session factory: a SparkSession wired with the graft
+  * extensions ([[graft.rules.GraftExtensions]]) and scale-sane defaults.
+  *
+  * This is the "switch to this library" entry point: a user of the reference
+  * builds their session here and gets the engine's rules, strategies, and
+  * function surface on top of stock Spark.
+  */
+object GraftSession {
+
+  /** Builder with extensions and recommended configs applied; callers can
+    * still override any config before `getOrCreate()`.
+    *
+    * Defaults chosen for the 100 TB design point:
+    *  - AQE on with coalescing + skew-join splitting (runtime re-planning is
+    *    the completed version of the reference's cost-model stub);
+    *  - shuffle partitions sized for the local harness; on a real cluster
+    *    set `spark.sql.shuffle.partitions` ≈ 2-3x total executor cores and
+    *    let AQE coalesce down.
+    */
+  def builder(master: String = "local[*]",
+      shufflePartitions: Int = Runtime.getRuntime.availableProcessors())
+      : SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.rules.GraftExtensions)
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors())
+      : SparkSession =
+    builder(s"local[$cores]", cores).getOrCreate()
+}
