@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Scale-mechanics specs: the levers that matter at 100 TB, demonstrated and
+  * asserted on plan shapes — partition pruning, bucketed co-located joins,
+  * exchange reuse.
+  */
+class ScaleSpec extends GraftSuite {
+
+  private lazy val tmp = Files.createTempDirectory("graft-scale").toString
+
+  test("partitioned write + partition pruning: scan touches one partition") {
+    import graft.ops.Tables
+    val events = Tables(spark, sfDir).events
+      .withColumn("day", expr("ts div 86400000000000")) // ns → day number
+    events.write.mode("overwrite").partitionBy("day")
+      .parquet(s"$tmp/events_by_day")
+    val read = spark.read.parquet(s"$tmp/events_by_day")
+      .filter(col("day") === 19723)
+    read.collect()
+    val scan = read.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(day"),
+      s"no partition filter:\n$scan")
+    // data filters empty: pruning happened at partition level, not row level
+    assert(!scan.contains("PushedFilters: [IsNotNull(day"),
+      s"day filter should prune partitions, not rows:\n$scan")
+  }
+
+  test("bucketed tables join without any exchange (co-located join)") {
+    import graft.ops.Tables
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Tables(spark, sfDir).orders
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    Tables(spark, sfDir).lineitem
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+      joined.collect()
+      val s = joined.queryExecution.executedPlan.toString
+      def countOcc(hay: String, needle: String): Int =
+        hay.sliding(needle.length).count(_ == needle)
+      val joinExchanges = countOcc(s, "Exchange hashpartitioning(o_orderkey") +
+        countOcc(s, "Exchange hashpartitioning(l_orderkey")
+      assert(joinExchanges == 0,
+        s"bucketed join must not shuffle its inputs:\n$s")
+      assert(s.contains("SelectedBucketsCount"), s"not a bucketed scan:\n$s")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("identical subplans reuse one exchange (self-join on aggregate)") {
+    import graft.ops.Tables
+    val per = Tables(spark, sfDir).lineitem
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n"))
+    val joined = per.as("a").join(per.as("b"), "l_orderkey")
+      .filter(col("a.n") === col("b.n"))
+    joined.collect()
+    val s = joined.queryExecution.executedPlan.toString
+    assert(s.contains("ReusedExchange") || s.contains("ReusedQueryStage") ||
+      "Exchange hashpartitioning".r.findAllIn(s).size == 1,
+      s"expected exchange reuse:\n$s")
+  }
+}

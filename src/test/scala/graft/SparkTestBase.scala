@@ -20,6 +20,8 @@ object SparkTestBase {
     // fail hard if generated code does not compile — a silent interpreted
     // fallback would hide codegen bugs behind correct-but-slow results
     .config("spark.sql.codegen.fallback", "false")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-wh").toString)
     .withExtensions(new graft.rules.GraftExtensions)
     .getOrCreate()
 
