@@ -1,0 +1,96 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Custom native aggregate: exact top-k values via a bounded min-heap —
+  * the `TypedImperativeAggregate` path the engine uses for sketch-style
+  * aggregation state (SURVEY.md §7.3: custom aggregates beat UDAFs beat
+  * UDFs). State is O(k) per group; partial aggregation merges heaps, so the
+  * shuffle carries at most k doubles per (partition, group) — the same
+  * shape an HLL or quantile sketch would use at 100 TB.
+  */
+case class TopKDoubles(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[Double]] {
+
+  require(k > 0, "k must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "topk_doubles"
+
+  // min-heap: head is the smallest retained value (eviction candidate)
+  private def minOrdering: Ordering[Double] = Ordering.Double.TotalOrdering.reverse
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[Double] =
+    mutable.PriorityQueue.empty[Double](minOrdering)
+
+  override def update(
+      buf: mutable.PriorityQueue[Double], input: InternalRow)
+      : mutable.PriorityQueue[Double] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val d = v.asInstanceOf[Double]
+      if (buf.size < k) buf.enqueue(d)
+      else if (d > buf.head) { buf.dequeue(); buf.enqueue(d) }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.PriorityQueue[Double],
+      other: mutable.PriorityQueue[Double]): mutable.PriorityQueue[Double] = {
+    other.foreach { d =>
+      if (buf.size < k) buf.enqueue(d)
+      else if (d > buf.head) { buf.dequeue(); buf.enqueue(d) }
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[Double]): Any =
+    new GenericArrayData(buf.toArray.sorted(Ordering.Double.TotalOrdering.reverse))
+
+  override def serialize(buf: mutable.PriorityQueue[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    buf.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[Double] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.enqueue(bb.getDouble); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKDoubles =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKDoubles =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object aggregates {
+  /** Exact top-k of a double column, sorted descending. */
+  def topk_doubles(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopKDoubles(ColumnBridge.expression(c), k).toAggregateExpression())
+}

@@ -126,6 +126,29 @@ object AnalyticsExt {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
         .orderBy("o_orderstatus", "quartile")
     },
+    // Custom TypedImperativeAggregate: exact top-5 order prices per status
+    // (O(k) state, partial-merge heaps — the sketch-aggregation shape).
+    "agg_topk_custom" -> { (s, d) =>
+      import graft.functions.aggregates.topk_doubles
+      val top = Tables(s, d).orders
+        .groupBy("o_orderstatus")
+        .agg(topk_doubles(col("o_totalprice"), 5).as("top5"))
+      top.select(col("o_orderstatus") +:
+          (1 to 5).map(i => element_at(col("top5"), i).as(s"p$i")): _*)
+        .orderBy("o_orderstatus")
+    },
+    // Approximate sketches: HLL distinct count + approximate median.
+    // Engine-specific sketch internals → rows-only driver check; the spec
+    // asserts closeness to the exact values.
+    "agg_approx_sketch" -> { (s, d) =>
+      Tables(s, d).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_ndv"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
+            .as("approx_median"))
+        .orderBy("l_returnflag")
+    },
     // Exact median of integer-valued quantities (interpolation lands on
     // exact halves — engine-portable).
     "agg_median" -> { (s, d) =>
@@ -209,6 +232,13 @@ object AnalyticsExt {
          |  ${sqlSum("o_totalprice")} AS sum_price
          |FROM t GROUP BY o_orderstatus, quartile
          |ORDER BY o_orderstatus, quartile""".stripMargin,
+    "agg_topk_custom" ->
+      """WITH l AS (SELECT o_orderstatus,
+        |    list(o_totalprice ORDER BY o_totalprice DESC) AS xs
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, xs[1] AS p1, xs[2] AS p2, xs[3] AS p3,
+        |  xs[4] AS p4, xs[5] AS p5
+        |FROM l ORDER BY o_orderstatus""".stripMargin,
     "agg_median" ->
       """SELECT l_returnflag, median(l_quantity) AS median_qty,
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
