@@ -151,6 +151,49 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): rolling
+    * polynomial hashes of k-byte grams, then the minimum in each window of w
+    * consecutive hashes; distinct minima, sorted. Guarantees any shared
+    * substring of length >= k + w - 1 yields a shared fingerprint.
+    */
+  def winnowFingerprints(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = s.getBytes
+    if (bytes.length < k)
+      return new GenericArrayData(Array.empty[Any])
+    val n = bytes.length - k + 1
+    val hashes = new Array[Long](n)
+    val Base = 257L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= Base; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * Base + (bytes(i) & 0xFF); i += 1 }
+    hashes(0) = h
+    i = k
+    while (i < bytes.length) {
+      h = (h - (bytes(i - k) & 0xFF) * pow) * Base + (bytes(i) & 0xFF)
+      hashes(i - k + 1) = h
+      i += 1
+    }
+    val out = new java.util.TreeSet[java.lang.Long]()
+    val lastWin = math.max(0, n - w)
+    var j = 0
+    while (j <= lastWin) {
+      var m = hashes(j)
+      var t = j + 1
+      val end = math.min(j + w, n)
+      while (t < end) { if (hashes(t) < m) m = hashes(t); t += 1 }
+      out.add(m)
+      j += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** Jaccard similarity of two string arrays as distinct sets. */
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val sa = new java.util.HashSet[UTF8String]()

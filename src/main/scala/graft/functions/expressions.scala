@@ -123,6 +123,23 @@ case class MinHashSignature(child: Expression, perms: Int)
     copy(child = newChild)
 }
 
+/** Winnowing fingerprints of a string (k-gram rolling hash, window w). */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fingerprints"
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(s: Any): Any =
+    Kernels.winnowFingerprints(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"${codegenNames.kernels}.winnowFingerprints($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Contiguous n-token shingles of a token array (single pass). */
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType =
@@ -184,4 +201,8 @@ object functions {
 
   def word_shingles(tokens: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), n))
+
+  def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(
+      WinnowFingerprints(ColumnBridge.expression(text), k, w))
 }

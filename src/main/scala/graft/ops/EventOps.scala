@@ -63,6 +63,26 @@ object EventOps {
           dsum(col("value")).as("sum_value"))
         .orderBy("user_id", "session_idx")
     },
+    // AS-OF join composed from built-ins (SURVEY.md §7.3 preference (a)):
+    // for each purchase, the latest view at-or-before it by the same user.
+    // One shuffle on user_id; the tagged-union + last_value(ignore nulls)
+    // formulation is the scalable alternative to a per-row range probe.
+    "events_asof_join" -> { (s, d) =>
+      val e = withMs(Tables(s, d).events)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"),
+          when(col("event_type") === "view", 0).otherwise(1).as("kind"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ms").asc, col("kind").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("asof_view_ms",
+          last(when(col("kind") === 0, col("ts_ms")), ignoreNulls = true).over(w))
+        .withColumn("asof_view_value",
+          last(when(col("kind") === 0, col("value")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select("event_id", "user_id", "ts_ms", "asof_view_ms", "asof_view_value")
+        .orderBy("event_id")
+    },
     // Semi-structured extraction: pull props.k out of the JSON payload.
     "events_json" -> { (s, d) =>
       Tables(s, d).events
@@ -108,6 +128,24 @@ object EventOps {
          |  ${sqlSum("value")} AS sum_value
          |FROM g GROUP BY user_id, session_idx
          |ORDER BY user_id, session_idx""".stripMargin,
+    "events_asof_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+        |    CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS kind
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |f AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN kind = 0 THEN ts_ms END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY ts_ms ASC, kind ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view_ms,
+        |    last_value(CASE WHEN kind = 0 THEN value END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY ts_ms ASC, kind ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view_value
+        |  FROM e)
+        |SELECT event_id, user_id, ts_ms, asof_view_ms, asof_view_value
+        |FROM f WHERE kind = 1 ORDER BY event_id""".stripMargin,
     "events_json" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))

@@ -27,15 +27,18 @@ object TextOps {
     graft.functions.functions.word_shingles(toks(text), n)
 
   def queries: Map[String, Q] = Map(
-    // Token counting: whitespace tokens + a BPE-ish sub-token estimate
-    // (word-piece proxy: ceil(len/4) pieces per token, a common rough
-    // tokens-per-byte heuristic).
+    // Token counting: whitespace tokens, a BPE-ish regex tokenization
+    // (GPT-2-style pattern: letter runs / digit runs / punctuation runs,
+    // leading space attached), and a bytes-per-token estimate.
     "text_tokens" -> { (s, d) =>
       val t = toks(col("text"))
+      val bpeish = regexp_extract_all(col("text"),
+        lit(" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"), lit(0))
       Tables(s, d).documents.select(
         col("doc_id"),
         size(t).as("n_tokens"),
         length(col("text")).as("n_chars_obs"),
+        size(bpeish).as("n_bpeish"),
         aggregate(t, lit(0), (acc, x) => acc + ceil(length(x) / lit(4.0)).cast("int"))
           .as("n_subtokens"))
         .orderBy("doc_id")
@@ -77,6 +80,19 @@ object TextOps {
         pred.as("pred_lang"))
         .orderBy("doc_id")
     },
+    // Rolling-hash winnowing fingerprints (k=16 bytes, window 8): the
+    // MOSS-style scheme — any shared >=23-byte substring yields a shared
+    // fingerprint. Kernel-computed → rows-only driver check; FunctionsSpec
+    // pins overlap behavior on planted near-duplicates.
+    "text_winnow" -> { (s, d) =>
+      import graft.functions.functions.winnow_fingerprints
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          winnow_fingerprints(col("text"), 16, 8).as("fps"))
+        .select(col("doc_id"), size(col("fps")).as("n_fp"),
+          element_at(col("fps"), 1).as("fp_min"))
+        .orderBy("doc_id")
+    },
     // Document fingerprinting: full-content hash + winnowing-style minimum
     // shingle hash (stable under local edits away from the minimum).
     "text_fingerprint" -> { (s, d) =>
@@ -95,6 +111,8 @@ object TextOps {
     "text_tokens" ->
       s"""SELECT doc_id, CAST(len($tokSql) AS INT) AS n_tokens,
          |  CAST(length(text) AS INT) AS n_chars_obs,
+         |  CAST(len(regexp_extract_all(text,
+         |    ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS INT) AS n_bpeish,
          |  CAST(list_sum(list_transform($tokSql,
          |    x -> CAST(ceil(length(x) / 4.0) AS INT))) AS INT) AS n_subtokens
          |FROM documents ORDER BY doc_id""".stripMargin,

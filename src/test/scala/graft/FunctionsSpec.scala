@@ -62,6 +62,23 @@ class FunctionsSpec extends GraftSuite {
       s"unrelated hamming ${hamming(sigs(1L), sigs(3L))}")
   }
 
+  test("winnowing: near-duplicate docs share most fingerprints") {
+    import graft.functions.functions.winnow_fingerprints
+    val fps = Tables0.documents(spark, "/root/testdata/sf0.01")
+      .filter(col("doc_id").isin(98L, 290L, 3L))
+      .select($"doc_id", winnow_fingerprints($"text", 16, 8).as("fps"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def overlap(a: Seq[Long], b: Seq[Long]): Double = {
+      val (sa, sb) = (a.toSet, b.toSet)
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    // 98/290 are a planted near-dup pair (Jaccard ~0.99 on shingles)
+    assert(overlap(fps(98L), fps(290L)) > 0.6,
+      s"near-dup overlap ${overlap(fps(98L), fps(290L))}")
+    assert(overlap(fps(98L), fps(3L)) < 0.3,
+      s"unrelated overlap ${overlap(fps(98L), fps(3L))}")
+  }
+
   test("expressions stay inside whole-stage codegen (generated code compiles)") {
     import org.apache.spark.sql.execution.debug._
     val df = Tables0.embeddings(spark, sfDir)
@@ -80,5 +97,7 @@ class FunctionsSpec extends GraftSuite {
   private object Tables0 {
     def embeddings(s: org.apache.spark.sql.SparkSession, d: String) =
       s.read.parquet(s"$d/embeddings.parquet")
+    def documents(s: org.apache.spark.sql.SparkSession, d: String) =
+      s.read.parquet(s"$d/documents.parquet")
   }
 }

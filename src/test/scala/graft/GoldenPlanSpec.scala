@@ -111,6 +111,18 @@ class GoldenPlanSpec extends GraftSuite {
     assert(s.contains("functions=[sum("), s"expected final agg:\n$s")
   }
 
+  test("rank-filter window plans with WindowGroupLimit (per-group top-k pruning)") {
+    registerTables()
+    val s = executed(
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC) AS rn
+        |  FROM orders) t WHERE rn <= 3""".stripMargin).toString
+    assert(s.contains("WindowGroupLimit"),
+      s"expected WindowGroupLimit pruning:\n$s")
+  }
+
   test("ordered limit plans as top-k (TakeOrderedAndProject), not global sort") {
     registerTables()
     val plan = executed(
