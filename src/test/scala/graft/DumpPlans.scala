@@ -1,0 +1,50 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Regenerates PLANS.md: the executed physical plans of the headline
+  * queries with a one-line scale rationale each. Run:
+  * `sbt "Test/runMain graft.DumpPlans"`.
+  */
+object DumpPlans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkTestBase.spark
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    val picks = Seq(
+      "q1_pricing" -> ("single scan, pushed shipdate filter, partial+final " +
+        "hash aggregate, one shuffle on the group keys"),
+      "q5_region_revenue" -> ("star join: every dimension broadcasts, zero " +
+        "shuffle joins; one shuffle for the final aggregate"),
+      "inner_hash_join" -> ("fact-to-fact equi join; above the broadcast " +
+        "threshold Join2HashJoinStrategy plans a shuffled hash join"),
+      "events_sessionize" -> ("one shuffle on user_id shared by the lag " +
+        "window, the running-sum window, and the session aggregate"),
+      "dedup_minhash_lsh" -> ("signature table materialized once; " +
+        "candidates from an equi-join on (band, signature); exact " +
+        "verification only on candidates"),
+      "sim_topk_bruteforce" -> ("query set broadcast against the corpus " +
+        "scan; quantized-cosine kernel inside whole-stage codegen; top-k " +
+        "via rank window"),
+      "topk" -> "TakeOrderedAndProject: per-partition top-k, no global sort")
+    val sb = new StringBuilder
+    sb.append("# PLANS — executed physical plans of headline queries\n\n")
+    sb.append("Regenerate with `sbt \"Test/runMain graft.DumpPlans\"` " +
+      "(sf0.01, AQE on, GraftExtensions installed).\n")
+    picks.foreach { case (name, why) =>
+      val df = SparkEntry.queries(name)(spark, d)
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p                        => p
+      }
+      sb.append(s"\n## $name\n\n$why\n\n```\n")
+      sb.append(plan.toString.linesIterator.map(_.take(200)).mkString("\n"))
+      sb.append("\n```\n")
+    }
+    Files.writeString(Paths.get("PLANS.md"), sb.toString)
+    println("### wrote PLANS.md")
+  }
+}
