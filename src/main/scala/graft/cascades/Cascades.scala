@@ -66,7 +66,8 @@ final class CascadesOptimizer(
         // ExploreGroup per input group
         case OptimizeExpression(g, e, req, bound) =>
           val applied = memo.group(g).appliedRules(e)
-          rules.sortBy(-_.promise).foreach { r =>
+          // ascending push onto the FILO stack → highest promise pops first
+          rules.sortBy(_.promise).foreach { r =>
             if (!applied.contains(r.id))
               stack.push(ApplyRuleTask(g, e, r, req, bound))
           }

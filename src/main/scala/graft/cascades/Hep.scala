@@ -47,9 +47,17 @@ object HepBinding {
 }
 
 final class HepOptimizer(
-    rules: Seq[OptRule],
+    allRules: Seq[OptRule],
     matchOrder: MatchOrder.Value = MatchOrder.TopDown,
     maxIter: Int = 1000) {
+
+  /** Exploration rules (e.g. join commutation) generate equivalent
+    * alternatives, not improvements — on a fixed-point driver with no memo a
+    * self-inverse rule would flip the plan every pass until maxIter with a
+    * parity-dependent result. They belong to the cascades search; drop them
+    * here.
+    */
+  private val rules: Seq[OptRule] = allRules.filterNot(_.isExploration)
 
   /** Fixed-point driver (`heuristic/optimizer.rs:50-92`): apply until no rule
     * changes the plan or the iteration cap is hit.

@@ -51,6 +51,11 @@ trait OptRule {
   def promise: Int = 1
   /** Logical→logical rewrite/exploration vs logical→physical implementation. */
   def isImplementation: Boolean = false
+  /** Exploration rules generate logical alternatives (not strict
+    * improvements) — meaningful only inside the memo'd cascades search; a
+    * fixed-point heuristic driver would livelock on self-inverse ones.
+    */
+  def isExploration: Boolean = false
   def apply(expr: OptExpression.Node): Option[OptExpression]
 }
 
@@ -110,6 +115,7 @@ object Rules {
     */
   object CommutateJoinRule extends OptRule {
     val id = RuleId.CommutateJoin
+    override val isExploration = true
     val pattern = Pattern.node(isInnerJoin, Pattern.any, Pattern.any)
     def apply(expr: Node): Option[OptExpression] = expr match {
       case Node(LogicalJoin(JoinType.Inner, EqCond(l, r)), Seq(a, b)) =>

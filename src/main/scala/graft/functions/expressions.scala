@@ -173,6 +173,15 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 /** Column-API facade, the user-facing function surface of the engine. */
 object functions {
+  import org.apache.spark.sql.functions.{floor, lit, transform}
+
+  /** Engine-portable 1000x quantization of a float/double array:
+    * floor(x*1000 + 0.5) as long — the single source of truth for the
+    * column-level formula (the JVM kernels restate it; any change must
+    * touch both AND the DuckDB oracle strings).
+    */
+  def quantize1000(c: Column): Column =
+    transform(c, x => floor(x * lit(1000.0) + lit(0.5)).cast("long"))
   def quant_cosine(a: Column, b: Column): Column =
     ColumnBridge.column(
       QuantizedCosine(ColumnBridge.expression(a),

@@ -133,8 +133,10 @@ object AnalyticsExt {
       val top = Tables(s, d).orders
         .groupBy("o_orderstatus")
         .agg(topk_doubles(col("o_totalprice"), 5).as("top5"))
+      // try_element_at: a group with fewer than 5 rows yields NULLs (like
+      // the oracle's xs[i]); plain element_at would throw under ANSI mode
       top.select(col("o_orderstatus") +:
-          (1 to 5).map(i => element_at(col("top5"), i).as(s"p$i")): _*)
+          (1 to 5).map(i => try_element_at(col("top5"), lit(i)).as(s"p$i")): _*)
         .orderBy("o_orderstatus")
     },
     // Approximate sketches: HLL distinct count + approximate median.

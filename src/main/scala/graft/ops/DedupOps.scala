@@ -126,8 +126,7 @@ object DedupOps {
     "dedup_embedding" -> { (s, d) =>
       val emb = Tables(s, d).embeddings
         .select(col("vec_id"),
-          transform(col("embedding"),
-            x => floor(x * lit(1000.0) + lit(0.5)).cast("long")).as("q"))
+          graft.functions.functions.quantize1000(col("embedding")).as("q"))
         .withColumn("nn",
           aggregate(transform(col("q"), x => x * x), lit(0L), (a, x) => a + x))
         .persist()

@@ -25,7 +25,7 @@ object SimilarityOps {
 
   /** Quantized integer embedding (for the integer LSH planes). */
   private def quantize(e: Column): Column =
-    transform(e, x => floor(x * lit(1000.0) + lit(0.5)).cast("long"))
+    graft.functions.functions.quantize1000(e)
 
   /** Deterministic integer random-hyperplane weight for (plane k, dim i). */
   private def planeWeight(k: Int, i: Column): Column =

@@ -90,7 +90,9 @@ object TextOps {
         .select(col("doc_id"),
           winnow_fingerprints(col("text"), 16, 8).as("fps"))
         .select(col("doc_id"), size(col("fps")).as("n_fp"),
-          element_at(col("fps"), 1).as("fp_min"))
+          // try_element_at: texts shorter than k yield an empty fingerprint
+          // array — NULL min, not an ANSI index error
+          try_element_at(col("fps"), lit(1)).as("fp_min"))
         .orderBy("doc_id")
     },
     // Document fingerprinting: full-content hash + winnowing-style minimum

@@ -34,9 +34,10 @@ object Join2HashJoinStrategy extends SparkStrategy {
         Inner, leftKeys, rightKeys, otherCond, _, left, right, _) =>
       val broadcastThreshold =
         org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
-      val smallerSide =
-        math.min(left.stats.sizeInBytes.toLong, right.stats.sizeInBytes.toLong)
-      if (broadcastThreshold >= 0 && smallerSide <= broadcastThreshold) {
+      // sizeInBytes is BigInt and default (non-CBO) estimates routinely
+      // exceed Long.MaxValue — compare as BigInt, never .toLong (wraps)
+      val smallerSide = left.stats.sizeInBytes.min(right.stats.sizeInBytes)
+      if (broadcastThreshold >= 0 && smallerSide <= BigInt(broadcastThreshold)) {
         // leave broadcast-able joins to Catalyst's JoinSelection
         Nil
       } else {

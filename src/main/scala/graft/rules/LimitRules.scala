@@ -66,8 +66,13 @@ object LimitRules {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
       case GlobalLimit(gn, LocalLimit(ln, child: LeafNode)) =>
         (intValue(gn), intValue(ln)) match {
-          case (Some(a), Some(b)) if a != b =>
-            val m = Literal(math.min(a, b))
+          // Only tightening the LOCAL limit down to the global one is sound:
+          // GlobalLimit(5, LocalLimit(10, leaf)) returns at most 5 rows, so
+          // LocalLimit(5) is equivalent. The converse (global 10 over local
+          // 5) may legitimately return up to 10 rows across partitions and
+          // must not be shrunk.
+          case (Some(a), Some(b)) if a < b =>
+            val m = Literal(a)
             GlobalLimit(m, LocalLimit(m, child))
           case _ => GlobalLimit(gn, LocalLimit(ln, child))
         }

@@ -153,6 +153,19 @@ class CascadesSpec extends AnyFunSuite {
     assert(hep.optimize(plan) == plan)
   }
 
+  test("hep drops exploration rules (no commutation livelock)") {
+    val hep = new HepOptimizer(Rules.all) // includes CommutateJoinRule
+    val plan = join(scan("t1"), scan("t2"), "c1", "c2")
+    // terminates (no A->B->A flip-flop) and keeps the ORIGINAL orientation;
+    // implementation rules still fire, producing the physical form
+    hep.optimize(plan) match {
+      case PlanNode(PhysicalHashJoin(JoinType.Inner, EqCond(Col("c1"), Col("c2"))),
+          Seq(PlanNode(PhysicalTableScan("t1", None), Nil),
+              PlanNode(PhysicalTableScan("t2", None), Nil))) =>
+      case other => fail(s"unexpected:\n${other.explain()}")
+    }
+  }
+
   test("hep respects maxIter cap") {
     val hep = new HepOptimizer(Rules.rewriteRules, maxIter = 0)
     val plan = limit(10, limit(5, scan("t1")))

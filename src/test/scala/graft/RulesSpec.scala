@@ -46,13 +46,20 @@ class RulesSpec extends GraftSuite {
     }
   }
 
-  test("PushLimitToTableScan: GlobalLimit(10, LocalLimit(5, leaf)) fuses to min") {
-    val plan = GlobalLimit(Literal(10), LocalLimit(Literal(5), t1))
+  test("PushLimitToTableScan: tightens local limit down to the global one") {
+    val plan = GlobalLimit(Literal(5), LocalLimit(Literal(10), t1))
     val out = PushLimitToTableScan(plan)
     out match {
       case GlobalLimit(IntegerLiteral(5), LocalLimit(IntegerLiteral(5), _)) =>
       case other => fail(s"unexpected shape:\n${other.treeString}")
     }
+  }
+
+  test("PushLimitToTableScan: never shrinks a global limit above the local") {
+    // GlobalLimit(10, LocalLimit(5, leaf)) may return up to 10 rows across
+    // partitions — fusing to 5 would drop rows.
+    val plan = GlobalLimit(Literal(10), LocalLimit(Literal(5), t1))
+    assert(PushLimitToTableScan(plan) == plan)
   }
 
   test("rules are no-ops on non-matching plans") {
