@@ -28,6 +28,52 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("late data beyond the watermark is dropped in append mode") {
+    import org.apache.spark.sql.{Row, SaveMode}
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-late").toString
+    val schema = StructType(Seq(
+      StructField("event_ts", TimestampType),
+      StructField("k", StringType)))
+    def write(name: String, rows: Seq[(String, String)]): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (ts, k) =>
+          Row(java.sql.Timestamp.valueOf(ts), k) }, 1), schema)
+        .write.mode(SaveMode.Append).parquet(dir)
+    // batch 1: on-time events up to 12:00 → watermark advances to 10:00
+    write("b1", Seq(
+      ("2024-01-01 09:10:00", "a"), ("2024-01-01 09:20:00", "a"),
+      ("2024-01-01 12:00:00", "b")))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("event_ts", "2 hours")
+      .groupBy(window(col("event_ts"), "1 hour"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("k"), col("n"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("late_demo")
+      .option("maxFilesPerTrigger", "1").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: an event at 08:30 — 3.5h older than the max seen (12:00),
+      // beyond the 2h watermark → must be dropped
+      write("b2", Seq(("2024-01-01 08:30:00", "a"),
+        ("2024-01-01 13:30:00", "c")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("late_demo")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1),
+        r.getLong(2)))
+    // the 09:00 window for 'a' was finalized with 2 events; the late 08:30
+    // event created no 08:00 window and did not reopen 09:00
+    assert(!out.exists(_._1.startsWith("2024-01-01 08:")),
+      s"late event leaked into results: ${out.toSeq}")
+    assert(out.count { case (ts, k, n) =>
+      ts.startsWith("2024-01-01 09:") && k == "a" && n == 2 } <= 1)
+    assert(out.forall { case (ts, k, n) =>
+      !(ts.startsWith("2024-01-01 09:") && k == "a") || n == 2 },
+      s"late event changed a finalized window: ${out.toSeq}")
+  }
+
   test("streaming keyed session state matches batch per-user event counts") {
     val stream = StreamingOps.readEvents(spark, sfDir)
     val got = StreamingOps
