@@ -199,6 +199,24 @@ object Analytics {
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")
     },
+    // Correlated scalar subquery through the SQL surface — Catalyst
+    // decorrelates it into an aggregate + join (no per-row subquery
+    // execution; asserted in GoldenPlanSpec).
+    "subquery_correlated" -> { (s, d) =>
+      Tables(s, d).part.createOrReplaceTempView("part_v")
+      s.sql(
+        """SELECT p_partkey, p_brand, p_retailprice FROM part_v p
+          |WHERE p_retailprice = (SELECT min(p2.p_retailprice)
+          |                       FROM part_v p2 WHERE p2.p_brand = p.p_brand)
+          |ORDER BY p_partkey""".stripMargin)
+    },
+    "union_all" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.customer.select(col("c_nationkey").as("k"))
+        .unionAll(t.supplier.select(col("s_nationkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k")
+    },
     // Multi-key high-cardinality aggregation (shuffle-heavy benchmark op).
     "agg_by_partsupp" -> { (s, d) =>
       Tables(s, d).lineitem
@@ -319,6 +337,16 @@ object Analytics {
          |WHERE o_totalprice >
          |  (SELECT ${sqlAvg("o_totalprice")} FROM orders)
          |ORDER BY o_orderkey""".stripMargin,
+    "subquery_correlated" ->
+      """SELECT p_partkey, p_brand, p_retailprice FROM part p
+        |WHERE p_retailprice = (SELECT min(p2.p_retailprice)
+        |                       FROM part p2 WHERE p2.p_brand = p.p_brand)
+        |ORDER BY p_partkey""".stripMargin,
+    "union_all" ->
+      """SELECT k, count(*) AS n FROM (
+        |  SELECT c_nationkey AS k FROM customer
+        |  UNION ALL SELECT s_nationkey FROM supplier) u
+        |GROUP BY k ORDER BY k""".stripMargin,
     "agg_by_partsupp" ->
       s"""SELECT l_partkey, l_suppkey, ${sqlSum("l_quantity")} AS sum_qty,
          |  count(*) AS n

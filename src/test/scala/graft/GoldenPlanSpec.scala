@@ -123,6 +123,19 @@ class GoldenPlanSpec extends GraftSuite {
       s"expected WindowGroupLimit pruning:\n$s")
   }
 
+  test("correlated scalar subquery decorrelates into an aggregate + join") {
+    registerTables()
+    xs.read.parquet(s"$sfDir/customer.parquet").createOrReplaceTempView("c_v")
+    val opt = xs.sql(
+      """SELECT c_custkey FROM c_v c
+        |WHERE c_acctbal = (SELECT max(c2.c_acctbal) FROM c_v c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
+      .queryExecution.optimizedPlan.toString
+    assert(!opt.contains("scalar-subquery"),
+      s"subquery not decorrelated:\n$opt")
+    assert(opt.contains("Join"), s"expected decorrelated join:\n$opt")
+  }
+
   test("ordered limit plans as top-k (TakeOrderedAndProject), not global sort") {
     registerTables()
     val plan = executed(
