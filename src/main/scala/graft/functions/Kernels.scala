@@ -194,6 +194,24 @@ object Kernels {
     new GenericArrayData(arr)
   }
 
+  /** Jaccard of two SORTED, DISTINCT long arrays via linear merge. */
+  def jaccardSortedLongs(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
   /** Jaccard similarity of two string arrays as distinct sets. */
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val sa = new java.util.HashSet[UTF8String]()

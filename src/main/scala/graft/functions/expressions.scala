@@ -89,6 +89,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Jaccard over two sorted, distinct long arrays (linear merge). */
+case class JaccardSortedLongs(left: Expression, right: Expression)
+    extends BinaryKernelExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted_longs"
+  protected val kernelMethod = "jaccardSortedLongs"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.jaccardSortedLongs(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Distinct-set Jaccard over two string arrays. */
 case class JaccardSimilarity(left: Expression, right: Expression)
     extends BinaryKernelExpression {
@@ -194,6 +209,11 @@ object functions {
   def cosine_sim(a: Column, b: Column): Column =
     ColumnBridge.column(
       CosineSimilarity(ColumnBridge.expression(a),
+        ColumnBridge.expression(b)))
+
+  def jaccard_sorted_longs(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      JaccardSortedLongs(ColumnBridge.expression(a),
         ColumnBridge.expression(b)))
 
   def jaccard_sim(a: Column, b: Column): Column =

@@ -43,30 +43,38 @@ object DedupOps {
         .select("keep_id", "n_copies")
         .orderBy("keep_id")
     },
-    // n-gram Jaccard near-dup: exact all-pairs via shingle inverted index —
-    // the oracle-checked ground truth the approximate methods are judged by.
-    // The join key is the 64-bit shingle hash, not the shingle text: 3x less
-    // shuffle bytes, same counts (collisions vanish at 2^-64 rates).
+    // n-gram Jaccard near-dup, EXACT at threshold t=0.8, via PPJoin-style
+    // prefix filtering: under a global total order on shingle hashes, any
+    // pair with J >= t must collide within each side's first
+    // floor((1-t)*n)+1 shingles — so only that prefix is indexed (5x fewer
+    // index rows, ~25x fewer candidate pairs than the full inverted index),
+    // then candidates are verified exactly on the full sorted hash sets.
+    // Same results as the full all-pairs oracle.
     "dedup_ngram_jaccard" -> { (s, d) =>
+      val t = 0.8
       val docs = Tables(s, d).documents
-      val sh = docs
+      val shArr = docs
         .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("sr"))
         .select(col("doc_id"), xxhash64(col("sr")).as("s"))
-        .distinct()
+        .groupBy("doc_id")
+        .agg(sort_array(array_distinct(collect_list(col("s")))).as("ss"))
+        .withColumn("n", size(col("ss")))
         .persist()
-      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      sh.as("a")
-        .join(sh.as("b"), col("a.s") === col("b.s") &&
+      val prefix = shArr.select(col("doc_id"),
+          explode(slice(col("ss"), lit(1),
+            (floor(col("n") * lit(1.0 - t)) + lit(1)).cast("int"))).as("s"))
+      val cand = prefix.as("a")
+        .join(prefix.as("b"), col("a.s") === col("b.s") &&
           col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .agg(count(lit(1)).as("inter"))
-        .join(cnt.as("ca"), col("id1") === col("ca.doc_id"))
-        .join(cnt.as("cb"), col("id2") === col("cb.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+      cand
+        .join(shArr.as("x"), col("id1") === col("x.doc_id"))
+        .join(shArr.as("y"), col("id2") === col("y.doc_id"))
         .select(col("id1"), col("id2"),
-          (col("inter").cast("double") /
-            (col("ca.n") + col("cb.n") - col("inter")).cast("double"))
-            .as("jaccard"))
-        .filter(col("jaccard") >= 0.8)
+          graft.functions.functions
+            .jaccard_sorted_longs(col("x.ss"), col("y.ss")).as("jaccard"))
+        .filter(col("jaccard") >= t)
         .orderBy("id1", "id2")
     },
     // MinHash + LSH banding (4 bands x 4 rows), candidates verified exactly.
