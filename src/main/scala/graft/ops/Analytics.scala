@@ -199,6 +199,18 @@ object Analytics {
         .select("o_orderkey", "o_totalprice")
         .orderBy("o_orderkey")
     },
+    // TPC-H Q6-style: highly selective filter + global (ungrouped)
+    // aggregate — the no-grouping-keys partial+final path; filters reach
+    // the parquet reader.
+    "q6_revenue_delta" -> { (s, d) =>
+      Tables(s, d).lineitem
+        .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.04 && col("l_discount") <= 0.06 &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n"))
+    },
     // Correlated scalar subquery through the SQL surface — Catalyst
     // decorrelates it into an aggregate + join (no per-row subquery
     // execution; asserted in GoldenPlanSpec).
@@ -337,6 +349,14 @@ object Analytics {
          |WHERE o_totalprice >
          |  (SELECT ${sqlAvg("o_totalprice")} FROM orders)
          |ORDER BY o_orderkey""".stripMargin,
+    "q6_revenue_delta" ->
+      s"""SELECT ${sqlSum("l_extendedprice * l_discount")} AS revenue,
+         |  count(*) AS n
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+         |  AND l_shipdate < TIMESTAMP '1995-01-01'
+         |  AND l_discount >= 0.04 AND l_discount <= 0.06
+         |  AND l_quantity < 24""".stripMargin,
     "subquery_correlated" ->
       """SELECT p_partkey, p_brand, p_retailprice FROM part p
         |WHERE p_retailprice = (SELECT min(p2.p_retailprice)
