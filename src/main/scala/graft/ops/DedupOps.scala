@@ -128,6 +128,28 @@ object DedupOps {
         .filter(col("hamming") <= 3)
         .orderBy("id1", "id2")
     },
+    // End-to-end corpus cleaning — the composed training-data pipeline:
+    // quality gate (length + stopword ratio) THEN near-dup removal (drop
+    // the higher doc_id of every exact-Jaccard>=0.8 pair). One pass over
+    // documents + the prefix-filtered pair join; output = kept doc ids.
+    "pipeline_clean_corpus" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      val t = split(col("text"), " ")
+      val nTok = size(t)
+      val stopRatio = size(filter(t,
+        x => x.isin("the", "a", "of", "and", "to", "in"))).cast("double") /
+        nTok.cast("double")
+      val quality = docs
+        .select(col("doc_id"), col("text"), nTok.as("n_tokens"),
+          stopRatio.as("stop_ratio"))
+        .filter(col("n_tokens") >= 50 && col("stop_ratio") <= 0.35)
+      val dupPairs = queries("dedup_ngram_jaccard")(s, d)
+        .select(col("id2").as("drop_id")).distinct()
+      quality
+        .join(dupPairs, col("doc_id") === col("drop_id"), "left_anti")
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    },
     // Embedding-cosine near-dup, exact quantized arithmetic (oracle-checked).
     // Quantized vectors + squared norms are materialized once per row; the
     // O(n^2) pair loop only runs the integer dot kernel.
@@ -167,6 +189,30 @@ object DedupOps {
         |FROM pair JOIN cnt ca ON ca.doc_id = id1 JOIN cnt cb ON cb.doc_id = id2
         |WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= 0.8
         |ORDER BY id1, id2""".stripMargin,
+    "pipeline_clean_corpus" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS L FROM documents),
+        |q AS (SELECT doc_id, len(L) AS n_tokens,
+        |    CAST(len(list_filter(L,
+        |      x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+        |      / CAST(len(L) AS DOUBLE) AS stop_ratio
+        |  FROM tok),
+        |quality AS (SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens FROM q
+        |  WHERE n_tokens >= 50 AND stop_ratio <= 0.35),
+        |sh AS (SELECT DISTINCT doc_id, L[i] || ' ' || L[i+1] || ' ' || L[i+2] AS s
+        |       FROM tok,
+        |         LATERAL (SELECT unnest(generate_series(1, len(L)-2)) AS i) g),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pair AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |dups AS (SELECT DISTINCT id2 AS drop_id
+        |  FROM pair JOIN cnt ca ON ca.doc_id = id1
+        |            JOIN cnt cb ON cb.doc_id = id2
+        |  WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE)
+        |    >= 0.8)
+        |SELECT doc_id, n_tokens FROM quality
+        |WHERE doc_id NOT IN (SELECT drop_id FROM dups)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       """WITH q AS (SELECT vec_id, i,
         |    CAST(floor(embedding[i] * 1000.0 + 0.5) AS BIGINT) AS v

@@ -76,6 +76,17 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Streaming exact dedup with bounded state: duplicates of `idCols`
+    * arriving within the watermark horizon are dropped; state for keys
+    * older than the watermark is evicted (the streaming form of the
+    * pipeline's exact-dedup stage — state is O(keys per horizon), not
+    * O(stream)).
+    */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+      delay: String, idCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
   /** Run a streaming DataFrame to completion against the (finite) file
     * source and return the materialized result from the memory sink.
     */

@@ -74,6 +74,35 @@ class StreamingSpec extends GraftSuite {
       s"late event changed a finalized window: ${out.toSeq}")
   }
 
+  test("streaming dedup within watermark drops re-delivered events") {
+    import org.apache.spark.sql.{Row, SaveMode}
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup").toString
+    val schema = StructType(Seq(
+      StructField("event_ts", TimestampType),
+      StructField("event_id", LongType)))
+    def write(rows: Seq[(String, Long)]): Unit =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (ts, id) =>
+          Row(java.sql.Timestamp.valueOf(ts), id) }, 1), schema)
+        .write.mode(SaveMode.Append).parquet(dir)
+    write(Seq(("2024-01-01 10:00:00", 1L), ("2024-01-01 10:01:00", 2L)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val deduped = StreamingOps.dedupWithinWatermark(
+      stream, "event_ts", "1 hour", Seq("event_id"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_demo")
+      .option("maxFilesPerTrigger", "1").start()
+    try {
+      q.processAllAvailable()
+      // batch 2 re-delivers event 2 (within the watermark) + a new event 3
+      write(Seq(("2024-01-01 10:01:00", 2L), ("2024-01-01 10:05:00", 3L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_demo").collect().map(_.getLong(1)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+  }
+
   test("streaming keyed session state matches batch per-user event counts") {
     val stream = StreamingOps.readEvents(spark, sfDir)
     val got = StreamingOps
