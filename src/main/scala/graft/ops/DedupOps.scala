@@ -60,9 +60,14 @@ object DedupOps {
         .agg(sort_array(array_distinct(collect_list(col("s")))).as("ss"))
         .withColumn("n", size(col("ss")))
         .persist()
+      // prefix length n - ceil(t*n) + 1 in EXACT integer arithmetic:
+      // floor(n*(1-t)) via doubles is one short whenever t*n is integral
+      // (1.0-0.8 = 0.19999999...), which would silently drop true pairs at
+      // exactly J = t. ceil(4n/5) = (4n+4) div 5.
       val prefix = shArr.select(col("doc_id"),
           explode(slice(col("ss"), lit(1),
-            (floor(col("n") * lit(1.0 - t)) + lit(1)).cast("int"))).as("s"))
+            (col("n") - expr("(n * 4 + 4) div 5") + lit(1)).cast("int")))
+            .as("s"))
       val cand = prefix.as("a")
         .join(prefix.as("b"), col("a.s") === col("b.s") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -163,9 +168,13 @@ object DedupOps {
       emb.as("a")
         .join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-          (quant_dot(col("a.q"), col("b.q")).cast("double") /
-            (sqrt(col("a.nn").cast("double")) *
-              sqrt(col("b.nn").cast("double")))).as("cos"))
+          // zero-norm guard (matches Kernels.quantCosine): 0/0 would be NaN,
+          // and Spark treats NaN as greater than any number, so an unguarded
+          // zero vector would pass the >= threshold and flood the output
+          when(col("a.nn") === 0L || col("b.nn") === 0L, lit(0.0))
+            .otherwise(quant_dot(col("a.q"), col("b.q")).cast("double") /
+              (sqrt(col("a.nn").cast("double")) *
+                sqrt(col("b.nn").cast("double")))).as("cos"))
         .filter(col("cos") >= 0.45)
         .orderBy("id1", "id2")
     }

@@ -83,11 +83,16 @@ final class SyntheticScanBuilder(rows: Long)
       case _ => false
     }
     supported.foreach {
-      case GreaterThan("id", v: Long)        => lo = math.max(lo, v + 1)
+      // v+1 must not wrap at Long.MaxValue: these filters are absorbed
+      // (no residual in the plan), so an overflow would silently flip the
+      // result set instead of erroring
+      case GreaterThan("id", v: Long) =>
+        lo = if (v == Long.MaxValue) hi else math.max(lo, v + 1)
       case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
       case LessThan("id", v: Long)           => hi = math.min(hi, v)
-      case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, v + 1)
-      case _                                 =>
+      case LessThanOrEqual("id", v: Long) =>
+        if (v != Long.MaxValue) hi = math.min(hi, v + 1)
+      case _ =>
     }
     pushed ++= supported
     rest // residual filters stay in the plan
@@ -138,16 +143,20 @@ final class SyntheticReaderFactory(schema: StructType)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[SyntheticPartition]
+    // resolve column dispatch once per reader, not per row
+    val generators: Array[Long => Any] = schema.fields.map(_.name).map {
+      case "id"  => (cur: Long) => cur
+      case "val" => (cur: Long) => cur * 0.5
+      case "tag" => (cur: Long) => UTF8String.fromString("t" + (cur % 10))
+    }
     new PartitionReader[InternalRow] {
       private var cur = part.start - 1
+      private val row = new Array[Any](generators.length)
       override def next(): Boolean = { cur += 1; cur < part.end }
       override def get(): InternalRow = {
-        val values = schema.fields.map(_.name).map {
-          case "id"  => cur
-          case "val" => cur * 0.5
-          case "tag" => UTF8String.fromString("t" + (cur % 10))
-        }
-        InternalRow.fromSeq(values.toSeq)
+        var i = 0
+        while (i < generators.length) { row(i) = generators(i)(cur); i += 1 }
+        InternalRow.fromSeq(row.toIndexedSeq)
       }
       override def close(): Unit = ()
     }

@@ -23,8 +23,8 @@ object StreamingOps {
     * to a proper timestamp column for event-time semantics).
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // Tables.events owns the nanosAsLong handling; reuse its schema
+    val schema = graft.ops.Tables(spark, dir).events.schema
     spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
@@ -68,7 +68,13 @@ object StreamingOps {
             st =
               if (st.nEvents == 0L || e.ts_ms - st.lastMs > GapMs)
                 UserSessionState(1L, e.ts_ms, e.ts_ms)
-              else st.copy(nEvents = st.nEvents + 1, lastMs = e.ts_ms)
+              else
+                // events are sorted only within a microbatch: a late event
+                // from a later batch must not move the session bounds
+                // backwards (keeps start <= last invariant)
+                st.copy(nEvents = st.nEvents + 1,
+                  startMs = math.min(st.startMs, e.ts_ms),
+                  lastMs = math.max(st.lastMs, e.ts_ms))
           }
           state.update(st)
           UserSessionUpdate(user, st.nEvents, st.startMs, st.lastMs)
@@ -88,7 +94,11 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
   /** Run a streaming DataFrame to completion against the (finite) file
-    * source and return the materialized result from the memory sink.
+    * source and return the memory-sink table. NOTE: in Update mode the
+    * memory sink appends each microbatch's updated rows — with multiple
+    * microbatches the table holds superseded versions of a key; callers
+    * needing latest-only must dedup (or run a single batch, as the specs
+    * do).
     */
   def runToMemory(
       df: DataFrame, name: String, mode: OutputMode): DataFrame = {

@@ -44,6 +44,16 @@ class DedupSpec extends GraftSuite {
     assert(recall >= 0.1, s"recall $recall")
   }
 
+  test("PPJoin prefix length matches n - ceil(t*n) + 1 exactly (t=0.8)") {
+    // the floating-point formulation floor(n*(1-t))+1 is one short whenever
+    // t*n is integral (n % 5 == 0 for t=0.8) — regression for that bug
+    (1 to 1000).foreach { n =>
+      val integer = n - (n * 4 + 4) / 5 + 1
+      val mathematical = n - math.ceil(0.8 * n).toInt + 1
+      assert(integer == mathematical, s"n=$n: $integer != $mathematical")
+    }
+  }
+
   test("exact dedup keeps one representative per content hash") {
     val df = DedupOps.queries("dedup_exact")(spark, sfDir)
     val n = df.count()
