@@ -166,6 +166,13 @@ class CascadesSpec extends AnyFunSuite {
     }
   }
 
+  test("hep bottom-up match order reaches the same fixed point") {
+    val hep = new HepOptimizer(Rules.rewriteRules, MatchOrder.BottomUp)
+    assert(hep.optimize(limit(10, limit(5, scan("t1")))) == scan("t1", Some(5)))
+    assert(hep.optimize(limit(5, project(scan("t1"), "f1"))) ==
+      project(scan("t1", Some(5)), "f1"))
+  }
+
   test("hep respects maxIter cap") {
     val hep = new HepOptimizer(Rules.rewriteRules, maxIter = 0)
     val plan = limit(10, limit(5, scan("t1")))
