@@ -84,6 +84,19 @@ object Analytics {
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)
     },
+    // Arbitrary GROUPING SETS with grouping_id, via the SQL surface.
+    "grouping_sets" -> { (s, d) =>
+      Tables(s, d).lineitem.createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+          |  count(*) AS n
+          |FROM lineitem_v
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+          |  (l_returnflag, l_linestatus), ())
+          |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+          |  l_linestatus ASC NULLS FIRST""".stripMargin)
+    },
     "cube_agg" -> { (s, d) =>
       Tables(s, d).orders
         .cube("o_orderstatus", "o_orderpriority")
@@ -282,6 +295,16 @@ object Analytics {
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
         .stripMargin,
+    "grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT)
+        |    AS gid,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+        |  (l_returnflag, l_linestatus), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+        |  l_linestatus ASC NULLS FIRST""".stripMargin,
     "cube_agg" ->
       s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
          |  ${sqlSum("o_totalprice")} AS sum_price
