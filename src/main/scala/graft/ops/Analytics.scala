@@ -86,16 +86,19 @@ object Analytics {
     },
     // Arbitrary GROUPING SETS with grouping_id, via the SQL surface.
     "grouping_sets" -> { (s, d) =>
-      Tables(s, d).lineitem.createOrReplaceTempView("lineitem_v")
+      // view name is data-dir-scoped: a shared global name would race when
+      // two callers use the same session against different directories
+      val v = s"lineitem_v_${math.abs(d.hashCode)}"
+      Tables(s, d).lineitem.createOrReplaceTempView(v)
       s.sql(
-        """SELECT l_returnflag, l_linestatus,
-          |  CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
-          |  count(*) AS n
-          |FROM lineitem_v
-          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
-          |  (l_returnflag, l_linestatus), ())
-          |ORDER BY gid, l_returnflag ASC NULLS FIRST,
-          |  l_linestatus ASC NULLS FIRST""".stripMargin)
+        s"""SELECT l_returnflag, l_linestatus,
+           |  CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+           |  count(*) AS n
+           |FROM $v
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+           |  (l_returnflag, l_linestatus), ())
+           |ORDER BY gid, l_returnflag ASC NULLS FIRST,
+           |  l_linestatus ASC NULLS FIRST""".stripMargin)
     },
     "cube_agg" -> { (s, d) =>
       Tables(s, d).orders
@@ -228,12 +231,13 @@ object Analytics {
     // decorrelates it into an aggregate + join (no per-row subquery
     // execution; asserted in GoldenPlanSpec).
     "subquery_correlated" -> { (s, d) =>
-      Tables(s, d).part.createOrReplaceTempView("part_v")
+      val v = s"part_v_${math.abs(d.hashCode)}"
+      Tables(s, d).part.createOrReplaceTempView(v)
       s.sql(
-        """SELECT p_partkey, p_brand, p_retailprice FROM part_v p
-          |WHERE p_retailprice = (SELECT min(p2.p_retailprice)
-          |                       FROM part_v p2 WHERE p2.p_brand = p.p_brand)
-          |ORDER BY p_partkey""".stripMargin)
+        s"""SELECT p_partkey, p_brand, p_retailprice FROM $v p
+           |WHERE p_retailprice = (SELECT min(p2.p_retailprice)
+           |                       FROM $v p2 WHERE p2.p_brand = p.p_brand)
+           |ORDER BY p_partkey""".stripMargin)
     },
     "union_all" -> { (s, d) =>
       val t = Tables(s, d)

@@ -230,13 +230,13 @@ object DedupOps {
         |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
         |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, sum(a.v * b.v) AS dot
         |      FROM q a JOIN q b ON a.i = b.i AND a.vec_id < b.vec_id
-        |      GROUP BY 1, 2)
-        |SELECT id1, id2,
-        |  CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
-        |    sqrt(CAST(nb.nn AS DOUBLE))) AS cos
-        |FROM p JOIN n na ON na.vec_id = id1 JOIN n nb ON nb.vec_id = id2
-        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
-        |    sqrt(CAST(nb.nn AS DOUBLE))) >= 0.45
+        |      GROUP BY 1, 2),
+        |scored AS (SELECT id1, id2,
+        |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+        |           sqrt(CAST(nb.nn AS DOUBLE))) END AS cos
+        |  FROM p JOIN n na ON na.vec_id = id1 JOIN n nb ON nb.vec_id = id2)
+        |SELECT id1, id2, cos FROM scored WHERE cos >= 0.45
         |ORDER BY id1, id2""".stripMargin
   )
 }

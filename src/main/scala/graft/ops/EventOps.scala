@@ -24,9 +24,11 @@ object EventOps {
   private def withMs(events: DataFrame): DataFrame = {
     val tsField = events.schema("ts").dataType
     val ms = tsField match {
-      // ns → ms via integer division: `/` would go through double and lose
-      // precision (epoch-ns ≈ 1.7e18 > 2^53).
-      case LongType => expr("ts div 1000000")
+      // ns → ms via integer FLOOR division: `/` would lose precision
+      // (epoch-ns ≈ 1.7e18 > 2^53) and `div` truncates toward zero, which
+      // diverges from DuckDB's epoch_ms (floor) for pre-1970 timestamps.
+      case LongType =>
+        expr("ts div 1000000 - (CASE WHEN ts % 1000000 < 0 THEN 1 ELSE 0 END)")
       case _        => unix_millis(col("ts"))
     }
     events.withColumn("ts_ms", ms)
@@ -39,7 +41,11 @@ object EventOps {
     // Tumbling 1h window aggregation (batch form of a streaming windowed agg).
     "events_hourly" -> { (s, d) =>
       withMs(Tables(s, d).events)
-        .groupBy(expr(s"ts_ms div $HourMs").as("hour_bucket"),
+        .groupBy(
+          // floor division, matching DuckDB's `//` for negative epochs
+          expr(s"ts_ms div $HourMs - " +
+            s"(CASE WHEN ts_ms % $HourMs < 0 THEN 1 ELSE 0 END)")
+            .as("hour_bucket"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy("hour_bucket", "event_type")

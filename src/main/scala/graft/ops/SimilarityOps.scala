@@ -113,8 +113,9 @@ object SimilarityOps {
         |      WHERE a.vec_id < 10 AND b.vec_id >= 10
         |      GROUP BY 1, 2),
         |scored AS (SELECT query_id, p.vec_id AS vec_id,
-        |    CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
-        |      sqrt(CAST(nb.nn AS DOUBLE))) AS cos
+        |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+        |           sqrt(CAST(nb.nn AS DOUBLE))) END AS cos
         |  FROM p JOIN n na ON na.vec_id = query_id
         |         JOIN n nb ON nb.vec_id = p.vec_id),
         |ranked AS (SELECT query_id, vec_id, cos,

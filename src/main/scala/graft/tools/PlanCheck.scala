@@ -38,17 +38,22 @@ object PlanCheck {
 
   /** Audit the executed plan (forces execution so AQE settles). */
   def audit(df: DataFrame): Audit = {
-    df.count()
+    // execute df's OWN QueryExecution — df.count() would build a different
+    // one and leave this AdaptiveSparkPlanExec un-finalized (pre-AQE plan)
+    df.queryExecution.toRdd.count()
     val plan = df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p                        => p
     }
     val s = plan.toString
-    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(s).toSeq.distinct
-    val schemas = "ReadSchema: [^,\\n]*".r.findAllIn(s).toSeq.distinct
+    // metadata strings may be truncated (no closing ']'); stop at ']' or EOL
+    val pushed =
+      "PushedFilters: \\[[^\\]\\n]*\\]?".r.findAllIn(s).toSeq.distinct
+    val schemas = "ReadSchema: [^\\n ]*".r.findAllIn(s).toSeq.distinct
     Audit(
       shuffles = countOcc(s, "Exchange hashpartitioning") +
-        countOcc(s, "Exchange rangepartitioning"),
+        countOcc(s, "Exchange rangepartitioning") +
+        countOcc(s, "Exchange SinglePartition"),
       broadcasts = countOcc(s, "BroadcastExchange"),
       scans = countOcc(s, "FileScan") + countOcc(s, "BatchScan"),
       pushedFilters = pushed,
