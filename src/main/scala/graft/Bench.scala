@@ -21,14 +21,20 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        // noop write, not count(): under a bare count Catalyst prunes sorts
+        // (and can prune projects), so topk/sort timings would measure a
+        // plan that is not the delivered one. The noop sink materializes
+        // every output row through the full plan and discards it.
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             false
         }
+      // capture before clearCache so cache-teardown isn't billed to the query
+      val elapsed = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // query-local persists must not leak
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

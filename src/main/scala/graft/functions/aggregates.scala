@@ -44,8 +44,14 @@ case class TopKDoubles(
     val v = child.eval(input)
     if (v != null) {
       val d = v.asInstanceOf[Double]
-      if (buf.size < k) buf.enqueue(d)
-      else if (d > buf.head) { buf.dequeue(); buf.enqueue(d) }
+      // NaN is skipped outright: update/merge compare with primitive `>`
+      // (NaN comparisons are all false) while the heap orders with
+      // TotalOrdering (NaN sorts largest) — an admitted NaN would never be
+      // evicted and would surface in the top-k
+      if (!d.isNaN) {
+        if (buf.size < k) buf.enqueue(d)
+        else if (d > buf.head) { buf.dequeue(); buf.enqueue(d) }
+      }
     }
     buf
   }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
@@ -33,7 +33,15 @@ private object codegenNames {
   val kernels: String = Kernels.getClass.getName.stripSuffix("$")
 }
 
-abstract class BinaryKernelExpression extends BinaryExpression {
+/** Declared input types make type mismatches fail at ANALYSIS time: the
+  * kernels read raw `ArrayData` slots (`getFloat`/`getLong`), so e.g. an
+  * `array<double>` argument to `cosine_sim` would otherwise pass analysis
+  * and silently return garbage (4-byte reads of 8-byte slots).
+  * `sameType` acceptance ignores nullability, so both `containsNull`
+  * variants are admitted — the kernels null-check elements themselves.
+  */
+abstract class BinaryKernelExpression extends BinaryExpression
+    with ExpectsInputTypes {
   protected def kernelMethod: String
   override def nullIntolerant: Boolean = true
 
@@ -50,6 +58,8 @@ case class QuantizedCosine(left: Expression, right: Expression)
     extends BinaryKernelExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "quant_cosine"
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   protected val kernelMethod = "quantCosine"
   override protected def nullSafeEval(a: Any, b: Any): Any =
     Kernels.quantCosine(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
@@ -66,6 +76,8 @@ case class QuantizedDot(left: Expression, right: Expression)
     extends BinaryKernelExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "quant_dot"
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   protected val kernelMethod = "quantDot"
   override protected def nullSafeEval(a: Any, b: Any): Any =
     Kernels.quantDot(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
@@ -80,6 +92,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryKernelExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_similarity"
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   protected val kernelMethod = "cosine"
   override protected def nullSafeEval(a: Any, b: Any): Any =
     Kernels.cosine(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
@@ -94,6 +108,8 @@ case class JaccardSortedLongs(left: Expression, right: Expression)
     extends BinaryKernelExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sorted_longs"
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   protected val kernelMethod = "jaccardSortedLongs"
   override protected def nullSafeEval(a: Any, b: Any): Any =
     Kernels.jaccardSortedLongs(
@@ -109,6 +125,8 @@ case class JaccardSimilarity(left: Expression, right: Expression)
     extends BinaryKernelExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaccard_sim"
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
   protected val kernelMethod = "jaccard"
   override protected def nullSafeEval(a: Any, b: Any): Any =
     Kernels.jaccard(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
@@ -123,9 +141,10 @@ case class JaccardSimilarity(left: Expression, right: Expression)
   * shuffle-free pass.
   */
 case class MinHashSignature(child: Expression, perms: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(items: Any): Any =
     Kernels.minhashSig(
@@ -140,9 +159,10 @@ case class MinHashSignature(child: Expression, perms: Int)
 
 /** Winnowing fingerprints of a string (k-gram rolling hash, window w). */
 case class WinnowFingerprints(child: Expression, k: Int, w: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "winnow_fingerprints"
+  override def inputTypes: Seq[DataType] = Seq(StringType)
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(s: Any): Any =
     Kernels.winnowFingerprints(
@@ -156,10 +176,12 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 }
 
 /** Contiguous n-token shingles of a token array (single pass). */
-case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression
+    with ExpectsInputTypes {
   override def dataType: DataType =
     ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(tokens: Any): Any =
     Kernels.wordShingles(
@@ -172,9 +194,11 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
 }
 
 /** 64-bit SimHash of a token array (frequency-weighted). */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(tokens: Any): Any =
     Kernels.simhash64(

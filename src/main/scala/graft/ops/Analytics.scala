@@ -86,15 +86,13 @@ object Analytics {
     },
     // Arbitrary GROUPING SETS with grouping_id, via the SQL surface.
     "grouping_sets" -> { (s, d) =>
-      // view name is data-dir-scoped: a shared global name would race when
-      // two callers use the same session against different directories
-      val v = s"lineitem_v_${math.abs(d.hashCode)}"
-      Tables(s, d).lineitem.createOrReplaceTempView(v)
+      // direct-path table reference: no temp view registered, so the query
+      // builder leaves zero footprint in the shared session catalog
       s.sql(
         s"""SELECT l_returnflag, l_linestatus,
            |  CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
            |  count(*) AS n
-           |FROM $v
+           |FROM parquet.`$d/lineitem.parquet`
            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
            |  (l_returnflag, l_linestatus), ())
            |ORDER BY gid, l_returnflag ASC NULLS FIRST,
@@ -231,12 +229,12 @@ object Analytics {
     // decorrelates it into an aggregate + join (no per-row subquery
     // execution; asserted in GoldenPlanSpec).
     "subquery_correlated" -> { (s, d) =>
-      val v = s"part_v_${math.abs(d.hashCode)}"
-      Tables(s, d).part.createOrReplaceTempView(v)
       s.sql(
-        s"""SELECT p_partkey, p_brand, p_retailprice FROM $v p
+        s"""SELECT p_partkey, p_brand, p_retailprice
+           |FROM parquet.`$d/part.parquet` p
            |WHERE p_retailprice = (SELECT min(p2.p_retailprice)
-           |                       FROM $v p2 WHERE p2.p_brand = p.p_brand)
+           |                       FROM parquet.`$d/part.parquet` p2
+           |                       WHERE p2.p_brand = p.p_brand)
            |ORDER BY p_partkey""".stripMargin)
     },
     "union_all" -> { (s, d) =>

@@ -20,15 +20,20 @@ import Oracle._
 object EventOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** SQL snippet for FLOOR division of a BIGINT column: `/` would lose
+    * precision (epoch-ns ≈ 1.7e18 > 2^53 goes through double) and `div`
+    * truncates toward zero, which diverges from DuckDB's `//` (floor) for
+    * pre-1970 timestamps. Shared with [[graft.streaming.StreamingOps]] so
+    * streaming/batch epoch conversion cannot silently diverge.
+    */
+  def floorDivSql(colName: String, d: Long): String =
+    s"$colName div $d - (CASE WHEN $colName % $d < 0 THEN 1 ELSE 0 END)"
+
   /** events with a portable epoch-millisecond `ts_ms` column. */
   private def withMs(events: DataFrame): DataFrame = {
     val tsField = events.schema("ts").dataType
     val ms = tsField match {
-      // ns → ms via integer FLOOR division: `/` would lose precision
-      // (epoch-ns ≈ 1.7e18 > 2^53) and `div` truncates toward zero, which
-      // diverges from DuckDB's epoch_ms (floor) for pre-1970 timestamps.
-      case LongType =>
-        expr("ts div 1000000 - (CASE WHEN ts % 1000000 < 0 THEN 1 ELSE 0 END)")
+      case LongType => expr(floorDivSql("ts", 1000000L))
       case _        => unix_millis(col("ts"))
     }
     events.withColumn("ts_ms", ms)
@@ -43,9 +48,7 @@ object EventOps {
       withMs(Tables(s, d).events)
         .groupBy(
           // floor division, matching DuckDB's `//` for negative epochs
-          expr(s"ts_ms div $HourMs - " +
-            s"(CASE WHEN ts_ms % $HourMs < 0 THEN 1 ELSE 0 END)")
-            .as("hour_bucket"),
+          expr(floorDivSql("ts_ms", HourMs)).as("hour_bucket"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
         .orderBy("hour_bucket", "event_type")

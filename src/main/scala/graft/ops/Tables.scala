@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
 
 /** Loaders for the driver-generated parquet tables (see TESTDATA.md).
   *
@@ -25,16 +26,27 @@ final class Tables(spark: SparkSession, dir: String) {
   def lineitem: DataFrame = t("lineitem")
   /** `ts` is nanosecond-precision INT64 in the parquet footer, which Spark's
     * vectorized reader rejects by default; read it as a raw nanosecond long
-    * (exact) and let callers convert (see [[EventOps.withMs]]).
+    * (exact) and let callers convert (see [[EventOps.withMs]]). Declaring the
+    * schema explicitly (ts as LONG) makes the vectorized reader accept the
+    * raw INT64 without the session-global
+    * `spark.sql.legacy.parquet.nanosAsLong` conf — no mutation of shared
+    * session state, no behavior change for other nanos parquet reads.
     */
-  def events: DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events")
-  }
+  def events: DataFrame =
+    spark.read.schema(Tables.eventsSchema).parquet(s"$dir/events.parquet")
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }
 
 object Tables {
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+
+  /** events.parquet physical schema with `ts` as raw nanosecond LONG. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
 }

@@ -29,7 +29,10 @@ object StreamingOps {
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("event_ts", timestamp_micros(expr("ts div 1000")))
+      // floor (not truncate-toward-zero) ns→µs, shared with the batch path
+      // so streaming/batch event-time parity holds for pre-1970 timestamps
+      .withColumn("event_ts",
+        timestamp_micros(expr(graft.ops.EventOps.floorDivSql("ts", 1000L))))
   }
 
   /** Tumbling 1h event-time window with a 2h watermark for late data. */
@@ -56,7 +59,8 @@ object StreamingOps {
     val GapMs = 1800000L
     events
       .select(col("user_id"), col("event_id"),
-        expr("ts div 1000000").as("ts_ms"), col("value"))
+        expr(graft.ops.EventOps.floorDivSql("ts", 1000000L)).as("ts_ms"),
+        col("value"))
       .as[UserEvent]
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
