@@ -11,9 +11,11 @@ import graft.functions.functions.{jaccard_sim, minhash_sig, quant_dot, simhash64
   * Scale design:
   *  - exact dedup = hash-aggregate on a content digest (one shuffle on the
   *    digest; the digest, not the full text, is the shuffle key).
-  *  - n-gram Jaccard = inverted-index self-join on shingles (shuffle on the
-  *    shingle; high-document-frequency shingles are the skew risk — at scale
-  *    a df-cap prefilter bounds the per-shingle quadratic blowup).
+  *  - n-gram Jaccard = PPJoin prefix-filtered inverted-index self-join under
+  *    a document-frequency-ascending global shingle order (rarest shingles
+  *    index each doc; hot "stop shingles" never reach a prefix), with
+  *    position + size filters and a df-cap that isolates residual hot keys
+  *    into their own exchange — see [[jaccardDupPairs]].
   *  - MinHash/LSH = the scale path: signatures via the single-pass
   *    [[graft.functions.MinHashSignature]] expression (no explode/shuffle),
   *    candidates from an equi-join on (band, band-signature), then exact
@@ -34,6 +36,91 @@ object DedupOps {
     docs.select(col("doc_id"),
       array_distinct(TextOps.shingles(col("text"), 3)).as("sh"))
 
+  /** EXACT Jaccard >= p/q duplicate pairs via PPJoin prefix filtering under
+    * a DOCUMENT-FREQUENCY-ascending global shingle order.
+    *
+    * Why df-ascending (vs the arbitrary hash order of a naive prefix
+    * filter): any consistent global total order preserves PPJoin
+    * completeness, and ordering by (df asc, hash asc) puts each document's
+    * RAREST shingles into its prefix. The inverted index is then keyed
+    * almost exclusively by low-frequency shingles, so the per-key candidate
+    * blowup (k docs on one key → k² pairs) collapses: a corpus-wide "stop
+    * shingle" sorts LAST in every document and never enters a prefix at
+    * all. This is the Chaudhuri/Xiao PPJoin design; without it a single hot
+    * shingle makes candidate generation quadratic at 100 TB.
+    *
+    * Exactness chain (each step keeps a superset of true pairs, the final
+    * verify is exact):
+    *  - prefix length n - ceil(t·n) + 1, integer form (n·p + p) div q — the
+    *    double form floor(n(1-t))+1 is one short when t·n is integral;
+    *  - size filter: J >= p/q forces q·min(na,nb) >= p·max(na,nb);
+    *  - position filter: a collision at (0-based) prefix positions (i, j)
+    *    under one shared order bounds the overlap by
+    *    min(i,j) + 1 + min(na-i-1, nb-j-1); the pair is kept only if the
+    *    TIGHTEST such bound reaches ceil(p·(na+nb)/(p+q)), the minimum
+    *    overlap J >= p/q requires;
+    *  - exact verify: linear merge over the full sorted hash sets.
+    *
+    * df-cap routing: index entries with df > `dfCap` are joined in their own
+    * exchange instead of the main one. Both paths are the same exact
+    * equi-join — the routing exists so a residual hot key (possible only
+    * when a document's ENTIRE prefix is hot, i.e. near-stop-shingle-only
+    * docs) skews a small isolated join that AQE can split, not the main
+    * candidate exchange.
+    *
+    * Input: (doc_id, sh: array<string>) with sh distinct per doc.
+    * Output: (id1, id2, jaccard) for all pairs with J >= p/q, ordered.
+    */
+  private[graft] def jaccardDupPairs(
+      shingleSets: DataFrame, p: Int, q: Int, dfCap: Int = 64): DataFrame = {
+    val t = p.toDouble / q.toDouble
+    val sh = shingleSets
+      .select(col("doc_id"), explode(col("sh")).as("sr"))
+      .select(col("doc_id"), xxhash64(col("sr")).as("s"))
+    val dfTbl = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    // one row per doc: shingle hashes ordered by (df asc, hash asc) for
+    // prefix extraction, plus the plain hash-sorted set for the merge
+    // verify. Persisted: read by the prefix index and both verify sides.
+    val docs = sh.join(dfTbl, "s")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ord"),
+        sort_array(collect_list(col("s"))).as("ss"))
+      .withColumn("n", size(col("ss")))
+      .withColumn("plen",
+        (col("n") - expr(s"(n * $p + $p) div $q") + lit(1)).cast("int"))
+      .persist()
+    val prefix = docs
+      .select(col("doc_id"), col("n"),
+        posexplode(slice(col("ord"), lit(1), col("plen"))).as(Seq("pos", "e")))
+      .select(col("doc_id"), col("n"), col("pos"),
+        col("e.df").as("df"), col("e.s").as("s"))
+    def candJoin(px: DataFrame): DataFrame =
+      px.as("a").join(px.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) * q >=
+            greatest(col("a.n"), col("b.n")) * p)
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+          (least(col("a.pos"), col("b.pos")) + lit(1) +
+            least(col("a.n") - col("a.pos") - 1,
+              col("b.n") - col("b.pos") - 1)).as("ub"),
+          (col("a.n") + col("b.n")).as("nsum"))
+    val cold = candJoin(prefix.filter(col("df") <= dfCap))
+    val hot = candJoin(prefix.filter(col("df") > dfCap))
+    val cand = cold.unionAll(hot)
+      .groupBy("id1", "id2")
+      .agg(min(col("ub")).as("ub"), first(col("nsum")).as("nsum"))
+      .filter(col("ub") >= expr(s"($p * nsum + ${p + q - 1}) div ${p + q}"))
+      .select("id1", "id2")
+    cand
+      .join(docs.as("x"), col("id1") === col("x.doc_id"))
+      .join(docs.as("y"), col("id2") === col("y.doc_id"))
+      .select(col("id1"), col("id2"),
+        graft.functions.functions
+          .jaccard_sorted_longs(col("x.ss"), col("y.ss")).as("jaccard"))
+      .filter(col("jaccard") >= t)
+      .orderBy("id1", "id2")
+  }
+
   def queries: Map[String, Q] = Map(
     // Exact dedup: group by content digest, keep the minimum doc_id.
     "dedup_exact" -> { (s, d) =>
@@ -43,44 +130,10 @@ object DedupOps {
         .select("keep_id", "n_copies")
         .orderBy("keep_id")
     },
-    // n-gram Jaccard near-dup, EXACT at threshold t=0.8, via PPJoin-style
-    // prefix filtering: under a global total order on shingle hashes, any
-    // pair with J >= t must collide within each side's first
-    // floor((1-t)*n)+1 shingles — so only that prefix is indexed (5x fewer
-    // index rows, ~25x fewer candidate pairs than the full inverted index),
-    // then candidates are verified exactly on the full sorted hash sets.
-    // Same results as the full all-pairs oracle.
+    // n-gram Jaccard near-dup, EXACT at threshold t=0.8 = 4/5, via
+    // df-ordered PPJoin prefix filtering — see [[jaccardDupPairs]].
     "dedup_ngram_jaccard" -> { (s, d) =>
-      val t = 0.8
-      val docs = Tables(s, d).documents
-      val shArr = docs
-        .select(col("doc_id"), explode(TextOps.shingles(col("text"), 3)).as("sr"))
-        .select(col("doc_id"), xxhash64(col("sr")).as("s"))
-        .groupBy("doc_id")
-        .agg(sort_array(array_distinct(collect_list(col("s")))).as("ss"))
-        .withColumn("n", size(col("ss")))
-        .persist()
-      // prefix length n - ceil(t*n) + 1 in EXACT integer arithmetic:
-      // floor(n*(1-t)) via doubles is one short whenever t*n is integral
-      // (1.0-0.8 = 0.19999999...), which would silently drop true pairs at
-      // exactly J = t. ceil(4n/5) = (4n+4) div 5.
-      val prefix = shArr.select(col("doc_id"),
-          explode(slice(col("ss"), lit(1),
-            (col("n") - expr("(n * 4 + 4) div 5") + lit(1)).cast("int")))
-            .as("s"))
-      val cand = prefix.as("a")
-        .join(prefix.as("b"), col("a.s") === col("b.s") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .distinct()
-      cand
-        .join(shArr.as("x"), col("id1") === col("x.doc_id"))
-        .join(shArr.as("y"), col("id2") === col("y.doc_id"))
-        .select(col("id1"), col("id2"),
-          graft.functions.functions
-            .jaccard_sorted_longs(col("x.ss"), col("y.ss")).as("jaccard"))
-        .filter(col("jaccard") >= t)
-        .orderBy("id1", "id2")
+      jaccardDupPairs(shingleSets(Tables(s, d).documents), 4, 5)
     },
     // MinHash + LSH banding (4 bands x 4 rows), candidates verified exactly.
     // Not SQL-expressible (xxh64 seeds) → rows-only driver check; DedupSpec
@@ -135,22 +188,25 @@ object DedupOps {
     },
     // End-to-end corpus cleaning — the composed training-data pipeline:
     // quality gate (length + stopword ratio) THEN near-dup removal (drop
-    // the higher doc_id of every exact-Jaccard>=0.8 pair). One pass over
-    // documents + the prefix-filtered pair join; output = kept doc ids.
+    // the higher doc_id of every exact-Jaccard>=0.8 pair). The text is
+    // tokenized ONCE into a persisted base (doc stats + shingle sets);
+    // both the quality gate and the pair join read that base — previously
+    // each branch re-split the text.
     "pipeline_clean_corpus" -> { (s, d) =>
-      val docs = Tables(s, d).documents
-      val t = split(col("text"), " ")
-      val nTok = size(t)
-      val stopRatio = size(filter(t,
-        x => x.isin("the", "a", "of", "and", "to", "in"))).cast("double") /
-        nTok.cast("double")
-      val quality = docs
-        .select(col("doc_id"), col("text"), nTok.as("n_tokens"),
-          stopRatio.as("stop_ratio"))
-        .filter(col("n_tokens") >= 50 && col("stop_ratio") <= 0.35)
-      val dupPairs = queries("dedup_ngram_jaccard")(s, d)
+      val toks = split(col("text"), " ")
+      val nTok = size(toks)
+      val base = Tables(s, d).documents
+        .select(col("doc_id"), nTok.as("n_tokens"),
+          (size(filter(toks,
+            x => x.isin("the", "a", "of", "and", "to", "in"))).cast("double") /
+            nTok.cast("double")).as("stop_ratio"),
+          array_distinct(
+            graft.functions.functions.word_shingles(toks, 3)).as("sh"))
+        .persist()
+      val dupPairs = jaccardDupPairs(base.select(col("doc_id"), col("sh")), 4, 5)
         .select(col("id2").as("drop_id")).distinct()
-      quality
+      base
+        .filter(col("n_tokens") >= 50 && col("stop_ratio") <= 0.35)
         .join(dupPairs, col("doc_id") === col("drop_id"), "left_anti")
         .select("doc_id", "n_tokens")
         .orderBy("doc_id")
