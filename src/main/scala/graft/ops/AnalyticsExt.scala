@@ -139,16 +139,44 @@ object AnalyticsExt {
           (1 to 5).map(i => try_element_at(col("top5"), lit(i)).as(s"p$i")): _*)
         .orderBy("o_orderstatus")
     },
-    // Approximate sketches: HLL distinct count + approximate median.
-    // Engine-specific sketch internals → rows-only driver check; the spec
-    // asserts closeness to the exact values.
+    // Approximate sketches, three of them:
+    //  - KMV (k-minimum-values) distinct sketch: hash each distinct key,
+    //    keep the k smallest hashes; NDV ≈ (k-1)·2^64 / (u_k + 1). The
+    //    estimate is plain order statistics + one IEEE double formula, so
+    //    the DuckDB oracle recomputes it EXACTLY (same xxh64, same
+    //    double ops in the same order) — a fully oracle-checked sketch.
+    //  - HLL (approx_count_distinct) and KLL-ish percentile sketches have
+    //    engine-private internals no independent oracle can reproduce, so
+    //    their outputs are bounded-error CONTRACT columns: the oracle
+    //    asserts TRUE for |hll-exact| <= 15% and |p50-median| <= 2; the
+    //    raw estimates stay pinned by the closeness spec.
+    // At 100 TB all three aggregate with O(k) partial state per group.
     "agg_approx_sketch" -> { (s, d) =>
-      Tables(s, d).lineitem
-        .groupBy("l_returnflag")
-        .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_ndv"),
-          percentile_approx(col("l_quantity"), lit(0.5), lit(1000))
-            .as("approx_median"))
+      val k = 256
+      val li = Tables(s, d).lineitem
+      val hashed = li.select(col("l_returnflag"),
+          xxhash64(col("l_partkey").cast("string")).as("h"))
+        .distinct()
+      val w = Window.partitionBy("l_returnflag").orderBy(col("h").asc)
+      val kth = hashed.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === k)
+        .select(col("l_returnflag"), col("h").as("hk"))
+      val agg = li.groupBy("l_returnflag").agg(
+        countDistinct(col("l_partkey")).as("exact_ndv"),
+        approx_count_distinct(col("l_partkey")).as("hll"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("amed"),
+        median(col("l_quantity")).as("emed"))
+      agg.join(kth, Seq("l_returnflag"), "left")
+        .select(col("l_returnflag"), col("exact_ndv"),
+          // u_k = hk + 2^63 maps the signed hash onto [0, 2^64); the
+          // double-arithmetic order must match the oracle token for token
+          when(col("hk").isNull, col("exact_ndv").cast("double"))
+            .otherwise(lit(255.0) * lit(math.pow(2.0, 64)) /
+              (col("hk").cast("double") + lit(math.pow(2.0, 63)) + lit(1.0)))
+            .as("kmv_ndv"),
+          (abs(col("hll") - col("exact_ndv")) * 100 <=
+            col("exact_ndv") * 15).as("hll_within_15pct"),
+          (abs(col("amed") - col("emed")) <= lit(2.0)).as("median_within_2"))
         .orderBy("l_returnflag")
     },
     // Exact median of integer-valued quantities (interpolation lands on
@@ -164,6 +192,31 @@ object AnalyticsExt {
   )
 
   def oracles: Map[String, String] = Map(
+    // KMV replication: same xxh64 over the decimal key string, same order
+    // statistic, token-for-token the same IEEE double estimate formula.
+    // The HLL / percentile contract columns are literal TRUE — DuckDB
+    // cannot reproduce engine-private sketch internals, so the oracle
+    // instead pins the bounded-error CONTRACT the Spark side computes
+    // against its own exact aggregates.
+    "agg_approx_sketch" ->
+      s"""WITH hashed AS (SELECT DISTINCT l_returnflag,
+         |    ${XxhSql.expr("CAST(l_partkey AS VARCHAR)", "42")} AS h
+         |  FROM lineitem),
+         |ranked AS (SELECT l_returnflag, h,
+         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+         |  FROM hashed),
+         |kth AS (SELECT l_returnflag, h AS hk FROM ranked WHERE rn = 256),
+         |ex AS (SELECT l_returnflag,
+         |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_ndv
+         |  FROM lineitem GROUP BY 1)
+         |SELECT ex.l_returnflag, exact_ndv,
+         |  CASE WHEN hk IS NULL THEN CAST(exact_ndv AS DOUBLE)
+         |       ELSE 255.0 * CAST(18446744073709551616 AS DOUBLE) /
+         |            (CAST(hk AS DOUBLE) +
+         |             CAST(9223372036854775808 AS DOUBLE) + 1.0) END AS kmv_ndv,
+         |  TRUE AS hll_within_15pct, TRUE AS median_within_2
+         |FROM ex LEFT JOIN kth USING (l_returnflag)
+         |ORDER BY l_returnflag""".stripMargin,
     "pivot_status" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",

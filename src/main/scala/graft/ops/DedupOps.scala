@@ -136,8 +136,9 @@ object DedupOps {
       jaccardDupPairs(shingleSets(Tables(s, d).documents), 4, 5)
     },
     // MinHash + LSH banding (4 bands x 4 rows), candidates verified exactly.
-    // Not SQL-expressible (xxh64 seeds) → rows-only driver check; DedupSpec
-    // asserts it recovers exactly the exact-Jaccard pairs at this threshold.
+    // The xxh64-seeded signatures are replicated in the DuckDB oracle via
+    // XxhSql (oracle-checked end to end); DedupSpec additionally asserts
+    // the pair set equals the exact-Jaccard pairs at this threshold.
     "dedup_minhash_lsh" -> { (s, d) =>
       // persist: the signature table is read by both sides of the band
       // self-join and the shingle sets by the verification join — without
@@ -237,6 +238,71 @@ object DedupOps {
   )
 
   def oracles: Map[String, String] = Map(
+    // Full replication of the MinHash+LSH pipeline in DuckDB SQL: xxh64
+    // per (distinct shingle, seed 0..15) via XxhSql, per-doc per-seed min,
+    // 4x4 banding as ordered-list equality, then the same exact-Jaccard
+    // verification — so the oracle checks signatures AND banding recall,
+    // not just the final pair set.
+    "dedup_minhash_lsh" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS L FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         L[i] || ' ' || L[i+1] || ' ' || L[i+2] AS s
+         |       FROM tok,
+         |         LATERAL (SELECT unnest(generate_series(1, len(L) - 2)) AS i) g),
+         |hs AS (SELECT s, sd, ${XxhSql.expr("s", "sd")} AS h
+         |       FROM (SELECT DISTINCT s FROM sh)
+         |       CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS sd) k),
+         |sig AS (SELECT doc_id, sd, min(h) AS mh
+         |        FROM sh JOIN hs USING (s) GROUP BY 1, 2),
+         |band AS (SELECT doc_id, sd // 4 AS band,
+         |           array_agg(mh ORDER BY sd) AS bsig
+         |         FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM band a JOIN band b
+         |           ON a.band = b.band AND a.bsig = b.bsig
+         |          AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.id1, c.id2, count(*) AS i
+         |          FROM cand c
+         |          JOIN sh x ON x.doc_id = c.id1
+         |          JOIN sh y ON y.doc_id = c.id2 AND y.s = x.s
+         |          GROUP BY 1, 2)
+         |SELECT id1, id2,
+         |  CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) AS jaccard
+         |FROM inter JOIN cnt ca ON ca.doc_id = id1
+         |           JOIN cnt cb ON cb.doc_id = id2
+         |WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.8
+         |ORDER BY id1, id2""".stripMargin,
+    // SimHash oracle: xxh64(token, 42) per distinct token, 64
+    // frequency-weighted bit sums per doc, sign -> signature; the chunk
+    // banding is complete for Hamming <= 3 (pigeonhole over 4 chunks), so
+    // the expected output is simply ALL pairs at Hamming <= 3.
+    "dedup_simhash" ->
+      s"""WITH tc AS (SELECT doc_id, tok, count(*) AS cnt
+         |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |                  FROM documents) GROUP BY 1, 2),
+         |th AS (SELECT tok, ${XxhSql.expr("tok", "42")} AS h
+         |       FROM (SELECT DISTINCT tok FROM tc)),
+         |thu AS (SELECT tok,
+         |          CASE WHEN h < 0 THEN h::HUGEINT + 18446744073709551616
+         |               ELSE h::HUGEINT END AS hu
+         |        FROM th),
+         |bits AS (SELECT doc_id, bit,
+         |           sum(CASE WHEN (hu // (${XxhSql.pow2List})[bit + 1]) % 2 = 1
+         |               THEN cnt ELSE -cnt END) AS bsum
+         |         FROM tc JOIN thu USING (tok)
+         |         CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) bb
+         |         GROUP BY 1, 2),
+         |sigu AS (SELECT doc_id,
+         |           sum(CASE WHEN bsum > 0 THEN (${XxhSql.pow2List})[bit + 1]
+         |               ELSE 0::HUGEINT END) AS su
+         |         FROM bits GROUP BY 1),
+         |sigs AS (SELECT doc_id, ${XxhSql.signed("su")} AS sig FROM sigu)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY id1, id2""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

@@ -69,6 +69,16 @@ object MultimodalOps {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // The decode STUB's byte statistics are reproducible from the text
+    // (ASCII corpus: byte value = codepoint), so the oracle recomputes
+    // them — checking the mapPartitions plumbing end to end. A real codec
+    // would be unverifiable here by construction; the stub is not.
+    "mm_decode_features" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_bytes,
+        |  CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE CAST(list_sum(list_transform(string_split(text, ''),
+        |         x -> ord(x))) AS DOUBLE) / length(text) END AS mean_byte
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, unnest(generate_series(0, n_chars // 100, 2))
         |  AS frame_idx

@@ -65,9 +65,9 @@ object SimilarityOps {
     // query probes its own bucket plus every Hamming-1 neighbor — 9 probes),
     // trading 9x probe fan-out for recall while staying an equi-join on the
     // bucket id (linear shuffle — the scale path; single-probe recall on
-    // weakly-correlated vectors is near chance). Deterministic but not
-    // concisely SQL-expressible → rows-only check; DedupSpec measures recall
-    // against brute force.
+    // weakly-correlated vectors is near chance). The integer hyperplanes
+    // are SQL arithmetic, so the DuckDB oracle replicates the whole
+    // bucket+probe pipeline; DedupSpec measures recall against brute force.
     "sim_ann_lsh" -> { (s, d) =>
       val e = Tables(s, d).embeddings
         .withColumn("bucket", lshSignature(quantize(col("embedding")), 8))
@@ -101,6 +101,50 @@ object SimilarityOps {
   )
 
   def oracles: Map[String, String] = Map(
+    // Full replication of the LSH-bucketed ANN: the hyperplanes are plain
+    // integer arithmetic (planeWeight above), so DuckDB recomputes the
+    // 8-bit bucket signatures, the 9 multi-probe buckets, the candidate
+    // equi-join and the quantized-cosine top-5 — the oracle checks bucket
+    // assignment and probing, not just scores.
+    "sim_ann_lsh" ->
+      """WITH q AS (SELECT vec_id, i,
+        |    CAST(floor(embedding[i] * 1000.0 + 0.5) AS BIGINT) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
+        |dots AS (SELECT vec_id, k,
+        |           sum(v * (((k * 131 + (i - 1) * 31 + 7) % 61) - 30)) AS dt
+        |         FROM q CROSS JOIN
+        |           (SELECT unnest(generate_series(0, 7)) AS k) pl
+        |         GROUP BY 1, 2),
+        |bkt AS (SELECT vec_id,
+        |          CAST(sum(CASE WHEN dt > 0 THEN 1 << k ELSE 0 END) AS BIGINT)
+        |            AS bucket
+        |        FROM dots GROUP BY 1),
+        |qs AS (SELECT vec_id AS query_id, xor(bucket, m) AS bucket
+        |       FROM bkt CROSS JOIN
+        |         (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m) pr
+        |       WHERE vec_id < 10),
+        |pairs AS (SELECT query_id, c.vec_id
+        |          FROM qs JOIN (SELECT vec_id, bucket FROM bkt
+        |                        WHERE vec_id >= 10) c USING (bucket)),
+        |dot AS (SELECT p.query_id, p.vec_id, sum(a.v * b.v) AS dot
+        |        FROM pairs p
+        |        JOIN q a ON a.vec_id = p.query_id
+        |        JOIN q b ON b.vec_id = p.vec_id AND b.i = a.i
+        |        GROUP BY 1, 2),
+        |scored AS (SELECT query_id, dot.vec_id AS vec_id,
+        |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+        |           sqrt(CAST(nb.nn AS DOUBLE))) END AS cos
+        |  FROM dot JOIN n na ON na.vec_id = query_id
+        |           JOIN n nb ON nb.vec_id = dot.vec_id),
+        |ranked AS (SELECT query_id, vec_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id ASC) AS INT) AS rk
+        |  FROM scored)
+        |SELECT query_id, vec_id, cos, rk FROM ranked
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     "sim_topk_bruteforce" ->
       """WITH q AS (SELECT vec_id, i,
         |    CAST(floor(embedding[i] * 1000.0 + 0.5) AS BIGINT) AS v

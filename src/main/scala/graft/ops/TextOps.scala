@@ -82,8 +82,9 @@ object TextOps {
     },
     // Rolling-hash winnowing fingerprints (k=16 bytes, window 8): the
     // MOSS-style scheme — any shared >=23-byte substring yields a shared
-    // fingerprint. Kernel-computed → rows-only driver check; FunctionsSpec
-    // pins overlap behavior on planted near-duplicates.
+    // fingerprint. The base-257 mod-2^64 rolling hash and the window minima
+    // are replicated in the DuckDB oracle (HUGEINT arithmetic + window
+    // min); FunctionsSpec pins overlap behavior on planted near-dups.
     "text_winnow" -> { (s, d) =>
       import graft.functions.functions.winnow_fingerprints
       Tables(s, d).documents
@@ -143,6 +144,32 @@ object TextOps {
          |       WHEN score_ql >= score_df THEN 'ql'
          |       ELSE 'df' END AS pred_lang
          |FROM sc ORDER BY doc_id""".stripMargin,
+    // Winnowing replication: per-position base-257 rolling hash mod 2^64
+    // (HUGEINT fold over the 16-byte gram), signed reinterpretation, then
+    // the window-8 minima — fp_min is the global min (every window minimum
+    // covers it), n_fp counts distinct window minima.
+    "text_winnow" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+         |b AS (SELECT doc_id, L,
+         |        list_transform(string_split(text, ''),
+         |          x -> ord(x)::HUGEINT) AS bs
+         |      FROM d WHERE L >= 16),
+         |h AS (SELECT doc_id, j,
+         |        list_reduce(list_prepend(0::HUGEINT, list_slice(bs, j, j + 15)),
+         |          (acc, c) -> (acc * 257 + c) % 18446744073709551616) AS hu
+         |      FROM b,
+         |        LATERAL (SELECT unnest(generate_series(1, L - 15)) AS j) g),
+         |hs AS (SELECT doc_id, j, ${XxhSql.signed("hu")} AS h FROM h),
+         |wm AS (SELECT doc_id, j,
+         |         min(h) OVER (PARTITION BY doc_id ORDER BY j
+         |           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m,
+         |         count(*) OVER (PARTITION BY doc_id) AS nh
+         |       FROM hs),
+         |fp AS (SELECT DISTINCT doc_id, m FROM wm WHERE j <= greatest(1, nh - 7)),
+         |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_fp, min(m) AS fp_min
+         |        FROM fp GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(agg.n_fp, 0) AS n_fp, agg.fp_min
+         |FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS L
         |             FROM documents),

@@ -15,10 +15,12 @@ class EntrySpec extends GraftSuite {
     assert(extra.isEmpty, s"oracles without queries: $extra")
   }
 
-  test("rows-only queries are the documented non-SQL-expressible set") {
+  test("every query is oracle-checked (no rows-only queries remain)") {
+    // round 2 closed the six rows-only gaps: xxh64 is replicated in DuckDB
+    // SQL (XxhSql) for minhash/simhash/KMV, the LSH planes and the winnow
+    // rolling hash are plain SQL arithmetic, and the decode stub's byte
+    // stats are recomputable from the ASCII text
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("dedup_minhash_lsh", "dedup_simhash",
-      "sim_ann_lsh", "mm_decode_features", "text_winnow",
-      "agg_approx_sketch"), s"unexpected rows-only set: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"unexpected rows-only set: $rowsOnly")
   }
 }
