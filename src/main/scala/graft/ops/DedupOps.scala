@@ -24,9 +24,11 @@ import graft.functions.functions.{jaccard_sim, minhash_sig, quant_dot, simhash64
   *  - SimHash = 64-bit signature via [[graft.functions.SimHash64]]; near-dup
   *    = Hamming ≤ 3 found by pigeonhole banding on 16-bit chunks (pairs
   *    within Hamming ≤ 3 must agree on ≥ 1 of 4 chunks) — an equi-join.
-  *  - embedding near-dup = exact quantized cosine via the codegen'd
-  *    [[graft.functions.QuantizedCosine]] kernel; brute-force all-pairs as
-  *    the correctness baseline (LSH-bucketed path: SimilarityOps).
+  *  - embedding near-dup = OR-amplified LSH bucketing (16 tables x 4
+  *    hyperplane bits) for candidates, exact quantized cosine (codegen'd
+  *    [[graft.functions.QuantizedCosine]] kernel) for verification;
+  *    brute-force all-pairs kept as the exact baseline
+  *    (`dedup_embedding_bruteforce`).
   */
 object DedupOps {
   type Q = (SparkSession, String) => DataFrame
@@ -212,30 +214,75 @@ object DedupOps {
         .select("doc_id", "n_tokens")
         .orderBy("doc_id")
     },
-    // Embedding-cosine near-dup, exact quantized arithmetic (oracle-checked).
-    // Quantized vectors + squared norms are materialized once per row; the
-    // O(n^2) pair loop only runs the integer dot kernel.
+    // Embedding-cosine near-dup, the NAMED scale path: OR-amplified LSH
+    // bucketing (L=16 tables x 4 hyperplane sign bits) generates candidates
+    // via an equi-join on (table, bucket); the exact quantized-cosine
+    // kernel verifies only candidates. The DuckDB oracle replicates the
+    // bucketing ALGORITHM (integer hyperplanes are plain SQL), so the
+    // hash compare is exact regardless of recall.
+    //
+    // Measured honesty (DedupSpec): at this corpus's borderline threshold
+    // (0.45 — true pairs sit at cos 0.45..0.51, barely above the random
+    // background) hyperplane LSH trades ~7% recall for ~2x candidate
+    // pruning; at realistic near-dup thresholds (>= 0.9, where planted
+    // duplicates live) the same machinery is recall-complete with far
+    // fewer tables. The exact all-pairs baseline remains available as
+    // [[dedup_embedding_bruteforce]].
     "dedup_embedding" -> { (s, d) =>
-      val emb = Tables(s, d).embeddings
-        .select(col("vec_id"),
-          graft.functions.functions.quantize1000(col("embedding")).as("q"))
-        .withColumn("nn",
-          aggregate(transform(col("q"), x => x * x), lit(0L), (a, x) => a + x))
+      val L = 16
+      val b = 4
+      val emb = quantizedEmbeddings(Tables(s, d).embeddings)
+        .withColumn("bkts", array((0 until L).map(tb =>
+          SimilarityOps.lshSignature(col("q"), tb * b, b)): _*))
         .persist()
-      emb.as("a")
-        .join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-          // zero-norm guard (matches Kernels.quantCosine): 0/0 would be NaN,
-          // and Spark treats NaN as greater than any number, so an unguarded
-          // zero vector would pass the >= threshold and flood the output
-          when(col("a.nn") === 0L || col("b.nn") === 0L, lit(0.0))
-            .otherwise(quant_dot(col("a.q"), col("b.q")).cast("double") /
-              (sqrt(col("a.nn").cast("double")) *
-                sqrt(col("b.nn").cast("double")))).as("cos"))
-        .filter(col("cos") >= 0.45)
-        .orderBy("id1", "id2")
+      val keys = emb.select(col("vec_id"),
+        posexplode(col("bkts")).as(Seq("tb", "bkt")))
+      val cand = keys.as("a")
+        .join(keys.as("b"),
+          col("a.tb") === col("b.tb") && col("a.bkt") === col("b.bkt") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+        .distinct()
+      verifyCosine(cand, emb, 0.45)
+    },
+    // Exact all-pairs baseline (block-partitioned triangular join): the
+    // correctness oracle for the bucketed path, and the honest exact
+    // option when the threshold sits below LSH's separation power.
+    "dedup_embedding_bruteforce" -> { (s, d) =>
+      val emb = quantizedEmbeddings(Tables(s, d).embeddings).persist()
+      val cand = emb.select(col("vec_id").as("id1")).as("a")
+        .join(emb.select(col("vec_id").as("id2")).as("b"),
+          col("id1") < col("id2"))
+      verifyCosine(cand, emb, 0.45)
     }
   )
+
+  /** vec_id + 1000x-quantized vector + squared norm, computed once per row
+    * so pair loops only run the integer dot kernel.
+    */
+  private def quantizedEmbeddings(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"),
+        graft.functions.functions.quantize1000(col("embedding")).as("q"))
+      .withColumn("nn",
+        aggregate(transform(col("q"), x => x * x), lit(0L), (a, x) => a + x))
+
+  /** Exact quantized-cosine verification of candidate (id1, id2) pairs. */
+  private def verifyCosine(
+      cand: DataFrame, emb: DataFrame, t: Double): DataFrame =
+    cand
+      .join(emb.as("x"), col("id1") === col("x.vec_id"))
+      .join(emb.as("y"), col("id2") === col("y.vec_id"))
+      .select(col("id1"), col("id2"),
+        // zero-norm guard (matches Kernels.quantCosine): 0/0 would be NaN,
+        // and Spark treats NaN as greater than any number, so an unguarded
+        // zero vector would pass the >= threshold and flood the output
+        when(col("x.nn") === 0L || col("y.nn") === 0L, lit(0.0))
+          .otherwise(quant_dot(col("x.q"), col("y.q")).cast("double") /
+            (sqrt(col("x.nn").cast("double")) *
+              sqrt(col("y.nn").cast("double")))).as("cos"))
+      .filter(col("cos") >= t)
+      .orderBy("id1", "id2")
 
   def oracles: Map[String, String] = Map(
     // Full replication of the MinHash+LSH pipeline in DuckDB SQL: xxh64
@@ -344,7 +391,41 @@ object DedupOps {
         |SELECT doc_id, n_tokens FROM quality
         |WHERE doc_id NOT IN (SELECT drop_id FROM dups)
         |ORDER BY doc_id""".stripMargin,
+    // Replication of the OR-amplified bucketing: 64 integer hyperplanes,
+    // 16 x 4-bit table signatures, candidate equi-join on (table, bucket),
+    // exact quantized-cosine verify — the oracle checks bucket assignment,
+    // not just the verified scores.
     "dedup_embedding" ->
+      """WITH q AS (SELECT vec_id, i,
+        |    CAST(floor(embedding[i] * 1000.0 + 0.5) AS BIGINT) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
+        |dots AS (SELECT vec_id, k,
+        |           sum(v * (((k * 131 + (i - 1) * 31 + 7) % 61) - 30)) AS dt
+        |         FROM q CROSS JOIN
+        |           (SELECT unnest(generate_series(0, 63)) AS k) pl
+        |         GROUP BY 1, 2),
+        |bkt AS (SELECT vec_id, k // 4 AS tb,
+        |          CAST(sum(CASE WHEN dt > 0 THEN 1 << (k % 4) ELSE 0 END)
+        |            AS BIGINT) AS bucket
+        |        FROM dots GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        |         FROM bkt a JOIN bkt b
+        |           ON a.tb = b.tb AND a.bucket = b.bucket
+        |          AND a.vec_id < b.vec_id),
+        |p AS (SELECT id1, id2, sum(a.v * b.v) AS dot
+        |      FROM cand JOIN q a ON a.vec_id = id1
+        |                JOIN q b ON b.vec_id = id2 AND b.i = a.i
+        |      GROUP BY 1, 2),
+        |scored AS (SELECT id1, id2,
+        |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+        |           sqrt(CAST(nb.nn AS DOUBLE))) END AS cos
+        |  FROM p JOIN n na ON na.vec_id = id1 JOIN n nb ON nb.vec_id = id2)
+        |SELECT id1, id2, cos FROM scored WHERE cos >= 0.45
+        |ORDER BY id1, id2""".stripMargin,
+    "dedup_embedding_bruteforce" ->
       """WITH q AS (SELECT vec_id, i,
         |    CAST(floor(embedding[i] * 1000.0 + 0.5) AS BIGINT) AS v
         |  FROM embeddings,

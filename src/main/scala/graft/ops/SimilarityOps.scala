@@ -31,14 +31,20 @@ object SimilarityOps {
   private def planeWeight(k: Int, i: Column): Column =
     ((lit(k) * lit(131) + i * lit(31) + lit(7)) % lit(61)) - lit(30)
 
-  /** Sign-bit signature of quantized vector `q` under integer hyperplanes. */
-  private def lshSignature(q: Column, planes: Int): Column =
-    (0 until planes).map { k =>
+  /** Sign-bit signature of quantized vector `q` under `bits` consecutive
+    * integer hyperplanes starting at `fromPlane` — bit j of the result is
+    * the sign of plane (fromPlane + j). Shared by the single-table ANN
+    * probe (planes 0..7) and the OR-amplified multi-table embedding dedup
+    * (table tb = planes tb*b .. tb*b+b-1).
+    */
+  private[graft] def lshSignature(
+      q: Column, fromPlane: Int, bits: Int): Column =
+    (0 until bits).map { j =>
       val dot = aggregate(
         zip_with(q, sequence(lit(0), size(q) - 1),
-          (x, i) => x * planeWeight(k, i).cast("long")),
+          (x, i) => x * planeWeight(fromPlane + j, i).cast("long")),
         lit(0L), (acc, x) => acc + x)
-      when(dot > 0, lit(1L << k)).otherwise(lit(0L))
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
   private def topk(scored: DataFrame, k: Int): DataFrame = {
@@ -70,7 +76,7 @@ object SimilarityOps {
     // bucket+probe pipeline; DedupSpec measures recall against brute force.
     "sim_ann_lsh" -> { (s, d) =>
       val e = Tables(s, d).embeddings
-        .withColumn("bucket", lshSignature(quantize(col("embedding")), 8))
+        .withColumn("bucket", lshSignature(quantize(col("embedding")), 0, 8))
         .persist() // bucketed corpus read by both the query and corpus sides
       val probes = typedLit(0L +: (0 until 8).map(k => 1L << k))
       val qs = e.filter(col("vec_id") < 10)

@@ -118,6 +118,63 @@ class DedupSpec extends GraftSuite {
     }
   }
 
+  test("bucketed embedding dedup: exact precision, measured recall") {
+    // sf0.01 (500 vectors): sf0.001's 7 true pairs are too small a sample
+    // for a recall bound at the borderline threshold
+    val d = "/root/testdata/sf0.01"
+    def p(name: String) = DedupOps.queries(name)(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = p("dedup_embedding")
+    val brute = p("dedup_embedding_bruteforce")
+    // the exact-verify stage makes precision 1.0 by construction
+    assert(bucketed.subsetOf(brute), s"false positives: ${bucketed -- brute}")
+    // this corpus's true pairs sit at cos 0.45..0.51 — the borderline
+    // regime where hyperplane LSH is weakest; recall must still be high
+    val recall = brute.count(bucketed.contains).toDouble / brute.size
+    assert(recall >= 0.85, s"recall $recall (found ${bucketed.size}/${brute.size})")
+  }
+
+  test("bucketed embedding dedup is recall-complete at near-dup cos >= 0.9") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // planted corpus: 40 independent vectors + 10 true near-duplicates
+    // (small perturbation => cos ~ 0.99). At the threshold where real
+    // near-dup dedup operates, the same L=16 x 4-bit bucketing must
+    // recover every planted pair.
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)((rnd.nextDouble() * 2 - 1).toFloat)
+    val base = (0 until 40).map(i => (i.toLong, vec()))
+    val dups = (0 until 10).map { i =>
+      val (_, v) = base(i)
+      (100L + i, v.map(x => x + (rnd.nextDouble() * 0.06 - 0.03).toFloat))
+    }
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val q = emb.select(col("vec_id"),
+        graft.functions.functions.quantize1000(col("embedding")).as("q"))
+      .withColumn("nn",
+        aggregate(transform(col("q"), x => x * x), lit(0L), (a, x) => a + x))
+      .withColumn("bkts", array((0 until 16).map(tb =>
+        ops.SimilarityOps.lshSignature(col("q"), tb * 4, 4)): _*))
+      .persist()
+    val keys = q.select(col("vec_id"), posexplode(col("bkts")).as(Seq("tb", "bkt")))
+    val cand = keys.as("a").join(keys.as("b"),
+        col("a.tb") === col("b.tb") && col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2")).distinct()
+    val found = cand
+      .join(q.as("x"), col("id1") === col("x.vec_id"))
+      .join(q.as("y"), col("id2") === col("y.vec_id"))
+      .select(col("id1"), col("id2"),
+        (graft.functions.functions.quant_dot(col("x.q"), col("y.q"))
+          .cast("double") /
+          (sqrt(col("x.nn").cast("double")) * sqrt(col("y.nn").cast("double"))))
+          .as("cos"))
+      .filter(col("cos") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 10).map(i => (i.toLong, 100L + i)).toSet
+    assert(found == expected, s"found=$found expected=$expected")
+  }
+
   test("exact dedup keeps one representative per content hash") {
     val df = DedupOps.queries("dedup_exact")(spark, sfDir)
     val n = df.count()
