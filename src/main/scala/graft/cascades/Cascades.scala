@@ -15,12 +15,31 @@ import scala.collection.mutable
   *    (`memo.rs:760-770`, `task.rs:174`);
   *  - branch-and-bound upper-bound pruning during input optimization
   *    (`task.rs:315,418-421,464-466`);
-  *  - enforcer hook deliberately empty, as in the reference
-  *    (`properties/physical.rs:16-24`).
+  *
+  * and goes one step beyond the reference in three places it stubbed:
+  *
+  *  - ENFORCERS: the reference's `append_enforcers` returns an empty vec
+  *    (`properties/physical.rs:16-24`, consumed at `task.rs:431-462`);
+  *    here an [[EnforceOrder]] task inserts a [[PhysicalSort]] above the
+  *    group's relaxed winner when a required [[OrderSpec]] is not
+  *    delivered by any member;
+  *  - STATISTICS: `stat.rs:5-21` declares row_count/ndv but never computes
+  *    them; here the memo derives per-group cardinality bottom-up
+  *    ([[StatsModel]]) and [[CardinalityCostModel]] prices build-side
+  *    choice — making `CommutateJoinRule` + cost pick the smaller build
+  *    side, the decision the reference's constant model provably cannot
+  *    make (its golden at `cascades/optimizer.rs:97-137` is side-agnostic);
+  *  - GROUP MERGE: the reference ships `merge_duplicate_groups` with the
+  *    call site commented out (`task.rs:148-149`); with
+  *    `mergeDuplicates = true` the search merges after convergence and
+  *    restarts to fixpoint (merges strictly decrease group count, so the
+  *    restart loop terminates).
   */
 final class CascadesOptimizer(
     rules: Seq[OptRule] = Rules.all,
-    costModel: CostModel = ConstantCostModel) {
+    costModel: CostModel = ConstantCostModel,
+    stats: StatsModel = NoStats,
+    mergeDuplicates: Boolean = false) {
 
   private sealed trait Task
   private final case class OptimizeGroup(
@@ -36,15 +55,41 @@ final class CascadesOptimizer(
   private final case class OptimizeInputs(
       g: Int, e: GroupExpr, required: PhysicalPropertySet, upperBound: Double,
       round: Int) extends Task
+  /** Enforcer: once the RELAXED winner exists, top it with PhysicalSort. */
+  private final case class EnforceOrder(
+      g: Int, required: PhysicalPropertySet, upperBound: Double, round: Int)
+      extends Task
 
   private val MaxRounds = 10000
 
   def optimize(
       plan: PlanNode,
       required: PhysicalPropertySet = PhysicalPropertySet.default)
-      : Option[PlanNode] = {
-    val memo = new Memo
+      : Option[PlanNode] =
+    optimizeWithMemo(plan, required)._1
+
+  /** Like [[optimize]] but also returns the memo (for goldens inspecting
+    * group structure — duplicate merges, cardinalities, winners).
+    */
+  def optimizeWithMemo(
+      plan: PlanNode,
+      required: PhysicalPropertySet = PhysicalPropertySet.default)
+      : (Option[PlanNode], Memo) = {
+    val memo = new Memo(stats)
     val root = memo.insertPlan(plan)
+    var passes = 0
+    var merged = true
+    while (merged && passes < 8) {
+      runSearch(memo, memo.root, required)
+      merged = mergeDuplicates && memo.duplicates.nonEmpty
+      if (merged) memo.mergeDuplicateGroups()
+      passes += 1
+    }
+    (memo.bestPlan(memo.root, required), memo)
+  }
+
+  private def runSearch(
+      memo: Memo, root: Int, required: PhysicalPropertySet): Unit = {
     val stack = mutable.Stack[Task](
       OptimizeGroup(root, required, Double.PositiveInfinity))
     var steps = 0
@@ -52,10 +97,18 @@ final class CascadesOptimizer(
       steps += 1
       stack.pop() match {
 
-        // `task.rs:536-585`
+        // `task.rs:536-585`, plus the enforcer branch the reference stubs:
+        // a required order additionally schedules (relaxed search, then
+        // EnforceOrder) — pushed first so it pops only after the relaxed
+        // subtree of tasks completes
         case OptimizeGroup(g, req, bound) =>
           val grp = memo.group(g)
           if (grp.winner(req).isEmpty) {
+            if (req.order != OrderSpec.AnyOrder) {
+              val relaxed = req.copy(order = OrderSpec.AnyOrder)
+              stack.push(EnforceOrder(g, req, bound, 0))
+              stack.push(OptimizeGroup(g, relaxed, bound))
+            }
             grp.physicalExprs.foreach(e =>
               stack.push(OptimizeInputs(g, e, req, bound, 0)))
             grp.logicalExprs.foreach(e =>
@@ -103,33 +156,59 @@ final class CascadesOptimizer(
         // `task.rs:211-512` (4-state FSM compressed to resumable rounds):
         // derive child required props (default, as the reference's join
         // does), optimize children within the remaining budget, accumulate,
-        // update winner; enforcers would be consulted here but the
-        // reference's `append_enforcers` returns an empty vec — same here.
+        // update winner. An expression that does not DELIVER the required
+        // order cannot win under it — the EnforceOrder task covers that
+        // requirement instead.
         case OptimizeInputs(g, e, req, bound, round) =>
-          val selfCost = costModel.operatorCost(e.op.asInstanceOf[PhysicalOp])
-          if (selfCost <= bound) { // upper-bound pruning (`task.rs:418-421`)
-            val childProp = PhysicalPropertySet.default
-            val winners = e.inputs.map(memo.group(_).winner(childProp))
-            if (winners.forall(_.isDefined)) {
-              val total = selfCost + winners.flatten.map(_.cost).sum
-              if (total <= bound) {
-                memo.group(g).updateWinner(req, Winner(e, total))
-                if (req != childProp)
-                  memo.group(g).updateWinner(childProp, Winner(e, total))
-              }
-            } else if (round < MaxRounds) {
-              stack.push(OptimizeInputs(g, e, req, bound, round + 1))
-              val spent = selfCost + winners.flatten.map(_.cost).sum
-              e.inputs.zip(winners).foreach {
-                case (in, None) =>
-                  stack.push(OptimizeGroup(in, childProp, bound - spent))
-                case _ =>
+          val op = e.op.asInstanceOf[PhysicalOp]
+          if (PhysicalPropertySet.deliversOrder(op, req)) {
+            val selfCost =
+              costModel.operatorCost(op, e.inputs.map(memo.group(_).card))
+            if (selfCost <= bound) { // upper-bound pruning (`task.rs:418-421`)
+              val childProp = PhysicalPropertySet.default
+              val winners = e.inputs.map(memo.group(_).winner(childProp))
+              if (winners.forall(_.isDefined)) {
+                val total = selfCost + winners.flatten.map(_.cost).sum
+                if (total <= bound) {
+                  val w = Winner(e, total, e.inputs.map(_ => childProp))
+                  memo.group(g).updateWinner(req, w)
+                  if (req != childProp)
+                    memo.group(g).updateWinner(childProp, w)
+                }
+              } else if (round < MaxRounds) {
+                stack.push(OptimizeInputs(g, e, req, bound, round + 1))
+                val spent = selfCost + winners.flatten.map(_.cost).sum
+                e.inputs.zip(winners).foreach {
+                  case (in, None) =>
+                    stack.push(OptimizeGroup(in, childProp, bound - spent))
+                  case _ =>
+                }
               }
             }
           }
+
+        // the completed `append_enforcers` (`task.rs:431-462`): sort the
+        // group's relaxed winner to establish the required order
+        case EnforceOrder(g, req, bound, round) =>
+          val relaxed = req.copy(order = OrderSpec.AnyOrder)
+          memo.group(g).winner(relaxed) match {
+            case Some(w) =>
+              req.order match {
+                case OrderSpec.SortedBy(cols) =>
+                  val sortOp = PhysicalSort(cols)
+                  val cost = costModel.operatorCost(
+                    sortOp, Seq(memo.group(g).card)) + w.cost
+                  if (cost <= bound)
+                    memo.group(g).updateWinner(req,
+                      Winner(GroupExpr(sortOp, Seq(g)), cost, Seq(relaxed)))
+                case OrderSpec.AnyOrder => // nothing to enforce
+              }
+            case None =>
+              if (round < MaxRounds)
+                stack.push(EnforceOrder(g, req, bound, round + 1))
+          }
       }
     }
-    memo.bestPlan(root, required)
   }
 }
 

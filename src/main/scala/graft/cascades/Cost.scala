@@ -1,16 +1,84 @@
 package graft.cascades
 
-/** Cost model — mirrors `dolomite/src/cost/mod.rs:11-35` +
-  * `cost/trivial.rs:9-30`: every physical operator costs 1.0, logical
-  * operators are un-costable. (The reference's `Statistics` are declared but
-  * never computed — `stat.rs:5-21`; Spark's `plan.stats` is the production
-  * counterpart, used by [[graft.rules.Join2HashJoinStrategy]].)
+/** Cost + statistics models.
+  *
+  * The reference declares `Statistics { row_count, ndv }` but never computes
+  * it (`dolomite/src/stat.rs:5-21`), so its `SimpleCostModel` is a constant
+  * per operator (`cost/trivial.rs:9-30`) and provably cannot distinguish a
+  * commuted join from the original (its own golden at
+  * `cascades/optimizer.rs:97-137` is side-agnostic). MiniCascades keeps the
+  * faithful [[ConstantCostModel]] AND completes the stub:
+  * [[StatsModel]] derives per-group output cardinality bottom-up and
+  * [[CardinalityCostModel]] prices operators by the rows they touch — which
+  * is exactly enough for `CommutateJoinRule` + cost search to put the small
+  * side of a hash join on the build side. (Spark's `plan.stats` is the
+  * production counterpart, used by [[graft.rules.Join2HashJoinStrategy]].)
   */
 trait CostModel {
-  /** Cost of the operator itself, excluding inputs. */
-  def operatorCost(op: PhysicalOp): Double
+  /** Cost of the operator itself, excluding inputs; `inputRows` are the
+    * derived cardinalities of its input groups (empty for leaves).
+    */
+  def operatorCost(op: PhysicalOp, inputRows: Seq[Long]): Double
 }
 
 object ConstantCostModel extends CostModel {
-  def operatorCost(op: PhysicalOp): Double = 1.0
+  def operatorCost(op: PhysicalOp, inputRows: Seq[Long]): Double = 1.0
+}
+
+/** Output-cardinality derivation: row counts per scan from a catalog,
+  * simple textbook factors above (the point is ORDERING costs correctly,
+  * not absolute accuracy).
+  */
+trait StatsModel {
+  def tableRows(table: String): Long
+
+  final def derive(op: Operator, inputRows: Seq[Long]): Long = op match {
+    case LogicalScan(t, l)       => limited(tableRows(t), l)
+    case PhysicalTableScan(t, l) => limited(tableRows(t), l)
+    case _: LogicalFilter | _: PhysicalFilter =>
+      math.max(1L, inputRows.head / 10) // fixed 10% selectivity
+    case _: LogicalProject | _: PhysicalProject => inputRows.head
+    case _: LogicalJoin | _: PhysicalHashJoin =>
+      // FK-join heuristic: |A ⋈ B| ~ max(|A|,|B|) — symmetric, so the
+      // commuted join lands in a group with the same cardinality and only
+      // the COST (build-side choice) differentiates the two
+      math.max(inputRows(0), inputRows(1))
+    case LogicalLimit(n)  => math.min(inputRows.head, n.toLong)
+    case _: PhysicalSort  => inputRows.head
+  }
+
+  private def limited(rows: Long, limit: Option[Int]): Long =
+    limit.fold(rows)(l => math.min(rows, l.toLong))
+}
+
+/** No statistics: every group has cardinality 1 (keeps the constant-model
+  * search identical to the reference's).
+  */
+object NoStats extends StatsModel {
+  def tableRows(table: String): Long = 1L
+}
+
+final case class TableStats(catalog: Map[String, Long]) extends StatsModel {
+  def tableRows(table: String): Long = catalog.getOrElse(table, 1000L)
+}
+
+/** Rows-touched cost: scans pay their output, filters/projections pay their
+  * input, a hash join pays 2x its BUILD side (hash-table construction +
+  * memory residency) plus 1x its probe side, a sort pays n·log2(n). Build
+  * side = RIGHT input, matching the Catalyst strategy's default
+  * (`graft.rules.Join2HashJoinStrategy` builds right unless stats say
+  * otherwise) — so commuting a join to put the small input on the right is
+  * strictly cheaper, the decision the constant model cannot make.
+  */
+final class CardinalityCostModel extends CostModel {
+  def operatorCost(op: PhysicalOp, inputRows: Seq[Long]): Double = op match {
+    case PhysicalTableScan(_, _)   => 1.0 // output rows priced by parent
+    case PhysicalFilter(_, _)      => inputRows.head.toDouble
+    case PhysicalProject(_)        => inputRows.head.toDouble
+    case PhysicalHashJoin(_, _)    =>
+      inputRows(0).toDouble + 2.0 * inputRows(1).toDouble
+    case PhysicalSort(_)           =>
+      val n = inputRows.head.toDouble
+      n * (math.log(n + 1.0) / math.log(2.0))
+  }
 }

@@ -56,6 +56,16 @@ final case class PhysicalProject(exprs: Seq[Expr]) extends PhysicalOp {
 }
 final case class PhysicalHashJoin(joinType: JoinType, cond: EqCond)
     extends PhysicalOp { def arity = 2 }
+/** Sort ENFORCER — one step beyond the reference, which declares the
+  * enforcer hook but returns an empty vec (`properties/physical.rs:16-24`,
+  * consumed at `task.rs:431-462`) and stubs `OrderSpec::satisfies` to true
+  * (`properties/order.rs:6-25`). MiniCascades inserts this node when a
+  * required [[OrderSpec.SortedBy]] is not delivered by any group member.
+  * Never produced by an implementation rule — only by the enforcer path.
+  */
+final case class PhysicalSort(cols: Seq[Col]) extends PhysicalOp {
+  def arity = 1
+}
 /** No physical Limit exists in the reference enum (`operator/physical.rs:
   * 15-20`) — limits must be absorbed into scans by rules before
   * implementation. Reproduced faithfully here.
@@ -81,13 +91,16 @@ final case class PlanNode(op: Operator, inputs: Seq[PlanNode] = Nil) {
     case PhysicalFilter(p, _)    => s"PhysicalFilter($p)"
     case PhysicalProject(e)      => s"PhysicalProjection(${e.mkString(",")})"
     case PhysicalHashJoin(jt, c) => s"PhysicalHashJoin($jt, $c)"
+    case PhysicalSort(cols)      => s"PhysicalSort(${cols.mkString(",")})"
   }
 }
 
 /** Physical properties — `properties/{physical,distribution,order}.rs`.
-  * The reference's `OrderSpec.satisfies` is stubbed `true` and enforcers
-  * return an empty vec; reproduced as-is (Spark's EnsureRequirements is the
-  * completed version of this stub — see SURVEY.md §4.2).
+  * The reference declares `OrderSpec` but stubs `satisfies` to `true` and
+  * its enforcers return an empty vec; MiniCascades completes the stub: a
+  * real [[OrderSpec]], delivered-order derivation, and a [[PhysicalSort]]
+  * enforcer inserted by the search (Spark's EnsureRequirements is the
+  * production counterpart — see SURVEY.md §4.2).
   */
 sealed trait DistributionSpec
 object DistributionSpec {
@@ -97,13 +110,37 @@ object DistributionSpec {
   case object Random extends DistributionSpec
 }
 
+/** Required/delivered sort order (`properties/order.rs:6-25`, completed). */
+sealed trait OrderSpec
+object OrderSpec {
+  case object AnyOrder extends OrderSpec
+  final case class SortedBy(cols: Seq[Col]) extends OrderSpec
+}
+
 final case class PhysicalPropertySet(
-    distribution: DistributionSpec = DistributionSpec.Any) {
+    distribution: DistributionSpec = DistributionSpec.Any,
+    order: OrderSpec = OrderSpec.AnyOrder) {
   def satisfies(required: PhysicalPropertySet): Boolean =
-    required.distribution == DistributionSpec.Any ||
-      distribution == required.distribution
+    (required.distribution == DistributionSpec.Any ||
+      distribution == required.distribution) &&
+      (required.order == OrderSpec.AnyOrder || order == required.order)
 }
 
 object PhysicalPropertySet {
   val default: PhysicalPropertySet = PhysicalPropertySet()
+
+  /** The order a physical operator DELIVERS, given it imposes none on its
+    * children: only the sort enforcer establishes an order here (hash
+    * joins/scans deliver none — matching Spark, where sort-merge outputs
+    * are the exception handled by EnsureRequirements).
+    */
+  def deliveredOrder(op: PhysicalOp): OrderSpec = op match {
+    case PhysicalSort(cols) => OrderSpec.SortedBy(cols)
+    case _                  => OrderSpec.AnyOrder
+  }
+
+  /** Does `op`'s delivered order satisfy `required.order`? */
+  def deliversOrder(op: PhysicalOp, required: PhysicalPropertySet): Boolean =
+    required.order == OrderSpec.AnyOrder ||
+      deliveredOrder(op) == required.order
 }

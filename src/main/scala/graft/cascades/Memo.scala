@@ -17,7 +17,17 @@ import scala.collection.mutable
   */
 final case class GroupExpr(op: Operator, inputs: Seq[Int])
 
-final case class Winner(expr: GroupExpr, cost: Double)
+/** Best expression found for a required property set; `childProps` is the
+  * property each input group must be extracted under (an enforcer's child
+  * is extracted under the RELAXED requirement, everything else under the
+  * default).
+  */
+final case class Winner(
+    expr: GroupExpr, cost: Double,
+    childProps: Seq[PhysicalPropertySet] = Nil) {
+  def childProp(i: Int): PhysicalPropertySet =
+    if (i < childProps.length) childProps(i) else PhysicalPropertySet.default
+}
 
 final class Group(val id: Int) {
   val logicalExprs = mutable.LinkedHashSet[GroupExpr]()
@@ -25,6 +35,10 @@ final class Group(val id: Int) {
   val appliedRules = mutable.Map[GroupExpr, mutable.Set[RuleId]]()
   var explored = false
   val winners = mutable.Map[PhysicalPropertySet, Winner]()
+  /** Derived output cardinality (`stat.rs:5-21`, completed): stats are a
+    * property of the equivalence group, derived from its first member.
+    */
+  var card: Long = 1L
 
   def add(e: GroupExpr): Boolean = {
     val set = if (e.op.isLogical) logicalExprs else physicalExprs
@@ -43,7 +57,7 @@ final class Group(val id: Int) {
     }
 }
 
-final class Memo {
+final class Memo(stats: StatsModel = NoStats) {
   val groups = mutable.ArrayBuffer[Group]()
   private val exprToGroup = mutable.Map[GroupExpr, Int]()
   /** (kept group, duplicate group) pairs detected on insert. */
@@ -91,9 +105,14 @@ final class Memo {
           case _ => (existing, false)
         }
       case None =>
+        val created = target.isEmpty
         val g = target.map(group).getOrElse(newGroup())
         g.add(expr)
         exprToGroup(expr) = g.id
+        // derive cardinality when the group is born (inputs exist already —
+        // insertion is bottom-up); equivalent expressions share it
+        if (created)
+          g.card = stats.derive(expr.op, expr.inputs.map(group(_).card))
         (g.id, true)
     }
 
@@ -152,10 +171,15 @@ final class Memo {
     }
   }
 
-  /** Winner extraction (`memo.rs:66-82`, `Group::best_plan_of:669-710`). */
+  /** Winner extraction (`memo.rs:66-82`, `Group::best_plan_of:669-710`);
+    * each child is extracted under the property the winner required of it
+    * (enforcers relax their own requirement on the child).
+    */
   def bestPlan(gid: Int, prop: PhysicalPropertySet): Option[PlanNode] =
     group(gid).winner(prop).flatMap { w =>
-      val childPlans = w.expr.inputs.map(bestPlan(_, PhysicalPropertySet.default))
+      val childPlans = w.expr.inputs.zipWithIndex.map { case (in, i) =>
+        bestPlan(in, w.childProp(i))
+      }
       if (childPlans.forall(_.isDefined))
         Some(PlanNode(w.expr.op, childPlans.map(_.get)))
       else None

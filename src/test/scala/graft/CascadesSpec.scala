@@ -132,6 +132,99 @@ class CascadesSpec extends AnyFunSuite {
     assert(new CascadesOptimizer().optimize(plan).isEmpty)
   }
 
+  // --- enforcers (the completed properties/physical.rs:16-24 stub) ---
+
+  test("requiring sorted output inserts PhysicalSort above the hash join") {
+    val plan = join(scan("t1"), scan("t2"), "c1", "c2")
+    val req = PhysicalPropertySet(order = OrderSpec.SortedBy(Seq(Col("c1"))))
+    val out = new CascadesOptimizer().optimize(plan, req)
+    assert(out.isDefined)
+    out.get match {
+      case PlanNode(PhysicalSort(Seq(Col("c1"))),
+          Seq(PlanNode(PhysicalHashJoin(JoinType.Inner, _), _))) =>
+      case other => fail(s"expected Sort over HashJoin:\n${other.explain()}")
+    }
+    // the same search without the requirement must NOT pay for a sort
+    val unordered = new CascadesOptimizer().optimize(plan).get
+    assert(!unordered.explain().contains("PhysicalSort"))
+  }
+
+  test("enforcer costs still prune: sorted requirement adds sort cost once") {
+    val plan = join(scan("t1"), scan("t2"), "c1", "c2")
+    val req = PhysicalPropertySet(order = OrderSpec.SortedBy(Seq(Col("c1"))))
+    val (out, memo) = new CascadesOptimizer().optimizeWithMemo(plan, req)
+    assert(out.isDefined)
+    val sorted = memo.group(memo.root).winner(req).get
+    val plain = memo.group(memo.root).winner(PhysicalPropertySet.default).get
+    // constant model: sort = +1.0 over the relaxed winner, nothing else
+    assert(sorted.cost == plain.cost + 1.0)
+  }
+
+  // --- statistics + cardinality cost (the completed stat.rs:5-21 stub) ---
+
+  test("memo derives group cardinalities bottom-up from table stats") {
+    val stats = TableStats(Map("t1" -> 10000L))
+    val memo = new Memo(stats)
+    val root = memo.insertPlan(
+      limit(7, PlanNode(LogicalFilter(EqCond(Col("a"), Col("b")), Nil),
+        Seq(scan("t1")))))
+    val limitG = memo.group(root)
+    val filterG = memo.group(limitG.logicalExprs.head.inputs.head)
+    val scanG = memo.group(filterG.logicalExprs.head.inputs.head)
+    assert(scanG.card == 10000L)
+    assert(filterG.card == 1000L) // 10% selectivity
+    assert(limitG.card == 7L)
+  }
+
+  test("cardinality cost + commutation picks the smaller build side") {
+    // the decision the reference's constant model provably cannot make
+    // (its golden at cascades/optimizer.rs:97-137 is side-agnostic): with
+    // build = right input, the search must COMMUTE join(small, big) so the
+    // 10-row table is built and the 10000-row table probes
+    val stats = TableStats(Map("small" -> 10L, "big" -> 10000L))
+    val plan = join(scan("small"), scan("big"), "c1", "c2")
+    val opt = new CascadesOptimizer(
+      costModel = new CardinalityCostModel, stats = stats)
+    val out = opt.optimize(plan)
+    assert(out.isDefined)
+    out.get match {
+      case PlanNode(PhysicalHashJoin(JoinType.Inner, cond),
+          Seq(PlanNode(PhysicalTableScan(l, None), Nil),
+              PlanNode(PhysicalTableScan(r, None), Nil))) =>
+        assert(l == "big" && r == "small",
+          s"build side should be 'small': got left=$l right=$r")
+        // the condition commutes with the inputs
+        assert(cond == EqCond(Col("c2"), Col("c1")))
+      case other => fail(s"unexpected plan:\n${other.explain()}")
+    }
+  }
+
+  // --- duplicate-group merge wired into the search (task.rs:148-149) ---
+
+  test("mergeDuplicates: commuted-rewrite duplicate groups collapse, winner survives") {
+    // Limit(5, Limit(3, scan)) -> RemoveLimit produces Limit(3, scan) in the
+    // ROOT group, which dedups into the inner limit group -> duplicate pair
+    // recorded -> merge collapses the two groups -> the search restarts and
+    // still extracts the fully-absorbed scan
+    val plan = limit(5, limit(3, scan("t1")))
+    val opt = new CascadesOptimizer(mergeDuplicates = true)
+    val (out, memo) = opt.optimizeWithMemo(plan)
+    assert(out.isDefined)
+    out.get match {
+      case PlanNode(PhysicalTableScan("t1", Some(3)), Nil) =>
+      case other => fail(s"unexpected plan:\n${other.explain()}")
+    }
+    // all recorded duplicates were consumed by the merge
+    assert(memo.duplicates.isEmpty)
+    // the two limit groups collapsed: one group now holds BOTH limit exprs
+    // and at least one group was emptied by the merge
+    assert(memo.groups.exists(g =>
+      g.logicalExprs.exists(_.op == LogicalLimit(3)) &&
+        g.logicalExprs.exists(_.op == LogicalLimit(5))))
+    assert(memo.groups.exists(g =>
+      g.logicalExprs.isEmpty && g.physicalExprs.isEmpty))
+  }
+
   // --- heuristic optimizer golden cases (resources/limit.yaml) ---
 
   test("hep: limit 5 over scan absorbs into the scan (limit.yaml case 2)") {
