@@ -103,6 +103,25 @@ object AnalyticsExt {
           sum(col("pc")).as("n"))
         .orderBy("l_returnflag")
     },
+    // Skewed join left to AQE: 75% of lineitem rows collapse onto join key
+    // 0 (which matches nothing), so one shuffle partition dwarfs the rest.
+    // Complementary to agg_salted (manual salting): here the engine's
+    // runtime re-plan (spark.sql.adaptive.skewJoin) splits the hot
+    // partition — the 100 TB answer when the skew isn't known at write
+    // time. ScaleSpec asserts the skew=true plan shape on a planted case.
+    "join_skew_aqe" -> { (s, d) =>
+      val li = Tables(s, d).lineitem
+        .select(
+          when(pmod(col("l_orderkey"), lit(4)) < 3, lit(0L))
+            .otherwise(col("l_orderkey")).as("k"),
+          col("l_extendedprice"))
+      val ord = Tables(s, d).orders
+        .select(col("o_orderkey").as("k"), col("o_orderstatus"))
+      li.join(ord, "k")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("rev"))
+        .orderBy("o_orderstatus")
+    },
     // 30-day rolling revenue per customer (value-range window frame).
     "window_rolling_30d" -> { (s, d) =>
       val dayNum = datediff(col("o_orderdate"), lit("1990-01-01").cast("date"))
@@ -268,6 +287,15 @@ object AnalyticsExt {
          |  count(*) AS n
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin,
+    "join_skew_aqe" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  ${sqlSum("l_extendedprice")} AS rev
+         |FROM (SELECT CASE WHEN l_orderkey % 4 < 3 THEN 0
+         |             ELSE l_orderkey END AS k, l_extendedprice
+         |      FROM lineitem) l
+         |JOIN (SELECT o_orderkey AS k, o_orderstatus FROM orders) o
+         |  USING (k)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "window_rolling_30d" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(datediff('day', DATE '1990-01-01',

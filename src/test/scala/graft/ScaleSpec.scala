@@ -59,6 +59,37 @@ class ScaleSpec extends GraftSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("AQE splits a planted skewed join partition (skew=true in plan)") {
+    import spark.implicits._
+    // plant a hot key: half of 200k left rows share key 0 (with a fat
+    // payload so the skewed partition's byte size dwarfs the median);
+    // the right side is uniform
+    val left = spark.range(0, 200000)
+      .select(when(col("id") % 2 === 0, 0L).otherwise(col("id")).as("k"),
+        lpad(col("id").cast("string"), 100, "x").as("pad"))
+    val right = spark.range(0, 2000).select(col("id").as("k"),
+      lit(1L).as("v"))
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force a shuffle join
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      // AQE would otherwise coalesce the tiny test partitions first
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = left.join(right, "k").groupBy().agg(count(lit(1)).as("n"))
+      joined.collect()
+      val s = joined.queryExecution.executedPlan.toString
+      assert(s.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$s")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("identical subplans reuse one exchange (self-join on aggregate)") {
     import graft.ops.Tables
     val per = Tables(spark, sfDir).lineitem

@@ -24,7 +24,10 @@ class StreamingSpec extends GraftSuite {
     got.zip(want).foreach { case (g, w) =>
       assert(g.getLong(0) == w.getLong(0) && g.getString(1) == w.getString(1)
         && g.getLong(2) == w.getLong(2), s"mismatch: $g vs $w")
-      assert(math.abs(g.getDouble(3) - w.getDouble(3)) < 1e-9)
+      // EXACT equality: batch and streaming share the same floor-division
+      // epoch conversion and the same DECIMAL(28,6) sum — the streaming
+      // path inherits the batch oracle's ground truth bit for bit
+      assert(g.getDouble(3) == w.getDouble(3), s"sum mismatch: $g vs $w")
     }
   }
 
