@@ -194,6 +194,33 @@ object Kernels {
     new GenericArrayData(arr)
   }
 
+  /** Bucket ids of quantized vector `q` under `tables` LSH tables of
+    * `bits` sign-bit integer hyperplanes each — plane k = tables*bits
+    * deterministic weights w(k,i) = ((k*131 + i*31 + 7) mod 61) - 30; bit
+    * j of table tb is the sign of the plane (tb*bits + j) dot product.
+    * Single pass over the vector per plane (replaces a 64-expression
+    * Column-combinator tree that re-materialized `sequence`/`zip_with`
+    * per plane per row). The formula is replicated verbatim by the DuckDB
+    * oracles (SimilarityOps / DedupOps).
+    */
+  def lshBuckets(q: ArrayData, tables: Int, bits: Int): ArrayData = {
+    val dims = q.numElements()
+    val out = new Array[Long](tables)
+    var k = 0
+    val planes = tables * bits
+    while (k < planes) {
+      var dot = 0L
+      var i = 0
+      while (i < dims) {
+        dot += q.getLong(i) * (((k * 131 + i * 31 + 7) % 61) - 30).toLong
+        i += 1
+      }
+      if (dot > 0L) out(k / bits) |= 1L << (k % bits)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Jaccard of two SORTED, DISTINCT long arrays via linear merge. */
   def jaccardSortedLongs(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()

@@ -193,6 +193,27 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** LSH bucket ids of a quantized (long) vector: `tables` x `bits`
+  * sign-bit hyperplane signatures in one pass — see [[Kernels.lshBuckets]].
+  */
+case class LshBuckets(child: Expression, tables: Int, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(q: Any): Any =
+    Kernels.lshBuckets(
+      q.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      tables, bits)
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"${codegenNames.kernels}.lshBuckets($c, $tables, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of a token array (frequency-weighted). */
 case class SimHash64(child: Expression) extends UnaryExpression
     with ExpectsInputTypes {
@@ -251,6 +272,10 @@ object functions {
 
   def simhash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  def lsh_buckets(q: Column, tables: Int, bits: Int): Column =
+    ColumnBridge.column(
+      LshBuckets(ColumnBridge.expression(q), tables, bits))
 
   def word_shingles(tokens: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), n))

@@ -180,11 +180,35 @@ object AnalyticsExt {
       val kth = hashed.withColumn("rn", row_number().over(w))
         .filter(col("rn") === k)
         .select(col("l_returnflag"), col("h").as("hk"))
-      val agg = li.groupBy("l_returnflag").agg(
-        countDistinct(col("l_partkey")).as("exact_ndv"),
+      // sketches in one pass; countDistinct SEPARATELY (fusing it into the
+      // same agg triggers an Expand that doubles every input row), and the
+      // exact median from per-value counts — l_quantity has ~50 distinct
+      // integer values, so median() 's full value-sort aggregation is
+      // replaced by a 150-row cumulative window
+      val sk = li.groupBy("l_returnflag").agg(
         approx_count_distinct(col("l_partkey")).as("hll"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("amed"),
-        median(col("l_quantity")).as("emed"))
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("amed"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_ndv"))
+      val counts = li.groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+      val cw = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+      val tw = Window.partitionBy("l_returnflag")
+      val cum = counts
+        .withColumn("hi", sum(col("c")).over(cw))
+        .withColumn("lo", col("hi") - col("c") + 1)
+        .withColumn("tot", sum(col("c")).over(tw))
+        .withColumn("p1", expr("(tot + 1) div 2"))
+        .withColumn("p2", expr("(tot + 2) div 2"))
+      val emed = cum
+        .filter(col("lo") <= col("p2") && col("p1") <= col("hi"))
+        .groupBy("l_returnflag")
+        .agg(((sum(when(col("lo") <= col("p1") && col("p1") <= col("hi"),
+          col("l_quantity")).otherwise(lit(0.0))) +
+          sum(when(col("lo") <= col("p2") && col("p2") <= col("hi"),
+            col("l_quantity")).otherwise(lit(0.0)))) / lit(2.0)).as("emed"))
+      val agg = sk.join(exact, Seq("l_returnflag"))
+        .join(emed, Seq("l_returnflag"))
       agg.join(kth, Seq("l_returnflag"), "left")
         .select(col("l_returnflag"), col("exact_ndv"),
           // u_k = hk + 2^63 maps the signed hash onto [0, 2^64); the

@@ -232,8 +232,7 @@ object DedupOps {
       val L = 16
       val b = 4
       val emb = quantizedEmbeddings(Tables(s, d).embeddings)
-        .withColumn("bkts", array((0 until L).map(tb =>
-          SimilarityOps.lshSignature(col("q"), tb * b, b)): _*))
+        .withColumn("bkts", SimilarityOps.lshBuckets(col("q"), L, b))
         .persist()
       val keys = emb.select(col("vec_id"),
         posexplode(col("bkts")).as(Seq("tb", "bkt")))

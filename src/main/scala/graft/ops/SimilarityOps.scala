@@ -27,25 +27,15 @@ object SimilarityOps {
   private def quantize(e: Column): Column =
     graft.functions.functions.quantize1000(e)
 
-  /** Deterministic integer random-hyperplane weight for (plane k, dim i). */
-  private def planeWeight(k: Int, i: Column): Column =
-    ((lit(k) * lit(131) + i * lit(31) + lit(7)) % lit(61)) - lit(30)
-
-  /** Sign-bit signature of quantized vector `q` under `bits` consecutive
-    * integer hyperplanes starting at `fromPlane` — bit j of the result is
-    * the sign of plane (fromPlane + j). Shared by the single-table ANN
-    * probe (planes 0..7) and the OR-amplified multi-table embedding dedup
-    * (table tb = planes tb*b .. tb*b+b-1).
+  /** Per-table sign-bit signatures of quantized vector `q`: `tables` x
+    * `bits` integer hyperplanes (weight(k,i) = ((k*131 + i*31 + 7) mod 61)
+    * - 30), computed in ONE codegen'd pass ([[graft.functions.LshBuckets]]
+    * — the Column-combinator form re-evaluated `sequence`/`zip_with` per
+    * plane per row, 64x the work at 64 planes). Shared by the single-table
+    * ANN probe (1 x 8) and the OR-amplified embedding dedup (16 x 4).
     */
-  private[graft] def lshSignature(
-      q: Column, fromPlane: Int, bits: Int): Column =
-    (0 until bits).map { j =>
-      val dot = aggregate(
-        zip_with(q, sequence(lit(0), size(q) - 1),
-          (x, i) => x * planeWeight(fromPlane + j, i).cast("long")),
-        lit(0L), (acc, x) => acc + x)
-      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  private[graft] def lshBuckets(q: Column, tables: Int, bits: Int): Column =
+    graft.functions.functions.lsh_buckets(q, tables, bits)
 
   private def topk(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
@@ -76,7 +66,8 @@ object SimilarityOps {
     // bucket+probe pipeline; DedupSpec measures recall against brute force.
     "sim_ann_lsh" -> { (s, d) =>
       val e = Tables(s, d).embeddings
-        .withColumn("bucket", lshSignature(quantize(col("embedding")), 0, 8))
+        .withColumn("bucket",
+          element_at(lshBuckets(quantize(col("embedding")), 1, 8), 1))
         .persist() // bucketed corpus read by both the query and corpus sides
       val probes = typedLit(0L +: (0 until 8).map(k => 1L << k))
       val qs = e.filter(col("vec_id") < 10)

@@ -153,8 +153,7 @@ class DedupSpec extends GraftSuite {
         graft.functions.functions.quantize1000(col("embedding")).as("q"))
       .withColumn("nn",
         aggregate(transform(col("q"), x => x * x), lit(0L), (a, x) => a + x))
-      .withColumn("bkts", array((0 until 16).map(tb =>
-        ops.SimilarityOps.lshSignature(col("q"), tb * 4, 4)): _*))
+      .withColumn("bkts", ops.SimilarityOps.lshBuckets(col("q"), 16, 4))
       .persist()
     val keys = q.select(col("vec_id"), posexplode(col("bkts")).as(Seq("tb", "bkt")))
     val cand = keys.as("a").join(keys.as("b"),
