@@ -25,6 +25,16 @@ object DumpPlans {
       "dedup_minhash_lsh" -> ("signature table materialized once; " +
         "candidates from an equi-join on (band, signature); exact " +
         "verification only on candidates"),
+      "dedup_ngram_jaccard" -> ("df-ordered PPJoin: one linear shuffle to " +
+        "attach document frequencies, prefix index keyed by each doc's " +
+        "RAREST shingles (hot keys never indexed), candidate equi-join + " +
+        "position/size filters, exact merge verify on candidates"),
+      "dedup_embedding" -> ("OR-amplified LSH: one codegen'd kernel pass " +
+        "computes all 16x4-bit table signatures; candidates from an " +
+        "equi-join on (table, bucket); exact quantized-cosine verify"),
+      "join_skew_aqe" -> ("75% of probe rows share one join key: AQE's " +
+        "skew-join split handles the hot partition at runtime (the " +
+        "complement to the manual salting in agg_salted)"),
       "sim_topk_bruteforce" -> ("query set broadcast against the corpus " +
         "scan; quantized-cosine kernel inside whole-stage codegen; top-k " +
         "via rank window"),
