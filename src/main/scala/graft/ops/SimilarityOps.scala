@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.functions.quant_cosine
+import graft.functions.functions.{quant_cosine, quant_dot}
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
@@ -79,6 +79,59 @@ object SimilarityOps {
         .select(col("query_id"), col("vec_id"),
           quant_cosine(col("qe"), col("embedding")).as("cos")), 5)
     },
+    // IVF ANN search: the label partitions are the inverted lists, their
+    // quantized centroids the coarse quantizer. Each query probes its
+    // nprobe=2 nearest centroids and scores ONLY vectors in those lists —
+    // at 100 TB the corpus is stored partitioned by list id, so a probe
+    // reads nprobe partitions instead of the full corpus (the partition-
+    // pruning form of ANN, complementing the LSH equi-join form).
+    // Deterministic integer centroids + IEEE double scoring → the DuckDB
+    // oracle replicates the whole pipeline (assignment included).
+    "sim_ann_ivf" -> { (s, d) =>
+      val nprobe = 2
+      val base = Tables(s, d).embeddings
+        .select(col("vec_id"), col("label"),
+          quantize(col("embedding")).as("qv"))
+        .withColumn("nn",
+          aggregate(transform(col("qv"), x => x * x), lit(0L), (a, x) => a + x))
+        .persist()
+      // per-label quantized centroid (same formula as sim_label_centroid)
+      val byDim = base.select(col("label"),
+        posexplode(col("qv")).as(Seq("i", "v")))
+      val centVec = byDim.groupBy("label", "i")
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
+        .select(col("label"), col("i"),
+          floor(col("sv") * lit(1000) / col("cnt")).cast("long").as("cv"))
+        .groupBy("label")
+        .agg(transform(sort_array(collect_list(struct(col("i"), col("cv")))),
+          x => x("cv")).as("cvec"))
+        .withColumn("cnn",
+          aggregate(transform(col("cvec"), x => x * x), lit(0L), (a, x) => a + x))
+      val queries = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("qv").as("qq"),
+          col("nn").as("qnn"))
+      // coarse assignment: nprobe nearest centroids per query
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("csim").desc, col("label").asc)
+      val probes = queries.join(broadcast(centVec))
+        .select(col("query_id"), col("label"),
+          when(col("qnn") === 0L || col("cnn") === 0L, lit(0.0))
+            .otherwise(quant_dot(col("qq"), col("cvec")).cast("double") /
+              (sqrt(col("qnn").cast("double")) *
+                sqrt(col("cnn").cast("double")))).as("csim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= nprobe)
+        .select("query_id", "label")
+      // probe the inverted lists, exact-score, top-5
+      val cand = base.filter(col("vec_id") >= 10)
+        .join(broadcast(probes), Seq("label"))
+        .join(broadcast(queries), Seq("query_id"))
+      topk(cand.select(col("query_id"), col("vec_id"),
+        when(col("qnn") === 0L || col("nn") === 0L, lit(0.0))
+          .otherwise(quant_dot(col("qq"), col("qv")).cast("double") /
+            (sqrt(col("qnn").cast("double")) *
+              sqrt(col("nn").cast("double")))).as("cos")), 5)
+    },
     // Per-label centroid similarity: IVF-style coarse quantizer readout —
     // exact integer/decimal math end-to-end (oracle-checked).
     "sim_label_centroid" -> { (s, d) =>
@@ -136,6 +189,54 @@ object SimilarityOps {
         |           sqrt(CAST(nb.nn AS DOUBLE))) END AS cos
         |  FROM dot JOIN n na ON na.vec_id = query_id
         |           JOIN n nb ON nb.vec_id = dot.vec_id),
+        |ranked AS (SELECT query_id, vec_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id ASC) AS INT) AS rk
+        |  FROM scored)
+        |SELECT query_id, vec_id, cos, rk FROM ranked
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // IVF replication: quantized centroids, nprobe=2 coarse assignment,
+    // inverted-list probe, exact top-5 — assignment checked, not just
+    // final scores.
+    "sim_ann_ivf" ->
+      """WITH q AS (SELECT vec_id, label, i,
+        |    CAST(floor(embedding[i] * 1000.0 + 0.5) AS BIGINT) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
+        |cent AS (SELECT label, i,
+        |    CAST(floor(CAST(sum(v) * 1000 AS DOUBLE) / count(*)) AS BIGINT)
+        |      AS cv
+        |  FROM q GROUP BY 1, 2),
+        |cn AS (SELECT label, sum(cv * cv) AS cnn FROM cent GROUP BY 1),
+        |cdot AS (SELECT a.vec_id AS query_id, c.label, sum(a.v * c.cv) AS dot
+        |         FROM q a JOIN cent c ON c.i = a.i
+        |         WHERE a.vec_id < 10 GROUP BY 1, 2),
+        |csim AS (SELECT query_id, cdot.label,
+        |    CASE WHEN na.nn = 0 OR cn.cnn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+        |           sqrt(CAST(cn.cnn AS DOUBLE))) END AS sim
+        |  FROM cdot JOIN n na ON na.vec_id = query_id
+        |            JOIN cn ON cn.label = cdot.label),
+        |probe AS (SELECT query_id, label FROM (
+        |    SELECT query_id, label, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, label ASC) AS rn FROM csim)
+        |  WHERE rn <= 2),
+        |cand AS (SELECT p.query_id, e.vec_id
+        |         FROM probe p JOIN (SELECT DISTINCT vec_id, label
+        |                            FROM embeddings WHERE vec_id >= 10) e
+        |           USING (label)),
+        |dt AS (SELECT c.query_id, c.vec_id, sum(a.v * b.v) AS dot
+        |       FROM cand c
+        |       JOIN q a ON a.vec_id = c.query_id
+        |       JOIN q b ON b.vec_id = c.vec_id AND b.i = a.i
+        |       GROUP BY 1, 2),
+        |scored AS (SELECT query_id, dt.vec_id AS vec_id,
+        |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+        |           sqrt(CAST(nb.nn AS DOUBLE))) END AS cos
+        |  FROM dt JOIN n na ON na.vec_id = query_id
+        |          JOIN n nb ON nb.vec_id = dt.vec_id),
         |ranked AS (SELECT query_id, vec_id, cos,
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY cos DESC, vec_id ASC) AS INT) AS rk

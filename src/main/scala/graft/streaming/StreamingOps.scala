@@ -86,6 +86,29 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Watermarked stream-stream INTERVAL join: every `click` paired with
+    * the same user's `purchase` events in the following hour. Both sides
+    * carry watermarks and the join condition bounds the event-time
+    * distance, so the state store evicts rows once the watermark passes
+    * `l_ts + 1 hour` — state is O(events per watermark horizon), the only
+    * shape a stream-stream join can survive at 100 TB/day.
+    */
+  def clickToPurchase(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("event_ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("event_ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** Streaming exact dedup with bounded state: duplicates of `idCols`
     * arriving within the watermark horizon are dropped; state for keys
     * older than the watermark is evicted (the streaming form of the

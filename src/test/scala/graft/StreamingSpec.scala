@@ -31,6 +31,33 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val stream = StreamingOps.readEvents(spark, sfDir)
+    val got = StreamingOps
+      .runToMemory(StreamingOps.clickToPurchase(stream), "c2p",
+        OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch ground truth over the same file with identical semantics
+    // (same floor-division ns -> µs event-time conversion)
+    val e = graft.ops.Tables(spark, sfDir).events
+      .withColumn("event_ts", timestamp_micros(
+        expr(graft.ops.EventOps.floorDivSql("ts", 1000L))))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("event_ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("event_ts").as("purchase_ts"))
+    val want = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty, "test corpus must contain click->purchase pairs")
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("late data beyond the watermark is dropped in append mode") {
     import org.apache.spark.sql.{Row, SaveMode}
     import org.apache.spark.sql.types._
