@@ -86,6 +86,21 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Declarative gap-session aggregation via `session_window` — the
+    * engine-managed alternative to the [[runningSessions]]
+    * mapGroupsWithState form: the state store merges/extends session
+    * windows per (user, window) and the watermark finalizes them. Same
+    * 30-minute gap as the batch `events_sessionize`.
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_ts", "2 hours")
+      .groupBy(col("user_id"),
+        session_window(col("event_ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_millis(col("sw.start")).as("start_ms"),
+        col("n_events"))
+
   /** Watermarked stream-stream INTERVAL join: every `click` paired with
     * the same user's `purchase` events in the following hour. Both sides
     * carry watermarks and the join condition bounds the event-time

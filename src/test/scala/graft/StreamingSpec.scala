@@ -31,6 +31,21 @@ class StreamingSpec extends GraftSuite {
     }
   }
 
+  test("session_window aggregation matches the batch sessionization") {
+    val stream = StreamingOps.readEvents(spark, sfDir)
+    val got = StreamingOps
+      .runToMemory(StreamingOps.sessionWindows(stream), "sw",
+        OutputMode.Complete())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the oracle-checked batch query: (user, session) -> count, start
+    val want = EventOps.queries("events_sessionize")(spark, sfDir)
+      .select(col("user_id"), col("start_ms"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(want.nonEmpty)
+    assert(got == want, s"missing=${(want -- got).take(5)} " +
+      s"extra=${(got -- want).take(5)}")
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val stream = StreamingOps.readEvents(spark, sfDir)
     val got = StreamingOps
