@@ -1,6 +1,11 @@
 package graft.rules
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions._
 
 /** Session-extension entry point — the Spark-native analog of the reference's
   * two host-integration adapters:
@@ -10,7 +15,11 @@ import org.apache.spark.sql.SparkSessionExtensions
   *    rule.rs:18-56`) → `injectOptimizerRule` for the three limit rules;
   *  - `DFQueryPlanner` (logical→physical, wraps the CascadesOptimizer as a
   *    DataFusion `QueryPlanner`, `src/planner.rs:22-56`) →
-  *    `injectPlannerStrategy` for the hash-join implementation rule.
+  *    `injectPlannerStrategy` for the hash-join implementation rule;
+  *
+  * plus `injectFunction` for the kernel expressions, so the whole custom
+  * function surface is reachable from plain SQL (`SELECT simhash64(...)`),
+  * not just the Column API.
   *
   * Usage:
   * {{{
@@ -19,10 +28,59 @@ import org.apache.spark.sql.SparkSessionExtensions
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT argument, got $other")
+  }
+
+  private def fn(e: SparkSessionExtensions, name: String, usage: String)(
+      build: Seq[Expression] => Expression): Unit =
+    e.injectFunction((FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", name, usage), build))
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => LimitRules.RemoveLimit)
     e.injectOptimizerRule(_ => LimitRules.PushLimitOverProjection)
     e.injectOptimizerRule(_ => LimitRules.PushLimitToTableScan)
     e.injectPlannerStrategy(_ => Join2HashJoinStrategy)
+
+    fn(e, "quant_cosine",
+      "_FUNC_(a, b) - exact cosine of 1000x-quantized float vectors") {
+      a => QuantizedCosine(a(0), a(1))
+    }
+    fn(e, "cosine_sim", "_FUNC_(a, b) - float-vector cosine similarity") {
+      a => CosineSimilarity(a(0), a(1))
+    }
+    fn(e, "quant_dot", "_FUNC_(a, b) - integer dot of quantized vectors") {
+      a => QuantizedDot(a(0), a(1))
+    }
+    fn(e, "jaccard_sim", "_FUNC_(a, b) - distinct-set Jaccard of string arrays") {
+      a => JaccardSimilarity(a(0), a(1))
+    }
+    fn(e, "jaccard_sorted_longs",
+      "_FUNC_(a, b) - Jaccard of sorted distinct long arrays") {
+      a => JaccardSortedLongs(a(0), a(1))
+    }
+    fn(e, "word_shingles", "_FUNC_(tokens, n) - contiguous n-token shingles") {
+      a => WordShingles(a(0), litInt(a(1), "word_shingles"))
+    }
+    fn(e, "minhash_sig", "_FUNC_(items, perms) - MinHash signature") {
+      a => MinHashSignature(a(0), litInt(a(1), "minhash_sig"))
+    }
+    fn(e, "simhash64", "_FUNC_(tokens) - 64-bit frequency-weighted SimHash") {
+      a => SimHash64(a(0))
+    }
+    fn(e, "winnow_fingerprints",
+      "_FUNC_(text, k, w) - winnowing fingerprints (k-gram, window w)") {
+      a => WinnowFingerprints(a(0), litInt(a(1), "winnow_fingerprints"),
+        litInt(a(2), "winnow_fingerprints"))
+    }
+    fn(e, "lsh_buckets",
+      "_FUNC_(q, tables, bits) - LSH hyperplane bucket ids") {
+      a => LshBuckets(a(0), litInt(a(1), "lsh_buckets"),
+        litInt(a(2), "lsh_buckets"))
+    }
   }
 }

@@ -62,6 +62,42 @@ class RulesSpec extends GraftSuite {
     assert(PushLimitToTableScan(plan) == plan)
   }
 
+  test("kernel functions are registered in the SQL surface (injectFunction)") {
+    // identical results through SQL and the Column API, incl. literal-int
+    // parameters resolved at registration
+    val viaSql = spark.sql(
+      """SELECT simhash64(split('query scan table', ' ')) AS sh,
+        |  jaccard_sim(array('a','b','c'), array('b','c','d')) AS j,
+        |  word_shingles(split('a b c d', ' '), 2) AS ws,
+        |  size(winnow_fingerprints('abcdefghijklmnopqrstuvwxyz', 16, 8))
+        |    AS nfp,
+        |  lsh_buckets(array(1000L, -2000L, 3000L), 1, 8)[0] AS bkt
+        |""".stripMargin).collect()(0)
+    import org.apache.spark.sql.functions.{array, lit, split}
+    import graft.functions.functions._
+    val viaApi = spark.range(1).select(
+      simhash64(split(lit("query scan table"), " ")).as("sh"),
+      jaccard_sim(array(lit("a"), lit("b"), lit("c")),
+        array(lit("b"), lit("c"), lit("d"))).as("j"),
+      lsh_buckets(array(lit(1000L), lit(-2000L), lit(3000L)), 1, 8).as("bkt"))
+      .collect()(0)
+    assert(viaSql.getLong(0) == viaApi.getLong(0))
+    assert(viaSql.getDouble(1) == viaApi.getDouble(1))
+    assert(viaSql.getSeq[String](2) == Seq("a b", "b c", "c d"))
+    assert(viaSql.getInt(3) > 0)
+    assert(viaSql.getLong(4) == viaApi.getSeq[Long](2).head)
+  }
+
+  test("non-literal int argument to a kernel SQL function fails loudly") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT word_shingles(split('a b', ' '), id + 1) " +
+        "FROM range(1)").collect()
+    }
+    assert(e.getMessage.contains("literal INT") ||
+      e.getCause != null && e.getCause.getMessage.contains("literal INT"),
+      s"unexpected error: ${e.getMessage}")
+  }
+
   test("rules are no-ops on non-matching plans") {
     val plain = Project(Seq($"c1".attr), t1)
     assert(RemoveLimit(plain) == plain)
