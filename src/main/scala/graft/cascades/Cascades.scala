@@ -82,7 +82,20 @@ final class CascadesOptimizer(
     while (merged && passes < 8) {
       runSearch(memo, memo.root, required)
       merged = mergeDuplicates && memo.duplicates.nonEmpty
-      if (merged) memo.mergeDuplicateGroups()
+      if (merged) {
+        memo.mergeDuplicateGroups()
+        // invalidate search state so the restart actually re-costs the
+        // merged groups: stale winners would short-circuit OptimizeGroup
+        // (and may reference pre-merge expressions), and already-applied
+        // rule masks would suppress bindings the new group members enable.
+        // Memo'd expressions survive, so the re-search is cheap; merges
+        // strictly reduce live groups, so the loop terminates.
+        memo.groups.foreach { g =>
+          g.winners.clear()
+          g.explored = false
+          g.appliedRules.values.foreach(_.clear())
+        }
+      }
       passes += 1
     }
     (memo.bestPlan(memo.root, required), memo)

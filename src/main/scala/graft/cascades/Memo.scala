@@ -159,9 +159,19 @@ final class Memo(stats: StatsModel = NoStats) {
               if (i == dup) keep else i))
             val set = if (e.op.isLogical) g.logicalExprs else g.physicalExprs
             set.remove(e)
-            g.add(rewritten)
             exprToGroup.remove(e)
-            exprToGroup(rewritten) = g.id
+            exprToGroup.get(rewritten) match {
+              case Some(other) if other != g.id =>
+                // the rewrite collided with an expression that already
+                // lives elsewhere: that makes THESE two groups equivalent
+                // — record the pair (the enclosing while loop performs the
+                // cascading merge) and alias without stealing the mapping
+                duplicates += ((other, g.id))
+                g.add(rewritten)
+              case _ =>
+                g.add(rewritten)
+                exprToGroup(rewritten) = g.id
+            }
           }
         }
       }

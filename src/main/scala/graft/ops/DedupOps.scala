@@ -53,8 +53,9 @@ object DedupOps {
     *
     * Exactness chain (each step keeps a superset of true pairs, the final
     * verify is exact):
-    *  - prefix length n - ceil(t·n) + 1, integer form (n·p + p) div q — the
-    *    double form floor(n(1-t))+1 is one short when t·n is integral;
+    *  - prefix length n - ceil(t·n) + 1, integer form of ceil(n·p/q) =
+    *    (n·p + q - 1) div q — the double form floor(n(1-t))+1 is one short
+    *    when t·n is integral;
     *  - size filter: J >= p/q forces q·min(na,nb) >= p·max(na,nb);
     *  - position filter: a collision at (0-based) prefix positions (i, j)
     *    under one shared order bounds the overlap by
@@ -89,7 +90,7 @@ object DedupOps {
         sort_array(collect_list(col("s"))).as("ss"))
       .withColumn("n", size(col("ss")))
       .withColumn("plen",
-        (col("n") - expr(s"(n * $p + $p) div $q") + lit(1)).cast("int"))
+        (col("n") - expr(s"(n * $p + ${q - 1}) div $q") + lit(1)).cast("int"))
       .persist()
     val prefix = docs
       .select(col("doc_id"), col("n"),

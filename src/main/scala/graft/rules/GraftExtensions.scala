@@ -35,10 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn expects a literal INT argument, got $other")
   }
 
-  private def fn(e: SparkSessionExtensions, name: String, usage: String)(
+  private def fn(e: SparkSessionExtensions, name: String,
+      clazz: Class[_], usage: String)(
       build: Seq[Expression] => Expression): Unit =
     e.injectFunction((FunctionIdentifier(name),
-      new ExpressionInfo("graft.functions", name, usage), build))
+      // 5-arg overload: (className, db, name, usage, extended) — the
+      // 3-arg one is (className, db, NAME) and would register the usage
+      // text as the function name
+      new ExpressionInfo(clazz.getName, null, name, usage, ""), build))
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => LimitRules.RemoveLimit)
@@ -46,38 +50,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => LimitRules.PushLimitToTableScan)
     e.injectPlannerStrategy(_ => Join2HashJoinStrategy)
 
-    fn(e, "quant_cosine",
+    fn(e, "quant_cosine", classOf[QuantizedCosine],
       "_FUNC_(a, b) - exact cosine of 1000x-quantized float vectors") {
       a => QuantizedCosine(a(0), a(1))
     }
-    fn(e, "cosine_sim", "_FUNC_(a, b) - float-vector cosine similarity") {
+    fn(e, "cosine_sim", classOf[CosineSimilarity],
+      "_FUNC_(a, b) - float-vector cosine similarity") {
       a => CosineSimilarity(a(0), a(1))
     }
-    fn(e, "quant_dot", "_FUNC_(a, b) - integer dot of quantized vectors") {
+    fn(e, "quant_dot", classOf[QuantizedDot],
+      "_FUNC_(a, b) - integer dot of quantized vectors") {
       a => QuantizedDot(a(0), a(1))
     }
-    fn(e, "jaccard_sim", "_FUNC_(a, b) - distinct-set Jaccard of string arrays") {
+    fn(e, "jaccard_sim", classOf[JaccardSimilarity],
+      "_FUNC_(a, b) - distinct-set Jaccard of string arrays") {
       a => JaccardSimilarity(a(0), a(1))
     }
-    fn(e, "jaccard_sorted_longs",
+    fn(e, "jaccard_sorted_longs", classOf[JaccardSortedLongs],
       "_FUNC_(a, b) - Jaccard of sorted distinct long arrays") {
       a => JaccardSortedLongs(a(0), a(1))
     }
-    fn(e, "word_shingles", "_FUNC_(tokens, n) - contiguous n-token shingles") {
+    fn(e, "word_shingles", classOf[WordShingles],
+      "_FUNC_(tokens, n) - contiguous n-token shingles") {
       a => WordShingles(a(0), litInt(a(1), "word_shingles"))
     }
-    fn(e, "minhash_sig", "_FUNC_(items, perms) - MinHash signature") {
+    fn(e, "minhash_sig", classOf[MinHashSignature],
+      "_FUNC_(items, perms) - MinHash signature") {
       a => MinHashSignature(a(0), litInt(a(1), "minhash_sig"))
     }
-    fn(e, "simhash64", "_FUNC_(tokens) - 64-bit frequency-weighted SimHash") {
+    fn(e, "simhash64", classOf[SimHash64],
+      "_FUNC_(tokens) - 64-bit frequency-weighted SimHash") {
       a => SimHash64(a(0))
     }
-    fn(e, "winnow_fingerprints",
+    fn(e, "winnow_fingerprints", classOf[WinnowFingerprints],
       "_FUNC_(text, k, w) - winnowing fingerprints (k-gram, window w)") {
       a => WinnowFingerprints(a(0), litInt(a(1), "winnow_fingerprints"),
         litInt(a(2), "winnow_fingerprints"))
     }
-    fn(e, "lsh_buckets",
+    fn(e, "lsh_buckets", classOf[LshBuckets],
       "_FUNC_(q, tables, bits) - LSH hyperplane bucket ids") {
       a => LshBuckets(a(0), litInt(a(1), "lsh_buckets"),
         litInt(a(2), "lsh_buckets"))

@@ -89,14 +89,23 @@ object StreamingOps {
   /** Declarative gap-session aggregation via `session_window` — the
     * engine-managed alternative to the [[runningSessions]]
     * mapGroupsWithState form: the state store merges/extends session
-    * windows per (user, window) and the watermark finalizes them. Same
-    * 30-minute gap as the batch `events_sessionize`.
+    * windows per (user, window) and the watermark finalizes them.
+    *
+    * Exact parity with the batch `events_sessionize`: the batch query
+    * splits on `gap > 30min` over millisecond-floored times, while
+    * `session_window` splits on `gap >= window` (its range is
+    * end-exclusive). Feeding ms-floored event time with a window of
+    * 30min + 1ms makes the two predicates identical — without this, two
+    * events exactly 30:00.000 apart land in one batch session but two
+    * streaming sessions.
     */
   def sessionWindows(events: DataFrame): DataFrame =
     events
-      .withWatermark("event_ts", "2 hours")
+      .withColumn("event_ts_ms", timestamp_millis(
+        expr(graft.ops.EventOps.floorDivSql("ts", 1000000L))))
+      .withWatermark("event_ts_ms", "2 hours")
       .groupBy(col("user_id"),
-        session_window(col("event_ts"), "30 minutes").as("sw"))
+        session_window(col("event_ts_ms"), "1800001 milliseconds").as("sw"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), unix_millis(col("sw.start")).as("start_ms"),
         col("n_events"))

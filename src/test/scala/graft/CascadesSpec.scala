@@ -223,6 +223,16 @@ class CascadesSpec extends AnyFunSuite {
         g.logicalExprs.exists(_.op == LogicalLimit(5))))
     assert(memo.groups.exists(g =>
       g.logicalExprs.isEmpty && g.physicalExprs.isEmpty))
+    // post-merge invariant: no expression lives in two groups (the
+    // pre-merge aliasing is exactly what the merge consumes)
+    val owners = scala.collection.mutable.Map[GroupExpr, Int]()
+    memo.groups.foreach { g =>
+      (g.logicalExprs ++ g.physicalExprs).foreach { e =>
+        assert(!owners.contains(e),
+          s"$e lives in groups ${owners.get(e)} and ${g.id}")
+        owners(e) = g.id
+      }
+    }
   }
 
   // --- heuristic optimizer golden cases (resources/limit.yaml) ---

@@ -88,6 +88,14 @@ class RulesSpec extends GraftSuite {
     assert(viaSql.getLong(4) == viaApi.getSeq[Long](2).head)
   }
 
+  test("injected functions carry correct catalog metadata") {
+    val desc = spark.sql("DESCRIBE FUNCTION EXTENDED simhash64")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("Function: simhash64"), desc)
+    assert(desc.contains("graft.functions.SimHash64"), desc)
+    assert(desc.contains("SimHash"), desc) // usage text present
+  }
+
   test("non-literal int argument to a kernel SQL function fails loudly") {
     val e = intercept[Exception] {
       spark.sql("SELECT word_shingles(split('a b', ' '), id + 1) " +
