@@ -234,16 +234,28 @@ object DedupOps {
       val b = 4
       val emb = quantizedEmbeddings(Tables(s, d).embeddings)
         .withColumn("bkts", SimilarityOps.lshBuckets(col("q"), L, b))
-        .persist()
-      val keys = emb.select(col("vec_id"),
+      val keys = emb.select(col("vec_id"), col("q"), col("nn"), col("bkts"),
         posexplode(col("bkts")).as(Seq("tb", "bkt")))
-      val cand = keys.as("a")
+      // ONE shuffle total: the vectors ride along the (table, bucket) keys,
+      // so candidates are scored directly on the join output — and the
+      // "emit from the FIRST table where both collide" prefix check makes
+      // each pair appear exactly once, replacing a candidate-pair
+      // distinct (a shuffle of every collision) and the two verify-join
+      // shuffles with a local filter
+      keys.as("a")
         .join(keys.as("b"),
           col("a.tb") === col("b.tb") && col("a.bkt") === col("b.bkt") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
-        .distinct()
-      verifyCosine(cand, emb, 0.45)
+            col("a.vec_id") < col("b.vec_id") &&
+            !exists(zip_with(slice(col("a.bkts"), lit(1), col("a.tb")),
+              slice(col("b.bkts"), lit(1), col("b.tb")),
+              (x, y) => x === y), p => p))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+          when(col("a.nn") === 0L || col("b.nn") === 0L, lit(0.0))
+            .otherwise(quant_dot(col("a.q"), col("b.q")).cast("double") /
+              (sqrt(col("a.nn").cast("double")) *
+                sqrt(col("b.nn").cast("double")))).as("cos"))
+        .filter(col("cos") >= 0.45)
+        .orderBy("id1", "id2")
     },
     // Exact all-pairs baseline (block-partitioned triangular join): the
     // correctness oracle for the bucketed path, and the honest exact
@@ -397,7 +409,7 @@ object DedupOps {
     // not just the verified scores.
     "dedup_embedding" ->
       """WITH q AS (SELECT vec_id, i,
-        |    CAST(floor(embedding[i] * 1000.0 + 0.5) AS BIGINT) AS v
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
         |  FROM embeddings,
         |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
         |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
@@ -427,7 +439,7 @@ object DedupOps {
         |ORDER BY id1, id2""".stripMargin,
     "dedup_embedding_bruteforce" ->
       """WITH q AS (SELECT vec_id, i,
-        |    CAST(floor(embedding[i] * 1000.0 + 0.5) AS BIGINT) AS v
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
         |  FROM embeddings,
         |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
         |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),

@@ -158,7 +158,7 @@ object SimilarityOps {
     // assignment and probing, not just scores.
     "sim_ann_lsh" ->
       """WITH q AS (SELECT vec_id, i,
-        |    CAST(floor(embedding[i] * 1000.0 + 0.5) AS BIGINT) AS v
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
         |  FROM embeddings,
         |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
         |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
@@ -200,7 +200,7 @@ object SimilarityOps {
     // final scores.
     "sim_ann_ivf" ->
       """WITH q AS (SELECT vec_id, label, i,
-        |    CAST(floor(embedding[i] * 1000.0 + 0.5) AS BIGINT) AS v
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
         |  FROM embeddings,
         |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
         |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
@@ -245,7 +245,7 @@ object SimilarityOps {
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     "sim_topk_bruteforce" ->
       """WITH q AS (SELECT vec_id, i,
-        |    CAST(floor(embedding[i] * 1000.0 + 0.5) AS BIGINT) AS v
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
         |  FROM embeddings,
         |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
         |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
@@ -268,7 +268,7 @@ object SimilarityOps {
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     "sim_label_centroid" ->
       """WITH q AS (SELECT vec_id, label, i,
-        |    CAST(floor(embedding[i] * 1000.0 + 0.5) AS BIGINT) AS v
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
         |  FROM embeddings,
         |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
         |cent AS (SELECT label, i, sum(v) AS sv, count(*) AS cnt

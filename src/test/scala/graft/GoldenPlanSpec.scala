@@ -136,6 +136,31 @@ class GoldenPlanSpec extends GraftSuite {
     assert(opt.contains("Join"), s"expected decorrelated join:\n$opt")
   }
 
+  test("PPJoin dedup materializes the doc table once (InMemory reuse on all sides)") {
+    val df = graft.ops.DedupOps.queries("dedup_ngram_jaccard")(spark, sfDir)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    // persisted (df-ordered + hash-sorted) doc table feeds the prefix index
+    // and BOTH verify sides from cache — no recomputation of the shingle
+    // df-join per consumer
+    assert(s.contains("InMemoryTableScan") || s.contains("TableCacheQueryStage"),
+      s"doc table not cached:\n${s.take(3000)}")
+    // the exact-verify kernel stays inside codegen
+    assert(s.contains("jaccard_sorted_longs"), s.take(2000))
+  }
+
+  test("IVF search broadcasts the probe map and query set (no corpus shuffle)") {
+    val df = graft.ops.SimilarityOps.queries("sim_ann_ivf")(spark, sfDir)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    // the corpus-side joins (probes, query vectors) must be broadcasts:
+    // at 100 TB the inverted lists are partition-pruned, never shuffled
+    assert(s.contains("BroadcastHashJoin") || s.contains("BroadcastNestedLoop"),
+      s"expected broadcast joins in IVF plan:\n${s.take(3000)}")
+    assert(!s.contains("SortMergeJoin"),
+      s"corpus must not shuffle for a sort-merge join:\n${s.take(3000)}")
+  }
+
   test("ordered limit plans as top-k (TakeOrderedAndProject), not global sort") {
     registerTables()
     val plan = executed(
