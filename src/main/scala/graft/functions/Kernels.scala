@@ -221,6 +221,22 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Index of the first position where the two long arrays agree, or -1 —
+    * the exactly-once emit test for multi-table LSH self-joins (a pair is
+    * produced only from its first shared bucket). Allocation-free: the
+    * Column-combinator form (slice + zip_with + exists) allocated two
+    * arrays per candidate row.
+    */
+  def firstMatch(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
+
   /** Jaccard of two SORTED, DISTINCT long arrays via linear merge. */
   def jaccardSortedLongs(a: ArrayData, b: ArrayData): Double = {
     val na = a.numElements()

@@ -214,6 +214,25 @@ case class LshBuckets(child: Expression, tables: Int, bits: Int)
     copy(child = newChild)
 }
 
+/** First index where two long arrays agree (-1 if none) — see
+  * [[Kernels.firstMatch]].
+  */
+case class FirstMatch(left: Expression, right: Expression)
+    extends BinaryKernelExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "first_match"
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  protected val kernelMethod = "firstMatch"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.firstMatch(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 64-bit SimHash of a token array (frequency-weighted). */
 case class SimHash64(child: Expression) extends UnaryExpression
     with ExpectsInputTypes {
@@ -276,6 +295,10 @@ object functions {
   def lsh_buckets(q: Column, tables: Int, bits: Int): Column =
     ColumnBridge.column(
       LshBuckets(ColumnBridge.expression(q), tables, bits))
+
+  def first_match(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      FirstMatch(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def word_shingles(tokens: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), n))

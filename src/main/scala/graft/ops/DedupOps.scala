@@ -234,28 +234,22 @@ object DedupOps {
       val b = 4
       val emb = quantizedEmbeddings(Tables(s, d).embeddings)
         .withColumn("bkts", SimilarityOps.lshBuckets(col("q"), L, b))
-      val keys = emb.select(col("vec_id"), col("q"), col("nn"), col("bkts"),
+        .persist()
+      // candidate rows stay NARROW (id + the 16-long signature vector);
+      // the "emit from the FIRST table where both collide" kernel makes
+      // each pair appear exactly once, so no candidate-distinct shuffle —
+      // a pair colliding in k tables costs k cheap long-compares, not a
+      // k-row shuffle + dedup
+      val keys = emb.select(col("vec_id"), col("bkts"),
         posexplode(col("bkts")).as(Seq("tb", "bkt")))
-      // ONE shuffle total: the vectors ride along the (table, bucket) keys,
-      // so candidates are scored directly on the join output — and the
-      // "emit from the FIRST table where both collide" prefix check makes
-      // each pair appear exactly once, replacing a candidate-pair
-      // distinct (a shuffle of every collision) and the two verify-join
-      // shuffles with a local filter
-      keys.as("a")
+      val cand = keys.as("a")
         .join(keys.as("b"),
           col("a.tb") === col("b.tb") && col("a.bkt") === col("b.bkt") &&
             col("a.vec_id") < col("b.vec_id") &&
-            !exists(zip_with(slice(col("a.bkts"), lit(1), col("a.tb")),
-              slice(col("b.bkts"), lit(1), col("b.tb")),
-              (x, y) => x === y), p => p))
-        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-          when(col("a.nn") === 0L || col("b.nn") === 0L, lit(0.0))
-            .otherwise(quant_dot(col("a.q"), col("b.q")).cast("double") /
-              (sqrt(col("a.nn").cast("double")) *
-                sqrt(col("b.nn").cast("double")))).as("cos"))
-        .filter(col("cos") >= 0.45)
-        .orderBy("id1", "id2")
+            graft.functions.functions
+              .first_match(col("a.bkts"), col("b.bkts")) === col("a.tb"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+      verifyCosine(cand, emb, 0.45)
     },
     // Exact all-pairs baseline (block-partitioned triangular join): the
     // correctness oracle for the bucketed path, and the honest exact
