@@ -171,22 +171,25 @@ object DedupOps {
         .orderBy("id1", "id2")
     },
     // SimHash near-dup: signatures in one codegen'd pass, Hamming <= 3 via
-    // 16-bit chunk banding + exact Hamming verification.
+    // 16-bit chunk banding + exact Hamming verification. A pair agreeing
+    // on several chunks is emitted only from its FIRST shared chunk
+    // (first_match kernel), so no candidate-distinct shuffle.
     "dedup_simhash" -> { (s, d) =>
       val sig = Tables(s, d).documents
         .select(col("doc_id"), simhash64(split(col("text"), " ")).as("sig"))
-        .persist()
-      val chunks = sig.select(col("doc_id"), col("sig"),
-        posexplode(array((0 until 4).map(c =>
+        .withColumn("cks", array((0 until 4).map(c =>
           shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
-          .as(Seq("chunk", "ck")))
+        .persist()
+      val chunks = sig.select(col("doc_id"), col("sig"), col("cks"),
+        posexplode(col("cks")).as(Seq("chunk", "ck")))
       chunks.as("x")
         .join(chunks.as("y"),
           col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
-            col("x.doc_id") < col("y.doc_id"))
+            col("x.doc_id") < col("y.doc_id") &&
+            graft.functions.functions
+              .first_match(col("x.cks"), col("y.cks")) === col("x.chunk"))
         .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
           bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
-        .distinct()
         .filter(col("hamming") <= 3)
         .orderBy("id1", "id2")
     },
