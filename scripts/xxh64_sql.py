@@ -85,9 +85,10 @@ def xxh64_sql(str_col, seed_col):
             " + CASE WHEN xh_ln % 8 >= 4 THEN 5 ELSE 1 END, xh_ln)")
     red1 = f"list_reduce(list_prepend(xh_a2, {tail}), (acc, b) -> {step1('acc', 'b')})"
     fin = avalanche("xh_a3")
-    signed = (f"CASE WHEN ({fin}) >= 9223372036854775808 "
+    signed = (f"CASE WHEN xh_ln >= 32 THEN NULL "
+              f"WHEN ({fin}) >= 9223372036854775808 "
               f"THEN (({fin}) - {U64})::BIGINT ELSE ({fin})::BIGINT END")
-    return (f"(SELECT {signed} FROM (SELECT {red1} AS xh_a3 FROM "
+    return (f"(SELECT {signed} FROM (SELECT {red1} AS xh_a3, xh_ln FROM "
             f"(SELECT {acc2} AS xh_a2, xh_bl, xh_ln "
             f"FROM (SELECT {red8} AS xh_a1, xh_bl, xh_ln "
             f"FROM (SELECT {bs} AS xh_bl, {n} AS xh_ln, ({seed_col}) AS xh_sd)))))")

@@ -80,9 +80,13 @@ object XxhSql {
     val red1 =
       s"list_reduce(list_prepend(xh_a2, $tail), (acc, b) -> ${step1("acc", "b")})"
     val fin = avalanche("xh_a3")
-    val signed = s"CASE WHEN ($fin) >= 9223372036854775808 " +
+    // inputs >= 32 bytes would need the 4-lane xxh64 path this expression
+    // does not implement — return NULL so misuse fails the hash compare
+    // LOUDLY instead of silently producing a wrong hash
+    val signed = s"CASE WHEN xh_ln >= 32 THEN NULL " +
+      s"WHEN ($fin) >= 9223372036854775808 " +
       s"THEN (($fin) - $U64)::BIGINT ELSE ($fin)::BIGINT END"
-    s"(SELECT $signed FROM (SELECT $red1 AS xh_a3 FROM " +
+    s"(SELECT $signed FROM (SELECT $red1 AS xh_a3, xh_ln FROM " +
       s"(SELECT $acc2 AS xh_a2, xh_bl, xh_ln " +
       s"FROM (SELECT $red8 AS xh_a1, xh_bl, xh_ln " +
       s"FROM (SELECT $bs AS xh_bl, $n AS xh_ln, ($seedCol) AS xh_sd)))))"

@@ -199,6 +199,27 @@ class CascadesSpec extends AnyFunSuite {
     }
   }
 
+  test("enforcer + cardinality cost compose: sort over the commuted join") {
+    // both completions active at once: the search must commute the join
+    // for the cheaper build side AND top it with the required sort
+    val stats = TableStats(Map("small" -> 10L, "big" -> 10000L))
+    val plan = join(scan("small"), scan("big"), "c1", "c2")
+    val req = PhysicalPropertySet(order = OrderSpec.SortedBy(Seq(Col("c2"))))
+    val out = new CascadesOptimizer(
+      costModel = new CardinalityCostModel, stats = stats)
+      .optimize(plan, req)
+    assert(out.isDefined)
+    out.get match {
+      case PlanNode(PhysicalSort(Seq(Col("c2"))),
+          Seq(PlanNode(PhysicalHashJoin(JoinType.Inner, _),
+            Seq(PlanNode(PhysicalTableScan(l, None), Nil),
+                PlanNode(PhysicalTableScan(r, None), Nil))))) =>
+        assert(l == "big" && r == "small",
+          s"build side should still be 'small' under the sort: $l/$r")
+      case other => fail(s"unexpected plan:\n${other.explain()}")
+    }
+  }
+
   // --- duplicate-group merge wired into the search (task.rs:148-149) ---
 
   test("mergeDuplicates: commuted-rewrite duplicate groups collapse, winner survives") {
