@@ -52,6 +52,34 @@ object MultimodalOps {
         .toDF("doc_id", "n_bytes", "mean_byte")
         .orderBy("doc_id")
     },
+    // Fixed-size RESIZE: variable-length payloads downsampled to 8 equal
+    // byte-range buckets (mean per bucket) — the resize/thumbnail shape: a
+    // real image resize has the same partition-batched structure with a
+    // codec in place of the byte mean. Bucket boundaries are exact integer
+    // arithmetic (floor(j*L/8)) so the oracle reproduces them bit-for-bit.
+    "mm_resize_fixed" -> { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      Tables(s, d).documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { batch =>
+          batch.flatMap { case (id, bytes) =>
+            val L = bytes.length
+            (0 until 8).iterator.map { j =>
+              val from = (j.toLong * L / 8).toInt
+              val until = ((j + 1).toLong * L / 8).toInt
+              var sum = 0L
+              var i = from
+              while (i < until) { sum += bytes(i) & 0xFF; i += 1 }
+              (id, j,
+                if (until > from) sum.toDouble / (until - from) else 0.0)
+            }
+          }
+        }
+        .toDF("doc_id", "bucket", "mean_byte")
+        .orderBy("doc_id", "bucket")
+    },
     // Frame sampling plan: every 2nd "frame" of a fake video whose frame
     // count derives from the payload size — the explode/sequence shape a real
     // frame sampler would use.
@@ -79,6 +107,18 @@ object MultimodalOps {
         |       ELSE CAST(list_sum(list_transform(string_split(text, ''),
         |         x -> ord(x))) AS DOUBLE) / length(text) END AS mean_byte
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_resize_fixed" ->
+      """WITH b AS (SELECT doc_id, length(text) AS L,
+        |    list_transform(string_split(text, ''), x -> ord(x)) AS bs
+        |  FROM documents),
+        |g AS (SELECT doc_id, L, bs, j,
+        |    (j * L) // 8 AS s, ((j + 1) * L) // 8 AS e
+        |  FROM b CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) jj)
+        |SELECT doc_id, CAST(j AS INT) AS bucket,
+        |  CASE WHEN e > s
+        |       THEN CAST(list_sum(list_slice(bs, s + 1, e)) AS DOUBLE) / (e - s)
+        |       ELSE 0.0 END AS mean_byte
+        |FROM g ORDER BY doc_id, bucket""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, unnest(generate_series(0, n_chars // 100, 2))
         |  AS frame_idx
