@@ -172,22 +172,28 @@ object DedupOps {
     },
     // SimHash near-dup: signatures in one codegen'd pass, Hamming <= 3 via
     // 16-bit chunk banding + exact Hamming verification. A pair agreeing
-    // on several chunks is emitted only from its FIRST shared chunk
-    // (first_match kernel), so no candidate-distinct shuffle.
+    // on several chunks is emitted only from its FIRST shared chunk, so no
+    // candidate-distinct shuffle — and since the shared chunks are exactly
+    // the zero 16-bit chunks of sig_x XOR sig_y, the emit test is plain
+    // bit arithmetic on the two sigs (no extra array rides the shuffle).
     "dedup_simhash" -> { (s, d) =>
       val sig = Tables(s, d).documents
         .select(col("doc_id"), simhash64(split(col("text"), " ")).as("sig"))
-        .withColumn("cks", array((0 until 4).map(c =>
-          shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .persist()
-      val chunks = sig.select(col("doc_id"), col("sig"), col("cks"),
-        posexplode(col("cks")).as(Seq("chunk", "ck")))
+      val chunks = sig.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until 4).map(c =>
+          shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("chunk", "ck")))
+      val x = col("x.sig").bitwiseXOR(col("y.sig"))
+      def chunkZero(c: Int) =
+        shiftrightunsigned(x, c * 16).bitwiseAND(lit(0xFFFFL)) === 0
+      val firstSharedChunk = when(chunkZero(0), 0)
+        .when(chunkZero(1), 1).when(chunkZero(2), 2).otherwise(3)
       chunks.as("x")
         .join(chunks.as("y"),
           col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
             col("x.doc_id") < col("y.doc_id") &&
-            graft.functions.functions
-              .first_match(col("x.cks"), col("y.cks")) === col("x.chunk"))
+            firstSharedChunk === col("x.chunk"))
         .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
           bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
         .filter(col("hamming") <= 3)

@@ -39,8 +39,9 @@ object MultimodalOps {
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions { batch =>
-          batch.map { case (id, bytes) =>
+          batch.map { case (id, b) =>
             // --- STUB: stands in for image/audio decode + feature extract ---
+            val bytes = if (b == null) Array.empty[Byte] else b
             var sumB = 0L
             var i = 0
             while (i < bytes.length) { sumB += bytes(i) & 0xFF; i += 1 }
@@ -64,7 +65,12 @@ object MultimodalOps {
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions { batch =>
-          batch.flatMap { case (id, bytes) =>
+          batch.flatMap { case (id, b) =>
+            // null payload -> empty (a codec would skip/flag); the oracle's
+            // codepoint arithmetic equals the byte arithmetic here only
+            // because the corpus is ASCII (verified; non-ASCII would fail
+            // the hash compare loudly, not silently)
+            val bytes = if (b == null) Array.empty[Byte] else b
             val L = bytes.length
             (0 until 8).iterator.map { j =>
               val from = (j.toLong * L / 8).toInt

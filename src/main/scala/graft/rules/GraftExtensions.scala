@@ -92,5 +92,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       a => LshBuckets(a(0), litInt(a(1), "lsh_buckets"),
         litInt(a(2), "lsh_buckets"))
     }
+    fn(e, "first_match", classOf[FirstMatch],
+      "_FUNC_(a, b) - first index where two long arrays agree, or -1") {
+      a => FirstMatch(a(0), a(1))
+    }
   }
 }
