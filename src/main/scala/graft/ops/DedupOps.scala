@@ -224,6 +224,43 @@ object DedupOps {
         .select("doc_id", "n_tokens")
         .orderBy("doc_id")
     },
+    // Transitive dedup: connected components over the near-dup pair graph
+    // via iterative min-label propagation — A~B and B~C must dedup {A,B,C}
+    // to ONE representative even though A and C never paired. Each round
+    // is a distributed join+aggregate (the simplified large-star step);
+    // rounds = graph diameter, tiny for near-dup clusters. The driver loop
+    // only checks a convergence COUNT per round — all real work is
+    // distributed. Output: (doc_id, rep_id = component minimum) for every
+    // document in at least one pair.
+    "dedup_components" -> { (s, d) =>
+      val pairs = jaccardDupPairs(shingleSets(Tables(s, d).documents), 4, 5)
+        .select(col("id1"), col("id2")).persist()
+      val edges = pairs
+        .union(pairs.select(col("id2"), col("id1")))
+        .toDF("src", "dst").persist()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("lab", col("id")).persist()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 15) {
+        val nbrMin = edges.join(labels, col("dst") === col("id"))
+          .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
+        val newLabels = labels
+          .join(nbrMin, col("id") === col("src"), "left")
+          .select(col("id"),
+            least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+          .persist()
+        newLabels.count() // materialize before dropping the parent cache
+        changed = newLabels.as("n")
+          .join(labels.as("o"), "id")
+          .filter(col("n.lab") =!= col("o.lab")).count()
+        labels.unpersist()
+        labels = newLabels
+        iter += 1
+      }
+      labels.select(col("id").as("doc_id"), col("lab").as("rep_id"))
+        .orderBy("doc_id")
+    },
     // Embedding-cosine near-dup, the NAMED scale path: OR-amplified LSH
     // bucketing (L=16 tables x 4 hyperplane sign bits) generates candidates
     // via an equi-join on (table, bucket); the exact quantized-cosine
@@ -382,6 +419,35 @@ object DedupOps {
         |FROM pair JOIN cnt ca ON ca.doc_id = id1 JOIN cnt cb ON cb.doc_id = id2
         |WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= 0.8
         |ORDER BY id1, id2""".stripMargin,
+    // Component membership via recursive CTE: r holds (node, l) whenever
+    // label l can reach the node along dup-pair edges; min per node is the
+    // component representative — an independent formulation of the
+    // engine's iterative min-label propagation.
+    "dedup_components" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS L
+        |             FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, L[i] || ' ' || L[i+1] || ' ' || L[i+2] AS s
+        |       FROM tok,
+        |         LATERAL (SELECT unnest(generate_series(1, len(L)-2)) AS i) g),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pair AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |dp AS (SELECT id1, id2
+        |  FROM pair JOIN cnt ca ON ca.doc_id = id1
+        |            JOIN cnt cb ON cb.doc_id = id2
+        |  WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE)
+        |    >= 0.8),
+        |e AS (SELECT id1 AS a, id2 AS b FROM dp
+        |      UNION ALL SELECT id2, id1 FROM dp),
+        |nodes AS (SELECT DISTINCT a AS id FROM e),
+        |r(id, lab) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b, r.lab FROM r JOIN e ON e.a = r.id
+        |)
+        |SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS rep_id
+        |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
     "pipeline_clean_corpus" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS L FROM documents),
         |q AS (SELECT doc_id, len(L) AS n_tokens,

@@ -187,6 +187,48 @@ class DedupSpec extends GraftSuite {
     assert(found == expected, s"found=$found expected=$expected")
   }
 
+  test("connected components make transitive chains dedup to one representative") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // chain A~B~C: B = A with one token edited, C = B with ANOTHER token
+    // edited. J(A,B), J(B,C) >= 0.8 but J(A,C) < 0.8 — pairwise dropping
+    // would keep A and C as "distinct" while they transitively duplicate;
+    // the component walk must give all three the same representative.
+    val base = (0 until 40).map(j => s"tok$j")
+    val a = base.mkString(" ")
+    val bTxt = base.updated(10, "EDIT1").mkString(" ")
+    val cTxt = base.updated(10, "EDIT1").updated(30, "EDIT2").mkString(" ")
+    // plus an unrelated pair to prove components stay separate
+    val d1 = (0 until 40).map(j => s"oth$j")
+    val dTxt = d1.mkString(" ")
+    val eTxt = d1.updated(20, "EDIT3").mkString(" ")
+    val docs = Seq((1L, a), (2L, bTxt), (3L, cTxt), (10L, dTxt), (11L, eTxt))
+      .toDF("doc_id", "text")
+    val shingled = docs.select(col("doc_id"),
+      array_distinct(graft.functions.functions
+        .word_shingles(split(col("text"), " "), 3)).as("sh"))
+    val pairs = ops.DedupOps.jaccardDupPairs(shingled, 4, 5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the chain premise: A-B and B-C pair, A-C does not
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)) &&
+      !pairs.contains((1L, 3L)), s"chain premise broken: $pairs")
+    // replicate the component walk on this planted graph
+    val p = pairs.toSeq.toDF("id1", "id2")
+    val edges = p.union(p.select(col("id2"), col("id1"))).toDF("src", "dst")
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id"))
+    (1 to 5).foreach { _ =>
+      val nbrMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
+      labels = labels.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+    }
+    val reps = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps(1L) == 1L && reps(2L) == 1L && reps(3L) == 1L, reps.toString)
+    assert(reps(10L) == 10L && reps(11L) == 10L, reps.toString)
+  }
+
   test("exact dedup keeps one representative per content hash") {
     val df = DedupOps.queries("dedup_exact")(spark, sfDir)
     val n = df.count()
