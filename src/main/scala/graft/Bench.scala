@@ -12,12 +12,19 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/file-index startup must not be billed to
     // whichever query happens to run first (best-effort — a failed warmup
-    // must not abort the per-query report)
-    try spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count().count()
-    catch { case e: Throwable =>
+    // must not abort the per-query report). The PPJoin dedup pipeline has
+    // the heaviest generated code in the suite (~6 s of janino/JIT on
+    // first execution, cached thereafter) — running it once untimed keeps
+    // that one-off compile cost out of whichever jaccard-family query the
+    // map ordering happens to put first.
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().count()
+      SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}")
-    }
+    } finally spark.catalog.clearCache()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
