@@ -124,6 +124,53 @@ object DedupOps {
       .orderBy("id1", "id2")
   }
 
+  /** Connected components of an undirected edge set `(src, dst)` (both
+    * directions present) via iterative min-label propagation: each round
+    * every node takes the minimum of its own label and its neighbors' —
+    * one distributed join + aggregate, rounds = component diameter.
+    *
+    * Convergence is detected through the label-sum invariant: any label
+    * move strictly DECREASES sum(lab), a non-negative integer, so the
+    * loop terminates mathematically (<= diameter rounds) with no
+    * iteration cap that could silently return a split component.
+    *
+    * Each round `localCheckpoint`s its frame — REQUIRED, not an
+    * optimization: the round-k logical plan references round k-1 twice
+    * (own label + neighbor min), so without lineage truncation the plan
+    * tree doubles per round (2^diameter nodes — OOMs near diameter 20).
+    * Mid-loop `unpersist` of persisted frames is equally wrong in the
+    * other direction: it invalidates dependent cache entries and silently
+    * recomputes the whole chain each action (measured 3-5x slower).
+    * Checkpoint blocks are O(nodes) per round and are reclaimed by the
+    * context cleaner once the frames are unreferenced; a 100 TB run with
+    * huge label tables would use reliable `checkpoint` with an explicit
+    * cleanup policy instead.
+    *
+    * Returns (id, lab = component minimum), one row per node.
+    */
+  private[graft] def minLabelComponents(edges: DataFrame): DataFrame = {
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id")).localCheckpoint()
+    var prevSum = Long.MaxValue
+    var converged = false
+    while (!converged) {
+      val nbrMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
+      labels = labels
+        .join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .localCheckpoint()
+      // sum over an EMPTY graph is null — treat as 0 so a pair-free corpus
+      // converges to an empty result instead of throwing
+      val s = Option(labels.agg(sum(col("lab"))).collect()(0)
+        .getAs[java.lang.Long](0)).map(_.toLong).getOrElse(0L)
+      converged = s == prevSum
+      prevSum = s
+    }
+    labels
+  }
+
   def queries: Map[String, Q] = Map(
     // Exact dedup: group by content digest, keep the minimum doc_id.
     "dedup_exact" -> { (s, d) =>
@@ -225,53 +272,23 @@ object DedupOps {
         .orderBy("doc_id")
     },
     // Transitive dedup: connected components over the near-dup pair graph
-    // via iterative min-label propagation — A~B and B~C must dedup {A,B,C}
-    // to ONE representative even though A and C never paired. Each round
-    // is a distributed join+aggregate (the simplified large-star step);
-    // rounds = graph diameter, tiny for near-dup clusters. The driver loop
-    // only checks a convergence COUNT per round — all real work is
-    // distributed. Output: (doc_id, rep_id = component minimum) for every
-    // document in at least one pair.
+    // via [[minLabelComponents]] — A~B and B~C must dedup {A,B,C} to ONE
+    // representative even though A and C never paired. Output:
+    // (doc_id, rep_id = component minimum) for every doc in >= 1 pair.
     "dedup_components" -> { (s, d) =>
       val pairs = jaccardDupPairs(shingleSets(Tables(s, d).documents), 4, 5)
         .select(col("id1"), col("id2")).persist()
       // the dup-pair graph is orders of magnitude smaller than the corpus
-      // — partition it to ITS size (500k edges/partition), not the
-      // corpus's: a 256-edge graph iterates in single-task rounds while a
-      // billion-edge graph at 100 TB still gets thousands of partitions
-      val nParts = math.max(1L, pairs.count() / 500000L).toInt
+      // — partition it to ITS size (500k edges/partition over the
+      // symmetrized set), not the corpus's: a few hundred edges iterate in
+      // single-task rounds while a billion-edge graph at 100 TB still
+      // spreads over thousands of partitions
+      val nParts = math.max(1L, 2L * pairs.count() / 500000L).toInt
       val edges = pairs
         .union(pairs.select(col("id2"), col("id1")))
         .toDF("src", "dst").repartition(nParts).persist()
-      // localCheckpoint per round — the iterative-algorithm idiom (GraphX
-      // does the same): each label frame is materialized with TRUNCATED
-      // lineage, so round k+1's plan does not nest round k's, and there is
-      // no persist/unpersist juggling (mid-loop unpersist invalidates the
-      // dependent cache entries and silently recomputes the whole chain —
-      // measured 3-5x slower). Old checkpoint blocks are GC'd by the
-      // context cleaner once unreferenced.
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("lab", col("id")).localCheckpoint()
-      // convergence via the label-sum invariant: every label move strictly
-      // DECREASES sum(lab), so one scalar aggregate per round detects the
-      // fixpoint — no per-round change-count join. Rounds = diameter.
-      var prevSum = Long.MaxValue
-      var iter = 0
-      var converged = false
-      while (!converged && iter < 15) {
-        val nbrMin = edges.join(labels, col("dst") === col("id"))
-          .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
-        labels = labels
-          .join(nbrMin, col("id") === col("src"), "left")
-          .select(col("id"),
-            least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-          .localCheckpoint()
-        val s = labels.agg(sum(col("lab"))).collect()(0).getLong(0)
-        converged = s == prevSum
-        prevSum = s
-        iter += 1
-      }
-      labels.select(col("id").as("doc_id"), col("lab").as("rep_id"))
+      minLabelComponents(edges)
+        .select(col("id").as("doc_id"), col("lab").as("rep_id"))
         .orderBy("doc_id")
     },
     // Embedding-cosine near-dup, the NAMED scale path: OR-amplified LSH

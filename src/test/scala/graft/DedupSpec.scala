@@ -212,21 +212,34 @@ class DedupSpec extends GraftSuite {
     // the chain premise: A-B and B-C pair, A-C does not
     assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)) &&
       !pairs.contains((1L, 3L)), s"chain premise broken: $pairs")
-    // replicate the component walk on this planted graph
+    // the PRODUCTION component walk on this planted graph
     val p = pairs.toSeq.toDF("id1", "id2")
     val edges = p.union(p.select(col("id2"), col("id1"))).toDF("src", "dst")
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lab", col("id"))
-    (1 to 5).foreach { _ =>
-      val nbrMin = edges.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
-      labels = labels.join(nbrMin, col("id") === col("src"), "left")
-        .select(col("id"),
-          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-    }
-    val reps = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reps = ops.DedupOps.minLabelComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(reps(1L) == 1L && reps(2L) == 1L && reps(3L) == 1L, reps.toString)
     assert(reps(10L) == 10L && reps(11L) == 10L, reps.toString)
+  }
+
+  test("component walk converges on a 20-node chain (diameter 19)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a path graph: propagation moves the minimum one hop per round, so
+    // convergence takes ~diameter rounds — regression for any iteration
+    // cap that would silently return a split component
+    val p = (0L until 19L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val edges = p.union(p.select(col("id2"), col("id1"))).toDF("src", "dst")
+    val reps = ops.DedupOps.minLabelComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps.size == 20 && reps.values.forall(_ == 0L), reps.toString)
+  }
+
+  test("component walk on an empty pair graph returns empty, not an error") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val p = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    val edges = p.union(p.select(col("id2"), col("id1"))).toDF("src", "dst")
+    assert(ops.DedupOps.minLabelComponents(edges).count() == 0)
   }
 
   test("exact dedup keeps one representative per content hash") {
