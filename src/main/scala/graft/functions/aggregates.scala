@@ -94,9 +94,96 @@ case class TopKDoubles(
     copy(child = newChildren.head)
 }
 
+/** KMV sketch order statistic: the k-th smallest DISTINCT long in the
+  * group, or NULL when the group holds fewer than k distinct values.
+  *
+  * One bounded `TreeSet` of at most k longs per (partition, group): `update`
+  * admits a value only when it is below the current k-th smallest (set
+  * semantics dedupe for free), `merge` folds partial sets, `eval` reads the
+  * set maximum. Replaces the KMV pipeline's `distinct()` shuffle + window
+  * sort (which materialized and sorted EVERY distinct hash per group) with
+  * one ordinary partial+final aggregate carrying ≤ k values per partial —
+  * the O(k)-state sketch shape that survives a 100 TB scan. Reference
+  * declares sketch-style stats but never computes them
+  * (`dolomite/src/stat.rs:5-21`); this is the scale-correct realization.
+  */
+case class KMinKthLong(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.TreeSet[Long]] {
+
+  require(k > 0, "k must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "kmin_kth_long"
+
+  override def createAggregationBuffer(): mutable.TreeSet[Long] =
+    mutable.TreeSet.empty[Long]
+
+  private def admit(buf: mutable.TreeSet[Long], x: Long): Unit = {
+    if (buf.size < k) {
+      buf += x
+    } else if (x < buf.last) {
+      // below the current k-th smallest: insert, then evict the (possibly
+      // new) maximum iff the insert actually grew the set (x was fresh)
+      if (buf.add(x)) buf -= buf.last
+    }
+  }
+
+  override def update(
+      buf: mutable.TreeSet[Long], input: InternalRow): mutable.TreeSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) admit(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(
+      buf: mutable.TreeSet[Long],
+      other: mutable.TreeSet[Long]): mutable.TreeSet[Long] = {
+    other.foreach(admit(buf, _))
+    buf
+  }
+
+  override def eval(buf: mutable.TreeSet[Long]): Any =
+    if (buf.size < k) null else buf.last
+
+  override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf += bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KMinKthLong =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KMinKthLong =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 object aggregates {
   /** Exact top-k of a double column, sorted descending. */
   def topk_doubles(c: Column, k: Int): Column =
     ColumnBridge.column(
       TopKDoubles(ColumnBridge.expression(c), k).toAggregateExpression())
+
+  /** k-th smallest distinct long, NULL if fewer than k distinct values. */
+  def kmin_kth_long(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      KMinKthLong(ColumnBridge.expression(c), k).toAggregateExpression())
 }

@@ -171,23 +171,25 @@ object AnalyticsExt {
     //    raw estimates stay pinned by the closeness spec.
     // At 100 TB all three aggregate with O(k) partial state per group.
     "agg_approx_sketch" -> { (s, d) =>
+      import graft.functions.aggregates.kmin_kth_long
       val k = 256
       val li = Tables(s, d).lineitem
-      val hashed = li.select(col("l_returnflag"),
-          xxhash64(col("l_partkey").cast("string")).as("h"))
-        .distinct()
-      val w = Window.partitionBy("l_returnflag").orderBy(col("h").asc)
-      val kth = hashed.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === k)
-        .select(col("l_returnflag"), col("h").as("hk"))
-      // sketches in one pass; countDistinct SEPARATELY (fusing it into the
-      // same agg triggers an Expand that doubles every input row), and the
-      // exact median from per-value counts — l_quantity has ~50 distinct
-      // integer values, so median() 's full value-sort aggregation is
-      // replaced by a 150-row cumulative window
+      // KMV order statistic (k-th smallest distinct hash) fused into the
+      // sketch aggregate: the kmin_kth_long TypedImperativeAggregate keeps a
+      // bounded TreeSet of the k smallest DISTINCT hashes per group, so
+      // there is no distinct() shuffle and no per-group window sort of the
+      // distinct-hash table — one partial+final aggregate carries ≤ 256
+      // longs per partial. NULL when the group has < k distinct hashes.
+      // countDistinct stays SEPARATE (fusing it triggers an Expand that
+      // doubles every input row), and the exact median from per-value
+      // counts — l_quantity has ~50 distinct integer values, so median()'s
+      // full value-sort aggregation is replaced by a 150-row cumulative
+      // window
       val sk = li.groupBy("l_returnflag").agg(
         approx_count_distinct(col("l_partkey")).as("hll"),
-        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("amed"))
+        percentile_approx(col("l_quantity"), lit(0.5), lit(1000)).as("amed"),
+        kmin_kth_long(
+          xxhash64(col("l_partkey").cast("string")), k).as("hk"))
       val exact = li.groupBy("l_returnflag")
         .agg(countDistinct(col("l_partkey")).as("exact_ndv"))
       val counts = li.groupBy(col("l_returnflag"), col("l_quantity"))
@@ -207,9 +209,8 @@ object AnalyticsExt {
           col("l_quantity")).otherwise(lit(0.0))) +
           sum(when(col("lo") <= col("p2") && col("p2") <= col("hi"),
             col("l_quantity")).otherwise(lit(0.0)))) / lit(2.0)).as("emed"))
-      val agg = sk.join(exact, Seq("l_returnflag"))
+      sk.join(exact, Seq("l_returnflag"))
         .join(emed, Seq("l_returnflag"))
-      agg.join(kth, Seq("l_returnflag"), "left")
         .select(col("l_returnflag"), col("exact_ndv"),
           // u_k = hk + 2^63 maps the signed hash onto [0, 2^64); the
           // double-arithmetic order must match the oracle token for token

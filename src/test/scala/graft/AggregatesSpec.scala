@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.functions.aggregates.topk_doubles
+import graft.functions.aggregates.{kmin_kth_long, topk_doubles}
 import graft.ops.{AnalyticsExt, Tables}
 
 class AggregatesSpec extends GraftSuite {
@@ -25,6 +25,45 @@ class AggregatesSpec extends GraftSuite {
     val got = Seq(1.0, 3.0, 2.0).toDF("x")
       .agg(topk_doubles(col("x"), 10)).collect()(0).getSeq[Double](0)
     assert(got == Seq(3.0, 2.0, 1.0))
+  }
+
+  test("KMinKthLong matches the sorted-distinct ground truth per group") {
+    val t = Tables(spark, sfDir)
+    val hashed = t.lineitem.select(col("l_returnflag"),
+      xxhash64(col("l_partkey").cast("string")).as("h"))
+    val k = 37
+    val got = hashed.groupBy("l_returnflag")
+      .agg(kmin_kth_long(col("h"), k).as("hk"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.keys.foreach { flag =>
+      val want = hashed.filter(col("l_returnflag") === flag)
+        .select("h").distinct().orderBy(col("h").asc).limit(k)
+        .collect().map(_.getLong(0)).last
+      assert(got(flag) == want, s"flag $flag")
+    }
+  }
+
+  test("KMinKthLong is NULL when the group has fewer than k distinct values") {
+    import spark.implicits._
+    val rows = Seq(1L, 2L, 2L, 3L).toDF("x")
+      .agg(kmin_kth_long(col("x"), 4)).collect()
+    assert(rows(0).isNullAt(0)) // only 3 distinct values
+    val kth = Seq(5L, 1L, 3L, 1L, 2L).toDF("x")
+      .agg(kmin_kth_long(col("x"), 3)).collect()(0).getLong(0)
+    assert(kth == 3L) // distinct sorted = 1,2,3,5; 3rd smallest = 3
+  }
+
+  test("agg_approx_sketch plan has no KMV window sort or distinct shuffle") {
+    val df = AnalyticsExt.queries("agg_approx_sketch")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // the KMV order statistic must come from the O(k) aggregate, not a
+    // row_number window over the (sorted) distinct-hash table
+    assert(!plan.contains("row_number"), plan)
+    assert(plan.contains("kmin_kth_long"), plan)
+    // the only windows left are the cumulative-median ones over the tiny
+    // (l_returnflag, l_quantity) counts table — never over raw hashes
+    assert(!plan.toLowerCase.contains("sort [h#"), plan)
   }
 
   test("approx sketches are close to exact values") {
