@@ -95,16 +95,15 @@ object SimilarityOps {
         .withColumn("nn",
           aggregate(transform(col("qv"), x => x * x), lit(0L), (a, x) => a + x))
         .persist()
-      // per-label quantized centroid (same formula as sim_label_centroid)
-      val byDim = base.select(col("label"),
-        posexplode(col("qv")).as(Seq("i", "v")))
-      val centVec = byDim.groupBy("label", "i")
-        .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
-        .select(col("label"), col("i"),
-          floor(col("sv") * lit(1000) / col("cnt")).cast("long").as("cv"))
-        .groupBy("label")
-        .agg(transform(sort_array(collect_list(struct(col("i"), col("cv")))),
-          x => x("cv")).as("cvec"))
+      // per-label quantized centroid (same formula as sim_label_centroid):
+      // one vec_sum_longs aggregate carries a single D-length partial per
+      // (partition, label) — no posexplode of N×D rows into the shuffle
+      val centVec = base.groupBy("label")
+        .agg(graft.functions.aggregates.vec_sum_longs(col("qv")).as("svec"),
+          count(lit(1)).as("cnt"))
+        .select(col("label"),
+          transform(col("svec"),
+            sv => floor(sv * lit(1000) / col("cnt")).cast("long")).as("cvec"))
         .withColumn("cnn",
           aggregate(transform(col("cvec"), x => x * x), lit(0L), (a, x) => a + x))
       val queries = base.filter(col("vec_id") < 10)
@@ -134,18 +133,22 @@ object SimilarityOps {
     },
     // Per-label centroid similarity: IVF-style coarse quantizer readout —
     // exact integer/decimal math end-to-end (oracle-checked).
+    // dot_sum = Σ_vec Σ_i v_i·cv_i = Σ_i cv_i·(Σ_vec v_i) = dot(cvec, svec),
+    // so the whole readout is ONE vec_sum_longs aggregation pass plus
+    // narrow array arithmetic — no posexplode, no (label, i) shuffle, no
+    // self-join. n_terms = cnt · D (every vector contributes D terms).
     "sim_label_centroid" -> { (s, d) =>
-      val byDim = Tables(s, d).embeddings
-        .select(col("vec_id"), col("label"),
-          posexplode(quantize(col("embedding"))).as(Seq("i", "v")))
-      val cent = byDim.groupBy("label", "i")
-        .agg(sum(col("v")).as("sv"), count(lit(1)).as("cnt"))
-      val centQ = cent.select(col("label"), col("i"),
-        floor(col("sv") * lit(1000) / col("cnt")).cast("long").as("cv"))
-      byDim.join(centQ, Seq("label", "i"))
+      val agg = Tables(s, d).embeddings
+        .select(col("label"), quantize(col("embedding")).as("qv"))
         .groupBy("label")
-        .agg(sum(col("v") * col("cv")).as("dot_sum"),
-          count(lit(1)).as("n_terms"))
+        .agg(graft.functions.aggregates.vec_sum_longs(col("qv")).as("svec"),
+          count(lit(1)).as("cnt"))
+      agg.select(col("label"),
+          aggregate(zip_with(col("svec"),
+            transform(col("svec"),
+              sv => floor(sv * lit(1000) / col("cnt")).cast("long")),
+            (sv, cv) => sv * cv), lit(0L), (a, x) => a + x).as("dot_sum"),
+          (col("cnt") * size(col("svec"))).as("n_terms"))
         .orderBy("label")
     }
   )

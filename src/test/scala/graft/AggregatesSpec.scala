@@ -66,6 +66,34 @@ class AggregatesSpec extends GraftSuite {
     assert(!plan.toLowerCase.contains("sort [h#"), plan)
   }
 
+  test("VecSumLongs matches per-dimension groupBy sums") {
+    import spark.implicits._
+    import graft.functions.aggregates.vec_sum_longs
+    val df = Seq(
+      ("a", Seq(1L, 2L, 3L)),
+      ("a", Seq(10L, 20L, 30L)),
+      ("b", Seq(5L)),
+      ("b", Seq(7L, -2L))). // shorter array zero-pads
+      toDF("g", "v")
+    val got = df.groupBy("g").agg(vec_sum_longs(col("v")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got("a") == Seq(11L, 22L, 33L))
+    assert(got("b") == Seq(12L, -2L))
+  }
+
+  test("centroid queries shuffle vectors, not exploded (row, dim) pairs") {
+    import graft.ops.SimilarityOps
+    for (name <- Seq("sim_label_centroid", "sim_ann_ivf")) {
+      val df = SimilarityOps.queries(name)(spark, sfDir)
+      df.queryExecution.toRdd.count()
+      val s = df.queryExecution.executedPlan.toString
+      // the centroid build must aggregate whole vectors (vec_sum_longs),
+      // never posexplode N×D (vector, dimension) rows into an exchange
+      assert(!s.contains("Generate"), s"$name explodes before shuffle")
+      assert(s.contains("vec_sum_longs"), s"$name missing vector aggregate")
+    }
+  }
+
   test("approx sketches are close to exact values") {
     val rows = AnalyticsExt.queries("agg_approx_sketch")(spark, sfDir)
       .collect()
