@@ -43,10 +43,16 @@ object Bench {
       spark.catalog.clearCache() // query-local persists must not leak
       name -> (if (ok) elapsed else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // fixed-point, 3 dp: keeps the line short. Field order matters for
+    // robustness, not JSON semantics: the driver tail-captures the line, so
+    // the load-bearing totals go LAST — a truncated head eats individual
+    // query timings, never the total/count/sf.
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
+    val failed = results.values.count(_ < 0)
+    println(s"""{"metric":"total","queries":$qs,"n_queries":${results.size},"n_failed":$failed,"sf":"$sfDir","unit":"sec","value":${fmt(total)}}""")
     spark.stop()
   }
 }
