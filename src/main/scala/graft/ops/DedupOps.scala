@@ -125,50 +125,81 @@ object DedupOps {
   }
 
   /** Connected components of an undirected edge set `(src, dst)` (both
-    * directions present) via iterative min-label propagation: each round
-    * every node takes the minimum of its own label and its neighbors' —
-    * one distributed join + aggregate, rounds = component diameter.
+    * directions present) via min-label propagation WITH pointer jumping:
+    * each step every node takes the minimum of its own label and its
+    * neighbors' (one join + aggregate), then shortcuts `lab <- lab(lab)`
+    * (one more join). The shortcut roughly doubles the distance a minimum
+    * travels per step, so steps = O(log diameter) instead of O(diameter) —
+    * a diameter-64 path converges in ~8 steps, and a 100 TB pair graph
+    * with an adversarial million-node chain stays in tens of jobs
+    * (DedupSpec pins the bound on a planted 65-node path).
     *
-    * Convergence is detected through the label-sum invariant: any label
-    * move strictly DECREASES sum(lab), a non-negative integer, so the
-    * loop terminates mathematically (<= diameter rounds) with no
-    * iteration cap that could silently return a split component.
+    * Convergence is detected through the label-sum invariant: labels never
+    * increase (neighbor-min takes a `least`; the jump applies lab(lab) <=
+    * lab, which follows inductively from lab <= id), so sum(lab) is
+    * strictly decreasing while anything changes and the loop terminates
+    * mathematically with no iteration cap that could silently return a
+    * split component. The sum is taken as DECIMAL(38,0) — a 64-bit sum
+    * could wrap on billions of large ids and falsely converge. TWO
+    * propagation steps run per driver-side convergence check, halving
+    * job-launch overhead (the check itself is one scalar per batch).
     *
-    * Each round `localCheckpoint`s its frame — REQUIRED, not an
-    * optimization: the round-k logical plan references round k-1 twice
-    * (own label + neighbor min), so without lineage truncation the plan
-    * tree doubles per round (2^diameter nodes — OOMs near diameter 20).
+    * Each step `localCheckpoint`s its frames — REQUIRED, not an
+    * optimization: the step-k logical plan references step k-1 multiple
+    * times (own label, neighbor min, jump target), so without lineage
+    * truncation the plan tree grows geometrically (OOMs near diameter 20).
     * Mid-loop `unpersist` of persisted frames is equally wrong in the
     * other direction: it invalidates dependent cache entries and silently
     * recomputes the whole chain each action (measured 3-5x slower).
-    * Checkpoint blocks are O(nodes) per round and are reclaimed by the
+    * Checkpoint blocks are O(nodes) per step and are reclaimed by the
     * context cleaner once the frames are unreferenced; a 100 TB run with
     * huge label tables would use reliable `checkpoint` with an explicit
     * cleanup policy instead.
     *
     * Returns (id, lab = component minimum), one row per node.
     */
-  private[graft] def minLabelComponents(edges: DataFrame): DataFrame = {
+  private[graft] def minLabelComponents(edges: DataFrame): DataFrame =
+    minLabelComponentsCounted(edges)._1
+
+  /** [[minLabelComponents]] plus the number of propagation steps executed
+    * (spec surface for the O(log diameter) convergence bound). */
+  private[graft] def minLabelComponentsCounted(
+      edges: DataFrame): (DataFrame, Int) = {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lab", col("id")).localCheckpoint()
-    var prevSum = Long.MaxValue
+    var prevSum: Option[java.math.BigDecimal] = None
+    var steps = 0
     var converged = false
     while (!converged) {
-      val nbrMin = edges.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
-      labels = labels
-        .join(nbrMin, col("id") === col("src"), "left")
-        .select(col("id"),
-          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-        .localCheckpoint()
-      // sum over an EMPTY graph is null — treat as 0 so a pair-free corpus
-      // converges to an empty result instead of throwing
-      val s = Option(labels.agg(sum(col("lab"))).collect()(0)
-        .getAs[java.lang.Long](0)).map(_.toLong).getOrElse(0L)
-      converged = s == prevSum
-      prevSum = s
+      var i = 0
+      while (i < 2) { // two steps per convergence check
+        val nbrMin = edges.join(labels, col("dst") === col("id"))
+          .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
+        // checkpoint before the self-join below — the jump reads prop twice
+        val prop = labels
+          .join(nbrMin, col("id") === col("src"), "left")
+          .select(col("id"),
+            least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+          .localCheckpoint()
+        // pointer jump: lab <- lab(lab). Every lab IS a node id (a min over
+        // ids), so the inner self-join keeps every row.
+        labels = prop
+          .join(prop.select(col("id").as("jid"), col("lab").as("jlab")),
+            col("lab") === col("jid"))
+          .select(col("id"), col("jlab").as("lab"))
+          .localCheckpoint()
+        steps += 1
+        i += 1
+      }
+      // sum over an EMPTY graph is null — normalize to 0 so a pair-free
+      // corpus converges to an empty result instead of throwing
+      val s = Option(
+        labels.agg(sum(col("lab").cast("decimal(38,0)"))).collect()(0)
+          .getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+      converged = prevSum.exists(_.compareTo(s) == 0)
+      prevSum = Some(s)
     }
-    labels
+    (labels, steps)
   }
 
   def queries: Map[String, Q] = Map(

@@ -224,14 +224,30 @@ class DedupSpec extends GraftSuite {
   test("component walk converges on a 20-node chain (diameter 19)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    // a path graph: propagation moves the minimum one hop per round, so
-    // convergence takes ~diameter rounds — regression for any iteration
-    // cap that would silently return a split component
+    // a path graph: regression for any iteration cap that would silently
+    // return a split component
     val p = (0L until 19L).map(i => (i, i + 1)).toDF("id1", "id2")
     val edges = p.union(p.select(col("id2"), col("id1"))).toDF("src", "dst")
     val reps = ops.DedupOps.minLabelComponents(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(reps.size == 20 && reps.values.forall(_ == 0L), reps.toString)
+  }
+
+  test("pointer jumping converges in O(log d) steps on a diameter-64 path") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // without the lab <- lab(lab) shortcut, a 65-node path needs ~64
+    // propagation rounds; with it the travelled distance doubles per step,
+    // so the walk must finish in <= 14 steps (verdict bound; measured ~8
+    // plus the confirming batch). Non-zero base ids also exercise the
+    // DECIMAL(38,0) convergence sum path.
+    val base = 1000000L
+    val p = (0L until 64L).map(i => (base + i, base + i + 1)).toDF("id1", "id2")
+    val edges = p.union(p.select(col("id2"), col("id1"))).toDF("src", "dst")
+    val (labels, steps) = ops.DedupOps.minLabelComponentsCounted(edges)
+    val reps = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps.size == 65 && reps.values.forall(_ == base), reps.toString)
+    assert(steps <= 14, s"took $steps propagation steps")
   }
 
   test("component walk on an empty pair graph returns empty, not an error") {
