@@ -107,15 +107,20 @@ object MultimodalOps {
     // (ASCII corpus: byte value = codepoint), so the oracle recomputes
     // them — checking the mapPartitions plumbing end to end. A real codec
     // would be unverifiable here by construction; the stub is not.
+    // COALESCE(text, '') encodes the engine's NULL-payload -> empty-bytes
+    // guard, so oracle and engine agree on the same NULL contract (not
+    // just on NULL-free corpora).
     "mm_decode_features" ->
-      """SELECT doc_id, CAST(length(text) AS INT) AS n_bytes,
+      """WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents)
+        |SELECT doc_id, CAST(length(text) AS INT) AS n_bytes,
         |  CASE WHEN length(text) = 0 THEN 0.0
         |       ELSE CAST(list_sum(list_transform(string_split(text, ''),
         |         x -> ord(x))) AS DOUBLE) / length(text) END AS mean_byte
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM t ORDER BY doc_id""".stripMargin,
     "mm_resize_fixed" ->
-      """WITH b AS (SELECT doc_id, length(text) AS L,
-        |    list_transform(string_split(text, ''), x -> ord(x)) AS bs
+      """WITH b AS (SELECT doc_id, length(COALESCE(text, '')) AS L,
+        |    list_transform(string_split(COALESCE(text, ''), ''), x -> ord(x))
+        |      AS bs
         |  FROM documents),
         |g AS (SELECT doc_id, L, bs, j,
         |    (j * L) // 8 AS s, ((j + 1) * L) // 8 AS e
