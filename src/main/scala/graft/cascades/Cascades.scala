@@ -59,6 +59,10 @@ final class CascadesOptimizer(
   private final case class EnforceOrder(
       g: Int, required: PhysicalPropertySet, upperBound: Double, round: Int)
       extends Task
+  /** Enforcer: top the distribution-relaxed winner with PhysicalExchange. */
+  private final case class EnforceDistribution(
+      g: Int, required: PhysicalPropertySet, upperBound: Double, round: Int)
+      extends Task
 
   private val MaxRounds = 10000
 
@@ -117,9 +121,18 @@ final class CascadesOptimizer(
         case OptimizeGroup(g, req, bound) =>
           val grp = memo.group(g)
           if (grp.winner(req).isEmpty) {
+            // relax one property at a time: order first, so the sort lands
+            // ABOVE any exchange the distribution enforcer inserts (an
+            // exchange destroys order — Sort(Exchange(x)) is the only
+            // correct stacking, matching EnsureRequirements)
             if (req.order != OrderSpec.AnyOrder) {
               val relaxed = req.copy(order = OrderSpec.AnyOrder)
               stack.push(EnforceOrder(g, req, bound, 0))
+              stack.push(OptimizeGroup(g, relaxed, bound))
+            } else if (req.distribution != DistributionSpec.Any &&
+                req.distribution != DistributionSpec.Random) {
+              val relaxed = req.copy(distribution = DistributionSpec.Any)
+              stack.push(EnforceDistribution(g, req, bound, 0))
               stack.push(OptimizeGroup(g, relaxed, bound))
             }
             grp.physicalExprs.foreach(e =>
@@ -174,26 +187,46 @@ final class CascadesOptimizer(
         // requirement instead.
         case OptimizeInputs(g, e, req, bound, round) =>
           val op = e.op.asInstanceOf[PhysicalOp]
-          if (PhysicalPropertySet.deliversOrder(op, req)) {
+          // a required distribution is satisfied by self-delivery (the
+          // exchange enforcer), or by PUSHING the requirement down to the
+          // first child of a passthrough operator (filter/project/sort,
+          // join probe side) — the exchange then lands at the lowest legal
+          // point instead of always topping the plan. Anything else cannot
+          // win under req; the EnforceDistribution task covers it.
+          val selfDist = PhysicalPropertySet.deliversDistribution(op, req)
+          val pushDist = !selfDist &&
+            PhysicalPropertySet.passesThroughDistribution(op)
+          if (PhysicalPropertySet.deliversOrder(op, req) &&
+              (selfDist || pushDist)) {
             val selfCost =
               costModel.operatorCost(op, e.inputs.map(memo.group(_).card))
             if (selfCost <= bound) { // upper-bound pruning (`task.rs:418-421`)
-              val childProp = PhysicalPropertySet.default
-              val winners = e.inputs.map(memo.group(_).winner(childProp))
+              val childProps = e.inputs.indices.map { i =>
+                if (pushDist && i == 0)
+                  PhysicalPropertySet.default.copy(
+                    distribution = req.distribution)
+                else PhysicalPropertySet.default
+              }
+              val winners = e.inputs.zip(childProps).map { case (in, cp) =>
+                memo.group(in).winner(cp)
+              }
               if (winners.forall(_.isDefined)) {
                 val total = selfCost + winners.flatten.map(_.cost).sum
                 if (total <= bound) {
-                  val w = Winner(e, total, e.inputs.map(_ => childProp))
+                  val w = Winner(e, total, childProps)
                   memo.group(g).updateWinner(req, w)
-                  if (req != childProp)
-                    memo.group(g).updateWinner(childProp, w)
+                  // a plan needing no child requirements is also a valid
+                  // default-property plan — never the pushdown variant,
+                  // whose cost includes an enforced child exchange
+                  if (req != PhysicalPropertySet.default && !pushDist)
+                    memo.group(g).updateWinner(PhysicalPropertySet.default, w)
                 }
               } else if (round < MaxRounds) {
                 stack.push(OptimizeInputs(g, e, req, bound, round + 1))
                 val spent = selfCost + winners.flatten.map(_.cost).sum
-                e.inputs.zip(winners).foreach {
-                  case (in, None) =>
-                    stack.push(OptimizeGroup(in, childProp, bound - spent))
+                e.inputs.zip(childProps).zip(winners).foreach {
+                  case ((in, cp), None) =>
+                    stack.push(OptimizeGroup(in, cp, bound - spent))
                   case _ =>
                 }
               }
@@ -201,7 +234,12 @@ final class CascadesOptimizer(
           }
 
         // the completed `append_enforcers` (`task.rs:431-462`): sort the
-        // group's relaxed winner to establish the required order
+        // group's relaxed winner to establish the required order. The task
+        // was pushed BELOW the relaxed OptimizeGroup subtree, so when it
+        // pops the relaxed search has completed — a missing winner means
+        // the group is unimplementable under the relaxed requirement (or a
+        // merge restart invalidated it); requeue at most ONCE rather than
+        // burning MaxRounds no-op pops on a dead group.
         case EnforceOrder(g, req, bound, round) =>
           val relaxed = req.copy(order = OrderSpec.AnyOrder)
           memo.group(g).winner(relaxed) match {
@@ -217,8 +255,40 @@ final class CascadesOptimizer(
                 case OrderSpec.AnyOrder => // nothing to enforce
               }
             case None =>
-              if (round < MaxRounds)
-                stack.push(EnforceOrder(g, req, bound, round + 1))
+              if (round < 1) stack.push(EnforceOrder(g, req, bound, round + 1))
+          }
+
+        // the same enforcer shape for the reference's OTHER declared
+        // property (`properties/distribution.rs:5-19`): exchange the
+        // distribution-relaxed winner to establish Hashed(keys) (hash
+        // repartition) or Singleton (gather). Runs only when pushdown
+        // through passthrough operators (OptimizeInputs) did not already
+        // satisfy the requirement more cheaply — both candidates meet in
+        // updateWinner and the cheaper one survives.
+        case EnforceDistribution(g, req, bound, round) =>
+          val relaxed = req.copy(distribution = DistributionSpec.Any)
+          memo.group(g).winner(relaxed) match {
+            case Some(w) =>
+              req.distribution match {
+                case DistributionSpec.Hashed(keys) =>
+                  val exch = PhysicalExchange(keys)
+                  val cost = costModel.operatorCost(
+                    exch, Seq(memo.group(g).card)) + w.cost
+                  if (cost <= bound)
+                    memo.group(g).updateWinner(req,
+                      Winner(GroupExpr(exch, Seq(g)), cost, Seq(relaxed)))
+                case DistributionSpec.Singleton =>
+                  val exch = PhysicalExchange(Nil)
+                  val cost = costModel.operatorCost(
+                    exch, Seq(memo.group(g).card)) + w.cost
+                  if (cost <= bound)
+                    memo.group(g).updateWinner(req,
+                      Winner(GroupExpr(exch, Seq(g)), cost, Seq(relaxed)))
+                case _ => // Any/Random: nothing to enforce
+              }
+            case None =>
+              if (round < 1)
+                stack.push(EnforceDistribution(g, req, bound, round + 1))
           }
       }
     }

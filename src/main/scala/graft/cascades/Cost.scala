@@ -43,8 +43,9 @@ trait StatsModel {
       // commuted join lands in a group with the same cardinality and only
       // the COST (build-side choice) differentiates the two
       math.max(inputRows(0), inputRows(1))
-    case LogicalLimit(n)  => math.min(inputRows.head, n.toLong)
-    case _: PhysicalSort  => inputRows.head
+    case LogicalLimit(n)       => math.min(inputRows.head, n.toLong)
+    case _: PhysicalSort       => inputRows.head
+    case _: PhysicalExchange   => inputRows.head // repartition: same rows
   }
 
   private def limited(rows: Long, limit: Option[Int]): Long =
@@ -80,5 +81,10 @@ final class CardinalityCostModel extends CostModel {
     case PhysicalSort(_)           =>
       val n = inputRows.head.toDouble
       n * (math.log(n + 1.0) / math.log(2.0))
+    // a shuffle serializes + transfers every input row (2x a plain
+    // row-touch pass); a gather additionally funnels through one task
+    case PhysicalExchange(keys)    =>
+      val n = inputRows.head.toDouble
+      if (keys.isEmpty) 3.0 * n else 2.0 * n
   }
 }

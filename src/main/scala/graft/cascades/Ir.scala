@@ -66,6 +66,20 @@ final case class PhysicalHashJoin(joinType: JoinType, cond: EqCond)
 final case class PhysicalSort(cols: Seq[Col]) extends PhysicalOp {
   def arity = 1
 }
+/** Distribution ENFORCER — completes the second property shape the
+  * reference declares but never enforces (`properties/distribution.rs:5-19`
+  * models Singleton/Hashed/Random; the enforcer hook at
+  * `properties/physical.rs:16-24` returns an empty vec for it too).
+  * `Exchange(keys)` re-partitions its child by hash of `keys` (delivers
+  * [[DistributionSpec.Hashed]]); `Exchange(Nil)` gathers to a single
+  * partition (delivers [[DistributionSpec.Singleton]]) — Spark's
+  * ShuffleExchangeExec with HashPartitioning / SinglePartition is the
+  * production counterpart. Never produced by an implementation rule — only
+  * by the [[CascadesOptimizer]] EnforceDistribution task.
+  */
+final case class PhysicalExchange(keys: Seq[Col]) extends PhysicalOp {
+  def arity = 1
+}
 /** No physical Limit exists in the reference enum (`operator/physical.rs:
   * 15-20`) — limits must be absorbed into scans by rules before
   * implementation. Reproduced faithfully here.
@@ -92,6 +106,9 @@ final case class PlanNode(op: Operator, inputs: Seq[PlanNode] = Nil) {
     case PhysicalProject(e)      => s"PhysicalProjection(${e.mkString(",")})"
     case PhysicalHashJoin(jt, c) => s"PhysicalHashJoin($jt, $c)"
     case PhysicalSort(cols)      => s"PhysicalSort(${cols.mkString(",")})"
+    case PhysicalExchange(keys) =>
+      if (keys.isEmpty) "PhysicalExchange(gather)"
+      else s"PhysicalExchange(hash:${keys.mkString(",")})"
   }
 }
 
@@ -143,4 +160,39 @@ object PhysicalPropertySet {
   def deliversOrder(op: PhysicalOp, required: PhysicalPropertySet): Boolean =
     required.order == OrderSpec.AnyOrder ||
       deliveredOrder(op) == required.order
+
+  /** The distribution a physical operator ESTABLISHES itself: only the
+    * exchange enforcer creates one (hash keys -> Hashed, no keys ->
+    * Singleton gather); scans read splits in arbitrary placement (Random);
+    * everything else establishes none — a passthrough operator can still
+    * SATISFY a requirement via [[passesThroughDistribution]] + requirement
+    * pushdown to its child (mirroring `properties/distribution.rs:5-19`,
+    * which the reference declares and never derives).
+    */
+  def deliveredDistribution(op: PhysicalOp): DistributionSpec = op match {
+    case PhysicalExchange(keys) =>
+      if (keys.isEmpty) DistributionSpec.Singleton
+      else DistributionSpec.Hashed(keys)
+    case _: PhysicalTableScan => DistributionSpec.Random
+    case _                    => DistributionSpec.Any
+  }
+
+  /** Does `op` itself establish `required.distribution`? */
+  def deliversDistribution(
+      op: PhysicalOp, required: PhysicalPropertySet): Boolean =
+    required.distribution == DistributionSpec.Any ||
+      deliveredDistribution(op) == required.distribution
+
+  /** Operators that preserve their (first) child's row placement — a
+    * required distribution can be pushed down to that child instead of
+    * enforcing an exchange above: filter/project/sort touch no
+    * partitioning; a hash join streams its LEFT (probe) side through
+    * unchanged (the Catalyst counterpart is `outputPartitioning`
+    * passthrough on the streamed side).
+    */
+  def passesThroughDistribution(op: PhysicalOp): Boolean = op match {
+    case _: PhysicalFilter | _: PhysicalProject | _: PhysicalSort |
+        _: PhysicalHashJoin => true
+    case _ => false
+  }
 }
