@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -13,17 +13,38 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * value back to DOUBLE: the same exact decimal renders to the same double in
   * both engines. Per-row double arithmetic (no reduction) is bit-exact across
   * engines as long as the expression tree shape matches, so it needs no cast.
+  *
+  * The decimal path costs ~3-5x on aggregate-heavy queries (128-bit decimal
+  * adds vs one vectorized double add). That price buys CROSS-ENGINE
+  * bit-parity — a contract only the oracle gate needs. Production runs that
+  * accept standard float-sum semantics (every Spark deployment does) can set
+  * [[Oracle.ExactSumsKey]] to `false` and get plain double sums; results
+  * then match Spark-anywhere semantics (order-dependent last bits) instead
+  * of DuckDB bit-parity. The flag is read at QUERY BUILD time from the
+  * active session, defaulting to exact.
   */
 object Oracle {
-  /** Exact sum of a double column, returned as double. */
+  /** Session conf key selecting exact (decimal) vs fast (double) sums. */
+  val ExactSumsKey = "spark.graft.exactSums"
+
+  private def exactSums: Boolean =
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession)
+      .forall(_.conf.get(ExactSumsKey, "true").toBoolean)
+
+  /** Sum of a double column: exact via DECIMAL(28,6) by default, plain
+    * double sum when `spark.graft.exactSums=false`. */
   def dsum(c: Column): Column =
-    sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
+    if (exactSums) sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
+    else sum(c)
 
-  /** Exact average of a double column, returned as double. */
+  /** Average of a double column, same mode selection as [[dsum]]. */
   def davg(c: Column): Column =
-    sum(c.cast(DecimalType(28, 6))).cast(DoubleType) / count(lit(1))
+    if (exactSums) sum(c.cast(DecimalType(28, 6))).cast(DoubleType) / count(lit(1))
+    else sum(c) / count(lit(1))
 
-  /** The oracle-side spelling of [[dsum]]. */
+  /** The oracle-side spelling of [[dsum]] (the oracle always checks the
+    * exact mode — fast mode is not oracle-comparable by construction). */
   def sqlSum(expr: String): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(28,6))) AS DOUBLE)"
 

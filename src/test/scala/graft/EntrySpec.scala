@@ -23,4 +23,20 @@ class EntrySpec extends GraftSuite {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"unexpected rows-only set: $rowsOnly")
   }
+
+  test("fast-sum mode drops decimal casts from the plan, same results shape") {
+    import graft.ops.Oracle
+    def q5 = SparkEntry.queries("q5_region_revenue")(spark, sfDir)
+    val exactPlan = q5.queryExecution.optimizedPlan.toString
+    assert(exactPlan.contains("decimal(28,6)"), exactPlan.take(2000))
+    val exactRows = q5.count()
+    try {
+      spark.conf.set(Oracle.ExactSumsKey, "false")
+      val fastPlan = q5.queryExecution.optimizedPlan.toString
+      assert(!fastPlan.contains("decimal(28,6)"), fastPlan.take(2000))
+      // same groups come back; values carry float-sum semantics instead of
+      // the DuckDB bit-parity contract
+      assert(q5.count() == exactRows)
+    } finally spark.conf.set(Oracle.ExactSumsKey, "true")
+  }
 }
