@@ -27,7 +27,10 @@ object SparkEntry {
     (DedupOps.queries, DedupOps.oracles),
     (SimilarityOps.queries, SimilarityOps.oracles),
     (EventOps.queries, EventOps.oracles),
-    (MultimodalOps.queries, MultimodalOps.oracles)
+    (MultimodalOps.queries, MultimodalOps.oracles),
+    // streaming parity IS part of the contract: the hourly aggregate runs
+    // through the memory sink and checks against the batch oracle
+    (graft.streaming.StreamingOps.queries, graft.streaming.StreamingOps.oracles)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

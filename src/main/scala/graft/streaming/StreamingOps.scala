@@ -162,4 +162,36 @@ object StreamingOps {
     finally q.stop()
     df.sparkSession.table(name)
   }
+
+  /** Driver-contract surface: the streaming hourly aggregate materialized
+    * through the memory sink and checked against the SAME DuckDB oracle as
+    * the batch `events_hourly` — streaming/batch parity is part of the
+    * correctness gate, not just a spec. Complete mode: the file source is
+    * finite, so the final microbatch's table IS the full aggregate (append
+    * mode would hold back the unfinalized tail windows forever). The
+    * windowed TimestampType start is converted to the batch query's
+    * hour_bucket long — a derived timestamp column must never reach the
+    * oracle compare (INT96/ns parquet schema mismatch).
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_hourly_stream" -> { (s, d) =>
+      val res = runToMemory(hourlyCounts(readEvents(s, d)),
+        "events_hourly_stream_sink", OutputMode.Complete())
+      res
+        .select(
+          expr(graft.ops.EventOps.floorDivSql(
+            "unix_millis(win_start)", 3600000L)).as("hour_bucket"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hour_bucket", "event_type")
+    }
+  )
+
+  /** Identical to the batch `events_hourly` oracle — that IS the point. */
+  def oracles: Map[String, String] = Map(
+    "events_hourly_stream" ->
+      s"""SELECT epoch_ms(ts) // 3600000 AS hour_bucket, event_type,
+         |  count(*) AS n, ${graft.ops.Oracle.sqlSum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type"""
+        .stripMargin
+  )
 }
