@@ -15,6 +15,54 @@ class PlanCheckSpec extends GraftSuite {
     assert(a.scans == 5, a.summary)
   }
 
+  // --- the CI regression gate: plan invariants across EVERY contract query ---
+
+  /** Queries allowed a cartesian/broadcast-nested-loop join: all of them
+    * join a side that is tiny BY CONSTRUCTION (a <=25-row dimension table
+    * or a 1-row scalar aggregate), where a nested-loop broadcast is the
+    * correct plan. Anything else going cartesian is a scale regression.
+    */
+  private val cartesianWhitelist = Set(
+    "cross_join",         // region x nation, 5 x 25 rows, the demo itself
+    "fuzzy_nation_pairs", // nation x nation, 25 x 25, Levenshtein all-pairs
+    "non_equi_join",      // range-band join against a 25-row dim
+    "subquery_scalar",    // 1-row scalar aggregate broadcast under all rows
+    "q6_revenue_delta",   // 1-row x 1-row delta of two scalar aggregates
+    "sim_topk_bruteforce", // 10-query vector set broadcast against corpus
+    "agg_approx_sketch",  // 3-row sketch/exact/median join by small key
+    "sim_ann_ivf",        // coarse assignment: 10 queries x per-label
+                          // centroids (bounded by label cardinality)
+    "dedup_embedding_bruteforce" // the HONEST all-pairs baseline, kept
+                          // deliberately quadratic; the named scale path
+                          // is dedup_embedding (LSH-bucketed equi-join)
+  )
+
+  /** Queries allowed a sort-merge join: full-outer needs both sides
+    * materialized and unmatched rows emitted from each — SMJ is Spark's
+    * robust full-outer shape (hash variants buffer an unbounded unmatched
+    * side). Everything else must plan hash or broadcast joins.
+    */
+  private val smjWhitelist = Set("join_full")
+
+  test("gate: no unplanned cartesian joins, no sort-merge joins, anywhere") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val df = fn(spark, sfDir)
+        df.queryExecution.toRdd.count()
+        val a = PlanCheck.audit(df)
+        val s = df.queryExecution.executedPlan.toString
+        val cartesian = s.contains("CartesianProduct") ||
+          s.contains("BroadcastNestedLoopJoin")
+        val bad = Seq(
+          (cartesian && !cartesianWhitelist(name)) -> "cartesian/BNLJ",
+          (a.hasSortMergeJoin && !smjWhitelist(name)) -> "sort-merge join")
+          .collect { case (true, what) => s"$name: $what" }
+        spark.catalog.clearCache()
+        bad
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("audit reports pushed filters and pruned schema for a filtered scan") {
     val df = Tables(spark, sfDir).lineitem
       .filter(col("l_quantity") > 30.0).select("l_orderkey")
