@@ -57,12 +57,10 @@ final class CascadesOptimizer(
       round: Int) extends Task
   /** Enforcer: once the RELAXED winner exists, top it with PhysicalSort. */
   private final case class EnforceOrder(
-      g: Int, required: PhysicalPropertySet, upperBound: Double, round: Int)
-      extends Task
+      g: Int, required: PhysicalPropertySet, upperBound: Double) extends Task
   /** Enforcer: top the distribution-relaxed winner with PhysicalExchange. */
   private final case class EnforceDistribution(
-      g: Int, required: PhysicalPropertySet, upperBound: Double, round: Int)
-      extends Task
+      g: Int, required: PhysicalPropertySet, upperBound: Double) extends Task
 
   private val MaxRounds = 10000
 
@@ -127,12 +125,12 @@ final class CascadesOptimizer(
             // correct stacking, matching EnsureRequirements)
             if (req.order != OrderSpec.AnyOrder) {
               val relaxed = req.copy(order = OrderSpec.AnyOrder)
-              stack.push(EnforceOrder(g, req, bound, 0))
+              stack.push(EnforceOrder(g, req, bound))
               stack.push(OptimizeGroup(g, relaxed, bound))
             } else if (req.distribution != DistributionSpec.Any &&
                 req.distribution != DistributionSpec.Random) {
               val relaxed = req.copy(distribution = DistributionSpec.Any)
-              stack.push(EnforceDistribution(g, req, bound, 0))
+              stack.push(EnforceDistribution(g, req, bound))
               stack.push(OptimizeGroup(g, relaxed, bound))
             }
             grp.physicalExprs.foreach(e =>
@@ -236,59 +234,49 @@ final class CascadesOptimizer(
         // the completed `append_enforcers` (`task.rs:431-462`): sort the
         // group's relaxed winner to establish the required order. The task
         // was pushed BELOW the relaxed OptimizeGroup subtree, so when it
-        // pops the relaxed search has completed — a missing winner means
-        // the group is unimplementable under the relaxed requirement (or a
-        // merge restart invalidated it); requeue at most ONCE rather than
-        // burning MaxRounds no-op pops on a dead group.
-        case EnforceOrder(g, req, bound, round) =>
+        // pops the relaxed search has completed — a missing relaxed winner
+        // means the group is unimplementable under the relaxed requirement
+        // and no retry can change that (a FILO re-push would pop
+        // immediately with identical memo state; merge restarts rebuild
+        // the whole stack anyway), so the task simply finishes.
+        case EnforceOrder(g, req, bound) =>
           val relaxed = req.copy(order = OrderSpec.AnyOrder)
-          memo.group(g).winner(relaxed) match {
-            case Some(w) =>
-              req.order match {
-                case OrderSpec.SortedBy(cols) =>
-                  val sortOp = PhysicalSort(cols)
-                  val cost = costModel.operatorCost(
-                    sortOp, Seq(memo.group(g).card)) + w.cost
-                  if (cost <= bound)
-                    memo.group(g).updateWinner(req,
-                      Winner(GroupExpr(sortOp, Seq(g)), cost, Seq(relaxed)))
-                case OrderSpec.AnyOrder => // nothing to enforce
-              }
-            case None =>
-              if (round < 1) stack.push(EnforceOrder(g, req, bound, round + 1))
+          memo.group(g).winner(relaxed).foreach { w =>
+            req.order match {
+              case OrderSpec.SortedBy(cols) =>
+                val sortOp = PhysicalSort(cols)
+                val cost = costModel.operatorCost(
+                  sortOp, Seq(memo.group(g).card)) + w.cost
+                if (cost <= bound)
+                  memo.group(g).updateWinner(req,
+                    Winner(GroupExpr(sortOp, Seq(g)), cost, Seq(relaxed)))
+              case OrderSpec.AnyOrder => // nothing to enforce
+            }
           }
 
         // the same enforcer shape for the reference's OTHER declared
         // property (`properties/distribution.rs:5-19`): exchange the
         // distribution-relaxed winner to establish Hashed(keys) (hash
-        // repartition) or Singleton (gather). Runs only when pushdown
-        // through passthrough operators (OptimizeInputs) did not already
-        // satisfy the requirement more cheaply — both candidates meet in
-        // updateWinner and the cheaper one survives.
-        case EnforceDistribution(g, req, bound, round) =>
+        // repartition) or Singleton (gather, keys = Nil). Runs only when
+        // pushdown through passthrough operators (OptimizeInputs) did not
+        // already satisfy the requirement more cheaply — both candidates
+        // meet in updateWinner and the cheaper one survives.
+        case EnforceDistribution(g, req, bound) =>
           val relaxed = req.copy(distribution = DistributionSpec.Any)
-          memo.group(g).winner(relaxed) match {
-            case Some(w) =>
-              req.distribution match {
-                case DistributionSpec.Hashed(keys) =>
-                  val exch = PhysicalExchange(keys)
-                  val cost = costModel.operatorCost(
-                    exch, Seq(memo.group(g).card)) + w.cost
-                  if (cost <= bound)
-                    memo.group(g).updateWinner(req,
-                      Winner(GroupExpr(exch, Seq(g)), cost, Seq(relaxed)))
-                case DistributionSpec.Singleton =>
-                  val exch = PhysicalExchange(Nil)
-                  val cost = costModel.operatorCost(
-                    exch, Seq(memo.group(g).card)) + w.cost
-                  if (cost <= bound)
-                    memo.group(g).updateWinner(req,
-                      Winner(GroupExpr(exch, Seq(g)), cost, Seq(relaxed)))
-                case _ => // Any/Random: nothing to enforce
-              }
-            case None =>
-              if (round < 1)
-                stack.push(EnforceDistribution(g, req, bound, round + 1))
+          memo.group(g).winner(relaxed).foreach { w =>
+            val keys = req.distribution match {
+              case DistributionSpec.Hashed(ks)  => Some(ks)
+              case DistributionSpec.Singleton   => Some(Nil)
+              case _                            => None // Any/Random
+            }
+            keys.foreach { ks =>
+              val exch = PhysicalExchange(ks)
+              val cost = costModel.operatorCost(
+                exch, Seq(memo.group(g).card)) + w.cost
+              if (cost <= bound)
+                memo.group(g).updateWinner(req,
+                  Winner(GroupExpr(exch, Seq(g)), cost, Seq(relaxed)))
+            }
           }
       }
     }

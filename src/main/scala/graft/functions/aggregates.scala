@@ -195,27 +195,21 @@ case class VecSumLongs(
 
   override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
 
-  private def addInto(buf: Array[Long], other: Array[Long]): Array[Long] = {
-    val out = if (other.length > buf.length) {
-      val grown = new Array[Long](other.length)
+  /** `buf` grown (copy) to hold at least `n` elements, zero-padded. */
+  private def grownTo(buf: Array[Long], n: Int): Array[Long] =
+    if (n <= buf.length) buf
+    else {
+      val grown = new Array[Long](n)
       System.arraycopy(buf, 0, grown, 0, buf.length)
       grown
-    } else buf
-    var i = 0
-    while (i < other.length) { out(i) += other(i); i += 1 }
-    out
-  }
+    }
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v == null) return buf
     val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val n = arr.numElements()
-    val out = if (n > buf.length) {
-      val grown = new Array[Long](n)
-      System.arraycopy(buf, 0, grown, 0, buf.length)
-      grown
-    } else buf
+    val out = grownTo(buf, n)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) out(i) += arr.getLong(i)
@@ -224,8 +218,12 @@ case class VecSumLongs(
     out
   }
 
-  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] =
-    addInto(buf, other)
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    val out = grownTo(buf, other.length)
+    var i = 0
+    while (i < other.length) { out(i) += other(i); i += 1 }
+    out
+  }
 
   override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
 

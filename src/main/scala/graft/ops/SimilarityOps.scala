@@ -137,6 +137,13 @@ object SimilarityOps {
     // so the whole readout is ONE vec_sum_longs aggregation pass plus
     // narrow array arithmetic — no posexplode, no (label, i) shuffle, no
     // self-join. n_terms = cnt · D (every vector contributes D terms).
+    //
+    // CONTRACT: the embeddings table is FIXED-DIMENSION (every real vector
+    // store is). The identity above and the per-label `cnt` divisor both
+    // assume it — on ragged input the old posexplode formula (and the
+    // oracle) would divide dimension i by its CONTRIBUTOR count while this
+    // path divides by the row count. AggregatesSpec pins the contract on
+    // the table so a ragged corpus fails loudly, not silently.
     "sim_label_centroid" -> { (s, d) =>
       val agg = Tables(s, d).embeddings
         .select(col("label"), quantize(col("embedding")).as("qv"))

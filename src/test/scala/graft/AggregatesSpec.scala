@@ -81,6 +81,18 @@ class AggregatesSpec extends GraftSuite {
     assert(got("b") == Seq(12L, -2L))
   }
 
+  test("embeddings are fixed-dimension (the centroid vector-sum contract)") {
+    // the vec_sum_longs centroid identity divides per-dimension sums by the
+    // per-label ROW count — equivalent to the oracle's per-(label, dim)
+    // contributor count only when every vector has the same length. Pin
+    // the contract so a ragged corpus fails here, not as a silent oracle
+    // hash mismatch.
+    val dims = graft.ops.Tables(spark, sfDir).embeddings
+      .select(size(col("embedding"))).distinct().collect()
+    assert(dims.length == 1 && dims(0).getInt(0) > 0,
+      s"embeddings must be fixed-dimension, saw ${dims.mkString(",")}")
+  }
+
   test("centroid queries shuffle vectors, not exploded (row, dim) pairs") {
     import graft.ops.SimilarityOps
     for (name <- Seq("sim_label_centroid", "sim_ann_ivf")) {

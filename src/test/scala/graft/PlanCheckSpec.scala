@@ -22,14 +22,18 @@ class PlanCheckSpec extends GraftSuite {
     * or a 1-row scalar aggregate), where a nested-loop broadcast is the
     * correct plan. Anything else going cartesian is a scale regression.
     */
-  private val cartesianWhitelist = Set(
+  private val cartesianWhitelist: Set[String] = Set(
+    // the MINIMAL set, pinned by running the gate with an empty whitelist:
+    // each entry below actually plans a CartesianProduct/BNLJ today, and
+    // each is correct by construction. Notably NOT here: non_equi_join and
+    // q6_revenue_delta (their tiny sides broadcast-hash on an equi key)
+    // and agg_approx_sketch (all equi-joins on l_returnflag) — keeping
+    // them out means the gate catches a future degradation of exactly
+    // those queries.
     "cross_join",         // region x nation, 5 x 25 rows, the demo itself
     "fuzzy_nation_pairs", // nation x nation, 25 x 25, Levenshtein all-pairs
-    "non_equi_join",      // range-band join against a 25-row dim
     "subquery_scalar",    // 1-row scalar aggregate broadcast under all rows
-    "q6_revenue_delta",   // 1-row x 1-row delta of two scalar aggregates
     "sim_topk_bruteforce", // 10-query vector set broadcast against corpus
-    "agg_approx_sketch",  // 3-row sketch/exact/median join by small key
     "sim_ann_ivf",        // coarse assignment: 10 queries x per-label
                           // centroids (bounded by label cardinality)
     "dedup_embedding_bruteforce" // the HONEST all-pairs baseline, kept
