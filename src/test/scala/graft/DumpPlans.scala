@@ -38,7 +38,14 @@ object DumpPlans {
       "sim_topk_bruteforce" -> ("query set broadcast against the corpus " +
         "scan; quantized-cosine kernel inside whole-stage codegen; top-k " +
         "via rank window"),
-      "topk" -> "TakeOrderedAndProject: per-partition top-k, no global sort")
+      "topk" -> "TakeOrderedAndProject: per-partition top-k, no global sort",
+      "agg_approx_sketch" -> ("KMV order statistic via the kmin_kth_long " +
+        "O(k)-state aggregate fused into the sketch pass — no distinct " +
+        "shuffle, no row_number window over the hash table; the only " +
+        "windows left are the 150-row cumulative-median ones"),
+      "sim_label_centroid" -> ("one vec_sum_longs aggregation pass: the " +
+        "shuffle carries a single D-length partial per (partition, label) " +
+        "— no posexplode of NxD rows, no (label, dim) self-join"))
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.DumpPlans\"` " +
