@@ -61,7 +61,10 @@ object Bench {
     // robustness, not JSON semantics: the driver tail-captures the line, so
     // the load-bearing totals go LAST — a truncated head eats individual
     // query timings, never the total/count/sf.
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the default locale — a
+    // comma-decimal locale would emit invalid JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = withFast.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // totals cover the CONTRACT queries only — the fast-sum demo entry is

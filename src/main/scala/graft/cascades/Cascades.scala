@@ -186,21 +186,24 @@ final class CascadesOptimizer(
         case OptimizeInputs(g, e, req, bound, round) =>
           val op = e.op.asInstanceOf[PhysicalOp]
           // a required distribution is satisfied by self-delivery (the
-          // exchange enforcer), or by PUSHING the requirement down to the
-          // first child of a passthrough operator (filter/project/sort,
-          // join probe side) — the exchange then lands at the lowest legal
+          // exchange enforcer), or by PUSHING the requirement down to a
+          // child the operator provably preserves it through (sort always;
+          // filter/project when the keys survive; join probe side on its
+          // own join key) — the exchange then lands at the lowest legal
           // point instead of always topping the plan. Anything else cannot
           // win under req; the EnforceDistribution task covers it.
           val selfDist = PhysicalPropertySet.deliversDistribution(op, req)
-          val pushDist = !selfDist &&
-            PhysicalPropertySet.passesThroughDistribution(op)
+          val pushChild =
+            if (selfDist || req.distribution == DistributionSpec.Any) None
+            else PhysicalPropertySet.distributionPushdownChild(
+              op, req.distribution)
           if (PhysicalPropertySet.deliversOrder(op, req) &&
-              (selfDist || pushDist)) {
+              (selfDist || pushChild.isDefined)) {
             val selfCost =
               costModel.operatorCost(op, e.inputs.map(memo.group(_).card))
             if (selfCost <= bound) { // upper-bound pruning (`task.rs:418-421`)
               val childProps = e.inputs.indices.map { i =>
-                if (pushDist && i == 0)
+                if (pushChild.contains(i))
                   PhysicalPropertySet.default.copy(
                     distribution = req.distribution)
                 else PhysicalPropertySet.default
@@ -216,7 +219,7 @@ final class CascadesOptimizer(
                   // a plan needing no child requirements is also a valid
                   // default-property plan — never the pushdown variant,
                   // whose cost includes an enforced child exchange
-                  if (req != PhysicalPropertySet.default && !pushDist)
+                  if (req != PhysicalPropertySet.default && pushChild.isEmpty)
                     memo.group(g).updateWinner(PhysicalPropertySet.default, w)
                 }
               } else if (round < MaxRounds) {

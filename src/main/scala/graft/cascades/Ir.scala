@@ -183,16 +183,38 @@ object PhysicalPropertySet {
     required.distribution == DistributionSpec.Any ||
       deliveredDistribution(op) == required.distribution
 
-  /** Operators that preserve their (first) child's row placement — a
-    * required distribution can be pushed down to that child instead of
-    * enforcing an exchange above: filter/project/sort touch no
-    * partitioning; a hash join streams its LEFT (probe) side through
-    * unchanged (the Catalyst counterpart is `outputPartitioning`
-    * passthrough on the streamed side).
+  /** Which child (if any) a required distribution can be pushed down to,
+    * instead of enforcing an exchange above the operator. Pushdown is only
+    * legal when the operator provably PRESERVES the requirement:
+    *
+    *  - `Sort` keeps every column and every row placement — always legal;
+    *  - `Filter`/`Project` keep placement but may drop columns: Hashed(keys)
+    *    pushes down only if the keys survive the projection (a filter with
+    *    an empty projected list keeps all columns);
+    *  - `HashJoin` streams its LEFT (probe) side through unchanged, so only
+    *    Hashed on exactly the probe-side join key is known-preserved (any
+    *    other column's provenance is unknowable in this schema-less IR);
+    *    Singleton can NEVER push through a join — gathering one side does
+    *    not make the join output single-partition.
+    *
+    * The Catalyst counterpart is `outputPartitioning` passthrough on the
+    * streamed side, which likewise rewrites only provable key lineage.
     */
-  def passesThroughDistribution(op: PhysicalOp): Boolean = op match {
-    case _: PhysicalFilter | _: PhysicalProject | _: PhysicalSort |
-        _: PhysicalHashJoin => true
-    case _ => false
+  def distributionPushdownChild(
+      op: PhysicalOp, dist: DistributionSpec): Option[Int] = {
+    def keptBy(cols: Seq[Col], keys: Seq[Col]): Boolean =
+      cols.isEmpty || keys.forall(cols.contains)
+    (op, dist) match {
+      case (_: PhysicalSort, _) => Some(0)
+      case (PhysicalFilter(_, projected), DistributionSpec.Hashed(keys))
+          if keptBy(projected, keys) => Some(0)
+      case (_: PhysicalFilter, DistributionSpec.Singleton) => Some(0)
+      case (PhysicalProject(exprs), DistributionSpec.Hashed(keys))
+          if keys.forall(exprs.contains) => Some(0)
+      case (_: PhysicalProject, DistributionSpec.Singleton) => Some(0)
+      case (PhysicalHashJoin(_, cond), DistributionSpec.Hashed(keys))
+          if keys == Seq(cond.left) => Some(0)
+      case _ => None
+    }
   }
 }

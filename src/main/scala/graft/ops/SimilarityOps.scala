@@ -100,7 +100,11 @@ object SimilarityOps {
       // (partition, label) — no posexplode of N×D rows into the shuffle
       val centVec = base.groupBy("label")
         .agg(graft.functions.aggregates.vec_sum_longs(col("qv")).as("svec"),
-          count(lit(1)).as("cnt"))
+          // count NON-NULL vectors: vec_sum_longs skips NULLs, and the
+          // oracle's LATERAL over len(embedding) drops NULL rows — a
+          // count(*) divisor would silently deflate every centroid the
+          // moment a NULL embedding appears
+          count(col("qv")).as("cnt"))
         .select(col("label"),
           transform(col("svec"),
             sv => floor(sv * lit(1000) / col("cnt")).cast("long")).as("cvec"))
@@ -149,7 +153,11 @@ object SimilarityOps {
         .select(col("label"), quantize(col("embedding")).as("qv"))
         .groupBy("label")
         .agg(graft.functions.aggregates.vec_sum_longs(col("qv")).as("svec"),
-          count(lit(1)).as("cnt"))
+          // count NON-NULL vectors: vec_sum_longs skips NULLs, and the
+          // oracle's LATERAL over len(embedding) drops NULL rows — a
+          // count(*) divisor would silently deflate every centroid the
+          // moment a NULL embedding appears
+          count(col("qv")).as("cnt"))
       agg.select(col("label"),
           aggregate(zip_with(col("svec"),
             transform(col("svec"),

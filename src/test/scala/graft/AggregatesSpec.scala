@@ -34,12 +34,18 @@ class AggregatesSpec extends GraftSuite {
     val k = 37
     val got = hashed.groupBy("l_returnflag")
       .agg(kmin_kth_long(col("h"), k).as("hk"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     got.keys.foreach { flag =>
-      val want = hashed.filter(col("l_returnflag") === flag)
+      val distinctAsc = hashed.filter(col("l_returnflag") === flag)
         .select("h").distinct().orderBy(col("h").asc).limit(k)
-        .collect().map(_.getLong(0)).last
-      assert(got(flag) == want, s"flag $flag")
+        .collect().map(_.getLong(0))
+      // fail with a message (not an NPE) if a smaller corpus ever drops a
+      // group below k distinct hashes
+      assert(distinctAsc.length == k,
+        s"flag $flag has only ${distinctAsc.length} distinct hashes (< $k)")
+      assert(got(flag).contains(distinctAsc.last), s"flag $flag")
     }
   }
 

@@ -222,6 +222,61 @@ class CascadesSpec extends AnyFunSuite {
     }
   }
 
+  test("pushdown refuses keys the child cannot preserve") {
+    // Requiring Hashed(c2) over join(t1, t2) on c1=c2: an UNVALIDATED
+    // pushdown would hash scan(t1) by c2 — a column of t2 — and still
+    // claim to deliver Hashed(c2). Legal plans either exchange the join
+    // output, or (because CommutateJoinRule also explores the swapped
+    // join, whose probe-side key IS c2) exchange t2 below the commuted
+    // join. Assert the invalid shape never appears and the plan stays
+    // key-correct: every exchange below a join hashes that join's OWN
+    // probe-side key, and exactly one exchange is paid for.
+    val plan = join(scan("t1"), scan("t2"), "c1", "c2")
+    val req = PhysicalPropertySet(
+      distribution = DistributionSpec.Hashed(Seq(Col("c2"))))
+    val out = new CascadesOptimizer().optimize(plan, req).get
+    def walk(p: PlanNode): Unit = p.op match {
+      case PhysicalHashJoin(_, cond) =>
+        p.inputs.head.op match {
+          case PhysicalExchange(keys) =>
+            assert(keys == Seq(cond.left),
+              s"exchange below a join must hash its probe key:\n${out.explain()}")
+          case _ =>
+        }
+        p.inputs.foreach(walk)
+      case PhysicalExchange(keys) =>
+        // an exchange directly over a scan must key a column that scan
+        // owns — in this plan only t2 owns c2
+        p.inputs.head.op match {
+          case PhysicalTableScan(t, _) if keys == Seq(Col("c2")) =>
+            assert(t == "t2", s"hashed t1 by t2's column:\n${out.explain()}")
+          case _ =>
+        }
+        p.inputs.foreach(walk)
+      case _ => p.inputs.foreach(walk)
+    }
+    walk(out)
+    assert(countOcc(out.explain(), "PhysicalExchange") == 1, out.explain())
+    // probe-side key: pushdown IS legal, and exactly one exchange appears
+    val reqProbe = PhysicalPropertySet(
+      distribution = DistributionSpec.Hashed(Seq(Col("c1"))))
+    val probe = new CascadesOptimizer().optimize(plan, reqProbe).get
+    assert(countOcc(probe.explain(), "PhysicalExchange") == 1, probe.explain())
+  }
+
+  test("singleton never pushes through a join (gather lands on top)") {
+    // gathering ONE side of a join does not make its output
+    // single-partition — the only legal Singleton plan gathers the output
+    val plan = join(scan("t1"), scan("t2"), "c1", "c2")
+    val req = PhysicalPropertySet(distribution = DistributionSpec.Singleton)
+    val out = new CascadesOptimizer().optimize(plan, req).get
+    out match {
+      case PlanNode(PhysicalExchange(Nil),
+          Seq(PlanNode(PhysicalHashJoin(_, _), _))) =>
+      case other => fail(s"expected gather ABOVE the join:\n${other.explain()}")
+    }
+  }
+
   test("order + distribution compose: sort lands above the exchange") {
     val plan = join(scan("t1"), scan("t2"), "c1", "c2")
     val req = PhysicalPropertySet(
