@@ -28,6 +28,7 @@ object SparkEntry {
     (SimilarityOps.queries, SimilarityOps.oracles),
     (EventOps.queries, EventOps.oracles),
     (MultimodalOps.queries, MultimodalOps.oracles),
+    (DataOps.queries, DataOps.oracles),
     // streaming parity IS part of the contract: the hourly aggregate runs
     // through the memory sink and checks against the batch oracle
     (graft.streaming.StreamingOps.queries, graft.streaming.StreamingOps.oracles)

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly operators for a training-data pipeline: deterministic
+  * train/validation/test splitting, stratified sampling, and token-budget
+  * sequence packing. (The reference has no dataset surface — like the text
+  * and dedup families these extend SURVEY.md §2.3's pipeline checklist.)
+  *
+  * All three are hash- or prefix-sum-deterministic, so the DuckDB oracle
+  * replicates them exactly (XXH64 via [[XxhSql]]):
+  *
+  *  - splitting/sampling by `pmod(xxh64(key), N) < rate` is the
+  *    industry-standard reproducible assignment: membership depends only on
+  *    the key, never on row order, partitioning, or cluster size — a
+  *    re-run, a backfill, or a 1000-executor scale-up assigns every
+  *    document identically (and adding data never moves old rows between
+  *    splits);
+  *  - packing assigns contiguous token-budget bins from a per-shard running
+  *    sum — the standard approximation of greedy sequence packing that
+  *    stays a single window over one shuffle.
+  *
+  * Scale notes: split and sample are one codegen'd map + a partial+final
+  * aggregate (one shuffle of partial counts). Packing shuffles once on the
+  * shard key; each shard's window is a linear scan, so shard cardinality is
+  * the parallelism knob (8 here for the demo corpus; a production run
+  * derives thousands of shards from the same hash).
+  */
+object DataOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // Deterministic 80/10/10 split: bucket = pmod(xxh64(doc_id), 100).
+    "data_split_hash" -> { (s, d) =>
+      val b = pmod(xxhash64(col("doc_id").cast("string")), lit(100))
+      Tables(s, d).documents
+        .groupBy(when(b < 80, "train").when(b < 90, "validation")
+          .otherwise("test").as("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split")
+    },
+    // Stratified hash sampling: per-language keep rates (en 50%, else 25%)
+    // on an INDEPENDENT hash stream ("S" prefix) so sample membership does
+    // not correlate with split assignment above.
+    "data_sample_stratified" -> { (s, d) =>
+      val h = pmod(
+        xxhash64(concat(lit("S"), col("doc_id").cast("string"))), lit(1000))
+      val rate = when(col("lang") === "en", 500).otherwise(250)
+      Tables(s, d).documents
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          count(when(h < rate, 1)).as("n_sampled"))
+        .orderBy("lang")
+    },
+    // Token-budget sequence packing: shard by hash, order by doc_id, assign
+    // pack_id = (running_token_sum - 1) div 2048 — contiguous 2048-token
+    // bins per shard (a document straddling a boundary lands in the bin
+    // where it ends). One shuffle; the window is a linear per-shard scan.
+    "data_pack_sequences" -> { (s, d) =>
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d).documents
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
+          size(split(col("text"), " ")).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id", expr("(cum - 1) div 2048"))
+        .groupBy("shard", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+        .orderBy("shard", "pack_id")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "data_split_hash" ->
+      s"""WITH h AS (SELECT n_chars,
+         |    ((${XxhSql.expr("CAST(doc_id AS VARCHAR)", "42")} % 100) + 100)
+         |      % 100 AS b
+         |  FROM documents)
+         |SELECT CASE WHEN b < 80 THEN 'train'
+         |            WHEN b < 90 THEN 'validation'
+         |            ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM h GROUP BY 1 ORDER BY split""".stripMargin,
+    "data_sample_stratified" ->
+      s"""WITH h AS (SELECT lang,
+         |    ((${XxhSql.expr("'S' || CAST(doc_id AS VARCHAR)", "42")} % 1000)
+         |      + 1000) % 1000 AS hb
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_total,
+         |  count(*) FILTER (WHERE hb < CASE WHEN lang = 'en' THEN 500
+         |                              ELSE 250 END) AS n_sampled
+         |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
+    "data_pack_sequences" ->
+      """WITH b AS (SELECT doc_id, ((doc_id % 8) + 8) % 8 AS shard,
+        |    len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM b)
+        |SELECT shard, CAST((cum - 1) // 2048 AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin
+  )
+}
