@@ -151,6 +151,27 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Occurrence count of the single most frequent token — one hash map per
+    * ROW, so repetition scoring never explodes tokens into a shuffle (the
+    * explode + groupBy(doc, token) formulation moves N×tokens rows through
+    * an exchange; this is a codegen'd map-side scan). 0 for an empty array.
+    */
+  def topTokenCount(tokens: ArrayData): Int = {
+    val len = tokens.numElements()
+    if (len == 0) return 0
+    val counts = new java.util.HashMap[UTF8String, Integer](len * 2)
+    var best = 0
+    var i = 0
+    while (i < len) {
+      val t = tokens.getUTF8String(i)
+      val c = counts.merge(t, Integer.valueOf(1), (a, b) =>
+        Integer.valueOf(a.intValue + b.intValue))
+      if (c.intValue > best) best = c.intValue
+      i += 1
+    }
+    best
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): rolling
     * polynomial hashes of k-byte grams, then the minimum in each window of w
     * consecutive hashes; distinct minima, sorted. Guarantees any shared

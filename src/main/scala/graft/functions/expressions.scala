@@ -176,6 +176,26 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
 }
 
 /** Contiguous n-token shingles of a token array (single pass). */
+/** Count of the most frequent token in the array — per-row hash map
+  * ([[Kernels.topTokenCount]]); the repetition-quality signal without an
+  * explode shuffle.
+  */
+case class TopTokenCount(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "top_token_count"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(tokens: Any): Any =
+    Kernels.topTokenCount(
+      tokens.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${codegenNames.kernels}.topTokenCount($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression
     with ExpectsInputTypes {
   override def dataType: DataType =
@@ -302,6 +322,9 @@ object functions {
 
   def word_shingles(tokens: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), n))
+
+  def top_token_count(tokens: Column): Column =
+    ColumnBridge.column(TopTokenCount(ColumnBridge.expression(tokens)))
 
   def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(

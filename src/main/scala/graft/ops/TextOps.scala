@@ -105,6 +105,30 @@ object TextOps {
         array_min(transform(shingles(col("text"), 5), x => md5(x)))
           .as("min_shingle_hash"))
         .orderBy("doc_id")
+    },
+    // Repetition-based quality signals (the Gopher-rules family): the share
+    // of tokens taken by the single most frequent token, and the fraction
+    // of duplicated token bigrams. Highly repetitive machine-generated text
+    // scores high on both. top_token_count is a per-row codegen'd hash-map
+    // kernel — the explode + groupBy(doc, token) formulation would shuffle
+    // N×tokens rows; this stays a map stage over the scan.
+    "text_repetition" -> { (s, d) =>
+      val base = Tables(s, d).documents
+        .select(col("doc_id"), toks(col("text")).as("t"))
+      val bigrams = graft.functions.functions.word_shingles(col("t"), 2)
+      base.select(
+          col("doc_id"), size(col("t")).as("n_tokens"),
+          graft.functions.functions.top_token_count(col("t"))
+            .as("top_tok_cnt"),
+          size(bigrams).as("n_bigrams"),
+          size(array_distinct(bigrams)).as("n_distinct_bigrams"))
+        .select(col("doc_id"), col("n_tokens"), col("top_tok_cnt"),
+          (col("top_tok_cnt").cast("double") /
+            col("n_tokens").cast("double")).as("top_tok_share"),
+          when(col("n_bigrams") === 0, lit(0.0))
+            .otherwise(lit(1.0) - col("n_distinct_bigrams").cast("double") /
+              col("n_bigrams").cast("double")).as("dup_bigram_frac"))
+        .orderBy("doc_id")
     }
   )
 
@@ -170,6 +194,28 @@ object TextOps {
          |        FROM fp GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(agg.n_fp, 0) AS n_fp, agg.fp_min
          |FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Repetition signals: exact small-int counts then one double division —
+    // token-for-token the same arithmetic as the Spark side.
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(tk) AS w FROM t),
+        |cnt AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |top AS (SELECT doc_id, CAST(max(c) AS INT) AS top_tok_cnt
+        |  FROM cnt GROUP BY 1),
+        |bg AS (SELECT doc_id, list_transform(
+        |    generate_series(1, len(tk) - 1),
+        |    i -> tk[i] || ' ' || tk[i + 1]) AS bgs
+        |  FROM t)
+        |SELECT t.doc_id, CAST(len(tk) AS INT) AS n_tokens, top_tok_cnt,
+        |  CAST(top_tok_cnt AS DOUBLE) / CAST(len(tk) AS DOUBLE)
+        |    AS top_tok_share,
+        |  CASE WHEN len(bgs) = 0 THEN 0.0
+        |       ELSE 1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) /
+        |            CAST(len(bgs) AS DOUBLE) END AS dup_bigram_frac
+        |FROM t JOIN top ON top.doc_id = t.doc_id
+        |JOIN bg ON bg.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "text_fingerprint" ->
       """WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS L
         |             FROM documents),

@@ -96,5 +96,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "_FUNC_(a, b) - first index where two long arrays agree, or -1") {
       a => FirstMatch(a(0), a(1))
     }
+    fn(e, "top_token_count", classOf[TopTokenCount],
+      "_FUNC_(tokens) - occurrence count of the most frequent token") {
+      a => TopTokenCount(a(0))
+    }
   }
 }

@@ -79,6 +79,34 @@ class FunctionsSpec extends GraftSuite {
       s"unrelated overlap ${overlap(fps(98L), fps(3L))}")
   }
 
+  test("top_token_count matches explode/groupBy ground truth and runs in SQL") {
+    import spark.implicits._
+    import graft.functions.functions.top_token_count
+    val docs = Seq(
+      (1L, "a b a c a"),   // 'a' x3
+      (2L, "x"),           // single token
+      (3L, ""),            // split('') = [""] -> count 1
+      (4L, "p q p q p q")) // 'p'/'q' x3 tie
+      .toDF("id", "text")
+    val got = docs.select(col("id"),
+        top_token_count(split(col("text"), " ")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 3))
+    // ground truth via the shuffle formulation the kernel replaces
+    val truth = docs
+      .select(col("id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("id", "w").count()
+      .groupBy("id").agg(max("count").as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    assert(got == truth)
+    // SQL registration surface
+    docs.createOrReplaceTempView("ttc_docs")
+    val viaSql = spark.sql(
+      "SELECT id, top_token_count(split(text, ' ')) FROM ttc_docs")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaSql == got)
+  }
+
   test("expressions stay inside whole-stage codegen (generated code compiles)") {
     import org.apache.spark.sql.execution.debug._
     val df = Tables0.embeddings(spark, sfDir)
