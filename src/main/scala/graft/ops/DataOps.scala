@@ -54,6 +54,26 @@ object DataOps {
           count(when(h < rate, 1)).as("n_sampled"))
         .orderBy("lang")
     },
+    // Benchmark decontamination: flag corpus documents sharing any 8-token
+    // gram with a "benchmark" set (doc_id < 20 stands in for an eval set).
+    // The benchmark's distinct grams BROADCAST (eval sets are tiny relative
+    // to a training corpus), so the corpus side stays a map + broadcast
+    // semi-shape join + partial aggregate — no corpus shuffle for candidate
+    // generation, the only 100 TB-viable form of contamination checking.
+    "data_decontaminate" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      def grams = explode(array_distinct(
+        graft.functions.functions.word_shingles(
+          split(col("text"), " "), 8))).as("g")
+      val bench = docs.filter(col("doc_id") < 20)
+        .select(grams).distinct()
+      val corpus = docs.filter(col("doc_id") >= 20)
+        .select(col("doc_id"), grams)
+      corpus.join(broadcast(bench), Seq("g"))
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("n_shared"))
+        .orderBy("doc_id")
+    },
     // Token-budget sequence packing: shard by hash, order by doc_id, assign
     // pack_id = (running_token_sum - 1) div 2048 — contiguous 2048-token
     // bins per shard (a document straddling a boundary lands in the bin
@@ -92,6 +112,19 @@ object DataOps {
          |  count(*) FILTER (WHERE hb < CASE WHEN lang = 'en' THEN 500
          |                              ELSE 250 END) AS n_sampled
          |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
+    "data_decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS L
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |    L[i] || ' ' || L[i+1] || ' ' || L[i+2] || ' ' || L[i+3] || ' ' ||
+        |    L[i+4] || ' ' || L[i+5] || ' ' || L[i+6] || ' ' || L[i+7] AS g
+        |  FROM tok,
+        |    LATERAL (SELECT unnest(generate_series(1, len(L) - 7)) AS i) s),
+        |bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 20)
+        |SELECT doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_shared
+        |FROM g JOIN bench USING (g)
+        |WHERE doc_id >= 20
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "data_pack_sequences" ->
       """WITH b AS (SELECT doc_id, ((doc_id % 8) + 8) % 8 AS shard,
         |    len(string_split(text, ' ')) AS n_tokens

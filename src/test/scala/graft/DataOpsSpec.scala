@@ -34,6 +34,26 @@ class DataOpsSpec extends GraftSuite {
     }
   }
 
+  test("decontamination flags exactly the docs sharing an 8-gram with bench") {
+    val docs = Tables(spark, sfDir).documents
+    def grams = explode(array_distinct(
+      graft.functions.functions.word_shingles(
+        split(col("text"), " "), 8))).as("g")
+    val bench = docs.filter(col("doc_id") < 20).select(grams).distinct()
+      .collect().map(_.getString(0)).toSet
+    val expected = docs.filter(col("doc_id") >= 20)
+      .select(col("doc_id"), grams).collect()
+      .filter(r => bench(r.getString(1))).map(_.getLong(0)).toSet
+    val got = DataOps.queries("data_decontaminate")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected, s"got ${got.size}, expected ${expected.size}")
+    // the broadcast shape: no shuffle for candidate generation
+    val df = DataOps.queries("data_decontaminate")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
   test("sequence packing fills contiguous 2048-token bins per shard") {
     val packs = DataOps.queries("data_pack_sequences")(spark, sfDir)
       .collect()
