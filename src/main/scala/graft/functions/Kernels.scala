@@ -163,10 +163,14 @@ object Kernels {
     var best = 0
     var i = 0
     while (i < len) {
-      val t = tokens.getUTF8String(i)
-      val c = counts.merge(t, Integer.valueOf(1), (a, b) =>
-        Integer.valueOf(a.intValue + b.intValue))
-      if (c.intValue > best) best = c.intValue
+      // NULL elements are skipped (SQL aggregate semantics) — the function
+      // is SQL-registered, so arbitrary containsNull arrays can reach it
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        val c = counts.merge(t, Integer.valueOf(1), (a, b) =>
+          Integer.valueOf(a.intValue + b.intValue))
+        if (c.intValue > best) best = c.intValue
+      }
       i += 1
     }
     best

@@ -175,10 +175,9 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
-/** Contiguous n-token shingles of a token array (single pass). */
-/** Count of the most frequent token in the array — per-row hash map
-  * ([[Kernels.topTokenCount]]); the repetition-quality signal without an
-  * explode shuffle.
+/** Count of the most frequent (non-NULL) token in the array — per-row hash
+  * map ([[Kernels.topTokenCount]]); the repetition-quality signal without
+  * an explode shuffle.
   */
 case class TopTokenCount(child: Expression) extends UnaryExpression
     with ExpectsInputTypes {
@@ -196,6 +195,7 @@ case class TopTokenCount(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Contiguous n-token shingles of a token array (single pass). */
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression
     with ExpectsInputTypes {
   override def dataType: DataType =

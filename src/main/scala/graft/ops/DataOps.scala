@@ -62,16 +62,20 @@ object DataOps {
     // generation, the only 100 TB-viable form of contamination checking.
     "data_decontaminate" -> { (s, d) =>
       val docs = Tables(s, d).documents
+      // the text family's tokenizer+shingler (TextOps.shingles) — one
+      // tokenization definition across text analysis and decontamination
       def grams = explode(array_distinct(
-        graft.functions.functions.word_shingles(
-          split(col("text"), " "), 8))).as("g")
+        TextOps.shingles(col("text"), 8))).as("g")
       val bench = docs.filter(col("doc_id") < 20)
         .select(grams).distinct()
       val corpus = docs.filter(col("doc_id") >= 20)
         .select(col("doc_id"), grams)
       corpus.join(broadcast(bench), Seq("g"))
         .groupBy("doc_id")
-        .agg(countDistinct(col("g")).as("n_shared"))
+        // plain count: corpus grams are per-doc distinct and bench grams
+        // are distinct, so the join emits each (doc_id, g) once — a
+        // countDistinct would add a needless partial-distinct phase
+        .agg(count(col("g")).as("n_shared"))
         .orderBy("doc_id")
     },
     // Token-budget sequence packing: shard by hash, order by doc_id, assign
@@ -121,7 +125,7 @@ object DataOps {
         |  FROM tok,
         |    LATERAL (SELECT unnest(generate_series(1, len(L) - 7)) AS i) s),
         |bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 20)
-        |SELECT doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_shared
+        |SELECT doc_id, CAST(count(g.g) AS BIGINT) AS n_shared
         |FROM g JOIN bench USING (g)
         |WHERE doc_id >= 20
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,

@@ -35,18 +35,24 @@ class DataOpsSpec extends GraftSuite {
   }
 
   test("decontamination flags exactly the docs sharing an 8-gram with bench") {
-    val docs = Tables(spark, sfDir).documents
-    def grams = explode(array_distinct(
-      graft.functions.functions.word_shingles(
-        split(col("text"), " "), 8))).as("g")
-    val bench = docs.filter(col("doc_id") < 20).select(grams).distinct()
-      .collect().map(_.getString(0)).toSet
-    val expected = docs.filter(col("doc_id") >= 20)
-      .select(col("doc_id"), grams).collect()
-      .filter(r => bench(r.getString(1))).map(_.getLong(0)).toSet
+    // ground truth computed INDEPENDENTLY of the word_shingles kernel:
+    // pure-Scala sliding windows over the raw text — a shingler bug cannot
+    // cancel out between query and expectation
+    val texts = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String): Set[String] =
+      t.split(" ", -1).toSeq.sliding(8).filter(_.length == 8)
+        .map(_.mkString(" ")).toSet
+    val bench = texts.filter(_._1 < 20).values.flatMap(grams).toSet
+    val expected = texts.collect {
+      case (id, t) if id >= 20 && (grams(t) & bench).nonEmpty =>
+        id -> (grams(t) & bench).size.toLong
+    }
     val got = DataOps.queries("data_decontaminate")(spark, sfDir)
-      .collect().map(_.getLong(0)).toSet
-    assert(got == expected, s"got ${got.size}, expected ${expected.size}")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"got ${got.size} contaminated docs, expected ${expected.size}")
     // the broadcast shape: no shuffle for candidate generation
     val df = DataOps.queries("data_decontaminate")(spark, sfDir)
     df.queryExecution.toRdd.count()

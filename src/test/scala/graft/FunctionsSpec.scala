@@ -105,6 +105,11 @@ class FunctionsSpec extends GraftSuite {
       "SELECT id, top_token_count(split(text, ' ')) FROM ttc_docs")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(viaSql == got)
+    // NULL elements are skipped, not counted as the top token
+    val withNulls = spark.sql(
+      "SELECT top_token_count(array('a', CAST(NULL AS STRING), " +
+        "CAST(NULL AS STRING)))").collect()(0).getInt(0)
+    assert(withNulls == 1, s"NULLs must not count, got $withNulls")
   }
 
   test("expressions stay inside whole-stage codegen (generated code compiles)") {
