@@ -45,7 +45,10 @@ object DumpPlans {
         "windows left are the 150-row cumulative-median ones"),
       "sim_label_centroid" -> ("one vec_sum_longs aggregation pass: the " +
         "shuffle carries a single D-length partial per (partition, label) " +
-        "— no posexplode of NxD rows, no (label, dim) self-join"))
+        "— no posexplode of NxD rows, no (label, dim) self-join"),
+      "data_decontaminate" -> ("benchmark grams broadcast; corpus-side " +
+        "candidate generation is a map + broadcast hash join + partial " +
+        "aggregate — no corpus shuffle"))
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.DumpPlans\"` " +
