@@ -176,6 +176,98 @@ case class KMinKthLong(
     copy(child = newChildren.head)
 }
 
+object HllNdv256 {
+  /** Standard HLL alpha for m = 256. */
+  val Alpha: Double = 0.7213 / (1.0 + 1.079 / 256.0)
+  /** 2^57 as double (exact). */
+  val Two57: Double = 144115188075855872.0
+  /** Single pre-folded numerator α·m²·2^57: the estimate is then ONE
+    * division. The oracle interpolates this exact double (shortest
+    * round-trip repr) so both engines perform the identical IEEE op. */
+  val EstNumerator: Double = Alpha * 65536.0 * Two57
+}
+
+/** HyperLogLog distinct sketch, m = 256 registers (p = 8), over the
+  * xxh64-hashed input: bucket = top 8 hash bits, register = max over
+  * ρ(remaining 56 bits) = leading-zero count + 1 (capped 57). State is 256
+  * BYTES per (partition, group) with element-wise-max partial merge — the
+  * mergeable-sketch shape at any scale, and `max` is idempotent so NO
+  * distinct pre-shuffle is needed (duplicates cannot move a register).
+  *
+  * Unlike `approx_count_distinct` (engine-private HLL++ internals, only
+  * checkable as a bounded-error contract), every part of this sketch is
+  * deterministic public arithmetic: the DuckDB oracle replicates bucket
+  * extraction, the ρ leading-zero cascade, per-bucket maxima, the exact
+  * integer harmonic sum Σ 2^(57-M_j), and the raw-estimate division —
+  * bit-for-bit. Output: (raw_est, zero_regs); the raw estimator carries
+  * HLL's documented small-range bias, so readers below ~2.5m apply linear
+  * counting m·ln(m/V) themselves — ln is NOT cross-engine deterministic,
+  * which is exactly why the correction stays out of the oracle-checked
+  * surface (AggregatesSpec applies it and pins accuracy vs exact NDV).
+  */
+case class HllNdv256(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("raw_est", DoubleType, nullable = false),
+    StructField("zero_regs", IntegerType, nullable = false)))
+  override def prettyName: String = "hll_ndv256"
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](256)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val bucket = (h >>> 56).toInt
+      val w = h << 8
+      val rho = if (w == 0L) 57 else java.lang.Long.numberOfLeadingZeros(w) + 1
+      if (rho > buf(bucket)) buf(bucket) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < 256) { if (other(i) > buf(i)) buf(i) = other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    var zeros = 0
+    var sum = BigInt(0)
+    var i = 0
+    while (i < 256) {
+      val m = buf(i).toInt
+      if (m == 0) zeros += 1
+      sum += BigInt(1) << (57 - m)
+      i += 1
+    }
+    // BigInt -> double rounds to nearest, matching DuckDB's HUGEINT ->
+    // DOUBLE cast; the estimate expression mirrors the oracle text exactly
+    val sumD = sum.toDouble
+    val est = HllNdv256.EstNumerator / sumD
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](est, zeros))
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllNdv256 =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllNdv256 =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 /** Element-wise sum of long-array columns: O(D) state per group with
   * partial merge, so a centroid build shuffles one D-length vector per
   * (partition, label) instead of exploding N×D (vector, dimension) rows
@@ -267,4 +359,9 @@ object aggregates {
   def vec_sum_longs(c: Column): Column =
     ColumnBridge.column(
       VecSumLongs(ColumnBridge.expression(c)).toAggregateExpression())
+
+  /** HLL-256 sketch of a long-hash column → struct(raw_est, zero_regs). */
+  def hll_ndv256(c: Column): Column =
+    ColumnBridge.column(
+      HllNdv256(ColumnBridge.expression(c)).toAggregateExpression())
 }

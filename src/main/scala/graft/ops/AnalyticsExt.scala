@@ -223,6 +223,26 @@ object AnalyticsExt {
           (abs(col("amed") - col("emed")) <= lit(2.0)).as("median_within_2"))
         .orderBy("l_returnflag")
     },
+    // Our OWN HyperLogLog (m=256, xxh64 input) as a mergeable 256-byte
+    // aggregate — unlike approx_count_distinct's engine-private HLL++,
+    // every step here is public deterministic arithmetic, so the DuckDB
+    // oracle replicates registers, harmonic sum, and raw estimate EXACTLY
+    // (see graft.functions.HllNdv256). No distinct pre-shuffle: max is
+    // idempotent. zero_regs lets readers apply small-range linear
+    // counting themselves (ln is not cross-engine deterministic, so the
+    // correction stays out of the oracle surface; AggregatesSpec applies
+    // it and pins accuracy against exact NDV).
+    "agg_hll_oracle" -> { (s, d) =>
+      import graft.functions.aggregates.hll_ndv256
+      Tables(s, d).lineitem
+        .groupBy("l_returnflag")
+        .agg(hll_ndv256(
+          xxhash64(col("l_partkey").cast("string"))).as("sk"))
+        .select(col("l_returnflag"),
+          col("sk.raw_est").as("hll_raw"),
+          col("sk.zero_regs").as("zero_regs"))
+        .orderBy("l_returnflag")
+    },
     // Exact median of integer-valued quantities (interpolation lands on
     // exact halves — engine-portable).
     "agg_median" -> { (s, d) =>
@@ -261,6 +281,41 @@ object AnalyticsExt {
          |  TRUE AS hll_within_15pct, TRUE AS median_within_2
          |FROM ex LEFT JOIN kth USING (l_returnflag)
          |ORDER BY l_returnflag""".stripMargin,
+    // Full HLL replication: signed xxh64 -> unsigned, bucket = top 8 bits,
+    // rho via an exact integer leading-zero CASE cascade over the low 56
+    // bits, per-bucket max registers, exact HUGEINT harmonic sum
+    // (2^(57-M) via the pow2 list; absent buckets contribute 2^57), and
+    // the raw estimate as ONE double division by the same pre-folded
+    // numerator constant the Scala aggregate uses.
+    "agg_hll_oracle" -> {
+      val u64 = "18446744073709551616"
+      val two56 = "72057594037927936"
+      val rhoCase = (1 to 56)
+        .map(r => s"WHEN w >= ${BigInt(1) << (56 - r)} THEN $r")
+        .mkString("CASE ", " ", " ELSE 57 END")
+      s"""WITH hashed AS (SELECT l_returnflag,
+         |    ${XxhSql.expr("CAST(l_partkey AS VARCHAR)", "42")} AS h
+         |  FROM lineitem),
+         |u AS (SELECT l_returnflag,
+         |    CASE WHEN h < 0 THEN h::HUGEINT + $u64
+         |         ELSE h::HUGEINT END AS uh
+         |  FROM hashed),
+         |bw AS (SELECT l_returnflag, uh // $two56 AS bucket,
+         |    uh % $two56 AS w
+         |  FROM u),
+         |reg AS (SELECT l_returnflag, bucket, max($rhoCase) AS m
+         |  FROM bw GROUP BY 1, 2),
+         |s AS (SELECT l_returnflag,
+         |    sum((${XxhSql.pow2List})[57 - m + 1])
+         |      + (256 - count(*)) * ((${XxhSql.pow2List})[58]) AS hsum,
+         |    CAST(256 - count(*) AS INT) AS zero_regs
+         |  FROM reg GROUP BY 1)
+         |SELECT l_returnflag,
+         |  CAST(${graft.functions.HllNdv256.EstNumerator} AS DOUBLE) /
+         |    CAST(hsum AS DOUBLE) AS hll_raw,
+         |  zero_regs
+         |FROM s ORDER BY l_returnflag""".stripMargin
+    },
     "pivot_status" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",

@@ -72,6 +72,33 @@ class AggregatesSpec extends GraftSuite {
     assert(!plan.toLowerCase.contains("sort [h#"), plan)
   }
 
+  test("HllNdv256 with linear counting lands near exact NDV; merge is " +
+      "partition-invariant") {
+    import graft.functions.aggregates.hll_ndv256
+    val t = Tables(spark, sfDir)
+    def run(parts: Int) = t.lineitem.repartition(parts)
+      .groupBy("l_returnflag")
+      .agg(hll_ndv256(xxhash64(col("l_partkey").cast("string"))).as("sk"))
+      .select(col("l_returnflag"), col("sk.raw_est"), col("sk.zero_regs"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getInt(2)))
+      .toMap
+    val one = run(1)
+    // element-wise-max merge: any partitioning yields identical registers
+    assert(run(7) == one, "sketch must be partition-invariant")
+    val exact = t.lineitem.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    one.foreach { case (flag, (raw, zeros)) =>
+      // the documented reader-side small-range correction
+      val est = if (zeros > 0 && raw <= 2.5 * 256)
+        256.0 * math.log(256.0 / zeros)
+      else raw
+      val err = math.abs(est - exact(flag)) / exact(flag)
+      // HLL m=256 rsd ~ 1.04/sqrt(256) = 6.5%; 20% is a 3-sigma bound
+      assert(err < 0.2, s"$flag est=$est exact=${exact(flag)} err=$err")
+    }
+  }
+
   test("VecSumLongs matches per-dimension groupBy sums") {
     import spark.implicits._
     import graft.functions.aggregates.vec_sum_longs
