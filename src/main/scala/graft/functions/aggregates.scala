@@ -185,6 +185,20 @@ object HllNdv256 {
     * division. The oracle interpolates this exact double (shortest
     * round-trip repr) so both engines perform the identical IEEE op. */
   val EstNumerator: Double = Alpha * 65536.0 * Two57
+  /** 2^64 as double (exact). */
+  val Two64: Double = 1.8446744073709552E19
+  private[functions] val Mask64: BigInt = (BigInt(1) << 64) - 1
+
+  /** The harmonic sum converted to double with DUCKDB'S semantics: DuckDB
+    * casts HUGEINT to DOUBLE as (double)upper·2^64 + (double)lower — a
+    * TWO-step, double-rounded conversion — while `BigInt.toDouble` rounds
+    * correctly once. The two differ by 1 ulp exactly when the sum crosses
+    * 2^64 (any group with ≲200 distinct values leaves ≥128 registers at
+    * zero, pushing Σ 2^(57-M) past 2^64), so the engine must mimic the
+    * oracle's conversion, not the mathematically better one.
+    */
+  def sumToDoubleDuckdb(sum: BigInt): Double =
+    (sum >> 64).toDouble * Two64 + (sum & Mask64).toDouble
 }
 
 /** HyperLogLog distinct sketch, m = 256 registers (p = 8), over the
@@ -248,9 +262,9 @@ case class HllNdv256(
       sum += BigInt(1) << (57 - m)
       i += 1
     }
-    // BigInt -> double rounds to nearest, matching DuckDB's HUGEINT ->
-    // DOUBLE cast; the estimate expression mirrors the oracle text exactly
-    val sumD = sum.toDouble
+    // NOT sum.toDouble: see [[HllNdv256.sumToDoubleDuckdb]] — the oracle's
+    // HUGEINT cast is double-rounded above 2^64 and the engine must match
+    val sumD = HllNdv256.sumToDoubleDuckdb(sum)
     val est = HllNdv256.EstNumerator / sumD
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](est, zeros))

@@ -243,6 +243,24 @@ object AnalyticsExt {
           col("sk.zero_regs").as("zero_regs"))
         .orderBy("l_returnflag")
     },
+    // The LOW-cardinality HLL regime: per-language document counts are
+    // ~100-200 distinct ids, leaving >= 128 of 256 registers at zero, so
+    // the harmonic sum exceeds 2^64 — the regime where DuckDB's two-step
+    // HUGEINT->DOUBLE cast is double-rounded and the engine must mimic it
+    // ([[graft.functions.HllNdv256.sumToDoubleDuckdb]]). Keeping this
+    // query in the gate pins that 1-ulp contract; readers would apply
+    // linear counting here (zero_regs is large by design).
+    "agg_hll_smallndv" -> { (s, d) =>
+      import graft.functions.aggregates.hll_ndv256
+      Tables(s, d).documents
+        .groupBy("lang")
+        .agg(hll_ndv256(
+          xxhash64(col("doc_id").cast("string"))).as("sk"))
+        .select(col("lang"),
+          col("sk.raw_est").as("hll_raw"),
+          col("sk.zero_regs").as("zero_regs"))
+        .orderBy("lang")
+    },
     // Exact median of integer-valued quantities (interpolation lands on
     // exact halves — engine-portable).
     "agg_median" -> { (s, d) =>
@@ -254,6 +272,41 @@ object AnalyticsExt {
         .orderBy("l_returnflag")
     }
   )
+
+  /** The HLL-256 oracle pipeline for `SELECT group, hll FROM table GROUP
+    * BY group` over xxh64(keyExpr). Hashing runs over the DISTINCT
+    * (group, key) pairs — duplicates cannot move a max register, and the
+    * multi-hundred-operator xxh64 expression is the dominant oracle cost.
+    */
+  private def hllOracleSql(
+      table: String, groupCol: String, keyExpr: String): String = {
+    val u64 = "18446744073709551616"
+    val two56 = "72057594037927936"
+    val rhoCase = (1 to 56)
+      .map(r => s"WHEN w >= ${BigInt(1) << (56 - r)} THEN $r")
+      .mkString("CASE ", " ", " ELSE 57 END")
+    s"""WITH keys AS (SELECT DISTINCT $groupCol AS grp, $keyExpr AS k
+       |  FROM $table),
+       |hashed AS (SELECT grp, ${XxhSql.expr("k", "42")} AS h FROM keys),
+       |u AS (SELECT grp,
+       |    CASE WHEN h < 0 THEN h::HUGEINT + $u64
+       |         ELSE h::HUGEINT END AS uh
+       |  FROM hashed),
+       |bw AS (SELECT grp, uh // $two56 AS bucket, uh % $two56 AS w
+       |  FROM u),
+       |reg AS (SELECT grp, bucket, max($rhoCase) AS m
+       |  FROM bw GROUP BY 1, 2),
+       |s AS (SELECT grp,
+       |    sum((${XxhSql.pow2List})[57 - m + 1])
+       |      + (256 - count(*)) * ((${XxhSql.pow2List})[58]) AS hsum,
+       |    CAST(256 - count(*) AS INT) AS zero_regs
+       |  FROM reg GROUP BY 1)
+       |SELECT grp AS $groupCol,
+       |  CAST(${graft.functions.HllNdv256.EstNumerator} AS DOUBLE) /
+       |    CAST(hsum AS DOUBLE) AS hll_raw,
+       |  zero_regs
+       |FROM s ORDER BY $groupCol""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     // KMV replication: same xxh64 over the decimal key string, same order
@@ -287,35 +340,10 @@ object AnalyticsExt {
     // (2^(57-M) via the pow2 list; absent buckets contribute 2^57), and
     // the raw estimate as ONE double division by the same pre-folded
     // numerator constant the Scala aggregate uses.
-    "agg_hll_oracle" -> {
-      val u64 = "18446744073709551616"
-      val two56 = "72057594037927936"
-      val rhoCase = (1 to 56)
-        .map(r => s"WHEN w >= ${BigInt(1) << (56 - r)} THEN $r")
-        .mkString("CASE ", " ", " ELSE 57 END")
-      s"""WITH hashed AS (SELECT l_returnflag,
-         |    ${XxhSql.expr("CAST(l_partkey AS VARCHAR)", "42")} AS h
-         |  FROM lineitem),
-         |u AS (SELECT l_returnflag,
-         |    CASE WHEN h < 0 THEN h::HUGEINT + $u64
-         |         ELSE h::HUGEINT END AS uh
-         |  FROM hashed),
-         |bw AS (SELECT l_returnflag, uh // $two56 AS bucket,
-         |    uh % $two56 AS w
-         |  FROM u),
-         |reg AS (SELECT l_returnflag, bucket, max($rhoCase) AS m
-         |  FROM bw GROUP BY 1, 2),
-         |s AS (SELECT l_returnflag,
-         |    sum((${XxhSql.pow2List})[57 - m + 1])
-         |      + (256 - count(*)) * ((${XxhSql.pow2List})[58]) AS hsum,
-         |    CAST(256 - count(*) AS INT) AS zero_regs
-         |  FROM reg GROUP BY 1)
-         |SELECT l_returnflag,
-         |  CAST(${graft.functions.HllNdv256.EstNumerator} AS DOUBLE) /
-         |    CAST(hsum AS DOUBLE) AS hll_raw,
-         |  zero_regs
-         |FROM s ORDER BY l_returnflag""".stripMargin
-    },
+    "agg_hll_oracle" ->
+      hllOracleSql("lineitem", "l_returnflag", "CAST(l_partkey AS VARCHAR)"),
+    "agg_hll_smallndv" ->
+      hllOracleSql("documents", "lang", "CAST(doc_id AS VARCHAR)"),
     "pivot_status" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",

@@ -99,6 +99,23 @@ class AggregatesSpec extends GraftSuite {
     }
   }
 
+  test("HLL harmonic-sum conversion mimics DuckDB's two-step HUGEINT cast") {
+    import graft.functions.HllNdv256
+    // counterexample from review: a valid register state with
+    // hsum = 2^64 + 2^63 + 6143 (low-NDV regime). DuckDB 1.0 computes
+    // CAST AS DOUBLE as (double)upper*2^64 + (double)lower (double-rounded)
+    // giving est bits 0x406ea573bd9a730f; BigInt.toDouble (correctly
+    // rounded once) gives ...10 — one ulp apart, which the exact hash
+    // compare would fail. The engine must match the oracle's semantics.
+    val sum = (BigInt(1) << 64) + (BigInt(1) << 63) + 6143
+    val est = HllNdv256.EstNumerator / HllNdv256.sumToDoubleDuckdb(sum)
+    assert(java.lang.Double.doubleToLongBits(est) == 0x406ea573bd9a730fL,
+      f"est bits ${java.lang.Double.doubleToLongBits(est)}%016x")
+    // and in the regime below 2^64 the two conversions agree exactly
+    val small = (BigInt(1) << 59) + 12345
+    assert(HllNdv256.sumToDoubleDuckdb(small) == small.toDouble)
+  }
+
   test("VecSumLongs matches per-dimension groupBy sums") {
     import spark.implicits._
     import graft.functions.aggregates.vec_sum_longs
