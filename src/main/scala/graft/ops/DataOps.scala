@@ -78,6 +78,25 @@ object DataOps {
         .agg(count(col("g")).as("n_shared"))
         .orderBy("doc_id")
     },
+    // Corpus vocabulary statistics: per-language top-5 bigrams by frequency
+    // (ties broken bigram-ascending; impossible here since bigram is the
+    // group key). explode → partial+final count aggregate (the only full
+    // shuffle, of (lang, bigram) partials), then a rank filter that Spark
+    // rewrites into WindowGroupLimit — a per-partition top-k BEFORE the
+    // window sort, so only ~k rows per partition reach the per-lang sort.
+    // That is the vocab-build shape that survives a billion-bigram corpus
+    // (VocabTopkPlanSpec pins the WindowGroupLimit node).
+    "data_vocab_topk" -> { (s, d) =>
+      val w = Window.partitionBy("lang")
+        .orderBy(col("n").desc, col("bigram").asc)
+      Tables(s, d).documents
+        .select(col("lang"),
+          explode(TextOps.shingles(col("text"), 2)).as("bigram"))
+        .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .orderBy("lang", "rk")
+    },
     // Token-budget sequence packing: shard by hash, order by doc_id, assign
     // pack_id = (running_token_sum - 1) div 2048 — contiguous 2048-token
     // bins per shard (a document straddling a boundary lands in the bin
@@ -129,6 +148,19 @@ object DataOps {
         |FROM g JOIN bench USING (g)
         |WHERE doc_id >= 20
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "data_vocab_topk" ->
+      """WITH tok AS (SELECT lang, string_split(text, ' ') AS L
+        |  FROM documents),
+        |bg AS (SELECT lang, L[i] || ' ' || L[i+1] AS bigram
+        |  FROM tok,
+        |    LATERAL (SELECT unnest(generate_series(1, len(L) - 1)) AS i) s),
+        |c AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+        |r AS (SELECT lang, bigram, n,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n DESC, bigram ASC) AS rk
+        |  FROM c)
+        |SELECT lang, bigram, n, CAST(rk AS INT) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
     "data_pack_sequences" ->
       """WITH b AS (SELECT doc_id, ((doc_id % 8) + 8) % 8 AS shard,
         |    len(string_split(text, ' ')) AS n_tokens

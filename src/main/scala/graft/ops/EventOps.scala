@@ -109,6 +109,26 @@ object EventOps {
           dsum(col("value")).as("sum_value"),
           max(col("ts_ms")).as("last_ms"))
         .orderBy("user_id")
+    },
+    // Ordered conversion funnel view -> click -> purchase: a stage counts
+    // only when its FIRST occurrence is strictly after the previous stage's
+    // first occurrence. Two aggregates: conditional min-ts per user (the
+    // one shuffle, partial+final on user_id), then a single-row reduce of
+    // the stage flags — no window, no self-join, the funnel shape that
+    // holds at any event volume.
+    "events_funnel" -> { (s, d) =>
+      def firstTs(t: String): Column =
+        min(when(col("event_type") === t, col("ts_ms")))
+      withMs(Tables(s, d).events)
+        .groupBy("user_id")
+        .agg(firstTs("view").as("t_view"),
+          firstTs("click").as("t_click"),
+          firstTs("purchase").as("t_purchase"))
+        .agg(count(lit(1)).as("n_users"),
+          count(col("t_view")).as("n_view"),
+          count(when(col("t_click") > col("t_view"), 1)).as("n_view_click"),
+          count(when(col("t_click") > col("t_view") &&
+            col("t_purchase") > col("t_click"), 1)).as("n_funnel_complete"))
     }
   )
 
@@ -164,6 +184,20 @@ object EventOps {
       s"""SELECT user_id, count(*) AS n,
          |  count(DISTINCT event_type) AS n_types,
          |  ${sqlSum("value")} AS sum_value, max(epoch_ms(ts)) AS last_ms
-         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // Funnel: NULL stage times (user never reached the stage) fall out of
+    // the strict > comparisons in both engines identically.
+    "events_funnel" ->
+      """WITH m AS (SELECT user_id,
+        |    min(epoch_ms(ts)) FILTER (WHERE event_type = 'view') AS t_view,
+        |    min(epoch_ms(ts)) FILTER (WHERE event_type = 'click') AS t_click,
+        |    min(epoch_ms(ts)) FILTER (WHERE event_type = 'purchase')
+        |      AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users, count(t_view) AS n_view,
+        |  count(*) FILTER (WHERE t_click > t_view) AS n_view_click,
+        |  count(*) FILTER (WHERE t_click > t_view AND t_purchase > t_click)
+        |    AS n_funnel_complete
+        |FROM m""".stripMargin
   )
 }

@@ -85,4 +85,34 @@ class DataOpsSpec extends GraftSuite {
       assert(totalTokens == expected, s"shard $shard token conservation")
     }
   }
+
+  test("vocab top-k matches a brute-force bigram count and prunes via " +
+    "WindowGroupLimit") {
+    // ground truth independent of the word_shingles kernel: pure-Scala
+    // sliding bigrams over the raw text
+    val docs = Tables(spark, sfDir).documents
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val counts = docs
+      .flatMap { case (lang, t) =>
+        val ts = t.split(" ", -1)
+        ts.indices.dropRight(1).map(i => (lang, s"${ts(i)} ${ts(i + 1)}"))
+      }
+      .groupBy(x => x).view.mapValues(_.length.toLong).toMap
+    val expected = counts.groupBy(_._1._1).flatMap { case (lang, m) =>
+      m.toSeq.map { case ((_, bg), n) => (bg, n) }
+        .sortBy { case (bg, n) => (-n, bg) }
+        .take(5).zipWithIndex
+        .map { case ((bg, n), i) => (lang, bg, n, i + 1) }
+    }.toSet
+    val df = DataOps.queries("data_vocab_topk")(spark, sfDir)
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected per-group top-k pruning before the window:\n${plan.take(3000)}")
+  }
 }
