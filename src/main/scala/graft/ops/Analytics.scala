@@ -135,6 +135,18 @@ object Analytics {
         .select("o_custkey", "o_orderkey", "prev_price")
         .orderBy("o_custkey", "o_orderkey")
     },
+    // Distribution window functions: percent_rank/cume_dist are rank-based,
+    // so they are deterministic under o_totalprice ties regardless of
+    // within-tie order; each is one exact-integer IEEE division, identical
+    // in both engines.
+    "window_distribution" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").asc)
+      Tables(s, d).orders
+        .select(col("o_custkey"), col("o_orderkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
     "set_union" -> { (s, d) =>
       val t = Tables(s, d)
       t.customer.select(col("c_nationkey").as("k"))
@@ -331,6 +343,13 @@ object Analytics {
       """SELECT o_custkey, o_orderkey,
         |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_distribution" ->
+      """SELECT o_custkey, o_orderkey,
+        |  percent_rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice ASC) AS pr,
+        |  cume_dist() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice ASC) AS cd
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "set_union" ->
       """SELECT c_nationkey AS k FROM customer

@@ -78,6 +78,28 @@ object DataOps {
         .agg(count(col("g")).as("n_shared"))
         .orderBy("doc_id")
     },
+    // Training-mixture reweighting: per-source sampling weight that evens
+    // the token budget across sources (weight = uniform target share over
+    // observed share). The corpus collapses to one row per source in a
+    // partial+final aggregate before the global window computes the total —
+    // the window runs over source-cardinality rows (tens), never the
+    // corpus, so the "all rows to one partition" window shape is safe here
+    // by construction.
+    "data_mixture_weights" -> { (s, d) =>
+      val gw = Window.partitionBy()
+      Tables(s, d).documents
+        .select(col("source"), size(split(col("text"), " ")).as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("src_tokens"))
+        .withColumn("total_tokens", sum(col("src_tokens")).over(gw))
+        .withColumn("n_sources", count(lit(1)).over(gw))
+        .select(col("source"), col("n_docs"), col("src_tokens"),
+          // left-assoc double divisions, same operation order as the oracle
+          (col("total_tokens").cast("double") /
+            col("n_sources").cast("double") /
+            col("src_tokens").cast("double")).as("weight"))
+        .orderBy("source")
+    },
     // Corpus vocabulary statistics: per-language top-5 bigrams by frequency
     // (ties broken bigram-ascending; impossible here since bigram is the
     // group key). explode → partial+final count aggregate (the only full
@@ -148,6 +170,17 @@ object DataOps {
         |FROM g JOIN bench USING (g)
         |WHERE doc_id >= 20
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "data_mixture_weights" ->
+      """WITH t AS (SELECT source, count(*) AS n_docs,
+        |    sum(len(string_split(text, ' '))) AS src_tokens
+        |  FROM documents GROUP BY source),
+        |g AS (SELECT *, sum(src_tokens) OVER () AS total_tokens,
+        |    count(*) OVER () AS n_sources
+        |  FROM t)
+        |SELECT source, n_docs, CAST(src_tokens AS BIGINT) AS src_tokens,
+        |  CAST(total_tokens AS DOUBLE) / CAST(n_sources AS DOUBLE)
+        |    / CAST(src_tokens AS DOUBLE) AS weight
+        |FROM g ORDER BY source""".stripMargin,
     "data_vocab_topk" ->
       """WITH tok AS (SELECT lang, string_split(text, ' ') AS L
         |  FROM documents),

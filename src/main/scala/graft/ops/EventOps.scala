@@ -41,6 +41,7 @@ object EventOps {
 
   private val HourMs = 3600000L
   private val GapMs = 1800000L // 30 min session gap
+  private val WeekMs = 604800000L
 
   def queries: Map[String, Q] = Map(
     // Tumbling 1h window aggregation (batch form of a streaming windowed agg).
@@ -129,6 +130,26 @@ object EventOps {
           count(when(col("t_click") > col("t_view"), 1)).as("n_view_click"),
           count(when(col("t_click") > col("t_view") &&
             col("t_purchase") > col("t_click"), 1)).as("n_funnel_complete"))
+    },
+    // Weekly cohort retention: cohort = a user's first active week; n_wkN =
+    // cohort members also active in week cohort+N. The per-(user, week)
+    // distinct collapses event volume to user-weeks FIRST, so everything
+    // downstream — the per-user min, the user-key join (co-partitioned with
+    // the distinct's shuffle), the final agg — runs on user-week
+    // cardinality, not event cardinality. Plain counts, not countDistinct:
+    // activity rows are already distinct per (user, week).
+    "events_retention" -> { (s, d) =>
+      val activity = withMs(Tables(s, d).events)
+        .select(col("user_id"),
+          expr(floorDivSql("ts_ms", WeekMs)).as("wk"))
+        .distinct()
+      val cohort = activity.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      activity.join(cohort, "user_id")
+        .groupBy("cohort_wk")
+        .agg(count(when(col("wk") === col("cohort_wk"), 1)).as("n_users"),
+          count(when(col("wk") === col("cohort_wk") + 1, 1)).as("n_wk1"),
+          count(when(col("wk") === col("cohort_wk") + 2, 1)).as("n_wk2"))
+        .orderBy("cohort_wk")
     }
   )
 
@@ -198,6 +219,17 @@ object EventOps {
         |  count(*) FILTER (WHERE t_click > t_view) AS n_view_click,
         |  count(*) FILTER (WHERE t_click > t_view AND t_purchase > t_click)
         |    AS n_funnel_complete
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    "events_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |    epoch_ms(ts) // 604800000 AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_wk FROM a GROUP BY user_id)
+        |SELECT cohort_wk,
+        |  count(*) FILTER (WHERE wk = cohort_wk) AS n_users,
+        |  count(*) FILTER (WHERE wk = cohort_wk + 1) AS n_wk1,
+        |  count(*) FILTER (WHERE wk = cohort_wk + 2) AS n_wk2
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY cohort_wk ORDER BY cohort_wk""".stripMargin
   )
 }

@@ -115,4 +115,19 @@ class DataOpsSpec extends GraftSuite {
     assert(plan.contains("WindowGroupLimit"),
       s"expected per-group top-k pruning before the window:\n${plan.take(3000)}")
   }
+
+  test("mixture weights even the token budget across sources") {
+    val rows = DataOps.queries("data_mixture_weights")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum == Tables(spark, sfDir).documents.count())
+    val total = rows.map(_._3).sum.toDouble
+    val target = total / rows.length
+    rows.foreach { case (src, _, tok, w) =>
+      // reweighted token mass per source equals the uniform target share
+      assert(math.abs(w * tok - target) / target < 1e-12,
+        s"$src: $w * $tok vs $target")
+    }
+  }
 }

@@ -35,4 +35,24 @@ class EventOpsSpec extends GraftSuite {
     // the funnel is monotone by construction
     assert(nView >= nViewClick && nViewClick >= nComplete)
   }
+
+  test("retention cohorts match a per-user week replay") {
+    val events = Tables(spark, sfDir).events
+      .selectExpr("user_id",
+        EventOps.floorDivSql("ts", 1000000L * 604800000L) + " AS wk")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val weeks = events.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(_._2).toSet
+    }
+    val expected = weeks.values.groupBy(_.min).map { case (cw, cs) =>
+      cw -> (cs.size.toLong,
+        cs.count(_.contains(cw + 1)).toLong,
+        cs.count(_.contains(cw + 2)).toLong)
+    }
+    val got = EventOps.queries("events_retention")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expected, s"got=$got expected=$expected")
+  }
 }
