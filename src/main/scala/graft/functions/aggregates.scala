@@ -192,10 +192,13 @@ object HllNdv256 {
   /** The harmonic sum converted to double with DUCKDB'S semantics: DuckDB
     * casts HUGEINT to DOUBLE as (double)upper·2^64 + (double)lower — a
     * TWO-step, double-rounded conversion — while `BigInt.toDouble` rounds
-    * correctly once. The two differ by 1 ulp exactly when the sum crosses
-    * 2^64 (any group with ≲200 distinct values leaves ≥128 registers at
-    * zero, pushing Σ 2^(57-M) past 2^64), so the engine must mimic the
-    * oracle's conversion, not the mathematically better one.
+    * correctly once. The two CAN differ by 1 ulp once the sum crosses 2^64
+    * (reachable by any group with ≲200 distinct values: ≥128 zero
+    * registers push Σ 2^(57-M) past 2^64), when the low 64 bits land in a
+    * double-rounding window; most sums above 2^64 still agree, so gate
+    * data passing is no proof — AggregatesSpec pins a diverging
+    * counterexample. The engine must mimic the oracle's conversion, not
+    * the mathematically better one.
     */
   def sumToDoubleDuckdb(sum: BigInt): Double =
     (sum >> 64).toDouble * Two64 + (sum & Mask64).toDouble

@@ -245,11 +245,13 @@ object AnalyticsExt {
     },
     // The LOW-cardinality HLL regime: per-language document counts are
     // ~100-200 distinct ids, leaving >= 128 of 256 registers at zero, so
-    // the harmonic sum exceeds 2^64 — the regime where DuckDB's two-step
-    // HUGEINT->DOUBLE cast is double-rounded and the engine must mimic it
-    // ([[graft.functions.HllNdv256.sumToDoubleDuckdb]]). Keeping this
-    // query in the gate pins that 1-ulp contract; readers would apply
-    // linear counting here (zero_regs is large by design).
+    // the harmonic sum exceeds 2^64 — exercising the conversion path where
+    // DuckDB's two-step HUGEINT->DOUBLE cast can double-round
+    // ([[graft.functions.HllNdv256.sumToDoubleDuckdb]]). This corpus's
+    // sums happen to convert identically either way, so the 1-ulp contract
+    // itself is pinned by AggregatesSpec's counterexample, not by this
+    // gate entry; readers would apply linear counting here (zero_regs is
+    // large by design).
     "agg_hll_smallndv" -> { (s, d) =>
       import graft.functions.aggregates.hll_ndv256
       Tables(s, d).documents

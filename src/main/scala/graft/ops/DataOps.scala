@@ -107,7 +107,7 @@ object DataOps {
     // rewrites into WindowGroupLimit — a per-partition top-k BEFORE the
     // window sort, so only ~k rows per partition reach the per-lang sort.
     // That is the vocab-build shape that survives a billion-bigram corpus
-    // (VocabTopkPlanSpec pins the WindowGroupLimit node).
+    // (DataOpsSpec pins the WindowGroupLimit node).
     "data_vocab_topk" -> { (s, d) =>
       val w = Window.partitionBy("lang")
         .orderBy(col("n").desc, col("bigram").asc)

@@ -111,47 +111,63 @@ object EventOps {
           max(col("ts_ms")).as("last_ms"))
         .orderBy("user_id")
     },
-    // Ordered conversion funnel view -> click -> purchase: a stage counts
-    // only when its FIRST occurrence is strictly after the previous stage's
-    // first occurrence. Two aggregates: conditional min-ts per user (the
-    // one shuffle, partial+final on user_id), then a single-row reduce of
-    // the stage flags — no window, no self-join, the funnel shape that
-    // holds at any event volume.
+    // Ordered conversion funnel view -> click -> purchase.
     "events_funnel" -> { (s, d) =>
-      def firstTs(t: String): Column =
-        min(when(col("event_type") === t, col("ts_ms")))
-      withMs(Tables(s, d).events)
-        .groupBy("user_id")
-        .agg(firstTs("view").as("t_view"),
-          firstTs("click").as("t_click"),
-          firstTs("purchase").as("t_purchase"))
-        .agg(count(lit(1)).as("n_users"),
-          count(col("t_view")).as("n_view"),
-          count(when(col("t_click") > col("t_view"), 1)).as("n_view_click"),
-          count(when(col("t_click") > col("t_view") &&
-            col("t_purchase") > col("t_click"), 1)).as("n_funnel_complete"))
+      funnelFrom(withMs(Tables(s, d).events))
     },
     // Weekly cohort retention: cohort = a user's first active week; n_wkN =
-    // cohort members also active in week cohort+N. The per-(user, week)
-    // distinct collapses event volume to user-weeks FIRST, so everything
-    // downstream — the per-user min, the user-key join (co-partitioned with
-    // the distinct's shuffle), the final agg — runs on user-week
-    // cardinality, not event cardinality. Plain counts, not countDistinct:
-    // activity rows are already distinct per (user, week).
+    // cohort members also active in week cohort+N.
     "events_retention" -> { (s, d) =>
-      val activity = withMs(Tables(s, d).events)
-        .select(col("user_id"),
-          expr(floorDivSql("ts_ms", WeekMs)).as("wk"))
-        .distinct()
-      val cohort = activity.groupBy("user_id").agg(min("wk").as("cohort_wk"))
-      activity.join(cohort, "user_id")
-        .groupBy("cohort_wk")
-        .agg(count(when(col("wk") === col("cohort_wk"), 1)).as("n_users"),
-          count(when(col("wk") === col("cohort_wk") + 1, 1)).as("n_wk1"),
-          count(when(col("wk") === col("cohort_wk") + 2, 1)).as("n_wk2"))
-        .orderBy("cohort_wk")
+      retentionFrom(withMs(Tables(s, d).events))
     }
   )
+
+  /** Funnel core over any frame with (user_id, event_type, ts_ms): a stage
+    * counts only when its FIRST occurrence is strictly after the previous
+    * stage's first occurrence. Two aggregates: conditional min-ts per user
+    * (the one shuffle, partial+final on user_id), then a single-row reduce
+    * of the stage flags — no window, no self-join, the funnel shape that
+    * holds at any event volume. Users with no view at all drop out of
+    * n_view via count(t_view)'s NULL skip (spec pins this on planted
+    * data — the synthetic corpus has a view for every user).
+    */
+  def funnelFrom(events: DataFrame): DataFrame = {
+    def firstTs(t: String): Column =
+      min(when(col("event_type") === t, col("ts_ms")))
+    events
+      .groupBy("user_id")
+      .agg(firstTs("view").as("t_view"),
+        firstTs("click").as("t_click"),
+        firstTs("purchase").as("t_purchase"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("t_view")).as("n_view"),
+        count(when(col("t_click") > col("t_view"), 1)).as("n_view_click"),
+        count(when(col("t_click") > col("t_view") &&
+          col("t_purchase") > col("t_click"), 1)).as("n_funnel_complete"))
+  }
+
+  /** Retention core over any frame with (user_id, ts_ms). One scan: the
+    * per-(user, week) distinct collapses event volume to user-weeks FIRST,
+    * then a per-user window min attaches the cohort week — NOT a self-join
+    * back to a groupBy (a derived-frame self-join would recompute the
+    * subtree and scan the corpus twice). Two shuffles over user-week
+    * cardinality ((user, wk) for the distinct, user for the window), then
+    * the final tiny agg. Plain counts, not countDistinct: activity rows
+    * are distinct per (user, week) by construction, each user contributes
+    * at most one row per offset.
+    */
+  def retentionFrom(events: DataFrame): DataFrame = {
+    val activity = events
+      .select(col("user_id"), expr(floorDivSql("ts_ms", WeekMs)).as("wk"))
+      .distinct()
+    activity
+      .withColumn("cohort_wk", min("wk").over(Window.partitionBy("user_id")))
+      .groupBy("cohort_wk")
+      .agg(count(when(col("wk") === col("cohort_wk"), 1)).as("n_users"),
+        count(when(col("wk") === col("cohort_wk") + 1, 1)).as("n_wk1"),
+        count(when(col("wk") === col("cohort_wk") + 2, 1)).as("n_wk2"))
+      .orderBy("cohort_wk")
+  }
 
   def oracles: Map[String, String] = Map(
     "events_hourly" ->

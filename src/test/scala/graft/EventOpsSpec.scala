@@ -55,4 +55,45 @@ class EventOpsSpec extends GraftSuite {
       .toMap
     assert(got == expected, s"got=$got expected=$expected")
   }
+
+  test("retention distinguishes week offsets on planted churn data") {
+    // the synthetic corpus has every user active every week, so it cannot
+    // catch a +1/+2 offset mix-up — plant users that churn differently:
+    // u1 active wk0 only; u2 wk0+wk1; u3 wk0+wk2; u4 wk0,1,2; u5 cohort wk1
+    import spark.implicits._
+    val wk = 604800000L
+    val planted = Seq(
+      (1L, 0L), (2L, 0L), (2L, wk), (3L, 0L), (3L, 2 * wk),
+      (4L, 0L), (4L, wk + 5L), (4L, 2 * wk + 9L), (5L, wk))
+      .toDF("user_id", "ts_ms")
+    val got = EventOps.retentionFrom(planted).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(0L -> ((4L, 2L, 2L)), 1L -> ((1L, 0L, 0L))), got)
+    // single-scan shape: the window-min formulation must not re-read the
+    // source per side the way an activity/cohort self-join would
+    val plan = EventOps.retentionFrom(planted).queryExecution
+      .executedPlan.toString
+    val scans = "LocalTableScan".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one source scan, got $scans:\n$plan")
+  }
+
+  test("funnel counts users missing stages on planted data") {
+    import spark.implicits._
+    // u1 full ordered funnel; u2 click before view (stalls at view); u3 no
+    // view at all (drops from n_view); u4 view+click ordered, no purchase;
+    // u5 purchase before click (stalls at view>click)
+    val planted = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 5L), (2L, "view", 10L),
+      (3L, "click", 1L), (3L, "purchase", 2L),
+      (4L, "view", 1L), (4L, "click", 7L),
+      (5L, "view", 1L), (5L, "click", 8L), (5L, "purchase", 4L))
+      .toDF("user_id", "event_type", "ts_ms")
+    val r = EventOps.funnelFrom(planted).collect()(0)
+    assert(r.getLong(0) == 5, "n_users")       // all users counted
+    assert(r.getLong(1) == 4, "n_view")        // u3 has no view
+    assert(r.getLong(2) == 3, "n_view_click")  // u1, u4, u5
+    assert(r.getLong(3) == 1, "n_funnel_complete") // u1 only
+  }
 }
