@@ -48,7 +48,13 @@ object DumpPlans {
         "— no posexplode of NxD rows, no (label, dim) self-join"),
       "data_decontaminate" -> ("benchmark grams broadcast; corpus-side " +
         "candidate generation is a map + broadcast hash join + partial " +
-        "aggregate — no corpus shuffle"))
+        "aggregate — no corpus shuffle"),
+      "data_vocab_topk" -> ("vocab build: partial+final bigram count, " +
+        "then WindowGroupLimit prunes to k rows per (lang, partition) " +
+        "BEFORE the per-lang rank sort — the corpus-scale top-k shape"),
+      "events_retention" -> ("event volume collapses to distinct " +
+        "user-weeks first; cohort week attaches via a per-user window " +
+        "min on the SAME frame — one source scan, no self-join"))
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.DumpPlans\"` " +
