@@ -86,6 +86,49 @@ object StreamingOps {
       .toDF()
   }
 
+  final case class FunnelEvent(user_id: Long, event_type: String, ts_ms: Long)
+  /** Per-user first-occurrence stage times; Long.MaxValue = not seen. */
+  final case class FunnelMins(v: Long, c: Long, p: Long)
+  final case class FunnelStage(user_id: Long, has_view: Boolean,
+      view_click: Boolean, complete: Boolean)
+
+  /** Streaming form of the batch `events_funnel`: a per-user keyed state
+    * machine holding the three first-occurrence stage times (three longs
+    * per user — state is O(users), independent of stream length). Each
+    * microbatch folds its events into the mins and re-emits the user's
+    * funnel stage under the same strict-order rule as the batch query, so
+    * the latest emission per user always equals the batch answer over the
+    * events seen so far (mins are order-insensitive, so late or re-ordered
+    * delivery converges to the same state).
+    */
+  def funnelStages(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val Absent = Long.MaxValue
+    events
+      .select(col("user_id"), col("event_type"),
+        expr(graft.ops.EventOps.floorDivSql("ts", 1000000L)).as("ts_ms"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[FunnelEvent],
+         state: GroupState[FunnelMins]) => {
+          var st = state.getOption.getOrElse(FunnelMins(Absent, Absent, Absent))
+          rows.foreach { e =>
+            e.event_type match {
+              case "view"     => if (e.ts_ms < st.v) st = st.copy(v = e.ts_ms)
+              case "click"    => if (e.ts_ms < st.c) st = st.copy(c = e.ts_ms)
+              case "purchase" => if (e.ts_ms < st.p) st = st.copy(p = e.ts_ms)
+              case _          => ()
+            }
+          }
+          state.update(st)
+          val vc = st.v != Absent && st.c != Absent && st.c > st.v
+          FunnelStage(user, st.v != Absent, vc,
+            vc && st.p != Absent && st.p > st.c)
+        })
+      .toDF()
+  }
+
   /** Declarative gap-session aggregation via `session_window` — the
     * engine-managed alternative to the [[runningSessions]]
     * mapGroupsWithState form: the state store merges/extends session

@@ -167,4 +167,25 @@ class StreamingSpec extends GraftSuite {
       .count()
     assert(batchLast == users)
   }
+
+  test("streaming funnel stages aggregate to the batch events_funnel row") {
+    val stream = StreamingOps.readEvents(spark, sfDir)
+    val stages = StreamingOps.runToMemory(
+      StreamingOps.funnelStages(spark, stream), "funnel_stages",
+      OutputMode.Update())
+    // finite source, one microbatch: exactly one stage row per user (a
+    // multi-batch run would append superseded rows to the memory sink)
+    assert(stages.count() == stages.select("user_id").distinct().count())
+    val got = stages.agg(
+      count(lit(1)).as("n_users"),
+      count(when(col("has_view"), 1)).as("n_view"),
+      count(when(col("view_click"), 1)).as("n_view_click"),
+      count(when(col("complete"), 1)).as("n_funnel_complete"))
+      .collect()(0)
+    val batch =
+      EventOps.queries("events_funnel")(spark, sfDir).collect()(0)
+    (0 to 3).foreach { i =>
+      assert(got.getLong(i) == batch.getLong(i), s"funnel column $i")
+    }
+  }
 }
