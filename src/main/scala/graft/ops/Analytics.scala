@@ -53,6 +53,23 @@ object Analytics {
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     },
+    // TPC-H Q18-style (large-volume customers): the lineitem aggregate
+    // reduces to the few hundred orders over the quantity threshold, so AQE
+    // broadcasts that side into both probe joins — the full-table work is
+    // one partial+final aggregate, and the top-20 is TakeOrderedAndProject
+    // (per-partition top-k, no global sort).
+    "q18_large_orders" -> { (s, d) =>
+      val t = Tables(s, d)
+      val big = t.lineitem.groupBy("l_orderkey")
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      t.orders.join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+    },
     // TPC-H Q5-style: 5-way star join through region/nation.
     "q5_region_revenue" -> { (s, d) =>
       val t = Tables(s, d)
@@ -290,6 +307,15 @@ object Analytics {
          |  AND l_shipdate > TIMESTAMP '1995-03-15'
          |GROUP BY l_orderkey, o_orderdate
          |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q18_large_orders" ->
+      s"""WITH s AS (SELECT l_orderkey, ${sqlSum("l_quantity")} AS sum_qty
+         |  FROM lineitem GROUP BY l_orderkey)
+         |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         |  sum_qty
+         |FROM s JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |WHERE sum_qty > 300
+         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
     "q5_region_revenue" ->
       s"""SELECT r_name, n_name,
          |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,

@@ -168,4 +168,19 @@ class GoldenPlanSpec extends GraftSuite {
     assert(plan.treeString.contains("TakeOrderedAndProject"),
       s"expected TakeOrderedAndProject:\n${plan.treeString}")
   }
+
+  test("q18 broadcasts the filtered aggregate side and plans top-k") {
+    val df = graft.ops.Analytics.queries("q18_large_orders")(spark, sfDir)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    // the over-threshold order set is a few hundred rows: both probe joins
+    // must be broadcasts (no full-table shuffle join at any scale-up of
+    // the probe sides), and the final 20 must not be a global sort
+    assert(s.contains("BroadcastHashJoin"),
+      s"expected broadcast joins:\n${s.take(3000)}")
+    assert(!s.contains("SortMergeJoin"),
+      s"unexpected sort-merge join:\n${s.take(3000)}")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"expected top-k, not global sort:\n${s.take(3000)}")
+  }
 }
