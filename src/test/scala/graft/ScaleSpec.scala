@@ -90,6 +90,40 @@ class ScaleSpec extends GraftSuite {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // At 100 TB the default thresholds qualify on their own (creation side
+    // under 10 MB after a selective filter, probe scan over 10 GB); the
+    // tiny test corpus only crosses them with the probe-side size
+    // threshold lowered — the MECHANISM under test is the injection
+    // itself: a bloom filter built from the filtered creation side,
+    // applied inside the probe scan stage so shuffle volume drops before
+    // the join.
+    import graft.ops.Tables
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      // force a shuffle join: broadcast joins prune without a bloom filter
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val t = Tables(spark, sfDir)
+      val joined = t.lineitem.join(
+        t.orders.filter(col("o_orderpriority") === "1-URGENT"),
+        col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      joined.collect()
+      val s = joined.queryExecution.executedPlan.toString
+      assert(s.contains("bloom_filter_agg") ||
+        s.contains("BloomFilterMightContain") ||
+        s.contains("might_contain"),
+        s"no runtime bloom filter injected:\n${s.take(4000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("identical subplans reuse one exchange (self-join on aggregate)") {
     import graft.ops.Tables
     val per = Tables(spark, sfDir).lineitem
