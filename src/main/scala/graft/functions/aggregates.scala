@@ -361,6 +361,86 @@ case class VecSumLongs(
     copy(child = newChildren.head)
 }
 
+/** Count-min sketch counters: `depth`×`width` long counters over a
+  * per-row array of `depth` bucket indices (the caller hashes the key once
+  * per sketch row with independent seeds — codegen'd column expressions,
+  * so the aggregate itself is hash-agnostic). `update` is `depth`
+  * increments; `merge` is element-wise addition, so partials carry one
+  * depth×width vector per (partition, group) — the mergeable
+  * frequency-sketch shape (CMS estimates overcount, never undercount:
+  * est(k) = min over rows of the k-bucket counter). Every counter is an
+  * exact integer, so the DuckDB oracle replicates estimates through the
+  * equivalent formulation est(p) = min_r count(rows colliding with p in
+  * row r) without materializing the sketch. Completes the sketch family
+  * next to KMV ([[KMinKthLong]]) and HLL ([[HllNdv256]]); the reference
+  * declares sketch-style stats but never computes them
+  * (`dolomite/src/stat.rs:5-21`).
+  */
+case class CmsCounters(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  require(depth > 0 && width > 0, "depth and width must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cms_counters"
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf // NULL key: no increments (oracle filters NULLs)
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    require(arr.numElements() == depth,
+      s"expected $depth bucket indices, got ${arr.numElements()}")
+    var r = 0
+    while (r < depth) {
+      val b = arr.getInt(r)
+      require(b >= 0 && b < width, s"bucket $b out of [0, $width)")
+      buf(r * width + b) += 1L
+      r += 1
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsCounters =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsCounters =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 object aggregates {
   /** Exact top-k of a double column, sorted descending. */
   def topk_doubles(c: Column, k: Int): Column =
@@ -381,4 +461,10 @@ object aggregates {
   def hll_ndv256(c: Column): Column =
     ColumnBridge.column(
       HllNdv256(ColumnBridge.expression(c)).toAggregateExpression())
+
+  /** Count-min counters over a per-row array of depth bucket indices. */
+  def cms_counters(c: Column, depth: Int, width: Int): Column =
+    ColumnBridge.column(
+      CmsCounters(ColumnBridge.expression(c), depth, width)
+        .toAggregateExpression())
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -263,6 +263,36 @@ object AnalyticsExt {
           col("sk.zero_regs").as("zero_regs"))
         .orderBy("lang")
     },
+    // Count-min sketch frequency estimation (4x256 counters over xxh64
+    // with per-row seeds "0".."3"): the mergeable CMS aggregate carries
+    // one 1024-long vector per (partition, group) — no per-key shuffle —
+    // and probe estimates read min-of-counters from the sketch. Every
+    // counter is an exact integer, so the oracle replicates est(p) as
+    // min_r (rows colliding with p in row r) without materializing the
+    // sketch; exact probe counts sit alongside to expose the
+    // overcount-never-undercount bound (est_p >= act_p).
+    "agg_countmin_probe" -> { (s, d) =>
+      import graft.functions.aggregates.cms_counters
+      val D = 4; val W = 256
+      val key = col("l_partkey").cast("string")
+      val buckets = array((0 until D).map(r =>
+        pmod(xxhash64(concat(lit(r.toString), key)), lit(W)).cast("int")): _*)
+      val probes = Seq(1L, 2L, 3L)
+      def est(p: Long): Column = least((0 until D).map { r =>
+        // probe buckets are literal-input hashes — constant-folded
+        element_at(col("cms"), lit(r * W) +
+          pmod(xxhash64(lit(r.toString + p.toString)), lit(W)).cast("int") +
+          lit(1))
+      }: _*)
+      Tables(s, d).lineitem
+        .groupBy("l_returnflag")
+        .agg(cms_counters(buckets, D, W).as("cms"),
+          probes.map(p =>
+            count(when(col("l_partkey") === p, 1)).as(s"act_$p")): _*)
+        .select(col("l_returnflag") +:
+          probes.flatMap(p => Seq(est(p).as(s"est_$p"), col(s"act_$p"))): _*)
+        .orderBy("l_returnflag")
+    },
     // Exact median of integer-valued quantities (interpolation lands on
     // exact halves — engine-portable).
     "agg_median" -> { (s, d) =>
@@ -310,7 +340,42 @@ object AnalyticsExt {
        |FROM s ORDER BY $groupCol""".stripMargin
   }
 
+  /** CMS oracle: per-key counts first (hash each distinct key once — the
+    * xxh64 SQL expression is the dominant cost), then est(p) = min over
+    * sketch rows of the colliding-key mass. COALESCE: a probe with zero
+    * colliding mass sums over no rows (NULL), where the sketch counter
+    * reads 0.
+    */
+  private def cmsOracleSql: String = {
+    val probes = Seq(1L, 2L, 3L)
+    def bucket(r: Int, keyExpr: String): String =
+      s"((${XxhSql.expr(s"'$r' || $keyExpr", "42")} % 256) + 256) % 256"
+    val bCols = (0 until 4)
+      .map(r => s"${bucket(r, "CAST(l_partkey AS VARCHAR)")} AS b$r")
+      .mkString(",\n    ")
+    val estCols = probes.map { p =>
+      val mins = (0 until 4)
+        .map(r => s"COALESCE(CAST(sum(n) FILTER (WHERE b$r = " +
+          s"${bucket(r, s"'$p'")}) AS BIGINT), 0)")
+        .mkString(", ")
+      s"least($mins) AS est_$p"
+    }
+    val actCols = probes.map(p =>
+      s"COALESCE(CAST(sum(n) FILTER (WHERE l_partkey = $p) AS BIGINT), 0)" +
+        s" AS act_$p")
+    s"""WITH c AS (SELECT l_returnflag, l_partkey, count(*) AS n
+       |  FROM lineitem GROUP BY 1, 2),
+       |b AS (SELECT l_returnflag, l_partkey, n,
+       |    $bCols
+       |  FROM c)
+       |SELECT l_returnflag,
+       |  ${probes.flatMap(p => Seq(estCols(probes.indexOf(p)),
+            actCols(probes.indexOf(p)))).mkString(",\n  ")}
+       |FROM b GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "agg_countmin_probe" -> cmsOracleSql,
     // KMV replication: same xxh64 over the decimal key string, same order
     // statistic, token-for-token the same IEEE double estimate formula.
     // The HLL / percentile contract columns are literal TRUE — DuckDB

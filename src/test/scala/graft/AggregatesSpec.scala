@@ -116,6 +116,39 @@ class AggregatesSpec extends GraftSuite {
     assert(HllNdv256.sumToDoubleDuckdb(small) == small.toDouble)
   }
 
+  test("CmsCounters overcounts never undercounts and merges " +
+    "partition-invariantly") {
+    import spark.implicits._
+    import graft.functions.aggregates.cms_counters
+    val D = 4; val W = 256
+    // planted skew: key 7 x50, key 13 x20, keys 1..30 once each
+    val keys = Seq.fill(50)(7L) ++ Seq.fill(20)(13L) ++ (1L to 30L)
+    def run(parts: Int): Map[Long, Long] = {
+      val buckets = array((0 until D).map(r =>
+        pmod(xxhash64(concat(lit(r.toString), col("k").cast("string"))),
+          lit(W)).cast("int")): _*)
+      val sk = keys.toDF("k").repartition(parts)
+        .agg(cms_counters(buckets, D, W).as("cms"))
+      def est(p: Long) = least((0 until D).map { r =>
+        element_at(col("cms"), lit(r * W) +
+          pmod(xxhash64(lit(r.toString + p.toString)), lit(W)).cast("int") +
+          lit(1))
+      }: _*)
+      val row = sk.select(est(7L), est(13L), est(21L), est(999L)).collect()(0)
+      Map(7L -> row.getLong(0), 13L -> row.getLong(1),
+        21L -> row.getLong(2), 999L -> row.getLong(3))
+    }
+    val one = run(1)
+    // CMS bound: est >= true count; with 100 keys in 4x256 counters the
+    // planted heavy hitters dominate their buckets
+    assert(one(7L) >= 50 && one(13L) >= 20 && one(21L) >= 1, one.toString)
+    assert(one(999L) >= 0)
+    // est is bounded by total mass; sanity that it is not absurdly off
+    assert(one.values.forall(_ <= keys.size), one.toString)
+    // merge invariance: counters are sums, partitioning cannot change them
+    assert(run(7) == one)
+  }
+
   test("VecSumLongs matches per-dimension groupBy sums") {
     import spark.implicits._
     import graft.functions.aggregates.vec_sum_longs
