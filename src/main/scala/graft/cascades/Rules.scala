@@ -69,6 +69,7 @@ object Rules {
     case LogicalJoin(JoinType.Inner, _) => true
     case _                              => false
   }
+  private def isJoin(op: Operator) = op.isInstanceOf[LogicalJoin]
 
   /** `Limit(a, Limit(b, x))` → `Limit(min(a,b), x)` —
     * `dolomite/src/rules/limit.rs:73-115`.
@@ -130,7 +131,11 @@ object Rules {
   object Join2HashJoinRule extends OptRule {
     val id = RuleId.Join2HashJoin
     override val isImplementation = true
-    val pattern = Pattern.node(isInnerJoin, Pattern.any, Pattern.any)
+    // ANY join type implements (the reference matches `LogicalJoin(_)`,
+    // `rules/join.rs:80-82`) — only COMMUTATION is inner-only. Matching
+    // inner here would leave Left/Full joins with no physical member, a
+    // silent optimize-to-None found by CascadesPropertySpec.
+    val pattern = Pattern.node(isJoin, Pattern.any, Pattern.any)
     def apply(expr: Node): Option[OptExpression] = expr match {
       case Node(LogicalJoin(jt, cond), inputs) =>
         Some(Node(PhysicalHashJoin(jt, cond), inputs))

@@ -1,0 +1,203 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cascades._
+
+/** Property-based hardening of MiniCascades over randomized logical plan
+  * trees (raw ScalaCheck generators driven by fixed seeds — deterministic,
+  * no scalatest bridge needed). The reference's own tests cover five
+  * hand-written shapes against empty tables; these properties pin the
+  * search's universal invariants across hundreds of generated trees:
+  * totality, physical-only output, enforcer soundness for both property
+  * shapes, optimality no worse than the naive 1:1 implementation, and
+  * group-merge cost neutrality.
+  */
+class CascadesPropertySpec extends AnyFunSuite {
+
+  private val tables = Seq("t1", "t2", "t3")
+  private val stats = TableStats(
+    Map("t1" -> 100000L, "t2" -> 500L, "t3" -> 40L))
+  private val cols = Seq("a", "b", "c")
+
+  private def genCol: Gen[Col] = Gen.oneOf(cols).map(Col)
+
+  private def genCond: Gen[EqCond] =
+    for { l <- genCol; r <- genCol } yield EqCond(l, r)
+
+  /** Random logical tree of bounded depth; `withLimit` gates LogicalLimit
+    * (the cost-bound property excludes it — the IR has NO physical limit,
+    * so a naive 1:1 translation of Limit does not exist by design).
+    */
+  private def genPlan(depth: Int, withLimit: Boolean): Gen[PlanNode] = {
+    val scan = for {
+      t <- Gen.oneOf(tables)
+      lim <- Gen.option(Gen.choose(1, 50))
+    } yield PlanNode(LogicalScan(t, if (withLimit) lim else None))
+    if (depth <= 0) scan
+    else {
+      val child = Gen.lzy(genPlan(depth - 1, withLimit))
+      val filter = for { c <- child; p <- genCond }
+        yield PlanNode(LogicalFilter(p, Nil), Seq(c))
+      val project = for { c <- child; e <- genCol }
+        yield PlanNode(LogicalProject(Seq(e)), Seq(c))
+      val join = for {
+        l <- child; r <- child
+        jt <- Gen.frequency(3 -> Gen.const(JoinType.Inner),
+          1 -> Gen.const(JoinType.Left))
+        cond <- genCond
+      } yield PlanNode(LogicalJoin(jt, cond), Seq(l, r))
+      val limit = for { c <- child; n <- Gen.choose(1, 100) }
+        yield PlanNode(LogicalLimit(n), Seq(c))
+      val ops = if (withLimit) Seq(4 -> scan, 2 -> filter, 2 -> project,
+        2 -> join, 1 -> limit)
+      else Seq(4 -> scan, 2 -> filter, 2 -> project, 2 -> join)
+      Gen.frequency(ops: _*)
+    }
+  }
+
+  private def sample(g: Gen[PlanNode], seed: Long): PlanNode =
+    g.apply(Gen.Parameters.default, Seed(seed))
+      .getOrElse(fail(s"generator exhausted at seed $seed"))
+
+  private def physicalOps(p: PlanNode): Seq[Operator] =
+    p.op +: p.inputs.flatMap(physicalOps)
+
+  /** Total cost of a physical tree under the cardinality model. */
+  private def planCost(p: PlanNode): Double = {
+    def rows(n: PlanNode): Long = stats.derive(n.op, n.inputs.map(rows))
+    def c(n: PlanNode): Double =
+      n.inputs.map(c).sum + new CardinalityCostModel().operatorCost(
+        n.op.asInstanceOf[PhysicalOp], n.inputs.map(rows))
+    c(p)
+  }
+
+  /** The naive 1:1 logical→physical translation (always in the search
+    * space via the implementation rules, so the optimum can never cost
+    * more).
+    */
+  private def naive(p: PlanNode): PlanNode = p.op match {
+    case LogicalScan(t, l)   => PlanNode(PhysicalTableScan(t, l))
+    case LogicalFilter(c, j) => PlanNode(PhysicalFilter(c, j),
+      p.inputs.map(naive))
+    case LogicalProject(e)   => PlanNode(PhysicalProject(e),
+      p.inputs.map(naive))
+    case LogicalJoin(jt, c)  => PlanNode(PhysicalHashJoin(jt, c),
+      p.inputs.map(naive))
+    case other => fail(s"unexpected logical op in naive translation: $other")
+  }
+
+  private val Trials = 150
+
+  /** A Limit node is absorbable iff everything between it and a Scan is
+    * Projections (or further Limits): the reference's only limit rules are
+    * merge-adjacent, push-over-projection, and push-into-scan — and the IR
+    * has NO physical limit, so a Limit stuck above a Filter or Join makes
+    * the whole plan unimplementable BY DESIGN (`operator/physical.rs:15-20`).
+    */
+  private def allLimitsAbsorbable(p: PlanNode): Boolean = {
+    def absorbableBelow(n: PlanNode): Boolean = n.op match {
+      case _: LogicalScan    => true
+      case _: LogicalProject => absorbableBelow(n.inputs.head)
+      case _: LogicalLimit   => absorbableBelow(n.inputs.head)
+      case _                 => false
+    }
+    def walk(n: PlanNode): Boolean = (n.op match {
+      case _: LogicalLimit => absorbableBelow(n.inputs.head)
+      case _               => true
+    }) && n.inputs.forall(walk)
+    walk(p)
+  }
+
+  test("optimize is total over limit-free trees, physical-only output") {
+    (1 to Trials).foreach { seed =>
+      val plan = sample(genPlan(3, withLimit = false), seed.toLong)
+      val out = new CascadesOptimizer(
+        costModel = new CardinalityCostModel, stats = stats).optimize(plan)
+      assert(out.isDefined, s"seed $seed: no plan for\n${plan.explain()}")
+      assert(physicalOps(out.get).forall(!_.isLogical),
+        s"seed $seed: logical op survived:\n${out.get.explain()}")
+    }
+  }
+
+  test("limit plans: solvable exactly when every limit is absorbable, " +
+    "and solved plans hold no limit") {
+    (1 to Trials).foreach { seed =>
+      val plan = sample(genPlan(3, withLimit = true), seed.toLong)
+      val out = new CascadesOptimizer(
+        costModel = new CardinalityCostModel, stats = stats).optimize(plan)
+      assert(out.isDefined == allLimitsAbsorbable(plan),
+        s"seed $seed: defined=${out.isDefined} but absorbable=" +
+          s"${allLimitsAbsorbable(plan)} for\n${plan.explain()}")
+      // the IR has no physical limit: every absorbed limit lands in a scan
+      out.foreach(o => assert(!o.explain().contains("Limit"),
+        s"seed $seed: unabsorbed limit:\n${o.explain()}"))
+    }
+  }
+
+  test("required order is enforced: a PhysicalSort on the delivered plan") {
+    val req = PhysicalPropertySet(order = OrderSpec.SortedBy(Seq(Col("a"))))
+    (1 to Trials).foreach { seed =>
+      val plan = sample(genPlan(3, withLimit = false), seed.toLong)
+      val out = new CascadesOptimizer(
+        costModel = new CardinalityCostModel, stats = stats)
+        .optimize(plan, req)
+      assert(out.isDefined, s"seed $seed")
+      // only PhysicalSort delivers an order, so it must appear
+      assert(physicalOps(out.get).exists {
+        case PhysicalSort(cs) => cs == Seq(Col("a"))
+        case _                => false
+      }, s"seed $seed: no enforcing sort:\n${out.get.explain()}")
+    }
+  }
+
+  test("required hash distribution is enforced: a PhysicalExchange appears") {
+    val req = PhysicalPropertySet(
+      distribution = DistributionSpec.Hashed(Seq(Col("b"))))
+    (1 to Trials).foreach { seed =>
+      val plan = sample(genPlan(3, withLimit = false), seed.toLong)
+      val out = new CascadesOptimizer(
+        costModel = new CardinalityCostModel, stats = stats)
+        .optimize(plan, req)
+      assert(out.isDefined, s"seed $seed")
+      // scans deliver Random and joins/filters at best pass through, so
+      // only the exchange enforcer can establish Hashed(b)
+      assert(physicalOps(out.get).exists {
+        case PhysicalExchange(ks) => ks == Seq(Col("b"))
+        case _                    => false
+      }, s"seed $seed: no enforcing exchange:\n${out.get.explain()}")
+    }
+  }
+
+  test("optimum never costs more than the naive 1:1 implementation") {
+    (1 to Trials).foreach { seed =>
+      val plan = sample(genPlan(3, withLimit = false), seed.toLong)
+      val out = new CascadesOptimizer(
+        costModel = new CardinalityCostModel, stats = stats).optimize(plan)
+      assert(out.isDefined, s"seed $seed")
+      val best = planCost(out.get)
+      val base = planCost(naive(plan))
+      assert(best <= base + 1e-6,
+        s"seed $seed: optimizer regressed cost $best > naive $base for\n" +
+          s"${plan.explain()}\n=>\n${out.get.explain()}")
+    }
+  }
+
+  test("group merging never changes the optimal cost") {
+    (1 to Trials).foreach { seed =>
+      val plan = sample(genPlan(3, withLimit = false), seed.toLong)
+      def run(merge: Boolean): Double = {
+        val out = new CascadesOptimizer(
+          costModel = new CardinalityCostModel, stats = stats,
+          mergeDuplicates = merge).optimize(plan)
+        assert(out.isDefined, s"seed $seed merge=$merge")
+        planCost(out.get)
+      }
+      val (off, on) = (run(false), run(true))
+      assert(math.abs(off - on) <= 1e-6,
+        s"seed $seed: merge changed cost $off -> $on for\n${plan.explain()}")
+    }
+  }
+}
