@@ -212,8 +212,14 @@ object PhysicalPropertySet {
       case (PhysicalProject(exprs), DistributionSpec.Hashed(keys))
           if keys.forall(exprs.contains) => Some(0)
       case (_: PhysicalProject, DistributionSpec.Singleton) => Some(0)
-      case (PhysicalHashJoin(_, cond), DistributionSpec.Hashed(keys))
-          if keys == Seq(cond.left) => Some(0)
+      // Inner/Left only: those emit exactly probe-side rows (possibly
+      // null-extended on the BUILD columns), so probe-key partitioning
+      // survives. A FULL join also emits unmatched build rows whose probe
+      // key is NULL — not co-partitioned by cond.left (Spark likewise
+      // reports UnknownPartitioning for full-outer shuffled hash joins).
+      case (PhysicalHashJoin(jt, cond), DistributionSpec.Hashed(keys))
+          if keys == Seq(cond.left) &&
+            (jt == JoinType.Inner || jt == JoinType.Left) => Some(0)
       case _ => None
     }
   }

@@ -396,12 +396,20 @@ case class CmsCounters(
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
-    if (v == null) return buf // NULL key: no increments (oracle filters NULLs)
+    // a NULL ARRAY skips the row. NOTE this is the caller's NULL-key hook:
+    // hashing a NULL key does NOT produce a NULL array (xxhash64(NULL)
+    // returns the seed), so callers must gate explicitly —
+    // when(key.isNotNull, array(...)) — to keep NULL keys out of the
+    // sketch (the oracle's FILTER clauses drop them)
+    if (v == null) return buf
     val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     require(arr.numElements() == depth,
       s"expected $depth bucket indices, got ${arr.numElements()}")
     var r = 0
     while (r < depth) {
+      // fail loudly on a null element: ArrayData.getInt would read it as
+      // 0 and silently inflate bucket 0
+      require(!arr.isNullAt(r), s"null bucket index at sketch row $r")
       val b = arr.getInt(r)
       require(b >= 0 && b < width, s"bucket $b out of [0, $width)")
       buf(r * width + b) += 1L

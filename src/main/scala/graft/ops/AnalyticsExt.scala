@@ -275,8 +275,12 @@ object AnalyticsExt {
       import graft.functions.aggregates.cms_counters
       val D = 4; val W = 256
       val key = col("l_partkey").cast("string")
-      val buckets = array((0 until D).map(r =>
-        pmod(xxhash64(concat(lit(r.toString), key)), lit(W)).cast("int")): _*)
+      // NULL-key gate: xxhash64(NULL) returns the seed (not NULL), so the
+      // sketch must be told to skip NULL keys via a NULL ARRAY — matching
+      // the oracle, whose per-row FILTER drops NULL buckets. l_partkey is
+      // NOT NULL in this corpus; the gate keeps the exported pattern sound.
+      val buckets = when(key.isNotNull, array((0 until D).map(r =>
+        pmod(xxhash64(concat(lit(r.toString), key)), lit(W)).cast("int")): _*))
       val probes = Seq(1L, 2L, 3L)
       def est(p: Long): Column = least((0 until D).map { r =>
         // probe buckets are literal-input hashes — constant-folded
@@ -363,14 +367,15 @@ object AnalyticsExt {
     val actCols = probes.map(p =>
       s"COALESCE(CAST(sum(n) FILTER (WHERE l_partkey = $p) AS BIGINT), 0)" +
         s" AS act_$p")
+    val cols = estCols.zip(actCols)
+      .flatMap { case (e, a) => Seq(e, a) }.mkString(",\n  ")
     s"""WITH c AS (SELECT l_returnflag, l_partkey, count(*) AS n
        |  FROM lineitem GROUP BY 1, 2),
        |b AS (SELECT l_returnflag, l_partkey, n,
        |    $bCols
        |  FROM c)
        |SELECT l_returnflag,
-       |  ${probes.flatMap(p => Seq(estCols(probes.indexOf(p)),
-            actCols(probes.indexOf(p)))).mkString(",\n  ")}
+       |  $cols
        |FROM b GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   }
 

@@ -149,6 +149,28 @@ class AggregatesSpec extends GraftSuite {
     assert(run(7) == one)
   }
 
+  test("CmsCounters skips NULL keys when gated (the oracle's NULL contract)") {
+    import spark.implicits._
+    import graft.functions.aggregates.cms_counters
+    val D = 4; val W = 256
+    def total(df: org.apache.spark.sql.DataFrame): Long = {
+      // gated buckets: NULL key -> NULL array -> no increments
+      val k = col("k").cast("string")
+      val buckets = when(k.isNotNull, array((0 until D).map(r =>
+        pmod(xxhash64(concat(lit(r.toString), k)), lit(W)).cast("int")): _*))
+      df.agg(cms_counters(buckets, D, W).as("cms"))
+        .select(aggregate(col("cms"), lit(0L), (a, x) => a + x))
+        .collect()(0).getLong(0)
+    }
+    val withNulls = Seq(Some(1L), None, Some(2L), None, Some(3L))
+      .toDF("k")
+    val withoutNulls = Seq(1L, 2L, 3L).toDF("k")
+    // total counter mass = D per non-null row; NULL rows add nothing
+    assert(total(withoutNulls) == 3L * D)
+    assert(total(withNulls) == total(withoutNulls),
+      "NULL keys must not enter the sketch")
+  }
+
   test("VecSumLongs matches per-dimension groupBy sums") {
     import spark.implicits._
     import graft.functions.aggregates.vec_sum_longs

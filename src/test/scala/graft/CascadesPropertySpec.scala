@@ -45,8 +45,10 @@ class CascadesPropertySpec extends AnyFunSuite {
         yield PlanNode(LogicalProject(Seq(e)), Seq(c))
       val join = for {
         l <- child; r <- child
+        // all three IR join types: the Join2HashJoin bug this spec found
+        // was exactly non-inner joins never gaining a physical member
         jt <- Gen.frequency(3 -> Gen.const(JoinType.Inner),
-          1 -> Gen.const(JoinType.Left))
+          1 -> Gen.const(JoinType.Left), 1 -> Gen.const(JoinType.Full))
         cond <- genCond
       } yield PlanNode(LogicalJoin(jt, cond), Seq(l, r))
       val limit = for { c <- child; n <- Gen.choose(1, 100) }
