@@ -84,6 +84,42 @@ object Analytics {
           count(lit(1)).as("n"))
         .orderBy("r_name", "n_name")
     },
+    // TPC-H Q14-style (promotion effect): conditional aggregation over a
+    // fact-dim join. part broadcasts (a dimension is always << the fact
+    // table), so the whole query is one broadcast join + one ungrouped
+    // partial+final aggregate — zero fact-side shuffles before the
+    // single-row reduce. The pct division runs on the decimal-exact sums
+    // cast to double, with the same association order as the oracle.
+    "q14_promo_revenue" -> { (s, d) =>
+      val t = Tables(s, d)
+      val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t.lineitem
+        .filter(col("l_shipdate") >= lit("1995-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-11-01").cast("timestamp"))
+        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          dsum(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0)))
+            .as("promo_revenue"),
+          dsum(disc).as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          (col("promo_revenue") * lit(100.0) / col("total_revenue"))
+            .as("promo_pct"))
+    },
+    // TPC-H Q17-style (small-quantity revenue): per-part average quantity
+    // joined back against the same fact table on the same key. Both sides
+    // shuffle on l_partkey — the aggregate side REUSES the fact exchange
+    // (one scan feeds both, Spark's ReusedExchange), and its output is
+    // already partitioned by the join key, so the join adds no third
+    // exchange. The per-part filter then reduces to a single-row aggregate.
+    "q17_small_quantity" -> { (s, d) =>
+      val li = Tables(s, d).lineitem
+      val avgq = li.groupBy(col("l_partkey").as("ak"))
+        .agg(davg(col("l_quantity")).as("avg_qty"))
+      li.join(avgq, col("l_partkey") === col("ak"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg((dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n"))
+    },
     "agg_stats" -> { (s, d) =>
       Tables(s, d).lineitem
         .groupBy("l_returnflag")
@@ -325,6 +361,26 @@ object Analytics {
          |  JOIN orders ON c_custkey = o_custkey
          |  JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q14_promo_revenue" ->
+      s"""WITH f AS (SELECT
+         |    ${sqlSum("CASE WHEN p_type = 'PROMO' THEN " +
+             "l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+         |      AS promo_revenue,
+         |    ${sqlSum("l_extendedprice * (1.0 - l_discount)")}
+         |      AS total_revenue
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+         |    AND l_shipdate < TIMESTAMP '1995-11-01')
+         |SELECT promo_revenue, total_revenue,
+         |  promo_revenue * 100.0 / total_revenue AS promo_pct
+         |FROM f""".stripMargin,
+    "q17_small_quantity" ->
+      s"""WITH a AS (SELECT l_partkey AS ak, ${sqlAvg("l_quantity")} AS avg_qty
+         |  FROM lineitem GROUP BY l_partkey)
+         |SELECT ${sqlSum("l_extendedprice")} / 7.0 AS avg_yearly,
+         |  count(*) AS n
+         |FROM lineitem JOIN a ON l_partkey = ak
+         |WHERE l_quantity < CAST(0.2 AS DOUBLE) * avg_qty""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag, min(l_quantity) AS min_q, max(l_quantity) AS max_q,
         |  count(DISTINCT l_partkey) AS ndv_part, count(*) AS n

@@ -134,6 +134,20 @@ object DataOps {
         .groupBy("shard", "pack_id")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
         .orderBy("shard", "pack_id")
+    },
+    // Deterministic global shuffle: training epochs need the corpus in a
+    // reproducible pseudo-random order. order-by-hash is the scalable,
+    // seed-stable permutation: a range exchange + per-partition sort (no
+    // single-reducer stage), independent of input partitioning and cluster
+    // size, and a different seed prefix ("R" here) yields an independent
+    // permutation without touching the data. Contrast with rand()-based
+    // shuffles, which are irreproducible across retries/backfills.
+    "data_shuffle_deterministic" -> { (s, d) =>
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          xxhash64(concat(lit("R"), col("doc_id").cast("string")))
+            .as("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id")
     }
   )
 
@@ -204,6 +218,11 @@ object DataOps {
         |  FROM b)
         |SELECT shard, CAST((cum - 1) // 2048 AS BIGINT) AS pack_id,
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
-        |FROM c GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin
+        |FROM c GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin,
+    "data_shuffle_deterministic" ->
+      s"""SELECT doc_id,
+         |  ${XxhSql.expr("'R' || CAST(doc_id AS VARCHAR)", "42")}
+         |    AS shuffle_key
+         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin
   )
 }

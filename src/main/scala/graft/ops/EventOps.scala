@@ -93,6 +93,27 @@ object EventOps {
         .select("event_id", "user_id", "ts_ms", "asof_view_ms", "asof_view_value")
         .orderBy("event_id")
     },
+    // Interval (range) join as a bucketed EQUI-join — the scale form of
+    // "purchases within 30 min after a click by the same user". The naive
+    // plan is a non-equi theta join (nested-loop, quadratic per user); here
+    // each click interval [ts, ts+W) explodes to the <=2 width-W buckets it
+    // overlaps, each purchase lives in EXACTLY one bucket, and the join is
+    // an equi-join on (user_id, bucket) + a residual range filter. Because
+    // a point belongs to one bucket, every qualifying pair is emitted
+    // exactly once — no candidate distinct. The fan-out is bounded by
+    // ceil(interval/W)+1 = 2; shuffle volume stays linear in the input.
+    // EventOpsSpec pins the no-nested-loop plan shape.
+    "events_interval_join" -> { (s, d) =>
+      val e = withMs(Tables(s, d).events)
+      intervalJoinFrom(
+        e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts_ms").as("click_ms")),
+        e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts_ms").as("purchase_ms")),
+        GapMs)
+    },
     // Semi-structured extraction: pull props.k out of the JSON payload.
     "events_json" -> { (s, d) =>
       Tables(s, d).events
@@ -144,6 +165,29 @@ object EventOps {
         count(when(col("t_click") > col("t_view"), 1)).as("n_view_click"),
         count(when(col("t_click") > col("t_view") &&
           col("t_purchase") > col("t_click"), 1)).as("n_funnel_complete"))
+  }
+
+  /** Interval-join core over frames (user_id, click_id, click_ms) and
+    * (user_id, purchase_id, purchase_ms): every pair with purchase_ms in
+    * [click_ms, click_ms + w), as a bucketed equi-join. The click interval
+    * spans at most 2 width-w buckets (array_distinct collapses the
+    * boundary-aligned case); a purchase lies in exactly one, so each
+    * qualifying pair survives the residual filter exactly once. floorDiv
+    * (not truncation) keeps negative-epoch buckets correct.
+    */
+  def intervalJoinFrom(
+      clicks: DataFrame, purchases: DataFrame, w: Long): DataFrame = {
+    val cb = clicks.withColumn("bucket", explode(array_distinct(array(
+      expr(floorDivSql("click_ms", w)),
+      expr(floorDivSql(s"(click_ms + ${w - 1})", w))))))
+    val pb = purchases
+      .withColumn("bucket", expr(floorDivSql("purchase_ms", w)))
+    cb.join(pb, Seq("user_id", "bucket"))
+      .filter(col("purchase_ms") >= col("click_ms") &&
+        col("purchase_ms") < col("click_ms") + w)
+      .select(col("click_id"), col("purchase_id"),
+        (col("purchase_ms") - col("click_ms")).as("delta_ms"))
+      .orderBy("click_id", "purchase_id")
   }
 
   /** Retention core over any frame with (user_id, ts_ms). One scan: the
@@ -212,6 +256,19 @@ object EventOps {
         |  FROM e)
         |SELECT event_id, user_id, ts_ms, asof_view_ms, asof_view_value
         |FROM f WHERE kind = 1 ORDER BY event_id""".stripMargin,
+    // The oracle states the SEMANTICS in the naive non-equi form; the
+    // engine's bucketed equi-join must produce the identical pair set.
+    "events_interval_join" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id,
+        |    epoch_ms(ts) AS click_ms
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id,
+        |    epoch_ms(ts) AS purchase_ms
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT click_id, purchase_id, purchase_ms - click_ms AS delta_ms
+        |FROM c JOIN p USING (user_id)
+        |WHERE purchase_ms >= click_ms AND purchase_ms < click_ms + 1800000
+        |ORDER BY click_id, purchase_id""".stripMargin,
     "events_json" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))

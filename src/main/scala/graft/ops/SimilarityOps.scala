@@ -135,6 +135,20 @@ object SimilarityOps {
             (sqrt(col("qnn").cast("double")) *
               sqrt(col("nn").cast("double")))).as("cos")), 5)
     },
+    // One Lloyd (k-means) iteration, seeded by the per-label centroids:
+    // (1) score every vector against the 10 broadcast centroids and keep
+    // the argmax via a partial+final max(struct(sim, -label)) aggregate —
+    // map-side combine collapses the k-way fan-out to one row per vector
+    // BEFORE any shuffle (never a window over the exploded pairs);
+    // (2) recompute per-cluster centroids with the same one-pass
+    // vec_sum_longs aggregate the coarse quantizer uses. This is the
+    // iteration body a distributed k-means runs to convergence; one step
+    // keeps the gate deterministic. New centroids are pinned by exact
+    // integer checksums (sum / sum-of-squares of the quantized
+    // components) — no list-typed output columns.
+    "sim_kmeans_step" -> { (s, d) =>
+      kmeansStepFrom(Tables(s, d).embeddings)
+    },
     // Per-label centroid similarity: IVF-style coarse quantizer readout —
     // exact integer/decimal math end-to-end (oracle-checked).
     // dot_sum = Σ_vec Σ_i v_i·cv_i = Σ_i cv_i·(Σ_vec v_i) = dot(cvec, svec),
@@ -167,6 +181,50 @@ object SimilarityOps {
         .orderBy("label")
     }
   )
+
+  /** The Lloyd-iteration core over any frame with (vec_id, label,
+    * embedding) — see the `sim_kmeans_step` notes above. Separated so
+    * specs can drive it with planted clusters (the uniform synthetic
+    * corpus rarely reassigns anything).
+    */
+  def kmeansStepFrom(emb: DataFrame): DataFrame = {
+    val base = emb
+      .select(col("vec_id"), col("label"),
+        quantize(col("embedding")).as("qv"))
+      .withColumn("nn",
+        aggregate(transform(col("qv"), x => x * x), lit(0L), (a, x) => a + x))
+      .persist() // read twice: seed-centroid build + assignment scoring
+    val centVec = base.groupBy("label")
+      .agg(graft.functions.aggregates.vec_sum_longs(col("qv")).as("svec"),
+        count(col("qv")).as("cnt"))
+      .select(col("label").cast("long").as("clabel"),
+        transform(col("svec"),
+          sv => floor(sv * lit(1000) / col("cnt")).cast("long")).as("cvec"))
+      .withColumn("cnn",
+        aggregate(transform(col("cvec"), x => x * x), lit(0L), (a, x) => a + x))
+    val assigned = base.join(broadcast(centVec))
+      .select(col("vec_id"), col("qv"), struct(
+        when(col("nn") === 0L || col("cnn") === 0L, lit(0.0))
+          .otherwise(quant_dot(col("qv"), col("cvec")).cast("double") /
+            (sqrt(col("nn").cast("double")) *
+              sqrt(col("cnn").cast("double")))).as("sim"),
+        // ties: highest sim then SMALLEST label — max picks largest nl
+        (-col("clabel")).as("nl")).as("sc"))
+      .groupBy("vec_id", "qv")
+      .agg(max(col("sc")).as("best"))
+      .select(col("qv"), (-col("best.nl")).as("cluster"))
+    val newCent = assigned.groupBy("cluster")
+      .agg(graft.functions.aggregates.vec_sum_longs(col("qv")).as("svec"),
+        count(col("qv")).as("n_members"))
+    newCent
+      .withColumn("cvec", transform(col("svec"),
+        sv => floor(sv * lit(1000) / col("n_members")).cast("long")))
+      .select(col("cluster"), col("n_members"),
+        aggregate(col("cvec"), lit(0L), (a, x) => a + x).as("csum"),
+        aggregate(transform(col("cvec"), x => x * x), lit(0L),
+          (a, x) => a + x).as("csq"))
+      .orderBy("cluster")
+  }
 
   def oracles: Map[String, String] = Map(
     // Full replication of the LSH-bucketed ANN: the hyperplanes are plain
@@ -284,6 +342,40 @@ object SimilarityOps {
         |  FROM scored)
         |SELECT query_id, vec_id, cos, rk FROM ranked
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // Lloyd-step replication: seed centroids, cosine argmax assignment
+    // (ties sim DESC, label ASC), recomputed centroids, exact checksums.
+    "sim_kmeans_step" ->
+      """WITH q AS (SELECT vec_id, label, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
+        |cent AS (SELECT label, i,
+        |    CAST(floor(CAST(sum(v) * 1000 AS DOUBLE) / count(*)) AS BIGINT)
+        |      AS cv
+        |  FROM q GROUP BY 1, 2),
+        |cn AS (SELECT label, sum(cv * cv) AS cnn FROM cent GROUP BY 1),
+        |dots AS (SELECT a.vec_id, c.label, sum(a.v * c.cv) AS dot
+        |         FROM q a JOIN cent c ON c.i = a.i GROUP BY 1, 2),
+        |sim AS (SELECT vec_id, dots.label,
+        |    CASE WHEN n.nn = 0 OR cn.cnn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(n.nn AS DOUBLE)) *
+        |           sqrt(CAST(cn.cnn AS DOUBLE))) END AS sim
+        |  FROM dots JOIN n USING (vec_id) JOIN cn ON cn.label = dots.label),
+        |assign AS (SELECT vec_id, label AS cluster FROM (
+        |    SELECT vec_id, label, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, label ASC) AS rn FROM sim) r
+        |  WHERE rn = 1),
+        |nc AS (SELECT cluster, i,
+        |    CAST(floor(CAST(sum(v) * 1000 AS DOUBLE) / count(*)) AS BIGINT)
+        |      AS cv,
+        |    count(*) AS cnt
+        |  FROM q JOIN assign USING (vec_id) GROUP BY 1, 2)
+        |SELECT CAST(cluster AS BIGINT) AS cluster,
+        |  CAST(min(cnt) AS BIGINT) AS n_members,
+        |  CAST(sum(cv) AS BIGINT) AS csum,
+        |  CAST(sum(cv * cv) AS BIGINT) AS csq
+        |FROM nc GROUP BY cluster ORDER BY cluster""".stripMargin,
     "sim_label_centroid" ->
       """WITH q AS (SELECT vec_id, label, i,
         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v

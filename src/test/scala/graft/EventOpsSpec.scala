@@ -78,6 +78,45 @@ class EventOpsSpec extends GraftSuite {
     assert(scans == 1, s"expected one source scan, got $scans:\n$plan")
   }
 
+  test("interval join matches a naive replay (boundaries, straddle, sign)") {
+    import spark.implicits._
+    val w = 100L
+    // planted cases: inclusive lower bound (delta 0), last-included delta
+    // w-1, first-excluded delta w, purchase before click, a pair only
+    // reachable through the click's SECOND bucket (straddle), cross-user
+    // non-matches, a click exactly on a bucket boundary (the dedup'd
+    // single-bucket case), and negative epochs (floor-div bucketing)
+    val clicks = Seq(
+      (1L, 10L, 1000L), (1L, 11L, 995L), (2L, 12L, 1000L),
+      (1L, 13L, 200L), (1L, 14L, -150L))
+      .toDF("user_id", "click_id", "click_ms")
+    val purchases = Seq(
+      (1L, 20L, 1000L), (1L, 21L, 1099L), (1L, 22L, 1100L),
+      (1L, 23L, 999L), (1L, 24L, 1040L), (2L, 25L, 1001L),
+      (1L, 26L, 250L), (1L, 27L, -100L))
+      .toDF("user_id", "purchase_id", "purchase_ms")
+    val got = EventOps.intervalJoinFrom(clicks, purchases, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val cs = clicks.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ps = purchases.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = (for {
+      (cu, cid, cms) <- cs
+      (pu, pid, pms) <- ps
+      if cu == pu && pms >= cms && pms < cms + w
+    } yield (cid, pid, pms - cms)).sortBy(t => (t._1, t._2)).toSeq
+    assert(got == expected, s"got=${got.toList} expected=${expected.toList}")
+    // the straddle pair must be present (click 11 bucket 9, purchase 24
+    // bucket 10) — proves the second-bucket explode is load-bearing
+    assert(got.contains((11L, 24L, 45L)))
+    // exactly-once emission: bucketing must not duplicate any pair
+    assert(got.distinct.length == got.length)
+    // and the plan is an equi-join, never a nested-loop theta join
+    val plan = EventOps.intervalJoinFrom(clicks, purchases, w)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("funnel counts users missing stages on planted data") {
     import spark.implicits._
     // u1 full ordered funnel; u2 click before view (stalls at view); u3 no

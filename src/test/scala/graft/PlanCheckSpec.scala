@@ -36,6 +36,8 @@ class PlanCheckSpec extends GraftSuite {
     "sim_topk_bruteforce", // 10-query vector set broadcast against corpus
     "sim_ann_ivf",        // coarse assignment: 10 queries x per-label
                           // centroids (bounded by label cardinality)
+    "sim_kmeans_step",    // assignment scoring: corpus x 10 broadcast
+                          // centroids (bounded by cluster count k)
     "dedup_embedding_bruteforce" // the HONEST all-pairs baseline, kept
                           // deliberately quadratic; the named scale path
                           // is dedup_embedding (LSH-bucketed equi-join)
