@@ -106,11 +106,13 @@ object Analytics {
             .as("promo_pct"))
     },
     // TPC-H Q17-style (small-quantity revenue): per-part average quantity
-    // joined back against the same fact table on the same key. Both sides
-    // shuffle on l_partkey — the aggregate side REUSES the fact exchange
-    // (one scan feeds both, Spark's ReusedExchange), and its output is
-    // already partitioned by the join key, so the join adds no third
-    // exchange. The per-part filter then reduces to a single-row aggregate.
+    // joined back against the same fact table on the same key. Exactly two
+    // hash exchanges on l_partkey: the aggregate side shuffles PARTIAL
+    // per-part sums (the partial aggregate sits below its exchange —
+    // deliberately not a ReusedExchange, which would re-shuffle full fact
+    // rows), its final-aggregate output partitioning already satisfies the
+    // join requirement, and the probe side shuffles once. ScaleSpec pins
+    // the two-exchange shape with broadcast disabled.
     "q17_small_quantity" -> { (s, d) =>
       val li = Tables(s, d).lineitem
       val avgq = li.groupBy(col("l_partkey").as("ak"))

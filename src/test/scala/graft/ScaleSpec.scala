@@ -124,6 +124,34 @@ class ScaleSpec extends GraftSuite {
     }
   }
 
+  test("q17: agg-rejoin plans exactly two hash exchanges on the fact key") {
+    // with broadcast off (at production scale the fact side never
+    // broadcasts): the aggregate side shuffles PARTIAL per-part sums (the
+    // partial aggregate below its exchange — cheaper than a ReusedExchange
+    // of full fact rows), its final-aggregate output partitioning feeds
+    // the join directly, and the probe side shuffles once. Any third hash
+    // exchange means the co-partitioning broke.
+    val k = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.getOption(k)
+    try {
+      spark.conf.set(k, "-1")
+      val df = SparkEntry.queries("q17_small_quantity")(spark, sfDir)
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      val hashExchanges =
+        "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+      assert(hashExchanges == 2,
+        s"expected 2 hash exchanges, got $hashExchanges:\n$finalPlan")
+      assert(finalPlan.contains("HashAggregate(keys=[l_partkey"),
+        s"expected the partial per-part aggregate below its exchange:\n" +
+          finalPlan)
+    } finally saved match {
+      case Some(v) => spark.conf.set(k, v)
+      case None    => spark.conf.unset(k)
+    }
+  }
+
   test("identical subplans reuse one exchange (self-join on aggregate)") {
     import graft.ops.Tables
     val per = Tables(spark, sfDir).lineitem
