@@ -84,6 +84,43 @@ object Analytics {
           count(lit(1)).as("n"))
         .orderBy("r_name", "n_name")
     },
+    // TPC-H Q7-style (volume shipping): the same dimension table playing
+    // two roles (supplier nation / customer nation) with a disjunctive
+    // cross-role pair predicate. The nation filter broadcasts into
+    // supplier and customer FIRST, shrinking both to the 2-of-25 nation
+    // slice before the fact joins — the dimension-reduction order that
+    // matters at 100 TB (never join the full fact to the full dimension
+    // and filter after). The pair predicate runs post-join on the two
+    // surviving nation names.
+    "q7_nation_volume" -> { (s, d) =>
+      val t = Tables(s, d)
+      val pair = Seq("NATION_1", "NATION_2")
+      val sup = t.supplier
+        .join(broadcast(t.nation.filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("sk"),
+            col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = t.customer
+        .join(broadcast(t.nation.filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("ck"),
+            col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("ck"))
+        .select(col("c_custkey"), col("cust_nation"))
+      t.lineitem
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" &&
+          col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
     // TPC-H Q14-style (promotion effect): conditional aggregation over a
     // fact-dim join. part broadcasts (a dimension is always << the fact
     // table), so the whole query is one broadcast join + one ungrouped
@@ -363,6 +400,19 @@ object Analytics {
          |  JOIN orders ON c_custkey = o_custkey
          |  JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q7_nation_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l_shipdate) AS INT) AS l_year,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q14_promo_revenue" ->
       s"""WITH f AS (SELECT
          |    ${sqlSum("CASE WHEN p_type = 'PROMO' THEN " +

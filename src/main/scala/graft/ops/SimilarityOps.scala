@@ -202,17 +202,22 @@ object SimilarityOps {
           sv => floor(sv * lit(1000) / col("cnt")).cast("long")).as("cvec"))
       .withColumn("cnn",
         aggregate(transform(col("cvec"), x => x * x), lit(0L), (a, x) => a + x))
+    // qv rides INSIDE the max struct rather than in the group key: the
+    // argmax aggregate then sorts/hashes on the bare vec_id, and because
+    // nl is distinct across centroids the (sim, nl) prefix always decides
+    // a comparison before the D-element array would be touched
     val assigned = base.join(broadcast(centVec))
-      .select(col("vec_id"), col("qv"), struct(
+      .select(col("vec_id"), struct(
         when(col("nn") === 0L || col("cnn") === 0L, lit(0.0))
           .otherwise(quant_dot(col("qv"), col("cvec")).cast("double") /
             (sqrt(col("nn").cast("double")) *
               sqrt(col("cnn").cast("double")))).as("sim"),
         // ties: highest sim then SMALLEST label — max picks largest nl
-        (-col("clabel")).as("nl")).as("sc"))
-      .groupBy("vec_id", "qv")
+        (-col("clabel")).as("nl"),
+        col("qv").as("qv")).as("sc"))
+      .groupBy("vec_id")
       .agg(max(col("sc")).as("best"))
-      .select(col("qv"), (-col("best.nl")).as("cluster"))
+      .select(col("best.qv").as("qv"), (-col("best.nl")).as("cluster"))
     val newCent = assigned.groupBy("cluster")
       .agg(graft.functions.aggregates.vec_sum_longs(col("qv")).as("svec"),
         count(col("qv")).as("n_members"))

@@ -54,7 +54,18 @@ object DumpPlans {
         "BEFORE the per-lang rank sort — the corpus-scale top-k shape"),
       "events_retention" -> ("event volume collapses to distinct " +
         "user-weeks first; cohort week attaches via a per-user window " +
-        "min on the SAME frame — one source scan, no self-join"))
+        "min on the SAME frame — one source scan, no self-join"),
+      "events_interval_join" -> ("range join as a bucketed equi-join: " +
+        "click intervals explode to <=2 covered buckets, purchases own " +
+        "exactly one, residual range filter after the hash join — " +
+        "linear shuffle, no nested-loop theta join"),
+      "q17_small_quantity" -> ("agg-rejoin on the fact key: partial " +
+        "per-part aggregate below its exchange, final aggregate's " +
+        "partitioning feeds the join — two hash exchanges total"),
+      "sim_kmeans_step" -> ("Lloyd iteration: centroids broadcast, " +
+        "argmax assignment via partial+final max(struct) aggregate " +
+        "(map-side collapse of the k-way fan-out), centroid recompute " +
+        "via the one-pass vec_sum_longs aggregate"))
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.DumpPlans\"` " +
