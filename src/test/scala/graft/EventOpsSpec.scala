@@ -117,6 +117,41 @@ class EventOpsSpec extends GraftSuite {
       !plan.contains("CartesianProduct"), plan)
   }
 
+  test("interval join equals the naive replay on randomized boundary data") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // three window widths, times biased onto bucket boundaries (the only
+    // place the explode/dedup arithmetic can go wrong), both signs
+    for ((w, seed) <- Seq((7L, 11L), (100L, 12L), (1000L, 13L))) {
+      val genTime: Gen[Long] = for {
+        b <- Gen.choose(-5L, 5L)
+        off <- Gen.frequency(
+          1 -> Gen.oneOf(0L, 1L, w - 1),
+          2 -> Gen.choose(0L, w - 1))
+      } yield b * w + off
+      def gen(n: Int, s: Long): Seq[(Long, Long)] =
+        Gen.listOfN(n, for {
+          u <- Gen.choose(1L, 6L); t <- genTime
+        } yield (u, t)).apply(Gen.Parameters.default, Seed(s)).get
+      val cs = gen(150, seed).zipWithIndex
+        .map { case ((u, t), i) => (u, i.toLong, t) }
+      val ps = gen(200, seed + 1000).zipWithIndex
+        .map { case ((u, t), i) => (u, 10000L + i, t) }
+      val got = EventOps.intervalJoinFrom(
+        cs.toDF("user_id", "click_id", "click_ms"),
+        ps.toDF("user_id", "purchase_id", "purchase_ms"), w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val expected = (for {
+        (cu, cid, cms) <- cs
+        (pu, pid, pms) <- ps
+        if cu == pu && pms >= cms && pms < cms + w
+      } yield (cid, pid, pms - cms)).sortBy(t => (t._1, t._2))
+      assert(got == expected,
+        s"w=$w: ${got.size} pairs vs replay ${expected.size}")
+    }
+  }
+
   test("funnel counts users missing stages on planted data") {
     import spark.implicits._
     // u1 full ordered funnel; u2 click before view (stalls at view); u3 no
