@@ -135,6 +135,27 @@ object DataOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
         .orderBy("shard", "pack_id")
     },
+    // Decontamination, removal form: emit the CLEAN corpus (drop every
+    // document sharing any 8-gram with the benchmark set). The
+    // contaminated-id set is tiny (bounded by the corpus' overlap with a
+    // tiny eval set), so the final step is a broadcast ANTI join — the
+    // corpus is scanned twice (gram generation + output) but never
+    // shuffled, the only viable shape when the corpus is 100 TB and the
+    // drop list is thousands of ids.
+    "data_decontaminate_clean" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      def grams = explode(array_distinct(
+        TextOps.shingles(col("text"), 8))).as("g")
+      val bench = docs.filter(col("doc_id") < 20)
+        .select(grams).distinct()
+      val corpus = docs.filter(col("doc_id") >= 20)
+      val contaminated = corpus.select(col("doc_id"), grams)
+        .join(broadcast(bench), Seq("g"))
+        .select("doc_id").distinct()
+      corpus.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
     // Deterministic global shuffle: training epochs need the corpus in a
     // reproducible pseudo-random order. order-by-hash is the scalable,
     // seed-stable permutation: a range exchange + per-partition sort (no
@@ -150,6 +171,18 @@ object DataOps {
         .orderBy("shuffle_key", "doc_id")
     }
   )
+
+  /** Shared gram CTEs for the two decontamination oracles (one
+    * tokenization definition, like the engine side's TextOps.shingles). */
+  private val gramCtes: String =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS L
+      |  FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |    L[i] || ' ' || L[i+1] || ' ' || L[i+2] || ' ' || L[i+3] || ' ' ||
+      |    L[i+4] || ' ' || L[i+5] || ' ' || L[i+6] || ' ' || L[i+7] AS g
+      |  FROM tok,
+      |    LATERAL (SELECT unnest(generate_series(1, len(L) - 7)) AS i) s),
+      |bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 20)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "data_split_hash" ->
@@ -172,18 +205,19 @@ object DataOps {
          |                              ELSE 250 END) AS n_sampled
          |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
     "data_decontaminate" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS L
-        |  FROM documents),
-        |g AS (SELECT DISTINCT doc_id,
-        |    L[i] || ' ' || L[i+1] || ' ' || L[i+2] || ' ' || L[i+3] || ' ' ||
-        |    L[i+4] || ' ' || L[i+5] || ' ' || L[i+6] || ' ' || L[i+7] AS g
-        |  FROM tok,
-        |    LATERAL (SELECT unnest(generate_series(1, len(L) - 7)) AS i) s),
-        |bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 20)
-        |SELECT doc_id, CAST(count(g.g) AS BIGINT) AS n_shared
-        |FROM g JOIN bench USING (g)
-        |WHERE doc_id >= 20
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $gramCtes
+         |SELECT doc_id, CAST(count(g.g) AS BIGINT) AS n_shared
+         |FROM g JOIN bench USING (g)
+         |WHERE doc_id >= 20
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "data_decontaminate_clean" ->
+      s"""WITH $gramCtes,
+         |contam AS (SELECT DISTINCT doc_id FROM g JOIN bench USING (g)
+         |  WHERE doc_id >= 20)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id >= 20
+         |  AND doc_id NOT IN (SELECT doc_id FROM contam)
+         |ORDER BY doc_id""".stripMargin,
     "data_mixture_weights" ->
       """WITH t AS (SELECT source, count(*) AS n_docs,
         |    sum(len(string_split(text, ' '))) AS src_tokens
