@@ -61,16 +61,8 @@ object DataOps {
     // semi-shape join + partial aggregate — no corpus shuffle for candidate
     // generation, the only 100 TB-viable form of contamination checking.
     "data_decontaminate" -> { (s, d) =>
-      val docs = Tables(s, d).documents
-      // the text family's tokenizer+shingler (TextOps.shingles) — one
-      // tokenization definition across text analysis and decontamination
-      def grams = explode(array_distinct(
-        TextOps.shingles(col("text"), 8))).as("g")
-      val bench = docs.filter(col("doc_id") < 20)
-        .select(grams).distinct()
-      val corpus = docs.filter(col("doc_id") >= 20)
-        .select(col("doc_id"), grams)
-      corpus.join(broadcast(bench), Seq("g"))
+      val (bench, corpusGrams) = decontamGrams(Tables(s, d).documents)
+      corpusGrams.join(broadcast(bench), Seq("g"))
         .groupBy("doc_id")
         // plain count: corpus grams are per-doc distinct and bench grams
         // are distinct, so the join emits each (doc_id, g) once — a
@@ -144,15 +136,12 @@ object DataOps {
     // drop list is thousands of ids.
     "data_decontaminate_clean" -> { (s, d) =>
       val docs = Tables(s, d).documents
-      def grams = explode(array_distinct(
-        TextOps.shingles(col("text"), 8))).as("g")
-      val bench = docs.filter(col("doc_id") < 20)
-        .select(grams).distinct()
-      val corpus = docs.filter(col("doc_id") >= 20)
-      val contaminated = corpus.select(col("doc_id"), grams)
+      val (bench, corpusGrams) = decontamGrams(docs)
+      val contaminated = corpusGrams
         .join(broadcast(bench), Seq("g"))
         .select("doc_id").distinct()
-      corpus.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      docs.filter(col("doc_id") >= 20)
+        .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     },
@@ -171,6 +160,20 @@ object DataOps {
         .orderBy("shuffle_key", "doc_id")
     }
   )
+
+  /** Shared engine-side gram streams for the two decontamination forms:
+    * ONE tokenization/shingling definition (the text family's
+    * TextOps.shingles) yielding the benchmark's distinct grams (doc_id <
+    * 20) and the corpus' per-doc distinct grams (doc_id >= 20) — the
+    * engine mirror of the shared [[gramCtes]] oracle CTEs, so the two
+    * queries cannot diverge on either side.
+    */
+  private def decontamGrams(docs: DataFrame): (DataFrame, DataFrame) = {
+    def grams = explode(array_distinct(
+      TextOps.shingles(col("text"), 8))).as("g")
+    (docs.filter(col("doc_id") < 20).select(grams).distinct(),
+      docs.filter(col("doc_id") >= 20).select(col("doc_id"), grams))
+  }
 
   /** Shared gram CTEs for the two decontamination oracles (one
     * tokenization definition, like the engine side's TextOps.shingles). */

@@ -60,6 +60,32 @@ class DataOpsSpec extends GraftSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("decontamination removal keeps exactly the gram-disjoint docs") {
+    // same independent pure-Scala ground truth as the counting form
+    val docs = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def grams(t: String): Set[String] =
+      t.split(" ", -1).toSeq.sliding(8).filter(_.length == 8)
+        .map(_.mkString(" ")).toSet
+    val bench = docs.filter(_._1 < 20).values.flatMap(grams).toSet
+    val expected = docs.collect {
+      case (id, t) if id >= 20 && (grams(t) & bench).isEmpty => id
+    }.toSeq.sorted
+    val df = DataOps.queries("data_decontaminate_clean")(spark, sfDir)
+    val got = df.collect().map(_.getLong(0)).toSeq
+    assert(got == expected, s"kept ${got.size}, expected ${expected.size}")
+    // some docs must actually be dropped, or the test proves nothing
+    assert(got.size < docs.count(_._1 >= 20), "no doc was contaminated")
+    // shape: the drop is a broadcast LeftAnti — the corpus is never
+    // shuffled for the removal (a SortMergeJoin here is a regression)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("sequence packing fills contiguous 2048-token bins per shard") {
     val packs = DataOps.queries("data_pack_sequences")(spark, sfDir)
       .collect()
