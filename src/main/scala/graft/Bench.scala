@@ -52,7 +52,7 @@ object Bench {
       SparkEntry.queries("q5_region_revenue")(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
-    } catch { case _: Throwable => -1.0 } finally {
+    } catch { case scala.util.control.NonFatal(_) => -1.0 } finally {
       spark.conf.set(graft.ops.Oracle.ExactSumsKey, "true")
       spark.catalog.clearCache()
     }
@@ -72,6 +72,16 @@ object Bench {
     val total = if (results.nonEmpty) results.values.filter(_ >= 0).sum else 0.0
     val failed = results.values.count(_ < 0)
     println(s"""{"metric":"total","queries":$qs,"n_queries":${results.size},"n_failed":$failed,"sf":"$sfDir","unit":"sec","value":${fmt(total)}}""")
+    // The driver tail-captures ~3 KB of output and parses the LAST JSON
+    // line it finds: at ~100 queries the full line above exceeds the
+    // capture window, its head gets clipped, and parsing fails (r02, r03:
+    // "parsed": null). So the final line is a compact summary — totals
+    // plus only the slowest queries — sized well under the window; the
+    // full per-query map stays one line up for human/file consumption.
+    val top = results.toSeq.sortBy(-_._2).take(25)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_failed":$failed,"top_slowest":$top}""")
     spark.stop()
   }
 }

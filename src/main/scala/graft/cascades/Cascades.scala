@@ -77,6 +77,14 @@ final class CascadesOptimizer(
       plan: PlanNode,
       required: PhysicalPropertySet = PhysicalPropertySet.default)
       : (Option[PlanNode], Memo) = {
+    // Random has no enforcer and no pushdown — only bare scans deliver it
+    // (Ir.delivered). Accepting it as a root requirement would make
+    // optimize() silently return None for every non-scan plan; reject
+    // loudly instead (require Any, which Random-delivering plans satisfy).
+    require(required.distribution != DistributionSpec.Random,
+      "DistributionSpec.Random is not a requestable root property: no " +
+        "enforcer produces it and only bare scans deliver it — require " +
+        "DistributionSpec.Any instead")
     val memo = new Memo(stats)
     val root = memo.insertPlan(plan)
     var passes = 0

@@ -6,10 +6,35 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
+
+/** Analysis-time input typing for the custom aggregates: every eval path
+  * below reads the child through an unchecked cast (`getLong`, `getInt`,
+  * `asInstanceOf[Long]`) — on a mistyped child (say ArrayType(IntegerType)
+  * where longs are expected) `UnsafeArrayData.getLong` would silently read
+  * garbage bytes instead of failing. `ExpectsInputTypes`/`AbstractDataType`
+  * are private[sql] in Spark 4, so the check is spelled directly.
+  */
+private[functions] trait StrictInputType { self: TypedImperativeAggregate[_] =>
+  def child: Expression
+  /** The exact child type required (nullability on array elements ignored). */
+  def requiredInputType: DataType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (requiredInputType, child.dataType) match {
+      case (ArrayType(et, _), ArrayType(at, _)) => at == et
+      case (t, a) => a == t
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ${requiredInputType.simpleString}, " +
+        s"got ${child.dataType.simpleString}")
+  }
+}
 
 /** Custom native aggregate: exact top-k values via a bounded min-heap —
   * the `TypedImperativeAggregate` path the engine uses for sketch-style
@@ -23,7 +48,10 @@ case class TopKDoubles(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.PriorityQueue[Double]] {
+  extends TypedImperativeAggregate[mutable.PriorityQueue[Double]]
+  with StrictInputType {
+
+  override def requiredInputType: DataType = DoubleType
 
   require(k > 0, "k must be positive")
 
@@ -112,7 +140,10 @@ case class KMinKthLong(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.TreeSet[Long]] {
+  extends TypedImperativeAggregate[mutable.TreeSet[Long]]
+  with StrictInputType {
+
+  override def requiredInputType: DataType = LongType
 
   require(k > 0, "k must be positive")
 
@@ -226,7 +257,9 @@ case class HllNdv256(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Byte]] {
+  extends TypedImperativeAggregate[Array[Byte]] with StrictInputType {
+
+  override def requiredInputType: DataType = LongType
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -295,7 +328,9 @@ case class VecSumLongs(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] {
+  extends TypedImperativeAggregate[Array[Long]] with StrictInputType {
+
+  override def requiredInputType: DataType = ArrayType(LongType)
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -382,7 +417,9 @@ case class CmsCounters(
     width: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] {
+  extends TypedImperativeAggregate[Array[Long]] with StrictInputType {
+
+  override def requiredInputType: DataType = ArrayType(IntegerType)
 
   require(depth > 0 && width > 0, "depth and width must be positive")
 
@@ -419,6 +456,11 @@ case class CmsCounters(
   }
 
   override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    // loud failure on mismatched sketch configs: deserialize sizes the
+    // buffer from the byte blob, so a stale partial from a different
+    // depth*width would otherwise be silently truncated or throw AIOOBE
+    require(other.length == buf.length,
+      s"CMS partial size ${other.length} != ${buf.length} (depth*width)")
     var i = 0
     while (i < buf.length) { buf(i) += other(i); i += 1 }
     buf
@@ -433,6 +475,8 @@ case class CmsCounters(
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    require(bytes.length == 8 * depth * width,
+      s"CMS blob ${bytes.length}B != ${8 * depth * width}B (8*depth*width)")
     val bb = ByteBuffer.wrap(bytes)
     val buf = new Array[Long](bytes.length / 8)
     var i = 0

@@ -38,7 +38,7 @@ object AnalyticsExt {
         .agg(
           count(when(col("l_quantity") >= 25, 1)).as("n_heavy"),
           count(when(col("l_discount") > 0.05, 1)).as("n_discounted"),
-          dsum(when(col("l_tax") > 0.04, col("l_extendedprice"))
+          dsum(s, when(col("l_tax") > 0.04, col("l_extendedprice"))
             .otherwise(lit(0.0))).as("taxed_price"))
         .orderBy("l_returnflag")
     },
@@ -119,7 +119,7 @@ object AnalyticsExt {
         .select(col("o_orderkey").as("k"), col("o_orderstatus"))
       li.join(ord, "k")
         .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("rev"))
+        .agg(count(lit(1)).as("n"), dsum(s, col("l_extendedprice")).as("rev"))
         .orderBy("o_orderstatus")
     },
     // 30-day rolling revenue per customer (value-range window frame).
@@ -142,7 +142,7 @@ object AnalyticsExt {
       Tables(s, d).orders
         .withColumn("quartile", ntile(4).over(w))
         .groupBy("o_orderstatus", "quartile")
-        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .agg(count(lit(1)).as("n"), dsum(s, col("o_totalprice")).as("sum_price"))
         .orderBy("o_orderstatus", "quartile")
     },
     // Custom TypedImperativeAggregate: exact top-5 order prices per status

@@ -51,7 +51,7 @@ object EventOps {
           // floor division, matching DuckDB's `//` for negative epochs
           expr(floorDivSql("ts_ms", HourMs)).as("hour_bucket"),
           col("event_type"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"), dsum(s, col("value")).as("sum_value"))
         .orderBy("hour_bucket", "event_type")
     },
     // Gap-based sessionization: split a user's event sequence at >30min gaps.
@@ -70,7 +70,7 @@ object EventOps {
         .agg(count(lit(1)).as("n_events"),
           min(col("ts_ms")).as("start_ms"),
           max(col("ts_ms")).as("end_ms"),
-          dsum(col("value")).as("sum_value"))
+          dsum(s, col("value")).as("sum_value"))
         .orderBy("user_id", "session_idx")
     },
     // AS-OF join composed from built-ins (SURVEY.md §7.3 preference (a)):
@@ -128,7 +128,7 @@ object EventOps {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n"),
           countDistinct(col("event_type")).as("n_types"),
-          dsum(col("value")).as("sum_value"),
+          dsum(s, col("value")).as("sum_value"),
           max(col("ts_ms")).as("last_ms"))
         .orderBy("user_id")
     },

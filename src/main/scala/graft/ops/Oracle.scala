@@ -21,26 +21,28 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * [[Oracle.ExactSumsKey]] to `false` and get plain double sums; results
   * then match Spark-anywhere semantics (order-dependent last bits) instead
   * of DuckDB bit-parity. The flag is read at QUERY BUILD time from the
-  * active session, defaulting to exact.
+  * session the query builder was handed — NOT the thread-local active
+  * session, which on a builder thread other than the one that set the conf
+  * would silently resolve to a different (or no) session and fall back to
+  * the default mode.
   */
 object Oracle {
   /** Session conf key selecting exact (decimal) vs fast (double) sums. */
   val ExactSumsKey = "spark.graft.exactSums"
 
-  private def exactSums: Boolean =
-    SparkSession.getActiveSession
-      .orElse(SparkSession.getDefaultSession)
-      .forall(_.conf.get(ExactSumsKey, "true").toBoolean)
+  private def exactSums(spark: SparkSession): Boolean =
+    spark.conf.get(ExactSumsKey, "true").toBoolean
 
   /** Sum of a double column: exact via DECIMAL(28,6) by default, plain
-    * double sum when `spark.graft.exactSums=false`. */
-  def dsum(c: Column): Column =
-    if (exactSums) sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
+    * double sum when `spark.graft.exactSums=false` on `spark`'s conf. */
+  def dsum(spark: SparkSession, c: Column): Column =
+    if (exactSums(spark)) sum(c.cast(DecimalType(28, 6))).cast(DoubleType)
     else sum(c)
 
   /** Average of a double column, same mode selection as [[dsum]]. */
-  def davg(c: Column): Column =
-    if (exactSums) sum(c.cast(DecimalType(28, 6))).cast(DoubleType) / count(lit(1))
+  def davg(spark: SparkSession, c: Column): Column =
+    if (exactSums(spark))
+      sum(c.cast(DecimalType(28, 6))).cast(DoubleType) / count(lit(1))
     else sum(c) / count(lit(1))
 
   /** The oracle-side spelling of [[dsum]] (the oracle always checks the

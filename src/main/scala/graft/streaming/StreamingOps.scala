@@ -40,7 +40,7 @@ object StreamingOps {
     events
       .withWatermark("event_ts", "2 hours")
       .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), dsum(events.sparkSession, col("value")).as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 

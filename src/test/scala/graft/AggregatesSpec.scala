@@ -211,6 +211,48 @@ class AggregatesSpec extends GraftSuite {
     }
   }
 
+  test("mistyped aggregate inputs fail analysis loudly, not read garbage") {
+    import spark.implicits._
+    // int array where vec_sum_longs requires array<bigint>: without the
+    // checkInputDataTypes override, UnsafeArrayData.getLong would silently
+    // read 4-byte ints as 8-byte longs (garbage values, no error)
+    val ints = Seq(Seq(1, 2), Seq(3, 4)).toDF("v")
+    val e1 = intercept[Exception] {
+      ints.agg(graft.functions.aggregates.vec_sum_longs(col("v"))).collect()
+    }
+    assert(e1.getMessage.contains("vec_sum_longs"), e1.getMessage)
+    // double where kmin_kth_long requires bigint
+    val e2 = intercept[Exception] {
+      Seq(1.0, 2.0).toDF("x").agg(kmin_kth_long(col("x"), 2)).collect()
+    }
+    assert(e2.getMessage.contains("kmin_kth_long"), e2.getMessage)
+    // long array where cms_counters requires array<int> bucket indices
+    val e3 = intercept[Exception] {
+      Seq(Seq(1L)).toDF("b")
+        .agg(graft.functions.aggregates.cms_counters(col("b"), 1, 4)).collect()
+    }
+    assert(e3.getMessage.contains("cms_counters"), e3.getMessage)
+    // the happy path still analyzes: array<bigint> into vec_sum_longs
+    val ok = Seq(Seq(1L, 2L), Seq(3L, 4L)).toDF("v")
+      .agg(graft.functions.aggregates.vec_sum_longs(col("v")))
+      .collect()(0).getSeq[Long](0)
+    assert(ok == Seq(4L, 6L))
+  }
+
+  test("CMS guards reject mismatched partials and truncated blobs") {
+    import graft.functions.CmsCounters
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = CmsCounters(Literal(null), depth = 2, width = 4)
+    val e1 = intercept[IllegalArgumentException] {
+      agg.merge(new Array[Long](8), new Array[Long](6))
+    }
+    assert(e1.getMessage.contains("CMS partial size"))
+    val e2 = intercept[IllegalArgumentException] {
+      agg.deserialize(new Array[Byte](8 * 6)) // wrong depth*width blob
+    }
+    assert(e2.getMessage.contains("8*depth*width"))
+  }
+
   test("approx sketches are close to exact values") {
     val rows = AnalyticsExt.queries("agg_approx_sketch")(spark, sfDir)
       .collect()

@@ -173,6 +173,19 @@ class CascadesPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Random root requirement is rejected loudly, not a silent None") {
+    // no enforcer produces Random and only bare scans deliver it: accepting
+    // it would make optimize() return None for every non-scan root
+    val req = PhysicalPropertySet(distribution = DistributionSpec.Random)
+    val plan = sample(genPlan(3, withLimit = false), 1L)
+    val e = intercept[IllegalArgumentException] {
+      new CascadesOptimizer(
+        costModel = new CardinalityCostModel, stats = stats)
+        .optimize(plan, req)
+    }
+    assert(e.getMessage.contains("Random"))
+  }
+
   test("optimum never costs more than the naive 1:1 implementation") {
     (1 to Trials).foreach { seed =>
       val plan = sample(genPlan(3, withLimit = false), seed.toLong)
