@@ -121,6 +121,32 @@ object Analytics {
           .as("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     },
+    // TPC-H Q9-style (product-type profit by nation and year): the widest
+    // join tree in the suite — lineitem against two filtered dimensions
+    // (part by name-substring, supplier→nation for the grouping key) plus
+    // orders for the year. Scale shape: part/supplier/nation broadcast
+    // (each a dimension or a substring-filtered slice of one), so the only
+    // shuffle-bearing join is lineitem⋈orders on orderkey, then one
+    // partial+final aggregate on (nation, year). The p_name LIKE filter
+    // reaches the part scan as a pushed predicate — the probe side never
+    // sees rejected parts.
+    "q9_profit_nation" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.lineitem
+        .join(broadcast(t.part.filter(col("p_name").contains("red"))
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t.nation.select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t.orders.select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(dsum(s, col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("profit"))
+        .orderBy(col("nation").asc, col("o_year").desc)
+    },
     // TPC-H Q14-style (promotion effect): conditional aggregation over a
     // fact-dim join. part broadcasts (a dimension is always << the fact
     // table), so the whole query is one broadcast join + one ungrouped
@@ -400,6 +426,16 @@ object Analytics {
          |  JOIN orders ON c_custkey = o_custkey
          |  JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q9_profit_nation" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS profit
+         |FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%red%'
+         |GROUP BY 1, 2 ORDER BY nation ASC, o_year DESC""".stripMargin,
     "q7_nation_volume" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          |  CAST(year(l_shipdate) AS INT) AS l_year,

@@ -145,6 +145,16 @@ object DataOps {
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     },
+    // Mixture upsampling by repetition: low-resource sources get repeated
+    // (epoched) to rebalance the mixture — the repeat factor per language
+    // is ceil(max_lang_mass / lang_mass) capped at 4 epochs, exact integer
+    // arithmetic throughout. The factor table is a tiny per-language
+    // aggregate joined back by broadcast, and the repetition itself is
+    // explode(sequence(1, k)) — a narrow generator, NOT a union of k scans:
+    // at 100 TB the corpus is read once and each row fans out map-side.
+    "data_upsample_epochs" -> { (s, d) =>
+      upsampleEpochsFrom(Tables(s, d).documents)
+    },
     // Deterministic global shuffle: training epochs need the corpus in a
     // reproducible pseudo-random order. order-by-hash is the scalable,
     // seed-stable permutation: a range exchange + per-partition sort (no
@@ -186,6 +196,25 @@ object DataOps {
       |  FROM tok,
       |    LATERAL (SELECT unnest(generate_series(1, len(L) - 7)) AS i) s),
       |bench AS (SELECT DISTINCT g FROM g WHERE doc_id < 20)""".stripMargin
+
+  /** The upsampling core over any frame with (doc_id, lang, n_chars) —
+    * see the `data_upsample_epochs` notes above. Separated so specs can
+    * plant a known mass imbalance and check the exact repeat factors.
+    */
+  def upsampleEpochsFrom(docs: DataFrame): DataFrame = {
+    val mass = docs.groupBy("lang").agg(sum(col("n_chars")).as("m"))
+    val mx = mass.agg(max(col("m")).as("maxm"))
+    val fac = mass.crossJoin(broadcast(mx))
+      .select(col("lang"),
+        least(lit(4L), expr("(maxm + m - 1) div m")).as("k"))
+    docs.join(broadcast(fac), Seq("lang"))
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1L), col("k"))).as("epoch"),
+        col("k").cast("int").as("n_epochs"))
+      .select(col("doc_id"), col("lang"),
+        col("epoch").cast("int").as("epoch"), col("n_epochs"))
+      .orderBy("doc_id", "epoch")
+  }
 
   def oracles: Map[String, String] = Map(
     "data_split_hash" ->
@@ -256,6 +285,17 @@ object DataOps {
         |SELECT shard, CAST((cum - 1) // 2048 AS BIGINT) AS pack_id,
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
         |FROM c GROUP BY 1, 2 ORDER BY shard, pack_id""".stripMargin,
+    "data_upsample_epochs" ->
+      """WITH mass AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS m
+        |  FROM documents GROUP BY 1),
+        |mx AS (SELECT CAST(max(m) AS BIGINT) AS maxm FROM mass),
+        |fac AS (SELECT lang, least(4, (maxm + m - 1) // m) AS k
+        |        FROM mass CROSS JOIN mx)
+        |SELECT d.doc_id, d.lang, CAST(e.epoch AS INT) AS epoch,
+        |  CAST(f.k AS INT) AS n_epochs
+        |FROM documents d JOIN fac f USING (lang),
+        |  LATERAL (SELECT unnest(generate_series(1, f.k)) AS epoch) e
+        |ORDER BY doc_id, epoch""".stripMargin,
     "data_shuffle_deterministic" ->
       s"""SELECT doc_id,
          |  ${XxhSql.expr("'R' || CAST(doc_id AS VARCHAR)", "42")}

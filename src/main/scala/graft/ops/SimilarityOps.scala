@@ -135,6 +135,22 @@ object SimilarityOps {
             (sqrt(col("qnn").cast("double")) *
               sqrt(col("nn").cast("double")))).as("cos")), 5)
     },
+    // Product-quantization ANN (the codes+ADC form, completing the family:
+    // brute force, LSH equi-join, IVF partition-pruning, and now PQ
+    // compression): vectors split into M=4 subspaces of 16 dims; each
+    // subspace quantized to its nearest of K=16 sub-centroids (a
+    // training-free deterministic codebook — the 16 smallest-vec_id
+    // vectors' subvectors); queries rank candidates by ADC (asymmetric
+    // distance): Σ_m ‖q_m − centroid[code_m(x)]‖², exact integer
+    // arithmetic end-to-end so the DuckDB oracle replicates code
+    // assignment AND the ADC ranking. Scale shape: the codebook is ONE
+    // broadcast row (K·D longs), so encoding is a map stage over the
+    // corpus scan — each vector compresses from D longs to M bytes — and
+    // scoring never touches raw corpus vectors; at 100 TB only the codes
+    // column (4 bytes/vector) feeds the search.
+    "sim_ann_pq" -> { (s, d) =>
+      pqTopkFrom(Tables(s, d).embeddings)
+    },
     // One Lloyd (k-means) iteration, seeded by the per-label centroids:
     // (1) score every vector against the 10 broadcast centroids and keep
     // the argmax via a partial+final max(struct(sim, -label)) aggregate —
@@ -181,6 +197,53 @@ object SimilarityOps {
         .orderBy("label")
     }
   )
+
+  /** The PQ encode+ADC core over any frame with (vec_id, embedding) —
+    * see the `sim_ann_pq` notes above. Separated so specs can replay the
+    * declared semantics (codes + ADC ranking) on planted vectors. The
+    * embedding dimension must be M·sub = 64 (the fixed-dimension contract
+    * of the embeddings table).
+    */
+  def pqTopkFrom(emb: DataFrame): DataFrame = {
+    val M = 4; val sub = 16; val K = 16
+    val base = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val cb = base.filter(col("vec_id") < K)
+      .agg(sort_array(collect_list(struct(
+        col("vec_id").cast("int").as("cid"), col("qv").as("cqv"))))
+        .as("cb"))
+    // squared L2 between subspace m of a and subspace m of b (sub dims)
+    def subdist(a: Column, b: Column, m: Column): Column =
+      aggregate(zip_with(
+        slice(a, m * lit(sub) + lit(1), lit(sub)),
+        slice(b, m * lit(sub) + lit(1), lit(sub)),
+        (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    val coded = base.crossJoin(broadcast(cb))
+      .withColumn("codes", transform(sequence(lit(0), lit(M - 1)), m =>
+        // argmin over the codebook: sort (dist, cid) structs, take head —
+        // ties break to the smallest centroid id
+        element_at(array_sort(transform(col("cb"), e =>
+          struct(subdist(col("qv"), e.getField("cqv"), m).as("dm"),
+            e.getField("cid").as("cid")))), 1).getField("cid")))
+    val qs = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"))
+    val scored = coded.filter(col("vec_id") >= 10)
+      .join(broadcast(qs))
+      .select(col("query_id"), col("vec_id"),
+        // element_at(cb, code+1) is direct indexing: vec_ids are contiguous
+        // from 0 (fixed contract of the embeddings table, planted likewise
+        // in specs), so the cid-sorted codebook holds cid=i-1 at position i
+        aggregate(sequence(lit(0), lit(M - 1)), lit(0L), (acc, m) =>
+          acc + subdist(col("qqv"),
+            element_at(col("cb"),
+              element_at(col("codes"), m + lit(1)) + lit(1))
+              .getField("cqv"), m)).as("adist"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("query_id", "vec_id", "adist", "rk")
+      .orderBy("query_id", "rk")
+  }
 
   /** The Lloyd-iteration core over any frame with (vec_id, label,
     * embedding) — see the `sim_kmeans_step` notes above. Separated so
@@ -347,6 +410,33 @@ object SimilarityOps {
         |  FROM scored)
         |SELECT query_id, vec_id, cos, rk FROM ranked
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // PQ replication: per-(vector, centroid, subspace) squared distances,
+    // argmin code assignment (ties → smallest cid), then ADC = the sum of
+    // the QUERY's own subspace distances to the assigned centroids — all
+    // exact integers, so assignment and ranking are both oracle-checked.
+    "sim_ann_pq" ->
+      """WITH q AS (SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |dist AS (SELECT a.vec_id, b.vec_id AS cid, (a.i - 1) // 16 AS m,
+        |           sum((a.v - b.v) * (a.v - b.v)) AS d
+        |         FROM q a JOIN q b ON a.i = b.i AND b.vec_id < 16
+        |         GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, m, cid FROM (
+        |    SELECT vec_id, m, cid, row_number() OVER (PARTITION BY vec_id, m
+        |      ORDER BY d ASC, cid ASC) AS rn FROM dist) r WHERE rn = 1),
+        |qd AS (SELECT vec_id AS query_id, m, cid, d FROM dist
+        |       WHERE vec_id < 10),
+        |adc AS (SELECT qd.query_id, c.vec_id, CAST(sum(qd.d) AS BIGINT)
+        |          AS adist
+        |        FROM codes c JOIN qd ON qd.m = c.m AND qd.cid = c.cid
+        |        WHERE c.vec_id >= 10 GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, vec_id, adist,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist ASC, vec_id ASC) AS INT) AS rk FROM adc)
+        |SELECT query_id, vec_id, adist, rk FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
     // Lloyd-step replication: seed centroids, cosine argmax assignment
     // (ties sim DESC, label ASC), recomputed centroids, exact checksums.
     "sim_kmeans_step" ->

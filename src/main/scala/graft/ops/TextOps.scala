@@ -106,6 +106,24 @@ object TextOps {
           .as("min_shingle_hash"))
         .orderBy("doc_id")
     },
+    // Unigram-LM rarity scoring: each document scored by the corpus-wide
+    // frequency of its tokens — mean token corpus-frequency (common-text
+    // detector) and the fraction of below-mean-frequency tokens (rare-text
+    // detector; "rare" = cf·V < N, exact integer compare against the mean
+    // frequency N/V — no division). This is the vocab-join pipeline shape:
+    // explode → groupBy(token) builds the LM, then tokens re-join their
+    // corpus counts and re-group per document. Scale: three token-volume
+    // shuffles (count, join, regroup); the corpus totals ride a broadcast
+    // single-row aggregate, and AQE broadcasts the vocab side when it fits.
+    "text_rarity" -> { (s, d) => rarityFrom(Tables(s, d).documents) },
+    // PII-style scrubbing: redact email addresses and a denylist of
+    // sensitive terms, reporting per-document hit counts and the hash of
+    // the scrubbed text. Pure per-row regex map stage (codegen'd, zero
+    // shuffles beyond the presentation sort) — the redaction pass a
+    // training pipeline runs over every document at 100 TB. The regex
+    // subset used (\b, alternation, classes) behaves identically in Java
+    // regex and DuckDB's RE2, so the oracle replays the exact scrub.
+    "text_pii_scrub" -> { (s, d) => scrubFrom(Tables(s, d).documents) },
     // Repetition-based quality signals (the Gopher-rules family): the share
     // of tokens taken by the single most frequent token, and the fraction
     // of duplicated token bigrams. Highly repetitive machine-generated text
@@ -131,6 +149,55 @@ object TextOps {
         .orderBy("doc_id")
     }
   )
+
+  /** The unigram-LM rarity core over any frame with (doc_id, text) — see
+    * the `text_rarity` notes above. Separated so specs can plant a corpus
+    * with known token frequencies.
+    */
+  def rarityFrom(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("w"))
+    val cf = tok.groupBy("w").agg(count(lit(1)).as("c"))
+    val tot = cf.agg(sum(col("c")).as("n_total"),
+      count(lit(1)).as("v_size"))
+    tok.join(cf, "w").crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+        sum(when(col("c") * col("v_size") < col("n_total"), 1L)
+          .otherwise(0L)).as("nr"))
+      .select(col("doc_id"), col("n").cast("int").as("n_tokens"),
+        (col("sc").cast("double") / col("n").cast("double"))
+          .as("mean_tok_cf"),
+        (col("nr").cast("double") / col("n").cast("double"))
+          .as("rare_frac"))
+      .orderBy("doc_id")
+  }
+
+  private[ops] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[ops] val TermRe = "\\b(customer|supplier|account)\\b"
+
+  /** The PII-scrub core over any frame with (doc_id, text) — the synthetic
+    * corpus contains no emails, so planted specs exercise that path.
+    */
+  def scrubFrom(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(TermRe), lit(0)))
+        .as("n_terms"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+        .as("n_emails"),
+      md5(regexp_replace(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        TermRe, "<REDACTED>")).as("scrub_hash"))
+      .orderBy("doc_id")
+
+  /** Scrubbed text itself (not hashed) — spec-only readout used to assert
+    * the actual redaction output on planted documents.
+    */
+  def scrubbedText(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        TermRe, "<REDACTED>").as("scrubbed"))
 
   private val tokSql = "string_split(text, ' ')"
 
@@ -194,6 +261,37 @@ object TextOps {
          |        FROM fp GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(agg.n_fp, 0) AS n_fp, agg.fp_min
          |FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Rarity: same unigram LM (token → corpus count) rebuilt in SQL; the
+    // rare test is the exact integer compare c·V < N, and the two ratios
+    // are single double divisions of exact integers.
+    "text_rarity" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS w FROM documents),
+         |cf AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+         |               CAST(count(DISTINCT w) AS BIGINT) AS v_size FROM tok),
+         |j AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS sc, count(*) AS n,
+         |        CAST(sum(CASE WHEN c * v_size < n_total THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS nr
+         |      FROM tok JOIN cf USING (w) CROSS JOIN tot GROUP BY 1)
+         |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+         |  CAST(sc AS DOUBLE) / CAST(n AS DOUBLE) AS mean_tok_cf,
+         |  CAST(nr AS DOUBLE) / CAST(n AS DOUBLE) AS rare_frac
+         |FROM j ORDER BY doc_id""".stripMargin,
+    // Scrub replay: identical regexes (Java regex ∩ RE2 common subset),
+    // DuckDB's regexp_replace needs the explicit 'g' flag to match Spark's
+    // replace-all semantics.
+    "text_pii_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b(customer|supplier|account)\b')) AS INT) AS n_terms,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        |    AS n_emails,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(customer|supplier|account)\b', '<REDACTED>', 'g'))
+        |    AS scrub_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // Repetition signals: exact small-int counts then one double division —
     // token-for-token the same arithmetic as the Spark side.
     "text_repetition" ->

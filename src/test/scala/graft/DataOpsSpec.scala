@@ -34,6 +34,24 @@ class DataOpsSpec extends GraftSuite {
     }
   }
 
+  test("upsampling: planted mass imbalance yields the exact repeat factors") {
+    import spark.implicits._
+    // lang masses: big=100, mid=40, tiny=10 → factors ceil(100/m) capped
+    // at 4: big=1, mid=ceil(100/40)=3, tiny=ceil(100/10)=10→capped 4
+    val docs = Seq(
+      (0L, "big", 60L), (1L, "big", 40L),
+      (2L, "mid", 40L),
+      (3L, "tiny", 10L)).toDF("doc_id", "lang", "n_chars")
+    val got = DataOps.upsampleEpochsFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    val want = Seq(
+      (0L, "big", 1, 1), (1L, "big", 1, 1),
+      (2L, "mid", 1, 3), (2L, "mid", 2, 3), (2L, "mid", 3, 3),
+      (3L, "tiny", 1, 4), (3L, "tiny", 2, 4), (3L, "tiny", 3, 4),
+      (3L, "tiny", 4, 4))
+    assert(got.toSeq == want, got.toSeq.toString)
+  }
+
   test("decontamination flags exactly the docs sharing an 8-gram with bench") {
     // ground truth computed INDEPENDENTLY of the word_shingles kernel:
     // pure-Scala sliding windows over the raw text — a shingler bug cannot

@@ -38,9 +38,15 @@ class PlanCheckSpec extends GraftSuite {
                           // centroids (bounded by label cardinality)
     "sim_kmeans_step",    // assignment scoring: corpus x 10 broadcast
                           // centroids (bounded by cluster count k)
-    "dedup_embedding_bruteforce" // the HONEST all-pairs baseline, kept
+    "dedup_embedding_bruteforce", // the HONEST all-pairs baseline, kept
                           // deliberately quadratic; the named scale path
                           // is dedup_embedding (LSH-bucketed equi-join)
+    "text_rarity",        // 1-row corpus-totals aggregate broadcast
+                          // under every token row
+    "data_upsample_epochs", // 1-row max-mass aggregate broadcast under
+                          // the 5-row per-language factor table
+    "sim_ann_pq"          // 1-row codebook broadcast under the corpus
+                          // (encoding) + 10-query set broadcast (ADC)
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides

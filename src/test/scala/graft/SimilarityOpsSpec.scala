@@ -68,6 +68,78 @@ class SimilarityOpsSpec extends GraftSuite {
     assert(got.map(t => t._1 -> t._2).toMap == Map(0L -> 2L, 1L -> 3L))
   }
 
+  /** Independent Scala replay of the declared PQ semantics: quantize →
+    * codebook = vec_id<16 subvectors → per-subspace argmin codes (ties to
+    * smallest cid) → ADC = Σ_m ‖q_m − centroid[code_m]‖² → per-query top-5
+    * ascending (ties vec_id ASC).
+    */
+  private def pqReplay(rows: Seq[(Long, Seq[Float])])
+      : Seq[(Long, Long, Long, Int)] = {
+    val M = 4; val sub = 16
+    def quant(x: Float): Long = math.floor(x.toDouble * 1000.0 + 0.5).toLong
+    val qvs = rows.map { case (id, e) => id -> e.map(quant) }.toMap
+    val cb = qvs.filter(_._1 < 16).toSeq.sortBy(_._1)
+    def d(a: Seq[Long], b: Seq[Long], m: Int): Long =
+      (0 until sub).map { i =>
+        val x = a(m * sub + i) - b(m * sub + i); x * x
+      }.sum
+    val codes = qvs.map { case (id, qv) =>
+      id -> (0 until M).map(m => cb.minBy { case (cid, cqv) =>
+        (d(qv, cqv, m), cid) }._1.toInt)
+    }
+    val out = for {
+      (qid, qqv) <- qvs.toSeq.filter(_._1 < 10)
+      (vid, _) <- qvs.toSeq.filter(_._1 >= 10)
+    } yield (qid, vid,
+      (0 until M).map(m => d(qqv, qvs(cb(codes(vid)(m))._1.toInt), m)).sum)
+    out.groupBy(_._1).toSeq.flatMap { case (_, cands) =>
+      cands.sortBy(c => (c._3, c._2)).take(5).zipWithIndex
+        .map { case ((q, v, ad), i) => (q, v, ad, i + 1) }
+    }.sortBy(t => (t._1, t._4))
+  }
+
+  test("PQ codes+ADC match the replay on randomized vectors") {
+    import spark.implicits._
+    // 30 vectors of dim 64 (vec_ids contiguous from 0: 0-15 = codebook,
+    // 0-9 = queries, 10-29 = corpus); parity across fixed seeds
+    for (seed <- Seq(201L, 202L, 203L)) {
+      val gen = Gen.listOfN(30,
+        Gen.listOfN(64, Gen.choose(-1000, 1000)))
+      val rows = gen.apply(Gen.Parameters.default, Seed(seed)).get
+        .zipWithIndex.map { case (v, i) =>
+          (i.toLong, v.map(_ / 1000.0f).toSeq)
+        }
+      val got = SimilarityOps.pqTopkFrom(rows.toDF("vec_id", "embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSeq
+      assert(got == pqReplay(rows), s"seed=$seed diverged")
+    }
+  }
+
+  test("PQ ranks an exact codebook clone first with zero ADC distance") {
+    import spark.implicits._
+    // well-separated deterministic vectors: codebook vector j spikes at
+    // position j%16 of every subspace with height 1+j. Query 5 IS codebook
+    // centroid 5 (queries are codebook members by construction), and
+    // corpus vec 20 is an exact clone of it: vec 20's codes resolve to
+    // cid 5 in every subspace (self-distance 0), so query 5's ADC to vec
+    // 20 is its distance to its own centroid — exactly 0 — and vec 20
+    // must rank first. Corpus vec 21 (a different direction) ranks after.
+    def unit(j: Int): Seq[Float] =
+      Seq.tabulate(64)(i => if (i % 16 == j % 16) (1.0f + j) else 0.1f * j)
+    val rows = (0 until 16).map(j => (j.toLong, unit(j))) ++
+      Seq((20L, unit(5)), (21L, unit(3)))
+    val got = SimilarityOps.pqTopkFrom(rows.toDF("vec_id", "embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // corpus = vec_id >= 10, which includes codebook vectors 10-15, the
+    // clone (20) and the decoy (21) — a full top-5 comes back
+    val q5 = got.filter(_._1 == 5L)
+    assert(q5.length == 5, q5.toSeq.toString)
+    assert(q5.head._2 == 20L && q5.head._3 == 0L, q5.toSeq.toString)
+  }
+
   test("k-means step matches the replay on randomized vectors") {
     // random 4-d vectors over 4 labels, zero vectors included (nn=0 →
     // sim 0.0 against every centroid → the label-ascending tie-break

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps
+
+/** Planted-corpus tests for the text-pipeline operators whose behavior the
+  * uniform synthetic corpus cannot distinguish (no emails exist in it, and
+  * its token frequencies are near-uniform).
+  */
+class TextOpsSpec extends GraftSuite {
+
+  test("rarity: planted rare token scores exactly one rare hit") {
+    import spark.implicits._
+    // corpus: "common" appears 9 times (3 docs x 3), "zebra" once.
+    // N = 10 tokens, V = 2 types; rare means c*V < N: common 9*2=18 >= 10
+    // (not rare), zebra 1*2=2 < 10 (rare).
+    val docs = Seq(
+      (0L, "common common common"),
+      (1L, "common common common"),
+      (2L, "common common common zebra")).toDF("doc_id", "text")
+    val got = TextOps.rarityFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    // doc 0/1: 3 tokens, all cf=9 → mean 9, rare_frac 0
+    assert(got(0) == ((0L, 3, 9.0, 0.0)), got.toSeq.toString)
+    assert(got(1) == ((1L, 3, 9.0, 0.0)), got.toSeq.toString)
+    // doc 2: 4 tokens (9+9+9+1)/4 = 7, one rare of 4
+    assert(got(2) == ((2L, 4, 7.0, 0.25)), got.toSeq.toString)
+  }
+
+  test("scrub: planted emails and denylist terms are redacted") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "contact alice.smith+x@example.org about the account"),
+      (1L, "the customer met a supplier yesterday"),
+      (2L, "accounting is NOT redacted nor is customers"), // \b boundaries
+      (3L, "plain text with nothing sensitive")).toDF("doc_id", "text")
+    val counts = TextOps.scrubFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(counts.toSeq == Seq((0L, 1, 1), (1L, 2, 0), (2L, 0, 0),
+      (3L, 0, 0)), counts.toSeq.toString)
+    val scrubbed = TextOps.scrubbedText(docs).orderBy("doc_id").collect()
+      .map(_.getString(1))
+    assert(scrubbed(0) == "contact <EMAIL> about the <REDACTED>")
+    assert(scrubbed(1) == "the <REDACTED> met a <REDACTED> yesterday")
+    // word boundaries: substrings of denylist terms survive untouched
+    assert(scrubbed(2) == "accounting is NOT redacted nor is customers")
+    assert(scrubbed(3) == "plain text with nothing sensitive")
+  }
+
+  test("scrub hash equals md5 of the scrubbed text") {
+    import spark.implicits._
+    val docs = Seq((0L, "customer a@b.co x")).toDF("doc_id", "text")
+    val hash = TextOps.scrubFrom(docs).collect()(0).getString(3)
+    val text = TextOps.scrubbedText(docs).collect()(0).getString(1)
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(hash == want, s"text=$text")
+  }
+}
