@@ -22,6 +22,7 @@ object SparkEntry {
     Map[String, String])] = Seq(
     (Relational.queries, Relational.oracles),
     (Analytics.queries, Analytics.oracles),
+    (AnalyticsTpch.queries, AnalyticsTpch.oracles),
     (AnalyticsExt.queries, AnalyticsExt.oracles),
     (TextOps.queries, TextOps.oracles),
     (DedupOps.queries, DedupOps.oracles),

@@ -1,0 +1,263 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Oracle._
+
+/** TPC-H-style query shapes not yet covered by [[Analytics]]: EXISTS /
+  * NOT-EXISTS decorrelation (Q4/Q21), disjunctive predicate pushdown (Q19),
+  * market-share conditional ratio (Q8), outer-join distribution histogram
+  * (Q13), returned-item ranking (Q10), and scalar-subquery + anti-join
+  * gating (Q22). The reference optimizer's surface stops at scan / filter /
+  * project / join / limit (`dolomite/src/operator/mod.rs:26-47`); these are
+  * the query forms a user of that optimizer would run THROUGH it, expressed
+  * Spark-first so Catalyst plans them (semi/anti joins instead of per-row
+  * subqueries, broadcast dimensions, partial+final aggregation).
+  *
+  * Predicates are adapted to the driver corpus (TESTDATA.md): no partsupp
+  * table, no l_commitdate / l_shipmode / c_phone columns, so each query
+  * keeps its TPC-H plan SHAPE against the columns that exist (e.g. Q4's
+  * "late delivery" EXISTS becomes a returned-lineitem EXISTS; Q22's "no
+  * orders in 7 years" becomes "no orders since 2000-01-01" — every customer
+  * in the corpus has at least one order overall).
+  */
+object AnalyticsTpch {
+  type Q = (SparkSession, String) => DataFrame
+
+  def queries: Map[String, Q] = Map(
+    // TPC-H Q4-style (order priority checking): EXISTS over lineitem →
+    // left-semi join on the order key. Scale shape: the semi-join shuffles a
+    // one-column projection of the filtered fact table (never full rows —
+    // the filter and the column pruning reach the scan), and the semi side
+    // dedups during the join, so no distinct pass is needed.
+    "q4_priority_exists" -> { (s, d) =>
+      val t = Tables(s, d)
+      val returned = t.lineitem.filter(col("l_returnflag") === "R")
+        .select("l_orderkey")
+      t.orders
+        .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+    // TPC-H Q8-style (national market share): share of ASIA-customer revenue
+    // supplied from NATION_7, by order year. The region→nation→customer
+    // reduction happens BEFORE the fact joins (dimension-first, as in Q7),
+    // supplier×nation broadcasts, and the share is one conditional ratio
+    // over a single partial+final aggregate — the fact table is scanned
+    // once.
+    "q8_market_share" -> { (s, d) =>
+      val t = Tables(s, d)
+      val asiaCust = t.customer
+        .join(broadcast(t.nation
+          .join(t.region.filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cnk"))),
+          col("c_nationkey") === col("cnk"))
+        .select("c_custkey")
+      val supN = broadcast(t.supplier
+        .join(t.nation.select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("snk"))
+        .select("s_suppkey", "supp_nation"))
+      val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      t.lineitem
+        .join(t.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(supN, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          dsum(s, when(col("supp_nation") === "NATION_7", disc)
+            .otherwise(lit(0.0))).as("nation_revenue"),
+          dsum(s, disc).as("total_revenue"))
+        .select(col("o_year"), col("nation_revenue"), col("total_revenue"),
+          (col("nation_revenue") / col("total_revenue")).as("mkt_share"))
+        .orderBy("o_year")
+    },
+    // TPC-H Q10-style (returned item reporting): revenue lost to returned
+    // lineitems per customer in one quarter, top 20. The orders date filter
+    // and the l_returnflag filter both reach their scans; nation broadcasts;
+    // the top-20 is TakeOrderedAndProject over the aggregated (small)
+    // per-customer result — no global sort of the fact table.
+    "q10_returned_item" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.customer
+        .join(t.orders.filter(
+          col("o_orderdate") >= lit("1995-10-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem.filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(s, col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    },
+    // TPC-H Q13-style (customer order-count distribution): LEFT join with an
+    // extra join-side predicate (the filter belongs in the join condition —
+    // pushing it below the outer join would drop order-less customers), then
+    // a two-level aggregate. count(o_orderkey) counts matches only; the
+    // histogram aggregate is tiny (distinct order counts).
+    "q13_order_distribution" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.customer.select("c_custkey")
+        .join(t.orders.filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_custkey", "o_orderkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    // TPC-H Q19-style (discounted revenue, disjunctive predicates): three
+    // OR'd conjunctive branches over part×lineitem attributes. part
+    // broadcasts; the branch structure stays one codegen'd predicate —
+    // no union-of-three-scans rewrite (the fact table is read once), and
+    // the p_brand IN superset of the disjunction is derivable for scan
+    // pruning.
+    "q19_disjunctive" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.lineitem
+        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+              col("l_quantity").between(20, 30)))
+        .agg(dsum(s, col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n"))
+    },
+    // TPC-H Q21-style (suppliers who kept orders waiting → here: the sole
+    // supplier at fault): returned lineitems in multi-supplier orders where
+    // NO other supplier's line in the same order was returned. EXISTS and
+    // NOT EXISTS over the same fact table become one left-semi and one
+    // left-anti self-join, both shuffling on the order key with non-equi
+    // supplier-mismatch residuals — the decorrelated plan Catalyst would
+    // build from the SQL form, written directly.
+    "q21_blame_supplier" -> { (s, d) =>
+      val t = Tables(s, d)
+      val l1 = t.lineitem.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+      val others = t.lineitem
+        .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val othersR = t.lineitem.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+      l1
+        .join(others, col("ok") === col("ok2") && col("sk") =!= col("sk2"),
+          "left_semi")
+        .join(othersR, col("ok") === col("ok3") && col("sk") =!= col("sk3"),
+          "left_anti")
+        .join(broadcast(t.supplier), col("sk") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(10)
+    },
+    // TPC-H Q22-style (global sales opportunity): customers with
+    // above-average account balance and no recent orders. The average is a
+    // 1-row broadcast scalar (exact decimal, so the > compare is
+    // engine-identical); "no recent orders" is a left-anti join against the
+    // date-filtered one-column order projection; nation broadcasts for the
+    // grouping key.
+    "q22_idle_customers" -> { (s, d) =>
+      val t = Tables(s, d)
+      val avgBal = t.customer.filter(col("c_acctbal") > 0.0)
+        .agg(davg(s, col("c_acctbal")).as("ab"))
+      val recent = t.orders
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+      t.customer
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("ab"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("numcust"),
+          dsum(s, col("c_acctbal")).as("totacctbal"))
+        .orderBy("n_name")
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q8_market_share" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         |  ${sqlSum("CASE WHEN n2.n_name = 'NATION_7' THEN " +
+             "l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+         |    AS nation_revenue,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")}
+         |    AS total_revenue,
+         |  ${sqlSum("CASE WHEN n2.n_name = 'NATION_7' THEN " +
+             "l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} /
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS mkt_share
+         |FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |  JOIN region ON n1.n_regionkey = r_regionkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "q10_returned_item" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM customer
+         |  JOIN orders ON c_custkey = o_custkey
+         |  JOIN lineitem ON o_orderkey = l_orderkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |WHERE o_orderdate >= TIMESTAMP '1995-10-01'
+         |  AND o_orderdate < TIMESTAMP '1996-01-01'
+         |  AND l_returnflag = 'R'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) co
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q19_disjunctive" ->
+      s"""SELECT ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  count(*) AS n
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q21_blame_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name ASC LIMIT 10"""
+        .stripMargin,
+    "q22_idle_customers" ->
+      s"""SELECT n_name, count(*) AS numcust,
+         |  ${sqlSum("c_acctbal")} AS totacctbal
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |WHERE c_acctbal > (SELECT ${sqlAvg("c_acctbal")}
+         |                   FROM customer WHERE c_acctbal > 0.0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey
+         |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+         |GROUP BY n_name ORDER BY n_name""".stripMargin
+  )
+}

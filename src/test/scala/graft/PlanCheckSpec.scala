@@ -45,8 +45,10 @@ class PlanCheckSpec extends GraftSuite {
                           // under every token row
     "data_upsample_epochs", // 1-row max-mass aggregate broadcast under
                           // the 5-row per-language factor table
-    "sim_ann_pq"          // 1-row codebook broadcast under the corpus
+    "sim_ann_pq",         // 1-row codebook broadcast under the corpus
                           // (encoding) + 10-query set broadcast (ADC)
+    "q22_idle_customers"  // 1-row average-balance scalar broadcast under
+                          // the customer table (the Q22 gating predicate)
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides

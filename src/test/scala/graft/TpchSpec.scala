@@ -1,0 +1,71 @@
+package graft
+
+import graft.ops.AnalyticsTpch
+
+/** Plan-shape and semantics specs for the adapted TPC-H batch
+  * ([[graft.ops.AnalyticsTpch]]): the oracle gate checks values; these pin
+  * the SCALE-relevant plan structure (semi/anti join forms, disjunctive
+  * pushdown, no subquery-per-row execution) at sf0.001.
+  */
+class TpchSpec extends GraftSuite {
+
+  private def plan(name: String): String =
+    AnalyticsTpch.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q4: EXISTS becomes a left-semi join, not a per-row subquery") {
+    val p = plan("q4_priority_exists")
+    assert(p.contains("LeftSemi"), s"no semi join:\n$p")
+    assert(!p.toLowerCase.contains("subquery"), s"residual subquery:\n$p")
+  }
+
+  test("q21: EXISTS and NOT EXISTS become one semi and one anti self-join") {
+    val p = plan("q21_blame_supplier")
+    assert(p.contains("LeftSemi"), s"no semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"no anti join:\n$p")
+    // rows exist: multi-supplier orders with a sole returned supplier
+    val n = AnalyticsTpch.queries("q21_blame_supplier")(spark, sfDir).count()
+    assert(n > 0, "q21 adaptation is degenerate (empty result)")
+  }
+
+  test("q19: disjunctive predicate stays one scan (no union rewrite)") {
+    val df = AnalyticsTpch.queries("q19_disjunctive")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    // one lineitem scan, one part scan — the OR did not clone the fact scan
+    assert(countOcc(p, "lineitem.parquet") == 1, s"fact scanned twice:\n$p")
+    assert(countOcc(p, "part.parquet") == 1, s"part scanned twice:\n$p")
+    val row = df.collect()(0)
+    assert(row.getLong(1) > 0, "q19 predicates select nothing")
+  }
+
+  test("q22: scalar average broadcasts; recent orders anti-join") {
+    val p = plan("q22_idle_customers")
+    assert(p.contains("LeftAnti"), s"no anti join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), s"scalar not broadcast:\n$p")
+    val n = AnalyticsTpch.queries("q22_idle_customers")(spark, sfDir).count()
+    assert(n > 0, "q22 adaptation is degenerate (empty result)")
+  }
+
+  test("q13: left join keeps order-less customers in the histogram") {
+    import org.apache.spark.sql.functions._
+    val t = graft.ops.Tables(spark, sfDir)
+    val hist = AnalyticsTpch.queries("q13_order_distribution")(spark, sfDir)
+    // total customers across histogram buckets == customer table count
+    val total = hist.agg(sum("custdist")).collect()(0).getLong(0)
+    assert(total == t.customer.count(), "histogram lost customers")
+  }
+
+  test("q8: market share is within [0,1] for every year") {
+    val rows = AnalyticsTpch.queries("q8_market_share")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val share = r.getDouble(3)
+      assert(share >= 0.0 && share <= 1.0, s"share out of range: $r")
+    }
+  }
+
+  private def countOcc(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+}
