@@ -298,4 +298,38 @@ object Kernels {
     while (it.hasNext) if (sb.contains(it.next())) inter += 1
     inter.toDouble / (sa.size + sb.size - inter).toDouble
   }
+
+  // --- Bloom filter over pre-hashed 64-bit keys -----------------------------
+  // Kirsch-Mitzenmacher double hashing: position_i = h1 + i*h2 (mod m).
+  // h2 is forced odd so the stride cycles the full power-of-two bit space.
+  // Both sides (build aggregate and probe expression) share these two
+  // methods, so the byte layout can never diverge.
+
+  private final val BloomMix = 0x9E3779B97F4A7C15L // golden-ratio odd mixer
+
+  /** Set the k bloom bits for hash `h` in `buf` (numBits = buf.length*8,
+    * REQUIRED to be a power of two by the building aggregate). */
+  def bloomSet(buf: Array[Byte], h: Long, numHashes: Int): Unit = {
+    val mask = (buf.length.toLong << 3) - 1L
+    val h2 = (h * BloomMix) | 1L
+    var i = 0
+    while (i < numHashes) {
+      val idx = ((h + i.toLong * h2) & mask).toInt
+      buf(idx >>> 3) = (buf(idx >>> 3) | (1 << (idx & 7))).toByte
+      i += 1
+    }
+  }
+
+  /** Probe: false = DEFINITELY absent; true = maybe present. */
+  def bloomMightContain(buf: Array[Byte], h: Long, numHashes: Int): Boolean = {
+    val mask = (buf.length.toLong << 3) - 1L
+    val h2 = (h * BloomMix) | 1L
+    var i = 0
+    while (i < numHashes) {
+      val idx = ((h + i.toLong * h2) & mask).toInt
+      if ((buf(idx >>> 3) & (1 << (idx & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
 }

@@ -493,6 +493,72 @@ case class CmsCounters(
     copy(child = newChildren.head)
 }
 
+/** Bloom filter over a pre-hashed 64-bit key column — the epoch-dedup
+  * prefilter shape for 100 TB pipelines: the filter builds as an ordinary
+  * partial+final aggregate (byte-array OR-merge, so the shuffle carries one
+  * `numBits/8`-byte blob per partition), the single result row broadcasts,
+  * and the probe side runs inside codegen ([[MightContainBloom]]). A
+  * `false` probe is DEFINITELY absent — only the (tiny) maybe-present
+  * candidate set needs the exact confirm join. Bit layout is owned by
+  * [[Kernels.bloomSet]]/[[Kernels.bloomMightContain]] on both sides.
+  */
+case class BloomBits(
+    child: Expression,
+    numBits: Int,
+    numHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with StrictInputType {
+
+  override def requiredInputType: DataType = LongType
+
+  require(numBits > 0 && (numBits & (numBits - 1)) == 0,
+    s"numBits must be a positive power of two, got $numBits")
+  require(numBits % 8 == 0, s"numBits must be byte-aligned, got $numBits")
+  require(numHashes > 0, "numHashes must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "bloom_bits"
+
+  override def createAggregationBuffer(): Array[Byte] =
+    new Array[Byte](numBits / 8)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    // NULL key hash skips the row (same caller contract as CmsCounters)
+    if (v != null) Kernels.bloomSet(buf, v.asInstanceOf[Long], numHashes)
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    require(other.length == buf.length,
+      s"bloom partial size ${other.length}B != ${buf.length}B (numBits/8)")
+    var i = 0
+    while (i < buf.length) { buf(i) = (buf(i) | other(i)).toByte; i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any = buf.clone()
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = {
+    require(bytes.length == numBits / 8,
+      s"bloom blob ${bytes.length}B != ${numBits / 8}B (numBits/8)")
+    bytes
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomBits =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomBits =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 object aggregates {
   /** Exact top-k of a double column, sorted descending. */
   def topk_doubles(c: Column, k: Int): Column =
@@ -518,5 +584,11 @@ object aggregates {
   def cms_counters(c: Column, depth: Int, width: Int): Column =
     ColumnBridge.column(
       CmsCounters(ColumnBridge.expression(c), depth, width)
+        .toAggregateExpression())
+
+  /** Bloom filter bits (BINARY) over a pre-hashed long key column. */
+  def bloom_bits(c: Column, numBits: Int, numHashes: Int): Column =
+    ColumnBridge.column(
+      BloomBits(ColumnBridge.expression(c), numBits, numHashes)
         .toAggregateExpression())
 }

@@ -270,6 +270,37 @@ case class SimHash64(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Bloom-filter probe against a [[graft.functions.BloomBits]] blob: false =
+  * DEFINITELY absent, true = maybe present (FP rate set by numBits/numHashes
+  * at build time). numBits is carried by the blob itself (its length), so a
+  * probe can never disagree with the filter it probes; `numHashes` must
+  * match the build — both sides call the same [[Kernels]] methods.
+  * Codegen'd: the probe runs inside whole-stage codegen on the scan side,
+  * which is what makes the prefilter free at 100 TB.
+  */
+case class MightContainBloom(
+    left: Expression, right: Expression, numHashes: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "might_contain_bloom"
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, LongType)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(bloom: Any, h: Any): Any =
+    Kernels.bloomMightContain(
+      bloom.asInstanceOf[Array[Byte]], h.asInstanceOf[Long], numHashes)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, h) =>
+      s"${ev.value} = ${codegenNames.kernels}" +
+        s".bloomMightContain($b, $h, $numHashes);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API facade, the user-facing function surface of the engine. */
 object functions {
   import org.apache.spark.sql.functions.{floor, lit, transform}
@@ -329,4 +360,9 @@ object functions {
   def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(
       WinnowFingerprints(ColumnBridge.expression(text), k, w))
+
+  def might_contain_bloom(bloom: Column, hash: Column, numHashes: Int): Column =
+    ColumnBridge.column(
+      MightContainBloom(ColumnBridge.expression(bloom),
+        ColumnBridge.expression(hash), numHashes))
 }

@@ -168,6 +168,52 @@ object DataOps {
           xxhash64(concat(lit("R"), col("doc_id").cast("string")))
             .as("shuffle_key"))
         .orderBy("shuffle_key", "doc_id")
+    },
+    // Epoch dedup with a bloom prefilter: the new crawl (doc_id%10 >= 5)
+    // keeps only documents whose content hash was NOT seen in the previous
+    // epoch (doc_id%10 < 8 — the ranges overlap, modeling a re-crawl).
+    // The 100 TB shape: the old epoch reduces to ONE bloom blob via an
+    // ordinary partial+final aggregate (OR-merge of 128 KiB partials), the
+    // blob broadcasts, and the probe is a codegen'd map over the new scan.
+    // Bloom "no" rows (the overwhelming majority of genuinely-new docs)
+    // exit WITHOUT touching a join; only bloom "maybe" rows — true dups
+    // plus the tiny FP set — reach the exact anti-join confirm. The result
+    // is EXACTLY the anti-join (the bloom can only shrink the join, never
+    // change the answer), which is what the oracle checks.
+    "data_bloom_dedup" -> { (s, d) =>
+      import graft.functions.aggregates.bloom_bits
+      import graft.functions.functions.might_contain_bloom
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), md5(col("text")).as("text_md5"))
+      val old = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+        .select("text_md5")
+      val neu = docs.filter(pmod(col("doc_id"), lit(10)) >= 5)
+      val bloom = old.agg(
+        bloom_bits(xxhash64(col("text_md5")), 1 << 20, 5).as("bf"))
+      val probed = neu.crossJoin(broadcast(bloom))
+        .withColumn("maybe",
+          might_contain_bloom(col("bf"), xxhash64(col("text_md5")), 5))
+      val definiteNew = probed.filter(!col("maybe"))
+        .select("doc_id", "text_md5")
+      val confirmNew = probed.filter(col("maybe"))
+        .select("doc_id", "text_md5")
+        .join(old, Seq("text_md5"), "left_anti")
+        .select("doc_id", "text_md5")
+      definiteNew.unionByName(confirmNew).orderBy("doc_id")
+    },
+    // Per-source document cap (domain caps in web-crawl pipelines): keep
+    // the 10 longest documents per source. The rank predicate becomes a
+    // WindowGroupLimit: each map task keeps its local top-10 per source
+    // BEFORE the shuffle, so the exchange carries at most 10 rows per
+    // (task, source) — never the full corpus sorted.
+    "data_cap_per_source" -> { (s, d) =>
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      Tables(s, d).documents
+        .select("source", "doc_id", "n_chars")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .orderBy("source", "rn")
     }
   )
 
@@ -300,6 +346,23 @@ object DataOps {
       s"""SELECT doc_id,
          |  ${XxhSql.expr("'R' || CAST(doc_id AS VARCHAR)", "42")}
          |    AS shuffle_key
-         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin
+         |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
+    // The bloom is an engine-side optimization only — the oracle is the
+    // plain NOT EXISTS (the bloom provably cannot change the result set).
+    "data_bloom_dedup" ->
+      """SELECT n.doc_id, md5(n.text) AS text_md5
+        |FROM documents n
+        |WHERE n.doc_id % 10 >= 5
+        |  AND NOT EXISTS (SELECT 1 FROM documents o
+        |                  WHERE o.doc_id % 10 < 8
+        |                    AND md5(o.text) = md5(n.text))
+        |ORDER BY n.doc_id""".stripMargin,
+    "data_cap_per_source" ->
+      """SELECT source, doc_id, n_chars, CAST(rn AS INT) AS rn FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 10 ORDER BY source, rn""".stripMargin
   )
 }

@@ -147,6 +147,34 @@ object TextOps {
             .otherwise(lit(1.0) - col("n_distinct_bigrams").cast("double") /
               col("n_bigrams").cast("double")).as("dup_bigram_frac"))
         .orderBy("doc_id")
+    },
+    // Per-document top-3 tf-idf terms (keyword extraction / topic
+    // signature). idf here is the raw N/df ratio — the ranking is identical
+    // to log-idf (log is monotone) but stays in exact integer-derived
+    // arithmetic, so the oracle matches bit-for-bit without trusting libm.
+    // Scale shape: tf aggregates on (doc, token) — one shuffle of the
+    // exploded stream's PARTIAL counts; df aggregates over the (much
+    // smaller) tf table; the corpus size is a 1-row broadcast; the top-3 is
+    // a rank-limit window (WindowGroupLimit: per-partition top-k before the
+    // doc_id shuffle, never a full sort of the scored stream).
+    "text_tfidf_topk" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, d).documents
+      val tf = docs
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val score = (col("tf") * col("n_docs")).cast("double") / col("df")
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("tok").asc)
+      tf.join(df, "tok")
+        .crossJoin(broadcast(n))
+        .withColumn("score", score)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "tok", "score", "rn")
+        .orderBy("doc_id", "rn")
     }
   )
 
@@ -325,6 +353,22 @@ object TextOps {
         |SELECT t.doc_id, md5(t.text) AS content_hash,
         |  (SELECT min(md5(s)) FROM sh WHERE sh.doc_id = t.doc_id)
         |    AS min_shingle_hash
-        |FROM tok t ORDER BY t.doc_id""".stripMargin
+        |FROM tok t ORDER BY t.doc_id""".stripMargin,
+    // tf-idf: tf*N and df are exact integers; the single double division is
+    // IEEE-correctly-rounded in both engines, so scores AND the rank order
+    // they induce are engine-identical.
+    "text_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, tok, score, CAST(rn AS INT) AS rn FROM (
+        |  SELECT doc_id, tok,
+        |    CAST(tf * n_docs AS DOUBLE) / df AS score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY CAST(tf * n_docs AS DOUBLE) / df DESC, tok ASC) AS rn
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n) t
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
   )
 }

@@ -47,8 +47,12 @@ class PlanCheckSpec extends GraftSuite {
                           // the 5-row per-language factor table
     "sim_ann_pq",         // 1-row codebook broadcast under the corpus
                           // (encoding) + 10-query set broadcast (ADC)
-    "q22_idle_customers"  // 1-row average-balance scalar broadcast under
+    "q22_idle_customers", // 1-row average-balance scalar broadcast under
                           // the customer table (the Q22 gating predicate)
+    "data_bloom_dedup",   // 1-row bloom blob broadcast under the new-epoch
+                          // scan (the probe side of the prefilter)
+    "text_tfidf_topk"     // 1-row corpus-count aggregate broadcast under
+                          // the scored token stream
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides
