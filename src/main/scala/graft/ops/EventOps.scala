@@ -140,6 +140,61 @@ object EventOps {
     // cohort members also active in week cohort+N.
     "events_retention" -> { (s, d) =>
       retentionFrom(withMs(Tables(s, d).events))
+    },
+    // Incremental aggregate maintenance: the 100 TB pattern where hourly
+    // stats are kept as mergeable PARTIAL state (n, decimal sum) and each
+    // new batch folds in without recomputing history. Here the corpus is
+    // split into two arbitrary "arrivals" (event_id parity — every bucket
+    // genuinely merges two partials, unlike a time split) and the merged
+    // result must equal the full recompute — which is exactly what the
+    // oracle (the events_hourly query) checks. Merging partials is the same
+    // partial+final shape Spark itself uses inside one aggregate; this op
+    // demonstrates it ACROSS materialization boundaries, so the state could
+    // live in a parquet table between runs.
+    "events_hourly_incremental" -> { (s, d) =>
+      val e = withMs(Tables(s, d).events)
+        .withColumn("hour_bucket", expr(floorDivSql("ts_ms", HourMs)))
+      def partial(df: DataFrame): DataFrame =
+        df.groupBy("hour_bucket", "event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(28, 6))).as("sv"))
+      val state = partial(e.filter(col("event_id") % 2 === 0))
+      val delta = partial(e.filter(col("event_id") % 2 === 1))
+      state.unionByName(delta)
+        .groupBy("hour_bucket", "event_type")
+        .agg(sum(col("n")).as("n"),
+          sum(col("sv")).cast(DoubleType).as("sum_value"))
+        .orderBy("hour_bucket", "event_type")
+    },
+    // Trailing z-score anomaly detection: each purchase scored against the
+    // SAME user's full prior history (mean/variance from exact decimal
+    // sum/sum-of-squares over an unbounded-preceding-to-1-preceding frame).
+    // One shuffle on user_id; state per task is O(1) per row (running
+    // sums), never a buffered history. value has <=2 decimal digits, so
+    // value^2 (<=4 digits) is exact under DECIMAL(28,6) — the mean/var/z
+    // arithmetic is then a fixed tree of IEEE ops, identical in both
+    // engines.
+    "events_anomaly_zscore" -> { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ms").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      withMs(Tables(s, d).events)
+        .withColumn("n_prev", count(col("value")).over(w))
+        .withColumn("s1",
+          sum(col("value").cast(DecimalType(28, 6))).over(w)
+            .cast(DoubleType))
+        .withColumn("s2",
+          sum((col("value") * col("value")).cast(DecimalType(28, 6))).over(w)
+            .cast(DoubleType))
+        .filter(col("event_type") === "purchase" && col("n_prev") >= 5)
+        .withColumn("mean", col("s1") / col("n_prev"))
+        .withColumn("variance",
+          (col("s2") - col("s1") * col("s1") / col("n_prev")) / col("n_prev"))
+        .withColumn("z",
+          when(col("variance") > 0.0,
+            (col("value") - col("mean")) / sqrt(col("variance"))))
+        .select("event_id", "user_id", "value", "n_prev", "mean", "z")
+        .orderBy("event_id")
     }
   )
 
@@ -219,6 +274,32 @@ object EventOps {
          |  count(*) AS n, ${sqlSum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type"""
         .stripMargin,
+    // the incremental merge must equal the full recompute — the oracle IS
+    // the events_hourly query
+    "events_hourly_incremental" ->
+      s"""SELECT epoch_ms(ts) // 3600000 AS hour_bucket, event_type,
+         |  count(*) AS n, ${sqlSum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type"""
+        .stripMargin,
+    "events_anomaly_zscore" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |             epoch_ms(ts) AS ts_ms FROM events),
+        |f AS (SELECT event_id, user_id, event_type, value,
+        |    count(value) OVER w AS n_prev,
+        |    CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value * value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+        |      AS s2
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_ms ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, value, n_prev,
+        |  s1 / n_prev AS mean,
+        |  CASE WHEN (s2 - s1 * s1 / n_prev) / n_prev > 0.0
+        |       THEN (value - s1 / n_prev) /
+        |            sqrt((s2 - s1 * s1 / n_prev) / n_prev) END AS z
+        |FROM f WHERE event_type = 'purchase' AND n_prev >= 5
+        |ORDER BY event_id""".stripMargin,
     "events_sessionize" ->
       s"""WITH e AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms
          |           FROM events),

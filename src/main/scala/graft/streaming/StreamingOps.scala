@@ -149,9 +149,11 @@ object StreamingOps {
       .withWatermark("event_ts_ms", "2 hours")
       .groupBy(col("user_id"),
         session_window(col("event_ts_ms"), "1800001 milliseconds").as("sw"))
-      .agg(count(lit(1)).as("n_events"))
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_millis(col("event_ts_ms"))).as("end_ms"),
+        dsum(events.sparkSession, col("value")).as("sum_value"))
       .select(col("user_id"), unix_millis(col("sw.start")).as("start_ms"),
-        col("n_events"))
+        col("n_events"), col("end_ms"), col("sum_value"))
 
   /** Watermarked stream-stream INTERVAL join: every `click` paired with
     * the same user's `purchase` events in the following hour. Both sides
@@ -226,15 +228,52 @@ object StreamingOps {
             "unix_millis(win_start)", 3600000L)).as("hour_bucket"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("hour_bucket", "event_type")
+    },
+    // Second streaming parity row: engine-managed session_window
+    // aggregation materialized and checked against the SAME oracle as the
+    // batch gap-sessionization. The finalized sessions come out of the
+    // state store keyed by (user, window); the batch-side session_idx
+    // (ordinal per user) is attached after materialization with a
+    // rank window over the (tiny) finished-session table.
+    "events_sessionize_stream" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val res = runToMemory(sessionWindows(readEvents(s, d)),
+        "events_sessionize_stream_sink", OutputMode.Complete())
+      val w = Window.partitionBy("user_id").orderBy(col("start_ms").asc)
+      res
+        .withColumn("session_idx", row_number().over(w).cast("long"))
+        .select("user_id", "session_idx", "n_events", "start_ms", "end_ms",
+          "sum_value")
+        .orderBy("user_id", "session_idx")
     }
   )
 
-  /** Identical to the batch `events_hourly` oracle — that IS the point. */
+  /** Identical to the batch oracles — that IS the point. */
   def oracles: Map[String, String] = Map(
     "events_hourly_stream" ->
       s"""SELECT epoch_ms(ts) // 3600000 AS hour_bucket, event_type,
          |  count(*) AS n, ${graft.ops.Oracle.sqlSum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type"""
-        .stripMargin
+        .stripMargin,
+    // the batch events_sessionize oracle, verbatim
+    "events_sessionize_stream" ->
+      s"""WITH e AS (SELECT user_id, event_id, value, epoch_ms(ts) AS ts_ms
+         |           FROM events),
+         |f AS (SELECT *,
+         |    CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id
+         |        ORDER BY ts_ms ASC, event_id ASC) IS NULL
+         |      OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+         |        ORDER BY ts_ms ASC, event_id ASC) > 1800000
+         |    THEN 1 ELSE 0 END AS new_session
+         |  FROM e),
+         |g AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+         |    ORDER BY ts_ms ASC, event_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         |  FROM f)
+         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+         |  count(*) AS n_events, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+         |  ${graft.ops.Oracle.sqlSum("value")} AS sum_value
+         |FROM g GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin
   )
 }
