@@ -297,6 +297,34 @@ object AnalyticsExt {
           probes.flatMap(p => Seq(est(p).as(s"est_$p"), col(s"act_$p"))): _*)
         .orderBy("l_returnflag")
     },
+    // Sketch MERGEABILITY — the property that makes sketches work at
+    // 100 TB: per-group CMS counter vectors added element-wise
+    // (vec_sum_longs) ARE the global sketch, so rollups/distributed unions
+    // never rescan data. Probes of the merged sketch sit next to probes of
+    // a directly-built global sketch; the oracle computes the global
+    // estimate once and asserts both columns carry it.
+    "agg_cms_union" -> { (s, d) =>
+      import graft.functions.aggregates.{cms_counters, vec_sum_longs}
+      val D = 4; val W = 256
+      val key = col("l_partkey").cast("string")
+      val buckets = when(key.isNotNull, array((0 until D).map(r =>
+        pmod(xxhash64(concat(lit(r.toString), key)), lit(W)).cast("int")): _*))
+      val probes = Seq(1L, 2L, 3L)
+      def est(cmsCol: String, p: Long): Column = least((0 until D).map { r =>
+        element_at(col(cmsCol), lit(r * W) +
+          pmod(xxhash64(lit(r.toString + p.toString)), lit(W)).cast("int") +
+          lit(1))
+      }: _*)
+      val li = Tables(s, d).lineitem
+      val merged = li.groupBy("l_returnflag")
+        .agg(cms_counters(buckets, D, W).as("cms"))
+        .agg(vec_sum_longs(col("cms")).as("cms_u"))
+      val direct = li.agg(cms_counters(buckets, D, W).as("cms_g"))
+      merged.crossJoin(direct)
+        .select(probes.flatMap(p => Seq(
+          est("cms_u", p).as(s"est_merged_$p"),
+          est("cms_g", p).as(s"est_direct_$p"))): _*)
+    },
     // Exact median of integer-valued quantities (interpolation lands on
     // exact halves — engine-portable).
     "agg_median" -> { (s, d) =>
@@ -379,8 +407,36 @@ object AnalyticsExt {
        |FROM b GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   }
 
+  /** Global (ungrouped) CMS estimates, emitted under BOTH output names —
+    * merged-sketch probes and direct-global probes must agree exactly.
+    */
+  private def cmsUnionOracleSql: String = {
+    val probes = Seq(1L, 2L, 3L)
+    def bucket(r: Int, keyExpr: String): String =
+      s"((${XxhSql.expr(s"'$r' || $keyExpr", "42")} % 256) + 256) % 256"
+    val bCols = (0 until 4)
+      .map(r => s"${bucket(r, "CAST(l_partkey AS VARCHAR)")} AS b$r")
+      .mkString(",\n    ")
+    val cols = probes.map { p =>
+      val mins = (0 until 4)
+        .map(r => s"COALESCE(CAST(sum(n) FILTER (WHERE b$r = " +
+          s"${bucket(r, s"'$p'")}) AS BIGINT), 0)")
+        .mkString(", ")
+      s"least($mins) AS est_merged_$p,\n  least($mins) AS est_direct_$p"
+    }.mkString(",\n  ")
+    s"""WITH c AS (SELECT l_partkey, count(*) AS n FROM lineitem
+       |  WHERE l_partkey IS NOT NULL GROUP BY 1),
+       |b AS (SELECT l_partkey, n,
+       |    $bCols
+       |  FROM c)
+       |SELECT
+       |  $cols
+       |FROM b""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "agg_countmin_probe" -> cmsOracleSql,
+    "agg_cms_union" -> cmsUnionOracleSql,
     // KMV replication: same xxh64 over the decimal key string, same order
     // statistic, token-for-token the same IEEE double estimate formula.
     // The HLL / percentile contract columns are literal TRUE — DuckDB

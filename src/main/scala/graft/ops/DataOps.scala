@@ -214,6 +214,53 @@ object DataOps {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10)
         .orderBy("source", "rn")
+    },
+    // MERGE-INTO (upsert) shape without a table format: a re-processed
+    // update set (hash-selected ~20% of the corpus, so the predicate is
+    // NOT foldable and the join genuinely executes) replaces the base
+    // version of each document; untouched base rows survive via a
+    // left-anti join on the key. At 100 TB the update set is typically
+    // ≪ base, so the anti-join broadcasts the update KEYS — the base
+    // corpus is scanned once and never shuffled.
+    "data_upsert_snapshot" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      val isUpd = pmod(xxhash64(
+        concat(lit("U"), col("doc_id").cast("string"))), lit(5)) === 0
+      val base = docs.select(col("doc_id"), md5(col("text")).as("text_md5"))
+      val updates = docs.filter(isUpd)
+        .select(col("doc_id"), md5(upper(col("text"))).as("text_md5"))
+      updates.withColumn("src", lit("update"))
+        .unionByName(
+          base.join(updates.select("doc_id"), Seq("doc_id"), "left_anti")
+            .withColumn("src", lit("base")))
+        .orderBy("doc_id")
+    },
+    // CDC-style snapshot diff: classify every key as added / removed /
+    // changed between two corpus snapshots (the update set re-processed,
+    // one id slice present only in each snapshot). One full-outer join on
+    // the key — the only join form that can emit unmatched rows from BOTH
+    // sides — then a codegen'd status classifier; 'same' rows (the
+    // overwhelming majority at scale) are dropped before the presentation
+    // sort, so the output is the delta, not the corpus.
+    "data_snapshot_diff" -> { (s, d) =>
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
+      val isUpd = pmod(xxhash64(
+        concat(lit("U"), col("doc_id").cast("string"))), lit(5)) === 0
+      val oldSnap = docs.filter(col("doc_id") % 17 =!= 5)
+        .select(col("doc_id"), md5(col("text")).as("old_md5"))
+      val newSnap = docs.filter(col("doc_id") % 17 =!= 3)
+        .select(col("doc_id"),
+          md5(when(isUpd, upper(col("text"))).otherwise(col("text")))
+            .as("new_md5"))
+      oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("old_md5").isNull, "added")
+            .when(col("new_md5").isNull, "removed")
+            .when(col("old_md5") =!= col("new_md5"), "changed")
+            .otherwise("same"))
+        .filter(col("status") =!= "same")
+        .select("doc_id", "status", "old_md5", "new_md5")
+        .orderBy("doc_id")
     }
   )
 
@@ -363,6 +410,37 @@ object DataOps {
         |    row_number() OVER (PARTITION BY source
         |      ORDER BY n_chars DESC, doc_id ASC) AS rn
         |  FROM documents) t
-        |WHERE rn <= 10 ORDER BY source, rn""".stripMargin
+        |WHERE rn <= 10 ORDER BY source, rn""".stripMargin,
+    // the merged corpus is every doc, with the update-set rows carrying the
+    // re-processed hash — the engine's union/anti-join must reduce to this
+    "data_upsert_snapshot" ->
+      s"""SELECT doc_id,
+         |  md5(CASE WHEN ${updSetSql} THEN upper(text) ELSE text END)
+         |    AS text_md5,
+         |  CASE WHEN ${updSetSql} THEN 'update' ELSE 'base' END AS src
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "data_snapshot_diff" ->
+      s"""WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents
+         |           WHERE doc_id % 17 <> 5),
+         |n AS (SELECT doc_id,
+         |    md5(CASE WHEN ${updSetSql} THEN upper(text) ELSE text END)
+         |      AS new_md5
+         |  FROM documents WHERE doc_id % 17 <> 3),
+         |j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         |    CASE WHEN o.doc_id IS NULL THEN 'added'
+         |         WHEN n.doc_id IS NULL THEN 'removed'
+         |         WHEN old_md5 <> new_md5 THEN 'changed'
+         |         ELSE 'same' END AS status,
+         |    old_md5, new_md5
+         |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         |SELECT doc_id, status, old_md5, new_md5 FROM j
+         |WHERE status <> 'same' ORDER BY doc_id""".stripMargin
   )
+
+  /** Oracle spelling of the hash-selected update set (xxh64 seed 42,
+    * positive mod 5 == 0) — must stay token-identical between the two
+    * snapshot oracles above and the Spark-side `isUpd` predicate.
+    */
+  private def updSetSql: String =
+    s"((${XxhSql.expr("'U' || CAST(doc_id AS VARCHAR)", "42")} % 5) + 5) % 5 = 0"
 }

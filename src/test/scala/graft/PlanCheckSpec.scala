@@ -51,8 +51,9 @@ class PlanCheckSpec extends GraftSuite {
                           // the customer table (the Q22 gating predicate)
     "data_bloom_dedup",   // 1-row bloom blob broadcast under the new-epoch
                           // scan (the probe side of the prefilter)
-    "text_tfidf_topk"     // 1-row corpus-count aggregate broadcast under
+    "text_tfidf_topk",    // 1-row corpus-count aggregate broadcast under
                           // the scored token stream
+    "agg_cms_union"       // 1-row merged sketch x 1-row direct sketch
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides
@@ -60,7 +61,8 @@ class PlanCheckSpec extends GraftSuite {
     * robust full-outer shape (hash variants buffer an unbounded unmatched
     * side). Everything else must plan hash or broadcast joins.
     */
-  private val smjWhitelist = Set("join_full")
+  private val smjWhitelist = Set("join_full",
+    "data_snapshot_diff") // CDC diff is a full-outer join on the key
 
   test("gate: no unplanned cartesian joins, no sort-merge joins, anywhere") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
