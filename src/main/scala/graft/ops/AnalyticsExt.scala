@@ -325,6 +325,45 @@ object AnalyticsExt {
           est("cms_u", p).as(s"est_merged_$p"),
           est("cms_g", p).as(s"est_direct_$p"))): _*)
     },
+    // Boolean aggregate surface (bool_and / bool_or / count_if) — all three
+    // are ordinary partial+final aggregates (AND/OR/count merge trivially).
+    "agg_boolean" -> { (s, d) =>
+      Tables(s, d).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          bool_and(col("l_quantity") > 0.0).as("all_pos_qty"),
+          bool_or(col("l_discount") > 0.09).as("any_big_disc"),
+          count_if(col("l_tax") > 0.05).as("n_taxed"))
+        .orderBy("l_returnflag")
+    },
+    // Higher-order array functions (transform / filter / aggregate /
+    // exists) over per-order quantity sequences ordered by (line number,
+    // quantity) — the struct sort's full key; line numbers repeat in this
+    // corpus, so the quantity tiebreak is load-bearing for the oracle.
+    // The per-group array is bounded (lines per order ≤ 7), the fold is
+    // left-associative in BOTH engines (0.0 + x = x exactly, so Spark's
+    // explicit-init fold equals DuckDB's first-element reduce), and array
+    // outputs render as strings — list-typed columns differ between
+    // engines only in arrow field metadata (the collect_sorted rule).
+    "higher_order_funcs" -> { (s, d) =>
+      val qs = col("qs")
+      Tables(s, d).lineitem
+        .groupBy("l_orderkey")
+        .agg(array_sort(collect_list(
+          struct(col("l_linenumber"), col("l_quantity")))).as("st"))
+        .select(col("l_orderkey"),
+          transform(col("st"), x => x.getField("l_quantity")).as("qs"))
+        .select(
+          col("l_orderkey"),
+          concat_ws(",", transform(transform(qs, x => x * 2.0),
+            x => x.cast("string"))).as("doubled"),
+          concat_ws(",", transform(filter(qs, x => x > 20.0),
+            x => x.cast("string"))).as("big"),
+          aggregate(qs, lit(0.0), (acc, x) => acc + x).as("q_sum"),
+          exists(qs, x => x >= 50.0).as("has_50"),
+          size(qs).as("n"))
+        .orderBy("l_orderkey")
+    },
     // Exact median of integer-valued quantities (interpolation lands on
     // exact halves — engine-portable).
     "agg_median" -> { (s, d) =>
@@ -437,6 +476,29 @@ object AnalyticsExt {
   def oracles: Map[String, String] = Map(
     "agg_countmin_probe" -> cmsOracleSql,
     "agg_cms_union" -> cmsUnionOracleSql,
+    "agg_boolean" ->
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 0.0) AS all_pos_qty,
+        |  bool_or(l_discount > 0.09) AS any_big_disc,
+        |  CAST(count(*) FILTER (WHERE l_tax > 0.05) AS BIGINT) AS n_taxed
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin,
+    // quantities are integral doubles, so the doubled/filtered values
+    // render identically ("50.0") under both engines' double->string casts
+    "higher_order_funcs" ->
+      """WITH g AS (SELECT l_orderkey,
+        |    list(l_quantity ORDER BY l_linenumber, l_quantity) AS qs
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  array_to_string(list_transform(list_transform(qs, x -> x * 2.0),
+        |    x -> CAST(x AS VARCHAR)), ',') AS doubled,
+        |  COALESCE(array_to_string(
+        |    list_transform(list_filter(qs, x -> x > 20.0),
+        |      x -> CAST(x AS VARCHAR)), ','), '') AS big,
+        |  list_reduce(qs, (a, b) -> a + b) AS q_sum,
+        |  len(list_filter(qs, x -> x >= 50.0)) > 0 AS has_50,
+        |  CAST(len(qs) AS INT) AS n
+        |FROM g ORDER BY l_orderkey""".stripMargin,
     // KMV replication: same xxh64 over the decimal key string, same order
     // statistic, token-for-token the same IEEE double estimate formula.
     // The HLL / percentile contract columns are literal TRUE — DuckDB

@@ -156,6 +156,98 @@ object AnalyticsTpch {
         .orderBy(col("numwait").desc, col("s_name").asc)
         .limit(10)
     },
+    // TPC-H Q2-style (best supplier per part): the corpus has no partsupp,
+    // so "suppliers of a part" is the distinct (part, supplier) set from
+    // lineitem, and "best" is the max account balance — keeping Q2's
+    // decorrelated shape: aggregate per part, join back on (part, agg
+    // value), ties kept. Scale: the part slice filters FIRST and
+    // broadcasts into the fact scan (the distinct never sees rejected
+    // parts), supplier broadcasts, and the per-part max + back-join both
+    // shuffle only the pruned candidate set.
+    "q2_best_supplier" -> { (s, d) =>
+      val t = Tables(s, d)
+      val parts = t.part
+        .filter(col("p_type") === "LARGE" && col("p_size") <= 25)
+        .select("p_partkey", "p_name")
+      val cand = t.lineitem
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .select("p_partkey", "p_name", "l_suppkey").distinct()
+        .join(broadcast(t.supplier
+          .select("s_suppkey", "s_name", "s_acctbal")),
+          col("l_suppkey") === col("s_suppkey"))
+      val best = cand.groupBy(col("p_partkey").as("bk"))
+        .agg(max(col("s_acctbal")).as("best_bal"))
+      cand.join(best, col("p_partkey") === col("bk") &&
+          col("s_acctbal") === col("best_bal"))
+        .select("p_partkey", "p_name", "s_name", "s_acctbal")
+        .orderBy(col("s_acctbal").desc, col("p_partkey").asc,
+          col("s_name").asc)
+        .limit(100)
+    },
+    // TPC-H Q15-style (top supplier): quarterly revenue per supplier, keep
+    // the max-revenue row(s) — the aggregate-of-aggregate shape (a scalar
+    // max OVER an aggregated view, then an equality filter back into the
+    // same view). The view aggregates once; the scalar is a 1-row
+    // broadcast; equality on the exact-decimal revenue is engine-safe.
+    "q15_top_supplier" -> { (s, d) =>
+      val t = Tables(s, d)
+      val rev = t.lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(dsum(s, col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("mx"))
+        .join(broadcast(t.supplier.select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    },
+    // TPC-H Q16-style (supplier counts by part attribute): distinct
+    // suppliers per (brand, size) over a part slice, EXCLUDING a
+    // hash-selected "complaints" denylist (NOT IN → left-anti join; the
+    // hash predicate is not foldable, so the anti-join genuinely runs).
+    // countDistinct dedups (part, supplier) inside the aggregate — no
+    // separate distinct pass.
+    "q16_part_suppliers" -> { (s, d) =>
+      val t = Tables(s, d)
+      val bad = t.supplier
+        .filter(pmod(xxhash64(
+          concat(lit("C"), col("s_suppkey").cast("string"))), lit(7)) === 0)
+        .select("s_suppkey")
+      t.lineitem
+        .join(broadcast(t.part
+          .filter(col("p_size").isin(9, 14, 23, 45))
+          .select("p_partkey", "p_brand", "p_size")),
+          col("l_partkey") === col("p_partkey"))
+        .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+          col("p_size").asc)
+    },
+    // TPC-H Q20-style (suppliers over a shipping threshold): semi-join
+    // against an aggregated-and-filtered subquery (IN over a GROUP
+    // BY/HAVING derived set) — the subquery reduces the fact table to
+    // per-supplier promo volume, the HAVING keeps heavy shippers, and the
+    // supplier table semi-joins that tiny set.
+    "q20_promo_suppliers" -> { (s, d) =>
+      val t = Tables(s, d)
+      val heavy = t.lineitem
+        .filter(year(col("l_shipdate")) === 1996)
+        .join(broadcast(t.part.filter(col("p_type") === "PROMO")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(dsum(s, col("l_quantity")).as("qty"))
+        .filter(col("qty") > 400.0)
+      t.supplier
+        .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    },
     // TPC-H Q22-style (global sales opportunity): customers with
     // above-average account balance and no recent orders. The average is a
     // 1-row broadcast scalar (exact decimal, so the > compare is
@@ -249,6 +341,50 @@ object AnalyticsTpch {
         |                    AND l3.l_returnflag = 'R')
         |GROUP BY s_name ORDER BY numwait DESC, s_name ASC LIMIT 10"""
         .stripMargin,
+    "q2_best_supplier" ->
+      """WITH parts AS (SELECT p_partkey, p_name FROM part
+        |               WHERE p_type = 'LARGE' AND p_size <= 25),
+        |cand AS (SELECT DISTINCT p_partkey, p_name, l_suppkey
+        |  FROM lineitem JOIN parts ON l_partkey = p_partkey),
+        |cs AS (SELECT p_partkey, p_name, s_name, s_acctbal
+        |  FROM cand JOIN supplier ON l_suppkey = s_suppkey),
+        |b AS (SELECT p_partkey AS bk, max(s_acctbal) AS best_bal
+        |  FROM cs GROUP BY 1)
+        |SELECT p_partkey, p_name, s_name, s_acctbal
+        |FROM cs JOIN b ON p_partkey = bk AND s_acctbal = best_bal
+        |ORDER BY s_acctbal DESC, p_partkey ASC, s_name ASC LIMIT 100"""
+        .stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH r AS (SELECT l_suppkey,
+         |    ${sqlSum("l_extendedprice * (1.0 - l_discount)")}
+         |      AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM r JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+         |ORDER BY s_suppkey""".stripMargin,
+    "q16_part_suppliers" ->
+      s"""SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_size IN (9, 14, 23, 45)
+         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+         |    WHERE ((${XxhSql.expr("'C' || CAST(s_suppkey AS VARCHAR)", "42")}
+         |      % 7) + 7) % 7 = 0)
+         |GROUP BY p_brand, p_size
+         |ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC""".stripMargin,
+    "q20_promo_suppliers" ->
+      s"""SELECT s_suppkey, s_name, n_name
+         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         |WHERE s_suppkey IN (
+         |  SELECT l_suppkey
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_type = 'PROMO' AND year(l_shipdate) = 1996
+         |  GROUP BY l_suppkey
+         |  HAVING ${sqlSum("l_quantity")} > 400.0)
+         |ORDER BY s_suppkey""".stripMargin,
     "q22_idle_customers" ->
       s"""SELECT n_name, count(*) AS numcust,
          |  ${sqlSum("c_acctbal")} AS totacctbal

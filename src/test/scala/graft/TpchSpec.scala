@@ -66,6 +66,34 @@ class TpchSpec extends GraftSuite {
     }
   }
 
+  test("q16: denylist NOT IN becomes a left-anti join") {
+    val p = plan("q16_part_suppliers")
+    assert(p.contains("LeftAnti"), s"no anti join:\n$p")
+  }
+
+  test("q20: HAVING-derived IN set becomes a left-semi join") {
+    val p = plan("q20_promo_suppliers")
+    assert(p.contains("LeftSemi"), s"no semi join:\n$p")
+  }
+
+  test("q15: max-revenue filter keeps at least one supplier, all tied") {
+    val rows = graft.ops.AnalyticsTpch
+      .queries("q15_top_supplier")(spark, sfDir).collect()
+    assert(rows.nonEmpty, "empty top-supplier result")
+    val revs = rows.map(_.getDouble(2)).distinct
+    assert(revs.length == 1, s"non-tied rows survived: ${revs.toSeq}")
+  }
+
+  test("q2: every kept supplier carries its part's max balance") {
+    val rows = graft.ops.AnalyticsTpch
+      .queries("q2_best_supplier")(spark, sfDir).collect()
+    // group by part: all rows of one part share one (max) balance
+    rows.groupBy(_.getLong(0)).foreach { case (pk, rs) =>
+      assert(rs.map(_.getDouble(3)).distinct.length == 1,
+        s"part $pk kept non-max balances")
+    }
+  }
+
   private def countOcc(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
 }
