@@ -245,6 +245,21 @@ object StreamingOps {
         .select("user_id", "session_idx", "n_events", "start_ms", "end_ms",
           "sum_value")
         .orderBy("user_id", "session_idx")
+    },
+    // Third streaming parity row: the mapGroupsWithState funnel machine.
+    // Each user's emission carries its CURRENT stage flags; the single
+    // events file arrives as one microbatch, so the sink holds exactly one
+    // (final) emission per user and the flag counts equal the batch funnel.
+    // (Multi-batch arrival would leave superseded per-user rows in the
+    // Update-mode memory sink — a latest-per-user dedup would be needed;
+    // documented at [[runToMemory]].)
+    "events_funnel_stream" -> { (s, d) =>
+      val res = runToMemory(funnelStages(s, readEvents(s, d)),
+        "events_funnel_stream_sink", OutputMode.Update())
+      res.agg(count(lit(1)).as("n_users"),
+        count_if(col("has_view")).as("n_view"),
+        count_if(col("view_click")).as("n_view_click"),
+        count_if(col("complete")).as("n_funnel_complete"))
     }
   )
 
@@ -274,6 +289,19 @@ object StreamingOps {
          |  count(*) AS n_events, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
          |  ${graft.ops.Oracle.sqlSum("value")} AS sum_value
          |FROM g GROUP BY user_id, session_idx
-         |ORDER BY user_id, session_idx""".stripMargin
+         |ORDER BY user_id, session_idx""".stripMargin,
+    // the batch events_funnel oracle, verbatim
+    "events_funnel_stream" ->
+      """WITH m AS (SELECT user_id,
+        |    min(epoch_ms(ts)) FILTER (WHERE event_type = 'view') AS t_view,
+        |    min(epoch_ms(ts)) FILTER (WHERE event_type = 'click') AS t_click,
+        |    min(epoch_ms(ts)) FILTER (WHERE event_type = 'purchase')
+        |      AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users, count(t_view) AS n_view,
+        |  count(*) FILTER (WHERE t_click > t_view) AS n_view_click,
+        |  count(*) FILTER (WHERE t_click > t_view AND t_purchase > t_click)
+        |    AS n_funnel_complete
+        |FROM m""".stripMargin
   )
 }
