@@ -195,8 +195,17 @@ object DataOps {
           might_contain_bloom(col("bf"), xxhash64(col("text_md5")), 5))
       val definiteNew = probed.filter(!col("maybe"))
         .select("doc_id", "text_md5")
-      val confirmNew = probed.filter(col("maybe"))
-        .select("doc_id", "text_md5")
+      // The persist is an OPTIMIZER BARRIER, not a cache for reuse:
+      // without it, PushLeftSemiLeftAntiThroughJoin hoists the
+      // exact-confirm anti-join below the bloom probe, so the join input
+      // is the FULL new epoch instead of the bloom-maybe candidates —
+      // semantically identical, but it un-does the prefilter at scale.
+      // Materializing the (tiny) candidate set pins "probe first, then
+      // confirm" (PLANS.md shows the shape; BloomSpec asserts it).
+      // Verify clears query-local persists after each query.
+      val candidates = probed.filter(col("maybe"))
+        .select("doc_id", "text_md5").persist()
+      val confirmNew = candidates
         .join(old, Seq("text_md5"), "left_anti")
         .select("doc_id", "text_md5")
       definiteNew.unionByName(confirmNew).orderBy("doc_id")

@@ -78,6 +78,23 @@ class BloomSpec extends GraftSuite {
       e.getMessage.toLowerCase.contains("type"), e.getMessage)
   }
 
+  test("bloom dedup: the confirm anti-join reads only maybe-candidates") {
+    val df = graft.ops.DataOps.queries("data_bloom_dedup")(spark, sfDir)
+    try {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("LeftAnti"), s"no anti join:\n$p")
+      // the anti join's probe side must be the materialized candidate set
+      // (whose fill plan ran the bloom probe) — NOT the raw new-epoch scan;
+      // without the persist barrier Catalyst pushes the anti join below
+      // the probe and the prefilter does nothing at scale
+      val anti = p.linesIterator.dropWhile(!_.contains("LeftAnti"))
+        .take(4).mkString("\n")
+      assert(anti.contains("InMemoryTableScan"),
+        s"anti-join input is not the candidate cache:\n$p")
+    } finally spark.catalog.clearCache()
+  }
+
   test("cap_per_source plans a WindowGroupLimit (rank-limit pushdown)") {
     val df = graft.ops.DataOps.queries("data_cap_per_source")(spark, sfDir)
     val p = df.queryExecution.executedPlan.toString

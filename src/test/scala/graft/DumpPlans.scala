@@ -65,7 +65,21 @@ object DumpPlans {
       "sim_kmeans_step" -> ("Lloyd iteration: centroids broadcast, " +
         "argmax assignment via partial+final max(struct) aggregate " +
         "(map-side collapse of the k-way fan-out), centroid recompute " +
-        "via the one-pass vec_sum_longs aggregate"))
+        "via the one-pass vec_sum_longs aggregate"),
+      "data_bloom_dedup" -> ("epoch dedup prefilter: old epoch reduces " +
+        "to ONE bloom blob (partial+final OR-merge aggregate), blob " +
+        "broadcasts, codegen'd probe on the new-epoch scan; only " +
+        "bloom-maybe candidates reach the exact anti-join"),
+      "q21_blame_supplier" -> ("EXISTS + NOT EXISTS over the same fact " +
+        "table: one left-semi and one left-anti self-join, both " +
+        "shuffling on the order key with supplier-mismatch residuals"),
+      "data_snapshot_diff" -> ("CDC diff: one full-outer sort-merge join " +
+        "on the key (the only join form emitting unmatched rows from " +
+        "both sides), codegen'd status classifier, 'same' majority " +
+        "dropped before the sort"),
+      "text_tfidf_topk" -> ("tf aggregate on (doc, token), df over the " +
+        "tf table, 1-row corpus count broadcast, WindowGroupLimit top-3 " +
+        "per doc before the rank sort"))
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.DumpPlans\"` " +
