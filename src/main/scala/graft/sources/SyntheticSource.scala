@@ -6,7 +6,8 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -59,13 +60,15 @@ final class SyntheticScanBuilder(rows: Long)
   extends ScanBuilder
   with SupportsPushDownLimit
   with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates {
 
   private var lo: Long = 0L
   private var hi: Long = rows // exclusive
   private var limit: Option[Long] = None
   private var pushed: mutable.ArrayBuffer[Filter] = mutable.ArrayBuffer.empty
   private var readSchema: StructType = SyntheticSource.schema
+  private var aggFuncs: Option[Seq[String]] = None
 
   /** `Limit(n, Scan)` absorbed into the scan — the reference's
     * PushLimitToTableScanRule made physical.
@@ -104,8 +107,91 @@ final class SyntheticScanBuilder(rows: Long)
     readSchema = requiredSchema
   }
 
-  override def build(): Scan =
-    new SyntheticScan(lo, hi, limit, readSchema, pushed.toArray)
+  /** Whole-aggregate pushdown (the DSv2 capability a metadata-bearing
+    * source earns): ungrouped COUNT(*) / MIN(id) / MAX(id) are answered
+    * from the pushed range in O(1) — the scan emits ONE row and generates
+    * ZERO data rows. Complete pushdown: the framework trusts the row as
+    * the final aggregate (Catalyst only re-wraps it), so this must only
+    * accept shapes the range arithmetic answers EXACTLY — any filter is
+    * already absorbed into [lo, hi) before aggregates are offered (pushdown
+    * order), residual filters block the offer framework-side, and a pushed
+    * limit bails out here (count-after-limit ≠ span).
+    */
+  private def canPushAgg(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && limit.isEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => m.column match {
+          case f: NamedReference => f.fieldNames.sameElements(Array("id"))
+          case _ => false
+        }
+        case m: Max => m.column match {
+          case f: NamedReference => f.fieldNames.sameElements(Array("id"))
+          case _ => false
+        }
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    canPushAgg(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!canPushAgg(agg)) return false
+    aggFuncs = Some(agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => "count_star"
+      case _: Min       => "min_id"
+      case _: Max       => "max_id"
+    })
+    true
+  }
+
+  override def build(): Scan = aggFuncs match {
+    case Some(funcs) => new SyntheticAggScan(lo, hi, funcs, pushed.toArray)
+    case None => new SyntheticScan(lo, hi, limit, readSchema, pushed.toArray)
+  }
+}
+
+/** The aggregate-pushdown scan: one partition, one row, zero generated
+  * data rows — count/min/max fall out of the [lo, hi) range arithmetic.
+  */
+final class SyntheticAggScan(lo: Long, hi: Long, funcs: Seq[String],
+    pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(funcs.map {
+    case "count_star" => StructField("count_star", LongType, nullable = false)
+    case n            => StructField(n, LongType, nullable = true)
+  })
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"SyntheticAggScan range=[$lo,$hi) " +
+      s"PushedAggregation: [${funcs.mkString(", ")}] " +
+      s"PushedFilters: [${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SyntheticPartition(0L, 1L))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val span = math.max(0L, hi - lo)
+    val values: Array[Any] = funcs.map {
+      case "count_star" => span: Any
+      case "min_id"     => if (span > 0) (lo: Any) else null
+      case "max_id"     => if (span > 0) ((hi - 1): Any) else null
+    }.toArray
+    new SingleRowReaderFactory(values)
+  }
+}
+
+/** Emits exactly one pre-computed row. */
+final class SingleRowReaderFactory(values: Array[Any])
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow.fromSeq(values.toIndexedSeq)
+      override def close(): Unit = ()
+    }
 }
 
 final class SyntheticScan(lo: Long, hi: Long, limit: Option[Long],

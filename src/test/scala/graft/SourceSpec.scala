@@ -48,6 +48,40 @@ class SourceSpec extends GraftSuite {
       s"columns not pruned:\n$desc")
   }
 
+  test("ungrouped count/min/max push into the scan as a 1-row answer") {
+    val df = synth(5000000)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+        max(col("id")).as("mx"))
+    val row = df.collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ==
+      ((5000000L, 0L, 4999999L)))
+    val desc = scanDesc(df)
+    assert(desc.contains("PushedAggregation"),
+      s"aggregate not pushed:\n$desc")
+    // the 5M-row table was never generated: the scan answered from range
+    // arithmetic (a generate-then-aggregate plan would show SyntheticScan)
+    assert(!desc.contains("SyntheticScan range"),
+      s"data rows were generated for a pushed aggregate:\n$desc")
+  }
+
+  test("aggregate pushdown composes with pushed range filters") {
+    val df = synth(5000000).filter(col("id") >= 1000L && col("id") < 4000L)
+      .agg(count(lit(1)).as("n"), max(col("id")).as("mx"))
+    val row = df.collect()(0)
+    assert((row.getLong(0), row.getLong(1)) == ((3000L, 3999L)))
+    val desc = scanDesc(df)
+    assert(desc.contains("range=[1000,4000)"), s"filter lost:\n$desc")
+    assert(desc.contains("PushedAggregation"), s"aggregate lost:\n$desc")
+  }
+
+  test("grouped aggregates do NOT push (the scan only answers exact shapes)") {
+    val df = synth(1000).groupBy("tag").agg(count(lit(1)).as("n"))
+    assert(df.collect().length == 10)
+    val desc = scanDesc(df)
+    assert(!desc.contains("PushedAggregation"),
+      s"grouped aggregate wrongly claimed complete pushdown:\n$desc")
+  }
+
   test("unsupported filters stay in the plan as residuals (correct results)") {
     // tag filter is not pushable; results must still be correct
     val df = synth(100).filter(col("tag") === "t3" && col("id") < 50L)
