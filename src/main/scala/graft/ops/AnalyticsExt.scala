@@ -325,6 +325,30 @@ object AnalyticsExt {
           est("cms_u", p).as(s"est_merged_$p"),
           est("cms_g", p).as(s"est_direct_$p"))): _*)
     },
+    // Wide-to-long reshape (unpivot/melt) over an aggregated frame — the
+    // deterministic unpivot form (the raw fact table has duplicate
+    // (order, line) keys, so row order there would be unpinnable).
+    "unpivot_metrics" -> { (s, d) =>
+      Tables(s, d).lineitem
+        .groupBy("l_returnflag")
+        .agg(dsum(s, col("l_quantity")).as("sum_qty"),
+          dsum(s, col("l_discount")).as("sum_disc"),
+          dsum(s, col("l_tax")).as("sum_tax"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_disc"), col("sum_tax")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    },
+    // Generator surface: positional explode — token streams with offsets
+    // (the lateral-view shape every tokenize step uses at scale; a pure
+    // map-side fan-out, no shuffle before the presentation sort).
+    "posexplode_tokens" -> { (s, d) =>
+      Tables(s, d).documents
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .orderBy("doc_id", "pos")
+    },
     // Boolean aggregate surface (bool_and / bool_or / count_if) — all three
     // are ordinary partial+final aggregates (AND/OR/count merge trivially).
     "agg_boolean" -> { (s, d) =>
@@ -476,6 +500,24 @@ object AnalyticsExt {
   def oracles: Map[String, String] = Map(
     "agg_countmin_probe" -> cmsOracleSql,
     "agg_cms_union" -> cmsUnionOracleSql,
+    "unpivot_metrics" ->
+      s"""WITH a AS (SELECT l_returnflag,
+         |    ${sqlSum("l_quantity")} AS sum_qty,
+         |    ${sqlSum("l_discount")} AS sum_disc,
+         |    ${sqlSum("l_tax")} AS sum_tax
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM a
+         |UNION ALL
+         |SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+         |UNION ALL
+         |SELECT l_returnflag, 'sum_tax', sum_tax FROM a
+         |ORDER BY l_returnflag, metric""".stripMargin,
+    "posexplode_tokens" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS L
+        |           FROM documents WHERE doc_id < 20)
+        |SELECT doc_id, CAST(i - 1 AS INT) AS pos, L[i] AS tok
+        |FROM t, LATERAL (SELECT unnest(generate_series(1, len(L))) AS i) g
+        |ORDER BY doc_id, pos""".stripMargin,
     "agg_boolean" ->
       """SELECT l_returnflag,
         |  bool_and(l_quantity > 0.0) AS all_pos_qty,

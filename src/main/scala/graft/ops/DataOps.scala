@@ -244,6 +244,44 @@ object DataOps {
             .withColumn("src", lit("base")))
         .orderBy("doc_id")
     },
+    // FLAGSHIP end-to-end pretraining-corpus build — the full chain a
+    // training-data pipeline runs, composed from the operators above as
+    // ONE dataflow: language filter → quality gate (token count + stopword
+    // ratio) → PII scrub → exact dedup (canonical representative = min
+    // doc_id per scrubbed-content hash) → benchmark decontamination
+    // (8-gram overlap). Scale shape: stages 1-3 are a single codegen'd map
+    // over the scan; the dedup is one partial+final aggregate on the
+    // content hash + a semi-join of representatives; decontamination
+    // broadcasts the (tiny) benchmark gram set and the contaminated-id
+    // list. The corpus text is read ONCE.
+    "pipeline_pretrain" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      val toksC = split(col("text"), " ")
+      val nTok = size(toksC)
+      val gated = docs
+        .filter(col("lang") === "en" && col("doc_id") >= 20)
+        .select(col("doc_id"), col("text"), nTok.as("n_tokens"),
+          (size(filter(toksC,
+            x => x.isin("the", "a", "of", "and", "to", "in"))).cast("double")
+            / nTok.cast("double")).as("stop_ratio"))
+        .filter(col("n_tokens") >= 50 && col("stop_ratio") <= 0.35)
+      val withHash = gated.select(col("doc_id"), col("n_tokens"),
+        md5(regexp_replace(
+          regexp_replace(col("text"), TextOps.EmailRe, "<EMAIL>"),
+          TextOps.TermRe, "<REDACTED>")).as("clean_hash"))
+      val reps = withHash.groupBy("clean_hash")
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val deduped = withHash.join(reps, Seq("doc_id"), "left_semi")
+      val (bench, corpusGrams) = decontamGrams(docs)
+      val contaminated = corpusGrams
+        .join(broadcast(bench), Seq("g"))
+        .select("doc_id").distinct()
+      deduped
+        .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+        .select("doc_id", "n_tokens", "clean_hash")
+        .orderBy("doc_id")
+    },
     // CDC-style snapshot diff: classify every key as added / removed /
     // changed between two corpus snapshots (the update set re-processed,
     // one id slice present only in each snapshot). One full-outer join on
@@ -420,6 +458,33 @@ object DataOps {
         |      ORDER BY n_chars DESC, doc_id ASC) AS rn
         |  FROM documents) t
         |WHERE rn <= 10 ORDER BY source, rn""".stripMargin,
+    // the five pipeline stages as CTEs, sharing the gram CTEs with the
+    // decontamination oracles and the scrub regexes with text_pii_scrub
+    "pipeline_pretrain" ->
+      s"""WITH $gramCtes,
+         |cont AS (SELECT DISTINCT doc_id FROM g JOIN bench USING (g)
+         |         WHERE doc_id >= 20),
+         |t2 AS (SELECT doc_id, text, string_split(text, ' ') AS L
+         |  FROM documents WHERE lang = 'en' AND doc_id >= 20),
+         |gate AS (SELECT doc_id, text, len(L) AS n_tokens FROM t2
+         |  WHERE len(L) >= 50
+         |    AND CAST(len(list_filter(L,
+         |      x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+         |      / CAST(len(L) AS DOUBLE) <= 0.35),
+         |scrub AS (SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+         |    md5(regexp_replace(regexp_replace(text,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+         |      '<EMAIL>', 'g'),
+         |      '\\b(customer|supplier|account)\\b', '<REDACTED>', 'g'))
+         |      AS clean_hash
+         |  FROM gate),
+         |reps AS (SELECT min(doc_id) AS doc_id FROM scrub
+         |         GROUP BY clean_hash)
+         |SELECT doc_id, n_tokens, clean_hash
+         |FROM scrub
+         |WHERE doc_id IN (SELECT doc_id FROM reps)
+         |  AND doc_id NOT IN (SELECT doc_id FROM cont)
+         |ORDER BY doc_id""".stripMargin,
     // the merged corpus is every doc, with the update-set rows carrying the
     // re-processed hash — the engine's union/anti-join must reduce to this
     "data_upsert_snapshot" ->

@@ -130,6 +130,17 @@ object Relational {
         .agg(count(lit(1)).as("n"))
         .orderBy("k")
     },
+    // Right outer: Spark plans it as the mirrored left-outer (build side
+    // flips), preserving the unmatched right rows — the n_orders=0
+    // customers distinguish it from inner.
+    "join_right" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.orders.join(t.customer, col("o_custkey") === col("c_custkey"),
+          "right")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy("c_custkey")
+    },
     "cross_join" -> { (s, d) =>
       val t = Tables(s, d)
       t.region.crossJoin(t.nation).agg(count(lit(1)).as("n"))
@@ -200,6 +211,10 @@ object Relational {
       """SELECT coalesce(c_custkey, o_custkey) AS k, count(*) AS n
         |FROM customer FULL JOIN orders ON c_custkey = o_custkey
         |GROUP BY coalesce(c_custkey, o_custkey) ORDER BY k""".stripMargin,
+    "join_right" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "cross_join" ->
       "SELECT count(*) AS n FROM region CROSS JOIN nation",
     "non_equi_join" ->
