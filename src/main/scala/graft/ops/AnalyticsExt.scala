@@ -325,6 +325,16 @@ object AnalyticsExt {
           est("cms_u", p).as(s"est_merged_$p"),
           est("cms_g", p).as(s"est_direct_$p"))): _*)
     },
+    // Fixed-width histogram (exact integer bucket arithmetic: one
+    // correctly-rounded division + floor, engine-identical) — a
+    // partial+final count aggregate over ~20 buckets.
+    "histogram_prices" -> { (s, d) =>
+      Tables(s, d).orders
+        .select(least(lit(19), floor(col("o_totalprice") / 30000.0))
+          .cast("int").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    },
     // Wide-to-long reshape (unpivot/melt) over an aggregated frame — the
     // deterministic unpivot form (the raw fact table has duplicate
     // (order, line) keys, so row order there would be unpinnable).
@@ -500,6 +510,11 @@ object AnalyticsExt {
   def oracles: Map[String, String] = Map(
     "agg_countmin_probe" -> cmsOracleSql,
     "agg_cms_union" -> cmsUnionOracleSql,
+    "histogram_prices" ->
+      """SELECT CAST(least(19, floor(o_totalprice / 30000.0)) AS INT)
+        |    AS bucket,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "unpivot_metrics" ->
       s"""WITH a AS (SELECT l_returnflag,
          |    ${sqlSum("l_quantity")} AS sum_qty,

@@ -255,32 +255,7 @@ object DataOps {
     // broadcasts the (tiny) benchmark gram set and the contaminated-id
     // list. The corpus text is read ONCE.
     "pipeline_pretrain" -> { (s, d) =>
-      val docs = Tables(s, d).documents
-      val toksC = split(col("text"), " ")
-      val nTok = size(toksC)
-      val gated = docs
-        .filter(col("lang") === "en" && col("doc_id") >= 20)
-        .select(col("doc_id"), col("text"), nTok.as("n_tokens"),
-          (size(filter(toksC,
-            x => x.isin("the", "a", "of", "and", "to", "in"))).cast("double")
-            / nTok.cast("double")).as("stop_ratio"))
-        .filter(col("n_tokens") >= 50 && col("stop_ratio") <= 0.35)
-      val withHash = gated.select(col("doc_id"), col("n_tokens"),
-        md5(regexp_replace(
-          regexp_replace(col("text"), TextOps.EmailRe, "<EMAIL>"),
-          TextOps.TermRe, "<REDACTED>")).as("clean_hash"))
-      val reps = withHash.groupBy("clean_hash")
-        .agg(min(col("doc_id")).as("doc_id"))
-        .select("doc_id")
-      val deduped = withHash.join(reps, Seq("doc_id"), "left_semi")
-      val (bench, corpusGrams) = decontamGrams(docs)
-      val contaminated = corpusGrams
-        .join(broadcast(bench), Seq("g"))
-        .select("doc_id").distinct()
-      deduped
-        .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
-        .select("doc_id", "n_tokens", "clean_hash")
-        .orderBy("doc_id")
+      pipelinePretrainFrom(Tables(s, d).documents)
     },
     // CDC-style snapshot diff: classify every key as added / removed /
     // changed between two corpus snapshots (the update set re-processed,
@@ -318,6 +293,39 @@ object DataOps {
     * engine mirror of the shared [[gramCtes]] oracle CTEs, so the two
     * queries cannot diverge on either side.
     */
+  /** The flagship pipeline core over any frame with (doc_id, lang, text) —
+    * separated so specs can plant a corpus exercising every stage. Stage
+    * semantics are the pipeline_pretrain scaladoc's; benchmark docs are
+    * doc_id < 20 (the decontamination family's convention).
+    */
+  private[graft] def pipelinePretrainFrom(docs: DataFrame): DataFrame = {
+    val toksC = split(col("text"), " ")
+    val nTok = size(toksC)
+    val gated = docs
+      .filter(col("lang") === "en" && col("doc_id") >= 20)
+      .select(col("doc_id"), col("text"), nTok.as("n_tokens"),
+        (size(filter(toksC,
+          x => x.isin("the", "a", "of", "and", "to", "in"))).cast("double")
+          / nTok.cast("double")).as("stop_ratio"))
+      .filter(col("n_tokens") >= 50 && col("stop_ratio") <= 0.35)
+    val withHash = gated.select(col("doc_id"), col("n_tokens"),
+      md5(regexp_replace(
+        regexp_replace(col("text"), TextOps.EmailRe, "<EMAIL>"),
+        TextOps.TermRe, "<REDACTED>")).as("clean_hash"))
+    val reps = withHash.groupBy("clean_hash")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val deduped = withHash.join(reps, Seq("doc_id"), "left_semi")
+    val (bench, corpusGrams) = decontamGrams(docs)
+    val contaminated = corpusGrams
+      .join(broadcast(bench), Seq("g"))
+      .select("doc_id").distinct()
+    deduped
+      .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      .select("doc_id", "n_tokens", "clean_hash")
+      .orderBy("doc_id")
+  }
+
   private def decontamGrams(docs: DataFrame): (DataFrame, DataFrame) = {
     def grams = explode(array_distinct(
       TextOps.shingles(col("text"), 8))).as("g")

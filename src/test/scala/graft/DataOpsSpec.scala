@@ -174,4 +174,37 @@ class DataOpsSpec extends GraftSuite {
         s"$src: $w * $tok vs $target")
     }
   }
+
+  test("pipeline_pretrain: planted corpus exercises every stage") {
+    import spark.implicits._
+    def words(n: Int, p: String): String =
+      (1 to n).map(i => s"$p$i").mkString(" ")
+    val benchGram = words(8, "bench") // the contaminating 8-gram
+    val good = words(60, "w")
+    val docs = Seq(
+      // benchmark doc (id < 20): its grams contaminate matching corpus docs
+      (1L, "en", s"$benchGram ${words(10, "pad")}"),
+      (20L, "en", good),                        // survivor
+      (21L, "en", good),                        // exact dup of 20 -> dropped
+      (22L, "fr", words(60, "f")),              // wrong language -> dropped
+      (23L, "en", words(10, "s")),              // too short -> dropped
+      // stopword-heavy: 40 'the' + 20 distinct -> ratio 40/60 > 0.35
+      (24L, "en", (Seq.fill(40)("the") ++ (1 to 20).map(i => s"t$i"))
+        .mkString(" ")),
+      // contaminated: contains the benchmark 8-gram verbatim
+      (25L, "en", s"$benchGram ${words(52, "c")}"),
+      // unique survivor with PII: scrub changes the hash, not the verdict
+      (26L, "en", s"mail bob@example.org customer ${words(57, "u")}")
+    ).toDF("doc_id", "lang", "text")
+    val got = DataOps.pipelinePretrainFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(got.map(_._1).toSeq == Seq(20L, 26L),
+      s"wrong survivors: ${got.toSeq}")
+    assert(got(0)._2 == 60 && got(1)._2 == 60)
+    // clean_hash is the md5 of the SCRUBBED text
+    val scrubbed26 = "mail <EMAIL> <REDACTED> " + words(57, "u")
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest(scrubbed26.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1)._3 == want, s"hash ${got(1)._3} != $want")
+  }
 }
