@@ -325,6 +325,20 @@ object AnalyticsExt {
           est("cms_u", p).as(s"est_merged_$p"),
           est("cms_g", p).as(s"est_direct_$p"))): _*)
     },
+    // Per-group mode (most frequent value, smallest-value tiebreak):
+    // count aggregate then a rank-1 window — WindowGroupLimit keeps one
+    // row per (group, partition) before the shuffle.
+    "agg_mode" -> { (s, d) =>
+      val counts = Tables(s, d).lineitem
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("cnt").desc, col("l_quantity").asc)
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("cnt"))
+        .orderBy("l_returnflag")
+    },
     // Fixed-width histogram (exact integer bucket arithmetic: one
     // correctly-rounded division + floor, engine-identical) — a
     // partial+final count aggregate over ~20 buckets.
@@ -510,6 +524,13 @@ object AnalyticsExt {
   def oracles: Map[String, String] = Map(
     "agg_countmin_probe" -> cmsOracleSql,
     "agg_cms_union" -> cmsUnionOracleSql,
+    "agg_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY cnt DESC, l_quantity ASC) AS rn FROM c)
+        |SELECT l_returnflag, l_quantity AS mode_qty, cnt
+        |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
     "histogram_prices" ->
       """SELECT CAST(least(19, floor(o_totalprice / 30000.0)) AS INT)
         |    AS bucket,

@@ -249,11 +249,14 @@ object DataOps {
     // ONE dataflow: language filter → quality gate (token count + stopword
     // ratio) → PII scrub → exact dedup (canonical representative = min
     // doc_id per scrubbed-content hash) → benchmark decontamination
-    // (8-gram overlap). Scale shape: stages 1-3 are a single codegen'd map
-    // over the scan; the dedup is one partial+final aggregate on the
-    // content hash + a semi-join of representatives; decontamination
+    // (8-gram overlap). Scale shape: stages 1-3 fuse into one codegen'd
+    // map over a pruned scan; the dedup is one partial+final aggregate on
+    // the content hash + a semi-join of representatives; decontamination
     // broadcasts the (tiny) benchmark gram set and the contaminated-id
-    // list. The corpus text is read ONCE.
+    // list. The corpus is scanned three times (gate+scrub, gram stream,
+    // benchmark slice) — at 100 TB re-scanning pruned parquet beats
+    // caching the corpus, and no stage shuffles full text (only hashes,
+    // grams, and ids move).
     "pipeline_pretrain" -> { (s, d) =>
       pipelinePretrainFrom(Tables(s, d).documents)
     },

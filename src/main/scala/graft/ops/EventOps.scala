@@ -123,6 +123,19 @@ object EventOps {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy("event_type")
     },
+    // Typed JSON parse (from_json with a declared schema) — the
+    // schema-on-read path: one codegen'd parse per row into a struct,
+    // fields projected out; absent/mistyped fields become NULL instead of
+    // failing the scan (count(k) exposes the miss count).
+    "events_json_schema" -> { (s, d) =>
+      Tables(s, d).events
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k", LongType))))
+            .getField("k").as("k"))
+        .groupBy((col("k") % 10).as("k_mod")).agg(count(col("k")).as("n"))
+        .orderBy("k_mod")
+    },
     "events_user_stats" -> { (s, d) =>
       withMs(Tables(s, d).events)
         .groupBy("user_id")
@@ -281,6 +294,10 @@ object EventOps {
          |  count(*) AS n, ${sqlSum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type"""
         .stripMargin,
+    "events_json_schema" ->
+      """SELECT CAST(props->>'k' AS BIGINT) % 10 AS k_mod,
+        |  count(CAST(props->>'k' AS BIGINT)) AS n
+        |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
     "events_anomaly_zscore" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value,
         |             epoch_ms(ts) AS ts_ms FROM events),
