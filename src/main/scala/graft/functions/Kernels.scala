@@ -299,6 +299,24 @@ object Kernels {
     inter.toDouble / (sa.size + sb.size - inter).toDouble
   }
 
+  /** Z-order (Morton) interleave of the low 20 bits of two non-negative
+    * keys: bit i of `a` lands at position 2i, bit i of `b` at 2i+1. The
+    * multi-dimensional clustering key lakehouse tables sort by so range
+    * predicates on EITHER column prune contiguous file ranges. Formula is
+    * plain shift/mask arithmetic so the DuckDB oracle replicates it
+    * bit-for-bit.
+    */
+  def zorder2(a: Long, b: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 20) {
+      z |= ((a >> i) & 1L) << (2 * i)
+      z |= ((b >> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
   // --- Bloom filter over pre-hashed 64-bit keys -----------------------------
   // Kirsch-Mitzenmacher double hashing: position_i = h1 + i*h2 (mod m).
   // h2 is forced odd so the stride cycles the full power-of-two bit space.

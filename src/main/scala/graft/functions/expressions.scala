@@ -270,6 +270,22 @@ case class SimHash64(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Z-order (Morton) clustering key over two long columns — see
+  * [[Kernels.zorder2]].
+  */
+case class ZOrder2(left: Expression, right: Expression)
+    extends BinaryKernelExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "zorder2"
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  protected val kernelMethod = "zorder2"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.zorder2(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Bloom-filter probe against a [[graft.functions.BloomBits]] blob: false =
   * DEFINITELY absent, true = maybe present (FP rate set by numBits/numHashes
   * at build time). numBits is carried by the blob itself (its length), so a
@@ -365,4 +381,8 @@ object functions {
     ColumnBridge.column(
       MightContainBloom(ColumnBridge.expression(bloom),
         ColumnBridge.expression(hash), numHashes))
+
+  def zorder2(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      ZOrder2(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -244,6 +244,20 @@ object DataOps {
             .withColumn("src", lit("base")))
         .orderBy("doc_id")
     },
+    // Z-order clustering key: Morton-interleave two join/filter columns so
+    // ONE sort clusters the data for range predicates on EITHER column —
+    // the lakehouse data-skipping layout (sorting by (a, b) clusters only
+    // a; the z-curve clusters both). The key is a codegen'd bit-interleave
+    // expression; writing the sorted output with min/max file stats is
+    // what turns this into file pruning at 100 TB.
+    "data_zorder_cluster" -> { (s, d) =>
+      Tables(s, d).lineitem
+        .select("l_partkey", "l_suppkey").distinct()
+        .withColumn("z", graft.functions.functions.zorder2(
+          col("l_partkey"), col("l_suppkey")))
+        .orderBy("z")
+        .limit(100)
+    },
     // FLAGSHIP end-to-end pretraining-corpus build — the full chain a
     // training-data pipeline runs, composed from the operators above as
     // ONE dataflow: language filter → quality gate (token count + stopword
@@ -469,6 +483,12 @@ object DataOps {
         |      ORDER BY n_chars DESC, doc_id ASC) AS rn
         |  FROM documents) t
         |WHERE rn <= 10 ORDER BY source, rn""".stripMargin,
+    // the Morton interleave replicated as 40 shift/mask terms
+    "data_zorder_cluster" ->
+      s"""SELECT l_partkey, l_suppkey, ${zorderSql("l_partkey", "l_suppkey")}
+         |    AS z
+         |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) p
+         |ORDER BY z LIMIT 100""".stripMargin,
     // the five pipeline stages as CTEs, sharing the gram CTEs with the
     // decontamination oracles and the scrub regexes with text_pii_scrub
     "pipeline_pretrain" ->
@@ -521,6 +541,14 @@ object DataOps {
          |SELECT doc_id, status, old_md5, new_md5 FROM j
          |WHERE status <> 'same' ORDER BY doc_id""".stripMargin
   )
+
+  /** Oracle spelling of [[graft.functions.Kernels.zorder2]]: the same 20
+    * bit positions per column, OR-combined.
+    */
+  private def zorderSql(a: String, b: String): String =
+    (0 until 20).map(i =>
+      s"((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1})")
+      .mkString("(", " | ", ")")
 
   /** Oracle spelling of the hash-selected update set (xxh64 seed 42,
     * positive mod 5 == 0) — must stay token-identical between the two

@@ -179,6 +179,14 @@ object EventOps {
           sum(col("sv")).cast(DoubleType).as("sum_value"))
         .orderBy("hour_bucket", "event_type")
     },
+    // Time-series gap filling: a generated hourly spine (min..max bucket)
+    // left-joined with the observed counts, absent hours as 0 — the
+    // dashboard/feature-engineering densify step. The spine generator is
+    // O(hours), never O(events); at 100 TB the hourly aggregate is the
+    // only full-data pass.
+    "events_gapfill" -> { (s, d) =>
+      gapfillFrom(withMs(Tables(s, d).events))
+    },
     // Trailing z-score anomaly detection: each purchase scored against the
     // SAME user's full prior history (mean/variance from exact decimal
     // sum/sum-of-squares over an unbounded-preceding-to-1-preceding frame).
@@ -210,6 +218,20 @@ object EventOps {
         .orderBy("event_id")
     }
   )
+
+  /** Gap-fill core over any frame with a ts_ms column — separated so specs
+    * can plant a sparse series and assert the zero-filled hours.
+    */
+  private[graft] def gapfillFrom(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(expr(floorDivSql("ts_ms", HourMs)).as("hb"))
+      .agg(count(lit(1)).as("cnt"))
+    val spine = hourly.agg(min(col("hb")).as("lo"), max(col("hb")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("hb"))
+    spine.join(hourly, Seq("hb"), "left")
+      .select(col("hb"), coalesce(col("cnt"), lit(0L)).as("n"))
+      .orderBy("hb")
+  }
 
   /** Funnel core over any frame with (user_id, event_type, ts_ms): a stage
     * counts only when its FIRST occurrence is strictly after the previous
@@ -294,6 +316,14 @@ object EventOps {
          |  count(*) AS n, ${sqlSum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type"""
         .stripMargin,
+    "events_gapfill" ->
+      """WITH h AS (SELECT epoch_ms(ts) // 3600000 AS hb, count(*) AS cnt
+        |  FROM events GROUP BY 1),
+        |mm AS (SELECT min(hb) AS lo, max(hb) AS hi FROM h),
+        |spine AS (SELECT unnest(generate_series(lo, hi)) AS hb FROM mm)
+        |SELECT spine.hb, COALESCE(cnt, 0) AS n
+        |FROM spine LEFT JOIN h ON spine.hb = h.hb
+        |ORDER BY spine.hb""".stripMargin,
     "events_json_schema" ->
       """SELECT CAST(props->>'k' AS BIGINT) % 10 AS k_mod,
         |  count(CAST(props->>'k' AS BIGINT)) AS n

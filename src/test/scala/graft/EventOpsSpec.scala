@@ -170,4 +170,15 @@ class EventOpsSpec extends GraftSuite {
     assert(r.getLong(2) == 3, "n_view_click")  // u1, u4, u5
     assert(r.getLong(3) == 1, "n_funnel_complete") // u1 only
   }
+
+  test("gapfill: planted sparse hours densify with zero counts") {
+    import spark.implicits._
+    val h = 3600000L
+    // events in hours 10 and 13 only (two in 13) → spine 10..13
+    val events = Seq(10 * h, 13 * h, 13 * h + 1).toDF("ts_ms")
+    val got = graft.ops.EventOps.gapfillFrom(events).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((10L, 1L), (11L, 0L), (12L, 0L), (13L, 2L)),
+      got.toSeq.toString)
+  }
 }

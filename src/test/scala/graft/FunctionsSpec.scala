@@ -127,6 +127,19 @@ class FunctionsSpec extends GraftSuite {
     df.collect() // would throw if the generated code failed to compile
   }
 
+  test("zorder2 interleaves bits exactly (and is column-symmetric-shifted)") {
+    import spark.implicits._
+    import graft.functions.functions.zorder2
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 1L), (1L << 19, 1L))
+      .toDF("a", "b")
+      .select(zorder2(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")))
+      .as[Long].collect()
+    // bit i of a → 2i; bit i of b → 2i+1
+    assert(rows.toSeq == Seq(0L, 1L, 2L, 7L, (1L << 38) | 2L),
+      rows.toSeq.toString)
+  }
+
   private object Tables0 {
     def embeddings(s: org.apache.spark.sql.SparkSession, d: String) =
       s.read.parquet(s"$d/embeddings.parquet")
