@@ -325,6 +325,41 @@ object AnalyticsExt {
           est("cms_u", p).as(s"est_merged_$p"),
           est("cms_g", p).as(s"est_direct_$p"))): _*)
     },
+    // Frame-spanning window functions: first/last/nth over the full
+    // partition (explicit unbounded frame — last_value under the default
+    // frame is the classic running-value bug).
+    "window_first_last" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, d).orders
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(w).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    // Date arithmetic surface: day offset, day difference, month end,
+    // quarter — all calendar-exact integer operations.
+    "date_arith" -> { (s, d) =>
+      Tables(s, d).orders
+        .select(col("o_orderkey"),
+          date_add(col("o_orderdate"), 30).as("due_date"),
+          datediff(lit("2000-01-01").cast("date"), col("o_orderdate"))
+            .as("days_to_y2k"),
+          last_day(col("o_orderdate")).as("month_end"),
+          quarter(col("o_orderdate")).as("q"))
+        .orderBy("o_orderkey")
+    },
+    // Regex surface beyond replace: group extraction and match predicates.
+    "regex_funcs" -> { (s, d) =>
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+          col("text").rlike("table").as("has_table"),
+          size(split(col("text"), " value ")).as("n_value_splits"))
+        .orderBy("doc_id")
+    },
     // Per-group mode (most frequent value, smallest-value tiebreak):
     // count aggregate then a rank-1 window — WindowGroupLimit keeps one
     // row per (group, partition) before the shuffle.
@@ -524,6 +559,31 @@ object AnalyticsExt {
   def oracles: Map[String, String] = Map(
     "agg_countmin_probe" -> cmsOracleSql,
     "agg_cms_union" -> cmsUnionOracleSql,
+    "window_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS last_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |    DATE '2000-01-01') AS INT) AS days_to_y2k,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(quarter(o_orderdate) AS INT) AS q
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "regex_funcs" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '([a-z]+)', 1) AS first_word,
+        |  regexp_matches(text, 'table') AS has_table,
+        |  CAST(len(string_split_regex(text, ' value ')) AS INT)
+        |    AS n_value_splits
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "agg_mode" ->
       """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
         |  FROM lineitem GROUP BY 1, 2),
