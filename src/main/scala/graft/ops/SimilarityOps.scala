@@ -46,16 +46,41 @@ object SimilarityOps {
       .orderBy("query_id", "rk")
   }
 
+  /** Brute-force cosine top-5 (query vectors vec_id < 10 over the rest) —
+    * shared by the contract query and the recall evaluation.
+    */
+  private def bruteTopkFrom(e: DataFrame): DataFrame = {
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    topk(corpus.join(broadcast(qs))
+      .select(col("query_id"), col("vec_id"),
+        quant_cosine(col("qe"), col("embedding")).as("cos")), 5)
+  }
+
+  /** Multi-probe LSH top-5 — shared by the contract query and the recall
+    * evaluation.
+    */
+  private def lshTopkFrom(e0: DataFrame): DataFrame = {
+    val e = e0
+      .withColumn("bucket",
+        element_at(lshBuckets(quantize(col("embedding")), 1, 8), 1))
+      .persist() // bucketed corpus read by both the query and corpus sides
+    val probes = typedLit(0L +: (0 until 8).map(k => 1L << k))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(transform(probes, m => col("bucket").bitwiseXOR(m)))
+          .as("bucket"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    topk(corpus.join(broadcast(qs), Seq("bucket"))
+      .select(col("query_id"), col("vec_id"),
+        quant_cosine(col("qe"), col("embedding")).as("cos")), 5)
+  }
+
   def queries: Map[String, Q] = Map(
     // Brute-force cosine top-5 for query vectors (vec_id < 10) over the rest.
     "sim_topk_bruteforce" -> { (s, d) =>
-      val e = Tables(s, d).embeddings
-      val qs = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      val corpus = e.filter(col("vec_id") >= 10)
-      topk(corpus.join(broadcast(qs))
-        .select(col("query_id"), col("vec_id"),
-          quant_cosine(col("qe"), col("embedding")).as("cos")), 5)
+      bruteTopkFrom(Tables(s, d).embeddings)
     },
     // LSH-bucketed ANN: 8-plane signature buckets with multi-probe (the
     // query probes its own bucket plus every Hamming-1 neighbor — 9 probes),
@@ -65,19 +90,37 @@ object SimilarityOps {
     // are SQL arithmetic, so the DuckDB oracle replicates the whole
     // bucket+probe pipeline; DedupSpec measures recall against brute force.
     "sim_ann_lsh" -> { (s, d) =>
+      lshTopkFrom(Tables(s, d).embeddings)
+    },
+    // Recall evaluation — the honesty harness for the approximate path:
+    // per query, how many of the TRUE (brute-force) top-5 the multi-probe
+    // LSH search returned. Both sides run in the same job; the oracle
+    // replicates both pipelines and the intersection, so the recall
+    // numbers themselves are oracle-checked, not just spec-sampled. At
+    // 100 TB this query IS the eval job a pipeline runs on a held-out
+    // slice before trusting an ANN index. Expected result on THIS corpus:
+    // near-chance recall (~0.1) — the synthetic embeddings are i.i.d.
+    // random with no neighbor structure, the regime where every sublinear
+    // method degrades to chance. That is the point of shipping the eval:
+    // it MEASURES the degradation instead of assuming index quality
+    // (planted-clone specs show the same pipeline at high recall when
+    // true near-duplicates exist).
+    "sim_ann_recall" -> { (s, d) =>
       val e = Tables(s, d).embeddings
-        .withColumn("bucket",
-          element_at(lshBuckets(quantize(col("embedding")), 1, 8), 1))
-        .persist() // bucketed corpus read by both the query and corpus sides
-      val probes = typedLit(0L +: (0 until 8).map(k => 1L << k))
-      val qs = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          explode(transform(probes, m => col("bucket").bitwiseXOR(m)))
-            .as("bucket"))
-      val corpus = e.filter(col("vec_id") >= 10)
-      topk(corpus.join(broadcast(qs), Seq("bucket"))
-        .select(col("query_id"), col("vec_id"),
-          quant_cosine(col("qe"), col("embedding")).as("cos")), 5)
+      val bf = bruteTopkFrom(e).select("query_id", "vec_id")
+      val ls = lshTopkFrom(e)
+        .select(col("query_id").as("lq"), col("vec_id").as("lv"))
+      val hits = bf.join(ls,
+          col("query_id") === col("lq") && col("vec_id") === col("lv"),
+          "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      bf.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / 5.0)
+            .as("recall_at_5"))
+        .orderBy("query_id")
     },
     // IVF ANN search: the label partitions are the inverted lists, their
     // quantized centroids the coarse quantizer. Each query probes its
@@ -339,6 +382,65 @@ object SimilarityOps {
         |  FROM scored)
         |SELECT query_id, vec_id, cos, rk FROM ranked
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // Recall evaluation: BOTH pipelines (multi-probe LSH and brute force)
+    // replicated in full, then the per-query intersection count — the
+    // recall numbers are oracle-exact.
+    "sim_ann_recall" ->
+      """WITH q AS (SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
+        |dots AS (SELECT vec_id, k,
+        |           sum(v * (((k * 131 + (i - 1) * 31 + 7) % 61) - 30)) AS dt
+        |         FROM q CROSS JOIN
+        |           (SELECT unnest(generate_series(0, 7)) AS k) pl
+        |         GROUP BY 1, 2),
+        |bkt AS (SELECT vec_id,
+        |          CAST(sum(CASE WHEN dt > 0 THEN 1 << k ELSE 0 END) AS BIGINT)
+        |            AS bucket
+        |        FROM dots GROUP BY 1),
+        |qs AS (SELECT vec_id AS query_id, xor(bucket, m) AS bucket
+        |       FROM bkt CROSS JOIN
+        |         (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m) pr
+        |       WHERE vec_id < 10),
+        |pairs AS (SELECT query_id, c.vec_id
+        |          FROM qs JOIN (SELECT vec_id, bucket FROM bkt
+        |                        WHERE vec_id >= 10) c USING (bucket)),
+        |ldot AS (SELECT p.query_id, p.vec_id, sum(a.v * b.v) AS dot
+        |        FROM pairs p
+        |        JOIN q a ON a.vec_id = p.query_id
+        |        JOIN q b ON b.vec_id = p.vec_id AND b.i = a.i
+        |        GROUP BY 1, 2),
+        |lscored AS (SELECT query_id, ldot.vec_id AS vec_id,
+        |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+        |           sqrt(CAST(nb.nn AS DOUBLE))) END AS cos
+        |  FROM ldot JOIN n na ON na.vec_id = query_id
+        |            JOIN n nb ON nb.vec_id = ldot.vec_id),
+        |ltop AS (SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rk FROM lscored)
+        |  WHERE rk <= 5),
+        |bdot AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+        |           sum(a.v * b.v) AS dot
+        |         FROM q a JOIN q b ON b.i = a.i AND b.vec_id >= 10
+        |         WHERE a.vec_id < 10 GROUP BY 1, 2),
+        |bscored AS (SELECT query_id, bdot.vec_id AS vec_id,
+        |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+        |           sqrt(CAST(nb.nn AS DOUBLE))) END AS cos
+        |  FROM bdot JOIN n na ON na.vec_id = query_id
+        |            JOIN n nb ON nb.vec_id = bdot.vec_id),
+        |btop AS (SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rk FROM bscored)
+        |  WHERE rk <= 5)
+        |SELECT b.query_id, CAST(count(l.vec_id) AS BIGINT) AS n_hit,
+        |  CAST(count(l.vec_id) AS DOUBLE) / 5.0 AS recall_at_5
+        |FROM btop b LEFT JOIN ltop l
+        |  ON l.query_id = b.query_id AND l.vec_id = b.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // IVF replication: quantized centroids, nprobe=2 coarse assignment,
     // inverted-list probe, exact top-5 — assignment checked, not just
     // final scores.

@@ -53,7 +53,10 @@ class PlanCheckSpec extends GraftSuite {
                           // scan (the probe side of the prefilter)
     "text_tfidf_topk",    // 1-row corpus-count aggregate broadcast under
                           // the scored token stream
-    "agg_cms_union"       // 1-row merged sketch x 1-row direct sketch
+    "agg_cms_union",      // 1-row merged sketch x 1-row direct sketch
+    "sim_ann_recall"      // contains the brute-force side: 10-query set
+                          // broadcast against the corpus (the ground
+                          // truth the LSH side is measured against)
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides
