@@ -49,7 +49,7 @@ object SimilarityOps {
   /** Brute-force cosine top-5 (query vectors vec_id < 10 over the rest) —
     * shared by the contract query and the recall evaluation.
     */
-  private def bruteTopkFrom(e: DataFrame): DataFrame = {
+  private[graft] def bruteTopkFrom(e: DataFrame): DataFrame = {
     val qs = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val corpus = e.filter(col("vec_id") >= 10)
@@ -61,7 +61,7 @@ object SimilarityOps {
   /** Multi-probe LSH top-5 — shared by the contract query and the recall
     * evaluation.
     */
-  private def lshTopkFrom(e0: DataFrame): DataFrame = {
+  private[graft] def lshTopkFrom(e0: DataFrame): DataFrame = {
     val e = e0
       .withColumn("bucket",
         element_at(lshBuckets(quantize(col("embedding")), 1, 8), 1))

@@ -156,4 +156,26 @@ class SimilarityOpsSpec extends GraftSuite {
       assert(run(rows) == kmeansReplay(rows), s"seed=$seed diverged")
     }
   }
+
+  test("recall harness: planted clones give full recall (contrast with " +
+      "the near-chance contract corpus)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    def vec(): Seq[Float] = Seq.fill(16)(rnd.nextFloat())
+    val qs = (0L until 10L).map(i => (i, vec()))
+    // clone of each query at vec_id+10 (IDENTICAL vector → same bucket,
+    // cosine exactly 1.0 → guaranteed LSH candidate and brute top-1)
+    val clones = qs.map { case (i, v) => (i + 10L, v) }
+    val fill = (20L until 80L).map(i => (i, vec()))
+    val e = (qs ++ clones ++ fill).toDF("vec_id", "embedding")
+    val ls = graft.ops.SimilarityOps.lshTopkFrom(e)
+    val cloneHits = ls.filter(col("vec_id") === col("query_id") + 10)
+      .count()
+    assert(cloneHits == 10, s"LSH missed planted clones: $cloneHits/10")
+    val bf = graft.ops.SimilarityOps.bruteTopkFrom(e)
+    val bfTop1 = bf.filter(col("rk") === 1)
+      .filter(col("vec_id") === col("query_id") + 10).count()
+    assert(bfTop1 == 10, s"brute force missed planted clones: $bfTop1/10")
+  }
 }
