@@ -307,6 +307,12 @@ object Kernels {
     * bit-for-bit.
     */
   def zorder2(a: Long, b: Long): Long = {
+    // loud failure instead of silent truncation: keys >= 2^20 (or
+    // negative) would alias onto the same z value, degrading the
+    // clustering property to hash-like collisions — and the oracle
+    // replicates the same truncation, so the gate could never catch it
+    require(((a | b) >>> 20) == 0L,
+      s"zorder2 keys must be in [0, 2^20), got ($a, $b)")
     var z = 0L
     var i = 0
     while (i < 20) {
@@ -325,9 +331,21 @@ object Kernels {
 
   private final val BloomMix = 0x9E3779B97F4A7C15L // golden-ratio odd mixer
 
+  /** Loud failure on a blob that is not a BloomBits product: an empty or
+    * non-power-of-two-length buffer would otherwise index out of bounds
+    * (mask = -1) or silently probe a layout no builder produced — the
+    * probe expression accepts any BinaryType column, so the invariant the
+    * aggregate enforces at build time must be re-checked here.
+    */
+  private def checkBloomBuf(buf: Array[Byte]): Unit =
+    require(buf.length > 0 && (buf.length & (buf.length - 1)) == 0,
+      s"bloom blob must be a positive power-of-two byte length, " +
+        s"got ${buf.length}B — not a bloom_bits product?")
+
   /** Set the k bloom bits for hash `h` in `buf` (numBits = buf.length*8,
     * REQUIRED to be a power of two by the building aggregate). */
   def bloomSet(buf: Array[Byte], h: Long, numHashes: Int): Unit = {
+    checkBloomBuf(buf)
     val mask = (buf.length.toLong << 3) - 1L
     val h2 = (h * BloomMix) | 1L
     var i = 0
@@ -340,6 +358,7 @@ object Kernels {
 
   /** Probe: false = DEFINITELY absent; true = maybe present. */
   def bloomMightContain(buf: Array[Byte], h: Long, numHashes: Int): Boolean = {
+    checkBloomBuf(buf)
     val mask = (buf.length.toLong << 3) - 1L
     val h2 = (h * BloomMix) | 1L
     var i = 0

@@ -308,13 +308,6 @@ object DataOps {
     }
   )
 
-  /** Shared engine-side gram streams for the two decontamination forms:
-    * ONE tokenization/shingling definition (the text family's
-    * TextOps.shingles) yielding the benchmark's distinct grams (doc_id <
-    * 20) and the corpus' per-doc distinct grams (doc_id >= 20) — the
-    * engine mirror of the shared [[gramCtes]] oracle CTEs, so the two
-    * queries cannot diverge on either side.
-    */
   /** The flagship pipeline core over any frame with (doc_id, lang, text) —
     * separated so specs can plant a corpus exercising every stage. Stage
     * semantics are the pipeline_pretrain scaladoc's; benchmark docs are
@@ -348,6 +341,13 @@ object DataOps {
       .orderBy("doc_id")
   }
 
+  /** Shared engine-side gram streams for the two decontamination forms:
+    * ONE tokenization/shingling definition (the text family's
+    * TextOps.shingles) yielding the benchmark's distinct grams (doc_id <
+    * 20) and the corpus' per-doc distinct grams (doc_id >= 20) — the
+    * engine mirror of the shared [[gramCtes]] oracle CTEs, so the two
+    * queries cannot diverge on either side.
+    */
   private def decontamGrams(docs: DataFrame): (DataFrame, DataFrame) = {
     def grams = explode(array_distinct(
       TextOps.shingles(col("text"), 8))).as("g")

@@ -134,7 +134,11 @@ object EventOps {
             org.apache.spark.sql.types.StructField("k", LongType))))
             .getField("k").as("k"))
         .groupBy((col("k") % 10).as("k_mod")).agg(count(col("k")).as("n"))
-        .orderBy("k_mod")
+        // NULLS FIRST explicitly: a missing/mistyped k yields a NULL group,
+        // and Spark's asc default (nulls first) differs from DuckDB's
+        // (nulls last) — pinned on both sides so the miss path stays
+        // oracle-comparable, not just the clean corpus
+        .orderBy(col("k_mod").asc_nulls_first)
     },
     "events_user_stats" -> { (s, d) =>
       withMs(Tables(s, d).events)
@@ -223,9 +227,15 @@ object EventOps {
     * can plant a sparse series and assert the zero-filled hours.
     */
   private[graft] def gapfillFrom(events: DataFrame): DataFrame = {
+    // persisted because the aggregate feeds TWO consumers (the min/max
+    // spine bounds and the join) — without it Spark recomputes the full
+    // events pass per consumer and "one full-data pass" would be false.
+    // The cached frame is O(hours), trivially small; the contract sweeps
+    // clear query-local persists after each query.
     val hourly = events
       .groupBy(expr(floorDivSql("ts_ms", HourMs)).as("hb"))
       .agg(count(lit(1)).as("cnt"))
+      .persist()
     val spine = hourly.agg(min(col("hb")).as("lo"), max(col("hb")).as("hi"))
       .select(explode(sequence(col("lo"), col("hi"))).as("hb"))
     spine.join(hourly, Seq("hb"), "left")
@@ -324,10 +334,13 @@ object EventOps {
         |SELECT spine.hb, COALESCE(cnt, 0) AS n
         |FROM spine LEFT JOIN h ON spine.hb = h.hb
         |ORDER BY spine.hb""".stripMargin,
+    // TRY_CAST (not CAST): Spark's from_json yields NULL for a mistyped k
+    // where a plain DuckDB CAST would hard-error — TRY_CAST mirrors the
+    // null-on-miss semantics; NULLS FIRST mirrors Spark's asc default
     "events_json_schema" ->
-      """SELECT CAST(props->>'k' AS BIGINT) % 10 AS k_mod,
-        |  count(CAST(props->>'k' AS BIGINT)) AS n
-        |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
+      """SELECT TRY_CAST(props->>'k' AS BIGINT) % 10 AS k_mod,
+        |  count(TRY_CAST(props->>'k' AS BIGINT)) AS n
+        |FROM events GROUP BY 1 ORDER BY k_mod NULLS FIRST""".stripMargin,
     "events_anomaly_zscore" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value,
         |             epoch_ms(ts) AS ts_ms FROM events),

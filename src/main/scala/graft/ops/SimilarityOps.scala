@@ -60,6 +60,13 @@ object SimilarityOps {
 
   /** Multi-probe LSH top-5 — shared by the contract query and the recall
     * evaluation.
+    *
+    * CACHE LIFETIME CONTRACT: the bucketed corpus is persisted (read by
+    * both the query and corpus sides); the CALLER owns release. The
+    * contract sweeps (Verify, Bench, PlanCheckSpec) call
+    * `spark.catalog.clearCache()` after each query; a long-lived session
+    * embedding this helper should do the same after materializing the
+    * result, or repeated invocations accumulate cached copies.
     */
   private[graft] def lshTopkFrom(e0: DataFrame): DataFrame = {
     val e = e0
