@@ -249,6 +249,45 @@ object DataOps {
             .withColumn("src", lit("base")))
         .orderBy("doc_id")
     },
+    // Fixed-size document chunking — the tokenize-and-split step that
+    // turns documents into training sequences: each doc yields
+    // ceil(n_tokens/64) chunks of <= 64 tokens, emitted with (doc_id,
+    // chunk_idx, chunk hash, token count). Pure map-side fan-out
+    // (posexplode over a generated index range + array slice), no shuffle
+    // before the presentation sort; at 100 TB this is the
+    // embarrassingly-parallel stage between cleaning and packing.
+    "data_chunk_documents" -> { (s, d) =>
+      val toksC = split(col("text"), " ")
+      Tables(s, d).documents
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), toksC.as("t"), size(toksC).as("n"))
+        .select(col("doc_id"), col("t"),
+          posexplode(sequence(lit(0L), expr("(n - 1) div 64")))
+            .as(Seq("ci", "_")))
+        .select(col("doc_id"), col("ci").as("chunk_idx"),
+          slice(col("t"), col("ci") * 64 + 1, lit(64)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).as("chunk_tokens"),
+          md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    // Deterministic source interleaving — curriculum-style epoch
+    // composition: documents ordered so sources alternate (rank-within-
+    // source first, source name second). One window per source partition
+    // assigns the rank; the global presentation order IS the interleave.
+    // Seed-stable like the hash shuffle (rank ties impossible: doc_id is
+    // unique within a source).
+    "data_interleave_sources" -> { (s, d) =>
+      val w = Window.partitionBy("source").orderBy(
+        xxhash64(concat(lit("I"), col("doc_id").cast("string"))).asc,
+        col("doc_id").asc)
+      Tables(s, d).documents
+        .select(col("doc_id"), col("source"))
+        .withColumn("rank_in_source", row_number().over(w))
+        .orderBy(col("rank_in_source").asc, col("source").asc,
+          col("doc_id").asc)
+        .limit(200)
+    },
     // Z-order clustering key: Morton-interleave two join/filter columns so
     // ONE sort clusters the data for range predicates on EITHER column —
     // the lakehouse data-skipping layout (sorting by (a, b) clusters only
@@ -488,6 +527,29 @@ object DataOps {
         |      ORDER BY n_chars DESC, doc_id ASC) AS rn
         |  FROM documents) t
         |WHERE rn <= 10 ORDER BY source, rn""".stripMargin,
+    // chunking: DuckDB 1-based inclusive list slices L[a:b] == Spark's
+    // slice(t, a, 64) clipped at the document end
+    "data_chunk_documents" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS L,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE doc_id < 100),
+        |c AS (SELECT doc_id, L,
+        |    unnest(generate_series(0, (n - 1) // 64)) AS ci
+        |  FROM t)
+        |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        |  CAST(len(L[ci*64 + 1 : ci*64 + 64]) AS INT) AS chunk_tokens,
+        |  md5(array_to_string(L[ci*64 + 1 : ci*64 + 64], ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "data_interleave_sources" ->
+      s"""WITH r AS (SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source ORDER BY
+         |      ${XxhSql.expr("'I' || CAST(doc_id AS VARCHAR)", "42")} ASC,
+         |      doc_id ASC) AS rank_in_source
+         |  FROM documents)
+         |SELECT doc_id, source, CAST(rank_in_source AS INT)
+         |    AS rank_in_source
+         |FROM r ORDER BY rank_in_source, source, doc_id
+         |LIMIT 200""".stripMargin,
     // the Morton interleave replicated as 40 shift/mask terms
     "data_zorder_cluster" ->
       s"""SELECT l_partkey, l_suppkey, ${zorderSql("l_partkey", "l_suppkey")}

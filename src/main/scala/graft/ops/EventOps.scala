@@ -183,6 +183,18 @@ object EventOps {
           sum(col("sv")).cast(DoubleType).as("sum_value"))
         .orderBy("hour_bucket", "event_type")
     },
+    // Day-of-week x hour-of-day seasonality profile. The dow comes from
+    // pure epoch-day arithmetic ((days + 4) % 7, 0 = Sunday) because the
+    // engines' dayofweek() builtins disagree on numbering (Spark 1=Sunday,
+    // DuckDB 0=Sunday) — integer arithmetic is the portable spelling.
+    "events_seasonality" -> { (s, d) =>
+      val e = withMs(Tables(s, d).events)
+      e.groupBy(
+          ((expr(floorDivSql("ts_ms", 86400000L)) + 4) % 7).as("dow"),
+          (expr(floorDivSql("ts_ms", HourMs)) % 24).as("hod"))
+        .agg(count(lit(1)).as("n"), dsum(s, col("value")).as("sum_value"))
+        .orderBy("dow", "hod")
+    },
     // Time-series gap filling: a generated hourly spine (min..max bucket)
     // left-joined with the observed counts, absent hours as 0 — the
     // dashboard/feature-engineering densify step. The spine generator is
@@ -326,6 +338,11 @@ object EventOps {
          |  count(*) AS n, ${sqlSum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type"""
         .stripMargin,
+    "events_seasonality" ->
+      s"""SELECT (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
+         |  (epoch_ms(ts) // 3600000) % 24 AS hod,
+         |  count(*) AS n, ${sqlSum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin,
     "events_gapfill" ->
       """WITH h AS (SELECT epoch_ms(ts) // 3600000 AS hb, count(*) AS cnt
         |  FROM events GROUP BY 1),
