@@ -270,6 +270,56 @@ case class SimHash64(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** DECIMAL → DOUBLE with DuckDB's conversion semantics, for oracle parity
+  * on large sums: DuckDB converts the int128 unscaled value as
+  * `double(hi64)·2^64 + double(lo64)` and divides by `10^scale` — TWO
+  * extra roundings versus the correctly-rounded single-step cast Spark's
+  * `Decimal.toDouble` performs, so the engines diverge by 1 ulp once the
+  * unscaled value crosses 2^64 (verified empirically; the same effect the
+  * HLL harmonic sum handles via [[HllNdv256.sumToDoubleDuckdb]]). The
+  * engine must mimic the oracle's conversion, not the mathematically
+  * better one. Final-projection scalar over aggregated rows — interpreted
+  * eval (CodegenFallback) is deliberate.
+  */
+case class DecimalToDoubleDuckdb(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "decimal_to_double_duckdb"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: DecimalType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a decimal child, got ${t.simpleString}")
+    }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val dec = v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+    val u = BigInt(dec.toJavaBigDecimal.unscaledValue())
+    val neg = u.signum < 0
+    val m = if (neg) -u else u
+    val hi = (m >> 64).toDouble // BigInt.toDouble is correctly rounded
+    val lo = (m & DecimalToDoubleDuckdb.Mask64).toDouble
+    // hi * 2^64 is exact scaling; + lo and / 10^scale each round once —
+    // token-for-token DuckDB's path
+    val d = (hi * DecimalToDoubleDuckdb.Two64 + lo) /
+      BigInt(10).pow(dec.scale).toDouble
+    if (neg) -d else d
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object DecimalToDoubleDuckdb {
+  private val Mask64 = (BigInt(1) << 64) - 1
+  private val Two64 = math.pow(2.0, 64)
+}
+
 /** Z-order (Morton) clustering key over two long columns — see
   * [[Kernels.zorder2]].
   */
@@ -385,4 +435,7 @@ object functions {
   def zorder2(a: Column, b: Column): Column =
     ColumnBridge.column(
       ZOrder2(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def decimal_to_double_duckdb(c: Column): Column =
+    ColumnBridge.column(DecimalToDoubleDuckdb(ColumnBridge.expression(c)))
 }

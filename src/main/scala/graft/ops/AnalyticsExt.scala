@@ -360,6 +360,40 @@ object AnalyticsExt {
           size(split(col("text"), " value ")).as("n_value_splits"))
         .orderBy("doc_id")
     },
+    // Pearson correlation + population covariance per group, from exact
+    // decimal moment sums (quantity is integral, price has 2 decimals —
+    // their squares/products stay exact under DECIMAL(28,6)); the final
+    // formula is a fixed tree of correctly-rounded IEEE ops, identical in
+    // both engines. One partial+final aggregate — the moment-sum shape
+    // that distributes (Spark's own corr() uses a different update order,
+    // so it is NOT oracle-comparable; the moments are).
+    "agg_corr" -> { (s, d) =>
+      import graft.functions.functions.decimal_to_double_duckdb
+      val q = col("l_quantity"); val p = col("l_extendedprice")
+      // the price-squared sum's unscaled value crosses 2^64, where
+      // DuckDB's decimal->double cast double-rounds — every moment sum
+      // therefore converts through the DuckDB-mimicking expression
+      // (exact for the small sums, 1-ulp-matching for the large)
+      def msum(c: Column): Column =
+        decimal_to_double_duckdb(sum(c.cast(DecimalType(28, 6))))
+      Tables(s, d).lineitem
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("double").as("n"),
+          msum(q).as("sx"), msum(p).as("sy"),
+          msum(q * q).as("sxx"), msum(p * p).as("syy"),
+          msum(q * p).as("sxy"))
+        .select(col("l_returnflag"),
+          // every term uses the proven `a - b*c/n` tree from agg_variance:
+          // the n*sxy - sx*sy spelling diverged by ~2 ulp (C++-side FP
+          // contraction of the two-product subtraction; Java forbids it)
+          ((col("sxy") - col("sx") * col("sy") / col("n")) / col("n"))
+            .as("covar_pop"),
+          (((col("sxy") - col("sx") * col("sy") / col("n")) / col("n")) /
+            (sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")) *
+              sqrt((col("syy") - col("sy") * col("sy") / col("n")) / col("n"))))
+            .as("corr"))
+        .orderBy("l_returnflag")
+    },
     // Per-group mode (most frequent value, smallest-value tiebreak):
     // count aggregate then a rank-1 window — WindowGroupLimit keeps one
     // row per (group, partition) before the shuffle.
@@ -584,6 +618,21 @@ object AnalyticsExt {
         |  CAST(len(string_split_regex(text, ' value ')) AS INT)
         |    AS n_value_splits
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "agg_corr" ->
+      s"""WITH m AS (SELECT l_returnflag,
+         |    CAST(count(*) AS DOUBLE) AS n,
+         |    ${sqlSum("l_quantity")} AS sx,
+         |    ${sqlSum("l_extendedprice")} AS sy,
+         |    ${sqlSum("l_quantity * l_quantity")} AS sxx,
+         |    ${sqlSum("l_extendedprice * l_extendedprice")} AS syy,
+         |    ${sqlSum("l_quantity * l_extendedprice")} AS sxy
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag,
+         |  (sxy - sx * sy / n) / n AS covar_pop,
+         |  ((sxy - sx * sy / n) / n) /
+         |    (sqrt((sxx - sx * sx / n) / n) *
+         |     sqrt((syy - sy * sy / n) / n)) AS corr
+         |FROM m ORDER BY l_returnflag""".stripMargin,
     "agg_mode" ->
       """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
         |  FROM lineitem GROUP BY 1, 2),
