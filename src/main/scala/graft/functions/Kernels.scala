@@ -299,23 +299,27 @@ object Kernels {
     inter.toDouble / (sa.size + sb.size - inter).toDouble
   }
 
-  /** Z-order (Morton) interleave of the low 20 bits of two non-negative
-    * keys: bit i of `a` lands at position 2i, bit i of `b` at 2i+1. The
-    * multi-dimensional clustering key lakehouse tables sort by so range
-    * predicates on EITHER column prune contiguous file ranges. Formula is
-    * plain shift/mask arithmetic so the DuckDB oracle replicates it
-    * bit-for-bit.
+  /** Z-order (Morton) interleave of the low 32 bits of two non-negative
+    * keys: bit i of `a` lands at position 2i, bit i of `b` at 2i+1 — z
+    * fills all 64 bits. The multi-dimensional clustering key lakehouse
+    * tables sort by so range predicates on EITHER column prune contiguous
+    * file ranges. 32-bit width (r5, was 20) covers every TPC-H key domain
+    * through sf~700k; the ordering is identical for keys < 2^20, so the
+    * widening is oracle-compatible. Formula is plain shift/mask
+    * arithmetic so the DuckDB oracle replicates it bit-for-bit (bit 31 of
+    * `b` lands in the sign bit in BOTH engines' two's-complement BIGINT,
+    * so even that extreme sorts identically).
     */
   def zorder2(a: Long, b: Long): Long = {
-    // loud failure instead of silent truncation: keys >= 2^20 (or
+    // loud failure instead of silent truncation: keys >= 2^32 (or
     // negative) would alias onto the same z value, degrading the
     // clustering property to hash-like collisions — and the oracle
     // replicates the same truncation, so the gate could never catch it
-    require(((a | b) >>> 20) == 0L,
-      s"zorder2 keys must be in [0, 2^20), got ($a, $b)")
+    require(((a | b) >>> 32) == 0L,
+      s"zorder2 keys must be in [0, 2^32), got ($a, $b)")
     var z = 0L
     var i = 0
-    while (i < 20) {
+    while (i < 32) {
       z |= ((a >> i) & 1L) << (2 * i)
       z |= ((b >> i) & 1L) << (2 * i + 1)
       i += 1

@@ -248,6 +248,58 @@ object AnalyticsTpch {
         .select("s_suppkey", "s_name", "n_name")
         .orderBy("s_suppkey")
     },
+    // TPC-H Q11-style (important stock identification): per-part value held
+    // by one nation's suppliers, keeping parts whose value exceeds a
+    // fraction of the GLOBAL value — the aggregate-gated-by-scalar-
+    // fraction-of-itself shape. The corpus has no partsupp, so "stock
+    // value" is sum(l_extendedprice * l_quantity) over that nation's
+    // lineitems. Scale shape: the nation's supplier set broadcasts as a
+    // semi-join into the fact scan; the fact table shuffles ONCE (the
+    // per-part aggregate); the global scalar re-aggregates the tiny
+    // per-part view (exact decimals make the two-level sum identical to a
+    // direct sum) and broadcasts as a 1-row crossJoin. The gating compare
+    // is integer-scaled (value * 5000 > tot, i.e. fraction 0.02%) so both
+    // engines compare identically-derived doubles — no threshold rounding.
+    "q11_important_stock" -> { (s, d) =>
+      val t = Tables(s, d)
+      val natSupp = broadcast(t.supplier
+        .join(t.nation.filter(col("n_name") === "NATION_3"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey"))
+      val perPart = t.lineitem
+        .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(dsum(s, col("l_extendedprice") * col("l_quantity"))
+          .as("value"))
+      val total = perPart.agg(dsum(s, col("value")).as("tot"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("value") * lit(5000) > col("tot"))
+        .select("l_partkey", "value")
+        .orderBy(col("value").desc, col("l_partkey").asc)
+    },
+    // TPC-H Q12-style (shipping modes and order priority): two-way
+    // conditional counts — per "mode", how many high-priority vs
+    // low-priority orders shipped in the window. The corpus has no
+    // l_shipmode, so l_returnflag restricted to two values stands in for
+    // the two-mode IN list, keeping Q12's exact shape: single scan of each
+    // table, ONE join (orders⋈lineitem on the order key), and the
+    // two-way split as conditional aggregation inside one partial+final
+    // aggregate — never two scans or a pivot.
+    "q12_shipmode_priority" -> { (s, d) =>
+      val t = Tables(s, d)
+      val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t.lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_returnflag").isin("A", "R"))
+        .select("l_orderkey", "l_returnflag")
+        .join(t.orders.select("o_orderkey", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!isHigh, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    },
     // TPC-H Q22-style (global sales opportunity): customers with
     // above-average account balance and no recent orders. The average is a
     // 1-row broadcast scalar (exact decimal, so the > compare is
@@ -385,6 +437,29 @@ object AnalyticsTpch {
          |  GROUP BY l_suppkey
          |  HAVING ${sqlSum("l_quantity")} > 400.0)
          |ORDER BY s_suppkey""".stripMargin,
+    "q11_important_stock" ->
+      s"""WITH pp AS (SELECT l_partkey,
+         |    ${sqlSum("l_extendedprice * l_quantity")} AS value
+         |  FROM lineitem
+         |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+         |    JOIN nation ON s_nationkey = n_nationkey
+         |    WHERE n_name = 'NATION_3')
+         |  GROUP BY l_partkey),
+         |t AS (SELECT ${sqlSum("value")} AS tot FROM pp)
+         |SELECT l_partkey, value FROM pp, t
+         |WHERE value * 5000 > tot
+         |ORDER BY value DESC, l_partkey ASC""".stripMargin,
+    "q12_shipmode_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_returnflag IN ('A', 'R')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q22_idle_customers" ->
       s"""SELECT n_name, count(*) AS numcust,
          |  ${sqlSum("c_acctbal")} AS totacctbal

@@ -320,22 +320,31 @@ object DataOps {
     },
     // CDC-style snapshot diff: classify every key as added / removed /
     // changed between two corpus snapshots (the update set re-processed,
-    // one id slice present only in each snapshot). One full-outer join on
-    // the key — the only join form that can emit unmatched rows from BOTH
-    // sides — then a codegen'd status classifier; 'same' rows (the
-    // overwhelming majority at scale) are dropped before the presentation
-    // sort, so the output is the delta, not the corpus.
+    // one id slice present only in each snapshot). Both snapshots derive
+    // from the SAME base table, so the textbook full-outer join (covered
+    // by `join_full`) is avoidable entirely: ONE scan computes membership
+    // flags + both md5s conditionally, then the status classifier — zero
+    // joins, zero shuffles except the final delta-sized sort. Better
+    // still, a row can only be 'changed' when it is in the update set,
+    // and added/removed membership is a cheap modulo predicate — so the
+    // candidate pre-filter (a superset of the delta: spurious candidates
+    // whose re-processed md5 is unchanged fall out at the status filter)
+    // prunes ~4/5 of the corpus BEFORE any md5 is computed. At 100 TB
+    // this is the difference between hashing the corpus twice plus a
+    // corpus-sized SMJ and one pruned codegen'd map.
     "data_snapshot_diff" -> { (s, d) =>
       val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
       val isUpd = pmod(xxhash64(
         concat(lit("U"), col("doc_id").cast("string"))), lit(5)) === 0
-      val oldSnap = docs.filter(col("doc_id") % 17 =!= 5)
-        .select(col("doc_id"), md5(col("text")).as("old_md5"))
-      val newSnap = docs.filter(col("doc_id") % 17 =!= 3)
+      val inOld = col("doc_id") % 17 =!= 5
+      val inNew = col("doc_id") % 17 =!= 3
+      docs
+        .filter(!inOld || !inNew || isUpd)
         .select(col("doc_id"),
-          md5(when(isUpd, upper(col("text"))).otherwise(col("text")))
+          when(inOld, md5(col("text"))).as("old_md5"),
+          when(inNew,
+            md5(when(isUpd, upper(col("text"))).otherwise(col("text"))))
             .as("new_md5"))
-      oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
         .withColumn("status",
           when(col("old_md5").isNull, "added")
             .when(col("new_md5").isNull, "removed")
@@ -609,11 +618,12 @@ object DataOps {
          |WHERE status <> 'same' ORDER BY doc_id""".stripMargin
   )
 
-  /** Oracle spelling of [[graft.functions.Kernels.zorder2]]: the same 20
-    * bit positions per column, OR-combined.
+  /** Oracle spelling of [[graft.functions.Kernels.zorder2]]: the same 32
+    * bit positions per column, OR-combined (DuckDB BIGINT shifts share
+    * Scala's two's-complement wraparound, so even bit 63 agrees).
     */
   private def zorderSql(a: String, b: String): String =
-    (0 until 20).map(i =>
+    (0 until 32).map(i =>
       s"((($a >> $i) & 1) << ${2 * i}) | ((($b >> $i) & 1) << ${2 * i + 1})")
       .mkString("(", " | ", ")")
 

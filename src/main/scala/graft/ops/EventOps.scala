@@ -353,10 +353,15 @@ object EventOps {
         |ORDER BY spine.hb""".stripMargin,
     // TRY_CAST (not CAST): Spark's from_json yields NULL for a mistyped k
     // where a plain DuckDB CAST would hard-error — TRY_CAST mirrors the
-    // null-on-miss semantics; NULLS FIRST mirrors Spark's asc default
+    // null-on-miss semantics; NULLS FIRST mirrors Spark's asc default.
+    // The inner TRY_CAST(props AS JSON) (ADVICE r4) extends the parity to
+    // MALFORMED documents: from_json returns null row-wise where a bare
+    // props->>'k' would hard-error the whole oracle query, so the null
+    // path now agrees even off the well-formed corpus.
     "events_json_schema" ->
-      """SELECT TRY_CAST(props->>'k' AS BIGINT) % 10 AS k_mod,
-        |  count(TRY_CAST(props->>'k' AS BIGINT)) AS n
+      """SELECT TRY_CAST(TRY_CAST(props AS JSON)->>'k' AS BIGINT) % 10
+        |    AS k_mod,
+        |  count(TRY_CAST(TRY_CAST(props AS JSON)->>'k' AS BIGINT)) AS n
         |FROM events GROUP BY 1 ORDER BY k_mod NULLS FIRST""".stripMargin,
     "events_anomaly_zscore" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value,

@@ -207,4 +207,35 @@ class DataOpsSpec extends GraftSuite {
       .digest(scrubbed26.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(got(1)._3 == want, s"hash ${got(1)._3} != $want")
   }
+
+  test("snapshot diff: join-free plan, result equals the full-outer form") {
+    val df = DataOps.queries("data_snapshot_diff")(spark, sfDir)
+    // r5 plan pin: the rewrite must stay a single pre-filtered scan —
+    // any join (the old full-outer SMJ) is a regression at 100 TB
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan)
+    // semantic pin: the join-free classifier is row-for-row the textbook
+    // full-outer CDC diff it replaced (built inline as the ground truth)
+    val docs = Tables(spark, sfDir).documents.select(col("doc_id"), col("text"))
+    val isUpd = pmod(xxhash64(
+      concat(lit("U"), col("doc_id").cast("string"))), lit(5)) === 0
+    val oldSnap = docs.filter(col("doc_id") % 17 =!= 5)
+      .select(col("doc_id"), md5(col("text")).as("old_md5"))
+    val newSnap = docs.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        md5(when(isUpd, upper(col("text"))).otherwise(col("text")))
+          .as("new_md5"))
+    val joined = oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") =!= col("new_md5"), "changed")
+          .otherwise("same"))
+      .filter(col("status") =!= "same")
+      .select("doc_id", "status", "old_md5", "new_md5")
+      .orderBy("doc_id")
+    val got = df.collect().toSeq
+    assert(got.nonEmpty)
+    assert(got == joined.collect().toSeq)
+  }
 }

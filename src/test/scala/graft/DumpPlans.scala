@@ -73,10 +73,11 @@ object DumpPlans {
       "q21_blame_supplier" -> ("EXISTS + NOT EXISTS over the same fact " +
         "table: one left-semi and one left-anti self-join, both " +
         "shuffling on the order key with supplier-mismatch residuals"),
-      "data_snapshot_diff" -> ("CDC diff: one full-outer sort-merge join " +
-        "on the key (the only join form emitting unmatched rows from " +
-        "both sides), codegen'd status classifier, 'same' majority " +
-        "dropped before the sort"),
+      "data_snapshot_diff" -> ("CDC diff, join-free: both snapshots " +
+        "derive from one table, so a single scan computes membership " +
+        "flags + both md5s conditionally; cheap modulo/update-set " +
+        "pre-filter prunes ~4/5 of the corpus before any md5; only the " +
+        "delta reaches the presentation sort"),
       "text_tfidf_topk" -> ("tf aggregate on (doc, token), df over the " +
         "tf table, 1-row corpus count broadcast, WindowGroupLimit top-3 " +
         "per doc before the rank sort"))

@@ -130,14 +130,27 @@ class FunctionsSpec extends GraftSuite {
   test("zorder2 interleaves bits exactly (and is column-symmetric-shifted)") {
     import spark.implicits._
     import graft.functions.functions.zorder2
-    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 1L), (1L << 19, 1L))
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 1L), (1L << 19, 1L),
+      // r5: 32-bit key domain — bit 31 of a → position 62, of b → 63
+      ((1L << 31) | 1L, 0L), (0L, 1L << 31))
       .toDF("a", "b")
       .select(zorder2(org.apache.spark.sql.functions.col("a"),
         org.apache.spark.sql.functions.col("b")))
       .as[Long].collect()
     // bit i of a → 2i; bit i of b → 2i+1
-    assert(rows.toSeq == Seq(0L, 1L, 2L, 7L, (1L << 38) | 2L),
-      rows.toSeq.toString)
+    assert(rows.toSeq == Seq(0L, 1L, 2L, 7L, (1L << 38) | 2L,
+      (1L << 62) | 1L, 1L << 63), rows.toSeq.toString)
+    // keys at/over 2^32 fail loudly (no silent aliasing); depending on
+    // whether constant folding evaluates on the driver, the require
+    // surfaces bare or wrapped in a SparkException
+    val err = intercept[Exception] {
+      Seq((1L << 32, 0L)).toDF("a", "b")
+        .select(zorder2(org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b")))
+        .as[Long].collect()
+    }
+    assert(err.toString.contains("zorder2") ||
+      Option(err.getCause).exists(_.toString.contains("zorder2")), err)
   }
 
   private object Tables0 {

@@ -49,6 +49,8 @@ class PlanCheckSpec extends GraftSuite {
                           // (encoding) + 10-query set broadcast (ADC)
     "q22_idle_customers", // 1-row average-balance scalar broadcast under
                           // the customer table (the Q22 gating predicate)
+    "q11_important_stock", // 1-row global-value scalar broadcast under the
+                          // per-part aggregate (the Q11 fraction gate)
     "data_bloom_dedup",   // 1-row bloom blob broadcast under the new-epoch
                           // scan (the probe side of the prefilter)
     "text_tfidf_topk",    // 1-row corpus-count aggregate broadcast under
@@ -64,8 +66,10 @@ class PlanCheckSpec extends GraftSuite {
     * robust full-outer shape (hash variants buffer an unbounded unmatched
     * side). Everything else must plan hash or broadcast joins.
     */
-  private val smjWhitelist = Set("join_full",
-    "data_snapshot_diff") // CDC diff is a full-outer join on the key
+  private val smjWhitelist = Set("join_full")
+  // data_snapshot_diff deliberately NOT here (r5): rewritten join-free —
+  // a single pre-filtered scan; the gate now catches any regression back
+  // to the full-outer SMJ shape.
 
   test("gate: no unplanned cartesian joins, no sort-merge joins, anywhere") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -95,4 +95,32 @@ class SourceSpec extends GraftSuite {
     val first = df.orderBy("id").collect().map(_.getLong(0))
     assert(first.head >= 10L)
   }
+
+  test("residual (non-pushable) filter blocks complete aggregate pushdown") {
+    // ADVICE r4: canPushAgg's exactness rests on the framework invariant
+    // that V2ScanRelationPushDown skips pushDownAggregates whenever
+    // residual post-scan filters remain. Assert it, don't assume it: a
+    // tag filter stays residual, so the ungrouped count/min/max must NOT
+    // claim complete pushdown — and the values must come from the real
+    // row stream (100 ids, 10 with tag t3), not the unfiltered range.
+    val df = synth(100).filter(col("tag") === "t3")
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+        max(col("id")).as("mx"))
+    val row = df.collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ==
+      ((10L, 3L, 93L)), row.toString)
+    val desc = scanDesc(df)
+    assert(!desc.contains("PushedAggregation"),
+      s"aggregate wrongly pushed past a residual filter:\n$desc")
+    // mixed pushable + residual: the id range IS absorbed, the aggregate
+    // still must not push (the residual tag filter remains post-scan)
+    val df2 = synth(100).filter(col("tag") === "t3" && col("id") >= 50L)
+      .agg(count(lit(1)).as("n"), max(col("id")).as("mx"))
+    val r2 = df2.collect()(0)
+    assert((r2.getLong(0), r2.getLong(1)) == ((5L, 93L)), r2.toString)
+    val d2 = scanDesc(df2)
+    assert(!d2.contains("PushedAggregation"),
+      s"aggregate wrongly pushed past a residual filter:\n$d2")
+    assert(d2.contains("range=[50,100)"), s"pushable range filter lost:\n$d2")
+  }
 }

@@ -94,6 +94,49 @@ class TpchSpec extends GraftSuite {
     }
   }
 
+  test("q11: fact shuffle reused for the scalar; gate broadcasts; prunes") {
+    val df = AnalyticsTpch.queries("q11_important_stock")(spark, sfDir)
+    val rows = df.collect()
+    // final (post-AQE) plan: the global scalar re-aggregates the per-part
+    // view, whose shuffle AQE must REUSE — the fact table is physically
+    // scanned/shuffled once even though two branches consume it
+    val p = df.queryExecution.executedPlan.toString
+    assert(countOcc(p, "lineitem.parquet") == 1 ||
+      p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"fact scanned twice, shuffle not reused:\n$p")
+    assert(p.contains("LeftSemi"), s"supplier gate not a semi join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), s"scalar not broadcast:\n$p")
+    assert(rows.nonEmpty, "q11 gate selects nothing")
+    // the gate must actually prune: kept parts are a strict subset
+    val allParts = spark.read.parquet(s"$sfDir/part.parquet").count()
+    assert(rows.length < allParts, "q11 gate kept every part")
+  }
+
+  test("q12: one scan each, one join, two-way counts partition exactly") {
+    val df = AnalyticsTpch.queries("q12_shipmode_priority")(spark, sfDir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(countOcc(p, "lineitem.parquet") == 1, s"fact scanned twice:\n$p")
+    assert(countOcc(p, "orders.parquet") == 1, s"orders scanned twice:\n$p")
+    // conditional aggregation, not a pivot/union: exactly one join node
+    assert(countOcc(p, "Join") >= 1 && !p.contains("Union"), p)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // high + low == all joined lines per mode (the split is a partition)
+    import org.apache.spark.sql.functions._
+    val t = graft.ops.Tables(spark, sfDir)
+    val totals = t.lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_returnflag").isin("A", "R"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == totals(r.getString(0)), r.toString)
+    }
+  }
+
   private def countOcc(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
 }
