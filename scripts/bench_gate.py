@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Mechanical per-query regression gate over the standalone bench series.
+
+Compares a fresh `scripts/bench_standalone.sh` output against the committed
+reference artifact (BENCH_LOCAL_r{N}.json): any contract query whose new
+median exceeds 2x its recorded median (and is over an absolute floor, so
+sub-100ms jitter never trips) fails the gate. Queries new to the suite are
+reported informationally.
+
+Usage: bench_gate.py <reference.json> <new_output.json> [factor=2.0]
+
+Both files are Bench stdout captures; the first line (metric=runs) carries
+every repeat, from which medians are derived. Run-1 of a fresh JVM carries
+per-query codegen/JIT cost — medians discard it by construction.
+"""
+import json
+import sys
+
+
+def medians(path):
+    with open(path) as f:
+        for line in f:
+            if line.startswith("{"):
+                d = json.loads(line)
+                if d.get("metric") == "runs":
+                    return {
+                        q: sorted(runs)[len(runs) // 2]
+                        for q, runs in d["queries"].items()
+                        if all(r >= 0 for r in runs)
+                    }
+    raise SystemExit(f"no runs line in {path} (run bench_standalone.sh "
+                     "with repeats >= 2)")
+
+
+def main():
+    ref_path, new_path = sys.argv[1], sys.argv[2]
+    factor = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
+    floor = 0.25  # seconds: below this, ratios are scheduler noise
+    ref, new = medians(ref_path), medians(new_path)
+    regressed, added = [], sorted(set(new) - set(ref))
+    for q in sorted(set(ref) & set(new)):
+        if new[q] > factor * ref[q] and new[q] > floor:
+            regressed.append((q, ref[q], new[q]))
+    for q in added:
+        print(f"NEW     {q}: {new[q]:.3f}s (no recorded median)")
+    for q, r, n in regressed:
+        print(f"REGRESS {q}: {r:.3f}s -> {n:.3f}s ({n / r:.1f}x)")
+    if regressed:
+        sys.exit(1)
+    print(f"OK: {len(set(ref) & set(new))} queries within {factor}x "
+          f"of recorded medians")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+package graft.cascades
+
+/** SQL front end for MiniCascades — the missing entry point of the
+  * reference's golden harness (`datafusion-dolomite-integration/tests/
+  * utils/mod.rs:78-83` parses each YAML case's SQL with sqlparser and
+  * lowers it through `from_df_logical` before optimizing). MiniCascades
+  * goldens previously built IR trees programmatically; this closes the
+  * literal-fidelity gap: a sql string → [[PlanNode]] mini-parser covering
+  * exactly the reference IR's expressible surface (scan / equi-join /
+  * equality filter / projection / limit — `dolomite/src/operator/
+  * mod.rs:26-47`, with expressions limited to columns and equality as in
+  * `conversion/physical.rs:120-129`).
+  *
+  * Grammar (case-insensitive keywords, whitespace-separated):
+  * {{{
+  * SELECT ( '*' | col [, col]* )
+  * FROM table
+  * [ (JOIN | LEFT JOIN | FULL JOIN) table ON col = col ]*
+  * [ WHERE col = col ]
+  * [ LIMIT n ]
+  * }}}
+  *
+  * Lowering mirrors the reference's SqlToRel output shape (visible in
+  * `resources/limit.yaml` goldens): joins fold left-deep over scans, the
+  * WHERE equality becomes a [[LogicalFilter]], an explicit column list
+  * becomes a [[LogicalProject]] ON TOP of the filter, and LIMIT tops the
+  * tree. `SELECT *` expands to the full schema projection when the
+  * catalog provides columns for the (single) table — the reference's
+  * limit.yaml case-1 golden shape — and omits the projection node
+  * otherwise (no schema to expand from; MiniCascades carries no
+  * catalog-resolved types).
+  */
+object SqlFrontend {
+
+  /** Parse `sql` into reference-shaped logical IR.
+    *
+    * @param schema optional table → columns catalog, used only to expand
+    *               `SELECT *` into an explicit projection like the
+    *               reference's planner does.
+    */
+  def parse(sql: String,
+      schema: Map[String, Seq[String]] = Map.empty): PlanNode = {
+    val toks = tokenize(sql)
+    val p = new Parser(toks)
+    p.expectKw("SELECT")
+    val projection: Option[Seq[Col]] =
+      if (p.peek.contains("*")) { p.next(); None }
+      else Some(p.identList().map(Col))
+    p.expectKw("FROM")
+    val firstTable = p.ident()
+    var plan = PlanNode(LogicalScan(firstTable))
+    var joined = false
+    while (p.peekKw("JOIN") || p.peekKw("LEFT") || p.peekKw("FULL")) {
+      val jt =
+        if (p.peekKw("JOIN")) { p.next(); JoinType.Inner }
+        else if (p.peekKw("LEFT")) { p.next(); p.expectKw("JOIN"); JoinType.Left }
+        else { p.next(); p.expectKw("JOIN"); JoinType.Full }
+      val right = PlanNode(LogicalScan(p.ident()))
+      p.expectKw("ON")
+      val (l, r) = p.equality()
+      plan = PlanNode(LogicalJoin(jt, EqCond(l, r)), Seq(plan, right))
+      joined = true
+    }
+    if (p.peekKw("WHERE")) {
+      p.next()
+      val (l, r) = p.equality()
+      // projected_columns empty = keep all (operator/filter.rs:14-27
+      // carries the projection list separately from the predicate)
+      plan = PlanNode(LogicalFilter(EqCond(l, r), Nil), Seq(plan))
+    }
+    projection match {
+      case Some(cols) => plan = PlanNode(LogicalProject(cols), Seq(plan))
+      case None if !joined && schema.contains(firstTable) =>
+        // SELECT * over one cataloged table: expand like the reference's
+        // planner (limit.yaml golden 1 keeps an explicit projection)
+        plan = PlanNode(
+          LogicalProject(schema(firstTable).map(Col)), Seq(plan))
+      case None => // no catalog entry (or a join): leave the tree bare
+    }
+    if (p.peekKw("LIMIT")) {
+      p.next()
+      plan = PlanNode(LogicalLimit(p.int()), Seq(plan))
+    }
+    p.expectEnd()
+    plan
+  }
+
+  private def tokenize(sql: String): Vector[String] =
+    sql.replace(",", " , ").replace("=", " = ")
+      .split("\\s+").iterator.filter(_.nonEmpty).toVector
+
+  /** Hand-rolled LL(1) cursor — four token kinds (keyword, identifier,
+    * integer, punctuation) are all this grammar needs; errors carry the
+    * offending token and position so golden-corpus typos fail loudly.
+    */
+  private final class Parser(toks: Vector[String]) {
+    private var pos = 0
+    def peek: Option[String] = toks.lift(pos)
+    def next(): String = {
+      val t = toks.lift(pos).getOrElse(
+        throw new IllegalArgumentException("unexpected end of SQL"))
+      pos += 1; t
+    }
+    def peekKw(kw: String): Boolean =
+      peek.exists(_.equalsIgnoreCase(kw))
+    def expectKw(kw: String): Unit = {
+      val t = next()
+      require(t.equalsIgnoreCase(kw), s"expected $kw at #$pos, got '$t'")
+    }
+    def ident(): String = {
+      val t = next()
+      require(t.headOption.exists(c => c.isLetter || c == '_'),
+        s"expected identifier at #$pos, got '$t'")
+      t
+    }
+    def identList(): Seq[String] = {
+      val buf = scala.collection.mutable.ArrayBuffer(ident())
+      while (peek.contains(",")) { next(); buf += ident() }
+      buf.toSeq
+    }
+    def int(): Int = {
+      val t = next()
+      require(t.forall(_.isDigit), s"expected integer at #$pos, got '$t'")
+      t.toInt
+    }
+    def equality(): (Col, Col) = {
+      val l = ident(); expectKw("="); (Col(l), Col(ident()))
+    }
+    def expectEnd(): Unit =
+      require(pos == toks.length,
+        s"trailing tokens from #$pos: ${toks.drop(pos).mkString(" ")}")
+  }
+}

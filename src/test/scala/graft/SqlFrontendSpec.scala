@@ -1,0 +1,82 @@
+package graft
+
+import graft.cascades._
+
+/** The sql-string entry point for MiniCascades goldens — the literal
+  * counterpart of the reference harness (`tests/utils/mod.rs:78-83`
+  * parses YAML-cased SQL, lowers, optimizes, and compares the explain
+  * string). The first two cases ARE `resources/limit.yaml`'s, re-expressed
+  * over the MiniCascades explain format: select-star projection over a
+  * scan, and a limit absorbed into the scan by the three limit rules.
+  */
+class SqlFrontendSpec extends GraftSuite {
+
+  private val t1Schema = Map("t1" -> Seq("f1", "f2", "last_name", "state"))
+
+  private case class GoldenCase(sql: String, expected: String)
+
+  // the reference corpus, MiniCascades spelling (limit.yaml cases 1-2)
+  private val corpus = Seq(
+    GoldenCase(
+      "select * from t1",
+      """LogicalProjection(Col(f1),Col(f2),Col(last_name),Col(state))
+        |  LogicalScan(t1)""".stripMargin),
+    GoldenCase(
+      "select * from t1 limit 5",
+      """LogicalProjection(Col(f1),Col(f2),Col(last_name),Col(state))
+        |  LogicalScan(t1, limit=5)""".stripMargin))
+
+  test("golden: limit.yaml corpus via SQL → HEP → explain, string-equal") {
+    val hep = new HepOptimizer(Rules.rewriteRules)
+    corpus.foreach { c =>
+      val got = hep.optimize(SqlFrontend.parse(c.sql, t1Schema)).explain()
+      assert(got == c.expected, s"\nsql: ${c.sql}\ngot:\n$got")
+    }
+  }
+
+  test("parser: join/filter/projection/limit lower to reference IR shapes") {
+    val plan = SqlFrontend.parse(
+      "SELECT a, b FROM s JOIN r ON x = y WHERE a = c LIMIT 7")
+    assert(plan ==
+      PlanNode(LogicalLimit(7), Seq(
+        PlanNode(LogicalProject(Seq(Col("a"), Col("b"))), Seq(
+          PlanNode(LogicalFilter(EqCond(Col("a"), Col("c")), Nil), Seq(
+            PlanNode(LogicalJoin(JoinType.Inner, EqCond(Col("x"), Col("y"))),
+              Seq(PlanNode(LogicalScan("s")),
+                PlanNode(LogicalScan("r")))))))))),
+      plan.explain())
+  }
+
+  test("parser: left/full join types; joins fold left-deep") {
+    val plan = SqlFrontend.parse(
+      "SELECT * FROM a LEFT JOIN b ON k = k2 FULL JOIN c ON k3 = k4")
+    val top = plan.op.asInstanceOf[LogicalJoin]
+    assert(top.joinType == JoinType.Full && top.cond ==
+      EqCond(Col("k3"), Col("k4")))
+    val inner = plan.inputs(0).op.asInstanceOf[LogicalJoin]
+    assert(inner.joinType == JoinType.Left)
+    assert(plan.inputs(1).op == LogicalScan("c"))
+  }
+
+  test("parser: sql through the full cascades search implements physically") {
+    val best = new CascadesOptimizer()
+      .optimize(SqlFrontend.parse("SELECT f1 FROM t1 LIMIT 3", t1Schema))
+    assert(best.isDefined)
+    val s = best.get.explain()
+    // limit absorbed into the physical scan (no physical Limit exists in
+    // the IR, faithfully to operator/physical.rs:15-20)
+    assert(s.contains("PhysicalTableScan(t1, limit=3)"), s)
+    assert(s.contains("PhysicalProjection"), s)
+  }
+
+  test("parser: malformed SQL fails loudly with the offending token") {
+    val bad = Seq(
+      "SELECT FROM t1",                 // missing column list
+      "SELECT * FROM t1 LIMIT x",       // non-integer limit
+      "SELECT * FROM t1 extra",         // trailing tokens
+      "SELECT a FROM t1 WHERE a > b")   // only equality is expressible
+    bad.foreach { sql =>
+      intercept[IllegalArgumentException](SqlFrontend.parse(sql))
+    }
+  }
+}
