@@ -158,6 +158,35 @@ object AnalyticsExt {
           (1 to 5).map(i => try_element_at(col("top5"), lit(i)).as(s"p$i")): _*)
         .orderBy("o_orderstatus")
     },
+    // Mergeable fixed-bin histogram quantiles (r5): the fourth sketch —
+    // equi-width bin counts are the simplest MERGEABLE quantile summary
+    // (union = vector add, the property t-digest/KLL refine), and unlike
+    // those, every step here is exact integer/IEEE arithmetic the DuckDB
+    // oracle replicates bit-for-bit: bin = floor(price / 840.0) capped at
+    // 127 (840 = 107520/128 is exactly representable, so the division
+    // rounds identically in both engines), per-group cumulative counts,
+    // and quantile q = upper edge of the first bin where cum*100 >= n*q
+    // (integer cross-multiplication — no double threshold). Scale shape:
+    // one partial+final aggregate shuffles ≤ groups×128 bin rows; the
+    // quantile extraction windows over that tiny table, never the data.
+    "agg_quantile_hist" -> { (s, d) =>
+      val bin = least(lit(127),
+        floor(col("l_extendedprice") / lit(840.0)).cast("int"))
+      val hist = Tables(s, d).lineitem
+        .groupBy(col("l_returnflag"), bin.as("bin"))
+        .agg(count(lit(1)).as("c"))
+      val cw = Window.partitionBy("l_returnflag").orderBy("bin")
+      val tw = Window.partitionBy("l_returnflag")
+      val cum = hist
+        .withColumn("cum", sum(col("c")).over(cw))
+        .withColumn("n", sum(col("c")).over(tw))
+      def qcol(p: Int): Column =
+        min(when(col("cum") * lit(100L) >= col("n") * lit(p.toLong),
+          (col("bin") + lit(1)) * lit(840.0))).as(s"p$p")
+      cum.groupBy("l_returnflag")
+        .agg(max(col("n")).as("n"), qcol(50), qcol(95), qcol(99))
+        .orderBy("l_returnflag")
+    },
     // Approximate sketches, three of them:
     //  - KMV (k-minimum-values) distinct sketch: hash each distinct key,
     //    keep the k smallest hashes; NDV ≈ (k-1)·2^64 / (u_k + 1). The
@@ -711,6 +740,26 @@ object AnalyticsExt {
          |  TRUE AS hll_within_15pct, TRUE AS median_within_2
          |FROM ex LEFT JOIN kth USING (l_returnflag)
          |ORDER BY l_returnflag""".stripMargin,
+    // Same binning, same cumulative counts, same integer
+    // cross-multiplied thresholds — the histogram sketch is fully
+    // oracle-replicable, unlike the engine-private HLL/KLL internals.
+    "agg_quantile_hist" ->
+      """WITH h AS (SELECT l_returnflag,
+        |    LEAST(127, CAST(floor(l_extendedprice / 840.0) AS INT)) AS bin,
+        |    count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |cw AS (SELECT l_returnflag, bin, c,
+        |    sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+        |    sum(c) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM h)
+        |SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |  min(CASE WHEN cum * 100 >= n * 50
+        |      THEN (bin + 1) * CAST(840.0 AS DOUBLE) END) AS p50,
+        |  min(CASE WHEN cum * 100 >= n * 95
+        |      THEN (bin + 1) * CAST(840.0 AS DOUBLE) END) AS p95,
+        |  min(CASE WHEN cum * 100 >= n * 99
+        |      THEN (bin + 1) * CAST(840.0 AS DOUBLE) END) AS p99
+        |FROM cw GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     // Full HLL replication: signed xxh64 -> unsigned, bucket = top 8 bits,
     // rho via an exact integer leading-zero CASE cascade over the low 56
     // bits, per-bucket max registers, exact HUGEINT harmonic sum

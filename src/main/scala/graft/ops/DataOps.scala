@@ -318,6 +318,32 @@ object DataOps {
     "pipeline_pretrain" -> { (s, d) =>
       pipelinePretrainFrom(Tables(s, d).documents)
     },
+    // Mass-proportional SYSTEMATIC sampling (r5): select ~20 docs per
+    // language with probability proportional to n_chars, fully
+    // deterministic — the weighted counterpart of data_split_hash's
+    // uniform membership. Classic survey-sampling construction: per
+    // stratum, running mass cum_i over doc_id order, stride = total/20,
+    // and a doc is picked iff its mass interval (cum-w, cum] contains a
+    // stride multiple — pure integer division in BOTH engines (Spark
+    // `div`, DuckDB `//`), no RNG, no float thresholds. Scale shape: the
+    // prefix sum windows per-stratum (parallel across languages; a
+    // production single-stratum variant is the textbook two-pass
+    // distributed prefix sum — per-partition totals broadcast as offsets);
+    // everything else is a codegen'd map + filter.
+    "data_sample_systematic" -> { (s, d) =>
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      val tw = Window.partitionBy("lang")
+      Tables(s, d).documents
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("cum", sum(col("n_chars")).over(w))
+        .withColumn("total", sum(col("n_chars")).over(tw))
+        .withColumn("stride", expr("total div 20"))
+        .filter(col("stride") > 0 &&
+          expr("cum div stride") > expr("(cum - n_chars) div stride"))
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          expr("cum div stride").as("pick"))
+        .orderBy("lang", "doc_id")
+    },
     // CDC-style snapshot diff: classify every key as added / removed /
     // changed between two corpus snapshots (the update set re-processed,
     // one id slice present only in each snapshot). Both snapshots derive
@@ -600,6 +626,17 @@ object DataOps {
          |    AS text_md5,
          |  CASE WHEN ${updSetSql} THEN 'update' ELSE 'base' END AS src
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "data_sample_systematic" ->
+      """WITH c AS (SELECT lang, doc_id, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) AS cum,
+        |    sum(n_chars) OVER (PARTITION BY lang) AS total
+        |  FROM documents),
+        |s AS (SELECT lang, doc_id, n_chars, cum, total // 20 AS stride
+        |  FROM c)
+        |SELECT lang, doc_id, n_chars, CAST(cum // stride AS BIGINT) AS pick
+        |FROM s
+        |WHERE stride > 0 AND cum // stride > (cum - n_chars) // stride
+        |ORDER BY lang, doc_id""".stripMargin,
     "data_snapshot_diff" ->
       s"""WITH o AS (SELECT doc_id, md5(text) AS old_md5 FROM documents
          |           WHERE doc_id % 17 <> 5),

@@ -260,6 +260,24 @@ object StreamingOps {
         count_if(col("has_view")).as("n_view"),
         count_if(col("view_click")).as("n_view_click"),
         count_if(col("complete")).as("n_funnel_complete"))
+    },
+    // Fourth streaming parity row (r5): the watermark-bounded exact-dedup
+    // operator itself, oracle-gated. Duplicates are planted by keying on
+    // event_id % 1000 (10 events per key at sf0.01); the streaming
+    // dropDuplicatesWithinWatermark must emit each key EXACTLY once for
+    // the compare to pass — emitting only the key makes the result
+    // independent of WHICH duplicate survived (arrival order is not
+    // deterministic across partitions), so the oracle checks the dedup
+    // semantics, not an incidental row choice. No post-materialization
+    // distinct: if the streaming dedup under-dropped, duplicate keys
+    // reach the compare and fail loudly.
+    "events_dedup_stream" -> { (s, d) =>
+      val keyed = readEvents(s, d)
+        .withColumn("k", col("event_id") % 1000)
+      val deduped = dedupWithinWatermark(keyed, "event_ts", "48 hours",
+        Seq("k")).select("k")
+      runToMemory(deduped, "events_dedup_stream_sink", OutputMode.Append())
+        .orderBy("k")
     }
   )
 
@@ -302,6 +320,9 @@ object StreamingOps {
         |  count(*) FILTER (WHERE t_click > t_view) AS n_view_click,
         |  count(*) FILTER (WHERE t_click > t_view AND t_purchase > t_click)
         |    AS n_funnel_complete
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    // one row per planted key — any under-drop shows up as extra rows
+    "events_dedup_stream" ->
+      """SELECT DISTINCT event_id % 1000 AS k FROM events ORDER BY k"""
   )
 }

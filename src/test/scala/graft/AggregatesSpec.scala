@@ -59,6 +59,30 @@ class AggregatesSpec extends GraftSuite {
     assert(kth == 3L) // distinct sorted = 1,2,3,5; 3rd smallest = 3
   }
 
+  test("histogram quantiles land within one bin width of exact percentiles") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.AnalyticsExt
+      .queries("agg_quantile_hist")(spark, sfDir).collect()
+    val data = graft.ops.Tables(spark, sfDir).lineitem
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (flag, n) = (r.getString(0), r.getLong(1))
+      val xs = data(flag)
+      assert(n == xs.length.toLong)
+      Seq(50 -> r.getDouble(2), 95 -> r.getDouble(3), 99 -> r.getDouble(4))
+        .foreach { case (p, est) =>
+          // exact p-th percentile (ceil-rank definition, matching the
+          // cum*100 >= n*p threshold the sketch uses)
+          val exact = xs(((xs.length.toLong * p + 99) / 100 - 1).toInt)
+          assert(math.abs(est - exact) <= 840.0,
+            s"$flag p$p: est $est vs exact $exact")
+        }
+    }
+  }
+
   test("agg_approx_sketch plan has no KMV window sort or distinct shuffle") {
     val df = AnalyticsExt.queries("agg_approx_sketch")(spark, sfDir)
     df.queryExecution.toRdd.count()

@@ -208,6 +208,35 @@ class DataOpsSpec extends GraftSuite {
     assert(got(1)._3 == want, s"hash ${got(1)._3} != $want")
   }
 
+  test("systematic sample: ~20 mass-proportional picks per language, " +
+    "exactly the stride-multiple intervals") {
+    val got = DataOps.queries("data_sample_systematic")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // ground truth recomputed independently in plain Scala
+    val docs = Tables(spark, sfDir).documents
+      .select(col("lang"), col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = docs.groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val total = sorted.map(_._3).sum
+      val stride = total / 20
+      var cum = 0L
+      sorted.flatMap { case (_, id, w) =>
+        val prev = cum; cum += w
+        if (stride > 0 && cum / stride > prev / stride) Some(lang -> id)
+        else None
+      }
+    }.sortBy(identity)
+    assert(got.toSeq.sorted == want, s"got ${got.length}, want ${want.length}")
+    // per-language pick counts concentrate at the ~20 target (a doc whose
+    // mass spans multiple strides absorbs its extra picks, so the count
+    // can dip under 20 on tiny strata — never over 21)
+    got.groupBy(_._1).foreach { case (lang, picks) =>
+      assert(picks.length >= 12 && picks.length <= 21,
+        s"$lang picked ${picks.length}")
+    }
+  }
+
   test("snapshot diff: join-free plan, result equals the full-outer form") {
     val df = DataOps.queries("data_snapshot_diff")(spark, sfDir)
     // r5 plan pin: the rewrite must stay a single pre-filtered scan —

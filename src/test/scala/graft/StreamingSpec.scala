@@ -148,6 +148,17 @@ class StreamingSpec extends GraftSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
   }
 
+  test("events_dedup_stream emits each planted key exactly once (= batch)") {
+    val got = StreamingOps.queries("events_dedup_stream")(spark, sfDir)
+      .collect().map(_.getLong(0))
+    // exactly-once: no key twice, and the key set equals batch distinct
+    assert(got.distinct.length == got.length, "a key was emitted twice")
+    val want = graft.ops.Tables(spark, sfDir).events
+      .select((org.apache.spark.sql.functions.col("event_id") % 1000)
+        .as("k")).distinct().collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("streaming keyed session state matches batch per-user event counts") {
     val stream = StreamingOps.readEvents(spark, sfDir)
     val got = StreamingOps
