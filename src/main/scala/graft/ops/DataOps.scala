@@ -318,6 +318,31 @@ object DataOps {
     "pipeline_pretrain" -> { (s, d) =>
       pipelinePretrainFrom(Tables(s, d).documents)
     },
+    // Partitioned SINK demo (r5): the lakehouse write path, end to end —
+    // repartition BY the partition column (without it, every task writes
+    // a file into every partition directory: the files×partitions
+    // explosion that is the #1 real-world partitioned-write mistake),
+    // sortWithinPartitions for row-group clustering (min/max statistics
+    // stay tight so read-side predicate pushdown prunes row groups), then
+    // `partitionBy(lang)` parquet. The query result is the READ-BACK
+    // per-partition summary, so the oracle (straight SQL over the source
+    // table) verifies write→read roundtrip integrity; SinkSpec asserts
+    // partition pruning on the read-back path. Fixed output dir,
+    // overwrite mode: deterministic and self-cleaning per run.
+    "data_sink_partitioned" -> { (s, d) =>
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_sink_demo").toString
+      Tables(s, d).documents.select("doc_id", "lang", "n_chars")
+        .repartition(col("lang"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang")
+    },
     // Mass-proportional SYSTEMATIC sampling (r5): select ~20 docs per
     // language with probability proportional to n_chars, fully
     // deterministic — the weighted counterpart of data_split_hash's
@@ -626,6 +651,12 @@ object DataOps {
          |    AS text_md5,
          |  CASE WHEN ${updSetSql} THEN 'update' ELSE 'base' END AS src
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // the source table IS the roundtrip ground truth
+    "data_sink_partitioned" ->
+      """SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id,
+        |  max(doc_id) AS max_id, CAST(sum(n_chars) AS BIGINT)
+        |    AS total_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "data_sample_systematic" ->
       """WITH c AS (SELECT lang, doc_id, n_chars,
         |    sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) AS cum,
