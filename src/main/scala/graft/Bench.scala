@@ -14,6 +14,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the generated-class cache defaults to 100 entries; a 150-query
+      // suite churns that LRU, so later queries recompile their codegen
+      // on EVERY repeat — measured as stable ~2x inflation on whichever
+      // query lands in a churn window (BASELINE.md r5 worked example).
+      // Sizing it to the suite removes the artifact; plans are unchanged.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JVM/codegen/file-index startup must not be billed to
