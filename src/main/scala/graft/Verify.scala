@@ -18,8 +18,12 @@ object Verify {
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      catch {
+        // NonFatal only (mirrors the r5 Bench fix): an OOM'd JVM must
+        // abort the dump — a partial-but-plausible verify output is worse
+        // than a failed run
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       finally spark.catalog.clearCache() // query-local persists must not leak
     }

@@ -80,7 +80,20 @@ object DumpPlans {
         "delta reaches the presentation sort"),
       "text_tfidf_topk" -> ("tf aggregate on (doc, token), df over the " +
         "tf table, 1-row corpus count broadcast, WindowGroupLimit top-3 " +
-        "per doc before the rank sort"))
+        "per doc before the rank sort"),
+      "q11_important_stock" -> ("fraction-of-global gate: ONE fact " +
+        "shuffle builds the per-part aggregate; the global scalar " +
+        "re-aggregates that view through an AQE-reused shuffle stage " +
+        "and broadcasts under the integer-scaled compare"),
+      "agg_quantile_hist" -> ("mergeable histogram quantiles: " +
+        "partial+final bin counts (<= groups x 128 rows shuffle), " +
+        "cumulative window over the tiny hist table, integer " +
+        "cross-multiplied thresholds — the data is scanned once, " +
+        "windowed never"),
+      "data_sample_systematic" -> ("weighted systematic sample: " +
+        "per-stratum running-mass window + total window share one " +
+        "shuffle on lang; pick = pure integer stride arithmetic in a " +
+        "codegen'd filter"))
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.DumpPlans\"` " +

@@ -164,4 +164,34 @@ class ScaleSpec extends GraftSuite {
       "Exchange hashpartitioning".r.findAllIn(s).size == 1,
       s"expected exchange reuse:\n$s")
   }
+
+  test("histogram quantiles: data scanned once, windows only over the hist") {
+    val df = graft.ops.AnalyticsExt
+      .queries("agg_quantile_hist")(spark, sfDir)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // one fact scan; the partial+final bin-count aggregate is the only
+    // pass over data — both Window nodes sit ABOVE the aggregate (they
+    // process <= groups x 128 rows, never lineitem rows)
+    assert("lineitem\\.parquet".r.findAllIn(s).size == 1, s)
+    assert(s.contains("partial_count"), s)
+    assert("(?s)Window.*HashAggregate\\(keys=\\[l_returnflag[^,]*, _group"
+      .r.findFirstIn(s).isDefined,
+      s"windows must be above the bin-count aggregate:\n$s")
+  }
+
+  test("systematic sample: one shuffle on the stratum key, no join") {
+    val df = graft.ops.DataOps
+      .queries("data_sample_systematic")(spark, sfDir)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!s.toLowerCase.contains("join"), s)
+    // both windows (running mass + stratum total) share the lang shuffle
+    val langExchanges = "Exchange hashpartitioning\\(lang"
+      .r.findAllIn(s).size
+    assert(langExchanges == 1,
+      s"expected 1 lang shuffle, got $langExchanges:\n$s")
+  }
 }
