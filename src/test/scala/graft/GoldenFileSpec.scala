@@ -41,10 +41,10 @@ class GoldenFileSpec extends GraftSuite {
   }
 
   test("golden corpus loads") {
-    assert(cases.size == 8)
+    assert(cases.size == 10)
   }
 
-  for (i <- 0 until 8) {
+  for (i <- 0 until 10) {
     test(s"golden case #$i") {
       val c = cases(i)
       val plan = executedString(c.sql)
