@@ -69,6 +69,54 @@ class SqlFrontendSpec extends GraftSuite {
     assert(s.contains("PhysicalProjection"), s)
   }
 
+  test("generative roundtrip: random grammar instances parse to the " +
+    "expected IR across the whole clause space") {
+    val rnd = new scala.util.Random(42)
+    (1 to 300).foreach { i =>
+      // draw a random instance of the grammar
+      val nJoins = rnd.nextInt(4)
+      val joins = (1 to nJoins).map { j =>
+        val jt = rnd.nextInt(3) match {
+          case 0 => JoinType.Inner
+          case 1 => JoinType.Left
+          case 2 => JoinType.Full
+        }
+        (jt, s"t$j", Col(s"l$j"), Col(s"r$j"))
+      }
+      val where = if (rnd.nextBoolean()) Some(EqCond(Col("wa"), Col("wb")))
+        else None
+      val proj = if (rnd.nextBoolean())
+        Some((0 to rnd.nextInt(3)).map(k => Col(s"c$k"))) else None
+      val limit = if (rnd.nextBoolean()) Some(1 + rnd.nextInt(99)) else None
+      // print it as SQL
+      val sql = new StringBuilder("SELECT ")
+      sql ++= proj.fold("*")(_.map(_.name).mkString(", "))
+      sql ++= " FROM t0"
+      joins.foreach { case (jt, t, l, r) =>
+        val kw = jt match {
+          case JoinType.Inner => "JOIN"
+          case JoinType.Left  => "LEFT JOIN"
+          case JoinType.Full  => "FULL JOIN"
+        }
+        sql ++= s" $kw $t ON ${l.name} = ${r.name}"
+      }
+      where.foreach(c => sql ++= s" WHERE ${c.left.name} = ${c.right.name}")
+      limit.foreach(n => sql ++= s" LIMIT $n")
+      // expected IR, constructed independently of the parser
+      var want = PlanNode(LogicalScan("t0"))
+      joins.foreach { case (jt, t, l, r) =>
+        want = PlanNode(LogicalJoin(jt, EqCond(l, r)),
+          Seq(want, PlanNode(LogicalScan(t))))
+      }
+      where.foreach(c => want = PlanNode(LogicalFilter(c, Nil), Seq(want)))
+      proj.foreach(cols =>
+        want = PlanNode(LogicalProject(cols), Seq(want)))
+      limit.foreach(n => want = PlanNode(LogicalLimit(n), Seq(want)))
+      val got = SqlFrontend.parse(sql.toString)
+      assert(got == want, s"instance #$i: ${sql.toString}\n${got.explain()}")
+    }
+  }
+
   test("parser: malformed SQL fails loudly with the offending token") {
     val bad = Seq(
       "SELECT FROM t1",                 // missing column list
