@@ -19,7 +19,10 @@ object GraftSession {
     *    the completed version of the reference's cost-model stub);
     *  - shuffle partitions sized for the local harness; on a real cluster
     *    set `spark.sql.shuffle.partitions` ≈ 2-3x total executor cores and
-    *    let AQE coalesce down.
+    *    let AQE coalesce down;
+    *  - generated-class cache sized for a many-query workload (the 100-entry
+    *    default LRU churns on diverse query sets, re-janino-compiling hot
+    *    plans — measured as stable ~2x per-query inflation in the r5 bench).
     */
   def builder(master: String = "local[*]",
       shufflePartitions: Int = Runtime.getRuntime.availableProcessors())
@@ -32,6 +35,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.rules.GraftExtensions)
 
