@@ -328,7 +328,12 @@ object DataOps {
     // per-partition summary, so the oracle (straight SQL over the source
     // table) verifies write→read roundtrip integrity; SinkSpec asserts
     // partition pruning on the read-back path. Fixed output dir,
-    // overwrite mode: deterministic and self-cleaning per run.
+    // overwrite mode: deterministic and self-cleaning per run. At true
+    // 100 TB one task per partition VALUE would itself bottleneck on a
+    // giant partition — production salts the repartition key
+    // (repartition(lang, salt)) and bounds file size with
+    // spark.sql.files.maxRecordsPerFile; the single-key form here keeps
+    // the 1-file-per-dir layout assertable.
     "data_sink_partitioned" -> { (s, d) =>
       val out = new java.io.File(
         sys.props("java.io.tmpdir"), "graft_sink_demo").toString
