@@ -409,8 +409,49 @@ object DataOps {
         .filter(col("status") =!= "same")
         .select("doc_id", "status", "old_md5", "new_md5")
         .orderBy("doc_id")
+    },
+    // Winsorize: per-group robust clipping at the EXACT 5th/95th
+    // percentile order statistics (percentile_disc semantics: the value at
+    // rank floor(p*(n-1))+1 — rank selection, no interpolation, so the
+    // thresholds are corpus values and every comparison is exact). The
+    // outlier-trimming step a value-weighted pipeline runs before
+    // aggregating: one shuffle on the group key orders each group for the
+    // rank pass; the 5-row threshold table then broadcasts back onto a
+    // second scan for the clip + aggregate. With ties on v the value AT a
+    // rank is deterministic (the sorted multiset doesn't care which tied
+    // row got which rank), which is all the threshold extraction reads.
+    "data_winsorize" -> { (s, d) =>
+      winsorizeFrom(s, Tables(s, d).lineitem
+        .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("v")))
     }
   )
+
+  /** Winsorize core over any frame with (grp, v) — separated so specs can
+    * plant a group with known order statistics.
+    */
+  def winsorizeFrom(s: SparkSession, vals: DataFrame): DataFrame = {
+    val lorank = floor(lit(0.05) * (col("n") - 1)) + 1
+    val hirank = floor(lit(0.95) * (col("n") - 1)) + 1
+    val thr = vals
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("grp").orderBy(col("v").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+      .groupBy("grp")
+      .agg(max(when(col("rn") === lorank, col("v"))).as("lo"),
+        max(when(col("rn") === hirank, col("v"))).as("hi"))
+    vals.join(broadcast(thr), Seq("grp"))
+      .select(col("grp"),
+        greatest(least(col("v"), col("hi")), col("lo")).as("cv"),
+        (col("v") < col("lo")).cast("long").as("lowf"),
+        (col("v") > col("hi")).cast("long").as("highf"),
+        col("lo"), col("hi"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"), sum(col("lowf")).as("n_low"),
+        sum(col("highf")).as("n_high"),
+        Oracle.dsum(s, col("cv")).as("sum_winsorized"))
+      .orderBy("grp")
+  }
 
   /** The flagship pipeline core over any frame with (doc_id, lang, text) —
     * separated so specs can plant a corpus exercising every stage. Stage
@@ -688,7 +729,31 @@ object DataOps {
          |    old_md5, new_md5
          |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
          |SELECT doc_id, status, old_md5, new_md5 FROM j
-         |WHERE status <> 'same' ORDER BY doc_id""".stripMargin
+         |WHERE status <> 'same' ORDER BY doc_id""".stripMargin,
+    // CAST(0.05 AS DOUBLE) pins the rank arithmetic to the engine's IEEE
+    // double path (a bare 0.05 literal is DECIMAL(3,2) in DuckDB, and a
+    // decimal-exact product could floor differently at the boundary).
+    "data_winsorize" ->
+      s"""WITH v AS (SELECT l_returnflag AS grp, l_extendedprice AS v
+         |  FROM lineitem),
+         |r AS (SELECT grp, v,
+         |    row_number() OVER (PARTITION BY grp ORDER BY v ASC) AS rn,
+         |    count(*) OVER (PARTITION BY grp) AS n FROM v),
+         |thr AS (SELECT grp,
+         |    max(CASE WHEN rn = CAST(floor(CAST(0.05 AS DOUBLE) * (n - 1))
+         |      AS BIGINT) + 1 THEN v END) AS lo,
+         |    max(CASE WHEN rn = CAST(floor(CAST(0.95 AS DOUBLE) * (n - 1))
+         |      AS BIGINT) + 1 THEN v END) AS hi
+         |  FROM r GROUP BY grp),
+         |c AS (SELECT v.grp AS grp, greatest(least(v, hi), lo) AS cv,
+         |    CASE WHEN v < lo THEN 1 ELSE 0 END AS lowf,
+         |    CASE WHEN v > hi THEN 1 ELSE 0 END AS highf, lo, hi
+         |  FROM v JOIN thr ON v.grp = thr.grp)
+         |SELECT grp, count(*) AS n, max(lo) AS lo, max(hi) AS hi,
+         |  CAST(sum(lowf) AS BIGINT) AS n_low,
+         |  CAST(sum(highf) AS BIGINT) AS n_high,
+         |  ${Oracle.sqlSum("cv")} AS sum_winsorized
+         |FROM c GROUP BY grp ORDER BY grp""".stripMargin
   )
 
   /** Oracle spelling of [[graft.functions.Kernels.zorder2]]: the same 32

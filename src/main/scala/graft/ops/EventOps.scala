@@ -232,8 +232,36 @@ object EventOps {
             (col("value") - col("mean")) / sqrt(col("variance"))))
         .select("event_id", "user_id", "value", "n_prev", "mean", "z")
         .orderBy("event_id")
+    },
+    // First-order Markov transition matrix over each user's event
+    // sequence: count of (event_type -> next event_type) steps and the
+    // row-normalized transition probability — the sequence-mining readout
+    // behind next-event prediction and funnel design. One shuffle on
+    // user_id orders every user's stream for the lead(); the transition
+    // counts then collapse to a |types|^2 matrix (tiny at any corpus
+    // scale), so the normalizing window runs over a handful of rows.
+    // p divides two exact counts, so the double is engine-portable.
+    "events_transition_matrix" -> { (s, d) =>
+      transitionMatrixFrom(withMs(Tables(s, d).events))
     }
   )
+
+  /** Transition-matrix core over any frame with (user_id, event_id, ts_ms,
+    * event_type) — separated so specs can plant a known sequence.
+    */
+  def transitionMatrixFrom(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms").asc, col("event_id").asc)
+    events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast(DoubleType) /
+        sum(col("n")).over(Window.partitionBy("event_type"))
+          .cast(DoubleType))
+      .orderBy("event_type", "next_type")
+  }
 
   /** Gap-fill core over any frame with a ts_ms column — separated so specs
     * can plant a sparse series and assert the zero-filled hours.
@@ -466,6 +494,17 @@ object EventOps {
         |  count(*) FILTER (WHERE wk = cohort_wk + 1) AS n_wk1,
         |  count(*) FILTER (WHERE wk = cohort_wk + 2) AS n_wk2
         |FROM a JOIN c USING (user_id)
-        |GROUP BY cohort_wk ORDER BY cohort_wk""".stripMargin
+        |GROUP BY cohort_wk ORDER BY cohort_wk""".stripMargin,
+    "events_transition_matrix" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) AS ts_ms FROM events),
+        |t AS (SELECT event_type, lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC)
+        |    AS next_type FROM e),
+        |c AS (SELECT event_type, next_type, count(*) AS n FROM t
+        |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, n, CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+        |FROM c ORDER BY event_type, next_type""".stripMargin
   )
 }

@@ -122,6 +122,29 @@ object MultimodalOps {
         .toDF("doc_id", "n_pixels", "n_runs", "mean_pixel", "decoded_md5")
         .orderBy("doc_id")
     },
+    // Perceptual-hash near-dup over DECODED images — the multimodal dedup
+    // step: aHash (average hash, the classic public pHash-family
+    // algorithm) computed from the RLE1-DECODED pixel stream (same real
+    // codec as mm_decode_real, so the hash provably derives from parsed
+    // pixels, not raw payload bytes): 64 equal pixel ranges (floor
+    // boundaries, as mm_resize_fixed), bit j = range mean > global mean,
+    // packed as 4 x 16-bit bands. Near-duplicates (Hamming <= 3) surface
+    // via a banded equi-join — pigeonhole: <= 3 flipped bits leave >= 1
+    // of 4 bands intact — with the first-shared-band condition emitting
+    // each pair exactly once (mirrors dedup_simhash). The synthetic
+    // corpus plants no image dups, so the contract result is the organic
+    // pair set; MultimodalSpec plants perturbed clones and asserts they
+    // surface. At 100 TB the hash is a map stage and candidates are an
+    // equi-join on (band, value) — never all-pairs.
+    "mm_phash_dedup" -> { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      phashPairs(Tables(s, d).documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, b) => phashBands(id, b) })
+        .toDF("doc_id", "b0", "b1", "b2", "b3"))
+    },
     // Frame sampling plan: every 2nd "frame" of a fake video whose frame
     // count derives from the payload size — the explode/sequence shape a real
     // frame sampler would use.
@@ -133,6 +156,57 @@ object MultimodalOps {
         .orderBy("doc_id", "frame_idx")
     }
   )
+
+  /** aHash bands of one payload: RLE1 roundtrip-decode, then 64 floor-
+    * boundary pixel ranges; bit j set iff range j's mean exceeds the
+    * global mean (strict >, so an all-equal image hashes to 0). Returns
+    * (doc_id, b0..b3) with band k holding bits 16k..16k+15.
+    */
+  private[graft] def phashBands(
+      id: Long, b: Array[Byte]): (Long, Long, Long, Long, Long) = {
+    val raw = if (b == null) Array.empty[Byte] else b
+    val dec = Rle1.decode(Rle1.encode(raw))
+    val L = dec.length
+    var total = 0L
+    var i = 0
+    while (i < L) { total += dec(i) & 0xFF; i += 1 }
+    val gm = if (L == 0) 0.0 else total.toDouble / L
+    val bands = new Array[Long](4)
+    var j = 0
+    while (j < 64) {
+      val from = (j.toLong * L / 64).toInt
+      val until = ((j + 1).toLong * L / 64).toInt
+      var sum = 0L
+      var k = from
+      while (k < until) { sum += dec(k) & 0xFF; k += 1 }
+      if (until > from && sum.toDouble / (until - from) > gm)
+        bands(j / 16) |= 1L << (j % 16)
+      j += 1
+    }
+    (id, bands(0), bands(1), bands(2), bands(3))
+  }
+
+  /** Banded Hamming<=3 pair join over a (doc_id, b0..b3) frame —
+    * separated so MultimodalSpec can drive it with planted clones.
+    */
+  private[graft] def phashPairs(hashes: DataFrame): DataFrame = {
+    val e = hashes.select(col("doc_id"), col("b0"), col("b1"), col("b2"),
+      col("b3"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band", "bv")))
+    def shared(k: Int) = col(s"x.b$k") === col(s"y.b$k")
+    val firstShared = when(shared(0), 0).when(shared(1), 1)
+      .when(shared(2), 2).otherwise(3)
+    val hamming = (0 until 4).map(k =>
+      bit_count(col(s"x.b$k").bitwiseXOR(col(s"y.b$k")))).reduce(_ + _)
+    e.as("x").join(e.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id") && firstShared === col("x.band"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+        hamming.cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("id1", "id2")
+  }
 
   def oracles: Map[String, String] = Map(
     "mm_binary_meta" ->
@@ -188,7 +262,50 @@ object MultimodalOps {
         |  CASE WHEN L = 0 THEN 0.0
         |       ELSE CAST(list_sum(bs) AS DOUBLE) / L END AS mean_pixel,
         |  md5(text) AS decoded_md5
-        |FROM b ORDER BY doc_id""".stripMargin
+        |FROM b ORDER BY doc_id""".stripMargin,
+    // aHash replication without the codec (roundtrip identity: decoded
+    // pixels = raw codepoints on the ASCII corpus): the same 64 floor-
+    // boundary range means, the same strict-> bit rule, the same 4-band
+    // packing, the same banded pair join with first-shared-band
+    // exactly-once emission, the same Hamming cutoff.
+    "mm_phash_dedup" ->
+      """WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+        |b AS (SELECT doc_id, length(text) AS L,
+        |    list_transform(string_split(text, ''), x -> ord(x)) AS bs
+        |  FROM t),
+        |g AS (SELECT doc_id, L, bs,
+        |    CASE WHEN L = 0 THEN 0.0
+        |         ELSE CAST(list_sum(bs) AS DOUBLE) / L END AS gm
+        |  FROM b),
+        |bits AS (SELECT doc_id, j // 16 AS band, j % 16 AS pos,
+        |    (j * L) // 64 AS s, ((j + 1) * L) // 64 AS e, bs, gm
+        |  FROM g CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) jj),
+        |bm AS (SELECT doc_id, band,
+        |    CASE WHEN e > s AND
+        |        CAST(list_sum(list_slice(bs, s + 1, e)) AS DOUBLE) / (e - s)
+        |          > gm
+        |      THEN 1 << pos ELSE 0 END AS bit
+        |  FROM bits),
+        |h AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN band = 0 THEN bit ELSE 0 END) AS BIGINT) AS b0,
+        |    CAST(sum(CASE WHEN band = 1 THEN bit ELSE 0 END) AS BIGINT) AS b1,
+        |    CAST(sum(CASE WHEN band = 2 THEN bit ELSE 0 END) AS BIGINT) AS b2,
+        |    CAST(sum(CASE WHEN band = 3 THEN bit ELSE 0 END) AS BIGINT) AS b3
+        |  FROM bm GROUP BY doc_id),
+        |ex AS (SELECT doc_id, b0, b1, b2, b3, k AS band,
+        |    CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END
+        |      AS bv
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) kk),
+        |p AS (SELECT x.doc_id AS id1, y.doc_id AS id2,
+        |    CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+        |         bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+        |      AS INT) AS hamming
+        |  FROM ex x JOIN ex y ON x.band = y.band AND x.bv = y.bv
+        |    AND x.doc_id < y.doc_id
+        |    AND (CASE WHEN x.b0 = y.b0 THEN 0 WHEN x.b1 = y.b1 THEN 1
+        |              WHEN x.b2 = y.b2 THEN 2 ELSE 3 END) = x.band)
+        |SELECT id1, id2, hamming FROM p WHERE hamming <= 3
+        |ORDER BY id1, id2""".stripMargin
   )
 
   /** RLE1: the real run-length codec behind `mm_decode_real`. Format:

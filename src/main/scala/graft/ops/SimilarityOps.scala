@@ -228,6 +228,19 @@ object SimilarityOps {
     // oracle) would divide dimension i by its CONTRIBUTOR count while this
     // path divides by the row count. AggregatesSpec pins the contract on
     // the table so a ragged corpus fails loudly, not silently.
+    // SemDeDup — semantic near-duplicate removal (Abbas et al. 2023,
+    // arXiv:2303.09540, public): coarse-cluster the embedding space, then
+    // compare pairs ONLY within a cluster — the cluster count is the knob
+    // that keeps the quadratic term bounded (pairs ~ N^2/k per cluster; a
+    // production run scales k with N). Assignment reuses the per-label
+    // seed centroids + cosine argmax of sim_kmeans_step; the drop rule is
+    // keep-smallest-id per duplicate pair, aggregated to one row per
+    // dropped vector. Everything is quantized-integer + IEEE-division
+    // arithmetic, so the DuckDB oracle replicates clustering, pairing,
+    // and the drop list exactly.
+    "dedup_semantic" -> { (s, d) =>
+      semanticDupsFrom(Tables(s, d).embeddings, 0.4)
+    },
     "sim_label_centroid" -> { (s, d) =>
       val agg = Tables(s, d).embeddings
         .select(col("label"), quantize(col("embedding")).as("qv"))
@@ -293,6 +306,63 @@ object SimilarityOps {
       .filter(col("rk") <= 5)
       .select("query_id", "vec_id", "adist", "rk")
       .orderBy("query_id", "rk")
+  }
+
+  /** The SemDeDup core over any frame with (vec_id, label, embedding) —
+    * see the `dedup_semantic` notes above. Separated so specs can plant
+    * clone pairs (the uniform synthetic corpus has only a thin organic
+    * tail above the threshold).
+    *
+    * CACHE LIFETIME CONTRACT: `base` and `assigned` are persisted (each is
+    * read twice — centroid build + scoring, and both sides of the pair
+    * join); the CALLER owns release via `spark.catalog.clearCache()`, as
+    * with [[lshTopkFrom]].
+    */
+  private[graft] def semanticDupsFrom(emb: DataFrame, tau: Double): DataFrame = {
+    val base = emb
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
+      .withColumn("nn",
+        aggregate(transform(col("qv"), x => x * x), lit(0L), (a, x) => a + x))
+      .persist() // read twice: seed-centroid build + assignment scoring
+    val centVec = base.groupBy("label")
+      .agg(graft.functions.aggregates.vec_sum_longs(col("qv")).as("svec"),
+        count(col("qv")).as("cnt"))
+      .select(col("label").cast("long").as("clabel"),
+        transform(col("svec"),
+          sv => floor(sv * lit(1000) / col("cnt")).cast("long")).as("cvec"))
+      .withColumn("cnn",
+        aggregate(transform(col("cvec"), x => x * x), lit(0L), (a, x) => a + x))
+    // argmax over the 10 broadcast centroids, exactly as kmeansStepFrom:
+    // (sim, -label) inside one max struct so the k-way fan-out collapses
+    // map-side; qv/nn ride in the struct for the pair join downstream
+    val assigned = base.join(broadcast(centVec))
+      .select(col("vec_id"), struct(
+        when(col("nn") === 0L || col("cnn") === 0L, lit(0.0))
+          .otherwise(quant_dot(col("qv"), col("cvec")).cast("double") /
+            (sqrt(col("nn").cast("double")) *
+              sqrt(col("cnn").cast("double")))).as("sim"),
+        (-col("clabel")).as("nl"),
+        col("qv").as("qv"), col("nn").as("nn")).as("sc"))
+      .groupBy("vec_id")
+      .agg(max(col("sc")).as("best"))
+      .select(col("vec_id"), (-col("best.nl")).as("cluster"),
+        col("best.qv").as("qv"), col("best.nn").as("nn"))
+      .persist() // both sides of the within-cluster pair join
+    val pairSim = when(col("a.nn") === 0L || col("b.nn") === 0L, lit(0.0))
+      .otherwise(quant_dot(col("a.qv"), col("b.qv")).cast("double") /
+        (sqrt(col("a.nn").cast("double")) * sqrt(col("b.nn").cast("double"))))
+    assigned.alias("a").join(assigned.alias("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("keep_id"),
+        col("a.cluster").as("cluster"), pairSim.as("sim"))
+      .filter(col("sim") >= tau)
+      .groupBy("vec_id")
+      .agg(min(col("keep_id")).as("kept_by"), max(col("sim")).as("max_sim"),
+        // cluster is constant per vec_id (assignment is a function of the
+        // vector); min() is just the aggregate spelling of "the value"
+        min(col("cluster")).as("cluster"))
+      .orderBy("vec_id")
   }
 
   /** The Lloyd-iteration core over any frame with (vec_id, label,
@@ -580,6 +650,50 @@ object SimilarityOps {
         |  CAST(sum(cv) AS BIGINT) AS csum,
         |  CAST(sum(cv * cv) AS BIGINT) AS csq
         |FROM nc GROUP BY cluster ORDER BY cluster""".stripMargin,
+    // Full SemDeDup replication: quantization, per-label seed centroids,
+    // cosine-argmax cluster assignment (ties sim DESC, label ASC), the
+    // within-cluster pair join, the 0.4 threshold, and the
+    // keep-smallest-id drop list.
+    "dedup_semantic" ->
+      """WITH q AS (SELECT vec_id, label, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
+        |cent AS (SELECT label, i,
+        |    CAST(floor(CAST(sum(v) * 1000 AS DOUBLE) / count(*)) AS BIGINT)
+        |      AS cv
+        |  FROM q GROUP BY 1, 2),
+        |cn AS (SELECT label, sum(cv * cv) AS cnn FROM cent GROUP BY 1),
+        |dots AS (SELECT a.vec_id, c.label, sum(a.v * c.cv) AS dot
+        |         FROM q a JOIN cent c ON c.i = a.i GROUP BY 1, 2),
+        |sim AS (SELECT vec_id, dots.label,
+        |    CASE WHEN n.nn = 0 OR cn.cnn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(n.nn AS DOUBLE)) *
+        |           sqrt(CAST(cn.cnn AS DOUBLE))) END AS sim
+        |  FROM dots JOIN n USING (vec_id) JOIN cn ON cn.label = dots.label),
+        |assign AS (SELECT vec_id, label AS cluster FROM (
+        |    SELECT vec_id, label, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, label ASC) AS rn FROM sim) r
+        |  WHERE rn = 1),
+        |pd AS (SELECT x.vec_id AS keep_id, y.vec_id AS vec_id,
+        |         x.cluster AS cluster, sum(a.v * b.v) AS dot
+        |       FROM assign x JOIN assign y
+        |         ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+        |       JOIN q a ON a.vec_id = x.vec_id
+        |       JOIN q b ON b.vec_id = y.vec_id AND b.i = a.i
+        |       GROUP BY 1, 2, 3),
+        |ps AS (SELECT pd.vec_id AS vec_id, pd.keep_id AS keep_id,
+        |    pd.cluster AS cluster,
+        |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+        |           sqrt(CAST(nb.nn AS DOUBLE))) END AS sim
+        |  FROM pd JOIN n na ON na.vec_id = pd.keep_id
+        |          JOIN n nb ON nb.vec_id = pd.vec_id)
+        |SELECT vec_id, min(keep_id) AS kept_by, max(sim) AS max_sim,
+        |  CAST(min(cluster) AS BIGINT) AS cluster
+        |FROM ps WHERE sim >= CAST(0.4 AS DOUBLE)
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "sim_label_centroid" ->
       """WITH q AS (SELECT vec_id, label, i,
         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v

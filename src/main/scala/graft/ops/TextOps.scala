@@ -175,8 +175,62 @@ object TextOps {
         .filter(col("rn") <= 3)
         .select("doc_id", "tok", "score", "rn")
         .orderBy("doc_id", "rn")
+    },
+    // Corpus bigram-LM familiarity scoring — the exact-arithmetic core of
+    // CC-net-style perplexity bucketing: train a bigram model ON the corpus
+    // (one groupBy over the exploded bigrams), score every document by how
+    // familiar its transitions are under that model, and bucket documents
+    // into quality quintiles. All per-doc statistics are INTEGER sums of
+    // corpus bigram counts (no log-space floats — ln() is not
+    // bit-portable across engines), so the gate checks the full train →
+    // score → bucket pipeline exactly. Scale: bigram explode + count is
+    // one shuffle on the bigram key; the scoring join reuses that same
+    // hash partitioning (exchange reuse); the per-doc re-agg shuffles on
+    // doc_id. The quintile ntile is a single-partition window over one row
+    // per DOCUMENT (already reduced) — at 100 TB you'd swap it for bucket
+    // thresholds computed via the data_winsorize rank trick and a
+    // broadcast compare, same semantics.
+    "text_lm_familiarity" -> { (s, d) =>
+      lmFamiliarityFrom(Tables(s, d).documents)
     }
   )
+
+  /** The bigram-LM familiarity core over any frame with (doc_id, text) —
+    * see the `text_lm_familiarity` notes above. Separated so specs can
+    * plant documents with hand-computable bigram counts.
+    *
+    * CACHE LIFETIME CONTRACT: the exploded bigram frame is persisted (read
+    * by the model build and the scoring join); the CALLER owns release via
+    * `spark.catalog.clearCache()`.
+    */
+  def lmFamiliarityFrom(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = toks(col("text"))
+    // adjacent-token bigrams in one pass: zip tokens with their
+    // successors (slice from position 2); the trailing zip pairs the
+    // last token with null, concat nulls it out, filter drops it —
+    // a <2-token document yields no bigrams (explode drops it, and the
+    // oracle's generate_series(1, len-1) is empty likewise)
+    val bigrams = filter(
+      zip_with(tk, slice(tk, lit(2), size(tk)),
+        (a, b) => concat(a, lit(" "), b)),
+      x => x.isNotNull)
+    val bg = docs
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .persist() // read twice: model build + scoring join
+    val model = bg.groupBy("bigram").agg(count(lit(1)).as("c2"))
+    bg.join(model, Seq("bigram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c2")).as("familiarity"),
+        min(col("c2")).as("rarest"),
+        sum(when(col("c2") <= 2, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("avg_c2",
+        col("familiarity").cast("double") / col("n_bigrams").cast("double"))
+      .withColumn("quality_bucket",
+        ntile(5).over(Window.orderBy(col("avg_c2").desc, col("doc_id").asc)))
+      .orderBy("doc_id")
+  }
 
   /** The unigram-LM rarity core over any frame with (doc_id, text) — see
     * the `text_rarity` notes above. Separated so specs can plant a corpus
@@ -369,6 +423,29 @@ object TextOps {
         |    row_number() OVER (PARTITION BY doc_id
         |      ORDER BY CAST(tf * n_docs AS DOUBLE) / df DESC, tok ASC) AS rn
         |  FROM tf JOIN df USING (tok) CROSS JOIN n) t
-        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    // Full replication of the bigram-LM pipeline: same bigram extraction,
+    // same corpus model, same integer scoring, same quintile assignment
+    // (ntile over a total order — avg_c2 DESC then doc_id — is
+    // deterministic and SQL-standard in both engines).
+    "text_lm_familiarity" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |bg AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bigram
+        |       FROM t, LATERAL (SELECT unnest(generate_series(1,
+        |         len(tk) - 1)) AS i) g),
+        |m AS (SELECT bigram, count(*) AS c2 FROM bg GROUP BY 1),
+        |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+        |         CAST(sum(c2) AS BIGINT) AS familiarity,
+        |         min(c2) AS rarest,
+        |         CAST(sum(CASE WHEN c2 <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_rare
+        |       FROM bg JOIN m USING (bigram) GROUP BY 1)
+        |SELECT doc_id, n_bigrams, familiarity, rarest, n_rare,
+        |  CAST(familiarity AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS avg_c2,
+        |  CAST(ntile(5) OVER (ORDER BY CAST(familiarity AS DOUBLE) /
+        |    CAST(n_bigrams AS DOUBLE) DESC, doc_id ASC) AS INT)
+        |    AS quality_bucket
+        |FROM sc ORDER BY doc_id""".stripMargin
   )
 }

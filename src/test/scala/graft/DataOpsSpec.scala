@@ -267,4 +267,22 @@ class DataOpsSpec extends GraftSuite {
     assert(got.nonEmpty)
     assert(got == joined.collect().toSeq)
   }
+
+  test("winsorize: rank thresholds, clip counts, and the exact clipped " +
+      "sum on a planted 1..100 group") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ("A", i.toDouble)).toDF("grp", "v")
+    val r = DataOps.winsorizeFrom(spark, df).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getString(0) == "A")
+    assert(row.getLong(1) == 100L)
+    // lo = value at rank floor(0.05*99)+1 = 5; hi at floor(0.95*99)+1 = 95
+    assert(row.getDouble(2) == 5.0, s"lo=${row.getDouble(2)}")
+    assert(row.getDouble(3) == 95.0, s"hi=${row.getDouble(3)}")
+    assert(row.getLong(4) == 4L)  // 1..4 clipped up
+    assert(row.getLong(5) == 5L)  // 96..100 clipped down
+    // 4*5 + (5+...+95) + 5*95 = 20 + 4550 + 475
+    assert(row.getDouble(6) == 5045.0)
+  }
 }

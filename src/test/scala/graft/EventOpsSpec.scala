@@ -181,4 +181,23 @@ class EventOpsSpec extends GraftSuite {
     assert(got.toSeq == Seq((10L, 1L), (11L, 0L), (12L, 0L), (13L, 2L)),
       got.toSeq.toString)
   }
+
+  test("transition matrix: planted sequences count per-user adjacent " +
+      "steps and row-normalize exactly") {
+    import spark.implicits._
+    // user 1: a->b->a->c, user 2: b->a->b (ordered by ts_ms, event_id)
+    val e = Seq(
+      (1L, 1L, 1000L, "a"), (2L, 1L, 2000L, "b"),
+      (3L, 1L, 3000L, "a"), (4L, 1L, 4000L, "c"),
+      (5L, 2L, 1000L, "b"), (6L, 2L, 2000L, "a"), (7L, 2L, 3000L, "b"))
+      .toDF("event_id", "user_id", "ts_ms", "event_type")
+    val out = EventOps.transitionMatrixFrom(e).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // transitions: u1 a->b, b->a, a->c; u2 b->a, a->b — no cross-user step
+    assert(out.size == 3, out.toString)
+    assert(out(("a", "b")) == ((2L, 2.0 / 3.0)))
+    assert(out(("a", "c")) == ((1L, 1.0 / 3.0)))
+    assert(out(("b", "a")) == ((2L, 1.0)))
+  }
 }

@@ -75,6 +75,71 @@ class MultimodalSpec extends GraftSuite {
     }
   }
 
+  test("phash bands match a codec-free reference computation") {
+    val rnd = new scala.util.Random(13)
+    (1 to 50).foreach { i =>
+      val raw = Array.fill(rnd.nextInt(400))((rnd.nextInt(256) - 128).toByte)
+      val got = MultimodalOps.phashBands(i.toLong, raw)
+      // reference: straight byte stats, no RLE roundtrip — equality also
+      // re-proves the decode identity on this input
+      val L = raw.length
+      val gm = if (L == 0) 0.0 else raw.map(_ & 0xFF).map(_.toLong).sum.toDouble / L
+      val bands = new Array[Long](4)
+      (0 until 64).foreach { j =>
+        val from = (j.toLong * L / 64).toInt
+        val until = ((j + 1).toLong * L / 64).toInt
+        val s = (from until until).map(k => (raw(k) & 0xFF).toLong).sum
+        if (until > from && s.toDouble / (until - from) > gm)
+          bands(j / 16) |= 1L << (j % 16)
+      }
+      assert(got == ((i.toLong, bands(0), bands(1), bands(2), bands(3))),
+        s"bands diverged at i=$i L=$L")
+    }
+  }
+
+  test("phash pair join: exactly-once emission, hamming arithmetic, and " +
+      "the pigeonhole boundary") {
+    import SparkTestBase.spark.implicits._
+    // 10: base hash; 11: band 3 differs in 2 bits (hamming 2, bands
+    // 0-2 shared -> 3 candidate paths, must emit ONCE); 12: one bit per
+    // band (hamming 4, NO shared band -> no candidate at all); 13: bands
+    // 0,1,3 differ by 1 bit each, band 2 shared (hamming 3, emitted)
+    val h = Seq(
+      (10L, 0x00FFL, 0x0F0FL, 0x3333L, 0x5555L),
+      (11L, 0x00FFL, 0x0F0FL, 0x3333L, 0x5556L),
+      (12L, 0x00FEL, 0x0F0EL, 0x3332L, 0x5554L),
+      (13L, 0x00FDL, 0x0F0DL, 0x3333L, 0x5551L))
+      .toDF("doc_id", "b0", "b1", "b2", "b3")
+    val got = MultimodalOps.phashPairs(h).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // (10,11) hamming 2 (0x5555^0x5556 = 0x3 -> 2 bits); (10,13): b0 1
+    // bit, b1 1 bit, b3 ^0x5551=0x4 1 bit -> hamming 3, band 2 shared;
+    // (11,13): b0 1, b1 1, b3 0x5556^0x5551=0x7 -> 3 bits -> hamming 5,
+    // filtered; (12,*) shares no band with 10/11 (we assert absence)
+    val byPair = got.groupBy(g => (g._1, g._2)).view.mapValues(_.length)
+    assert(byPair.forall(_._2 == 1), s"duplicate emission: $got")
+    assert(got.contains((10L, 11L, 2)), got.mkString(","))
+    assert(got.contains((10L, 13L, 3)), got.mkString(","))
+    assert(!got.exists(g => g._1 == 12L || g._2 == 12L),
+      s"hamming-4 doc paired: ${got.mkString(",")}")
+    assert(!got.exists(g => g._1 == 11L && g._2 == 13L),
+      s"hamming-5 pair survived: ${got.mkString(",")}")
+  }
+
+  test("phash dedup surfaces a decoded-identical clone at hamming 0") {
+    import SparkTestBase.spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val base = Array.fill(512)((rnd.nextInt(95) + 32).toByte)
+    val other = Array.fill(512)((rnd.nextInt(95) + 32).toByte)
+    val h = Seq(MultimodalOps.phashBands(1L, base),
+      MultimodalOps.phashBands(2L, base),
+      MultimodalOps.phashBands(3L, other))
+      .toDF("doc_id", "b0", "b1", "b2", "b3")
+    val got = MultimodalOps.phashPairs(h).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.contains((1L, 2L, 0)), got.mkString(","))
+  }
+
   /** Ground-truth maximal-run count, computed without the codec. */
   private def rawRunCount(raw: Array[Byte]): Int =
     if (raw.isEmpty) 0

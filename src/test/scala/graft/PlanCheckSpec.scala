@@ -38,6 +38,9 @@ class PlanCheckSpec extends GraftSuite {
                           // centroids (bounded by label cardinality)
     "sim_kmeans_step",    // assignment scoring: corpus x 10 broadcast
                           // centroids (bounded by cluster count k)
+    "dedup_semantic",     // SemDeDup cluster assignment: the same corpus x
+                          // 10-broadcast-centroid argmax as sim_kmeans_step
+                          // (the pair join itself is a cluster equi-join)
     "dedup_embedding_bruteforce", // the HONEST all-pairs baseline, kept
                           // deliberately quadratic; the named scale path
                           // is dedup_embedding (LSH-bucketed equi-join)

@@ -178,4 +178,27 @@ class SimilarityOpsSpec extends GraftSuite {
       .filter(col("vec_id") === col("query_id") + 10).count()
     assert(bfTop1 == 10, s"brute force missed planted clones: $bfTop1/10")
   }
+
+  test("semantic dedup: a planted clone is dropped (kept by the smaller " +
+      "id), dissimilar cluster-mates survive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(11)
+    def vec(): Seq[Float] = Seq.fill(16)(rnd.nextFloat())
+    val bg = (0L until 40L).map(i => (i, (i % 4).toInt, vec()))
+    val v = vec()
+    // identical pair -> same cluster by construction (assignment is a
+    // function of the vector), cosine ~1.0 >> tau
+    val planted = Seq((101L, 0, v), (102L, 0, v))
+    val df = (bg ++ planted).toDF("vec_id", "label", "embedding")
+    val out = graft.ops.SimilarityOps.semanticDupsFrom(df, 0.95)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+    spark.catalog.clearCache()
+    val dropped = out.toMap
+    assert(dropped.contains(102L), s"clone not dropped: ${out.mkString(",")}")
+    assert(dropped(102L)._1 == 101L, "kept_by must be the smaller id")
+    assert(dropped(102L)._2 > 0.999, s"sim=${dropped(102L)._2}")
+    assert(!dropped.contains(101L), "the keeper must survive")
+  }
 }

@@ -57,4 +57,20 @@ class TextOpsSpec extends GraftSuite {
       .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(hash == want, s"text=$text")
   }
+
+  test("lm familiarity: planted bigram counts, scoring, and quintile " +
+      "assignment; a 1-token doc yields no row") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val out = TextOps.lmFamiliarityFrom(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getInt(6)))).toMap
+    spark.catalog.clearCache()
+    // model: "a b"->2, "b c"/"b d"/"x y"->1; doc 4 has no bigram
+    assert(out.size == 3, out.toString)
+    assert(out(1L) == ((2L, 3L, 1L, 2L, 1.5, 1)))
+    assert(out(2L) == ((2L, 3L, 1L, 2L, 1.5, 2)))
+    assert(out(3L) == ((1L, 1L, 1L, 1L, 1.0, 3)))
+  }
 }
