@@ -423,8 +423,48 @@ object DataOps {
     "data_winsorize" -> { (s, d) =>
       winsorizeFrom(s, Tables(s, d).lineitem
         .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("v")))
+    },
+    // Small-file compaction planner — the OPTIMIZE/bin-packing step a
+    // lakehouse table needs continuously at 100 TB: given a per-partition
+    // file inventory (simulated here: a "file" is a doc_id bucket of
+    // documents, sized by byte length), assign files to compaction groups
+    // by prefix-sum binning — group = floor(bytes-before-this-file /
+    // target) within the partition, so every group closes at ~target
+    // bytes and file adjacency is preserved (groups are contiguous in
+    // file order, which keeps any clustering the files already have).
+    // This is metadata-scale work: one row per FILE, not per record — a
+    // window prefix sum partitioned by the table partition key, then one
+    // tiny aggregate. Pure integer arithmetic end to end.
+    "data_compaction_plan" -> { (s, d) =>
+      compactionPlanFrom(Tables(s, d).documents, 16384L)
     }
   )
+
+  /** Compaction-plan core: build the simulated per-(lang, file) inventory
+    * from a documents frame and bin-pack by running size. Separated so
+    * specs can plant file sizes with known group boundaries.
+    */
+  def compactionPlanFrom(docs: DataFrame, targetBytes: Long): DataFrame =
+    compactionPlanFromInventory(
+      docs.groupBy(col("lang"), (col("doc_id") % 50).as("file_id"))
+        .agg(sum(octet_length(coalesce(col("text"), lit(""))))
+          .as("bytes")),
+      targetBytes)
+
+  /** The planner itself over any (lang, file_id, bytes) inventory. */
+  def compactionPlanFromInventory(
+      inv: DataFrame, targetBytes: Long): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("file_id").asc)
+    inv
+      .withColumn("cum", sum(col("bytes")).over(w))
+      // non-negative running sums, so `div` (truncate) == floor division
+      .withColumn("bin", expr(s"(cum - bytes) div $targetBytes"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("group_bytes"),
+        min(col("file_id")).as("first_file"),
+        max(col("file_id")).as("last_file"))
+      .orderBy("lang", "bin")
+  }
 
   /** Winsorize core over any frame with (grp, v) — separated so specs can
     * plant a group with known order statistics.
@@ -753,7 +793,24 @@ object DataOps {
          |  CAST(sum(lowf) AS BIGINT) AS n_low,
          |  CAST(sum(highf) AS BIGINT) AS n_high,
          |  ${Oracle.sqlSum("cv")} AS sum_winsorized
-         |FROM c GROUP BY grp ORDER BY grp""".stripMargin
+         |FROM c GROUP BY grp ORDER BY grp""".stripMargin,
+    // Same inventory simulation and the same prefix-sum binning; DuckDB's
+    // `//` is floor division, equal to Spark's `div` on these non-negative
+    // running sums.
+    "data_compaction_plan" ->
+      """WITH inv AS (SELECT lang, doc_id % 50 AS file_id,
+        |    CAST(sum(octet_length(encode(COALESCE(text, '')))) AS BIGINT)
+        |      AS bytes
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (SELECT lang, file_id, bytes,
+        |    CAST(sum(bytes) OVER (PARTITION BY lang ORDER BY file_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM inv)
+        |SELECT lang, (cum - bytes) // 16384 AS bin, count(*) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS group_bytes,
+        |  min(file_id) AS first_file, max(file_id) AS last_file
+        |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
   )
 
   /** Oracle spelling of [[graft.functions.Kernels.zorder2]]: the same 32

@@ -243,8 +243,98 @@ object EventOps {
     // p divides two exact counts, so the double is engine-portable.
     "events_transition_matrix" -> { (s, d) =>
       transitionMatrixFrom(withMs(Tables(s, d).events))
+    },
+    // RFM segmentation — the classic customer-value readout: per user
+    // Recency (latest event), Frequency (event count), Monetary (value
+    // sum through the portable decimal path), each quintiled, segment =
+    // concatenated digits. One shuffle on user_id builds the per-user
+    // row; the three ntile windows then run over ONE ROW PER USER. Each
+    // is a single-partition sort — fine here (users << events and the
+    // frame is three narrow columns); at 100 TB you'd swap each for
+    // rank-threshold broadcast compares (the data_winsorize trick), same
+    // semantics. Tie-break on user_id makes every quintile deterministic.
+    "events_rfm" -> { (s, d) =>
+      rfmFrom(s, withMs(Tables(s, d).events))
+    },
+    // Marketing attribution over the event stream: every non-purchase
+    // event within the 7 days before a user's purchase is a "touch"; per
+    // touch type the operator reports total touches plus first-touch and
+    // last-touch conversion credits — ALL integer counts (fractional
+    // multi-touch credit would sum doubles; counts keep the gate exact).
+    // One equi-join on user_id with the time band as a residual
+    // predicate (the interval-join shape events_interval_join pins),
+    // then per-conversion argmax/argmin via ONE max(struct)/min(struct)
+    // aggregate — map-side collapsible, never a window over the touch
+    // fan-out. The three tiny per-type aggregates recombine by UNION +
+    // re-aggregate, deliberately not an outer join: no join of
+    // aggregates means no SMJ risk and no null-handling. At 100 TB the
+    // user_id join key bounds shuffle width and AQE splits hot users.
+    "events_attribution" -> { (s, d) =>
+      attributionFrom(withMs(Tables(s, d).events))
     }
   )
+
+  /** Attribution core over any frame with (user_id, event_id, ts_ms,
+    * event_type) — separated so specs can plant touch sequences.
+    *
+    * CACHE LIFETIME CONTRACT: the conversion-touch join is persisted (read
+    * by the per-type count and the per-conversion argmax); the CALLER owns
+    * release via `spark.catalog.clearCache()`.
+    */
+  def attributionFrom(events: DataFrame): DataFrame = {
+    val conv = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts_ms").as("conv_ms"))
+    val touch = events.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("ts_ms").as("touch_ms"), col("event_type"))
+    val j = conv.join(touch, Seq("user_id"))
+      .filter(col("touch_ms") <= col("conv_ms") &&
+        col("conv_ms") - col("touch_ms") <= WeekMs)
+      .select("conv_id", "touch_id", "touch_ms", "event_type")
+      .persist() // read twice: per-type counts + per-conversion argmax
+    val tc = j.groupBy("event_type").agg(count(lit(1)).as("n_touches"))
+      .select(col("event_type"), col("n_touches"),
+        lit(0L).as("n_last"), lit(0L).as("n_first"))
+    // (ts, id, type) struct order: latest ts wins, ties to the larger
+    // event_id — ids are unique, so the type field never decides
+    val per = j.groupBy("conv_id").agg(
+      max(struct(col("touch_ms"), col("touch_id"), col("event_type")))
+        .as("l"),
+      min(struct(col("touch_ms"), col("touch_id"), col("event_type")))
+        .as("f"))
+    val lt = per.groupBy(col("l.event_type").as("event_type"))
+      .agg(count(lit(1)).as("n_last"))
+      .select(col("event_type"), lit(0L).as("n_touches"), col("n_last"),
+        lit(0L).as("n_first"))
+    val ft = per.groupBy(col("f.event_type").as("event_type"))
+      .agg(count(lit(1)).as("n_first"))
+      .select(col("event_type"), lit(0L).as("n_touches"),
+        lit(0L).as("n_last"), col("n_first"))
+    tc.unionByName(lt).unionByName(ft)
+      .groupBy("event_type")
+      .agg(sum(col("n_touches")).as("n_touches"),
+        sum(col("n_last")).as("n_last_touch"),
+        sum(col("n_first")).as("n_first_touch"))
+      .orderBy("event_type")
+  }
+
+  /** RFM core over any frame with (user_id, ts_ms, value) — separated so
+    * specs can plant users with known quintile boundaries.
+    */
+  def rfmFrom(s: SparkSession, events: DataFrame): DataFrame = {
+    def q(order: Seq[Column]): Column =
+      ntile(5).over(Window.orderBy(order :+ col("user_id").asc: _*))
+    events.groupBy("user_id")
+      .agg(max(col("ts_ms")).as("r_ms"), count(lit(1)).as("f"),
+        dsum(s, col("value")).as("m"))
+      .withColumn("r_q", q(Seq(col("r_ms").desc)))
+      .withColumn("f_q", q(Seq(col("f").desc)))
+      .withColumn("m_q", q(Seq(col("m").desc)))
+      .withColumn("segment",
+        (col("r_q") * 100 + col("f_q") * 10 + col("m_q")).cast("int"))
+      .orderBy("user_id")
+  }
 
   /** Transition-matrix core over any frame with (user_id, event_id, ts_ms,
     * event_type) — separated so specs can plant a known sequence.
@@ -505,6 +595,59 @@ object EventOps {
         |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
         |SELECT event_type, next_type, n, CAST(n AS DOUBLE) /
         |    CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS p
-        |FROM c ORDER BY event_type, next_type""".stripMargin
+        |FROM c ORDER BY event_type, next_type""".stripMargin,
+    // ntile over a fully tie-broken order (metric, then user_id) is
+    // deterministic and identical in both engines; DuckDB's ntile yields
+    // BIGINT where Spark yields INT, hence the casts.
+    "events_rfm" ->
+      s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, value
+         |           FROM events),
+         |p AS (SELECT user_id, max(ts_ms) AS r_ms, count(*) AS f,
+         |    ${Oracle.sqlSum("value")} AS m FROM e GROUP BY user_id),
+         |q AS (SELECT user_id, r_ms, f, m,
+         |    CAST(ntile(5) OVER (ORDER BY r_ms DESC, user_id ASC) AS INT)
+         |      AS r_q,
+         |    CAST(ntile(5) OVER (ORDER BY f DESC, user_id ASC) AS INT)
+         |      AS f_q,
+         |    CAST(ntile(5) OVER (ORDER BY m DESC, user_id ASC) AS INT)
+         |      AS m_q
+         |  FROM p)
+         |SELECT user_id, r_ms, f, m, r_q, f_q, m_q,
+         |  CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS segment
+         |FROM q ORDER BY user_id""".stripMargin,
+    // Same join band, the same DESC/DESC (resp. ASC/ASC) argmax tie rule
+    // as the engine's struct max/min, and the same union-then-sum
+    // recombination.
+    "events_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) AS ts_ms FROM events),
+        |c AS (SELECT user_id, event_id AS conv_id, ts_ms AS conv_ms
+        |      FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS touch_id, ts_ms AS touch_ms,
+        |      event_type FROM e WHERE event_type <> 'purchase'),
+        |j AS (SELECT conv_id, touch_id, touch_ms, event_type
+        |      FROM c JOIN t USING (user_id)
+        |      WHERE touch_ms <= conv_ms
+        |        AND conv_ms - touch_ms <= 604800000),
+        |tc AS (SELECT event_type, count(*) AS n_touches, 0 AS n_last,
+        |       0 AS n_first FROM j GROUP BY 1),
+        |lt AS (SELECT event_type, 0 AS n_touches, count(*) AS n_last,
+        |       0 AS n_first FROM (
+        |    SELECT conv_id, event_type, row_number() OVER (
+        |      PARTITION BY conv_id
+        |      ORDER BY touch_ms DESC, touch_id DESC) AS rn FROM j) r
+        |  WHERE rn = 1 GROUP BY 1),
+        |ft AS (SELECT event_type, 0 AS n_touches, 0 AS n_last,
+        |       count(*) AS n_first FROM (
+        |    SELECT conv_id, event_type, row_number() OVER (
+        |      PARTITION BY conv_id
+        |      ORDER BY touch_ms ASC, touch_id ASC) AS rn FROM j) r
+        |  WHERE rn = 1 GROUP BY 1),
+        |u AS (SELECT * FROM tc UNION ALL SELECT * FROM lt
+        |      UNION ALL SELECT * FROM ft)
+        |SELECT event_type, CAST(sum(n_touches) AS BIGINT) AS n_touches,
+        |  CAST(sum(n_last) AS BIGINT) AS n_last_touch,
+        |  CAST(sum(n_first) AS BIGINT) AS n_first_touch
+        |FROM u GROUP BY 1 ORDER BY event_type""".stripMargin
   )
 }

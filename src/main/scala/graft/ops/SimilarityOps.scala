@@ -201,6 +201,11 @@ object SimilarityOps {
     "sim_ann_pq" -> { (s, d) =>
       pqTopkFrom(Tables(s, d).embeddings)
     },
+    // IVF-PQ — the fifth ANN family member and the production composition:
+    // coarse lists prune, PQ codes rank. See [[ivfpqTopkFrom]].
+    "sim_ann_ivfpq" -> { (s, d) =>
+      ivfpqTopkFrom(Tables(s, d).embeddings, 2)
+    },
     // One Lloyd (k-means) iteration, seeded by the per-label centroids:
     // (1) score every vector against the 10 broadcast centroids and keep
     // the argmax via a partial+final max(struct(sim, -label)) aggregate —
@@ -268,41 +273,108 @@ object SimilarityOps {
     * of the embeddings table).
     */
   def pqTopkFrom(emb: DataFrame): DataFrame = {
-    val M = 4; val sub = 16; val K = 16
     val base = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
-    val cb = base.filter(col("vec_id") < K)
-      .agg(sort_array(collect_list(struct(
-        col("vec_id").cast("int").as("cid"), col("qv").as("cqv"))))
-        .as("cb"))
-    // squared L2 between subspace m of a and subspace m of b (sub dims)
-    def subdist(a: Column, b: Column, m: Column): Column =
-      aggregate(zip_with(
-        slice(a, m * lit(sub) + lit(1), lit(sub)),
-        slice(b, m * lit(sub) + lit(1), lit(sub)),
-        (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
-    val coded = base.crossJoin(broadcast(cb))
-      .withColumn("codes", transform(sequence(lit(0), lit(M - 1)), m =>
-        // argmin over the codebook: sort (dist, cid) structs, take head —
-        // ties break to the smallest centroid id
-        element_at(array_sort(transform(col("cb"), e =>
-          struct(subdist(col("qv"), e.getField("cqv"), m).as("dm"),
-            e.getField("cid").as("cid")))), 1).getField("cid")))
+    val coded = pqEncode(base)
     val qs = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"))
     val scored = coded.filter(col("vec_id") >= 10)
       .join(broadcast(qs))
-      .select(col("query_id"), col("vec_id"),
-        // element_at(cb, code+1) is direct indexing: vec_ids are contiguous
-        // from 0 (fixed contract of the embeddings table, planted likewise
-        // in specs), so the cid-sorted codebook holds cid=i-1 at position i
-        aggregate(sequence(lit(0), lit(M - 1)), lit(0L), (acc, m) =>
-          acc + subdist(col("qqv"),
-            element_at(col("cb"),
-              element_at(col("codes"), m + lit(1)) + lit(1))
-              .getField("cqv"), m)).as("adist"))
+      .select(col("query_id"), col("vec_id"), adcDist.as("adist"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adist").asc, col("vec_id").asc)
     scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("query_id", "vec_id", "adist", "rk")
+      .orderBy("query_id", "rk")
+  }
+
+  private val PqM = 4; private val PqSub = 16; private val PqK = 16
+
+  /** Squared L2 between subspace m of a and subspace m of b (PqSub dims). */
+  private def subdist(a: Column, b: Column, m: Column): Column =
+    aggregate(zip_with(
+      slice(a, m * lit(PqSub) + lit(1), lit(PqSub)),
+      slice(b, m * lit(PqSub) + lit(1), lit(PqSub)),
+      (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
+  /** PQ-encode a (vec_id, qv, ...) frame: attaches the broadcast one-row
+    * codebook column `cb` (the PqK smallest-vec_id vectors, cid-sorted)
+    * and the per-vector `codes` array (argmin sub-centroid per subspace,
+    * ties to the smallest centroid id). Extra input columns ride along.
+    */
+  private def pqEncode(base: DataFrame): DataFrame = {
+    val cb = base.select(col("vec_id"), col("qv")).filter(col("vec_id") < PqK)
+      .agg(sort_array(collect_list(struct(
+        col("vec_id").cast("int").as("cid"), col("qv").as("cqv"))))
+        .as("cb"))
+    base.crossJoin(broadcast(cb))
+      .withColumn("codes", transform(sequence(lit(0), lit(PqM - 1)), m =>
+        element_at(array_sort(transform(col("cb"), e =>
+          struct(subdist(col("qv"), e.getField("cqv"), m).as("dm"),
+            e.getField("cid").as("cid")))), 1).getField("cid")))
+  }
+
+  /** ADC distance of query `qqv` to the codes/cb columns of a pqEncode
+    * frame. element_at(cb, code+1) is direct indexing: vec_ids are
+    * contiguous from 0 (fixed contract of the embeddings table, planted
+    * likewise in specs), so the cid-sorted codebook holds cid=i-1 at
+    * position i.
+    */
+  private def adcDist: Column =
+    aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L), (acc, m) =>
+      acc + subdist(col("qqv"),
+        element_at(col("cb"),
+          element_at(col("codes"), m + lit(1)) + lit(1))
+          .getField("cqv"), m))
+
+  /** IVF-PQ: the production ANN composition — IVF's coarse quantizer
+    * prunes the corpus to nprobe inverted lists per query, and within the
+    * probed lists candidates are ranked by PQ ADC distance over their
+    * 4-byte codes instead of exact scoring. At 100 TB this is the only
+    * economical shape: the corpus is stored partitioned by list id with
+    * only the codes column hot, a probe reads nprobe partitions of
+    * codes (bytes per vector, not the raw floats), and the codebook +
+    * query set broadcast. Exact integer arithmetic end to end (same
+    * pieces as sim_ann_ivf and sim_ann_pq, both oracle-verified), so the
+    * full composition replicates in DuckDB.
+    */
+  def ivfpqTopkFrom(emb: DataFrame, nprobe: Int): DataFrame = {
+    val base = emb
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
+      .withColumn("nn",
+        aggregate(transform(col("qv"), x => x * x), lit(0L), (a, x) => a + x))
+      .persist() // read three times: centroids, codebook/encode, queries
+    val centVec = base.groupBy("label")
+      .agg(graft.functions.aggregates.vec_sum_longs(col("qv")).as("svec"),
+        count(col("qv")).as("cnt"))
+      .select(col("label"),
+        transform(col("svec"),
+          sv => floor(sv * lit(1000) / col("cnt")).cast("long")).as("cvec"))
+      .withColumn("cnn",
+        aggregate(transform(col("cvec"), x => x * x), lit(0L), (a, x) => a + x))
+    val queries = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
+        col("nn").as("qnn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("label").asc)
+    val probes = queries.join(broadcast(centVec))
+      .select(col("query_id"), col("label"),
+        when(col("qnn") === 0L || col("cnn") === 0L, lit(0.0))
+          .otherwise(quant_dot(col("qqv"), col("cvec")).cast("double") /
+            (sqrt(col("qnn").cast("double")) *
+              sqrt(col("cnn").cast("double")))).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "label")
+    val coded = pqEncode(base.select(col("vec_id"), col("label"), col("qv")))
+    val scored = coded.filter(col("vec_id") >= 10)
+      .join(broadcast(probes), Seq("label"))
+      .join(broadcast(queries.select(col("query_id"), col("qqv"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), adcDist.as("adist"))
+    val rw = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(rw))
       .filter(col("rk") <= 5)
       .select("query_id", "vec_id", "adist", "rk")
       .orderBy("query_id", "rk")
@@ -611,6 +683,57 @@ object SimilarityOps {
         |          AS adist
         |        FROM codes c JOIN qd ON qd.m = c.m AND qd.cid = c.cid
         |        WHERE c.vec_id >= 10 GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, vec_id, adist,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY adist ASC, vec_id ASC) AS INT) AS rk FROM adc)
+        |SELECT query_id, vec_id, adist, rk FROM ranked WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
+    // IVF-PQ replication: the sim_ann_ivf coarse-probe CTEs verbatim,
+    // composed with the sim_ann_pq code/ADC CTEs verbatim — candidates
+    // from the probed lists, ranked by ADC.
+    "sim_ann_ivfpq" ->
+      """WITH q AS (SELECT vec_id, label, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
+        |cent AS (SELECT label, i,
+        |    CAST(floor(CAST(sum(v) * 1000 AS DOUBLE) / count(*)) AS BIGINT)
+        |      AS cv
+        |  FROM q GROUP BY 1, 2),
+        |cn AS (SELECT label, sum(cv * cv) AS cnn FROM cent GROUP BY 1),
+        |cdot AS (SELECT a.vec_id AS query_id, c.label, sum(a.v * c.cv) AS dot
+        |         FROM q a JOIN cent c ON c.i = a.i
+        |         WHERE a.vec_id < 10 GROUP BY 1, 2),
+        |csim AS (SELECT query_id, cdot.label,
+        |    CASE WHEN na.nn = 0 OR cn.cnn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+        |           sqrt(CAST(cn.cnn AS DOUBLE))) END AS sim
+        |  FROM cdot JOIN n na ON na.vec_id = query_id
+        |            JOIN cn ON cn.label = cdot.label),
+        |probe AS (SELECT query_id, label FROM (
+        |    SELECT query_id, label, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, label ASC) AS rn FROM csim)
+        |  WHERE rn <= 2),
+        |pdist AS (SELECT a.vec_id, b.vec_id AS cid, (a.i - 1) // 16 AS m,
+        |           sum((a.v - b.v) * (a.v - b.v)) AS d
+        |         FROM q a JOIN q b ON a.i = b.i AND b.vec_id < 16
+        |         GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, m, cid FROM (
+        |    SELECT vec_id, m, cid, row_number() OVER (PARTITION BY vec_id, m
+        |      ORDER BY d ASC, cid ASC) AS rn FROM pdist) r WHERE rn = 1),
+        |qd AS (SELECT vec_id AS query_id, m, cid, d FROM pdist
+        |       WHERE vec_id < 10),
+        |cand AS (SELECT p.query_id, e.vec_id
+        |         FROM probe p JOIN (SELECT DISTINCT vec_id, label
+        |                            FROM embeddings WHERE vec_id >= 10) e
+        |           USING (label)),
+        |adc AS (SELECT c.query_id, c.vec_id, CAST(sum(qd.d) AS BIGINT)
+        |          AS adist
+        |        FROM cand c JOIN codes co ON co.vec_id = c.vec_id
+        |        JOIN qd ON qd.query_id = c.query_id AND qd.m = co.m
+        |          AND qd.cid = co.cid
+        |        GROUP BY 1, 2),
         |ranked AS (SELECT query_id, vec_id, adist,
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY adist ASC, vec_id ASC) AS INT) AS rk FROM adc)

@@ -192,8 +192,82 @@ object TextOps {
     // broadcast compare, same semantics.
     "text_lm_familiarity" -> { (s, d) =>
       lmFamiliarityFrom(Tables(s, d).documents)
+    },
+    // Token frequency-distribution stats per document: token count, type
+    // count, the MODAL token (ties broken lexicographically) with its
+    // count, and the exact Simpson collision sum Σ c·(c−1) — the integer
+    // numerator of the repeated-token probability, the log-free
+    // repetitiveness signal (text_quality's type-token ratio sees only
+    // distinctness; this sees the shape of the frequency curve). Two
+    // shuffles: (doc_id, tok) counting, then the per-doc rollup; the
+    // modal token collapses map-side as a (count, reversed-tok) max
+    // struct, never a sort.
+    "text_token_dist" -> { (s, d) =>
+      tokenDistFrom(Tables(s, d).documents)
+    },
+    // Cross-document n-gram novelty: the fraction of a document's
+    // DISTINCT 3-grams not seen in any earlier document (doc_id order =
+    // corpus arrival order) — the shard-novelty/diversity readout a
+    // curation pipeline tracks as it appends shards. First-occurrence
+    // attribution: one shuffle keys (doc, gram) for the distinct, the
+    // gram-wise min(doc_id) reuses that gram partitioning (exchange
+    // reuse), the join back is gram-co-located, and only the final
+    // per-doc rollup reshuffles. Counts are exact integers; the ratio
+    // divides two of them.
+    "text_ngram_novelty" -> { (s, d) =>
+      ngramNoveltyFrom(Tables(s, d).documents)
     }
   )
+
+  /** Token-distribution core over any frame with (doc_id, text) —
+    * separated so specs can plant documents with known frequency curves.
+    */
+  def tokenDistFrom(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    // modal token: the tie rule is count DESC then tok ASC, which a
+    // single max-struct cannot express (it would need a reversed string
+    // collation inside the struct). Instead: take max(c) in the rollup,
+    // join it back onto the SAME (doc_id, tok) frame — co-partitioned,
+    // no extra shuffle — and min(tok) over the argmax rows. Never sorts.
+    val stats = tf.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        max(col("c")).as("top_freq"),
+        sum(col("c") * (col("c") - 1)).as("collisions"))
+    val modal = tf.join(stats.select(col("doc_id"), col("top_freq")),
+        Seq("doc_id"))
+      .filter(col("c") === col("top_freq"))
+      .groupBy("doc_id").agg(min(col("tok")).as("top_tok"))
+    stats.join(modal, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        col("top_tok"), col("top_freq"), col("collisions"))
+      .orderBy("doc_id")
+  }
+
+  /** N-gram novelty core over any frame with (doc_id, text) — separated
+    * so specs can plant a corpus with known first occurrences.
+    */
+  def ngramNoveltyFrom(docs: DataFrame): DataFrame = {
+    val tk = toks(col("text"))
+    val n = size(tk)
+    val grams = when(n >= 3, transform(sequence(lit(1), n - 2),
+      i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1),
+        lit(" "), element_at(tk, i + 2)))).otherwise(
+      array().cast("array<string>"))
+    val dg = docs
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .distinct()
+    val first = dg.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+    dg.join(first, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("first_doc") === col("doc_id")).cast("long"))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+      .orderBy("doc_id")
+  }
 
   /** The bigram-LM familiarity core over any frame with (doc_id, text) —
     * see the `text_lm_familiarity` notes above. Separated so specs can
@@ -446,6 +520,38 @@ object TextOps {
         |  CAST(ntile(5) OVER (ORDER BY CAST(familiarity AS DOUBLE) /
         |    CAST(n_bigrams AS DOUBLE) DESC, doc_id ASC) AS INT)
         |    AS quality_bucket
-        |FROM sc ORDER BY doc_id""".stripMargin
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    // Same count/argmax/tie arithmetic; the modal tie resolves by min(tok)
+    // over the argmax rows in both engines.
+    "text_token_dist" ->
+      s"""WITH tf AS (SELECT doc_id, tok, count(*) AS c FROM (
+         |    SELECT doc_id, unnest($tokSql) AS tok FROM documents) u
+         |  GROUP BY 1, 2),
+         |st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |    count(*) AS n_types, max(c) AS top_freq,
+         |    CAST(sum(c * (c - 1)) AS BIGINT) AS collisions
+         |  FROM tf GROUP BY 1),
+         |md AS (SELECT tf.doc_id AS doc_id, min(tok) AS top_tok
+         |  FROM tf JOIN st ON st.doc_id = tf.doc_id AND tf.c = st.top_freq
+         |  GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_types, top_tok, top_freq, collisions
+         |FROM st JOIN md USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // DISTINCT per-doc grams, gram-wise min(doc_id) first occurrence, and
+    // the per-doc novel fraction; generate_series(1, len-2) is empty for
+    // <3-token documents exactly as the engine's empty-array explode.
+    "text_ngram_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |g AS (SELECT DISTINCT doc_id,
+         |    tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS gram
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2))
+         |    AS i) s),
+         |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
+         |SELECT doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel,
+         |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+         |FROM g JOIN f USING (gram) GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
   )
 }

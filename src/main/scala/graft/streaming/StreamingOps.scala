@@ -129,6 +129,45 @@ object StreamingOps {
       .toDF()
   }
 
+  final case class TransEvent(user_id: Long, event_id: Long, ts_ms: Long,
+      event_type: String)
+  final case class TransState(lastTs: Long, lastId: Long, lastType: String)
+  final case class Transition(event_type: String, next_type: String)
+
+  /** Streaming form of the batch transition matrix's pairing stage: a
+    * per-user keyed state machine holding only the LAST event seen
+    * (three fields per user — state is O(users), independent of stream
+    * length), emitting one (prev → cur) transition per arriving event.
+    * Within a microbatch events are folded in (ts, event_id) order, and
+    * the state carries the boundary event so a user's transition across
+    * two microbatches is emitted exactly once — the downstream count
+    * then converges to the batch lead()-window answer over the events
+    * seen so far.
+    */
+  def transitionEmissions(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"),
+        expr(graft.ops.EventOps.floorDivSql("ts", 1000000L)).as("ts_ms"),
+        col("event_type"))
+      .as[TransEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[TransEvent],
+         state: GroupState[TransState]) => {
+          val sorted = rows.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[Transition]
+          sorted.foreach { e =>
+            if (st != null) out += Transition(st.lastType, e.event_type)
+            st = TransState(e.ts_ms, e.event_id, e.event_type)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+        })
+      .toDF()
+  }
+
   /** Declarative gap-session aggregation via `session_window` — the
     * engine-managed alternative to the [[runningSessions]]
     * mapGroupsWithState form: the state store merges/extends session
@@ -278,6 +317,25 @@ object StreamingOps {
         Seq("k")).select("k")
       runToMemory(deduped, "events_dedup_stream_sink", OutputMode.Append())
         .orderBy("k")
+    },
+    // Fifth streaming parity row (r6): keyed-state transition pairing
+    // (flatMapGroupsWithState in Append mode) feeding a downstream
+    // streaming aggregate — the one stateful-op composition the earlier
+    // rows don't exercise. Complete mode: the finite source's final
+    // microbatch table is the full count matrix; the row-normalized p
+    // is attached post-materialization with a window over the tiny
+    // |types|^2 result, exactly as the batch query computes it.
+    "events_transition_stream" -> { (s, d) =>
+      val counts = transitionEmissions(s, readEvents(s, d))
+        .groupBy("event_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+      val res = runToMemory(counts, "events_transition_stream_sink",
+        OutputMode.Complete())
+      res
+        .withColumn("p", col("n").cast("double") /
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("event_type")).cast("double"))
+        .orderBy("event_type", "next_type")
     }
   )
 
@@ -323,6 +381,18 @@ object StreamingOps {
         |FROM m""".stripMargin,
     // one row per planted key — any under-drop shows up as extra rows
     "events_dedup_stream" ->
-      """SELECT DISTINCT event_id % 1000 AS k FROM events ORDER BY k"""
+      """SELECT DISTINCT event_id % 1000 AS k FROM events ORDER BY k""",
+    // the batch events_transition_matrix oracle, verbatim
+    "events_transition_stream" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) AS ts_ms FROM events),
+        |t AS (SELECT event_type, lead(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC)
+        |    AS next_type FROM e),
+        |c AS (SELECT event_type, next_type, count(*) AS n FROM t
+        |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, n, CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+        |FROM c ORDER BY event_type, next_type""".stripMargin
   )
 }

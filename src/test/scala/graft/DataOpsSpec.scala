@@ -285,4 +285,25 @@ class DataOpsSpec extends GraftSuite {
     // 4*5 + (5+...+95) + 5*95 = 20 + 4550 + 475
     assert(row.getDouble(6) == 5045.0)
   }
+
+  test("compaction plan: prefix-sum binning closes groups at the target " +
+      "and gives an oversized file its own group") {
+    import spark.implicits._
+    val inv = Seq(
+      ("en", 1L, 10L), ("en", 2L, 10L), ("en", 3L, 10L),
+      ("en", 4L, 10L), ("en", 5L, 10L),
+      ("de", 1L, 100L), ("de", 2L, 10L))
+      .toDF("lang", "file_id", "bytes")
+    val out = DataOps.compactionPlanFromInventory(inv, 25L).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // en: bytes-before 0,10,20,30,40 -> bins 0,0,0,1,1
+    assert(out(("en", 0L)) == ((3L, 30L, 1L, 3L)), out.toString)
+    assert(out(("en", 1L)) == ((2L, 20L, 4L, 5L)))
+    // de: the 100-byte file fills bins past the target alone; the next
+    // file starts at offset 100 -> bin 4
+    assert(out(("de", 0L)) == ((1L, 100L, 1L, 1L)))
+    assert(out(("de", 4L)) == ((1L, 10L, 2L, 2L)))
+    assert(out.size == 4)
+  }
 }

@@ -200,4 +200,51 @@ class EventOpsSpec extends GraftSuite {
     assert(out(("a", "c")) == ((1L, 1.0 / 3.0)))
     assert(out(("b", "a")) == ((2L, 1.0)))
   }
+
+  test("rfm: planted users land in the hand-computed quintiles on all " +
+      "three dimensions") {
+    import spark.implicits._
+    // u1: 1 recent big-value event; u2..u5: i events, later ts, value i-1
+    val rows =
+      Seq((1L, 9999L, 100.0)) ++
+        (2 to 5).flatMap(i => (1 to i).map(j =>
+          (i.toLong, (i * 100 + j).toLong, (i - 1).toDouble)))
+    val df = rows.toDF("user_id", "ts_ms", "value")
+    val out = EventOps.rfmFrom(spark, df).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(4), r.getInt(5), r.getInt(6),
+        r.getInt(7)))).toMap
+    // r desc: u1,u5,u4,u3,u2 ; f desc: u5,u4,u3,u2,u1 ; m desc (m =
+    // i*(i-1) for u2..u5, 100 for u1): u1,u5,u4,u3,u2
+    assert(out(1L) == ((1, 5, 1, 151)), out.toString)
+    assert(out(2L) == ((5, 4, 5, 545)))
+    assert(out(3L) == ((4, 3, 4, 434)))
+    assert(out(4L) == ((3, 2, 3, 323)))
+    assert(out(5L) == ((2, 1, 2, 212)))
+  }
+
+  test("attribution: planted touches credit first/last correctly and an " +
+      "out-of-window touch is excluded") {
+    import spark.implicits._
+    val W = 604800000L
+    val e = Seq(
+      // u1: view,click,view then purchase; one view outside the window
+      (1L, 1L, 100L, "view"), (2L, 1L, 200L, "click"),
+      (3L, 1L, 250L, "view"), (4L, 1L, 300L, "purchase"),
+      (5L, 1L, 300L - W - 1, "view"),
+      // u2: one click feeding TWO purchases (both in window)
+      (6L, 2L, 50L, "click"), (7L, 2L, 100L, "purchase"),
+      (8L, 2L, 200L, "purchase"),
+      // u3: purchase with no touches at all
+      (9L, 3L, 500L, "purchase"))
+      .toDF("event_id", "user_id", "ts_ms", "event_type")
+    val out = EventOps.attributionFrom(e).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // click: u1 click200 + u2 click50 x 2 convs = 3 touches; click is
+    // last and first for both u2 convs. view: u1 view100+view250; view250
+    // is conv300's last, view100 its first.
+    assert(out == Map("click" -> ((3L, 2L, 2L)), "view" -> ((2L, 1L, 1L))),
+      out.toString)
+    spark.catalog.clearCache()
+  }
 }

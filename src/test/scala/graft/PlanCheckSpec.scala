@@ -50,6 +50,9 @@ class PlanCheckSpec extends GraftSuite {
                           // the 5-row per-language factor table
     "sim_ann_pq",         // 1-row codebook broadcast under the corpus
                           // (encoding) + 10-query set broadcast (ADC)
+    "sim_ann_ivfpq",      // the same 1-row codebook broadcast (encoding)
+                          // + the sim_kmeans_step-style 10-centroid
+                          // broadcast (coarse probe)
     "q22_idle_customers", // 1-row average-balance scalar broadcast under
                           // the customer table (the Q22 gating predicate)
     "q11_important_stock", // 1-row global-value scalar broadcast under the

@@ -201,4 +201,40 @@ class SimilarityOpsSpec extends GraftSuite {
     assert(dropped(102L)._2 > 0.999, s"sim=${dropped(102L)._2}")
     assert(!dropped.contains(101L), "the keeper must survive")
   }
+
+  test("ivfpq: list pruning excludes a clone in an unprobed list, ADC " +
+      "ranks the probed clones first at distance zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // orthogonal spike vectors: spike(j) is 1.0 at positions i%16==j
+    def spike(j: Int): Seq[Float] =
+      Seq.tabulate(64)(i => if (i % 16 == j % 16) 1.0f else 0.0f)
+    // label 0 = {query 5, clone 20}: centroid IS spike(5), cos 1.
+    // label 1 = {22=spike(1), 24=spike(5) clone, codebook 10-15}:
+    //   centroid has a 1/8 spike(5) component, cos ~0.35 -> probed 2nd.
+    // label 2 = {queries 0-4 and 6-9, clone 21, 30-44 all spike(3)}:
+    //   the spike(5) component dilutes to 1/25, cos ~0.06 -> UNPROBED.
+    val rows =
+      Seq((5L, 0, spike(5)), (20L, 0, spike(5))) ++
+        Seq((22L, 1, spike(1)), (24L, 1, spike(5))) ++
+        (10 to 15).map(j => (j.toLong, 1, spike(j))) ++
+        ((0 to 4) ++ (6 to 9)).map(j => (j.toLong, 2, spike(j))) ++
+        Seq((21L, 2, spike(5))) ++
+        (30 to 44).map(j => (j.toLong, 2, spike(3)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val got = graft.ops.SimilarityOps.ivfpqTopkFrom(df, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    spark.catalog.clearCache()
+    val q5 = got.filter(_._1 == 5L)
+    assert(q5.length == 5, q5.toSeq.toString)
+    // the label-2 clone must never surface FOR QUERY 5 — its list was
+    // pruned there (queries living in label 2 probe their own list, so
+    // vec 21 appearing for them is correct)
+    assert(!q5.exists(_._2 == 21L), s"unprobed-list clone leaked: " +
+      q5.filter(_._2 == 21L).mkString(","))
+    // both probed clones of spike(5) code to centroid 5 -> ADC 0; tie
+    // breaks to the smaller vec_id
+    assert(q5(0) == ((5L, 20L, 0L, 1)), q5.toSeq.toString)
+    assert(q5(1) == ((5L, 24L, 0L, 2)), q5.toSeq.toString)
+  }
 }

@@ -199,4 +199,17 @@ class StreamingSpec extends GraftSuite {
       assert(got.getLong(i) == batch.getLong(i), s"funnel column $i")
     }
   }
+
+  test("streaming transition counts equal the batch transition matrix") {
+    val got = StreamingOps.queries("events_transition_stream")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val want = EventOps.queries("events_transition_matrix")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == want,
+      s"streaming=${got.size} rows, batch=${want.size} rows")
+  }
 }

@@ -73,4 +73,35 @@ class TextOpsSpec extends GraftSuite {
     assert(out(2L) == ((2L, 3L, 1L, 2L, 1.5, 2)))
     assert(out(3L) == ((1L, 1L, 1L, 1L, 1.0, 3)))
   }
+
+  test("token dist: planted frequency curve — counts, modal tie to the " +
+      "lexicographically smallest token, and the Simpson collision sum") {
+    import spark.implicits._
+    // doc 1: b b b a a c  -> n=6, types=3, top=b(3), coll=3*2+2*1+0=8
+    // doc 2: z y z y      -> tie at 2; modal must be y (lex smallest)
+    val docs = Seq((1L, "b b b a a c"), (2L, "z y z y"))
+      .toDF("doc_id", "text")
+    val out = TextOps.tokenDistFrom(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1L) == ((6L, 3L, "b", 3L, 8L)))
+    assert(out(2L) == ((4L, 2L, "y", 2L, 2L + 2L)))
+  }
+
+  test("ngram novelty: first document is all-novel, a verbatim repeat is " +
+      "zero-novel, and a <3-token doc yields no row") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"), // 3 grams, all first occurrences
+      (2L, "the quick brown fox jumps"), // same grams -> novelty 0
+      (3L, "the quick brown cat naps"),  // grams: 1 seen, 2 new -> 2/3
+      (4L, "too short")).toDF("doc_id", "text")
+    val out = TextOps.ngramNoveltyFrom(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out.size == 3, out.toString)
+    assert(out(1L) == ((3L, 3L, 1.0)))
+    assert(out(2L) == ((3L, 0L, 0.0)))
+    assert(out(3L) == ((3L, 2L, 2.0 / 3.0)))
+  }
 }
