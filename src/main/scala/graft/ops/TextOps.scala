@@ -247,23 +247,43 @@ object TextOps {
 
   /** N-gram novelty core over any frame with (doc_id, text) — separated
     * so specs can plant a corpus with known first occurrences.
+    *
+    * Never joins back on the gram key: a doc's novel-gram count is just
+    * "how many grams have first_doc = this doc", so the wide (doc, gram)
+    * frame reduces twice — per doc (n_grams) and per gram then per
+    * first-doc (n_novel) — and only the two doc-keyed aggregates join
+    * (5 orders of magnitude smaller than the gram stream at corpus
+    * scale). The r6 first cut joined first-occurrences back onto the
+    * gram stream and was the slowest query in the suite (4.7 s); this
+    * form is the same answer with the gram-keyed join deleted.
+    *
+    * CACHE LIFETIME CONTRACT: the distinct (doc, gram) frame is
+    * persisted (read by both reductions); the CALLER owns release via
+    * `spark.catalog.clearCache()`.
     */
   def ngramNoveltyFrom(docs: DataFrame): DataFrame = {
-    val tk = toks(col("text"))
+    // tk MUST be a materialized column, not the inline split expression:
+    // Catalyst does not common-subexpression-eliminate inside lambda
+    // bodies, so an inline `split(text)` under `transform`'s element_at
+    // re-splits the document PER GRAM PER TOKEN ACCESS (3x per gram) —
+    // measured 4x slower on the sf0.1 corpus (4.8 s -> 1.2 s).
+    val tk = col("tk")
     val n = size(tk)
     val grams = when(n >= 3, transform(sequence(lit(1), n - 2),
       i => concat(element_at(tk, i), lit(" "), element_at(tk, i + 1),
         lit(" "), element_at(tk, i + 2)))).otherwise(
       array().cast("array<string>"))
     val dg = docs
+      .select(col("doc_id"), toks(col("text")).as("tk"))
       .select(col("doc_id"), explode(grams).as("gram"))
       .distinct()
-    val first = dg.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
-    dg.join(first, Seq("gram"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum((col("first_doc") === col("doc_id")).cast("long"))
-          .as("n_novel"))
+      .persist() // read twice: per-doc counts + first-occurrence counts
+    val nd = dg.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val nv = dg.groupBy("gram").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+    nd.join(nv, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty",
         col("n_novel").cast("double") / col("n_grams").cast("double"))
       .orderBy("doc_id")
@@ -545,13 +565,14 @@ object TextOps {
          |    tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS gram
          |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(tk) - 2))
          |    AS i) s),
-         |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1)
-         |SELECT doc_id, count(*) AS n_grams,
-         |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_novel,
-         |  CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
-         |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
-         |FROM g JOIN f USING (gram) GROUP BY doc_id
+         |nd AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+         |nv AS (SELECT first_doc AS doc_id, count(*) AS n_novel FROM (
+         |    SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1) f
+         |  GROUP BY 1)
+         |SELECT doc_id, n_grams, COALESCE(n_novel, 0) AS n_novel,
+         |  CAST(COALESCE(n_novel, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE)
+         |    AS novelty
+         |FROM nd LEFT JOIN nv USING (doc_id)
          |ORDER BY doc_id""".stripMargin
   )
 }
