@@ -247,4 +247,48 @@ class EventOpsSpec extends GraftSuite {
       out.toString)
     spark.catalog.clearCache()
   }
+
+  test("attribution matches a plain-Scala replay on randomized event data") {
+    import spark.implicits._
+    val W = 604800000L
+    for (seed <- Seq(31L, 32L)) {
+      val rnd = new scala.util.Random(seed)
+      val types = Array("view", "click", "scroll", "purchase")
+      // deliberately coarse timestamps so ties across users exist
+      val events = (1 to 400).map { i =>
+        (i.toLong, (rnd.nextInt(12) + 1).toLong,
+          rnd.nextInt(20).toLong * (W / 10), types(rnd.nextInt(4)))
+      }
+      val replay = {
+        val byUser = events.groupBy(_._2)
+        val touches = scala.collection.mutable.ArrayBuffer.empty[String]
+        val last = scala.collection.mutable.ArrayBuffer.empty[String]
+        val first = scala.collection.mutable.ArrayBuffer.empty[String]
+        byUser.values.foreach { es =>
+          val convs = es.filter(_._4 == "purchase")
+          val ts = es.filter(_._4 != "purchase")
+          convs.foreach { c =>
+            val in = ts.filter(t => t._3 <= c._3 && c._3 - t._3 <= W)
+            if (in.nonEmpty) {
+              touches ++= in.map(_._4)
+              last += in.maxBy(t => (t._3, t._1))._4
+              first += in.minBy(t => (t._3, t._1))._4
+            }
+          }
+        }
+        def cnt(b: Seq[String]) =
+          b.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        (cnt(touches.toSeq), cnt(last.toSeq), cnt(first.toSeq))
+      }
+      val got = EventOps.attributionFrom(
+        events.toDF("event_id", "user_id", "ts_ms", "event_type")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3)))).toMap
+      spark.catalog.clearCache()
+      val want = (replay._1.keySet ++ replay._2.keySet ++ replay._3.keySet)
+        .map(t => t -> ((replay._1.getOrElse(t, 0L),
+          replay._2.getOrElse(t, 0L), replay._3.getOrElse(t, 0L)))).toMap
+      assert(got == want, s"seed=$seed: got=$got want=$want")
+    }
+  }
 }

@@ -194,4 +194,62 @@ class ScaleSpec extends GraftSuite {
     assert(langExchanges == 1,
       s"expected 1 lang shuffle, got $langExchanges:\n$s")
   }
+
+  test("winsorize: rank thresholds broadcast back onto the value scan " +
+      "(never a shuffled re-join)") {
+    val df = graft.ops.DataOps.queries("data_winsorize")(spark, sfDir)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the 5-row-per-group threshold table must come back as a broadcast
+    // hash join; a shuffled join here would re-shuffle the fact table a
+    // second time at 100 TB
+    assert(s.contains("BroadcastHashJoin"), s)
+    assert(!s.contains("SortMergeJoin") && !s.contains("ShuffledHashJoin"),
+      s)
+  }
+
+  test("compaction plan: metadata-scale — no join anywhere, one scan of " +
+      "the documents inventory source") {
+    val df = graft.ops.DataOps.queries("data_compaction_plan")(spark, sfDir)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!s.toLowerCase.contains("join"), s)
+    assert("documents\\.parquet".r.findAllIn(s).size == 1, s)
+  }
+
+  test("ngram novelty: the persisted gram frame feeds both reductions; " +
+      "the only join is the tiny per-doc recombination") {
+    val df = graft.ops.TextOps.queries("text_ngram_novelty")(spark, sfDir)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // both the per-doc count and the first-occurrence count must read the
+    // cached distinct (doc, gram) frame, not recompute the explode (under
+    // AQE one read prints as InMemoryTableScan, the other as a reused
+    // TableCacheQueryStage)
+    assert("InMemoryTableScan|TableCacheQueryStage".r.findAllIn(s).size >= 2,
+      s)
+    // exactly one join — doc-keyed aggregate x doc-keyed aggregate; the
+    // r6 first cut's gram-keyed join-back must not return
+    assert("(?i)join".r.findAllIn(s).size == 1,
+      s"expected exactly the doc-level join:\n$s")
+    spark.catalog.clearCache()
+  }
+
+  test("attribution: union recombination of the tiny per-type aggregates " +
+      "— no join of aggregates, argmax via one aggregate not a window") {
+    val df = graft.ops.EventOps.queries("events_attribution")(spark, sfDir)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(s.contains("Union"), s)
+    assert(!s.contains("SortMergeJoin"), s)
+    // the only join is conversions x touches on user_id; last/first
+    // credits come from max/min(struct) aggregates, never a per-touch
+    // ranking window
+    assert(!s.contains("Window"), s)
+    spark.catalog.clearCache()
+  }
 }

@@ -104,4 +104,36 @@ class TextOpsSpec extends GraftSuite {
     assert(out(2L) == ((3L, 0L, 0.0)))
     assert(out(3L) == ((3L, 2L, 2.0 / 3.0)))
   }
+
+  test("ngram novelty matches a plain-Scala replay on a randomized corpus") {
+    import spark.implicits._
+    for (seed <- Seq(41L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      // tiny vocabulary forces heavy cross-doc gram sharing
+      val vocab = Array("a", "b", "c", "d")
+      val docs = (1 to 60).map { i =>
+        (i.toLong,
+          Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(4))).mkString(" "))
+      }
+      val grams = docs.flatMap { case (id, text) =>
+        val tk = text.split(" ", -1).toSeq
+        if (tk.length < 3) Nil
+        else tk.sliding(3).map(g => (id, g.mkString(" "))).toSeq
+      }.distinct
+      val firstDoc = grams.groupBy(_._2).map { case (g, xs) =>
+        g -> xs.map(_._1).min
+      }
+      val want = grams.groupBy(_._1).map { case (id, gs) =>
+        val novel = gs.count { case (_, g) => firstDoc(g) == id }
+        id -> ((gs.size.toLong, novel.toLong,
+          novel.toDouble / gs.size.toDouble))
+      }
+      val got = TextOps.ngramNoveltyFrom(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(3)))).toMap
+      spark.catalog.clearCache()
+      assert(got == want, s"seed=$seed: got=${got.size} want=${want.size}")
+    }
+  }
 }
