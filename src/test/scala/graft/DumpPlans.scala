@@ -93,7 +93,31 @@ object DumpPlans {
       "data_sample_systematic" -> ("weighted systematic sample: " +
         "per-stratum running-mass window + total window share one " +
         "shuffle on lang; pick = pure integer stride arithmetic in a " +
-        "codegen'd filter"))
+        "codegen'd filter"),
+      "dedup_semantic" -> ("SemDeDup: 10 broadcast centroids assign " +
+        "clusters via a partial+final max(struct) argmax; the pair join " +
+        "is a cluster-keyed equi-join — the cluster count bounds the " +
+        "quadratic term, never corpus all-pairs"),
+      "sim_ann_ivfpq" -> ("IVF-PQ: coarse probe picks nprobe lists per " +
+        "query from broadcast centroids; candidates are a list-keyed " +
+        "equi-join ranked by ADC over the one-row broadcast codebook — " +
+        "only codes feed the search, never raw corpus vectors"),
+      "events_attribution" -> ("conversions broadcast against touches on " +
+        "user_id with the 7-day band as residual; last/first credits via " +
+        "one max/min(struct) aggregate (map-side collapsible); per-type " +
+        "aggregates recombine by union + re-aggregate, no join of " +
+        "aggregates"),
+      "text_ngram_novelty" -> ("first-occurrence attribution: distinct " +
+        "(doc, gram) frame cached once and reduced twice — per-doc " +
+        "counts and gram-wise min(doc_id) — with only the two doc-keyed " +
+        "aggregates joining; the gram stream is never joined back"),
+      "data_compaction_plan" -> ("OPTIMIZE planner at metadata scale: " +
+        "one row per file, prefix-sum window partitioned by the table " +
+        "partition key, one tiny aggregate — no join, one scan"),
+      "mm_phash_dedup" -> ("perceptual-hash dedup: aHash from the " +
+        "RLE1-decoded pixels is a map stage; Hamming<=3 candidates from " +
+        "a banded equi-join with first-shared-band exactly-once " +
+        "emission — never image all-pairs"))
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.DumpPlans\"` " +
