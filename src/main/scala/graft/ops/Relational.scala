@@ -36,6 +36,25 @@ object Relational {
     "scan_limit" -> { (s, d) =>
       Tables(s, d).lineitem.limit(100).agg(count(lit(1)).as("n"))
     },
+    // The DSv2 SyntheticSource inside the CORRECTNESS gate (not only
+    // SourceSpec): its deterministic rows (id, id/2.0, 't'||id%10) are
+    // replicable via generate_series in DuckDB, so the custom source's
+    // range-filter + column pushdown are verified end to end through a
+    // real query — source rows filter to [0,100) INSIDE the scan, the
+    // 100-row survivor set broadcasts under the parquet fact scan, and
+    // one aggregate shuffles. The DSv2 join-the-lakehouse shape: a
+    // programmatic dimension (date spine, tenant table, shard map)
+    // joined against parquet facts without materializing it anywhere.
+    "scan_source_join" -> { (s, d) =>
+      val src = s.read.format("graft.sources.SyntheticSource")
+        .option("rows", "1000000").load()
+        .filter(col("id") < 100).select(col("id"), col("tag"))
+      Tables(s, d).documents
+        .join(broadcast(src), (col("doc_id") % 100) === col("id"))
+        .groupBy("tag")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("tag")
+    },
     // LogicalFilter with projected_columns (filter.rs:14-27): predicate plus
     // column subset in one operator — Catalyst pushes both into the scan.
     "filter_project" -> { (s, d) =>
@@ -161,6 +180,15 @@ object Relational {
 
   def oracles: Map[String, String] = Map(
     "scan" -> "SELECT * FROM region ORDER BY r_regionkey",
+    // generate_series replicates the synthetic source's row formula; the
+    // same [0,100) filter and modulo join key.
+    "scan_source_join" ->
+      """WITH src AS (SELECT i AS id, 't' || CAST(i % 10 AS VARCHAR) AS tag
+        |  FROM (SELECT unnest(generate_series(0, 99)) AS i) g)
+        |SELECT tag, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents JOIN src ON doc_id % 100 = id
+        |GROUP BY tag ORDER BY tag""".stripMargin,
     "scan_limit" ->
       "SELECT count(*) AS n FROM (SELECT * FROM lineitem LIMIT 100) s",
     "filter_project" ->

@@ -123,4 +123,19 @@ class SourceSpec extends GraftSuite {
       s"aggregate wrongly pushed past a residual filter:\n$d2")
     assert(d2.contains("range=[50,100)"), s"pushable range filter lost:\n$d2")
   }
+
+  test("scan_source_join: the range filter and pruning reach the DSv2 " +
+      "scan under a broadcast join with parquet") {
+    val df = graft.ops.Relational.queries("scan_source_join")(spark, sfDir)
+    df.collect()
+    val desc = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    // the 1M-row option must never materialize: [0,100) generates in the
+    // scan itself, and only (id, tag) are read
+    assert(desc.contains("range=[0,100)"), s"filter not pushed:\n$desc")
+    assert(desc.contains("ReadSchema: struct<id:bigint,tag:string"),
+      s"columns not pruned:\n$desc")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
