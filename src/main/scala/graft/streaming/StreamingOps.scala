@@ -336,6 +336,25 @@ object StreamingOps {
           sum(col("n")).over(org.apache.spark.sql.expressions.Window
             .partitionBy("event_type")).cast("double"))
         .orderBy("event_type", "next_type")
+    },
+    // Sixth streaming parity row: the APPEND path — the mode a production
+    // job actually runs, where a window emits exactly once, when the
+    // watermark passes its end, and never again. The Complete-mode row
+    // (events_hourly_stream) checks the aggregate values; this row checks
+    // the FINALIZATION RULE itself: the sink must hold exactly the
+    // windows whose end <= final watermark (max event time - 2h), with
+    // the unfinalized tail held back. The oracle recomputes that closed
+    // set from the batch table — window end vs max(ts) - delay, pure
+    // integer ms arithmetic.
+    "events_hourly_closed_stream" -> { (s, d) =>
+      val res = runToMemory(hourlyCounts(readEvents(s, d)),
+        "events_hourly_closed_stream_sink", OutputMode.Append())
+      res
+        .select(
+          expr(graft.ops.EventOps.floorDivSql(
+            "unix_millis(win_start)", 3600000L)).as("hour_bucket"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("hour_bucket", "event_type")
     }
   )
 
@@ -393,6 +412,18 @@ object StreamingOps {
         |  WHERE next_type IS NOT NULL GROUP BY 1, 2)
         |SELECT event_type, next_type, n, CAST(n AS DOUBLE) /
         |    CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS p
-        |FROM c ORDER BY event_type, next_type""".stripMargin
+        |FROM c ORDER BY event_type, next_type""".stripMargin,
+    // the batch hourly aggregate RESTRICTED to closed windows: end <=
+    // final watermark (max event time - 2h). The µs-precision watermark
+    // reduces to this ms comparison exactly (window ends are ms
+    // multiples, so the sub-ms fraction can never flip the inequality).
+    "events_hourly_closed_stream" ->
+      s"""WITH wm AS (SELECT max(epoch_ms(ts)) - 7200000 AS w FROM events),
+         |h AS (SELECT epoch_ms(ts) // 3600000 AS hour_bucket, event_type,
+         |    count(*) AS n, ${graft.ops.Oracle.sqlSum("value")} AS sum_value
+         |  FROM events GROUP BY 1, 2)
+         |SELECT hour_bucket, event_type, n, sum_value FROM h, wm
+         |WHERE (hour_bucket + 1) * 3600000 <= w
+         |ORDER BY hour_bucket, event_type""".stripMargin
   )
 }

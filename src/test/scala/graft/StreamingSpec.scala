@@ -212,4 +212,56 @@ class StreamingSpec extends GraftSuite {
     assert(got == want,
       s"streaming=${got.size} rows, batch=${want.size} rows")
   }
+
+  test("append-mode finalization emits exactly the closed-window set " +
+      "(end <= watermark)") {
+    val got = StreamingOps.queries("events_hourly_closed_stream")(
+      spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, sfDir).events
+      .withColumn("ms", expr(EventOps.floorDivSql("ts", 1000000L)))
+    val wm = ev.agg(max(col("ms"))).collect()(0).getLong(0) - 7200000L
+    val want = ev
+      .groupBy(expr(EventOps.floorDivSql("ms", 3600000L)).as("hb"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .filter((col("hb") + 1) * 3600000L <= wm)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == want, s"emitted=${got.size} closed=${want.size}")
+    // and the tail is genuinely held back: the full set is strictly larger
+    val all = ev.select(expr(EventOps.floorDivSql("ms", 3600000L)).as("hb"),
+      col("event_type")).distinct().count()
+    assert(all > got.size.toLong, "no unfinalized tail existed; the " +
+      "append semantics were not exercised")
+  }
+
+  test("a window whose end equals the watermark exactly IS emitted " +
+      "(pins the <= boundary the oracle encodes)") {
+    import org.apache.spark.sql.{Row, SaveMode}
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bnd").toString
+    val schema = StructType(Seq(StructField("event_ts", TimestampType),
+      StructField("k", StringType)))
+    // window [00:00, 01:00); max event at 03:00 sharp -> watermark lands
+    // exactly ON the window end
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), "a"),
+        Row(java.sql.Timestamp.valueOf("2024-01-01 03:00:00"), "b")), 1),
+      schema).write.mode(SaveMode.Append).parquet(dir)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("event_ts", "2 hours")
+      .groupBy(window(col("event_ts"), "1 hour"), col("k"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("k"))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("bnd").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("bnd").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1)))
+    assert(out.toSeq == Seq(("2024-01-01 00:00:00.0", "a")),
+      s"boundary emission diverged: ${out.toSeq}")
+  }
 }
