@@ -451,10 +451,18 @@ object DataOps {
           .as("bytes")),
       targetBytes)
 
-  /** The planner itself over any (lang, file_id, bytes) inventory. */
+  /** The planner itself over any (lang, file_id, bytes) inventory.
+    * file_id must be UNIQUE within a lang (true of any real file
+    * inventory): the prefix sum is an explicit ROWS frame (Spark's
+    * default RANGE frame would give tied file_ids a shared cumulative
+    * sum — not sequential packing, and not what the oracle computes),
+    * and with a duplicate file_id the tied rows' relative order — hence
+    * their bin split — would be engine-dependent.
+    */
   def compactionPlanFromInventory(
       inv: DataFrame, targetBytes: Long): DataFrame = {
     val w = Window.partitionBy("lang").orderBy(col("file_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     inv
       .withColumn("cum", sum(col("bytes")).over(w))
       // non-negative running sums, so `div` (truncate) == floor division

@@ -84,6 +84,55 @@ object SimilarityOps {
         quant_cosine(col("qe"), col("embedding")).as("cos")), 5)
   }
 
+  /** (vec_id, label, qv, nn): the quantized view every centroid-based
+    * operator starts from (quantize scale 1000; nn = Σqv², the zero-norm
+    * sentinel). NOT persisted — each caller owns persist/release for its
+    * own read pattern.
+    */
+  private def quantizedBase(emb: DataFrame): DataFrame =
+    emb
+      .select(col("vec_id"), col("label"),
+        quantize(col("embedding")).as("qv"))
+      .withColumn("nn",
+        aggregate(transform(col("qv"), x => x * x), lit(0L), (a, x) => a + x))
+
+  /** Per-label quantized centroids (label, cvec, cnn) of a quantizedBase
+    * frame: ONE vec_sum_longs pass — a single D-length partial per
+    * (partition, label), no posexplode of N×D rows into the shuffle.
+    * Counts NON-NULL vectors: vec_sum_longs skips NULLs, and the oracle's
+    * LATERAL over len(embedding) drops NULL rows — a count(*) divisor
+    * would silently deflate every centroid the moment a NULL embedding
+    * appears. Shared by IVF, IVF-PQ, SemDeDup and the Lloyd step so the
+    * quantization/floor arithmetic can never desynchronize from the
+    * oracle CTE it replicates.
+    */
+  private def labelCentroids(base: DataFrame): DataFrame =
+    base.groupBy("label")
+      .agg(graft.functions.aggregates.vec_sum_longs(col("qv")).as("svec"),
+        count(col("qv")).as("cnt"))
+      .select(col("label"),
+        transform(col("svec"),
+          sv => floor(sv * lit(1000) / col("cnt")).cast("long")).as("cvec"))
+      .withColumn("cnn",
+        aggregate(transform(col("cvec"), x => x * x), lit(0L), (a, x) => a + x))
+
+  /** labelCentroids with the label negate-able for struct-max tie-breaks:
+    * (clabel BIGINT, cvec, cnn).
+    */
+  private def labelCentroidsL(base: DataFrame): DataFrame =
+    labelCentroids(base)
+      .select(col("label").cast("long").as("clabel"), col("cvec"),
+        col("cnn"))
+
+  /** Zero-norm-guarded quantized cosine: 0.0 when either norm is zero,
+    * otherwise one correctly-rounded IEEE division — the exact expression
+    * every oracle CTE replicates.
+    */
+  private def cosSim(nn: Column, cnn: Column, a: Column, b: Column): Column =
+    when(nn === 0L || cnn === 0L, lit(0.0))
+      .otherwise(quant_dot(a, b).cast("double") /
+        (sqrt(nn.cast("double")) * sqrt(cnn.cast("double"))))
+
   def queries: Map[String, Q] = Map(
     // Brute-force cosine top-5 for query vectors (vec_id < 10) over the rest.
     "sim_topk_bruteforce" -> { (s, d) =>
@@ -139,27 +188,9 @@ object SimilarityOps {
     // oracle replicates the whole pipeline (assignment included).
     "sim_ann_ivf" -> { (s, d) =>
       val nprobe = 2
-      val base = Tables(s, d).embeddings
-        .select(col("vec_id"), col("label"),
-          quantize(col("embedding")).as("qv"))
-        .withColumn("nn",
-          aggregate(transform(col("qv"), x => x * x), lit(0L), (a, x) => a + x))
-        .persist()
-      // per-label quantized centroid (same formula as sim_label_centroid):
-      // one vec_sum_longs aggregate carries a single D-length partial per
-      // (partition, label) — no posexplode of N×D rows into the shuffle
-      val centVec = base.groupBy("label")
-        .agg(graft.functions.aggregates.vec_sum_longs(col("qv")).as("svec"),
-          // count NON-NULL vectors: vec_sum_longs skips NULLs, and the
-          // oracle's LATERAL over len(embedding) drops NULL rows — a
-          // count(*) divisor would silently deflate every centroid the
-          // moment a NULL embedding appears
-          count(col("qv")).as("cnt"))
-        .select(col("label"),
-          transform(col("svec"),
-            sv => floor(sv * lit(1000) / col("cnt")).cast("long")).as("cvec"))
-        .withColumn("cnn",
-          aggregate(transform(col("cvec"), x => x * x), lit(0L), (a, x) => a + x))
+      val base = quantizedBase(Tables(s, d).embeddings).persist()
+      // per-label quantized centroid — the shared [[labelCentroids]] pass
+      val centVec = labelCentroids(base)
       val queries = base.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("qv").as("qq"),
           col("nn").as("qnn"))
@@ -168,10 +199,8 @@ object SimilarityOps {
         .orderBy(col("csim").desc, col("label").asc)
       val probes = queries.join(broadcast(centVec))
         .select(col("query_id"), col("label"),
-          when(col("qnn") === 0L || col("cnn") === 0L, lit(0.0))
-            .otherwise(quant_dot(col("qq"), col("cvec")).cast("double") /
-              (sqrt(col("qnn").cast("double")) *
-                sqrt(col("cnn").cast("double")))).as("csim"))
+          cosSim(col("qnn"), col("cnn"), col("qq"), col("cvec"))
+            .as("csim"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= nprobe)
         .select("query_id", "label")
@@ -180,10 +209,7 @@ object SimilarityOps {
         .join(broadcast(probes), Seq("label"))
         .join(broadcast(queries), Seq("query_id"))
       topk(cand.select(col("query_id"), col("vec_id"),
-        when(col("qnn") === 0L || col("nn") === 0L, lit(0.0))
-          .otherwise(quant_dot(col("qq"), col("qv")).cast("double") /
-            (sqrt(col("qnn").cast("double")) *
-              sqrt(col("nn").cast("double")))).as("cos")), 5)
+        cosSim(col("qnn"), col("nn"), col("qq"), col("qv")).as("cos")), 5)
     },
     // Product-quantization ANN (the codes+ADC form, completing the family:
     // brute force, LSH equi-join, IVF partition-pruning, and now PQ
@@ -339,19 +365,9 @@ object SimilarityOps {
     * full composition replicates in DuckDB.
     */
   def ivfpqTopkFrom(emb: DataFrame, nprobe: Int): DataFrame = {
-    val base = emb
-      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
-      .withColumn("nn",
-        aggregate(transform(col("qv"), x => x * x), lit(0L), (a, x) => a + x))
+    val base = quantizedBase(emb)
       .persist() // read three times: centroids, codebook/encode, queries
-    val centVec = base.groupBy("label")
-      .agg(graft.functions.aggregates.vec_sum_longs(col("qv")).as("svec"),
-        count(col("qv")).as("cnt"))
-      .select(col("label"),
-        transform(col("svec"),
-          sv => floor(sv * lit(1000) / col("cnt")).cast("long")).as("cvec"))
-      .withColumn("cnn",
-        aggregate(transform(col("cvec"), x => x * x), lit(0L), (a, x) => a + x))
+    val centVec = labelCentroids(base)
     val queries = base.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("qv").as("qqv"),
         col("nn").as("qnn"))
@@ -359,10 +375,8 @@ object SimilarityOps {
       .orderBy(col("csim").desc, col("label").asc)
     val probes = queries.join(broadcast(centVec))
       .select(col("query_id"), col("label"),
-        when(col("qnn") === 0L || col("cnn") === 0L, lit(0.0))
-          .otherwise(quant_dot(col("qqv"), col("cvec")).cast("double") /
-            (sqrt(col("qnn").cast("double")) *
-              sqrt(col("cnn").cast("double")))).as("csim"))
+        cosSim(col("qnn"), col("cnn"), col("qqv"), col("cvec"))
+          .as("csim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= nprobe)
       .select("query_id", "label")
@@ -391,28 +405,15 @@ object SimilarityOps {
     * with [[lshTopkFrom]].
     */
   private[graft] def semanticDupsFrom(emb: DataFrame, tau: Double): DataFrame = {
-    val base = emb
-      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
-      .withColumn("nn",
-        aggregate(transform(col("qv"), x => x * x), lit(0L), (a, x) => a + x))
+    val base = quantizedBase(emb)
       .persist() // read twice: seed-centroid build + assignment scoring
-    val centVec = base.groupBy("label")
-      .agg(graft.functions.aggregates.vec_sum_longs(col("qv")).as("svec"),
-        count(col("qv")).as("cnt"))
-      .select(col("label").cast("long").as("clabel"),
-        transform(col("svec"),
-          sv => floor(sv * lit(1000) / col("cnt")).cast("long")).as("cvec"))
-      .withColumn("cnn",
-        aggregate(transform(col("cvec"), x => x * x), lit(0L), (a, x) => a + x))
+    val centVec = labelCentroidsL(base)
     // argmax over the 10 broadcast centroids, exactly as kmeansStepFrom:
     // (sim, -label) inside one max struct so the k-way fan-out collapses
     // map-side; qv/nn ride in the struct for the pair join downstream
     val assigned = base.join(broadcast(centVec))
       .select(col("vec_id"), struct(
-        when(col("nn") === 0L || col("cnn") === 0L, lit(0.0))
-          .otherwise(quant_dot(col("qv"), col("cvec")).cast("double") /
-            (sqrt(col("nn").cast("double")) *
-              sqrt(col("cnn").cast("double")))).as("sim"),
+        cosSim(col("nn"), col("cnn"), col("qv"), col("cvec")).as("sim"),
         (-col("clabel")).as("nl"),
         col("qv").as("qv"), col("nn").as("nn")).as("sc"))
       .groupBy("vec_id")
@@ -420,9 +421,8 @@ object SimilarityOps {
       .select(col("vec_id"), (-col("best.nl")).as("cluster"),
         col("best.qv").as("qv"), col("best.nn").as("nn"))
       .persist() // both sides of the within-cluster pair join
-    val pairSim = when(col("a.nn") === 0L || col("b.nn") === 0L, lit(0.0))
-      .otherwise(quant_dot(col("a.qv"), col("b.qv")).cast("double") /
-        (sqrt(col("a.nn").cast("double")) * sqrt(col("b.nn").cast("double"))))
+    val pairSim =
+      cosSim(col("a.nn"), col("b.nn"), col("a.qv"), col("b.qv"))
     assigned.alias("a").join(assigned.alias("b"),
         col("a.cluster") === col("b.cluster") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -443,30 +443,16 @@ object SimilarityOps {
     * corpus rarely reassigns anything).
     */
   def kmeansStepFrom(emb: DataFrame): DataFrame = {
-    val base = emb
-      .select(col("vec_id"), col("label"),
-        quantize(col("embedding")).as("qv"))
-      .withColumn("nn",
-        aggregate(transform(col("qv"), x => x * x), lit(0L), (a, x) => a + x))
+    val base = quantizedBase(emb)
       .persist() // read twice: seed-centroid build + assignment scoring
-    val centVec = base.groupBy("label")
-      .agg(graft.functions.aggregates.vec_sum_longs(col("qv")).as("svec"),
-        count(col("qv")).as("cnt"))
-      .select(col("label").cast("long").as("clabel"),
-        transform(col("svec"),
-          sv => floor(sv * lit(1000) / col("cnt")).cast("long")).as("cvec"))
-      .withColumn("cnn",
-        aggregate(transform(col("cvec"), x => x * x), lit(0L), (a, x) => a + x))
+    val centVec = labelCentroidsL(base)
     // qv rides INSIDE the max struct rather than in the group key: the
     // argmax aggregate then sorts/hashes on the bare vec_id, and because
     // nl is distinct across centroids the (sim, nl) prefix always decides
     // a comparison before the D-element array would be touched
     val assigned = base.join(broadcast(centVec))
       .select(col("vec_id"), struct(
-        when(col("nn") === 0L || col("cnn") === 0L, lit(0.0))
-          .otherwise(quant_dot(col("qv"), col("cvec")).cast("double") /
-            (sqrt(col("nn").cast("double")) *
-              sqrt(col("cnn").cast("double")))).as("sim"),
+        cosSim(col("nn"), col("cnn"), col("qv"), col("cvec")).as("sim"),
         // ties: highest sim then SMALLEST label — max picks largest nl
         (-col("clabel")).as("nl"),
         col("qv").as("qv")).as("sc"))

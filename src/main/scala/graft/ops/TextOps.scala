@@ -523,8 +523,8 @@ object TextOps {
     // (ntile over a total order — avg_c2 DESC then doc_id — is
     // deterministic and SQL-standard in both engines).
     "text_lm_familiarity" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
-        |           FROM documents),
+      s"""WITH t AS (SELECT doc_id, $tokSql AS tk
+         |           FROM documents),
         |bg AS (SELECT doc_id, tk[i] || ' ' || tk[i + 1] AS bigram
         |       FROM t, LATERAL (SELECT unnest(generate_series(1,
         |         len(tk) - 1)) AS i) g),

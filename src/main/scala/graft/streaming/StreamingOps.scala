@@ -140,9 +140,16 @@ object StreamingOps {
     * length), emitting one (prev → cur) transition per arriving event.
     * Within a microbatch events are folded in (ts, event_id) order, and
     * the state carries the boundary event so a user's transition across
-    * two microbatches is emitted exactly once — the downstream count
-    * then converges to the batch lead()-window answer over the events
-    * seen so far.
+    * two microbatches is emitted exactly once.
+    *
+    * ORDERING CONTRACT: equality with the batch lead()-window answer
+    * holds when each user's events arrive in event-time order ACROSS
+    * microbatches (always true for the single-microbatch finite source
+    * the gate runs). A late event landing in a later microbatch pairs
+    * against the retained last event — with O(1) state there is no
+    * retroactive re-pairing; a deployment needing late-event repair
+    * would buffer a watermark horizon per key (O(events-per-horizon)
+    * state), which is deliberately not this operator.
     */
   def transitionEmissions(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
