@@ -280,6 +280,27 @@ object Kernels {
     inter.toDouble / (na + nb - inter).toDouble
   }
 
+  /** Intersection size of two SORTED long arrays — one linear merge, the
+    * containment numerator (|A∩B|; the caller divides by |A| for Broder
+    * containment, or compares cross-multiplied integers to avoid the
+    * float boundary).
+    */
+  def intersectSortedLongs(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   /** Jaccard similarity of two string arrays as distinct sets. */
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val sa = new java.util.HashSet[UTF8String]()

@@ -120,6 +120,25 @@ case class JaccardSortedLongs(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection count over two sorted long arrays — the containment
+  * numerator ([[Kernels.intersectSortedLongs]]).
+  */
+case class IntersectSortedLongs(left: Expression, right: Expression)
+    extends BinaryKernelExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "intersect_sorted_longs"
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  protected val kernelMethod = "intersectSortedLongs"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.intersectSortedLongs(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Distinct-set Jaccard over two string arrays. */
 case class JaccardSimilarity(left: Expression, right: Expression)
     extends BinaryKernelExpression {
@@ -395,6 +414,11 @@ object functions {
   def jaccard_sorted_longs(a: Column, b: Column): Column =
     ColumnBridge.column(
       JaccardSortedLongs(ColumnBridge.expression(a),
+        ColumnBridge.expression(b)))
+
+  def intersect_sorted_longs(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      IntersectSortedLongs(ColumnBridge.expression(a),
         ColumnBridge.expression(b)))
 
   def jaccard_sim(a: Column, b: Column): Column =

@@ -124,6 +124,68 @@ object DedupOps {
       .orderBy("id1", "id2")
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: C(A→B) = |S(A)∩S(B)| / |S(A)|
+    * >= p/q — the superset/subset case symmetric Jaccard structurally
+    * misses (a paragraph quoted inside a much larger document has high
+    * containment but low Jaccard). Prefix-filter adapted to containment:
+    * only the PROBE side (the potentially-contained A) gets a prefix —
+    * its |A| − ceil(t·|A|) + 1 df-rarest shingles (missing all of them
+    * caps the overlap below t·|A|) — while the container side B is the
+    * full linear shingle inventory (containment puts no lower bound on
+    * |B|'s overlap fraction, so B cannot be prefix-pruned). Candidates
+    * also require |B| ≥ t·|A| (the intersection can't exceed |B|).
+    * Verify = one codegen'd sorted-merge intersection; the accept test is
+    * the cross-multiplied integer compare (no float boundary). Same
+    * df-cap hot-key isolation as [[jaccardDupPairs]].
+    *
+    * Input: (doc_id, sh) as jaccardDupPairs. Output: (contained_id,
+    * container_id, containment) for all ordered pairs with C >= p/q.
+    */
+  private[graft] def containmentDupPairs(
+      shingleSets: DataFrame, p: Int, q: Int, dfCap: Int = 64): DataFrame = {
+    val sh = shingleSets
+      .select(col("doc_id"), explode(col("sh")).as("sr"))
+      .select(col("doc_id"), xxhash64(col("sr")).as("s"))
+    val dfTbl = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val docs = sh.join(dfTbl, "s")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("ord"),
+        sort_array(collect_list(col("s"))).as("ss"))
+      .withColumn("n", size(col("ss")))
+      .withColumn("plen",
+        (col("n") - expr(s"(n * $p + ${q - 1}) div $q") + lit(1)).cast("int"))
+      .persist() // read by the prefix, the index, and both verify sides
+    val prefix = docs
+      .select(col("doc_id").as("a_id"), col("n").as("na"),
+        explode(slice(col("ord"), lit(1), col("plen"))).as("e"))
+      .select(col("a_id"), col("na"), col("e.df").as("df"),
+        col("e.s").as("s"))
+    val index = docs
+      .select(col("doc_id").as("b_id"), col("n").as("nb"),
+        explode(col("ss")).as("s"))
+    def candJoin(px: DataFrame): DataFrame =
+      px.join(index,
+        px("s") === index("s") && col("a_id") =!= col("b_id") &&
+          col("nb") * q >= col("na") * p)
+        .select("a_id", "b_id")
+    val cand = candJoin(prefix.filter(col("df") <= dfCap))
+      .unionAll(candJoin(prefix.filter(col("df") > dfCap)))
+      .distinct()
+    cand
+      .join(docs.as("x"), col("a_id") === col("x.doc_id"))
+      .join(docs.as("y"), col("b_id") === col("y.doc_id"))
+      .select(col("a_id").as("contained_id"),
+        col("b_id").as("container_id"),
+        graft.functions.functions
+          .intersect_sorted_longs(col("x.ss"), col("y.ss")).as("inter"),
+        col("x.n").as("na"))
+      .filter(col("inter") * q >= col("na") * p)
+      .select(col("contained_id"), col("container_id"),
+        (col("inter").cast("double") / col("na").cast("double"))
+          .as("containment"))
+      .orderBy("contained_id", "container_id")
+  }
+
   /** Connected components of an undirected edge set `(src, dst)` (both
     * directions present) via min-label propagation WITH pointer jumping:
     * each step every node takes the minimum of its own label and its
@@ -221,6 +283,12 @@ object DedupOps {
     // df-ordered PPJoin prefix filtering — see [[jaccardDupPairs]].
     "dedup_ngram_jaccard" -> { (s, d) =>
       jaccardDupPairs(shingleSets(Tables(s, d).documents), 4, 5)
+    },
+    // Asymmetric containment at t = 0.7 — catches a document quoted
+    // inside a larger one, which symmetric Jaccard structurally cannot
+    // (J caps at |A|/|B|). See [[containmentDupPairs]].
+    "dedup_containment" -> { (s, d) =>
+      containmentDupPairs(shingleSets(Tables(s, d).documents), 7, 10)
     },
     // MinHash + LSH banding (4 bands x 4 rows), candidates verified exactly.
     // The xxh64-seeded signatures are replicated in the DuckDB oracle via
@@ -486,6 +554,24 @@ object DedupOps {
         |FROM pair JOIN cnt ca ON ca.doc_id = id1 JOIN cnt cb ON cb.doc_id = id2
         |WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE) >= 0.8
         |ORDER BY id1, id2""".stripMargin,
+    // Brute-force containment replication: ordered pairs, intersection
+    // over the contained side's size, the same cross-multiplied integer
+    // accept test (inter * 10 >= n * 7 — no float boundary).
+    "dedup_containment" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS L FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, L[i] || ' ' || L[i+1] || ' ' || L[i+2] AS s
+        |       FROM tok,
+        |         LATERAL (SELECT unnest(generate_series(1, len(L)-2)) AS i) g),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pair AS (SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+        |           count(*) AS inter
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |         GROUP BY 1, 2)
+        |SELECT contained_id, container_id,
+        |  CAST(inter AS DOUBLE) / CAST(ca.n AS DOUBLE) AS containment
+        |FROM pair JOIN cnt ca ON ca.doc_id = contained_id
+        |WHERE inter * 10 >= ca.n * 7
+        |ORDER BY contained_id, container_id""".stripMargin,
     // Component membership via recursive CTE: r holds (node, l) whenever
     // label l can reach the node along dup-pair edges; min per node is the
     // component representative — an independent formulation of the

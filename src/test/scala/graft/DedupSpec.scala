@@ -290,4 +290,47 @@ class DedupSpec extends GraftSuite {
     val total = graft.ops.Tables(spark, sfDir).documents.count()
     assert(n <= total && n > 0)
   }
+
+  test("containment catches a quoted document that Jaccard misses, is " +
+      "exact vs brute force, and stays asymmetric") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // doc 1 = a 15-token "paragraph"; doc 2 = a 100-token document QUOTING
+    // it verbatim: containment(1->2) = 1.0 but J ~ 13/98 << 0.8.
+    // doc 3 shares a 5-shingle fragment with doc 2 (below t=0.7 of its
+    // own 28 shingles) -> excluded. 40 unrelated docs as background.
+    val para = (0 until 15).map(i => s"p$i").mkString(" ")
+    val container = (0 until 50).map(i => s"c$i").mkString(" ") + " " +
+      para + " " + (50 until 85).map(i => s"c$i").mkString(" ")
+    val partial = (0 until 23).map(i => s"z$i").mkString(" ") + " " +
+      (0 until 7).map(i => s"c$i").mkString(" ")
+    val docs = Seq((1L, para), (2L, container), (3L, partial)) ++
+      (10 until 50).map(i => (i.toLong,
+        (0 until 30).map(j => s"bg${i}_$j").mkString(" ")))
+    val shingled = docs.toDF("doc_id", "text").select(col("doc_id"),
+      array_distinct(graft.functions.functions
+        .word_shingles(split(col("text"), " "), 3)).as("sh"))
+    // brute-force ground truth: intersection / |contained|
+    val brute = shingled.as("a").join(shingled.as("b"),
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("cid"), col("b.doc_id").as("bid"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(col("a.sh")).cast("double")).as("c"))
+      .filter(col("c") >= 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = ops.DedupOps.containmentDupPairs(shingled, 7, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    spark.catalog.clearCache()
+    assert(got.map(g => (g._1, g._2)).toSet == brute,
+      s"got=${got.toSeq} brute=$brute")
+    // the quoted paragraph surfaces with containment 1.0, one direction
+    assert(got.contains((1L, 2L, 1.0)), got.toSeq.toString)
+    assert(!got.exists(g => g._1 == 2L && g._2 == 1L),
+      "containment must stay asymmetric")
+    // and Jaccard at 0.8 indeed misses it (the case this operator adds)
+    val jac = ops.DedupOps.jaccardDupPairs(shingled, 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    assert(!jac.contains((1L, 2L)), s"jaccard unexpectedly caught: $jac")
+  }
 }
