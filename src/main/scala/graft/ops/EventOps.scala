@@ -271,6 +271,25 @@ object EventOps {
     // user_id join key bounds shuffle width and AQE splits hot users.
     "events_attribution" -> { (s, d) =>
       attributionFrom(withMs(Tables(s, d).events))
+    },
+    // Top-10 most common 3-step event-type paths — the path-mining
+    // readout one level up from the transition matrix (bigrams →
+    // trigrams of behavior). One shuffle on user_id orders each user's
+    // stream for the two lead()s; paths collapse to at most |types|^3
+    // rows in a partial+final count, and the global top-10 is a
+    // TakeOrderedAndProject over that tiny table — never a full sort.
+    "events_path_topk" -> { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ms").asc, col("event_id").asc)
+      withMs(Tables(s, d).events)
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+          .as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path").asc)
+        .limit(10)
     }
   )
 
@@ -648,6 +667,21 @@ object EventOps {
         |SELECT event_type, CAST(sum(n_touches) AS BIGINT) AS n_touches,
         |  CAST(sum(n_last) AS BIGINT) AS n_last_touch,
         |  CAST(sum(n_first) AS BIGINT) AS n_first_touch
-        |FROM u GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM u GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // (n DESC, path ASC) totally orders the path table, so the limit-10
+    // cut is deterministic in both engines.
+    "events_path_topk" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) AS ts_ms FROM events),
+        |t AS (SELECT event_type,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_ms ASC, event_id ASC)),
+        |p AS (SELECT event_type || '>' || t2 || '>' || t3 AS path,
+        |    count(*) AS n
+        |  FROM t WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1)
+        |SELECT path, n FROM p ORDER BY n DESC, path ASC LIMIT 10"""
+        .stripMargin
   )
 }

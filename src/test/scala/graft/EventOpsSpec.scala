@@ -291,4 +291,23 @@ class EventOpsSpec extends GraftSuite {
       assert(got == want, s"seed=$seed: got=$got want=$want")
     }
   }
+
+  test("path top-10 matches an independent sliding-window replay") {
+    val got = EventOps.queries("events_path_topk")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val ev = graft.ops.Tables(spark, sfDir).events
+      .selectExpr("user_id", "event_id", "event_type",
+        EventOps.floorDivSql("ts", 1000000L) + " AS ts_ms")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).values.toSeq
+      .flatMap { es =>
+        es.sortBy(e => (e._4, e._2)).map(_._3).sliding(3)
+          .filter(_.size == 3).map(_.mkString(">"))
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }
+      .take(10)
+    assert(got == want, s"got=$got want=$want")
+  }
 }
