@@ -28,6 +28,7 @@ object SparkEntry {
     (DedupOps.queries, DedupOps.oracles),
     (SimilarityOps.queries, SimilarityOps.oracles),
     (EventOps.queries, EventOps.oracles),
+    (GraphOps.queries, GraphOps.oracles),
     (MultimodalOps.queries, MultimodalOps.oracles),
     (DataOps.queries, DataOps.oracles),
     // streaming parity IS part of the contract: the hourly aggregate runs

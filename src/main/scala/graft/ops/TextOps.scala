@@ -216,6 +216,35 @@ object TextOps {
     // divides two of them.
     "text_ngram_novelty" -> { (s, d) =>
       ngramNoveltyFrom(Tables(s, d).documents)
+    },
+    // BPE tokenizer training, step 1 (Sennrich et al. 2016,
+    // arXiv:1508.07909): corpus-weighted adjacent-symbol pair counts.
+    // The classic trainer trick is what makes this scale: pairs are
+    // counted over the word VOCABULARY weighted by word frequency, not
+    // over the raw token stream — at 100 TB the vocab is ~10^6 rows
+    // while the corpus is ~10^11 tokens, so the quadratic-ish pair
+    // stage runs on a frame five orders smaller than the scan. Shape:
+    // one shuffle to build the vocab (map-side combine on the word),
+    // a fan-out over vocab rows only, one partial+final pair count,
+    // and a TakeOrdered top-k. All weights are exact integers.
+    "text_bpe_pairs" -> { (s, d) =>
+      bpeTopPairs(charVocab(Tables(s, d).documents), 20)
+    },
+    // BPE training, one FULL merge step: find the argmax pair (weight
+    // desc, then lexicographic — fully deterministic), merge it into a
+    // single symbol everywhere under BPE's greedy LEFT-TO-RIGHT
+    // non-overlap rule, and recount pairs over the merged vocabulary.
+    // Post-merge counts prove the merge applied: the winning pair
+    // vanishes and new pairs containing the merged symbol appear.
+    // Greedy-overlap resolution (a run 'a a a a' under pair (a,a) must
+    // become [aa, aa], never [aa, a, aa]) is pure position arithmetic —
+    // mark matching positions, split marks into consecutive runs, keep
+    // the odd offsets within each run — NOT a string replace(), whose
+    // scan-resume point gets the shared-separator case wrong in both
+    // engines. The argmax pair is a 1-row broadcast, never a driver
+    // round-trip.
+    "text_bpe_merge" -> { (s, d) =>
+      bpeMergeStep(charVocab(Tables(s, d).documents), 10)
     }
   )
 
@@ -287,6 +316,106 @@ object TextOps {
       .withColumn("novelty",
         col("n_novel").cast("double") / col("n_grams").cast("double"))
       .orderBy("doc_id")
+  }
+
+  /** Word vocabulary with corpus frequencies, each word exploded to its
+    * space-joined character-symbol form ("hello" -> "h e l l o") — the
+    * starting state of a BPE trainer. Empty tokens (consecutive
+    * delimiters) are dropped in both engines.
+    */
+  def charVocab(docs: DataFrame): DataFrame =
+    docs.select(explode(toks(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("sym"),
+        col("wc"))
+
+  /** Adjacent-symbol pair counts over a (sym, wc) vocabulary frame,
+    * weighted by word count. `sym` is the space-joined symbol string;
+    * symbols may be multi-character after merges. The symbol array is
+    * materialized as a column before indexing — see the lambda-CSE note
+    * in [[ngramNoveltyFrom]].
+    */
+  def bpePairCounts(vocab: DataFrame): DataFrame =
+    vocab.select(col("wc"), split(col("sym"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("wc"), col("tk"),
+        explode(sequence(lit(1), size(col("tk")) - 1)).as("i"))
+      .select(element_at(col("tk"), col("i")).as("left_sym"),
+        element_at(col("tk"), col("i") + 1).as("right_sym"), col("wc"))
+      .groupBy("left_sym", "right_sym").agg(sum(col("wc")).as("weight"))
+
+  /** Top-k pairs with the deterministic BPE tiebreak (weight desc, then
+    * lexicographic) — a TakeOrderedAndProject, never a full sort.
+    */
+  def bpeTopPairs(vocab: DataFrame, k: Int): DataFrame =
+    bpePairCounts(vocab)
+      .orderBy(col("weight").desc, col("left_sym").asc,
+        col("right_sym").asc)
+      .limit(k)
+
+  /** One full BPE merge step: argmax pair -> greedy left-to-right merge
+    * over the vocabulary -> recounted pair table.
+    *
+    * The merge applies the BPE greedy rule exactly: scan each word left
+    * to right, merge every occurrence of the winning pair whose left
+    * symbol was not itself consumed by the previous merge. Two facts
+    * make this pure position arithmetic: (1) positions where the pair
+    * matches are consecutive ONLY when left==right (an 'a a a a' run) —
+    * for left!=right a match at i forces tk(i+1)=right!=left, so i+1
+    * cannot match; (2) within a consecutive run the greedy rule keeps
+    * exactly the 1st, 3rd, 5th... match. So: mark matches, carry the
+    * head position of the current run forward with a running max, keep
+    * marks at even distance from the head, drop the position after each
+    * kept mark. All three window passes share one (sym)-partitioned
+    * sort, so the whole merge is a single extra shuffle over the
+    * position-exploded VOCABULARY (not corpus) frame.
+    */
+  def bpeMergeStep(vocab: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val best = bpeTopPairs(vocab, 1)
+      .select(col("left_sym").as("bl"), col("right_sym").as("br"))
+    val tk = col("tk")
+    val pos = vocab.crossJoin(broadcast(best))
+      .select(col("sym"), col("wc"), col("bl"), col("br"),
+        split(col("sym"), " ").as("tk"))
+      .select(col("sym"), col("wc"), col("bl"), col("br"),
+        explode(sequence(lit(1), size(tk))).as("i"),
+        element_at(tk, col("i")).as("s_i"),
+        // ANSI-safe lookahead: element_at past the end would throw
+        when(col("i") < size(tk), element_at(tk, col("i") + 1)).as("s_next"))
+      // when/otherwise(0) rather than boolean casts: the lookahead is
+      // NULL at the last position and last_head is NULL before the
+      // first run — the flags must be 0 there, never NULL
+      .withColumn("mark",
+        when(col("s_i") === col("bl") && col("s_next") === col("br"), 1)
+          .otherwise(0))
+    val w = Window.partitionBy("sym").orderBy("i")
+    val sel = pos
+      .withColumn("is_head",
+        when(col("mark") === 1 && lag(col("mark"), 1, 0).over(w) === 0, 1)
+          .otherwise(0))
+      .withColumn("last_head",
+        max(when(col("is_head") === 1, col("i"))).over(w))
+      .withColumn("selected",
+        when(col("mark") === 1 &&
+          (col("i") - col("last_head")) % 2 === 0, 1).otherwise(0))
+    val out = sel
+      .withColumn("prev_sel", lag(col("selected"), 1, 0).over(w))
+      .filter(col("prev_sel") === 0)
+      .select(col("sym"), col("wc"), col("i"),
+        when(col("selected") === 1, concat(col("bl"), col("br")))
+          .otherwise(col("s_i")).as("o"))
+    val merged = out.groupBy("sym")
+      .agg(min(col("wc")).as("wc"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("i"), col("o")))),
+          x => x.getField("o"))).as("msym"))
+      .select(col("msym").as("sym"), col("wc"))
+    bpePairCounts(merged)
+      .orderBy(col("weight").desc, col("left_sym").asc,
+        col("right_sym").asc)
+      .limit(k)
   }
 
   /** The bigram-LM familiarity core over any frame with (doc_id, text) —
@@ -573,6 +702,62 @@ object TextOps {
          |  CAST(COALESCE(n_novel, 0) AS DOUBLE) / CAST(n_grams AS DOUBLE)
          |    AS novelty
          |FROM nd LEFT JOIN nv USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    // Same vocab-weighted pair arithmetic: spaced char symbols over the
+    // word vocabulary, adjacent-pair fan-out, exact integer weights.
+    "text_bpe_pairs" ->
+      s"""WITH $bpeVocabSql,
+         |c AS (${bpePairSql("v")})
+         |SELECT left_sym, right_sym, weight FROM c
+         |ORDER BY weight DESC, left_sym, right_sym LIMIT 20""".stripMargin,
+    // Replicates the greedy merge position arithmetic move for move:
+    // mark / run-head / running-max carry / parity select / drop-next.
+    "text_bpe_merge" ->
+      s"""WITH $bpeVocabSql,
+         |c0 AS (${bpePairSql("v")}),
+         |best AS (SELECT left_sym AS bl, right_sym AS br FROM c0
+         |  ORDER BY weight DESC, left_sym, right_sym LIMIT 1),
+         |pos AS (SELECT sym, wc, i, tk[i] AS s_i,
+         |    CASE WHEN i < len(tk) THEN tk[i + 1] END AS s_next
+         |  FROM (SELECT sym, wc, string_split(sym, ' ') AS tk FROM v) t,
+         |    LATERAL (SELECT unnest(generate_series(1, len(tk))) AS i) s),
+         |mk AS (SELECT pos.*, b.bl, b.br,
+         |    CASE WHEN s_i = b.bl AND s_next = b.br THEN 1 ELSE 0 END
+         |      AS mark
+         |  FROM pos, best b),
+         |hd AS (SELECT *, CASE WHEN mark = 1 AND
+         |      lag(mark, 1, 0) OVER (PARTITION BY sym ORDER BY i) = 0
+         |    THEN 1 ELSE 0 END AS is_head FROM mk),
+         |lh AS (SELECT *, max(CASE WHEN is_head = 1 THEN i END)
+         |    OVER (PARTITION BY sym ORDER BY i) AS last_head FROM hd),
+         |sl AS (SELECT *, CASE WHEN mark = 1 AND (i - last_head) % 2 = 0
+         |    THEN 1 ELSE 0 END AS selected FROM lh),
+         |ot AS (SELECT sym, wc, i,
+         |    CASE WHEN selected = 1 THEN bl || br ELSE s_i END AS o,
+         |    lag(selected, 1, 0) OVER (PARTITION BY sym ORDER BY i)
+         |      AS prev_sel
+         |  FROM sl),
+         |m AS (SELECT string_agg(o, ' ' ORDER BY i) AS sym, min(wc) AS wc
+         |  FROM ot WHERE prev_sel = 0 GROUP BY sym),
+         |c1 AS (${bpePairSql("m")})
+         |SELECT left_sym, right_sym, weight FROM c1
+         |ORDER BY weight DESC, left_sym, right_sym LIMIT 10""".stripMargin
   )
+
+  /** BPE starting vocabulary as a DuckDB CTE body: word frequencies with
+    * each word in its space-joined character-symbol form.
+    */
+  private val bpeVocabSql =
+    """v AS (SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS sym,
+      |    CAST(count(*) AS BIGINT) AS wc FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) u
+      |  WHERE len(word) > 0 GROUP BY 1)""".stripMargin
+
+  /** Weighted adjacent-pair counts over a (sym, wc) relation. */
+  private def bpePairSql(rel: String): String =
+    s"""SELECT tk[i] AS left_sym, tk[i + 1] AS right_sym,
+       |    CAST(sum(wc) AS BIGINT) AS weight
+       |  FROM (SELECT string_split(sym, ' ') AS tk, wc FROM $rel) t,
+       |    LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) s
+       |  GROUP BY 1, 2""".stripMargin
 }

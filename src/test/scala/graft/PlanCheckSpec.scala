@@ -62,9 +62,11 @@ class PlanCheckSpec extends GraftSuite {
     "text_tfidf_topk",    // 1-row corpus-count aggregate broadcast under
                           // the scored token stream
     "agg_cms_union",      // 1-row merged sketch x 1-row direct sketch
-    "sim_ann_recall"      // contains the brute-force side: 10-query set
+    "sim_ann_recall",     // contains the brute-force side: 10-query set
                           // broadcast against the corpus (the ground
                           // truth the LSH side is measured against)
+    "text_bpe_merge"      // 1-row argmax-pair broadcast under the
+                          // vocabulary (the merge target)
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides
@@ -72,7 +74,10 @@ class PlanCheckSpec extends GraftSuite {
     * robust full-outer shape (hash variants buffer an unbounded unmatched
     * side). Everything else must plan hash or broadcast joins.
     */
-  private val smjWhitelist = Set("join_full")
+  private val smjWhitelist = Set("join_full",
+    // bucket-co-located SMJ with zero exchanges IS the demonstrandum:
+    // the write-side bucket layout replaces the join shuffle
+    "data_sink_bucketed")
   // data_snapshot_diff deliberately NOT here (r5): rewritten join-free —
   // a single pre-filtered scan; the gate now catches any regression back
   // to the full-outer SMJ shape.

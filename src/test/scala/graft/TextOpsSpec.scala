@@ -136,4 +136,71 @@ class TextOpsSpec extends GraftSuite {
       assert(got == want, s"seed=$seed: got=${got.size} want=${want.size}")
     }
   }
+
+  test("bpe pairs: vocab-weighted counts with the lexicographic tiebreak") {
+    import spark.implicits._
+    // vocab: low x2, lot x1 -> (l,o)=3, (o,w)=2, (o,t)=1
+    val docs = Seq((1L, "low  low"), (2L, "lot")).toDF("doc_id", "text")
+    val got = TextOps.bpeTopPairs(TextOps.charVocab(docs), 20).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("l", "o", 3L), ("o", "w", 2L), ("o", "t", 1L)), got)
+  }
+
+  test("bpe merge: greedy left-to-right on a same-symbol run " +
+      "(aaaa -> [aa,aa], aaaaa -> [aa,aa,a], never [aa,a,aa])") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa aaaaa")).toDF("doc_id", "text")
+    // best pair (a,a) weight 3+4=7; post-merge: (aa,aa)=2, (aa,a)=1
+    val got = TextOps.bpeMergeStep(TextOps.charVocab(docs), 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("aa", "aa", 2L), ("aa", "a", 1L)), got)
+  }
+
+  test("bpe merge: adjacent occurrences both merge (xababx -> x ab ab x)") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab xababx")).toDF("doc_id", "text")
+    // best (a,b) weight 4; merged vocab: [ab], [x,ab,ab,x]
+    val got = TextOps.bpeMergeStep(TextOps.charVocab(docs), 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("ab", "ab", 1L), ("ab", "x", 1L), ("x", "ab", 1L)),
+      got)
+  }
+
+  test("bpe merge matches a plain-Scala BPE replay on a randomized corpus") {
+    import spark.implicits._
+    def mergeWord(cs: List[String], bl: String, br: String): List[String] =
+      cs match {
+        case a :: b :: rest if a == bl && b == br =>
+          (bl + br) :: mergeWord(rest, bl, br)
+        case a :: rest => a :: mergeWord(rest, bl, br)
+        case Nil => Nil
+      }
+    def pairCounts(vocab: Map[List[String], Long])
+        : Map[(String, String), Long] =
+      vocab.toSeq.flatMap { case (sym, wc) =>
+        sym.sliding(2).collect { case List(a, b) => ((a, b), wc) }
+      }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    for (seed <- Seq(7L, 8L)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (1 to 40).map { i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(8))(
+          Seq.fill(1 + rnd.nextInt(5))("abcd" (rnd.nextInt(4)).toString)
+            .mkString).mkString(" "))
+      }
+      val vocab = docs.flatMap(_._2.split(" ", -1)).filter(_.nonEmpty)
+        .groupBy(x => x).map { case (w, xs) =>
+          w.map(_.toString).toList -> xs.size.toLong
+        }
+      val c0 = pairCounts(vocab)
+      val best = c0.toSeq.minBy { case ((l, r), w) => (-w, l, r) }._1
+      val merged = vocab.toSeq.map { case (sym, wc) =>
+        mergeWord(sym, best._1, best._2) -> wc
+      }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+      val want = pairCounts(merged)
+      val got = TextOps.bpeMergeStep(
+        TextOps.charVocab(docs.toDF("doc_id", "text")), 10000).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"seed=$seed: got=${got.size} want=${want.size}")
+    }
+  }
 }
