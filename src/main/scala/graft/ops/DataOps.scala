@@ -348,6 +348,59 @@ object DataOps {
           sum(col("n_chars")).as("total_chars"))
         .orderBy("lang")
     },
+    // BUCKETED sink + co-located join (the other half of the lakehouse
+    // write path next to data_sink_partitioned): both tables are written
+    // `bucketBy(8, doc_id) sortBy(doc_id)`, so the read-back join is a
+    // sort-merge join with ZERO exchanges and zero sorts — the bucket
+    // layout IS the shuffle, paid once at write time and amortized over
+    // every subsequent join/agg on the key. This is the canonical 100 TB
+    // fact⋈fact answer when neither side broadcasts: at write time each
+    // task hashes rows to bucket files; at read time bucket i of one
+    // table joins bucket i of the other, executor-local. The merge hint
+    // pins the plan against the small-scale broadcast fallback (at sf0.01
+    // the dimension fits under the broadcast threshold and the bucket
+    // demo would silently degenerate). SinkSpec asserts the single
+    // post-join shuffle (the aggregate's) and bucketed scans on both
+    // sides; the oracle verifies the write→read→join roundtrip against
+    // straight SQL over the sources.
+    "data_sink_bucketed" -> { (s, d) =>
+      val docs = Tables(s, d).documents.select("doc_id", "lang", "n_chars")
+      val emb = Tables(s, d).embeddings
+        .select(col("vec_id").as("doc_id"),
+          element_at(col("embedding"), 1).as("e1"))
+      // self-cleaning across sessions: the warehouse DIRECTORY outlives
+      // the in-memory catalog entry, and saveAsTable(overwrite) refuses
+      // an orphaned location — drop the entry AND delete the leftover
+      // path before writing
+      Seq("graft_bkt_docs", "graft_bkt_emb").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val wh = s.conf.get("spark.sql.warehouse.dir")
+          .stripPrefix("file:")
+        val loc = new java.io.File(wh, t)
+        if (loc.exists())
+          org.apache.commons.io.FileUtils.deleteDirectory(loc)
+      }
+      // repartition ON THE BUCKET FUNCTION before writing (same pmod
+      // hash): one task per bucket -> one file per bucket. Without it
+      // every task writes a file into every bucket, and the read side
+      // can no longer trust per-bucket sortedness (Spark re-sorts) —
+      // the bucketed-write counterpart of the partitioned sink's
+      // files×partitions lesson.
+      docs.repartition(8, col("doc_id"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "doc_id").sortBy("doc_id")
+        .saveAsTable("graft_bkt_docs")
+      emb.repartition(8, col("doc_id"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "doc_id").sortBy("doc_id")
+        .saveAsTable("graft_bkt_emb")
+      s.table("graft_bkt_docs").hint("merge")
+        .join(s.table("graft_bkt_emb"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+          min(col("e1")).as("min_e1"), max(col("e1")).as("max_e1"))
+        .orderBy("lang")
+    },
     // Mass-proportional SYSTEMATIC sampling (r5): select ~20 docs per
     // language with probability proportional to n_chars, fully
     // deterministic — the weighted counterpart of data_split_hash's
@@ -751,6 +804,14 @@ object DataOps {
         |  max(doc_id) AS max_id, CAST(sum(n_chars) AS BIGINT)
         |    AS total_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // write->read->join roundtrip vs straight SQL over the sources; the
+    // bucket layout must not change a single value
+    "data_sink_bucketed" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(embedding[1]) AS min_e1, max(embedding[1]) AS max_e1
+        |FROM documents JOIN embeddings ON vec_id = doc_id
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "data_sample_systematic" ->
       """WITH c AS (SELECT lang, doc_id, n_chars,
         |    sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) AS cum,

@@ -37,4 +37,31 @@ class SinkSpec extends GraftSuite {
         s"${d.getName}: ${files.length} files (files-per-partition explosion)")
     }
   }
+
+  test("bucketed sink: co-located SMJ — zero join-side exchanges, " +
+      "bucketed scans on both sides") {
+    val df = DataOps.queries("data_sink_bucketed")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // the join must be the sort-merge form (the hint pins it against the
+    // small-scale broadcast fallback)...
+    assert(plan.contains("SortMergeJoin"), plan)
+    // ...fed directly by bucketed scans — ZERO exchanges at or below the
+    // join (the textual subtree from the SMJ down is scans + local
+    // sorts only; Spark since 3.0 deliberately re-sorts bucketed input
+    // locally rather than trusting file order, but a local sort of
+    // already-sorted bucket files is cheap and, critically, not a
+    // shuffle)
+    val belowJoin = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(!belowJoin
+      .substring(0, belowJoin.indexOf("== Initial Plan ==")
+        match { case -1 => belowJoin.length; case i => i })
+      .contains("Exchange"), plan)
+    // whole-plan shuffle budget: exactly the post-join aggregate and the
+    // presentation orderBy — nothing join-side
+    val a = graft.tools.PlanCheck.audit(df)
+    assert(a.shuffles == 2, a.summary + "\n" + plan)
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(plan.contains("SelectedBucketsCount: 8 out of 8"), plan)
+  }
 }
