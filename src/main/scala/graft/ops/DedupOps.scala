@@ -220,6 +220,23 @@ object DedupOps {
     *
     * Returns (id, lab = component minimum), one row per node.
     */
+  /** Keep-best canonical per component: (rep_id, n_members,
+    * canonical_chars, canonical_id) with the quality rule
+    * (n_chars DESC, doc_id ASC) expressed as one max(struct) — a
+    * partial+final aggregate, never a per-cluster sort. Separated so
+    * specs can plant memberships with hand-checkable winners.
+    */
+  private[graft] def canonicalFrom(comp: DataFrame, docs: DataFrame)
+      : DataFrame =
+    comp.join(docs, Seq("doc_id"))
+      .groupBy("rep_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("m"))
+      .select(col("rep_id"), col("n_members"),
+        col("m.n_chars").as("canonical_chars"),
+        (-col("m.neg_id")).as("canonical_id"))
+      .orderBy("rep_id")
+
   private[graft] def minLabelComponents(edges: DataFrame): DataFrame =
     minLabelComponentsCounted(edges)._1
 
@@ -395,6 +412,25 @@ object DedupOps {
       minLabelComponents(edges)
         .select(col("id").as("doc_id"), col("lab").as("rep_id"))
         .orderBy("doc_id")
+    },
+    // Canonical-representative selection: the pipeline step AFTER
+    // transitive dedup — for each near-dup cluster keep the best
+    // member (longest text, ties to the smallest doc_id), not merely
+    // the smallest id. Drop-lists answer "which rows go"; this answers
+    // "which row stays", which is what a curation pipeline actually
+    // writes out. The argmax is one max(struct) — collapses map-side,
+    // so the only shuffle beyond the component build is one pass over
+    // the (graph-sized, not corpus-sized) membership frame.
+    "dedup_canonical" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      val pairs = jaccardDupPairs(shingleSets(docs), 4, 5)
+        .select(col("id1"), col("id2")).persist()
+      val nParts = math.max(1L, 2L * pairs.count() / 500000L).toInt
+      val edges = pairs.union(pairs.select(col("id2"), col("id1")))
+        .toDF("src", "dst").repartition(nParts).persist()
+      val comp = minLabelComponents(edges)
+        .select(col("id").as("doc_id"), col("lab").as("rep_id"))
+      canonicalFrom(comp, docs.select(col("doc_id"), col("n_chars")))
     },
     // Embedding-cosine near-dup, the NAMED scale path: OR-amplified LSH
     // bucketing (L=16 tables x 4 hyperplane sign bits) generates candidates
@@ -601,6 +637,42 @@ object DedupOps {
         |)
         |SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS rep_id
         |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
+    // The same recursive-CTE component formulation, extended with the
+    // keep-best rule as a rank-1 window (the engine's max(struct) and a
+    // row_number argmax agree exactly on integer keys).
+    "dedup_canonical" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS L
+        |             FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, L[i] || ' ' || L[i+1] || ' ' || L[i+2] AS s
+        |       FROM tok,
+        |         LATERAL (SELECT unnest(generate_series(1, len(L)-2)) AS i) g),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pair AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |dp AS (SELECT id1, id2
+        |  FROM pair JOIN cnt ca ON ca.doc_id = id1
+        |            JOIN cnt cb ON cb.doc_id = id2
+        |  WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE)
+        |    >= 0.8),
+        |e AS (SELECT id1 AS a, id2 AS b FROM dp
+        |      UNION ALL SELECT id2, id1 FROM dp),
+        |nodes AS (SELECT DISTINCT a AS id FROM e),
+        |r(id, lab) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b, r.lab FROM r JOIN e ON e.a = r.id
+        |),
+        |comp AS (SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS rep_id
+        |  FROM r GROUP BY id),
+        |sel AS (SELECT rep_id, d.doc_id, d.n_chars,
+        |    row_number() OVER (PARTITION BY rep_id
+        |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY rep_id) AS n_members
+        |  FROM comp JOIN documents d USING (doc_id))
+        |SELECT rep_id, CAST(n_members AS BIGINT) AS n_members,
+        |  n_chars AS canonical_chars, doc_id AS canonical_id
+        |FROM sel WHERE rn = 1 ORDER BY rep_id""".stripMargin,
     "pipeline_clean_corpus" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS L FROM documents),
         |q AS (SELECT doc_id, len(L) AS n_tokens,

@@ -333,4 +333,18 @@ class DedupSpec extends GraftSuite {
     spark.catalog.clearCache()
     assert(!jac.contains((1L, 2L)), s"jaccard unexpectedly caught: $jac")
   }
+
+  test("canonical selection: longest member wins, ties to the smallest id") {
+    import spark.implicits._
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "rep_id")
+    val docs = Seq((1L, 10L), (2L, 25L), (3L, 25L), (7L, 5L), (8L, 5L))
+      .toDF("doc_id", "n_chars")
+    // cluster 1: docs 2,3 tie at 25 chars -> 2 (smaller id) is canonical;
+    // cluster 7: tie at 5 -> 7
+    val got = ops.DedupOps.canonicalFrom(comp, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq((1L, 3L, 25L, 2L), (7L, 2L, 5L, 7L)), got)
+  }
 }

@@ -117,7 +117,22 @@ object DumpPlans {
       "mm_phash_dedup" -> ("perceptual-hash dedup: aHash from the " +
         "RLE1-decoded pixels is a map stage; Hamming<=3 candidates from " +
         "a banded equi-join with first-shared-band exactly-once " +
-        "emission — never image all-pairs"))
+        "emission — never image all-pairs"),
+      "text_bpe_merge" -> ("BPE merge step: pair counts over the " +
+        "VOCABULARY (not the corpus), 1-row argmax-pair broadcast, " +
+        "greedy-merge position arithmetic in one (sym)-partitioned " +
+        "window sort, recount — the corpus is scanned once, for the " +
+        "vocab build"),
+      "graph_pagerank" -> ("integer PageRank, Pregel-as-join-agg: " +
+        "degree-annotated edges persisted once; per iteration one " +
+        "contrib shuffle (edges join the node-sized rank frame, " +
+        "partial+final sum on dst); top-k via TakeOrdered — exact " +
+        "integer arithmetic makes the result order-independent"),
+      "data_sink_bucketed" -> ("bucket-co-located fact join: both " +
+        "sides written bucketBy(8, doc_id) sortBy, read-back SMJ fed " +
+        "directly by bucketed scans — zero join-side exchanges; the " +
+        "only shuffles are the post-join aggregate and the " +
+        "presentation sort"))
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.DumpPlans\"` " +

@@ -252,4 +252,41 @@ class ScaleSpec extends GraftSuite {
     assert(!s.contains("Window"), s)
     spark.catalog.clearCache()
   }
+
+  test("bpe pair counting runs over the vocabulary, never the corpus: " +
+      "the corpus scan feeds exactly one aggregate (the vocab build)") {
+    val df = graft.ops.TextOps.queries("text_bpe_pairs")(spark, sfDir)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // one scan of documents; the pair fan-out (explode) sits ABOVE the
+    // vocab aggregate, so the generator multiplies vocab rows, not
+    // corpus rows
+    assert(s.split("FileScan parquet").length - 1 == 1, s)
+    val gen = s.indexOf("Generate explode")
+    val agg = s.lastIndexOf("HashAggregate")
+    assert(gen >= 0 && agg > gen,
+      s"pair explode must sit above the vocab aggregate\n$s")
+    // top-k is a TakeOrdered, not a global sort
+    assert(s.contains("TakeOrderedAndProject"), s)
+    spark.catalog.clearCache()
+  }
+
+  test("pagerank: the degree-annotated edge cache feeds every iteration " +
+      "(one materialization), contrib joins never sort-merge") {
+    val df = graft.ops.GraphOps.queries("graph_pagerank")(spark, sfDir)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // all three iterations read the SAME persisted edge list — count the
+    // InMemoryRelation references in the optimized LOGICAL plan (the
+    // adaptive physical text collapses executed stages, hiding the
+    // earlier iterations' cache reads)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.split("InMemoryRelation").length - 1 >= 3,
+      s"want >=3 edge-cache reads\n$opt")
+    assert(!s.contains("SortMergeJoin"), s)
+    assert(s.contains("TakeOrderedAndProject"), s)
+    spark.catalog.clearCache()
+  }
 }
