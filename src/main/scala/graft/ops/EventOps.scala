@@ -54,6 +54,18 @@ object EventOps {
         .agg(count(lit(1)).as("n"), dsum(s, col("value")).as("sum_value"))
         .orderBy("hour_bucket", "event_type")
     },
+    // Exact SLIDING-window distinct users (3h window, 1h slide) via the
+    // fan-out pattern: each event replicates to the <=3 windows that
+    // contain it, then one distinct + count per window. The honest
+    // exact form — sliding distinct sets are NOT mergeable across
+    // panes (unlike sums), so the choice at scale is this bounded 3x
+    // fan-out or the approximate HLL family (agg_hll_oracle), whose
+    // registers do merge. Fan-out factor = window/slide, explicit and
+    // bounded; the distinct and the count share one (win_end, user)
+    // shuffle (partial count collapses on the distinct's partitioning).
+    "events_sliding_distinct" -> { (s, d) =>
+      slidingDistinctFrom(withMs(Tables(s, d).events))
+    },
     // Gap-based sessionization: split a user's event sequence at >30min gaps.
     "events_sessionize" -> { (s, d) =>
       val w = Window.partitionBy("user_id")
@@ -355,6 +367,21 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** Sliding-distinct core over any frame with (ts_ms, user_id) —
+    * separated so specs can plant hour boundaries and overlapping
+    * memberships.
+    */
+  private[graft] def slidingDistinctFrom(events: DataFrame): DataFrame = {
+    val e = events.select(
+      expr(floorDivSql("ts_ms", HourMs)).as("h"), col("user_id"))
+    e.select(explode(sequence(col("h"), col("h") + 2)).as("win_end"),
+        col("user_id"))
+      .distinct()
+      .groupBy("win_end")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("win_end")
+  }
+
   /** Transition-matrix core over any frame with (user_id, event_id, ts_ms,
     * event_type) — separated so specs can plant a known sequence.
     */
@@ -475,6 +502,15 @@ object EventOps {
          |  count(*) AS n, ${sqlSum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type"""
         .stripMargin,
+    // the same fan-out: every event joins its <=3 covering windows,
+    // distinct pairs, count per window
+    "events_sliding_distinct" ->
+      """WITH e AS (SELECT epoch_ms(ts) // 3600000 AS h, user_id
+        |  FROM events),
+        |w AS (SELECT DISTINCT h + i AS win_end, user_id
+        |  FROM e, LATERAL (SELECT unnest(generate_series(0, 2)) AS i) s)
+        |SELECT win_end, CAST(count(*) AS BIGINT) AS n_users
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_seasonality" ->
       s"""SELECT (epoch_ms(ts) // 86400000 + 4) % 7 AS dow,
          |  (epoch_ms(ts) // 3600000) % 24 AS hod,

@@ -310,4 +310,17 @@ class EventOpsSpec extends GraftSuite {
       .take(10)
     assert(got == want, s"got=$got want=$want")
   }
+
+  test("sliding distinct: a user seen in overlapping windows counts once " +
+      "per window, fan-out covers exactly the 3 containing windows") {
+    import spark.implicits._
+    val H = 3600000L
+    // u1 at hours 0 and 2 (must not double-count in window 2), u2 at hour 2
+    val e = Seq((0L * H, 1L), (2L * H, 1L), (2L * H + 5, 2L))
+      .toDF("ts_ms", "user_id")
+    val got = EventOps.slidingDistinctFrom(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 1L), (1L, 1L), (2L, 2L), (3L, 2L), (4L, 2L)),
+      got)
+  }
 }

@@ -253,6 +253,35 @@ class ScaleSpec extends GraftSuite {
     spark.catalog.clearCache()
   }
 
+  test("dynamic partition pruning: a runtime dim-side filter prunes " +
+      "fact partitions the optimizer cannot see statically") {
+    import spark.implicits._
+    // lang-partitioned fact on disk — the 100 TB layout
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_dpp_fact").toString
+    graft.ops.Tables(spark, sfDir).documents
+      .select("doc_id", "lang", "n_chars")
+      .repartition(col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    // the dim must live on disk too: a local Seq would be folded by
+    // ConvertToLocalRelation, erasing the selective predicate the
+    // PartitionPruning rule looks for on the build side
+    val dimOut = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_dpp_dim").toString
+    Seq(("en", 1), ("de", 2), ("fr", 3)).toDF("lang", "grp")
+      .write.mode("overwrite").parquet(dimOut)
+    // the pruning value arrives only at RUNTIME, through the dim filter
+    val dim = spark.read.parquet(dimOut).filter(col("grp") === 1)
+    val j = spark.read.parquet(out).join(dim, "lang")
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    val got = j.collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("en"), got.toSeq.toString)
+    val s = j.queryExecution.executedPlan.toString
+    // the fact scan must carry the DPP subquery in its partition filters
+    assert(s.contains("dynamicpruningexpression"), s)
+    spark.catalog.clearCache()
+  }
+
   test("bpe pair counting runs over the vocabulary, never the corpus: " +
       "the corpus scan feeds exactly one aggregate (the vocab build)") {
     val df = graft.ops.TextOps.queries("text_bpe_pairs")(spark, sfDir)
