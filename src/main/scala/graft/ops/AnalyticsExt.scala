@@ -44,11 +44,13 @@ object AnalyticsExt {
     },
     // Sample variance/stddev from exact moments (explicit formula on both
     // engines — built-in var_samp uses Welford and would diverge bitwise).
+    // Moments go through Oracle.dsum's long hi/lo fast path: quantity <= 50
+    // so even the squared moment is ~2.5e9 micro-units/row, far inside the
+    // path's per-row and per-group capacity (see Oracle doc).
     "agg_variance" -> { (s, d) =>
       val n = count(lit(1)).cast(DoubleType)
-      val sm = sum(col("l_quantity").cast(DecimalType(28, 6))).cast(DoubleType)
-      val sq = sum((col("l_quantity") * col("l_quantity"))
-        .cast(DecimalType(28, 6))).cast(DoubleType)
+      val sm = dsum(s, col("l_quantity"))
+      val sq = dsum(s, col("l_quantity") * col("l_quantity"))
       Tables(s, d).lineitem
         .groupBy("l_returnflag")
         .agg(((sq - (sm * sm) / n) / (n - lit(1.0))).as("var_qty"),

@@ -49,8 +49,64 @@ object GraphOps {
       val nodes = t.customer.select((col("c_custkey") * 2).as("node"))
         .union(t.supplier.select((col("s_suppkey") * 2 + 1).as("node")))
       pageRankFrom(e0, nodes, iters = 3, k = 20)
+    },
+    // Per-node triangle counts over the co-supply graph (two suppliers
+    // linked when they serve the same order — the trade graph itself is
+    // bipartite and triangle-free, so the projection onto one side is the
+    // graph with community structure). The pair fan-out is bounded by
+    // lines-per-order (~7 → ≤21 pairs), so edge building stays linear in
+    // the fact table at any scale.
+    "graph_triangles" -> { (s, d) =>
+      val li = Tables(s, d).lineitem
+      val a = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("u"))
+      val b = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("v"))
+      val edges = a.join(b, "ok").filter(col("u") < col("v"))
+        .select("u", "v").distinct()
+      trianglesFrom(edges, k = 20)
     }
   )
+
+  /** Degree-ordered triangle counting (the MapReduce-optimal formulation,
+    * Suri & Vassilvitskii 2011): orient every edge from its lower-ranked
+    * endpoint under the total order (degree, id) — a DAG where each
+    * node's out-degree is O(sqrt(m)) — enumerate wedges by self-joining
+    * oriented edges on their source, and close each wedge against the
+    * oriented edge list. Work is O(m^1.5) regardless of hub skew (a
+    * plain neighbor self-join would be O(Σdeg²), quadratic in the hub);
+    * every join is an equi-join on a key column, so the whole count is
+    * three hash-partitioned shuffles + one count. Each triangle is
+    * produced exactly once (its corners appear in strict rank order), so
+    * per-node counts are a union of the three corner projections.
+    *
+    * `edges` must be canonical undirected: u < v, distinct. Returns the
+    * top-`k` nodes by triangle participation (ties to smaller node id).
+    */
+  def trianglesFrom(edges: DataFrame, k: Int): DataFrame = {
+    val und = edges.select(col("u").as("x"))
+      .union(edges.select(col("v").as("x")))
+    val deg = und.groupBy("x").agg(count(lit(1)).as("dg"))
+    val ranked = edges
+      .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
+    val lowFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val o = ranked.select(
+      when(lowFirst, col("u")).otherwise(col("v")).as("src"),
+      when(lowFirst, col("v")).otherwise(col("u")).as("dst"),
+      when(lowFirst, col("dv")).otherwise(col("du")).as("ddst"))
+    val o1 = o.select(col("src"), col("dst").as("b"), col("ddst").as("db"))
+    val o2 = o.select(col("src"), col("dst").as("c"), col("ddst").as("dc"))
+    val wedges = o1.join(o2, "src")
+      .filter(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+    val tri = wedges.join(
+      o.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+      .select(col("src").as("a"), col("b"), col("c"))
+    tri.select(col("a").as("node"))
+      .union(tri.select(col("b").as("node")))
+      .union(tri.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("n_tri").desc, col("node").asc)
+      .limit(k)
+  }
 
   /** PageRank core over a planted directed edge list (undirected = pass
     * both directions; the query passes one direction and this mirrors
@@ -108,7 +164,32 @@ object GraphOps {
            |${iter("r1", "c2", "r2")},
            |${iter("r2", "c3", "r3")}
            |SELECT node, pr FROM r3
-           |ORDER BY pr DESC, node LIMIT 20""".stripMargin
+           |ORDER BY pr DESC, node LIMIT 20""".stripMargin,
+      // the same degree-ordered orientation, CTE for CTE; DuckDB's row
+      // comparison (a, b) < (c, d) mirrors Spark's struct ordering
+      "graph_triangles" ->
+        """WITH e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+          |und AS (SELECT u AS x FROM e UNION ALL SELECT v FROM e),
+          |deg AS (SELECT x, count(*) AS dg FROM und GROUP BY 1),
+          |o AS (SELECT
+          |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN e.u ELSE e.v END
+          |      AS src,
+          |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN e.v ELSE e.u END
+          |      AS dst,
+          |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN dv.dg ELSE du.dg END
+          |      AS ddst
+          |  FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+          |tri AS (SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+          |  FROM o o1
+          |  JOIN o o2 ON o1.src = o2.src
+          |    AND (o1.ddst, o1.dst) < (o2.ddst, o2.dst)
+          |  JOIN o e3 ON e3.src = o1.dst AND e3.dst = o2.dst),
+          |corners AS (SELECT a AS node FROM tri
+          |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+          |SELECT node, count(*) AS n_tri FROM corners GROUP BY 1
+          |ORDER BY n_tri DESC, node LIMIT 20""".stripMargin
     )
   }
 }

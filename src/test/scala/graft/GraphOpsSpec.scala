@@ -53,4 +53,38 @@ class GraphOpsSpec extends GraftSuite {
       assert(got == r, s"seed=$seed")
     }
   }
+
+  test("triangles: K4 + pendant path — 4 triangles, 3 per K4 node, " +
+      "path nodes absent") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (every node in C(3,2)=3 triangles) plus a pendant
+    // path 4-5-6 that forms no triangle
+    val k4 = for (u <- 1L to 4L; v <- (u + 1) to 4L) yield (u, v)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("u", "v")
+    val got = GraphOps.trianglesFrom(edges, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)), got)
+  }
+
+  test("triangles match a plain-Scala count on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(21L, 22L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 12
+      val edges = (for {
+        u <- 0L until n; v <- (u + 1) until n if rnd.nextInt(3) == 0
+      } yield (u, v)).distinct
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val expected = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      for {
+        (u, v) <- edges; w <- (v + 1) until n
+        if adj.getOrElse(u, Set.empty)(w) && adj.getOrElse(v, Set.empty)(w)
+      } { expected(u) += 1; expected(v) += 1; expected(w) += 1 }
+      val got = GraphOps.trianglesFrom(edges.toDF("u", "v"), k = 1000)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected.toMap, s"seed=$seed got=$got exp=$expected")
+    }
+  }
 }
