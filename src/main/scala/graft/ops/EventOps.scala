@@ -30,7 +30,7 @@ object EventOps {
     s"$colName div $d - (CASE WHEN $colName % $d < 0 THEN 1 ELSE 0 END)"
 
   /** events with a portable epoch-millisecond `ts_ms` column. */
-  private def withMs(events: DataFrame): DataFrame = {
+  private[graft] def withMs(events: DataFrame): DataFrame = {
     val tsField = events.schema("ts").dataType
     val ms = tsField match {
       case LongType => expr(floorDivSql("ts", 1000000L))

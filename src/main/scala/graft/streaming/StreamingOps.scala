@@ -201,29 +201,6 @@ object StreamingOps {
       .select(col("user_id"), unix_millis(col("sw.start")).as("start_ms"),
         col("n_events"), col("end_ms"), col("sum_value"))
 
-  /** Watermarked stream-stream INTERVAL join: every `click` paired with
-    * the same user's `purchase` events in the following hour. Both sides
-    * carry watermarks and the join condition bounds the event-time
-    * distance, so the state store evicts rows once the watermark passes
-    * `l_ts + 1 hour` — state is O(events per watermark horizon), the only
-    * shape a stream-stream join can survive at 100 TB/day.
-    */
-  def clickToPurchase(events: DataFrame): DataFrame = {
-    val clicks = events.filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"),
-        col("event_ts").as("click_ts"))
-      .withWatermark("click_ts", "1 hour")
-    val purchases = events.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        col("event_ts").as("purchase_ts"))
-      .withWatermark("purchase_ts", "1 hour")
-    clicks.join(purchases,
-      col("user_id") === col("p_user") &&
-        col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
-      .select(col("user_id"), col("click_id"), col("purchase_id"))
-  }
-
   /** Streaming exact dedup with bounded state: duplicates of `idCols`
     * arriving within the watermark horizon are dropped; state for keys
     * older than the watermark is evicted (the streaming form of the
@@ -234,6 +211,38 @@ object StreamingOps {
       delay: String, idCols: Seq[String]): DataFrame =
     events.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** Stream-stream inner join with an event-time range condition — the
+    * join-state surface of Structured Streaming (the earlier parity rows
+    * cover aggregates, session windows, keyed state, and dedup; this is
+    * the remaining stateful operator family). Both sides carry a
+    * watermark and the range condition bounds how long click state must
+    * be retained: state per key is O(events inside the watermark
+    * horizon), the production contract for an unbounded stream. Inner
+    * matches emit as soon as both rows have arrived (no finalization
+    * hold-back), so over a finite source the sink holds exactly the
+    * batch pair set.
+    *
+    * Event time is the MILLISECOND-floored timestamp — the batch
+    * interval join compares epoch ms, and a µs-precision comparison
+    * would disagree with it on sub-ms boundary pairs.
+    */
+  def intervalJoinStream(clicks: DataFrame, purchases: DataFrame,
+      w: Long): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"),
+        timestamp_millis(col("ts_ms")).as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val p = purchases
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"),
+        timestamp_millis(col("ts_ms")).as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    c.join(p, col("c_user") === col("p_user") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") < col("click_ts") + expr(s"INTERVAL $w MILLISECOND"))
+  }
 
   /** Run a streaming DataFrame to completion against the (finite) file
     * source and return the memory-sink table. NOTE: in Update mode the
@@ -362,6 +371,25 @@ object StreamingOps {
             "unix_millis(win_start)", 3600000L)).as("hour_bucket"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("hour_bucket", "event_type")
+    },
+    // Seventh streaming parity row: the stream-stream time-range join,
+    // checked against the SAME oracle as the batch events_interval_join
+    // (which states the semantics in the naive non-equi form). Inner
+    // join: every matched pair emits exactly once, so the Append-mode
+    // sink over the finite source IS the batch pair set — no
+    // finalization subtlety, the parity claim is total.
+    "events_interval_stream" -> { (s, d) =>
+      val ev = readEvents(s, d).withColumn("ts_ms",
+        expr(graft.ops.EventOps.floorDivSql("ts", 1000000L)))
+      val joined = intervalJoinStream(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        w = 1800000L)
+      runToMemory(joined, "events_interval_stream_sink", OutputMode.Append())
+        .select(col("click_id"), col("purchase_id"),
+          (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))
+            .as("delta_ms"))
+        .orderBy("click_id", "purchase_id")
     }
   )
 
@@ -431,6 +459,19 @@ object StreamingOps {
          |  FROM events GROUP BY 1, 2)
          |SELECT hour_bucket, event_type, n, sum_value FROM h, wm
          |WHERE (hour_bucket + 1) * 3600000 <= w
-         |ORDER BY hour_bucket, event_type""".stripMargin
+         |ORDER BY hour_bucket, event_type""".stripMargin,
+    // the batch events_interval_join oracle, verbatim — the streaming
+    // inner join must produce the identical pair set
+    "events_interval_stream" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id,
+        |    epoch_ms(ts) AS click_ms
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id,
+        |    epoch_ms(ts) AS purchase_ms
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT click_id, purchase_id, purchase_ms - click_ms AS delta_ms
+        |FROM c JOIN p USING (user_id)
+        |WHERE purchase_ms >= click_ms AND purchase_ms < click_ms + 1800000
+        |ORDER BY click_id, purchase_id""".stripMargin
   )
 }

@@ -47,30 +47,63 @@ class StreamingSpec extends GraftSuite {
   }
 
   test("stream-stream interval join equals the batch interval join") {
-    val stream = StreamingOps.readEvents(spark, sfDir)
+    // the streaming naive state join and the batch BUCKETIZED equi-join
+    // implement the same semantics by entirely different plans — this pin
+    // ties the two implementations to one pair set
+    val ev = StreamingOps.readEvents(spark, sfDir).withColumn("ts_ms",
+      expr(graft.ops.EventOps.floorDivSql("ts", 1000000L)))
     val got = StreamingOps
-      .runToMemory(StreamingOps.clickToPurchase(stream), "c2p",
-        OutputMode.Append())
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    // batch ground truth over the same file with identical semantics
-    // (same floor-division ns -> µs event-time conversion)
-    val e = graft.ops.Tables(spark, sfDir).events
-      .withColumn("event_ts", timestamp_micros(
-        expr(graft.ops.EventOps.floorDivSql("ts", 1000L))))
-    val clicks = e.filter(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("click_id"),
-        col("event_ts").as("click_ts"))
-    val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        col("event_ts").as("purchase_ts"))
-    val want = clicks.join(purchases,
-        col("user_id") === col("p_user") &&
-          col("purchase_ts") >= col("click_ts") &&
-          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
-      .select(col("user_id"), col("click_id"), col("purchase_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      .runToMemory(StreamingOps.intervalJoinStream(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"), w = 1800000L),
+        "c2p", OutputMode.Append())
+      .select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = graft.ops.EventOps.withMs(graft.ops.Tables(spark, sfDir).events)
+    val want = graft.ops.EventOps.intervalJoinFrom(
+        e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts_ms").as("click_ms")),
+        e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("ts_ms").as("purchase_ms")),
+        1800000L)
+      .select("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(want.nonEmpty, "test corpus must contain click->purchase pairs")
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("stream-stream join: cross-microbatch state match, half-open " +
+      "window boundary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // (event_id, user_id, ts_ms)
+    val clicks = MemoryStream[(Long, Long, Long)]
+    val purchases = MemoryStream[(Long, Long, Long)]
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("_1").as("event_id"), col("_2").as("user_id"),
+        col("_3").as("ts_ms"))
+    val joined = StreamingOps.intervalJoinStream(
+      shape(clicks.toDF()), shape(purchases.toDF()), w = 1000L)
+      .select("click_id", "purchase_id")
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("c2p_planted").start()
+    try {
+      // batch 1: clicks only — the join must hold click state across
+      // the microbatch boundary
+      clicks.addData((10L, 1L, 5000L), (11L, 2L, 5000L))
+      q.processAllAvailable()
+      // batch 2: purchase at ts=5999 matches click@5000 (w=1000, half
+      // open: 5999 < 6000); purchase at exactly ts=6000 must NOT match;
+      // purchase at the click's own ts matches (>= is inclusive)
+      purchases.addData((20L, 1L, 5999L), (21L, 1L, 6000L), (22L, 2L, 5000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("c2p_planted")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 20L), (11L, 22L)), got)
   }
 
   test("late data beyond the watermark is dropped in append mode") {
