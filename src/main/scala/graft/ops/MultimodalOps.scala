@@ -145,6 +145,47 @@ object MultimodalOps {
         .mapPartitions(_.map { case (id, b) => phashBands(id, b) })
         .toDF("doc_id", "b0", "b1", "b2", "b3"))
     },
+    // Audio-shaped decode: the document rendered as a deterministic 16-bit
+    // PCM little-endian waveform (sample k = (byte_k - 128) * 256), then
+    // the BINARY format parsed back — a genuine 2-byte-LE signed-sample
+    // parse, the audio analog of mm_decode_real's pixel parse — and
+    // per-frame energy (sum of squares, exact integer) and peak amplitude
+    // computed from the PARSED samples. The oracle recomputes both
+    // straight from the text codepoints without the codec, so a
+    // sign-extension or endianness bug in the parser breaks the compare
+    // loudly. 256-sample frames; energy <= 256 * 32768^2 ~ 2.7e11 per
+    // frame, exact in a long at any corpus scale.
+    "mm_audio_energy" -> { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      Tables(s, d).documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { batch =>
+          batch.flatMap { case (id, b) =>
+            val raw = if (b == null) Array.empty[Byte] else b
+            val pcm = Pcm16.encode(raw)
+            val samples = Pcm16.decode(pcm)
+            val n = samples.length
+            (0 until (n + 255) / 256).iterator.map { j =>
+              val from = j * 256
+              val until = math.min(n, from + 256)
+              var energy = 0L
+              var peak = 0
+              var i = from
+              while (i < until) {
+                val s0 = samples(i).toInt
+                energy += s0.toLong * s0
+                if (math.abs(s0) > peak) peak = math.abs(s0)
+                i += 1
+              }
+              (id, j, until - from, energy, peak)
+            }
+          }
+        }
+        .toDF("doc_id", "frame_idx", "n_samples", "energy", "peak")
+        .orderBy("doc_id", "frame_idx")
+    },
     // Frame sampling plan: every 2nd "frame" of a fake video whose frame
     // count derives from the payload size — the explode/sequence shape a real
     // frame sampler would use.
@@ -244,6 +285,29 @@ object MultimodalOps {
       """SELECT doc_id, unnest(generate_series(0, n_chars // 100, 2))
         |  AS frame_idx
         |FROM documents ORDER BY doc_id, frame_idx""".stripMargin,
+    // Recomputed WITHOUT the codec (ASCII corpus: byte = codepoint): the
+    // same centered-scaled samples, 256-sample frame boundaries, exact
+    // integer energy and peak — equality with the engine's parsed-sample
+    // stats proves the PCM16 encode→parse roundtrip including sign
+    // extension and endianness.
+    "mm_audio_energy" ->
+      """WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+        |b AS (SELECT doc_id, length(text) AS L,
+        |    list_transform(string_split(text, ''),
+        |      x -> (ord(x) - 128) * 256) AS ss
+        |  FROM t),
+        |f AS (SELECT doc_id, L, ss,
+        |    unnest(generate_series(0, (L - 1) // 256)) AS j
+        |  FROM b WHERE L > 0),
+        |g AS (SELECT doc_id, j, j * 256 AS s, least(L, (j + 1) * 256) AS e,
+        |    list_slice(ss, j * 256 + 1, least(L, (j + 1) * 256)) AS fr
+        |  FROM f)
+        |SELECT doc_id, CAST(j AS INT) AS frame_idx,
+        |  CAST(e - s AS INT) AS n_samples,
+        |  CAST(list_sum(list_transform(fr, x -> CAST(x AS BIGINT) * x))
+        |    AS BIGINT) AS energy,
+        |  CAST(list_max(list_transform(fr, x -> abs(x))) AS INT) AS peak
+        |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
     // Recomputed WITHOUT the codec (ASCII corpus: byte = codepoint, the
     // family's standing assumption): n_runs = boundary count over the raw
     // codepoints, decoded_md5 = md5 of the original text — equality with
@@ -307,6 +371,37 @@ object MultimodalOps {
         |SELECT id1, id2, hamming FROM p WHERE hamming <= 3
         |ORDER BY id1, id2""".stripMargin
   )
+
+  /** PCM16: the waveform codec behind `mm_audio_energy`. Sample k of the
+    * source bytes is the signed 16-bit value (b_k - 128) * 256 (center
+    * then scale to full range), serialized little-endian. Decode is a
+    * strict parser: an odd byte count throws rather than dropping the
+    * trailing byte (corrupt audio must never silently shorten).
+    */
+  private[graft] object Pcm16 {
+    def encode(raw: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](raw.length * 2)
+      var i = 0
+      while (i < raw.length) {
+        val s = ((raw(i) & 0xFF) - 128) * 256
+        out(2 * i) = (s & 0xFF).toByte
+        out(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      out
+    }
+
+    def decode(pcm: Array[Byte]): Array[Short] = {
+      require(pcm.length % 2 == 0, "PCM16: odd byte count")
+      val out = new Array[Short](pcm.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((pcm(2 * i) & 0xFF) | (pcm(2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      out
+    }
+  }
 
   /** RLE1: the real run-length codec behind `mm_decode_real`. Format:
     * 4-byte magic "RLE1", then per run a 4-byte big-endian run length

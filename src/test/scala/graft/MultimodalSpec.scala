@@ -144,4 +144,22 @@ class MultimodalSpec extends GraftSuite {
   private def rawRunCount(raw: Array[Byte]): Int =
     if (raw.isEmpty) 0
     else 1 + raw.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+
+  test("pcm16: roundtrip over the FULL byte range — the ASCII corpus only " +
+      "produces negative samples, so positive-sample LE parse is pinned " +
+      "here") {
+    val all = Array.tabulate(256)(_.toByte)
+    val samples = MultimodalOps.Pcm16.decode(MultimodalOps.Pcm16.encode(all))
+    val want = Array.tabulate(256)(i => ((i - 128) * 256).toShort)
+    assert(samples.sameElements(want),
+      samples.zip(want).filter(p => p._1 != p._2).take(5).mkString(","))
+    // byte 255 -> +32512 (positive path), byte 0 -> -32768 (most negative)
+    assert(samples(255) == 32512 && samples(0) == -32768)
+  }
+
+  test("pcm16: odd byte count throws instead of silently shortening") {
+    intercept[IllegalArgumentException] {
+      MultimodalOps.Pcm16.decode(Array[Byte](1, 2, 3))
+    }
+  }
 }
