@@ -69,6 +69,27 @@ object Oracle {
       lit(new java.math.BigDecimal("0.000001"))).cast(DoubleType)
   }
 
+  /** Exact decimal total — same value and type as
+    * `sum(c.cast(DecimalType(28,6)))` — via THREE 21-bit long limbs, for
+    * per-row magnitudes the two-limb [[dsum]] path can't carry: squared
+    * money moments run to ~1e16 micro-units per row, where a 23-bit hi
+    * limb would overflow around 1e9 rows. Three limbs of 21 bits each
+    * hold the FULL long micro-unit range per row with ~4.4e12 rows per
+    * group of headroom (2^63 / 2^21). Callers needing DuckDB's
+    * above-2^64 double-rounding apply `decimal_to_double_duckdb` to the
+    * returned decimal, exactly as they would to a direct decimal sum. */
+  def exactDecimalSumWide(c: Column): Column = {
+    val units = (c.cast(DecimalType(28, 6)) * lit(1000000L)).cast(LongType)
+    val m = lit((1L << 21) - 1)
+    val s2 = sum(shiftright(units, 42))
+    val s1 = sum(shiftright(units, 21).bitwiseAND(m))
+    val s0 = sum(units.bitwiseAND(m))
+    ((s2.cast(DecimalType(38, 0)) * lit(1L << 42) +
+      s1.cast(DecimalType(38, 0)) * lit(1L << 21) +
+      s0.cast(DecimalType(38, 0))) *
+      lit(new java.math.BigDecimal("0.000001"))).cast(DecimalType(38, 6))
+  }
+
   /** Sum of a double column: exact (bit-identical to a DECIMAL(28,6) sum,
     * via long hi/lo partials) by default, plain double sum when
     * `spark.graft.exactSums=false` on `spark`'s conf. */
