@@ -92,6 +92,17 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** HLL rank of a 64-bit hash's 56-bit tail: leading-zero count of
+    * (h << 8) plus one, capped at 57 for an all-zero tail — exactly the
+    * rho inside [[graft.functions.HllNdv256]], exposed as a column kernel
+    * so RELATIONAL sketch builds (per-partition register maxima merged by
+    * plain max aggregates/windows) share the aggregate's arithmetic.
+    */
+  def rho57(h: Long): Int = {
+    val w = h << 8
+    if (w == 0L) 57 else java.lang.Long.numberOfLeadingZeros(w) + 1
+  }
+
   /** 64-bit SimHash over a token multiset: bit i of the signature is the
     * sign of Σ_tokens count(t) * (bit_i(xxh64(t)) ? +1 : -1).
     */

@@ -272,6 +272,22 @@ case class FirstMatch(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** HLL register rank rho of an xxh64 hash — see [[Kernels.rho57]]. */
+case class Rho57(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "rho57"
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(h: Any): Any =
+    Kernels.rho57(h.asInstanceOf[Long])
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${codegenNames.kernels}.rho57($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of a token array (frequency-weighted). */
 case class SimHash64(child: Expression) extends UnaryExpression
     with ExpectsInputTypes {
@@ -462,4 +478,7 @@ object functions {
 
   def decimal_to_double_duckdb(c: Column): Column =
     ColumnBridge.column(DecimalToDoubleDuckdb(ColumnBridge.expression(c)))
+
+  def rho57(c: Column): Column =
+    ColumnBridge.column(Rho57(ColumnBridge.expression(c)))
 }

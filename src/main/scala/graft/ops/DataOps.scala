@@ -249,6 +249,28 @@ object DataOps {
             .withColumn("src", lit("base")))
         .orderBy("doc_id")
     },
+    // SCD Type-2 dimension build — the lakehouse change-history shape:
+    // each customer's order stream becomes validity intervals
+    // [valid_from, valid_to) over the observed order status, closed by
+    // the NEXT change (lead over the per-key time order, o_orderkey
+    // tiebreak for same-day orders) and left open on the current row.
+    // One shuffle on the dimension key, intervals attach map-side after
+    // the per-key sort — at 100 TB the window runs per key, never
+    // globally, and the key count bounds state exactly as in
+    // sessionization.
+    "data_scd2" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables(s, d).orders
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("o_orderstatus"))
+        .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").as("valid_from"), col("valid_to"),
+          col("o_orderstatus").as("status"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+    },
     // Fixed-size document chunking — the tokenize-and-split step that
     // turns documents into training sequences: each doc yields
     // ceil(n_tokens/64) chunks of <= 64 tokens, emitted with (doc_id,
@@ -798,6 +820,16 @@ object DataOps {
          |    AS text_md5,
          |  CASE WHEN ${updSetSql} THEN 'update' ELSE 'base' END AS src
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // the same lead() interval build; DATE columns compare exactly
+    "data_scd2" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS valid_to,
+        |  o_orderstatus AS status,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC) IS NULL AS is_current
+        |FROM orders
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
     // the source table IS the roundtrip ground truth
     "data_sink_partitioned" ->
       """SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id,

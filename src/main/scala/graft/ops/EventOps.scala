@@ -66,6 +66,19 @@ object EventOps {
     "events_sliding_distinct" -> { (s, d) =>
       slidingDistinctFrom(withMs(Tables(s, d).events))
     },
+    // The APPROXIMATE counterpart events_sliding_distinct points at:
+    // trailing-24h distinct users per hour from MERGEABLE HLL register
+    // partials, built relationally — per-(hour, register) maxima (one
+    // shuffle over at most hours x 256 rows), a per-register sliding
+    // window max (register merge IS max, so a window max over hourly
+    // partials equals the sketch of the union — the property the exact
+    // form provably lacks), then the exact integer harmonic sum. At
+    // 100 TB the register frame is metadata-sized regardless of event
+    // volume, and adding an hour never reprocesses the previous 23 —
+    // the production shape for "distinct users per trailing window".
+    "events_hll_sliding" -> { (s, d) =>
+      hllSlidingFrom(withMs(Tables(s, d).events), windowHours = 24)
+    },
     // Gap-based sessionization: split a user's event sequence at >30min gaps.
     "events_sessionize" -> { (s, d) =>
       val w = Window.partitionBy("user_id")
@@ -382,6 +395,48 @@ object EventOps {
       .orderBy("win_end")
   }
 
+  /** Relational sliding-window HLL over any frame with (user_id, ts_ms):
+    * per trailing `windowHours`-hour window ending at each active hour,
+    * the HLL-256 raw estimate + zero-register count, arithmetic shared
+    * bit-for-bit with [[graft.functions.HllNdv256]] (same xxh64 input
+    * hashing, same rho via the [[graft.functions.Kernels.rho57]] kernel,
+    * same exact integer harmonic sum, same DuckDB-mimicking double
+    * conversion). Separated so the spec can assert the merge law: the
+    * sliding estimate at hour h must EQUAL the direct hll_ndv256
+    * aggregate over the window's raw events.
+    */
+  private[graft] def hllSlidingFrom(events: DataFrame,
+      windowHours: Int): DataFrame = {
+    import graft.functions.functions.{decimal_to_double_duckdb, rho57}
+    val e = events.select(
+      expr(floorDivSql("ts_ms", HourMs)).as("hr"),
+      xxhash64(col("user_id").cast("string")).as("h"))
+    val reg = e
+      .select(col("hr"), shiftrightunsigned(col("h"), 56).cast("int")
+        .as("bucket"), rho57(col("h")).as("r"))
+      .groupBy("hr", "bucket").agg(max(col("r")).as("m"))
+    // densify to the full hours x 256 grid: an absent register still
+    // contributes 2^57 to the harmonic sum (M = 0)
+    val grid = reg.select("hr").distinct()
+      .select(col("hr"), explode(sequence(lit(0), lit(255))).as("bucket"))
+    val filled = grid.join(reg, Seq("hr", "bucket"), "left")
+      .select(col("hr"), col("bucket"), coalesce(col("m"), lit(0)).as("m"))
+    val w = Window.partitionBy("bucket").orderBy(col("hr"))
+      .rangeBetween(-(windowHours - 1).toLong, 0)
+    filled
+      .withColumn("mm", max(col("m")).over(w))
+      .groupBy("hr")
+      .agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 57 - mm)")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("hsum"),
+        count(when(col("mm") === 0, 1)).cast("int").as("zero_regs"))
+      .select(col("hr").as("hour_bucket"),
+        (lit(graft.functions.HllNdv256.EstNumerator) /
+          decimal_to_double_duckdb(col("hsum"))).as("hll_raw"),
+        col("zero_regs"))
+      .orderBy("hour_bucket")
+  }
+
   /** Transition-matrix core over any frame with (user_id, event_id, ts_ms,
     * event_type) — separated so specs can plant a known sequence.
     */
@@ -502,6 +557,48 @@ object EventOps {
          |  count(*) AS n, ${sqlSum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type"""
         .stripMargin,
+    // the full HLL-256 replication (as agg_hll_oracle), lifted to the
+    // sliding form: per-(hour, bucket) register maxima, densified to the
+    // 256-register grid, per-register 24h window max, exact HUGEINT
+    // harmonic sum — the window-max-of-partials = sketch-of-union merge
+    // law is what the compare proves
+    "events_hll_sliding" -> {
+      val u64 = "18446744073709551616"
+      val two56 = "72057594037927936"
+      val rhoCase = (1 to 56)
+        .map(r => s"WHEN w >= ${BigInt(1) << (56 - r)} THEN $r")
+        .mkString("CASE ", " ", " ELSE 57 END")
+      s"""WITH keys AS (SELECT DISTINCT epoch_ms(ts) // 3600000 AS hr,
+         |    user_id AS k FROM events),
+         |hashed AS (SELECT hr,
+         |    ${XxhSql.expr("CAST(k AS VARCHAR)", "42")} AS h FROM keys),
+         |u AS (SELECT hr,
+         |    CASE WHEN h < 0 THEN h::HUGEINT + $u64
+         |         ELSE h::HUGEINT END AS uh
+         |  FROM hashed),
+         |bw AS (SELECT hr, uh // $two56 AS bucket, uh % $two56 AS w
+         |  FROM u),
+         |reg AS (SELECT hr, bucket, max($rhoCase) AS m
+         |  FROM bw GROUP BY 1, 2),
+         |grid AS (SELECT hr, b AS bucket
+         |  FROM (SELECT DISTINCT hr FROM reg)
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS b)),
+         |g AS (SELECT grid.hr AS hr, grid.bucket AS bucket,
+         |    COALESCE(reg.m, 0) AS m
+         |  FROM grid LEFT JOIN reg
+         |    ON reg.hr = grid.hr AND reg.bucket = grid.bucket),
+         |sl AS (SELECT hr, max(m) OVER (PARTITION BY bucket ORDER BY hr
+         |    RANGE BETWEEN 23 PRECEDING AND CURRENT ROW) AS mm FROM g),
+         |s AS (SELECT hr,
+         |    sum((${XxhSql.pow2List})[57 - mm + 1]) AS hsum,
+         |    CAST(count(*) FILTER (WHERE mm = 0) AS INT) AS zero_regs
+         |  FROM sl GROUP BY 1)
+         |SELECT hr AS hour_bucket,
+         |  CAST(${graft.functions.HllNdv256.EstNumerator} AS DOUBLE) /
+         |    CAST(hsum AS DOUBLE) AS hll_raw,
+         |  zero_regs
+         |FROM s ORDER BY hour_bucket""".stripMargin
+    },
     // the same fan-out: every event joins its <=3 covering windows,
     // distinct pairs, count per window
     "events_sliding_distinct" ->

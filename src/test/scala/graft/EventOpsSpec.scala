@@ -323,4 +323,32 @@ class EventOpsSpec extends GraftSuite {
     assert(got == Seq((0L, 1L), (1L, 1L), (2L, 2L), (3L, 2L), (4L, 2L)),
       got)
   }
+
+  test("sliding HLL merge law: the window-max-of-hourly-partials estimate " +
+      "EQUALS the direct sketch over each window's raw events") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val H = 3600000L
+    val rnd = new scala.util.Random(37)
+    // irregular activity: random users over 60 hours with gaps
+    val rows = for {
+      _ <- 1 to 3000
+      hr = rnd.nextInt(60)
+      if hr % 7 != 3 // planted silent hours exercise the grid densify
+    } yield (hr * H + rnd.nextInt(1000).toLong, rnd.nextInt(400).toLong)
+    val e = rows.toDF("ts_ms", "user_id")
+    val sliding = EventOps.hllSlidingFrom(e, windowHours = 24).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toList
+    assert(sliding.nonEmpty)
+    for ((hr, est, zeros) <- sliding) {
+      val direct = e.filter(col("ts_ms") >= (hr - 23) * H &&
+          col("ts_ms") < (hr + 1) * H)
+        .agg(graft.functions.aggregates.hll_ndv256(
+          xxhash64(col("user_id").cast("string"))).as("sk"))
+        .select(col("sk.raw_est"), col("sk.zero_regs")).collect()(0)
+      assert(java.lang.Double.doubleToLongBits(est) ==
+        java.lang.Double.doubleToLongBits(direct.getDouble(0)) &&
+        zeros == direct.getInt(1), s"hour $hr: $est/$zeros vs $direct")
+    }
+  }
 }
