@@ -315,8 +315,80 @@ object EventOps {
         .groupBy("path").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("path").asc)
         .limit(10)
+    },
+    // Peak session concurrency per hour — the capacity-planning sweep
+    // line: how many gap-based sessions (events_sessionize's sessions,
+    // closed intervals [start_ms, end_ms]) are simultaneously open, at
+    // its per-hour maximum. The naive formulation is ONE global running
+    // sum over every +1/-1 boundary — a single-partition window that
+    // dies at scale. Here it is the two-level distributed prefix sum:
+    // level 1 runs the within-hour running sum partitioned BY HOUR
+    // (embarrassingly parallel), level 2 computes each hour's carry-in
+    // as a cumulative sum over per-hour NET deltas — one row per hour,
+    // metadata-scale, so its single-partition window is free. Peak(hour)
+    // = carry_in + max(within-hour run). Boundary conventions: +1 at
+    // start_ms, -1 at end_ms+1 (closed interval), and at equal t the +1s
+    // order first — a session starting the instant another ends overlaps
+    // it for that millisecond. Hours with no boundary events are omitted
+    // (concurrency there is constant at the carry level).
+    "events_concurrency" -> { (s, d) =>
+      concurrencyFromSessions(sessionIntervals(withMs(Tables(s, d).events)))
     }
   )
+
+  /** Gap-based session intervals (user_id, start_ms, end_ms) — the
+    * sessionize pipeline up to its interval readout, shared by
+    * events_concurrency.
+    */
+  private[graft] def sessionIntervals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms").asc, col("event_id").asc)
+    events
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull ||
+          col("ts_ms") - col("prev_ms") > GapMs, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"))
+  }
+
+  /** Concurrency core over any frame with (start_ms, end_ms) closed
+    * intervals — separated so specs can plant overlap patterns with
+    * known peaks and cross-hour carry.
+    */
+  def concurrencyFromSessions(sess: DataFrame): DataFrame = {
+    val deltas = sess.select(col("start_ms").as("t"), lit(1L).as("delta"))
+      .unionAll(sess.select((col("end_ms") + lit(1L)).as("t"),
+        lit(-1L).as("delta")))
+      .withColumn("hour", floor(col("t") / lit(3600000.0)).cast("long"))
+    // level 1: within-hour running sum at each boundary. Ties on (t,
+    // delta) need no further ordering: permuting a run of equal-sign
+    // deltas permutes the intermediate sums within the same value set,
+    // so the hour MAX is order-invariant.
+    val wIn = Window.partitionBy("hour")
+      .orderBy(col("t").asc, col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perHour = deltas
+      .withColumn("run", sum(col("delta")).over(wIn))
+      .groupBy("hour")
+      .agg(max(col("run")).as("peak_in"),
+        sum(col("delta")).as("hour_delta"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
+    // level 2: carry-in over the tiny per-hour table (single-partition
+    // window over O(corpus hours) rows — deliberate, metadata-scale).
+    val wH = Window.orderBy(col("hour").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perHour
+      .withColumn("carry_in",
+        coalesce(sum(col("hour_delta")).over(wH), lit(0L)))
+      .select(col("hour"),
+        (col("carry_in") + col("peak_in")).as("peak_concurrency"),
+        col("n_starts"))
+      .orderBy("hour")
+  }
 
   /** Attribution core over any frame with (user_id, event_id, ts_ms,
     * event_type) — separated so specs can plant touch sequences.
@@ -815,6 +887,47 @@ object EventOps {
         |    count(*) AS n
         |  FROM t WHERE t2 IS NOT NULL AND t3 IS NOT NULL GROUP BY 1)
         |SELECT path, n FROM p ORDER BY n DESC, path ASC LIMIT 10"""
-        .stripMargin
+        .stripMargin,
+    // Same two-level prefix sum as the Spark side (identical math to the
+    // global sweep, grouped by hour); DuckDB integer sums come back
+    // HUGEINT, so every output is pinned to BIGINT.
+    "events_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
+        |           FROM events),
+        |f AS (SELECT *,
+        |    CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id
+        |        ORDER BY ts_ms ASC, event_id ASC) IS NULL
+        |      OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+        |        ORDER BY ts_ms ASC, event_id ASC) > 1800000
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |g AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts_ms ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM f),
+        |sess AS (SELECT user_id, session_idx,
+        |    min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+        |  FROM g GROUP BY user_id, session_idx),
+        |deltas AS (
+        |  SELECT start_ms AS t, 1 AS delta FROM sess
+        |  UNION ALL
+        |  SELECT end_ms + 1 AS t, -1 AS delta FROM sess),
+        |h AS (SELECT t, delta, t // 3600000 AS hour FROM deltas),
+        |r AS (SELECT *, sum(delta) OVER (PARTITION BY hour
+        |    ORDER BY t ASC, delta DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |  FROM h),
+        |ph AS (SELECT hour, max(run) AS peak_in, sum(delta) AS hour_delta,
+        |    count(*) FILTER (WHERE delta = 1) AS n_starts
+        |  FROM r GROUP BY hour),
+        |fin AS (SELECT hour, peak_in, n_starts,
+        |    coalesce(sum(hour_delta) OVER (ORDER BY hour ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS carry_in
+        |  FROM ph)
+        |SELECT CAST(hour AS BIGINT) AS hour,
+        |  CAST(carry_in + peak_in AS BIGINT) AS peak_concurrency,
+        |  CAST(n_starts AS BIGINT) AS n_starts
+        |FROM fin ORDER BY hour""".stripMargin
   )
 }

@@ -245,8 +245,106 @@ object TextOps {
     // round-trip.
     "text_bpe_merge" -> { (s, d) =>
       bpeMergeStep(charVocab(Tables(s, d).documents), 10)
+    },
+    // Segment-level (CCNet-style "paragraph") dedup: chunk every document
+    // into non-overlapping 3-word segments, keep each distinct segment's
+    // FIRST occurrence corpus-wide (first = lowest (doc_id, seg_id)), and
+    // reassemble each document from its surviving segments. This is the
+    // within-and-across-document boilerplate/quote scrub a pretraining
+    // pipeline runs after document-level dedup: document-level hashing
+    // (dedup_exact) misses the copied paragraph inside an otherwise-new
+    // page. Scale shape: segment construction is a pure map stage; the
+    // keeper table is a map-side-combined min aggregate (one row per
+    // DISTINCT segment — far smaller than the instance stream); the
+    // instance⋈keeper equi-join on segment text is AQE-skew-splittable
+    // (a window over segtext would pin each hot segment's instances to
+    // one partition with no split available); reassembly is one shuffle
+    // on doc_id.
+    "text_segment_dedup" -> { (s, d) =>
+      segmentDedupFrom(Tables(s, d).documents)
+    },
+    // Boilerplate scrub: a segment that appears in >= 3 DISTINCT documents
+    // is boilerplate (header/footer/licence text) and is removed from
+    // EVERY document, first occurrence included — the complement of
+    // text_segment_dedup's keep-first rule, and the rule CCNet actually
+    // applies to over-shared paragraphs. Same scale shape; the distinct-doc
+    // count is a two-phase countDistinct over (segtext, doc_id) pairs.
+    "text_boilerplate_scrub" -> { (s, d) =>
+      boilerplateScrubFrom(Tables(s, d).documents, minDocs = 3)
     }
   )
+
+  /** Width of the non-overlapping word segments the segment-dedup family
+    * chunks documents into. 3 keeps the synthetic corpus's duplicate
+    * signal strong (19% duplicate instances at sf0.01, 71% at sf0.1);
+    * a real pipeline would use sentence/paragraph boundaries instead.
+    */
+  private val SegW = 3
+
+  /** (doc_id, seg_id, segtext) instance stream: non-overlapping SegW-word
+    * segments in document order (the last segment keeps the 1..SegW-word
+    * remainder). Pure map stage — the word array is materialized as a
+    * column BEFORE the transform lambda so the split runs once per row,
+    * not once per segment (see [[graft.functions.Kernels]]' lambda-CSE
+    * note; 4x measured on text_ngram_novelty).
+    */
+  private[graft] def segmentsOf(docs: DataFrame): DataFrame = {
+    val nSegs = floor((size(col("wds")) + lit(SegW - 1)) / lit(SegW.toDouble))
+      .cast("int")
+    docs
+      .select(col("doc_id"), toks(col("text")).as("wds"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nSegs - lit(1)),
+          j => concat_ws(" ", slice(col("wds"), j * lit(SegW) + lit(1),
+            lit(SegW)))))
+          .as(Seq("seg_id", "segtext")))
+  }
+
+  /** First-occurrence key: lexicographic (doc_id, seg_id) packed into one
+    * BIGINT so both engines take a plain min. seg_id < 1e6 is guaranteed
+    * by any per-document segment count (a 3e6-word document would split
+    * upstream long before this).
+    */
+  private def segKey: Column = col("doc_id") * lit(1000000L) + col("seg_id")
+
+  /** Segment-dedup core over any frame with (doc_id, text) — separated so
+    * specs can plant corpora with known duplicate segments.
+    */
+  def segmentDedupFrom(docs: DataFrame): DataFrame = {
+    val segs = segmentsOf(docs)
+    val keep = segs.groupBy("segtext").agg(min(segKey).as("firstk"))
+    segs.withColumn("k", segKey)
+      .join(keep, Seq("segtext"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("k") =!= col("firstk"), 1L).otherwise(0L))
+          .as("n_dropped"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("k") === col("firstk"),
+            struct(col("seg_id"), col("segtext"))))),
+          x => x("segtext"))).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Boilerplate-scrub core: segments in >= minDocs distinct documents are
+    * dropped everywhere. Separated for planted specs.
+    */
+  def boilerplateScrubFrom(docs: DataFrame, minDocs: Int): DataFrame = {
+    val segs = segmentsOf(docs)
+    val hot = segs.groupBy("segtext")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("segtext"), lit(1L).as("boiler"))
+    segs.join(hot, Seq("segtext"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("boiler").isNotNull, 1L).otherwise(0L)).as("n_boiler"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(when(col("boiler").isNull,
+            struct(col("seg_id"), col("segtext"))))),
+          x => x("segtext"))).as("clean_text"))
+      .orderBy("doc_id")
+  }
 
   /** Token-distribution core over any frame with (doc_id, text) —
     * separated so specs can plant documents with known frequency curves.
@@ -741,8 +839,47 @@ object TextOps {
          |  FROM ot WHERE prev_sel = 0 GROUP BY sym),
          |c1 AS (${bpePairSql("m")})
          |SELECT left_sym, right_sym, weight FROM c1
-         |ORDER BY weight DESC, left_sym, right_sym LIMIT 10""".stripMargin
+         |ORDER BY weight DESC, left_sym, right_sym LIMIT 10""".stripMargin,
+    // Same packed (doc_id, seg_id) min key; string_agg/CASE drops NULLs
+    // exactly as collect_list does, and the all-segments-dropped document
+    // renders as '' under both engines (coalesce / concat_ws-over-empty).
+    "text_segment_dedup" ->
+      s"""WITH $segCteSql,
+         |keep AS (SELECT segtext, min(doc_id * 1000000 + seg_id) AS firstk
+         |  FROM seg GROUP BY segtext)
+         |SELECT s.doc_id, count(*) AS n_segs,
+         |  CAST(sum(CASE WHEN s.doc_id * 1000000 + s.seg_id <> k.firstk
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  coalesce(string_agg(
+         |    CASE WHEN s.doc_id * 1000000 + s.seg_id = k.firstk
+         |      THEN s.segtext END, ' ' ORDER BY s.seg_id), '') AS clean_text
+         |FROM seg s JOIN keep k ON s.segtext = k.segtext
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "text_boilerplate_scrub" ->
+      s"""WITH $segCteSql,
+         |hot AS (SELECT segtext FROM (
+         |    SELECT segtext, count(DISTINCT doc_id) AS nd
+         |    FROM seg GROUP BY segtext) c
+         |  WHERE nd >= 3)
+         |SELECT s.doc_id, count(*) AS n_segs,
+         |  CAST(sum(CASE WHEN h.segtext IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_boiler,
+         |  coalesce(string_agg(CASE WHEN h.segtext IS NULL THEN s.segtext END,
+         |    ' ' ORDER BY s.seg_id), '') AS clean_text
+         |FROM seg s LEFT JOIN hot h ON s.segtext = h.segtext
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
   )
+
+  /** The 3-word segment instance stream as a DuckDB CTE body — the oracle
+    * replica of [[segmentsOf]]: 1-based word index i maps to segment
+    * (i-1)//3, remainder segment included, space-rejoined in word order.
+    */
+  private val segCteSql =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS L FROM documents),
+      |w AS (SELECT doc_id, (i - 1) // 3 AS seg_id, i, L[i] AS w
+      |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(L))) AS i) g),
+      |seg AS (SELECT doc_id, seg_id, string_agg(w, ' ' ORDER BY i) AS segtext
+      |  FROM w GROUP BY doc_id, seg_id)""".stripMargin
 
   /** BPE starting vocabulary as a DuckDB CTE body: word frequencies with
     * each word in its space-joined character-symbol form.

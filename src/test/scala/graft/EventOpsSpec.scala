@@ -351,4 +351,33 @@ class EventOpsSpec extends GraftSuite {
         zeros == direct.getInt(1), s"hour $hr: $est/$zeros vs $direct")
     }
   }
+
+  test("concurrency: planted overlaps, cross-hour carry, omitted hours") {
+    import spark.implicits._
+    val H = 3600000L
+    // hour 0: A [0,1000], B [500,2000], C [1500,3000] overlap to peak 2;
+    // D [3000000, 10000000] spans hours 0→2 (carry through hour 1);
+    // hour 1: E [3700000, 3800000] rides on D's carry → peak 2;
+    // hour 2: only D's close → peak_in -1 + carry 1 = 0.
+    val sess = Seq(
+      (0L, 1000L), (500L, 2000L), (1500L, 3000L),
+      (3000000L, 10000000L), (3700000L, 3800000L)
+    ).toDF("start_ms", "end_ms")
+    val got = EventOps.concurrencyFromSessions(sess).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 2L, 4L), (1L, 2L, 1L), (2L, 0L, 0L)),
+      got.toSeq.toString)
+    // boundary-free hours are omitted: nothing opens or closes in hour 1
+    val sparse = Seq((0L, 1000L), (2 * H + 500L, 2 * H + 600L))
+      .toDF("start_ms", "end_ms")
+    val got2 = EventOps.concurrencyFromSessions(sparse).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got2.toSeq == Seq((0L, 1L, 1L), (2L, 1L, 1L)), got2.toSeq.toString)
+    // a session ending the instant another starts still overlaps it
+    // (closed intervals: +1 orders before -1 at equal t)
+    val touch = Seq((0L, 5000L), (5000L, 9000L)).toDF("start_ms", "end_ms")
+    val got3 = EventOps.concurrencyFromSessions(touch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got3.toSeq == Seq((0L, 2L, 2L)), got3.toSeq.toString)
+  }
 }

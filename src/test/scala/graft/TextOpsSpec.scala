@@ -203,4 +203,49 @@ class TextOpsSpec extends GraftSuite {
       assert(got == want, s"seed=$seed: got=${got.size} want=${want.size}")
     }
   }
+
+  test("segment dedup: first occurrence wins within and across documents") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f"), // both segments first → untouched
+      (1L, "a b c x y z"), // "a b c" already seen at (0,0) → dropped
+      (2L, "a b c d e f"), // full duplicate of doc 0 → emptied
+      (3L, "p q"), // single remainder segment, kept
+      (4L, "d e f g h"), // "d e f" seen at (0,1); remainder "g h" kept
+      (5L, "m n o m n o") // WITHIN-doc dup: seg 1 dropped by seg 0
+    ).toDF("doc_id", "text")
+    val got = TextOps.segmentDedupFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 0L, "a b c d e f"),
+      (1L, 2L, 1L, "x y z"),
+      (2L, 2L, 2L, ""),
+      (3L, 1L, 0L, "p q"),
+      (4L, 2L, 1L, "g h"),
+      (5L, 2L, 1L, "m n o")), got.toSeq.toString)
+  }
+
+  test("boilerplate scrub: >=3-doc segments vanish everywhere, repeats " +
+    "within one doc do not") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f"),
+      (1L, "a b c x y z"),
+      (2L, "a b c d e f"),
+      (3L, "p q"),
+      (4L, "d e f g h"),
+      (5L, "m n o m n o")
+    ).toDF("doc_id", "text")
+    // "a b c" in docs {0,1,2}, "d e f" in {0,2,4} → both boilerplate;
+    // "m n o" appears twice but in ONE doc → kept both times.
+    val got = TextOps.boilerplateScrubFrom(docs, minDocs = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 2L, ""),
+      (1L, 2L, 1L, "x y z"),
+      (2L, 2L, 2L, ""),
+      (3L, 1L, 0L, "p q"),
+      (4L, 2L, 1L, "g h"),
+      (5L, 2L, 0L, "m n o m n o")), got.toSeq.toString)
+  }
 }
