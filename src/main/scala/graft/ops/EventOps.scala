@@ -326,7 +326,8 @@ object EventOps {
     // (embarrassingly parallel), level 2 computes each hour's carry-in
     // as a cumulative sum over per-hour NET deltas — one row per hour,
     // metadata-scale, so its single-partition window is free. Peak(hour)
-    // = carry_in + max(within-hour run). Boundary conventions: +1 at
+    // = carry_in + max(0, within-hour runs) — the 0 is the hour-open
+    // standing level, see concurrencyFromSessions. Boundary conventions: +1 at
     // start_ms, -1 at end_ms+1 (closed interval), and at equal t the +1s
     // order first — a session starting the instant another ends overlaps
     // it for that millisecond. Hours with no boundary events are omitted
@@ -360,9 +361,14 @@ object EventOps {
     * known peaks and cross-hour carry.
     */
   def concurrencyFromSessions(sess: DataFrame): DataFrame = {
-    val deltas = sess.select(col("start_ms").as("t"), lit(1L).as("delta"))
-      .unionAll(sess.select((col("end_ms") + lit(1L)).as("t"),
-        lit(-1L).as("delta")))
+    // both boundaries explode out of ONE pass over the session frame — a
+    // unionAll of start/end selects would recompute the entire upstream
+    // (two sessionize window passes at 100 TB; plan-pinned in ScaleSpec)
+    val deltas = sess.select(explode(array(
+        struct(col("start_ms").as("t"), lit(1L).as("delta")),
+        struct((col("end_ms") + lit(1L)).as("t"), lit(-1L).as("delta"))))
+        .as("b"))
+      .select(col("b.t").as("t"), col("b.delta").as("delta"))
       .withColumn("hour", floor(col("t") / lit(3600000.0)).cast("long"))
     // level 1: within-hour running sum at each boundary. Ties on (t,
     // delta) need no further ordering: permuting a run of equal-sign
@@ -371,10 +377,15 @@ object EventOps {
     val wIn = Window.partitionBy("hour")
       .orderBy(col("t").asc, col("delta").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // peak_in floors at 0: concurrency is piecewise constant, so the
+    // hour's true maximum is max over {standing level at hour open} ∪
+    // {level after each boundary} — the hour-open level is carry_in
+    // exactly, i.e. a virtual run of 0 (an hour whose first boundary is
+    // a close would otherwise report carry-1 and miss the standing peak).
     val perHour = deltas
       .withColumn("run", sum(col("delta")).over(wIn))
       .groupBy("hour")
-      .agg(max(col("run")).as("peak_in"),
+      .agg(greatest(max(col("run")), lit(0L)).as("peak_in"),
         sum(col("delta")).as("hour_delta"),
         sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
     // level 2: carry-in over the tiny per-hour table (single-partition
@@ -917,7 +928,8 @@ object EventOps {
         |    ORDER BY t ASC, delta DESC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
         |  FROM h),
-        |ph AS (SELECT hour, max(run) AS peak_in, sum(delta) AS hour_delta,
+        |ph AS (SELECT hour, greatest(max(run), 0) AS peak_in,
+        |    sum(delta) AS hour_delta,
         |    count(*) FILTER (WHERE delta = 1) AS n_starts
         |  FROM r GROUP BY hour),
         |fin AS (SELECT hour, peak_in, n_starts,

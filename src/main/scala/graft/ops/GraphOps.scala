@@ -56,12 +56,35 @@ object GraphOps {
     // graph with community structure). The pair fan-out is bounded by
     // lines-per-order (~7 → ≤21 pairs), so edge building stays linear in
     // the fact table at any scale.
+    // Edges keep only STRONG ties — pairs sharing >= 5 distinct orders.
+    // Unthresholded, the projection densifies toward the complete graph
+    // as the order count outgrows the supplier count (at sf0.1 it IS
+    // K_1000: 500k edges, ~1.7e8 oriented wedges, measured 186 s — no
+    // triangle algorithm survives a near-complete input). The support
+    // threshold is how production co-occurrence analyses (market-basket,
+    // co-authorship) keep the projected graph sparse at scale: pair
+    // support averages ~18 shared orders at sf0.01 but ~1.8 at sf0.1, so
+    // >= 5 keeps the dense-community core and prunes the Poisson tail.
+    // The projection itself is built WITHOUT the textbook fact-table
+    // self-join: one shuffle gathers each order's distinct supplier set
+    // (bounded by lines-per-order), ordered pairs explode from the sorted
+    // set in a codegen'd lambda, and pair support is one more shuffle.
+    // The self-join form shuffles the fact table twice and re-distincts
+    // the pair fan-out — measured 2x slower at sf0.1.
     "graph_triangles" -> { (s, d) =>
       val li = Tables(s, d).lineitem
-      val a = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("u"))
-      val b = li.select(col("l_orderkey").as("ok"), col("l_suppkey").as("v"))
-      val edges = a.join(b, "ok").filter(col("u") < col("v"))
-        .select("u", "v").distinct()
+      // collect_set dedups in its partial state — a pre-distinct would be
+      // a second full shuffle on a wider key for nothing
+      val bySupp = li.select(col("l_orderkey").as("ok"),
+          col("l_suppkey").as("sk"))
+        .groupBy("ok").agg(sort_array(collect_set(col("sk"))).as("ss"))
+      val edges = bySupp
+        .select(explode(flatten(transform(col("ss"), (x, i) =>
+          transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+            y => struct(x.as("u"), y.as("v")))))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 5).select("u", "v")
       trianglesFrom(edges, k = 20)
     }
   )
@@ -80,8 +103,15 @@ object GraphOps {
     *
     * `edges` must be canonical undirected: u < v, distinct. Returns the
     * top-`k` nodes by triangle participation (ties to smaller node id).
+    *
+    * CACHE LIFETIME CONTRACT (as [[pageRankFrom]]): the edge list is read
+    * twice (degrees, orientation) and the oriented list three times (both
+    * wedge legs + the closing probe) — both are persisted or the entire
+    * upstream re-executes per read (measured 5x the edge-build cost at
+    * sf0.1). The CALLER owns release via `spark.catalog.clearCache()`.
     */
-  def trianglesFrom(edges: DataFrame, k: Int): DataFrame = {
+  def trianglesFrom(edges0: DataFrame, k: Int): DataFrame = {
+    val edges = edges0.persist()
     val und = edges.select(col("u").as("x"))
       .union(edges.select(col("v").as("x")))
     val deg = und.groupBy("x").agg(count(lit(1)).as("dg"))
@@ -93,6 +123,7 @@ object GraphOps {
       when(lowFirst, col("u")).otherwise(col("v")).as("src"),
       when(lowFirst, col("v")).otherwise(col("u")).as("dst"),
       when(lowFirst, col("dv")).otherwise(col("du")).as("ddst"))
+      .persist()
     val o1 = o.select(col("src"), col("dst").as("b"), col("ddst").as("db"))
     val o2 = o.select(col("src"), col("dst").as("c"), col("ddst").as("dc"))
     val wedges = o1.join(o2, "src")
@@ -168,9 +199,11 @@ object GraphOps {
       // the same degree-ordered orientation, CTE for CTE; DuckDB's row
       // comparison (a, b) < (c, d) mirrors Spark's struct ordering
       "graph_triangles" ->
-        """WITH e AS (SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        """WITH pe AS (SELECT DISTINCT a.l_orderkey AS ok,
+          |    a.l_suppkey AS u, b.l_suppkey AS v
           |  FROM lineitem a JOIN lineitem b
           |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+          |e AS (SELECT u, v FROM pe GROUP BY u, v HAVING count(*) >= 5),
           |und AS (SELECT u AS x FROM e UNION ALL SELECT v FROM e),
           |deg AS (SELECT x, count(*) AS dg FROM und GROUP BY 1),
           |o AS (SELECT

@@ -358,14 +358,15 @@ class EventOpsSpec extends GraftSuite {
     // hour 0: A [0,1000], B [500,2000], C [1500,3000] overlap to peak 2;
     // D [3000000, 10000000] spans hours 0→2 (carry through hour 1);
     // hour 1: E [3700000, 3800000] rides on D's carry → peak 2;
-    // hour 2: only D's close → peak_in -1 + carry 1 = 0.
+    // hour 2: only D's close — D is still open at hour start, so the
+    // standing level IS the peak: carry 1 + max(0, -1) = 1.
     val sess = Seq(
       (0L, 1000L), (500L, 2000L), (1500L, 3000L),
       (3000000L, 10000000L), (3700000L, 3800000L)
     ).toDF("start_ms", "end_ms")
     val got = EventOps.concurrencyFromSessions(sess).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(got.toSeq == Seq((0L, 2L, 4L), (1L, 2L, 1L), (2L, 0L, 0L)),
+    assert(got.toSeq == Seq((0L, 2L, 4L), (1L, 2L, 1L), (2L, 1L, 0L)),
       got.toSeq.toString)
     // boundary-free hours are omitted: nothing opens or closes in hour 1
     val sparse = Seq((0L, 1000L), (2 * H + 500L, 2 * H + 600L))
@@ -379,5 +380,42 @@ class EventOpsSpec extends GraftSuite {
     val got3 = EventOps.concurrencyFromSessions(touch).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got3.toSeq == Seq((0L, 2L, 2L)), got3.toSeq.toString)
+  }
+
+  test("concurrency matches a plain-Scala global sweep on random sessions") {
+    import spark.implicits._
+    val H = 3600000L
+    for (seed <- Seq(41L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      // durations up to 3h force multi-hour carries; coarse grid forces
+      // boundary ties (start==start, end+1==start) across sessions
+      val sess = (1 to 300).map { _ =>
+        val st = rnd.nextInt(6 * H.toInt).toLong
+        (st - st % 500, st - st % 500 + rnd.nextInt(3 * H.toInt).toLong)
+      }
+      // the replay is the formulation the operator deliberately avoids:
+      // ONE global sweep over every boundary, +1 before -1 at equal t,
+      // folding in the standing level at each hour open
+      val bounds = sess.flatMap { case (s0, e0) =>
+        Seq((s0, 1L), (e0 + 1, -1L))
+      }.sortBy { case (t, d) => (t, -d) }
+      var cur = 0L
+      val peaks = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+      val starts = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      bounds.foreach { case (t, d) =>
+        val hr = t / H
+        if (!peaks.contains(hr)) peaks(hr) = cur // hour-open standing level
+        cur += d
+        peaks(hr) = math.max(peaks(hr), cur)
+        if (d > 0) starts(hr) += 1
+      }
+      val want = peaks.toSeq.sortBy(_._1)
+        .map { case (hr, p) => (hr, p, starts(hr)) }
+      val got = EventOps.concurrencyFromSessions(
+        sess.toDF("start_ms", "end_ms")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want, s"seed=$seed: got=$got want=$want")
+    }
   }
 }

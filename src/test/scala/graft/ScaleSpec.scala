@@ -318,4 +318,34 @@ class ScaleSpec extends GraftSuite {
     assert(s.contains("TakeOrderedAndProject"), s)
     spark.catalog.clearCache()
   }
+
+  test("segment dedup: one equi-join on segtext, no window over the " +
+      "segment stream (hot segments must stay AQE-splittable)") {
+    val df = graft.ops.TextOps.queries("text_segment_dedup")(spark, sfDir)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // a min-over-window-of-segtext formulation would pin every instance
+    // of a hot segment to one partition with no skew split available —
+    // the keeper table + equi-join shape must survive
+    assert(!s.contains("Window"), s)
+    assert("(?i)join".r.findAllIn(s).size == 1,
+      s"expected exactly the instance-keeper join:\n$s")
+    assert(!s.contains("Cartesian") && !s.contains("BroadcastNestedLoop"), s)
+  }
+
+  test("concurrency: per-hour windows do the volume work; exactly one " +
+      "single-partition exchange, on the metadata-scale carry table") {
+    val df = graft.ops.EventOps.queries("events_concurrency")(spark, sfDir)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // 4 windows: sessionize lag + session_idx (by user), within-hour run
+    // (by hour), hour carry (global); only the carry — which runs over
+    // one row per hour — may gather to a single partition
+    assert("Window".r.findAllIn(s).size == 4, s)
+    assert("SinglePartition".r.findAllIn(s).size == 1,
+      s"only the per-hour carry may gather:\n$s")
+    assert("(?i)join".r.findAllIn(s).size == 0, s)
+  }
 }

@@ -248,4 +248,47 @@ class TextOpsSpec extends GraftSuite {
       (4L, 2L, 1L, "g h"),
       (5L, 2L, 0L, "m n o m n o")), got.toSeq.toString)
   }
+
+  test("segment dedup and boilerplate scrub match plain-Scala replays on " +
+    "random corpora") {
+    import spark.implicits._
+    for (seed <- Seq(51L, 52L)) {
+      val rnd = new scala.util.Random(seed)
+      // 8-word vocabulary, 1..11-word docs → dense segment collisions,
+      // remainder segments of every width
+      val docs = (0L until 60L).map { id =>
+        id -> (1 to (rnd.nextInt(11) + 1))
+          .map(_ => s"w${rnd.nextInt(8)}").mkString(" ")
+      }
+      val segsOf = (text: String) =>
+        text.split(" ").grouped(3).map(_.mkString(" ")).toVector
+      // first-occurrence replay: global (doc_id, seg_id) scan order
+      val seen = scala.collection.mutable.Set.empty[String]
+      val wantDedup = docs.map { case (id, text) =>
+        val segs = segsOf(text)
+        val kept = segs.filter(s => seen.add(s))
+        (id, segs.size.toLong, (segs.size - kept.size).toLong,
+          kept.mkString(" "))
+      }
+      val gotDedup = TextOps.segmentDedupFrom(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSeq
+      assert(gotDedup == wantDedup, s"seed=$seed dedup")
+      // boilerplate replay: distinct-doc counts first, then scrub
+      val nd = docs.flatMap { case (id, t) => segsOf(t).distinct.map(_ -> id) }
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      val wantScrub = docs.map { case (id, text) =>
+        val segs = segsOf(text)
+        val kept = segs.filter(s => nd(s) < 3)
+        (id, segs.size.toLong, (segs.size - kept.size).toLong,
+          kept.mkString(" "))
+      }
+      val gotScrub = TextOps.boilerplateScrubFrom(
+        docs.toDF("doc_id", "text"), minDocs = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSeq
+      assert(gotScrub == wantScrub, s"seed=$seed scrub")
+    }
+  }
 }
