@@ -84,6 +84,54 @@ object SimilarityOps {
         quant_cosine(col("qe"), col("embedding")).as("cos")), 5)
   }
 
+  /** MIPS top-5 via the norm-augmentation reduction (Bachrach et al.,
+    * RecSys 2014): corpus vector x becomes [x, √(M²−‖x‖²)] with M² the
+    * corpus max quantized squared norm, queries become [q, 0]. Every
+    * augmented corpus vector then has norm exactly M, so angle order in
+    * the augmented space IS inner-product order in the original space —
+    * which lets maximum-inner-product search ride the SAME sign-plane
+    * bucket equi-join as [[lshTopkFrom]] (plane weight index D falls on
+    * the augmentation coordinate). Candidates score by the EXACT integer
+    * dot — the augmentation exists only for bucketing — so the output is
+    * integer end-to-end: the one √ is floored to a BIGINT, engine-portable
+    * because IEEE √ is correctly rounded and cannot round a non-square
+    * ≤ D·10⁶ ≪ 2⁵² onto an integer.
+    *
+    * Scale shape: M² is a 1-row broadcast; bucketing is a codegen'd map;
+    * the probe is a broadcast equi-join on the bucket id — identical
+    * cost profile to the cosine LSH path.
+    */
+  private[graft] def mipsTopkFrom(e0: DataFrame): DataFrame = {
+    val base = e0.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      .withColumn("nn",
+        aggregate(transform(col("qv"), x => x * x), lit(0L), (a, x) => a + x))
+    val corpus0 = base.filter(col("vec_id") >= 10)
+    val m2 = corpus0.agg(max(col("nn")).as("m2"))
+    val corpus = corpus0.crossJoin(broadcast(m2))
+      .withColumn("aug",
+        floor(sqrt((col("m2") - col("nn")).cast("double"))).cast("long"))
+      .withColumn("bucket", element_at(
+        lshBuckets(concat(col("qv"), array(col("aug"))), 1, 8), 1))
+    val probes = typedLit(0L +: (0 until 8).map(k => 1L << k))
+    // query bucket materialized BEFORE the probe lambda (lambda-CSE: an
+    // inline signature would recompute all 8 planes per probe)
+    val qs = base.filter(col("vec_id") < 10)
+      .withColumn("bucket0", element_at(
+        lshBuckets(concat(col("qv"), array(lit(0L))), 1, 8), 1))
+      .select(col("vec_id").as("query_id"), col("qv").as("qq"),
+        explode(transform(probes, m => col("bucket0").bitwiseXOR(m)))
+          .as("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot").desc, col("vec_id").asc)
+    corpus.join(broadcast(qs), Seq("bucket"))
+      .select(col("query_id"), col("vec_id"),
+        quant_dot(col("qq"), col("qv")).as("dot"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("query_id", "vec_id", "dot", "rk")
+      .orderBy("query_id", "rk")
+  }
+
   /** (vec_id, label, qv, nn): the quantized view every centroid-based
     * operator starts from (quantize scale 1000; nn = Σqv², the zero-norm
     * sentinel). NOT persisted — each caller owns persist/release for its
@@ -147,6 +195,14 @@ object SimilarityOps {
     // bucket+probe pipeline; DedupSpec measures recall against brute force.
     "sim_ann_lsh" -> { (s, d) =>
       lshTopkFrom(Tables(s, d).embeddings)
+    },
+    // Maximum-inner-product search — the retrieval scoring (unnormalized
+    // dot) the cosine family can't answer: a long document embedding can
+    // out-dot a same-direction short one. Norm-augmentation reduces MIPS
+    // to the angular search the sign-plane buckets already solve; scores
+    // stay exact integers. See [[mipsTopkFrom]].
+    "sim_ann_mips" -> { (s, d) =>
+      mipsTopkFrom(Tables(s, d).embeddings)
     },
     // Recall evaluation — the honesty harness for the approximate path:
     // per query, how many of the TRUE (brute-force) top-5 the multi-probe
@@ -516,6 +572,53 @@ object SimilarityOps {
         |      ORDER BY cos DESC, vec_id ASC) AS INT) AS rk
         |  FROM scored)
         |SELECT query_id, vec_id, cos, rk FROM ranked
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // MIPS via norm augmentation, replicated end-to-end: the corpus max
+    // norm, the floored-sqrt augmentation coordinate (plane index D), the
+    // augmented 8-bit signatures, the 9 probe buckets, and the EXACT
+    // integer dot ranking. sum(BIGINT) comes back HUGEINT — the dot is
+    // CAST back to BIGINT.
+    "sim_ann_mips" ->
+      """WITH q AS (SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
+        |mx AS (SELECT max(nn) AS m2 FROM n WHERE vec_id >= 10),
+        |aug AS (SELECT n.vec_id,
+        |    CAST(floor(sqrt(CAST(m2 - nn AS DOUBLE))) AS BIGINT) AS a
+        |  FROM n CROSS JOIN mx WHERE n.vec_id >= 10),
+        |qa AS (SELECT * FROM q
+        |       UNION ALL
+        |       SELECT e.vec_id, len(e.embedding) + 1 AS i, a.a AS v
+        |       FROM embeddings e JOIN aug a ON a.vec_id = e.vec_id),
+        |dots AS (SELECT vec_id, k,
+        |           sum(v * (((k * 131 + (i - 1) * 31 + 7) % 61) - 30)) AS dt
+        |         FROM qa CROSS JOIN
+        |           (SELECT unnest(generate_series(0, 7)) AS k) pl
+        |         GROUP BY 1, 2),
+        |bkt AS (SELECT vec_id,
+        |          CAST(sum(CASE WHEN dt > 0 THEN 1 << k ELSE 0 END) AS BIGINT)
+        |            AS bucket
+        |        FROM dots GROUP BY 1),
+        |qs AS (SELECT vec_id AS query_id, xor(bucket, m) AS bucket
+        |       FROM bkt CROSS JOIN
+        |         (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m) pr
+        |       WHERE vec_id < 10),
+        |pairs AS (SELECT query_id, c.vec_id
+        |          FROM qs JOIN (SELECT vec_id, bucket FROM bkt
+        |                        WHERE vec_id >= 10) c USING (bucket)),
+        |dot AS (SELECT p.query_id, p.vec_id,
+        |          CAST(sum(a.v * b.v) AS BIGINT) AS dot
+        |        FROM pairs p
+        |        JOIN q a ON a.vec_id = p.query_id
+        |        JOIN q b ON b.vec_id = p.vec_id AND b.i = a.i
+        |        GROUP BY 1, 2),
+        |ranked AS (SELECT query_id, vec_id, dot,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, vec_id ASC) AS INT) AS rk
+        |  FROM dot)
+        |SELECT query_id, vec_id, dot, rk FROM ranked
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     // Recall evaluation: BOTH pipelines (multi-probe LSH and brute force)
     // replicated in full, then the per-query intersection count — the

@@ -53,6 +53,9 @@ class PlanCheckSpec extends GraftSuite {
     "sim_ann_ivfpq",      // the same 1-row codebook broadcast (encoding)
                           // + the sim_kmeans_step-style 10-centroid
                           // broadcast (coarse probe)
+    "sim_ann_mips",       // 1-row corpus-max-norm scalar broadcast under
+                          // the corpus (the augmentation coordinate); the
+                          // candidate probe itself is a bucket equi-join
     "q22_idle_customers", // 1-row average-balance scalar broadcast under
                           // the customer table (the Q22 gating predicate)
     "q11_important_stock", // 1-row global-value scalar broadcast under the

@@ -237,4 +237,82 @@ class SimilarityOpsSpec extends GraftSuite {
     assert(q5(0) == ((5L, 20L, 0L, 1)), q5.toSeq.toString)
     assert(q5(1) == ((5L, 24L, 0L, 2)), q5.toSeq.toString)
   }
+
+  /** Independent Scala replay of the full MIPS pipeline: quantize →
+    * corpus max norm → floored-sqrt augmentation → 8 sign-plane bits over
+    * D+1 coordinates → Hamming-1 multi-probe → exact integer dot → top-5
+    * (dot DESC, vec_id ASC).
+    */
+  private def mipsReplay(
+      rows: Seq[(Long, Seq[Float])]): Seq[(Long, Long, Long, Int)] = {
+    def quant(x: Float): Long =
+      math.floor(x.toDouble * 1000.0 + 0.5).toLong
+    def w(k: Int, i: Int): Long = ((k * 131 + i * 31 + 7) % 61) - 30
+    def bucket(v: Seq[Long]): Long =
+      (0 until 8).map { k =>
+        val dt = v.zipWithIndex.map { case (x, i) => x * w(k, i) }.sum
+        if (dt > 0) 1L << k else 0L
+      }.sum
+    val qvs = rows.map { case (id, e) => (id, e.map(quant)) }
+    val corpus0 = qvs.filter(_._1 >= 10)
+    val m2 = corpus0.map(_._2.map(x => x * x).sum).max
+    val corpus = corpus0.map { case (id, v) =>
+      val aug = math.floor(
+        math.sqrt((m2 - v.map(x => x * x).sum).toDouble)).toLong
+      (id, v, bucket(v :+ aug))
+    }
+    qvs.filter(_._1 < 10).flatMap { case (qid, qv) =>
+      val b0 = bucket(qv :+ 0L)
+      val probes = (0L +: (0 until 8).map(k => 1L << k)).map(b0 ^ _).toSet
+      corpus.filter(c => probes(c._3))
+        .map { case (id, v, _) =>
+          (id, qv.zip(v).map { case (x, y) => x * y }.sum)
+        }
+        .sortBy { case (id, dot) => (-dot, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, dot), r) => (qid, id, dot, r + 1) }
+    }.sortBy(r => (r._1, r._4))
+  }
+
+  test("MIPS: a longer same-direction vector outranks the cosine winner; " +
+    "the whole pipeline matches the replay") {
+    import spark.implicits._
+    // query 0 = [1,1,1,1]. vec 20 = 8x the query direction (max norm →
+    // augmentation 0, identical sign pattern → probe-0 bucket hit); vec
+    // 21 = 0.01x the query (cosine 1.0 — the cosine winner among
+    // non-clones — but a tiny dot). MIPS must put 20 first with the
+    // exact integer dot 4 * 1000 * 8000.
+    val rnd = new scala.util.Random(11L)
+    val rows: Seq[(Long, Seq[Float])] =
+      Seq(0L -> Seq(1f, 1f, 1f, 1f),
+        20L -> Seq(8f, 8f, 8f, 8f),
+        21L -> Seq(0.01f, 0.01f, 0.01f, 0.01f)) ++
+        (30L until 60L).map(id =>
+          id -> Seq.fill(4)(rnd.nextFloat() * 2f - 1f))
+    val got = SimilarityOps.mipsTopkFrom(
+      rows.toDF("vec_id", "embedding")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    assert(got == mipsReplay(rows), s"got=$got want=${mipsReplay(rows)}")
+    assert(got.head == ((0L, 20L, 32000000L, 1)), got.toString)
+    // the cosine-perfect tiny clone must NOT be ranked above the planted
+    // max-dot vector wherever it surfaces
+    assert(!got.exists(r => r._2 == 21L && r._4 == 1), got.toString)
+  }
+
+  test("MIPS matches the replay on random corpora (buckets, probes, " +
+    "augmentation, and integer dots all pinned)") {
+    import spark.implicits._
+    for (seed <- Seq(61L, 62L)) {
+      val rnd = new scala.util.Random(seed)
+      val rows: Seq[(Long, Seq[Float])] = (0L until 80L).map(id =>
+        id -> Seq.fill(6)(rnd.nextFloat() * 4f - 2f))
+      val got = SimilarityOps.mipsTopkFrom(
+        rows.toDF("vec_id", "embedding")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+        .toSeq
+      val want = mipsReplay(rows)
+      assert(got == want, s"seed=$seed: got=$got want=$want")
+    }
+  }
 }
