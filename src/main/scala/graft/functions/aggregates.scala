@@ -559,6 +559,139 @@ case class BloomBits(
     copy(child = newChildren.head)
 }
 
+/** Misra–Gries heavy-hitter candidate summary over per-row token arrays
+  * (Misra & Gries 1982; mergeable form per Agarwal et al., "Mergeable
+  * Summaries", PODS 2012 — both public literature). State is k counters
+  * per partial; `update` folds a row's tokens WITHOUT an explode (the
+  * array is consumed inside the aggregate, so pass 1 of the two-pass
+  * heavy-hitter plan is a zero-shuffle map-side scan), `merge` sums
+  * counter maps then subtracts the (k+1)-th largest count and drops ≤0
+  * (the mergeability trick that preserves the undercount bound), `eval`
+  * emits the sorted candidate tokens.
+  *
+  * Guarantee: each counter undercounts its token by at most n/(k+1), so
+  * every token with true frequency > n/(k+1) is present — the candidate
+  * set is a SUPERSET of the φ-heavy hitters for any φ > 1/(k+1). The
+  * exact-count verification pass makes the final answer exact; this
+  * aggregate only bounds what that pass must count.
+  */
+case class MisraGriesTokens(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
+  with StrictInputType {
+
+  override def requiredInputType: DataType = ArrayType(StringType)
+
+  require(k > 0, "k must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "misra_gries_tokens"
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty[String, Long]
+
+  private def admit(buf: mutable.HashMap[String, Long], t: String): Unit = {
+    buf.get(t) match {
+      case Some(c) => buf.update(t, c + 1)
+      case None if buf.size < k => buf.update(t, 1L)
+      case None =>
+        // decrement-all: pays k only after k distinct inserts — amortized
+        // O(1) per token
+        val dead = mutable.ArrayBuffer.empty[String]
+        buf.mapValuesInPlace((_, c) => c - 1)
+        buf.foreach { case (key, c) => if (c <= 0) dead += key }
+        dead.foreach(buf.remove)
+    }
+  }
+
+  override def update(
+      buf: mutable.HashMap[String, Long],
+      input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < arr.numElements()) {
+        // copy out of the unsafe row — the UTF8String view is transient
+        admit(buf, arr.getUTF8String(i).toString)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.HashMap[String, Long],
+      other: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    other.foreach { case (t, c) =>
+      buf.update(t, buf.getOrElse(t, 0L) + c)
+    }
+    if (buf.size > k) {
+      val counts = buf.values.toArray
+      java.util.Arrays.sort(counts)
+      val cut = counts(counts.length - k - 1) // (k+1)-th largest
+      val dead = mutable.ArrayBuffer.empty[String]
+      buf.mapValuesInPlace((_, c) => c - cut)
+      buf.foreach { case (key, c) => if (c <= 0) dead += key }
+      dead.foreach(buf.remove)
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any = {
+    val keys = buf.keys.toArray
+    java.util.Arrays.sort(keys, Ordering[String])
+    new GenericArrayData(
+      keys.map(org.apache.spark.unsafe.types.UTF8String.fromString(_)))
+  }
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val entries = buf.toArray
+    val bytes = entries.map { case (t, _) =>
+      t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val bb = ByteBuffer.allocate(
+      4 + bytes.map(_.length + 12).sum)
+    bb.putInt(entries.length)
+    entries.indices.foreach { i =>
+      bb.putInt(bytes(i).length)
+      bb.put(bytes(i))
+      bb.putLong(entries(i)._2)
+    }
+    bb.array()
+  }
+
+  override def deserialize(
+      bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt
+      val b = new Array[Byte](len)
+      bb.get(b)
+      val t = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      buf.update(t, bb.getLong)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesTokens =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesTokens =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 object aggregates {
   /** Exact top-k of a double column, sorted descending. */
   def topk_doubles(c: Column, k: Int): Column =
@@ -591,4 +724,9 @@ object aggregates {
     ColumnBridge.column(
       BloomBits(ColumnBridge.expression(c), numBits, numHashes)
         .toAggregateExpression())
+
+  /** Misra–Gries heavy-hitter candidates over token-array rows (sorted). */
+  def misra_gries_tokens(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      MisraGriesTokens(ColumnBridge.expression(c), k).toAggregateExpression())
 }

@@ -524,6 +524,65 @@ object AnalyticsExt {
           min(col("l_quantity")).as("min_qty"),
           max(col("l_quantity")).as("max_qty"))
         .orderBy("l_returnflag")
+    },
+    // Exact multi-quantile profile in ONE percentile aggregate (the array
+    // form sorts each group once for all four cut points — four scalar
+    // percentile() calls would sort four times); split into scalar
+    // columns because list-typed output differs between engines only in
+    // arrow field metadata (the collect_sorted precedent). Interpolation
+    // parity with DuckDB's quantile_cont is pinned by agg_median; the
+    // cut-point arithmetic h = q·(n−1) is the same IEEE tree on both
+    // sides.
+    "agg_quantiles_multi" -> { (s, d) =>
+      Tables(s, d).lineitem
+        .groupBy("l_returnflag")
+        .agg(percentile(col("l_quantity"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("qs"))
+        .select(col("l_returnflag"),
+          element_at(col("qs"), 1).as("p25"),
+          element_at(col("qs"), 2).as("p50"),
+          element_at(col("qs"), 3).as("p75"),
+          element_at(col("qs"), 4).as("p95"))
+        .orderBy("l_returnflag")
+    },
+    // 2-D Pareto skyline over part (minimize price, maximize size): a part
+    // survives iff no other part is at most its price AND at least its
+    // size with one strict. The naive form is an O(n²) domination
+    // anti-join; sorted by price it collapses to a prefix-max of size —
+    // realized here as the DISTRIBUTED two-level prefix max
+    // (events_concurrency's idiom): level 1 runs the within-band prefix
+    // max partitioned by $10 price band (embarrassingly parallel), level
+    // 2 cumulates per-band maxima on a metadata-sized frame and
+    // broadcasts the carry-in back. skyline ⇔ size beats every strictly
+    // cheaper part's max AND is its own price point's max. The oracle
+    // states the same predicate as ONE global range-frame window — the
+    // two-level decomposition equaling it is the demonstrandum.
+    "skyline_pareto" -> { (s, d) =>
+      val pc = round(col("p_retailprice") * 100).cast("long")
+      val parts = Tables(s, d).part
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"),
+          pc.as("pc"), (pc / 1000).cast("long").as("band"))
+      val wIn = Window.partitionBy("band").orderBy("pc")
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val wAt = Window.partitionBy("pc")
+      val bandMax = parts.groupBy("band")
+        .agg(max(col("p_size")).as("band_max"))
+      val wCarry = Window.orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = bandMax
+        .withColumn("carry_in", max(col("band_max")).over(wCarry))
+        .select("band", "carry_in")
+      parts
+        .withColumn("in_band_max", max(col("p_size")).over(wIn))
+        .withColumn("at_price_max", max(col("p_size")).over(wAt))
+        .join(broadcast(carry), Seq("band"))
+        .withColumn("strict_max",
+          greatest(col("in_band_max"), col("carry_in")))
+        .filter((col("strict_max").isNull ||
+            col("p_size") > col("strict_max")) &&
+          col("p_size") === col("at_price_max"))
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
     }
   )
 
@@ -865,6 +924,29 @@ object AnalyticsExt {
       """SELECT l_returnflag, median(l_quantity) AS median_qty,
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
-        .stripMargin
+        .stripMargin,
+    "agg_quantiles_multi" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5)  AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  quantile_cont(l_quantity, 0.95) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin,
+    // the single global range-frame window — semantically the Spark
+    // two-level decomposition, stated in its textbook form
+    "skyline_pareto" ->
+      """WITH p AS (SELECT p_partkey, p_retailprice, p_size,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS pc FROM part),
+        |w AS (SELECT *,
+        |    max(p_size) OVER (ORDER BY pc
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS strict_max,
+        |    max(p_size) OVER (PARTITION BY pc) AS at_price_max
+        |  FROM p)
+        |SELECT p_partkey, p_retailprice, p_size FROM w
+        |WHERE (strict_max IS NULL OR p_size > strict_max)
+        |  AND p_size = at_price_max
+        |ORDER BY p_partkey""".stripMargin
   )
 }

@@ -29,7 +29,14 @@ object EventOps {
   def floorDivSql(colName: String, d: Long): String =
     s"$colName div $d - (CASE WHEN $colName % $d < 0 THEN 1 ELSE 0 END)"
 
-  /** events with a portable epoch-millisecond `ts_ms` column. */
+  /** events with a portable epoch-millisecond `ts_ms` column.
+    *
+    * `ts` reads as a native microsecond TimestampType since the round-5
+    * testdata regeneration ([[Tables.eventsSchema]]); `unix_millis` is
+    * floor division µs→ms (`Math.floorDiv` in `DateTimeUtils`), matching
+    * DuckDB's `epoch_ms(ts)` for pre-1970 instants too. The LongType arm
+    * keeps the round-≤4 raw-nanosecond files readable.
+    */
   private[graft] def withMs(events: DataFrame): DataFrame = {
     val tsField = events.schema("ts").dataType
     val ms = tsField match {
@@ -42,6 +49,7 @@ object EventOps {
   private val HourMs = 3600000L
   private val GapMs = 1800000L // 30 min session gap
   private val WeekMs = 604800000L
+  private val DayMs = 86400000L
 
   def queries: Map[String, Q] = Map(
     // Tumbling 1h window aggregation (batch form of a streaming windowed agg).
@@ -334,6 +342,51 @@ object EventOps {
     // (concurrency there is constant at the carry level).
     "events_concurrency" -> { (s, d) =>
       concurrencyFromSessions(sessionIntervals(withMs(Tables(s, d).events)))
+    },
+    // Robust anomaly flags via median absolute deviation — the
+    // outlier-resistant sibling of events_anomaly_zscore (mean/stddev are
+    // themselves dragged by the outliers they are meant to find; the
+    // median/MAD pair has a 50% breakdown point). Two exact median
+    // aggregations (per-type median, then median absolute deviation
+    // around it), each collapsing to |types| rows that broadcast back —
+    // the full table is scanned per aggregate but never shuffled on a
+    // wide key, and the flag itself is a codegen'd map. Median parity
+    // between engines is pinned by agg_median; every comparison operand
+    // here is the same fixed IEEE tree on both sides, so the > cut
+    // agrees bit-for-bit. 1.4826 ≈ 1/Φ⁻¹(3/4) rescales MAD to a stddev
+    // under normality, making "3 MAD-sigmas" comparable to the z-score 3.
+    "events_mad_anomaly" -> { (s, d) =>
+      val ev = withMs(Tables(s, d).events)
+      val med = ev.groupBy("event_type")
+        .agg(median(col("value")).as("med"))
+      val mad = ev.join(broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(median(abs(col("value") - col("med"))).as("mad"))
+      ev.join(broadcast(med), "event_type")
+        .join(broadcast(mad), "event_type")
+        .filter(abs(col("value") - col("med")) >
+          lit(3.0) * lit(1.4826) * col("mad"))
+        .select("event_id", "event_type", "value", "med", "mad")
+        .orderBy("event_id")
+    },
+    // Cohort retention matrix — the growth-analytics readout behind every
+    // retention curve: users cohorted by first-purchase day, each later
+    // purchase day counted as (cohort, age) distinct-user cells. Weekly
+    // cohorts are degenerate on this corpus (every user converts in week
+    // one), daily cohorts spread arrivals across ~11 days. Two shuffles
+    // on user_id (first-purchase min, then the join back — same key, and
+    // AQE broadcasts the per-user side when it fits) plus one on the
+    // (cohort, age) cell key for the distinct count; the matrix itself
+    // is O(days²) rows — metadata-scale at any corpus size.
+    "events_cohort_matrix" -> { (s, d) =>
+      val p = withMs(Tables(s, d).events)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr(floorDivSql("ts_ms", DayMs)).as("day"))
+      val firstd = p.groupBy("user_id").agg(min(col("day")).as("cohort_d"))
+      p.join(firstd, "user_id")
+        .groupBy(col("cohort_d"), (col("day") - col("cohort_d")).as("age"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_d", "age")
     }
   )
 
@@ -940,6 +993,31 @@ object EventOps {
         |SELECT CAST(hour AS BIGINT) AS hour,
         |  CAST(carry_in + peak_in AS BIGINT) AS peak_concurrency,
         |  CAST(n_starts AS BIGINT) AS n_starts
-        |FROM fin ORDER BY hour""".stripMargin
+        |FROM fin ORDER BY hour""".stripMargin,
+    // median ≡ quantile_cont(0.5): the same exact-interpolation parity
+    // agg_median pins; the 3×1.4826 constant folds to the same double on
+    // both engines, so the > comparison sees bit-identical operands
+    "events_mad_anomaly" ->
+      """WITH med AS (
+        |  SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+        |mad AS (
+        |  SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+        |  FROM events e JOIN med m USING (event_type) GROUP BY e.event_type)
+        |SELECT e.event_id, e.event_type, e.value, m.med, d.mad
+        |FROM events e
+        |JOIN med m USING (event_type)
+        |JOIN mad d USING (event_type)
+        |WHERE abs(e.value - m.med) >
+        |  CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * d.mad
+        |ORDER BY e.event_id""".stripMargin,
+    "events_cohort_matrix" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_ms(ts) // 86400000 AS day
+        |  FROM events WHERE event_type = 'purchase'),
+        |firstd AS (SELECT user_id, min(day) AS cohort_d FROM p GROUP BY 1)
+        |SELECT f.cohort_d, p.day - f.cohort_d AS age,
+        |  count(DISTINCT p.user_id) AS n_users
+        |FROM p JOIN firstd f ON p.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_d, age""".stripMargin
   )
 }

@@ -24,13 +24,15 @@ final class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = t("part")
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
-  /** `ts` is nanosecond-precision INT64 in the parquet footer, which Spark's
-    * vectorized reader rejects by default; read it as a raw nanosecond long
-    * (exact) and let callers convert (see [[EventOps.withMs]]). Declaring the
-    * schema explicitly (ts as LONG) makes the vectorized reader accept the
-    * raw INT64 without the session-global
-    * `spark.sql.legacy.parquet.nanosAsLong` conf — no mutation of shared
-    * session state, no behavior change for other nanos parquet reads.
+  /** `ts` is microsecond-precision INT64 (NTZ-annotated) in the parquet
+    * footer since the round-5 testdata regeneration (it was nanoseconds
+    * through round 4, which needed a raw-LONG read). Microseconds are
+    * Spark's native timestamp precision, so it reads as a real
+    * TimestampType column; the schema is still declared explicitly so the
+    * NTZ annotation can never flip the read to TimestampNTZType under
+    * `spark.sql.parquet.inferTimestampNTZ.enabled` — the session runs in
+    * UTC, where LTZ-vs-NTZ is the identity and `unix_millis` agrees with
+    * DuckDB's `epoch_ms` (see [[EventOps.withMs]]).
     */
   def events: DataFrame =
     spark.read.schema(Tables.eventsSchema).parquet(s"$dir/events.parquet")
@@ -41,10 +43,10 @@ final class Tables(spark: SparkSession, dir: String) {
 object Tables {
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
 
-  /** events.parquet physical schema with `ts` as raw nanosecond LONG. */
+  /** events.parquet physical schema (`ts`: microsecond TimestampType). */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),

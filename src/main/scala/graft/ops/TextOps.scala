@@ -271,6 +271,33 @@ object TextOps {
     // count is a two-phase countDistinct over (segtext, doc_id) pairs.
     "text_boilerplate_scrub" -> { (s, d) =>
       boilerplateScrubFrom(Tables(s, d).documents, minDocs = 3)
+    },
+    // Exact φ-heavy hitters (φ = 1/200 of the token stream) by the
+    // two-pass sketch-then-verify plan — the only exact formulation that
+    // scales: a single-pass exact count would shuffle the ENTIRE vocab
+    // (billions of grams at 100 TB) to answer a question about ~dozens
+    // of tokens. Pass 1 is a zero-shuffle map-side Misra–Gries summary
+    // (k=1000 counters per partial, tokens consumed inside the aggregate
+    // — no explode), whose candidate set provably contains every token
+    // with frequency > n/1001 ⊇ all φ-heavy hitters; the total token
+    // count rides the same aggregate. Pass 2 exact-counts ONLY the ≤1000
+    // candidates via a broadcast semi-join — the groupBy shuffles
+    // candidate tokens alone, vocab never moves. The φ cut is the
+    // all-integer `cnt · 200 > n`: no doubles anywhere.
+    "text_heavy_hitters" -> { (s, d) =>
+      import graft.functions.aggregates.misra_gries_tokens
+      val docs = Tables(s, d).documents.select(toks(col("text")).as("tk"))
+      val summary = docs.agg(
+        misra_gries_tokens(col("tk"), 1000).as("cand"),
+        sum(size(col("tk"))).cast("long").as("n"))
+      val cand = summary
+        .select(explode(col("cand")).as("token"), col("n"))
+      docs.select(explode(col("tk")).as("token"))
+        .join(broadcast(cand), "token")
+        .groupBy("token", "n").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * 200 > col("n"))
+        .select("token", "cnt")
+        .orderBy("token")
     }
   )
 
@@ -867,7 +894,16 @@ object TextOps {
          |  coalesce(string_agg(CASE WHEN h.segtext IS NULL THEN s.segtext END,
          |    ' ' ORDER BY s.seg_id), '') AS clean_text
          |FROM seg s LEFT JOIN hot h ON s.segtext = h.segtext
-         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    // exact counts over the full token stream with the same integer cut —
+    // the sketch is invisible to the semantics, which is the point
+    "text_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n FROM tok)
+        |SELECT token, count(*) AS cnt FROM tok, tot
+        |GROUP BY token, tot.n HAVING count(*) * 200 > n
+        |ORDER BY token""".stripMargin
   )
 
   /** The 3-word segment instance stream as a DuckDB CTE body — the oracle

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -19,21 +19,25 @@ import graft.ops.Oracle.dsum
   */
 object StreamingOps {
 
-  /** Streaming scan of the events parquet (ns `ts` read as long, converted
-    * to a proper timestamp column for event-time semantics).
+  /** Streaming scan of the events parquet. `ts` is a native microsecond
+    * TimestampType since the round-5 testdata regeneration
+    * ([[graft.ops.Tables.eventsSchema]] pins it against NTZ inference), so
+    * event-time is the column itself — no unit conversion.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    // Tables.events owns the nanosAsLong handling; reuse its schema
     val schema = graft.ops.Tables(spark, dir).events.schema
     spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      // floor (not truncate-toward-zero) ns→µs, shared with the batch path
-      // so streaming/batch event-time parity holds for pre-1970 timestamps
-      .withColumn("event_ts",
-        timestamp_micros(expr(graft.ops.EventOps.floorDivSql("ts", 1000L))))
+      .withColumn("event_ts", col("ts"))
   }
+
+  /** Portable epoch-ms from the microsecond `ts` — the streaming half of
+    * [[graft.ops.EventOps.withMs]]; `unix_millis` floors µs→ms exactly as
+    * DuckDB's `epoch_ms`, keeping streaming/batch event-time parity.
+    */
+  private def tsMs: Column = unix_millis(col("ts"))
 
   /** Tumbling 1h event-time window with a 2h watermark for late data. */
   def hourlyCounts(events: DataFrame): DataFrame =
@@ -59,7 +63,7 @@ object StreamingOps {
     val GapMs = 1800000L
     events
       .select(col("user_id"), col("event_id"),
-        expr(graft.ops.EventOps.floorDivSql("ts", 1000000L)).as("ts_ms"),
+        tsMs.as("ts_ms"),
         col("value"))
       .as[UserEvent]
       .groupByKey(_.user_id)
@@ -106,7 +110,7 @@ object StreamingOps {
     val Absent = Long.MaxValue
     events
       .select(col("user_id"), col("event_type"),
-        expr(graft.ops.EventOps.floorDivSql("ts", 1000000L)).as("ts_ms"))
+        tsMs.as("ts_ms"))
       .as[FunnelEvent]
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
@@ -155,7 +159,7 @@ object StreamingOps {
     import spark.implicits._
     events
       .select(col("user_id"), col("event_id"),
-        expr(graft.ops.EventOps.floorDivSql("ts", 1000000L)).as("ts_ms"),
+        tsMs.as("ts_ms"),
         col("event_type"))
       .as[TransEvent]
       .groupByKey(_.user_id)
@@ -191,7 +195,7 @@ object StreamingOps {
   def sessionWindows(events: DataFrame): DataFrame =
     events
       .withColumn("event_ts_ms", timestamp_millis(
-        expr(graft.ops.EventOps.floorDivSql("ts", 1000000L))))
+        tsMs))
       .withWatermark("event_ts_ms", "2 hours")
       .groupBy(col("user_id"),
         session_window(col("event_ts_ms"), "1800001 milliseconds").as("sw"))
@@ -380,7 +384,7 @@ object StreamingOps {
     // finalization subtlety, the parity claim is total.
     "events_interval_stream" -> { (s, d) =>
       val ev = readEvents(s, d).withColumn("ts_ms",
-        expr(graft.ops.EventOps.floorDivSql("ts", 1000000L)))
+        tsMs)
       val joined = intervalJoinStream(
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase"),

@@ -293,4 +293,69 @@ class AggregatesSpec extends GraftSuite {
       assert(medOk, s"$flag approx median more than 2 from exact")
     }
   }
+
+  test("MisraGriesTokens candidates ⊇ true heavy hitters, ≤ k of them") {
+    import graft.functions.aggregates.misra_gries_tokens
+    val k = 50
+    val docs = Tables(spark, sfDir).documents
+      .select(split(col("text"), " ").as("tk"))
+      // many partials: the merge path (sum then subtract the (k+1)-th
+      // largest) must preserve the undercount bound across partials
+      .repartition(7)
+    val cand = docs.agg(misra_gries_tokens(col("tk"), k))
+      .collect()(0).getSeq[String](0).toSet
+    assert(cand.size <= k)
+    val exact = docs.select(explode(col("tk")).as("t"))
+      .groupBy("t").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val n = exact.map(_._2).sum
+    // every token with freq > n/(k+1) must be a candidate
+    val mustHave = exact.filter(_._2 * (k + 1) > n).map(_._1)
+    assert(mustHave.nonEmpty, "fixture should have heavy tokens at k=50")
+    val missed = mustHave.filterNot(cand)
+    assert(missed.isEmpty, s"guaranteed heavy hitters missed: $missed")
+  }
+
+  test("text_heavy_hitters equals the exact single-pass answer") {
+    val got = graft.ops.TextOps.queries("text_heavy_hitters")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val tok = Tables(spark, sfDir).documents
+      .select(explode(split(col("text"), " ")).as("t"))
+    val n = tok.count()
+    val want = tok.groupBy("t").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .filter(_._2 * 200 > n).sortBy(_._1).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
+  test("skyline_pareto equals the O(n²) domination replay") {
+    val parts = Tables(spark, sfDir).part
+      .select("p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val want = parts.filter { case (_, pr, sz) =>
+      !parts.exists { case (_, qr, qz) =>
+        qr <= pr && qz >= sz && (qr < pr || qz > sz)
+      }
+    }.map(_._1).sorted.toSeq
+    val got = AnalyticsExt.queries("skyline_pareto")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+    assert(got.size > 1, "fixture should have a non-trivial frontier")
+  }
+
+  test("multi-quantile profile is monotone and agrees with agg_median") {
+    val qs = AnalyticsExt.queries("agg_quantiles_multi")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val med = AnalyticsExt.queries("agg_median")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    qs.foreach { case (flag, (p25, p50, p75, p95)) =>
+      assert(p25 <= p50 && p50 <= p75 && p75 <= p95, s"$flag not monotone")
+      assert(p50 == med(flag), s"$flag p50 != median")
+    }
+    assert(qs.nonEmpty)
+  }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.ops.{EventOps, Tables}
 
 class EventOpsSpec extends GraftSuite {
@@ -9,8 +11,8 @@ class EventOpsSpec extends GraftSuite {
     // take each user's first ts per stage, apply the strict-order rule
     val events = Tables(spark, sfDir).events
       .selectExpr("user_id", "event_type",
-        // same ns->ms floor conversion the query uses
-        EventOps.floorDivSql("ts", 1000000L) + " AS ts_ms")
+        // same µs->ms floor conversion the query uses
+        "unix_millis(ts) AS ts_ms")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val byUser = events.groupBy(_._1)
     def firstTs(es: Array[(Long, String, Long)], t: String): Option[Long] = {
@@ -39,7 +41,7 @@ class EventOpsSpec extends GraftSuite {
   test("retention cohorts match a per-user week replay") {
     val events = Tables(spark, sfDir).events
       .selectExpr("user_id",
-        EventOps.floorDivSql("ts", 1000000L * 604800000L) + " AS wk")
+        EventOps.floorDivSql("unix_millis(ts)", 604800000L) + " AS wk")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val weeks = events.groupBy(_._1).map { case (u, es) =>
       u -> es.map(_._2).toSet
@@ -297,7 +299,7 @@ class EventOpsSpec extends GraftSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val ev = graft.ops.Tables(spark, sfDir).events
       .selectExpr("user_id", "event_id", "event_type",
-        EventOps.floorDivSql("ts", 1000000L) + " AS ts_ms")
+        "unix_millis(ts) AS ts_ms")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
     val want = ev.groupBy(_._1).values.toSeq
@@ -417,5 +419,50 @@ class EventOpsSpec extends GraftSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       assert(got == want, s"seed=$seed: got=$got want=$want")
     }
+  }
+
+  test("MAD anomalies match an exact driver-side median/MAD replay") {
+    // exact interpolated median, the percentile/quantile_cont formula
+    def medianOf(xs: Array[Double]): Double = {
+      val a = xs.sorted
+      val h = 0.5 * (a.length - 1)
+      val lo = h.toInt
+      if (lo == h) a(lo) else a(lo) + (a(lo + 1) - a(lo)) * (h - lo)
+    }
+    val ev = Tables(spark, sfDir).events
+      .select("event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val med = ev.groupBy(_._2).map { case (t, es) =>
+      t -> medianOf(es.map(_._3))
+    }
+    val mad = ev.groupBy(_._2).map { case (t, es) =>
+      t -> medianOf(es.map(e => math.abs(e._3 - med(t))))
+    }
+    val want = ev.filter { case (_, t, v) =>
+      math.abs(v - med(t)) > 3.0 * 1.4826 * mad(t)
+    }.map(_._1).sorted.toSeq
+    val got = EventOps.queries("events_mad_anomaly")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "threshold should flag some events at sf0.001")
+  }
+
+  test("cohort matrix matches a per-user day replay") {
+    val p = Tables(spark, sfDir).events
+      .filter(col("event_type") === "purchase")
+      .selectExpr("user_id", "unix_millis(ts) AS ms").collect()
+      .map(r => (r.getLong(0), Math.floorDiv(r.getLong(1), 86400000L)))
+    val cohort = p.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(_._2).min
+    }
+    val want = p.map { case (u, d) => (cohort(u), d - cohort(u), u) }
+      .distinct.groupBy(c => (c._1, c._2))
+      .map { case ((c, a), us) => (c, a, us.length.toLong) }
+      .toSeq.sorted
+    val got = EventOps.queries("events_cohort_matrix")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // retention must be a real matrix: several cohorts, several ages
+    assert(got.map(_._1).distinct.size > 1 && got.map(_._2).distinct.size > 1)
   }
 }

@@ -51,7 +51,7 @@ class StreamingSpec extends GraftSuite {
     // implement the same semantics by entirely different plans — this pin
     // ties the two implementations to one pair set
     val ev = StreamingOps.readEvents(spark, sfDir).withColumn("ts_ms",
-      expr(graft.ops.EventOps.floorDivSql("ts", 1000000L)))
+      unix_millis(col("ts")))
     val got = StreamingOps
       .runToMemory(StreamingOps.intervalJoinStream(
         ev.filter(col("event_type") === "click"),
@@ -253,7 +253,7 @@ class StreamingSpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     import org.apache.spark.sql.functions._
     val ev = Tables(spark, sfDir).events
-      .withColumn("ms", expr(EventOps.floorDivSql("ts", 1000000L)))
+      .withColumn("ms", unix_millis(col("ts")))
     val wm = ev.agg(max(col("ms"))).collect()(0).getLong(0) - 7200000L
     val want = ev
       .groupBy(expr(EventOps.floorDivSql("ms", 3600000L)).as("hb"),
