@@ -559,6 +559,87 @@ case class BloomBits(
     copy(child = newChildren.head)
 }
 
+/** The k smallest DISTINCT longs as a sorted array — the KMV sketch
+  * CONTENTS, where [[KMinKthLong]] evals only the k-th value. Emitting the
+  * set is what makes sketches composable ACROSS queries: two KMV arrays
+  * support union/intersection estimation (Beyer et al., "On Synopses for
+  * Distinct-Value Estimation Under Multiset Operations", SIGMOD 2007 —
+  * public literature) with no second scan of either input. Same O(k)
+  * TreeSet state and merge discipline as KMinKthLong.
+  */
+case class KMinSetLong(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.TreeSet[Long]]
+  with StrictInputType {
+
+  override def requiredInputType: DataType = LongType
+
+  require(k > 0, "k must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "kmin_set_long"
+
+  override def createAggregationBuffer(): mutable.TreeSet[Long] =
+    mutable.TreeSet.empty[Long]
+
+  private def admit(buf: mutable.TreeSet[Long], x: Long): Unit = {
+    if (buf.size < k) {
+      buf += x
+    } else if (x < buf.last) {
+      if (buf.add(x)) buf -= buf.last
+    }
+  }
+
+  override def update(
+      buf: mutable.TreeSet[Long], input: InternalRow): mutable.TreeSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) admit(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(
+      buf: mutable.TreeSet[Long],
+      other: mutable.TreeSet[Long]): mutable.TreeSet[Long] = {
+    other.foreach(admit(buf, _))
+    buf
+  }
+
+  /** Ascending array; fewer than k elements when the input had fewer
+    * distinct values (the sketch then IS the exact set).
+    */
+  override def eval(buf: mutable.TreeSet[Long]): Any =
+    new GenericArrayData(buf.toArray)
+
+  override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf += bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KMinSetLong =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KMinSetLong =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 /** Misra–Gries heavy-hitter candidate summary over per-row token arrays
   * (Misra & Gries 1982; mergeable form per Agarwal et al., "Mergeable
   * Summaries", PODS 2012 — both public literature). State is k counters
@@ -729,4 +810,9 @@ object aggregates {
   def misra_gries_tokens(c: Column, k: Int): Column =
     ColumnBridge.column(
       MisraGriesTokens(ColumnBridge.expression(c), k).toAggregateExpression())
+
+  /** The k smallest distinct longs, ascending (KMV sketch contents). */
+  def kmin_set_long(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      KMinSetLong(ColumnBridge.expression(c), k).toAggregateExpression())
 }

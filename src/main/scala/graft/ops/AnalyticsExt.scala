@@ -545,6 +545,49 @@ object AnalyticsExt {
           element_at(col("qs"), 4).as("p95"))
         .orderBy("l_returnflag")
     },
+    // KMV set-operation estimation (Beyer et al., SIGMOD 2007): the k
+    // smallest distinct hashes of two streams — click-active vs
+    // purchase-active (user, day) pairs — estimate BOTH the union and the
+    // intersection cardinality with no second scan: θ = k-th smallest of
+    // the merged sketch ⇒ |A∪B| ≈ (k−1)/θ_unit; the fraction of merged-
+    // sketch members present in both sketches scales it down to |A∩B|.
+    // This is why sketches beat exact distinct at 100 TB: each side is
+    // ONE O(k)-state zero-shuffle aggregate, the combine is array math on
+    // two single-row frames, and the sketches are reusable for any later
+    // set algebra. The oracle replays XXH64 (XxhSql) and the exact same
+    // ORDER BY h LIMIT k construction in SQL — every integer (c, θ,
+    // k_used) is hash-exact, the two estimates are the same fixed IEEE
+    // tree on both engines.
+    "agg_kmv_intersect" -> { (s, d) =>
+      import graft.functions.aggregates.kmin_set_long
+      val k = 256
+      val ud = Tables(s, d).events
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          xxhash64((col("user_id") * 100000L +
+            expr(EventOps.floorDivSql("unix_millis(ts)", 86400000L)))
+            .cast("string")).as("h"))
+      def sketch(t: String, out: String) = ud
+        .filter(col("event_type") === t)
+        .agg(kmin_set_long(col("h"), k).as(out))
+      sketch("click", "sa").crossJoin(sketch("purchase", "sb"))
+        .withColumn("uk",
+          slice(array_sort(array_union(col("sa"), col("sb"))), 1, k))
+        .withColumn("ku", size(col("uk")).cast("long"))
+        .withColumn("theta", element_at(col("uk"), size(col("uk"))))
+        .withColumn("n_common",
+          size(filter(col("uk"), x =>
+            array_contains(col("sa"), x) &&
+              array_contains(col("sb"), x))).cast("long"))
+        .withColumn("theta_unit",
+          col("theta").cast("double") / lit(1.8446744073709552e19) + lit(0.5))
+        .withColumn("union_est",
+          (col("ku").cast("double") - lit(1.0)) / col("theta_unit"))
+        .withColumn("inter_est",
+          col("n_common").cast("double") * col("union_est") /
+            col("ku").cast("double"))
+        .select("n_common", "theta", "ku", "union_est", "inter_est")
+    },
     // 2-D Pareto skyline over part (minimize price, maximize size): a part
     // survives iff no other part is at most its price AND at least its
     // size with one strict. The naive form is an O(n²) domination
@@ -933,6 +976,31 @@ object AnalyticsExt {
         |  quantile_cont(l_quantity, 0.95) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin,
+    "agg_kmv_intersect" ->
+      s"""WITH ud AS (SELECT event_type,
+         |    user_id * 100000 + epoch_ms(ts) // 86400000 AS ud
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |h AS (SELECT event_type,
+         |    ${XxhSql.expr("CAST(ud AS VARCHAR)", "42")} AS h FROM ud),
+         |sa AS (SELECT DISTINCT h FROM h WHERE event_type = 'click'
+         |  ORDER BY h LIMIT 256),
+         |sb AS (SELECT DISTINCT h FROM h WHERE event_type = 'purchase'
+         |  ORDER BY h LIMIT 256),
+         |uk AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb) u
+         |  ORDER BY h LIMIT 256),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS ku, max(h) AS theta
+         |  FROM uk),
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS n_common FROM uk
+         |  WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb))
+         |SELECT c.n_common, st.theta, st.ku,
+         |  (CAST(st.ku AS DOUBLE) - 1.0) /
+         |    (CAST(st.theta AS DOUBLE) / 18446744073709551616.0 + 0.5)
+         |    AS union_est,
+         |  CAST(c.n_common AS DOUBLE) *
+         |    ((CAST(st.ku AS DOUBLE) - 1.0) /
+         |     (CAST(st.theta AS DOUBLE) / 18446744073709551616.0 + 0.5)) /
+         |    CAST(st.ku AS DOUBLE) AS inter_est
+         |FROM st, c""".stripMargin,
     // the single global range-frame window — semantically the Spark
     // two-level decomposition, stated in its textbook form
     "skyline_pareto" ->

@@ -512,6 +512,30 @@ object DataOps {
     // tiny aggregate. Pure integer arithmetic end to end.
     "data_compaction_plan" -> { (s, d) =>
       compactionPlanFrom(Tables(s, d).documents, 16384L)
+    },
+    // Weighted sampling WITHOUT replacement, the distributed way
+    // (Efraimidis & Spirakis 2006, public literature): each doc draws a
+    // deterministic hash-uniform u and competes on key = u^(1/w) — the
+    // top-k by key IS an exact weight-proportional sample. Ranking by
+    // ln(u)/w (monotone in the key, no pow) keeps the arithmetic tame.
+    // The whole operator is a codegen'd map + ONE TakeOrderedAndProject:
+    // per-partition top-k heaps, k rows to the driver-side merge — no
+    // sort, no shuffle of the corpus, the shape that samples 100 TB for
+    // the cost of a scan. Weight = n_chars (longer docs proportionally
+    // likelier). The double key is kept OUT of the output (ln may differ
+    // in the last ulp across engines); membership is decided by ordering,
+    // where random keys make 1-ulp flips measure-zero.
+    "data_weighted_sample" -> { (s, d) =>
+      val u = xxhash64(concat(lit("W"), col("doc_id").cast("string")))
+        .cast("double") / lit(1.8446744073709552e19) + lit(0.5)
+      val key = log(u) / col("n_chars").cast("double")
+      Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          key.as("es_key"))
+        .orderBy(col("es_key").desc, col("doc_id").asc)
+        .limit(100)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
     }
   )
 
@@ -911,7 +935,16 @@ object DataOps {
         |SELECT lang, (cum - bytes) // 16384 AS bin, count(*) AS n_files,
         |  CAST(sum(bytes) AS BIGINT) AS group_bytes,
         |  min(file_id) AS first_file, max(file_id) AS last_file
-        |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
+        |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
+    "data_weighted_sample" ->
+      s"""WITH w AS (SELECT doc_id, lang, n_chars,
+         |    ln(CAST(${XxhSql.expr("'W' || CAST(doc_id AS VARCHAR)", "42")}
+         |         AS DOUBLE) / 18446744073709551616.0 + 0.5)
+         |      / CAST(n_chars AS DOUBLE) AS es_key
+         |  FROM documents)
+         |SELECT doc_id, lang, n_chars FROM (
+         |  SELECT * FROM w ORDER BY es_key DESC, doc_id ASC LIMIT 100)
+         |ORDER BY doc_id""".stripMargin
   )
 
   /** Oracle spelling of [[graft.functions.Kernels.zorder2]]: the same 32

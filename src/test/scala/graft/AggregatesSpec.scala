@@ -294,6 +294,61 @@ class AggregatesSpec extends GraftSuite {
     }
   }
 
+  test("KMinSetLong equals the k smallest distinct hashes, merged or not") {
+    import graft.functions.aggregates.kmin_set_long
+    val k = 37
+    val hashed = Tables(spark, sfDir).lineitem
+      .select(xxhash64(col("l_partkey").cast("string")).as("h"))
+      .repartition(9) // force the merge path across many partials
+    val got = hashed.agg(kmin_set_long(col("h"), k))
+      .collect()(0).getSeq[Long](0)
+    val want = hashed.select("h").distinct()
+      .orderBy("h").limit(k).collect().map(_.getLong(0)).toSeq
+    assert(got == want)
+  }
+
+  test("KMV sketch set-op estimates are near the exact cardinalities") {
+    val row = AnalyticsExt.queries("agg_kmv_intersect")(
+      spark, "/root/testdata/sf0.01").collect()(0)
+    val (unionEst, interEst) = (row.getDouble(3), row.getDouble(4))
+    import org.apache.spark.sql.DataFrame
+    def uds(t: String): DataFrame = Tables(spark, "/root/testdata/sf0.01")
+      .events.filter(col("event_type") === t)
+      .selectExpr("user_id * 100000 + unix_millis(ts) div 86400000 AS ud")
+      .distinct()
+    val a = uds("click"); val b = uds("purchase")
+    val exactUnion = a.union(b).distinct().count().toDouble
+    val exactInter = a.intersect(b).count().toDouble
+    // k=256 ⇒ union rsd ≈ 1/√255 ≈ 6.3%; the intersection inherits the
+    // binomial error of c ≈ k·J ≈ 58 ⇒ ≈ 13%. 3-sigma-ish loud bounds:
+    assert(math.abs(unionEst - exactUnion) / exactUnion < 0.20,
+      s"union est $unionEst vs exact $exactUnion")
+    assert(math.abs(interEst - exactInter) / exactInter < 0.40,
+      s"intersection est $interEst vs exact $exactInter")
+  }
+
+  test("weighted sample equals the Efraimidis–Spirakis replay, skews long") {
+    val docs = Tables(spark, sfDir).documents
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val hashes = Tables(spark, sfDir).documents
+      .select(col("doc_id"),
+        xxhash64(concat(lit("W"), col("doc_id").cast("string"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = docs.map { case (id, w) =>
+      val u = hashes(id).toDouble / 1.8446744073709552e19 + 0.5
+      (math.log(u) / w.toDouble, id, w)
+    }.sortBy { case (key, id, _) => (-key, id) }.take(100)
+    val got = graft.ops.DataOps.queries("data_weighted_sample")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.map(_._1).toSeq == want.map(_._2).sorted.toSeq)
+    // weight-proportional sampling must overrepresent long documents
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    val sampleMean = got.map(_._2).sum.toDouble / got.length
+    assert(sampleMean > corpusMean,
+      s"sample mean $sampleMean !> corpus mean $corpusMean")
+  }
+
   test("MisraGriesTokens candidates ⊇ true heavy hitters, ≤ k of them") {
     import graft.functions.aggregates.misra_gries_tokens
     val k = 50
