@@ -86,6 +86,42 @@ object GraphOps {
         .groupBy("u", "v").agg(count(lit(1)).as("support"))
         .filter(col("support") >= 5).select("u", "v")
       trianglesFrom(edges, k = 20)
+    },
+    // Market-basket association mining: co-purchased part pairs with
+    // support ≥ 3 orders, scored by lift = P(ab)/(P(a)·P(b)) — the
+    // classic recommendation readout over the order/item bipartite
+    // graph. Shape: one equi-join of the distinct (order, part) stream
+    // with itself on the ORDER key (a.p < b.p halves the fan-out and
+    // canonicalizes the pair), partial+final pair counts, then the two
+    // per-item marginals broadcast back onto the ≥3-support survivors —
+    // the order key bounds the shuffle and per-basket width bounds the
+    // quadratic fan-out (cap hot baskets at 100 TB; TPC-H baskets are
+    // ≤7 items). lift divides exact integers, so the doubles are the
+    // same IEEE tree on both engines; ties order by the pair key.
+    "basket_pair_lift" -> { (s, d) =>
+      val it = Tables(s, d).lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val n = Tables(s, d).orders
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"))
+      val marg = it.groupBy(col("p")).agg(count(lit(1)).as("n_item"))
+      val pairs = it.as("a").join(it.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      pairs
+        .join(broadcast(marg.withColumnRenamed("p", "part_a")
+          .withColumnRenamed("n_item", "n_a")), Seq("part_a"))
+        .join(broadcast(marg.withColumnRenamed("p", "part_b")
+          .withColumnRenamed("n_item", "n_b")), Seq("part_b"))
+        .crossJoin(broadcast(n))
+        .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"),
+          col("n_b"),
+          (col("n_ab").cast("double") * col("n_orders").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double")))
+            .as("lift"))
+        .orderBy(col("lift").desc, col("part_a").asc, col("part_b").asc)
     }
   )
 
@@ -222,7 +258,23 @@ object GraphOps {
           |corners AS (SELECT a AS node FROM tri
           |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
           |SELECT node, count(*) AS n_tri FROM corners GROUP BY 1
-          |ORDER BY n_tri DESC, node LIMIT 20""".stripMargin
+          |ORDER BY n_tri DESC, node LIMIT 20""".stripMargin,
+      "basket_pair_lift" ->
+        """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+          |  FROM lineitem),
+          |n AS (SELECT count(DISTINCT o_orderkey) AS n_orders FROM orders),
+          |marg AS (SELECT p, count(*) AS n_item FROM it GROUP BY 1),
+          |pairs AS (SELECT a.p AS part_a, b.p AS part_b, count(*) AS n_ab
+          |  FROM it a JOIN it b ON a.ok = b.ok AND a.p < b.p
+          |  GROUP BY 1, 2 HAVING count(*) >= 3)
+          |SELECT part_a, part_b, n_ab, ma.n_item AS n_a, mb.n_item AS n_b,
+          |  CAST(n_ab AS DOUBLE) * CAST(n.n_orders AS DOUBLE) /
+          |    (CAST(ma.n_item AS DOUBLE) * CAST(mb.n_item AS DOUBLE))
+          |    AS lift
+          |FROM pairs
+          |JOIN marg ma ON ma.p = part_a
+          |JOIN marg mb ON mb.p = part_b, n
+          |ORDER BY lift DESC, part_a ASC, part_b ASC""".stripMargin
     )
   }
 }

@@ -87,4 +87,32 @@ class GraphOpsSpec extends GraftSuite {
       assert(got == expected.toMap, s"seed=$seed got=$got exp=$expected")
     }
   }
+
+  test("basket pair lift matches a driver-side basket replay") {
+    import org.apache.spark.sql.functions.col
+    val li = graft.ops.Tables(spark, sfDir).lineitem
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val nOrders = graft.ops.Tables(spark, sfDir).orders
+      .select("o_orderkey").distinct().count()
+    val marg = li.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    val pairs = li.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 3L)
+    val want = pairs.map { case ((a, b), nab) =>
+      val lift = nab.toDouble * nOrders.toDouble /
+        (marg(a).toDouble * marg(b).toDouble)
+      (a, b, nab, marg(a), marg(b), lift)
+    }.toSeq.sortBy { case (a, b, _, _, _, l) => (-l, a, b) }
+    val got = GraphOps.queries("basket_pair_lift")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "support threshold should keep some pairs")
+    // lift must actually discriminate: not all values equal
+    assert(got.map(_._6).distinct.size > 1)
+  }
 }
