@@ -369,6 +369,22 @@ object EventOps {
         .select("event_id", "event_type", "value", "med", "mad")
         .orderBy("event_id")
     },
+    // Rolling exact median of the trailing 11 events per user — the
+    // robust-smoothing companion to events_mad_anomaly (a rolling MEAN
+    // chases every spike; the rolling median doesn't). One shuffle on
+    // user_id, then a bounded ROWS frame: per-row state is the 11-value
+    // frame, never the user's history, so task memory is O(frame) at any
+    // scale. Exact interpolated percentile over the frame — the same
+    // quantile_cont parity agg_median pins, per window frame.
+    "events_rolling_median" -> { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ms").asc, col("event_id").asc)
+        .rowsBetween(-10, Window.currentRow)
+      withMs(Tables(s, d).events)
+        .withColumn("roll_med", percentile(col("value"), lit(0.5)).over(w))
+        .select("event_id", "user_id", "value", "roll_med")
+        .orderBy("event_id")
+    },
     // Cohort retention matrix — the growth-analytics readout behind every
     // retention curve: users cohorted by first-purchase day, each later
     // purchase day counted as (cohort, age) distinct-user cells. Weekly
@@ -1010,6 +1026,12 @@ object EventOps {
         |WHERE abs(e.value - m.med) >
         |  CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * d.mad
         |ORDER BY e.event_id""".stripMargin,
+    "events_rolling_median" ->
+      """SELECT event_id, user_id, value,
+        |  quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ms(ts) ASC, event_id ASC
+        |    ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS roll_med
+        |FROM events ORDER BY event_id""".stripMargin,
     "events_cohort_matrix" ->
       """WITH p AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day

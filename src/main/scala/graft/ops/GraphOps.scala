@@ -122,6 +122,40 @@ object GraphOps {
             (col("n_a").cast("double") * col("n_b").cast("double")))
             .as("lift"))
         .orderBy(col("lift").desc, col("part_a").asc, col("part_b").asc)
+    },
+    // Single-source BFS distances (≤ 4 hops) over the support-≥2 part
+    // co-purchase graph — the third iterative-graph shape next to
+    // pointer-jumping components and integer PageRank: frontier-join
+    // BFS, the O(diameter)-round form where each round joins ONLY the
+    // newest frontier against the edge list (one equi-join shuffle
+    // bounded by frontier × degree) and the running distance table is a
+    // node-sized min aggregate. The depth cap bounds work on
+    // adversarial graphs; the co-purchase graph at support ≥ 2 is
+    // genuinely sparse (avg degree ≈ 3), so the frontier expands
+    // 1→3→8→29→94 instead of swallowing the graph in one hop (the
+    // co-supply graph is near-complete — wrong fixture for BFS). The
+    // oracle is the textbook recursive CTE with the same depth cap.
+    "graph_bfs_hops" -> { (s, d) =>
+      val it = Tables(s, d).lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e0 = it.as("a").join(it.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+        .select("u", "v")
+      val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+        .persist()
+      var dist = edges.agg(min(col("u")).as("node"))
+        .withColumn("dist", lit(0))
+      for (step <- 1 to 4) {
+        val next = dist.filter(col("dist") === step - 1).as("f")
+          .join(edges.as("e"), col("f.node") === col("e.u"))
+          .select(col("e.v").as("node"), lit(step).as("dist"))
+        dist = dist.union(next)
+          .groupBy("node").agg(min(col("dist")).as("dist"))
+      }
+      dist.orderBy("node")
     }
   )
 
@@ -274,7 +308,24 @@ object GraphOps {
           |FROM pairs
           |JOIN marg ma ON ma.p = part_a
           |JOIN marg mb ON mb.p = part_b, n
-          |ORDER BY lift DESC, part_a ASC, part_b ASC""".stripMargin
+          |ORDER BY lift DESC, part_a ASC, part_b ASC""".stripMargin,
+      // recursive-CTE BFS: UNION (not UNION ALL) dedups the closure per
+      // step, the outer min collapses multi-path discoveries — same
+      // depth cap as the frontier-join loop
+      "graph_bfs_hops" ->
+        """WITH RECURSIVE it AS (SELECT DISTINCT l_orderkey AS ok,
+          |    l_partkey AS p FROM lineitem),
+          |e0 AS (SELECT a.p AS u, b.p AS v FROM it a
+          |  JOIN it b ON a.ok = b.ok AND a.p < b.p
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+          |s AS (SELECT min(u) AS s FROM e),
+          |d AS (SELECT s AS node, 0 AS dist FROM s
+          |  UNION
+          |  SELECT e.v, d.dist + 1 FROM d JOIN e ON e.u = d.node
+          |  WHERE d.dist < 4)
+          |SELECT node, min(dist) AS dist FROM d
+          |GROUP BY node ORDER BY node""".stripMargin
     )
   }
 }

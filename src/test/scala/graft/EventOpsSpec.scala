@@ -422,12 +422,16 @@ class EventOpsSpec extends GraftSuite {
   }
 
   test("MAD anomalies match an exact driver-side median/MAD replay") {
-    // exact interpolated median, the percentile/quantile_cont formula
+    // exact interpolated median — Spark's Percentile (and DuckDB's
+    // quantile_cont) use the TWO-SIDED weighted form
+    // lo·(hi−pos) + hi·(pos−lo), which rounds differently from
+    // lo + (hi−lo)·f in the last ulp
     def medianOf(xs: Array[Double]): Double = {
       val a = xs.sorted
-      val h = 0.5 * (a.length - 1)
-      val lo = h.toInt
-      if (lo == h) a(lo) else a(lo) + (a(lo + 1) - a(lo)) * (h - lo)
+      val pos = 0.5 * (a.length - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      if (lo == hi) a(lo) else a(lo) * (hi - pos) + a(hi) * (pos - lo)
     }
     val ev = Tables(spark, sfDir).events
       .select("event_id", "event_type", "value").collect()
@@ -445,6 +449,29 @@ class EventOpsSpec extends GraftSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(got == want)
     assert(got.nonEmpty, "threshold should flag some events at sf0.001")
+  }
+
+  test("rolling median matches a per-user sliding-frame replay") {
+    def medianOf(xs: Seq[Double]): Double = {
+      val a = xs.sorted
+      val pos = 0.5 * (a.length - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      if (lo == hi) a(lo) else a(lo) * (hi - pos) + a(hi) * (pos - lo)
+    }
+    val ev = Tables(spark, sfDir).events
+      .selectExpr("event_id", "user_id", "value", "unix_millis(ts) AS ms")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val want = ev.groupBy(_._2).values.flatMap { es =>
+      val s = es.sortBy(e => (e._4, e._1))
+      s.indices.map { i =>
+        s(i)._1 -> medianOf(s.slice(math.max(0, i - 10), i + 1).map(_._3))
+      }
+    }.toSeq.sortBy(_._1)
+    val got = EventOps.queries("events_rolling_median")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(got == want)
   }
 
   test("cohort matrix matches a per-user day replay") {

@@ -115,4 +115,32 @@ class GraphOpsSpec extends GraftSuite {
     // lift must actually discriminate: not all values equal
     assert(got.map(_._6).distinct.size > 1)
   }
+
+  test("BFS hop distances match a driver-side frontier replay") {
+    val li = graft.ops.Tables(spark, sfDir).lineitem
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val pairs = li.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val adj = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val src = pairs.map(_._1).min
+    val dist = scala.collection.mutable.Map(src -> 0L)
+    var frontier = Set(src)
+    for (step <- 1 to 4) {
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .filterNot(dist.contains)
+      frontier.foreach(dist(_) = step.toLong)
+    }
+    val want = dist.toSeq.sorted
+    val got = GraphOps.queries("graph_bfs_hops")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toSeq
+    assert(got == want)
+    // a real expansion, not a one-hop blob
+    assert(got.map(_._2).distinct.size >= 3,
+      s"expected ≥3 distinct depths, got ${got.map(_._2).distinct}")
+  }
 }
