@@ -42,6 +42,7 @@ object RuleId {
   case object Scan2TableScan extends RuleId
   case object Project2PhysicalProject extends RuleId
   case object Filter2PhysicalFilter extends RuleId
+  case object PushFilterThroughJoin extends RuleId
 }
 
 trait OptRule {
@@ -181,6 +182,74 @@ object Rules {
     def apply(expr: Node): Option[OptExpression] = expr match {
       case Node(LogicalFilter(p, cols), inputs) =>
         Some(Node(PhysicalFilter(p, cols), inputs))
+      case _ => None
+    }
+  }
+
+  /** Beyond the reference: predicate pushdown through joins, gated on a
+    * LOGICAL PROPERTY (which base tables — hence which columns — each join
+    * input provides). The reference declares logical-property derivation
+    * and leaves it `todo!()` (`memo.rs:781-783` `derive_statistics`; no
+    * pushdown rule exists in `rules/mod.rs:124-136`); this is the
+    * completed capability in its smallest honest form: table-sets walk the
+    * bound subtree, a catalog maps tables to columns, and the filter
+    * descends only when its columns resolve to EXACTLY one side.
+    *
+    * Semantics guard (textbook outer-join rules): the IR's equality
+    * predicates are null-rejecting, so pushing into the LEFT input of a
+    * LEFT join or either input of an INNER join is equivalence-preserving;
+    * pushing into a LEFT join's right input or any FULL-join input would
+    * drop null-extended rows and is refused.
+    *
+    * HEP-only by construction: the heuristic binder exposes subtrees as
+    * [[OptExpression.PlanHandle]]s, so the table-set walk can see the
+    * scans. The cascades binder yields opaque [[OptExpression.GroupHandle]]s
+    * — there the walk returns None and the rule abstains (the dual of
+    * exploration rules, which only make sense WITH a memo).
+    */
+  final case class PushFilterThroughJoinRule(catalog: Map[String, Seq[String]])
+      extends OptRule {
+    val id = RuleId.PushFilterThroughJoin
+    val pattern = Pattern.node(_.isInstanceOf[LogicalFilter],
+      Pattern.node(isJoin, Pattern.any, Pattern.any))
+
+    private def tablesOfPlan(p: PlanNode): Set[String] = (p.op match {
+      case LogicalScan(t, _)       => Set(t)
+      case PhysicalTableScan(t, _) => Set(t)
+      case _                       => Set.empty[String]
+    }) ++ p.inputs.flatMap(tablesOfPlan)
+
+    /** Tables provided by a bound rule input; None when any leaf is an
+      * unexpanded memo group (cascades) — the rule then abstains.
+      */
+    private def tables(e: OptExpression): Option[Set[String]] = e match {
+      case PlanHandle(p)  => Some(tablesOfPlan(p))
+      case GroupHandle(_) => None
+      case Node(op, inputs) =>
+        val own = op match {
+          case LogicalScan(t, _)       => Set(t)
+          case PhysicalTableScan(t, _) => Set(t)
+          case _                       => Set.empty[String]
+        }
+        inputs.foldLeft(Option(own)) { (acc, in) =>
+          for (a <- acc; t <- tables(in)) yield a ++ t
+        }
+    }
+
+    private def cols(ts: Set[String]): Set[String] =
+      ts.flatMap(t => catalog.getOrElse(t, Nil))
+
+    def apply(expr: Node): Option[OptExpression] = expr match {
+      case Node(f @ LogicalFilter(EqCond(l, r), Nil),
+          Seq(Node(j @ LogicalJoin(jt, _), Seq(a, b)))) =>
+        val need = Set(l.name, r.name)
+        val leftHas = tables(a).exists(ts => need.subsetOf(cols(ts)))
+        val rightHas = tables(b).exists(ts => need.subsetOf(cols(ts)))
+        val pushLeft = leftHas && !rightHas && jt != JoinType.Full
+        val pushRight = rightHas && !leftHas && jt == JoinType.Inner
+        if (pushLeft) Some(Node(j, Seq(Node(f, Seq(a)), b)))
+        else if (pushRight) Some(Node(j, Seq(a, Node(f, Seq(b)))))
+        else None // ambiguous, opaque, or outer-join-unsafe: abstain
       case _ => None
     }
   }

@@ -438,6 +438,83 @@ class CascadesSpec extends AnyFunSuite {
     assert(hep.optimize(plan) == plan)
   }
 
+  // --- filter pushdown through joins (logical-property-gated rewrite) ---
+
+  private val pushCatalog = Map(
+    "t1" -> Seq("c1", "a", "b"),
+    "t2" -> Seq("c2", "x"),
+    "t3" -> Seq("c3", "y"))
+  private def filt(l: String, r: String, in: PlanNode) =
+    PlanNode(LogicalFilter(EqCond(Col(l), Col(r)), Nil), Seq(in))
+  private def pushHep = new HepOptimizer(
+    Rules.rewriteRules :+ Rules.PushFilterThroughJoinRule(pushCatalog))
+
+  test("filter on left-side columns descends below an inner join") {
+    val plan = filt("a", "b", join(scan("t1"), scan("t2"), "c1", "c2"))
+    assert(pushHep.optimize(plan) ==
+      join(filt("a", "b", scan("t1")), scan("t2"), "c1", "c2"))
+  }
+
+  test("filter on right-side columns descends to the right input") {
+    val plan = filt("x", "x", join(scan("t1"), scan("t2"), "c1", "c2"))
+    assert(pushHep.optimize(plan) ==
+      join(scan("t1"), filt("x", "x", scan("t2")), "c1", "c2"))
+  }
+
+  test("filter descends two join levels to its base table (fixed point)") {
+    val inner = join(scan("t1"), scan("t2"), "c1", "c2")
+    val outerJ = PlanNode(LogicalJoin(JoinType.Inner,
+      EqCond(Col("c1"), Col("c3"))), Seq(inner, scan("t3")))
+    val got = pushHep.optimize(filt("a", "b", outerJ))
+    val want = PlanNode(LogicalJoin(JoinType.Inner,
+      EqCond(Col("c1"), Col("c3"))),
+      Seq(join(filt("a", "b", scan("t1")), scan("t2"), "c1", "c2"),
+        scan("t3")))
+    assert(got == want, s"got:\n${got.explain()}")
+  }
+
+  test("outer-join safety: left join pushes left preds only; full never") {
+    def joined(jt: JoinType) = PlanNode(
+      LogicalJoin(jt, EqCond(Col("c1"), Col("c2"))),
+      Seq(scan("t1"), scan("t2")))
+    // LEFT + left-side pred: pushes (null-rejecting on the preserved side)
+    assert(pushHep.optimize(filt("a", "b", joined(JoinType.Left))) ==
+      PlanNode(LogicalJoin(JoinType.Left, EqCond(Col("c1"), Col("c2"))),
+        Seq(filt("a", "b", scan("t1")), scan("t2"))))
+    // LEFT + right-side pred: refused (would drop null-extended rows)
+    val lr = filt("x", "x", joined(JoinType.Left))
+    assert(pushHep.optimize(lr) == lr)
+    // FULL: refused on either side
+    val fl = filt("a", "b", joined(JoinType.Full))
+    assert(pushHep.optimize(fl) == fl)
+  }
+
+  test("pushdown abstains on ambiguous or uncataloged columns") {
+    // c1/c2 live on both sides? no — but a pred mixing sides must abstain
+    val mixed = filt("a", "x", join(scan("t1"), scan("t2"), "c1", "c2"))
+    assert(pushHep.optimize(mixed) == mixed)
+    // a column the catalog does not know resolves to neither side
+    val unknown = filt("z", "z", join(scan("t1"), scan("t2"), "c1", "c2"))
+    assert(pushHep.optimize(unknown) == unknown)
+  }
+
+  test("pushdown composes with the SQL front end") {
+    val plan = SqlFrontend.parse(
+      "SELECT * FROM t1 JOIN t2 ON c1 = c2 WHERE a = b")
+    assert(pushHep.optimize(plan) ==
+      join(filt("a", "b", scan("t1")), scan("t2"), "c1", "c2"))
+  }
+
+  test("pushdown abstains in the cascades binder (opaque group handles)") {
+    val rule = Rules.PushFilterThroughJoinRule(pushCatalog)
+    val bound = OptExpression.Node(
+      LogicalFilter(EqCond(Col("a"), Col("b")), Nil),
+      Seq(OptExpression.Node(
+        LogicalJoin(JoinType.Inner, EqCond(Col("c1"), Col("c2"))),
+        Seq(OptExpression.GroupHandle(1), OptExpression.GroupHandle(2)))))
+    assert(rule(bound).isEmpty)
+  }
+
   // --- explain (plan/explain.rs:44-95) ---
 
   test("explain renders the operator tree") {

@@ -68,8 +68,12 @@ class PlanCheckSpec extends GraftSuite {
     "sim_ann_recall",     // contains the brute-force side: 10-query set
                           // broadcast against the corpus (the ground
                           // truth the LSH side is measured against)
-    "text_bpe_merge"      // 1-row argmax-pair broadcast under the
+    "text_bpe_merge",     // 1-row argmax-pair broadcast under the
                           // vocabulary (the merge target)
+    "agg_kmv_intersect",  // 1-row sketch x 1-row sketch combine (the
+                          // whole point: set algebra on two O(k) rows)
+    "basket_pair_lift"    // 1-row order-count scalar broadcast under the
+                          // ≥3-support pair survivors
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides

@@ -15,7 +15,7 @@ class ScaleSpec extends GraftSuite {
   test("partitioned write + partition pruning: scan touches one partition") {
     import graft.ops.Tables
     val events = Tables(spark, sfDir).events
-      .withColumn("day", expr("ts div 86400000000000")) // ns → day number
+      .withColumn("day", expr("unix_millis(ts) div 86400000")) // µs ts → day
     events.write.mode("overwrite").partitionBy("day")
       .parquet(s"$tmp/events_by_day")
     val read = spark.read.parquet(s"$tmp/events_by_day")
