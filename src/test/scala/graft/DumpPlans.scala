@@ -132,7 +132,24 @@ object DumpPlans {
         "sides written bucketBy(8, doc_id) sortBy, read-back SMJ fed " +
         "directly by bucketed scans — zero join-side exchanges; the " +
         "only shuffles are the post-join aggregate and the " +
-        "presentation sort"))
+        "presentation sort"),
+      "text_heavy_hitters" -> ("two-pass exact heavy hitters: pass 1 " +
+        "is a zero-shuffle map-side Misra–Gries candidate aggregate " +
+        "(tokens consumed inside update, no explode); pass 2 " +
+        "exact-counts only the ≤k candidates via broadcast semi-join " +
+        "— the vocabulary never shuffles"),
+      "agg_kmv_intersect" -> ("KMV set algebra: one O(k)-state sketch " +
+        "aggregate per side, a 1×1 cross of the two sketch rows, array " +
+        "math for θ/c — union AND intersection estimates with no " +
+        "second scan of either input"),
+      "skyline_pareto" -> ("2-D Pareto frontier as the two-level " +
+        "distributed prefix max: within-band windows partitioned by " +
+        "price band (parallel), per-band carry-in cumulated on a " +
+        "metadata-sized frame and broadcast back — no global " +
+        "single-partition sort"),
+      "graph_bfs_hops" -> ("frontier-join BFS: per round one equi-join " +
+        "of ONLY the newest frontier against the persisted edge list, " +
+        "node-sized min-dist aggregate; depth cap bounds rounds"))
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.DumpPlans\"` " +
