@@ -525,6 +525,31 @@ object DataOps {
     // likelier). The double key is kept OUT of the output (ln may differ
     // in the last ulp across engines); membership is decided by ordering,
     // where random keys make 1-ulp flips measure-zero.
+    // Zone-map file skipping, the table-format planner readout behind
+    // every "files pruned" line in an Iceberg/Delta scan: per simulated
+    // file (a doc_id range bucket), min/max/count zone stats for
+    // n_chars, then the pruning decision for the predicate
+    // `n_chars BETWEEN 900 AND 1100` — a file survives iff its zone
+    // CAN contain a match (max ≥ 900 AND min ≤ 1100). n_matching
+    // (actual matches per file) rides along and proves soundness in the
+    // output itself: every pruned file shows n_matching = 0. Like
+    // data_compaction_plan this is metadata-scale planning — one
+    // aggregate builds the stats table (one row per FILE), the decision
+    // is a codegen'd map over it; at 100 TB the stats frame is what the
+    // manifest store holds, and the same two-sided interval test is the
+    // pruning the real scan applies.
+    "data_zonemap_prune" -> { (s, d) =>
+      Tables(s, d).documents
+        .groupBy(expr("doc_id div 50").as("file_id"))
+        .agg(min(col("n_chars")).as("zmin"), max(col("n_chars")).as("zmax"),
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_chars").between(900, 1100), 1L).otherwise(0L))
+            .as("n_matching"))
+        .withColumn("pruned",
+          !(col("zmax") >= 900 && col("zmin") <= 1100))
+        .select("file_id", "zmin", "zmax", "n_docs", "n_matching", "pruned")
+        .orderBy("file_id")
+    },
     "data_weighted_sample" -> { (s, d) =>
       val u = xxhash64(concat(lit("W"), col("doc_id").cast("string")))
         .cast("double") / lit(1.8446744073709552e19) + lit(0.5)
@@ -936,6 +961,14 @@ object DataOps {
         |  CAST(sum(bytes) AS BIGINT) AS group_bytes,
         |  min(file_id) AS first_file, max(file_id) AS last_file
         |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
+    "data_zonemap_prune" ->
+      """SELECT doc_id // 50 AS file_id,
+        |  min(n_chars) AS zmin, max(n_chars) AS zmax,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_chars BETWEEN 900 AND 1100 THEN 1 ELSE 0
+        |    END) AS BIGINT) AS n_matching,
+        |  NOT (max(n_chars) >= 900 AND min(n_chars) <= 1100) AS pruned
+        |FROM documents GROUP BY 1 ORDER BY file_id""".stripMargin,
     "data_weighted_sample" ->
       s"""WITH w AS (SELECT doc_id, lang, n_chars,
          |    ln(CAST(${XxhSql.expr("'W' || CAST(doc_id AS VARCHAR)", "42")}

@@ -369,6 +369,63 @@ object EventOps {
         .select("event_id", "event_type", "value", "med", "mad")
         .orderBy("event_id")
     },
+    // Daily-reset EWMA (α = ½) over the hourly value series per event
+    // type — the smoothing readout behind alerting dashboards. An
+    // UNBOUNDED exponential window cannot be stated as a SQL window
+    // aggregate (the weight (1−α)^(t−i) mixes the current row's t into
+    // every summand; the usual 2^i/2^t factoring overflows past 1023
+    // steps), but the day-reset variant is exact: within a 24-hour
+    // segment, ewma_t = α·0.5^i·Σ_{j≤i} 2^j·v_j with i ≤ 23, so 2^j
+    // stays tiny and every factor is an exact power of two. One shuffle
+    // on (type, day); the running sum is a bounded 24-row frame in both
+    // engines, accumulated in the same ORDER BY order — bit-identical.
+    "events_ewma_daily" -> { (s, d) =>
+      val hourly = withMs(Tables(s, d).events)
+        .groupBy(expr(floorDivSql("ts_ms", HourMs)).as("hb"),
+          col("event_type"))
+        .agg(dsum(s, col("value")).as("v"))
+        .withColumn("day", expr(floorDivSql("hb", 24L)))
+        .withColumn("i", pmod(col("hb"), lit(24L)))
+      val w = Window.partitionBy("event_type", "day").orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // the running sum is kept in EXACT integer micro-units (v·10⁶·2^i,
+      // ≤ ~2^58 for any plausible hourly mass — ANSI overflows loudly
+      // beyond): a double running sum would differ from the oracle in the
+      // last ulp because DuckDB's windowed SUM accumulates via a segment
+      // tree (different association) while Spark adds sequentially.
+      // Integers are association-free; the one double conversion after
+      // the sum is the same IEEE tree on both engines.
+      hourly
+        .withColumn("vu", round(col("v") * lit(1e6)).cast("long"))
+        .withColumn("run",
+          sum(col("vu") * pow(lit(2.0), col("i")).cast("long")).over(w))
+        .select(col("event_type"), col("hb").as("hour_bucket"), col("v"),
+          (lit(0.5) * col("run").cast("double") * pow(lit(0.5), col("i")) /
+            lit(1e6)).as("ewma"))
+        .orderBy("event_type", "hour_bucket")
+    },
+    // Burst detection on the hourly event stream: an hour is a burst
+    // when its count exceeds 3× the trailing-24-bucket average — stated
+    // ALL-INTEGER as 24·n > 3·Σ(prev 24), with a full-history guard so
+    // the first day never alarms on a short denominator. One shuffle on
+    // event_type; the trailing frame is 24 rows of per-hour counts
+    // (metadata scale — the raw events collapsed in the hourly
+    // aggregate).
+    "events_burst_hours" -> { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy("hb")
+        .rowsBetween(-24, -1)
+      withMs(Tables(s, d).events)
+        .groupBy(expr(floorDivSql("ts_ms", HourMs)).as("hb"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("trail", sum(col("n")).over(w))
+        .withColumn("n_prev", count(col("n")).over(w))
+        .filter(col("n_prev") === 24 &&
+          col("n") * 24 > col("trail") * 3)
+        .select(col("event_type"), col("hb").as("hour_bucket"), col("n"),
+          col("trail"))
+        .orderBy("event_type", "hour_bucket")
+    },
     // Rolling exact median of the trailing 11 events per user — the
     // robust-smoothing companion to events_mad_anomaly (a rolling MEAN
     // chases every spike; the rolling median doesn't). One shuffle on
@@ -1026,6 +1083,33 @@ object EventOps {
         |WHERE abs(e.value - m.med) >
         |  CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * d.mad
         |ORDER BY e.event_id""".stripMargin,
+    "events_ewma_daily" ->
+      s"""WITH h AS (SELECT epoch_ms(ts) // 3600000 AS hb, event_type,
+         |    ${sqlSum("value")} AS v
+         |  FROM events GROUP BY 1, 2),
+         |e AS (SELECT event_type, hb, v, hb // 24 AS day,
+         |    ((hb % 24) + 24) % 24 AS i,
+         |    CAST(round(v * 1000000) AS BIGINT) AS vu FROM h)
+         |SELECT event_type, hb AS hour_bucket, v,
+         |  0.5 * CAST(sum(vu * CAST(power(2.0, i) AS BIGINT))
+         |    OVER (PARTITION BY event_type, day ORDER BY i ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS DOUBLE) * power(0.5, i) / CAST(1000000 AS DOUBLE) AS ewma
+         |FROM e ORDER BY event_type, hour_bucket""".stripMargin,
+    "events_burst_hours" ->
+      """WITH h AS (SELECT epoch_ms(ts) // 3600000 AS hb, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, hb, n,
+        |    sum(n) OVER (PARTITION BY event_type ORDER BY hb ASC
+        |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trail,
+        |    count(n) OVER (PARTITION BY event_type ORDER BY hb ASC
+        |      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS n_prev
+        |  FROM h)
+        |SELECT event_type, hb AS hour_bucket, n, CAST(trail AS BIGINT)
+        |  AS trail
+        |FROM w WHERE n_prev = 24 AND n * 24 > trail * 3
+        |ORDER BY event_type, hour_bucket""".stripMargin,
     "events_rolling_median" ->
       """SELECT event_id, user_id, value,
         |  quantile_cont(value, 0.5) OVER (PARTITION BY user_id

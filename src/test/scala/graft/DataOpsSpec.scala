@@ -306,4 +306,24 @@ class DataOpsSpec extends GraftSuite {
     assert(out(("de", 4L)) == ((1L, 10L, 2L, 2L)))
     assert(out.size == 4)
   }
+
+  test("zone-map pruning is sound and matches a per-file replay") {
+    val docs = graft.ops.Tables(spark, sfDir).documents
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = docs.groupBy(_._1 / 50).map { case (f, ds) =>
+      val cs = ds.map(_._2)
+      val matching = cs.count(c => c >= 900 && c <= 1100).toLong
+      (f, cs.min, cs.max, ds.length.toLong, matching,
+        !(cs.max >= 900 && cs.min <= 1100))
+    }.toSeq.sortBy(_._1)
+    val got = DataOps.queries("data_zonemap_prune")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got == want)
+    // soundness: a pruned file can never contain a matching row
+    got.foreach { case (f, _, _, _, matching, pruned) =>
+      assert(!pruned || matching == 0L, s"file $f pruned but has matches")
+    }
+  }
 }

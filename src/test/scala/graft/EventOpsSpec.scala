@@ -451,6 +451,52 @@ class EventOpsSpec extends GraftSuite {
     assert(got.nonEmpty, "threshold should flag some events at sf0.001")
   }
 
+  test("daily EWMA matches the textbook recursion within 1e-9") {
+    // e_t = α·v_t + (1−α)·e_{t−1}, reset at each day boundary — the
+    // recursive definition the closed-form window query implements
+    val hourly = EventOps.queries("events_ewma_daily")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(hourly.nonEmpty)
+    hourly.groupBy(t => (t._1, t._2 / 24)).values.foreach { day =>
+      var e = 0.0
+      var prevI = -1L
+      day.sortBy(_._2).foreach { case (_, hb, v, got) =>
+        // missing hours decay the carry by 0.5 per SKIPPED index too:
+        // the closed form weights by the in-day index, not the row rank
+        val i = math.floorMod(hb, 24L)
+        e = 0.5 * v + math.pow(0.5, (i - prevI).toDouble) * e
+        prevI = i
+        assert(math.abs(got - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+          s"hb=$hb got $got want $e")
+      }
+    }
+  }
+
+  test("burst hours match an exact trailing-window replay") {
+    val hourly = Tables(spark, sfDir).events
+      .selectExpr("event_type", "unix_millis(ts) div 3600000 AS hb")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case ((t, h), xs) => (t, h, xs.size.toLong) }
+      .toSeq
+    val want = hourly.groupBy(_._1).values.flatMap { ts =>
+      val s = ts.sortBy(_._2)
+      s.indices.flatMap { i =>
+        val frame = s.slice(math.max(0, i - 24), i)
+        val trail = frame.map(_._3).sum
+        if (frame.size == 24 && s(i)._3 * 24 > trail * 3)
+          Some((s(i)._1, s(i)._2, s(i)._3, trail))
+        else None
+      }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = EventOps.queries("events_burst_hours")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+  }
+
   test("rolling median matches a per-user sliding-frame replay") {
     def medianOf(xs: Seq[Double]): Double = {
       val a = xs.sorted
