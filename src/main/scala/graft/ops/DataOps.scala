@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -538,6 +538,38 @@ object DataOps {
     // is a codegen'd map over it; at 100 TB the stats frame is what the
     // manifest store holds, and the same two-sided interval test is the
     // pruning the real scan applies.
+    // Incremental JOIN maintenance (delta-join decomposition) — the ETL
+    // pattern that keeps a 100 TB join view fresh without recomputing
+    // it: with both inputs split into a standing snapshot and a delta
+    // (here a deterministic 90/10 hash split standing in for "yesterday"
+    // vs "today"), the new view is old⋈old ∪ old⋈Δr ∪ Δl⋈old ∪ Δl⋈Δr —
+    // three of the four terms touch a delta side, so the incremental
+    // work is O(Δ·matches), not O(view). The oracle is simply the FULL
+    // join: the gate proves the four-term assembly IS the recompute,
+    // row-for-row. Each term is the same equi-join on the natural key;
+    // at scale the snapshot sides are bucketed on the key so delta terms
+    // co-locate without reshuffling the big side.
+    "data_incremental_join" -> { (s, d) =>
+      val isDelta = (c: Column) =>
+        pmod(xxhash64(concat(lit("D"), c.cast("string"))), lit(10)) === 0
+      val li = Tables(s, d).lineitem
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          isDelta(col("l_orderkey") * 10000 + col("l_linenumber"))
+            .as("l_new"))
+      val ord = Tables(s, d).orders
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          isDelta(col("o_orderkey")).as("o_new"))
+      def term(lNew: Boolean, oNew: Boolean) =
+        li.filter(col("l_new") === lNew)
+          .join(ord.filter(col("o_new") === oNew),
+            col("l_orderkey") === col("o_orderkey"))
+      term(false, false).union(term(false, true))
+        .union(term(true, false)).union(term(true, true))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          Oracle.dsum(s, col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    },
     "data_zonemap_prune" -> { (s, d) =>
       Tables(s, d).documents
         .groupBy(expr("doc_id div 50").as("file_id"))
@@ -961,6 +993,12 @@ object DataOps {
         |  CAST(sum(bytes) AS BIGINT) AS group_bytes,
         |  min(file_id) AS first_file, max(file_id) AS last_file
         |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
+    // the full recompute — equality proves the delta decomposition
+    "data_incremental_join" ->
+      s"""SELECT o_orderstatus, count(*) AS n_rows,
+         |  ${Oracle.sqlSum("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin,
     "data_zonemap_prune" ->
       """SELECT doc_id // 50 AS file_id,
         |  min(n_chars) AS zmin, max(n_chars) AS zmax,

@@ -195,6 +195,43 @@ object MultimodalOps {
           explode(sequence(lit(0L), (col("n_chars") / lit(100L)).cast("long"),
             lit(2L))).as("frame_idx"))
         .orderBy("doc_id", "frame_idx")
+    },
+    // Multi-resolution pyramid over the DECODED pixel stream — the
+    // thumbnail/preview ladder every image pipeline materializes: level 0
+    // is the RLE1-decoded signal (same real codec as mm_decode_real),
+    // each next level floor-means blocks of 4 (integer arithmetic, so
+    // the downsample is bit-exact and engine-portable; a float mean
+    // would reopen the accumulation-order question). Three rows per
+    // asset with per-level length, mean and an md5 of the downsampled
+    // BYTES — the md5 proves the oracle reproduces the exact pixel
+    // ladder, not just its statistics. Same partition-batched map shape
+    // as the decode: zero shuffles beyond the presentation sort.
+    "mm_pyramid" -> { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      Tables(s, d).documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { batch =>
+          val digest = java.security.MessageDigest.getInstance("MD5")
+          def down(px: Array[Int]): Array[Int] =
+            px.grouped(4).map(b => b.sum / b.length).toArray
+          batch.flatMap { case (id, b) =>
+            val raw = if (b == null) Array.empty[Byte] else b
+            val dec = Rle1.decode(Rle1.encode(raw)).map(_ & 0xFF)
+            Iterator.iterate(dec)(down).take(3).zipWithIndex.map {
+              case (px, lvl) =>
+                digest.reset()
+                val md5Hex = digest.digest(px.map(_.toByte))
+                  .map("%02x".format(_)).mkString
+                val mean = if (px.isEmpty) 0.0
+                  else px.map(_.toLong).sum.toDouble / px.length
+                (id, lvl, px.length, mean, md5Hex)
+            }
+          }
+        }
+        .toDF("doc_id", "level", "n_px", "mean_px", "px_md5")
+        .orderBy("doc_id", "level")
     }
   )
 
@@ -369,7 +406,33 @@ object MultimodalOps {
         |    AND (CASE WHEN x.b0 = y.b0 THEN 0 WHEN x.b1 = y.b1 THEN 1
         |              WHEN x.b2 = y.b2 THEN 2 ELSE 3 END) = x.band)
         |SELECT id1, id2, hamming FROM p WHERE hamming <= 3
-        |ORDER BY id1, id2""".stripMargin
+        |ORDER BY id1, id2""".stripMargin,
+    // codec-free pyramid replication (decoded = raw codepoints on the
+    // ASCII corpus): the same floor-mean 4-blocks, level for level; the
+    // md5 compares the exact downsampled byte ladder (chr is one byte
+    // per codepoint < 128, and floor-means of <128 stay <128)
+    "mm_pyramid" ->
+      """WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+        |l0 AS (SELECT doc_id,
+        |    CASE WHEN length(text) = 0 THEN CAST([] AS BIGINT[])
+        |         ELSE list_transform(string_split(text, ''),
+        |                x -> CAST(ord(x) AS BIGINT)) END AS px
+        |  FROM t),
+        |l1 AS (SELECT doc_id, list_transform(range(1, (len(px)+3)//4 + 1),
+        |    i -> list_sum(px[((i-1)*4+1):(least(len(px), i*4))])
+        |         // (least(len(px), i*4) - (i-1)*4)) AS px FROM l0),
+        |l2 AS (SELECT doc_id, list_transform(range(1, (len(px)+3)//4 + 1),
+        |    i -> list_sum(px[((i-1)*4+1):(least(len(px), i*4))])
+        |         // (least(len(px), i*4) - (i-1)*4)) AS px FROM l1),
+        |u AS (SELECT doc_id, 0 AS level, px FROM l0
+        |  UNION ALL SELECT doc_id, 1, px FROM l1
+        |  UNION ALL SELECT doc_id, 2, px FROM l2)
+        |SELECT doc_id, level, CAST(len(px) AS INT) AS n_px,
+        |  CASE WHEN len(px) = 0 THEN 0.0
+        |       ELSE CAST(list_sum(px) AS DOUBLE) / len(px) END AS mean_px,
+        |  md5(array_to_string(list_transform(px, x -> chr(CAST(x AS INT))),
+        |    '')) AS px_md5
+        |FROM u ORDER BY doc_id, level""".stripMargin
   )
 
   /** PCM16: the waveform codec behind `mm_audio_energy`. Sample k of the

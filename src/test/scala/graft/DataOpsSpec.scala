@@ -307,6 +307,24 @@ class DataOpsSpec extends GraftSuite {
     assert(out.size == 4)
   }
 
+  test("incremental join: the four delta terms partition the full join") {
+    import org.apache.spark.sql.functions._
+    val t = graft.ops.Tables(spark, sfDir)
+    val full = t.lineitem.join(t.orders,
+      col("l_orderkey") === col("o_orderkey")).count()
+    val isDelta = (c: org.apache.spark.sql.Column) =>
+      pmod(xxhash64(concat(lit("D"), c.cast("string"))), lit(10)) === 0
+    val li = t.lineitem.withColumn("l_new",
+      isDelta(col("l_orderkey") * 10000 + col("l_linenumber")))
+    val ord = t.orders.withColumn("o_new", isDelta(col("o_orderkey")))
+    val terms = for (ln <- Seq(false, true); on <- Seq(false, true)) yield
+      li.filter(col("l_new") === ln).join(ord.filter(col("o_new") === on),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(terms.sum == full, s"terms=$terms full=$full")
+    // a genuine split: the snapshot-only term must not BE the full join
+    assert(terms.head < full && terms.head > 0)
+  }
+
   test("zone-map pruning is sound and matches a per-file replay") {
     val docs = graft.ops.Tables(spark, sfDir).documents
       .select("doc_id", "n_chars").collect()

@@ -162,4 +162,35 @@ class MultimodalSpec extends GraftSuite {
       MultimodalOps.Pcm16.decode(Array[Byte](1, 2, 3))
     }
   }
+
+  test("pyramid levels: ladder lengths, level-0 roundtrip, known example") {
+    val rows = MultimodalOps.queries("mm_pyramid")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(4)))
+    val byDoc = rows.groupBy(_._1)
+    val docs = graft.ops.Tables(spark, sfDir).documents
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+      .toMap
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (id, lv) =>
+      val n = Map(lv.map(t => t._2 -> t._3): _*)
+      assert(lv.length == 3, s"doc $id: 3 levels expected")
+      // each level is ceil(prev/4)
+      assert(n(1) == (n(0) + 3) / 4 && n(2) == (n(1) + 3) / 4, s"doc $id")
+      // level 0 IS the decoded stream: md5(text bytes) — roundtrip proof
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(docs(id).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(lv.find(_._2 == 0).get._4 == md, s"doc $id level-0 md5")
+    }
+    // floor-mean block semantics on a hand-checked example, full byte
+    // range (the ASCII corpus never exercises values >= 128):
+    // [200,201,202,203,10] -> [(806/4)=201, 10] -> [(211/2)=105]
+    val raw = Array(200, 201, 202, 203, 10).map(_.toByte)
+    val dec = MultimodalOps.Rle1.decode(MultimodalOps.Rle1.encode(raw))
+      .map(_ & 0xFF)
+    def down(px: Array[Int]) = px.grouped(4).map(b => b.sum / b.length).toArray
+    assert(down(dec).toSeq == Seq(201, 10))
+    assert(down(down(dec)).toSeq == Seq(105))
+  }
 }
