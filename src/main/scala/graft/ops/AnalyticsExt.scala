@@ -545,6 +545,40 @@ object AnalyticsExt {
           element_at(col("qs"), 4).as("p95"))
         .orderBy("l_returnflag")
     },
+    // Gini coefficient of per-customer revenue — the concentration
+    // readout behind "top x% of customers drive y% of revenue". Stated
+    // on EXACT decimal sums: per-customer revenue is a DECIMAL(18,6)
+    // aggregate, the rank-weighted numerator Σ i·rᵢ multiplies that
+    // decimal by a small int (exact in both engines regardless of
+    // declared precision), and only the final closed form
+    // G = (2·Σ i·rᵢ − (n+1)·Σ rᵢ) / (n·Σ rᵢ) converts to double — one
+    // fixed IEEE tree. The rank is a global sort over the CUSTOMER
+    // dimension (one row per customer, not per order — 1.5k rows here,
+    // millions at 100 TB: swap for the two-level rank the winsorize
+    // operator documents), tie-broken on custkey so ranking is total.
+    "agg_gini_revenue" -> { (s, d) =>
+      val rev = Tables(s, d).orders
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 6))).as("r"))
+      val w = Window.orderBy(col("r").asc, col("o_custkey").asc)
+      val ranked = rev.withColumn("i", row_number().over(w).cast("int"))
+      // Σ i·rᵢ's unscaled decimal crosses 2^64, where DuckDB's
+      // decimal→double cast double-rounds (int128 halves, then the
+      // 10^-scale divide) — mimic it (the HLL rule) so the final IEEE
+      // tree sees identical operands
+      import graft.functions.functions.decimal_to_double_duckdb
+      ranked
+        .agg(count(lit(1)).as("n"),
+          sum(col("r")).as("tot"),
+          sum(col("i") * col("r")).as("num"))
+        .select(col("n").as("n_customers"),
+          col("tot").cast("double").as("total_revenue"),
+          ((lit(2.0) * decimal_to_double_duckdb(col("num")) -
+            (col("n").cast("double") + lit(1.0)) *
+              decimal_to_double_duckdb(col("tot"))) /
+            (col("n").cast("double") * decimal_to_double_duckdb(col("tot"))))
+            .as("gini"))
+    },
     // KMV set-operation estimation (Beyer et al., SIGMOD 2007): the k
     // smallest distinct hashes of two streams — click-active vs
     // purchase-active (user, day) pairs — estimate BOTH the union and the
@@ -976,6 +1010,19 @@ object AnalyticsExt {
         |  quantile_cont(l_quantity, 0.95) AS p95
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin,
+    "agg_gini_revenue" ->
+      """WITH rev AS (SELECT o_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS r
+        |  FROM orders GROUP BY 1),
+        |rk AS (SELECT r, CAST(row_number() OVER (ORDER BY r ASC,
+        |    o_custkey ASC) AS INTEGER) AS i FROM rev),
+        |agg AS (SELECT count(*) AS n, SUM(r) AS tot, SUM(i * r) AS num
+        |  FROM rk)
+        |SELECT n AS n_customers, CAST(tot AS DOUBLE) AS total_revenue,
+        |  (2.0 * CAST(num AS DOUBLE) -
+        |    (CAST(n AS DOUBLE) + 1.0) * CAST(tot AS DOUBLE)) /
+        |   (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)) AS gini
+        |FROM agg""".stripMargin,
     "agg_kmv_intersect" ->
       s"""WITH ud AS (SELECT event_type,
          |    user_id * 100000 + epoch_ms(ts) // 86400000 AS ud

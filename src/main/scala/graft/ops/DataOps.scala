@@ -538,6 +538,30 @@ object DataOps {
     // is a codegen'd map over it; at 100 TB the stats frame is what the
     // manifest store holds, and the same two-sided interval test is the
     // pruning the real scan applies.
+    // Schema-evolution union — reading two snapshot generations whose
+    // schemas drifted (v2 added a derived column, dropped another) as
+    // ONE frame: union-by-NAME with missing columns null-filled, the
+    // semantics every table format's schema evolution resolves at read
+    // time (a positional union would silently misalign columns — the
+    // classic drift bug). The readout counts per-generation presence of
+    // each column so the null-fill is itself oracle-checked. Pure map +
+    // one aggregate; schema reconciliation is plan-time work.
+    "data_union_evolved" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      val v1 = docs.filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val v2 = docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("n_chars"),
+          (col("n_chars") >= 1000).as("is_long"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy(when(col("doc_id") < 250, "v1").otherwise("v2")
+          .as("schema_v"))
+        .agg(count(lit(1)).as("n"),
+          count(col("lang")).as("n_lang"),
+          count(col("is_long")).as("n_is_long"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("schema_v")
+    },
     // Incremental JOIN maintenance (delta-join decomposition) — the ETL
     // pattern that keeps a 100 TB join view fresh without recomputing
     // it: with both inputs split into a standing snapshot and a delta
@@ -993,6 +1017,18 @@ object DataOps {
         |  CAST(sum(bytes) AS BIGINT) AS group_bytes,
         |  min(file_id) AS first_file, max(file_id) AS last_file
         |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
+    "data_union_evolved" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang, n_chars, CAST(NULL AS BOOLEAN) AS is_long
+        |  FROM documents WHERE doc_id < 250
+        |  UNION ALL
+        |  SELECT doc_id, CAST(NULL AS VARCHAR), n_chars, n_chars >= 1000
+        |  FROM documents WHERE doc_id >= 250)
+        |SELECT CASE WHEN doc_id < 250 THEN 'v1' ELSE 'v2' END AS schema_v,
+        |  count(*) AS n, count(lang) AS n_lang,
+        |  count(is_long) AS n_is_long,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM u GROUP BY 1 ORDER BY schema_v""".stripMargin,
     // the full recompute — equality proves the delta decomposition
     "data_incremental_join" ->
       s"""SELECT o_orderstatus, count(*) AS n_rows,

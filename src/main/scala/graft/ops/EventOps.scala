@@ -369,6 +369,30 @@ object EventOps {
         .select("event_id", "event_type", "value", "med", "mad")
         .orderBy("event_id")
     },
+    // DAU/WAU stickiness — the engagement ratio every growth dashboard
+    // tracks: distinct daily actives over distinct trailing-7-day
+    // actives, per day. Sliding DISTINCT sets are not mergeable, so WAU
+    // uses the honest fan-out (events_sliding_distinct's pattern): each
+    // (day, user) pair replicates to the ≤7 windows that contain it,
+    // then one distinct count per window — the fan-out is bounded by the
+    // window length, and the pair frame is already day-deduplicated so
+    // the explode multiplies days, not raw events. All counts exact
+    // integers; the ratio is one double division.
+    "events_stickiness" -> { (s, d) =>
+      val du = withMs(Tables(s, d).events)
+        .select(expr(floorDivSql("ts_ms", DayMs)).as("day"), col("user_id"))
+        .distinct()
+      val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = du
+        .select(explode(sequence(col("day"), col("day") + 6)).as("day"),
+          col("user_id"))
+        .groupBy("day").agg(countDistinct(col("user_id")).as("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          (col("dau").cast("double") / col("wau").cast("double"))
+            .as("stickiness"))
+        .orderBy("day")
+    },
     // Daily-reset EWMA (α = ½) over the hourly value series per event
     // type — the smoothing readout behind alerting dashboards. An
     // UNBOUNDED exponential window cannot be stated as a SQL window
@@ -1083,6 +1107,18 @@ object EventOps {
         |WHERE abs(e.value - m.med) >
         |  CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * d.mad
         |ORDER BY e.event_id""".stripMargin,
+    "events_stickiness" ->
+      """WITH du AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS day,
+        |    user_id FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+        |wau AS (SELECT w.day, count(DISTINCT du.user_id) AS wau
+        |  FROM du, LATERAL (SELECT unnest(generate_series(du.day,
+        |    du.day + 6)) AS day) w
+        |  GROUP BY 1)
+        |SELECT dau.day AS day, dau.dau, wau.wau,
+        |  CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |ORDER BY dau.day""".stripMargin,
     "events_ewma_daily" ->
       s"""WITH h AS (SELECT epoch_ms(ts) // 3600000 AS hb, event_type,
          |    ${sqlSum("value")} AS v

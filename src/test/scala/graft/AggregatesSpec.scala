@@ -349,6 +349,25 @@ class AggregatesSpec extends GraftSuite {
       s"sample mean $sampleMean !> corpus mean $corpusMean")
   }
 
+  test("gini matches a driver-side replay and sits in (0, 1)") {
+    val row = AnalyticsExt.queries("agg_gini_revenue")(spark, sfDir)
+      .collect()(0)
+    val (n, gini) = (row.getLong(0), row.getDouble(2))
+    val rev = Tables(spark, sfDir).orders
+      .select("o_custkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1))))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }.toSeq
+    assert(n == rev.size)
+    val sorted = rev.sortBy { case (k, r) => (r, k) }
+    val tot = sorted.map(_._2).sum
+    val num = sorted.zipWithIndex
+      .map { case ((_, r), i) => r * (i + 1) }.sum
+    val want = (2 * num.toDouble - (n + 1.0) * tot.toDouble) /
+      (n.toDouble * tot.toDouble)
+    assert(math.abs(gini - want) < 1e-12, s"got $gini want $want")
+    assert(gini > 0.0 && gini < 1.0)
+  }
+
   test("MisraGriesTokens candidates ⊇ true heavy hitters, ≤ k of them") {
     import graft.functions.aggregates.misra_gries_tokens
     val k = 50
