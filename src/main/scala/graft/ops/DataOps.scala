@@ -538,6 +538,41 @@ object DataOps {
     // is a codegen'd map over it; at 100 TB the stats frame is what the
     // manifest store holds, and the same two-sided interval test is the
     // pruning the real scan applies.
+    // Data-quality gate — the expectation-suite readout (null checks,
+    // key uniqueness, referential integrity, domain ranges) every
+    // ingestion pipeline runs before promoting a snapshot. Each check is
+    // one aggregate over its table; the two FK checks ride a LEFT join
+    // with a null probe (one pass, no separate anti-join count), and the
+    // report is a union of six single-row aggregates — at 100 TB each
+    // check is a scan-shaped partial+final aggregate, and the scans
+    // per table fuse when checks share one. All-integer output.
+    "data_quality_checks" -> { (s, d) =>
+      val t = Tables(s, d)
+      def row(name: String, n: Column, viol: Column, df: DataFrame) =
+        df.agg(n.as("n_checked"), viol.as("n_violations"))
+          .select(lit(name).as("check_name"), col("n_checked"),
+            col("n_violations"))
+      val cnt = count(lit(1))
+      val checks = Seq(
+        row("lineitem_fk_orders", cnt,
+          count(when(col("o_orderkey").isNull, 1)),
+          t.lineitem.join(t.orders.select("o_orderkey").distinct(),
+            col("l_orderkey") === col("o_orderkey"), "left")),
+        row("lineitem_price_positive", cnt,
+          count(when(col("l_extendedprice") <= 0.0, 1)), t.lineitem),
+        row("lineitem_qty_range", cnt,
+          count(when(!col("l_quantity").between(1.0, 50.0), 1)),
+          t.lineitem),
+        row("orders_custkey_not_null", cnt,
+          count(when(col("o_custkey").isNull, 1)), t.orders),
+        row("orders_fk_customer", cnt,
+          count(when(col("c_custkey").isNull, 1)),
+          t.orders.join(t.customer.select("c_custkey"),
+            col("o_custkey") === col("c_custkey"), "left")),
+        row("orders_orderkey_unique", cnt,
+          cnt - countDistinct(col("o_orderkey")), t.orders))
+      checks.reduce(_.union(_)).orderBy("check_name")
+    },
     // Schema-evolution union — reading two snapshot generations whose
     // schemas drifted (v2 added a derived column, dropped another) as
     // ONE frame: union-by-NAME with missing columns null-filled, the
@@ -1017,6 +1052,36 @@ object DataOps {
         |  CAST(sum(bytes) AS BIGINT) AS group_bytes,
         |  min(file_id) AS first_file, max(file_id) AS last_file
         |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
+    "data_quality_checks" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem_fk_orders' AS check_name,
+        |    count(*) AS n_checked,
+        |    count(CASE WHEN o.o_orderkey IS NULL THEN 1 END)
+        |      AS n_violations
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey
+        |    FROM orders) o ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'lineitem_price_positive', count(*),
+        |    count(CASE WHEN l_extendedprice <= 0.0 THEN 1 END)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_range', count(*),
+        |    count(CASE WHEN NOT (l_quantity BETWEEN 1.0 AND 50.0) THEN 1
+        |      END)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'orders_custkey_not_null', count(*),
+        |    count(CASE WHEN o_custkey IS NULL THEN 1 END)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_fk_customer', count(*),
+        |    count(CASE WHEN c.c_custkey IS NULL THEN 1 END)
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  UNION ALL
+        |  SELECT 'orders_orderkey_unique', count(*),
+        |    count(*) - count(DISTINCT o_orderkey)
+        |  FROM orders)
+        |ORDER BY check_name""".stripMargin,
     "data_union_evolved" ->
       """WITH u AS (
         |  SELECT doc_id, lang, n_chars, CAST(NULL AS BOOLEAN) AS is_long

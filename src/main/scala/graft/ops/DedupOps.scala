@@ -413,6 +413,27 @@ object DedupOps {
         .select(col("id").as("doc_id"), col("lab").as("rep_id"))
         .orderBy("doc_id")
     },
+    // Cluster-size histogram of the near-dup components — the dedup
+    // REPORT a curation run actually reads ("how much mass sits in
+    // clusters of size k, how much would dedup reclaim"). Rides the same
+    // component build; the membership frame collapses twice (per-label
+    // size, then per-size cluster count) — both metadata-scale
+    // aggregates. reclaimable = Σ (size−1) per bucket: the rows a
+    // keep-one policy would drop.
+    "dedup_cluster_sizes" -> { (s, d) =>
+      val pairs = jaccardDupPairs(shingleSets(Tables(s, d).documents), 4, 5)
+        .select(col("id1"), col("id2")).persist()
+      val nParts = math.max(1L, 2L * pairs.count() / 500000L).toInt
+      val edges = pairs
+        .union(pairs.select(col("id2"), col("id1")))
+        .toDF("src", "dst").repartition(nParts).persist()
+      minLabelComponents(edges)
+        .groupBy(col("lab")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz") - 1).as("n_reclaimable"))
+        .orderBy("cluster_size")
+    },
     // Canonical-representative selection: the pipeline step AFTER
     // transitive dedup — for each near-dup cluster keep the best
     // member (longest text, ties to the smallest doc_id), not merely
@@ -637,6 +658,35 @@ object DedupOps {
         |)
         |SELECT id AS doc_id, CAST(min(lab) AS BIGINT) AS rep_id
         |FROM r GROUP BY id ORDER BY doc_id""".stripMargin,
+    // the components CTE, collapsed to the size histogram
+    "dedup_cluster_sizes" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS L
+        |             FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, L[i] || ' ' || L[i+1] || ' ' || L[i+2] AS s
+        |       FROM tok,
+        |         LATERAL (SELECT unnest(generate_series(1, len(L)-2)) AS i) g),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pair AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |dp AS (SELECT id1, id2
+        |  FROM pair JOIN cnt ca ON ca.doc_id = id1
+        |            JOIN cnt cb ON cb.doc_id = id2
+        |  WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE)
+        |    >= 0.8),
+        |e AS (SELECT id1 AS a, id2 AS b FROM dp
+        |      UNION ALL SELECT id2, id1 FROM dp),
+        |nodes AS (SELECT DISTINCT a AS id FROM e),
+        |r(id, lab) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b, r.lab FROM r JOIN e ON e.a = r.id
+        |),
+        |m AS (SELECT id, min(lab) AS lab FROM r GROUP BY id),
+        |c AS (SELECT lab, count(*) AS sz FROM m GROUP BY lab)
+        |SELECT sz AS cluster_size, count(*) AS n_clusters,
+        |  CAST(sum(sz - 1) AS BIGINT) AS n_reclaimable
+        |FROM c GROUP BY sz ORDER BY cluster_size""".stripMargin,
     // The same recursive-CTE component formulation, extended with the
     // keep-best rule as a rank-1 window (the engine's max(struct) and a
     // row_number argmax agree exactly on integer keys).

@@ -369,6 +369,24 @@ object EventOps {
         .select("event_id", "event_type", "value", "med", "mad")
         .orderBy("event_id")
     },
+    // Week-over-week growth per event type — the trend line every
+    // metrics review opens with. Weekly counts collapse the stream to a
+    // |types|×|weeks| frame (metadata scale) before the lag window runs,
+    // so the "window over everything" shape is safe by construction;
+    // growth divides two exact counts, one double division per row.
+    "events_wow_growth" -> { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy("week")
+      withMs(Tables(s, d).events)
+        .groupBy(expr(floorDivSql("ts_ms", WeekMs)).as("week"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("prev", lag(col("n"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("event_type"), col("week"), col("n"), col("prev"),
+          ((col("n").cast("double") - col("prev").cast("double")) /
+            col("prev").cast("double")).as("wow_growth"))
+        .orderBy("event_type", "week")
+    },
     // DAU/WAU stickiness — the engagement ratio every growth dashboard
     // tracks: distinct daily actives over distinct trailing-7-day
     // actives, per day. Sliding DISTINCT sets are not mergeable, so WAU
@@ -1107,6 +1125,18 @@ object EventOps {
         |WHERE abs(e.value - m.med) >
         |  CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * d.mad
         |ORDER BY e.event_id""".stripMargin,
+    "events_wow_growth" ->
+      """WITH wk AS (SELECT epoch_ms(ts) // 604800000 AS week, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, week, n,
+        |    lag(n, 1) OVER (PARTITION BY event_type ORDER BY week) AS prev
+        |  FROM wk)
+        |SELECT event_type, week, n, prev,
+        |  (CAST(n AS DOUBLE) - CAST(prev AS DOUBLE)) / CAST(prev AS DOUBLE)
+        |    AS wow_growth
+        |FROM g WHERE prev IS NOT NULL
+        |ORDER BY event_type, week""".stripMargin,
     "events_stickiness" ->
       """WITH du AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS day,
         |    user_id FROM events),

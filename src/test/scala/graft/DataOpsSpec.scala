@@ -325,6 +325,22 @@ class DataOpsSpec extends GraftSuite {
     assert(terms.head < full && terms.head > 0)
   }
 
+  test("quality checks: clean fixture yields zero violations, sane counts") {
+    val got = DataOps.queries("data_quality_checks")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got.size == 6)
+    val t = graft.ops.Tables(spark, sfDir)
+    assert(got("orders_orderkey_unique")._1 == t.orders.count())
+    assert(got("lineitem_fk_orders")._1 == t.lineitem.count())
+    got.foreach { case (name, (n, viol)) =>
+      assert(viol >= 0 && viol <= n, s"$name: $viol of $n")
+      // the driver fixture is referentially intact and in-domain — any
+      // violation here means the CHECK is broken, not the data
+      assert(viol == 0, s"$name flagged $viol rows on the clean fixture")
+    }
+  }
+
   test("zone-map pruning is sound and matches a per-file replay") {
     val docs = graft.ops.Tables(spark, sfDir).documents
       .select("doc_id", "n_chars").collect()

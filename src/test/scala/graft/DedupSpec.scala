@@ -347,4 +347,19 @@ class DedupSpec extends GraftSuite {
       .toSeq
     assert(got == Seq((1L, 3L, 25L, 2L), (7L, 2L, 5L, 7L)), got)
   }
+
+  test("cluster-size histogram is consistent with the membership frame") {
+    val members = ops.DedupOps.queries("dedup_components")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val wantHist = members.groupBy(_._2).values.map(_.size)
+      .groupBy(identity)
+      .map { case (sz, cs) =>
+        (sz.toLong, cs.size.toLong, cs.size.toLong * (sz - 1)) }
+      .toSeq.sortBy(_._1)
+    val got = ops.DedupOps.queries("dedup_cluster_sizes")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == wantHist)
+    // components have >= 2 members by construction (pairs build them)
+    assert(got.forall(_._1 >= 2))
+  }
 }
