@@ -369,6 +369,33 @@ object EventOps {
         .select("event_id", "event_type", "value", "med", "mad")
         .orderBy("event_id")
     },
+    // Per-user behavioral diversity (Gini–Simpson index 1 − Σ p²) of the
+    // event-type mix — the curation signal separating one-note bots from
+    // organic users. Simpson's index over Shannon entropy is a
+    // DELIBERATE portability choice: −Σ p·ln p needs a transcendental,
+    // and Java's Math.log differs from DuckDB's libm ln in the last ulp
+    // on real inputs (measured on this corpus) — no fixed expression
+    // tree can fix that. 1 − Σ p² is pure rational arithmetic. The
+    // per-(user, type) SUM of doubles would still be summation-ORDER-
+    // dependent, so the closed 5-type domain pivots to columns and the
+    // index is a FIXED left-associated tree over one row, term for term
+    // in the oracle. One shuffle on user_id, conditional counts collapse
+    // map-side.
+    "events_user_diversity" -> { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val counts = Tables(s, d).events.groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          types.map(t =>
+            count(when(col("event_type") === t, 1)).as(s"n_$t")): _*)
+      val terms = types.map { t =>
+        val p = col(s"n_$t").cast("double") / col("n").cast("double")
+        p * p
+      }
+      counts
+        .select(col("user_id"), col("n"),
+          (lit(1.0) - terms.reduce(_ + _)).as("diversity"))
+        .orderBy("user_id")
+    },
     // Week-over-week growth per event type — the trend line every
     // metrics review opens with. Weekly counts collapse the stream to a
     // |types|×|weeks| frame (metadata scale) before the lag window runs,
@@ -1125,6 +1152,29 @@ object EventOps {
         |WHERE abs(e.value - m.med) >
         |  CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * d.mad
         |ORDER BY e.event_id""".stripMargin,
+    // term-for-term mirror of the fixed expression tree; no
+    // transcendentals anywhere (see the Simpson-over-Shannon note)
+    "events_user_diversity" ->
+      """WITH c AS (SELECT user_id, count(*) AS n,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS nc,
+        |    count(CASE WHEN event_type = 'error' THEN 1 END) AS ne,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS np,
+        |    count(CASE WHEN event_type = 'signup' THEN 1 END) AS ns,
+        |    count(CASE WHEN event_type = 'view' THEN 1 END) AS nv
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, n,
+        |  1.0 - (
+        |    (CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))
+        |  + (CAST(ne AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (CAST(ne AS DOUBLE) / CAST(n AS DOUBLE))
+        |  + (CAST(np AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (CAST(np AS DOUBLE) / CAST(n AS DOUBLE))
+        |  + (CAST(ns AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (CAST(ns AS DOUBLE) / CAST(n AS DOUBLE))
+        |  + (CAST(nv AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |      (CAST(nv AS DOUBLE) / CAST(n AS DOUBLE))) AS diversity
+        |FROM c ORDER BY user_id""".stripMargin,
     "events_wow_growth" ->
       """WITH wk AS (SELECT epoch_ms(ts) // 604800000 AS week, event_type,
         |    count(*) AS n
