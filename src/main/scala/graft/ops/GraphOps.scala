@@ -156,8 +156,74 @@ object GraphOps {
           .groupBy("node").agg(min(col("dist")).as("dist"))
       }
       dist.orderBy("node")
+    },
+    // Degree distribution of the support-≥2 part co-purchase graph — the
+    // first statistic any graph pipeline computes (sanity check before the
+    // O(m^1.5) algorithms run; a heavy tail here is what forces the df-cap
+    // / support-threshold designs above). Shape: pair projection (one
+    // shuffle on the order key), per-node degree count (one shuffle on the
+    // node), then a degree-keyed histogram (one tiny shuffle — at 100 TB
+    // the histogram has at most max-degree rows, not node rows).
+    "graph_degree_dist" -> { (s, d) =>
+      degreeDistFrom(copurchaseEdges(Tables(s, d), minSupport = 2))
+    },
+    // Common-neighbor link prediction over the same sparse graph: score
+    // every NON-adjacent pair by its count of shared neighbors (the
+    // classic link-prediction baseline; also the Jaccard/Adamic-Adar
+    // numerator). Each common neighbor w of (u, v) contributes exactly
+    // one wedge u-w-v, so a self-join of the directed edge list on the
+    // center node counts them without a distinct; the u < v guard
+    // canonicalizes pairs, and the anti-join removes already-linked
+    // pairs. Work is the wedge count Σ deg(w)² — bounded here by the
+    // support threshold exactly as in the triangle kernel; every join is
+    // an equi-join (center node, then the canonical pair key). Top-20 by
+    // score keeps the output fixed-size at any scale
+    // (TakeOrderedAndProject, no global sort).
+    "graph_common_neighbors" -> { (s, d) =>
+      commonNeighborsFrom(copurchaseEdges(Tables(s, d), minSupport = 2),
+        k = 20)
     }
   )
+
+  /** Degree histogram over a canonical (u < v, distinct) edge list. */
+  def degreeDistFrom(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("u").as("x"))
+      .union(edges.select(col("v").as("x")))
+    und.groupBy("x").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
+  /** Common-neighbor scores of non-adjacent pairs over a canonical edge
+    * list (see the `graph_common_neighbors` query comment), top `k`.
+    */
+  def commonNeighborsFrom(e0: DataFrame, k: Int): DataFrame = {
+    val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    val cand = e.as("a").join(e.as("b"),
+        col("a.v") === col("b.u") && col("a.u") < col("b.v"))
+      .groupBy(col("a.u").as("u"), col("b.v").as("v"))
+      .agg(count(lit(1)).as("n_common"))
+    cand.join(e0, Seq("u", "v"), "left_anti")
+      .orderBy(col("n_common").desc, col("u").asc, col("v").asc)
+      .limit(k)
+  }
+
+  /** Canonical (u < v, distinct) part co-purchase edges with pair support
+    * >= `minSupport` — the shared fixture graph of the BFS, degree, and
+    * link-prediction kernels (see the support-threshold discussion on
+    * `graph_triangles` for why the projection must be thresholded at
+    * scale).
+    */
+  private def copurchaseEdges(t: Tables, minSupport: Long): DataFrame = {
+    val it = t.lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    it.as("a").join(it.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= minSupport)
+      .select("u", "v")
+  }
 
   /** Degree-ordered triangle counting (the MapReduce-optimal formulation,
     * Suri & Vassilvitskii 2011): orient every edge from its lower-ranked
@@ -325,7 +391,31 @@ object GraphOps {
           |  SELECT e.v, d.dist + 1 FROM d JOIN e ON e.u = d.node
           |  WHERE d.dist < 4)
           |SELECT node, min(dist) AS dist FROM d
-          |GROUP BY node ORDER BY node""".stripMargin
+          |GROUP BY node ORDER BY node""".stripMargin,
+      "graph_degree_dist" ->
+        s"""WITH $copurchaseSql,
+           |und AS (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0),
+           |deg AS (SELECT x, count(*) AS degree FROM und GROUP BY 1)
+           |SELECT degree, count(*) AS n_nodes FROM deg
+           |GROUP BY 1 ORDER BY degree""".stripMargin,
+      "graph_common_neighbors" ->
+        s"""WITH $copurchaseSql,
+           |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           |cand AS (SELECT a.u AS u, b.v AS v, count(*) AS n_common
+           |  FROM e a JOIN e b ON a.v = b.u AND a.u < b.v
+           |  GROUP BY 1, 2)
+           |SELECT u, v, n_common FROM cand
+           |WHERE NOT EXISTS (SELECT 1 FROM e0
+           |  WHERE e0.u = cand.u AND e0.v = cand.v)
+           |ORDER BY n_common DESC, u ASC, v ASC LIMIT 20""".stripMargin
     )
   }
+
+  /** Oracle spelling of [[copurchaseEdges]] at support >= 2 (CTE body). */
+  private val copurchaseSql: String =
+    """it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+      |  FROM lineitem),
+      |e0 AS (SELECT a.p AS u, b.p AS v FROM it a
+      |  JOIN it b ON a.ok = b.ok AND a.p < b.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
 }

@@ -298,8 +298,56 @@ object TextOps {
         .filter(col("cnt") * 200 > col("n"))
         .select("token", "cnt")
         .orderBy("token")
-    }
+    },
+    // Shannon entropy of the character and token distributions — the
+    // compression-based quality signal (low char entropy ⇒ repetitive /
+    // boilerplate text; token entropy is the unigram "information density"
+    // used alongside the Gopher repetition cuts). Pure per-row map stage:
+    // counts come from the row's own arrays (≤25 distinct chars here), no
+    // shuffle, embarrassingly parallel at 100 TB.
+    //
+    // BIT-PARITY DESIGN: H = (N·ln N − Σ c·ln c) / (N·ln 2) keeps every
+    // log ARGUMENT an integer count — but runtime ln still can't cross
+    // engines: Spark's `log` is StrictMath (fdlibm) while DuckDB's is
+    // libm, and they differ by 1 ulp already at ln(3) (117 integers
+    // below 10⁴ disagree; measured). So NO runtime log at all: both
+    // sides index the SAME ln(1..1024) literal table ([[lnTable]] here,
+    // rendered digit-for-digit into the oracle SQL — shortest-roundtrip
+    // doubles parse back to identical bits). The fold then runs in
+    // sorted char/token order on both sides (array_sort / list_sort);
+    // Spark's 0.0 init is an IEEE no-op, so the sums associate
+    // identically and every node of the tree is bit-equal. Documents
+    // longer than 1024 chars fail loudly (ANSI element_at), not wrongly.
+    "text_entropy" -> { (s, d) => entropyFrom(Tables(s, d).documents) }
   )
+
+  /** Shannon entropy of a row-local multiset: H = (N·lnN − Σ c·ln c) /
+    * (N·ln 2), all logs via the shared [[lnTable]] (see the
+    * `text_entropy` query comment for the cross-engine design).
+    */
+  private def entropyOf(items: Column): Column = {
+    val n = size(items)
+    val counts = transform(array_sort(array_distinct(items)),
+      x => size(filter(items, c => c === x)))
+    val sumClogC = aggregate(counts, lit(0.0),
+      (acc, c) => acc + c.cast("double") * lnInt(c))
+    (n.cast("double") * lnInt(n) - sumClogC) /
+      (n.cast("double") * lit(lnTable(2)))
+  }
+
+  /** The `text_entropy` core over any (doc_id, text) frame — separated so
+    * specs can plant texts with hand-computable entropies.
+    */
+  def entropyFrom(docs: DataFrame): DataFrame = {
+    val chars = regexp_extract_all(col("text"), lit("."), lit(0))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_obs"),
+      entropyOf(chars).as("h_char"),
+      size(toks(col("text"))).as("n_tokens"),
+      entropyOf(toks(col("text"))).as("h_token"))
+      .orderBy("doc_id")
+  }
 
   /** Width of the non-overlapping word segments the segment-dedup family
     * chunks documents into. 3 keeps the synthetic corpus's duplicate
@@ -631,6 +679,30 @@ object TextOps {
 
   private val tokSql = "string_split(text, ' ')"
 
+  /** ln(i) for i in 0..1024 (entry 0 unused) — the shared log table that
+    * makes [[queries text_entropy]] engine-independent: both engines read
+    * these EXACT doubles (the oracle embeds their shortest-roundtrip
+    * rendering) instead of calling their own libm/fdlibm ln.
+    */
+  private[ops] val lnTable: Array[Double] =
+    Array.tabulate(1025)(i => if (i == 0) 0.0 else math.log(i.toDouble))
+
+  /** ln(c) for an integer-count column via the shared table (1-based
+    * element_at; index c+1 holds ln(c)). ANSI out-of-bounds on counts
+    * beyond 1024 is the documented loud failure.
+    */
+  private def lnInt(c: Column): Column =
+    element_at(lit(lnTable), c + lit(1))
+
+  /** The same table as a DuckDB list literal (1-based, so l[c+1]=ln(c)).
+    * The `e0` exponent suffix is load-bearing: a bare decimal literal
+    * parses as DECIMAL(18,16) in DuckDB — silently truncating the 17th
+    * significant digit — while an exponent-form literal parses as DOUBLE
+    * and round-trips Java's shortest rendering bit-exactly (verified).
+    */
+  private val lnTableSql: String =
+    lnTable.map(_.toString + "e0").mkString("[", ",", "]")
+
   def oracles: Map[String, String] = Map(
     "text_tokens" ->
       s"""SELECT doc_id, CAST(len($tokSql) AS INT) AS n_tokens,
@@ -903,7 +975,33 @@ object TextOps {
         |tot AS (SELECT count(*) AS n FROM tok)
         |SELECT token, count(*) AS cnt FROM tok, tot
         |GROUP BY token, tot.n HAVING count(*) * 200 > n
-        |ORDER BY token""".stripMargin
+        |ORDER BY token""".stripMargin,
+    // shared-ln-table entropy (see the query comment): identical fold
+    // order via list_sort, identical IEEE tree, zero runtime logs —
+    // LN[c+1] is the same literal double Spark's element_at reads
+    "text_entropy" ->
+      s"""WITH b AS (SELECT doc_id, length(text) AS n,
+         |    regexp_extract_all(text, '.') AS cs, $tokSql AS tk,
+         |    $lnTableSql AS LN
+         |  FROM documents),
+         |c AS (SELECT doc_id, n, LN,
+         |    list_transform(list_sort(list_distinct(cs)),
+         |      x -> len(list_filter(cs, c -> c = x))) AS cc,
+         |    CAST(len(tk) AS INT) AS n_tokens,
+         |    list_transform(list_sort(list_distinct(tk)),
+         |      x -> len(list_filter(tk, c -> c = x))) AS tc
+         |  FROM b)
+         |SELECT doc_id, CAST(n AS INT) AS n_chars_obs,
+         |  (CAST(n AS DOUBLE) * LN[n + 1] -
+         |   list_reduce(list_transform(cc, c -> CAST(c AS DOUBLE) * LN[c + 1]),
+         |     (a, b) -> a + b))
+         |   / (CAST(n AS DOUBLE) * LN[3]) AS h_char,
+         |  n_tokens,
+         |  (CAST(n_tokens AS DOUBLE) * LN[n_tokens + 1] -
+         |   list_reduce(list_transform(tc, c -> CAST(c AS DOUBLE) * LN[c + 1]),
+         |     (a, b) -> a + b))
+         |   / (CAST(n_tokens AS DOUBLE) * LN[3]) AS h_token
+         |FROM c ORDER BY doc_id""".stripMargin
   )
 
   /** The 3-word segment instance stream as a DuckDB CTE body — the oracle

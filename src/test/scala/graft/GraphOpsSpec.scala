@@ -143,4 +143,50 @@ class GraphOpsSpec extends GraftSuite {
     assert(got.map(_._2).distinct.size >= 3,
       s"expected ≥3 distinct depths, got ${got.map(_._2).distinct}")
   }
+
+  test("degree distribution: K4 + pendant path hand-check") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} plus path 4-5, 5-6: degrees 3,3,3,4,2,1
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("u", "v")
+    val got = GraphOps.degreeDistFrom(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 1L)), got)
+  }
+
+  test("common neighbors: path pairs found, adjacent pairs excluded, " +
+      "matches a plain-Scala replay on random graphs") {
+    import spark.implicits._
+    // path 1-2-3-4: non-adjacent (1,3) and (2,4) share exactly one
+    // neighbor; (1,4) shares none (no wedge) and must be absent
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val gotPath = GraphOps.commonNeighborsFrom(path, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotPath == Seq((1L, 3L, 1L), (2L, 4L, 1L)), gotPath)
+    // K4: every pair adjacent -> empty
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("u", "v")
+    assert(GraphOps.commonNeighborsFrom(k4, k = 10).count() == 0L)
+    for (seed <- Seq(21L, 22L)) {
+      val rnd = new scala.util.Random(seed)
+      val nodes = 0L until 12L
+      val es = (for {
+        u <- nodes; v <- nodes if u < v && rnd.nextInt(4) == 0
+      } yield (u, v)).toSeq
+      val adj = es.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      val eset = es.toSet
+      val want = (for {
+        u <- nodes; v <- nodes if u < v && !eset.contains((u, v))
+        n = adj.getOrElse(u, Set.empty[Long])
+          .intersect(adj.getOrElse(v, Set.empty[Long])).size
+        if n > 0
+      } yield (u, v, n.toLong)).toSeq
+        .sortBy { case (u, v, n) => (-n, u, v) }.take(10)
+      val got = GraphOps.commonNeighborsFrom(es.toDF("u", "v"), k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      assert(got == want, s"seed=$seed")
+    }
+  }
 }

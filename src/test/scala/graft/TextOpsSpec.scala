@@ -291,4 +291,55 @@ class TextOpsSpec extends GraftSuite {
       assert(gotScrub == wantScrub, s"seed=$seed scrub")
     }
   }
+
+  test("entropy: hand-computed planted documents (uniform=log2 k, " +
+      "constant=0), exact doubles") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aaaa"),          // one symbol: H_char = 0 exactly
+      (2L, "abab"),          // two equi-frequent chars: H_char = 1.0
+      (3L, "x y x y")        // two equi-frequent tokens: H_token = 1.0
+    ).toDF("doc_id", "text")
+    val got = TextOps.entropyFrom(docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3),
+        r.getDouble(4))).toSeq
+    assert(got(0) == ((1L, 4, 0.0, 1, 0.0)), got(0))
+    assert(got(1)._3 == 1.0, got(1))
+    // "x y x y": 7 chars {x:2, y:2, space:3}; tokens {x:2, y:2} of 4
+    assert(got(2)._5 == 1.0, got(2))
+    assert(got(2)._4 == 4)
+  }
+
+  test("entropy matches a plain-Scala replay on random word docs, and a " +
+      "doc over 1024 chars fails loudly (ANSI table bound)") {
+    import spark.implicits._
+    val words = Seq("alpha", "beta", "gamma", "delta", "x")
+    for (seed <- Seq(7L, 8L)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0L until 20L).map { id =>
+        (id, Seq.fill(rnd.nextInt(40) + 2)(words(rnd.nextInt(words.size)))
+          .mkString(" "))
+      }
+      def h(items: Seq[String]): Double = {
+        val n = items.size
+        val s = items.groupBy(identity).toSeq.sortBy(_._1)
+          .foldLeft(0.0) { case (acc, (_, g)) =>
+            acc + g.size.toDouble * math.log(g.size.toDouble) }
+        (n.toDouble * math.log(n.toDouble) - s) /
+          (n.toDouble * math.log(2.0))
+      }
+      val want = docs.map { case (id, t) =>
+        (id, t.length, h(t.map(_.toString)), t.split(' ').length,
+          h(t.split(' ').toSeq)) }
+      val got = TextOps.entropyFrom(docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3),
+          r.getDouble(4))).toSeq
+      assert(got == want, s"seed=$seed")
+    }
+    val big = Seq((9L, "a" * 1025)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextOps.entropyFrom(big).collect()
+    }
+    assert(e.getMessage != null)
+  }
 }
