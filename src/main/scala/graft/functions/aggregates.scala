@@ -559,6 +559,87 @@ case class BloomBits(
     copy(child = newChildren.head)
 }
 
+/** EXACT distinct count of a bounded-domain long column via a fixed-width
+  * bitmap — the dense-id production form of distinct counting (user ids,
+  * enum codes, dictionary-encoded keys): the aggregation state is
+  * `numBits/8` bytes regardless of row count, partials merge by bitwise
+  * OR (fully associative/commutative — any partial aggregation tree gives
+  * the same bits), and the VALUES themselves never shuffle. Compare
+  * [[HllNdv256]]: same merge shape, but this one is exact because the
+  * domain is enumerable. At 100 TB with sparse/unbounded ids the scale
+  * path is a compressed (roaring-style) bitmap with the same OR-merge
+  * algebra; this flat form keeps the buffer a single byte array and the
+  * domain contract LOUD — an id outside [0, numBits) throws rather than
+  * estimating or silently wrapping.
+  */
+case class BitmapDistinct(
+    child: Expression,
+    numBits: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]] with StrictInputType {
+
+  override def requiredInputType: DataType = LongType
+
+  require(numBits > 0 && numBits % 8 == 0,
+    s"numBits must be positive and byte-aligned, got $numBits")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bitmap_distinct"
+
+  override def createAggregationBuffer(): Array[Byte] =
+    new Array[Byte](numBits / 8)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val id = v.asInstanceOf[Long]
+      require(id >= 0 && id < numBits,
+        s"bitmap_distinct id $id outside domain [0, $numBits) — widen " +
+          "numBits or switch to a compressed bitmap for sparse ids")
+      buf((id >>> 3).toInt) =
+        (buf((id >>> 3).toInt) | (1 << (id & 7)).toByte).toByte
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    require(other.length == buf.length,
+      s"bitmap partial size ${other.length}B != ${buf.length}B")
+    var i = 0
+    while (i < buf.length) { buf(i) = (buf(i) | other(i)).toByte; i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    var n = 0L
+    var i = 0
+    while (i < buf.length) {
+      n += java.lang.Integer.bitCount(buf(i) & 0xff)
+      i += 1
+    }
+    n
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = {
+    require(bytes.length == numBits / 8,
+      s"bitmap blob ${bytes.length}B != ${numBits / 8}B (numBits/8)")
+    bytes
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BitmapDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BitmapDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
 /** The k smallest DISTINCT longs as a sorted array — the KMV sketch
   * CONTENTS, where [[KMinKthLong]] evals only the k-th value. Emitting the
   * set is what makes sketches composable ACROSS queries: two KMV arrays
@@ -815,4 +896,10 @@ object aggregates {
   def kmin_set_long(c: Column, k: Int): Column =
     ColumnBridge.column(
       KMinSetLong(ColumnBridge.expression(c), k).toAggregateExpression())
+
+  /** Exact distinct count of longs in [0, numBits) via a flat bitmap. */
+  def bitmap_distinct(c: Column, numBits: Int): Column =
+    ColumnBridge.column(
+      BitmapDistinct(ColumnBridge.expression(c), numBits)
+        .toAggregateExpression())
 }

@@ -652,8 +652,50 @@ object DataOps {
         .limit(100)
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
+    },
+    // Columnar-encoding advisor — the storage-layout companion to
+    // `data_compaction_plan` and `data_zorder_cluster`: per column,
+    // measure cardinality and run structure in the table's physical
+    // (event_id) order and recommend dictionary / RLE / plain encoding
+    // with integer-threshold rules (ndv·20 <= n → dict; runs·2 <= n →
+    // RLE). Runs are counted WITHIN 4096-row blocks (window partitioned
+    // by block — embarrassingly parallel, no global sort), which is the
+    // honest framing anyway: encodings are chosen per row-group, and a
+    // run crossing a row-group boundary can't be exploited. One scan
+    // feeds all three columns via stack(); doubles/ids are compared
+    // through their string rendering, which is injective per engine, so
+    // ndv and run counts are rendering-independent.
+    "data_encoding_advisor" -> { (s, d) =>
+      encodingAdvisorFrom(Tables(s, d).events, blockSize = 4096L)
     }
   )
+
+  /** The `data_encoding_advisor` core over any events-shaped frame
+    * (event_id, event_type, user_id, value) — separated so specs can
+    * plant run/cardinality structure with known advice outcomes.
+    */
+  def encodingAdvisorFrom(events: DataFrame, blockSize: Long): DataFrame = {
+    val src = events.selectExpr(
+      "event_id", s"event_id div $blockSize AS block",
+      "stack(3, 'event_type', event_type, " +
+        "'user_id', CAST(user_id AS STRING), " +
+        "'value', CAST(value AS STRING)) AS (col_name, v)")
+    val w = Window.partitionBy("col_name", "block").orderBy("event_id")
+    val runs = src.withColumn("rs",
+      when(lag(col("v"), 1).over(w).isNull ||
+        lag(col("v"), 1).over(w) =!= col("v"), 1L).otherwise(0L))
+    runs.groupBy("col_name")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("v")).as("ndv"),
+        sum(col("rs")).as("n_runs"))
+      .withColumn("avg_run_len",
+        col("n").cast("double") / col("n_runs").cast("double"))
+      .withColumn("advice",
+        when(col("ndv") * 20 <= col("n"), lit("dictionary"))
+          .when(col("n_runs") * 2 <= col("n"), lit("rle"))
+          .otherwise(lit("plain")))
+      .orderBy("col_name")
+  }
 
   /** Compaction-plan core: build the simulated per-(lang, file) inventory
     * from a documents frame and bin-pack by running size. Separated so
@@ -1116,7 +1158,33 @@ object DataOps {
          |  FROM documents)
          |SELECT doc_id, lang, n_chars FROM (
          |  SELECT * FROM w ORDER BY es_key DESC, doc_id ASC LIMIT 100)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    // same per-block run counting; IS DISTINCT FROM covers the
+    // block-leading NULL lag exactly like the isNull branch
+    "data_encoding_advisor" ->
+      """WITH src AS (
+        |  SELECT event_id, event_id // 4096 AS block,
+        |    'event_type' AS col_name, event_type AS v FROM events
+        |  UNION ALL
+        |  SELECT event_id, event_id // 4096, 'user_id',
+        |    CAST(user_id AS VARCHAR) FROM events
+        |  UNION ALL
+        |  SELECT event_id, event_id // 4096, 'value',
+        |    CAST(value AS VARCHAR) FROM events),
+        |r AS (SELECT col_name, v,
+        |    CASE WHEN lag(v) OVER (PARTITION BY col_name, block
+        |        ORDER BY event_id) IS DISTINCT FROM v
+        |      THEN 1 ELSE 0 END AS rs
+        |  FROM src),
+        |g AS (SELECT col_name, count(*) AS n, count(DISTINCT v) AS ndv,
+        |    CAST(sum(rs) AS BIGINT) AS n_runs
+        |  FROM r GROUP BY 1)
+        |SELECT col_name, n, ndv, n_runs,
+        |  CAST(n AS DOUBLE) / CAST(n_runs AS DOUBLE) AS avg_run_len,
+        |  CASE WHEN ndv * 20 <= n THEN 'dictionary'
+        |       WHEN n_runs * 2 <= n THEN 'rle'
+        |       ELSE 'plain' END AS advice
+        |FROM g ORDER BY col_name""".stripMargin
   )
 
   /** Oracle spelling of [[graft.functions.Kernels.zorder2]]: the same 32

@@ -228,6 +228,22 @@ object EventOps {
         .agg(count(lit(1)).as("n"), dsum(s, col("value")).as("sum_value"))
         .orderBy("dow", "hod")
     },
+    // Autocorrelation of the daily event-count series at lags 1 and 7 —
+    // the day-over-day persistence and weekly-seasonality readout that
+    // sits next to `events_seasonality`. The series is the DAILY
+    // aggregate (one shuffle over the events, then day-count-sized
+    // frames), the lag alignment is a self equi-join on day+lag (no
+    // global window, no single-partition sort), and Pearson r comes from
+    // EXACT integer sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy² are
+    // all BIGINT sums of daily counts) — the final r is a fixed tree of
+    // IEEE ops over exact integers, so it is bit-identical in any
+    // engine and under any partitioning. Long headroom: Σxy <= days ×
+    // (rows/day)² — at 10¹² rows over 3 years, ~8e17 < 2^63.
+    "events_autocorr" -> { (s, d) =>
+      autocorrFrom(withMs(Tables(s, d).events)
+        .groupBy(expr(floorDivSql("ts_ms", 86400000L)).as("day"))
+        .agg(count(lit(1)).as("n")))
+    },
     // Time-series gap filling: a generated hourly spine (min..max bucket)
     // left-joined with the observed counts, absent hours as 0 — the
     // dashboard/feature-engineering densify step. The spine generator is
@@ -735,6 +751,34 @@ object EventOps {
   /** Gap-fill core over any frame with a ts_ms column — separated so specs
     * can plant a sparse series and assert the zero-filled hours.
     */
+  /** Pearson autocorrelation of a (day, n) count series at lags 1 and 7
+    * from exact integer sufficient statistics (see the `events_autocorr`
+    * query comment). Separated so specs can plant series with
+    * hand-computable correlations.
+    */
+  def autocorrFrom(daily: DataFrame): DataFrame = {
+    val lagged = daily.select(col("day"), col("n"),
+      explode(array(lit(1L), lit(7L))).as("lag"))
+    val pairs = lagged.as("a").join(daily.as("b"),
+        col("a.day") + col("a.lag") === col("b.day"))
+      .select(col("a.lag").as("lag"), col("a.n").as("x"),
+        col("b.n").as("y"))
+    pairs.groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n_pairs"),
+        ((col("n_pairs") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+          (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+            sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy"))
+              .cast("double")))).as("autocorr"))
+      .orderBy("lag")
+  }
+
   private[graft] def gapfillFrom(events: DataFrame): DataFrame = {
     // persisted because the aggregate feeds TWO consumers (the min/max
     // spine bounds and the join) — without it Spark recomputes the full
@@ -891,6 +935,24 @@ object EventOps {
          |  (epoch_ms(ts) // 3600000) % 24 AS hod,
          |  count(*) AS n, ${sqlSum("value")} AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY dow, hod""".stripMargin,
+    // same exact-integer sufficient statistics; CASTs keep the final
+    // double tree identical node for node (DuckDB sums BIGINT into
+    // HUGEINT — exact either way, the doubles only appear at the end)
+    "events_autocorr" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    count(*) AS n FROM events GROUP BY 1),
+        |p AS (SELECT lag, a.n AS x, b.n AS y
+        |  FROM daily a, (SELECT unnest([1, 7]) AS lag) l, daily b
+        |  WHERE a.day + l.lag = b.day),
+        |g AS (SELECT lag, count(*) AS n_pairs,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM p GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))) AS autocorr
+        |FROM g ORDER BY lag""".stripMargin,
     "events_gapfill" ->
       """WITH h AS (SELECT epoch_ms(ts) // 3600000 AS hb, count(*) AS cnt
         |  FROM events GROUP BY 1),

@@ -432,4 +432,40 @@ class AggregatesSpec extends GraftSuite {
     }
     assert(qs.nonEmpty)
   }
+
+  test("bitmap_distinct: exact across partitions, nulls skipped, " +
+      "out-of-domain id fails loudly") {
+    import spark.implicits._
+    import graft.functions.aggregates.bitmap_distinct
+    val rnd = new scala.util.Random(31L)
+    val ids = Seq.fill(5000)(rnd.nextInt(700).toLong)
+    val df = ids.toDF("id").repartition(7)
+    val got = df.agg(bitmap_distinct(org.apache.spark.sql.functions.col("id"),
+      1024)).collect()(0).getLong(0)
+    assert(got == ids.distinct.size.toLong, s"$got vs ${ids.distinct.size}")
+    // nulls skipped like count(distinct)
+    val withNull = (ids.map(Option(_)) ++ Seq.fill(50)(Option.empty[Long]))
+      .toDF("id").repartition(5)
+    val got2 = withNull.agg(bitmap_distinct(
+      org.apache.spark.sql.functions.col("id"), 1024)).collect()(0).getLong(0)
+    assert(got2 == ids.distinct.size.toLong)
+    // domain violation throws (never estimates)
+    val bad = Seq(5L, 2048L).toDF("id")
+    val e = intercept[Exception] {
+      bad.agg(bitmap_distinct(org.apache.spark.sql.functions.col("id"), 1024))
+        .collect()
+    }
+    assert(e.getMessage != null)
+    // grouped: matches countDistinct per group on skewed keys
+    val grouped = ids.zipWithIndex
+      .map { case (id, i) => (s"g${i % 3}", id) }.toDF("g", "id")
+      .repartition(6)
+    val gotG = grouped.groupBy("g")
+      .agg(bitmap_distinct(org.apache.spark.sql.functions.col("id"), 1024)
+        .as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wantG = ids.zipWithIndex.groupBy { case (_, i) => s"g${i % 3}" }
+      .map { case (g, xs) => g -> xs.map(_._1).distinct.size.toLong }
+    assert(gotG == wantG)
+  }
 }

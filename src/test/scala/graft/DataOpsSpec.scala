@@ -360,4 +360,30 @@ class DataOpsSpec extends GraftSuite {
       assert(!pruned || matching == 0L, s"file $f pruned but has matches")
     }
   }
+
+  test("encoding advisor: planted run/cardinality structure gets the " +
+      "expected advice per column") {
+    import spark.implicits._
+    // 400 rows: event_type constant-ish (2 values, long runs) -> dict
+    // (ndv*20 <= n wins first); user_id strictly increasing -> plain;
+    // value alternates every row between many values -> plain
+    val rows = (0L until 400L).map { i =>
+      (i, if (i < 390) "a" else "b", i, (i % 97).toDouble / 10.0)
+    }
+    val df = rows.toDF("event_id", "event_type", "user_id", "value")
+    val got = graft.ops.DataOps.encodingAdvisorFrom(df, blockSize = 128L)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(5))).toMap
+    // 4 block starts + the a->b switch inside block 3 = 5 runs
+    assert(got("event_type") == ((400L, 2L, 5L, "dictionary")),
+      got("event_type"))
+    // user_id: 400 distinct over 400 rows, every row a run start
+    assert(got("user_id") == ((400L, 400L, 400L, "plain")), got("user_id"))
+    // value: 97 distinct, runs everywhere -> ndv*20 > n -> not dict;
+    // n_runs*2 > n -> plain
+    assert(got("value")._4 == "plain", got("value"))
+    // run counting restarts at block boundaries: a constant column over
+    // 400 rows with blockSize 128 has ceil(400/128)=4 runs, counted above
+  }
 }

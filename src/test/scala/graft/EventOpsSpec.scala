@@ -538,4 +538,38 @@ class EventOpsSpec extends GraftSuite {
     // retention must be a real matrix: several cohorts, several ages
     assert(got.map(_._1).distinct.size > 1 && got.map(_._2).distinct.size > 1)
   }
+
+  test("autocorr: perfectly periodic series has lag-7 r = 1, and a " +
+      "plain-Scala replay matches on random series") {
+    import spark.implicits._
+    // weekly-periodic 21-day series: lag-7 pairs are identical -> r = 1.0
+    val periodic = (0L until 21L).map(d => (d, 100L + (d % 7) * 10L))
+      .toDF("day", "n")
+    val gotP = graft.ops.EventOps.autocorrFrom(periodic).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(gotP.map(_._1) == Seq(1L, 7L))
+    assert(gotP(1)._2 == 14L && gotP(1)._3 == 1.0, gotP(1))
+    assert(math.abs(gotP(0)._3) < 1.0)
+    for (seed <- Seq(41L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      val series = (0L until 30L).map(d => (d, 500L + rnd.nextInt(200)))
+      def r(lag: Long): (Long, Double) = {
+        val pairs = series.flatMap { case (d, x) =>
+          series.find(_._1 == d + lag).map { case (_, y) => (x, y) } }
+        val n = pairs.size.toLong
+        val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val sxx = pairs.map(p => p._1 * p._1).sum
+        val syy = pairs.map(p => p._2 * p._2).sum
+        (n, (n * sxy - sx * sy).toDouble /
+          (math.sqrt((n * sxx - sx * sx).toDouble) *
+            math.sqrt((n * syy - sy * sy).toDouble)))
+      }
+      val want = Seq(1L, 7L).map(l => { val (n, v) = r(l); (l, n, v) })
+      val got = graft.ops.EventOps.autocorrFrom(series.toDF("day", "n"))
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
+      assert(got == want, s"seed=$seed")
+    }
+  }
 }
