@@ -126,6 +126,23 @@ object EventOps {
         .select("event_id", "user_id", "ts_ms", "asof_view_ms", "asof_view_value")
         .orderBy("event_id")
     },
+    // As-of join WITH TOLERANCE — the feature-engineering staleness
+    // bound ("most recent view, but only if within 30 minutes"): same
+    // single-pass windowed last-non-null as events_asof_join, then the
+    // carried value is nulled when older than the bound. The tolerance
+    // is a per-row compare on the already-carried timestamp — zero extra
+    // shuffles over the plain as-of, which is why this formulation
+    // scales where a time-range join (candidate fan-out + re-dedup)
+    // would not. Rows with no fresh view keep the purchase (left-join
+    // semantics with NULL features), matching every asof(tolerance=...)
+    // API.
+    "events_asof_tolerance" -> { (s, d) =>
+      asofToleranceFrom(withMs(Tables(s, d).events)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"),
+          when(col("event_type") === "view", 0).otherwise(1).as("kind")),
+        GapMs)
+    },
     // Interval (range) join as a bucketed EQUI-join — the scale form of
     // "purchases within 30 min after a click by the same user". The naive
     // plan is a non-equi theta join (nested-loop, quadratic per user); here
@@ -751,6 +768,29 @@ object EventOps {
   /** Gap-fill core over any frame with a ts_ms column — separated so specs
     * can plant a sparse series and assert the zero-filled hours.
     */
+  /** The `events_asof_tolerance` core over a (user_id, event_id, ts_ms,
+    * value, kind) frame (kind 0 = reference stream, 1 = probe stream) —
+    * separated so specs can plant staleness structure around the bound.
+    */
+  def asofToleranceFrom(e: DataFrame, tolMs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms").asc, col("kind").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fresh = col("raw_ms").isNotNull &&
+      col("raw_ms") >= col("ts_ms") - lit(tolMs)
+    e.withColumn("raw_ms",
+        last(when(col("kind") === 0, col("ts_ms")), ignoreNulls = true)
+          .over(w))
+      .withColumn("raw_value",
+        last(when(col("kind") === 0, col("value")), ignoreNulls = true)
+          .over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_ms"),
+        when(fresh, col("raw_ms")).as("asof_view_ms"),
+        when(fresh, col("raw_value")).as("asof_view_value"))
+      .orderBy("event_id")
+  }
+
   /** Pearson autocorrelation of a (day, n) count series at lags 1 and 7
     * from exact integer sufficient statistics (see the `events_autocorr`
     * query comment). Separated so specs can plant series with
@@ -1028,6 +1068,29 @@ object EventOps {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view_value
         |  FROM e)
         |SELECT event_id, user_id, ts_ms, asof_view_ms, asof_view_value
+        |FROM f WHERE kind = 1 ORDER BY event_id""".stripMargin,
+    // same carry, then the staleness bound nulls stale carries
+    "events_asof_tolerance" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+        |    CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS kind
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |f AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN kind = 0 THEN ts_ms END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY ts_ms ASC, kind ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS raw_ms,
+        |    last_value(CASE WHEN kind = 0 THEN value END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY ts_ms ASC, kind ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS raw_value
+        |  FROM e)
+        |SELECT event_id, user_id, ts_ms,
+        |  CASE WHEN raw_ms IS NOT NULL AND raw_ms >= ts_ms - 1800000
+        |    THEN raw_ms END AS asof_view_ms,
+        |  CASE WHEN raw_ms IS NOT NULL AND raw_ms >= ts_ms - 1800000
+        |    THEN raw_value END AS asof_view_value
         |FROM f WHERE kind = 1 ORDER BY event_id""".stripMargin,
     // The oracle states the SEMANTICS in the naive non-equi form; the
     // engine's bucketed equi-join must produce the identical pair set.

@@ -302,6 +302,30 @@ object SimilarityOps {
     "sim_kmeans_step" -> { (s, d) =>
       kmeansStepFrom(Tables(s, d).embeddings)
     },
+    // One distributed power-iteration step w = Xᵀ(X·v₀) over the
+    // quantized embedding matrix — the matvec primitive under PCA /
+    // spectral methods, in its two-pass map-reduce form: pass 1 computes
+    // the row-local scalar dot = q·v₀ (codegen'd zip_with fold, no
+    // shuffle), pass 2 distributes dot·qⱼ into D=64 dimension buckets
+    // (one posexplode shuffle keyed on dim — D·N terms, the minimum any
+    // matvec moves; the result is D rows regardless of N). EXACT INTEGER
+    // end-to-end: v₀ⱼ = (j mod 7) − 3 and the ×1000 quantization keep
+    // every partial a BIGINT (|dot·qⱼ| ≤ 5.5e7/row → headroom to ~1.6e11
+    // rows), so the result is bit-identical under any partitioning and
+    // the oracle replicates it term for term. Fixed-dimension contract
+    // as sim_label_centroid: zip_with against the 64-long v₀ NULLs out
+    // ragged rows → NULL dot fails the BIGINT sum loudly under ANSI.
+    "sim_power_iteration" -> { (s, d) =>
+      val v0 = Array.tabulate(64)(j => ((j % 7) - 3).toLong)
+      val q = Tables(s, d).embeddings
+        .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      q.withColumn("dot",
+          aggregate(zip_with(col("q"), lit(v0), (x, v) => x * v),
+            lit(0L), (a, x) => a + x))
+        .select(col("dot"), posexplode(col("q")).as(Seq("dim", "qj")))
+        .groupBy("dim").agg(sum(col("qj") * col("dot")).as("w"))
+        .orderBy("dim")
+    },
     // Per-label centroid similarity: IVF-style coarse quantizer readout —
     // exact integer/decimal math end-to-end (oracle-checked).
     // dot_sum = Σ_vec Σ_i v_i·cv_i = Σ_i cv_i·(Σ_vec v_i) = dot(cvec, svec),
@@ -830,6 +854,23 @@ object SimilarityOps {
         |ORDER BY query_id, rk""".stripMargin,
     // Lloyd-step replication: seed centroids, cosine argmax assignment
     // (ties sim DESC, label ASC), recomputed centroids, exact checksums.
+    // the same two passes as CTEs: per-row dot via an indexed-lambda
+    // fold (DuckDB i is 1-based, hence (i-1) mod 7), then the dim-bucket
+    // sum via a range cross join over the 64 dimensions
+    "sim_power_iteration" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding, e ->
+        |      CAST(floor(CAST(e AS DOUBLE) * 1000.0 + 0.5) AS BIGINT))
+        |      AS q
+        |  FROM embeddings),
+        |d AS (SELECT vec_id, q,
+        |    list_reduce(list_transform(q,
+        |      (x, i) -> x * (((i - 1) % 7) - 3)), (a, b) -> a + b) AS dot
+        |  FROM q)
+        |SELECT CAST(j AS INT) AS dim,
+        |  CAST(sum(q[j + 1] * dot) AS BIGINT) AS w
+        |FROM d CROSS JOIN range(64) t(j)
+        |GROUP BY 1 ORDER BY dim""".stripMargin,
     "sim_kmeans_step" ->
       """WITH q AS (SELECT vec_id, label, i,
         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v

@@ -572,4 +572,50 @@ class EventOpsSpec extends GraftSuite {
       assert(got == want, s"seed=$seed")
     }
   }
+
+  test("asof tolerance: fresh carry kept, stale carry nulled, boundary " +
+      "is inclusive, no prior view gives NULLs") {
+    import spark.implicits._
+    val tol = 1000L
+    // user 1: view at 100 (value 7), purchases at 600 (fresh),
+    //   1100 (exactly tol late - inclusive), 1101 (stale)
+    // user 2: purchase with no prior view
+    val e = Seq(
+      (1L, 10L, 100L, 7.0, 0),
+      (1L, 11L, 600L, 1.0, 1),
+      (1L, 12L, 1100L, 2.0, 1),
+      (1L, 13L, 1101L, 3.0, 1),
+      (2L, 20L, 500L, 4.0, 1)
+    ).toDF("user_id", "event_id", "ts_ms", "value", "kind")
+    val got = graft.ops.EventOps.asofToleranceFrom(e, tol).collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toSeq
+    assert(got == Seq(             // event 10 is kind 0 -> not emitted
+      (11L, Some(100L), Some(7.0)),
+      (12L, Some(100L), Some(7.0)),
+      (13L, None, None),
+      (20L, None, None)), got)
+  }
+
+  test("power iteration matches a plain-Scala integer replay on the " +
+      "real embeddings") {
+    val emb = graft.ops.Tables(spark, sfDir).embeddings.collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(f => math.floor(f.toDouble * 1000.0 + 0.5)
+          .toLong).toArray))
+    val v0 = Array.tabulate(64)(j => ((j % 7) - 3).toLong)
+    val w = new Array[Long](64)
+    emb.foreach { case (_, q) =>
+      var dot = 0L
+      var j = 0
+      while (j < 64) { dot += q(j) * v0(j); j += 1 }
+      j = 0
+      while (j < 64) { w(j) += q(j) * dot; j += 1 }
+    }
+    val got = graft.ops.SimilarityOps.queries("sim_power_iteration")(
+      spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got == w.zipWithIndex.map { case (x, j) => (j, x) }.toSeq)
+    assert(got.exists(_._2 != 0L), "matvec should be non-trivial")
+  }
 }
