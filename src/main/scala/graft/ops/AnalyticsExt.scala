@@ -678,8 +678,47 @@ object AnalyticsExt {
         .agg(count(lit(1)).as("n_events"),
           bitmap_distinct(col("user_id"), 16384).as("n_users"))
         .orderBy("event_type")
+    },
+    // Weighted median — the robust center of a value distribution where
+    // each row carries a weight (price weighted by quantity: "the price
+    // at which half the VOLUME trades", not half the line items). No
+    // engine has it built in; the distributed form is the standard one:
+    // collapse to per-(group, value) weight sums first (the shuffle is
+    // then bounded by the DISTINCT value domain, not the row count —
+    // the same reason the exact-median family pre-aggregates), one
+    // running-sum window per group, and the lower weighted median is the
+    // first value whose cumulative weight reaches half the total. All
+    // comparisons are exact integers (cents × integral quantities;
+    // 2*cum vs tot avoids the halving division); the only double is the
+    // final cents→price display division, one IEEE op in both engines.
+    "agg_weighted_median" -> { (s, d) =>
+      val li = Tables(s, d).lineitem.select(
+        col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("pc"),
+        round(col("l_quantity")).cast("long").as("w"))
+      weightedMedianFrom(li, "l_returnflag")
+        .select(col("l_returnflag"), col("median_cents"),
+          (col("median_cents").cast("double") / 100.0).as("median_price"))
+        .orderBy("l_returnflag")
     }
   )
+
+  /** Lower weighted median per group over integer `(g, pc, w)` rows: the
+    * first `pc` (ascending) whose cumulative weight reaches half the
+    * group total. See the `agg_weighted_median` query comment for the
+    * distributed shape.
+    */
+  def weightedMedianFrom(df: DataFrame, g: String): DataFrame = {
+    val byPrice = df.groupBy(g, "pc").agg(sum(col("w")).as("w"))
+    val wCum = Window.partitionBy(g).orderBy("pc")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(g)
+    byPrice
+      .withColumn("cum", sum(col("w")).over(wCum))
+      .withColumn("tot", sum(col("w")).over(wTot))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(g).agg(min(col("pc")).as("median_cents"))
+  }
 
   /** The HLL-256 oracle pipeline for `SELECT group, hll FROM table GROUP
     * BY group` over xxh64(keyExpr). Hashing runs over the DISTINCT
@@ -1085,6 +1124,19 @@ object AnalyticsExt {
     "agg_bitmap_distinct" ->
       """SELECT event_type, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "agg_weighted_median" ->
+      """WITH li AS (SELECT l_returnflag,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+        |    CAST(round(l_quantity) AS BIGINT) AS w FROM lineitem),
+        |g AS (SELECT l_returnflag, pc, sum(w) AS w FROM li GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, pc,
+        |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY pc
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(w) OVER (PARTITION BY l_returnflag) AS tot FROM g)
+        |SELECT l_returnflag, min(pc) AS median_cents,
+        |  CAST(min(pc) AS DOUBLE) / 100.0 AS median_price
+        |FROM c WHERE cum * 2 >= tot
+        |GROUP BY 1 ORDER BY l_returnflag""".stripMargin
   )
 }

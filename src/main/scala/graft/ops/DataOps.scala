@@ -667,6 +667,25 @@ object DataOps {
     // ndv and run counts are rendering-independent.
     "data_encoding_advisor" -> { (s, d) =>
       encodingAdvisorFrom(Tables(s, d).events, blockSize = 4096L)
+    },
+    // k-anonymity audit — the privacy gate a training corpus passes
+    // before release: group records by their quasi-identifier tuple
+    // (nation × market segment × account-balance band) and flag every
+    // equivalence class smaller than k=5 — those records are
+    // re-identifiable by the QI combination alone and must be suppressed
+    // or generalized. One hash-aggregate shuffle keyed on the QI tuple
+    // (output is class-sized, not record-sized — at 100 TB the report
+    // stays tiny); the balance band is floor(acctbal/2000), one IEEE
+    // divide + floor, identical in both engines. Companion of
+    // `text_pii_scrub` (direct identifiers) — this is the LINKAGE risk
+    // side of the privacy ledger.
+    "data_k_anonymity" -> { (s, d) =>
+      Tables(s, d).customer
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 2000.0).cast("long").as("bal_band"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("at_risk", col("n") < 5)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")
     }
   )
 
@@ -1184,7 +1203,13 @@ object DataOps {
         |  CASE WHEN ndv * 20 <= n THEN 'dictionary'
         |       WHEN n_runs * 2 <= n THEN 'rle'
         |       ELSE 'plain' END AS advice
-        |FROM g ORDER BY col_name""".stripMargin
+        |FROM g ORDER BY col_name""".stripMargin,
+    "data_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+        |  count(*) AS n, count(*) < 5 AS at_risk
+        |FROM customer GROUP BY 1, 2, 3
+        |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin
   )
 
   /** Oracle spelling of [[graft.functions.Kernels.zorder2]]: the same 32

@@ -182,8 +182,48 @@ object GraphOps {
     "graph_common_neighbors" -> { (s, d) =>
       commonNeighborsFrom(copurchaseEdges(Tables(s, d), minSupport = 2),
         k = 20)
+    },
+    // 3-core extraction by synchronous peeling — the classic dense-region
+    // filter a graph pipeline runs before community/embedding work (and
+    // the dedup analogue: cores of the near-dup graph are the clusters
+    // worth human review). Semantics are FIXED-ROUND on purpose: six
+    // synchronous peel rounds (every round drops all nodes whose degree
+    // within the surviving set is < 3, simultaneously), then the
+    // survivors with their in-core degrees. Fixed rounds make the
+    // operator deterministic and oracle-expressible without recursion
+    // (DuckDB's recursive CTE can reference the working table only once,
+    // but a peel round needs the alive set on BOTH edge endpoints — so
+    // the oracle unrolls the same six rounds CTE for CTE); the planted
+    // spec shows six rounds reach the true fixpoint on this corpus, and
+    // convergence is monotone (peeling can only shrink), so extra rounds
+    // are no-ops once converged. Shape: each round is two semi-joins of
+    // the edge list against the (node-sized, shrinking) alive set plus
+    // one partial+final count — O(rounds × m) total, every join an
+    // equi-join on a node key; no driver round-trips, no collect.
+    "graph_kcore" -> { (s, d) =>
+      kcoreFrom(copurchaseEdges(Tables(s, d), minSupport = 2),
+        k = 3, rounds = 6)
     }
   )
+
+  /** `rounds` synchronous peel rounds toward the k-core of a canonical
+    * (u < v, distinct) edge list; returns survivors with their in-core
+    * degree. See the `graph_kcore` query comment for the fixed-round
+    * semantics.
+    */
+  def kcoreFrom(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val und = edges.select(col("u").as("src"), col("v").as("dst"))
+      .union(edges.select(col("v").as("src"), col("u").as("dst")))
+      .persist()
+    def degIn(alive: DataFrame): DataFrame = und
+      .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    var alive = und.select(col("src").as("node")).distinct()
+    for (_ <- 1 to rounds)
+      alive = degIn(alive).filter(col("deg") >= k).select("node")
+    degIn(alive).withColumnRenamed("deg", "core_deg").orderBy("node")
+  }
 
   /** Degree histogram over a canonical (u < v, distinct) edge list. */
   def degreeDistFrom(edges: DataFrame): DataFrame = {
@@ -407,7 +447,26 @@ object GraphOps {
            |SELECT u, v, n_common FROM cand
            |WHERE NOT EXISTS (SELECT 1 FROM e0
            |  WHERE e0.u = cand.u AND e0.v = cand.v)
-           |ORDER BY n_common DESC, u ASC, v ASC LIMIT 20""".stripMargin
+           |ORDER BY n_common DESC, u ASC, v ASC LIMIT 20""".stripMargin,
+      "graph_kcore" -> {
+        // the same six synchronous peel rounds, CTE for CTE
+        def peel(prev: String, an: String): String =
+          s"""$an AS (SELECT src AS node FROM und
+             |  WHERE src IN (SELECT node FROM $prev)
+             |    AND dst IN (SELECT node FROM $prev)
+             |  GROUP BY 1 HAVING count(*) >= 3)""".stripMargin
+        val chain = (1 to 6)
+          .map(i => peel(s"a${i - 1}", s"a$i")).mkString(",\n")
+        s"""WITH $copurchaseSql,
+           |und AS (SELECT u AS src, v AS dst FROM e0
+           |  UNION ALL SELECT v, u FROM e0),
+           |a0 AS (SELECT DISTINCT src AS node FROM und),
+           |$chain
+           |SELECT src AS node, count(*) AS core_deg FROM und
+           |WHERE src IN (SELECT node FROM a6)
+           |  AND dst IN (SELECT node FROM a6)
+           |GROUP BY 1 ORDER BY node""".stripMargin
+      }
     )
   }
 

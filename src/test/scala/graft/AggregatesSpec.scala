@@ -468,4 +468,40 @@ class AggregatesSpec extends GraftSuite {
       .map { case (g, xs) => g -> xs.map(_._1).distinct.size.toLong }
     assert(gotG == wantG)
   }
+
+  test("weighted median: planted lower-median boundaries, then a " +
+      "plain-Scala replay on the fixture") {
+    import spark.implicits._
+    import graft.ops.AnalyticsExt
+    // even total mass split across two values -> LOWER median (10);
+    // a dominant-weight value pulls the median onto itself; per-value
+    // weight collapsing must happen before the cumulative scan
+    val planted = Seq(
+      ("even", 10L, 1L), ("even", 20L, 1L),
+      ("dom", 10L, 1L), ("dom", 20L, 7L), ("dom", 30L, 1L),
+      ("dup", 10L, 1L), ("dup", 10L, 1L), ("dup", 30L, 1L))
+      .toDF("g", "pc", "w")
+    val got = AnalyticsExt.weightedMedianFrom(planted, "g")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("even" -> 10L, "dom" -> 20L, "dup" -> 10L))
+
+    val q = AnalyticsExt.queries("agg_weighted_median")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val rows = graft.ops.Tables(spark, sfDir).lineitem
+      .select("l_returnflag", "l_extendedprice", "l_quantity").collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100),
+        math.round(r.getDouble(2))))
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (f, rs) =>
+      val byPc = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val tot = byPc.map(_._2).sum
+      var cum = 0L
+      val med = byPc.collectFirst {
+        case (pc, w) if { cum += w; cum * 2 >= tot } => pc
+      }.get
+      (f, med, med.toDouble / 100.0)
+    }
+    assert(q == want)
+  }
 }

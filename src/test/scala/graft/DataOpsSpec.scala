@@ -386,4 +386,21 @@ class DataOpsSpec extends GraftSuite {
     // run counting restarts at block boundaries: a constant column over
     // 400 rows with blockSize 128 has ceil(400/128)=4 runs, counted above
   }
+
+  test("k-anonymity: classes partition the table, at_risk iff n < 5, " +
+      "plain-Scala replay agrees") {
+    val got = DataOps.queries("data_k_anonymity")(spark, sfDir)
+      .collect()
+      .map(r => ((r.getInt(0), r.getString(1), r.getLong(2)),
+        (r.getLong(3), r.getBoolean(4)))).toSeq
+    val cust = graft.ops.Tables(spark, sfDir).customer
+      .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        math.floor(r.getDouble(2) / 2000.0).toLong))
+    val want = cust.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.map { case (k, n) => (k, (n, n < 5)) }.sortBy(_._1)
+    assert(got == want)
+    // every record lands in exactly one class
+    assert(got.map(_._2._1).sum == cust.length.toLong)
+  }
 }

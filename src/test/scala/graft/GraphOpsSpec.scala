@@ -189,4 +189,35 @@ class GraphOpsSpec extends GraftSuite {
       assert(got == want, s"seed=$seed")
     }
   }
+
+  test("kcore: planted path+triangle peels one node per round to the " +
+      "2-core; fixpoint is stable under extra rounds") {
+    import spark.implicits._
+    // path 1-2-3-4-5 hanging off triangle {5,6,7}: the 2-core is the
+    // triangle, and synchronous peeling consumes the path one node per
+    // round (1, then 2, then 3, then 4) — multi-round convergence, not
+    // just the first peel.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (5L, 7L), (6L, 7L)).toDF("u", "v")
+    def run(rounds: Int): Seq[(Long, Long)] =
+      GraphOps.kcoreFrom(edges, k = 2, rounds = rounds)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // after 3 rounds node 4 is still alive (its pendant-degree 1 shows)
+    assert(run(3) == Seq((4L, 1L), (5L, 3L), (6L, 2L), (7L, 2L)))
+    // round 4 reaches the fixpoint; rounds beyond it are no-ops
+    val core = Seq((5L, 2L), (6L, 2L), (7L, 2L))
+    assert(run(4) == core)
+    assert(run(7) == core)
+    spark.catalog.clearCache()
+  }
+
+  test("kcore: K4 with a tail survives 3-core peeling intact") {
+    import spark.implicits._
+    val k4 = for (u <- 1L to 4L; v <- (u + 1) to 4L) yield (u, v)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("u", "v")
+    val got = GraphOps.kcoreFrom(edges, k = 3, rounds = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == (1L to 4L).map(_ -> 3L))
+    spark.catalog.clearCache()
+  }
 }
