@@ -686,6 +686,33 @@ object DataOps {
         .agg(count(lit(1)).as("n"))
         .withColumn("at_risk", col("n") < 5)
         .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+    },
+    // Right-to-erasure impact report — the cascade a GDPR/CCPA delete
+    // batch triggers: a deterministic victim set (custkey % 97 = 0
+    // stands in for the request table), propagated through the FK chain
+    // customer → orders → lineitem, reporting purged/retained counts per
+    // table BEFORE anything is rewritten (the dry-run every compliance
+    // pipeline emits first). Customer and orders classify with a row-local
+    // predicate (no join at all); lineitem inherits its verdict through
+    // one equi-join on the order key. Output is three rows regardless of
+    // scale; the sibling write path is `data_upsert_snapshot`'s MERGE
+    // shape with these flags as the delete condition.
+    "data_delete_propagation" -> { (s, d) =>
+      val t = Tables(s, d)
+      def report(name: String, df: DataFrame, purge: Column) =
+        df.agg(count(lit(1)).as("n"),
+          count(when(purge, 1)).as("n_purged"))
+          .select(lit(name).as("table_name"), col("n_purged"),
+            (col("n") - col("n_purged")).as("n_retained"))
+      val victim = (k: Column) => k % 97 === 0
+      Seq(
+        report("customer", t.customer, victim(col("c_custkey"))),
+        report("lineitem",
+          t.lineitem.join(t.orders.select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"), "left"),
+          victim(col("o_custkey"))),
+        report("orders", t.orders, victim(col("o_custkey"))))
+        .reduce(_.union(_)).orderBy("table_name")
     }
   )
 
@@ -1209,7 +1236,25 @@ object DataOps {
         |  CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
         |  count(*) AS n, count(*) < 5 AS at_risk
         |FROM customer GROUP BY 1, 2, 3
-        |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin
+        |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin,
+    "data_delete_propagation" ->
+      """SELECT * FROM (
+        |  SELECT 'customer' AS table_name,
+        |    count(CASE WHEN c_custkey % 97 = 0 THEN 1 END) AS n_purged,
+        |    count(*) - count(CASE WHEN c_custkey % 97 = 0 THEN 1 END)
+        |      AS n_retained
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'lineitem',
+        |    count(CASE WHEN o.o_custkey % 97 = 0 THEN 1 END),
+        |    count(*) - count(CASE WHEN o.o_custkey % 97 = 0 THEN 1 END)
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'orders',
+        |    count(CASE WHEN o_custkey % 97 = 0 THEN 1 END),
+        |    count(*) - count(CASE WHEN o_custkey % 97 = 0 THEN 1 END)
+        |  FROM orders)
+        |ORDER BY table_name""".stripMargin
   )
 
   /** Oracle spelling of [[graft.functions.Kernels.zorder2]]: the same 32

@@ -562,6 +562,37 @@ object EventOps {
         .groupBy(col("cohort_d"), (col("day") - col("cohort_d")).as("age"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("cohort_d", "age")
+    },
+    // A/B experiment readout — deterministic hash assignment (the same
+    // salted-stream discipline as data_split_hash: the "AB" prefix keeps
+    // arm assignment independent of every other hash use of user_id) and
+    // the conversion-lift summary every experimentation platform emits.
+    // One per-user aggregate (user-keyed shuffle; bool_or collapses
+    // map-side), then a conditional single-row rollup — at 100 TB the
+    // output is one row and the only shuffle is the per-user collapse.
+    // Rates and lift are single IEEE divisions of exact integer counts.
+    "events_ab_lift" -> { (s, d) =>
+      val perUser = Tables(s, d).events
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("converted"))
+        .withColumn("arm",
+          when(pmod(xxhash64(concat(lit("AB"),
+            col("user_id").cast("string"))), lit(2)) === 0, "A")
+            .otherwise("B"))
+      val cnt = (a: String) =>
+        count(when(col("arm") === a, 1)).as(s"users_${a.toLowerCase}")
+      val conv = (a: String) =>
+        sum(when(col("arm") === a, col("converted")).otherwise(0L))
+          .as(s"conv_${a.toLowerCase}")
+      perUser.agg(cnt("A"), conv("A"), cnt("B"), conv("B"))
+        .select(col("users_a"), col("conv_a"), col("users_b"),
+          col("conv_b"),
+          (col("conv_a").cast("double") / col("users_a").cast("double"))
+            .as("rate_a"),
+          (col("conv_b").cast("double") / col("users_b").cast("double"))
+            .as("rate_b"))
+        .withColumn("lift", col("rate_b") / col("rate_a"))
     }
   )
 
@@ -1365,6 +1396,28 @@ object EventOps {
         |SELECT f.cohort_d, p.day - f.cohort_d AS age,
         |  count(DISTINCT p.user_id) AS n_users
         |FROM p JOIN firstd f ON p.user_id = f.user_id
-        |GROUP BY 1, 2 ORDER BY cohort_d, age""".stripMargin
+        |GROUP BY 1, 2 ORDER BY cohort_d, age""".stripMargin,
+    "events_ab_lift" ->
+      s"""WITH pu AS (SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS converted
+         |  FROM events GROUP BY 1),
+         |arms AS (SELECT converted, CASE WHEN
+         |    ((${XxhSql.expr("'AB' || CAST(user_id AS VARCHAR)", "42")}
+         |      % 2) + 2) % 2 = 0 THEN 'A' ELSE 'B' END AS arm FROM pu),
+         |g AS (SELECT
+         |    count(CASE WHEN arm = 'A' THEN 1 END) AS users_a,
+         |    CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END)
+         |      AS BIGINT) AS conv_a,
+         |    count(CASE WHEN arm = 'B' THEN 1 END) AS users_b,
+         |    CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END)
+         |      AS BIGINT) AS conv_b
+         |  FROM arms)
+         |SELECT users_a, conv_a, users_b, conv_b,
+         |  CAST(conv_a AS DOUBLE) / CAST(users_a AS DOUBLE) AS rate_a,
+         |  CAST(conv_b AS DOUBLE) / CAST(users_b AS DOUBLE) AS rate_b,
+         |  (CAST(conv_b AS DOUBLE) / CAST(users_b AS DOUBLE)) /
+         |    (CAST(conv_a AS DOUBLE) / CAST(users_a AS DOUBLE)) AS lift
+         |FROM g""".stripMargin
   )
 }

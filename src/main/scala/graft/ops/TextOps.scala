@@ -318,8 +318,46 @@ object TextOps {
     // Spark's 0.0 init is an IEEE no-op, so the sums associate
     // identically and every node of the tree is bit-equal. Documents
     // longer than 1024 chars fail loudly (ANSI element_at), not wrongly.
-    "text_entropy" -> { (s, d) => entropyFrom(Tables(s, d).documents) }
+    "text_entropy" -> { (s, d) => entropyFrom(Tables(s, d).documents) },
+    // Per-language distinctive vocabulary (keyness) — the corpus-linguist
+    // readout behind language-balance debugging: rank each language's
+    // tokens by the PMI-style lift P(token|lang)/P(token) =
+    // (c_lt·N)/(c_t·c_l), support-thresholded. ONE tokenize+count
+    // shuffle builds the (lang, token) class table; the three marginals
+    // are window sums OVER THAT class-sized table (no second corpus
+    // scan), and top-k per language is a rank pushdown
+    // (WindowGroupLimit), never a global sort. The lift is a single IEEE
+    // division of exact integer products (≤ N² < 2⁵³ — exact in double),
+    // so the ranking is bit-identical across engines.
+    "text_keyness" -> { (s, d) =>
+      keynessFrom(Tables(s, d).documents, minCount = 5L, k = 10)
+    }
   )
+
+  /** The `text_keyness` core: top-`k` tokens per language by lift
+    * (c_lt·N)/(c_t·c_l) with support `c_lt >= minCount`.
+    */
+  def keynessFrom(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lt = docs
+      .select(col("lang"), explode(toks(col("text"))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("c_lt"))
+    val scored = lt
+      .withColumn("c_t", sum(col("c_lt")).over(Window.partitionBy("token")))
+      .withColumn("c_l", sum(col("c_lt")).over(Window.partitionBy("lang")))
+      .withColumn("n_total", sum(col("c_lt")).over(Window.partitionBy()))
+      .filter(col("c_lt") >= minCount)
+      .withColumn("lift",
+        (col("c_lt") * col("n_total")).cast("double") /
+          (col("c_t") * col("c_l")).cast("double"))
+    val wRank = Window.partitionBy("lang")
+      .orderBy(col("lift").desc, col("token").asc)
+    scored.withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("token"),
+        col("c_lt"), col("lift"))
+      .orderBy("lang", "rk")
+  }
 
   /** Shannon entropy of a row-local multiset: H = (N·lnN − Σ c·ln c) /
     * (N·ln 2), all logs via the shared [[lnTable]] (see the
@@ -1001,7 +1039,26 @@ object TextOps {
          |   list_reduce(list_transform(tc, c -> CAST(c AS DOUBLE) * LN[c + 1]),
          |     (a, b) -> a + b))
          |   / (CAST(n_tokens AS DOUBLE) * LN[3]) AS h_token
-         |FROM c ORDER BY doc_id""".stripMargin
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "text_keyness" ->
+      """WITH tok AS (SELECT lang,
+        |    unnest(string_split(text, ' ')) AS token FROM documents),
+        |lt AS (SELECT lang, token, count(*) AS c_lt FROM tok GROUP BY 1, 2),
+        |sc AS (SELECT lang, token, c_lt,
+        |    sum(c_lt) OVER (PARTITION BY token) AS c_t,
+        |    sum(c_lt) OVER (PARTITION BY lang) AS c_l,
+        |    sum(c_lt) OVER () AS n_total
+        |  FROM lt),
+        |r AS (SELECT lang, token, c_lt,
+        |    CAST(c_lt * n_total AS DOUBLE) / CAST(c_t * c_l AS DOUBLE)
+        |      AS lift
+        |  FROM sc WHERE c_lt >= 5),
+        |rk AS (SELECT lang, token, c_lt, lift,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY lift DESC, token ASC) AS rk
+        |  FROM r)
+        |SELECT lang, rk, token, c_lt, lift FROM rk
+        |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
   )
 
   /** The 3-word segment instance stream as a DuckDB CTE body — the oracle

@@ -403,4 +403,28 @@ class DataOpsSpec extends GraftSuite {
     // every record lands in exactly one class
     assert(got.map(_._2._1).sum == cust.length.toLong)
   }
+
+  test("delete propagation: FK cascade counts match a plain-Scala replay " +
+      "and partition every table") {
+    val t = graft.ops.Tables(spark, sfDir)
+    val got = DataOps.queries("data_delete_propagation")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val custKeys = t.customer.select("c_custkey").collect()
+      .map(_.getLong(0))
+    val orderOwner = t.orders.select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val liOrders = t.lineitem.select("l_orderkey").collect()
+      .map(_.getLong(0))
+    def split(purged: Long, total: Long) = (purged, total - purged)
+    assert(got("customer") ==
+      split(custKeys.count(_ % 97 == 0), custKeys.length))
+    assert(got("orders") ==
+      split(orderOwner.values.count(_ % 97 == 0), orderOwner.size))
+    assert(got("lineitem") ==
+      split(liOrders.count(ok => orderOwner(ok) % 97 == 0),
+        liOrders.length))
+    // the cascade actually fires on this corpus
+    assert(got.values.forall { case (p, r) => p > 0 && r > 0 })
+  }
 }

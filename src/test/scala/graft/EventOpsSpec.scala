@@ -618,4 +618,35 @@ class EventOpsSpec extends GraftSuite {
     assert(got == w.zipWithIndex.map { case (x, j) => (j, x) }.toSeq)
     assert(got.exists(_._2 != 0L), "matvec should be non-trivial")
   }
+
+  test("ab lift: plain-Scala replay from the engine's own hash stream") {
+    import org.apache.spark.sql.functions._
+    val r = graft.ops.EventOps.queries("events_ab_lift")(spark, sfDir)
+      .collect()(0)
+    // per-user (arm, converted) ground truth: arm from Spark's own
+    // xxhash64 (the assignment under test is the AGGREGATION, not the
+    // hash), conversion from a plain distinct-scan of the raw events
+    val perUser = graft.ops.Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_type")).collect()
+      .map(row => (row.getLong(0), row.getString(1)))
+      .groupBy(_._1).map { case (u, es) =>
+        u -> es.exists(_._2 == "purchase")
+      }
+    val arms = graft.ops.Tables(spark, sfDir).events
+      .select(col("user_id")).distinct()
+      .withColumn("arm", pmod(xxhash64(concat(lit("AB"),
+        col("user_id").cast("string"))), lit(2)))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val a = perUser.keys.filter(arms(_) == 0L)
+    val b = perUser.keys.filter(arms(_) == 1L)
+    val (ua, ca) = (a.size.toLong, a.count(perUser(_)).toLong)
+    val (ub, cb) = (b.size.toLong, b.count(perUser(_)).toLong)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((ua, ca, ub, cb)))
+    val (ra, rb) = (ca.toDouble / ua.toDouble, cb.toDouble / ub.toDouble)
+    assert((r.getDouble(4), r.getDouble(5), r.getDouble(6)) ==
+      ((ra, rb, rb / ra)))
+    // both arms populated — the split is genuinely binary on this corpus
+    assert(ua > 0 && ub > 0)
+  }
 }

@@ -342,4 +342,29 @@ class TextOpsSpec extends GraftSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("keyness: plain-Scala replay — marginals, lift, support cut, " +
+      "per-language top-10 with the deterministic tie-break") {
+    val got = TextOps.queries("text_keyness")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    val rows = graft.ops.Tables(spark, sfDir).documents
+      .select("lang", "text").collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(r.getString(0) -> _))
+    val cLT = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cT = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cL = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val n = rows.length.toLong
+    val want = cLT.toSeq.collect { case ((lang, tok), clt) if clt >= 5 =>
+      (lang, tok, clt,
+        (clt * n).toDouble / (cT(tok) * cL(lang)).toDouble)
+    }.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (_, xs) =>
+      xs.sortBy { case (_, tok, _, lift) => (-lift, tok) }.take(10)
+        .zipWithIndex.map { case ((lang, tok, clt, lift), i) =>
+          (lang, (i + 1).toLong, tok, clt, lift)
+        }
+    }
+    assert(got == want)
+  }
 }
