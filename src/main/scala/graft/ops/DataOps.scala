@@ -713,6 +713,25 @@ object DataOps {
           victim(col("o_custkey"))),
         report("orders", t.orders, victim(col("o_custkey"))))
         .reduce(_.union(_)).orderBy("table_name")
+    },
+    // Shuffle-skew diagnostic — the report that decides whether a join
+    // key needs salting (or AQE skew splitting) BEFORE the 100 TB job
+    // runs: hash the join key into 32 buckets exactly as a shuffle
+    // would, and report per-bucket load, key count, and the heaviest
+    // single key. A bucket whose n_rows is many× the mean means skewed
+    // partitions; max_key_rows ≈ n_rows pinpoints a single hot key
+    // (salt it) vs many colliding keys (more partitions). Two
+    // aggregates: per-key counts (the only row-sized shuffle), then a
+    // 32-row rollup — the report itself is constant-size at any scale.
+    "data_skew_report" -> { (s, d) =>
+      Tables(s, d).lineitem
+        .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("n"))
+        .withColumn("bucket",
+          pmod(xxhash64(col("k").cast("string")), lit(32)))
+        .groupBy("bucket")
+        .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(col("n")).as("max_key_rows"))
+        .orderBy("bucket")
     }
   )
 
@@ -1254,7 +1273,17 @@ object DataOps {
         |    count(CASE WHEN o_custkey % 97 = 0 THEN 1 END),
         |    count(*) - count(CASE WHEN o_custkey % 97 = 0 THEN 1 END)
         |  FROM orders)
-        |ORDER BY table_name""".stripMargin
+        |ORDER BY table_name""".stripMargin,
+    "data_skew_report" ->
+      s"""WITH k AS (SELECT l_partkey AS k, count(*) AS n
+         |  FROM lineitem GROUP BY 1),
+         |b AS (SELECT n,
+         |    ((${XxhSql.expr("CAST(k AS VARCHAR)", "42")} % 32) + 32) % 32
+         |      AS bucket
+         |  FROM k)
+         |SELECT bucket, CAST(sum(n) AS BIGINT) AS n_rows,
+         |  count(*) AS n_keys, max(n) AS max_key_rows
+         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
   )
 
   /** Oracle spelling of [[graft.functions.Kernels.zorder2]]: the same 32

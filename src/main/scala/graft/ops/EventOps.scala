@@ -593,6 +593,36 @@ object EventOps {
           (col("conv_b").cast("double") / col("users_b").cast("double"))
             .as("rate_b"))
         .withColumn("lift", col("rate_b") / col("rate_a"))
+    },
+    // Seasonal-naive forecast backtest — the baseline every forecasting
+    // system must beat (and the honest first model for capacity
+    // planning): predict each day's per-type event count with the count
+    // from the SAME WEEKDAY one week earlier (a day-arithmetic self-join
+    // on the daily aggregate, NOT a positional lag — gaps in the day
+    // series must not shift the prediction), then score per type. Errors
+    // stay exact integers end-to-end: MAE = Σ|err|/n and WAPE =
+    // Σ|err|/Σactual are each ONE IEEE division of exact sums — never an
+    // avg of per-row doubles, whose association would differ across
+    // engines. Shape: one (type, day) count shuffle, a self-join on the
+    // day-sized aggregate, a type-sized rollup.
+    "events_forecast_naive" -> { (s, d) =>
+      val daily = withMs(Tables(s, d).events)
+        .groupBy(col("event_type"),
+          expr(floorDivSql("ts_ms", DayMs)).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val pred = daily.select(col("event_type"),
+        (col("day") + 7).as("day"), col("n").as("pred"))
+      daily.join(pred, Seq("event_type", "day"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(abs(col("n") - col("pred"))).as("sum_abs_err"),
+          sum(col("n")).as("sum_actual"))
+        .select(col("event_type"), col("n_eval"), col("sum_abs_err"),
+          (col("sum_abs_err").cast("double") /
+            col("n_eval").cast("double")).as("mae"),
+          (col("sum_abs_err").cast("double") /
+            col("sum_actual").cast("double")).as("wape"))
+        .orderBy("event_type")
     }
   )
 
@@ -1418,6 +1448,21 @@ object EventOps {
          |  CAST(conv_b AS DOUBLE) / CAST(users_b AS DOUBLE) AS rate_b,
          |  (CAST(conv_b AS DOUBLE) / CAST(users_b AS DOUBLE)) /
          |    (CAST(conv_a AS DOUBLE) / CAST(users_a AS DOUBLE)) AS lift
-         |FROM g""".stripMargin
+         |FROM g""".stripMargin,
+    "events_forecast_naive" ->
+      """WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |j AS (SELECT a.event_type, a.n, p.n AS pred
+        |  FROM daily a JOIN daily p ON a.event_type = p.event_type
+        |    AND a.day = p.day + 7),
+        |g AS (SELECT event_type, count(*) AS n_eval,
+        |    CAST(sum(abs(n - pred)) AS BIGINT) AS sum_abs_err,
+        |    CAST(sum(n) AS BIGINT) AS sum_actual
+        |  FROM j GROUP BY 1)
+        |SELECT event_type, n_eval, sum_abs_err,
+        |  CAST(sum_abs_err AS DOUBLE) / CAST(n_eval AS DOUBLE) AS mae,
+        |  CAST(sum_abs_err AS DOUBLE) / CAST(sum_actual AS DOUBLE) AS wape
+        |FROM g ORDER BY event_type""".stripMargin
   )
 }

@@ -203,6 +203,21 @@ object GraphOps {
     "graph_kcore" -> { (s, d) =>
       kcoreFrom(copurchaseEdges(Tables(s, d), minSupport = 2),
         k = 3, rounds = 6)
+    },
+    // Synchronous label propagation (3 rounds) — the near-linear
+    // community detector (Raghavan et al. 2007), made DETERMINISTIC so
+    // it can be oracle-gated: every node simultaneously adopts the
+    // smallest among its neighbors' most frequent labels (classic LPA
+    // breaks ties randomly — min-on-ties is the reproducible-at-scale
+    // choice, like the min-label convention in the components kernel).
+    // Labels start as node ids. Each round is one edges⋈labels equi-join
+    // (labels are node-sized), a (node, label) count, and a struct-max
+    // argmax that collapses map-side — O(rounds × m), no driver
+    // round-trips. Fixed rounds for the same reason as graph_kcore: the
+    // oracle unrolls them CTE for CTE (argmax via row_number).
+    "graph_label_propagation" -> { (s, d) =>
+      labelPropagationFrom(copurchaseEdges(Tables(s, d), minSupport = 2),
+        rounds = 3)
     }
   )
 
@@ -223,6 +238,28 @@ object GraphOps {
     for (_ <- 1 to rounds)
       alive = degIn(alive).filter(col("deg") >= k).select("node")
     degIn(alive).withColumnRenamed("deg", "core_deg").orderBy("node")
+  }
+
+  /** `rounds` synchronous LPA rounds over a canonical (u < v, distinct)
+    * edge list; labels start as node ids, ties break to the SMALLEST
+    * most-frequent neighbor label. Returns (node, label) ordered by node.
+    */
+  def labelPropagationFrom(edges: DataFrame, rounds: Int): DataFrame = {
+    val und = edges.select(col("u").as("src"), col("v").as("dst"))
+      .union(edges.select(col("v").as("src"), col("u").as("dst")))
+      .persist()
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      labels = und
+        .join(labels, und("dst") === labels("node"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("src").as("node"))
+        .agg(max(struct(col("n"), (-col("label")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("label"))
+    }
+    labels.orderBy("node")
   }
 
   /** Degree histogram over a canonical (u < v, distinct) edge list. */
@@ -466,6 +503,24 @@ object GraphOps {
            |WHERE src IN (SELECT node FROM a6)
            |  AND dst IN (SELECT node FROM a6)
            |GROUP BY 1 ORDER BY node""".stripMargin
+      },
+      "graph_label_propagation" -> {
+        // the same three synchronous argmax rounds, CTE for CTE
+        def round(prev: String, ln: String): String =
+          s"""$ln AS (SELECT src AS node, label FROM (
+             |  SELECT e.src, l.label,
+             |    row_number() OVER (PARTITION BY e.src
+             |      ORDER BY count(*) DESC, l.label ASC) AS rk
+             |  FROM und e JOIN $prev l ON e.dst = l.node
+             |  GROUP BY e.src, l.label) WHERE rk = 1)""".stripMargin
+        val chain = (1 to 3)
+          .map(i => round(s"l${i - 1}", s"l$i")).mkString(",\n")
+        s"""WITH $copurchaseSql,
+           |und AS (SELECT u AS src, v AS dst FROM e0
+           |  UNION ALL SELECT v, u FROM e0),
+           |l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+           |$chain
+           |SELECT node, label FROM l3 ORDER BY node""".stripMargin
       }
     )
   }

@@ -427,4 +427,27 @@ class DataOpsSpec extends GraftSuite {
     // the cascade actually fires on this corpus
     assert(got.values.forall { case (p, r) => p > 0 && r > 0 })
   }
+
+  test("skew report: buckets partition the fact table, replay from the " +
+      "engine's own hash stream") {
+    import org.apache.spark.sql.functions._
+    val t = graft.ops.Tables(spark, sfDir)
+    val got = DataOps.queries("data_skew_report")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val perKey = t.lineitem.select("l_partkey").collect()
+      .map(_.getLong(0)).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val bucketOf = t.lineitem.select(col("l_partkey")).distinct()
+      .withColumn("b", pmod(xxhash64(col("l_partkey").cast("string")),
+        lit(32)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = perKey.groupBy { case (k, _) => bucketOf(k) }
+      .map { case (b, ks) =>
+        b -> (ks.values.sum, ks.size.toLong, ks.values.max)
+      }.toSeq.sortBy(_._1)
+    assert(got == want)
+    assert(got.map(_._2._1).sum == t.lineitem.count())
+  }
 }

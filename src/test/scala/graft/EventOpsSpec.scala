@@ -649,4 +649,34 @@ class EventOpsSpec extends GraftSuite {
     // both arms populated — the split is genuinely binary on this corpus
     assert(ua > 0 && ub > 0)
   }
+
+  test("seasonal-naive backtest: day-arithmetic replay (not positional " +
+      "lag) with exact integer error sums") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.EventOps.queries("events_forecast_naive")(
+      spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    val daily = graft.ops.Tables(spark, sfDir).events
+      .select(col("event_type"), unix_millis(col("ts")).as("ms"))
+      .collect().map(r => (r.getString(0),
+        Math.floorDiv(r.getLong(1), 86400000L)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = daily.keys.map(_._1).toSeq.distinct.sorted.map { et =>
+      // NB: .toSeq BEFORE collect — collecting (n, pred) pairs straight
+      // off the Map would rebuild a Map keyed on n and collapse
+      // duplicate counts
+      val evals = daily.toSeq.collect {
+        case ((t, day), n) if t == et && daily.contains((t, day - 7)) =>
+          (n, daily((t, day - 7)))
+      }
+      val sae = evals.map { case (n, p) => math.abs(n - p) }.sum
+      val sact = evals.map(_._1).sum
+      (et, evals.size.toLong, sae,
+        sae.toDouble / evals.size.toDouble, sae.toDouble / sact.toDouble)
+    }
+    assert(got == want)
+    // the evaluation span is non-trivial on this corpus
+    assert(got.forall(_._2 > 0))
+  }
 }

@@ -211,6 +211,22 @@ class GraphOpsSpec extends GraftSuite {
     spark.catalog.clearCache()
   }
 
+  test("label propagation: two bridged triangles converge to two " +
+      "communities under the min-tie-break, hand-traced rounds") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4; hand-traced:
+    // r1: 1→2 2→1 3→1 4→3 5→4 6→4
+    // r2: 1→1 2→1 3→1 4→4 5→3 6→3   (2's tie {1,2} breaks low)
+    // r3: 1→1 2→1 3→1 4→3 5→3 6→3   — two stable communities
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("u", "v")
+    val got = GraphOps.labelPropagationFrom(edges, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 3L), (5L, 3L), (6L, 3L)))
+    spark.catalog.clearCache()
+  }
+
   test("kcore: K4 with a tail survives 3-core peeling intact") {
     import spark.implicits._
     val k4 = for (u <- 1L to 4L; v <- (u + 1) to 4L) yield (u, v)
