@@ -498,8 +498,76 @@ object DedupOps {
         .join(emb.select(col("vec_id").as("id2")).as("b"),
           col("id1") < col("id2"))
       verifyCosine(cand, emb, 0.45)
+    },
+    // MinHash estimator-quality report — the calibration readout that
+    // justifies trusting signature agreement at 100 TB (where exact
+    // verification of every candidate is the budget item): for each LSH
+    // candidate pair, compare the 16-component signature agreement
+    // fraction (the estimator) against the exact shingle Jaccard (the
+    // truth it estimates, E[agreement] = J), bucketed by true-similarity
+    // decile. SUM-OF-DOUBLES is deliberately absent: the per-pair error
+    // lives exactly on a 1/(16·10⁶) grid (est_micro = m16·62500; exact
+    // rounds once to jmicro through an identical double on both
+    // engines), so every per-band statistic is an exact-integer sum with
+    // ONE final IEEE division — a double mean would associate
+    // differently across engines. Same candidate generation as
+    // dedup_minhash_lsh (banded equi-join); the report adds one
+    // signature equi-join and a band-sized rollup.
+    "dedup_minhash_quality" -> { (s, d) =>
+      minhashQualityFrom(Tables(s, d).documents)
     }
   )
+
+  /** The `dedup_minhash_quality` core over any (doc_id, text) frame —
+    * separated so specs can plant pairs with known exact Jaccard.
+    */
+  def minhashQualityFrom(docs: DataFrame): DataFrame = {
+    {
+      val sh = shingleSets(docs).persist()
+      val sig = sh.select(col("doc_id"),
+        minhash_sig(col("sh"), 16).as("sig")).persist()
+      val bands = sig.select(col("doc_id"),
+        posexplode(array((0 until 4).map { b =>
+          struct((0 until 4).map(r =>
+            element_at(col("sig"), b * 4 + r + 1)): _*)
+        }: _*)).as(Seq("band", "bsig")))
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.bsig") === col("y.bsig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+        .distinct()
+      val withSig = cand
+        .join(sig.as("sa"), col("id1") === col("sa.doc_id"))
+        .join(sig.as("sb"), col("id2") === col("sb.doc_id"))
+        .select(col("id1"), col("id2"),
+          aggregate(zip_with(col("sa.sig"), col("sb.sig"),
+            (a, b) => when(a === b, 1L).otherwise(0L)),
+            lit(0L), (acc, x) => acc + x).as("m16"))
+      withSig
+        .join(sh.as("s1"), col("id1") === col("s1.doc_id"))
+        .join(sh.as("s2"), col("id2") === col("s2.doc_id"))
+        .select(col("m16"),
+          round(jaccard_sim(col("s1.sh"), col("s2.sh")) * 1000000)
+            .cast("long").as("jmicro"))
+        .groupBy(expr("jmicro div 100000").as("j_band"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("m16") * 62500L).as("est_sum_micro"),
+          sum(col("jmicro")).as("exact_sum_micro"),
+          sum(abs(col("m16") * 62500L - col("jmicro")))
+            .as("err_sum_micro"))
+        .select(col("j_band"), col("n_pairs"),
+          (col("est_sum_micro").cast("double") /
+            (col("n_pairs") * 1000000L).cast("double")).as("mean_est"),
+          (col("exact_sum_micro").cast("double") /
+            (col("n_pairs") * 1000000L).cast("double")).as("mean_exact"),
+          (col("err_sum_micro").cast("double") /
+            (col("n_pairs") * 1000000L).cast("double"))
+            .as("mean_abs_err"))
+        .orderBy("j_band")
+    }
+  }
 
   /** vec_id + 1000x-quantized vector + squared norm, computed once per row
     * so pair loops only run the integer dot kernel.
@@ -564,6 +632,53 @@ object DedupOps {
          |           JOIN cnt cb ON cb.doc_id = id2
          |WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.8
          |ORDER BY id1, id2""".stripMargin,
+    // same pipeline through `cand`, then signature-agreement counts and
+    // the integer-grid calibration rollup (see the query comment)
+    "dedup_minhash_quality" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS L FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         L[i] || ' ' || L[i+1] || ' ' || L[i+2] AS s
+         |       FROM tok,
+         |         LATERAL (SELECT unnest(generate_series(1, len(L) - 2)) AS i) g),
+         |hs AS (SELECT s, sd, ${XxhSql.expr("s", "sd")} AS h
+         |       FROM (SELECT DISTINCT s FROM sh)
+         |       CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS sd) k),
+         |sig AS (SELECT doc_id, sd, min(h) AS mh
+         |        FROM sh JOIN hs USING (s) GROUP BY 1, 2),
+         |band AS (SELECT doc_id, sd // 4 AS band,
+         |           array_agg(mh ORDER BY sd) AS bsig
+         |         FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM band a JOIN band b
+         |           ON a.band = b.band AND a.bsig = b.bsig
+         |          AND a.doc_id < b.doc_id),
+         |m AS (SELECT c.id1, c.id2,
+         |        count(CASE WHEN a.mh = b.mh THEN 1 END) AS m16
+         |      FROM cand c
+         |      JOIN sig a ON a.doc_id = c.id1
+         |      JOIN sig b ON b.doc_id = c.id2 AND b.sd = a.sd
+         |      GROUP BY 1, 2),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.id1, c.id2, count(*) AS i
+         |          FROM cand c
+         |          JOIN sh x ON x.doc_id = c.id1
+         |          JOIN sh y ON y.doc_id = c.id2 AND y.s = x.s
+         |          GROUP BY 1, 2),
+         |jm AS (SELECT m.m16, CAST(round(1000000 * (CAST(COALESCE(i.i, 0)
+         |          AS DOUBLE) / CAST(ca.n + cb.n - COALESCE(i.i, 0)
+         |          AS DOUBLE))) AS BIGINT) AS jmicro
+         |       FROM m LEFT JOIN inter i
+         |         ON i.id1 = m.id1 AND i.id2 = m.id2
+         |       JOIN cnt ca ON ca.doc_id = m.id1
+         |       JOIN cnt cb ON cb.doc_id = m.id2)
+         |SELECT jmicro // 100000 AS j_band, count(*) AS n_pairs,
+         |  CAST(sum(m16 * 62500) AS DOUBLE) /
+         |    CAST(count(*) * 1000000 AS DOUBLE) AS mean_est,
+         |  CAST(sum(jmicro) AS DOUBLE) /
+         |    CAST(count(*) * 1000000 AS DOUBLE) AS mean_exact,
+         |  CAST(sum(abs(m16 * 62500 - jmicro)) AS DOUBLE) /
+         |    CAST(count(*) * 1000000 AS DOUBLE) AS mean_abs_err
+         |FROM jm GROUP BY 1 ORDER BY j_band""".stripMargin,
     // SimHash oracle: xxh64(token, 42) per distinct token, 64
     // frequency-weighted bit sums per doc, sign -> signature; the chunk
     // banding is complete for Hamming <= 3 (pigeonhole over 4 chunks), so

@@ -623,6 +623,28 @@ object EventOps {
           (col("sum_abs_err").cast("double") /
             col("sum_actual").cast("double")).as("wape"))
         .orderBy("event_type")
+    },
+    // Transition latency — the time dimension the transition MATRIX
+    // (counts) drops: for every consecutive (from → to) event pair
+    // within a user stream, the exact median gap in ms. One window pass
+    // in the same (ts, event_id)-deterministic order as the matrix and
+    // sessionizer, then a pair-keyed exact median (both engines
+    // interpolate the even-count middle identically — the agg_median
+    // parity). At 100 TB the shuffle is user-keyed (window) then
+    // 25-cell-keyed (the rollup); the median's sort is per tiny group.
+    "events_transition_latency" -> { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ms").asc, col("event_id").asc)
+      withMs(Tables(s, d).events)
+        .select(col("user_id"), col("event_id"), col("ts_ms"),
+          col("event_type"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .withColumn("gap_ms", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"),
+          median(col("gap_ms")).as("median_gap_ms"))
+        .orderBy("from_type", "to_type")
     }
   )
 
@@ -1463,6 +1485,18 @@ object EventOps {
         |SELECT event_type, n_eval, sum_abs_err,
         |  CAST(sum_abs_err AS DOUBLE) / CAST(n_eval AS DOUBLE) AS mae,
         |  CAST(sum_abs_err AS DOUBLE) / CAST(sum_actual AS DOUBLE) AS wape
-        |FROM g ORDER BY event_type""".stripMargin
+        |FROM g ORDER BY event_type""".stripMargin,
+    "events_transition_latency" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) AS ts_ms FROM events),
+        |t AS (SELECT event_type,
+        |    lag(event_type) OVER w AS from_type,
+        |    ts_ms - lag(ts_ms) OVER w AS gap_ms
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_ms ASC, event_id ASC))
+        |SELECT from_type, event_type AS to_type, count(*) AS n,
+        |  median(gap_ms) AS median_gap_ms
+        |FROM t WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
   )
 }

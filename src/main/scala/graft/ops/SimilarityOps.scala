@@ -352,6 +352,29 @@ object SimilarityOps {
     "dedup_semantic" -> { (s, d) =>
       semanticDupsFrom(Tables(s, d).embeddings, 0.4)
     },
+    // Embedding-quality audit — the vector-side data-quality gate a
+    // pipeline runs before ANN/centroid work trusts the corpus: per
+    // label, vector count, ZERO-NORM count (the rows quant-cosine must
+    // guard against), and the min/max/quartile profile of the quantized
+    // squared norm. Norms are exact BIGINTs (Σqv² on the shared
+    // 1000×-quantized view), so everything except the three interpolated
+    // quartiles is integer-exact; one label-keyed shuffle, label-sized
+    // output.
+    "sim_norm_profile" -> { (s, d) =>
+      quantizedBase(Tables(s, d).embeddings)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          count(when(col("nn") === 0L, 1)).as("n_zero"),
+          min(col("nn")).as("min_nn"), max(col("nn")).as("max_nn"),
+          percentile(col("nn"),
+            array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+        .select(col("label"), col("n_vecs"), col("n_zero"),
+          col("min_nn"), col("max_nn"),
+          element_at(col("qs"), 1).as("p25"),
+          element_at(col("qs"), 2).as("p50"),
+          element_at(col("qs"), 3).as("p75"))
+        .orderBy("label")
+    },
     "sim_label_centroid" -> { (s, d) =>
       val agg = Tables(s, d).embeddings
         .select(col("label"), quantize(col("embedding")).as("qv"))
@@ -553,6 +576,22 @@ object SimilarityOps {
   }
 
   def oracles: Map[String, String] = Map(
+    "sim_norm_profile" ->
+      """WITH q AS (SELECT vec_id, label,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5)
+        |      AS BIGINT) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+        |      AS i) g),
+        |nn AS (SELECT vec_id, label, CAST(sum(v * v) AS BIGINT) AS nn
+        |  FROM q GROUP BY 1, 2)
+        |SELECT label, count(*) AS n_vecs,
+        |  count(CASE WHEN nn = 0 THEN 1 END) AS n_zero,
+        |  min(nn) AS min_nn, max(nn) AS max_nn,
+        |  quantile_cont(nn, 0.25) AS p25,
+        |  quantile_cont(nn, 0.5) AS p50,
+        |  quantile_cont(nn, 0.75) AS p75
+        |FROM nn GROUP BY 1 ORDER BY label""".stripMargin,
     // Full replication of the LSH-bucketed ANN: the hyperplanes are plain
     // integer arithmetic (planeWeight above), so DuckDB recomputes the
     // 8-bit bucket signatures, the 9 multi-probe buckets, the candidate

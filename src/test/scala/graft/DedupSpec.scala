@@ -362,4 +362,31 @@ class DedupSpec extends GraftSuite {
     // components have >= 2 members by construction (pairs build them)
     assert(got.forall(_._1 >= 2))
   }
+
+  test("minhash quality: planted exact dup lands in band 10 with zero " +
+      "error; per-band stats obey the estimator identities") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base), // exact dup: J=1, all 16 components agree
+      (3L, base + " lambda mu"), // high-overlap neighbor of 1/2
+      (4L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val got = ops.DedupOps.minhashQualityFrom(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    spark.catalog.clearCache()
+    val band10 = got.find(_._1 == 10L).get
+    // the identical pair: agreement 16/16, exact 1.0, error 0
+    assert(band10._3 == 1.0 && band10._4 == 1.0 && band10._5 == 0.0)
+    got.foreach { case (band, n, est, exact, err) =>
+      assert(n > 0)
+      assert(est >= 0.0 && est <= 1.0)
+      // band means sit inside the band's similarity range
+      assert(exact >= band.toDouble / 10.0 - 1e-9 &&
+        exact <= (band + 1).toDouble / 10.0 + 1e-9)
+      // mean |err| dominates |mean est - mean exact| (Jensen)
+      assert(err >= math.abs(est - exact) - 1e-12)
+    }
+  }
 }

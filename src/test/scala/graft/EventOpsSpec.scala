@@ -679,4 +679,31 @@ class EventOpsSpec extends GraftSuite {
     // the evaluation span is non-trivial on this corpus
     assert(got.forall(_._2 > 0))
   }
+
+  test("transition latency: per-pair exact median gap replay in the " +
+      "deterministic (ts, event_id) order") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.EventOps.queries("events_transition_latency")(
+      spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val evs = graft.ops.Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gaps = evs.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (e._3, e._2))
+      s.zip(s.tail).map { case (a, b) => ((a._4, b._4), b._3 - a._3) }
+    }.toSeq
+    def med(xs: Seq[Long]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) s(n / 2).toDouble
+      else s(n / 2 - 1) + 0.5 * (s(n / 2) - s(n / 2 - 1)).toDouble
+    }
+    val want = gaps.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case ((f, t), xs) => (f, t, xs.size.toLong, med(xs.map(_._2)))
+    }
+    assert(got == want)
+  }
 }

@@ -315,4 +315,36 @@ class SimilarityOpsSpec extends GraftSuite {
       assert(got == want, s"seed=$seed: got=$got want=$want")
     }
   }
+
+  test("norm profile: plain-Scala replay of quantized norms, zero-count, " +
+      "and interpolated quartiles") {
+    val got = SimilarityOps.queries("sim_norm_profile")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getDouble(7))).toSeq
+    val rows = graft.ops.Tables(spark, sfDir).embeddings
+      .select("label", "embedding").collect()
+      .map { r =>
+        val nn = r.getSeq[Float](1).map { x =>
+          val q = math.floor(x.toDouble * 1000.0 + 0.5).toLong
+          q * q
+        }.sum
+        (r.getInt(0), nn)
+      }
+    def pct(sorted: IndexedSeq[Long], q: Double): Double = {
+      val pos = (sorted.length - 1) * q
+      val lo = pos.toInt
+      val frac = pos - lo
+      if (lo + 1 < sorted.length)
+        sorted(lo) + frac * (sorted(lo + 1) - sorted(lo)).toDouble
+      else sorted(lo).toDouble
+    }
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (l, xs) =>
+      val nns = xs.map(_._2).sorted.toIndexedSeq
+      (l, nns.length.toLong, nns.count(_ == 0L).toLong,
+        nns.head, nns.last,
+        pct(nns, 0.25), pct(nns, 0.5), pct(nns, 0.75))
+    }
+    assert(got == want)
+  }
 }
