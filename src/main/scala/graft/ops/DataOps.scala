@@ -732,6 +732,41 @@ object DataOps {
         .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_keys"),
           max(col("n")).as("max_key_rows"))
         .orderBy("bucket")
+    },
+    // Column-level data profile — the summary every catalog/discovery
+    // tool materializes per table: row count, null count, NDV, domain
+    // bounds, and the modal value per column. Profiled over the RENDERED
+    // (string) domain, restricted to integer/varchar columns where the
+    // rendering is engine-identical (doubles and timestamps render
+    // differently across engines — their profile lives in the typed
+    // queries); bounds are therefore lexicographic, which is the honest
+    // contract for a type-agnostic profiler. stack() fans the row out
+    // column-wise in one scan; the mode is a (col, value) count plus a
+    // rank-1 pushdown, tie broken to the smallest value. Output is
+    // 4 rows at any scale.
+    "data_column_profile" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val src = Tables(s, d).orders.selectExpr(
+        "stack(4, 'o_custkey', CAST(o_custkey AS STRING), " +
+          "'o_orderkey', CAST(o_orderkey AS STRING), " +
+          "'o_orderpriority', o_orderpriority, " +
+          "'o_orderstatus', o_orderstatus) AS (col_name, v)")
+      val stats = src.groupBy("col_name").agg(
+        count(lit(1)).as("n"),
+        count(when(col("v").isNull, 1)).as("n_null"),
+        countDistinct(col("v")).as("ndv"),
+        min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      val w = Window.partitionBy("col_name")
+        .orderBy(col("cnt").desc, col("v").asc)
+      val mode = src.filter(col("v").isNotNull)
+        .groupBy("col_name", "v").agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("col_name"), col("v").as("top_v"),
+          col("cnt").as("top_n"))
+      stats.join(mode, "col_name")
+        .select(col("col_name"), col("n"), col("n_null"), col("ndv"),
+          col("min_v"), col("max_v"), col("top_v"), col("top_n"))
+        .orderBy("col_name")
     }
   )
 
@@ -1283,7 +1318,28 @@ object DataOps {
          |  FROM k)
          |SELECT bucket, CAST(sum(n) AS BIGINT) AS n_rows,
          |  count(*) AS n_keys, max(n) AS max_key_rows
-         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin
+         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "data_column_profile" ->
+      """WITH src AS (
+        |  SELECT 'o_custkey' AS col_name, CAST(o_custkey AS VARCHAR) AS v
+        |    FROM orders
+        |  UNION ALL SELECT 'o_orderkey', CAST(o_orderkey AS VARCHAR)
+        |    FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders),
+        |stats AS (SELECT col_name, count(*) AS n,
+        |    count(CASE WHEN v IS NULL THEN 1 END) AS n_null,
+        |    count(DISTINCT v) AS ndv, min(v) AS min_v, max(v) AS max_v
+        |  FROM src GROUP BY 1),
+        |cnts AS (SELECT col_name, v, count(*) AS cnt FROM src
+        |  WHERE v IS NOT NULL GROUP BY 1, 2),
+        |md AS (SELECT col_name, v AS top_v, cnt AS top_n FROM (
+        |  SELECT col_name, v, cnt, row_number() OVER (
+        |      PARTITION BY col_name ORDER BY cnt DESC, v ASC) AS rk
+        |  FROM cnts) WHERE rk = 1)
+        |SELECT s.col_name, n, n_null, ndv, min_v, max_v, top_v, top_n
+        |FROM stats s JOIN md USING (col_name) ORDER BY col_name"""
+        .stripMargin
   )
 
   /** Oracle spelling of [[graft.functions.Kernels.zorder2]]: the same 32

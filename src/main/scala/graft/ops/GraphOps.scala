@@ -72,20 +72,19 @@ object GraphOps {
     // The self-join form shuffles the fact table twice and re-distincts
     // the pair fan-out — measured 2x slower at sf0.1.
     "graph_triangles" -> { (s, d) =>
-      val li = Tables(s, d).lineitem
-      // collect_set dedups in its partial state — a pre-distinct would be
-      // a second full shuffle on a wider key for nothing
-      val bySupp = li.select(col("l_orderkey").as("ok"),
-          col("l_suppkey").as("sk"))
-        .groupBy("ok").agg(sort_array(collect_set(col("sk"))).as("ss"))
-      val edges = bySupp
-        .select(explode(flatten(transform(col("ss"), (x, i) =>
-          transform(slice(col("ss"), i + lit(2), size(col("ss"))),
-            y => struct(x.as("u"), y.as("v")))))).as("p"))
-        .select(col("p.u").as("u"), col("p.v").as("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 5).select("u", "v")
-      trianglesFrom(edges, k = 20)
+      trianglesFrom(cosupplyEdges(Tables(s, d), minSupport = 5), k = 20)
+    },
+    // Local clustering coefficient over the same strong-tie co-supply
+    // graph — the community-density readout next to the raw triangle
+    // counts: cc(v) = 2·T(v)/(d(v)·(d(v)−1)), how close each supplier's
+    // trade neighborhood is to a clique. Reuses the degree-ordered
+    // triangle kernel verbatim (same O(m^1.5) wedge bound) plus one
+    // node-sized left join against the degree table; the division is one
+    // IEEE op on exact integers. Full node-sized output (graphs shrink
+    // to node scale after the kernel; no top-k cherry-picking here
+    // because the profile over ALL nodes is the point).
+    "graph_clustering_coeff" -> { (s, d) =>
+      clusteringCoeffFrom(cosupplyEdges(Tables(s, d), minSupport = 5))
     },
     // Market-basket association mining: co-purchased part pairs with
     // support ≥ 3 orders, scored by lift = P(ab)/(P(a)·P(b)) — the
@@ -291,6 +290,25 @@ object GraphOps {
     * `graph_triangles` for why the projection must be thresholded at
     * scale).
     */
+  /** Canonical (u < v) supplier co-supply edges with pair support >=
+    * `minSupport` shared orders — the strong-tie trade graph of the
+    * triangle and clustering-coefficient kernels. collect_set dedups in
+    * its partial state — a pre-distinct would be a second full shuffle
+    * on a wider key for nothing.
+    */
+  private def cosupplyEdges(t: Tables, minSupport: Long): DataFrame = {
+    val bySupp = t.lineitem.select(col("l_orderkey").as("ok"),
+        col("l_suppkey").as("sk"))
+      .groupBy("ok").agg(sort_array(collect_set(col("sk"))).as("ss"))
+    bySupp
+      .select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+          y => struct(x.as("u"), y.as("v")))))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport).select("u", "v")
+  }
+
   private def copurchaseEdges(t: Tables, minSupport: Long): DataFrame = {
     val it = t.lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
@@ -323,7 +341,15 @@ object GraphOps {
     * upstream re-executes per read (measured 5x the edge-build cost at
     * sf0.1). The CALLER owns release via `spark.catalog.clearCache()`.
     */
-  def trianglesFrom(edges0: DataFrame, k: Int): DataFrame = {
+  def trianglesFrom(edges0: DataFrame, k: Int): DataFrame =
+    triangleCountsFrom(edges0)
+      .orderBy(col("n_tri").desc, col("node").asc)
+      .limit(k)
+
+  /** Per-node triangle counts (no ordering/limit) — the shared kernel of
+    * `trianglesFrom` and [[clusteringCoeffFrom]].
+    */
+  def triangleCountsFrom(edges0: DataFrame): DataFrame = {
     val edges = edges0.persist()
     val und = edges.select(col("u").as("x"))
       .union(edges.select(col("v").as("x")))
@@ -348,8 +374,24 @@ object GraphOps {
       .union(tri.select(col("b").as("node")))
       .union(tri.select(col("c").as("node")))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
-      .orderBy(col("n_tri").desc, col("node").asc)
-      .limit(k)
+  }
+
+  /** Local clustering coefficient cc = 2·T/(d·(d−1)) per node of a
+    * canonical edge list (0.0 for degree < 2); all nodes, ordered by id.
+    */
+  def clusteringCoeffFrom(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("u").as("x"))
+      .union(edges.select(col("v").as("x")))
+    val deg = und.groupBy("x").agg(count(lit(1)).as("degree"))
+    val tc = triangleCountsFrom(edges)
+    deg.join(tc, deg("x") === tc("node"), "left")
+      .select(col("x").as("node"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("cc",
+        when(col("degree") < 2, lit(0.0))
+          .otherwise((col("n_tri") * 2L).cast("double") /
+            (col("degree") * (col("degree") - 1L)).cast("double")))
+      .orderBy("node")
   }
 
   /** PageRank core over a planted directed edge list (undirected = pass
@@ -436,6 +478,38 @@ object GraphOps {
           |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
           |SELECT node, count(*) AS n_tri FROM corners GROUP BY 1
           |ORDER BY n_tri DESC, node LIMIT 20""".stripMargin,
+      // the same triangle pipeline, joined back to degrees for cc
+      "graph_clustering_coeff" ->
+        """WITH pe AS (SELECT DISTINCT a.l_orderkey AS ok,
+          |    a.l_suppkey AS u, b.l_suppkey AS v
+          |  FROM lineitem a JOIN lineitem b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+          |e AS (SELECT u, v FROM pe GROUP BY u, v HAVING count(*) >= 5),
+          |und AS (SELECT u AS x FROM e UNION ALL SELECT v FROM e),
+          |deg AS (SELECT x, count(*) AS dg FROM und GROUP BY 1),
+          |o AS (SELECT
+          |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN e.u ELSE e.v END
+          |      AS src,
+          |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN e.v ELSE e.u END
+          |      AS dst,
+          |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN dv.dg ELSE du.dg END
+          |      AS ddst
+          |  FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+          |tri AS (SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+          |  FROM o o1
+          |  JOIN o o2 ON o1.src = o2.src
+          |    AND (o1.ddst, o1.dst) < (o2.ddst, o2.dst)
+          |  JOIN o e3 ON e3.src = o1.dst AND e3.dst = o2.dst),
+          |corners AS (SELECT a AS node FROM tri
+          |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+          |tcnt AS (SELECT node, count(*) AS n_tri FROM corners GROUP BY 1)
+          |SELECT d.x AS node, d.dg AS degree,
+          |  COALESCE(t.n_tri, 0) AS n_tri,
+          |  CASE WHEN d.dg < 2 THEN 0.0
+          |       ELSE CAST(2 * COALESCE(t.n_tri, 0) AS DOUBLE) /
+          |            CAST(d.dg * (d.dg - 1) AS DOUBLE) END AS cc
+          |FROM deg d LEFT JOIN tcnt t ON t.node = d.x
+          |ORDER BY node""".stripMargin,
       "basket_pair_lift" ->
         """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
           |  FROM lineitem),

@@ -450,4 +450,28 @@ class DataOpsSpec extends GraftSuite {
     assert(got == want)
     assert(got.map(_._2._1).sum == t.lineitem.count())
   }
+
+  test("column profile: plain-Scala replay over the rendered domain " +
+      "(counts, lexicographic bounds, min-tie-break mode)") {
+    val got = DataOps.queries("data_column_profile")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5), r.getString(6), r.getLong(7)))
+      .toSeq
+    val rows = graft.ops.Tables(spark, sfDir).orders
+      .select("o_custkey", "o_orderkey", "o_orderpriority",
+        "o_orderstatus").collect()
+    val cols = Seq(
+      "o_custkey" -> rows.map(_.getLong(0).toString),
+      "o_orderkey" -> rows.map(_.getLong(1).toString),
+      "o_orderpriority" -> rows.map(_.getString(2)),
+      "o_orderstatus" -> rows.map(_.getString(3)))
+    val want = cols.map { case (name, vs) =>
+      val counts = vs.groupBy(identity).view.mapValues(_.length.toLong)
+      val (topV, topN) = counts.toSeq.minBy { case (v, c) => (-c, v) }
+      (name, vs.length.toLong, 0L, counts.size.toLong,
+        vs.min, vs.max, topV, topN)
+    }
+    assert(got == want)
+  }
 }

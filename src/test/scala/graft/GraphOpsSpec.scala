@@ -236,4 +236,22 @@ class GraphOpsSpec extends GraftSuite {
     assert(got == (1L to 4L).map(_ -> 3L))
     spark.catalog.clearCache()
   }
+
+  test("clustering coefficient: hand-computed K4 with a 2-hop tail") {
+    import spark.implicits._
+    // K4 {1,2,3,4} + tail 4-5, 5-6: inner K4 nodes are fully clustered
+    // (cc=1), node 4 loses half its pairs to the tail (3 triangles over
+    // C(4,2)=6), node 5's neighbors {4,6} are non-adjacent (cc=0), and
+    // degree-1 node 6 is defined to 0
+    val k4 = for (u <- 1L to 4L; v <- (u + 1) to 4L) yield (u, v)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L))).toDF("u", "v")
+    val got = GraphOps.clusteringCoeffFrom(edges)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got == Seq((1L, 3L, 3L, 1.0), (2L, 3L, 3L, 1.0),
+      (3L, 3L, 3L, 1.0), (4L, 4L, 3L, 0.5),
+      (5L, 2L, 0L, 0.0), (6L, 1L, 0L, 0.0)))
+    spark.catalog.clearCache()
+  }
 }
