@@ -513,6 +513,25 @@ object DataOps {
     "data_compaction_plan" -> { (s, d) =>
       compactionPlanFrom(Tables(s, d).documents, 16384L)
     },
+    // Range-partition planning — the boundary computation behind every
+    // global-sorted write (the step Spark's RangePartitioner does by
+    // SAMPLING; this is the exact-histogram form): quantize the sort key
+    // (floor(price/100) — the quantizer is the scale lever: boundaries
+    // only need key-range resolution, and quantizing keeps the histogram
+    // orders of magnitude smaller than the data at any scale), build a
+    // value-count histogram (one shuffle, combiner collapses it), prefix-
+    // sum it with a ROWS window (single-partition — over the QUANTIZED
+    // histogram, metadata-scale like the compaction plan), and read off
+    // boundary i = smallest key with cum·8 ≥ i·N. Integer arithmetic end
+    // to end (cum·8 vs i·N avoids the ceil-division pitfall); the result
+    // is the 8-way range-bucket boundary table a 1000-executor sorted
+    // write would shuffle against.
+    "data_range_partition_plan" -> { (s, d) =>
+      rangePartitionPlanFrom(
+        Tables(s, d).lineitem
+          .select(floor(col("l_extendedprice") / 100).as("vq")),
+        nBuckets = 8)
+    },
     // Weighted sampling WITHOUT replacement, the distributed way
     // (Efraimidis & Spirakis 2006, public literature): each doc draws a
     // deterministic hash-uniform u and competes on key = u^(1/w) — the
@@ -829,6 +848,26 @@ object DataOps {
         min(col("file_id")).as("first_file"),
         max(col("file_id")).as("last_file"))
       .orderBy("lang", "bin")
+  }
+
+  /** Range-partition boundary core over any single-column (vq) frame of
+    * quantized sort keys (see the `data_range_partition_plan` query
+    * comment): boundary i = smallest vq with cum·nBuckets ≥ i·N.
+    * Separated so specs can plant value distributions with
+    * hand-computable boundaries.
+    */
+  def rangePartitionPlanFrom(vals: DataFrame, nBuckets: Int): DataFrame = {
+    val hist = vals.groupBy("vq").agg(count(lit(1)).as("n"))
+    val tot = hist.agg(sum(col("n")).as("nt"))
+    val w = Window.orderBy("vq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum", sum(col("n")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("vq"), col("cum"), col("nt"),
+        explode(sequence(lit(1L), lit(nBuckets.toLong))).as("bucket"))
+      .filter(col("cum") * nBuckets >= col("bucket") * col("nt"))
+      .groupBy("bucket").agg(min(col("vq")).as("boundary"))
+      .orderBy("bucket")
   }
 
   /** Winsorize core over any frame with (grp, v) — separated so specs can
@@ -1194,6 +1233,20 @@ object DataOps {
         |  CAST(sum(bytes) AS BIGINT) AS group_bytes,
         |  min(file_id) AS first_file, max(file_id) AS last_file
         |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin,
+    // same quantized histogram, ROWS prefix sum, and cum*8 >= i*N boundary
+    // rule; floor(x/100) on DOUBLE is the same IEEE op in both engines
+    "data_range_partition_plan" ->
+      """WITH q AS (SELECT CAST(floor(l_extendedprice / 100) AS BIGINT)
+        |    AS vq FROM lineitem),
+        |h AS (SELECT vq, count(*) AS n FROM q GROUP BY 1),
+        |c AS (SELECT vq, CAST(sum(n) OVER (ORDER BY vq ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum FROM h),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM h)
+        |SELECT bucket, min(vq) AS boundary
+        |FROM c, t, (SELECT unnest(generate_series(1, 8)) AS bucket) b
+        |WHERE cum * 8 >= bucket * nt
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "data_quality_checks" ->
       """SELECT * FROM (
         |  SELECT 'lineitem_fk_orders' AS check_name,

@@ -203,6 +203,37 @@ object GraphOps {
       kcoreFrom(copurchaseEdges(Tables(s, d), minSupport = 2),
         k = 3, rounds = 6)
     },
+    // Deterministic 3-step random walks from EVERY node of the sparse
+    // co-purchase graph — the node2vec/DeepWalk sampling primitive that
+    // feeds graph-embedding training (the graph analog of the corpus
+    // sampling ops in DataOps). True RNG cannot be oracle-gated (and at
+    // 100 TB makes reruns non-reproducible across cluster sizes — the
+    // same argument as the integer PageRank), so the neighbor choice is
+    // a HASH-SEEDED pick: from node u at step t, walk to the neighbor v
+    // minimizing (1000003·u + 7919·t + v) mod 1000000007 — a fixed
+    // mixing function both engines evaluate in exact 64-bit arithmetic
+    // (injective in v for fixed (u, t) since v < p, so no ties; the id
+    // tiebreak is still pinned for safety). Each step is one
+    // frontier⋈edges equi-join plus a struct-min argmax that collapses
+    // map-side — O(steps × m), no driver round-trips; the walk table
+    // stays node-sized because every start's walk is deterministic.
+    "graph_random_walk" -> { (s, d) =>
+      randomWalkFrom(copurchaseEdges(Tables(s, d), minSupport = 2),
+        steps = 3)
+    },
+    // Jaccard-coefficient link prediction over the same sparse graph —
+    // the normalized upgrade of graph_common_neighbors: score non-
+    // adjacent pairs by |N(u)∩N(v)| / |N(u)∪N(v)| = common /
+    // (deg(u) + deg(v) − common), which de-biases the raw wedge count
+    // toward hubs. Reuses the wedge self-join (equi-join on the center
+    // node) for the intersection and broadcasts the node-sized degree
+    // table twice for the union; the score is ONE IEEE division of
+    // exact integers, so ordering is engine-portable. Top-20 keeps the
+    // output fixed-size at any scale (TakeOrderedAndProject).
+    "graph_jaccard_linkpred" -> { (s, d) =>
+      jaccardLinkpredFrom(copurchaseEdges(Tables(s, d), minSupport = 2),
+        k = 20)
+    },
     // Synchronous label propagation (3 rounds) — the near-linear
     // community detector (Raghavan et al. 2007), made DETERMINISTIC so
     // it can be oracle-gated: every node simultaneously adopts the
@@ -259,6 +290,56 @@ object GraphOps {
         .select(col("node"), (-col("m.neg")).as("label"))
     }
     labels.orderBy("node")
+  }
+
+  /** Deterministic hash-seeded random walks (see the `graph_random_walk`
+    * query comment): `steps` synchronous steps from every node of a
+    * canonical (u < v, distinct) edge list. Returns
+    * (start, s1, ..., s_steps) ordered by start. Every node of the edge
+    * list has >= 1 neighbor by construction, so walks never die.
+    */
+  def randomWalkFrom(edges: DataFrame, steps: Int): DataFrame = {
+    val und = edges.select(col("u").as("src"), col("v").as("dst"))
+      .union(edges.select(col("v").as("src"), col("u").as("dst")))
+      .persist()
+    var w = und.select(col("src").as("start")).distinct()
+      .withColumn("cur", col("start"))
+    var carried = Seq("start")
+    for (t <- 1 to steps) {
+      val mix = (lit(1000003L) * col("src") + lit(7919L * t) + col("dst")) %
+        lit(1000000007L)
+      val stepCol = s"s$t"
+      w = w.join(und, w("cur") === und("src"))
+        .groupBy(carried.map(col): _*)
+        .agg(min(struct(mix.as("m"), col("dst").as("v"))).as("pick"))
+        .select(carried.map(col) :+ col("pick.v").as(stepCol): _*)
+        .withColumn("cur", col(stepCol))
+      carried = carried :+ stepCol
+    }
+    w.select(carried.map(col): _*).orderBy("start")
+  }
+
+  /** Jaccard link-prediction scores of non-adjacent pairs over a
+    * canonical edge list (see the `graph_jaccard_linkpred` query
+    * comment), top `k`.
+    */
+  def jaccardLinkpredFrom(e0: DataFrame, k: Int): DataFrame = {
+    val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    val deg = e.groupBy(col("u").as("x")).agg(count(lit(1)).as("dg"))
+    val cand = e.as("a").join(e.as("b"),
+        col("a.v") === col("b.u") && col("a.u") < col("b.v"))
+      .groupBy(col("a.u").as("u"), col("b.v").as("v"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(e0, Seq("u", "v"), "left_anti")
+    cand
+      .join(broadcast(deg.select(col("x").as("u"), col("dg").as("du"))), "u")
+      .join(broadcast(deg.select(col("x").as("v"), col("dg").as("dv"))), "v")
+      .select(col("u"), col("v"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("du") + col("dv") - col("n_common")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("u").asc, col("v").asc)
+      .limit(k)
   }
 
   /** Degree histogram over a canonical (u < v, distinct) edge list. */
@@ -578,6 +659,43 @@ object GraphOps {
            |  AND dst IN (SELECT node FROM a6)
            |GROUP BY 1 ORDER BY node""".stripMargin
       },
+      "graph_random_walk" -> {
+        // the same three hash-seeded argmin steps, CTE for CTE
+        // (row_number over the identical mixing function)
+        def step(prev: String, wn: String, t: Int,
+            prevCols: String, curCol: String): String =
+          s"""$wn AS (SELECT $prevCols, v AS s$t FROM (
+             |  SELECT w.*, e.dst AS v, row_number() OVER (
+             |      PARTITION BY w.start
+             |      ORDER BY (1000003 * e.src + ${7919L * t} + e.dst)
+             |        % 1000000007, e.dst) AS rk
+             |  FROM $prev w JOIN und e ON e.src = w.$curCol) WHERE rk = 1)"""
+            .stripMargin
+        s"""WITH $copurchaseSql,
+           |und AS (SELECT u AS src, v AS dst FROM e0
+           |  UNION ALL SELECT v, u FROM e0),
+           |w0 AS (SELECT DISTINCT src AS start FROM und),
+           |${step("w0", "w1", 1, "start", "start")},
+           |${step("w1", "w2", 2, "start, s1", "s1")},
+           |${step("w2", "w3", 3, "start, s1, s2", "s2")}
+           |SELECT start, s1, s2, s3 FROM w3 ORDER BY start""".stripMargin
+      },
+      "graph_jaccard_linkpred" ->
+        s"""WITH $copurchaseSql,
+           |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           |deg AS (SELECT u AS x, count(*) AS dg FROM e GROUP BY 1),
+           |cand AS (SELECT a.u AS u, b.v AS v, count(*) AS n_common
+           |  FROM e a JOIN e b ON a.v = b.u AND a.u < b.v
+           |  GROUP BY 1, 2)
+           |SELECT u, v, n_common,
+           |  CAST(n_common AS DOUBLE) /
+           |    CAST(du.dg + dv.dg - n_common AS DOUBLE) AS jaccard
+           |FROM cand
+           |JOIN deg du ON du.x = cand.u
+           |JOIN deg dv ON dv.x = cand.v
+           |WHERE NOT EXISTS (SELECT 1 FROM e0
+           |  WHERE e0.u = cand.u AND e0.v = cand.v)
+           |ORDER BY jaccard DESC, u ASC, v ASC LIMIT 20""".stripMargin,
       "graph_label_propagation" -> {
         // the same three synchronous argmax rounds, CTE for CTE
         def round(prev: String, ln: String): String =

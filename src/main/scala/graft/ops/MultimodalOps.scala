@@ -186,6 +186,20 @@ object MultimodalOps {
         .toDF("doc_id", "frame_idx", "n_samples", "energy", "peak")
         .orderBy("doc_id", "frame_idx")
     },
+    // Shot-boundary detection over the DECODED pixel stream — the video
+    // segmentation step every frame-level curation pipeline runs before
+    // sampling (cut detection by inter-frame intensity delta, the classic
+    // public baseline): the RLE1-decoded signal (same real codec as
+    // mm_decode_real) is framed into strict 64-pixel frames (the trailing
+    // partial frame is dropped — equal frame sizes keep the comparison a
+    // pure integer test), and frame t is a boundary iff
+    // |sum_t − sum_{t−1}| > 512 (mean intensity jump > 8). Exact integer
+    // arithmetic end to end; emits boundaries only, so output is
+    // cut-sized, not frame-sized. Same partition-batched map shape as the
+    // decode family: zero shuffles beyond the presentation sort.
+    "mm_shot_boundaries" -> { (s, d) =>
+      shotBoundariesFrom(s, Tables(s, d).documents)
+    },
     // Frame sampling plan: every 2nd "frame" of a fake video whose frame
     // count derives from the payload size — the explode/sequence shape a real
     // frame sampler would use.
@@ -234,6 +248,42 @@ object MultimodalOps {
         .orderBy("doc_id", "level")
     }
   )
+
+  /** Cut-detection kernel of `mm_shot_boundaries` (see the query
+    * comment) — separated so MultimodalSpec can drive it with planted
+    * frame sequences. `docs` must carry (doc_id, text).
+    */
+  private[graft] def shotBoundariesFrom(s: SparkSession, docs: DataFrame)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, b) =>
+          val raw = if (b == null) Array.empty[Byte] else b
+          val dec = Rle1.decode(Rle1.encode(raw))
+          val nf = dec.length / 64
+          val sums = new Array[Long](nf)
+          var j = 0
+          while (j < nf) {
+            var sum = 0L
+            var i = j * 64
+            val until = i + 64
+            while (i < until) { sum += dec(i) & 0xFF; i += 1 }
+            sums(j) = sum
+            j += 1
+          }
+          (1 until nf).iterator
+            .filter(t => math.abs(sums(t) - sums(t - 1)) > 512L)
+            .map(t => (id, t, sums(t - 1), sums(t),
+              math.abs(sums(t) - sums(t - 1))))
+        }
+      }
+      .toDF("doc_id", "frame_idx", "prev_sum", "cur_sum", "delta")
+      .orderBy("doc_id", "frame_idx")
+  }
 
   /** aHash bands of one payload: RLE1 roundtrip-decode, then 64 floor-
     * boundary pixel ranges; bit j set iff range j's mean exceeds the
@@ -318,6 +368,28 @@ object MultimodalOps {
         |       THEN CAST(list_sum(list_slice(bs, s + 1, e)) AS DOUBLE) / (e - s)
         |       ELSE 0.0 END AS mean_byte
         |FROM g ORDER BY doc_id, bucket""".stripMargin,
+    // codec-free shot detection (decoded = raw codepoints on the ASCII
+    // corpus): the same strict 64-pixel frames, integer frame sums, and
+    // |Δ| > 512 cut rule via a lag window
+    "mm_shot_boundaries" ->
+      """WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+        |b AS (SELECT doc_id, length(text) // 64 AS nf,
+        |    list_transform(string_split(text, ''),
+        |      x -> CAST(ord(x) AS BIGINT)) AS bs
+        |  FROM t),
+        |f AS (SELECT doc_id, j,
+        |    CAST(list_sum(bs[(j * 64 + 1):(j * 64 + 64)]) AS BIGINT) AS fsum
+        |  FROM b, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS j) g
+        |  WHERE nf > 0),
+        |d AS (SELECT doc_id, j,
+        |    lag(fsum) OVER (PARTITION BY doc_id ORDER BY j) AS prev_sum,
+        |    fsum AS cur_sum
+        |  FROM f)
+        |SELECT doc_id, CAST(j AS INT) AS frame_idx, prev_sum, cur_sum,
+        |  abs(cur_sum - prev_sum) AS delta
+        |FROM d
+        |WHERE prev_sum IS NOT NULL AND abs(cur_sum - prev_sum) > 512
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, unnest(generate_series(0, n_chars // 100, 2))
         |  AS frame_idx

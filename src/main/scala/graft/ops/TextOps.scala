@@ -43,6 +43,23 @@ object TextOps {
           .as("n_subtokens"))
         .orderBy("doc_id")
     },
+    // Skip-bigram co-occurrence association — the word2vec/GloVe corpus
+    // statistic: count ordered token pairs within a ±2 window (distance-1
+    // and distance-2 skip-grams), then score each surviving pair by the
+    // observed/expected ratio n_ab·T / (n_a·n_b) — PMI without the log
+    // (log is monotone, so the RANKING is identical, and dropping it
+    // keeps the score ONE IEEE division of exact integers — ln is not
+    // bit-portable across engines). The pair stream is built WITHOUT a
+    // positions self-join: zip_with over two slices of the token array
+    // emits each window pair in a codegen'd map (zero joins, zero
+    // shuffles until the pair count), and the marginals derive from the
+    // (much smaller) pair-count table itself, broadcast back. Support
+    // ≥ 5 prunes the Poisson tail, top-30 bounds the output.
+    // (n_ab·T overflows a long only past ~3·10^9 pairs per shard —
+    // switch the score to DECIMAL(38,0) rationals at that scale.)
+    "text_cooccurrence_assoc" -> { (s, d) =>
+      cooccurrenceAssocFrom(Tables(s, d).documents, minSupport = 5, k = 30)
+    },
     // Quality scoring: stopword ratio, mean token length, type-token ratio.
     "text_quality" -> { (s, d) =>
       val t = toks(col("text"))
@@ -715,6 +732,37 @@ object TextOps {
         regexp_replace(col("text"), EmailRe, "<EMAIL>"),
         TermRe, "<REDACTED>").as("scrubbed"))
 
+  /** Skip-bigram association kernel of `text_cooccurrence_assoc` (see the
+    * query comment) — separated so specs can drive it with planted
+    * corpora at a low support threshold.
+    */
+  def cooccurrenceAssocFrom(docs: DataFrame, minSupport: Long, k: Int)
+      : DataFrame = {
+    val tk = toks(col("text"))
+    val n = size(tk)
+    def skip(dist: Int) = when(n > dist, zip_with(
+        slice(tk, lit(1), n - dist), slice(tk, lit(dist + 1), n - dist),
+        (x, y) => struct(x.as("w1"), y.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    val pc = docs
+      .select(explode(concat(skip(1), skip(2))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .persist()
+    val m1 = pc.groupBy("w1").agg(sum(col("n_ab")).as("n_a"))
+    val m2 = pc.groupBy("w2").agg(sum(col("n_ab")).as("n_b"))
+    val tot = pc.agg(sum(col("n_ab")).as("t_pairs"))
+    pc.filter(col("n_ab") >= minSupport)
+      .join(broadcast(m1), "w1")
+      .join(broadcast(m2), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab") * col("t_pairs")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("assoc"))
+      .orderBy(col("assoc").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   private val tokSql = "string_split(text, ' ')"
 
   /** ln(i) for i in 0..1024 (entry 0 unused) — the shared log table that
@@ -750,6 +798,31 @@ object TextOps {
          |  CAST(list_sum(list_transform($tokSql,
          |    x -> CAST(ceil(length(x) / 4.0) AS INT))) AS INT) AS n_subtokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // the same distance-1/distance-2 skip-bigram stream via list indexing
+    // (tk[j], tk[j+d]) — set-identical to the engine's slice/zip_with
+    // construction — and the same integer-ratio score
+    "text_cooccurrence_assoc" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |pr AS (
+         |  SELECT tk[j] AS w1, tk[j + 1] AS w2 FROM tk,
+         |    LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS j) g
+         |  WHERE len(tk) > 1
+         |  UNION ALL
+         |  SELECT tk[j] AS w1, tk[j + 2] AS w2 FROM tk,
+         |    LATERAL (SELECT unnest(generate_series(1, len(tk) - 2)) AS j) g
+         |  WHERE len(tk) > 2),
+         |pc AS (SELECT w1, w2, count(*) AS n_ab FROM pr GROUP BY 1, 2),
+         |m1 AS (SELECT w1, CAST(sum(n_ab) AS BIGINT) AS n_a
+         |  FROM pc GROUP BY 1),
+         |m2 AS (SELECT w2, CAST(sum(n_ab) AS BIGINT) AS n_b
+         |  FROM pc GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_ab) AS BIGINT) AS t_pairs FROM pc)
+         |SELECT w1, w2, n_ab, n_a, n_b,
+         |  CAST(n_ab * t_pairs AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)
+         |    AS assoc
+         |FROM pc JOIN m1 USING (w1) JOIN m2 USING (w2), t
+         |WHERE n_ab >= 5
+         |ORDER BY assoc DESC, w1 ASC, w2 ASC LIMIT 30""".stripMargin,
     "text_quality" ->
       s"""SELECT doc_id, CAST(len($tokSql) AS INT) AS n_tokens,
          |  CAST(len(list_filter($tokSql,

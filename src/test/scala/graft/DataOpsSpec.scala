@@ -474,4 +474,21 @@ class DataOpsSpec extends GraftSuite {
     }
     assert(got == want)
   }
+
+  test("range partition plan: uniform histogram gives ceil(iN/k) " +
+      "boundaries; skew collapses low buckets onto the hot value") {
+    import spark.implicits._
+    val uniform = (1L to 100L).toDF("vq")
+    val got = graft.ops.DataOps.rangePartitionPlanFrom(uniform, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // boundary i = smallest v with v·8 >= i·100
+    assert(got == Seq((1L, 13L), (2L, 25L), (3L, 38L), (4L, 50L),
+      (5L, 63L), (6L, 75L), (7L, 88L), (8L, 100L)), got.toList)
+    // 99 copies of value 1 + one 100: buckets 1..7 all close at the hot
+    // value (cum(1)·8 = 792 >= 700), bucket 8 at the tail
+    val skewed = (Seq.fill(99)(1L) :+ 100L).toDF("vq")
+    val got2 = graft.ops.DataOps.rangePartitionPlanFrom(skewed, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 == ((1L to 7L).map(_ -> 1L) :+ (8L -> 100L)), got2.toList)
+  }
 }

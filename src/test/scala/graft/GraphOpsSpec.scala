@@ -254,4 +254,58 @@ class GraphOpsSpec extends GraftSuite {
       (5L, 2L, 0L, 0.0), (6L, 1L, 0L, 0.0)))
     spark.catalog.clearCache()
   }
+
+  test("random walk: hand-computed star walks") {
+    import spark.implicits._
+    // star: center 0, leaves 1..3. From 0 the hash-argmin over {1,2,3}
+    // of (7919t + v) % p is v = 1 at every t; leaves bounce back to 0.
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("u", "v")
+    val got = GraphOps.randomWalkFrom(edges, steps = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    spark.catalog.clearCache()
+    assert(got == Seq((0L, 1L, 0L, 1L), (1L, 0L, 1L, 0L),
+      (2L, 0L, 1L, 0L), (3L, 0L, 1L, 0L)), got.toList)
+  }
+
+  test("random walk matches a plain-Scala replay on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(31L, 32L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 12L
+      val edges = (for {
+        u <- 0L until n; v <- (u + 1) until n if rnd.nextInt(3) == 0
+      } yield (u, v)).distinct
+      val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      def mix(u: Long, t: Int, v: Long): Long =
+        (1000003L * u + 7919L * t + v) % 1000000007L
+      val want = adj.keys.toSeq.sorted.map { s0 =>
+        var cur = s0
+        val steps = (1 to 3).map { t =>
+          cur = adj(cur).minBy(v => (mix(cur, t, v), v)); cur
+        }
+        (s0, steps(0), steps(1), steps(2))
+      }
+      val got = GraphOps.randomWalkFrom(edges.toDF("u", "v"), steps = 3)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      spark.catalog.clearCache()
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("jaccard link prediction: K4 minus an edge scores the hole 1.0") {
+    import spark.implicits._
+    // K4 on 1..4 without (1,2): N(1)=N(2)={3,4} -> common 2, degrees 2+2,
+    // jaccard 2/(2+2-2) = 1.0; every other pair is adjacent.
+    val edges = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    val got = GraphOps.jaccardLinkpredFrom(edges, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    spark.catalog.clearCache()
+    assert(got == Seq((1L, 2L, 2L, 1.0)), got.toList)
+  }
 }

@@ -193,4 +193,19 @@ class MultimodalSpec extends GraftSuite {
     assert(down(dec).toSeq == Seq(201, 10))
     assert(down(down(dec)).toSeq == Seq(105))
   }
+
+  test("shot boundaries: planted cut surfaces, flat video is cut-free, " +
+      "partial trailing frame dropped") {
+    import spark.implicits._
+    // doc 1: 64×'a' then 64×'z' then a 30-byte tail (dropped) — one cut
+    // at frame 1 with sums 64·97=6208 → 64·122=7808, delta 1600 > 512.
+    // doc 2: 200×'m' — three full frames, all equal sums, no cut.
+    val docs = Seq(
+      (1L, ("a" * 64) + ("z" * 64) + ("z" * 30)),
+      (2L, "m" * 200)).toDF("doc_id", "text")
+    val got = MultimodalOps.shotBoundariesFrom(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq((1L, 1, 6208L, 7808L, 1600L)), got.toList)
+  }
 }

@@ -367,4 +367,32 @@ class TextOpsSpec extends GraftSuite {
     }
     assert(got == want)
   }
+
+  test("cooccurrence assoc: hand-computed skip-bigrams on a planted corpus") {
+    import spark.implicits._
+    // doc1 d1-pairs: (a,b),(b,a),(a,b); d2-pairs: (a,a),(b,b);
+    // doc2 d1-pairs: (c,c) -> T=6
+    val docs = Seq((1L, "a b a b"), (2L, "c c")).toDF("doc_id", "text")
+    val got = graft.ops.TextOps
+      .cooccurrenceAssocFrom(docs, minSupport = 1, k = 100)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    spark.catalog.clearCache()
+    assert(got == Seq(
+      ("c", "c", 1L, 1L, 1L, 6.0),
+      ("b", "a", 1L, 2L, 2L, 6.0 / 4.0),
+      ("a", "b", 2L, 3L, 3L, 12.0 / 9.0),
+      ("a", "a", 1L, 3L, 2L, 1.0),
+      ("b", "b", 1L, 2L, 3L, 1.0)), got.toList)
+  }
+
+  test("cooccurrence assoc: single-token docs emit no pairs") {
+    import spark.implicits._
+    val docs = Seq((1L, "solo"), (2L, "x y")).toDF("doc_id", "text")
+    val got = graft.ops.TextOps
+      .cooccurrenceAssocFrom(docs, minSupport = 1, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    spark.catalog.clearCache()
+    assert(got == Seq(("x", "y")), got.toList)
+  }
 }
