@@ -284,6 +284,29 @@ object Analytics {
         .except(t.lineitem.select(col("l_partkey").as("p_partkey")))
         .orderBy("p_partkey")
     },
+    // MULTISET set ops — the ALL variants the distinct-based set_except/
+    // set_intersect can't express (multiplicity is the semantics: how
+    // many MORE times was a part ordered early vs late). Spark plans
+    // exceptAll/intersectAll as a count-per-row aggregate + generator
+    // replication — one shuffle on the row value, no sort-based dedup;
+    // duplicate output rows are identical, so the presentation order is
+    // well-defined even under ties.
+    "set_except_all" -> { (s, d) =>
+      val li = Tables(s, d).lineitem
+      li.filter(col("l_shipdate") < lit("1997-01-01"))
+        .select(col("l_partkey").as("pk"))
+        .exceptAll(li.filter(col("l_shipdate") >= lit("1997-01-01"))
+          .select(col("l_partkey").as("pk")))
+        .orderBy("pk")
+    },
+    "set_intersect_all" -> { (s, d) =>
+      val li = Tables(s, d).lineitem
+      li.filter(col("l_shipdate") < lit("1997-01-01"))
+        .select(col("l_partkey").as("pk"))
+        .intersectAll(li.filter(col("l_shipdate") >= lit("1997-01-01"))
+          .select(col("l_partkey").as("pk")))
+        .orderBy("pk")
+    },
     "distinct_op" -> { (s, d) =>
       Tables(s, d).lineitem
         .select("l_returnflag", "l_linestatus").distinct()
@@ -531,6 +554,20 @@ object Analytics {
     "set_except" ->
       """SELECT p_partkey FROM part
         |EXCEPT SELECT l_partkey FROM lineitem ORDER BY p_partkey""".stripMargin,
+    "set_except_all" ->
+      """SELECT l_partkey AS pk FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1997-01-01'
+        |EXCEPT ALL
+        |SELECT l_partkey FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |ORDER BY pk""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT l_partkey AS pk FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1997-01-01'
+        |INTERSECT ALL
+        |SELECT l_partkey FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |ORDER BY pk""".stripMargin,
     "distinct_op" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,

@@ -203,6 +203,22 @@ object EventOps {
     "events_funnel" -> { (s, d) =>
       funnelFrom(withMs(Tables(s, d).events))
     },
+    // Sequence-pattern matching over each user's ordered event stream —
+    // the MATCH_RECOGNIZE/Sequel-style primitive Spark has no native
+    // operator for (composed per SURVEY §7.3 preference (a)): encode the
+    // (ts, event_id)-ordered stream as an initials string and count
+    // non-overlapping `v[ce]*p` matches — a view converting to purchase
+    // through any run of clicks/errors. The regex is unambiguous ([ce]*
+    // cannot consume the closing p), so Java and RE2 agree match for
+    // match — same cross-engine argument as the PII scrub subset. One
+    // shuffle on user_id; the sort happens INSIDE array_sort after a
+    // map-side collect_list (no window sort of the raw stream), and the
+    // regex scan is a codegen'd map over user-sized strings. At 100 TB
+    // per-user streams need a length cap before the collect — the same
+    // bounded-sequence caveat as events_path_topk.
+    "events_pattern_match" -> { (s, d) =>
+      patternMatchFrom(withMs(Tables(s, d).events))
+    },
     // Weekly cohort retention: cohort = a user's first active week; n_wkN =
     // cohort members also active in week cohort+N.
     "events_retention" -> { (s, d) =>
@@ -943,6 +959,29 @@ object EventOps {
           col("t_purchase") > col("t_click"), 1)).as("n_funnel_complete"))
   }
 
+  /** Sequence-pattern core of `events_pattern_match` (see the query
+    * comment) over a withMs frame — separated so specs can plant ordered
+    * streams with hand-countable matches.
+    */
+  def patternMatchFrom(events: DataFrame): DataFrame = {
+    val init = when(col("event_type") === "view", "v")
+      .when(col("event_type") === "click", "c")
+      .when(col("event_type") === "error", "e")
+      .when(col("event_type") === "purchase", "p")
+      .otherwise("s")
+    events
+      .select(col("user_id"), col("ts_ms"), col("event_id"), init.as("i"))
+      .groupBy("user_id")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(
+          struct(col("ts_ms"), col("event_id"), col("i")))),
+        x => x.getField("i"))).as("seq"))
+      .select(col("user_id"), length(col("seq")).as("n_events"),
+        size(regexp_extract_all(col("seq"), lit("v[ce]*p"), lit(0)))
+          .as("n_conversions"))
+      .orderBy("user_id")
+  }
+
   /** Interval-join core over frames (user_id, click_id, click_ms) and
     * (user_id, purchase_id, purchase_ms): every pair with purchase_ms in
     * [click_ms, click_ms + w), as a bucketed equi-join. The click interval
@@ -1212,6 +1251,22 @@ object EventOps {
         |  count(*) FILTER (WHERE t_click > t_view AND t_purchase > t_click)
         |    AS n_funnel_complete
         |FROM m""".stripMargin,
+    // the same (ts, event_id)-ordered initials string via an ordered
+    // string_agg, and the same unambiguous regex (Java ≡ RE2 here — see
+    // the query comment)
+    "events_pattern_match" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+        |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |      WHEN 'error' THEN 'e' WHEN 'purchase' THEN 'p'
+        |      ELSE 's' END AS i
+        |  FROM events),
+        |sq AS (SELECT user_id,
+        |    string_agg(i, '' ORDER BY ts_ms ASC, event_id ASC) AS seq
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, CAST(length(seq) AS INT) AS n_events,
+        |  CAST(len(regexp_extract_all(seq, 'v[ce]*p')) AS INT)
+        |    AS n_conversions
+        |FROM sq ORDER BY user_id""".stripMargin,
     "events_retention" ->
       """WITH a AS (SELECT DISTINCT user_id,
         |    epoch_ms(ts) // 604800000 AS wk

@@ -234,6 +234,22 @@ object GraphOps {
       jaccardLinkpredFrom(copurchaseEdges(Tables(s, d), minSupport = 2),
         k = 20)
     },
+    // One Borůvka round of minimum-spanning-forest construction — the
+    // selection step of the ONLY MST algorithm that parallelizes cleanly
+    // (each round halves the component count, so a full MST is O(log n)
+    // such rounds + the pointer-jumping contraction already demonstrated
+    // in dedup_components): every node simultaneously picks its minimum-
+    // weight incident edge under the total order (w, u, v) — the
+    // deterministic tie-break that makes Borůvka correct on non-distinct
+    // weights — and the union of picks (each edge chosen by one or both
+    // endpoints, dedup'd) is a forest joining every node. Weights are a
+    // fixed public mixing function of the canonical edge key, exact in
+    // 64-bit on both engines. Shape: one edge-list mirror, one struct-min
+    // argmin per node (collapses map-side), one distinct — two shuffles
+    // total regardless of graph size.
+    "graph_mst_round" -> { (s, d) =>
+      mstRoundFrom(copurchaseEdges(Tables(s, d), minSupport = 2))
+    },
     // Synchronous label propagation (3 rounds) — the near-linear
     // community detector (Raghavan et al. 2007), made DETERMINISTIC so
     // it can be oracle-gated: every node simultaneously adopts the
@@ -340,6 +356,24 @@ object GraphOps {
           .as("jaccard"))
       .orderBy(col("jaccard").desc, col("u").asc, col("v").asc)
       .limit(k)
+  }
+
+  /** Borůvka selection round over a canonical (u < v, distinct) edge
+    * list (see the `graph_mst_round` query comment): the dedup'd union
+    * of every node's (w, u, v)-minimal incident edge, with
+    * w = (1000003·u + 7919·v) mod 100003.
+    */
+  def mstRoundFrom(edges: DataFrame): DataFrame = {
+    val wE = edges.withColumn("w",
+      (lit(1000003L) * col("u") + lit(7919L) * col("v")) % lit(100003L))
+    val dir = wE.select(col("u").as("node"), col("u"), col("v"), col("w"))
+      .union(wE.select(col("v").as("node"), col("u"), col("v"), col("w")))
+    dir.groupBy("node")
+      .agg(min(struct(col("w"), col("u"), col("v"))).as("pick"))
+      .select(col("pick.u").as("u"), col("pick.v").as("v"),
+        col("pick.w").as("w"))
+      .distinct()
+      .orderBy("u", "v")
   }
 
   /** Degree histogram over a canonical (u < v, distinct) edge list. */
@@ -696,6 +730,16 @@ object GraphOps {
            |WHERE NOT EXISTS (SELECT 1 FROM e0
            |  WHERE e0.u = cand.u AND e0.v = cand.v)
            |ORDER BY jaccard DESC, u ASC, v ASC LIMIT 20""".stripMargin,
+      "graph_mst_round" ->
+        s"""WITH $copurchaseSql,
+           |we AS (SELECT u, v, (1000003 * u + 7919 * v) % 100003 AS w
+           |  FROM e0),
+           |dir AS (SELECT u AS node, u, v, w FROM we
+           |  UNION ALL SELECT v, u, v, w FROM we),
+           |pick AS (SELECT node, u, v, w, row_number() OVER (
+           |    PARTITION BY node ORDER BY w, u, v) AS rk FROM dir)
+           |SELECT DISTINCT u, v, w FROM pick WHERE rk = 1
+           |ORDER BY u, v""".stripMargin,
       "graph_label_propagation" -> {
         // the same three synchronous argmax rounds, CTE for CTE
         def round(prev: String, ln: String): String =

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import Oracle._
@@ -175,6 +175,24 @@ object Relational {
       a.join(b, col("r1") === col("r2") && col("k1") < col("k2"))
         .select("k1", "k2")
         .orderBy("k1", "k2")
+    },
+    // Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys MATCH
+    // each other — the semantics a plain equality join silently drops
+    // (its NULL rows vanish from both sides). Catalyst plans EqualNullSafe
+    // as a hash-join key (coalesce+isnull encoding), so this stays a
+    // one-shuffle equi-join, not a BNLJ. The NULL bucket is planted via
+    // nullif on a mod-11 key; NULLS FIRST is pinned on both engines
+    // (their default null orderings differ).
+    "join_null_safe" -> { (s, d) =>
+      val t = Tables(s, d)
+      def keyed(df: DataFrame, key: Column, out: String) =
+        df.select(nullif(key % 11, lit(0)).as("k"))
+          .groupBy("k").agg(count(lit(1)).as(out))
+      val a = keyed(t.orders, col("o_custkey"), "n_orders")
+      val b = keyed(t.customer, col("c_custkey"), "n_cust")
+      a.join(b, a("k") <=> b("k"))
+        .select(a("k").as("k"), col("n_orders"), col("n_cust"))
+        .orderBy(col("k").asc_nulls_first)
     }
   )
 
@@ -249,6 +267,14 @@ object Relational {
       """SELECT a.n_nationkey AS k1, b.n_nationkey AS k2
         |FROM nation a JOIN nation b
         |  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
-        |ORDER BY k1, k2""".stripMargin
+        |ORDER BY k1, k2""".stripMargin,
+    "join_null_safe" ->
+      """WITH a AS (SELECT nullif(o_custkey % 11, 0) AS k,
+        |    count(*) AS n_orders FROM orders GROUP BY 1),
+        |b AS (SELECT nullif(c_custkey % 11, 0) AS k,
+        |    count(*) AS n_cust FROM customer GROUP BY 1)
+        |SELECT a.k AS k, n_orders, n_cust
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY a.k NULLS FIRST""".stripMargin
   )
 }

@@ -706,4 +706,21 @@ class EventOpsSpec extends GraftSuite {
     }
     assert(got == want)
   }
+
+  test("pattern match: hand-counted v[ce]*p conversions on planted " +
+      "streams") {
+    import spark.implicits._
+    // user 1: v c e p v s v p -> "vcepvsvp": matches "vcep" and the final
+    // "vp" (the middle v is cut off by the signup). user 2: "pv" -> none.
+    val events = Seq(
+      (1L, 1000L, 1L, "view"), (1L, 2000L, 2L, "click"),
+      (1L, 3000L, 3L, "error"), (1L, 4000L, 4L, "purchase"),
+      (1L, 5000L, 5L, "view"), (1L, 6000L, 6L, "signup"),
+      (1L, 7000L, 7L, "view"), (1L, 8000L, 8L, "purchase"),
+      (2L, 1000L, 9L, "purchase"), (2L, 2000L, 10L, "view"))
+      .toDF("user_id", "ts_ms", "event_id", "event_type")
+    val got = graft.ops.EventOps.patternMatchFrom(events).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, 8, 2), (2L, 2, 0)), got.toList)
+  }
 }

@@ -296,6 +296,46 @@ class GraphOpsSpec extends GraftSuite {
     }
   }
 
+  test("mst round: triangle picks the 2-edge forest under hand-computed " +
+      "weights") {
+    import spark.implicits._
+    // w(1,2) = 1015841 % 100003 = 15811; w(1,3) = 23730; w(2,3) = 23703.
+    // node1 -> (1,2); node2 -> (1,2); node3 -> (2,3); dedup = 2 edges.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("u", "v")
+    val got = GraphOps.mstRoundFrom(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache()
+    assert(got == Seq((1L, 2L, 15811L), (2L, 3L, 23703L)), got.toList)
+  }
+
+  test("mst round matches a plain-Scala argmin replay and spans every " +
+      "node on random graphs") {
+    import spark.implicits._
+    for (seed <- Seq(41L, 42L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 12L
+      val edges = (for {
+        u <- 0L until n; v <- (u + 1) until n if rnd.nextInt(3) == 0
+      } yield (u, v)).distinct
+      def w(u: Long, v: Long): Long = (1000003L * u + 7919L * v) % 100003L
+      val incident = edges.flatMap { case (u, v) =>
+        Seq(u -> (u, v), v -> (u, v))
+      }.groupBy(_._1).map { case (k, es) => k -> es.map(_._2) }
+      val want = incident.values
+        .map(_.minBy { case (u, v) => (w(u, v), u, v) })
+        .toSeq.distinct.map { case (u, v) => (u, v, w(u, v)) }
+        .sortBy { case (u, v, _) => (u, v) }
+      val got = GraphOps.mstRoundFrom(edges.toDF("u", "v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      spark.catalog.clearCache()
+      assert(got == want, s"seed=$seed")
+      // forest property: every node of the edge list is covered
+      val nodes = edges.flatMap { case (u, v) => Seq(u, v) }.toSet
+      val covered = got.flatMap { case (u, v, _) => Seq(u, v) }.toSet
+      assert(covered == nodes, s"seed=$seed uncovered=${nodes -- covered}")
+    }
+  }
+
   test("jaccard link prediction: K4 minus an edge scores the hole 1.0") {
     import spark.implicits._
     // K4 on 1..4 without (1,2): N(1)=N(2)={3,4} -> common 2, degrees 2+2,

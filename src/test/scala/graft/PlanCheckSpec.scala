@@ -72,8 +72,12 @@ class PlanCheckSpec extends GraftSuite {
                           // vocabulary (the merge target)
     "agg_kmv_intersect",  // 1-row sketch x 1-row sketch combine (the
                           // whole point: set algebra on two O(k) rows)
-    "basket_pair_lift"    // 1-row order-count scalar broadcast under the
+    "basket_pair_lift",   // 1-row order-count scalar broadcast under the
                           // ≥3-support pair survivors
+    "data_range_partition_plan", // 1-row total-count scalar broadcast
+                          // under the quantized histogram (metadata-scale)
+    "text_cooccurrence_assoc" // 1-row total-pairs scalar broadcast under
+                          // the ≥support pair survivors (as basket_pair_lift)
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides
