@@ -291,6 +291,41 @@ object Analytics {
     // replication — one shuffle on the row value, no sort-based dedup;
     // duplicate output rows are identical, so the presentation order is
     // well-defined even under ties.
+    // Correlated LATERAL join (the dependent-join/APPLY operator): top-2
+    // orders PER customer, expressed as a lateral subquery with
+    // ORDER BY + LIMIT — the shape SQL server folks call CROSS APPLY and
+    // optimizers must DECORRELATE (Spark rewrites it to a window-rank
+    // filter over one equi-join; a naive per-row re-execution would be a
+    // scan per customer). Exercises the SQL front door end to end via the
+    // direct parquet path. The (price DESC, key ASC) tiebreak pins the
+    // top-2 deterministically on both engines.
+    "lateral_topk_join" -> { (s, d) =>
+      s.sql(
+        s"""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+           |FROM parquet.`$d/customer.parquet` c
+           |JOIN LATERAL (
+           |  SELECT o_orderkey, o_totalprice
+           |  FROM parquet.`$d/orders.parquet`
+           |  WHERE o_custkey = c.c_custkey
+           |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o
+           |WHERE c.c_custkey <= 200
+           |ORDER BY c.c_custkey ASC, o.o_totalprice DESC,
+           |  o.o_orderkey ASC""".stripMargin)
+    },
+    // Value-based RANGE window frame — peer semantics a ROWS frame cannot
+    // express: every histogram bucket sums its neighbors within 5
+    // QUANTIZED-PRICE units, however many rows that is (gaps in the value
+    // domain shrink the frame; ties share it). Runs over the per-flag
+    // price histogram, so the window input is metadata-scale like the
+    // range-partition planner.
+    "window_range_frame" -> { (s, d) =>
+      val hist = Tables(s, d).lineitem
+        .select(col("l_returnflag").as("rf"),
+          floor(col("l_extendedprice") / 100).as("vq"))
+        .groupBy("rf", "vq").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("rf").orderBy("vq").rangeBetween(-5, 0)
+      hist.withColumn("n_win", sum(col("n")).over(w)).orderBy("rf", "vq")
+    },
     "set_except_all" -> { (s, d) =>
       val li = Tables(s, d).lineitem
       li.filter(col("l_shipdate") < lit("1997-01-01"))
@@ -554,6 +589,26 @@ object Analytics {
     "set_except" ->
       """SELECT p_partkey FROM part
         |EXCEPT SELECT l_partkey FROM lineitem ORDER BY p_partkey""".stripMargin,
+    "lateral_topk_join" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice
+        |  FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) o ON true
+        |WHERE c.c_custkey <= 200
+        |ORDER BY c.c_custkey ASC, o.o_totalprice DESC,
+        |  o.o_orderkey ASC""".stripMargin,
+    "window_range_frame" ->
+      """WITH h AS (SELECT l_returnflag AS rf,
+        |    CAST(floor(l_extendedprice / 100) AS BIGINT) AS vq,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT rf, vq, n,
+        |  CAST(sum(n) OVER (PARTITION BY rf ORDER BY vq ASC
+        |    RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_win
+        |FROM h ORDER BY rf, vq""".stripMargin,
     "set_except_all" ->
       """SELECT l_partkey AS pk FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1997-01-01'

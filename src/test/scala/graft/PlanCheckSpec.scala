@@ -112,6 +112,22 @@ class PlanCheckSpec extends GraftSuite {
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
 
+  test("lateral top-k join decorrelates to WindowGroupLimit + hash join, " +
+      "never a per-row apply") {
+    val df = SparkEntry.queries("lateral_topk_join")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    val s = df.queryExecution.executedPlan.toString
+    // the partial+final rank-limit pushdown IS the decorrelation proof:
+    // top-2-per-customer is computed as a distributed group limit, and
+    // the lateral becomes ONE equi-join
+    assert(s.contains("WindowGroupLimit"), s)
+    assert(s.contains("BroadcastHashJoin") || s.contains("ShuffledHashJoin"),
+      s)
+    assert(!s.contains("BroadcastNestedLoopJoin") &&
+      !s.contains("CartesianProduct"), s)
+    spark.catalog.clearCache()
+  }
+
   test("audit reports pushed filters and pruned schema for a filtered scan") {
     val df = Tables(spark, sfDir).lineitem
       .filter(col("l_quantity") > 30.0).select("l_orderkey")
