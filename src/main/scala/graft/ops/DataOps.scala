@@ -356,6 +356,45 @@ object DataOps {
     // (repartition(lang, salt)) and bounds file size with
     // spark.sql.files.maxRecordsPerFile; the single-key form here keeps
     // the 1-file-per-dir layout assertable.
+    // CSV sink + source roundtrip — the remaining text-format surface
+    // next to the parquet sinks: the `tricky` column PLANTS the cases
+    // CSV serialization must survive (embedded commas, double quotes —
+    // the corpus itself is verified clean of them, so the stressor is
+    // synthetic by construction), and the row-wise md5 against the
+    // parquet-source oracle proves write→quote→escape→read is lossless
+    // byte for byte. Schema is explicit on read (CSV carries none — at
+    // 100 TB inference would cost a full extra pass). One map-shaped
+    // write + one map-shaped read; no shuffle but the presentation sort.
+    "data_csv_roundtrip" -> { (s, d) =>
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_csv_demo").toString
+      Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          concat(lit("a,\"b\" "), col("text")).as("tricky"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read
+        .schema("doc_id BIGINT, lang STRING, n_chars BIGINT, tricky STRING")
+        .option("header", "true").csv(out)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("tricky")).as("digest"))
+        .orderBy("doc_id")
+    },
+    // JSON-lines sink + source roundtrip — same contract as the CSV
+    // row: explicit read schema, row-wise content digest against the
+    // parquet source. JSON needs no quoting stressor (strings are
+    // unambiguous), so the digest covers the raw text.
+    "data_json_roundtrip" -> { (s, d) =>
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_json_demo").toString
+      Tables(s, d).documents.select("doc_id", "lang", "text", "n_chars")
+        .write.mode("overwrite").json(out)
+      s.read
+        .schema("doc_id BIGINT, lang STRING, text STRING, n_chars BIGINT")
+        .json(out)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("text")).as("digest"))
+        .orderBy("doc_id")
+    },
     "data_sink_partitioned" -> { (s, d) =>
       val out = new java.io.File(
         sys.props("java.io.tmpdir"), "graft_sink_demo").toString
@@ -1151,6 +1190,15 @@ object DataOps {
         |    ORDER BY o_orderdate ASC, o_orderkey ASC) IS NULL AS is_current
         |FROM orders
         |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+    // the parquet source IS the roundtrip ground truth: digest equality
+    // proves the CSV quote/escape cycle was lossless
+    "data_csv_roundtrip" ->
+      """SELECT doc_id, lang, n_chars,
+        |  md5('a,"b" ' || text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "data_json_roundtrip" ->
+      """SELECT doc_id, lang, n_chars, md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the source table IS the roundtrip ground truth
     "data_sink_partitioned" ->
       """SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id,
