@@ -661,8 +661,133 @@ object EventOps {
         .agg(count(lit(1)).as("n"),
           median(col("gap_ms")).as("median_gap_ms"))
         .orderBy("from_type", "to_type")
+    },
+    // Per-type linear trend — closed-form OLS of the daily count series
+    // (y = count, x = epoch-day): slope = (k·Σxy − Σx·Σy)/(k·Σxx − Σx²),
+    // the "is this event type growing?" readout next to the naive
+    // forecast's error rates. All five sufficient statistics are EXACT
+    // BIGINT sums out of one (type, day) shuffle (day ≈ 2·10⁴, so
+    // Σxx ≤ days·day² ≈ 4·10¹¹ per type; Σxy at 10⁹ rows/day is ~2·10¹⁶
+    // — Long-safe); the slope/intercept combination is then performed in
+    // DOUBLE (not BIGINT — k·Σxy overflows int64 first at extreme scale)
+    // over those exact integers, a fixed IEEE tree identical in both
+    // engines. Shape: one day-grain shuffle, then a |types|-sized rollup.
+    "events_trend_ols" -> { (s, d) =>
+      trendOlsFrom(withMs(Tables(s, d).events)
+        .groupBy(col("event_type"),
+          expr(floorDivSql("ts_ms", DayMs)).as("day"))
+        .agg(count(lit(1)).as("n")))
+    },
+    // CUSUM changepoint detection on the daily total-count series: the
+    // single day t maximizing |S_t| where S_t = Σ_{i≤t}(days·nᵢ − total)
+    // — the classic mean-shift estimator, kept EXACT by multiplying
+    // through by `days` instead of subtracting the (fractional) mean.
+    // All arithmetic is BIGINT (days·n ≤ 10³·10⁹ = 10¹², S ≤ 10¹⁵ at
+    // 100 TB); only the final normalized D = |S|/(days·total) is one
+    // IEEE division of exact integers. The running sum's global window
+    // runs over the DAY-sized series (≈10³ rows after the one full-data
+    // shuffle), not the events — the single-partition sort is bounded by
+    // calendar length, never corpus size.
+    "events_cusum_changepoint" -> { (s, d) =>
+      cusumFrom(withMs(Tables(s, d).events)
+        .groupBy(expr(floorDivSql("ts_ms", DayMs)).as("day"))
+        .agg(count(lit(1)).as("n")))
+    },
+    // Stationary distribution of the per-user event-type Markov chain —
+    // the long-run "where does a user's session settle" readout that the
+    // transition MATRIX (one-step counts) doesn't answer. EXACT INTEGER
+    // power iteration, same doctrine as graph_pagerank: transition
+    // probabilities are pre-quantized once as q(i,j) = (c(i,j)·10⁶) div
+    // out(i) (c·10⁶ ≤ 10¹⁸ even at 10¹² transitions), then six fixed
+    // iterations of p'(j) = Σᵢ (p(i)·q(i,j)) div 10⁶ with p scaled to
+    // 10⁹ — every step is int64 (p·q ≤ 10¹⁵ regardless of corpus size,
+    // because q is bounded by the quantization constant, not by counts).
+    // Bit-identical under any partitioning; the oracle unrolls the same
+    // six steps as CTEs. Shape: ONE full-data pass (the user-keyed lag
+    // window into transition counts); everything after is a |types|²
+    // matrix — the six joins iterate over a broadcast-sized frame.
+    "events_markov_stationary" -> { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ms").asc, col("event_id").asc)
+      val tr = withMs(Tables(s, d).events)
+        .select(col("user_id"), col("event_id"), col("ts_ms"),
+          col("event_type"))
+        .withColumn("from_type", lag(col("event_type"), 1).over(w))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val types = Tables(s, d).events
+        .select(col("event_type").as("type")).distinct()
+      stationaryFrom(tr, types)
     }
   )
+
+  /** Closed-form OLS trend over a (event_type, day, n) daily-count frame
+    * — separated so specs can plant exact lines (see the
+    * `events_trend_ols` query comment for the exactness argument).
+    */
+  def trendOlsFrom(daily: DataFrame): DataFrame =
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("day")).as("sx"), sum(col("n")).as("sy"),
+        sum(col("day") * col("n")).as("sxy"),
+        sum(col("day") * col("day")).as("sxx"))
+      .withColumn("slope_per_day",
+        (col("n_days").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+        (col("n_days").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")))
+      .withColumn("intercept",
+        (col("sy").cast("double") -
+          col("slope_per_day") * col("sx").cast("double")) /
+        col("n_days").cast("double"))
+      .select(col("event_type"), col("n_days"), col("sy").as("total"),
+        col("slope_per_day"), col("intercept"))
+      .orderBy("event_type")
+
+  /** Exact-integer CUSUM argmax over a (day, n) daily-count frame —
+    * separated so specs can plant mean shifts with known changepoints.
+    */
+  def cusumFrom(daily: DataFrame): DataFrame = {
+    val tot = daily.agg(count(lit(1)).as("days"),
+      sum(col("n")).as("total"))
+    val w = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("s",
+        sum(col("days") * col("n") - col("total")).over(w))
+      .select(col("day"), col("n"), col("s"), abs(col("s")).as("s_abs"),
+        (abs(col("s")).cast("double") /
+          (col("days") * col("total")).cast("double")).as("d_stat"))
+      .orderBy(col("s_abs").desc, col("day").asc)
+      .limit(1)
+  }
+
+  /** Six fixed integer power iterations to the stationary distribution of
+    * a transition-count frame (from_type, to_type, n) over the node set
+    * `types` (column `type`) — separated so specs can plant chains with
+    * closed-form stationary vectors. See the `events_markov_stationary`
+    * query comment for the quantization bounds.
+    */
+  def stationaryFrom(tr: DataFrame, types: DataFrame): DataFrame = {
+    val outc = tr.groupBy("from_type").agg(sum(col("n")).as("tot"))
+    val q = tr.join(outc, "from_type")
+      .select(col("from_type"), col("to_type"),
+        expr("n * 1000000 div tot").as("q"))
+      .persist()
+    val kDf = types.agg(count(lit(1)).as("k"))
+    var p = types.crossJoin(broadcast(kDf))
+      .select(col("type"), expr("1000000000 div k").as("p"))
+    for (_ <- 1 to 6) {
+      p = p.join(q, col("type") === col("from_type"))
+        .groupBy(col("to_type"))
+        .agg(sum(expr("(p * q) div 1000000")).as("p"))
+        .withColumnRenamed("to_type", "type")
+    }
+    p.select(col("type"), col("p").as("stationary_scaled"),
+        (col("p").cast("double") / 1e9).as("stationary"))
+      .orderBy("type")
+  }
 
   /** Gap-based session intervals (user_id, start_ms, end_ms) — the
     * sessionize pipeline up to its interval readout, shared by
@@ -1552,6 +1677,79 @@ object EventOps {
         |SELECT from_type, event_type AS to_type, count(*) AS n,
         |  median(gap_ms) AS median_gap_ms
         |FROM t WHERE from_type IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+    "events_trend_ols" ->
+      """WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT event_type, count(*) AS n_days,
+        |    CAST(sum(day) AS BIGINT) AS sx, CAST(sum(n) AS BIGINT) AS sy,
+        |    CAST(sum(day * n) AS BIGINT) AS sxy,
+        |    CAST(sum(day * day) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY 1),
+        |f AS (SELECT event_type, n_days, sy,
+        |    (CAST(n_days AS DOUBLE) * CAST(sxy AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n_days AS DOUBLE) * CAST(sxx AS DOUBLE) -
+        |      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_per_day,
+        |    sx
+        |  FROM g)
+        |SELECT event_type, n_days, sy AS total, slope_per_day,
+        |  (CAST(sy AS DOUBLE) - slope_per_day * CAST(sx AS DOUBLE)) /
+        |    CAST(n_days AS DOUBLE) AS intercept
+        |FROM f ORDER BY event_type""".stripMargin,
+    "events_cusum_changepoint" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT count(*) AS days, CAST(sum(n) AS BIGINT) AS total
+        |  FROM daily),
+        |c AS (SELECT day, n, days, total,
+        |    CAST(sum(days * n - total) OVER (ORDER BY day ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS s
+        |  FROM daily, t)
+        |SELECT day, n, s, abs(s) AS s_abs,
+        |  CAST(abs(s) AS DOUBLE) / CAST(days * total AS DOUBLE) AS d_stat
+        |FROM c ORDER BY s_abs DESC, day ASC LIMIT 1""".stripMargin,
+    "events_markov_stationary" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    epoch_ms(ts) AS ts_ms FROM events),
+        |pr AS (SELECT event_type AS to_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts_ms ASC, event_id ASC) AS from_type
+        |  FROM e),
+        |tr AS (SELECT from_type, to_type, count(*) AS n
+        |  FROM pr WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |outc AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+        |  FROM tr GROUP BY 1),
+        |q AS (SELECT t.from_type, t.to_type,
+        |    CAST((t.n * 1000000) // o.tot AS BIGINT) AS q
+        |  FROM tr t JOIN outc o USING (from_type)),
+        |types AS (SELECT DISTINCT event_type AS type FROM events),
+        |k AS (SELECT count(*) AS k FROM types),
+        |p0 AS (SELECT type, CAST(1000000000 // k AS BIGINT) AS p
+        |  FROM types, k),
+        |p1 AS (SELECT q.to_type AS type,
+        |    CAST(sum((p0.p * q.q) // 1000000) AS BIGINT) AS p
+        |  FROM p0 JOIN q ON p0.type = q.from_type GROUP BY 1),
+        |p2 AS (SELECT q.to_type AS type,
+        |    CAST(sum((p1.p * q.q) // 1000000) AS BIGINT) AS p
+        |  FROM p1 JOIN q ON p1.type = q.from_type GROUP BY 1),
+        |p3 AS (SELECT q.to_type AS type,
+        |    CAST(sum((p2.p * q.q) // 1000000) AS BIGINT) AS p
+        |  FROM p2 JOIN q ON p2.type = q.from_type GROUP BY 1),
+        |p4 AS (SELECT q.to_type AS type,
+        |    CAST(sum((p3.p * q.q) // 1000000) AS BIGINT) AS p
+        |  FROM p3 JOIN q ON p3.type = q.from_type GROUP BY 1),
+        |p5 AS (SELECT q.to_type AS type,
+        |    CAST(sum((p4.p * q.q) // 1000000) AS BIGINT) AS p
+        |  FROM p4 JOIN q ON p4.type = q.from_type GROUP BY 1),
+        |p6 AS (SELECT q.to_type AS type,
+        |    CAST(sum((p5.p * q.q) // 1000000) AS BIGINT) AS p
+        |  FROM p5 JOIN q ON p5.type = q.from_type GROUP BY 1)
+        |SELECT type, p AS stationary_scaled,
+        |  CAST(p AS DOUBLE) / 1e9 AS stationary
+        |FROM p6 ORDER BY type""".stripMargin
   )
 }

@@ -723,4 +723,80 @@ class EventOpsSpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
     assert(got == Seq((1L, 8, 2), (2L, 2, 0)), got.toList)
   }
+
+  test("trend OLS: exact line recovered exactly; random series match a " +
+      "plain-Scala replay of the same IEEE tree") {
+    import spark.implicits._
+    // n = 5*day + 3 for days 0..9 -> slope exactly 5.0, intercept 3.0
+    // (the closed form divides exact integers that happen to divide
+    // evenly, so the doubles are exact)
+    val line = (0L until 10L).map(d => ("up", d, 5 * d + 3))
+      .toDF("event_type", "day", "n")
+    val gotL = graft.ops.EventOps.trendOlsFrom(line).collect()(0)
+    assert(gotL.getLong(1) == 10L && gotL.getLong(2) == 255L)
+    assert(gotL.getDouble(3) == 5.0 && gotL.getDouble(4) == 3.0, gotL)
+    // random two-type series vs a replay using the identical op tree
+    val rnd = new scala.util.Random(7L)
+    val series = for (t <- Seq("a", "b"); d <- 0L until 25L)
+      yield (t, d, 100L + rnd.nextInt(50))
+    val got = graft.ops.EventOps
+      .trendOlsFrom(series.toDF("event_type", "day", "n")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    val want = series.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (t, xs) =>
+        val k = xs.size.toLong
+        val sx = xs.map(_._2).sum; val sy = xs.map(_._3).sum
+        val sxy = xs.map(x => x._2 * x._3).sum
+        val sxx = xs.map(x => x._2 * x._2).sum
+        val slope = (k.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+          (k.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+        (t, k, sy, slope, (sy.toDouble - slope * sx.toDouble) / k.toDouble)
+    }
+    assert(got == want)
+  }
+
+  test("cusum: planted mean shift is found at the last pre-shift day " +
+      "with the exact integer statistic") {
+    import spark.implicits._
+    // 10 days at 100 then 10 days at 200: days=20, total=3000,
+    // dev = 20*n - 3000 = -1000 then +1000; S_t bottoms at t=9 with
+    // S = -10000 (unique |S| max), D = 10000/(20*3000) = 1/6
+    val daily = ((0L until 10L).map(d => (d, 100L)) ++
+      (10L until 20L).map(d => (d, 200L))).toDF("day", "n")
+    val got = graft.ops.EventOps.cusumFrom(daily).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(0) == 9L && r.getLong(1) == 100L, r)
+    assert(r.getLong(2) == -10000L && r.getLong(3) == 10000L, r)
+    assert(r.getDouble(4) == 10000.0 / 60000.0, r)
+  }
+
+  test("markov stationary: two-state chain converges to the known " +
+      "pi = (1/3, 2/3); integers match a plain-Scala replay") {
+    import spark.implicits._
+    // A always goes to B; B splits evenly: pi_A = 1/3, pi_B = 2/3
+    val tr = Seq(("A", "B", 10L), ("B", "A", 5L), ("B", "B", 5L))
+      .toDF("from_type", "to_type", "n")
+    val types = Seq("A", "B").toDF("type")
+    val got = graft.ops.EventOps.stationaryFrom(tr, types).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // replay the exact integer recurrence: q(A,B)=10^6, q(B,A)=q(B,B)=5*10^5
+    val q = Map(("A", "B") -> 1000000L, ("B", "A") -> 500000L,
+      ("B", "B") -> 500000L)
+    var p = Map("A" -> 500000000L, "B" -> 500000000L)
+    for (_ <- 1 to 6) {
+      p = Seq("A", "B").map { j =>
+        j -> Seq("A", "B").flatMap { i =>
+          q.get((i, j)).map(qi => (p(i) * qi) / 1000000L)
+        }.sum
+      }.toMap
+    }
+    assert(got.map(x => (x._1, x._2)) == Seq(("A", p("A")), ("B", p("B"))),
+      got.toList)
+    // geometric convergence at the second eigenvalue: error after six
+    // steps is (1/2)^6 / 6 ~ 0.0026 (plus quantization), not tighter
+    assert(math.abs(got(0)._3 - 1.0 / 3.0) < 4e-3, got(0))
+    assert(math.abs(got(1)._3 - 2.0 / 3.0) < 4e-3, got(1))
+  }
 }
