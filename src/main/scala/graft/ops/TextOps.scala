@@ -348,8 +348,98 @@ object TextOps {
     // so the ranking is bit-identical across engines.
     "text_keyness" -> { (s, d) =>
       keynessFrom(Tables(s, d).documents, minCount = 5L, k = 10)
+    },
+    // BM25 ranked retrieval for a fixed two-term query — the length-
+    // normalized, saturating relevance score tf-idf lacks (tf-idf grows
+    // linearly with tf and ignores document length; BM25's k1 saturation
+    // and b normalization are why it is the default first-stage ranker).
+    // RATIONAL-IDF variant: idf = (N−df+0.5)/(df+0.5) instead of its
+    // logarithm — ln() is not bit-portable across engines (the lnTable
+    // trick caps at 1024 < df here), and for a FIXED query the monotone
+    // ln changes neither per-term ordering nor saturation behavior; the
+    // per-document sum over the two terms is pinned to one IEEE order by
+    // PIVOTING the terms into columns (s1 + s2), never a float SUM whose
+    // association the engine chooses. Everything upstream is exact
+    // integers (tf, df, dl, N, Σdl). Scale shape: the posting filter
+    // runs BEFORE the shuffle, so only the two query terms' postings
+    // move; dl is a map-side projection joined on doc_id; df and the
+    // corpus stats are broadcast scalars.
+    "text_bm25" -> { (s, d) =>
+      bm25From(Tables(s, d).documents, "hash", "join", k = 20)
+    },
+    // Positional inverted-index phrase search: exact "hash join"
+    // adjacency matches via a self-join of the two terms' POSITIONAL
+    // posting lists on (doc_id, pos+1) — the operator behind quoted-
+    // phrase queries in a search engine, and the adjacency primitive
+    // n-gram novelty/dedup don't expose. The posting lists are built
+    // with the term filter BEFORE the shuffle (only 'hash'/'join'
+    // positions leave the scan), the adjacency join is equi on
+    // (doc_id, pos) — linear in posting size, never all-pairs — and the
+    // per-doc rollup reuses the same doc_id partitioning.
+    "text_phrase_search" -> { (s, d) =>
+      phraseSearchFrom(Tables(s, d).documents, "hash", "join")
     }
   )
+
+  /** BM25 (k1 = 1.2, b = 0.75, rational idf) of the two-term query
+    * (`t1`, `t2`), top `k` documents — separated so specs can plant
+    * corpora with hand-computed scores. Literals are pre-folded
+    * ((k1+1) = 2.2, (1−b) = 0.25) so both engines evaluate the
+    * IDENTICAL IEEE tree; see the `text_bm25` query comment.
+    */
+  def bm25From(docs: DataFrame, t1: String, t2: String,
+      k: Int): DataFrame = {
+    val stats = docs.agg(count(lit(1)).as("n"),
+      sum(size(toks(col("text")))).as("total_tok"))
+    val dl = docs.select(col("doc_id"),
+      size(toks(col("text"))).as("dl"))
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .filter(col("tok").isin(t1, t2))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val avgdl = col("total_tok").cast("double") / col("n").cast("double")
+    val idf = (col("n").cast("double") - col("df").cast("double") +
+      lit(0.5)) / (col("df").cast("double") + lit(0.5))
+    val tfd = col("tf").cast("double")
+    val score = idf * ((tfd * lit(2.2)) / (tfd +
+      lit(1.2) * (lit(0.25) + lit(0.75) *
+        (col("dl").cast("double") / avgdl))))
+    tf.join(broadcast(df), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", score)
+      .groupBy("doc_id")
+      .agg(
+        coalesce(max(when(col("tok") === t1, col("tf"))), lit(0L))
+          .as("tf_1"),
+        coalesce(max(when(col("tok") === t2, col("tf"))), lit(0L))
+          .as("tf_2"),
+        (coalesce(max(when(col("tok") === t1, col("score"))), lit(0.0)) +
+          coalesce(max(when(col("tok") === t2, col("score"))), lit(0.0)))
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Adjacent-pair phrase matches of (`t1`, `t2`) per document via
+    * positional postings — separated so specs can plant exact phrase
+    * placements.
+    */
+  def phraseSearchFrom(docs: DataFrame, t1: String,
+      t2: String): DataFrame = {
+    val pos = docs
+      .select(col("doc_id"),
+        posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(t1, t2))
+    pos.as("a").join(pos.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("a.tok") === t1 && col("b.tok") === t2 &&
+          col("b.pos") === col("a.pos") + 1)
+      .groupBy(col("a.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_phrase"), min(col("a.pos")).as("first_pos"))
+      .orderBy("doc_id")
+  }
 
   /** The `text_keyness` core: top-`k` tokens per language by lift
     * (c_lt·N)/(c_t·c_l) with support `c_lt >= minCount`.
@@ -1131,7 +1221,47 @@ object TextOps {
         |      ORDER BY lift DESC, token ASC) AS rk
         |  FROM r)
         |SELECT lang, rk, token, c_lt, lift FROM rk
-        |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin
+        |WHERE rk <= 10 ORDER BY lang, rk""".stripMargin,
+    // e0-suffixed literals parse as DOUBLE (bare decimals are DECIMAL in
+    // DuckDB — see lnTableSql); the operand tree mirrors bm25From exactly
+    "text_bm25" ->
+      s"""WITH d AS (SELECT doc_id, $tokSql AS L FROM documents),
+         |stats AS (SELECT count(*) AS n,
+         |    CAST(sum(len(L)) AS BIGINT) AS total_tok FROM d),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(L) AS tok FROM d)
+         |  WHERE tok IN ('hash', 'join') GROUP BY 1, 2),
+         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |dl AS (SELECT doc_id, len(L) AS dl FROM d),
+         |sc AS (SELECT tf.doc_id, tf.tok, tf.tf,
+         |    ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5e0) /
+         |      (CAST(df AS DOUBLE) + 0.5e0)) *
+         |    ((CAST(tf AS DOUBLE) * 2.2e0) / (CAST(tf AS DOUBLE) +
+         |      1.2e0 * (0.25e0 + 0.75e0 * (CAST(dl AS DOUBLE) /
+         |        (CAST(total_tok AS DOUBLE) / CAST(n AS DOUBLE))))))
+         |      AS score
+         |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+         |  CROSS JOIN stats)
+         |SELECT doc_id,
+         |  CAST(coalesce(max(CASE WHEN tok = 'hash' THEN tf END), 0)
+         |    AS BIGINT) AS tf_1,
+         |  CAST(coalesce(max(CASE WHEN tok = 'join' THEN tf END), 0)
+         |    AS BIGINT) AS tf_2,
+         |  coalesce(max(CASE WHEN tok = 'hash' THEN score END), 0e0) +
+         |    coalesce(max(CASE WHEN tok = 'join' THEN score END), 0e0)
+         |    AS score
+         |FROM sc GROUP BY doc_id
+         |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
+    "text_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS L FROM documents),
+         |p AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, L[i] AS tok
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(L)))
+         |    AS i) g
+         |  WHERE L[i] IN ('hash', 'join'))
+         |SELECT a.doc_id, count(*) AS n_phrase, min(a.pos) AS first_pos
+         |FROM p a JOIN p b ON a.doc_id = b.doc_id
+         |  AND a.tok = 'hash' AND b.tok = 'join' AND b.pos = a.pos + 1
+         |GROUP BY 1 ORDER BY a.doc_id""".stripMargin
   )
 
   /** The 3-word segment instance stream as a DuckDB CTE body — the oracle

@@ -395,4 +395,39 @@ class TextOpsSpec extends GraftSuite {
     spark.catalog.clearCache()
     assert(got == Seq(("x", "y")), got.toList)
   }
+
+  test("bm25: planted corpus matches a hand replay of the rational-idf " +
+      "formula, and saturation ranks the two-term doc first") {
+    import spark.implicits._
+    // N=3, total=9, avgdl=3; df(hash)=1, df(join)=2
+    val docs = Seq(
+      (1L, "hash join hash"),
+      (2L, "join x y z"),
+      (3L, "x y")).toDF("doc_id", "text")
+    val got = graft.ops.TextOps.bm25From(docs, "hash", "join", k = 20)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    def term(tf: Long, df: Long, dl: Long): Double = {
+      val n = 3.0; val avgdl = 9.0 / 3.0
+      val idf = (n - df.toDouble + 0.5) / (df.toDouble + 0.5)
+      idf * ((tf.toDouble * 2.2) /
+        (tf.toDouble + 1.2 * (0.25 + 0.75 * (dl.toDouble / avgdl))))
+    }
+    val s1 = term(2, 1, 3) + term(1, 2, 3) // doc 1: both terms
+    val s2 = 0.0 + term(1, 2, 4)           // doc 2: join only
+    assert(s1 > s2)
+    assert(got == Seq((1L, 2L, 1L, s1), (2L, 0L, 1L, s2)), got.toList)
+  }
+
+  test("phrase search: only exact adjacency in order matches") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hash join hash join"), // matches at pos 0 and 2
+      (2L, "join hash"),           // reversed - no match
+      (3L, "hash x join")).toDF("doc_id", "text") // gap - no match
+    val got = graft.ops.TextOps.phraseSearchFrom(docs, "hash", "join")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, 2L, 0)), got.toList)
+  }
 }
