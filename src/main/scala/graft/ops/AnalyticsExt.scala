@@ -428,6 +428,46 @@ object AnalyticsExt {
             .as("corr"))
         .orderBy("l_returnflag")
     },
+    // Skewness and excess kurtosis per event type — the third/fourth
+    // standardized moments agg_variance/agg_corr stop short of (tail
+    // asymmetry and tail weight are the distribution-shape signals
+    // behind outlier policies and mixture diagnostics). The doctrine is
+    // the integer one, not agg_corr's wide-decimal one: values are
+    // floor-quantized to whole units (floor, NOT a double→int cast —
+    // Spark truncates where DuckDB rounds; floor agrees everywhere, and
+    // skew/kurtosis of the quantized variable is the declared readout),
+    // so v ≤ 561 and all four power sums are exact BIGINT-range
+    // integers (Σv⁴ ≈ 1.4·10¹³ at sf0.1, < 2⁶³ through ~10¹⁰ rows —
+    // beyond that, swap in the 3-limb wide path like agg_corr). The
+    // moment combination is then ONE fixed IEEE tree over exact sums,
+    // with sqrt (correctly rounded by IEEE mandate) instead of pow
+    // (libm, not portable). One partial+final aggregate — the identical
+    // plan shape to agg_stats at any scale.
+    "agg_moments" -> { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val v = col("v")
+      val g = Tables(s, d).events
+        .select(col("event_type"), floor(col("value")).as("v"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(v.cast(DecimalType(38, 0))).as("s1"),
+          sum((v * v).cast(DecimalType(38, 0))).as("s2"),
+          sum((v * v * v).cast(DecimalType(38, 0))).as("s3"),
+          sum((v * v * v * v).cast(DecimalType(38, 0))).as("s4"))
+      val nd = col("n").cast("double")
+      val mean = col("s1").cast("double") / nd
+      val e2 = col("s2").cast("double") / nd
+      val e3 = col("s3").cast("double") / nd
+      val e4 = col("s4").cast("double") / nd
+      val m2 = e2 - mean * mean
+      val m3 = e3 - lit(3.0) * mean * e2 + lit(2.0) * mean * mean * mean
+      val m4 = e4 - lit(4.0) * mean * e3 + lit(6.0) * mean * mean * e2 -
+        lit(3.0) * mean * mean * mean * mean
+      g.select(col("event_type"), col("n"),
+          (m3 / (m2 * sqrt(m2))).as("skewness"),
+          (m4 / (m2 * m2) - lit(3.0)).as("excess_kurtosis"))
+        .orderBy("event_type")
+    },
     // Per-group mode (most frequent value, smallest-value tiebreak):
     // count aggregate then a rank-1 window — WindowGroupLimit keeps one
     // row per (group, partition) before the shuffle.
@@ -860,6 +900,31 @@ object AnalyticsExt {
          |    (sqrt((sxx - sx * sx / n) / n) *
          |     sqrt((syy - sy * sy / n) / n)) AS corr
          |FROM m ORDER BY l_returnflag""".stripMargin,
+    // same whole-unit floor quantization and the same IEEE tree as the
+    // Spark side; e0 literals parse as DOUBLE
+    "agg_moments" ->
+      """WITH c AS (SELECT event_type, CAST(floor(value) AS BIGINT) AS v
+        |  FROM events),
+        |g AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(v) AS BIGINT) AS s1,
+        |    CAST(sum(v * v) AS BIGINT) AS s2,
+        |    CAST(sum(v * v * v) AS BIGINT) AS s3,
+        |    CAST(sum(v * v * v * v) AS BIGINT) AS s4
+        |  FROM c GROUP BY 1),
+        |f AS (SELECT event_type, n,
+        |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+        |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+        |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+        |  FROM g),
+        |m AS (SELECT event_type, n, e2 - mean * mean AS m2,
+        |    e3 - 3.0e0 * mean * e2 + 2.0e0 * mean * mean * mean AS m3,
+        |    e4 - 4.0e0 * mean * e3 + 6.0e0 * mean * mean * e2 -
+        |      3.0e0 * mean * mean * mean * mean AS m4
+        |  FROM f)
+        |SELECT event_type, n, m3 / (m2 * sqrt(m2)) AS skewness,
+        |  m4 / (m2 * m2) - 3.0e0 AS excess_kurtosis
+        |FROM m ORDER BY event_type""".stripMargin,
     "agg_mode" ->
       """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
         |  FROM lineitem GROUP BY 1, 2),

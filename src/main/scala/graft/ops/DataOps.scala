@@ -825,6 +825,70 @@ object DataOps {
         .select(col("col_name"), col("n"), col("n_null"), col("ndv"),
           col("min_v"), col("max_v"), col("top_v"), col("top_n"))
         .orderBy("col_name")
+    },
+    // Inclusion-dependency profiling — the foreign-key DISCOVERY step a
+    // catalog runs before it can trust join paths (the column profile
+    // above sees one column at a time; this is the cross-table
+    // containment check): for each candidate (child → parent) edge,
+    // count distinct child keys, count those with no parent match, and
+    // flag full inclusion. The third candidate deliberately FAILS:
+    // customer → events.user_id ("is every customer active in the event
+    // log?") — only a sliver of the customer domain ever emits events in
+    // this corpus, so the readout exercises both verdicts.
+    // Shape per candidate: both sides collapse to DISTINCT key sets
+    // (key-sized, partial-agg'd map-side) before a LEFT ANTI join — the
+    // anti join shuffles keys, never facts; the verdict is two scalar
+    // counts crossed. At 100 TB each check is one key-shuffle, and
+    // candidates run independently (a real profiler fans hundreds out).
+    "data_inclusion_check" -> { (s, d) =>
+      val t = Tables(s, d)
+      def check(childName: String, parentName: String, child: DataFrame,
+          parent: DataFrame): DataFrame = {
+        val c = child.toDF("k").distinct()
+        val p = parent.toDF("k").distinct()
+        val n = c.agg(count(lit(1)).as("n_child_distinct"))
+        val miss = c.join(p, Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_unmatched"))
+        n.crossJoin(miss)
+          .select(lit(childName).as("child"), lit(parentName).as("parent"),
+            col("n_child_distinct"), col("n_unmatched"),
+            (col("n_unmatched") === 0L).as("included"),
+            ((col("n_child_distinct") - col("n_unmatched")).cast("double") /
+              col("n_child_distinct").cast("double")).as("coverage"))
+      }
+      check("lineitem.l_orderkey", "orders.o_orderkey",
+          t.lineitem.select("l_orderkey"), t.orders.select("o_orderkey"))
+        .unionAll(check("orders.o_custkey", "customer.c_custkey",
+          t.orders.select("o_custkey"), t.customer.select("c_custkey")))
+        .unionAll(check("customer.c_custkey", "events.user_id",
+          t.customer.select("c_custkey"), t.events.select("user_id")))
+        .orderBy("child")
+    },
+    // Deterministic keyed pseudonymization — the GDPR-grade "replace the
+    // natural key, keep the joins working" transform: user_id maps to
+    // xxh64('P' || id) under a pipeline salt, so the SAME user always
+    // gets the SAME opaque 64-bit pseudonym (per-user aggregation,
+    // sessionization, and cross-table joins still line up) while the raw
+    // id never leaves the scan. The readout proves joinability survived:
+    // per-pseudonym event count, purchase count, and exact value total.
+    // Map-side hash + one user-keyed shuffle — the identical plan the
+    // raw-id aggregate would have; pseudonymization is plan-free at any
+    // scale. The oracle recomputes the pseudonyms via the XXH64 SQL
+    // replica, so the mapping itself is gate-checked, not just row
+    // counts. (One-way: reversing requires brute-forcing the id domain;
+    // a production run would put a secret salt in the prefix.)
+    "data_pseudonymize" -> { (s, d) =>
+      Tables(s, d).events
+        .select(
+          xxhash64(concat(lit("P"), col("user_id").cast("string")))
+            .as("pseudonym"),
+          col("event_type"), col("value"))
+        .groupBy("pseudonym")
+        .agg(count(lit(1)).as("n_events"),
+          count(when(col("event_type") === "purchase", 1))
+            .as("n_purchases"),
+          Oracle.dsum(s, col("value")).as("sum_value"))
+        .orderBy("pseudonym")
     }
   )
 
@@ -1440,7 +1504,42 @@ object DataOps {
         |  FROM cnts) WHERE rk = 1)
         |SELECT s.col_name, n, n_null, ndv, min_v, max_v, top_v, top_n
         |FROM stats s JOIN md USING (col_name) ORDER BY col_name"""
-        .stripMargin
+        .stripMargin,
+    "data_inclusion_check" ->
+      """WITH
+        |c1 AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+        |n1 AS (SELECT count(*) AS n FROM c1),
+        |u1 AS (SELECT count(*) AS u FROM c1
+        |  WHERE k NOT IN (SELECT o_orderkey FROM orders)),
+        |c2 AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        |n2 AS (SELECT count(*) AS n FROM c2),
+        |u2 AS (SELECT count(*) AS u FROM c2
+        |  WHERE k NOT IN (SELECT c_custkey FROM customer)),
+        |c3 AS (SELECT DISTINCT c_custkey AS k FROM customer),
+        |n3 AS (SELECT count(*) AS n FROM c3),
+        |u3 AS (SELECT count(*) AS u FROM c3
+        |  WHERE k NOT IN (SELECT user_id FROM events))
+        |SELECT * FROM (
+        |  SELECT 'lineitem.l_orderkey' AS child, 'orders.o_orderkey'
+        |      AS parent, n AS n_child_distinct, u AS n_unmatched,
+        |    u = 0 AS included,
+        |    CAST(n - u AS DOUBLE) / CAST(n AS DOUBLE) AS coverage
+        |  FROM n1, u1
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey', 'customer.c_custkey', n, u, u = 0,
+        |    CAST(n - u AS DOUBLE) / CAST(n AS DOUBLE) FROM n2, u2
+        |  UNION ALL
+        |  SELECT 'customer.c_custkey', 'events.user_id', n, u, u = 0,
+        |    CAST(n - u AS DOUBLE) / CAST(n AS DOUBLE) FROM n3, u3)
+        |ORDER BY child""".stripMargin,
+    "data_pseudonymize" ->
+      s"""SELECT ${XxhSql.expr("'P' || CAST(user_id AS VARCHAR)", "42")}
+         |    AS pseudonym,
+         |  count(*) AS n_events,
+         |  count(CASE WHEN event_type = 'purchase' THEN 1 END)
+         |    AS n_purchases,
+         |  ${Oracle.sqlSum("value")} AS sum_value
+         |FROM events GROUP BY 1 ORDER BY pseudonym""".stripMargin
   )
 
   /** Oracle spelling of [[graft.functions.Kernels.zorder2]]: the same 32

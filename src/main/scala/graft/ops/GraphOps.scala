@@ -264,8 +264,59 @@ object GraphOps {
     "graph_label_propagation" -> { (s, d) =>
       labelPropagationFrom(copurchaseEdges(Tables(s, d), minSupport = 2),
         rounds = 3)
+    },
+    // HITS hubs & authorities (Kleinberg 1999) on the DIRECTED bipartite
+    // trade graph (customer → supplier) — the mutual-reinforcement
+    // readout PageRank's single score can't express: a hub customer is
+    // one buying from authoritative suppliers, an authority supplier is
+    // one bought by hub customers. Two full h/a rounds, EXACT INTEGER:
+    // instead of the classic L2 normalization (sqrt of a sum — not
+    // bit-portable as a fixpoint), each half-step L1-normalizes to
+    // Σ = 10⁹ via v' = (v·10⁹) div Σv with the product and the total in
+    // DECIMAL(38,0) (Σv ≤ 10⁹·|E| overflows int64 past ~10⁹ edges; the
+    // decimal keeps 38 digits of headroom, same doctrine as the
+    // components convergence sum). Each half-step is one edges⋈scores
+    // equi-join (scores are node-sized) + a partial+final sum + a
+    // broadcast scalar — O(rounds × m) total, no driver round-trips.
+    "graph_hits" -> { (s, d) =>
+      val e = Tables(s, d).orders
+        .join(Tables(s, d).lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+      hitsFrom(e, k = 10)
     }
   )
+
+  /** Two integer HITS rounds over a bipartite (c, s) edge list; top-`k`
+    * hubs and authorities. Separated so specs can plant star graphs with
+    * known hub/authority structure.
+    */
+  def hitsFrom(edges: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = edges.persist()
+    def normalize(df: DataFrame, id: String): DataFrame = {
+      val tot = df.agg(sum(col("v").cast(DecimalType(38, 0))).as("tot"))
+      df.crossJoin(broadcast(tot))
+        .select(col(id),
+          expr("CAST(v AS DECIMAL(38,0)) * 1000000000 div tot").as("v"))
+    }
+    var a = e.select(col("s")).distinct().withColumn("v", lit(1L))
+    var h: DataFrame = null
+    for (_ <- 1 to 2) {
+      h = normalize(e.join(a, "s").groupBy("c")
+        .agg(sum(col("v").cast(DecimalType(38, 0))).as("v")), "c")
+      a = normalize(e.join(h, "c").groupBy("s")
+        .agg(sum(col("v").cast(DecimalType(38, 0))).as("v")), "s")
+    }
+    val hubs = h.orderBy(col("v").desc, col("c").asc).limit(k)
+      .select(lit("hub").as("role"), col("c").as("id"),
+        col("v").as("score"))
+    val auths = a.orderBy(col("v").desc, col("s").asc).limit(k)
+      .select(lit("authority").as("role"), col("s").as("id"),
+        col("v").as("score"))
+    hubs.unionAll(auths)
+      .orderBy(col("role"), col("score").desc, col("id").asc)
+  }
 
   /** `rounds` synchronous peel rounds toward the k-core of a canonical
     * (u < v, distinct) edge list; returns survivors with their in-core
@@ -757,6 +808,33 @@ object GraphOps {
            |l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
            |$chain
            |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+      },
+      "graph_hits" -> {
+        // the same two L1-normalized h/a rounds, CTE for CTE; sums are
+        // HUGEINT (the Spark side uses DECIMAL(38,0)) and the normalize
+        // step is (v * 10^9) // tot
+        def half(src: String, from: String, to: String,
+            out: String): String =
+          s"""${out}r AS (SELECT e.$to, sum(v) AS v
+             |  FROM e JOIN $src ON $src.$from = e.$from GROUP BY 1),
+             |${out}t AS (SELECT sum(v) AS tot FROM ${out}r),
+             |$out AS (SELECT $to, CAST((v::HUGEINT * 1000000000) // tot
+             |    AS BIGINT) AS v
+             |  FROM ${out}r, ${out}t)""".stripMargin
+        s"""WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |a0 AS (SELECT DISTINCT s, CAST(1 AS BIGINT) AS v FROM e),
+           |${half("a0", "s", "c", "h1")},
+           |${half("h1", "c", "s", "a1")},
+           |${half("a1", "s", "c", "h2")},
+           |${half("h2", "c", "s", "a2")}
+           |SELECT * FROM (
+           |  (SELECT 'hub' AS role, c AS id, v AS score FROM h2
+           |    ORDER BY v DESC, c ASC LIMIT 10)
+           |  UNION ALL
+           |  (SELECT 'authority', s, v FROM a2
+           |    ORDER BY v DESC, s ASC LIMIT 10))
+           |ORDER BY role, score DESC, id ASC""".stripMargin
       }
     )
   }

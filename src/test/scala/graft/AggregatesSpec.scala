@@ -504,4 +504,33 @@ class AggregatesSpec extends GraftSuite {
     }
     assert(q == want)
   }
+
+  test("moments: skewness/kurtosis match a plain-Scala replay of the " +
+      "same IEEE tree over exact integer power sums") {
+    val q = AnalyticsExt.queries("agg_moments")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    val rows = graft.ops.Tables(spark, sfDir).events
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1)).toLong))
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, vs) =>
+      val n = vs.length.toLong
+      val s1 = vs.map(_._2).sum
+      val s2 = vs.map(x => x._2 * x._2).sum
+      val s3 = vs.map(x => x._2 * x._2 * x._2).sum
+      val s4 = vs.map(x => x._2 * x._2 * x._2 * x._2).sum
+      val nd = n.toDouble
+      val mean = s1.toDouble / nd
+      val e2 = s2.toDouble / nd; val e3 = s3.toDouble / nd
+      val e4 = s4.toDouble / nd
+      val m2 = e2 - mean * mean
+      val m3 = e3 - 3.0 * mean * e2 + 2.0 * mean * mean * mean
+      val m4 = e4 - 4.0 * mean * e3 + 6.0 * mean * mean * e2 -
+        3.0 * mean * mean * mean * mean
+      (t, n, m3 / (m2 * math.sqrt(m2)), m4 / (m2 * m2) - 3.0)
+    }
+    assert(q == want)
+    // the value distribution is right-tailed: leptokurtic in every group
+    assert(q.forall(_._4 > 0.0), q.map(x => (x._1, x._4)).toList)
+  }
 }

@@ -491,4 +491,50 @@ class DataOpsSpec extends GraftSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got2 == ((1L to 7L).map(_ -> 1L) :+ (8L -> 100L)), got2.toList)
   }
+
+  test("inclusion check: FK edges verify, the reversed edge fails with " +
+      "exactly the idle customers unmatched") {
+    val got = graft.ops.DataOps.queries("data_inclusion_check")(
+        spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toList
+    val t = graft.ops.Tables(spark, sfDir)
+    val custs = t.customer.select("c_custkey").collect()
+      .map(_.getLong(0)).toSet
+    val activeUsers = t.events.select("user_id").collect()
+      .map(_.getLong(0)).toSet
+    val inactive = (custs -- activeUsers).size
+    assert(got.map(_._1) == List("customer.c_custkey",
+      "lineitem.l_orderkey", "orders.o_custkey"))
+    // the two real FK edges hold; the customer → event-log edge misses
+    // exactly the customers that never emitted an event
+    assert(got(1)._3 == 0L && got(1)._4)
+    assert(got(2)._3 == 0L && got(2)._4)
+    assert(got(0)._2 == custs.size.toLong &&
+      got(0)._3 == inactive.toLong && !got(0)._4, got(0))
+  }
+
+  test("pseudonymize: aggregate over pseudonyms equals the raw-id " +
+      "aggregate re-keyed through the same hash") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.DataOps.queries("data_pseudonymize")(spark, sfDir)
+    // independent plan: aggregate on the RAW id first, then hash the key
+    val want = graft.ops.Tables(spark, sfDir).events
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+        graft.ops.Oracle.dsum(spark, col("value")).as("sum_value"))
+      .select(
+        xxhash64(concat(lit("P"), col("user_id").cast("string")))
+          .as("pseudonym"),
+        col("n_events"), col("n_purchases"), col("sum_value"))
+      .orderBy("pseudonym")
+    val g = got.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3))).toSeq
+    val w = want.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3))).toSeq
+    assert(g == w)
+    // pseudonyms are unique per user (no hash collision at this scale)
+    assert(g.map(_._1).distinct.size == w.size)
+  }
 }

@@ -348,4 +348,39 @@ class GraphOpsSpec extends GraftSuite {
     spark.catalog.clearCache()
     assert(got == Seq((1L, 2L, 2L, 1.0)), got.toList)
   }
+
+  test("hits: planted bipartite star ranks the shared supplier as top " +
+      "authority and the two-supplier customer as top hub, matching an " +
+      "integer replay") {
+    import spark.implicits._
+    // customers 1,2,3; suppliers 10,20. Supplier 10 serves everyone;
+    // only customer 1 also buys from 20.
+    val edges = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 20L))
+      .toDF("c", "s")
+    val got = GraphOps.hitsFrom(edges, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache()
+    // replay: two L1-normalized rounds of the exact integer recurrence
+    val e = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 20L))
+    def norm(m: Map[Long, BigInt]): Map[Long, Long] = {
+      val tot = m.values.sum
+      m.map { case (k, v) => k -> ((v * 1000000000L) / tot).toLong }
+    }
+    var a: Map[Long, Long] = Map(10L -> 1L, 20L -> 1L)
+    var h: Map[Long, Long] = Map.empty
+    for (_ <- 1 to 2) {
+      h = norm(e.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(x => BigInt(a(x._2))).sum })
+      a = norm(e.groupBy(_._2).map { case (s, es) =>
+        s -> es.map(x => BigInt(h(x._1))).sum })
+    }
+    val wantHubs = h.toSeq.map { case (c, v) => ("hub", c, v) }
+      .sortBy(x => (-x._3, x._2))
+    val wantAuth = a.toSeq.map { case (s, v) => ("authority", s, v) }
+      .sortBy(x => (-x._3, x._2))
+    assert(got == (wantAuth ++ wantHubs), got.toList)
+    // structural readout: the expected winners
+    assert(got.head == wantAuth.head && wantAuth.head._2 == 10L)
+    assert(wantHubs.head._2 == 1L)
+  }
 }
