@@ -662,6 +662,30 @@ object EventOps {
           median(col("gap_ms")).as("median_gap_ms"))
         .orderBy("from_type", "to_type")
     },
+    // Sample-ratio-mismatch check for the A/B assignment events_ab_lift
+    // reads out — the experiment-HEALTH gate that must pass before any
+    // lift number is trusted: under the 50/50 hash split, the arm sizes
+    // should differ only by chance, and χ² = Σ(observed − n/2)²/(n/2)
+    // over the two arms quantifies the mismatch (1 df; > 3.84 ≈ p < .05
+    // flags a broken randomizer or differential logging loss). The arm
+    // counts are exact integers out of one distinct-user aggregate on
+    // the SAME 'AB' hash stream as the lift query; χ² is one fixed IEEE
+    // tree. Map-side hash, one user-keyed distinct, a scalar readout.
+    "events_srm_check" -> { (s, d) =>
+      val users = Tables(s, d).events.select(col("user_id")).distinct()
+        .withColumn("arm",
+          pmod(xxhash64(concat(lit("AB"), col("user_id").cast("string"))),
+            lit(2)))
+      val g = users.agg(
+        count(when(col("arm") === 0, 1)).as("users_a"),
+        count(when(col("arm") =!= 0, 1)).as("users_b"))
+      val e = (col("users_a") + col("users_b")).cast("double") / lit(2.0)
+      val ua = col("users_a").cast("double")
+      val ub = col("users_b").cast("double")
+      val chi2 = (ua - e) * (ua - e) / e + (ub - e) * (ub - e) / e
+      g.select(col("users_a"), col("users_b"), chi2.as("chi2"),
+        (chi2 > lit(3.84)).as("srm_suspect"))
+    },
     // Per-type linear trend — closed-form OLS of the daily count series
     // (y = count, x = epoch-day): slope = (k·Σxy − Σx·Σy)/(k·Σxx − Σx²),
     // the "is this event type growing?" readout next to the naive
@@ -1678,6 +1702,25 @@ object EventOps {
         |  median(gap_ms) AS median_gap_ms
         |FROM t WHERE from_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+    "events_srm_check" ->
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |a AS (SELECT
+         |    count(CASE WHEN
+         |      ((${XxhSql.expr("'AB' || CAST(user_id AS VARCHAR)", "42")})
+         |        % 2 + 2) % 2 = 0 THEN 1 END) AS users_a,
+         |    count(CASE WHEN
+         |      ((${XxhSql.expr("'AB' || CAST(user_id AS VARCHAR)", "42")})
+         |        % 2 + 2) % 2 <> 0 THEN 1 END) AS users_b
+         |  FROM u),
+         |f AS (SELECT users_a, users_b,
+         |    CAST(users_a + users_b AS DOUBLE) / 2.0e0 AS e,
+         |    CAST(users_a AS DOUBLE) AS ua, CAST(users_b AS DOUBLE) AS ub
+         |  FROM a)
+         |SELECT users_a, users_b,
+         |  (ua - e) * (ua - e) / e + (ub - e) * (ub - e) / e AS chi2,
+         |  (ua - e) * (ua - e) / e + (ub - e) * (ub - e) / e > 3.84e0
+         |    AS srm_suspect
+         |FROM f""".stripMargin,
     "events_trend_ols" ->
       """WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
         |    count(*) AS n

@@ -284,8 +284,58 @@ object GraphOps {
         .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
         .distinct()
       hitsFrom(e, k = 10)
+    },
+    // Degree assortativity (Newman 2002) of the undirected trade graph —
+    // the one-number mixing readout: do high-degree nodes link to other
+    // high-degree nodes (r > 0) or to leaves (r < 0)? It is the Pearson
+    // correlation of (deg(u), deg(v)) over DIRECTED edge endpoints (both
+    // orientations), from the same exact-integer sufficient-statistic
+    // doctrine as events_autocorr: five DECIMAL(38,0) sums (Σdxdy ≤
+    // m·deg², decimal headroom past int64 at extreme degree), one IEEE
+    // combination. Shape: degrees are one edge-keyed count; each edge
+    // picks up both endpoint degrees via two node-sized equi-joins; the
+    // rollup is a single partial+final aggregate — three shuffles total,
+    // all linear in m.
+    "graph_assortativity" -> { (s, d) =>
+      val e0 = Tables(s, d).orders
+        .join(Tables(s, d).lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      assortativityFrom(e0)
     }
   )
+
+  /** Degree-assortativity coefficient over an undirected edge list given
+    * as one orientation — separated so specs can plant graphs with known
+    * mixing (a star is maximally disassortative as k grows).
+    */
+  def assortativityFrom(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val pairs = e.join(deg, "src")
+      .withColumnRenamed("deg", "dx")
+      .join(deg.withColumnRenamed("src", "dst")
+        .withColumnRenamed("deg", "dy"), "dst")
+      .select(col("dx"), col("dy"))
+    val g = pairs.agg(count(lit(1)).as("n_dir_edges"),
+      sum(col("dx").cast(DecimalType(38, 0))).as("sx"),
+      sum(col("dy").cast(DecimalType(38, 0))).as("sy"),
+      sum((col("dx") * col("dy")).cast(DecimalType(38, 0))).as("sxy"),
+      sum((col("dx") * col("dx")).cast(DecimalType(38, 0))).as("sxx"),
+      sum((col("dy") * col("dy")).cast(DecimalType(38, 0))).as("syy"))
+    val nd = col("n_dir_edges").cast("double")
+    g.select(col("n_dir_edges"),
+      ((nd * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+        (sqrt(nd * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) *
+         sqrt(nd * col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double"))))
+        .as("assortativity"))
+  }
 
   /** Two integer HITS rounds over a bipartite (c, s) edge list; top-`k`
     * hubs and authorities. Separated so specs can plant star graphs with
@@ -835,7 +885,31 @@ object GraphOps {
            |  (SELECT 'authority', s, v FROM a2
            |    ORDER BY v DESC, s ASC LIMIT 10))
            |ORDER BY role, score DESC, id ASC""".stripMargin
-      }
+      },
+      "graph_assortativity" ->
+        """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+          |    l_suppkey * 2 + 1 AS dst
+          |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+          |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+          |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+          |p AS (SELECT dx.deg AS dx, dy.deg AS dy
+          |  FROM e JOIN deg dx ON e.src = dx.src
+          |  JOIN deg dy ON e.dst = dy.src),
+          |g AS (SELECT count(*) AS n, CAST(sum(dx) AS HUGEINT) AS sx,
+          |    CAST(sum(dy) AS HUGEINT) AS sy,
+          |    CAST(sum(dx * dy) AS HUGEINT) AS sxy,
+          |    CAST(sum(dx * dx) AS HUGEINT) AS sxx,
+          |    CAST(sum(dy * dy) AS HUGEINT) AS syy
+          |  FROM p)
+          |SELECT n AS n_dir_edges,
+          |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+          |    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+          |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+          |    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+          |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+          |    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+          |    AS assortativity
+          |FROM g""".stripMargin
     )
   }
 

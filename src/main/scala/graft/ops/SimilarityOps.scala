@@ -392,8 +392,66 @@ object SimilarityOps {
             (sv, cv) => sv * cv), lit(0L), (a, x) => a + x).as("dot_sum"),
           (col("cnt") * size(col("svec"))).as("n_terms"))
         .orderBy("label")
+    },
+    // Simplified (centroid-based) silhouette per label — the clustering-
+    // QUALITY readout the centroid/kmeans queries stop short of: for each
+    // vector, a = distance to its own label's centroid, b = distance to
+    // the nearest OTHER centroid, s = (b−a)/max(a,b); the per-label mean
+    // says which clusters are tight vs bleeding into a neighbor. (The
+    // classic silhouette's mean-pairwise-distance form is O(n²); the
+    // centroid form is the linear-time variant actually run at scale.)
+    // Arithmetic: same 1000x-quantized integer centroids as
+    // sim_label_centroid, distances as EXACT integer squared sums (diff
+    // ≤ 2·10⁶ per dim, Σ over 64 dims ≤ 2.6·10¹⁴ — Long-safe), then one
+    // sqrt/divide IEEE tree per vector and a dsum rollup. Shape: the
+    // label-sized centroid table broadcasts; each vector meets all k
+    // centroids in a map-side crossJoin (k × n rows, the kmeans-step
+    // fan-out), collapses to (a, b) by conditional min, and the final
+    // aggregate is label-keyed.
+    "sim_silhouette" -> { (s, d) =>
+      silhouetteFrom(s, Tables(s, d).embeddings)
     }
   )
+
+  /** The centroid-silhouette core over any (vec_id, label, embedding)
+    * frame — separated so specs can plant clusters with hand-computable
+    * integer distances. See the `sim_silhouette` query comment.
+    */
+  def silhouetteFrom(s: SparkSession, emb: DataFrame): DataFrame = {
+      val base = emb
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("label"),
+          quantize(col("embedding")).as("qv"))
+      val cent = base.groupBy(col("label").as("clabel"))
+        .agg(graft.functions.aggregates.vec_sum_longs(col("qv"))
+            .as("svec"),
+          count(col("qv")).as("cnt"))
+        .select(col("clabel"),
+          transform(col("svec"),
+            sv => floor(sv * lit(1000) / col("cnt")).cast("long"))
+            .as("cv"))
+      val d2 = aggregate(zip_with(col("qv"), col("cv"),
+          (q, c) => (q * lit(1000) - c) * (q * lit(1000) - c)),
+        lit(0L), (a, x) => a + x)
+      val per = base.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("clabel"), d2.as("d2"))
+        .groupBy("vec_id", "label")
+        .agg(min(when(col("clabel") === col("label"), col("d2")))
+            .as("a2"),
+          min(when(col("clabel") =!= col("label"), col("d2"))).as("b2"))
+      val sil = (sqrt(col("b2").cast("double")) -
+        sqrt(col("a2").cast("double"))) /
+        greatest(sqrt(col("a2").cast("double")),
+          sqrt(col("b2").cast("double")))
+      per.select(col("label"), sil.as("s"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          graft.ops.Oracle.dsum(s, col("s")).as("sum_silhouette"))
+        .select(col("label"), col("n"), col("sum_silhouette"),
+          (col("sum_silhouette") / col("n").cast("double"))
+            .as("avg_silhouette"))
+        .orderBy("label")
+  }
 
   /** The PQ encode+ADC core over any frame with (vec_id, embedding) —
     * see the `sim_ann_pq` notes above. Separated so specs can replay the
@@ -999,6 +1057,38 @@ object SimilarityOps {
         |SELECT q.label, CAST(sum(q.v * c.cv) AS BIGINT) AS dot_sum,
         |  count(*) AS n_terms
         |FROM q JOIN centq c ON q.label = c.label AND q.i = c.i
-        |GROUP BY q.label ORDER BY q.label""".stripMargin
+        |GROUP BY q.label ORDER BY q.label""".stripMargin,
+    // the same quantized centroids, exact integer squared distances, and
+    // sqrt/divide tree as the Spark side
+    "sim_silhouette" ->
+      s"""WITH q AS (SELECT vec_id, label, i,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5)
+         |      AS BIGINT) AS v
+         |  FROM embeddings,
+         |    LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+         |      AS i) g),
+         |centq AS (SELECT label AS clabel, i,
+         |    CAST(floor(CAST(sum(v) * 1000 AS DOUBLE) / count(*))
+         |      AS BIGINT) AS cv
+         |  FROM q GROUP BY 1, 2),
+         |d AS (SELECT q.vec_id, q.label, c.clabel,
+         |    CAST(sum((q.v * 1000 - c.cv) * (q.v * 1000 - c.cv))
+         |      AS BIGINT) AS d2
+         |  FROM q JOIN centq c ON q.i = c.i GROUP BY 1, 2, 3),
+         |p AS (SELECT vec_id, label,
+         |    min(CASE WHEN clabel = label THEN d2 END) AS a2,
+         |    min(CASE WHEN clabel <> label THEN d2 END) AS b2
+         |  FROM d GROUP BY 1, 2),
+         |sil AS (SELECT label,
+         |    (sqrt(CAST(b2 AS DOUBLE)) - sqrt(CAST(a2 AS DOUBLE))) /
+         |      greatest(sqrt(CAST(a2 AS DOUBLE)),
+         |        sqrt(CAST(b2 AS DOUBLE))) AS s
+         |  FROM p),
+         |g2 AS (SELECT label, count(*) AS n,
+         |    ${graft.ops.Oracle.sqlSum("s")} AS sum_silhouette
+         |  FROM sil GROUP BY 1)
+         |SELECT label, n, sum_silhouette,
+         |  sum_silhouette / CAST(n AS DOUBLE) AS avg_silhouette
+         |FROM g2 ORDER BY label""".stripMargin
   )
 }

@@ -799,4 +799,19 @@ class EventOpsSpec extends GraftSuite {
     assert(math.abs(got(0)._3 - 1.0 / 3.0) < 4e-3, got(0))
     assert(math.abs(got(1)._3 - 2.0 / 3.0) < 4e-3, got(1))
   }
+
+  test("srm check: arm counts agree with the lift query's, chi2 replays " +
+      "from them, and the hash split is not suspect on this corpus") {
+    val srm = EventOps.queries("events_srm_check")(spark, sfDir)
+      .collect()(0)
+    val lift = EventOps.queries("events_ab_lift")(spark, sfDir)
+      .collect()(0)
+    // same 'AB' hash stream, different plan (distinct vs per-user agg)
+    assert(srm.getLong(0) == lift.getLong(0), "users_a")
+    assert(srm.getLong(1) == lift.getLong(2), "users_b")
+    val e = (srm.getLong(0) + srm.getLong(1)).toDouble / 2.0
+    val ua = srm.getLong(0).toDouble; val ub = srm.getLong(1).toDouble
+    val chi2 = (ua - e) * (ua - e) / e + (ub - e) * (ub - e) / e
+    assert(srm.getDouble(2) == chi2 && srm.getBoolean(3) == (chi2 > 3.84))
+  }
 }

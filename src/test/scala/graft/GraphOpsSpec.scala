@@ -383,4 +383,27 @@ class GraphOpsSpec extends GraftSuite {
     assert(got.head == wantAuth.head && wantAuth.head._2 == 10L)
     assert(wantHubs.head._2 == 1L)
   }
+
+  test("assortativity: a star is exactly -1, a perfect matching is " +
+      "degree-constant (NaN-free guard: matching uses two degrees)") {
+    import spark.implicits._
+    // K1,3: every edge joins degree 3 to degree 1 -> r = -1 exactly
+    // (all sufficient statistics are small exact integers)
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val gotS = GraphOps.assortativityFrom(star).collect()(0)
+    assert(gotS.getLong(0) == 6L && gotS.getDouble(1) == -1.0, gotS)
+    // path P3 (1-2, 2-3): pairs mix degrees 1 and 2; replay the formula
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val gotP = GraphOps.assortativityFrom(path).collect()(0)
+    val pairs = Seq((1, 2), (2, 1), (2, 1), (1, 2)) // (dx, dy) per dir edge
+    val n = pairs.size.toDouble
+    val sx = pairs.map(_._1).sum.toDouble
+    val sy = pairs.map(_._2).sum.toDouble
+    val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+    val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+    val syy = pairs.map(p => p._2 * p._2).sum.toDouble
+    val r = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    assert(gotP.getLong(0) == 4L && gotP.getDouble(1) == r, gotP)
+  }
 }

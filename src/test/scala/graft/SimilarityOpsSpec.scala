@@ -347,4 +347,42 @@ class SimilarityOpsSpec extends GraftSuite {
     }
     assert(got == want)
   }
+
+  test("silhouette: two tight well-separated planted clusters score " +
+      "near 1, matching an integer replay of the centroid pipeline") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, 0, Array(0.0f, 0.0f)), (2L, 0, Array(0.002f, 0.0f)),
+      (3L, 1, Array(1.0f, 1.0f)), (4L, 1, Array(1.002f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = graft.ops.SimilarityOps.silhouetteFrom(spark, emb)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(3))).toSeq
+    // integer replay: qv = floor(1000x + 0.5); cv = floor(1000*sv/cnt);
+    // d2 over (qv*1000 - cv)^2; s = (sqrt(b2)-sqrt(a2))/max(...)
+    val pts = Seq((1L, 0, Seq(0L, 0L)), (2L, 0, Seq(2L, 0L)),
+      (3L, 1, Seq(1000L, 1000L)), (4L, 1, Seq(1002L, 1000L)))
+    val cents = pts.groupBy(_._2).map { case (l, xs) =>
+      val cnt = xs.size
+      l -> xs.map(_._3).transpose.map(dim =>
+        math.floor(dim.sum.toDouble * 1000 / cnt).toLong)
+    }
+    def d2(q: Seq[Long], c: Seq[Long]): Long =
+      q.zip(c).map { case (qi, ci) =>
+        (qi * 1000 - ci) * (qi * 1000 - ci) }.sum
+    val want = pts.groupBy(_._2).toSeq.sortBy(_._1).map { case (l, xs) =>
+      val ss = xs.map { p =>
+        val a2 = d2(p._3, cents(l))
+        val b2 = cents.filter(_._1 != l).values.map(d2(p._3, _)).min
+        (math.sqrt(b2.toDouble) - math.sqrt(a2.toDouble)) /
+          math.max(math.sqrt(a2.toDouble), math.sqrt(b2.toDouble))
+      }
+      // dsum quantizes each s to 6 dp before summing
+      val sum6 = ss.map(s => BigDecimal(s).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      (l, xs.size.toLong, sum6 / xs.size.toDouble)
+    }
+    assert(got == want, s"got=$got want=$want")
+    assert(got.forall(_._3 > 0.99), got.toList)
+  }
 }
