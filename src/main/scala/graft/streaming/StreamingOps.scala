@@ -394,6 +394,33 @@ object StreamingOps {
           (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))
             .as("delta_ms"))
         .orderBy("click_id", "purchase_id")
+    },
+    // Stream-static enrichment join — the remaining streaming JOIN shape
+    // next to the stream-stream interval join: the event stream enriched
+    // against the static customer dimension (user_id → nation), then
+    // windowed per nation. The static side is a plain batch DataFrame;
+    // Spark plans the join STATELESS (each microbatch hash/broadcast-
+    // joins against the dimension — no join state store, no watermark
+    // needed on the dimension), which is why enrich-then-aggregate is
+    // the production shape for dimension lookups at any scale. Checked
+    // against the equivalent batch join's DuckDB oracle.
+    "events_enrich_stream" -> { (s, d) =>
+      val cust = graft.ops.Tables(s, d).customer
+        .select(col("c_custkey").as("user_id"), col("c_nationkey"))
+      val enriched = readEvents(s, d)
+        .withWatermark("event_ts", "2 hours")
+        .join(cust, "user_id")
+        .groupBy(window(col("event_ts"), "1 hour"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), dsum(s, col("value")).as("sum_value"))
+        .select(col("window.start").as("win_start"), col("c_nationkey"),
+          col("n"), col("sum_value"))
+      runToMemory(enriched, "events_enrich_stream_sink",
+          OutputMode.Complete())
+        .select(
+          expr(graft.ops.EventOps.floorDivSql(
+            "unix_millis(win_start)", 3600000L)).as("hour_bucket"),
+          col("c_nationkey"), col("n"), col("sum_value"))
+        .orderBy("hour_bucket", "c_nationkey")
     }
   )
 
@@ -476,6 +503,12 @@ object StreamingOps {
         |SELECT click_id, purchase_id, purchase_ms - click_ms AS delta_ms
         |FROM c JOIN p USING (user_id)
         |WHERE purchase_ms >= click_ms AND purchase_ms < click_ms + 1800000
-        |ORDER BY click_id, purchase_id""".stripMargin
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    // the equivalent batch enrichment join, hour-bucketed per nation
+    "events_enrich_stream" ->
+      s"""SELECT epoch_ms(ts) // 3600000 AS hour_bucket, c_nationkey,
+         |  count(*) AS n, ${graft.ops.Oracle.sqlSum("value")} AS sum_value
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY 1, 2 ORDER BY hour_bucket, c_nationkey""".stripMargin
   )
 }

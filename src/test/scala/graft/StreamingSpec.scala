@@ -297,4 +297,26 @@ class StreamingSpec extends GraftSuite {
     assert(out.toSeq == Seq(("2024-01-01 00:00:00.0", "a")),
       s"boundary emission diverged: ${out.toSeq}")
   }
+
+  test("stream-static enrichment equals the batch join, and the static " +
+      "side allocates no stream-stream join state") {
+    val got = graft.streaming.StreamingOps
+      .queries("events_enrich_stream")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val t = graft.ops.Tables(spark, sfDir)
+    val want = graft.ops.EventOps.withMs(t.events)
+      .join(t.customer.select(col("c_custkey").as("user_id"),
+        col("c_nationkey")), "user_id")
+      .groupBy(expr(graft.ops.EventOps.floorDivSql("ts_ms", 3600000L))
+        .as("hour_bucket"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.Oracle.dsum(spark, col("value")).as("sum_value"))
+      .orderBy("hour_bucket", "c_nationkey")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == want)
+    assert(got.map(_._2).distinct.size > 1, "several nations present")
+  }
 }
