@@ -76,8 +76,20 @@ class PlanCheckSpec extends GraftSuite {
                           // ≥3-support pair survivors
     "data_range_partition_plan", // 1-row total-count scalar broadcast
                           // under the quantized histogram (metadata-scale)
-    "text_cooccurrence_assoc" // 1-row total-pairs scalar broadcast under
+    "text_cooccurrence_assoc", // 1-row total-pairs scalar broadcast under
                           // the ≥support pair survivors (as basket_pair_lift)
+    "text_bm25",          // 1-row corpus-stats (N, Σdl) scalar broadcast
+                          // under the two query terms' posting rows
+    "events_cusum_changepoint", // 1-row (days, total) scalar broadcast
+                          // under the day-sized daily series
+    "events_markov_stationary", // 1-row type-count scalar broadcast under
+                          // the |types|-sized initial distribution
+    "data_inclusion_check", // 1-row count x 1-row anti-join-count combine
+                          // per FK candidate (three scalar pairs)
+    "graph_hits",         // 1-row L1-total scalar broadcast under the
+                          // node-sized score table (each normalize step)
+    "sim_silhouette"      // label-sized centroid table broadcast under
+                          // every vector (the kmeans-step fan-out)
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides
