@@ -489,6 +489,24 @@ object DedupOps {
         .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
       verifyCosine(cand, emb, 0.45)
     },
+    // DBSCAN core-point detection over the embedding space — the density
+    // primitive under density-based clustering and outlier removal (a
+    // point is CORE when >= minPts neighbors sit within the eps ball;
+    // everything else is border/noise). Neighborhood search reuses the
+    //16x4 OR-amplified LSH bucketing + exactly-once pair emission +
+    // exact-cosine verification from dedup_embedding verbatim — the
+    // candidate-restricted neighbor count is the documented approximate-
+    // DBSCAN contract at scale (missed-by-LSH neighbors undercount
+    // exactly like dedup_embedding's recall note), and the oracle
+    // replicates the bucketing so the gate checks the DECLARED
+    // semantics. Each surviving pair fans out to both endpoints
+    // (explode of a 2-array — map-side), then one id-keyed count.
+    // eps sits BELOW dedup_embedding's 0.45 near-dup bar: density asks
+    // "does this point have company", not "is it a duplicate" — 0.35
+    // yields a selective-but-populated core set on the i.i.d. corpus
+    "sim_dbscan_core" -> { (s, d) =>
+      dbscanCoreFrom(Tables(s, d).embeddings, t = 0.35, minPts = 2)
+    },
     // Exact all-pairs baseline (block-partitioned triangular join): the
     // correctness oracle for the bucketed path, and the honest exact
     // option when the threshold sits below LSH's separation power.
@@ -580,6 +598,30 @@ object DedupOps {
         aggregate(transform(col("q"), x => x * x), lit(0L), (a, x) => a + x))
 
   /** Exact quantized-cosine verification of candidate (id1, id2) pairs. */
+  /** The `sim_dbscan_core` pipeline over any (vec_id, embedding) frame —
+    * separated so specs can plant dense clusters with known core sets.
+    */
+  def dbscanCoreFrom(embeddings: DataFrame, t: Double,
+      minPts: Int): DataFrame = {
+    val emb = quantizedEmbeddings(embeddings)
+      .withColumn("bkts", SimilarityOps.lshBuckets(col("q"), 16, 4))
+      .persist()
+    val keys = emb.select(col("vec_id"), col("bkts"),
+      posexplode(col("bkts")).as(Seq("tb", "bkt")))
+    val cand = keys.as("a")
+      .join(keys.as("b"),
+        col("a.tb") === col("b.tb") && col("a.bkt") === col("b.bkt") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          graft.functions.functions
+            .first_match(col("a.bkts"), col("b.bkts")) === col("a.tb"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+    verifyCosine(cand, emb, t)
+      .select(explode(array(col("id1"), col("id2"))).as("vec_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("n_neighbors"))
+      .filter(col("n_neighbors") >= minPts)
+      .orderBy("vec_id")
+  }
+
   private def verifyCosine(
       cand: DataFrame, emb: DataFrame, t: Double): DataFrame =
     cand
@@ -896,6 +938,40 @@ object DedupOps {
         |  FROM p JOIN n na ON na.vec_id = id1 JOIN n nb ON nb.vec_id = id2)
         |SELECT id1, id2, cos FROM scored WHERE cos >= 0.45
         |ORDER BY id1, id2""".stripMargin,
+    // the dedup_embedding pipeline (bucketing replicated identically)
+    // with the endpoint fan-out + core threshold on top
+    "sim_dbscan_core" ->
+      """WITH q AS (SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
+        |dots AS (SELECT vec_id, k,
+        |           sum(v * (((k * 131 + (i - 1) * 31 + 7) % 61) - 30)) AS dt
+        |         FROM q CROSS JOIN
+        |           (SELECT unnest(generate_series(0, 63)) AS k) pl
+        |         GROUP BY 1, 2),
+        |bkt AS (SELECT vec_id, k // 4 AS tb,
+        |          CAST(sum(CASE WHEN dt > 0 THEN 1 << (k % 4) ELSE 0 END)
+        |            AS BIGINT) AS bucket
+        |        FROM dots GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2
+        |         FROM bkt a JOIN bkt b
+        |           ON a.tb = b.tb AND a.bucket = b.bucket
+        |          AND a.vec_id < b.vec_id),
+        |p AS (SELECT id1, id2, sum(a.v * b.v) AS dot
+        |      FROM cand JOIN q a ON a.vec_id = id1
+        |                JOIN q b ON b.vec_id = id2 AND b.i = a.i
+        |      GROUP BY 1, 2),
+        |scored AS (SELECT id1, id2,
+        |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+        |           sqrt(CAST(nb.nn AS DOUBLE))) END AS cos
+        |  FROM p JOIN n na ON na.vec_id = id1 JOIN n nb ON nb.vec_id = id2),
+        |sym AS (SELECT id1 AS vec_id FROM scored WHERE cos >= 0.35
+        |        UNION ALL SELECT id2 FROM scored WHERE cos >= 0.35)
+        |SELECT vec_id, count(*) AS n_neighbors FROM sym
+        |GROUP BY 1 HAVING count(*) >= 2 ORDER BY vec_id""".stripMargin,
     "dedup_embedding_bruteforce" ->
       """WITH q AS (SELECT vec_id, i,
         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v

@@ -389,4 +389,25 @@ class DedupSpec extends GraftSuite {
       assert(err >= math.abs(est - exact) - 1e-12)
     }
   }
+
+  test("dbscan core: a planted tight triple is core, the pair and the " +
+      "singleton are not") {
+    import spark.implicits._
+    val base = Array.fill(64)(0.5f)
+    def jitter(at: Int): Array[Float] = {
+      val a = base.clone(); a(at) = 0.52f; a
+    }
+    // 1,2,3: near-identical cluster (pairwise cos ~ 1) -> 2 neighbors
+    // each; 10,11: an isolated PAIR (1 neighbor each, below minPts=2);
+    // 20: antipodal singleton
+    val emb = Seq(
+      (1L, base), (2L, jitter(0)), (3L, jitter(1)),
+      (10L, base.map(-_)), (11L, base.map(x => -x * 0.9f)),
+      (20L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = ops.DedupOps.dbscanCoreFrom(emb, t = 0.9, minPts = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    spark.catalog.clearCache()
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 2L)), got.toList)
+  }
 }
