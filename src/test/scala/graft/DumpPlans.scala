@@ -149,7 +149,18 @@ object DumpPlans {
         "single-partition sort"),
       "graph_bfs_hops" -> ("frontier-join BFS: per round one equi-join " +
         "of ONLY the newest frontier against the persisted edge list, " +
-        "node-sized min-dist aggregate; depth cap bounds rounds"))
+        "node-sized min-dist aggregate; depth cap bounds rounds"),
+      "text_bm25" -> ("BM25 retrieval: the posting filter runs BEFORE " +
+        "the shuffle (only the two query terms' postings move), df and " +
+        "corpus stats broadcast as scalars, per-doc term sum pivoted " +
+        "into one fixed-order addition"),
+      "graph_hits" -> ("integer HITS: per half-step one edges-scores " +
+        "equi-join + partial+final sum, then a 1-row L1-total broadcast " +
+        "for the normalize — O(rounds x m), no driver round-trips"),
+      "sim_dbscan_core" -> ("approximate DBSCAN core points: LSH " +
+        "signatures computed map-side, candidate pairs from a bucket " +
+        "equi-join (never all-pairs), exact-cosine verify on candidates " +
+        "only, endpoint fan-out is a map-side explode"))
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.DumpPlans\"` " +
