@@ -344,7 +344,12 @@ object GraphOps {
   def hitsFrom(edges: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val e = edges.persist()
-    def normalize(df: DataFrame, id: String): DataFrame = {
+    def normalize(df0: DataFrame, id: String): DataFrame = {
+      // the raw half-step aggregate feeds BOTH the 1-row L1 total and
+      // the normalized select — eager localCheckpoint (node-sized)
+      // truncates the lineage so the edges join behind it runs exactly
+      // once, not once per consumer/broadcast job
+      val df = df0.localCheckpoint()
       val tot = df.agg(sum(col("v").cast(DecimalType(38, 0))).as("tot"))
       df.crossJoin(broadcast(tot))
         .select(col(id),
@@ -353,10 +358,17 @@ object GraphOps {
     var a = e.select(col("s")).distinct().withColumn("v", lit(1L))
     var h: DataFrame = null
     for (_ <- 1 to 2) {
+      // eager node-sized checkpoint per half-step: every score table
+      // feeds TWO consumers (the next half-step's join and the final
+      // union) — a lazy chain re-executed every earlier half-step per
+      // consumer (measured 18 s at sf0.1; ~4 s with the lineage cut,
+      // which is the edge build + four sub-second half-steps)
       h = normalize(e.join(a, "s").groupBy("c")
         .agg(sum(col("v").cast(DecimalType(38, 0))).as("v")), "c")
+        .localCheckpoint()
       a = normalize(e.join(h, "c").groupBy("s")
         .agg(sum(col("v").cast(DecimalType(38, 0))).as("v")), "s")
+        .localCheckpoint()
     }
     val hubs = h.orderBy(col("v").desc, col("c").asc).limit(k)
       .select(lit("hub").as("role"), col("c").as("id"),
@@ -383,7 +395,12 @@ object GraphOps {
       .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     var alive = und.select(col("src").as("node")).distinct()
     for (_ <- 1 to rounds)
+      // eager node-sized checkpoint per round: degIn consumes `alive`
+      // in TWO semi-joins, so a lazy chain re-executes every earlier
+      // round 2^rounds times (measured 26 s at sf0.1 for three rounds;
+      // a few seconds with the lineage cut per round)
       alive = degIn(alive).filter(col("deg") >= k).select("node")
+        .localCheckpoint()
     degIn(alive).withColumnRenamed("deg", "core_deg").orderBy("node")
   }
 
