@@ -162,6 +162,42 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** ln(i) for i in 0..1024 (entry 0 = 0.0) — the SHARED log table behind
+    * engine-portable entropies ([[graft.ops.TextOps]] re-exports it and
+    * the DuckDB oracle embeds the same doubles as literals).
+    */
+  val LnTable: Array[Double] =
+    Array.tabulate(1025)(i => if (i == 0) 0.0 else math.log(i.toDouble))
+
+  /** Shannon entropy in bits of a row-local multiset:
+    * (N·lnN − Σ c·ln c) / (N·ln 2), counts folded in ascending binary
+    * item order from 0.0 — bit-identical to the higher-order-function
+    * formulation it replaces (sorted-distinct fold) but ONE tree-map
+    * pass instead of O(distinct × N) interpreted lambda scans (measured
+    * ~10x on text_entropy at sf0.1; Spark HOFs don't participate in
+    * whole-stage codegen). Counts above 1024 overrun the table — the
+    * same loud failure as the element_at form. NULL items contribute to
+    * N but not to the count sum (the `c === x` filter semantics).
+    */
+  def entropyBits(items: ArrayData): Double = {
+    val n = items.numElements()
+    val counts = new java.util.TreeMap[UTF8String, Integer]()
+    var i = 0
+    while (i < n) {
+      if (!items.isNullAt(i))
+        counts.merge(items.getUTF8String(i), Integer.valueOf(1),
+          (a, b) => Integer.valueOf(a.intValue + b.intValue))
+      i += 1
+    }
+    var acc = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().intValue
+      acc = acc + c.toDouble * LnTable(c)
+    }
+    (n.toDouble * LnTable(n) - acc) / (n.toDouble * LnTable(2))
+  }
+
   /** Occurrence count of the single most frequent token — one hash map per
     * ROW, so repetition scoring never explodes tokens into a shuffle (the
     * explode + groupBy(doc, token) formulation moves N×tokens rows through

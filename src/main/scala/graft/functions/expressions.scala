@@ -214,6 +214,25 @@ case class TopTokenCount(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Shannon entropy (bits) of a string-array multiset via the shared ln
+  * table — see [[Kernels.entropyBits]] for the exact-parity contract.
+  */
+case class EntropyBits(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "entropy_bits"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(items: Any): Any =
+    Kernels.entropyBits(
+      items.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${codegenNames.kernels}.entropyBits($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Contiguous n-token shingles of a token array (single pass). */
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression
     with ExpectsInputTypes {
@@ -462,6 +481,9 @@ object functions {
 
   def top_token_count(tokens: Column): Column =
     ColumnBridge.column(TopTokenCount(ColumnBridge.expression(tokens)))
+
+  def entropy_bits(items: Column): Column =
+    ColumnBridge.column(EntropyBits(ColumnBridge.expression(items)))
 
   def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(

@@ -467,18 +467,14 @@ object TextOps {
   }
 
   /** Shannon entropy of a row-local multiset: H = (N·lnN − Σ c·ln c) /
-    * (N·ln 2), all logs via the shared [[lnTable]] (see the
-    * `text_entropy` query comment for the cross-engine design).
+    * (N·ln 2), all logs via the shared [[lnTable]] — computed by the
+    * codegen'd [[graft.functions.EntropyBits]] kernel, which replicates
+    * the original sorted-distinct HOF fold bit for bit in one pass
+    * (Spark HOFs evaluate interpreted per element; the O(distinct × N)
+    * filter-per-distinct form measured ~10 s at sf0.1, the kernel ~1 s).
     */
-  private def entropyOf(items: Column): Column = {
-    val n = size(items)
-    val counts = transform(array_sort(array_distinct(items)),
-      x => size(filter(items, c => c === x)))
-    val sumClogC = aggregate(counts, lit(0.0),
-      (acc, c) => acc + c.cast("double") * lnInt(c))
-    (n.cast("double") * lnInt(n) - sumClogC) /
-      (n.cast("double") * lit(lnTable(2)))
-  }
+  private def entropyOf(items: Column): Column =
+    graft.functions.functions.entropy_bits(items)
 
   /** The `text_entropy` core over any (doc_id, text) frame — separated so
     * specs can plant texts with hand-computable entropies.
@@ -860,15 +856,7 @@ object TextOps {
     * these EXACT doubles (the oracle embeds their shortest-roundtrip
     * rendering) instead of calling their own libm/fdlibm ln.
     */
-  private[ops] val lnTable: Array[Double] =
-    Array.tabulate(1025)(i => if (i == 0) 0.0 else math.log(i.toDouble))
-
-  /** ln(c) for an integer-count column via the shared table (1-based
-    * element_at; index c+1 holds ln(c)). ANSI out-of-bounds on counts
-    * beyond 1024 is the documented loud failure.
-    */
-  private def lnInt(c: Column): Column =
-    element_at(lit(lnTable), c + lit(1))
+  private[ops] val lnTable: Array[Double] = graft.functions.Kernels.LnTable
 
   /** The same table as a DuckDB list literal (1-based, so l[c+1]=ln(c)).
     * The `e0` exponent suffix is load-bearing: a bare decimal literal

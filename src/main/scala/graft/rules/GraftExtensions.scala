@@ -100,5 +100,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "_FUNC_(tokens) - occurrence count of the most frequent token") {
       a => TopTokenCount(a(0))
     }
+    fn(e, "entropy_bits", classOf[EntropyBits],
+      "_FUNC_(items) - Shannon entropy (bits) of a string-array multiset") {
+      a => EntropyBits(a(0))
+    }
   }
 }
