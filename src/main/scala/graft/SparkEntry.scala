@@ -29,6 +29,7 @@ object SparkEntry {
     (SimilarityOps.queries, SimilarityOps.oracles),
     (EventOps.queries, EventOps.oracles),
     (GraphOps.queries, GraphOps.oracles),
+    (GeoOps.queries, GeoOps.oracles),
     (MultimodalOps.queries, MultimodalOps.oracles),
     (DataOps.queries, DataOps.oracles),
     // streaming parity IS part of the contract: the hourly aggregate runs

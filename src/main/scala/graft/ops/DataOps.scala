@@ -395,6 +395,81 @@ object DataOps {
           md5(col("text")).as("digest"))
         .orderBy("doc_id")
     },
+    // ORC sink + source roundtrip — the third columnar-format contract
+    // row next to CSV and JSON (ORC ships native in Spark; Avro's
+    // connector jar is absent from this container, noted not stubbed).
+    // Same discipline: explicit read schema, row-wise digest vs parquet.
+    "data_orc_roundtrip" -> { (s, d) =>
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_orc_demo").toString
+      Tables(s, d).documents.select("doc_id", "lang", "text", "n_chars")
+        .write.mode("overwrite").orc(out)
+      s.read
+        .schema("doc_id BIGINT, lang STRING, text STRING, n_chars BIGINT")
+        .orc(out)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("text")).as("digest"))
+        .orderBy("doc_id")
+    },
+    // Functional-dependency audit — schema-quality profiling's other
+    // half next to data_inclusion_check's FK discovery: for each
+    // candidate A → B, count LHS groups, violating groups (>1 distinct
+    // RHS), and the worst fan-out. Each candidate is one partial+final
+    // aggregate on its LHS (countDistinct collapses map-side per
+    // group), then a one-row rollup — at 100 TB the shuffles carry
+    // (lhs, rhs) pairs, never rows. A key-FD (o_orderkey → o_custkey)
+    // pins the "holds" verdict; three denormalization candidates pin
+    // the violation statistics.
+    "data_fd_check" -> { (s, d) =>
+      val t = Tables(s, d)
+      def fd(df: DataFrame, name: String, lhs: String, rhs: String) =
+        df.groupBy(col(lhs))
+          .agg(countDistinct(col(rhs)).as("nd"))
+          .agg(count(lit(1)).as("n_lhs"),
+            count(when(col("nd") > 1, 1)).as("n_violating"),
+            max(col("nd")).as("max_rhs"))
+          .select(lit(name).as("fd"), col("n_lhs"), col("n_violating"),
+            col("max_rhs"), (col("n_violating") === 0L).as("holds"))
+      fd(t.orders, "o_orderkey->o_custkey", "o_orderkey", "o_custkey")
+        .unionAll(fd(t.orders, "o_custkey->o_orderpriority",
+          "o_custkey", "o_orderpriority"))
+        .unionAll(fd(t.lineitem, "l_orderkey->l_returnflag",
+          "l_orderkey", "l_returnflag"))
+        .unionAll(fd(t.customer, "c_nationkey->c_mktsegment",
+          "c_nationkey", "c_mktsegment"))
+        .orderBy("fd")
+    },
+    // Table-level reconciliation checksums — the replica-comparison
+    // primitive behind every migration/backfill audit: per table, an
+    // ORDER-INDEPENDENT xor + modular-sum signature of a canonical row
+    // hash, so two 100 TB replicas compare with one aggregate each and
+    // a 3-row diff (no row-level join). Row hash is xxh64 of a pinned
+    // '|'-joined key projection (each < 32 bytes — the [[XxhSql]]
+    // replica's domain, so the oracle recomputes every row hash).
+    // bit_xor and the mod-10^12 sum both collapse map-side; the Long
+    // sum has headroom to ~9·10⁶ rows per table (a production variant
+    // sums into DECIMAL(38,0) like the components convergence check).
+    "data_table_checksum" -> { (s, d) =>
+      val t = Tables(s, d)
+      def sig(df: DataFrame, name: String, canonical: Column) = {
+        val h = xxhash64(canonical)
+        df.select(h.as("h"))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(h)").as("xor_sig"),
+            sum(pmod(col("h"), lit(1000000000000L))).as("sum_sig"))
+          .select(lit(name).as("table_name"), col("n_rows"),
+            col("xor_sig"), col("sum_sig"))
+      }
+      sig(t.documents, "documents",
+        concat_ws("|", col("doc_id"), col("lang"), col("n_chars")))
+        .unionAll(sig(t.orders, "orders",
+          concat_ws("|", col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"))))
+        .unionAll(sig(t.customer, "customer",
+          concat_ws("|", col("c_custkey"), col("c_nationkey"),
+            col("c_mktsegment"))))
+        .orderBy("table_name")
+    },
     "data_sink_partitioned" -> { (s, d) =>
       val out = new java.io.File(
         sys.props("java.io.tmpdir"), "graft_sink_demo").toString
@@ -1263,6 +1338,56 @@ object DataOps {
     "data_json_roundtrip" ->
       """SELECT doc_id, lang, n_chars, md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "data_orc_roundtrip" ->
+      """SELECT doc_id, lang, n_chars, md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "data_fd_check" ->
+      """WITH c1 AS (SELECT o_orderkey AS l,
+        |    count(DISTINCT o_custkey) AS nd FROM orders GROUP BY 1),
+        |c2 AS (SELECT o_custkey AS l,
+        |    count(DISTINCT o_orderpriority) AS nd FROM orders GROUP BY 1),
+        |c3 AS (SELECT l_orderkey AS l,
+        |    count(DISTINCT l_returnflag) AS nd FROM lineitem GROUP BY 1),
+        |c4 AS (SELECT c_nationkey AS l,
+        |    count(DISTINCT c_mktsegment) AS nd FROM customer GROUP BY 1),
+        |u AS (
+        |  SELECT 'o_orderkey->o_custkey' AS fd, count(*) AS n_lhs,
+        |    count(CASE WHEN nd > 1 THEN 1 END) AS n_violating,
+        |    max(nd) AS max_rhs FROM c1
+        |  UNION ALL
+        |  SELECT 'o_custkey->o_orderpriority', count(*),
+        |    count(CASE WHEN nd > 1 THEN 1 END), max(nd) FROM c2
+        |  UNION ALL
+        |  SELECT 'l_orderkey->l_returnflag', count(*),
+        |    count(CASE WHEN nd > 1 THEN 1 END), max(nd) FROM c3
+        |  UNION ALL
+        |  SELECT 'c_nationkey->c_mktsegment', count(*),
+        |    count(CASE WHEN nd > 1 THEN 1 END), max(nd) FROM c4)
+        |SELECT fd, n_lhs, n_violating, max_rhs,
+        |  n_violating = 0 AS holds
+        |FROM u ORDER BY fd""".stripMargin,
+    "data_table_checksum" -> {
+      def sig(table: String, name: String, canonical: String) = {
+        val h = XxhSql.expr(canonical, "42")
+        s"""SELECT '$name' AS table_name, count(*) AS n_rows,
+           |    bit_xor(($h)::BIGINT) AS xor_sig,
+           |    CAST(sum(((($h) % 1000000000000) + 1000000000000)
+           |      % 1000000000000) AS BIGINT) AS sum_sig
+           |  FROM $table""".stripMargin
+      }
+      sig("documents", "documents",
+        "CAST(doc_id AS VARCHAR) || '|' || lang || '|' " +
+          "|| CAST(n_chars AS VARCHAR)") +
+        "\nUNION ALL\n" +
+        sig("orders", "orders",
+          "CAST(o_orderkey AS VARCHAR) || '|' " +
+            "|| CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus") +
+        "\nUNION ALL\n" +
+        sig("customer", "customer",
+          "CAST(c_custkey AS VARCHAR) || '|' " +
+            "|| CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment") +
+        "\nORDER BY table_name"
+    },
     // the source table IS the roundtrip ground truth
     "data_sink_partitioned" ->
       """SELECT lang, count(*) AS n_docs, min(doc_id) AS min_id,

@@ -686,6 +686,55 @@ object EventOps {
       g.select(col("users_a"), col("users_b"), chi2.as("chi2"),
         (chi2 > lit(3.84)).as("srm_suspect"))
     },
+    // CUPED variance-reduced lift (Deng et al. 2013, WSDM — "Improving
+    // the Sensitivity of Online Controlled Experiments"): adjust the
+    // per-user purchase metric Y with the engagement covariate X
+    // (view+click count) via θ = Cov(X,Y)/Var(X), pooled across arms,
+    // then read out the adjusted between-arm difference
+    //   Δ_adj = Δ_raw − θ·(mean_B(X) − mean_A(X))
+    // and the theoretical variance reduction ρ² = Corr(X,Y)². Every
+    // sufficient statistic (n, ΣX, ΣY, ΣX², ΣXY, ΣY², per-arm counts
+    // and sums) is an EXACT integer out of ONE per-user aggregate on
+    // the same 'AB' hash stream as events_ab_lift/events_srm_check;
+    // θ/ρ²/Δ are a fixed IEEE tree over those integers (each Long→
+    // double conversion exact below 2^53). Shape: one user-keyed
+    // shuffle with map-side partials, then a single-row rollup — the
+    // 100 TB plan is identical.
+    "events_cuped" -> { (s, d) =>
+      val perUser = Tables(s, d).events
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type").isin("view", "click"), 1L)
+            .otherwise(0L)).as("x"),
+          sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("y"))
+        .withColumn("arm",
+          pmod(xxhash64(concat(lit("AB"), col("user_id").cast("string"))),
+            lit(2)))
+      val g = perUser.agg(
+        count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"),
+        count(when(col("arm") === 0, 1)).as("users_a"),
+        sum(when(col("arm") === 0, col("x")).otherwise(0L)).as("sxa"),
+        sum(when(col("arm") === 0, col("y")).otherwise(0L)).as("sya"),
+        count(when(col("arm") =!= 0, 1)).as("users_b"),
+        sum(when(col("arm") =!= 0, col("x")).otherwise(0L)).as("sxb"),
+        sum(when(col("arm") =!= 0, col("y")).otherwise(0L)).as("syb"))
+      val D = (c: String) => col(c).cast("double")
+      val covN = D("n") * D("sxy") - D("sx") * D("sy")
+      val varXN = D("n") * D("sxx") - D("sx") * D("sx")
+      val varYN = D("n") * D("syy") - D("sy") * D("sy")
+      val theta = covN / varXN
+      val diffRaw = D("syb") / D("users_b") - D("sya") / D("users_a")
+      val diffAdj = diffRaw -
+        theta * (D("sxb") / D("users_b") - D("sxa") / D("users_a"))
+      g.select(col("users_a"), col("users_b"), theta.as("theta"),
+        diffRaw.as("diff_raw"), diffAdj.as("diff_adj"),
+        (covN * covN / (varXN * varYN)).as("var_reduction"))
+    },
     // Per-type linear trend — closed-form OLS of the daily count series
     // (y = count, x = epoch-day): slope = (k·Σxy − Σx·Σy)/(k·Σxx − Σx²),
     // the "is this event type growing?" readout next to the naive
@@ -1720,6 +1769,51 @@ object EventOps {
          |  (ua - e) * (ua - e) / e + (ub - e) * (ub - e) / e AS chi2,
          |  (ua - e) * (ua - e) / e + (ub - e) * (ub - e) / e > 3.84e0
          |    AS srm_suspect
+         |FROM f""".stripMargin,
+    "events_cuped" ->
+      s"""WITH pu AS (SELECT user_id,
+         |    CAST(sum(CASE WHEN event_type IN ('view', 'click')
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         |    CAST(sum(CASE WHEN event_type = 'purchase'
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |arms AS (SELECT x, y,
+         |    ((${XxhSql.expr("'AB' || CAST(user_id AS VARCHAR)", "42")}
+         |      % 2) + 2) % 2 AS arm FROM pu),
+         |g AS (SELECT count(*) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(y * y) AS BIGINT) AS syy,
+         |    count(CASE WHEN arm = 0 THEN 1 END) AS users_a,
+         |    CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT)
+         |      AS sxa,
+         |    CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+         |      AS sya,
+         |    count(CASE WHEN arm <> 0 THEN 1 END) AS users_b,
+         |    CAST(sum(CASE WHEN arm <> 0 THEN x ELSE 0 END) AS BIGINT)
+         |      AS sxb,
+         |    CAST(sum(CASE WHEN arm <> 0 THEN y ELSE 0 END) AS BIGINT)
+         |      AS syb
+         |  FROM arms),
+         |f AS (SELECT users_a, users_b,
+         |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         |    CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+         |    CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd,
+         |    CAST(sxa AS DOUBLE) AS sxad, CAST(sya AS DOUBLE) AS syad,
+         |    CAST(sxb AS DOUBLE) AS sxbd, CAST(syb AS DOUBLE) AS sybd,
+         |    CAST(users_a AS DOUBLE) AS uad,
+         |    CAST(users_b AS DOUBLE) AS ubd
+         |  FROM g)
+         |SELECT users_a, users_b,
+         |  (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS theta,
+         |  sybd / ubd - syad / uad AS diff_raw,
+         |  (sybd / ubd - syad / uad) -
+         |    ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) *
+         |    (sxbd / ubd - sxad / uad) AS diff_adj,
+         |  ((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)) /
+         |    ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+         |    AS var_reduction
          |FROM f""".stripMargin,
     "events_trend_ols" ->
       """WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,

@@ -17,6 +17,14 @@ object TextOps {
   /** Tokens of the whitespace-separated document text. */
   private def toks(c: Column): Column = split(c, " ")
 
+  /** Pinned merge table for `text_bpe_encode`, in rank order: later
+    * rules consume earlier outputs (t a → ta, ta b → tab, tab le →
+    * table). Keys/values are space-separated symbol strings.
+    */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "t a" -> "ta", "ta b" -> "tab", "l e" -> "le", "tab le" -> "table",
+    "a n" -> "an", "i n" -> "in", "e r" -> "er", "s c" -> "sc")
+
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   /** n-token shingles (contiguous token n-grams) of the text; empty array if
@@ -262,6 +270,33 @@ object TextOps {
     // round-trip.
     "text_bpe_merge" -> { (s, d) =>
       bpeMergeStep(charVocab(Tables(s, d).documents), 10)
+    },
+    // BPE tokenizer APPLY: encode the corpus with a pinned 8-rule merge
+    // table (the inference-time half of the trainer above — a production
+    // run feeds the learned ranks in; a pinned table keeps the oracle
+    // byte-exact). Each word becomes a space-separated symbol sequence
+    // and the ranked merges apply in order as left-to-right
+    // non-overlapping string rewrites — `replace` semantics are
+    // IDENTICAL in Spark (UTF8String.replace) and DuckDB, which is the
+    // parity contract; chained merges (t a→ta, ta b→tab, tab le→table)
+    // exercise the iterative-application path. Scale shape: encode is
+    // ONE codegen'd map stage over the token stream (zero shuffles
+    // until the final token count), exactly how a tokenizer runs over
+    // 100 TB; top-30 is a partial+final count into TakeOrdered.
+    "text_bpe_encode" -> { (s, d) =>
+      val seq0 = concat(lit(" "),
+        regexp_replace(col("word"), "(.)", "$1 "))
+      val chain = BpeMerges.foldLeft(seq0) { case (acc, (from, to)) =>
+        call_function("replace", acc, lit(s" $from "), lit(s" $to "))
+      }
+      Tables(s, d).documents
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .select(explode(split(trim(chain), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(30)
     },
     // Segment-level (CCNet-style "paragraph") dedup: chunk every document
     // into non-overlapping 3-word segments, keep each distinct segment's
@@ -1128,6 +1163,19 @@ object TextOps {
          |c1 AS (${bpePairSql("m")})
          |SELECT left_sym, right_sym, weight FROM c1
          |ORDER BY weight DESC, left_sym, right_sym LIMIT 10""".stripMargin,
+    "text_bpe_encode" -> {
+      val chain = BpeMerges.foldLeft(
+        "' ' || regexp_replace(word, '(.)', '\\1 ', 'g')") {
+        case (acc, (from, to)) => s"replace($acc, ' $from ', ' $to ')"
+      }
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+         |    FROM documents),
+         |enc AS (SELECT $chain AS s FROM w WHERE word <> ''),
+         |tok AS (SELECT unnest(string_split(trim(s), ' ')) AS token
+         |    FROM enc)
+         |SELECT token, count(*) AS n FROM tok WHERE token <> ''
+         |GROUP BY token ORDER BY n DESC, token ASC LIMIT 30""".stripMargin
+    },
     // Same packed (doc_id, seg_id) min key; string_agg/CASE drops NULLs
     // exactly as collect_list does, and the all-segments-dropped document
     // renders as '' under both engines (coalesce / concat_ws-over-empty).

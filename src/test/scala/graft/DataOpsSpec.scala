@@ -537,4 +537,56 @@ class DataOpsSpec extends GraftSuite {
     // pseudonyms are unique per user (no hash collision at this scale)
     assert(g.map(_._1).distinct.size == w.size)
   }
+
+  test("fd check: key FD holds, denormalization candidates report " +
+      "independently-recomputed violation counts") {
+    import org.apache.spark.sql.functions._
+    val t = graft.ops.Tables(spark, sfDir)
+    val got = graft.ops.DataOps.queries("data_fd_check")(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(got.size == 4)
+    // the key FD holds with fan-out exactly 1
+    assert(got("o_orderkey->o_custkey") ==
+      ((t.orders.count(), 0L, 1L, true)))
+    // independent recompute of one failing candidate via a different path
+    val nd = t.customer.select("c_nationkey", "c_mktsegment").distinct()
+      .groupBy("c_nationkey").count().collect()
+      .map(r => r.getLong(1))
+    val want = (nd.length.toLong, nd.count(_ > 1).toLong, nd.max, false)
+    assert(got("c_nationkey->c_mktsegment") == want)
+  }
+
+  test("table checksum: signatures match a driver-side fold and react " +
+      "to any single-row change") {
+    import org.apache.spark.sql.functions._
+    val t = graft.ops.Tables(spark, sfDir)
+    val hs = t.documents
+      .select(xxhash64(concat_ws("|", col("doc_id"), col("lang"),
+        col("n_chars"))).as("h"))
+      .collect().map(_.getLong(0))
+    val wantXor = hs.foldLeft(0L)(_ ^ _)
+    val wantSum = hs.map(h => ((h % 1000000000000L) + 1000000000000L)
+      % 1000000000000L).sum
+    val got = graft.ops.DataOps.queries("data_table_checksum")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("documents") == ((hs.length.toLong, wantXor, wantSum)))
+    // sensitivity: dropping one row must change the xor signature
+    val oneLess = hs.drop(1).foldLeft(0L)(_ ^ _)
+    assert(oneLess != wantXor)
+  }
+
+  test("orc roundtrip digest equals the direct parquet digest") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.DataOps.queries("data_orc_roundtrip")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    val want = graft.ops.Tables(spark, sfDir).documents
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == want.toSeq)
+  }
 }

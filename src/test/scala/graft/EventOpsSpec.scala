@@ -814,4 +814,41 @@ class EventOpsSpec extends GraftSuite {
     val chi2 = (ua - e) * (ua - e) / e + (ub - e) * (ub - e) / e
     assert(srm.getDouble(2) == chi2 && srm.getBoolean(3) == (chi2 > 3.84))
   }
+
+  test("cuped: adjusted lift matches a driver-side fold over per-user " +
+      "sufficient statistics, arms agree with the lift query") {
+    import org.apache.spark.sql.functions._
+    val r = EventOps.queries("events_cuped")(spark, sfDir).collect()(0)
+    // same 'AB' stream as events_ab_lift
+    val lift = EventOps.queries("events_ab_lift")(spark, sfDir).collect()(0)
+    assert(r.getLong(0) == lift.getLong(0), "users_a")
+    assert(r.getLong(1) == lift.getLong(2), "users_b")
+    // independent recompute: per-user (x, y, arm) collected, statistics
+    // folded in the driver with the same fixed IEEE tree
+    val pu = graft.ops.Tables(spark, sfDir).events
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type").isin("view", "click"), 1L)
+          .otherwise(0L)).as("x"),
+        sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("y"))
+      .withColumn("arm", pmod(xxhash64(concat(lit("AB"),
+        col("user_id").cast("string"))), lit(2)))
+      .collect().map(q => (q.getLong(1), q.getLong(2), q.getLong(3)))
+    val n = pu.length.toDouble
+    val sx = pu.map(_._1).sum.toDouble
+    val sy = pu.map(_._2).sum.toDouble
+    val sxx = pu.map(p => p._1 * p._1).sum.toDouble
+    val sxy = pu.map(p => p._1 * p._2).sum.toDouble
+    val a = pu.filter(_._3 == 0L); val b = pu.filter(_._3 != 0L)
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val diffRaw = b.map(_._2).sum.toDouble / b.length -
+      a.map(_._2).sum.toDouble / a.length
+    val diffAdj = diffRaw - theta * (b.map(_._1).sum.toDouble / b.length -
+      a.map(_._1).sum.toDouble / a.length)
+    assert(r.getDouble(2) == theta, s"theta ${r.getDouble(2)} vs $theta")
+    assert(r.getDouble(3) == diffRaw)
+    assert(r.getDouble(4) == diffAdj)
+    // variance reduction is a squared correlation: in [0, 1]
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+  }
 }

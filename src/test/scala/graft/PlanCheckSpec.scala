@@ -88,8 +88,12 @@ class PlanCheckSpec extends GraftSuite {
                           // per FK candidate (three scalar pairs)
     "graph_hits",         // 1-row L1-total scalar broadcast under the
                           // node-sized score table (each normalize step)
-    "sim_silhouette"      // label-sized centroid table broadcast under
+    "sim_silhouette",     // label-sized centroid table broadcast under
                           // every vector (the kmeans-step fan-out)
+    "geo_nearest_hub"     // 25-row hub dimension broadcast under every
+                          // customer (the spatial argmin assignment);
+                          // geo_grid_join deliberately NOT here — its
+                          // candidate join is a cell-id equi-join
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides

@@ -430,4 +430,27 @@ class TextOpsSpec extends GraftSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
     assert(got == Seq((1L, 2L, 0)), got.toList)
   }
+
+  test("bpe encode: chained merges produce whole-word tokens with " +
+      "independently-counted frequencies") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.TextOps.queries("text_bpe_encode")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(got.length == 30)
+    // descending-count, token-ascending-on-tie ordering is pinned
+    assert(got.sliding(2).forall { case Array((t1, n1), (t2, n2)) =>
+      n1 > n2 || (n1 == n2 && t1 < t2) },
+      got.toSeq.toString)
+    // the 4-rule chain t a->ta->tab->table must fire: every occurrence
+    // of the word "table" becomes ONE token; count it independently
+    val gotMap = got.toMap
+    val nTable = graft.ops.Tables(spark, sfDir).documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") === "table").count()
+    assert(nTable > 0 && gotMap.get("table").contains(nTable),
+      s"table=$nTable got=${gotMap.get("table")}")
+    // single-char survivors and merged tokens may coexist, but no token
+    // contains a space (the separator never leaks into tokens)
+    assert(got.forall(t => !t._1.contains(" ")))
+  }
 }
