@@ -487,6 +487,48 @@ object EventOps {
             .as("stickiness"))
         .orderBy("day")
     },
+    // Gaps-and-islands: each user's LONGEST consecutive-day activity
+    // streak — the classic SQL islands construction (day − dense row
+    // number is constant exactly within an island of consecutive
+    // distinct days), then the top-20 streaks. Engagement depth the
+    // DAU/WAU stickiness ratio can't see. Shape: one distinct on
+    // (user, day), a user-keyed window (each user's days sort locally),
+    // an island rollup, and a TakeOrdered top-k — the heavy shuffle is
+    // the first distinct, everything after is user-cardinality.
+    "events_streaks" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("day")
+      val islands = withMs(Tables(s, d).events)
+        .select(col("user_id"),
+          expr(floorDivSql("ts_ms", DayMs)).as("day"))
+        .distinct()
+        .withColumn("isl", col("day") - row_number().over(w))
+        .groupBy("user_id", "isl")
+        .agg(count(lit(1)).as("streak_days"), min(col("day")).as("start_day"))
+      val wu = Window.partitionBy("user_id")
+        .orderBy(col("streak_days").desc, col("start_day").asc)
+      islands.withColumn("rn", row_number().over(wu))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("streak_days"), col("start_day"))
+        .orderBy(col("streak_days").desc, col("user_id").asc)
+        .limit(20)
+    },
+    // Freshness SLO readout — the pipeline-health gate every ingestion
+    // job publishes: per event type, the last-seen timestamp, its lag
+    // behind the corpus watermark (the global max), and a staleness
+    // verdict at a 24 h threshold. One partial+final max per type plus
+    // a 1-row watermark broadcast (scalar crossjoin, whitelisted
+    // pattern); exact integer milliseconds end-to-end.
+    "events_freshness" -> { (s, d) =>
+      val perType = withMs(Tables(s, d).events)
+        .groupBy("event_type").agg(max(col("ts_ms")).as("last_ms"))
+      val wm = perType.agg(max(col("last_ms")).as("watermark_ms"))
+      perType.crossJoin(wm)
+        .select(col("event_type"), col("last_ms"),
+          (col("watermark_ms") - col("last_ms")).as("lag_ms"),
+          ((col("watermark_ms") - col("last_ms")) > lit(DayMs))
+            .as("stale"))
+        .orderBy("event_type")
+    },
     // Daily-reset EWMA (α = ½) over the hourly value series per event
     // type — the smoothing readout behind alerting dashboards. An
     // UNBOUNDED exponential window cannot be stated as a SQL window
@@ -1660,6 +1702,30 @@ object EventOps {
         |  CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
         |FROM dau JOIN wau ON dau.day = wau.day
         |ORDER BY dau.day""".stripMargin,
+    "events_streaks" ->
+      """WITH du AS (SELECT DISTINCT user_id,
+        |    epoch_ms(ts) // 86400000 AS day FROM events),
+        |isl AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS g
+        |  FROM du),
+        |runs AS (SELECT user_id, count(*) AS streak_days,
+        |    min(day) AS start_day
+        |  FROM isl GROUP BY user_id, g),
+        |best AS (SELECT user_id, streak_days, start_day FROM (
+        |    SELECT user_id, streak_days, start_day,
+        |      row_number() OVER (PARTITION BY user_id
+        |        ORDER BY streak_days DESC, start_day ASC) AS rn
+        |    FROM runs) r WHERE rn = 1)
+        |SELECT user_id, streak_days, start_day FROM best
+        |ORDER BY streak_days DESC, user_id ASC LIMIT 20""".stripMargin,
+    "events_freshness" ->
+      """WITH pt AS (SELECT event_type, max(epoch_ms(ts)) AS last_ms
+        |  FROM events GROUP BY 1),
+        |wm AS (SELECT max(last_ms) AS w FROM pt)
+        |SELECT event_type, last_ms, w - last_ms AS lag_ms,
+        |  (w - last_ms) > 86400000 AS stale
+        |FROM pt, wm ORDER BY event_type""".stripMargin,
     "events_ewma_daily" ->
       s"""WITH h AS (SELECT epoch_ms(ts) // 3600000 AS hb, event_type,
          |    ${sqlSum("value")} AS v

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over a relationally-derived graph — the
@@ -303,8 +304,74 @@ object GraphOps {
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
       assortativityFrom(e0)
+    },
+    // Strongly connected components of the FUNCTIONAL trade-preference
+    // graph: every trading customer points at their top supplier by
+    // lineitem COUNT, every supplier at their top customer by total
+    // QUANTITY (ties → smallest key; the metrics must differ — a shared
+    // one is a potential along f and collapses all cycles to 2-cycles)
+    // — out-degree exactly 1, so the SCCs are precisely the
+    // cycles of f, and pointer DOUBLING with a min-carry finds them
+    // EXACTLY in ⌈log₂ N⌉ rounds (the directed twin of the
+    // dedup_components pointer jumping; a general-graph SCC needs
+    // diameter-many forward/backward sweeps — the functional form is
+    // the one with a provable log-round bound). After K doublings
+    // h = f^(2^K): (a) a node is on a cycle iff it is in the IMAGE of h
+    // (2^K ≥ any tail length), and (b) the carried min over the 2^K-step
+    // path is then the cycle minimum = the SCC id. K = 15 covers cycles
+    // and tails to 32768 nodes (sf0.1 has ~16k trading nodes; a
+    // production run derives K from the node count). Shape: one
+    // fact-table shuffle builds (cust, supp, cnt); two window top-1
+    // passes; then K node-sized self-joins with eager checkpoints — at
+    // 100 TB the doubling table is node-sized, orders of magnitude
+    // smaller than the fact table.
+    "graph_scc" -> { (s, d) =>
+      val pairs = Tables(s, d).orders
+        .join(Tables(s, d).lineitem, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+      sccFrom(pairs, doublings = 15)
     }
   )
+
+  /** SCC summary of the functional preference graph from a
+    * (c, s, cnt, qty) pair table: customers point at their top supplier
+    * by lineitem COUNT, suppliers at their top customer by total
+    * QUANTITY (see `graph_scc` — the two metrics must differ: a shared
+    * metric is a potential function along f and provably collapses every
+    * cycle to a mutual-top 2-cycle). Tail nodes are singleton SCCs and
+    * are not reported; every reported SCC is a cycle of length >= 2.
+    * Separated so the spec can plant pair tables with known cycles.
+    */
+  def sccFrom(pairs: DataFrame, doublings: Int): DataFrame = {
+    val wc = Window.partitionBy("c").orderBy(col("cnt").desc, col("s").asc)
+    val ws = Window.partitionBy("s").orderBy(col("qty").desc, col("c").asc)
+    val fc = pairs.withColumn("rn", row_number().over(wc))
+      .filter(col("rn") === 1)
+      .select((col("c") * 2).as("node"), (col("s") * 2 + 1).as("ptr"))
+    val fs = pairs.withColumn("rn", row_number().over(ws))
+      .filter(col("rn") === 1)
+      .select((col("s") * 2 + 1).as("node"), (col("c") * 2).as("ptr"))
+    var g = fc.union(fs)
+      .select(col("node"), col("ptr"), least(col("node"), col("ptr")).as("mn"))
+      .localCheckpoint()
+    for (_ <- 1 to doublings)
+      // eager node-sized checkpoint per doubling — same lineage-cut
+      // rationale as kcoreFrom: g feeds BOTH sides of the self-join
+      g = g.as("a")
+        .join(g.as("b"), col("a.ptr") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.ptr").as("ptr"),
+          least(col("a.mn"), col("b.mn")).as("mn"))
+        .localCheckpoint()
+    val cyc = g.select(col("ptr").as("node")).distinct()
+    g.join(cyc, Seq("node"), "left_semi")
+      .groupBy(col("mn").as("scc_id"))
+      .agg(count(lit(1)).as("size"),
+        count(when(pmod(col("node"), lit(2)) === 0, 1)).as("n_cust"),
+        count(when(pmod(col("node"), lit(2)) === 1, 1)).as("n_supp"))
+      .orderBy("scc_id")
+  }
 
   /** Degree-assortativity coefficient over an undirected edge list given
     * as one orientation — separated so specs can plant graphs with known
@@ -926,7 +993,40 @@ object GraphOps {
           |   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
           |    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
           |    AS assortativity
-          |FROM g""".stripMargin
+          |FROM g""".stripMargin,
+      // replicates the doubling move for move: d0 = (f, min(node, f)),
+      // d(k) = d(k-1) composed with itself carrying the path min; cycle
+      // nodes = image of d15's pointer; scc id = the carried min.
+      // MATERIALIZED is load-bearing: each d(k) references d(k-1) twice,
+      // so an inlining planner would expand d15 into 2^15 scan copies
+      "graph_scc" -> {
+        val dK = (1 to 15).map { k =>
+          s"""d$k AS MATERIALIZED (SELECT a.node, b.ptr, least(a.mn, b.mn) AS mn
+             |  FROM d${k - 1} a JOIN d${k - 1} b ON b.node = a.ptr)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH pr AS (SELECT o_custkey AS c, l_suppkey AS s,
+           |    count(*) AS cnt,
+           |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+           |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |  GROUP BY 1, 2),
+           |fc AS (SELECT c * 2 AS node, s * 2 + 1 AS ptr FROM (
+           |    SELECT c, s, row_number() OVER (PARTITION BY c
+           |      ORDER BY cnt DESC, s ASC) AS rn FROM pr) t WHERE rn = 1),
+           |fs AS (SELECT s * 2 + 1 AS node, c * 2 AS ptr FROM (
+           |    SELECT c, s, row_number() OVER (PARTITION BY s
+           |      ORDER BY qty DESC, c ASC) AS rn FROM pr) t WHERE rn = 1),
+           |d0 AS MATERIALIZED (SELECT node, ptr, least(node, ptr) AS mn
+           |  FROM (SELECT * FROM fc UNION ALL SELECT * FROM fs) u),
+           |$dK,
+           |cyc AS (SELECT DISTINCT ptr AS node FROM d15),
+           |g AS (SELECT d.node, d.mn FROM d15 d
+           |  JOIN cyc ON cyc.node = d.node)
+           |SELECT mn AS scc_id, count(*) AS size,
+           |  count(CASE WHEN node % 2 = 0 THEN 1 END) AS n_cust,
+           |  count(CASE WHEN node % 2 = 1 THEN 1 END) AS n_supp
+           |FROM g GROUP BY 1 ORDER BY scc_id""".stripMargin
+      }
     )
   }
 

@@ -181,6 +181,36 @@ object SimilarityOps {
       .otherwise(quant_dot(a, b).cast("double") /
         (sqrt(nn.cast("double")) * sqrt(cnn.cast("double"))))
 
+  /** IVF cosine top-5: coarse-assign each query to its `nprobe` nearest
+    * per-label centroids, probe only those inverted lists, exact-score
+    * the candidates. Shared by `sim_ann_ivf` and `sim_ann_recall_ivf` so
+    * the measured recall is of EXACTLY the shipped search path.
+    */
+  private[graft] def ivfTopkFrom(emb: DataFrame, nprobe: Int): DataFrame = {
+    val base = quantizedBase(emb).persist()
+    // per-label quantized centroid — the shared [[labelCentroids]] pass
+    val centVec = labelCentroids(base)
+    val queries = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("qq"),
+        col("nn").as("qnn"))
+    // coarse assignment: nprobe nearest centroids per query
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("label").asc)
+    val probes = queries.join(broadcast(centVec))
+      .select(col("query_id"), col("label"),
+        cosSim(col("qnn"), col("cnn"), col("qq"), col("cvec"))
+          .as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "label")
+    // probe the inverted lists, exact-score, top-5
+    val cand = base.filter(col("vec_id") >= 10)
+      .join(broadcast(probes), Seq("label"))
+      .join(broadcast(queries), Seq("query_id"))
+    topk(cand.select(col("query_id"), col("vec_id"),
+      cosSim(col("qnn"), col("nn"), col("qq"), col("qv")).as("cos")), 5)
+  }
+
   def queries: Map[String, Q] = Map(
     // Brute-force cosine top-5 for query vectors (vec_id < 10) over the rest.
     "sim_topk_bruteforce" -> { (s, d) =>
@@ -243,29 +273,31 @@ object SimilarityOps {
     // Deterministic integer centroids + IEEE double scoring → the DuckDB
     // oracle replicates the whole pipeline (assignment included).
     "sim_ann_ivf" -> { (s, d) =>
-      val nprobe = 2
-      val base = quantizedBase(Tables(s, d).embeddings).persist()
-      // per-label quantized centroid — the shared [[labelCentroids]] pass
-      val centVec = labelCentroids(base)
-      val queries = base.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("qv").as("qq"),
-          col("nn").as("qnn"))
-      // coarse assignment: nprobe nearest centroids per query
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("csim").desc, col("label").asc)
-      val probes = queries.join(broadcast(centVec))
-        .select(col("query_id"), col("label"),
-          cosSim(col("qnn"), col("cnn"), col("qq"), col("cvec"))
-            .as("csim"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= nprobe)
-        .select("query_id", "label")
-      // probe the inverted lists, exact-score, top-5
-      val cand = base.filter(col("vec_id") >= 10)
-        .join(broadcast(probes), Seq("label"))
-        .join(broadcast(queries), Seq("query_id"))
-      topk(cand.select(col("query_id"), col("vec_id"),
-        cosSim(col("qnn"), col("nn"), col("qq"), col("qv")).as("cos")), 5)
+      ivfTopkFrom(Tables(s, d).embeddings, nprobe = 2)
+    },
+    // Recall@5 of the IVF search against the brute-force ground truth —
+    // the evaluation row the LSH path already has (sim_ann_recall),
+    // completing the harness: every ANN variant ships with its measured
+    // recall, so the list-pruning loss (nprobe=2 of 10 lists) is a
+    // NUMBER in the gate, not a claim. Same plan shape as
+    // sim_ann_recall: two top-5 runs, a left-semi intersection count,
+    // per-query readout.
+    "sim_ann_recall_ivf" -> { (s, d) =>
+      val e = Tables(s, d).embeddings
+      val bf = bruteTopkFrom(e).select("query_id", "vec_id")
+      val iv = ivfTopkFrom(e, nprobe = 2)
+        .select(col("query_id").as("lq"), col("vec_id").as("lv"))
+      val hits = bf.join(iv,
+          col("query_id") === col("lq") && col("vec_id") === col("lv"),
+          "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      bf.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / 5.0)
+            .as("recall_at_5"))
+        .orderBy("query_id")
     },
     // Product-quantization ANN (the codes+ADC form, completing the family:
     // brute force, LSH equi-join, IVF partition-pruning, and now PQ
@@ -848,6 +880,70 @@ object SimilarityOps {
         |  FROM scored)
         |SELECT query_id, vec_id, cos, rk FROM ranked
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // the sim_ann_ivf CTE chain verbatim through `scored`, plus the
+    // brute-force top-5 CTEs from sim_ann_recall, joined into recall@5
+    "sim_ann_recall_ivf" ->
+      """WITH q AS (SELECT vec_id, label, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
+        |cent AS (SELECT label, i,
+        |    CAST(floor(CAST(sum(v) * 1000 AS DOUBLE) / count(*)) AS BIGINT)
+        |      AS cv
+        |  FROM q GROUP BY 1, 2),
+        |cn AS (SELECT label, sum(cv * cv) AS cnn FROM cent GROUP BY 1),
+        |cdot AS (SELECT a.vec_id AS query_id, c.label, sum(a.v * c.cv) AS dot
+        |         FROM q a JOIN cent c ON c.i = a.i
+        |         WHERE a.vec_id < 10 GROUP BY 1, 2),
+        |csim AS (SELECT query_id, cdot.label,
+        |    CASE WHEN na.nn = 0 OR cn.cnn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+        |           sqrt(CAST(cn.cnn AS DOUBLE))) END AS sim
+        |  FROM cdot JOIN n na ON na.vec_id = query_id
+        |            JOIN cn ON cn.label = cdot.label),
+        |probe AS (SELECT query_id, label FROM (
+        |    SELECT query_id, label, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, label ASC) AS rn FROM csim)
+        |  WHERE rn <= 2),
+        |cand AS (SELECT p.query_id, e.vec_id
+        |         FROM probe p JOIN (SELECT DISTINCT vec_id, label
+        |                            FROM embeddings WHERE vec_id >= 10) e
+        |           USING (label)),
+        |dt AS (SELECT c.query_id, c.vec_id, sum(a.v * b.v) AS dot
+        |       FROM cand c
+        |       JOIN q a ON a.vec_id = c.query_id
+        |       JOIN q b ON b.vec_id = c.vec_id AND b.i = a.i
+        |       GROUP BY 1, 2),
+        |scored AS (SELECT query_id, dt.vec_id AS vec_id,
+        |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+        |           sqrt(CAST(nb.nn AS DOUBLE))) END AS cos
+        |  FROM dt JOIN n na ON na.vec_id = query_id
+        |          JOIN n nb ON nb.vec_id = dt.vec_id),
+        |itop AS (SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rk FROM scored) r
+        |  WHERE rk <= 5),
+        |bdot AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+        |           sum(a.v * b.v) AS dot
+        |         FROM q a JOIN q b ON b.i = a.i AND b.vec_id >= 10
+        |         WHERE a.vec_id < 10 GROUP BY 1, 2),
+        |bscored AS (SELECT query_id, bdot.vec_id AS vec_id,
+        |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+        |           sqrt(CAST(nb.nn AS DOUBLE))) END AS cos
+        |  FROM bdot JOIN n na ON na.vec_id = query_id
+        |            JOIN n nb ON nb.vec_id = bdot.vec_id),
+        |btop AS (SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rk FROM bscored) r
+        |  WHERE rk <= 5)
+        |SELECT b.query_id, CAST(count(l.vec_id) AS BIGINT) AS n_hit,
+        |  CAST(count(l.vec_id) AS DOUBLE) / 5.0 AS recall_at_5
+        |FROM btop b LEFT JOIN itop l
+        |  ON l.query_id = b.query_id AND l.vec_id = b.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_topk_bruteforce" ->
       """WITH q AS (SELECT vec_id, i,
         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v

@@ -851,4 +851,41 @@ class EventOpsSpec extends GraftSuite {
     // variance reduction is a squared correlation: in [0, 1]
     assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
   }
+
+  test("streaks: top-20 longest runs match a driver-side islands fold") {
+    import org.apache.spark.sql.functions._
+    val days = graft.ops.Tables(spark, sfDir).events
+      .select(col("user_id"),
+        (unix_millis(col("ts")) / lit(86400000L)).cast("long").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = days.groupBy(_._1).view.mapValues { ds =>
+      val sorted = ds.map(_._2).sorted
+      // fold consecutive days into runs, keep (len desc, start asc) best
+      val runs = sorted.foldLeft(List.empty[(Long, Long)]) {
+        case ((start, last) :: tl, d) if d == last + 1 =>
+          (start, d) :: tl
+        case (acc, d) => (d, d) :: acc
+      }
+      runs.map { case (st, en) => (en - st + 1, st) }
+        .minBy { case (len, st) => (-len, st) }
+    }.toSeq.map { case (u, (len, st)) => (u, len, st) }
+      .sortBy { case (u, len, _) => (-len, u) }.take(20)
+    val got = EventOps.queries("events_streaks")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("freshness: lag is measured against the corpus watermark") {
+    import org.apache.spark.sql.functions._
+    val rows = EventOps.queries("events_freshness")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    val wm = rows.map(_._2).max
+    rows.foreach { case (_, last, lag, stale) =>
+      assert(lag == wm - last)
+      assert(stale == (lag > 86400000L))
+    }
+    // at least one type IS the watermark (lag 0, never stale)
+    assert(rows.exists(r => r._3 == 0L && !r._4))
+  }
 }

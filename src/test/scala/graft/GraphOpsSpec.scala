@@ -406,4 +406,74 @@ class GraphOpsSpec extends GraftSuite {
       (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
     assert(gotP.getLong(0) == 4L && gotP.getDouble(1) == r, gotP)
   }
+
+  test("scc: planted 4-cycle, 2-cycle, and tail resolve exactly") {
+    import spark.implicits._
+    // count prefs (customers) and qty prefs (suppliers) disagree on the
+    // (10, 11) x (10, 11) block -> a genuine 4-cycle c10-s10-c11-s11;
+    // c12 is a tail INTO the cycle; (20, 20) is an isolated mutual pair
+    val pairs = Seq(
+      (10L, 10L, 9L, 1L), (10L, 11L, 1L, 9L),
+      (11L, 10L, 1L, 9L), (11L, 11L, 9L, 1L),
+      (12L, 10L, 5L, 1L),
+      (20L, 20L, 3L, 3L)).toDF("c", "s", "cnt", "qty")
+    val got = GraphOps.sccFrom(pairs, doublings = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // 4-cycle nodes: c10=20, s10=21, c11=22, s11=23 -> id 20, size 4;
+    // 2-cycle nodes: c20=40, s20=41 -> id 40, size 2; the tail node
+    // c12=24 is a singleton SCC and is not reported
+    assert(got == Seq((20L, 4L, 2L, 2L), (40L, 2L, 1L, 1L)), got.toString)
+  }
+
+  test("scc on the trade graph matches a driver-side cycle walk") {
+    // independent ground truth: collect the pair table, build f in
+    // Scala, walk every node to its cycle, and summarize
+    import org.apache.spark.sql.functions._
+    val t = graft.ops.Tables(spark, sfDir)
+    val pairs = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    val fc = pairs.groupBy(_._1).map { case (c, ps) =>
+      2 * c -> (2 * ps.minBy(p => (-p._3, p._2))._2 + 1)
+    }
+    val fs = pairs.groupBy(_._2).map { case (s, ps) =>
+      (2 * s + 1) -> 2 * ps.minBy(p => (-p._4, p._1))._1
+    }
+    val f = fc ++ fs
+    // cycle membership: iterate to the cycle, check return
+    def onCycle(v: Long): Boolean = {
+      var slow = v; var fast = f(v)
+      while (slow != fast) { slow = f(slow); fast = f(f(fast)) }
+      // slow is on the cycle; v is on it iff walking the cycle hits v
+      var u = f(slow); var hit = slow == v
+      while (u != slow) { hit ||= u == v; u = f(u) }
+      hit
+    }
+    val cyc = f.keys.filter(onCycle).toSet
+    def cycleOf(v: Long): Seq[Long] = {
+      val b = collection.mutable.ArrayBuffer(v); var u = f(v)
+      while (u != v) { b += u; u = f(u) }
+      b.toSeq
+    }
+    val want = cyc.map(v => cycleOf(v).min).toSeq.distinct.sorted.map {
+      id =>
+        val c = cycleOf(id)
+        (id, c.size.toLong, c.count(_ % 2 == 0).toLong,
+          c.count(_ % 2 == 1).toLong)
+    }
+    val got = GraphOps.queries("graph_scc")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want, s"got=$got want=$want")
+    assert(got.nonEmpty, "a functional graph always has at least one cycle")
+    // bipartite alternation: every cycle has equal customer/supplier runs
+    got.foreach { case (_, size, nc, ns) =>
+      assert(nc == ns && nc + ns == size)
+    }
+  }
 }

@@ -36,6 +36,9 @@ class PlanCheckSpec extends GraftSuite {
     "sim_topk_bruteforce", // 10-query vector set broadcast against corpus
     "sim_ann_ivf",        // coarse assignment: 10 queries x per-label
                           // centroids (bounded by label cardinality)
+    "sim_ann_recall_ivf", // the same IVF coarse assignment (shared
+                          // ivfTopkFrom) plus the sim_topk_bruteforce
+                          // ground-truth side — both bounded broadcasts
     "sim_kmeans_step",    // assignment scoring: corpus x 10 broadcast
                           // centroids (bounded by cluster count k)
     "dedup_semantic",     // SemDeDup cluster assignment: the same corpus x
@@ -90,10 +93,12 @@ class PlanCheckSpec extends GraftSuite {
                           // node-sized score table (each normalize step)
     "sim_silhouette",     // label-sized centroid table broadcast under
                           // every vector (the kmeans-step fan-out)
-    "geo_nearest_hub"     // 25-row hub dimension broadcast under every
+    "geo_nearest_hub",    // 25-row hub dimension broadcast under every
                           // customer (the spatial argmin assignment);
                           // geo_grid_join deliberately NOT here — its
                           // candidate join is a cell-id equi-join
+    "events_freshness"    // 1-row corpus-watermark scalar broadcast under
+                          // the |types|-sized last-seen table
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides

@@ -385,4 +385,28 @@ class SimilarityOpsSpec extends GraftSuite {
     assert(got == want, s"got=$got want=$want")
     assert(got.forall(_._3 > 0.99), got.toList)
   }
+
+  test("ivf recall counts the exact brute/ivf top-5 intersection") {
+    import org.apache.spark.sql.functions._
+    val e = graft.ops.Tables(spark, sfDir).embeddings
+    val bf = graft.ops.SimilarityOps.bruteTopkFrom(e)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val iv = graft.ops.SimilarityOps.ivfTopkFrom(e, nprobe = 2)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bf.groupBy(_._1).view
+      .mapValues(s => s.count(iv.contains).toLong).toMap
+    val got = graft.ops.SimilarityOps
+      .queries("sim_ann_recall_ivf")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == (0L to 9L), got.toSeq.toString)
+    got.foreach { case (q, nHit, rec) =>
+      assert(nHit == want(q), s"query $q: $nHit vs ${want(q)}")
+      assert(rec == nHit.toDouble / 5.0)
+    }
+    // nprobe=2 of 10 lists prunes aggressively; recall must still be
+    // a real number per query, and the harness reports it, not hides it
+    assert(got.forall(g => g._2 >= 0L && g._2 <= 5L))
+  }
 }
