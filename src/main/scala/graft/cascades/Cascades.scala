@@ -39,7 +39,12 @@ final class CascadesOptimizer(
     rules: Seq[OptRule] = Rules.all,
     costModel: CostModel = ConstantCostModel,
     stats: StatsModel = NoStats,
-    mergeDuplicates: Boolean = false) {
+    mergeDuplicates: Boolean = false,
+    /** Table → columns catalog for per-group provided-columns derivation
+      * ([[Provenance]]); empty = no provenance, column-gated rules (join
+      * associativity) abstain everywhere.
+      */
+    columns: Map[String, Seq[String]] = Map.empty) {
 
   private sealed trait Task
   private final case class OptimizeGroup(
@@ -85,7 +90,7 @@ final class CascadesOptimizer(
       "DistributionSpec.Random is not a requestable root property: no " +
         "enforcer produces it and only bare scans deliver it — require " +
         "DistributionSpec.Any instead")
-    val memo = new Memo(stats)
+    val memo = new Memo(stats, columns)
     val root = memo.insertPlan(plan)
     var passes = 0
     var merged = true
@@ -113,6 +118,7 @@ final class CascadesOptimizer(
 
   private def runSearch(
       memo: Memo, root: Int, required: PhysicalPropertySet): Unit = {
+    val ctx = new MemoContext(memo)
     val stack = mutable.Stack[Task](
       OptimizeGroup(root, required, Double.PositiveInfinity))
     var steps = 0
@@ -173,7 +179,7 @@ final class CascadesOptimizer(
           if (!applied.contains(rule.id)) {
             applied += rule.id
             Binding.bindExpr(memo, e, rule.pattern).foreach { binding =>
-              rule.apply(binding).foreach { result =>
+              rule.apply(binding, ctx).foreach { result =>
                 memo.insertOptExpression(result, g).foreach {
                   case (gid, newExpr) =>
                     if (newExpr.op.isLogical)

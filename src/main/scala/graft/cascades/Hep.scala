@@ -85,7 +85,8 @@ final class HepOptimizer(
       rules.iterator.flatMap { rule =>
         HepBinding.bind(p, rule.pattern) match {
           case Some(n: OptExpression.Node) =>
-            rule.apply(n).map(HepBinding.toPlan).filter(_ != p)
+            rule.apply(n, RuleContext.empty).map(HepBinding.toPlan)
+              .filter(_ != p)
           case _ => None
         }
       }.nextOption()

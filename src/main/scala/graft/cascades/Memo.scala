@@ -39,6 +39,10 @@ final class Group(val id: Int) {
     * property of the equivalence group, derived from its first member.
     */
   var card: Long = 1L
+  /** Derived provided-columns logical property ([[Provenance]]), derived
+    * like `card` at group birth; empty when the memo has no column catalog.
+    */
+  var cols: Set[String] = Set.empty
 
   def add(e: GroupExpr): Boolean = {
     val set = if (e.op.isLogical) logicalExprs else physicalExprs
@@ -57,7 +61,8 @@ final class Group(val id: Int) {
     }
 }
 
-final class Memo(stats: StatsModel = NoStats) {
+final class Memo(stats: StatsModel = NoStats,
+    val columns: Map[String, Seq[String]] = Map.empty) {
   val groups = mutable.ArrayBuffer[Group]()
   private val exprToGroup = mutable.Map[GroupExpr, Int]()
   /** (kept group, duplicate group) pairs detected on insert. */
@@ -109,10 +114,14 @@ final class Memo(stats: StatsModel = NoStats) {
         val g = target.map(group).getOrElse(newGroup())
         g.add(expr)
         exprToGroup(expr) = g.id
-        // derive cardinality when the group is born (inputs exist already —
-        // insertion is bottom-up); equivalent expressions share it
-        if (created)
+        // derive logical properties when the group is born (inputs exist
+        // already — insertion is bottom-up); equivalent expressions share
+        // them
+        if (created) {
           g.card = stats.derive(expr.op, expr.inputs.map(group(_).card))
+          g.cols = Provenance.derive(
+            expr.op, expr.inputs.map(group(_).cols), columns)
+        }
         (g.id, true)
     }
 
@@ -147,6 +156,9 @@ final class Memo(stats: StatsModel = NoStats) {
     if (keep != dup && dup < groups.length && keep < groups.length) {
       val from = group(dup)
       val to = group(keep)
+      // equivalent groups provide the same columns in a consistent plan;
+      // union is the safe merge for the derived property
+      to.cols = to.cols ++ from.cols
       (from.logicalExprs ++ from.physicalExprs).foreach { e =>
         to.add(e)
         exprToGroup(e) = to.id

@@ -38,11 +38,79 @@ object RuleId {
   case object RemoveLimit extends RuleId
   case object PushLimitToTableScan extends RuleId
   case object CommutateJoin extends RuleId
+  case object AssociateJoin extends RuleId
   case object Join2HashJoin extends RuleId
   case object Scan2TableScan extends RuleId
   case object Project2PhysicalProject extends RuleId
   case object Filter2PhysicalFilter extends RuleId
   case object PushFilterThroughJoin extends RuleId
+}
+
+/** Logical-property access for rules at bind time — the completed form of
+  * the group-property derivation the reference declares and stubs
+  * (`memo.rs:781-783` `derive_statistics` is `todo!()`; no rule there can
+  * see what columns a group provides). A context answers "which columns
+  * does this bound rule input provide?" for all three input shapes:
+  * expanded [[OptExpression.Node]] subtrees, heuristic
+  * [[OptExpression.PlanHandle]]s, and — the part the reference never got
+  * to — memo'd [[OptExpression.GroupHandle]]s, whose column sets are
+  * derived bottom-up at group creation exactly like cardinality.
+  * `None` = unknown provenance; rules must abstain, never guess.
+  */
+trait RuleContext {
+  def colsOf(e: OptExpression): Option[Set[String]]
+}
+
+object RuleContext {
+  /** No provenance (reference-faithful search): column-gated rules abstain. */
+  val empty: RuleContext = new RuleContext {
+    def colsOf(e: OptExpression): Option[Set[String]] = None
+  }
+}
+
+/** Bottom-up provided-columns derivation over the IR — the logical-property
+  * lattice shared by the memo (per-group, like cardinality) and by contexts
+  * walking bound subtrees. Schema-less IR: a catalog maps base tables to
+  * their columns; operators combine input sets (filters with a projected
+  * list and projections narrow, joins union, everything else passes
+  * through).
+  */
+object Provenance {
+  def derive(op: Operator, inputs: Seq[Set[String]],
+      catalog: Map[String, Seq[String]]): Set[String] = op match {
+    case LogicalScan(t, _)        => catalog.getOrElse(t, Nil).toSet
+    case PhysicalTableScan(t, _)  => catalog.getOrElse(t, Nil).toSet
+    case LogicalFilter(_, proj) =>
+      if (proj.nonEmpty) proj.map(_.name).toSet else inputs.head
+    case PhysicalFilter(_, proj) =>
+      if (proj.nonEmpty) proj.map(_.name).toSet else inputs.head
+    case LogicalProject(es) => es.collect { case Col(n) => n }.toSet
+    case PhysicalProject(es) => es.collect { case Col(n) => n }.toSet
+    case _: LogicalJoin | _: PhysicalHashJoin => inputs(0) ++ inputs(1)
+    case _ => inputs.headOption.getOrElse(Set.empty)
+  }
+
+  def ofPlan(p: PlanNode, catalog: Map[String, Seq[String]]): Set[String] =
+    derive(p.op, p.inputs.map(ofPlan(_, catalog)), catalog)
+}
+
+/** Context over a memo whose groups carry derived column sets (catalog
+  * passed at memo construction); abstains entirely when no catalog was
+  * configured — an empty column set must mean "provides nothing", never
+  * "don't know".
+  */
+final class MemoContext(memo: Memo) extends RuleContext {
+  def colsOf(e: OptExpression): Option[Set[String]] =
+    if (memo.columns.isEmpty) None
+    else e match {
+      case OptExpression.GroupHandle(g) => Some(memo.group(g).cols)
+      case OptExpression.PlanHandle(p) =>
+        Some(Provenance.ofPlan(p, memo.columns))
+      case OptExpression.Node(op, inputs) =>
+        inputs.foldLeft(Option(Seq.empty[Set[String]])) { (acc, in) =>
+          for (a <- acc; c <- colsOf(in)) yield a :+ c
+        }.map(Provenance.derive(op, _, memo.columns))
+    }
 }
 
 trait OptRule {
@@ -57,7 +125,7 @@ trait OptRule {
     * fixed-point heuristic driver would livelock on self-inverse ones.
     */
   def isExploration: Boolean = false
-  def apply(expr: OptExpression.Node): Option[OptExpression]
+  def apply(expr: OptExpression.Node, ctx: RuleContext): Option[OptExpression]
 }
 
 object Rules {
@@ -78,7 +146,7 @@ object Rules {
   object RemoveLimitRule extends OptRule {
     val id = RuleId.RemoveLimit
     val pattern = Pattern.node(isLimit, Pattern.node(isLimit, Pattern.any))
-    def apply(expr: Node): Option[OptExpression] = expr match {
+    def apply(expr: Node, ctx: RuleContext): Option[OptExpression] = expr match {
       case Node(LogicalLimit(a), Seq(Node(LogicalLimit(b), Seq(input)))) =>
         Some(Node(LogicalLimit(math.min(a, b)), Seq(input)))
       case _ => None
@@ -91,7 +159,7 @@ object Rules {
   object PushLimitOverProjectionRule extends OptRule {
     val id = RuleId.PushLimitOverProjection
     val pattern = Pattern.node(isLimit, Pattern.node(isProject, Pattern.any))
-    def apply(expr: Node): Option[OptExpression] = expr match {
+    def apply(expr: Node, ctx: RuleContext): Option[OptExpression] = expr match {
       case Node(LogicalLimit(n), Seq(Node(p: LogicalProject, Seq(input)))) =>
         Some(Node(p, Seq(Node(LogicalLimit(n), Seq(input)))))
       case _ => None
@@ -104,7 +172,7 @@ object Rules {
   object PushLimitToTableScanRule extends OptRule {
     val id = RuleId.PushLimitToTableScan
     val pattern = Pattern.node(isLimit, Pattern.node(isScan))
-    def apply(expr: Node): Option[OptExpression] = expr match {
+    def apply(expr: Node, ctx: RuleContext): Option[OptExpression] = expr match {
       case Node(LogicalLimit(n), Seq(Node(LogicalScan(t, l), Nil))) =>
         Some(Node(LogicalScan(t, Some(l.fold(n)(math.min(n, _)))), Nil))
       case _ => None
@@ -119,9 +187,62 @@ object Rules {
     val id = RuleId.CommutateJoin
     override val isExploration = true
     val pattern = Pattern.node(isInnerJoin, Pattern.any, Pattern.any)
-    def apply(expr: Node): Option[OptExpression] = expr match {
+    def apply(expr: Node, ctx: RuleContext): Option[OptExpression] = expr match {
       case Node(LogicalJoin(JoinType.Inner, EqCond(l, r)), Seq(a, b)) =>
         Some(Node(LogicalJoin(JoinType.Inner, EqCond(r, l)), Seq(b, a)))
+      case _ => None
+    }
+  }
+
+  /** Inner-join left rotation (exploration):
+    * `(A ⋈c1 B) ⋈c2 C → A ⋈c1 (B ⋈c2 C)`, legal exactly when `c2`
+    * references B and C only. Beyond the reference (its only exploration
+    * rule is commutation, `rules/join.rs:27-69`) — together with
+    * [[CommutateJoinRule]] this is the classic cascades join-order
+    * enumeration, and it is what the group-property machinery exists FOR:
+    * the rule must know which columns each UNEXPANDED memo group provides,
+    * so it consults [[RuleContext.colsOf]] and abstains (returns None)
+    * whenever provenance is unknown (no catalog configured) or a condition
+    * column does not resolve to exactly one input — the same
+    * resolve-or-abstain contract as [[PushFilterThroughJoinRule]].
+    *
+    * The produced conditions are re-oriented left-to-right (EqCond.left
+    * from the left input), preserving the IR's orientation contract that
+    * distribution pushdown and build-side costing rely on. One rotation
+    * direction suffices for the memo search: commutation composes with it
+    * to reach the remaining orders (incompletely so under the per-expression
+    * applied-rule mask — bindings that appear after a rule already fired on
+    * an expression are not revisited, matching the reference's task engine).
+    */
+  object JoinAssociativityRule extends OptRule {
+    val id = RuleId.AssociateJoin
+    override val isExploration = true
+    val pattern = Pattern.node(isInnerJoin,
+      Pattern.node(isInnerJoin, Pattern.any, Pattern.any), Pattern.any)
+    def apply(expr: Node, ctx: RuleContext): Option[OptExpression] = expr match {
+      case Node(LogicalJoin(JoinType.Inner, EqCond(l2, r2)),
+          Seq(Node(LogicalJoin(JoinType.Inner, EqCond(l1, r1)),
+            Seq(a, b)), c)) =>
+        for {
+          ac <- ctx.colsOf(a)
+          bc <- ctx.colsOf(b)
+          cc <- ctx.colsOf(c)
+          // exclusive resolution: a column counts for an input only if NO
+          // other input also provides it (schema-less IR — a shared name
+          // would make the rewire ambiguous)
+          onlyB = (x: Col) => bc(x.name) && !ac(x.name) && !cc(x.name)
+          onlyC = (x: Col) => cc(x.name) && !ac(x.name) && !bc(x.name)
+          inner <-
+            if (onlyB(l2) && onlyC(r2)) Some(EqCond(l2, r2))
+            else if (onlyB(r2) && onlyC(l2)) Some(EqCond(r2, l2))
+            else None // c2 touches A, is unresolvable, or is ambiguous
+          onlyA = (x: Col) => ac(x.name) && !bc(x.name) && !cc(x.name)
+          outer <-
+            if (onlyA(l1) && onlyB(r1)) Some(EqCond(l1, r1))
+            else if (onlyA(r1) && onlyB(l1)) Some(EqCond(r1, l1))
+            else None // c1 must bridge A to the new right subtree via B
+        } yield Node(LogicalJoin(JoinType.Inner, outer),
+          Seq(a, Node(LogicalJoin(JoinType.Inner, inner), Seq(b, c))))
       case _ => None
     }
   }
@@ -137,7 +258,7 @@ object Rules {
     // inner here would leave Left/Full joins with no physical member, a
     // silent optimize-to-None found by CascadesPropertySpec.
     val pattern = Pattern.node(isJoin, Pattern.any, Pattern.any)
-    def apply(expr: Node): Option[OptExpression] = expr match {
+    def apply(expr: Node, ctx: RuleContext): Option[OptExpression] = expr match {
       case Node(LogicalJoin(jt, cond), inputs) =>
         Some(Node(PhysicalHashJoin(jt, cond), inputs))
       case _ => None
@@ -151,7 +272,7 @@ object Rules {
     val id = RuleId.Scan2TableScan
     override val isImplementation = true
     val pattern = Pattern.node(isScan)
-    def apply(expr: Node): Option[OptExpression] = expr match {
+    def apply(expr: Node, ctx: RuleContext): Option[OptExpression] = expr match {
       case Node(LogicalScan(t, l), Nil) =>
         Some(Node(PhysicalTableScan(t, l), Nil))
       case _ => None
@@ -168,7 +289,7 @@ object Rules {
     val id = RuleId.Project2PhysicalProject
     override val isImplementation = true
     val pattern = Pattern.node(isProject, Pattern.any)
-    def apply(expr: Node): Option[OptExpression] = expr match {
+    def apply(expr: Node, ctx: RuleContext): Option[OptExpression] = expr match {
       case Node(LogicalProject(e), inputs) =>
         Some(Node(PhysicalProject(e), inputs))
       case _ => None
@@ -179,7 +300,7 @@ object Rules {
     val id = RuleId.Filter2PhysicalFilter
     override val isImplementation = true
     val pattern = Pattern.node(_.isInstanceOf[LogicalFilter], Pattern.any)
-    def apply(expr: Node): Option[OptExpression] = expr match {
+    def apply(expr: Node, ctx: RuleContext): Option[OptExpression] = expr match {
       case Node(LogicalFilter(p, cols), inputs) =>
         Some(Node(PhysicalFilter(p, cols), inputs))
       case _ => None
@@ -239,7 +360,7 @@ object Rules {
     private def cols(ts: Set[String]): Set[String] =
       ts.flatMap(t => catalog.getOrElse(t, Nil))
 
-    def apply(expr: Node): Option[OptExpression] = expr match {
+    def apply(expr: Node, ctx: RuleContext): Option[OptExpression] = expr match {
       case Node(f @ LogicalFilter(EqCond(l, r), Nil),
           Seq(Node(j @ LogicalJoin(jt, _), Seq(a, b)))) =>
         val need = Set(l.name, r.name)
@@ -261,4 +382,10 @@ object Rules {
     Seq(Join2HashJoinRule, Scan2TableScanRule,
       Project2PhysicalProjectRule, Filter2PhysicalFilterRule)
   val all: Seq[OptRule] = rewriteRules ++ explorationRules ++ implementationRules
+  /** `all` + associativity: join-order enumeration. Not in `all` — the
+    * default search stays reference-faithful (commutation only); opt in
+    * together with a column catalog on the optimizer, without which the
+    * rule abstains on every binding.
+    */
+  val joinEnumerationRules: Seq[OptRule] = all :+ JoinAssociativityRule
 }

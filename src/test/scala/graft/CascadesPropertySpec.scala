@@ -215,4 +215,55 @@ class CascadesPropertySpec extends AnyFunSuite {
         s"seed $seed: merge changed cost $off -> $on for\n${plan.explain()}")
     }
   }
+
+  // --- join-order enumeration (associativity + commutation) ---
+
+  /** Random left-deep 4-table chain: distinct per-table columns (u_i owns
+    * x_i only), each level's condition links the incoming table to a
+    * uniformly chosen table already below — sometimes adjacent (rotatable),
+    * sometimes the left-most (the rule must abstain). Table sizes are drawn
+    * independently so the cheapest order varies per seed.
+    */
+  private val chainTables = (1 to 4).map(i => s"u$i")
+  private val chainCatalog =
+    chainTables.zipWithIndex.map { case (t, i) => t -> Seq(s"x${i + 1}") }.toMap
+  private def genChain: Gen[(PlanNode, TableStats)] = for {
+    sizes <- Gen.listOfN(4, Gen.oneOf(10L, 1000L, 100000L))
+    links <- Gen.sequence[Seq[Int], Int]((1 to 3).map(i => Gen.choose(0, i - 1)))
+  } yield {
+    val plan = (1 until 4).foldLeft(PlanNode(LogicalScan("u1"))) { (acc, i) =>
+      PlanNode(
+        LogicalJoin(JoinType.Inner,
+          EqCond(Col(s"x${links(i - 1) + 1}"), Col(s"x${i + 1}"))),
+        Seq(acc, PlanNode(LogicalScan(s"u${i + 1}"))))
+    }
+    (plan, TableStats(chainTables.zip(sizes).toMap))
+  }
+
+  test("join enumeration never worsens the optimum and stays merge-neutral") {
+    (1 to Trials).foreach { seed =>
+      val (plan, st) = genChain(Gen.Parameters.default, Seed(seed.toLong))
+        .getOrElse(fail(s"generator exhausted at seed $seed"))
+      def run(rules: Seq[OptRule], merge: Boolean): Double = {
+        val out = new CascadesOptimizer(rules,
+          costModel = new CardinalityCostModel, stats = st,
+          mergeDuplicates = merge, columns = chainCatalog).optimize(plan)
+        assert(out.isDefined, s"seed $seed merge=$merge: no plan")
+        assert(physicalOps(out.get).forall(!_.isLogical), s"seed $seed")
+        def rows(n: PlanNode): Long = st.derive(n.op, n.inputs.map(rows))
+        def c(n: PlanNode): Double =
+          n.inputs.map(c).sum + new CardinalityCostModel().operatorCost(
+            n.op.asInstanceOf[PhysicalOp], n.inputs.map(rows))
+        c(out.get)
+      }
+      val plain = run(Rules.all, merge = false)
+      val enum0 = run(Rules.joinEnumerationRules, merge = false)
+      val enum1 = run(Rules.joinEnumerationRules, merge = true)
+      assert(enum0 <= plain + 1e-6,
+        s"seed $seed: enumeration regressed $plain -> $enum0 for\n" +
+          plan.explain())
+      assert(math.abs(enum0 - enum1) <= 1e-6,
+        s"seed $seed: merge changed enumerated cost $enum0 -> $enum1")
+    }
+  }
 }

@@ -512,7 +512,98 @@ class CascadesSpec extends AnyFunSuite {
       Seq(OptExpression.Node(
         LogicalJoin(JoinType.Inner, EqCond(Col("c1"), Col("c2"))),
         Seq(OptExpression.GroupHandle(1), OptExpression.GroupHandle(2)))))
-    assert(rule(bound).isEmpty)
+    assert(rule(bound, RuleContext.empty).isEmpty)
+  }
+
+  // --- join-order enumeration (associativity + commutation + cost) ---
+
+  // chain big(1e6) —a_k=b_k— sml(10) —b_x=c_x— mid(1000): the left-assoc
+  // input probes the 1e6-row table through BOTH joins; the right-assoc
+  // order probes it once and joins the two small tables first
+  private val chainCols = Map(
+    "big" -> Seq("a_k"), "sml" -> Seq("b_k", "b_x"), "mid" -> Seq("c_x"))
+  private val chainStats = TableStats(
+    Map("big" -> 1000000L, "sml" -> 10L, "mid" -> 1000L))
+  private def chainPlan(outerL: String, outerR: String) = PlanNode(
+    LogicalJoin(JoinType.Inner, EqCond(Col(outerL), Col(outerR))),
+    Seq(join(scan("big"), scan("sml"), "a_k", "b_k"), scan("mid")))
+
+  test("join enumeration rotates the chain to probe the big table once") {
+    def best(rules: Seq[OptRule]): (PlanNode, Double) = {
+      val opt = new CascadesOptimizer(rules,
+        costModel = new CardinalityCostModel, stats = chainStats,
+        columns = chainCols)
+      val (out, memo) = opt.optimizeWithMemo(chainPlan("b_x", "c_x"))
+      (out.get,
+        memo.group(memo.root).winner(PhysicalPropertySet.default).get.cost)
+    }
+    val (plain, plainCost) = best(Rules.all)
+    val (enumd, enumCost) = best(Rules.joinEnumerationRules)
+    // without associativity the left-assoc shape is forced: both joins
+    // probe 1e6 rows (cost ~2.0e6); with it the winner probes big once
+    // (~1.0e6) — the saving IS one full pass over the big table
+    assert(enumCost < plainCost - 900000.0,
+      s"enum $enumCost vs plain $plainCost")
+    assert(plain == PlanNode(
+      PhysicalHashJoin(JoinType.Inner, EqCond(Col("b_x"), Col("c_x"))),
+      Seq(PlanNode(
+        PhysicalHashJoin(JoinType.Inner, EqCond(Col("a_k"), Col("b_k"))),
+        Seq(PlanNode(PhysicalTableScan("big")),
+          PlanNode(PhysicalTableScan("sml")))),
+        PlanNode(PhysicalTableScan("mid")))), s"got:\n${plain.explain()}")
+    // rotated: big ⋈ (mid ⋈ sml) — inner join commuted so the 10-row
+    // side builds, outer cond re-oriented left-to-right by the rule
+    assert(enumd == PlanNode(
+      PhysicalHashJoin(JoinType.Inner, EqCond(Col("a_k"), Col("b_k"))),
+      Seq(PlanNode(PhysicalTableScan("big")),
+        PlanNode(
+          PhysicalHashJoin(JoinType.Inner, EqCond(Col("c_x"), Col("b_x"))),
+          Seq(PlanNode(PhysicalTableScan("mid")),
+            PlanNode(PhysicalTableScan("sml")))))),
+      s"got:\n${enumd.explain()}")
+  }
+
+  test("associativity abstains: outer cond on left-most table, ambiguity, " +
+    "or no catalog") {
+    def bindRoot(memo: Memo) = {
+      val e = memo.group(memo.root).logicalExprs.head
+      val bound =
+        Binding.bindExpr(memo, e, Rules.JoinAssociativityRule.pattern)
+      assert(bound.size == 1)
+      bound.head
+    }
+    // rewrites: outer cond bridges sml and mid (exclusive resolution)
+    val ok = new Memo(chainStats, chainCols)
+    ok.insertPlan(chainPlan("b_x", "c_x"))
+    val rotated =
+      Rules.JoinAssociativityRule(bindRoot(ok), new MemoContext(ok))
+    assert(rotated.isDefined)
+    // abstains: outer cond references the left-most table (a_k ∈ big) —
+    // rotating would orphan the condition
+    val aRef = new Memo(chainStats, chainCols)
+    aRef.insertPlan(chainPlan("a_k", "c_x"))
+    assert(Rules.JoinAssociativityRule(
+      bindRoot(aRef), new MemoContext(aRef)).isEmpty)
+    // abstains: a condition column two inputs both provide is ambiguous
+    val dupCols = chainCols.updated("mid", Seq("c_x", "b_x"))
+    val dup = new Memo(chainStats, dupCols)
+    dup.insertPlan(chainPlan("b_x", "c_x"))
+    assert(Rules.JoinAssociativityRule(
+      bindRoot(dup), new MemoContext(dup)).isEmpty)
+    // abstains: no column catalog — provenance unknown, never guessed
+    val bare = new Memo(chainStats)
+    bare.insertPlan(chainPlan("b_x", "c_x"))
+    assert(Rules.JoinAssociativityRule(
+      bindRoot(bare), new MemoContext(bare)).isEmpty)
+  }
+
+  test("group cols derive bottom-up like cardinality, narrowing at projects") {
+    val memo = new Memo(chainStats, chainCols)
+    val root = memo.insertPlan(
+      project(join(scan("big"), scan("sml"), "a_k", "b_k"), "b_k"))
+    assert(memo.group(root).cols == Set("b_k"))
+    val joinGroup = memo.group(root).logicalExprs.head.inputs.head
+    assert(memo.group(joinGroup).cols == Set("a_k", "b_k", "b_x"))
   }
 
   // --- explain (plan/explain.rs:44-95) ---
