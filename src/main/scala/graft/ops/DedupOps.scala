@@ -339,6 +339,53 @@ object DedupOps {
         .filter(col("jaccard") >= 0.8)
         .orderBy("id1", "id2")
     },
+    // NEAR-DUP decontamination: the MinHash/LSH completion of the exact
+    // 8-gram `data_decontaminate` family — a paraphrased or lightly-edited
+    // benchmark document shares few exact 8-grams but keeps a high shingle
+    // Jaccard, so leakage checking needs the near-dup path too (the
+    // standard eval-contamination practice for LLM corpora). Per benchmark
+    // doc (doc_id < 20 stands in for the eval set): LSH candidates from
+    // the corpus, exact-Jaccard verification at t = 0.5, and a per-bench
+    // readout (candidate count, contaminated count, worst overlap) that is
+    // always |bench| rows — the audit artifact, not just the hit list.
+    // Scale: the corpus side is a map (signatures) + an equi-join against
+    // the BROADCAST bench bands + verification joins keyed by candidate
+    // doc ids only — the corpus is never shuffled for candidate
+    // generation, same contract as `data_decontaminate`. Banding recall at
+    // the 0.5 borderline is probabilistic-by-construction but
+    // deterministic given the xxh64 signatures, and the oracle replicates
+    // the bucketing, so the gate checks the SHIPPED search path.
+    "data_decontaminate_neardup" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      val sh = shingleSets(docs).persist()
+      val sig = sh.select(col("doc_id"),
+        minhash_sig(col("sh"), 16).as("sig"))
+      val bands = sig.select(col("doc_id"),
+        posexplode(array((0 until 4).map { b =>
+          struct((0 until 4).map(r =>
+            element_at(col("sig"), b * 4 + r + 1)): _*)
+        }: _*)).as(Seq("band", "bsig")))
+      val benchBands = bands.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("bench_id"), col("band"), col("bsig"))
+      val cand = bands.filter(col("doc_id") >= 20)
+        .join(broadcast(benchBands), Seq("band", "bsig"))
+        .select(col("bench_id"), col("doc_id").as("corp_id"))
+        .distinct()
+      val verified = cand
+        .join(sh.as("s1"), col("bench_id") === col("s1.doc_id"))
+        .join(sh.as("s2"), col("corp_id") === col("s2.doc_id"))
+        .select(col("bench_id"), col("corp_id"),
+          jaccard_sim(col("s1.sh"), col("s2.sh")).as("jac"))
+      docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("bench_id"))
+        .join(verified, Seq("bench_id"), "left")
+        .groupBy("bench_id")
+        .agg(count(col("corp_id")).as("n_candidates"),
+          count(when(col("jac") >= 0.5, 1)).as("n_contaminated"),
+          coalesce(max(when(col("jac") >= 0.5, col("jac"))), lit(0.0))
+            .as("max_jaccard"))
+        .orderBy("bench_id")
+    },
     // SimHash near-dup: signatures in one codegen'd pass, Hamming <= 3 via
     // 16-bit chunk banding + exact Hamming verification. A pair agreeing
     // on several chunks is emitted only from its FIRST shared chunk, so no
@@ -674,6 +721,49 @@ object DedupOps {
          |           JOIN cnt cb ON cb.doc_id = id2
          |WHERE CAST(i AS DOUBLE) / CAST(ca.n + cb.n - i AS DOUBLE) >= 0.8
          |ORDER BY id1, id2""".stripMargin,
+    // the same signature/banding CTE chain restricted to bench x corpus
+    // candidates, exact-Jaccard verified, rolled up per benchmark doc
+    "data_decontaminate_neardup" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS L FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         L[i] || ' ' || L[i+1] || ' ' || L[i+2] AS s
+         |       FROM tok,
+         |         LATERAL (SELECT unnest(generate_series(1, len(L) - 2)) AS i) g),
+         |hs AS (SELECT s, sd, ${XxhSql.expr("s", "sd")} AS h
+         |       FROM (SELECT DISTINCT s FROM sh)
+         |       CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS sd) k),
+         |sig AS (SELECT doc_id, sd, min(h) AS mh
+         |        FROM sh JOIN hs USING (s) GROUP BY 1, 2),
+         |band AS (SELECT doc_id, sd // 4 AS band,
+         |           array_agg(mh ORDER BY sd) AS bsig
+         |         FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS bench_id, b.doc_id AS corp_id
+         |         FROM band a JOIN band b
+         |           ON a.band = b.band AND a.bsig = b.bsig
+         |         WHERE a.doc_id < 20 AND b.doc_id >= 20),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.bench_id, c.corp_id, count(*) AS i
+         |          FROM cand c
+         |          JOIN sh x ON x.doc_id = c.bench_id
+         |          JOIN sh y ON y.doc_id = c.corp_id AND y.s = x.s
+         |          GROUP BY 1, 2),
+         |j AS (SELECT c.bench_id, c.corp_id,
+         |        CAST(COALESCE(i.i, 0) AS DOUBLE) /
+         |          CAST(ca.n + cb.n - COALESCE(i.i, 0) AS DOUBLE) AS jac
+         |      FROM cand c
+         |      LEFT JOIN inter i
+         |        ON i.bench_id = c.bench_id AND i.corp_id = c.corp_id
+         |      JOIN cnt ca ON ca.doc_id = c.bench_id
+         |      JOIN cnt cb ON cb.doc_id = c.corp_id)
+         |SELECT d.doc_id AS bench_id,
+         |  CAST(count(j.corp_id) AS BIGINT) AS n_candidates,
+         |  CAST(count(CASE WHEN j.jac >= 0.5 THEN 1 END) AS BIGINT)
+         |    AS n_contaminated,
+         |  COALESCE(max(CASE WHEN j.jac >= 0.5 THEN j.jac END), 0.0)
+         |    AS max_jaccard
+         |FROM documents d LEFT JOIN j ON j.bench_id = d.doc_id
+         |WHERE d.doc_id < 20
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // same pipeline through `cand`, then signature-agreement counts and
     // the integer-grid calibration rollup (see the query comment)
     "dedup_minhash_quality" ->

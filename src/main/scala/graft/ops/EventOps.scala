@@ -529,6 +529,81 @@ object EventOps {
             .as("stale"))
         .orderBy("event_type")
     },
+    // Conversion-window funnel: view → first click within 24 h of the
+    // user's FIRST view → first purchase within 24 h of that click. The
+    // plain `events_funnel` is strict-order with no deadline; real product
+    // funnels attach a conversion window to each stage, and the stages
+    // are SEQUENTIALLY dependent (each window anchors on the previous
+    // stage's realized time), so the shape is three chained per-user
+    // aggregates — stage N's min-time joins back against the raw stream
+    // to gate stage N+1 — not one grouped aggregate. All joins are
+    // user-keyed equi-joins; each stage's output is user-cardinality.
+    "events_funnel_windowed" -> { (s, d) =>
+      val e = withMs(Tables(s, d).events).persist()
+      val views = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_ms")).as("t_view"))
+      val clicks = e.filter(col("event_type") === "click")
+        .join(views, Seq("user_id"))
+        .filter(col("ts_ms") > col("t_view") &&
+          col("ts_ms") <= col("t_view") + lit(DayMs))
+        .groupBy("user_id").agg(min(col("ts_ms")).as("t_click"))
+      val buys = e.filter(col("event_type") === "purchase")
+        .join(clicks, Seq("user_id"))
+        .filter(col("ts_ms") > col("t_click") &&
+          col("ts_ms") <= col("t_click") + lit(DayMs))
+        .groupBy("user_id").agg(min(col("ts_ms")).as("t_buy"))
+      views
+        .join(clicks, Seq("user_id"), "left")
+        .join(buys, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_view"),
+          count(col("t_click")).as("n_click_24h"),
+          count(col("t_buy")).as("n_buy_24h"))
+    },
+    // Watermark-lag audit: how late does data arrive, measured exactly the
+    // way Structured Streaming would see it — arrival is bucketed into
+    // 10k-event "microbatches", the watermark entering each bucket is the
+    // max event time over all PRIOR buckets, and an event's lateness is
+    // how far behind that watermark it lands. This is the readout that
+    // justifies a `withWatermark` delay bound (the streaming rows here use
+    // 2 h / 48 h): n_late_1h says what a 1 h bound would drop.
+    //
+    // ARRIVAL ORDER: the corpus has no ingest-sequence column — event_id
+    // is emitted in event-time order (zero disorder, checked against the
+    // generator), so the audit replays a DETERMINISTIC bounded-jitter
+    // arrival permutation: arrival = event_id + xxh64(event_id) % 20000
+    // (up to two buckets of forward displacement). On a real log the
+    // jitter term is replaced by the ingest offset; everything downstream
+    // (bucket maxima, running watermark, lateness rollup) is the real
+    // machinery, and the oracle replicates the hash via the XXH64 SQL
+    // replica, so the permutation itself is gate-checked.
+    //
+    // Scale: per-bucket maxima are a partial+final aggregate; the running
+    // max runs over the BUCKET table (corpus/10k rows); the bucket
+    // watermarks broadcast back under the events — the raw stream is
+    // never globally sorted.
+    "events_watermark_lag" -> { (s, d) =>
+      val arr = col("event_id") +
+        pmod(xxhash64(col("event_id").cast("string")), lit(20000L))
+      val e = withMs(Tables(s, d).events)
+        .select(col("event_type"), col("ts_ms"), arr.as("arr"))
+        .select(col("event_type"), col("ts_ms"),
+          expr(floorDivSql("arr", 10000L)).as("mb"))
+      val bmax = e.groupBy("mb").agg(max(col("ts_ms")).as("mb_max"))
+      val w = Window.orderBy("mb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wm = bmax.select(col("mb"),
+        max(col("mb_max")).over(w).as("wm_ms"))
+      e.join(broadcast(wm), Seq("mb"))
+        .select(col("event_type"),
+          greatest(coalesce(col("wm_ms") - col("ts_ms"), lit(0L)), lit(0L))
+            .as("late_ms"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count(when(col("late_ms") > 0, 1)).as("n_late"),
+          count(when(col("late_ms") > HourMs, 1)).as("n_late_1h"),
+          max(col("late_ms")).as("max_late_ms"))
+        .orderBy("event_type")
+    },
     // Daily-reset EWMA (α = ½) over the hourly value series per event
     // type — the smoothing readout behind alerting dashboards. An
     // UNBOUNDED exponential window cannot be stated as a SQL window
@@ -1726,6 +1801,43 @@ object EventOps {
         |SELECT event_type, last_ms, w - last_ms AS lag_ms,
         |  (w - last_ms) > 86400000 AS stale
         |FROM pt, wm ORDER BY event_type""".stripMargin,
+    "events_funnel_windowed" ->
+      """WITH v AS (SELECT user_id, min(epoch_ms(ts)) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(epoch_ms(ts)) AS t_click
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND epoch_ms(ts) > v.t_view
+        |    AND epoch_ms(ts) <= v.t_view + 86400000
+        |  GROUP BY 1),
+        |p AS (SELECT e.user_id, min(epoch_ms(ts)) AS t_buy
+        |  FROM events e JOIN c ON c.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_ms(ts) > c.t_click
+        |    AND epoch_ms(ts) <= c.t_click + 86400000
+        |  GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_view,
+        |  CAST(count(c.t_click) AS BIGINT) AS n_click_24h,
+        |  CAST(count(p.t_buy) AS BIGINT) AS n_buy_24h
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id
+        |       LEFT JOIN p ON p.user_id = v.user_id""".stripMargin,
+    "events_watermark_lag" ->
+      s"""WITH e AS (SELECT event_type, epoch_ms(ts) AS ts_ms,
+        |    (event_id +
+        |      ((${XxhSql.expr("CAST(event_id AS VARCHAR)", "42")} % 20000)
+        |        + 20000) % 20000) // 10000 AS mb FROM events),
+        |bm AS (SELECT mb, max(ts_ms) AS mb_max FROM e GROUP BY 1),
+        |wm AS (SELECT mb, max(mb_max) OVER (ORDER BY mb
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_ms
+        |  FROM bm),
+        |l AS (SELECT event_type,
+        |    greatest(COALESCE(wm_ms - ts_ms, 0), 0) AS late_ms
+        |  FROM e JOIN wm USING (mb))
+        |SELECT event_type, count(*) AS n_events,
+        |  count(CASE WHEN late_ms > 0 THEN 1 END) AS n_late,
+        |  count(CASE WHEN late_ms > 3600000 THEN 1 END) AS n_late_1h,
+        |  max(late_ms) AS max_late_ms
+        |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
     "events_ewma_daily" ->
       s"""WITH h AS (SELECT epoch_ms(ts) // 3600000 AS hb, event_type,
          |    ${sqlSum("value")} AS v

@@ -410,4 +410,47 @@ class DedupSpec extends GraftSuite {
     spark.catalog.clearCache()
     assert(got == Seq((1L, 2L), (2L, 2L), (3L, 2L)), got.toList)
   }
+
+  test("neardup decontamination: per-bench report against a driver-side " +
+    "exact-jaccard sweep") {
+    import org.apache.spark.sql.functions._
+    // exact 3-shingle Jaccard of every bench x corpus pair, in memory
+    val docs = graft.ops.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0),
+        r.getString(1).split(" ").sliding(3).map(_.mkString(" ")).toSet))
+    val bench = docs.filter(_._1 < 20)
+    val corpus = docs.filter(_._1 >= 20)
+    def jac(a: Set[String], b: Set[String]): Double = {
+      val i = (a & b).size
+      i.toDouble / (a.size + b.size - i).toDouble
+    }
+    val exact = bench.map { case (bid, bs) =>
+      bid -> corpus.map { case (cid, cs) => (cid, jac(bs, cs)) }.toMap
+    }.toMap
+    val got = DedupOps.queries("data_decontaminate_neardup")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    spark.catalog.clearCache()
+    assert(got.map(_._1).toSeq == (0L until 20L), got.map(_._1).toSeq)
+    got.foreach { case (bid, nCand, nContam, maxJ) =>
+      assert(nContam <= nCand, s"bench $bid")
+      // banding can only MISS pairs: the reported worst overlap is a real
+      // pairwise jaccard and never exceeds the exhaustive sweep's max
+      val hi = exact(bid).values.filter(_ >= 0.5)
+      if (nContam > 0) {
+        assert(exact(bid).values.exists(_ == maxJ),
+          s"bench $bid: $maxJ is not an exact pairwise jaccard")
+        assert(maxJ <= (if (hi.nonEmpty) hi.max else 0.0) + 1e-12)
+      } else assert(maxJ == 0.0, s"bench $bid")
+    }
+    // cross-check vs the corpus-wide LSH dedup: any verified j>=0.8 pair
+    // straddling the bench boundary used the SAME bands, so the bench doc
+    // MUST be reported contaminated (0.8 >= the 0.5 threshold)
+    val lshCross = pairs("dedup_minhash_lsh").filter(p => p._1 < 20 && p._2 >= 20)
+    lshCross.foreach { case (bid, _) =>
+      val row = got.find(_._1 == bid).get
+      assert(row._3 >= 1, s"bench $bid missed a j>=0.8 LSH pair")
+    }
+  }
 }

@@ -875,6 +875,63 @@ class EventOpsSpec extends GraftSuite {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("windowed funnel counts match a driver-side sequential fold") {
+    import org.apache.spark.sql.functions._
+    val W = 86400000L
+    val ev = graft.ops.Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val views = byUser.flatMap { case (u, es) =>
+      val v = es.filter(_._2 == "view").map(_._3)
+      if (v.isEmpty) None else Some(u -> v.min)
+    }
+    val clicks = views.flatMap { case (u, tv) =>
+      val c = byUser(u).filter(e =>
+        e._2 == "click" && e._3 > tv && e._3 <= tv + W).map(_._3)
+      if (c.isEmpty) None else Some(u -> c.min)
+    }
+    val buys = clicks.flatMap { case (u, tc) =>
+      val p = byUser(u).filter(e =>
+        e._2 == "purchase" && e._3 > tc && e._3 <= tc + W).map(_._3)
+      if (p.isEmpty) None else Some(u -> p.min)
+    }
+    val got = EventOps.queries("events_funnel_windowed")(spark, sfDir)
+      .collect()(0)
+    spark.catalog.clearCache()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      (views.size.toLong, clicks.size.toLong, buys.size.toLong))
+    // the window BITES on this corpus: strictly fewer conversions than
+    // the unwindowed strict-order funnel would admit is not guaranteed,
+    // but the monotone staging is
+    assert(got.getLong(0) >= got.getLong(1) && got.getLong(1) >= got.getLong(2))
+  }
+
+  test("watermark lag matches a driver-side bucket-watermark replay") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.ops.Tables(spark, sfDir).events
+      .select(col("event_id"), col("event_type"), unix_millis(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bmax = ev.groupBy(_._1 / 10000).view.mapValues(_.map(_._3).max)
+    val wm = bmax.keys.toSeq.sorted.map { mb =>
+      val prior = bmax.filter(_._1 < mb).values
+      mb -> (if (prior.isEmpty) None else Some(prior.max))
+    }.toMap
+    val want = ev.groupBy(_._2).view.mapValues { es =>
+      val lates = es.map { case (id, _, ts) =>
+        math.max(wm(id / 10000).map(_ - ts).getOrElse(0L), 0L)
+      }
+      (lates.size.toLong, lates.count(_ > 0L).toLong,
+        lates.count(_ > 3600000L).toLong, lates.max)
+    }.toMap
+    val got = EventOps.queries("events_watermark_lag")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == want, s"got=$got want=$want")
+    // the audit is non-degenerate: real corpora arrive out of order
+    assert(got.values.exists(_._2 > 0L), "no disorder measured at all")
+  }
+
   test("freshness: lag is measured against the corpus watermark") {
     import org.apache.spark.sql.functions._
     val rows = EventOps.queries("events_freshness")(spark, sfDir)
