@@ -534,30 +534,29 @@ object EventOps {
     // plain `events_funnel` is strict-order with no deadline; real product
     // funnels attach a conversion window to each stage, and the stages
     // are SEQUENTIALLY dependent (each window anchors on the previous
-    // stage's realized time), so the shape is three chained per-user
-    // aggregates — stage N's min-time joins back against the raw stream
-    // to gate stage N+1 — not one grouped aggregate. All joins are
-    // user-keyed equi-joins; each stage's output is user-cardinality.
+    // stage's realized time). Stated as ONE per-user aggregation (no
+    // joins at all): the view anchor is a conditional min, and the
+    // click/purchase streams are collected as sorted per-user arrays so
+    // each stage's window is a higher-order filter + array_min over the
+    // previous stage's realized time. One user_id shuffle; per-user
+    // arrays are bounded by that user's click/purchase counts (small),
+    // and collect_list drops the nulls the `when` emits for other types.
     "events_funnel_windowed" -> { (s, d) =>
-      val e = withMs(Tables(s, d).events).persist()
-      val views = e.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("ts_ms")).as("t_view"))
-      val clicks = e.filter(col("event_type") === "click")
-        .join(views, Seq("user_id"))
-        .filter(col("ts_ms") > col("t_view") &&
-          col("ts_ms") <= col("t_view") + lit(DayMs))
-        .groupBy("user_id").agg(min(col("ts_ms")).as("t_click"))
-      val buys = e.filter(col("event_type") === "purchase")
-        .join(clicks, Seq("user_id"))
-        .filter(col("ts_ms") > col("t_click") &&
-          col("ts_ms") <= col("t_click") + lit(DayMs))
-        .groupBy("user_id").agg(min(col("ts_ms")).as("t_buy"))
-      views
-        .join(clicks, Seq("user_id"), "left")
-        .join(buys, Seq("user_id"), "left")
-        .agg(count(lit(1)).as("n_view"),
-          count(col("t_click")).as("n_click_24h"),
-          count(col("t_buy")).as("n_buy_24h"))
+      val e = withMs(Tables(s, d).events)
+      val perUser = e.groupBy("user_id").agg(
+        min(when(col("event_type") === "view", col("ts_ms"))).as("t_view"),
+        sort_array(collect_list(
+          when(col("event_type") === "click", col("ts_ms")))).as("clicks"),
+        sort_array(collect_list(
+          when(col("event_type") === "purchase", col("ts_ms")))).as("buys"))
+      val staged = perUser
+        .withColumn("t_click", array_min(filter(col("clicks"),
+          c => c > col("t_view") && c <= col("t_view") + lit(DayMs))))
+        .withColumn("t_buy", array_min(filter(col("buys"),
+          b => b > col("t_click") && b <= col("t_click") + lit(DayMs))))
+      staged.agg(count(col("t_view")).as("n_view"),
+        count(col("t_click")).as("n_click_24h"),
+        count(col("t_buy")).as("n_buy_24h"))
     },
     // Watermark-lag audit: how late does data arrive, measured exactly the
     // way Structured Streaming would see it — arrival is bucketed into

@@ -909,8 +909,18 @@ class EventOpsSpec extends GraftSuite {
 
   test("watermark lag matches a driver-side bucket-watermark replay") {
     import org.apache.spark.sql.functions._
+    // The operator replays a deterministic jittered arrival permutation
+    // (arrival = event_id + xxh64(event_id) % 20000) because the corpus
+    // emits event_id in event-time order. The replay must bucket by the
+    // SAME arrival sequence; we fetch the hash term via Spark's own
+    // xxhash64 so the permutation is bit-identical, and replay the
+    // bucket/watermark/lateness machinery in pure Scala.
     val ev = graft.ops.Tables(spark, sfDir).events
-      .select(col("event_id"), col("event_type"), unix_millis(col("ts")))
+      .select(
+        (col("event_id") +
+          pmod(xxhash64(col("event_id").cast("string")), lit(20000L)))
+          .as("arr"),
+        col("event_type"), unix_millis(col("ts")))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     val bmax = ev.groupBy(_._1 / 10000).view.mapValues(_.map(_._3).max)
     val wm = bmax.keys.toSeq.sorted.map { mb =>
