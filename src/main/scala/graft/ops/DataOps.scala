@@ -446,9 +446,11 @@ object DataOps {
     // a 3-row diff (no row-level join). Row hash is xxh64 of a pinned
     // '|'-joined key projection (each < 32 bytes — the [[XxhSql]]
     // replica's domain, so the oracle recomputes every row hash).
-    // bit_xor and the mod-10^12 sum both collapse map-side; the Long
-    // sum has headroom to ~9·10⁶ rows per table (a production variant
-    // sums into DECIMAL(38,0) like the components convergence check).
+    // bit_xor and the mod-10^12 sum both collapse map-side; the sum
+    // accumulates in DECIMAL(38,0) (like the components convergence
+    // check) so it is exact to 10²⁶ rows per table — a Long would
+    // silently overflow past ~9·10⁶ rows, exactly the scale a
+    // replica checksum exists for, while DuckDB sums in HUGEINT.
     "data_table_checksum" -> { (s, d) =>
       val t = Tables(s, d)
       def sig(df: DataFrame, name: String, canonical: Column) = {
@@ -456,7 +458,8 @@ object DataOps {
         df.select(h.as("h"))
           .agg(count(lit(1)).as("n_rows"),
             expr("bit_xor(h)").as("xor_sig"),
-            sum(pmod(col("h"), lit(1000000000000L))).as("sum_sig"))
+            sum(pmod(col("h"), lit(1000000000000L))
+              .cast("decimal(38,0)")).as("sum_sig"))
           .select(lit(name).as("table_name"), col("n_rows"),
             col("xor_sig"), col("sum_sig"))
       }
@@ -1372,7 +1375,7 @@ object DataOps {
         s"""SELECT '$name' AS table_name, count(*) AS n_rows,
            |    bit_xor(($h)::BIGINT) AS xor_sig,
            |    CAST(sum(((($h) % 1000000000000) + 1000000000000)
-           |      % 1000000000000) AS BIGINT) AS sum_sig
+           |      % 1000000000000) AS DECIMAL(38,0)) AS sum_sig
            |  FROM $table""".stripMargin
       }
       sig("documents", "documents",

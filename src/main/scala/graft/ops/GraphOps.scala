@@ -318,9 +318,11 @@ object GraphOps {
     // the one with a provable log-round bound). After K doublings
     // h = f^(2^K): (a) a node is on a cycle iff it is in the IMAGE of h
     // (2^K ≥ any tail length), and (b) the carried min over the 2^K-step
-    // path is then the cycle minimum = the SCC id. K = 15 covers cycles
-    // and tails to 32768 nodes (sf0.1 has ~16k trading nodes; a
-    // production run derives K from the node count). Shape: one
+    // path is then the cycle minimum = the SCC id. K is DERIVED from the
+    // node count (K = ⌈log₂ n⌉, one driver-side scalar — the same
+    // legitimate convergence-check pattern as dedup_components), so the
+    // bound holds at any scale factor; the oracle's fixed 15 doublings
+    // agree because the result is K-invariant once 2^K ≥ n. Shape: one
     // fact-table shuffle builds (cust, supp, cnt); two window top-1
     // passes; then K node-sized self-joins with eager checkpoints — at
     // 100 TB the doubling table is node-sized, orders of magnitude
@@ -331,7 +333,7 @@ object GraphOps {
         .groupBy(col("o_custkey").as("c"), col("l_suppkey").as("s"))
         .agg(count(lit(1)).as("cnt"),
           sum(col("l_quantity").cast("long")).as("qty"))
-      sccFrom(pairs, doublings = 15)
+      sccFrom(pairs)
     }
   )
 
@@ -343,8 +345,13 @@ object GraphOps {
     * cycle to a mutual-top 2-cycle). Tail nodes are singleton SCCs and
     * are not reported; every reported SCC is a cycle of length >= 2.
     * Separated so the spec can plant pair tables with known cycles.
+    *
+    * `doublings` <= 0 (the default) derives K = ⌈log₂ n⌉ from the node
+    * count — one driver-side scalar count, after which 2^K ≥ n bounds
+    * every tail and cycle length, so the fixpoint is provably reached
+    * at any scale. A positive value pins K explicitly (specs).
     */
-  def sccFrom(pairs: DataFrame, doublings: Int): DataFrame = {
+  def sccFrom(pairs: DataFrame, doublings: Int = 0): DataFrame = {
     val wc = Window.partitionBy("c").orderBy(col("cnt").desc, col("s").asc)
     val ws = Window.partitionBy("s").orderBy(col("qty").desc, col("c").asc)
     val fc = pairs.withColumn("rn", row_number().over(wc))
@@ -356,7 +363,13 @@ object GraphOps {
     var g = fc.union(fs)
       .select(col("node"), col("ptr"), least(col("node"), col("ptr")).as("mn"))
       .localCheckpoint()
-    for (_ <- 1 to doublings)
+    val k =
+      if (doublings > 0) doublings
+      else { // ceil(log2(n)) over the checkpointed node-sized frame
+        val n = math.max(g.count(), 2L)
+        64 - java.lang.Long.numberOfLeadingZeros(n - 1L)
+      }
+    for (_ <- 1 to k)
       // eager node-sized checkpoint per doubling — same lineage-cut
       // rationale as kcoreFrom: g feeds BOTH sides of the self-join
       g = g.as("a")

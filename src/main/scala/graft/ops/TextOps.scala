@@ -27,6 +27,22 @@ object TextOps {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** BPE inference over one whitespace word: the pinned [[BpeMerges]]
+    * applied in rank order as left-to-right rewrites over a
+    * DOUBLED-separator symbol string (see `text_bpe_encode` for why the
+    * doubling is what makes `replace` implement true merge semantics on
+    * adjacent repeats); returns the token array. Separated so the spec
+    * can pin the adjacency cases ('tata' → [ta, ta]).
+    */
+  def bpeEncode(word: Column): Column = {
+    val seq0 = concat(lit("  "), regexp_replace(word, "(.)", "$1  "))
+    val chain = BpeMerges.foldLeft(seq0) { case (acc, (from, to)) =>
+      call_function("replace", acc,
+        lit(s" ${from.replace(" ", "  ")} "), lit(s" $to "))
+    }
+    filter(split(trim(chain), " "), t => t =!= "")
+  }
+
   /** n-token shingles (contiguous token n-grams) of the text; empty array if
     * the document has fewer than n tokens. Single-pass kernel expression —
     * see [[graft.functions.WordShingles]].
@@ -274,9 +290,16 @@ object TextOps {
     // BPE tokenizer APPLY: encode the corpus with a pinned 8-rule merge
     // table (the inference-time half of the trainer above — a production
     // run feeds the learned ranks in; a pinned table keeps the oracle
-    // byte-exact). Each word becomes a space-separated symbol sequence
-    // and the ranked merges apply in order as left-to-right
-    // non-overlapping string rewrites — `replace` semantics are
+    // byte-exact). Each word becomes a symbol sequence with DOUBLED
+    // space separators and the ranked merges apply in order as
+    // left-to-right string rewrites. The doubling is what makes
+    // `replace` implement true BPE merge semantics: a single-space
+    // encoding loses adjacent repeats (' t a t a ' merges only the
+    // first 't a' because the match consumes the shared separator
+    // before scan-resume), while with two spaces per boundary each
+    // match consumes one space from each side and leaves the
+    // neighbouring occurrence's separator intact — so ' t a t a '
+    // correctly becomes [ta, ta]. `replace` scan-resume semantics are
     // IDENTICAL in Spark (UTF8String.replace) and DuckDB, which is the
     // parity contract; chained merges (t a→ta, ta b→tab, tab le→table)
     // exercise the iterative-application path. Scale shape: encode is
@@ -284,16 +307,10 @@ object TextOps {
     // until the final token count), exactly how a tokenizer runs over
     // 100 TB; top-30 is a partial+final count into TakeOrdered.
     "text_bpe_encode" -> { (s, d) =>
-      val seq0 = concat(lit(" "),
-        regexp_replace(col("word"), "(.)", "$1 "))
-      val chain = BpeMerges.foldLeft(seq0) { case (acc, (from, to)) =>
-        call_function("replace", acc, lit(s" $from "), lit(s" $to "))
-      }
       Tables(s, d).documents
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
-        .select(explode(split(trim(chain), " ")).as("token"))
-        .filter(col("token") =!= "")
+        .select(explode(bpeEncode(col("word"))).as("token"))
         .groupBy("token").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token").asc)
         .limit(30)
@@ -1163,10 +1180,12 @@ object TextOps {
          |c1 AS (${bpePairSql("m")})
          |SELECT left_sym, right_sym, weight FROM c1
          |ORDER BY weight DESC, left_sym, right_sym LIMIT 10""".stripMargin,
+    // doubled separators mirror the operator's shared-boundary fix
     "text_bpe_encode" -> {
       val chain = BpeMerges.foldLeft(
-        "' ' || regexp_replace(word, '(.)', '\\1 ', 'g')") {
-        case (acc, (from, to)) => s"replace($acc, ' $from ', ' $to ')"
+        "'  ' || regexp_replace(word, '(.)', '\\1  ', 'g')") {
+        case (acc, (from, to)) =>
+          s"replace($acc, ' ${from.replace(" ", "  ")} ', ' $to ')"
       }
       s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
          |    FROM documents),

@@ -572,7 +572,9 @@ class DataOpsSpec extends GraftSuite {
       % 1000000000000L).sum
     val got = graft.ops.DataOps.queries("data_table_checksum")(spark, sfDir)
       .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+        // sum_sig is DECIMAL(38,0) (overflow-proof accumulator)
+        ((r.getLong(1), r.getLong(2), r.getDecimal(3).longValueExact())))
+      .toMap
     assert(got("documents") == ((hs.length.toLong, wantXor, wantSum)))
     // sensitivity: dropping one row must change the xor signature
     val oneLess = hs.drop(1).foldLeft(0L)(_ ^ _)

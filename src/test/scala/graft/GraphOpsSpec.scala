@@ -426,6 +426,28 @@ class GraphOpsSpec extends GraftSuite {
     assert(got == Seq((20L, 4L, 2L, 2L), (40L, 2L, 1L, 1L)), got.toString)
   }
 
+  test("scc: derived doubling count converges on a planted >32k-node tail " +
+      "(would be silently wrong under the old fixed K = 15)") {
+    import org.apache.spark.sql.functions._
+    // a single 40,002-node functional path c_0→s_0→c_1→…→c_N→s_N→c_N
+    // ending in a {c_N, s_N} 2-cycle: tail length 2N = 40,000 exceeds
+    // 2^15, so only a K derived from the node count (here ⌈log₂ 40002⌉
+    // = 16) lands every node on the cycle
+    val n = 20000L
+    // c_i's top supplier by cnt is s_i; s_i's top customer by qty is
+    // c_{i+1}, except s_N whose only (and top) customer is c_N
+    val self = spark.range(0, n + 1).select(col("id").as("c"),
+      col("id").as("s"), lit(9L).as("cnt"),
+      when(col("id") === n, 9L).otherwise(1L).as("qty"))
+    val next = spark.range(0, n).select((col("id") + 1).as("c"),
+      col("id").as("s"), lit(1L).as("cnt"), lit(9L).as("qty"))
+    val got = GraphOps.sccFrom(self.union(next)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // the only SCC is the terminal 2-cycle {c_N = 2N, s_N = 2N+1}
+    assert(got == Seq((2 * n, 2L, 1L, 1L)), got.toString)
+  }
+
   test("scc on the trade graph matches a driver-side cycle walk") {
     // independent ground truth: collect the pair table, build f in
     // Scala, walk every node to its cycle, and summarize

@@ -453,4 +453,22 @@ class TextOpsSpec extends GraftSuite {
     // contains a space (the separator never leaks into tokens)
     assert(got.forall(t => !t._1.contains(" ")))
   }
+
+  test("bpe encode: adjacent repeated pairs merge (doubled-separator " +
+      "rewrite implements true greedy BPE, not single-pass replace)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 'tata' must become [ta, ta] — a single-space encoding loses the
+    // second merge because the first match consumes the shared
+    // separator; 'tatab' additionally chains into the 'ta b'->'tab'
+    // rule; 'aaa' has no matching rule and stays single chars
+    val got = Seq("tata", "tatab", "tale", "aaa").toDF("w")
+      .select(col("w"), graft.ops.TextOps.bpeEncode(col("w")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList)
+      .toMap
+    assert(got("tata") == List("ta", "ta"), got("tata"))
+    assert(got("tatab") == List("ta", "tab"), got("tatab"))
+    assert(got("tale") == List("ta", "le"), got("tale"))
+    assert(got("aaa") == List("a", "a", "a"), got("aaa"))
+  }
 }
