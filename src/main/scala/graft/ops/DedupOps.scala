@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.functions.{jaccard_sim, minhash_sig, quant_dot, simhash64}
+import graft.ops.Checkpoints._
 
 /** Deduplication operators over `documents` / `embeddings` — the core of a
   * training-data pipeline at 100 TB.
@@ -206,7 +207,9 @@ object DedupOps {
     * propagation steps run per driver-side convergence check, halving
     * job-launch overhead (the check itself is one scalar per batch).
     *
-    * Each step `localCheckpoint`s its frames — REQUIRED, not an
+    * Each step cuts lineage on its frames ([[Checkpoints]]:
+    * `localCheckpoint` by default, reliable `checkpoint` under
+    * `spark.graft.checkpointDir`) — REQUIRED, not an
     * optimization: the step-k logical plan references step k-1 multiple
     * times (own label, neighbor min, jump target), so without lineage
     * truncation the plan tree grows geometrically (OOMs near diameter 20).
@@ -245,7 +248,7 @@ object DedupOps {
   private[graft] def minLabelComponentsCounted(
       edges: DataFrame): (DataFrame, Int) = {
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lab", col("id")).localCheckpoint()
+      .withColumn("lab", col("id")).cutLineage()
     var prevSum: Option[java.math.BigDecimal] = None
     var steps = 0
     var converged = false
@@ -265,14 +268,14 @@ object DedupOps {
           .join(nbrMin, col("id") === col("src"), "left")
           .select(col("id"),
             least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-          .localCheckpoint()
+          .cutLineage()
         // pointer jump: lab <- lab(lab). Every lab IS a node id (a min over
         // ids), so the inner self-join keeps every row.
         labels = prop
           .join(prop.select(col("id").as("jid"), col("lab").as("jlab")),
             col("lab") === col("jid"))
           .select(col("id"), col("jlab").as("lab"))
-          .localCheckpoint()
+          .cutLineage()
         steps += 1
         i += 1
       }

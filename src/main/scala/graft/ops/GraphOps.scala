@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
+import graft.ops.Checkpoints._
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over a relationally-derived graph — the
@@ -362,7 +363,7 @@ object GraphOps {
       .select((col("s") * 2 + 1).as("node"), (col("c") * 2).as("ptr"))
     var g = fc.union(fs)
       .select(col("node"), col("ptr"), least(col("node"), col("ptr")).as("mn"))
-      .localCheckpoint()
+      .cutLineage()
     val k =
       if (doublings > 0) doublings
       else { // ceil(log2(n)) over the checkpointed node-sized frame
@@ -376,7 +377,7 @@ object GraphOps {
         .join(g.as("b"), col("a.ptr") === col("b.node"))
         .select(col("a.node").as("node"), col("b.ptr").as("ptr"),
           least(col("a.mn"), col("b.mn")).as("mn"))
-        .localCheckpoint()
+        .cutLineage()
     val cyc = g.select(col("ptr").as("node")).distinct()
     g.join(cyc, Seq("node"), "left_semi")
       .groupBy(col("mn").as("scc_id"))
@@ -429,7 +430,7 @@ object GraphOps {
       // the normalized select — eager localCheckpoint (node-sized)
       // truncates the lineage so the edges join behind it runs exactly
       // once, not once per consumer/broadcast job
-      val df = df0.localCheckpoint()
+      val df = df0.cutLineage()
       val tot = df.agg(sum(col("v").cast(DecimalType(38, 0))).as("tot"))
       df.crossJoin(broadcast(tot))
         .select(col(id),
@@ -445,10 +446,10 @@ object GraphOps {
       // which is the edge build + four sub-second half-steps)
       h = normalize(e.join(a, "s").groupBy("c")
         .agg(sum(col("v").cast(DecimalType(38, 0))).as("v")), "c")
-        .localCheckpoint()
+        .cutLineage()
       a = normalize(e.join(h, "c").groupBy("s")
         .agg(sum(col("v").cast(DecimalType(38, 0))).as("v")), "s")
-        .localCheckpoint()
+        .cutLineage()
     }
     val hubs = h.orderBy(col("v").desc, col("c").asc).limit(k)
       .select(lit("hub").as("role"), col("c").as("id"),
@@ -480,7 +481,7 @@ object GraphOps {
       // round 2^rounds times (measured 26 s at sf0.1 for three rounds;
       // a few seconds with the lineage cut per round)
       alive = degIn(alive).filter(col("deg") >= k).select("node")
-        .localCheckpoint()
+        .cutLineage()
     degIn(alive).withColumnRenamed("deg", "core_deg").orderBy("node")
   }
 

@@ -426,6 +426,29 @@ class GraphOpsSpec extends GraftSuite {
     assert(got == Seq((20L, 4L, 2L, 2L), (40L, 2L, 1L, 1L)), got.toString)
   }
 
+  test("reliable checkpointing: spark.graft.checkpointDir switches the " +
+      "iterative lineage cuts to DFS checkpoints with identical results") {
+    import spark.implicits._
+    val pairs = Seq(
+      (10L, 10L, 9L, 1L), (10L, 11L, 1L, 9L),
+      (11L, 10L, 1L, 9L), (11L, 11L, 9L, 1L),
+      (12L, 10L, 5L, 1L),
+      (20L, 20L, 3L, 3L)).toDF("c", "s", "cnt", "qty")
+    def run() = GraphOps.sccFrom(pairs, doublings = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val base = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    spark.conf.set(graft.ops.Checkpoints.DirConf, dir.toString)
+    try {
+      assert(run() == base)
+      // the cuts really went to the reliable directory, not local blocks
+      val nFiles = java.nio.file.Files.walk(dir)
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(nFiles > 0, s"no checkpoint files under $dir")
+    } finally spark.conf.unset(graft.ops.Checkpoints.DirConf)
+  }
+
   test("scc: derived doubling count converges on a planted >32k-node tail " +
       "(would be silently wrong under the old fixed K = 15)") {
     import org.apache.spark.sql.functions._
