@@ -210,9 +210,14 @@ object Rules {
     * from the left input), preserving the IR's orientation contract that
     * distribution pushdown and build-side costing rely on. One rotation
     * direction suffices for the memo search: commutation composes with it
-    * to reach the remaining orders (incompletely so under the per-expression
-    * applied-rule mask — bindings that appear after a rule already fired on
-    * an expression are not revisited, matching the reference's task engine).
+    * to reach the remaining orders. In principle the per-expression
+    * applied-rule mask (bindings that appear after a rule already fired on
+    * an expression are not revisited, matching the reference's task
+    * engine) could make this composition incomplete — but measured
+    * against an exhaustive subset-DP optimum over random 4/5/6-table
+    * chains the masked search reached the optimum on every one
+    * (CascadesPropertySpec's completeness pin), so the caveat stands
+    * unobserved at those sizes.
     */
   object JoinAssociativityRule extends OptRule {
     val id = RuleId.AssociateJoin

@@ -266,4 +266,103 @@ class CascadesPropertySpec extends AnyFunSuite {
         s"seed $seed: merge changed enumerated cost $enum0 -> $enum1")
     }
   }
+
+  /** Ground-truth join-order optimum by subset DP over every connected
+    * binary tree (bushy included): rows(S) is tree-independent under the
+    * max-cardinality join estimate, so dp(S) = min over connected splits
+    * (A,B) of dp(A) + dp(B) + rows(A) + 2·rows(B); leaves cost 1.0 —
+    * the same pricing as [[CardinalityCostModel]].
+    */
+  private def bruteForceOptimum(
+      names: Seq[String], st: TableStats, conds: Seq[(Int, Int)]): Double = {
+    val chainTables = names
+    val rowsOfTable = chainTables.map(st.tableRows)
+    val memo = scala.collection.mutable.Map[Set[Int], Double]()
+    def rowsOf(s: Set[Int]): Long = s.map(rowsOfTable).max
+    def dp(s: Set[Int]): Double =
+      if (s.size == 1) 1.0
+      else memo.getOrElseUpdate(s, {
+        val splits = for {
+          a <- s.subsets().toSeq if a.nonEmpty && a != s
+          b = s -- a
+          if conds.exists { case (x, y) =>
+            (a(x) && b(y)) || (a(y) && b(x)) }
+        } yield dp(a) + dp(b) + rowsOf(a).toDouble + 2.0 * rowsOf(b)
+        // a subset with no internal bridging condition cannot be built
+        // as a subtree — unreachable, not an error (the full set is
+        // always connected: the generator links every table to one below)
+        if (splits.isEmpty) Double.PositiveInfinity else splits.min
+      })
+    dp(chainTables.indices.toSet)
+  }
+
+  /** Extract the chain's (tableIdx, tableIdx) condition edges from the
+    * generated plan (column x_k belongs to table u_k by construction). */
+  private def condEdges(p: PlanNode): Seq[(Int, Int)] = {
+    val own = p.inputs.flatMap(condEdges)
+    p.op match {
+      case LogicalJoin(_, EqCond(Col(l), Col(r))) =>
+        own :+ ((l.drop(1).toInt - 1, r.drop(1).toInt - 1))
+      case _ => own
+    }
+  }
+
+  test("masked enumeration achieves the brute-force subset-DP optimum " +
+      "on every generated chain up to 6 tables (the documented " +
+      "applied-rule-mask incompleteness does not bite here)") {
+    var gapSeeds = List.empty[(Int, Int)]
+    for (n <- 4 to 6; seed <- 1 to Trials / 3) {
+      val names = (1 to n).map(i => s"u$i")
+      val catalog =
+        names.zipWithIndex.map { case (t, i) => t -> Seq(s"x${i + 1}") }.toMap
+      val gen: Gen[(PlanNode, TableStats)] = for {
+        sizes <- Gen.listOfN(n, Gen.oneOf(10L, 1000L, 100000L))
+        links <- Gen.sequence[Seq[Int], Int](
+          (1 until n).map(i => Gen.choose(0, i - 1)))
+      } yield {
+        val plan = (1 until n).foldLeft(PlanNode(LogicalScan("u1"))) {
+          (acc, i) =>
+            PlanNode(
+              LogicalJoin(JoinType.Inner,
+                EqCond(Col(s"x${links(i - 1) + 1}"), Col(s"x${i + 1}"))),
+              Seq(acc, PlanNode(LogicalScan(s"u${i + 1}"))))
+        }
+        (plan, TableStats(names.zip(sizes).toMap))
+      }
+      val (plan, st) = gen(Gen.Parameters.default, Seed(seed.toLong))
+        .getOrElse(fail(s"generator exhausted at n=$n seed $seed"))
+      def run(rules: Seq[OptRule]): Double = {
+        val out = new CascadesOptimizer(rules,
+          costModel = new CardinalityCostModel, stats = st,
+          columns = catalog).optimize(plan)
+        def rows(nd: PlanNode): Long = st.derive(nd.op, nd.inputs.map(rows))
+        def c(nd: PlanNode): Double =
+          nd.inputs.map(c).sum + new CardinalityCostModel().operatorCost(
+            nd.op.asInstanceOf[PhysicalOp], nd.inputs.map(rows))
+        c(out.get)
+      }
+      val opt = bruteForceOptimum(names, st, condEdges(plan))
+      val enumd = run(Rules.joinEnumerationRules)
+      val plain = run(Rules.all)
+      assert(opt <= enumd + 1e-6,
+        s"n=$n seed $seed: memo search beat exhaustive DP ($enumd < $opt)" +
+          s" — the DP or the stats derivation is wrong for\n${plan.explain()}")
+      assert(enumd <= plain + 1e-6, s"n=$n seed $seed: $enumd > $plain")
+      if (enumd > opt + 1e-6) gapSeeds ::= ((n, seed))
+    }
+    // EMPIRICAL COMPLETENESS PIN. The rule docs caution that the
+    // per-expression applied-rule mask (bindings appearing after a rule
+    // fired on an expression are not revisited, matching the reference
+    // task engine's fire-once mask) could make one-direction rotation +
+    // commutation an INCOMPLETE enumeration. Measured against an
+    // exhaustive subset-DP optimum (bushy trees included) over 150
+    // random 4/5/6-table chains: the masked search reached the optimum
+    // on EVERY one — zero gap seeds. So the caveat stands unobserved at
+    // these sizes; if this assertion ever fires after a search-engine
+    // change, the mask gap has become real — record the (n, seed) pairs
+    // and decide whether to keep the mask.
+    assert(gapSeeds.isEmpty,
+      s"applied-rule-mask gap appeared at (n,seed)=${gapSeeds.reverse}: " +
+        "the masked enumeration no longer reaches the exhaustive optimum")
+  }
 }
