@@ -164,30 +164,16 @@ object AnalyticsExt {
     // equi-width bin counts are the simplest MERGEABLE quantile summary
     // (union = vector add, the property t-digest/KLL refine), and unlike
     // those, every step here is exact integer/IEEE arithmetic the DuckDB
-    // oracle replicates bit-for-bit: bin = floor(price / 840.0) capped at
-    // 127 (840 = 107520/128 is exactly representable, so the division
-    // rounds identically in both engines), per-group cumulative counts,
-    // and quantile q = upper edge of the first bin where cum*100 >= n*q
-    // (integer cross-multiplication — no double threshold). Scale shape:
-    // one partial+final aggregate shuffles ≤ groups×128 bin rows; the
+    // oracle replicates bit-for-bit (see [[quantileHistFrom]] for the
+    // rounding contract). Width/count here: 840.0 × 128 bins covers this
+    // corpus's price domain [901, 104950) — 840 = 107520/128 happens to
+    // be exactly representable, but the contract does NOT rely on that
+    // (the planted non-dyadic-width spec proves it). Scale shape: one
+    // partial+final aggregate shuffles ≤ groups×nBins bin rows; the
     // quantile extraction windows over that tiny table, never the data.
     "agg_quantile_hist" -> { (s, d) =>
-      val bin = least(lit(127),
-        floor(col("l_extendedprice") / lit(840.0)).cast("int"))
-      val hist = Tables(s, d).lineitem
-        .groupBy(col("l_returnflag"), bin.as("bin"))
-        .agg(count(lit(1)).as("c"))
-      val cw = Window.partitionBy("l_returnflag").orderBy("bin")
-      val tw = Window.partitionBy("l_returnflag")
-      val cum = hist
-        .withColumn("cum", sum(col("c")).over(cw))
-        .withColumn("n", sum(col("c")).over(tw))
-      def qcol(p: Int): Column =
-        min(when(col("cum") * lit(100L) >= col("n") * lit(p.toLong),
-          (col("bin") + lit(1)) * lit(840.0))).as(s"p$p")
-      cum.groupBy("l_returnflag")
-        .agg(max(col("n")).as("n"), qcol(50), qcol(95), qcol(99))
-        .orderBy("l_returnflag")
+      quantileHistFrom(Tables(s, d).lineitem, col("l_extendedprice"),
+        "l_returnflag", binWidth = 840.0, nBins = 128)
     },
     // Approximate sketches, three of them:
     //  - KMV (k-minimum-values) distinct sketch: hash each distinct key,
@@ -742,6 +728,38 @@ object AnalyticsExt {
         .orderBy("l_returnflag")
     }
   )
+
+  /** Mergeable equi-width histogram quantiles (p50/p95/p99) of `value`
+    * per `groupCol`, parameterized bin width and count. Rounding
+    * contract (engine-portable for ANY width, dyadic or not): bin =
+    * min(nBins−1, floor(value / width)) is ONE IEEE division + floor —
+    * both engines compute the identical double, so bin assignment is
+    * bit-equal even when `value / width` is inexact; the quantile is the
+    * upper edge (bin+1)·width of the first bin whose cumulative count
+    * satisfies cum·100 ≥ n·p by integer cross-multiplication (no double
+    * threshold anywhere). The estimate is within one bin width above the
+    * exact ceil-rank percentile by construction. Values beyond the
+    * domain clamp into the last bin (quantiles there read as the domain
+    * upper edge). Separated so specs can plant non-dyadic widths.
+    */
+  def quantileHistFrom(df: DataFrame, value: Column, groupCol: String,
+      binWidth: Double, nBins: Int): DataFrame = {
+    val bin = least(lit(nBins - 1), floor(value / lit(binWidth)).cast("int"))
+    val hist = df
+      .groupBy(col(groupCol), bin.as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val cw = Window.partitionBy(groupCol).orderBy("bin")
+    val tw = Window.partitionBy(groupCol)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(cw))
+      .withColumn("n", sum(col("c")).over(tw))
+    def qcol(p: Int): Column =
+      min(when(col("cum") * lit(100L) >= col("n") * lit(p.toLong),
+        (col("bin") + lit(1)) * lit(binWidth))).as(s"p$p")
+    cum.groupBy(groupCol)
+      .agg(max(col("n")).as("n"), qcol(50), qcol(95), qcol(99))
+      .orderBy(groupCol)
+  }
 
   /** Lower weighted median per group over integer `(g, pc, w)` rows: the
     * first `pc` (ascending) whose cumulative weight reaches half the

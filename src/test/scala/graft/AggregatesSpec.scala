@@ -83,6 +83,51 @@ class AggregatesSpec extends GraftSuite {
     }
   }
 
+  test("histogram quantiles: the rounding contract holds at a planted " +
+      "NON-dyadic bin width (no reliance on 840.0 being representable)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // width 0.7 is not exactly representable in binary; plant values AT
+    // the bin edges (k*0.7 in double) plus interior points, so bin
+    // assignment exercises the inexact v/width division on both sides
+    val width = 0.7
+    // domain [0, 64*0.7 = 44.8): edge values k*0.7 for k = 1..60 plus
+    // interior points — all within the binned domain so the one-width
+    // accuracy bound applies (out-of-domain clamping is pinned below)
+    val xs = (1 to 60).map(k => k * width) ++ Seq(0.35, 20.65, 41.3)
+    val got = graft.ops.AnalyticsExt.quantileHistFrom(
+      xs.toDF("v").withColumn("g", lit("all")), col("v"), "g",
+      binWidth = width, nBins = 64).collect()(0)
+    // driver replay with the IDENTICAL IEEE arithmetic
+    def binOf(v: Double) = math.min(63, math.floor(v / width).toInt)
+    val counts = xs.groupBy(binOf).view.mapValues(_.size.toLong).toMap
+    val n = xs.size.toLong
+    def q(p: Int): Double = {
+      var cum = 0L
+      counts.keys.toSeq.sorted.iterator
+        .map { b => cum += counts(b); (b, cum) }
+        .collectFirst { case (b, c) if c * 100L >= n * p =>
+          (b + 1) * width }.get
+    }
+    assert(got.getLong(1) == n)
+    val est = Seq(50 -> got.getDouble(2), 95 -> got.getDouble(3),
+      99 -> got.getDouble(4))
+    est.foreach { case (p, e) => assert(e == q(p), s"p$p: $e != ${q(p)}") }
+    // and the one-bin-width accuracy bound vs exact ceil-rank percentiles
+    val sorted = xs.sorted
+    est.foreach { case (p, e) =>
+      val exact = sorted(((n * p + 99) / 100 - 1).toInt)
+      assert(e >= exact - 1e-9 && e <= exact + width + 1e-9,
+        s"p$p: est $e outside [$exact, ${exact + width}]")
+    }
+    // out-of-domain values clamp into the last bin and read as the
+    // domain upper edge — the documented saturation contract
+    val clamped = graft.ops.AnalyticsExt.quantileHistFrom(
+      Seq(1.0, 2.0, 999.0).toDF("v").withColumn("g", lit("all")),
+      col("v"), "g", binWidth = width, nBins = 64).collect()(0)
+    assert(clamped.getDouble(3) == 64 * width, clamped.toString)
+  }
+
   test("agg_approx_sketch plan has no KMV window sort or distinct shuffle") {
     val df = AnalyticsExt.queries("agg_approx_sketch")(spark, sfDir)
     df.queryExecution.toRdd.count()
