@@ -823,6 +823,45 @@ object DataOps {
         .withColumn("at_risk", col("n") < 5)
         .orderBy("c_nationkey", "c_mktsegment", "bal_band")
     },
+    // l-diversity audit — k-anonymity's necessary complement (Machanavajjhala
+    // et al. 2007): a quasi-identifier group can be k-large yet still leak
+    // if every member shares the SENSITIVE value. Quasi-identifiers here
+    // are (nation, balance band); the sensitive attribute is the market
+    // segment; a group is at risk when it holds fewer than 3 distinct
+    // segments. One hash aggregate (Spark plans count(DISTINCT) as the
+    // two-phase expand — both phases map-side combinable); output is
+    // QI-group-sized regardless of corpus scale.
+    "data_l_diversity" -> { (s, d) =>
+      Tables(s, d).customer
+        .groupBy(col("c_nationkey"),
+          floor(col("c_acctbal") / 2000.0).cast("long").as("bal_band"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("c_mktsegment")).as("l_div"))
+        .withColumn("at_risk", col("l_div") < 3)
+        .orderBy("c_nationkey", "bal_band")
+    },
+    // Contamination SCORE per training document — the thresholdable
+    // readout behind data_decontaminate's drop list: every corpus doc's
+    // total distinct 8-gram count, how many of those appear in the
+    // benchmark set, and the overlap fraction (zero-overlap docs
+    // included via the left join — the score every doc gets, not just
+    // the contaminated ones). Same shared gram definition as the
+    // decontaminate family ([[decontamGrams]]); the benchmark side
+    // broadcasts, the per-doc totals are a map-side-combined count, and
+    // the corpus gram stream never shuffles twice.
+    "data_contamination_score" -> { (s, d) =>
+      val (bench, corpusGrams) = decontamGrams(Tables(s, d).documents)
+      val cg = corpusGrams.persist()
+      val totals = cg.groupBy("doc_id").agg(count(col("g")).as("n_grams"))
+      val shared = cg.join(broadcast(bench), Seq("g"))
+        .groupBy("doc_id").agg(count(col("g")).as("n_shared"))
+      totals.join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)).cast("double") /
+            col("n_grams")).as("contamination"))
+        .orderBy("doc_id")
+    },
     // Right-to-erasure impact report — the cascade a GDPR/CCPA delete
     // batch triggers: a deterministic victim set (custkey % 97 = 0
     // stands in for the request table), propagated through the FK chain
@@ -1584,6 +1623,24 @@ object DataOps {
         |  count(*) AS n, count(*) < 5 AS at_risk
         |FROM customer GROUP BY 1, 2, 3
         |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin,
+    "data_l_diversity" ->
+      """SELECT c_nationkey,
+        |  CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,
+        |  count(*) AS n, count(DISTINCT c_mktsegment) AS l_div,
+        |  count(DISTINCT c_mktsegment) < 3 AS at_risk
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY c_nationkey, bal_band""".stripMargin,
+    "data_contamination_score" ->
+      s"""WITH $gramCtes,
+         |tot AS (SELECT doc_id, count(*) AS n_grams FROM g
+         |  WHERE doc_id >= 20 GROUP BY 1),
+         |sh AS (SELECT g.doc_id, count(*) AS n_shared
+         |  FROM g JOIN bench USING (g) WHERE g.doc_id >= 20 GROUP BY 1)
+         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+         |  CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+         |  CAST(COALESCE(n_shared, 0) AS DOUBLE) / n_grams
+         |    AS contamination
+         |FROM tot LEFT JOIN sh USING (doc_id) ORDER BY doc_id""".stripMargin,
     "data_delete_propagation" ->
       """SELECT * FROM (
         |  SELECT 'customer' AS table_name,

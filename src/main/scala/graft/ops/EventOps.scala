@@ -106,6 +106,33 @@ object EventOps {
           dsum(s, col("value")).as("sum_value"))
         .orderBy("user_id", "session_idx")
     },
+    // Daily bounce rate — the engagement-health headline over the
+    // sessionized stream: per day (of session start), how many sessions
+    // happened and what fraction consisted of a single event. Reuses the
+    // exact gap-based session assignment of events_sessionize (one
+    // user-keyed window pass); sessions then collapse to a day-keyed
+    // partial+final aggregate (day-sized output), and the rate divides
+    // two exact counts once per day row.
+    "events_bounce_rate" -> { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ms").asc, col("event_id").asc)
+      withMs(Tables(s, d).events)
+        .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ms").isNull ||
+            col("ts_ms") - col("prev_ms") > GapMs, 1).otherwise(0))
+        .withColumn("session_idx",
+          sum(col("new_session")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"), min(col("ts_ms")).as("start_ms"))
+        .groupBy(expr(floorDivSql("start_ms", DayMs)).as("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          count(when(col("n_events") === 1, 1)).as("n_bounce"))
+        .withColumn("bounce_rate",
+          col("n_bounce").cast("double") / col("n_sessions"))
+        .orderBy("day")
+    },
     // AS-OF join composed from built-ins (SURVEY.md §7.3 preference (a)):
     // for each purchase, the latest view at-or-before it by the same user.
     // One shuffle on user_id; the tagged-union + last_value(ignore nulls)
@@ -1487,6 +1514,30 @@ object EventOps {
          |  ${sqlSum("value")} AS sum_value
          |FROM g GROUP BY user_id, session_idx
          |ORDER BY user_id, session_idx""".stripMargin,
+    "events_bounce_rate" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
+         |           FROM events),
+         |f AS (SELECT *,
+         |    CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id
+         |        ORDER BY ts_ms ASC, event_id ASC) IS NULL
+         |      OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+         |        ORDER BY ts_ms ASC, event_id ASC) > 1800000
+         |    THEN 1 ELSE 0 END AS new_session
+         |  FROM e),
+         |g AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+         |    ORDER BY ts_ms ASC, event_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         |  FROM f),
+         |sess AS (SELECT user_id, session_idx, count(*) AS n_events,
+         |    min(ts_ms) AS start_ms
+         |  FROM g GROUP BY 1, 2),
+         |byday AS (SELECT start_ms // 86400000 AS day,
+         |    count(*) AS n_sessions,
+         |    count(CASE WHEN n_events = 1 THEN 1 END) AS n_bounce
+         |  FROM sess GROUP BY 1)
+         |SELECT day, n_sessions, n_bounce,
+         |  CAST(n_bounce AS DOUBLE) / n_sessions AS bounce_rate
+         |FROM byday ORDER BY day""".stripMargin,
     "events_asof_join" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,

@@ -306,6 +306,27 @@ object GraphOps {
         .distinct()
       assortativityFrom(e0)
     },
+    // Personalized PageRank — the seeded variant behind "related to
+    // THESE nodes" rankings (crawl frontier prioritization, related-item
+    // panels): teleport mass lands only on a seed set (customers with
+    // custkey % 101 = 0 — a deterministic stand-in for the query set),
+    // so scores measure proximity to the seeds instead of global
+    // importance. Same exact-integer Pregel-as-join-agg machinery as
+    // graph_pagerank (bit-identical under any partitioning); the only
+    // change is the per-node base term: seeds get 0.15·S, everything
+    // else 0, and rank mass decays with hop distance from the seeds.
+    "graph_ppr" -> { (s, d) =>
+      val t = Tables(s, d)
+      val e0 = t.orders
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val nodes = t.customer.select((col("c_custkey") * 2).as("node"))
+        .union(t.supplier.select((col("s_suppkey") * 2 + 1).as("node")))
+        .withColumn("seed", pmod(col("node"), lit(202L)) === 0)
+      pprFrom(e0, nodes, iters = 3, k = 20)
+    },
     // Strongly connected components of the FUNCTIONAL trade-preference
     // graph: every trading customer points at their top supplier by
     // lineitem COUNT, every supplier at their top customer by total
@@ -738,6 +759,34 @@ object GraphOps {
     r.orderBy(col("pr").desc, col("node").asc).limit(k)
   }
 
+  /** Personalized PageRank over an undirected edge list: identical
+    * integer iteration to [[pageRankFrom]] except the per-node base term
+    * is `Base` only where `nodes.seed` holds (teleport-to-seed-set), and
+    * rank starts at `Scale` on seeds / 0 elsewhere. Separated so specs
+    * can plant seed/non-seed graphs with known proximity orderings.
+    */
+  def pprFrom(edges: DataFrame, nodes: DataFrame, iters: Int, k: Int)
+      : DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ed = e.join(deg, "src").persist()
+    var r = nodes.withColumn("pr",
+      when(col("seed"), lit(Scale)).otherwise(lit(0L)))
+    for (_ <- 1 to iters) {
+      val contrib = ed.join(r, ed("src") === r("node"))
+        .select(col("dst"), expr("pr div outdeg").as("share"))
+        .groupBy("dst").agg(sum(col("share")).as("contrib"))
+      r = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+        .select(nodes("node"), nodes("seed"),
+          (when(nodes("seed"), lit(Base)).otherwise(lit(0L)) + expr(
+            "(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100"))
+            .as("pr"))
+    }
+    r.select(col("node"), col("pr"))
+      .orderBy(col("pr").desc, col("node").asc).limit(k)
+  }
+
   /** The same three unrolled integer iterations, CTE for CTE. */
   def oracles: Map[String, String] = {
     def iter(prev: String, cn: String, rn: String): String =
@@ -747,7 +796,33 @@ object GraphOps {
          |$rn AS (SELECT n.node, CAST($Base +
          |      (85 * COALESCE(contrib, 0)) // 100 AS BIGINT) AS pr
          |  FROM n LEFT JOIN $cn USING (node))""".stripMargin
+    def iterP(prev: String, cn: String, rn: String): String =
+      s"""$cn AS (SELECT dst AS node, CAST(sum(pr // outdeg) AS BIGINT)
+         |    AS contrib
+         |  FROM ed JOIN $prev r ON r.node = ed.src GROUP BY 1),
+         |$rn AS (SELECT n.node, CAST(
+         |      CASE WHEN n.node % 202 = 0 THEN $Base ELSE 0 END +
+         |      (85 * COALESCE(contrib, 0)) // 100 AS BIGINT) AS pr
+         |  FROM n LEFT JOIN $cn USING (node))""".stripMargin
     Map(
+      "graph_ppr" ->
+        s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
+           |    l_suppkey * 2 + 1 AS dst
+           |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+           |e AS (SELECT src, dst FROM e0
+           |  UNION ALL SELECT dst, src FROM e0),
+           |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+           |ed AS (SELECT e.src, e.dst, deg.outdeg
+           |  FROM e JOIN deg USING (src)),
+           |n AS (SELECT c_custkey * 2 AS node FROM customer
+           |  UNION ALL SELECT s_suppkey * 2 + 1 FROM supplier),
+           |r0 AS (SELECT node, CAST(CASE WHEN node % 202 = 0
+           |    THEN $Scale ELSE 0 END AS BIGINT) AS pr FROM n),
+           |${iterP("r0", "c1", "r1")},
+           |${iterP("r1", "c2", "r2")},
+           |${iterP("r2", "c3", "r3")}
+           |SELECT node, pr FROM r3
+           |ORDER BY pr DESC, node LIMIT 20""".stripMargin,
       "graph_pagerank" ->
         s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src,
            |    l_suppkey * 2 + 1 AS dst

@@ -320,6 +320,37 @@ object SimilarityOps {
     "sim_ann_ivfpq" -> { (s, d) =>
       ivfpqTopkFrom(Tables(s, d).embeddings, 2)
     },
+    // One PQ codebook TRAINING step (Jégou et al. 2011: per-subspace
+    // Lloyd iteration — the trainer whose converged output sim_ann_pq's
+    // deterministic seed codebook stands in for): assign every vector's
+    // m-th subvector to its nearest sub-centroid (the same integer-L2
+    // argmin as the encoder), then refresh each sub-centroid as the
+    // floored mean of its members' subvectors. Output per (subspace,
+    // code): member count + exact integer checksums of the refreshed
+    // sub-centroid (sum / sum-of-squares — no list columns), mirroring
+    // sim_kmeans_step's readout. Scale shape: the codebook is one
+    // broadcast row, encoding is a map stage, and the refresh shuffles
+    // 16-long partials keyed by (m, code) — M·K = 64 groups regardless
+    // of corpus size.
+    "sim_pq_train_step" -> { (s, d) =>
+      val base = Tables(s, d).embeddings
+        .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      val sub = pqEncode(base)
+        .select(col("qv"), posexplode(col("codes")).as(Seq("m", "code")))
+        .select(col("m"), col("code"),
+          slice(col("qv"), col("m") * lit(PqSub) + lit(1),
+            lit(PqSub)).as("sv"))
+      sub.groupBy("m", "code")
+        .agg(graft.functions.aggregates.vec_sum_longs(col("sv")).as("svec"),
+          count(lit(1)).as("n_members"))
+        .withColumn("cvec", transform(col("svec"),
+          sv => floor(sv.cast("double") / col("n_members")).cast("long")))
+        .select(col("m"), col("code"), col("n_members"),
+          aggregate(col("cvec"), lit(0L), (a, x) => a + x).as("csum"),
+          aggregate(transform(col("cvec"), x => x * x), lit(0L),
+            (a, x) => a + x).as("csq"))
+        .orderBy("m", "code")
+    },
     // One Lloyd (k-means) iteration, seeded by the per-label centroids:
     // (1) score every vector against the 10 broadcast centroids and keep
     // the argmax via a partial+final max(struct(sim, -label)) aggregate —
@@ -994,6 +1025,34 @@ object SimilarityOps {
         |      ORDER BY adist ASC, vec_id ASC) AS INT) AS rk FROM adc)
         |SELECT query_id, vec_id, adist, rk FROM ranked WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
+    // PQ-trainer replication: the sim_ann_pq code-assignment CTEs
+    // verbatim, then per-(m, code, dim) floored means and the integer
+    // checksums
+    "sim_pq_train_step" ->
+      """WITH q AS (SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |dist AS (SELECT a.vec_id, b.vec_id AS cid, (a.i - 1) // 16 AS m,
+        |           sum((a.v - b.v) * (a.v - b.v)) AS d
+        |         FROM q a JOIN q b ON a.i = b.i AND b.vec_id < 16
+        |         GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, m, cid FROM (
+        |    SELECT vec_id, m, cid, row_number() OVER (PARTITION BY vec_id, m
+        |      ORDER BY d ASC, cid ASC) AS rn FROM dist) r WHERE rn = 1),
+        |mem AS (SELECT c.m, c.cid AS code, a.i, a.v
+        |        FROM q a JOIN codes c ON c.vec_id = a.vec_id
+        |          AND c.m = (a.i - 1) // 16),
+        |cent AS (SELECT m, code, i,
+        |    CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+        |  FROM mem GROUP BY 1, 2, 3),
+        |cnt AS (SELECT m, cid AS code, count(*) AS n_members
+        |  FROM codes GROUP BY 1, 2)
+        |SELECT CAST(m AS INT) AS m, CAST(code AS INT) AS code, n_members,
+        |  CAST(sum(cv) AS BIGINT) AS csum,
+        |  CAST(sum(cv * cv) AS BIGINT) AS csq
+        |FROM cent JOIN cnt USING (m, code)
+        |GROUP BY m, code, n_members ORDER BY m, code""".stripMargin,
     // IVF-PQ replication: the sim_ann_ivf coarse-probe CTEs verbatim,
     // composed with the sim_ann_pq code/ADC CTEs verbatim — candidates
     // from the probed lists, ranked by ADC.

@@ -315,6 +315,34 @@ object TextOps {
         .orderBy(col("n").desc, col("token").asc)
         .limit(30)
     },
+    // Tokenizer vocabulary coverage — the fertility/compression readout
+    // every tokenizer change is judged by before a retrain: per language,
+    // word and token counts under the pinned merge table, how many
+    // emitted tokens are MERGED symbols (vs single-character fallbacks —
+    // the OOV-ish residue), and chars-per-token (the compression ratio
+    // that prices a 100 TB corpus in tokens). One codegen'd map stage
+    // (the same bpeEncode chain as text_bpe_encode) into a
+    // language-keyed partial+final aggregate; the double division happens
+    // once per language row.
+    "text_vocab_coverage" -> { (s, d) =>
+      Tables(s, d).documents
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .select(col("lang"), length(col("word")).as("nc"),
+          bpeEncode(col("word")).as("toks"))
+        .select(col("lang"), col("nc"), size(col("toks")).as("nt"),
+          size(filter(col("toks"), t => length(t) > 1)).as("nm"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("nc")).as("n_chars"),
+          sum(col("nt")).as("n_tokens"),
+          sum(col("nm")).as("n_merged"))
+        .select(col("lang"), col("n_words"), col("n_tokens"),
+          col("n_merged"),
+          (col("n_chars").cast("double") / col("n_tokens"))
+            .as("chars_per_token"))
+        .orderBy("lang")
+    },
     // Segment-level (CCNet-style "paragraph") dedup: chunk every document
     // into non-overlapping 3-word segments, keep each distinct segment's
     // FIRST occurrence corpus-wide (first = lowest (doc_id, seg_id)), and
@@ -1180,6 +1208,29 @@ object TextOps {
          |c1 AS (${bpePairSql("m")})
          |SELECT left_sym, right_sym, weight FROM c1
          |ORDER BY weight DESC, left_sym, right_sym LIMIT 10""".stripMargin,
+    // same doubled-separator chain as text_bpe_encode, rolled up per lang
+    "text_vocab_coverage" -> {
+      val chain = BpeMerges.foldLeft(
+        "'  ' || regexp_replace(word, '(.)', '\\1  ', 'g')") {
+        case (acc, (from, to)) =>
+          s"replace($acc, ' ${from.replace(" ", "  ")} ', ' $to ')"
+      }
+      s"""WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+         |    FROM documents),
+         |enc AS (SELECT lang, length(word) AS nc,
+         |    list_filter(string_split(trim($chain), ' '), x -> x <> '')
+         |      AS toks
+         |  FROM w WHERE word <> ''),
+         |g AS (SELECT lang, count(*) AS n_words,
+         |    CAST(sum(nc) AS BIGINT) AS n_chars,
+         |    CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+         |    CAST(sum(len(list_filter(toks, t -> length(t) > 1)))
+         |      AS BIGINT) AS n_merged
+         |  FROM enc GROUP BY lang)
+         |SELECT lang, n_words, n_tokens, n_merged,
+         |  CAST(n_chars AS DOUBLE) / n_tokens AS chars_per_token
+         |FROM g ORDER BY lang""".stripMargin
+    },
     // doubled separators mirror the operator's shared-boundary fix
     "text_bpe_encode" -> {
       val chain = BpeMerges.foldLeft(

@@ -559,6 +559,55 @@ class DataOpsSpec extends GraftSuite {
     assert(got("c_nationkey->c_mktsegment") == want)
   }
 
+  test("l-diversity: distinct-sensitive counts match a driver-side fold") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Tables(spark, sfDir).customer
+      .select(col("c_nationkey").cast("long"),
+        col("c_acctbal").cast("double"), col("c_mktsegment"))
+      .collect()
+      .map(r => ((r.getLong(0), math.floor(r.getDouble(1) / 2000.0).toLong),
+        r.getString(2)))
+    val want = rows.groupBy(_._1).view.mapValues { xs =>
+      val l = xs.map(_._2).distinct.size.toLong
+      (xs.size.toLong, l, l < 3)
+    }.toMap
+    val got = graft.ops.DataOps.queries("data_l_diversity")(spark, sfDir)
+      .select(col("c_nationkey").cast("long"), col("bal_band"), col("n"),
+        col("l_div"), col("at_risk"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == want, s"got=$got want=$want")
+    // the audit is non-degenerate on this corpus: both verdicts occur
+    assert(got.values.exists(_._3) && got.values.exists(!_._3))
+  }
+
+  test("contamination score: consistent with the decontaminate drop list, " +
+      "zero-overlap docs included") {
+    val score = graft.ops.DataOps
+      .queries("data_contamination_score")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val shared = graft.ops.DataOps
+      .queries("data_decontaminate")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the drop list's counts reappear verbatim as the n_shared column
+    shared.foreach { case (id, n) =>
+      assert(score(id)._2 == n, s"doc $id: ${score(id)._2} != $n") }
+    score.foreach { case (id, (g, s0, f)) =>
+      assert(g > 0 && s0 >= 0 && s0 <= g, s"doc $id: $s0/$g")
+      assert(f == s0.toDouble / g, s"doc $id frac")
+      // docs absent from the drop list are the zero-overlap ones
+      if (!shared.contains(id)) assert(s0 == 0L, s"doc $id")
+    }
+    // every corpus doc with >= 8 tokens is scored (nothing dropped)
+    import org.apache.spark.sql.functions._
+    val nCorpus = graft.ops.Tables(spark, sfDir).documents
+      .filter(col("doc_id") >= 20 && size(split(col("text"), " ")) >= 8)
+      .count()
+    assert(score.size.toLong == nCorpus, s"${score.size} != $nCorpus")
+  }
+
   test("table checksum: signatures match a driver-side fold and react " +
       "to any single-row change") {
     import org.apache.spark.sql.functions._

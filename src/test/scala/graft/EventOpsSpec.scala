@@ -907,6 +907,40 @@ class EventOpsSpec extends GraftSuite {
     assert(got.getLong(0) >= got.getLong(1) && got.getLong(1) >= got.getLong(2))
   }
 
+  test("bounce rate matches a driver-side session fold") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.ops.Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sessions = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.map(e => (e._3, e._2)).sorted // (ts, event_id)
+      // imperative fold into (n_events, start_ms) runs: split on
+      // gap > 30 min, exactly the operator's lag-based rule
+      val out = scala.collection.mutable.ListBuffer[(Long, Long)]()
+      var n = 0L; var start = 0L; var prev = Long.MinValue
+      sorted.foreach { case (ts, _) =>
+        if (prev == Long.MinValue || ts - prev > 1800000L) {
+          if (n > 0) out += ((n, start))
+          n = 0L; start = ts
+        }
+        n += 1; prev = ts
+      }
+      if (n > 0) out += ((n, start))
+      out
+    }
+    val want = sessions.groupBy(_._2 / 86400000L).view.mapValues { ss =>
+      val b = ss.count(_._1 == 1L).toLong
+      (ss.size.toLong, b, b.toDouble / ss.size)
+    }.toMap
+    val got = EventOps.queries("events_bounce_rate")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == want, s"got=$got want=$want")
+    // both bounces and multi-event sessions exist on this corpus
+    assert(got.values.exists(_._2 > 0L) &&
+      got.values.exists(v => v._2 < v._1))
+  }
+
   test("watermark lag matches a driver-side bucket-watermark replay") {
     import org.apache.spark.sql.functions._
     // The operator replays a deterministic jittered arrival permutation

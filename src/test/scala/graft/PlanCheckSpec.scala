@@ -97,8 +97,10 @@ class PlanCheckSpec extends GraftSuite {
                           // customer (the spatial argmin assignment);
                           // geo_grid_join deliberately NOT here — its
                           // candidate join is a cell-id equi-join
-    "events_freshness"    // 1-row corpus-watermark scalar broadcast under
+    "events_freshness",   // 1-row corpus-watermark scalar broadcast under
                           // the |types|-sized last-seen table
+    "sim_pq_train_step"   // the sim_ann_pq 1-row codebook broadcast under
+                          // the corpus (shared pqEncode assignment stage)
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides

@@ -409,4 +409,39 @@ class SimilarityOpsSpec extends GraftSuite {
     // a real number per query, and the harness reports it, not hides it
     assert(got.forall(g => g._2 >= 0L && g._2 <= 5L))
   }
+
+  test("pq training step matches a driver-side per-subspace Lloyd replay") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.ops.Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v =>
+          math.floor(v.toDouble * 1000.0 + 0.5).toLong).toArray)
+    val cb = emb.filter(_._1 < 16).sortBy(_._1).map(_._2)
+    def subdist(a: Array[Long], b: Array[Long], m: Int): Long =
+      (m * 16 until (m + 1) * 16).map { i =>
+        val d = a(i) - b(i); d * d
+      }.sum
+    // codes: argmin sub-centroid per (vec, m), ties to smallest cid
+    val assigned = for { (_, qv) <- emb; m <- 0 until 4 } yield {
+      val code = cb.indices.minBy(c => (subdist(qv, cb(c), m), c))
+      ((m, code), qv.slice(m * 16, (m + 1) * 16))
+    }
+    val want = assigned.groupBy(_._1).map { case ((m, code), xs) =>
+      val svs = xs.map(_._2)
+      val n = svs.size.toLong
+      val cvec = (0 until 16).map { i =>
+        math.floor(svs.map(_(i)).sum.toDouble / n).toLong }
+      (m, code) -> ((n, cvec.sum, cvec.map(x => x * x).sum))
+    }
+    val got = graft.ops.SimilarityOps
+      .queries("sim_pq_train_step")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want, s"got=$got want=$want")
+    // every subspace refreshed at least one centroid, and membership
+    // totals tile the corpus exactly 4 ways
+    assert((0 until 4).forall(m => got.keys.exists(_._1 == m)))
+    assert(got.values.map(_._1).sum == 4L * emb.length)
+  }
 }

@@ -454,6 +454,45 @@ class TextOpsSpec extends GraftSuite {
     assert(got.forall(t => !t._1.contains(" ")))
   }
 
+  test("vocab coverage matches an independent driver-side greedy-merge " +
+      "BPE replay") {
+    import org.apache.spark.sql.functions._
+    // independent implementation: list-based greedy left-to-right
+    // non-overlapping merge per rule, no string replace at all
+    val merges = Seq("t a" -> "ta", "ta b" -> "tab", "l e" -> "le",
+      "tab le" -> "table", "a n" -> "an", "i n" -> "in", "e r" -> "er",
+      "s c" -> "sc")
+    def enc(word: String): List[String] =
+      merges.foldLeft(word.map(_.toString).toList) {
+        case (syms, (fr, to)) =>
+          val Array(f1, f2) = fr.split(" ")
+          val out = scala.collection.mutable.ListBuffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == f1 && syms(i + 1) == f2) {
+              out += to; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          out.toList
+      }
+    val words = graft.ops.Tables(spark, sfDir).documents
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = words.groupBy(_._1).view.mapValues { ws =>
+      val toks = ws.map { case (_, w) => enc(w) }
+      val nTok = toks.map(_.size.toLong).sum
+      (ws.size.toLong, nTok, toks.map(_.count(_.length > 1).toLong).sum,
+        ws.map(_._2.length.toLong).sum.toDouble / nTok)
+    }.toMap
+    val got = graft.ops.TextOps.queries("text_vocab_coverage")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == want, s"got=$got want=$want")
+    // merges actually fire on the corpus
+    assert(got.values.exists(_._3 > 0L))
+  }
+
   test("bpe encode: adjacent repeated pairs merge (doubled-separator " +
       "rewrite implements true greedy BPE, not single-pass replace)") {
     import spark.implicits._
