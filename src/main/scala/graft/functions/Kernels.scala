@@ -441,4 +441,53 @@ object Kernels {
     }
     true
   }
+
+  /** Bounded Levenshtein distance (Ukkonen band): returns
+    * `min(lev(a, b), k+1)` in O(k·min(n, m)) time and O(m) space — the
+    * fuzzy-join kernel. An unbounded O(n·m) distance is wasted work in a
+    * thresholded pair search (every candidate beyond the band saturates
+    * to k+1 anyway, and the length pre-check rejects most pairs in O(1)).
+    * Distances are over Java chars (UTF-16 code units), matching both
+    * Spark's and DuckDB's `levenshtein` on the BMP.
+    */
+  def levenshteinWithin(a: UTF8String, b: UTF8String, k: Int): Int = {
+    require(k >= 0, s"levenshtein_within: negative threshold $k")
+    val s = a.toString
+    val t = b.toString
+    val n = s.length
+    val m = t.length
+    val inf = k + 1
+    if (math.abs(n - m) > k) return inf
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    java.util.Arrays.fill(prev, inf)
+    var j = 0
+    while (j <= math.min(m, k)) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, inf)
+      var best = inf
+      if (i <= k) { cur(0) = i; best = i }
+      val lo = math.max(1, i - k)
+      val hi = math.min(m, i + k)
+      var jj = lo
+      while (jj <= hi) {
+        val cost = if (s.charAt(i - 1) == t.charAt(jj - 1)) 0 else 1
+        var v = prev(jj - 1) + cost
+        val del = prev(jj) + 1
+        if (del < v) v = del
+        val ins = cur(jj - 1) + 1
+        if (ins < v) v = ins
+        if (v > inf) v = inf
+        cur(jj) = v
+        if (v < best) best = v
+        jj += 1
+      }
+      // the entire band saturated: no path back under the threshold
+      if (best >= inf) return inf
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    math.min(prev(m), inf)
+  }
 }

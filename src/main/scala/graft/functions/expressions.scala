@@ -233,6 +233,30 @@ case class EntropyBits(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Bounded Levenshtein: `min(lev(a, b), k+1)` via the O(k·n) Ukkonen-band
+  * kernel — see [[Kernels.levenshteinWithin]]. The fuzzy-join scalar:
+  * unlike the built-in `levenshtein` (full O(n·m) matrix), a thresholded
+  * pair search pays only the band it can ever accept.
+  */
+case class LevenshteinWithin(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "levenshtein_within"
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Kernels.levenshteinWithin(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"${codegenNames.kernels}.levenshteinWithin($a, $b, $k)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Contiguous n-token shingles of a token array (single pass). */
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression
     with ExpectsInputTypes {
@@ -503,4 +527,8 @@ object functions {
 
   def rho57(c: Column): Column =
     ColumnBridge.column(Rho57(ColumnBridge.expression(c)))
+
+  def levenshtein_within(a: Column, b: Column, k: Int): Column =
+    ColumnBridge.column(LevenshteinWithin(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), k))
 }

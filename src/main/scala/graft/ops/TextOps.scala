@@ -315,6 +315,33 @@ object TextOps {
         .orderBy(col("n").desc, col("token").asc)
         .limit(30)
     },
+    // Spelling-variant candidates against a curated dictionary — the
+    // fuzzy-match shape that scales: corpus text collapses to its VOCAB
+    // (map-side-combined word counts — at 100 TB the vocab is ~10^6 rows
+    // while the corpus is ~10^11 tokens), the dictionary (here top-10 by
+    // frequency; production feeds a curated lexicon) BROADCASTS under
+    // it, the O(1) length band rejects most candidates before any
+    // distance work, and the survivor pairs verify with the banded
+    // O(k·n) [[graft.functions.LevenshteinWithin]] codegen kernel —
+    // never the built-in O(n·m) full matrix, which wastes the whole
+    // band the threshold can never accept.
+    "text_spell_candidates" -> { (s, d) =>
+      import graft.functions.functions.levenshtein_within
+      val words = Tables(s, d).documents
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      val dict = words.orderBy(col("n").desc, col("word").asc).limit(10)
+        .select(col("word").as("dict_word"))
+      words.join(broadcast(dict),
+          abs(length(col("word")) - length(col("dict_word"))) <= 2 &&
+            col("word") =!= col("dict_word"))
+        .withColumn("dist",
+          levenshtein_within(col("word"), col("dict_word"), 2))
+        .filter(col("dist") <= 2)
+        .select(col("word"), col("n"), col("dict_word"), col("dist"))
+        .orderBy("word", "dict_word")
+    },
     // Tokenizer vocabulary coverage — the fertility/compression readout
     // every tokenizer change is judged by before a retrain: per language,
     // word and token counts under the pinned merge table, how many
@@ -1208,6 +1235,19 @@ object TextOps {
          |c1 AS (${bpePairSql("m")})
          |SELECT left_sym, right_sym, weight FROM c1
          |ORDER BY weight DESC, left_sym, right_sym LIMIT 10""".stripMargin,
+    // the built-in levenshtein capped at k+1 replicates the banded kernel
+    "text_spell_candidates" ->
+      """WITH w AS (SELECT word, count(*) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |  WHERE word <> '' GROUP BY 1),
+        |dict AS (SELECT word AS dict_word FROM w
+        |  ORDER BY n DESC, word ASC LIMIT 10)
+        |SELECT w.word, w.n, dict_word,
+        |  CAST(least(levenshtein(w.word, dict_word), 3) AS INT) AS dist
+        |FROM w JOIN dict ON abs(length(w.word) - length(dict_word)) <= 2
+        |  AND w.word <> dict_word
+        |WHERE levenshtein(w.word, dict_word) <= 2
+        |ORDER BY word, dict_word""".stripMargin,
     // same doubled-separator chain as text_bpe_encode, rolled up per lang
     "text_vocab_coverage" -> {
       val chain = BpeMerges.foldLeft(

@@ -104,5 +104,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "_FUNC_(items) - Shannon entropy (bits) of a string-array multiset") {
       a => EntropyBits(a(0))
     }
+    fn(e, "levenshtein_within", classOf[LevenshteinWithin],
+      "_FUNC_(a, b, k) - min(levenshtein(a, b), k+1), banded O(k*n)") {
+      a => LevenshteinWithin(a(0), a(1), litInt(a(2), "levenshtein_within"))
+    }
   }
 }

@@ -112,6 +112,40 @@ class FunctionsSpec extends GraftSuite {
     assert(withNulls == 1, s"NULLs must not count, got $withNulls")
   }
 
+  test("levenshtein_within: banded kernel equals the full DP up to k, " +
+      "saturates to k+1 beyond, and runs in SQL") {
+    import spark.implicits._
+    import graft.functions.functions.levenshtein_within
+    // full O(n*m) reference implementation, independent of the kernel
+    def ref(s: String, t: String): Int = {
+      val dp = Array.tabulate(s.length + 1, t.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to s.length; j <- 1 to t.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (s(i - 1) == t(j - 1)) 0 else 1))
+      dp(s.length)(t.length)
+    }
+    // deterministic pseudo-random word pairs over a 3-letter alphabet
+    // (small alphabet forces frequent near-misses around every k)
+    val rnd = new scala.util.Random(42)
+    def word() = (0 until 1 + rnd.nextInt(8))
+      .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    val pairs = Seq.fill(300)((word(), word())) ++
+      Seq(("", ""), ("", "abc"), ("abc", ""), ("same", "same"))
+    for (k <- 0 to 3) {
+      val got = pairs.toDF("a", "b")
+        .select(levenshtein_within(col("a"), col("b"), k)).collect()
+        .map(_.getInt(0)).toSeq
+      val want = pairs.map { case (a, b) => math.min(ref(a, b), k + 1) }
+      assert(got == want, s"k=$k: mismatch")
+    }
+    // SQL registration + the saturation contract on a known pair
+    assert(spark.sql("SELECT levenshtein_within('kitten', 'sitting', 2)")
+      .collect()(0).getInt(0) == 3) // true distance 3 saturates to k+1
+    assert(spark.sql("SELECT levenshtein_within('kitten', 'sitting', 3)")
+      .collect()(0).getInt(0) == 3)
+  }
+
   test("expressions stay inside whole-stage codegen (generated code compiles)") {
     import org.apache.spark.sql.execution.debug._
     val df = Tables0.embeddings(spark, sfDir)

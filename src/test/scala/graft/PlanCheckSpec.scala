@@ -99,8 +99,10 @@ class PlanCheckSpec extends GraftSuite {
                           // candidate join is a cell-id equi-join
     "events_freshness",   // 1-row corpus-watermark scalar broadcast under
                           // the |types|-sized last-seen table
-    "sim_pq_train_step"   // the sim_ann_pq 1-row codebook broadcast under
+    "sim_pq_train_step",  // the sim_ann_pq 1-row codebook broadcast under
                           // the corpus (shared pqEncode assignment stage)
+    "text_spell_candidates" // 10-row dictionary broadcast under the vocab
+                          // (length-band + banded-kernel fuzzy match)
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides
