@@ -823,6 +823,38 @@ object DataOps {
         .withColumn("at_risk", col("n") < 5)
         .orderBy("c_nationkey", "c_mktsegment", "bal_band")
     },
+    // Cross-source overlap matrix — the corpus-composition audit run
+    // before mixing sources into a training blend: for every source
+    // pair, how many distinct 3-gram shingles they share and the
+    // Jaccard of their gram sets (near-identical sources = double
+    // counting; high one-way containment = one source scrapes another).
+    // Scale shape: the corpus collapses to per-source DISTINCT gram
+    // sets (map-side-combined distinct, gram-keyed — far smaller than
+    // the token stream), the pair counts are one gram-keyed equi-join
+    // of that set with itself (hot boilerplate grams are AQE-splittable),
+    // and the matrix is |sources|² rows with the size table broadcast.
+    "data_source_overlap" -> { (s, d) =>
+      val g = Tables(s, d).documents
+        .select(col("source"), explode(array_distinct(
+          TextOps.shingles(col("text"), 3))).as("g"))
+        .distinct()
+        .persist()
+      val sizes = g.groupBy("source").agg(count(lit(1)).as("n"))
+      g.as("a").join(g.as("b"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(sizes.select(col("source").as("src_a"),
+          col("n").as("n_a"))), Seq("src_a"))
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+          col("n").as("n_b"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+          col("n_b"),
+          (col("n_shared").cast("double") /
+            (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+            .as("jaccard"))
+        .orderBy("src_a", "src_b")
+    },
     // l-diversity audit — k-anonymity's necessary complement (Machanavajjhala
     // et al. 2007): a quasi-identifier group can be k-large yet still leak
     // if every member shares the SENSITIVE value. Quasi-identifiers here
@@ -1623,6 +1655,23 @@ object DataOps {
         |  count(*) AS n, count(*) < 5 AS at_risk
         |FROM customer GROUP BY 1, 2, 3
         |ORDER BY c_nationkey, c_mktsegment, bal_band""".stripMargin,
+    "data_source_overlap" ->
+      """WITH tok AS (SELECT source, string_split(text, ' ') AS L
+        |  FROM documents),
+        |g AS (SELECT DISTINCT source,
+        |    L[i] || ' ' || L[i+1] || ' ' || L[i+2] AS g
+        |  FROM tok,
+        |    LATERAL (SELECT unnest(generate_series(1, len(L) - 2)) AS i) s),
+        |sz AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    count(*) AS n_shared
+        |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_shared, za.n AS n_a, zb.n AS n_b,
+        |  CAST(n_shared AS DOUBLE) / (za.n + zb.n - n_shared) AS jaccard
+        |FROM p JOIN sz za ON za.source = src_a
+        |       JOIN sz zb ON zb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "data_l_diversity" ->
       """SELECT c_nationkey,
         |  CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS bal_band,

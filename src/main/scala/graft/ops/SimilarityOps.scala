@@ -320,6 +320,34 @@ object SimilarityOps {
     "sim_ann_ivfpq" -> { (s, d) =>
       ivfpqTopkFrom(Tables(s, d).embeddings, 2)
     },
+    // Cosine RANGE search — the radius-query sibling of the top-k family
+    // (every vector-store API ships both): all corpus vectors within
+    // cosine >= 0.2 of each query, found through the SAME multi-probe
+    // LSH bucket equi-join as sim_ann_lsh (candidates from 9 probed
+    // buckets per query, exact quantized-cosine verify, threshold
+    // filter instead of rank-k). Range semantics change the scale story
+    // only in the output: result size is data-dependent, so the
+    // threshold — not a k — bounds it, and the bucket recall tradeoff
+    // is identical to the top-k path. Deterministic output order.
+    "sim_range_search" -> { (s, d) =>
+      val e = Tables(s, d).embeddings
+        .withColumn("bucket",
+          element_at(lshBuckets(quantize(col("embedding")), 1, 8), 1))
+        .persist()
+      val probes = typedLit(0L +: (0 until 8).map(k => 1L << k))
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          explode(transform(probes, m => col("bucket").bitwiseXOR(m)))
+            .as("bucket"))
+      e.filter(col("vec_id") >= 10)
+        .join(broadcast(qs), Seq("bucket"))
+        .select(col("query_id"), col("vec_id"),
+          quant_cosine(col("qe"), col("embedding")).as("cos"))
+        .filter(col("cos") >= 0.2)
+        // no dedup needed: the 9 probe buckets are distinct values and a
+        // corpus vector holds ONE bucket, so each pair matches at most once
+        .orderBy("query_id", "vec_id")
+    },
     // One PQ codebook TRAINING step (Jégou et al. 2011: per-subspace
     // Lloyd iteration — the trainer whose converged output sim_ann_pq's
     // deterministic seed codebook stands in for): assign every vector's
@@ -718,6 +746,43 @@ object SimilarityOps {
     // 8-bit bucket signatures, the 9 multi-probe buckets, the candidate
     // equi-join and the quantized-cosine top-5 — the oracle checks bucket
     // assignment and probing, not just scores.
+    // the sim_ann_lsh candidate CTEs verbatim with the threshold filter
+    // in place of the rank-k window
+    "sim_range_search" ->
+      """WITH q AS (SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
+        |dots AS (SELECT vec_id, k,
+        |           sum(v * (((k * 131 + (i - 1) * 31 + 7) % 61) - 30)) AS dt
+        |         FROM q CROSS JOIN
+        |           (SELECT unnest(generate_series(0, 7)) AS k) pl
+        |         GROUP BY 1, 2),
+        |bkt AS (SELECT vec_id,
+        |          CAST(sum(CASE WHEN dt > 0 THEN 1 << k ELSE 0 END) AS BIGINT)
+        |            AS bucket
+        |        FROM dots GROUP BY 1),
+        |qs AS (SELECT vec_id AS query_id, xor(bucket, m) AS bucket
+        |       FROM bkt CROSS JOIN
+        |         (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m) pr
+        |       WHERE vec_id < 10),
+        |pairs AS (SELECT query_id, c.vec_id
+        |          FROM qs JOIN (SELECT vec_id, bucket FROM bkt
+        |                        WHERE vec_id >= 10) c USING (bucket)),
+        |dot AS (SELECT p.query_id, p.vec_id, sum(a.v * b.v) AS dot
+        |        FROM pairs p
+        |        JOIN q a ON a.vec_id = p.query_id
+        |        JOIN q b ON b.vec_id = p.vec_id AND b.i = a.i
+        |        GROUP BY 1, 2),
+        |scored AS (SELECT query_id, dot.vec_id AS vec_id,
+        |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+        |           sqrt(CAST(nb.nn AS DOUBLE))) END AS cos
+        |  FROM dot JOIN n na ON na.vec_id = query_id
+        |           JOIN n nb ON nb.vec_id = dot.vec_id)
+        |SELECT query_id, vec_id, cos FROM scored
+        |WHERE cos >= 0.2 ORDER BY query_id, vec_id""".stripMargin,
     "sim_ann_lsh" ->
       """WITH q AS (SELECT vec_id, i,
         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v

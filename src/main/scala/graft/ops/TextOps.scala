@@ -315,6 +315,46 @@ object TextOps {
         .orderBy(col("n").desc, col("token").asc)
         .limit(30)
     },
+    // CCNet-style quality buckets (Wenzek et al. 2020: corpora split
+    // into head/middle/tail by per-language score terciles before
+    // mixing): docs score by type-token ratio, and the tercile CUTS are
+    // derived per language from the (lang, score) COUNT table — the
+    // score is a ratio of two small ints, so its value space is tiny
+    // and the cumulative window runs over that counts table, never the
+    // corpus (the same two-pass shape as agg_quantile_hist; a naive
+    // per-lang ntile window would drag every document of a language
+    // into one partition). Threshold semantics: ties at a cut share a
+    // bucket — deterministic, and exactly how CCNet applies its
+    // perplexity cutoffs. Cuts broadcast back; output is
+    // langs×3 rows.
+    "text_quality_buckets" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = toks(col("text"))
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (size(array_distinct(t)).cast("double") /
+            size(t).cast("double")).as("score"))
+      val counts = docs.groupBy("lang", "score").agg(count(lit(1)).as("c"))
+      val wc = Window.partitionBy("lang").orderBy(col("score").desc)
+      val wt = Window.partitionBy("lang")
+      val cuts = counts
+        .withColumn("cum", sum(col("c")).over(wc))
+        .withColumn("n", sum(col("c")).over(wt))
+        .groupBy("lang")
+        .agg(max(when(col("cum") * 3 >= col("n"), col("score"))).as("c1"),
+          max(when(col("cum") * 3 >= col("n") * 2, col("score"))).as("c2"))
+      docs.join(broadcast(cuts), Seq("lang"))
+        .withColumn("bucket",
+          when(col("score") >= col("c1"), lit("head"))
+            .when(col("score") >= col("c2"), lit("middle"))
+            .otherwise(lit("tail")))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("score")).as("min_score"),
+          max(col("score")).as("max_score"))
+        .orderBy("lang", "bucket")
+    },
     // Spelling-variant candidates against a curated dictionary — the
     // fuzzy-match shape that scales: corpus text collapses to its VOCAB
     // (map-side-combined word counts — at 100 TB the vocab is ~10^6 rows
@@ -1235,6 +1275,28 @@ object TextOps {
          |c1 AS (${bpePairSql("m")})
          |SELECT left_sym, right_sym, weight FROM c1
          |ORDER BY weight DESC, left_sym, right_sym LIMIT 10""".stripMargin,
+    // same two-pass cut derivation over the (lang, score) counts table
+    "text_quality_buckets" ->
+      s"""WITH sc AS (SELECT doc_id, lang, n_chars,
+         |    CAST(len(list_distinct($tokSql)) AS DOUBLE) / len($tokSql)
+         |      AS score
+         |  FROM documents),
+         |cnt AS (SELECT lang, score, count(*) AS c FROM sc GROUP BY 1, 2),
+         |cum AS (SELECT lang, score,
+         |    sum(c) OVER (PARTITION BY lang ORDER BY score DESC) AS cum,
+         |    sum(c) OVER (PARTITION BY lang) AS n
+         |  FROM cnt),
+         |cuts AS (SELECT lang,
+         |    max(CASE WHEN cum * 3 >= n THEN score END) AS c1,
+         |    max(CASE WHEN cum * 3 >= n * 2 THEN score END) AS c2
+         |  FROM cum GROUP BY 1)
+         |SELECT s.lang,
+         |  CASE WHEN score >= c1 THEN 'head'
+         |       WHEN score >= c2 THEN 'middle' ELSE 'tail' END AS bucket,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  min(score) AS min_score, max(score) AS max_score
+         |FROM sc s JOIN cuts USING (lang)
+         |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
     // the built-in levenshtein capped at k+1 replicates the banded kernel
     "text_spell_candidates" ->
       """WITH w AS (SELECT word, count(*) AS n FROM (

@@ -559,6 +559,29 @@ class DataOpsSpec extends GraftSuite {
     assert(got("c_nationkey->c_mktsegment") == want)
   }
 
+  test("source overlap matrix matches a driver-side gram-set fold") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.ops.Tables(spark, sfDir).documents
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val sets = docs.groupBy(_._1).view.mapValues { ds =>
+      ds.flatMap { case (_, text) =>
+        val ws = text.split(" ", -1)
+        (0 to ws.length - 3).map(i => ws.slice(i, i + 3).mkString(" "))
+      }.toSet
+    }.toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      shared = (sets(a) & sets(b)).size.toLong if shared > 0
+    } yield (a, b) -> ((shared, sets(a).size.toLong, sets(b).size.toLong,
+      shared.toDouble / (sets(a).size + sets(b).size - shared)))).toMap
+    val got = graft.ops.DataOps.queries("data_source_overlap")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    spark.catalog.clearCache()
+    assert(got == want, s"got=${got.size} want=${want.size} pairs")
+  }
+
   test("l-diversity: distinct-sensitive counts match a driver-side fold") {
     import org.apache.spark.sql.functions._
     val rows = graft.ops.Tables(spark, sfDir).customer

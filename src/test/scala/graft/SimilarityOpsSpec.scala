@@ -410,6 +410,30 @@ class SimilarityOpsSpec extends GraftSuite {
     assert(got.forall(g => g._2 >= 0L && g._2 <= 5L))
   }
 
+  test("range search: threshold contract, and consistency with the LSH " +
+      "top-k path (same buckets, same scores)") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.SimilarityOps
+      .queries("sim_range_search")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    spark.catalog.clearCache()
+    assert(got.nonEmpty)
+    assert(got.values.forall(_ >= 0.2), "threshold violated")
+    // the LSH top-5 path probes the SAME buckets: every top-5 hit at or
+    // above the radius must appear in the range result with the same cos
+    val lsh = graft.ops.SimilarityOps
+      .queries("sim_ann_lsh")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    spark.catalog.clearCache()
+    lsh.filter(_._2 >= 0.2).foreach { case (k, cos) =>
+      assert(got.get(k).contains(cos), s"$k missing or score drifted")
+    }
+    // and range returns MORE than top-5 somewhere (it is not a rank cap)
+    val perQuery = got.keys.groupBy(_._1).view.mapValues(_.size)
+    assert(perQuery.values.exists(_ > 5),
+      s"no query exceeded k=5: $perQuery")
+  }
+
   test("pq training step matches a driver-side per-subspace Lloyd replay") {
     import org.apache.spark.sql.functions._
     val emb = graft.ops.Tables(spark, sfDir).embeddings

@@ -454,6 +454,49 @@ class TextOpsSpec extends GraftSuite {
     assert(got.forall(t => !t._1.contains(" ")))
   }
 
+  test("quality buckets: threshold cuts match a driver-side tercile fold " +
+      "and buckets tile each language") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.ops.Tables(spark, sfDir).documents
+      .select(col("lang"), col("n_chars").cast("long"), col("text"))
+      .collect()
+      .map { r =>
+        val toks = r.getString(2).split(" ", -1)
+        (r.getString(0), r.getLong(1),
+          toks.distinct.length.toDouble / toks.length)
+      }
+    val want = docs.groupBy(_._1).view.mapValues { ds =>
+      val n = ds.size.toLong
+      // cuts from the score-count table, exactly the operator's rule:
+      // max score whose top-cumulative count crosses n/3 resp. 2n/3
+      val byScore = ds.groupBy(_._3).view.mapValues(_.size.toLong).toSeq
+        .sortBy(-_._1)
+      val cum = byScore.scanLeft(0L)(_ + _._2).tail
+      val c1 = byScore.zip(cum).filter { case (_, c) => c * 3 >= n }
+        .map(_._1._1).max
+      val c2 = byScore.zip(cum).filter { case (_, c) => c * 3 >= 2 * n }
+        .map(_._1._1).max
+      ds.groupBy { case (_, _, s) =>
+        if (s >= c1) "head" else if (s >= c2) "middle" else "tail"
+      }.view.mapValues { xs =>
+        (xs.size.toLong, xs.map(_._2).sum,
+          xs.map(_._3).min, xs.map(_._3).max)
+      }.toMap
+    }.toMap
+    val got = graft.ops.TextOps.queries("text_quality_buckets")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    val wantFlat = for {
+      (l, bs) <- want; (b, v) <- bs } yield (l, b) -> v
+    assert(got == wantFlat.toMap, s"got=$got want=$wantFlat")
+    // buckets tile: per-language doc counts sum to the corpus
+    val perLang = docs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    got.keys.map(_._1).toSeq.distinct.foreach { l =>
+      assert(got.filter(_._1._1 == l).values.map(_._1).sum == perLang(l))
+    }
+  }
+
   test("vocab coverage matches an independent driver-side greedy-merge " +
       "BPE replay") {
     import org.apache.spark.sql.functions._
