@@ -209,6 +209,45 @@ object MultimodalOps {
     "mm_shot_boundaries" -> { (s, d) =>
       shotBoundariesFrom(s, Tables(s, d).documents)
     },
+    // Keyframe selection — the stage after cut detection that picks ONE
+    // representative frame per shot for the training set: the opening
+    // frame of the asset plus the first frame of every detected shot
+    // (the mm_shot_boundaries cut rule verbatim: 64-pixel frames over
+    // the RLE1-decoded stream, |Δsum| > 512). Output is shot-sized, not
+    // frame-sized; same zero-shuffle partition-batched map shape as the
+    // decode family.
+    "mm_keyframes" -> { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      Tables(s, d).documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { batch =>
+          batch.flatMap { case (id, b) =>
+            val raw = if (b == null) Array.empty[Byte] else b
+            val dec = Rle1.decode(Rle1.encode(raw))
+            val nf = dec.length / 64
+            val sums = new Array[Long](nf)
+            var j = 0
+            while (j < nf) {
+              var sum = 0L
+              var i = j * 64
+              val until = i + 64
+              while (i < until) { sum += dec(i) & 0xFF; i += 1 }
+              sums(j) = sum
+              j += 1
+            }
+            val start =
+              if (nf > 0) Iterator((id, 0, sums(0), "start"))
+              else Iterator.empty
+            start ++ (1 until nf).iterator
+              .filter(t => math.abs(sums(t) - sums(t - 1)) > 512L)
+              .map(t => (id, t, sums(t), "cut"))
+          }
+        }
+        .toDF("doc_id", "frame_idx", "frame_sum", "kind")
+        .orderBy("doc_id", "frame_idx")
+    },
     // Frame sampling plan: every 2nd "frame" of a fake video whose frame
     // count derives from the payload size — the explode/sequence shape a real
     // frame sampler would use.
@@ -397,6 +436,27 @@ object MultimodalOps {
         |  abs(cur_sum - prev_sum) AS delta
         |FROM d
         |WHERE prev_sum IS NOT NULL AND abs(cur_sum - prev_sum) > 512
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // the shot CTEs verbatim plus the frame-0 anchor row
+    "mm_keyframes" ->
+      """WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+        |b AS (SELECT doc_id, length(text) // 64 AS nf,
+        |    list_transform(string_split(text, ''),
+        |      x -> CAST(ord(x) AS BIGINT)) AS bs
+        |  FROM t),
+        |f AS (SELECT doc_id, j,
+        |    CAST(list_sum(bs[(j * 64 + 1):(j * 64 + 64)]) AS BIGINT) AS fsum
+        |  FROM b, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS j) g
+        |  WHERE nf > 0),
+        |d AS (SELECT doc_id, j, fsum,
+        |    lag(fsum) OVER (PARTITION BY doc_id ORDER BY j) AS prev_sum
+        |  FROM f)
+        |SELECT doc_id, CAST(j AS INT) AS frame_idx, fsum AS frame_sum,
+        |  'start' AS kind
+        |FROM d WHERE j = 0
+        |UNION ALL
+        |SELECT doc_id, CAST(j AS INT), fsum, 'cut'
+        |FROM d WHERE prev_sum IS NOT NULL AND abs(fsum - prev_sum) > 512
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, unnest(generate_series(0, n_chars // 100, 2))

@@ -382,6 +382,23 @@ object TextOps {
         .select(col("word"), col("n"), col("dict_word"), col("dist"))
         .orderBy("word", "dict_word")
     },
+    // Tokenizer encode→decode roundtrip gate — the invariant every BPE
+    // implementation must hold: concatenating a word's tokens
+    // reconstructs the word exactly (merges only ever JOIN adjacent
+    // symbols; any separator-handling bug — like the shared-separator
+    // loss the doubled-space encoding exists to prevent — breaks this
+    // loudly as n_ok < n_words). Pure map stage + language rollup.
+    "text_bpe_roundtrip" -> { (s, d) =>
+      Tables(s, d).documents
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .select(col("lang"), col("word"),
+          concat_ws("", bpeEncode(col("word"))).as("rt"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          count(when(col("rt") === col("word"), 1)).as("n_ok"))
+        .orderBy("lang")
+    },
     // Tokenizer vocabulary coverage — the fertility/compression readout
     // every tokenizer change is judged by before a retrain: per language,
     // word and token counts under the pinned merge table, how many
@@ -1310,6 +1327,22 @@ object TextOps {
         |  AND w.word <> dict_word
         |WHERE levenshtein(w.word, dict_word) <= 2
         |ORDER BY word, dict_word""".stripMargin,
+    "text_bpe_roundtrip" -> {
+      val chain = BpeMerges.foldLeft(
+        "'  ' || regexp_replace(word, '(.)', '\\1  ', 'g')") {
+        case (acc, (from, to)) =>
+          s"replace($acc, ' ${from.replace(" ", "  ")} ', ' $to ')"
+      }
+      s"""WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+         |    FROM documents),
+         |enc AS (SELECT lang, word,
+         |    array_to_string(list_filter(string_split(trim($chain), ' '),
+         |      x -> x <> ''), '') AS rt
+         |  FROM w WHERE word <> '')
+         |SELECT lang, count(*) AS n_words,
+         |  count(CASE WHEN rt = word THEN 1 END) AS n_ok
+         |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
+    },
     // same doubled-separator chain as text_bpe_encode, rolled up per lang
     "text_vocab_coverage" -> {
       val chain = BpeMerges.foldLeft(

@@ -208,4 +208,22 @@ class MultimodalSpec extends GraftSuite {
         r.getLong(4))).toSeq
     assert(got == Seq((1L, 1, 6208L, 7808L, 1600L)), got.toList)
   }
+
+  test("keyframes: one start anchor per framed asset plus exactly the " +
+      "shot-boundary frames") {
+    import org.apache.spark.sql.functions._
+    val kf = MultimodalOps.queries("mm_keyframes")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    val cuts = MultimodalOps.queries("mm_shot_boundaries")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+    // cut keyframes == the boundary rows (same frame, same current sum)
+    assert(kf.filter(_._4 == "cut").map(t => (t._1, t._2, t._3)).toSet ==
+      cuts.toSet)
+    // every doc with >= 64 decoded pixels gets exactly one frame-0 anchor
+    val framedDocs = graft.ops.Tables(spark, sfDir).documents
+      .filter(length(col("text")) >= 64).count()
+    val starts = kf.filter(_._4 == "start")
+    assert(starts.length.toLong == framedDocs)
+    assert(starts.forall(_._2 == 0))
+  }
 }

@@ -454,6 +454,22 @@ class TextOpsSpec extends GraftSuite {
     assert(got.forall(t => !t._1.contains(" ")))
   }
 
+  test("bpe roundtrip: token concatenation reconstructs every corpus " +
+      "word (and the gate catches a lossy encoder)") {
+    val got = graft.ops.TextOps.queries("text_bpe_roundtrip")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    // the invariant: merges only JOIN symbols, so n_ok == n_words
+    got.foreach { case (lang, n, ok) =>
+      assert(ok == n, s"$lang: $ok of $n words survived the roundtrip") }
+    // counts tile the corpus word stream
+    import org.apache.spark.sql.functions._
+    val nWords = graft.ops.Tables(spark, sfDir).documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").count()
+    assert(got.map(_._2).sum == nWords)
+  }
+
   test("quality buckets: threshold cuts match a driver-side tercile fold " +
       "and buckets tile each language") {
     import org.apache.spark.sql.functions.col
