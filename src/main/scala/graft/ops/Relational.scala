@@ -55,6 +55,26 @@ object Relational {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy("tag")
     },
+    // STORAGE-PARTITIONED JOIN over the DSv2 source: both sides load with
+    // byTag key-grouped layout (SupportsReportPartitioning +
+    // HasPartitionKey per partition), so the tag join needs NO exchange on
+    // either side — the source's layout IS the join distribution. This is
+    // the DSv2 read-side analog of data_sink_bucketed's write-side bucket
+    // co-location, and at 100 TB it is the difference between shuffling
+    // two corpus-scale inputs and shuffling neither. The shuffle_hash
+    // hint pins a hash join (broadcast would hide the demonstrandum);
+    // SourceSpec asserts the exchange-free plan, the oracle checks values.
+    "scan_source_spj" -> { (s, d) =>
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      def t(rows: Int) = s.read.format("graft.sources.SyntheticSource")
+        .option("rows", rows.toString).option("byTag", "true").load()
+      t(4000).select(col("id").as("ida"), col("tag"))
+        .join(t(2000).select(col("id").as("idb"), col("tag"))
+          .hint("shuffle_hash"), Seq("tag"))
+        .groupBy("tag")
+        .agg(count(lit(1)).as("n_pairs"), sum(col("ida")).as("sum_ida"))
+        .orderBy("tag")
+    },
     // LogicalFilter with projected_columns (filter.rs:14-27): predicate plus
     // column subset in one operator — Catalyst pushes both into the scan.
     "filter_project" -> { (s, d) =>
@@ -207,6 +227,14 @@ object Relational {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents JOIN src ON doc_id % 100 = id
         |GROUP BY tag ORDER BY tag""".stripMargin,
+    "scan_source_spj" ->
+      """WITH a AS (SELECT i AS ida, 't' || CAST(i % 10 AS VARCHAR) AS tag
+        |  FROM (SELECT unnest(generate_series(0, 3999)) AS i) g),
+        |b AS (SELECT i AS idb, 't' || CAST(i % 10 AS VARCHAR) AS tag
+        |  FROM (SELECT unnest(generate_series(0, 1999)) AS i) g)
+        |SELECT a.tag AS tag, count(*) AS n_pairs, CAST(sum(ida) AS BIGINT)
+        |  AS sum_ida
+        |FROM a JOIN b ON a.tag = b.tag GROUP BY 1 ORDER BY a.tag""".stripMargin,
     "scan_limit" ->
       "SELECT count(*) AS n FROM (SELECT * FROM lineitem LIMIT 100) s",
     "filter_project" ->

@@ -37,7 +37,8 @@ class SyntheticSource extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new SyntheticTable(properties.getOrDefault("rows", "1000").toLong)
+    new SyntheticTable(properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("byTag", "false").toBoolean)
 }
 
 object SyntheticSource {
@@ -47,16 +48,17 @@ object SyntheticSource {
     StructField("tag", StringType, nullable = false)))
 }
 
-final class SyntheticTable(rows: Long) extends Table with SupportsRead {
+final class SyntheticTable(rows: Long, byTag: Boolean = false)
+    extends Table with SupportsRead {
   override def name(): String = s"synthetic($rows)"
   override def schema(): StructType = SyntheticSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SyntheticScanBuilder(rows)
+    new SyntheticScanBuilder(rows, byTag)
 }
 
-final class SyntheticScanBuilder(rows: Long)
+final class SyntheticScanBuilder(rows: Long, byTag: Boolean = false)
   extends ScanBuilder
   with SupportsPushDownLimit
   with SupportsPushDownFilters
@@ -118,7 +120,7 @@ final class SyntheticScanBuilder(rows: Long)
     * limit bails out here (count-after-limit ≠ span).
     */
   private def canPushAgg(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && limit.isEmpty &&
+    agg.groupByExpressions.isEmpty && limit.isEmpty && !byTag &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
         case m: Min => m.column match {
@@ -147,7 +149,8 @@ final class SyntheticScanBuilder(rows: Long)
 
   override def build(): Scan = aggFuncs match {
     case Some(funcs) => new SyntheticAggScan(lo, hi, funcs, pushed.toArray)
-    case None => new SyntheticScan(lo, hi, limit, readSchema, pushed.toArray)
+    case None =>
+      new SyntheticScan(lo, hi, limit, readSchema, pushed.toArray, byTag)
   }
 }
 
@@ -194,8 +197,19 @@ final class SingleRowReaderFactory(values: Array[Any])
     }
 }
 
+/** `byTag = true` switches the layout to KEY-GROUPED partitions — one
+  * partition per tag value, each generating the stride `id ≡ b (mod 10)`
+  * — and reports it via [[SupportsReportPartitioning]] +
+  * [[HasPartitionKey]]. With `spark.sql.sources.v2.bucketing.enabled`,
+  * a join of two such scans on `tag` plans as a STORAGE-PARTITIONED
+  * JOIN: zero exchanges, because the source's layout IS the join
+  * distribution — the DSv2 analog of the bucketed-sink demo
+  * (`data_sink_bucketed`), and at 100 TB the difference between
+  * shuffling both sides and shuffling neither.
+  */
 final class SyntheticScan(lo: Long, hi: Long, limit: Option[Long],
-    schema: StructType, pushed: Array[Filter]) extends Scan with Batch {
+    schema: StructType, pushed: Array[Filter], byTag: Boolean = false)
+  extends Scan with Batch with SupportsReportPartitioning {
 
   private val effectiveHi: Long =
     limit.fold(hi)(n => math.min(hi, lo + n))
@@ -206,16 +220,37 @@ final class SyntheticScan(lo: Long, hi: Long, limit: Option[Long],
     s"SyntheticScan range=[$lo,$effectiveHi) " +
       s"PushedLimit: ${limit.getOrElse(-1L)} " +
       s"PushedFilters: [${pushed.mkString(", ")}] " +
+      (if (byTag) "KeyGroupedBy: tag " else "") +
       s"ReadSchema: ${schema.catalogString}"
 
+  private def keyGrouped: Boolean =
+    byTag && schema.fieldNames.contains("tag")
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (keyGrouped)
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .identity("tag")), 10)
+    else
+      new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(planInputPartitions().length)
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val span = math.max(0L, effectiveHi - lo)
-    val partSize = 4096L
-    val n = math.max(1L, (span + partSize - 1) / partSize)
-    (0L until n).map { i =>
-      SyntheticPartition(lo + i * partSize,
-        math.min(effectiveHi, lo + (i + 1) * partSize)): InputPartition
-    }.toArray
+    if (keyGrouped) {
+      (0 until 10).map { b =>
+        TagPartition(b, lo, effectiveHi): InputPartition
+      }.toArray
+    } else {
+      val span = math.max(0L, effectiveHi - lo)
+      val partSize = 4096L
+      val n = math.max(1L, (span + partSize - 1) / partSize)
+      (0L until n).map { i =>
+        SyntheticPartition(lo + i * partSize,
+          math.min(effectiveHi, lo + (i + 1) * partSize)): InputPartition
+      }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -225,20 +260,36 @@ final class SyntheticScan(lo: Long, hi: Long, limit: Option[Long],
 final case class SyntheticPartition(start: Long, end: Long)
   extends InputPartition
 
+/** One tag value's rows: the stride `id ≡ b (mod 10)` over [start, end).
+  * `partitionKey` is what lets Spark group/align partitions by key for
+  * the storage-partitioned join.
+  */
+final case class TagPartition(b: Int, start: Long, end: Long)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    InternalRow(UTF8String.fromString("t" + b))
+}
+
 final class SyntheticReaderFactory(schema: StructType)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[SyntheticPartition]
     // resolve column dispatch once per reader, not per row
     val generators: Array[Long => Any] = schema.fields.map(_.name).map {
       case "id"  => (cur: Long) => cur
       case "val" => (cur: Long) => cur * 0.5
       case "tag" => (cur: Long) => UTF8String.fromString("t" + (cur % 10))
     }
+    val (first, step, end) = p match {
+      case SyntheticPartition(s, e) => (s, 1L, e)
+      case TagPartition(b, s, e) =>
+        // smallest id >= s with id % 10 == b
+        val off = (b - s % 10 + 10) % 10
+        (s + off, 10L, e)
+    }
     new PartitionReader[InternalRow] {
-      private var cur = part.start - 1
+      private var cur = first - step
       private val row = new Array[Any](generators.length)
-      override def next(): Boolean = { cur += 1; cur < part.end }
+      override def next(): Boolean = { cur += step; cur < end }
       override def get(): InternalRow = {
         var i = 0
         while (i < generators.length) { row(i) = generators(i)(cur); i += 1 }

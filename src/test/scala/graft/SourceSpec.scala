@@ -138,4 +138,58 @@ class SourceSpec extends GraftSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("storage-partitioned join: two key-grouped DSv2 scans join on tag " +
+      "with ZERO exchanges, and results match the plain layout") {
+    import org.apache.spark.sql.functions._
+    def t(rows: Int, byTag: Boolean) = spark.read
+      .format("graft.sources.SyntheticSource")
+      .option("rows", rows.toString).option("byTag", byTag.toString).load()
+    def joined(byTag: Boolean) =
+      t(4000, byTag).select(col("id").as("ida"), col("tag"))
+        .join(t(2000, byTag).select(col("id").as("idb"), col("tag")),
+          Seq("tag"))
+        .groupBy("tag")
+        .agg(count(lit(1)).as("n"), sum(col("ida")).as("sum_ida"))
+        .orderBy("tag")
+    val before = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val spj = joined(byTag = true)
+      val got = spj.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val plan = spj.queryExecution.executedPlan.toString
+      // the layout IS the join distribution: no exchange anywhere before
+      // the final presentation sort
+      val joinPart = plan.split("Sort").last
+      assert(joinPart.contains("SortMergeJoin") ||
+        joinPart.contains("ShuffledHashJoin"), plan)
+      assert(!joinPart.contains("Exchange hashpartitioning"),
+        s"storage-partitioned join still shuffled:\n$plan")
+      // ground truth from the plain (range-partitioned) layout
+      val want = joined(byTag = false).collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want, s"got=$got want=$want")
+      // t0: 400 A-ids (0,10,…,3990; sum 798000) × 200 B-rows
+      assert(got.length == 10 && got.head == (("t0", 80000L, 159600000L)),
+        got.toString)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      before.fold(spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+        v => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v))
+    }
+  }
+
+  test("scan_source_spj contract query: shuffle-hash join, zero exchanges " +
+      "before the join") {
+    val df = graft.ops.Relational.queries("scan_source_spj")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    // the only acceptable exchange is the final single-partition sort,
+    // never a hashpartitioning under the join
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"SPJ contract query shuffled before the join:\n$plan")
+  }
 }
