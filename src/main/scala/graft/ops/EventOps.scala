@@ -445,6 +445,35 @@ object EventOps {
         .select("event_id", "event_type", "value", "med", "mad")
         .orderBy("event_id")
     },
+    // Seasonal (hour-of-day-conditioned) anomaly detection — the
+    // deseasonalized sibling of events_mad_anomaly: traffic has a daily
+    // rhythm, so a raw threshold flags every quiet 3 AM as anomalous and
+    // misses a quiet 3 PM; here each (type, day, hour-of-day) count is
+    // measured against the median and MAD of ITS OWN hour-of-day slot
+    // across days. Scale shape: the corpus collapses to the hourly count
+    // table first (one map-side-combined aggregate — day·hod-sized),
+    // every median runs over that tiny table, and the two baseline
+    // tables broadcast back under it. Flag rule |n − med| > 3·1.4826·MAD
+    // (the Gaussian-consistent MAD z-score, as events_mad_anomaly).
+    "events_seasonal_anomaly" -> { (s, d) =>
+      val hourly = withMs(Tables(s, d).events)
+        .groupBy(col("event_type"),
+          expr(floorDivSql("ts_ms", DayMs)).as("day"),
+          (expr(floorDivSql("ts_ms", HourMs)) % 24).as("hod"))
+        .agg(count(lit(1)).as("n"))
+      val med = hourly.groupBy("event_type", "hod")
+        .agg(median(col("n")).as("med"))
+      val mad = hourly.join(broadcast(med), Seq("event_type", "hod"))
+        .groupBy("event_type", "hod")
+        .agg(median(abs(col("n") - col("med"))).as("mad"))
+      hourly.join(broadcast(med), Seq("event_type", "hod"))
+        .join(broadcast(mad), Seq("event_type", "hod"))
+        .filter(abs(col("n") - col("med")) >
+          lit(3.0) * lit(1.4826) * col("mad"))
+        .select(col("event_type"), col("day"), col("hod"), col("n"),
+          col("med"), col("mad"))
+        .orderBy("event_type", "day", "hod")
+    },
     // Per-user behavioral diversity (Gini–Simpson index 1 − Σ p²) of the
     // event-type mix — the curation signal separating one-note bots from
     // organic users. Simpson's index over Shannon entropy is a
@@ -1767,6 +1796,21 @@ object EventOps {
     // median ≡ quantile_cont(0.5): the same exact-interpolation parity
     // agg_median pins; the 3×1.4826 constant folds to the same double on
     // both engines, so the > comparison sees bit-identical operands
+    "events_seasonal_anomaly" ->
+      """WITH hourly AS (SELECT event_type,
+        |    epoch_ms(ts) // 86400000 AS day,
+        |    (epoch_ms(ts) // 3600000) % 24 AS hod,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |med AS (SELECT event_type, hod, median(n) AS med
+        |  FROM hourly GROUP BY 1, 2),
+        |mad AS (SELECT h.event_type, h.hod, median(abs(h.n - m.med)) AS mad
+        |  FROM hourly h JOIN med m USING (event_type, hod) GROUP BY 1, 2)
+        |SELECT h.event_type, h.day, h.hod, h.n, m.med, d.mad
+        |FROM hourly h JOIN med m USING (event_type, hod)
+        |              JOIN mad d USING (event_type, hod)
+        |WHERE abs(h.n - m.med) > 3.0 * 1.4826 * d.mad
+        |ORDER BY h.event_type, h.day, h.hod""".stripMargin,
     "events_mad_anomaly" ->
       """WITH med AS (
         |  SELECT event_type, median(value) AS med FROM events GROUP BY 1),

@@ -165,35 +165,32 @@ object MultimodalOps {
     // loudly. 256-sample frames; energy <= 256 * 32768^2 ~ 2.7e11 per
     // frame, exact in a long at any corpus scale.
     "mm_audio_energy" -> { (s, d) =>
-      val spark = s
-      import spark.implicits._
-      Tables(s, d).documents
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-        .as[(Long, Array[Byte])]
-        .mapPartitions { batch =>
-          batch.flatMap { case (id, b) =>
-            val raw = if (b == null) Array.empty[Byte] else b
-            val pcm = Pcm16.encode(raw)
-            val samples = Pcm16.decode(pcm)
-            val n = samples.length
-            (0 until (n + 255) / 256).iterator.map { j =>
-              val from = j * 256
-              val until = math.min(n, from + 256)
-              var energy = 0L
-              var peak = 0
-              var i = from
-              while (i < until) {
-                val s0 = samples(i).toInt
-                energy += s0.toLong * s0
-                if (math.abs(s0) > peak) peak = math.abs(s0)
-                i += 1
-              }
-              (id, j, until - from, energy, peak)
-            }
-          }
-        }
-        .toDF("doc_id", "frame_idx", "n_samples", "energy", "peak")
+      audioFrames(s, Tables(s, d).documents)
         .orderBy("doc_id", "frame_idx")
+    },
+    // Activity segmentation over the PCM frames — the VAD-shaped step a
+    // speech pipeline runs before transcription: frames with energy
+    // above a threshold are "active", and consecutive active frames
+    // collapse into segments (gaps-and-islands: frame_idx minus the
+    // per-doc active rank is constant within a run). The threshold
+    // (2.5·10¹⁰ ≈ this corpus's median frame energy) is the knob a real
+    // VAD calibrates; everything downstream is exact integer arithmetic.
+    // The island window runs over ACTIVE frames only, partitioned by
+    // doc — bounded by the asset's frame count, never corpus-wide.
+    "mm_audio_segments" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      audioFrames(s, Tables(s, d).documents)
+        .filter(col("energy") > lit(25000000000L))
+        .withColumn("isl", col("frame_idx") - row_number().over(w))
+        .groupBy("doc_id", "isl")
+        .agg(min(col("frame_idx")).as("start_frame"),
+          max(col("frame_idx")).as("end_frame"),
+          count(lit(1)).as("n_frames"),
+          sum(col("energy")).as("sum_energy"))
+        .select(col("doc_id"), col("start_frame"), col("end_frame"),
+          col("n_frames"), col("sum_energy"))
+        .orderBy("doc_id", "start_frame")
     },
     // Shot-boundary detection over the DECODED pixel stream — the video
     // segmentation step every frame-level curation pipeline runs before
@@ -296,6 +293,44 @@ object MultimodalOps {
         .orderBy("doc_id", "level")
     }
   )
+
+  /** The PCM16 encode→parse→frame-energy computation shared by
+    * `mm_audio_energy` and `mm_audio_segments` (see the energy query
+    * comment for the codec/parity contract): per 256-sample frame,
+    * exact integer energy + peak from the PARSED samples. No sort —
+    * callers order for presentation.
+    */
+  private[graft] def audioFrames(s: SparkSession, docs: DataFrame)
+      : DataFrame = {
+    val spark = s
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, b) =>
+          val raw = if (b == null) Array.empty[Byte] else b
+          val pcm = Pcm16.encode(raw)
+          val samples = Pcm16.decode(pcm)
+          val n = samples.length
+          (0 until (n + 255) / 256).iterator.map { j =>
+            val from = j * 256
+            val until = math.min(n, from + 256)
+            var energy = 0L
+            var peak = 0
+            var i = from
+            while (i < until) {
+              val s0 = samples(i).toInt
+              energy += s0.toLong * s0
+              if (math.abs(s0) > peak) peak = math.abs(s0)
+              i += 1
+            }
+            (id, j, until - from, energy, peak)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "n_samples", "energy", "peak")
+  }
 
   /** Cut-detection kernel of `mm_shot_boundaries` (see the query
     * comment) — separated so MultimodalSpec can drive it with planted
@@ -485,6 +520,32 @@ object MultimodalOps {
         |    AS BIGINT) AS energy,
         |  CAST(list_max(list_transform(fr, x -> abs(x))) AS INT) AS peak
         |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
+    // the mm_audio_energy CTEs through frame energy, then gaps-and-islands
+    "mm_audio_segments" ->
+      """WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+        |b AS (SELECT doc_id, length(text) AS L,
+        |    list_transform(string_split(text, ''),
+        |      x -> (ord(x) - 128) * 256) AS ss
+        |  FROM t),
+        |f AS (SELECT doc_id, L, ss,
+        |    unnest(generate_series(0, (L - 1) // 256)) AS j
+        |  FROM b WHERE L > 0),
+        |g AS (SELECT doc_id, j,
+        |    list_slice(ss, j * 256 + 1, least(L, (j + 1) * 256)) AS fr
+        |  FROM f),
+        |en AS (SELECT doc_id, CAST(j AS INT) AS frame_idx,
+        |    CAST(list_sum(list_transform(fr, x -> CAST(x AS BIGINT) * x))
+        |      AS BIGINT) AS energy
+        |  FROM g),
+        |act AS (SELECT doc_id, frame_idx, energy,
+        |    frame_idx - row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY frame_idx) AS isl
+        |  FROM en WHERE energy > 25000000000)
+        |SELECT doc_id, CAST(min(frame_idx) AS INT) AS start_frame,
+        |  CAST(max(frame_idx) AS INT) AS end_frame, count(*) AS n_frames,
+        |  CAST(sum(energy) AS BIGINT) AS sum_energy
+        |FROM act GROUP BY doc_id, isl
+        |ORDER BY doc_id, start_frame""".stripMargin,
     // Recomputed WITHOUT the codec (ASCII corpus: byte = codepoint, the
     // family's standing assumption): n_runs = boundary count over the raw
     // codepoints, decoded_md5 = md5 of the original text — equality with

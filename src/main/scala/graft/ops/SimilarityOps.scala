@@ -320,6 +320,33 @@ object SimilarityOps {
     "sim_ann_ivfpq" -> { (s, d) =>
       ivfpqTopkFrom(Tables(s, d).embeddings, 2)
     },
+    // Matryoshka-truncation recall — the modern embedding-cost question
+    // (Kusupati et al. 2022, arXiv:2205.13147: MRL-trained models keep
+    // semantic mass in the prefix dims, so stores truncate vectors to
+    // cut memory 4×): recall@5 of brute-force search over the FIRST 16
+    // of 64 dimensions against the full-dimension ground truth. These
+    // embeddings are i.i.d. synthetic (not MRL-trained), so the measured
+    // recall is the honest near-chance floor — the harness row exists so
+    // a real corpus swap reads its true number from the same gate. Same
+    // two-top-5 + left-semi intersection shape as the other recall rows.
+    "sim_recall_matryoshka" -> { (s, d) =>
+      val e = Tables(s, d).embeddings
+      val bf = bruteTopkFrom(e).select("query_id", "vec_id")
+      val tr = bruteTopkFrom(e.select(col("vec_id"),
+          slice(col("embedding"), 1, 16).as("embedding")))
+        .select(col("query_id").as("lq"), col("vec_id").as("lv"))
+      val hits = bf.join(tr,
+          col("query_id") === col("lq") && col("vec_id") === col("lv"),
+          "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      bf.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / 5.0)
+            .as("recall_at_5"))
+        .orderBy("query_id")
+    },
     // Cosine RANGE search — the radius-query sibling of the top-k family
     // (every vector-store API ships both): all corpus vectors within
     // cosine >= 0.2 of each query, found through the SAME multi-probe
@@ -927,6 +954,50 @@ object SimilarityOps {
         |  CAST(count(l.vec_id) AS DOUBLE) / 5.0 AS recall_at_5
         |FROM btop b LEFT JOIN ltop l
         |  ON l.query_id = b.query_id AND l.vec_id = b.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // two brute-force top-5s — full dims and the i <= 16 prefix (slicing
+    // floats then quantizing == quantizing then slicing) — intersected
+    "sim_recall_matryoshka" ->
+      """WITH q AS (SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
+        |n16 AS (SELECT vec_id, sum(v * v) AS nn FROM q WHERE i <= 16
+        |  GROUP BY vec_id),
+        |bdot AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+        |           sum(a.v * b.v) AS dot
+        |         FROM q a JOIN q b ON b.i = a.i AND b.vec_id >= 10
+        |         WHERE a.vec_id < 10 GROUP BY 1, 2),
+        |bscored AS (SELECT query_id, bdot.vec_id AS vec_id,
+        |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+        |           sqrt(CAST(nb.nn AS DOUBLE))) END AS cos
+        |  FROM bdot JOIN n na ON na.vec_id = query_id
+        |            JOIN n nb ON nb.vec_id = bdot.vec_id),
+        |btop AS (SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rk FROM bscored)
+        |  WHERE rk <= 5),
+        |tdot AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+        |           sum(a.v * b.v) AS dot
+        |         FROM q a JOIN q b ON b.i = a.i AND b.vec_id >= 10
+        |           AND a.i <= 16
+        |         WHERE a.vec_id < 10 GROUP BY 1, 2),
+        |tscored AS (SELECT query_id, tdot.vec_id AS vec_id,
+        |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+        |           sqrt(CAST(nb.nn AS DOUBLE))) END AS cos
+        |  FROM tdot JOIN n16 na ON na.vec_id = query_id
+        |            JOIN n16 nb ON nb.vec_id = tdot.vec_id),
+        |ttop AS (SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rk FROM tscored)
+        |  WHERE rk <= 5)
+        |SELECT b.query_id, CAST(count(t.vec_id) AS BIGINT) AS n_hit,
+        |  CAST(count(t.vec_id) AS DOUBLE) / 5.0 AS recall_at_5
+        |FROM btop b LEFT JOIN ttop t
+        |  ON t.query_id = b.query_id AND t.vec_id = b.vec_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // IVF replication: quantized centroids, nprobe=2 coarse assignment,
     // inverted-list probe, exact top-5 — assignment checked, not just

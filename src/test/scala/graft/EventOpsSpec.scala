@@ -907,6 +907,41 @@ class EventOpsSpec extends GraftSuite {
     assert(got.getLong(0) >= got.getLong(1) && got.getLong(1) >= got.getLong(2))
   }
 
+  test("seasonal anomaly: hour-of-day-conditioned flags match a " +
+      "driver-side median/MAD replay") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.ops.Tables(spark, sfDir).events
+      .select(col("event_type"), unix_millis(col("ts"))).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val hourly = ev.groupBy { case (t, ms) =>
+      (t, ms / 86400000L, (ms / 3600000L) % 24L) }
+      .view.mapValues(_.size.toLong).toMap
+    def med(xs: Seq[Long]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2).toDouble
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val byHod = hourly.groupBy { case ((t, _, h), _) => (t, h) }
+    val want = byHod.toSeq.flatMap { case ((t, h), cells) =>
+      val ns = cells.values.toSeq
+      val m = med(ns)
+      // deviations |n - med| may be x.5 — the MAD median runs in doubles
+      val madD = {
+        val devs = cells.values.map(n => math.abs(n - m)).toSeq.sorted
+        if (devs.size % 2 == 1) devs(devs.size / 2)
+        else (devs(devs.size / 2 - 1) + devs(devs.size / 2)) / 2.0
+      }
+      cells.collect { case ((tt, day, hh), n)
+          if math.abs(n - m) > 3.0 * 1.4826 * madD =>
+        (tt, day, hh, n, m, madD)
+      }
+    }.sortBy { case (t, day, h, _, _, _) => (t, day, h) }
+    val got = EventOps.queries("events_seasonal_anomaly")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == want, s"got=${got.size} want=${want.size}")
+  }
+
   test("bounce rate matches a driver-side session fold") {
     import org.apache.spark.sql.functions._
     val ev = graft.ops.Tables(spark, sfDir).events

@@ -209,6 +209,32 @@ class MultimodalSpec extends GraftSuite {
     assert(got == Seq((1L, 1, 6208L, 7808L, 1600L)), got.toList)
   }
 
+  test("audio segments are the gaps-and-islands fold of the energy frames") {
+    val frames = MultimodalOps.queries("mm_audio_energy")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(3)))
+    val want = frames.filter(_._3 > 25000000000L).groupBy(_._1).toSeq
+      .flatMap { case (doc, fs) =>
+        val sorted = fs.map(f => (f._2, f._3)).sortBy(_._1)
+        // split consecutive frame indices into runs
+        val runs = sorted.foldLeft(List.empty[List[(Int, Long)]]) {
+          case (cur :: tl, f) if f._1 == cur.head._1 + 1 =>
+            (f :: cur) :: tl
+          case (acc, f) => List(f) :: acc
+        }.map(_.reverse).reverse
+        runs.map(run => (doc, run.head._1, run.last._1,
+          run.size.toLong, run.map(_._2).sum))
+      }.sortBy { case (d, s, _, _, _) => (d, s) }
+    val got = MultimodalOps.queries("mm_audio_segments")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want, s"got=${got.size} want=${want.size}")
+    // non-degenerate: the threshold excludes SOME frames (segments don't
+    // just mirror whole assets) — at sf0.001 each doc's active frames
+    // happen to be one contiguous run, so no multi-segment assertion
+    assert(got.map(_._4).sum < frames.length.toLong, "threshold never bit")
+    assert(got.nonEmpty)
+  }
+
   test("keyframes: one start anchor per framed asset plus exactly the " +
       "shot-boundary frames") {
     import org.apache.spark.sql.functions._

@@ -101,8 +101,10 @@ class PlanCheckSpec extends GraftSuite {
                           // the |types|-sized last-seen table
     "sim_pq_train_step",  // the sim_ann_pq 1-row codebook broadcast under
                           // the corpus (shared pqEncode assignment stage)
-    "text_spell_candidates" // 10-row dictionary broadcast under the vocab
+    "text_spell_candidates", // 10-row dictionary broadcast under the vocab
                           // (length-band + banded-kernel fuzzy match)
+    "sim_recall_matryoshka" // two sim_topk_bruteforce sides (full + 16-dim
+                          // prefix): 10-query set broadcast against corpus
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides

@@ -410,6 +410,30 @@ class SimilarityOpsSpec extends GraftSuite {
     assert(got.forall(g => g._2 >= 0L && g._2 <= 5L))
   }
 
+  test("matryoshka recall counts the exact full-dim/prefix-dim top-5 " +
+      "intersection") {
+    import org.apache.spark.sql.functions._
+    val e = graft.ops.Tables(spark, sfDir).embeddings
+    val bf = graft.ops.SimilarityOps.bruteTopkFrom(e)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val tr = graft.ops.SimilarityOps.bruteTopkFrom(
+        e.select(col("vec_id"), slice(col("embedding"), 1, 16)
+          .as("embedding")))
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bf.groupBy(_._1).view
+      .mapValues(s => s.count(tr.contains).toLong).toMap
+    val got = graft.ops.SimilarityOps
+      .queries("sim_recall_matryoshka")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == (0L to 9L), got.toSeq.toString)
+    got.foreach { case (q, nHit, rec) =>
+      assert(nHit == want(q), s"query $q: $nHit vs ${want(q)}")
+      assert(rec == nHit.toDouble / 5.0)
+    }
+  }
+
   test("range search: threshold contract, and consistency with the LSH " +
       "top-k path (same buckets, same scores)") {
     import org.apache.spark.sql.functions._
