@@ -245,6 +245,44 @@ object MultimodalOps {
         .toDF("doc_id", "frame_idx", "frame_sum", "kind")
         .orderBy("doc_id", "frame_idx")
     },
+    // FLAGSHIP multimodal pipeline — the composed curation pass every
+    // image/video corpus runs before training, as one query: (1) DECODE
+    // every payload through the real RLE1 strict parser; (2) QUALITY
+    // GATE on decoded size (≥ 4 full 64-pixel frames — the blurry-
+    // thumbnail cut); (3) PERCEPTUAL DEDUP — aHash bands over decoded
+    // pixels, any asset pairing with a smaller id at Hamming ≤ 3 drops
+    // (banded equi-join, exactly-once emission, mirrors mm_phash_dedup);
+    // (4) per-source ROLLUP of the surviving corpus. The text twin is
+    // pipeline_pretrain; stage boundaries share machinery with the
+    // standalone queries so each stage is independently oracle-checked
+    // elsewhere and the composition is checked here.
+    "pipeline_multimodal" -> { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      val decoded = Tables(s, d).documents
+        .select(col("doc_id"), col("source"),
+          encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, String, Array[Byte])]
+        .mapPartitions(_.map { case (id, src, b) =>
+          val raw = if (b == null) Array.empty[Byte] else b
+          (id, src, Rle1.decode(Rle1.encode(raw)).length)
+        })
+        .toDF("doc_id", "source", "n_pixels")
+      val gated = decoded.filter(col("n_pixels") >= 256)
+      val hashes = Tables(s, d).documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, b) => phashBands(id, b) })
+        .toDF("doc_id", "b0", "b1", "b2", "b3")
+      val drops = phashPairs(hashes)
+        .select(col("id2").as("doc_id")).distinct()
+      gated.join(drops, Seq("doc_id"), "left_anti")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("n_pixels")).as("total_pixels"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("source")
+    },
     // Frame sampling plan: every 2nd "frame" of a fake video whose frame
     // count derives from the payload size — the explode/sequence shape a real
     // frame sampler would use.
@@ -419,6 +457,49 @@ object MultimodalOps {
       .orderBy("id1", "id2")
   }
 
+  /** The aHash band + banded-pair-join CTE chain (codec-free: decoded
+    * pixels = raw codepoints on the ASCII corpus) shared by the
+    * `mm_phash_dedup` and `pipeline_multimodal` oracles — one pairing
+    * definition, so the two cannot diverge.
+    */
+  private val phashPairCtes: String =
+    """t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+      |b AS (SELECT doc_id, length(text) AS L,
+      |    list_transform(string_split(text, ''), x -> ord(x)) AS bs
+      |  FROM t),
+      |g AS (SELECT doc_id, L, bs,
+      |    CASE WHEN L = 0 THEN 0.0
+      |         ELSE CAST(list_sum(bs) AS DOUBLE) / L END AS gm
+      |  FROM b),
+      |bits AS (SELECT doc_id, j // 16 AS band, j % 16 AS pos,
+      |    (j * L) // 64 AS s, ((j + 1) * L) // 64 AS e, bs, gm
+      |  FROM g CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) jj),
+      |bm AS (SELECT doc_id, band,
+      |    CASE WHEN e > s AND
+      |        CAST(list_sum(list_slice(bs, s + 1, e)) AS DOUBLE) / (e - s)
+      |          > gm
+      |      THEN 1 << pos ELSE 0 END AS bit
+      |  FROM bits),
+      |h AS (SELECT doc_id,
+      |    CAST(sum(CASE WHEN band = 0 THEN bit ELSE 0 END) AS BIGINT) AS b0,
+      |    CAST(sum(CASE WHEN band = 1 THEN bit ELSE 0 END) AS BIGINT) AS b1,
+      |    CAST(sum(CASE WHEN band = 2 THEN bit ELSE 0 END) AS BIGINT) AS b2,
+      |    CAST(sum(CASE WHEN band = 3 THEN bit ELSE 0 END) AS BIGINT) AS b3
+      |  FROM bm GROUP BY doc_id),
+      |ex AS (SELECT doc_id, b0, b1, b2, b3, k AS band,
+      |    CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END
+      |      AS bv
+      |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) kk),
+      |p AS (SELECT x.doc_id AS id1, y.doc_id AS id2,
+      |    CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
+      |         bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+      |      AS INT) AS hamming
+      |  FROM ex x JOIN ex y ON x.band = y.band AND x.bv = y.bv
+      |    AND x.doc_id < y.doc_id
+      |    AND (CASE WHEN x.b0 = y.b0 THEN 0 WHEN x.b1 = y.b1 THEN 1
+      |              WHEN x.b2 = y.b2 THEN 2 ELSE 3 END) = x.band)"""
+      .stripMargin
+
   def oracles: Map[String, String] = Map(
     "mm_binary_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
@@ -571,43 +652,24 @@ object MultimodalOps {
     // packing, the same banded pair join with first-shared-band
     // exactly-once emission, the same Hamming cutoff.
     "mm_phash_dedup" ->
-      """WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
-        |b AS (SELECT doc_id, length(text) AS L,
-        |    list_transform(string_split(text, ''), x -> ord(x)) AS bs
-        |  FROM t),
-        |g AS (SELECT doc_id, L, bs,
-        |    CASE WHEN L = 0 THEN 0.0
-        |         ELSE CAST(list_sum(bs) AS DOUBLE) / L END AS gm
-        |  FROM b),
-        |bits AS (SELECT doc_id, j // 16 AS band, j % 16 AS pos,
-        |    (j * L) // 64 AS s, ((j + 1) * L) // 64 AS e, bs, gm
-        |  FROM g CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) jj),
-        |bm AS (SELECT doc_id, band,
-        |    CASE WHEN e > s AND
-        |        CAST(list_sum(list_slice(bs, s + 1, e)) AS DOUBLE) / (e - s)
-        |          > gm
-        |      THEN 1 << pos ELSE 0 END AS bit
-        |  FROM bits),
-        |h AS (SELECT doc_id,
-        |    CAST(sum(CASE WHEN band = 0 THEN bit ELSE 0 END) AS BIGINT) AS b0,
-        |    CAST(sum(CASE WHEN band = 1 THEN bit ELSE 0 END) AS BIGINT) AS b1,
-        |    CAST(sum(CASE WHEN band = 2 THEN bit ELSE 0 END) AS BIGINT) AS b2,
-        |    CAST(sum(CASE WHEN band = 3 THEN bit ELSE 0 END) AS BIGINT) AS b3
-        |  FROM bm GROUP BY doc_id),
-        |ex AS (SELECT doc_id, b0, b1, b2, b3, k AS band,
-        |    CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END
-        |      AS bv
-        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) kk),
-        |p AS (SELECT x.doc_id AS id1, y.doc_id AS id2,
-        |    CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1)) +
-        |         bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
-        |      AS INT) AS hamming
-        |  FROM ex x JOIN ex y ON x.band = y.band AND x.bv = y.bv
-        |    AND x.doc_id < y.doc_id
-        |    AND (CASE WHEN x.b0 = y.b0 THEN 0 WHEN x.b1 = y.b1 THEN 1
-        |              WHEN x.b2 = y.b2 THEN 2 ELSE 3 END) = x.band)
-        |SELECT id1, id2, hamming FROM p WHERE hamming <= 3
-        |ORDER BY id1, id2""".stripMargin,
+      s"""WITH $phashPairCtes
+         |SELECT id1, id2, hamming FROM p WHERE hamming <= 3
+         |ORDER BY id1, id2""".stripMargin,
+    // stage composition: decode length (roundtrip identity), the phash
+    // pair CTEs verbatim as the drop list, quality gate + rollup
+    "pipeline_multimodal" ->
+      s"""WITH $phashPairCtes,
+         |drops AS (SELECT DISTINCT id2 AS doc_id FROM p
+         |  WHERE hamming <= 3),
+         |base AS (SELECT doc_id, source,
+         |    length(COALESCE(text, '')) AS n_pixels
+         |  FROM documents),
+         |kept AS (SELECT b2.* FROM base b2 LEFT JOIN drops d USING (doc_id)
+         |  WHERE d.doc_id IS NULL AND b2.n_pixels >= 256)
+         |SELECT source, count(*) AS n_assets,
+         |  CAST(sum(n_pixels) AS BIGINT) AS total_pixels,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
     // codec-free pyramid replication (decoded = raw codepoints on the
     // ASCII corpus): the same floor-mean 4-blocks, level for level; the
     // md5 compares the exact downsampled byte ladder (chr is one byte

@@ -235,6 +235,30 @@ class MultimodalSpec extends GraftSuite {
     assert(got.nonEmpty)
   }
 
+  test("multimodal pipeline composes its stages: decode sizes, quality " +
+      "gate, phash drop list, per-source rollup") {
+    import org.apache.spark.sql.functions._
+    val drops = MultimodalOps.queries("mm_phash_dedup")(spark, sfDir)
+      .collect().map(_.getLong(1)).toSet
+    val sizes = MultimodalOps.queries("mm_decode_real")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val docs = graft.ops.Tables(spark, sfDir).documents
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val kept = docs.filter { case (id, _) =>
+      sizes(id) >= 256 && !drops(id) }
+    val want = kept.groupBy(_._2).view.mapValues { xs =>
+      (xs.size.toLong, xs.map(x => sizes(x._1).toLong).sum,
+        xs.map(_._1).min, xs.map(_._1).max)
+    }.toMap
+    val got = MultimodalOps.queries("pipeline_multimodal")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want, s"got=$got want=$want")
+    // both the gate and the dedup actually removed something
+    assert(kept.length < docs.length)
+  }
+
   test("keyframes: one start anchor per framed asset plus exactly the " +
       "shot-boundary frames") {
     import org.apache.spark.sql.functions._
