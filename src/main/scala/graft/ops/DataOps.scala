@@ -41,6 +41,42 @@ object DataOps {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy("split")
     },
+    // Split-balance χ² audit — the split-health gate next to the SRM
+    // check: hash splits are unbiased only if membership is independent
+    // of every stratum, so per language compare observed train/val/test
+    // cells against the expected row·column/N product. All counts are
+    // one map-side-combined aggregate (langs×3 cells); the totals row
+    // broadcasts (scalar crossjoin); the χ² contribution is a FIXED
+    // IEEE tree over exact integers, summed cell by cell in pinned
+    // order so both engines produce the identical double. Per-language
+    // rows localize any imbalance; df = (L−1)(S−1) for the global test.
+    "data_split_balance" -> { (s, d) =>
+      val b = pmod(xxhash64(col("doc_id").cast("string")), lit(100))
+      val cell = Tables(s, d).documents
+        .select(col("lang"),
+          when(b < 80, "train").when(b < 90, "validation")
+            .otherwise("test").as("split"))
+        .groupBy("lang")
+        .agg(count(when(col("split") === "train", 1)).as("n_train"),
+          count(when(col("split") === "validation", 1)).as("n_val"),
+          count(when(col("split") === "test", 1)).as("n_test"))
+      val tot = cell.agg(sum(col("n_train")).as("t_train"),
+        sum(col("n_val")).as("t_val"), sum(col("n_test")).as("t_test"))
+      val nl = (col("n_train") + col("n_val") + col("n_test"))
+        .cast("double")
+      val bigN = (col("t_train") + col("t_val") + col("t_test"))
+        .cast("double")
+      def contrib(n: Column, t: Column): Column = {
+        val e = nl * t.cast("double") / bigN
+        (n.cast("double") - e) * (n.cast("double") - e) / e
+      }
+      cell.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_train"), col("n_val"), col("n_test"),
+          (contrib(col("n_train"), col("t_train")) +
+            contrib(col("n_val"), col("t_val")) +
+            contrib(col("n_test"), col("t_test"))).as("chi2"))
+        .orderBy("lang")
+    },
     // Stratified hash sampling: per-language keep rates (en 50%, else 25%)
     // on an INDEPENDENT hash stream ("S" prefix) so sample membership does
     // not correlate with split assignment above.
@@ -1238,6 +1274,53 @@ object DataOps {
          |            ELSE 'test' END AS split,
          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM h GROUP BY 1 ORDER BY split""".stripMargin,
+    "data_split_balance" ->
+      s"""WITH h AS (SELECT lang,
+         |    ((${XxhSql.expr("CAST(doc_id AS VARCHAR)", "42")} % 100) + 100)
+         |      % 100 AS b
+         |  FROM documents),
+         |cell AS (SELECT lang,
+         |    count(CASE WHEN b < 80 THEN 1 END) AS n_train,
+         |    count(CASE WHEN b >= 80 AND b < 90 THEN 1 END) AS n_val,
+         |    count(CASE WHEN b >= 90 THEN 1 END) AS n_test
+         |  FROM h GROUP BY lang),
+         |tot AS (SELECT sum(n_train) AS t_train, sum(n_val) AS t_val,
+         |    sum(n_test) AS t_test FROM cell)
+         |SELECT lang, n_train, n_val, n_test,
+         |  (CAST(n_train AS DOUBLE) -
+         |     CAST(n_train + n_val + n_test AS DOUBLE) *
+         |       CAST(t_train AS DOUBLE) /
+         |       CAST(t_train + t_val + t_test AS DOUBLE)) *
+         |  (CAST(n_train AS DOUBLE) -
+         |     CAST(n_train + n_val + n_test AS DOUBLE) *
+         |       CAST(t_train AS DOUBLE) /
+         |       CAST(t_train + t_val + t_test AS DOUBLE)) /
+         |  (CAST(n_train + n_val + n_test AS DOUBLE) *
+         |     CAST(t_train AS DOUBLE) /
+         |     CAST(t_train + t_val + t_test AS DOUBLE)) +
+         |  (CAST(n_val AS DOUBLE) -
+         |     CAST(n_train + n_val + n_test AS DOUBLE) *
+         |       CAST(t_val AS DOUBLE) /
+         |       CAST(t_train + t_val + t_test AS DOUBLE)) *
+         |  (CAST(n_val AS DOUBLE) -
+         |     CAST(n_train + n_val + n_test AS DOUBLE) *
+         |       CAST(t_val AS DOUBLE) /
+         |       CAST(t_train + t_val + t_test AS DOUBLE)) /
+         |  (CAST(n_train + n_val + n_test AS DOUBLE) *
+         |     CAST(t_val AS DOUBLE) /
+         |     CAST(t_train + t_val + t_test AS DOUBLE)) +
+         |  (CAST(n_test AS DOUBLE) -
+         |     CAST(n_train + n_val + n_test AS DOUBLE) *
+         |       CAST(t_test AS DOUBLE) /
+         |       CAST(t_train + t_val + t_test AS DOUBLE)) *
+         |  (CAST(n_test AS DOUBLE) -
+         |     CAST(n_train + n_val + n_test AS DOUBLE) *
+         |       CAST(t_test AS DOUBLE) /
+         |       CAST(t_train + t_val + t_test AS DOUBLE)) /
+         |  (CAST(n_train + n_val + n_test AS DOUBLE) *
+         |     CAST(t_test AS DOUBLE) /
+         |     CAST(t_train + t_val + t_test AS DOUBLE)) AS chi2
+         |FROM cell CROSS JOIN tot ORDER BY lang""".stripMargin,
     "data_sample_stratified" ->
       s"""WITH h AS (SELECT lang,
          |    ((${XxhSql.expr("'S' || CAST(doc_id AS VARCHAR)", "42")} % 1000)

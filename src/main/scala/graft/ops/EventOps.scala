@@ -445,6 +445,60 @@ object EventOps {
         .select("event_id", "event_type", "value", "med", "mad")
         .orderBy("event_id")
     },
+    // Daily new-vs-returning split — the growth headline over the event
+    // stream: per day, how many active users saw their FIRST-ever
+    // activity that day. One distinct (user, day) reduction (map-side
+    // combined), a per-user window min for the first day (user-keyed —
+    // the single-scan shape the retention query pins), one day rollup.
+    "events_new_returning" -> { (s, d) =>
+      val days = withMs(Tables(s, d).events)
+        .select(col("user_id"), expr(floorDivSql("ts_ms", DayMs)).as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id")
+      days.withColumn("first_day", min(col("day")).over(w))
+        .groupBy("day")
+        .agg(count(when(col("day") === col("first_day"), 1)).as("n_new"),
+          count(when(col("day") =!= col("first_day"), 1))
+            .as("n_returning"))
+        .orderBy("day")
+    },
+    // Activity concentration (Pareto/whale readout) — "what share of
+    // events do the top 10% / top 1% most active users contribute":
+    // the curation signal behind bot caps and the ops signal behind
+    // hot-key planning. Scale shape: the corpus collapses to per-user
+    // counts, those to the (activity, n_users) HISTOGRAM — bounded by
+    // the distinct activity values, tiny — and every window/cut runs
+    // over that histogram (same two-pass threshold doctrine as
+    // text_quality_buckets; ties at a cut all count, deterministic).
+    // Exact integers until the two final share divisions.
+    "events_activity_pareto" -> { (s, d) =>
+      val byA = Tables(s, d).events
+        .groupBy("user_id").agg(count(lit(1)).as("a"))
+        .groupBy("a").agg(count(lit(1)).as("nu"))
+        .withColumn("ne", col("a") * col("nu"))
+      val w = Window.orderBy(col("a").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = byA
+        .withColumn("cu", sum(col("nu")).over(w))
+        .withColumn("ce", sum(col("ne")).over(w))
+      val tot = cum.agg(max(col("cu")).as("users"), max(col("ce")).as("ev"))
+      val cuts = cum.crossJoin(broadcast(tot))
+        .agg(max(when(col("cu") * 10 >= col("users"), col("a")))
+          .as("cut10"),
+          max(when(col("cu") * 100 >= col("users"), col("a"))).as("cut1"))
+      cum.crossJoin(broadcast(cuts))
+        .agg(max(col("cu")).as("n_users"), max(col("ce")).as("n_events"),
+          max(col("cut10")).as("p90_activity"),
+          max(col("cut1")).as("p99_activity"),
+          max(when(col("a") === col("cut10"), col("ce"))).as("ev10"),
+          max(when(col("a") === col("cut1"), col("ce"))).as("ev1"))
+        .select(col("n_users"), col("n_events"), col("p90_activity"),
+          col("p99_activity"),
+          (col("ev10").cast("double") / col("n_events").cast("double"))
+            .as("share_top10pct"),
+          (col("ev1").cast("double") / col("n_events").cast("double"))
+            .as("share_top1pct"))
+    },
     // Seasonal (hour-of-day-conditioned) anomaly detection — the
     // deseasonalized sibling of events_mad_anomaly: traffic has a daily
     // rhythm, so a raw threshold flags every quiet 3 AM as anomalous and
@@ -1796,6 +1850,41 @@ object EventOps {
     // median ≡ quantile_cont(0.5): the same exact-interpolation parity
     // agg_median pins; the 3×1.4826 constant folds to the same double on
     // both engines, so the > comparison sees bit-identical operands
+    "events_new_returning" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    epoch_ms(ts) // 86400000 AS day
+        |  FROM events),
+        |f AS (SELECT user_id, day,
+        |    min(day) OVER (PARTITION BY user_id) AS first_day
+        |  FROM days)
+        |SELECT day,
+        |  count(CASE WHEN day = first_day THEN 1 END) AS n_new,
+        |  count(CASE WHEN day <> first_day THEN 1 END) AS n_returning
+        |FROM f GROUP BY day ORDER BY day""".stripMargin,
+    "events_activity_pareto" ->
+      """WITH ua AS (SELECT user_id, count(*) AS a FROM events GROUP BY 1),
+        |byA AS (SELECT a, count(*) AS nu, a * count(*) AS ne
+        |  FROM ua GROUP BY a),
+        |cum AS (SELECT a, nu, ne,
+        |    sum(nu) OVER (ORDER BY a DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu,
+        |    sum(ne) OVER (ORDER BY a DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce
+        |  FROM byA),
+        |tot AS (SELECT max(cu) AS users, max(ce) AS ev FROM cum),
+        |cuts AS (SELECT
+        |    max(CASE WHEN cu * 10 >= users THEN a END) AS cut10,
+        |    max(CASE WHEN cu * 100 >= users THEN a END) AS cut1
+        |  FROM cum CROSS JOIN tot)
+        |SELECT CAST(max(cu) AS BIGINT) AS n_users,
+        |  CAST(max(ce) AS BIGINT) AS n_events,
+        |  CAST(max(cut10) AS BIGINT) AS p90_activity,
+        |  CAST(max(cut1) AS BIGINT) AS p99_activity,
+        |  CAST(max(CASE WHEN a = cut10 THEN ce END) AS DOUBLE) /
+        |    CAST(max(ce) AS DOUBLE) AS share_top10pct,
+        |  CAST(max(CASE WHEN a = cut1 THEN ce END) AS DOUBLE) /
+        |    CAST(max(ce) AS DOUBLE) AS share_top1pct
+        |FROM cum CROSS JOIN cuts""".stripMargin,
     "events_seasonal_anomaly" ->
       """WITH hourly AS (SELECT event_type,
         |    epoch_ms(ts) // 86400000 AS day,

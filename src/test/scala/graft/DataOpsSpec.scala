@@ -559,6 +559,43 @@ class DataOpsSpec extends GraftSuite {
     assert(got("c_nationkey->c_mktsegment") == want)
   }
 
+  test("split balance: cells tile the split counts and the chi2 tree " +
+      "matches a driver-side replay") {
+    import org.apache.spark.sql.functions._
+    // cells from the SAME hash stream the operator uses (Spark xxhash64)
+    val cells = graft.ops.Tables(spark, sfDir).documents
+      .select(col("lang"),
+        pmod(xxhash64(col("doc_id").cast("string")), lit(100)).as("b"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .map { case (l, b) =>
+        (l, if (b < 80) "train" else if (b < 90) "validation" else "test") }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def c(l: String, s: String) = cells.getOrElse((l, s), 0L)
+    val langs = cells.keys.map(_._1).toSeq.distinct.sorted
+    val (tt, tv, ts) = (langs.map(c(_, "train")).sum,
+      langs.map(c(_, "validation")).sum, langs.map(c(_, "test")).sum)
+    val bigN = (tt + tv + ts).toDouble
+    val want = langs.map { l =>
+      val (nt, nv, nx) = (c(l, "train"), c(l, "validation"), c(l, "test"))
+      val nl = (nt + nv + nx).toDouble
+      def contrib(n: Long, t: Long): Double = {
+        val e = nl * t.toDouble / bigN
+        (n.toDouble - e) * (n.toDouble - e) / e
+      }
+      l -> ((nt, nv, nx,
+        contrib(nt, tt) + contrib(nv, tv) + contrib(nx, ts)))
+    }.toMap
+    val got = graft.ops.DataOps.queries("data_split_balance")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == want, s"got=$got want=$want")
+    // and the cells reconcile with the split totals query
+    val splits = graft.ops.DataOps.queries("data_split_hash")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits("train") == tt && splits("validation") == tv &&
+      splits("test") == ts)
+  }
+
   test("source overlap matrix matches a driver-side gram-set fold") {
     import org.apache.spark.sql.functions._
     val docs = graft.ops.Tables(spark, sfDir).documents

@@ -907,6 +907,52 @@ class EventOpsSpec extends GraftSuite {
     assert(got.getLong(0) >= got.getLong(1) && got.getLong(1) >= got.getLong(2))
   }
 
+  test("new-vs-returning: daily split matches a driver-side first-day fold") {
+    import org.apache.spark.sql.functions._
+    val days = graft.ops.Tables(spark, sfDir).events
+      .select(col("user_id"), (unix_millis(col("ts")) / 86400000L)
+        .cast("long").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val first = days.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = days.groupBy(_._2).view.mapValues { ds =>
+      val nNew = ds.count { case (u, day) => first(u) == day }.toLong
+      (nNew, ds.size.toLong - nNew)
+    }.toMap
+    val got = EventOps.queries("events_new_returning")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == want, s"got=$got want=$want")
+    // day 0 is all-new; later days have returning users
+    assert(got(got.keys.min)._2 == 0L && got.values.exists(_._2 > 0L))
+  }
+
+  test("activity pareto: threshold cuts and shares match a driver-side " +
+      "concentration fold") {
+    import org.apache.spark.sql.functions._
+    val acts = graft.ops.Tables(spark, sfDir).events
+      .groupBy("user_id").agg(count(lit(1)).as("a")).collect()
+      .map(_.getLong(1))
+    val hist = acts.groupBy(identity).view
+      .mapValues(_.size.toLong).toSeq.sortBy(-_._1)
+    val users = acts.length.toLong
+    val events = acts.sum
+    val cum = hist.scanLeft((0L, 0L)) { case ((cu, ce), (a, nu)) =>
+      (cu + nu, ce + a * nu) }.tail
+    def cutAt(mult: Long): Long = hist.zip(cum)
+      .filter { case (_, (cu, _)) => cu * mult >= users }.map(_._1._1).max
+    def shareAt(cut: Long): Double =
+      hist.zip(cum).find(_._1._1 == cut).get._2._2.toDouble /
+        events.toDouble
+    val r = EventOps.queries("events_activity_pareto")(spark, sfDir)
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((users, events)))
+    assert((r.getLong(2), r.getLong(3)) == ((cutAt(10), cutAt(100))))
+    assert(r.getDouble(4) == shareAt(cutAt(10)) &&
+      r.getDouble(5) == shareAt(cutAt(100)), r.toString)
+    // concentration is real but bounded: top-1% share within (1%, 100%)
+    assert(r.getDouble(5) > 0.01 && r.getDouble(5) < 1.0)
+  }
+
   test("seasonal anomaly: hour-of-day-conditioned flags match a " +
       "driver-side median/MAD replay") {
     import org.apache.spark.sql.functions._

@@ -103,8 +103,12 @@ class PlanCheckSpec extends GraftSuite {
                           // the corpus (shared pqEncode assignment stage)
     "text_spell_candidates", // 10-row dictionary broadcast under the vocab
                           // (length-band + banded-kernel fuzzy match)
-    "sim_recall_matryoshka" // two sim_topk_bruteforce sides (full + 16-dim
+    "sim_recall_matryoshka", // two sim_topk_bruteforce sides (full + 16-dim
                           // prefix): 10-query set broadcast against corpus
+    "data_split_balance", // 1-row split-totals scalar broadcast under the
+                          // langs-sized cell table (χ² expectations)
+    "events_activity_pareto" // two 1-row scalar broadcasts (totals, cuts)
+                          // over the tiny activity histogram
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides
