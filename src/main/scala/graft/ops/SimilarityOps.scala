@@ -375,6 +375,41 @@ object SimilarityOps {
         // corpus vector holds ONE bucket, so each pair matches at most once
         .orderBy("query_id", "vec_id")
     },
+    // Binary quantization + Hamming rerank — the modern two-stage
+    // retrieval shape (sign-bit codes à la Charikar 2002 hyperplane
+    // hashing; "RaBitQ/BQ" deployments run exactly this scan): stage 1
+    // packs each 64-dim vector's SIGN BITS into two 32-bit words (64×
+    // smaller than the float vector) and scans ALL corpus codes per query
+    // with one xor+popcount per word — the SIMD-friendly linear scan that
+    // replaces full-vector IO at 100 TB; stage 2 fetches only the 20
+    // Hamming-nearest full vectors per query and reranks them by exact
+    // cosine. Packing is an exact integer Horner fold (first element of
+    // each half carries weight 2^31), Hamming is bit_count(xor) — all
+    // integers, so the DuckDB oracle replicates codes, shortlist, and
+    // rerank bit-for-bit. Scale shape: the code table is 16 bytes/vector
+    // (map-only derivation, written once next to the index); the query
+    // side broadcasts; the rerank touches 20 vectors/query via a
+    // broadcast semi-probe, never a corpus shuffle.
+    "sim_ann_hamming" -> { (s, d) =>
+      hammingTopkFrom(Tables(s, d).embeddings)
+    },
+    // Int8 scalar quantization audit — the calibration+error readout every
+    // vector store runs before switching the index to int8 storage: per
+    // dimension, min/max over the corpus (the affine calibration range),
+    // each element quantized to a 0..255 code, reconstructed at the bucket
+    // midpoint, and the per-label MSE / max-abs error reported. Arithmetic
+    // parity: min/max are order-independent exact doubles, the code is one
+    // FIXED IEEE tree + floor/clamp (exact), and the squared-error sum
+    // goes through the DECIMAL exact-sum contract scaled by 1e9 so
+    // ~1e-6-magnitude squared errors survive the DECIMAL(28,6) quantum.
+    // Scale shape: the stats pass map-side-combines the 64× posexplode to
+    // 64 groups; the 64-row calibration table broadcasts back; the audit
+    // aggregate is label-keyed. (A 100 TB run calibrates min/max on a
+    // sampled slice instead of the full corpus — the audit shape is
+    // identical.)
+    "sim_quantize_int8" -> { (s, d) =>
+      int8AuditFrom(s, Tables(s, d).embeddings)
+    },
     // One PQ codebook TRAINING step (Jégou et al. 2011: per-subspace
     // Lloyd iteration — the trainer whose converged output sim_ann_pq's
     // deterministic seed codebook stands in for): assign every vector's
@@ -530,6 +565,88 @@ object SimilarityOps {
       silhouetteFrom(s, Tables(s, d).embeddings)
     }
   )
+
+  /** Binary-quantization + Hamming-rerank core over any
+    * (vec_id, embedding) frame — separated so specs can plant clones and
+    * sign-flips with hand-computable codes. See `sim_ann_hamming`.
+    *
+    * CACHE LIFETIME CONTRACT: the packed-code frame is persisted (read by
+    * the query side, the corpus side and the rerank fetch); the CALLER
+    * owns release, as with [[lshTopkFrom]].
+    */
+  private[graft] def hammingTopkFrom(e0: DataFrame): DataFrame = {
+    def word(qv: Column, lo: Int): Column =
+      aggregate(slice(qv, lo + 1, 32), lit(0L),
+        (a, x) => a * 2 + when(x > 0L, 1L).otherwise(0L))
+    val packed = e0
+      .select(col("vec_id"), col("embedding"),
+        quantize(col("embedding")).as("qv"))
+      .select(col("vec_id"), col("embedding"),
+        word(col("qv"), 0).as("w1"), word(col("qv"), 32).as("w2"))
+      .persist() // codes read by query + corpus sides and the rerank
+    val qCodes = packed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        col("w1").as("qw1"), col("w2").as("qw2"))
+    val wSh = Window.partitionBy("query_id")
+      .orderBy(col("ham").asc, col("vec_id").asc)
+    val shortlist = packed.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("w1"), col("w2"))
+      .join(broadcast(qCodes)) // 10-query code set against corpus codes
+      .select(col("query_id"), col("vec_id"),
+        (bit_count(col("w1").bitwiseXOR(col("qw1"))) +
+          bit_count(col("w2").bitwiseXOR(col("qw2"))))
+          .cast("int").as("ham"))
+      .withColumn("rn", row_number().over(wSh))
+      .filter(col("rn") <= 20)
+      .select("query_id", "vec_id", "ham")
+    // stage 2: fetch the 20 shortlisted full vectors per query and rerank
+    val qVecs = packed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wRk = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    packed.select(col("vec_id"), col("embedding"))
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("ham"),
+        quant_cosine(col("qe"), col("embedding")).as("cos"))
+      .withColumn("rk", row_number().over(wRk))
+      .filter(col("rk") <= 5)
+      .select("query_id", "vec_id", "ham", "cos", "rk")
+      .orderBy("query_id", "rk")
+  }
+
+  /** Int8 scalar-quantization audit core over any (label, embedding)
+    * frame — separated so specs can replay calibration + error bounds on
+    * planted ranges. See `sim_quantize_int8`.
+    */
+  private[graft] def int8AuditFrom(s: SparkSession, e0: DataFrame)
+      : DataFrame = {
+    val elems = e0
+      .select(col("label"), posexplode(col("embedding")).as(Seq("i0", "x0")))
+      .select(col("label"), (col("i0") + 1).as("i"),
+        col("x0").cast("double").as("x"))
+    val stats = elems.groupBy("i")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val err = elems.join(broadcast(stats), Seq("i"))
+      .withColumn("c",
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(greatest(
+            floor((col("x") - col("mn")) * lit(255.0) /
+              (col("mx") - col("mn"))), lit(0.0)), lit(255.0))
+            .cast("long")))
+      .withColumn("err", col("x") -
+        (col("mn") + (col("c").cast("double") + lit(0.5)) *
+          (col("mx") - col("mn")) / lit(255.0)))
+    err.groupBy("label")
+      .agg(count(lit(1)).as("n_elems"),
+        Oracle.dsum(s, col("err") * col("err") * lit(1.0e9)).as("se9"),
+        max(abs(col("err"))).as("max_abs_err"))
+      .select(col("label"), col("n_elems"),
+        ((col("se9") / lit(1.0e9)) / col("n_elems").cast("double"))
+          .as("mse"),
+        col("max_abs_err"))
+      .orderBy("label")
+  }
 
   /** The centroid-silhouette core over any (vec_id, label, embedding)
     * frame — separated so specs can plant clusters with hand-computable
@@ -752,6 +869,64 @@ object SimilarityOps {
   }
 
   def oracles: Map[String, String] = Map(
+    // Hamming replication: the shared quantize CTE, sign-bit words as a
+    // sum of shifted weights (2^(32-i) within each half ≡ the Spark-side
+    // Horner fold), xor+bit_count Hamming, row_number shortlist, then the
+    // sim_topk_bruteforce exact-cosine CTEs restricted to the shortlist.
+    "sim_ann_hamming" ->
+      """WITH q AS (SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5)
+        |      AS BIGINT) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |w AS (SELECT vec_id,
+        |    sum(CASE WHEN i <= 32 AND v > 0
+        |        THEN (CAST(1 AS BIGINT) << (32 - i)) ELSE 0 END) AS w1,
+        |    sum(CASE WHEN i > 32 AND v > 0
+        |        THEN (CAST(1 AS BIGINT) << (64 - i)) ELSE 0 END) AS w2
+        |  FROM q GROUP BY vec_id),
+        |ham AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+        |    CAST(bit_count(xor(a.w1, b.w1)) +
+        |         bit_count(xor(a.w2, b.w2)) AS INT) AS ham
+        |  FROM w a JOIN w b ON a.vec_id < 10 AND b.vec_id >= 10),
+        |short AS (SELECT query_id, vec_id, ham FROM (
+        |    SELECT query_id, vec_id, ham,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY ham ASC, vec_id ASC) AS rn FROM ham) r
+        |  WHERE rn <= 20),
+        |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
+        |p AS (SELECT s.query_id, s.vec_id, s.ham, sum(a.v * b.v) AS dot
+        |  FROM short s JOIN q a ON a.vec_id = s.query_id
+        |    JOIN q b ON b.vec_id = s.vec_id AND a.i = b.i
+        |  GROUP BY 1, 2, 3),
+        |scored AS (SELECT query_id, p.vec_id AS vec_id, ham,
+        |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+        |           sqrt(CAST(nb.nn AS DOUBLE))) END AS cos
+        |  FROM p JOIN n na ON na.vec_id = query_id
+        |         JOIN n nb ON nb.vec_id = p.vec_id),
+        |ranked AS (SELECT query_id, vec_id, ham, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id ASC) AS INT) AS rk FROM scored)
+        |SELECT query_id, vec_id, ham, cos, rk FROM ranked
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "sim_quantize_int8" ->
+      s"""WITH e AS (SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM embeddings,
+         |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+         |st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM e GROUP BY i),
+         |r AS (SELECT label, x -
+         |    (mn + (CAST(CASE WHEN mx = mn THEN 0
+         |       ELSE CAST(least(greatest(
+         |         floor((x - mn) * 255.0 / (mx - mn)), 0.0), 255.0)
+         |         AS BIGINT) END AS DOUBLE) + 0.5) *
+         |      (mx - mn) / 255.0) AS err
+         |  FROM e JOIN st USING (i))
+         |SELECT label, count(*) AS n_elems,
+         |  (${Oracle.sqlSum("err * err * 1.0e9")} / 1.0e9) /
+         |    CAST(count(*) AS DOUBLE) AS mse,
+         |  max(abs(err)) AS max_abs_err
+         |FROM r GROUP BY label ORDER BY label""".stripMargin,
     "sim_norm_profile" ->
       """WITH q AS (SELECT vec_id, label,
         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5)

@@ -107,8 +107,12 @@ class PlanCheckSpec extends GraftSuite {
                           // prefix): 10-query set broadcast against corpus
     "data_split_balance", // 1-row split-totals scalar broadcast under the
                           // langs-sized cell table (χ² expectations)
-    "events_activity_pareto" // two 1-row scalar broadcasts (totals, cuts)
+    "events_activity_pareto", // two 1-row scalar broadcasts (totals, cuts)
                           // over the tiny activity histogram
+    "sim_ann_hamming"     // 10-query packed-code set (2 BIGINT words each)
+                          // broadcast against the corpus code scan — the
+                          // binary-quantization stage-1 linear scan; the
+                          // stage-2 rerank joins are equi-joins
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides

@@ -492,4 +492,109 @@ class SimilarityOpsSpec extends GraftSuite {
     assert((0 until 4).forall(m => got.keys.exists(_._1 == m)))
     assert(got.values.map(_._1).sum == 4L * emb.length)
   }
+
+  /** Sign-bit packing replay shared by the Hamming tests: two 32-bit
+    * words, first element of each half at weight 2^31.
+    */
+  private def packWords(qv: Seq[Long]): (Long, Long) = {
+    def word(lo: Int): Long =
+      qv.slice(lo, lo + 32).foldLeft(0L)((a, x) =>
+        a * 2 + (if (x > 0L) 1L else 0L))
+    (word(0), word(32))
+  }
+
+  test("hamming ANN: a planted clone is Hamming-0 and reranks first; a " +
+      "sign-flip is Hamming-64 and last") {
+    import spark.implicits._
+    val q = (0 until 64).map(i => (0.1f + 0.01f * i) * (if (i % 3 == 0) 1 else -1))
+    val rows = Seq(
+      (0L, q),                       // the query
+      (10L, q),                      // exact clone: ham 0, cos 1.0
+      (11L, q.map(x => -x)),         // sign flip: ham 64, cos -1.0
+      (12L, q.take(32) ++ q.drop(32).map(x => -x))) // half flip: ham 32
+    val got = SimilarityOps.hammingTopkFrom(
+        rows.toDF("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(got.length == 3)
+    assert(got(0) == ((0L, 10L, 0, 1.0, 1)), got.mkString(","))
+    assert(got(2)._2 == 11L && got(2)._3 == 64 && got(2)._4 == -1.0)
+    assert(got(1)._2 == 12L && got(1)._3 == 32)
+    spark.catalog.clearCache()
+  }
+
+  test("hamming ANN matches a full driver-side replay (codes, shortlist, " +
+      "exact rerank) on the sf corpus") {
+    val emb = graft.ops.Tables(spark, sfDir).embeddings
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v =>
+          math.floor(v.toDouble * 1000.0 + 0.5).toLong))
+      .toMap
+    val words = emb.view.mapValues(packWords).toMap
+    def nn(v: Seq[Long]): Long = v.map(x => x * x).sum
+    def cos(a: Seq[Long], b: Seq[Long]): Double =
+      if (nn(a) == 0L || nn(b) == 0L) 0.0
+      else a.zip(b).map { case (x, y) => x * y }.sum.toDouble /
+        (math.sqrt(nn(a).toDouble) * math.sqrt(nn(b).toDouble))
+    val want = emb.keys.filter(_ < 10).toSeq.sorted.flatMap { qid =>
+      val (qw1, qw2) = words(qid)
+      val shortlist = emb.keys.filter(_ >= 10).toSeq
+        .map { vid =>
+          val (w1, w2) = words(vid)
+          (vid, java.lang.Long.bitCount(w1 ^ qw1) +
+            java.lang.Long.bitCount(w2 ^ qw2))
+        }
+        .sortBy { case (vid, h) => (h, vid) }.take(20)
+      shortlist.map { case (vid, h) => (vid, h, cos(emb(qid), emb(vid))) }
+        .sortBy { case (vid, _, c) => (-c, vid) }.take(5)
+        .zipWithIndex
+        .map { case ((vid, h, c), i) => (qid, vid, h, c, i + 1) }
+    }
+    val got = SimilarityOps.queries("sim_ann_hamming")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getInt(4))).toSeq
+    assert(got == want, s"got=${got.take(8)} want=${want.take(8)}")
+    spark.catalog.clearCache()
+  }
+
+  test("int8 quantization audit: exact counts/max-error vs a driver-side " +
+      "replay, mse within fp tolerance, error bounded by half a bucket") {
+    val emb = graft.ops.Tables(spark, sfDir).embeddings
+      .select("label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val dims = emb.head._2.length
+    val mn = (0 until dims).map(i => emb.map(_._2(i)).min)
+    val mx = (0 until dims).map(i => emb.map(_._2(i)).max)
+    val errs = emb.map { case (lab, v) =>
+      lab -> (0 until dims).map { i =>
+        if (mx(i) == mn(i)) 0.0
+        else {
+          val c = math.min(math.max(
+            math.floor((v(i) - mn(i)) * 255.0 / (mx(i) - mn(i))), 0.0),
+            255.0)
+          v(i) - (mn(i) + (c + 0.5) * (mx(i) - mn(i)) / 255.0)
+        }
+      }
+    }
+    val want = errs.groupBy(_._1).view.mapValues { vs =>
+      val es = vs.flatMap(_._2)
+      (es.size.toLong, es.map(e => e * e).sum / es.size,
+        es.map(math.abs).max)
+    }.toMap
+    val got = SimilarityOps.queries("sim_quantize_int8")(spark, sfDir)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == want.keySet)
+    val halfBucket = (0 until dims).map(i => (mx(i) - mn(i)) / 510.0).max
+    got.foreach { case (lab, (n, mse, mae)) =>
+      val (wn, wmse, wmae) = want(lab)
+      assert(n == wn && mae == wmae, s"label $lab")
+      // the operator's mse goes through the DECIMAL exact-sum contract;
+      // the plain double replay agrees to fp-reassociation tolerance
+      assert(math.abs(mse - wmse) <= 1e-9 * math.max(mse, 1e-12),
+        s"label $lab mse got=$mse want=$wmse")
+      assert(mae <= halfBucket * (1 + 1e-12))
+    }
+  }
 }
