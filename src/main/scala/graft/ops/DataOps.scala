@@ -908,6 +908,68 @@ object DataOps {
         .withColumn("at_risk", col("l_div") < 3)
         .orderBy("c_nationkey", "bal_band")
     },
+    // t-closeness audit (Li/Li/Venkatasubramanian, ICDE 2007) — the third
+    // rung of the privacy-audit ladder after k-anonymity and l-diversity:
+    // a QI group can be large (k ok) and diverse (l ok) yet still leak if
+    // its SENSITIVE-VALUE DISTRIBUTION deviates from the table's (e.g. a
+    // group that is 90% bottom balance band). For the ORDERED sensitive
+    // attribute (balance band) t = the Earth Mover's Distance between the
+    // group's band distribution and the global one = Σ|cumulative diff| /
+    // (B−1). All arithmetic is exact until the single final division:
+    // the cumulative difference is cross-multiplied to the common
+    // denominator n_g·N (cum_gb·N − cum_b·n_g), carried as DECIMAL
+    // products (the data_table_checksum lesson — Long cross-products
+    // overflow exactly at the population scale a privacy audit targets).
+    // Scale shape: the corpus collapses to QI×B cells in one map-side-
+    // combined aggregate; the grid densify (missing bands = 0), windows,
+    // and EMD all run over that metadata-sized frame.
+    "data_t_closeness" -> { (s, d) =>
+      val cells = Tables(s, d).customer
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 2000.0).cast("long").as("band"))
+        .agg(count(lit(1)).as("n_gb"))
+      val groups = cells.groupBy("c_nationkey", "c_mktsegment")
+        .agg(sum(col("n_gb")).as("n_g"))
+      val bands = cells.groupBy("band").agg(sum(col("n_gb")).as("n_b"))
+      val tot = bands.agg(sum(col("n_b")).as("nn"),
+        count(lit(1)).as("n_bands"))
+      def dec(c: Column): Column = c.cast("decimal(19,0)")
+      val w = Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      groups.crossJoin(broadcast(bands))
+        .join(cells, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+        .na.fill(0L, Seq("n_gb"))
+        .crossJoin(broadcast(tot))
+        .withColumn("cd", sum(dec(col("n_gb")) * dec(col("nn")) -
+          dec(col("n_b")) * dec(col("n_g"))).over(w))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("n_g"))
+        .agg(sum(abs(col("cd"))).as("sabs"),
+          max(col("nn")).as("nn"), max(col("n_bands")).as("nb"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          col("n_g").as("n"),
+          (col("sabs").cast("double") /
+            (col("n_g").cast("double") * col("nn").cast("double") *
+              (col("nb") - 1).cast("double"))).as("t_emd"))
+        .withColumn("at_risk", col("t_emd") > 0.25)
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+    // k-anonymity ENFORCEMENT via a generalization ladder — the audit
+    // family's missing action: groups below k at the finest
+    // quasi-identifier (lang, source) escalate as a WHOLE to (lang, *);
+    // if the pooled LEVEL-1 RESIDUAL (only the escalated rows — a
+    // classic ladder bug pools the already-published level-0 rows too,
+    // undercounting re-identification risk) is still below k it
+    // suppresses to (*, *). Emits the generalized release table: one row
+    // per published group with its generalization level. Scale shape:
+    // everything after the first map-side-combined groupBy runs on the
+    // QI-sized group table; tagging the corpus rows themselves is the
+    // same logic as a broadcast map-only join. The suppressed (*,*)
+    // bucket is reported whatever its size — in production it is
+    // redacted, never published.
+    "data_anonymize_ladder" -> { (s, d) =>
+      anonymizeLadderFrom(Tables(s, d).documents, 10)
+    },
     // Contamination SCORE per training document — the thresholdable
     // readout behind data_decontaminate's drop list: every corpus doc's
     // total distinct 8-gram count, how many of those appear in the
@@ -1190,6 +1252,30 @@ object DataOps {
     * semantics are the pipeline_pretrain scaladoc's; benchmark docs are
     * doc_id < 20 (the decontamination family's convention).
     */
+  /** The generalization-ladder core over any (lang, source) frame —
+    * separated so specs can plant a residual pool small enough to force
+    * the (*,*) suppression rung. See `data_anonymize_ladder`.
+    */
+  private[graft] def anonymizeLadderFrom(docs: DataFrame, k: Int)
+      : DataFrame = {
+    val n0 = docs.groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
+    val keep0 = n0.filter(col("n_docs") >= k)
+      .select(col("lang").as("lang_gen"), col("source").as("source_gen"),
+        lit(0).as("level"), col("n_docs"))
+    val resid1 = n0.filter(col("n_docs") < k)
+      .groupBy("lang").agg(sum(col("n_docs")).as("n_docs"))
+    val keep1 = resid1.filter(col("n_docs") >= k)
+      .select(col("lang").as("lang_gen"), lit("*").as("source_gen"),
+        lit(1).as("level"), col("n_docs"))
+    val suppressed = resid1.filter(col("n_docs") < k)
+      .agg(sum(col("n_docs")).as("n_docs"))
+      .filter(col("n_docs").isNotNull)
+      .select(lit("*").as("lang_gen"), lit("*").as("source_gen"),
+        lit(2).as("level"), col("n_docs"))
+    keep0.unionAll(keep1).unionAll(suppressed)
+      .orderBy("level", "lang_gen", "source_gen")
+  }
+
   private[graft] def pipelinePretrainFrom(docs: DataFrame): DataFrame = {
     val toksC = split(col("text"), " ")
     val nTok = size(toksC)
@@ -1762,6 +1848,51 @@ object DataOps {
         |  count(DISTINCT c_mktsegment) < 3 AS at_risk
         |FROM customer GROUP BY 1, 2
         |ORDER BY c_nationkey, bal_band""".stripMargin,
+    "data_t_closeness" ->
+      """WITH cells AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band,
+        |    count(*) AS n_gb
+        |  FROM customer GROUP BY 1, 2, 3),
+        |grp AS (SELECT c_nationkey, c_mktsegment, sum(n_gb) AS n_g
+        |  FROM cells GROUP BY 1, 2),
+        |bnd AS (SELECT band, sum(n_gb) AS n_b FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(n_b) AS nn, count(*) AS n_bands FROM bnd),
+        |grid AS (SELECT g.c_nationkey, g.c_mktsegment, g.n_g,
+        |    b.band, b.n_b, COALESCE(c.n_gb, 0) AS n_gb
+        |  FROM grp g CROSS JOIN bnd b
+        |  LEFT JOIN cells c ON c.c_nationkey = g.c_nationkey
+        |    AND c.c_mktsegment = g.c_mktsegment AND c.band = b.band),
+        |cum AS (SELECT c_nationkey, c_mktsegment, n_g, nn, n_bands,
+        |    sum(CAST(n_gb AS DECIMAL(19,0)) * CAST(nn AS DECIMAL(19,0)) -
+        |        CAST(n_b AS DECIMAL(19,0)) * CAST(n_g AS DECIMAL(19,0)))
+        |      OVER (PARTITION BY c_nationkey, c_mktsegment ORDER BY band
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd
+        |  FROM grid CROSS JOIN tot),
+        |emd AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(n_g AS BIGINT) AS n,
+        |    CAST(sum(abs(cd)) AS DOUBLE) /
+        |      (CAST(n_g AS DOUBLE) * CAST(max(nn) AS DOUBLE) *
+        |        CAST(max(n_bands) - 1 AS DOUBLE)) AS t_emd
+        |  FROM cum GROUP BY c_nationkey, c_mktsegment, n_g)
+        |SELECT c_nationkey, c_mktsegment, n, t_emd, t_emd > 0.25 AS at_risk
+        |FROM emd ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+    "data_anonymize_ladder" ->
+      """WITH n0 AS (SELECT lang, source, count(*) AS n_docs
+        |  FROM documents GROUP BY 1, 2),
+        |keep0 AS (SELECT lang AS lang_gen, source AS source_gen,
+        |    0 AS level, n_docs FROM n0 WHERE n_docs >= 10),
+        |resid1 AS (SELECT lang, sum(n_docs) AS n_docs FROM n0
+        |  WHERE n_docs < 10 GROUP BY 1),
+        |keep1 AS (SELECT lang AS lang_gen, '*' AS source_gen,
+        |    1 AS level, n_docs FROM resid1 WHERE n_docs >= 10),
+        |supp AS (SELECT '*' AS lang_gen, '*' AS source_gen, 2 AS level,
+        |    n_docs FROM (SELECT sum(n_docs) AS n_docs FROM resid1
+        |      WHERE n_docs < 10) WHERE n_docs IS NOT NULL)
+        |SELECT lang_gen, source_gen, CAST(level AS INT) AS level,
+        |  CAST(n_docs AS BIGINT) AS n_docs
+        |FROM (SELECT * FROM keep0 UNION ALL SELECT * FROM keep1
+        |      UNION ALL SELECT * FROM supp)
+        |ORDER BY level, lang_gen, source_gen""".stripMargin,
     "data_contamination_score" ->
       s"""WITH $gramCtes,
          |tot AS (SELECT doc_id, count(*) AS n_grams FROM g

@@ -700,4 +700,68 @@ class DataOpsSpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getString(1)))
     assert(got.toSeq == want.toSeq)
   }
+
+  test("t-closeness: EMD matches a BigInt driver-side replay and stays " +
+      "in [0, 1]") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Tables(spark, sfDir).customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 2000.0).cast("long").as("band"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val bands = rows.map(_._3).distinct.sorted
+    val bTot = rows.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val nTot = rows.length.toLong
+    val want = rows.groupBy(r => (r._1, r._2)).view.map { case (g, rs) =>
+      val nG = rs.size.toLong
+      val gb = rs.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+      var cum = BigInt(0)
+      var sabs = BigInt(0)
+      bands.foreach { b =>
+        cum += BigInt(gb.getOrElse(b, 0L)) * nTot - BigInt(bTot(b)) * nG
+        sabs += cum.abs
+      }
+      g -> ((nG, sabs.toDouble /
+        (nG.toDouble * nTot.toDouble * (bands.size - 1).toDouble)))
+    }.toMap
+    val got = graft.ops.DataOps.queries("data_t_closeness")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == want, s"sizes got=${got.size} want=${want.size}")
+    got.values.foreach { case (_, emd) => assert(emd >= 0.0 && emd <= 1.0) }
+    // the cross-multiplied cumulative telescopes to zero exactly, so at
+    // least one sharply-skewed small group should stand out
+    assert(got.values.exists(_._2 > 0.2))
+  }
+
+  test("anonymize ladder: published groups meet k, totals tile the " +
+      "corpus, and a planted thin residual is suppressed") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val k = 10
+    val got = graft.ops.DataOps
+      .queries("data_anonymize_ladder")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val total = graft.ops.Tables(spark, sfDir).documents.count()
+    assert(got.map(_._4).sum == total) // every doc lands in exactly one row
+    got.filter(_._3 < 2).foreach { case (l, s, lvl, n) =>
+      assert(n >= k, s"($l,$s) level $lvl published below k: $n")
+    }
+    // level-0 rows keep both QI columns; level-1 rows star the source
+    assert(got.filter(_._3 == 0).forall(r => r._1 != "*" && r._2 != "*"))
+    assert(got.filter(_._3 == 1).forall(r => r._1 != "*" && r._2 == "*"))
+    // planted: lang a publishes at level 0, lang b's thin sources pool to
+    // a level-1 group, lang c's residual stays under k -> suppressed
+    val docs = (
+      (1 to 12).map(i => (s"d0$i", "a", "s1")) ++
+        (1 to 12).map(i => (s"d1$i", "b", s"s${i % 3}")) ++
+        (1 to 4).map(i => (s"d2$i", "c", s"s${i % 2}")))
+      .toDF("doc_id", "lang", "source")
+    val planted = graft.ops.DataOps.anonymizeLadderFrom(docs, k)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(planted == Set(("a", "s1", 0, 12L), ("b", "*", 1, 12L),
+      ("*", "*", 2, 4L)), planted.toString)
+  }
 }

@@ -109,10 +109,13 @@ class PlanCheckSpec extends GraftSuite {
                           // langs-sized cell table (χ² expectations)
     "events_activity_pareto", // two 1-row scalar broadcasts (totals, cuts)
                           // over the tiny activity histogram
-    "sim_ann_hamming"     // 10-query packed-code set (2 BIGINT words each)
+    "sim_ann_hamming",    // 10-query packed-code set (2 BIGINT words each)
                           // broadcast against the corpus code scan — the
                           // binary-quantization stage-1 linear scan; the
                           // stage-2 rerank joins are equi-joins
+    "data_t_closeness"    // band-dimension (B rows) densify under the
+                          // QI-sized group table + 1-row totals scalar —
+                          // all metadata-scale after the first aggregate
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides
