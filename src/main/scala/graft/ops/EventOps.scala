@@ -499,6 +499,53 @@ object EventOps {
           (col("ev1").cast("double") / col("n_events").cast("double"))
             .as("share_top1pct"))
     },
+    // Daily discrete-time churn hazard — the Kaplan-Meier INPUT table
+    // over user lifetimes: per calendar day, how many users are AT RISK
+    // (first activity on or before the day, last activity on or after),
+    // how many CHURN (last-ever activity that day), and how many are
+    // CENSORED (still active at the corpus boundary — the final-day
+    // last-seen users are unresolved, counting them as churn is the
+    // classic right-censoring bug). hazard = churned/at_risk is the one
+    // IEEE division; survival-curve products are left to the consumer
+    // because a cross-engine float product chain is not bit-stable.
+    // Scale shape: the corpus collapses to per-user (first, last) in one
+    // map-side-combined aggregate; first/last day counts, the densified
+    // day spine, and both cumulative windows all run on the day-sized
+    // metadata frame.
+    "events_hazard_daily" -> { (s, d) =>
+      val spans = withMs(Tables(s, d).events)
+        .select(col("user_id"), expr(floorDivSql("ts_ms", DayMs)).as("day"))
+        .groupBy("user_id")
+        .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+        .persist() // feeds the bounds row and the two day-count aggregates
+      val bounds = spans.agg(min(col("first_day")).as("lo"),
+        max(col("last_day")).as("hi"))
+      val firsts = spans.groupBy(col("first_day").as("day"))
+        .agg(count(lit(1)).as("nf"))
+      val lasts = spans.groupBy(col("last_day").as("day"))
+        .agg(count(lit(1)).as("nl"))
+      val spine = bounds
+        .select(col("hi"), explode(sequence(col("lo"), col("hi"))).as("day"))
+      val wc = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wp = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      spine.join(firsts, Seq("day"), "left").join(lasts, Seq("day"), "left")
+        .na.fill(0L, Seq("nf", "nl"))
+        .withColumn("cum_f", sum(col("nf")).over(wc))
+        .withColumn("clp", coalesce(sum(col("nl")).over(wp), lit(0L)))
+        .withColumn("n_at_risk", col("cum_f") - col("clp"))
+        .withColumn("n_churned",
+          when(col("day") < col("hi"), col("nl")).otherwise(lit(0L)))
+        .withColumn("n_censored",
+          when(col("day") === col("hi"), col("nl")).otherwise(lit(0L)))
+        .select(col("day"), col("n_at_risk"), col("n_churned"),
+          col("n_censored"),
+          when(col("n_at_risk") > 0L,
+            col("n_churned").cast("double") / col("n_at_risk").cast("double"))
+            .as("hazard"))
+        .orderBy("day")
+    },
     // Seasonal (hour-of-day-conditioned) anomaly detection — the
     // deseasonalized sibling of events_mad_anomaly: traffic has a daily
     // rhythm, so a raw threshold flags every quiet 3 AM as anomalous and
@@ -835,6 +882,40 @@ object EventOps {
           (col("conv_b").cast("double") / col("users_b").cast("double"))
             .as("rate_b"))
         .withColumn("lift", col("rate_b") / col("rate_a"))
+    },
+    // Quantile treatment-effect readout — the robust sibling of
+    // events_ab_lift: mean lift is whale-dominated (one heavy spender
+    // flips the sign), so report the per-arm DISTRIBUTION of the
+    // per-user metric instead — p25/p50/p75/p90 of per-user purchase
+    // value under the same deterministic xxh64 arm split,
+    // intent-to-treat (non-purchasing users enter as 0.0 — dropping
+    // them biases both arms toward their converters). The per-user sum
+    // goes through the DECIMAL exact-sum contract; the interpolated
+    // quantiles ride the percentile ≡ quantile_cont parity agg_median
+    // pins. Shape: one user-keyed aggregate (map-side combined), then a
+    // 2-group percentile whose per-group sort is the corpus-independent
+    // user count.
+    "events_ab_quantiles" -> { (s, d) =>
+      val perUser = Tables(s, d).events
+        .groupBy("user_id")
+        .agg(coalesce(
+          sum(when(col("event_type") === "purchase", col("value"))
+            .cast(DecimalType(28, 6))).cast(DoubleType),
+          lit(0.0)).as("m"))
+        .withColumn("arm",
+          when(pmod(xxhash64(concat(lit("AB"),
+            col("user_id").cast("string"))), lit(2)) === 0, "A")
+            .otherwise("B"))
+      perUser.groupBy("arm")
+        .agg(count(lit(1)).as("n_users"),
+          percentile(col("m"),
+            array(lit(0.25), lit(0.5), lit(0.75), lit(0.9))).as("qs"))
+        .select(col("arm"), col("n_users"),
+          element_at(col("qs"), 1).as("p25"),
+          element_at(col("qs"), 2).as("p50"),
+          element_at(col("qs"), 3).as("p75"),
+          element_at(col("qs"), 4).as("p90"))
+        .orderBy("arm")
     },
     // Seasonal-naive forecast backtest — the baseline every forecasting
     // system must beat (and the honest first model for capacity
@@ -1885,6 +1966,44 @@ object EventOps {
         |  CAST(max(CASE WHEN a = cut1 THEN ce END) AS DOUBLE) /
         |    CAST(max(ce) AS DOUBLE) AS share_top1pct
         |FROM cum CROSS JOIN cuts""".stripMargin,
+    "events_hazard_daily" ->
+      """WITH spans AS (SELECT user_id,
+        |    min(epoch_ms(ts) // 86400000) AS fd,
+        |    max(epoch_ms(ts) // 86400000) AS ld
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT min(fd) AS lo, max(ld) AS hi FROM spans),
+        |f AS (SELECT fd AS day, count(*) AS nf FROM spans GROUP BY 1),
+        |l AS (SELECT ld AS day, count(*) AS nl FROM spans GROUP BY 1),
+        |spine AS (SELECT unnest(generate_series(lo, hi)) AS day, hi FROM b),
+        |dd AS (SELECT day, hi, COALESCE(nf, 0) AS nf, COALESCE(nl, 0) AS nl
+        |  FROM spine LEFT JOIN f USING (day) LEFT JOIN l USING (day)),
+        |c AS (SELECT day, hi, nl,
+        |    sum(nf) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf,
+        |    COALESCE(sum(nl) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS clp
+        |  FROM dd)
+        |SELECT day, CAST(cf - clp AS BIGINT) AS n_at_risk,
+        |  CAST(CASE WHEN day < hi THEN nl ELSE 0 END AS BIGINT)
+        |    AS n_churned,
+        |  CAST(CASE WHEN day = hi THEN nl ELSE 0 END AS BIGINT)
+        |    AS n_censored,
+        |  CASE WHEN cf - clp > 0 THEN
+        |    CAST(CASE WHEN day < hi THEN nl ELSE 0 END AS DOUBLE) /
+        |      CAST(cf - clp AS DOUBLE) END AS hazard
+        |FROM c ORDER BY day""".stripMargin,
+    "events_ab_quantiles" ->
+      s"""WITH pu AS (SELECT user_id,
+         |    COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE), 0.0) AS m
+         |  FROM events GROUP BY 1),
+         |arms AS (SELECT m, CASE WHEN
+         |    ((${XxhSql.expr("'AB' || CAST(user_id AS VARCHAR)", "42")}
+         |      % 2) + 2) % 2 = 0 THEN 'A' ELSE 'B' END AS arm FROM pu)
+         |SELECT arm, count(*) AS n_users,
+         |  quantile_cont(m, 0.25) AS p25, quantile_cont(m, 0.5) AS p50,
+         |  quantile_cont(m, 0.75) AS p75, quantile_cont(m, 0.9) AS p90
+         |FROM arms GROUP BY arm ORDER BY arm""".stripMargin,
     "events_seasonal_anomaly" ->
       """WITH hourly AS (SELECT event_type,
         |    epoch_ms(ts) // 86400000 AS day,

@@ -907,6 +907,77 @@ class EventOpsSpec extends GraftSuite {
     assert(got.getLong(0) >= got.getLong(1) && got.getLong(1) >= got.getLong(2))
   }
 
+  test("hazard: at-risk/churn/censor tiling matches a driver-side span " +
+      "replay; censoring absorbs the boundary day") {
+    import org.apache.spark.sql.functions._
+    val spans = graft.ops.Tables(spark, sfDir).events
+      .select(col("user_id"), (unix_millis(col("ts")) / 86400000L)
+        .cast("long").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(ds => (ds.map(_._2).min, ds.map(_._2).max))
+      .toMap
+    val lo = spans.values.map(_._1).min
+    val hi = spans.values.map(_._2).max
+    val want = (lo to hi).map { day =>
+      val atRisk = spans.values.count { case (f, l) => f <= day && l >= day }
+      val last = spans.values.count(_._2 == day)
+      val churned = if (day < hi) last else 0
+      val censored = if (day == hi) last else 0
+      (day, atRisk.toLong, churned.toLong, censored.toLong,
+        if (atRisk > 0) Some(churned.toDouble / atRisk.toDouble) else None)
+    }
+    val got = EventOps.queries("events_hazard_daily")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toSeq
+    assert(got == want, s"got=${got.take(4)} want=${want.take(4)}")
+    // every user resolves exactly once: churned xor censored
+    assert(got.map(r => r._3 + r._4).sum == spans.size.toLong)
+    assert(got.last._4 > 0L) // boundary-day users are censored, not churned
+  }
+
+  test("ab quantiles: per-arm distribution matches a driver-side " +
+      "decimal-metric replay") {
+    import org.apache.spark.sql.functions._
+    // arm assignment fetched via Spark's own xxhash64 (bit-identical
+    // permutation); the metric and quantiles replayed in pure Scala
+    val pu = graft.ops.Tables(spark, sfDir).events
+      .groupBy("user_id")
+      .agg(coalesce(
+        sum(when(col("event_type") === "purchase", col("value"))
+          .cast("decimal(28,6)")).cast("double"), lit(0.0)).as("m"))
+      .withColumn("arm",
+        when(pmod(xxhash64(concat(lit("AB"),
+          col("user_id").cast("string"))), lit(2)) === 0, "A")
+          .otherwise("B"))
+      .collect().map(r => (r.getString(2), r.getDouble(1)))
+    def q(vs: Seq[Double], p: Double): Double = {
+      val s = vs.sorted
+      val h = p * (s.size - 1)
+      val (l, u) = (math.floor(h).toInt, math.ceil(h).toInt)
+      s(l) + (h - l) * (s(u) - s(l))
+    }
+    val want = pu.groupBy(_._1).view.mapValues { rs =>
+      val vs = rs.map(_._2).toSeq
+      (vs.size.toLong, Seq(0.25, 0.5, 0.75, 0.9).map(q(vs, _)))
+    }.toMap
+    val got = EventOps.queries("events_ab_quantiles")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Seq(r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getDouble(5))))).toMap
+    assert(got.keySet == Set("A", "B"))
+    got.foreach { case (arm, (n, qs)) =>
+      val (wn, wqs) = want(arm)
+      assert(n == wn, s"arm $arm users")
+      qs.zip(wqs).foreach { case (g, w) =>
+        assert(math.abs(g - w) <= 1e-9 * math.max(math.abs(w), 1.0),
+          s"arm $arm got=$qs want=$wqs")
+      }
+      // the distribution is a valid monotone quantile profile
+      assert(qs == qs.sorted && qs.head >= 0.0)
+    }
+  }
+
   test("new-vs-returning: daily split matches a driver-side first-day fold") {
     import org.apache.spark.sql.functions._
     val days = graft.ops.Tables(spark, sfDir).events
