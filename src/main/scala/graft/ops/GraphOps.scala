@@ -267,6 +267,21 @@ object GraphOps {
       labelPropagationFrom(copurchaseEdges(Tables(s, d), minSupport = 2),
         rounds = 3)
     },
+    // Modularity (Newman 2004) of the label-propagation communities —
+    // the quality metric the community detector ships without: does the
+    // partition beat a random degree-preserving graph? Emitted per
+    // community as the EXACT integer sufficient statistics (node count,
+    // degree sum, intra-community edge count) plus the one-IEEE-division
+    // contribution q_c = (4·m·e_c − d_c²)/(4m²); Σ q_c = Q, the same
+    // exact-sufficient-statistic doctrine as graph_assortativity. The
+    // cross-product 4·m·e_c is carried in DECIMAL (overflows int64 near
+    // 10⁹ edges — the table-checksum lesson). Shape: degrees and
+    // intra-edge counts are edge-keyed aggregates; everything after runs
+    // label-sized with the 1-row edge total broadcast.
+    "graph_modularity" -> { (s, d) =>
+      modularityFrom(copurchaseEdges(Tables(s, d), minSupport = 2),
+        rounds = 3)
+    },
     // HITS hubs & authorities (Kleinberg 1999) on the DIRECTED bipartite
     // trade graph (customer → supplier) — the mutual-reinforcement
     // readout PageRank's single score can't express: a hub customer is
@@ -526,6 +541,40 @@ object GraphOps {
         .select(col("node"), (-col("m.neg")).as("label"))
     }
     labels.orderBy("node")
+  }
+
+  /** Per-community modularity contributions of the
+    * [[labelPropagationFrom]] partition — see the `graph_modularity`
+    * query comment. `edges` must be canonical undirected (u < v,
+    * distinct).
+    */
+  def modularityFrom(edges0: DataFrame, rounds: Int): DataFrame = {
+    val edges = edges0.persist()
+    val labels = labelPropagationFrom(edges, rounds)
+    val m = edges.agg(count(lit(1)).as("m_edges"))
+    val deg = edges.select(col("u").as("x"))
+      .unionAll(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("dg"))
+    val dc = deg.join(labels.select(col("node").as("x"), col("label")), "x")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("dg")).as("degree_sum"))
+    val ic = edges
+      .join(labels.select(col("node").as("u"), col("label").as("lu")), "u")
+      .join(labels.select(col("node").as("v"), col("label").as("lv")), "v")
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("label")).agg(count(lit(1)).as("intra_edges"))
+    dc.join(ic, Seq("label"), "left")
+      .na.fill(0L, Seq("intra_edges"))
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("n_nodes"), col("degree_sum"),
+        col("intra_edges"),
+        (((col("m_edges") * 4).cast("decimal(19,0)") *
+          col("intra_edges").cast("decimal(19,0)") -
+          col("degree_sum").cast("decimal(19,0)") *
+            col("degree_sum").cast("decimal(19,0)")).cast("double") /
+          (lit(4.0) * col("m_edges").cast("double") *
+            col("m_edges").cast("double"))).as("q_contrib"))
+      .orderBy("label")
   }
 
   /** Deterministic hash-seeded random walks (see the `graph_random_walk`
@@ -1014,24 +1063,37 @@ object GraphOps {
            |    PARTITION BY node ORDER BY w, u, v) AS rk FROM dir)
            |SELECT DISTINCT u, v, w FROM pick WHERE rk = 1
            |ORDER BY u, v""".stripMargin,
-      "graph_label_propagation" -> {
-        // the same three synchronous argmax rounds, CTE for CTE
-        def round(prev: String, ln: String): String =
-          s"""$ln AS (SELECT src AS node, label FROM (
-             |  SELECT e.src, l.label,
-             |    row_number() OVER (PARTITION BY e.src
-             |      ORDER BY count(*) DESC, l.label ASC) AS rk
-             |  FROM und e JOIN $prev l ON e.dst = l.node
-             |  GROUP BY e.src, l.label) WHERE rk = 1)""".stripMargin
-        val chain = (1 to 3)
-          .map(i => round(s"l${i - 1}", s"l$i")).mkString(",\n")
+      "graph_label_propagation" ->
         s"""WITH $copurchaseSql,
-           |und AS (SELECT u AS src, v AS dst FROM e0
-           |  UNION ALL SELECT v, u FROM e0),
-           |l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
-           |$chain
-           |SELECT node, label FROM l3 ORDER BY node""".stripMargin
-      },
+           |$labelPropChainSql
+           |SELECT node, label FROM l3 ORDER BY node""".stripMargin,
+      // the label-propagation chain verbatim, then the exact-integer
+      // sufficient statistics and the pinned q_contrib division tree
+      "graph_modularity" ->
+        s"""WITH $copurchaseSql,
+           |$labelPropChainSql,
+           |m AS (SELECT count(*) AS m_edges FROM e0),
+           |deg AS (SELECT src AS node, count(*) AS dg FROM und
+           |  GROUP BY 1),
+           |dc AS (SELECT l.label, count(*) AS n_nodes,
+           |    CAST(sum(dg) AS BIGINT) AS degree_sum
+           |  FROM deg d JOIN l3 l ON l.node = d.node GROUP BY 1),
+           |ic AS (SELECT lu.label, count(*) AS e_c
+           |  FROM e0 JOIN l3 lu ON lu.node = e0.u
+           |    JOIN l3 lv ON lv.node = e0.v
+           |  WHERE lu.label = lv.label GROUP BY 1),
+           |c AS (SELECT dc.label, n_nodes, degree_sum,
+           |    CAST(COALESCE(e_c, 0) AS BIGINT) AS intra_edges
+           |  FROM dc LEFT JOIN ic ON ic.label = dc.label)
+           |SELECT label, CAST(n_nodes AS BIGINT) AS n_nodes, degree_sum,
+           |  intra_edges,
+           |  CAST(CAST(m_edges * 4 AS DECIMAL(19,0)) *
+           |      CAST(intra_edges AS DECIMAL(19,0)) -
+           |      CAST(degree_sum AS DECIMAL(19,0)) *
+           |      CAST(degree_sum AS DECIMAL(19,0)) AS DOUBLE) /
+           |    (4.0 * CAST(m_edges AS DOUBLE) * CAST(m_edges AS DOUBLE))
+           |    AS q_contrib
+           |FROM c CROSS JOIN m ORDER BY label""".stripMargin,
       "graph_hits" -> {
         // the same two L1-normalized h/a rounds, CTE for CTE; sums are
         // HUGEINT (the Spark side uses DECIMAL(38,0)) and the normalize
@@ -1126,4 +1188,25 @@ object GraphOps {
       |e0 AS (SELECT a.p AS u, b.p AS v FROM it a
       |  JOIN it b ON a.ok = b.ok AND a.p < b.p
       |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  /** The three synchronous label-propagation argmax rounds over e0, CTE
+    * for CTE against [[labelPropagationFrom]] — shared by the
+    * label_propagation and modularity oracles so the partition they
+    * check is the same text. Exposes `und` and `l3`.
+    */
+  private val labelPropChainSql: String = {
+    def round(prev: String, ln: String): String =
+      s"""$ln AS (SELECT src AS node, label FROM (
+         |  SELECT e.src, l.label,
+         |    row_number() OVER (PARTITION BY e.src
+         |      ORDER BY count(*) DESC, l.label ASC) AS rk
+         |  FROM und e JOIN $prev l ON e.dst = l.node
+         |  GROUP BY e.src, l.label) WHERE rk = 1)""".stripMargin
+    val chain = (1 to 3)
+      .map(i => round(s"l${i - 1}", s"l$i")).mkString(",\n")
+    s"""und AS (SELECT u AS src, v AS dst FROM e0
+       |  UNION ALL SELECT v, u FROM e0),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+       |$chain""".stripMargin
+  }
 }

@@ -393,6 +393,30 @@ object SimilarityOps {
     "sim_ann_hamming" -> { (s, d) =>
       hammingTopkFrom(Tables(s, d).embeddings)
     },
+    // Recall@5 of the binary-quantization Hamming search against the
+    // brute-force ground truth — the evaluation row every ANN variant in
+    // this suite ships with (sim_ann_recall, sim_ann_recall_ivf): the
+    // 64→2-word code compression loses angular resolution, and this
+    // measures that loss as a NUMBER in the gate. Same plan shape as the
+    // other recall rows: both top-5 pipelines, a left-semi intersection
+    // count, per-query readout.
+    "sim_ann_recall_hamming" -> { (s, d) =>
+      val e = Tables(s, d).embeddings
+      val bf = bruteTopkFrom(e).select("query_id", "vec_id")
+      val hm = hammingTopkFrom(e)
+        .select(col("query_id").as("lq"), col("vec_id").as("lv"))
+      val hits = bf.join(hm,
+          col("query_id") === col("lq") && col("vec_id") === col("lv"),
+          "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      bf.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / 5.0)
+            .as("recall_at_5"))
+        .orderBy("query_id")
+    },
     // Int8 scalar quantization audit — the calibration+error readout every
     // vector store runs before switching the index to int8 storage: per
     // dimension, min/max over the corpus (the affine calibration range),
@@ -910,6 +934,63 @@ object SimilarityOps {
         |      ORDER BY cos DESC, vec_id ASC) AS INT) AS rk FROM scored)
         |SELECT query_id, vec_id, ham, cos, rk FROM ranked
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // the sim_ann_hamming CTEs (codes, shortlist, rerank) next to the
+    // sim_topk_bruteforce CTEs, intersected per query
+    "sim_ann_recall_hamming" ->
+      """WITH q AS (SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5)
+        |      AS BIGINT) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
+        |w AS (SELECT vec_id,
+        |    sum(CASE WHEN i <= 32 AND v > 0
+        |        THEN (CAST(1 AS BIGINT) << (32 - i)) ELSE 0 END) AS w1,
+        |    sum(CASE WHEN i > 32 AND v > 0
+        |        THEN (CAST(1 AS BIGINT) << (64 - i)) ELSE 0 END) AS w2
+        |  FROM q GROUP BY vec_id),
+        |ham AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+        |    CAST(bit_count(xor(a.w1, b.w1)) +
+        |         bit_count(xor(a.w2, b.w2)) AS INT) AS ham
+        |  FROM w a JOIN w b ON a.vec_id < 10 AND b.vec_id >= 10),
+        |short AS (SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY ham ASC, vec_id ASC) AS rn FROM ham) r
+        |  WHERE rn <= 20),
+        |hdot AS (SELECT s.query_id, s.vec_id, sum(a.v * b.v) AS dot
+        |  FROM short s JOIN q a ON a.vec_id = s.query_id
+        |    JOIN q b ON b.vec_id = s.vec_id AND a.i = b.i
+        |  GROUP BY 1, 2),
+        |hscored AS (SELECT query_id, hdot.vec_id AS vec_id,
+        |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+        |           sqrt(CAST(nb.nn AS DOUBLE))) END AS cos
+        |  FROM hdot JOIN n na ON na.vec_id = query_id
+        |            JOIN n nb ON nb.vec_id = hdot.vec_id),
+        |htop AS (SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rk FROM hscored)
+        |  WHERE rk <= 5),
+        |bdot AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+        |           sum(a.v * b.v) AS dot
+        |         FROM q a JOIN q b ON b.i = a.i AND b.vec_id >= 10
+        |         WHERE a.vec_id < 10 GROUP BY 1, 2),
+        |bscored AS (SELECT query_id, bdot.vec_id AS vec_id,
+        |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+        |           sqrt(CAST(nb.nn AS DOUBLE))) END AS cos
+        |  FROM bdot JOIN n na ON na.vec_id = query_id
+        |            JOIN n nb ON nb.vec_id = bdot.vec_id),
+        |btop AS (SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rk FROM bscored)
+        |  WHERE rk <= 5)
+        |SELECT b.query_id, CAST(count(h.vec_id) AS BIGINT) AS n_hit,
+        |  CAST(count(h.vec_id) AS DOUBLE) / 5.0 AS recall_at_5
+        |FROM btop b LEFT JOIN htop h
+        |  ON h.query_id = b.query_id AND h.vec_id = b.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_quantize_int8" ->
       s"""WITH e AS (SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x
          |  FROM embeddings,

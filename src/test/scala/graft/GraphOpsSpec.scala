@@ -555,4 +555,46 @@ class GraphOpsSpec extends GraftSuite {
       assert(nc == ns && nc + ns == size)
     }
   }
+
+  test("modularity: sufficient statistics match a BigInt replay of the " +
+      "partition, degrees tile 2m, and Q is in range") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a planted barbell: two triangles joined by one bridge — label prop
+    // resolves two communities and the hand formula is checkable
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("u", "v")
+    val labels = graft.ops.GraphOps.labelPropagationFrom(edges, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = graft.ops.GraphOps.modularityFrom(edges, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val m = es.size.toLong
+    val deg = es.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = labels.values.toSeq.distinct.sorted.map { c =>
+      val nodes = labels.filter(_._2 == c).keySet
+      val dC = nodes.toSeq.map(deg).sum
+      val eC = es.count(e => nodes(e._1) && nodes(e._2)).toLong
+      (c, nodes.size.toLong, dC, eC,
+        (BigInt(4 * m) * BigInt(eC) - BigInt(dC) * BigInt(dC)).toDouble /
+          (4.0 * m.toDouble * m.toDouble))
+    }
+    assert(got.toSeq == want, s"got=${got.toSeq} want=$want")
+    // degrees tile every edge twice; total Q positive for real structure
+    assert(got.map(_._3).sum == 2 * m)
+    val q = got.map(_._5).sum
+    assert(q > 0.2 && q <= 1.0, s"Q=$q")
+    spark.catalog.clearCache()
+    // and on the sf corpus: a valid partition readout end-to-end
+    val sf = graft.ops.GraphOps.queries("graph_modularity")(spark, sfDir)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val mSf = sf.map(_._1).sum / 2
+    assert(sf.map(_._2).sum <= mSf && sf.nonEmpty)
+    val qSf = sf.map(_._3).sum
+    assert(qSf > -0.5 && qSf <= 1.0, s"Q=$qSf")
+    spark.catalog.clearCache()
+  }
 }

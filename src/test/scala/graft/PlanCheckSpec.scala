@@ -113,9 +113,14 @@ class PlanCheckSpec extends GraftSuite {
                           // broadcast against the corpus code scan — the
                           // binary-quantization stage-1 linear scan; the
                           // stage-2 rerank joins are equi-joins
-    "data_t_closeness"    // band-dimension (B rows) densify under the
+    "data_t_closeness",   // band-dimension (B rows) densify under the
                           // QI-sized group table + 1-row totals scalar —
                           // all metadata-scale after the first aggregate
+    "sim_ann_recall_hamming", // both measured pipelines inside: the
+                          // brute-force ground truth and the Hamming
+                          // stage-1 scan each broadcast the 10-query set
+    "graph_modularity"    // 1-row edge-count scalar broadcast under the
+                          // label-sized community table
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides

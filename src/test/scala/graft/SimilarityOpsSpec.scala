@@ -558,6 +558,29 @@ class SimilarityOpsSpec extends GraftSuite {
     spark.catalog.clearCache()
   }
 
+  test("hamming recall counts the exact brute/hamming top-5 intersection") {
+    import org.apache.spark.sql.functions._
+    val e = graft.ops.Tables(spark, sfDir).embeddings
+    val bf = graft.ops.SimilarityOps.bruteTopkFrom(e)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hm = graft.ops.SimilarityOps.hammingTopkFrom(e)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bf.groupBy(_._1).view
+      .mapValues(s => s.count(hm.contains).toLong).toMap
+    val got = graft.ops.SimilarityOps
+      .queries("sim_ann_recall_hamming")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == (0L to 9L), got.toSeq.toString)
+    got.foreach { case (q, nHit, rec) =>
+      assert(nHit == want(q), s"query $q: $nHit vs ${want(q)}")
+      assert(rec == nHit.toDouble / 5.0)
+    }
+    assert(got.forall(g => g._2 >= 0L && g._2 <= 5L))
+    spark.catalog.clearCache()
+  }
+
   test("int8 quantization audit: exact counts/max-error vs a driver-side " +
       "replay, mse within fp tolerance, error bounded by half a bucket") {
     val emb = graft.ops.Tables(spark, sfDir).embeddings
