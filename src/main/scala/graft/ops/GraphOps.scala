@@ -550,7 +550,11 @@ object GraphOps {
     */
   def modularityFrom(edges0: DataFrame, rounds: Int): DataFrame = {
     val edges = edges0.persist()
-    val labels = labelPropagationFrom(edges, rounds)
+    // node-sized partition read by THREE consumers (degree rollup + both
+    // endpoint tags) — cut the 3-round propagation lineage once, or each
+    // consumer replans the full chain (measured 156 scans in the
+    // un-cut plan)
+    val labels = labelPropagationFrom(edges, rounds).cutLineage()
     val m = edges.agg(count(lit(1)).as("m_edges"))
     val deg = edges.select(col("u").as("x"))
       .unionAll(edges.select(col("v").as("x")))
