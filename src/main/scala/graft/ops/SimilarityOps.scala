@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.functions.{quant_cosine, quant_dot}
+import graft.ops.Checkpoints._
 
 /** Approximate-nearest-neighbor search over the `embeddings` table.
   *
@@ -417,6 +418,23 @@ object SimilarityOps {
             .as("recall_at_5"))
         .orderBy("query_id")
     },
+    // MMR diversification (Carbonell & Goldstein 1998) — the re-ranking
+    // pass between retrieval and consumption: plain top-k returns
+    // near-duplicate neighbors (the corpus HAS near-dups; see the dedup
+    // family), so the context assembled from it wastes its budget on
+    // redundancy. Five greedy rounds pick the candidate maximizing
+    // 0.7·relevance − 0.3·(max similarity to the already-selected set) —
+    // round 1 has no penalty, later rounds trade relevance against
+    // redundancy; ties to the smaller vec_id. Arithmetic: relevance and
+    // pairwise sims are the exact quantized cosine, the MMR score is one
+    // fixed IEEE tree, and the greedy argmax is a row_number over the
+    // ≤10-candidate frame — the DuckDB oracle replicates all five rounds
+    // CTE for CTE. Scale shape: only the top-10 relevance stage touches
+    // the corpus (the sim_topk_bruteforce broadcast scan); the greedy
+    // loop runs on (queries × 10) rows.
+    "sim_mmr_diversify" -> { (s, d) =>
+      mmrDiversifyFrom(Tables(s, d).embeddings)
+    },
     // Int8 scalar quantization audit — the calibration+error readout every
     // vector store runs before switching the index to int8 storage: per
     // dimension, min/max over the corpus (the affine calibration range),
@@ -637,6 +655,68 @@ object SimilarityOps {
       .filter(col("rk") <= 5)
       .select("query_id", "vec_id", "ham", "cos", "rk")
       .orderBy("query_id", "rk")
+  }
+
+  /** Greedy maximal-marginal-relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998) over any (vec_id, embedding) frame — see
+    * `sim_mmr_diversify`. Five unrolled greedy rounds: each picks the
+    * not-yet-selected candidate maximizing
+    * 0.7·rel − 0.3·max(sim to selected), ties to the smaller vec_id.
+    * Every round's frames are (queries × ≤10 candidates) — metadata
+    * scale; the corpus is touched only by the top-10 relevance stage.
+    *
+    * CACHE LIFETIME CONTRACT: the candidate and pairwise-sim frames are
+    * persisted (read by all five rounds); the CALLER owns release.
+    */
+  private[graft] def mmrDiversifyFrom(e: DataFrame): DataFrame = {
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val w10 = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("vec_id").asc)
+    val cands = corpus.join(broadcast(qs))
+      .select(col("query_id"), col("vec_id"), col("embedding"),
+        quant_cosine(col("qe"), col("embedding")).as("rel"))
+      .withColumn("rn", row_number().over(w10))
+      .filter(col("rn") <= 10)
+      .select("query_id", "vec_id", "embedding", "rel")
+      .persist()
+    val sims = cands.as("a")
+      .join(cands.select(col("query_id"), col("vec_id").as("vb"),
+        col("embedding").as("eb")).as("b"), Seq("query_id"))
+      .filter(col("vec_id") =!= col("vb"))
+      .select(col("query_id"), col("vec_id"), col("vb"),
+        quant_cosine(col("embedding"), col("eb")).as("sim"))
+      .persist()
+    val wPick = Window.partitionBy("query_id")
+      .orderBy(col("mmr").desc, col("vec_id").asc)
+    var sel = cands.select("query_id", "vec_id").filter(lit(false))
+    var picks: DataFrame = null
+    for (r <- 1 to 5) {
+      val pen = sims
+        .join(broadcast(sel.select(col("query_id"), col("vec_id").as("vb"))),
+          Seq("query_id", "vb"))
+        .groupBy("query_id", "vec_id").agg(max(col("sim")).as("pen"))
+      // per-round lineage cut: the pick feeds BOTH next-round consumers
+      // (the anti-join exclusion and the penalty set) — without the cut
+      // each round replans all earlier rounds and the plan explodes
+      // (measured 1124 scans + an SMJ at round 5); the frame is
+      // queries-sized, the cut is trivial. Broadcasts are by
+      // construction: sel/pen are ≤ queries×round rows.
+      val pick = cands.select("query_id", "vec_id", "rel")
+        .join(broadcast(sel), Seq("query_id", "vec_id"), "left_anti")
+        .join(broadcast(pen), Seq("query_id", "vec_id"), "left")
+        .withColumn("mmr", lit(0.7) * col("rel") -
+          lit(0.3) * coalesce(col("pen"), lit(0.0)))
+        .withColumn("rk", row_number().over(wPick))
+        .filter(col("rk") === 1)
+        .select(col("query_id"), lit(r).as("rank"), col("vec_id"),
+          col("rel"), col("mmr"))
+        .cutLineage()
+      sel = sel.unionAll(pick.select("query_id", "vec_id"))
+      picks = if (picks == null) pick else picks.unionAll(pick)
+    }
+    picks.orderBy("query_id", "rank")
   }
 
   /** Int8 scalar-quantization audit core over any (label, embedding)
@@ -991,6 +1071,73 @@ object SimilarityOps {
         |FROM btop b LEFT JOIN htop h
         |  ON h.query_id = b.query_id AND h.vec_id = b.vec_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the sim_topk_bruteforce CTEs widened to top-10 candidates, the
+    // candidate-pair cosine matrix, then the five greedy rounds CTE for
+    // CTE: pen_r joins sims against the selected set, p_r is the
+    // row_number argmax over the not-yet-selected candidates, sel_r
+    // accumulates
+    "sim_mmr_diversify" -> {
+      def rounds = (1 to 5).map { r =>
+        s"""pen$r AS (SELECT s.query_id, s.va AS vec_id, max(s.sim) AS pen
+           |  FROM sims s JOIN sel${r - 1} z ON z.query_id = s.query_id
+           |    AND z.vec_id = s.vb
+           |  GROUP BY 1, 2),
+           |p$r AS (SELECT query_id, $r AS rank, vec_id, rel, mmr FROM (
+           |    SELECT c.query_id, c.vec_id, c.rel,
+           |      0.7 * c.rel - 0.3 * COALESCE(pen, 0.0) AS mmr,
+           |      row_number() OVER (PARTITION BY c.query_id
+           |        ORDER BY 0.7 * c.rel - 0.3 * COALESCE(pen, 0.0) DESC,
+           |          c.vec_id ASC) AS rk
+           |    FROM cand c LEFT JOIN pen$r pp ON pp.query_id = c.query_id
+           |      AND pp.vec_id = c.vec_id
+           |    WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} z
+           |      WHERE z.query_id = c.query_id AND z.vec_id = c.vec_id)
+           |  ) WHERE rk = 1),
+           |sel$r AS (SELECT query_id, vec_id FROM sel${r - 1}
+           |  UNION ALL SELECT query_id, vec_id FROM p$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id, i,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5)
+         |      AS BIGINT) AS v
+         |  FROM embeddings,
+         |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+         |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
+         |bdot AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |           sum(a.v * b.v) AS dot
+         |         FROM q a JOIN q b ON b.i = a.i AND b.vec_id >= 10
+         |         WHERE a.vec_id < 10 GROUP BY 1, 2),
+         |bscored AS (SELECT query_id, bdot.vec_id AS vec_id,
+         |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+         |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+         |           sqrt(CAST(nb.nn AS DOUBLE))) END AS cos
+         |  FROM bdot JOIN n na ON na.vec_id = query_id
+         |            JOIN n nb ON nb.vec_id = bdot.vec_id),
+         |cand AS (SELECT query_id, vec_id, cos AS rel FROM (
+         |    SELECT query_id, vec_id, cos,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, vec_id ASC) AS rk FROM bscored)
+         |  WHERE rk <= 10),
+         |cdot AS (SELECT ca.query_id, ca.vec_id AS va, cb.vec_id AS vb,
+         |    sum(x.v * y.v) AS dot
+         |  FROM cand ca JOIN cand cb ON cb.query_id = ca.query_id
+         |    AND cb.vec_id <> ca.vec_id
+         |  JOIN q x ON x.vec_id = ca.vec_id
+         |  JOIN q y ON y.vec_id = cb.vec_id AND y.i = x.i
+         |  GROUP BY 1, 2, 3),
+         |sims AS (SELECT query_id, va, vb,
+         |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+         |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+         |           sqrt(CAST(nb.nn AS DOUBLE))) END AS sim
+         |  FROM cdot JOIN n na ON na.vec_id = va
+         |            JOIN n nb ON nb.vec_id = vb),
+         |sel0 AS (SELECT query_id, vec_id FROM cand WHERE 1 = 0),
+         |$rounds
+         |SELECT query_id, CAST(rank AS INT) AS rank, vec_id, rel, mmr
+         |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+         |      UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+         |      UNION ALL SELECT * FROM p5)
+         |ORDER BY query_id, rank""".stripMargin
+    },
     "sim_quantize_int8" ->
       s"""WITH e AS (SELECT label, i, CAST(embedding[i] AS DOUBLE) AS x
          |  FROM embeddings,

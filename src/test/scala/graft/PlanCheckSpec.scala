@@ -119,8 +119,11 @@ class PlanCheckSpec extends GraftSuite {
     "sim_ann_recall_hamming", // both measured pipelines inside: the
                           // brute-force ground truth and the Hamming
                           // stage-1 scan each broadcast the 10-query set
-    "graph_modularity"    // 1-row edge-count scalar broadcast under the
+    "graph_modularity",   // 1-row edge-count scalar broadcast under the
                           // label-sized community table
+    "sim_mmr_diversify"   // the sim_topk_bruteforce 10-query broadcast
+                          // for the relevance stage; the greedy rounds
+                          // are equi-joins on (queries x 10) frames
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides

@@ -581,6 +581,61 @@ class SimilarityOpsSpec extends GraftSuite {
     spark.catalog.clearCache()
   }
 
+  test("mmr: a planted near-duplicate is demoted below a diverse " +
+      "same-relevance candidate") {
+    import spark.implicits._
+    def vec(a: Float, b: Float): Seq[Float] =
+      Seq(a, b) ++ Seq.fill(62)(0.0f)
+    val rows = Seq(
+      (0L, vec(1.0f, 0.0f)),       // the query (x axis)
+      (10L, vec(0.9f, 0.436f)),    // rel 0.9
+      (11L, vec(0.9f, 0.436f)),    // exact clone of 10: sim(11,10)=1
+      (12L, vec(0.9f, -0.436f)))   // rel 0.9 but diverse from 10
+    val got = SimilarityOps.mmrDiversifyFrom(
+        rows.toDF("vec_id", "embedding"))
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    // round 1 ties on rel -> smallest id; round 2 must prefer the
+    // DIVERSE candidate 12 over the redundant clone 11
+    assert(got.toSeq == Seq((1, 10L), (2, 12L), (3, 11L)), got.mkString(","))
+    spark.catalog.clearCache()
+  }
+
+  test("mmr matches a full driver-side greedy replay on the sf corpus") {
+    val emb = graft.ops.Tables(spark, sfDir).embeddings
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v =>
+          math.floor(v.toDouble * 1000.0 + 0.5).toLong))
+      .toMap
+    def nn(v: Seq[Long]): Long = v.map(x => x * x).sum
+    def cos(a: Seq[Long], b: Seq[Long]): Double =
+      if (nn(a) == 0L || nn(b) == 0L) 0.0
+      else a.zip(b).map { case (x, y) => x * y }.sum.toDouble /
+        (math.sqrt(nn(a).toDouble) * math.sqrt(nn(b).toDouble))
+    val want = emb.keys.filter(_ < 10).toSeq.sorted.flatMap { qid =>
+      val cands = emb.keys.filter(_ >= 10).toSeq
+        .map(vid => (vid, cos(emb(qid), emb(vid))))
+        .sortBy { case (vid, c) => (-c, vid) }.take(10)
+      var sel = Seq.empty[(Long, Double)] // (vec_id, rel)
+      (1 to 5).map { r =>
+        val scored = cands.filterNot(c => sel.exists(_._1 == c._1))
+          .map { case (vid, rel) =>
+            val pen = if (sel.isEmpty) 0.0
+              else sel.map(s => cos(emb(vid), emb(s._1))).max
+            (vid, rel, 0.7 * rel - 0.3 * pen)
+          }
+        val best = scored.minBy { case (vid, _, m) => (-m, vid) }
+        sel = sel :+ ((best._1, best._2))
+        (qid, r, best._1, best._2, best._3)
+      }
+    }
+    val got = SimilarityOps.queries("sim_mmr_diversify")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == want, s"got=${got.take(6)} want=${want.take(6)}")
+    spark.catalog.clearCache()
+  }
+
   test("int8 quantization audit: exact counts/max-error vs a driver-side " +
       "replay, mse within fp tolerance, error bounded by half a bucket") {
     val emb = graft.ops.Tables(spark, sfDir).embeddings
