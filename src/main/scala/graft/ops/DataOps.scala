@@ -128,6 +128,35 @@ object DataOps {
             col("src_tokens").cast("double")).as("weight"))
         .orderBy("source")
     },
+    // Temperature-scaled mixture sampling (the multilingual/LLaMA-style
+    // recipe, τ = 0.5): sampling weight ∝ (source share)^τ — up-weights
+    // small sources without flattening to uniform. With τ = 0.5 the
+    // unnormalized weight is sqrt(src_tokens) (the total cancels in the
+    // normalization), and IEEE sqrt is CORRECTLY ROUNDED in both engines,
+    // so the only parity hazard is the normalizing SUM of doubles — which
+    // rides the DECIMAL(28,6) quantize-then-sum contract (exact,
+    // order-free). epochs_1m = how many passes over each source a 1M-token
+    // budget implies at its weight — the "how many epochs of Wikipedia"
+    // planner next to data_mixture_weights' equal-share variant. Shape:
+    // one map-side-combined aggregate to source cardinality; the window
+    // runs over tens of rows.
+    "data_mixture_temperature" -> { (s, d) =>
+      val gw = Window.partitionBy()
+      Tables(s, d).documents
+        .select(col("source"), size(split(col("text"), " ")).as("n_tok"))
+        .groupBy("source")
+        .agg(sum(col("n_tok")).as("src_tokens"))
+        .withColumn("sq",
+          sqrt(col("src_tokens").cast("double")).cast("decimal(28,6)"))
+        .withColumn("sq_total", sum(col("sq")).over(gw))
+        .select(col("source"), col("src_tokens"),
+          (col("sq").cast("double") / col("sq_total").cast("double"))
+            .as("weight"),
+          (lit(1000000.0) *
+            (col("sq").cast("double") / col("sq_total").cast("double")) /
+            col("src_tokens").cast("double")).as("epochs_1m"))
+        .orderBy("source")
+    },
     // Corpus vocabulary statistics: per-language top-5 bigrams by frequency
     // (ties broken bigram-ascending; impossible here since bigram is the
     // group key). explode → partial+final count aggregate (the only full
@@ -1440,6 +1469,19 @@ object DataOps {
         |SELECT source, n_docs, CAST(src_tokens AS BIGINT) AS src_tokens,
         |  CAST(total_tokens AS DOUBLE) / CAST(n_sources AS DOUBLE)
         |    / CAST(src_tokens AS DOUBLE) AS weight
+        |FROM g ORDER BY source""".stripMargin,
+    "data_mixture_temperature" ->
+      """WITH st AS (SELECT source,
+        |    sum(len(string_split(text, ' '))) AS src_tokens
+        |  FROM documents GROUP BY 1),
+        |sq AS (SELECT source, CAST(src_tokens AS BIGINT) AS src_tokens,
+        |    CAST(sqrt(CAST(src_tokens AS DOUBLE)) AS DECIMAL(28,6)) AS sq
+        |  FROM st),
+        |g AS (SELECT *, sum(sq) OVER () AS sq_total FROM sq)
+        |SELECT source, src_tokens,
+        |  CAST(sq AS DOUBLE) / CAST(sq_total AS DOUBLE) AS weight,
+        |  1000000.0 * (CAST(sq AS DOUBLE) / CAST(sq_total AS DOUBLE)) /
+        |    CAST(src_tokens AS DOUBLE) AS epochs_1m
         |FROM g ORDER BY source""".stripMargin,
     "data_vocab_topk" ->
       """WITH tok AS (SELECT lang, string_split(text, ' ') AS L

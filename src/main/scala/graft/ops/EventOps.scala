@@ -852,6 +852,45 @@ object EventOps {
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy("cohort_d", "age")
     },
+    // Cohort LTV curve — the revenue companion of the retention matrix:
+    // per weekly signup cohort (first-ever activity week, ANY event
+    // type — a purchase-only cohort would condition on the outcome) and
+    // week-of-life, the purchase revenue, the buyer count, and the
+    // CUMULATIVE revenue per cohort member (the curve whose plateau is
+    // the cohort's lifetime value). Revenue stays DECIMAL-exact through
+    // the cell aggregate AND the cumulative window — the double cast
+    // happens once per output row, after all summation; cells with zero
+    // purchases are absent (the cumulative value at the next present age
+    // is still correct). Shape: one user-keyed collapse for cohorts, one
+    // (cohort, age)-keyed cell aggregate, windows over the
+    // weeks×weeks-sized cell table.
+    "events_cohort_ltv" -> { (s, d) =>
+      val ev = withMs(Tables(s, d).events)
+        .select(col("user_id"), expr(floorDivSql("ts_ms", DayMs)).as("day"),
+          col("event_type"), col("value"))
+      val cohorts = ev.groupBy("user_id")
+        .agg(min(col("day")).as("first_day"))
+        .select(col("user_id"),
+          expr(floorDivSql("first_day", 7L)).as("cohort_w"))
+        .persist() // read by the size rollup and the revenue join
+      val sizes = cohorts.groupBy("cohort_w")
+        .agg(count(lit(1)).as("cohort_size"))
+      val cells = ev.filter(col("event_type") === "purchase")
+        .join(cohorts, "user_id")
+        .groupBy(col("cohort_w"),
+          (expr(floorDivSql("day", 7L)) - col("cohort_w")).as("age_w"))
+        .agg(countDistinct(col("user_id")).as("n_buyers"),
+          sum(col("value").cast(DecimalType(28, 6))).as("rev"))
+      val wc = Window.partitionBy("cohort_w").orderBy("age_w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.join(broadcast(sizes), "cohort_w")
+        .withColumn("cum", sum(col("rev")).over(wc))
+        .select(col("cohort_w"), col("age_w"), col("cohort_size"),
+          col("n_buyers"), col("rev").cast(DoubleType).as("revenue"),
+          (col("cum").cast(DoubleType) /
+            col("cohort_size").cast(DoubleType)).as("cum_ltv"))
+        .orderBy("cohort_w", "age_w")
+    },
     // A/B experiment readout — deterministic hash assignment (the same
     // salted-stream discipline as data_split_hash: the "AB" prefix keeps
     // arm assignment independent of every other hash use of user_id) and
@@ -2173,6 +2212,28 @@ object EventOps {
         |    ORDER BY epoch_ms(ts) ASC, event_id ASC
         |    ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS roll_med
         |FROM events ORDER BY event_id""".stripMargin,
+    "events_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |    event_type, value
+        |  FROM events),
+        |co AS (SELECT user_id, min(day) // 7 AS cohort_w
+        |  FROM e GROUP BY 1),
+        |sz AS (SELECT cohort_w, count(*) AS cohort_size FROM co GROUP BY 1),
+        |cells AS (SELECT co.cohort_w, e.day // 7 - co.cohort_w AS age_w,
+        |    count(DISTINCT e.user_id) AS n_buyers,
+        |    SUM(CAST(value AS DECIMAL(28,6))) AS rev
+        |  FROM e JOIN co ON co.user_id = e.user_id
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |cum AS (SELECT cohort_w, age_w, n_buyers, rev,
+        |    sum(rev) OVER (PARTITION BY cohort_w ORDER BY age_w
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM cells)
+        |SELECT c.cohort_w, age_w, cohort_size,
+        |  CAST(n_buyers AS BIGINT) AS n_buyers,
+        |  CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(cum AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS cum_ltv
+        |FROM cum c JOIN sz ON sz.cohort_w = c.cohort_w
+        |ORDER BY c.cohort_w, age_w""".stripMargin,
     "events_cohort_matrix" ->
       """WITH p AS (
         |  SELECT user_id, epoch_ms(ts) // 86400000 AS day

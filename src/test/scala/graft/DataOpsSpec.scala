@@ -701,6 +701,38 @@ class DataOpsSpec extends GraftSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("mixture temperature: sqrt-share weights match a decimal replay " +
+      "and follow the tau=0.5 ratio law") {
+    import org.apache.spark.sql.functions._
+    val toks = graft.ops.Tables(spark, sfDir).documents
+      .select(col("source"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def dec6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val sq = toks.view.mapValues(t => dec6(math.sqrt(t.toDouble))).toMap
+    val tot = sq.values.sum
+    val got = graft.ops.DataOps
+      .queries("data_mixture_temperature")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == toks.keySet)
+    got.foreach { case (src, (t, w, e)) =>
+      assert(t == toks(src))
+      val wantW = sq(src).toDouble / tot.toDouble
+      assert(w == wantW, s"$src weight $w vs $wantW")
+      assert(e == 1000000.0 * wantW / t.toDouble)
+    }
+    // weights normalize, and w_a/w_b tracks sqrt(tokens_a/tokens_b)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12)
+    val ss = got.toSeq.sortBy(_._2._1)
+    val (lo, hi) = (ss.head, ss.last)
+    val ratio = lo._2._2 / hi._2._2
+    val want = math.sqrt(lo._2._1.toDouble / hi._2._1.toDouble)
+    // the 6-dp decimal quantization of sqrt perturbs the ratio at ~1e-8
+    assert(math.abs(ratio - want) < 1e-6)
+  }
+
   test("t-closeness: EMD matches a BigInt driver-side replay and stays " +
       "in [0, 1]") {
     import org.apache.spark.sql.functions._

@@ -907,6 +907,44 @@ class EventOpsSpec extends GraftSuite {
     assert(got.getLong(0) >= got.getLong(1) && got.getLong(1) >= got.getLong(2))
   }
 
+  test("cohort ltv: cells and cumulative curve match a decimal replay; " +
+      "the curve never decreases") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.ops.Tables(spark, sfDir).events
+      .select(col("user_id"), (unix_millis(col("ts")) / 86400000L)
+        .cast("long").as("day"), col("event_type"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3)))
+    val cohort = ev.groupBy(_._1).view
+      .mapValues(_.map(_._2).min / 7).toMap
+    val sizes = cohort.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    def dec6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val cells = ev.filter(_._3 == "purchase")
+      .groupBy(e => (cohort(e._1), e._2 / 7 - cohort(e._1)))
+      .view.mapValues { es =>
+        (es.map(_._1).distinct.size.toLong, es.map(e => dec6(e._4)).sum)
+      }.toMap
+    val want = cells.keys.toSeq.sorted.map { case (cw, aw) =>
+      val cum = cells.filter { case ((c, a), _) => c == cw && a <= aw }
+        .values.map(_._2).sum
+      (cw, aw, sizes(cw), cells((cw, aw))._1,
+        cells((cw, aw))._2.toDouble, cum.toDouble / sizes(cw).toDouble)
+    }
+    val got = EventOps.queries("events_cohort_ltv")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == want, s"got=${got.take(4)} want=${want.take(4)}")
+    // monotone curve per cohort; cohort sizes tile the user base
+    got.groupBy(_._1).values.foreach { rows =>
+      val curve = rows.sortBy(_._2).map(_._6)
+      assert(curve == curve.sorted)
+    }
+    assert(sizes.values.sum == ev.map(_._1).distinct.length.toLong)
+    spark.catalog.clearCache()
+  }
+
   test("hazard: at-risk/churn/censor tiling matches a driver-side span " +
       "replay; censoring absorbs the boundary day") {
     import org.apache.spark.sql.functions._
