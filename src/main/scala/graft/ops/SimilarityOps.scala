@@ -235,6 +235,39 @@ object SimilarityOps {
     "sim_ann_mips" -> { (s, d) =>
       mipsTopkFrom(Tables(s, d).embeddings)
     },
+    // Recall@5 of the norm-augmented MIPS search against the exact
+    // max-dot ground truth — the last ANN variant without its measured
+    // recall row (LSH, IVF, Hamming and the matryoshka prefix already
+    // ship theirs). Ground truth is the brute-force integer dot top-5;
+    // the approximate side is the shipped mipsTopkFrom pipeline.
+    "sim_ann_recall_mips" -> { (s, d) =>
+      val e = Tables(s, d).embeddings
+      val base = e.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+      val qs = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("qv").as("qq"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("dot").desc, col("vec_id").asc)
+      val bf = base.filter(col("vec_id") >= 10)
+        .join(broadcast(qs))
+        .select(col("query_id"), col("vec_id"),
+          quant_dot(col("qq"), col("qv")).as("dot"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select("query_id", "vec_id")
+      val mp = mipsTopkFrom(e)
+        .select(col("query_id").as("lq"), col("vec_id").as("lv"))
+      val hits = bf.join(mp,
+          col("query_id") === col("lq") && col("vec_id") === col("lv"),
+          "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+      bf.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / 5.0)
+            .as("recall_at_5"))
+        .orderBy("query_id")
+    },
     // Recall evaluation — the honesty harness for the approximate path:
     // per query, how many of the TRUE (brute-force) top-5 the multi-probe
     // LSH search returned. Both sides run in the same job; the oracle
@@ -1070,6 +1103,61 @@ object SimilarityOps {
         |  CAST(count(h.vec_id) AS DOUBLE) / 5.0 AS recall_at_5
         |FROM btop b LEFT JOIN htop h
         |  ON h.query_id = b.query_id AND h.vec_id = b.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the sim_ann_mips CTEs verbatim next to the exact max-dot top-5,
+    // intersected per query
+    "sim_ann_recall_mips" ->
+      """WITH q AS (SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
+        |mx AS (SELECT max(nn) AS m2 FROM n WHERE vec_id >= 10),
+        |aug AS (SELECT n.vec_id,
+        |    CAST(floor(sqrt(CAST(m2 - nn AS DOUBLE))) AS BIGINT) AS a
+        |  FROM n CROSS JOIN mx WHERE n.vec_id >= 10),
+        |qa AS (SELECT * FROM q
+        |       UNION ALL
+        |       SELECT e.vec_id, len(e.embedding) + 1 AS i, a.a AS v
+        |       FROM embeddings e JOIN aug a ON a.vec_id = e.vec_id),
+        |dots AS (SELECT vec_id, k,
+        |           sum(v * (((k * 131 + (i - 1) * 31 + 7) % 61) - 30)) AS dt
+        |         FROM qa CROSS JOIN
+        |           (SELECT unnest(generate_series(0, 7)) AS k) pl
+        |         GROUP BY 1, 2),
+        |bkt AS (SELECT vec_id,
+        |          CAST(sum(CASE WHEN dt > 0 THEN 1 << k ELSE 0 END) AS BIGINT)
+        |            AS bucket
+        |        FROM dots GROUP BY 1),
+        |qs AS (SELECT vec_id AS query_id, xor(bucket, m) AS bucket
+        |       FROM bkt CROSS JOIN
+        |         (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m) pr
+        |       WHERE vec_id < 10),
+        |pairs AS (SELECT query_id, c.vec_id
+        |          FROM qs JOIN (SELECT vec_id, bucket FROM bkt
+        |                        WHERE vec_id >= 10) c USING (bucket)),
+        |mdot AS (SELECT p.query_id, p.vec_id,
+        |          CAST(sum(a.v * b.v) AS BIGINT) AS dot
+        |        FROM pairs p
+        |        JOIN q a ON a.vec_id = p.query_id
+        |        JOIN q b ON b.vec_id = p.vec_id AND b.i = a.i
+        |        GROUP BY 1, 2),
+        |mtop AS (SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, vec_id ASC) AS rk FROM mdot)
+        |  WHERE rk <= 5),
+        |bdt AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+        |           sum(a.v * b.v) AS dot
+        |         FROM q a JOIN q b ON b.i = a.i AND b.vec_id >= 10
+        |         WHERE a.vec_id < 10 GROUP BY 1, 2),
+        |btop AS (SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY dot DESC, vec_id ASC) AS rk FROM bdt)
+        |  WHERE rk <= 5)
+        |SELECT b.query_id, CAST(count(m.vec_id) AS BIGINT) AS n_hit,
+        |  CAST(count(m.vec_id) AS DOUBLE) / 5.0 AS recall_at_5
+        |FROM btop b LEFT JOIN mtop m
+        |  ON m.query_id = b.query_id AND m.vec_id = b.vec_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the sim_topk_bruteforce CTEs widened to top-10 candidates, the
     // candidate-pair cosine matrix, then the five greedy rounds CTE for

@@ -121,9 +121,12 @@ class PlanCheckSpec extends GraftSuite {
                           // stage-1 scan each broadcast the 10-query set
     "graph_modularity",   // 1-row edge-count scalar broadcast under the
                           // label-sized community table
-    "sim_mmr_diversify"   // the sim_topk_bruteforce 10-query broadcast
+    "sim_mmr_diversify",  // the sim_topk_bruteforce 10-query broadcast
                           // for the relevance stage; the greedy rounds
                           // are equi-joins on (queries x 10) frames
+    "sim_ann_recall_mips" // the exact max-dot ground truth inside: the
+                          // 10-query set broadcast against the corpus
+                          // (the MIPS side itself is bucket equi-joins)
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides

@@ -581,6 +581,39 @@ class SimilarityOpsSpec extends GraftSuite {
     spark.catalog.clearCache()
   }
 
+  test("mips recall counts the exact brute-dot/mips top-5 intersection") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.ops.Tables(spark, sfDir).embeddings
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v =>
+          math.floor(v.toDouble * 1000.0 + 0.5).toLong))
+      .toMap
+    def dot(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val bf = emb.keys.filter(_ < 10).toSeq.flatMap { qid =>
+      emb.keys.filter(_ >= 10).toSeq
+        .map(vid => (vid, dot(emb(qid), emb(vid))))
+        .sortBy { case (vid, d) => (-d, vid) }.take(5)
+        .map { case (vid, _) => (qid, vid) }
+    }.toSet
+    val mp = graft.ops.SimilarityOps.mipsTopkFrom(
+        graft.ops.Tables(spark, sfDir).embeddings)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = bf.groupBy(_._1).view
+      .mapValues(s => s.count(mp.contains).toLong).toMap
+    val got = graft.ops.SimilarityOps
+      .queries("sim_ann_recall_mips")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == (0L to 9L), got.toSeq.toString)
+    got.foreach { case (q, nHit, rec) =>
+      assert(nHit == want(q), s"query $q: $nHit vs ${want(q)}")
+      assert(rec == nHit.toDouble / 5.0)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("mmr: a planted near-duplicate is demoted below a diverse " +
       "same-relevance candidate") {
     import spark.implicits._
