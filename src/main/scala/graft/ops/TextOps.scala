@@ -542,8 +542,120 @@ object TextOps {
     // per-doc rollup reuses the same doc_id partitioning.
     "text_phrase_search" -> { (s, d) =>
       phraseSearchFrom(Tables(s, d).documents, "hash", "join")
+    },
+    // Gopher-style quality rule panel (Rae et al. 2021, arXiv:2112.11446,
+    // Table A1 — the published heuristic suite behind MassiveText, and the
+    // de-facto default first filter of every open pretraining corpus
+    // since): per document, the word-count bounds, mean-word-length
+    // bounds, minimum stopword count, and the top-2/3/4-gram character-
+    // mass caps (the repetition rules, thresholds 0.20/0.18/0.16 as
+    // published; the word-count bounds are corpus-adapted to [20, 90] so
+    // both verdicts exist at this synthetic length distribution). EVERY
+    // verdict is an exact-integer cross-multiplication (mass·5 > chars,
+    // never mass/chars > 0.2) — the readout fractions are single IEEE
+    // divisions of those same integers, identical trees on both engines.
+    // Zero shuffle: each top-gram mass folds over the doc's OWN sorted
+    // shingle array (array_sort + one codegen'd aggregate pass — run-
+    // length max over the sorted runs), so the whole panel is a pure map
+    // stage, embarrassingly parallel over the 100 TB scan.
+    "text_gopher_quality" -> { (s, d) =>
+      val f = gopherFlagsFrom(Tables(s, d).documents)
+      f.select(
+        col("doc_id"), col("n_words"), col("n_stop"),
+        (col("sum_wlen").cast("double") / col("n_words").cast("double"))
+          .as("mean_word_len"),
+        (col("mass2").cast("double") / col("chars").cast("double"))
+          .as("top2_frac"),
+        (col("mass3").cast("double") / col("chars").cast("double"))
+          .as("top3_frac"),
+        (col("mass4").cast("double") / col("chars").cast("double"))
+          .as("top4_frac"),
+        (!(col("f_words") || col("f_mwl") || col("f_stop") ||
+          col("f_top2") || col("f_top3") || col("f_top4"))).as("keep"))
+        .orderBy("doc_id")
+    },
+    // Rule-attribution waterfall over the Gopher panel — the filter-audit
+    // readout a corpus curator reads BEFORE shipping thresholds: per rule
+    // (in the pinned application order), how many documents fail it, how
+    // many fail ONLY it (the rule's unique contribution — dropping the
+    // rule recovers exactly these), and how many documents survive the
+    // rules applied so far (the cumulative funnel). One partial+final
+    // aggregate over the corpus (18 conditional counts ride a single
+    // pass) into a 6-row stack — at 100 TB the panel is the same map
+    // stage as text_gopher_quality plus one scalar-sized rollup.
+    "text_gopher_funnel" -> { (s, d) =>
+      val rules = Seq("words" -> "f_words", "mwl" -> "f_mwl",
+        "stop" -> "f_stop", "top2" -> "f_top2", "top3" -> "f_top3",
+        "top4" -> "f_top4")
+      val aggs = rules.zipWithIndex.flatMap { case ((_, c), i) =>
+        val uniq = rules.map(_._2)
+          .map(o => if (o == c) col(o) else !col(o)).reduce(_ && _)
+        val surv = rules.take(i + 1).map(r => !col(r._2)).reduce(_ && _)
+        Seq(sum(when(col(c), 1L).otherwise(0L)).as(s"f_$i"),
+          sum(when(uniq, 1L).otherwise(0L)).as(s"u_$i"),
+          sum(when(surv, 1L).otherwise(0L)).as(s"c_$i"))
+      }
+      val a = gopherFlagsFrom(Tables(s, d).documents)
+        .agg(aggs.head, aggs.tail: _*)
+      val stackArgs = rules.zipWithIndex.map { case ((name, _), i) =>
+        s"$i, '$name', f_$i, u_$i, c_$i"
+      }.mkString(", ")
+      a.selectExpr(s"stack(6, $stackArgs) AS " +
+          "(rule_ord, rule, n_fail, n_unique_fail, n_survive_cum)")
+        .orderBy("rule_ord")
     }
   )
+
+  /** Character mass of the most repeated n-token shingle of the text:
+    * max over distinct shingles of len(shingle)·occurrences, occurrences
+    * counted over the sliding shingle multiset (overlaps included — the
+    * Gopher convention). Computed WITHOUT a shuffle: sort the doc's own
+    * shingle array, then one aggregate pass tracks the current run length
+    * and the best mass (len·run grows monotonically within a run, so
+    * maxing the partial products is exact). 0 for docs shorter than n
+    * tokens (empty shingle array → init state).
+    */
+  private def topGramMass(text: Column, n: Int): Column = {
+    val init = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best"))
+    aggregate(array_sort(shingles(text, n)), init,
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"),
+          acc.getField("run") + lit(1L)).otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), length(g).cast("long") * run)
+            .as("best"))
+      },
+      acc => acc.getField("best"))
+  }
+
+  /** Per-document Gopher rule statistics and verdict flags — the shared
+    * substrate of `text_gopher_quality` (readout) and
+    * `text_gopher_funnel` (attribution rollup). All flags are exact
+    * integer comparisons; thresholds documented at the query.
+    */
+  private[graft] def gopherFlagsFrom(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val nw = size(t).as("n_words")
+    docs.select(
+      col("doc_id"),
+      nw,
+      size(filter(t, x => x.isin(stopwords: _*))).as("n_stop"),
+      length(col("text")).cast("long").as("chars"),
+      (length(col("text")) - (size(t) - lit(1))).cast("long")
+        .as("sum_wlen"),
+      topGramMass(col("text"), 2).as("mass2"),
+      topGramMass(col("text"), 3).as("mass3"),
+      topGramMass(col("text"), 4).as("mass4"))
+    .withColumn("f_words", col("n_words") < 20 || col("n_words") > 90)
+    .withColumn("f_mwl",
+      col("sum_wlen") < lit(3L) * col("n_words") ||
+        col("sum_wlen") > lit(10L) * col("n_words"))
+    .withColumn("f_stop", col("n_stop") < 2)
+    .withColumn("f_top2", col("mass2") * 5L > col("chars"))
+    .withColumn("f_top3", col("mass3") * 50L > col("chars") * 9L)
+    .withColumn("f_top4", col("mass4") * 25L > col("chars") * 4L)
+  }
 
   /** BM25 (k1 = 1.2, b = 0.75, rational idf) of the two-term query
     * (`t1`, `t2`), top `k` documents — separated so specs can plant
@@ -1502,8 +1614,106 @@ object TextOps {
          |SELECT a.doc_id, count(*) AS n_phrase, min(a.pos) AS first_pos
          |FROM p a JOIN p b ON a.doc_id = b.doc_id
          |  AND a.tok = 'hash' AND b.tok = 'join' AND b.pos = a.pos + 1
-         |GROUP BY 1 ORDER BY a.doc_id""".stripMargin
+         |GROUP BY 1 ORDER BY a.doc_id""".stripMargin,
+    // Gopher replication: per-doc top n-gram masses via unnest+group
+    // (equivalent to the Spark sorted-run fold: both compute max over
+    // distinct shingles of len·count), exact-integer rule flags.
+    "text_gopher_quality" ->
+      s"""WITH $gopherCteSql
+         |SELECT doc_id, CAST(nw AS INT) AS n_words,
+         |  CAST(nstop AS INT) AS n_stop,
+         |  CAST(sumw AS DOUBLE) / CAST(nw AS DOUBLE) AS mean_word_len,
+         |  CAST(mass2 AS DOUBLE) / CAST(chars AS DOUBLE) AS top2_frac,
+         |  CAST(mass3 AS DOUBLE) / CAST(chars AS DOUBLE) AS top3_frac,
+         |  CAST(mass4 AS DOUBLE) / CAST(chars AS DOUBLE) AS top4_frac,
+         |  NOT (fw OR fm OR fs OR f2 OR f3 OR f4) AS keep
+         |FROM flags ORDER BY doc_id""".stripMargin,
+    "text_gopher_funnel" ->
+      s"""WITH $gopherCteSql,
+         |a AS (SELECT
+         |  CAST(sum(CASE WHEN fw THEN 1 ELSE 0 END) AS BIGINT) AS f0,
+         |  CAST(sum(CASE WHEN fw AND NOT fm AND NOT fs AND NOT f2
+         |    AND NOT f3 AND NOT f4 THEN 1 ELSE 0 END) AS BIGINT) AS u0,
+         |  CAST(sum(CASE WHEN NOT fw THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         |  CAST(sum(CASE WHEN fm THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         |  CAST(sum(CASE WHEN fm AND NOT fw AND NOT fs AND NOT f2
+         |    AND NOT f3 AND NOT f4 THEN 1 ELSE 0 END) AS BIGINT) AS u1,
+         |  CAST(sum(CASE WHEN NOT fw AND NOT fm THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS c1,
+         |  CAST(sum(CASE WHEN fs THEN 1 ELSE 0 END) AS BIGINT) AS f2_,
+         |  CAST(sum(CASE WHEN fs AND NOT fw AND NOT fm AND NOT f2
+         |    AND NOT f3 AND NOT f4 THEN 1 ELSE 0 END) AS BIGINT) AS u2,
+         |  CAST(sum(CASE WHEN NOT fw AND NOT fm AND NOT fs THEN 1
+         |    ELSE 0 END) AS BIGINT) AS c2,
+         |  CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS f3_,
+         |  CAST(sum(CASE WHEN f2 AND NOT fw AND NOT fm AND NOT fs
+         |    AND NOT f3 AND NOT f4 THEN 1 ELSE 0 END) AS BIGINT) AS u3,
+         |  CAST(sum(CASE WHEN NOT fw AND NOT fm AND NOT fs AND NOT f2
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         |  CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS f4_,
+         |  CAST(sum(CASE WHEN f3 AND NOT fw AND NOT fm AND NOT fs
+         |    AND NOT f2 AND NOT f4 THEN 1 ELSE 0 END) AS BIGINT) AS u4,
+         |  CAST(sum(CASE WHEN NOT fw AND NOT fm AND NOT fs AND NOT f2
+         |    AND NOT f3 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+         |  CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS f5,
+         |  CAST(sum(CASE WHEN f4 AND NOT fw AND NOT fm AND NOT fs
+         |    AND NOT f2 AND NOT f3 THEN 1 ELSE 0 END) AS BIGINT) AS u5,
+         |  CAST(sum(CASE WHEN NOT fw AND NOT fm AND NOT fs AND NOT f2
+         |    AND NOT f3 AND NOT f4 THEN 1 ELSE 0 END) AS BIGINT) AS c5
+         |  FROM flags)
+         |SELECT CAST(0 AS INT) AS rule_ord, 'words' AS rule, f0 AS n_fail,
+         |  u0 AS n_unique_fail, c0 AS n_survive_cum FROM a
+         |UNION ALL SELECT 1, 'mwl', f1, u1, c1 FROM a
+         |UNION ALL SELECT 2, 'stop', f2_, u2, c2 FROM a
+         |UNION ALL SELECT 3, 'top2', f3_, u3, c3 FROM a
+         |UNION ALL SELECT 4, 'top3', f4_, u4, c4 FROM a
+         |UNION ALL SELECT 5, 'top4', f5, u5, c5 FROM a
+         |ORDER BY rule_ord""".stripMargin
   )
+
+  /** The Gopher flags table as a DuckDB CTE body — the oracle replica of
+    * [[gopherFlagsFrom]]: per-doc word/stopword/char stats, the three
+    * top-gram masses, and the six exact-integer rule flags.
+    */
+  private val gopherCteSql =
+    """tk AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
+      |    string_split(text, ' ') AS t FROM documents),
+      |base AS (SELECT doc_id, chars, len(t) AS nw,
+      |    len(list_filter(t,
+      |      x -> x IN ('the','a','of','and','to','in'))) AS nstop,
+      |    chars - (len(t) - 1) AS sumw FROM tk),
+      |g2 AS (SELECT doc_id, max(length(g) * cnt) AS mass2 FROM (
+      |    SELECT doc_id, t[i] || ' ' || t[i + 1] AS g,
+      |      CAST(count(*) AS BIGINT) AS cnt
+      |    FROM tk, LATERAL (SELECT
+      |      unnest(generate_series(1, len(t) - 1)) AS i) s
+      |    GROUP BY 1, 2) q GROUP BY 1),
+      |g3 AS (SELECT doc_id, max(length(g) * cnt) AS mass3 FROM (
+      |    SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g,
+      |      CAST(count(*) AS BIGINT) AS cnt
+      |    FROM tk, LATERAL (SELECT
+      |      unnest(generate_series(1, len(t) - 2)) AS i) s
+      |    GROUP BY 1, 2) q GROUP BY 1),
+      |g4 AS (SELECT doc_id, max(length(g) * cnt) AS mass4 FROM (
+      |    SELECT doc_id,
+      |      t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]
+      |        AS g,
+      |      CAST(count(*) AS BIGINT) AS cnt
+      |    FROM tk, LATERAL (SELECT
+      |      unnest(generate_series(1, len(t) - 3)) AS i) s
+      |    GROUP BY 1, 2) q GROUP BY 1),
+      |flags AS (SELECT b.doc_id, nw, nstop, sumw, chars,
+      |    coalesce(mass2, 0) AS mass2, coalesce(mass3, 0) AS mass3,
+      |    coalesce(mass4, 0) AS mass4,
+      |    (nw < 20 OR nw > 90) AS fw,
+      |    (sumw < 3 * nw OR sumw > 10 * nw) AS fm,
+      |    (nstop < 2) AS fs,
+      |    (coalesce(mass2, 0) * 5 > chars) AS f2,
+      |    (coalesce(mass3, 0) * 50 > chars * 9) AS f3,
+      |    (coalesce(mass4, 0) * 25 > chars * 4) AS f4
+      |  FROM base b LEFT JOIN g2 USING (doc_id)
+      |    LEFT JOIN g3 USING (doc_id) LEFT JOIN g4 USING (doc_id))"""
+      .stripMargin
 
   /** The 3-word segment instance stream as a DuckDB CTE body — the oracle
     * replica of [[segmentsOf]]: 1-based word index i maps to segment

@@ -569,4 +569,95 @@ class TextOpsSpec extends GraftSuite {
     assert(got("tale") == List("ta", "le"), got("tale"))
     assert(got("aaa") == List("a", "a", "a"), got("aaa"))
   }
+
+  /** Driver-side replica of the Gopher panel statistics: word count,
+    * stopword count, chars, and the top-2/3/4-gram character masses
+    * (max over distinct shingles of len·occurrences, overlaps counted).
+    */
+  private def gopherReplay(text: String): (Int, Int, Long, Long, Long, Long) = {
+    val t = text.split(" ", -1)
+    val n = t.length
+    val stop = Set("the", "a", "of", "and", "to", "in")
+    val nStop = t.count(stop)
+    val chars = text.length.toLong
+    def mass(k: Int): Long =
+      if (n < k) 0L
+      else (0 to n - k).map(i => t.slice(i, i + k).mkString(" "))
+        .groupBy(identity).map { case (g, o) => g.length.toLong * o.size }
+        .max
+    (n, nStop, chars, mass(2), mass(3), mass(4))
+  }
+
+  private def gopherFlags(st: (Int, Int, Long, Long, Long, Long))
+      : Seq[Boolean] = {
+    val (n, nStop, chars, m2, m3, m4) = st
+    val sumw = chars - (n - 1)
+    Seq(n < 20 || n > 90, sumw < 3L * n || sumw > 10L * n, nStop < 2,
+      m2 * 5 > chars, m3 * 50 > chars * 9, m4 * 25 > chars * 4)
+  }
+
+  test("gopher quality: planted violations flag exactly one rule each; " +
+      "all stats match a driver replay") {
+    import spark.implicits._
+    val filler = (1 to 50).map(i => s"word${('a' + i % 23).toChar}$i")
+    val docs = Seq(
+      // 0: keeper — 52 varied words, two stopwords, no repetition
+      (0L, (filler.take(50) ++ Seq("the", "a")).mkString(" ")),
+      // 1: too short (word-count rule only)
+      (1L, "the a brief line of ten small words here"),
+      // 2: top-2-gram repetition (alpha beta x12) with stopwords kept
+      (2L, (Seq.fill(12)("alpha beta") ++ filler.take(30)
+        ++ Seq("the", "a")).mkString(" ")),
+      // 3: no stopwords at all, otherwise clean
+      (3L, filler.take(40).mkString(" ")),
+      // 4: mean word length out of bounds (long pseudo-words)
+      (4L, (1 to 30).map(i => s"supercalifragilistic$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = graft.ops.TextOps.gopherFlagsFrom(docs).orderBy("doc_id")
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3),
+          r.getLong(5), r.getLong(6), r.getLong(7),
+          Seq(r.getBoolean(8), r.getBoolean(9), r.getBoolean(10),
+            r.getBoolean(11), r.getBoolean(12), r.getBoolean(13))))
+      }.toMap
+    for ((id, text) <- texts) {
+      val st = gopherReplay(text)
+      val (n, nStop, chars, m2, m3, m4) = st
+      val (gn, gs, gc, gm2, gm3, gm4, gf) = got(id)
+      assert((gn, gs, gc, gm2, gm3, gm4) == ((n, nStop, chars, m2, m3, m4)),
+        s"doc $id stats")
+      assert(gf == gopherFlags(st), s"doc $id flags got=$gf")
+    }
+    // the planted design holds: each doc trips its target rule, keeper clean
+    assert(got(0L)._7.forall(!_), got(0L)._7.toString)
+    // short docs trip the repetition caps too (a 4-gram window is >= 4/n
+    // of the chars), so pin only the rule under test
+    assert(got(1L)._7(0), "word-count must fire on doc 1")
+    assert(got(2L)._7(3), "top2 must fire on doc 2")
+    assert(got(3L)._7 == Seq(false, false, true, false, false, false))
+    assert(got(4L)._7(1), "mean-word-length must fire on doc 4")
+  }
+
+  test("gopher funnel: corpus waterfall matches a driver-side replay; " +
+      "the cumulative column is monotone and ends at the keep count") {
+    import org.apache.spark.sql.functions._
+    val texts = graft.ops.Tables(spark, sfDir).documents
+      .select(col("text")).collect().map(_.getString(0))
+    val flags = texts.map(t => gopherFlags(gopherReplay(t)))
+    val want = (0 until 6).map { i =>
+      (i, flags.count(_(i)).toLong,
+        flags.count(f => f(i) && f.zipWithIndex.forall {
+          case (v, j) => j == i || !v
+        }).toLong,
+        flags.count(f => (0 to i).forall(j => !f(j))).toLong)
+    }
+    val got = graft.ops.TextOps.queries("text_gopher_funnel")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want, s"got=$got want=$want")
+    val cum = got.map(_._4)
+    assert(cum == cum.sorted.reverse, "cumulative survivors must decrease")
+    assert(cum.last == flags.count(_.forall(!_)).toLong)
+  }
 }
