@@ -1138,6 +1138,85 @@ object EventOps {
       val types = Tables(s, d).events
         .select(col("event_type").as("type")).distinct()
       stationaryFrom(tr, types)
+    },
+    // Difference-in-differences — the quasi-experimental estimator used
+    // when a feature launches at a known time without a holdout: compare
+    // each arm's per-user purchase-value change across the launch
+    // boundary; parallel-trends cancels the shared time shock. The
+    // boundary is the corpus midpoint day ((lo+hi+1) div 2 — derived, not
+    // hardcoded, so the query survives any testdata regeneration); arms
+    // reuse events_ab_lift's salted xxh64 assignment. Intent-to-treat
+    // denominators: each arm's FULL user roster divides both period sums
+    // (per-cell active-user denominators bias the panel). Every sum rides
+    // the DECIMAL exact-sum contract; the four means are one IEEE
+    // division each and the DiD is a fixed tree over them. Shape: ONE
+    // corpus scan into a single-row conditional aggregate (the 1-row
+    // boundary broadcasts under it) — no user-keyed shuffle at all.
+    "events_did" -> { (s, d) =>
+      val e = withMs(Tables(s, d).events)
+        .select(col("user_id"), col("event_type"), col("value"),
+          expr(floorDivSql("ts_ms", DayMs)).as("day"))
+      val split = e.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(expr("(lo + hi + 1) div 2").as("split_day"))
+      val arm = when(pmod(xxhash64(concat(lit("AB"),
+        col("user_id").cast("string"))), lit(2)) === 0, "A").otherwise("B")
+      def cell(a: String, pre: Boolean) = {
+        val per = if (pre) col("day") < col("split_day")
+          else col("day") >= col("split_day")
+        coalesce(dsum(s, when(col("arm") === a && per &&
+          col("event_type") === "purchase", col("value"))), lit(0.0))
+      }
+      val g = e.crossJoin(broadcast(split)).withColumn("arm", arm)
+        .agg(
+          max(col("split_day")).as("split_day"),
+          countDistinct(when(col("arm") === "A", col("user_id")))
+            .as("users_a"),
+          countDistinct(when(col("arm") === "B", col("user_id")))
+            .as("users_b"),
+          cell("A", pre = true).as("sa_pre"),
+          cell("A", pre = false).as("sa_post"),
+          cell("B", pre = true).as("sb_pre"),
+          cell("B", pre = false).as("sb_post"))
+      g.select(col("split_day"), col("users_a"), col("users_b"),
+          (col("sa_pre") / col("users_a").cast("double")).as("m_a_pre"),
+          (col("sa_post") / col("users_a").cast("double")).as("m_a_post"),
+          (col("sb_pre") / col("users_b").cast("double")).as("m_b_pre"),
+          (col("sb_post") / col("users_b").cast("double")).as("m_b_post"))
+        .withColumn("did",
+          (col("m_b_post") - col("m_b_pre")) -
+            (col("m_a_post") - col("m_a_pre")))
+    },
+    // View→purchase conversion latency — the time-to-convert readout the
+    // funnel COUNTS (events_funnel*) drop: per user, the gap from the
+    // first view to the first purchase strictly after it, rolled up as
+    // conversion rate plus the exact median and p90 of the latency
+    // distribution. Same per-user shape as events_funnel_windowed (one
+    // user-keyed aggregate; the purchase stream rides a sorted per-user
+    // array, bounded by that user's purchases), then one single-row
+    // percentile rollup — the quantile sort is user-count-sized, never
+    // corpus-sized, and both engines interpolate identically (the
+    // agg_median parity).
+    "events_conversion_latency" -> { (s, d) =>
+      val perUser = withMs(Tables(s, d).events)
+        .groupBy("user_id").agg(
+          min(when(col("event_type") === "view", col("ts_ms")))
+            .as("t_view"),
+          sort_array(collect_list(
+            when(col("event_type") === "purchase", col("ts_ms"))))
+            .as("buys"))
+        .filter(col("t_view").isNotNull)
+      perUser
+        .withColumn("lat_ms",
+          array_min(filter(col("buys"), b => b > col("t_view"))) -
+            col("t_view"))
+        .agg(count(lit(1)).as("n_viewed"),
+          count(col("lat_ms")).as("n_converted"),
+          median(col("lat_ms")).as("median_ms"),
+          percentile(col("lat_ms"), lit(0.9)).as("p90_ms"))
+        .select(col("n_viewed"), col("n_converted"),
+          (col("n_converted").cast("double") /
+            col("n_viewed").cast("double")).as("conversion_rate"),
+          col("median_ms"), col("p90_ms"))
     }
   )
 
@@ -2428,6 +2507,59 @@ object EventOps {
         |  FROM p5 JOIN q ON p5.type = q.from_type GROUP BY 1)
         |SELECT type, p AS stationary_scaled,
         |  CAST(p AS DOUBLE) / 1e9 AS stationary
-        |FROM p6 ORDER BY type""".stripMargin
+        |FROM p6 ORDER BY type""".stripMargin,
+    // DiD replication: midpoint-day boundary, xxh64 arm split, DECIMAL
+    // conditional sums, ITT roster denominators, the same fixed tree.
+    "events_did" ->
+      s"""WITH e AS (SELECT user_id, event_type, value,
+         |    epoch_ms(ts) // 86400000 AS day FROM events),
+         |b AS (SELECT (min(day) + max(day) + 1) // 2 AS split_day FROM e),
+         |arms AS (SELECT e.*, b.split_day, CASE WHEN
+         |    ((${XxhSql.expr("'AB' || CAST(user_id AS VARCHAR)", "42")}
+         |      % 2) + 2) % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+         |  FROM e, b),
+         |g AS (SELECT max(split_day) AS split_day,
+         |    count(DISTINCT CASE WHEN arm = 'A' THEN user_id END)
+         |      AS users_a,
+         |    count(DISTINCT CASE WHEN arm = 'B' THEN user_id END)
+         |      AS users_b,
+         |    COALESCE(CAST(sum(CASE WHEN arm = 'A' AND day < split_day
+         |      AND event_type = 'purchase' THEN CAST(value AS
+         |      DECIMAL(28,6)) END) AS DOUBLE), 0e0) AS sa_pre,
+         |    COALESCE(CAST(sum(CASE WHEN arm = 'A' AND day >= split_day
+         |      AND event_type = 'purchase' THEN CAST(value AS
+         |      DECIMAL(28,6)) END) AS DOUBLE), 0e0) AS sa_post,
+         |    COALESCE(CAST(sum(CASE WHEN arm = 'B' AND day < split_day
+         |      AND event_type = 'purchase' THEN CAST(value AS
+         |      DECIMAL(28,6)) END) AS DOUBLE), 0e0) AS sb_pre,
+         |    COALESCE(CAST(sum(CASE WHEN arm = 'B' AND day >= split_day
+         |      AND event_type = 'purchase' THEN CAST(value AS
+         |      DECIMAL(28,6)) END) AS DOUBLE), 0e0) AS sb_post
+         |  FROM arms),
+         |m AS (SELECT split_day, users_a, users_b,
+         |    sa_pre / CAST(users_a AS DOUBLE) AS m_a_pre,
+         |    sa_post / CAST(users_a AS DOUBLE) AS m_a_post,
+         |    sb_pre / CAST(users_b AS DOUBLE) AS m_b_pre,
+         |    sb_post / CAST(users_b AS DOUBLE) AS m_b_post
+         |  FROM g)
+         |SELECT split_day, users_a, users_b, m_a_pre, m_a_post,
+         |  m_b_pre, m_b_post,
+         |  (m_b_post - m_b_pre) - (m_a_post - m_a_pre) AS did
+         |FROM m""".stripMargin,
+    "events_conversion_latency" ->
+      """WITH v AS (SELECT user_id, min(epoch_ms(ts)) AS t_view
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, min(epoch_ms(ts)) AS t_buy
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_ms(ts) > v.t_view
+        |  GROUP BY 1),
+        |l AS (SELECT v.user_id, p.t_buy - v.t_view AS lat
+        |  FROM v LEFT JOIN p ON p.user_id = v.user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_viewed,
+        |  CAST(count(lat) AS BIGINT) AS n_converted,
+        |  CAST(count(lat) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS conversion_rate,
+        |  median(lat) AS median_ms, quantile_cont(lat, 0.9) AS p90_ms
+        |FROM l""".stripMargin
   )
 }

@@ -124,9 +124,11 @@ class PlanCheckSpec extends GraftSuite {
     "sim_mmr_diversify",  // the sim_topk_bruteforce 10-query broadcast
                           // for the relevance stage; the greedy rounds
                           // are equi-joins on (queries x 10) frames
-    "sim_ann_recall_mips" // the exact max-dot ground truth inside: the
+    "sim_ann_recall_mips", // the exact max-dot ground truth inside: the
                           // 10-query set broadcast against the corpus
                           // (the MIPS side itself is bucket equi-joins)
+    "events_did"          // 1-row midpoint-boundary scalar broadcast under
+                          // the corpus scan (single-row DiD rollup)
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides
