@@ -451,6 +451,26 @@ object SimilarityOps {
             .as("recall_at_5"))
         .orderBy("query_id")
     },
+    // Recall@5 of the PQ ADC ranking against brute force — the eval row
+    // the compression stage owes the harness (brute/LSH/IVF/MIPS/Hamming
+    // each ship one): 4-byte codes lose within-cell geometry, and this
+    // measures that loss as a NUMBER in the gate. Shared recallAt5 shape.
+    "sim_ann_recall_pq" -> { (s, d) =>
+      val e = Tables(s, d).embeddings
+      recallAt5(bruteTopkFrom(e).select("query_id", "vec_id"),
+        pqTopkFrom(e))
+    },
+    // Recall@5 of the full IVF-PQ composition — the number a production
+    // deployment actually watches (list pruning loss × code quantization
+    // loss compound; measuring the stages separately, as
+    // sim_ann_recall_ivf and sim_ann_recall_pq do, bounds but does not
+    // determine it). Completes the measured-recall matrix: EVERY ANN
+    // variant in the suite now has its eval row.
+    "sim_ann_recall_ivfpq" -> { (s, d) =>
+      val e = Tables(s, d).embeddings
+      recallAt5(bruteTopkFrom(e).select("query_id", "vec_id"),
+        ivfpqTopkFrom(e, 2))
+    },
     // MMR diversification (Carbonell & Goldstein 1998) — the re-ranking
     // pass between retrieval and consumption: plain top-k returns
     // near-duplicate neighbors (the corpus HAS near-dups; see the dedup
@@ -831,6 +851,57 @@ object SimilarityOps {
     * embedding dimension must be M·sub = 64 (the fixed-dimension contract
     * of the embeddings table).
     */
+  /** Brute-force top-5 as DuckDB CTEs (`bdot`/`bscored`/`btop`) — assumes
+    * `q` (vec_id, i, v) and `n` (vec_id, nn) CTEs upstream; the shared
+    * ground-truth half of every recall oracle.
+    */
+  private val bruteTopSql =
+    """bdot AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+      |           sum(a.v * b.v) AS dot
+      |         FROM q a JOIN q b ON b.i = a.i AND b.vec_id >= 10
+      |         WHERE a.vec_id < 10 GROUP BY 1, 2),
+      |bscored AS (SELECT query_id, bdot.vec_id AS vec_id,
+      |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+      |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+      |           sqrt(CAST(nb.nn AS DOUBLE))) END AS cos
+      |  FROM bdot JOIN n na ON na.vec_id = query_id
+      |            JOIN n nb ON nb.vec_id = bdot.vec_id),
+      |btop AS (SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos DESC, vec_id ASC) AS rk FROM bscored) r
+      |  WHERE rk <= 5)""".stripMargin
+
+  /** Recall@5 final SELECT over `btop` (ground truth) and `itop`
+    * (approximate top-5) CTEs.
+    */
+  private val recallTailSql =
+    """SELECT b.query_id, CAST(count(l.vec_id) AS BIGINT) AS n_hit,
+      |  CAST(count(l.vec_id) AS DOUBLE) / 5.0 AS recall_at_5
+      |FROM btop b LEFT JOIN itop l
+      |  ON l.query_id = b.query_id AND l.vec_id = b.vec_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Recall@5 readout — the shared shape of every `sim_ann_recall_*` row:
+    * per query, how many of the approximate top-5 intersect the
+    * brute-force top-5 (left-semi count), densified to all queries.
+    * `bf` carries (query_id, vec_id) ground truth; `approx` any frame
+    * with (query_id, vec_id) in its columns.
+    */
+  private def recallAt5(bf: DataFrame, approx: DataFrame): DataFrame = {
+    val ap = approx.select(col("query_id").as("lq"), col("vec_id").as("lv"))
+    val hits = bf.join(ap,
+        col("query_id") === col("lq") && col("vec_id") === col("lv"),
+        "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    bf.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / 5.0)
+          .as("recall_at_5"))
+      .orderBy("query_id")
+  }
+
   def pqTopkFrom(emb: DataFrame): DataFrame = {
     val base = emb.select(col("vec_id"), quantize(col("embedding")).as("qv"))
     val coded = pqEncode(base)
@@ -1731,6 +1802,84 @@ object SimilarityOps {
         |      ORDER BY adist ASC, vec_id ASC) AS INT) AS rk FROM adc)
         |SELECT query_id, vec_id, adist, rk FROM ranked WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
+    // the sim_ann_pq CTE chain through its top-5, plus the brute-force
+    // top-5 CTEs from sim_ann_recall, joined into recall@5
+    "sim_ann_recall_pq" ->
+      s"""WITH q AS (SELECT vec_id, i,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
+         |  FROM embeddings,
+         |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+         |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
+         |dist AS (SELECT a.vec_id, b.vec_id AS cid, (a.i - 1) // 16 AS m,
+         |           sum((a.v - b.v) * (a.v - b.v)) AS d
+         |         FROM q a JOIN q b ON a.i = b.i AND b.vec_id < 16
+         |         GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, m, cid FROM (
+         |    SELECT vec_id, m, cid, row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d ASC, cid ASC) AS rn FROM dist) r WHERE rn = 1),
+         |qd AS (SELECT vec_id AS query_id, m, cid, d FROM dist
+         |       WHERE vec_id < 10),
+         |adc AS (SELECT qd.query_id, c.vec_id, CAST(sum(qd.d) AS BIGINT)
+         |          AS adist
+         |        FROM codes c JOIN qd ON qd.m = c.m AND qd.cid = c.cid
+         |        WHERE c.vec_id >= 10 GROUP BY 1, 2),
+         |itop AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist ASC, vec_id ASC) AS rk FROM adc) r
+         |  WHERE rk <= 5),
+         |$bruteTopSql
+         |$recallTailSql""".stripMargin,
+    // the sim_ann_ivfpq CTE chain through its top-5, plus the brute-force
+    // top-5 CTEs, joined into recall@5
+    "sim_ann_recall_ivfpq" ->
+      s"""WITH q AS (SELECT vec_id, label, i,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
+         |  FROM embeddings,
+         |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+         |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
+         |cent AS (SELECT label, i,
+         |    CAST(floor(CAST(sum(v) * 1000 AS DOUBLE) / count(*)) AS BIGINT)
+         |      AS cv
+         |  FROM q GROUP BY 1, 2),
+         |cn AS (SELECT label, sum(cv * cv) AS cnn FROM cent GROUP BY 1),
+         |cdot AS (SELECT a.vec_id AS query_id, c.label, sum(a.v * c.cv) AS dot
+         |         FROM q a JOIN cent c ON c.i = a.i
+         |         WHERE a.vec_id < 10 GROUP BY 1, 2),
+         |csim AS (SELECT query_id, cdot.label,
+         |    CASE WHEN na.nn = 0 OR cn.cnn = 0 THEN 0.0
+         |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+         |           sqrt(CAST(cn.cnn AS DOUBLE))) END AS sim
+         |  FROM cdot JOIN n na ON na.vec_id = query_id
+         |            JOIN cn ON cn.label = cdot.label),
+         |probe AS (SELECT query_id, label FROM (
+         |    SELECT query_id, label, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, label ASC) AS rn FROM csim)
+         |  WHERE rn <= 2),
+         |pdist AS (SELECT a.vec_id, b.vec_id AS cid, (a.i - 1) // 16 AS m,
+         |           sum((a.v - b.v) * (a.v - b.v)) AS d
+         |         FROM q a JOIN q b ON a.i = b.i AND b.vec_id < 16
+         |         GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, m, cid FROM (
+         |    SELECT vec_id, m, cid, row_number() OVER (PARTITION BY vec_id, m
+         |      ORDER BY d ASC, cid ASC) AS rn FROM pdist) r WHERE rn = 1),
+         |qd AS (SELECT vec_id AS query_id, m, cid, d FROM pdist
+         |       WHERE vec_id < 10),
+         |cand AS (SELECT p.query_id, e.vec_id
+         |         FROM probe p JOIN (SELECT DISTINCT vec_id, label
+         |                            FROM embeddings WHERE vec_id >= 10) e
+         |           USING (label)),
+         |adc AS (SELECT c.query_id, c.vec_id, CAST(sum(qd.d) AS BIGINT)
+         |          AS adist
+         |        FROM cand c JOIN codes co ON co.vec_id = c.vec_id
+         |        JOIN qd ON qd.query_id = c.query_id AND qd.m = co.m
+         |          AND qd.cid = co.cid
+         |        GROUP BY 1, 2),
+         |itop AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adist ASC, vec_id ASC) AS rk FROM adc) r
+         |  WHERE rk <= 5),
+         |$bruteTopSql
+         |$recallTailSql""".stripMargin,
     // Lloyd-step replication: seed centroids, cosine argmax assignment
     // (ties sim DESC, label ASC), recomputed centroids, exact checksums.
     // the same two passes as CTEs: per-row dot via an indexed-lambda

@@ -127,8 +127,12 @@ class PlanCheckSpec extends GraftSuite {
     "sim_ann_recall_mips", // the exact max-dot ground truth inside: the
                           // 10-query set broadcast against the corpus
                           // (the MIPS side itself is bucket equi-joins)
-    "events_did"          // 1-row midpoint-boundary scalar broadcast under
+    "events_did",         // 1-row midpoint-boundary scalar broadcast under
                           // the corpus scan (single-row DiD rollup)
+    "sim_ann_recall_pq",  // the sim_ann_pq side (1-row codebook + 10-query
+                          // broadcasts) plus the brute ground-truth side
+    "sim_ann_recall_ivfpq" // the sim_ann_ivfpq side (codebook + coarse
+                          // probe broadcasts) plus the brute ground truth
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides

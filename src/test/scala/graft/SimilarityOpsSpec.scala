@@ -708,4 +708,30 @@ class SimilarityOpsSpec extends GraftSuite {
       assert(mae <= halfBucket * (1 + 1e-12))
     }
   }
+
+  test("pq and ivfpq recall count the exact brute/approx top-5 " +
+      "intersections — the measured-recall matrix is complete") {
+    val e = graft.ops.Tables(spark, sfDir).embeddings
+    val bf = graft.ops.SimilarityOps.bruteTopkFrom(e)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for ((name, approx) <- Seq(
+        "sim_ann_recall_pq" -> graft.ops.SimilarityOps.pqTopkFrom(e),
+        "sim_ann_recall_ivfpq" ->
+          graft.ops.SimilarityOps.ivfpqTopkFrom(e, 2))) {
+      val ap = approx.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = bf.groupBy(_._1).view
+        .mapValues(s => s.count(ap.contains).toLong).toMap
+      val got = graft.ops.SimilarityOps.queries(name)(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.map(_._1).toSeq == (0L to 9L), s"$name: ${got.toSeq}")
+      got.foreach { case (q, nHit, rec) =>
+        assert(nHit == want(q), s"$name query $q: $nHit vs ${want(q)}")
+        assert(rec == nHit.toDouble / 5.0)
+        assert(nHit >= 0L && nHit <= 5L)
+      }
+      spark.catalog.clearCache() // ivfpqTopkFrom persists its base
+    }
+  }
 }
