@@ -77,6 +77,34 @@ object DataOps {
             contrib(col("n_test"), col("t_test"))).as("chi2"))
         .orderBy("lang")
     },
+    // Group-aware K-fold assignment — the split data_split_hash must NOT
+    // be used for when groups leak (near-duplicate documents cluster
+    // within a source; per-doc hashing puts siblings on both sides of a
+    // train/eval cut and inflates eval scores): fold = xxh64 of the
+    // SOURCE, so every document of a source lands in one fold by
+    // construction. The salted-stream discipline ("KF" prefix) keeps
+    // fold assignment independent of every other hash use of the key.
+    // Shape: one source-keyed aggregate (map-side combined) collapses
+    // the corpus to source rows; the fold rollup and the 1-row totals
+    // broadcast are metadata-scale.
+    "data_group_kfold" -> { (s, d) =>
+      val perSource = Tables(s, d).documents
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .withColumn("fold",
+          pmod(xxhash64(concat(lit("KF"), col("source"))), lit(5L)))
+      val tot = perSource.agg(sum(col("n_docs")).as("total_docs"))
+      perSource.groupBy("fold")
+        .agg(countDistinct(col("source")).as("n_sources"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .crossJoin(broadcast(tot))
+        .select(col("fold"), col("n_sources"), col("n_docs"),
+          col("sum_chars"),
+          (col("n_docs").cast("double") / col("total_docs").cast("double"))
+            .as("frac_docs"))
+        .orderBy("fold")
+    },
     // Stratified hash sampling: per-language keep rates (en 50%, else 25%)
     // on an INDEPENDENT hash stream ("S" prefix) so sample membership does
     // not correlate with split assignment above.
@@ -1436,6 +1464,21 @@ object DataOps {
          |     CAST(t_test AS DOUBLE) /
          |     CAST(t_train + t_val + t_test AS DOUBLE)) AS chi2
          |FROM cell CROSS JOIN tot ORDER BY lang""".stripMargin,
+    "data_group_kfold" ->
+      s"""WITH ps AS (SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_chars
+         |  FROM documents GROUP BY 1),
+         |f AS (SELECT source, n_docs, n_chars,
+         |    ((${XxhSql.expr("'KF' || source", "42")} % 5) + 5) % 5 AS fold
+         |  FROM ps),
+         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM f),
+         |g AS (SELECT fold, count(DISTINCT source) AS n_sources,
+         |    CAST(sum(n_docs) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |  FROM f GROUP BY 1)
+         |SELECT fold, n_sources, n_docs, sum_chars,
+         |  CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE) AS frac_docs
+         |FROM g, t ORDER BY fold""".stripMargin,
     "data_sample_stratified" ->
       s"""WITH h AS (SELECT lang,
          |    ((${XxhSql.expr("'S' || CAST(doc_id AS VARCHAR)", "42")} % 1000)

@@ -371,6 +371,47 @@ object GraphOps {
         .agg(count(lit(1)).as("cnt"),
           sum(col("l_quantity").cast("long")).as("qty"))
       sccFrom(pairs)
+    },
+    // Seeded closeness centrality — the "how central is this hub"
+    // readout behind influence ranking (Bavelas/Wasserman–Faust, the
+    // ≤H-hop ball form a 100 TB run actually uses: exact all-sources
+    // closeness is all-pairs BFS, so production computes it from a seed
+    // set and a bounded horizon). For each of the 5 smallest nodes:
+    // multi-seed frontier-join BFS to 6 hops over the sparse co-purchase
+    // graph (one equi-join shuffle per round, the distance table keyed
+    // (seed, node) and cut per round), then the WF-normalized score
+    // r²/((n−1)·Σd) with r = reached nodes excluding the seed — exact
+    // integers into ONE IEEE division. The 6-hop horizon is part of the
+    // operator's SEMANTICS (documented ball-closeness, matching the
+    // oracle's capped recursion), not a convergence guess.
+    "graph_closeness" -> { (s, d) =>
+      import Checkpoints.LineageCutOps
+      val e0 = copurchaseEdges(Tables(s, d), minSupport = 2)
+      val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+        .persist()
+      val nodes = edges.select(col("u").as("x")).distinct()
+      val n = nodes.agg(count(lit(1)).as("n_nodes"))
+      var dist = nodes.orderBy("x").limit(5)
+        .select(col("x").as("seed"), col("x").as("node"),
+          lit(0).as("dist"))
+      for (step <- 1 to 6) {
+        val next = dist.filter(col("dist") === step - 1).as("f")
+          .join(edges.as("e"), col("f.node") === col("e.u"))
+          .select(col("f.seed").as("seed"), col("e.v").as("node"),
+            lit(step).as("dist"))
+        dist = dist.union(next)
+          .groupBy("seed", "node").agg(min(col("dist")).as("dist"))
+          .cutLineage() // (seed, node)-sized; feeds filter + union next round
+      }
+      dist.filter(col("dist") > 0)
+        .groupBy("seed")
+        .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("sum_dist"))
+        .crossJoin(broadcast(n))
+        .select(col("seed"), col("n_reached"), col("sum_dist"),
+          ((col("n_reached") * col("n_reached")).cast("double") /
+            ((col("n_nodes") - 1L) * col("sum_dist")).cast("double"))
+            .as("closeness"))
+        .orderBy("seed")
     }
   )
 
@@ -1181,7 +1222,28 @@ object GraphOps {
            |  count(CASE WHEN node % 2 = 0 THEN 1 END) AS n_cust,
            |  count(CASE WHEN node % 2 = 1 THEN 1 END) AS n_supp
            |FROM g GROUP BY 1 ORDER BY scc_id""".stripMargin
-      }
+      },
+      // the graph_bfs_hops recursive-CTE pattern, multi-seed (seed rides
+      // the recursion key), capped at the operator's 6-hop horizon
+      "graph_closeness" ->
+        s"""WITH RECURSIVE $copurchaseSql,
+           |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           |nodes AS (SELECT DISTINCT u AS x FROM e),
+           |nn AS (SELECT count(*) AS n_nodes FROM nodes),
+           |s AS (SELECT x AS seed FROM nodes ORDER BY x LIMIT 5),
+           |d AS (SELECT seed, seed AS node, 0 AS dist FROM s
+           |  UNION
+           |  SELECT d.seed, e.v, d.dist + 1 FROM d JOIN e ON e.u = d.node
+           |  WHERE d.dist < 6),
+           |md AS (SELECT seed, node, min(dist) AS dist FROM d
+           |  GROUP BY 1, 2),
+           |g AS (SELECT seed, count(*) AS n_reached,
+           |    CAST(sum(dist) AS BIGINT) AS sum_dist
+           |  FROM md WHERE dist > 0 GROUP BY 1)
+           |SELECT seed, n_reached, sum_dist,
+           |  CAST(n_reached * n_reached AS DOUBLE) /
+           |    CAST((n_nodes - 1) * sum_dist AS DOUBLE) AS closeness
+           |FROM g, nn ORDER BY seed""".stripMargin
     )
   }
 

@@ -796,4 +796,29 @@ class DataOpsSpec extends GraftSuite {
     assert(planted == Set(("a", "s1", 0, 12L), ("b", "*", 1, 12L),
       ("*", "*", 2, 4L)), planted.toString)
   }
+
+  test("group kfold: folds partition the sources and the docs; shares " +
+      "sum to one") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.ops.Tables(spark, sfDir).documents
+    val nSources = docs.select("source").distinct().count()
+    val nDocs = docs.count()
+    val got = graft.ops.DataOps.queries("data_group_kfold")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // a partition: fold source/doc counts tile the corpus exactly —
+    // group-aware assignment leaks nothing across folds by construction,
+    // and this asserts the construction (each source counted once)
+    assert(got.map(_._2).sum == nSources, got.toSeq.toString)
+    assert(got.map(_._3).sum == nDocs)
+    assert(math.abs(got.map(_._5).sum - 1.0) < 1e-12)
+    assert(got.map(_._1).forall(f => f >= 0L && f < 5L))
+    // fold of each source is the pinned salted hash — replay one source
+    val one = docs.select(col("source"),
+        pmod(xxhash64(concat(lit("KF"), col("source"))), lit(5L))
+          .as("fold"))
+      .distinct().collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(one.groupBy(_._1).forall(_._2.map(_._2).distinct.size == 1))
+  }
 }

@@ -597,4 +597,40 @@ class GraphOpsSpec extends GraftSuite {
     assert(qSf > -0.5 && qSf <= 1.0, s"Q=$qSf")
     spark.catalog.clearCache()
   }
+
+  test("closeness: seeded 6-hop ball scores match a driver-side BFS " +
+      "replay with the WF normalization") {
+    import org.apache.spark.sql.functions._
+    val it = graft.ops.Tables(spark, sfDir).lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = it.groupBy(_._1).values
+    val e0 = byOrder.flatMap { ps =>
+      val parts = ps.map(_._2).toSeq
+      for (a <- parts; b <- parts if a < b) yield (a, b)
+    }.toSeq.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val adj = (e0 ++ e0.map(_.swap)).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keySet
+    val seeds = nodes.toSeq.sorted.take(5)
+    val want = seeds.map { s0 =>
+      var dist = Map(s0 -> 0)
+      var frontier = Set(s0)
+      for (step <- 1 to 6) {
+        frontier = frontier.flatMap(adj(_)).filterNot(dist.contains)
+        dist ++= frontier.map(_ -> step)
+      }
+      val r = dist.size - 1
+      val sumD = dist.values.sum.toLong
+      (s0, r.toLong, sumD,
+        (r.toLong * r).toDouble / ((nodes.size - 1L) * sumD).toDouble)
+    }
+    val got = graft.ops.GraphOps.queries("graph_closeness")(spark, sfDir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want, s"got=$got want=$want")
+    // the ball is non-trivial: every seed reaches beyond its neighbors
+    assert(got.forall(g => g._2 > adj(g._1).size))
+    spark.catalog.clearCache()
+  }
 }

@@ -131,8 +131,12 @@ class PlanCheckSpec extends GraftSuite {
                           // the corpus scan (single-row DiD rollup)
     "sim_ann_recall_pq",  // the sim_ann_pq side (1-row codebook + 10-query
                           // broadcasts) plus the brute ground-truth side
-    "sim_ann_recall_ivfpq" // the sim_ann_ivfpq side (codebook + coarse
+    "sim_ann_recall_ivfpq", // the sim_ann_ivfpq side (codebook + coarse
                           // probe broadcasts) plus the brute ground truth
+    "graph_closeness",    // 1-row node-count scalar broadcast under the
+                          // 5-seed closeness rollup (BFS is equi-joins)
+    "data_group_kfold"    // 1-row total-docs scalar broadcast under the
+                          // 5-row fold rollup
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides
