@@ -48,6 +48,22 @@ object StreamingOps {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** SLIDING 2h/1h event-time window — the overlapping-window shape the
+    * tumbling row doesn't exercise: each event lands in exactly two
+    * windows (size/slide = 2), so the state store holds two open windows
+    * per (hour, type) key and every update touches both. Same watermark
+    * and exact-sum contract as [[hourlyCounts]].
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("event_ts", "2 hours")
+      .groupBy(window(col("event_ts"), "2 hours", "1 hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        dsum(events.sparkSession, col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   final case class UserEvent(user_id: Long, event_id: Long, ts_ms: Long,
       value: Double)
   final case class UserSessionState(nEvents: Long, startMs: Long, lastMs: Long)
@@ -421,6 +437,21 @@ object StreamingOps {
             "unix_millis(win_start)", 3600000L)).as("hour_bucket"),
           col("c_nationkey"), col("n"), col("sum_value"))
         .orderBy("hour_bucket", "c_nationkey")
+    },
+    // Ninth streaming parity row: SLIDING windows — each event fans out
+    // to its two containing 2h/1h windows in the state store. The oracle
+    // restates the fan-out in batch form (each event contributes to
+    // window starts hb−1 and hb), so the window-assignment arithmetic
+    // itself is what's gated, values included (exact-sum contract).
+    "events_sliding_stream" -> { (s, d) =>
+      val res = runToMemory(slidingCounts(readEvents(s, d)),
+        "events_sliding_stream_sink", OutputMode.Complete())
+      res
+        .select(
+          expr(graft.ops.EventOps.floorDivSql(
+            "unix_millis(win_start)", 3600000L)).as("win_hour"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("win_hour", "event_type")
     }
   )
 
@@ -509,6 +540,16 @@ object StreamingOps {
       s"""SELECT epoch_ms(ts) // 3600000 AS hour_bucket, c_nationkey,
          |  count(*) AS n, ${graft.ops.Oracle.sqlSum("value")} AS sum_value
          |FROM events JOIN customer ON user_id = c_custkey
-         |GROUP BY 1, 2 ORDER BY hour_bucket, c_nationkey""".stripMargin
+         |GROUP BY 1, 2 ORDER BY hour_bucket, c_nationkey""".stripMargin,
+    // the sliding fan-out restated in batch form: an event in hour hb
+    // belongs to the 2h windows starting at hb-1 and hb
+    "events_sliding_stream" ->
+      s"""WITH e AS (SELECT event_type, value,
+         |    epoch_ms(ts) // 3600000 AS hb FROM events),
+         |w AS (SELECT event_type, value, hb - 1 AS win_hour FROM e
+         |  UNION ALL SELECT event_type, value, hb FROM e)
+         |SELECT win_hour, event_type, count(*) AS n,
+         |  ${graft.ops.Oracle.sqlSum("value")} AS sum_value
+         |FROM w GROUP BY 1, 2 ORDER BY win_hour, event_type""".stripMargin
   )
 }

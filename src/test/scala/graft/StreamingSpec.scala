@@ -319,4 +319,41 @@ class StreamingSpec extends GraftSuite {
     assert(got == want)
     assert(got.map(_._2).distinct.size > 1, "several nations present")
   }
+
+  test("sliding 2h/1h windows equal the batch fan-out: every event lands " +
+      "in exactly two windows") {
+    val got = graft.streaming.StreamingOps
+      .queries("events_sliding_stream")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val ev = graft.ops.EventOps.withMs(
+      graft.ops.Tables(spark, sfDir).events)
+    val hourly = ev
+      .groupBy(expr(graft.ops.EventOps.floorDivSql("ts_ms", 3600000L))
+        .as("hb"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.ops.Oracle.dsum(spark, col("value")).as("v"))
+      .collect().map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // replay the fan-out: window w = hours {w, w+1}; counts add exactly,
+    // values add as doubles of the exact per-hour decimal sums (the
+    // operator sums the union through the same DECIMAL contract, so
+    // allow the one-reassociation tolerance on sum_value only)
+    val wins = hourly.keys.map(_._1).flatMap(h => Seq(h - 1, h)).toSeq
+      .distinct.sorted
+    val types = hourly.keys.map(_._2).toSeq.distinct.sorted
+    val want = (for (w <- wins; t <- types) yield {
+      val parts = Seq(hourly.get((w, t)), hourly.get((w + 1, t))).flatten
+      ((w, t), (parts.map(_._1).sum, parts.map(_._2).sum))
+    }).filter(_._2._1 > 0L)
+    assert(got.size == want.size)
+    got.zip(want.sortBy(p => (p._1._1, p._1._2))).foreach {
+      case ((gw, gt, gn, gv), ((ww, wt), (wn, wv))) =>
+        assert(gw == ww && gt == wt && gn == wn, s"cell ($gw,$gt)")
+        assert(math.abs(gv - wv) <= 1e-9 * math.max(math.abs(wv), 1.0),
+          s"cell ($gw,$gt): $gv vs $wv")
+    }
+    // the two-window fan-out is total: window counts sum to 2x events
+    assert(got.map(_._3).sum == 2L * ev.count())
+  }
 }
