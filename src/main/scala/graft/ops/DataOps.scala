@@ -77,6 +77,23 @@ object DataOps {
             contrib(col("n_test"), col("t_test"))).as("chi2"))
         .orderBy("lang")
     },
+    // Waterfilling token-budget allocation — the mixture planner's hard
+    // sibling: given a training token TARGET (60% of the corpus here,
+    // derived so the query survives regeneration), find the flat
+    // per-source cap C with Σ min(tokens_s, C) ≈ target and allocate
+    // min(tokens_s, C) to each source. This is the budget rule behind
+    // "cap the over-represented sources, keep the tail whole" (the
+    // waterfilling solution maximizes the minimum source share under the
+    // budget). EXACT integer derivation: sources sorted ascending, the
+    // crossing row is the first where cum_before + remaining·tokens ≥
+    // target, and C = (target − cum_before) div remaining — total
+    // allocation lands within `remaining−1` tokens of the target, floor
+    // documented. Shape: one source-keyed count shuffle collapses the
+    // corpus; every window runs over the SOURCE-sized frame; the 1-row
+    // cap broadcasts back.
+    "data_token_budget" -> { (s, d) =>
+      tokenBudgetFrom(Tables(s, d).documents)
+    },
     // Group-aware K-fold assignment — the split data_split_hash must NOT
     // be used for when groups leak (near-duplicate documents cluster
     // within a source; per-doc hashing puts siblings on both sides of a
@@ -1406,6 +1423,40 @@ object DataOps {
       .orderBy("doc_id", "epoch")
   }
 
+  /** Waterfilling allocation at a 60%-of-corpus token target — see the
+    * `data_token_budget` notes. Separated so specs can plant exact
+    * crossing-row cases. The 60% target is strictly below the total, so
+    * a crossing row always exists (an above-total target means "take
+    * everything" — no cap to derive).
+    */
+  private[graft] def tokenBudgetFrom(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"), size(split(col("text"), " ")).as("n_tok"))
+      .groupBy("source")
+      .agg(sum(col("n_tok")).cast("long").as("n_tokens"))
+    val gw = Window.partitionBy()
+    val w = Window.orderBy(col("n_tokens").asc, col("source").asc)
+    val ranked = st
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("cum_before", coalesce(
+        sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_sources", count(lit(1)).over(gw))
+      .withColumn("total", sum(col("n_tokens")).over(gw))
+      .withColumn("target", expr("(total * 6) div 10"))
+      .withColumn("remaining", col("n_sources") - col("k") + 1L)
+    val cap = ranked
+      .filter(col("cum_before") + col("remaining") * col("n_tokens") >=
+        col("target"))
+      .orderBy("k").limit(1)
+      .select(expr("(target - cum_before) div remaining").as("cap"))
+    ranked.crossJoin(broadcast(cap))
+      .select(col("source"), col("n_tokens"),
+        least(col("n_tokens"), col("cap")).as("alloc_tokens"),
+        (col("n_tokens") > col("cap")).as("capped"))
+      .orderBy("source")
+  }
+
   def oracles: Map[String, String] = Map(
     "data_split_hash" ->
       s"""WITH h AS (SELECT n_chars,
@@ -1464,6 +1515,26 @@ object DataOps {
          |     CAST(t_test AS DOUBLE) /
          |     CAST(t_train + t_val + t_test AS DOUBLE)) AS chi2
          |FROM cell CROSS JOIN tot ORDER BY lang""".stripMargin,
+    "data_token_budget" ->
+      """WITH st AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT source, n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens ASC, source ASC) AS k,
+        |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY n_tokens ASC,
+        |      source ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS cum_before,
+        |    count(*) OVER () AS n_sources,
+        |    CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+        |  FROM st),
+        |t2 AS (SELECT *, (total * 6) // 10 AS target,
+        |    n_sources - k + 1 AS remaining FROM r),
+        |c AS (SELECT (target - cum_before) // remaining AS cap FROM t2
+        |  WHERE cum_before + remaining * n_tokens >= target
+        |  ORDER BY k LIMIT 1)
+        |SELECT source, n_tokens,
+        |  least(n_tokens, cap) AS alloc_tokens, n_tokens > cap AS capped
+        |FROM t2, c ORDER BY source""".stripMargin,
     "data_group_kfold" ->
       s"""WITH ps AS (SELECT source, count(*) AS n_docs,
          |    CAST(sum(n_chars) AS BIGINT) AS n_chars

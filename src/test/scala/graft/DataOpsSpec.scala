@@ -821,4 +821,36 @@ class DataOpsSpec extends GraftSuite {
       .distinct().collect().map(r => r.getString(0) -> r.getLong(1))
     assert(one.groupBy(_._1).forall(_._2.map(_._2).distinct.size == 1))
   }
+
+  test("token budget: planted waterfilling hits the exact cap; corpus " +
+      "allocation lands within remaining-1 of the 60% target") {
+    import spark.implicits._
+    // sources 10/20/100 tokens, target = 60% of 130 = 78: rows 1-2 fit
+    // whole (30), the crossing row caps at (78-30)/1 = 48
+    def words(n: Int): String = (1 to n).map(_ => "w").mkString(" ")
+    val docs = Seq(("sA", words(10)), ("sB", words(20)),
+      ("sC", words(100))).toDF("source", "text")
+    val planted = graft.ops.DataOps.tokenBudgetFrom(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(planted == Seq(("sA", 10L, 10L, false), ("sB", 20L, 20L, false),
+      ("sC", 100L, 48L, true)), planted.toString)
+    // corpus run: allocation is feasible and near-tight, caps are flat
+    val got = graft.ops.DataOps.queries("data_token_budget")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    val total = got.map(_._2).sum
+    val target = total * 6 / 10
+    val alloc = got.map(_._3).sum
+    val nCapped = got.count(_._4)
+    assert(alloc <= target && alloc > target - math.max(nCapped, 1),
+      s"alloc=$alloc target=$target")
+    assert(got.forall(g => g._3 <= g._2))
+    // every capped source gets the same flat cap, above every uncapped
+    val caps = got.filter(_._4).map(_._3).distinct
+    assert(caps.size <= 1)
+    caps.headOption.foreach { c =>
+      assert(got.filterNot(_._4).forall(_._2 <= c))
+    }
+  }
 }

@@ -135,8 +135,10 @@ class PlanCheckSpec extends GraftSuite {
                           // probe broadcasts) plus the brute ground truth
     "graph_closeness",    // 1-row node-count scalar broadcast under the
                           // 5-seed closeness rollup (BFS is equi-joins)
-    "data_group_kfold"    // 1-row total-docs scalar broadcast under the
+    "data_group_kfold",   // 1-row total-docs scalar broadcast under the
                           // 5-row fold rollup
+    "data_token_budget"   // 1-row waterfilling-cap scalar broadcast under
+                          // the source-sized allocation table
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides
