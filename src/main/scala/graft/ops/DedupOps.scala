@@ -35,7 +35,7 @@ object DedupOps {
   type Q = (SparkSession, String) => DataFrame
 
   /** doc_id + distinct 3-token shingle set. */
-  private def shingleSets(docs: DataFrame): DataFrame =
+  private[graft] def shingleSets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       array_distinct(TextOps.shingles(col("text"), 3)).as("sh"))
 
@@ -583,8 +583,57 @@ object DedupOps {
     // signature equi-join and a band-sized rollup.
     "dedup_minhash_quality" -> { (s, d) =>
       minhashQualityFrom(Tables(s, d).documents)
+    },
+    // LSH candidate recall — the banding-tuning readout
+    // dedup_minhash_quality (signature calibration) doesn't answer: of
+    // the TRUE near-dup pairs (exact Jaccard ≥ 0.8, the complete PPJoin
+    // ground truth — exact, not sampled, because the prefix filter makes
+    // completeness affordable), what fraction does the 4×4 banding
+    // surface as candidates (recall — pairs the LSH pipeline can never
+    // recover once missed), and what fraction of candidates survives the
+    // exact verify (the verify-stage efficiency — the cost knob: low
+    // efficiency means the bands are too loose and the verify pays for
+    // it). One row, five numbers; the two ratios are single IEEE
+    // divisions of exact counts. Scale: both pair sets are the already-
+    // bucketed operators' shapes; the rollup is three scalar aggregates.
+    "dedup_lsh_recall" -> { (s, d) =>
+      val sh = shingleSets(Tables(s, d).documents).persist()
+      val truth = jaccardDupPairs(sh, 4, 5).select("id1", "id2")
+        .persist()
+      val cand = minhashCandidates(sh).persist()
+      val hits = truth.join(cand, Seq("id1", "id2"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
+        .select(col("n_truth"), col("n_candidates"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_truth").cast("double"))
+            .as("recall"),
+          (col("n_hit").cast("double") /
+            col("n_candidates").cast("double")).as("verify_efficiency"))
     }
   )
+
+  /** MinHash 4×4-band candidate pairs over a (doc_id, sh) shingle-set
+    * frame — the candidate stage of the LSH pipeline in isolation (the
+    * same 16-sig/4-band layout as `dedup_minhash_lsh`), for evals that
+    * measure the banding itself.
+    */
+  private[graft] def minhashCandidates(sh: DataFrame): DataFrame = {
+    val sig = sh.select(col("doc_id"),
+      graft.functions.functions.minhash_sig(col("sh"), 16).as("sig"))
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until 4).map { b =>
+        struct((0 until 4).map(r =>
+          element_at(col("sig"), b * 4 + r + 1)): _*)
+      }: _*)).as(Seq("band", "bsig")))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.bsig") === col("y.bsig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      .distinct()
+  }
 
   /** The `dedup_minhash_quality` core over any (doc_id, text) frame —
     * separated so specs can plant pairs with known exact Jaccard.
@@ -847,6 +896,46 @@ object DedupOps {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // the dedup_ngram_jaccard truth pairs + the minhash banding candidate
+    // CTEs, rolled into the recall/efficiency scalar row
+    "dedup_lsh_recall" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS L
+         |  FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         L[i] || ' ' || L[i+1] || ' ' || L[i+2] AS s
+         |       FROM tok,
+         |         LATERAL (SELECT unnest(generate_series(1, len(L) - 2)) AS i) g),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pair AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+         |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2),
+         |truth AS (SELECT id1, id2
+         |  FROM pair JOIN cnt ca ON ca.doc_id = id1
+         |            JOIN cnt cb ON cb.doc_id = id2
+         |  WHERE CAST(inter AS DOUBLE) /
+         |    CAST(ca.n + cb.n - inter AS DOUBLE) >= 0.8),
+         |hs AS (SELECT s, sd, ${XxhSql.expr("s", "sd")} AS h
+         |       FROM (SELECT DISTINCT s FROM sh)
+         |       CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS sd) k),
+         |sig AS (SELECT doc_id, sd, min(h) AS mh
+         |        FROM sh JOIN hs USING (s) GROUP BY 1, 2),
+         |band AS (SELECT doc_id, sd // 4 AS band,
+         |           array_agg(mh ORDER BY sd) AS bsig
+         |         FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM band a JOIN band b
+         |           ON a.band = b.band AND a.bsig = b.bsig
+         |          AND a.doc_id < b.doc_id),
+         |g AS (SELECT
+         |    (SELECT count(*) FROM truth) AS n_truth,
+         |    (SELECT count(*) FROM cand) AS n_candidates,
+         |    (SELECT count(*) FROM truth t JOIN cand c
+         |       ON c.id1 = t.id1 AND c.id2 = t.id2) AS n_hit)
+         |SELECT n_truth, n_candidates, n_hit,
+         |  CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall,
+         |  CAST(n_hit AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+         |    AS verify_efficiency
+         |FROM g""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS L FROM documents),
         |sh AS (SELECT DISTINCT doc_id, L[i] || ' ' || L[i+1] || ' ' || L[i+2] AS s

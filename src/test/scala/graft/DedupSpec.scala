@@ -453,4 +453,35 @@ class DedupSpec extends GraftSuite {
       assert(row._3 >= 1, s"bench $bid missed a j>=0.8 LSH pair")
     }
   }
+
+  test("lsh recall eval: planted exact clones are always candidates " +
+      "(recall 1 when clones are the only truth); ratios are consistent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two exact clones (J = 1 — identical signatures, collide in every
+    // band) among structurally distinct fillers (pairwise J far below
+    // the 0.8 truth threshold)
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine"),
+      (3L, "red green blue cyan magenta yellow black white"))
+      .toDF("doc_id", "text")
+    val sh = graft.ops.DedupOps.shingleSets(docs)
+    val truth = graft.ops.DedupOps.jaccardDupPairs(sh, 4, 5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cand = graft.ops.DedupOps.minhashCandidates(sh)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(truth.toSeq == Seq((0L, 1L)), truth.toSeq.toString)
+    assert(cand.contains((0L, 1L)), cand.toSeq.toString)
+    spark.catalog.clearCache()
+    // corpus row: counts consistent, ratios are the exact divisions
+    val got = graft.ops.DedupOps.queries("dedup_lsh_recall")(spark, sfDir)
+      .collect()(0)
+    val (nT, nC, nH) = (got.getLong(0), got.getLong(1), got.getLong(2))
+    assert(nH <= nT && nH <= nC)
+    assert(got.getDouble(3) == nH.toDouble / nT)
+    assert(got.getDouble(4) == nH.toDouble / nC)
+    spark.catalog.clearCache()
+  }
 }
