@@ -77,6 +77,26 @@ object DataOps {
             contrib(col("n_test"), col("t_test"))).as("chi2"))
         .orderBy("lang")
     },
+    // Overlapping sliding-window chunking — the RAG/embedding-prep shape
+    // data_chunk_documents (disjoint chunks) doesn't cover: 6-word
+    // windows at stride 3 (50% overlap), so every boundary sentence
+    // appears whole in some chunk — the standard retrieval-chunking
+    // tradeoff (2× storage for no lost cross-boundary context). Pure
+    // map stage (sequence → slice per row, codegen'd; the chunk id is
+    // the window ordinal); chunks are emitted as md5 + word count, not
+    // text, so the output is index-sized. Embarrassingly parallel at
+    // 100 TB.
+    "data_chunk_overlap" -> { (s, d) =>
+      Tables(s, d).documents
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1), size(col("w")), lit(3)),
+          st => slice(col("w"), st, lit(6)))).as(Seq("chunk_id", "cw")))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("cw")).as("n_words"),
+          md5(array_join(col("cw"), " ")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_id")
+    },
     // Waterfilling token-budget allocation — the mixture planner's hard
     // sibling: given a training token TARGET (60% of the corpus here,
     // derived so the query survives regeneration), find the flat
@@ -1515,6 +1535,17 @@ object DataOps {
          |     CAST(t_test AS DOUBLE) /
          |     CAST(t_train + t_val + t_test AS DOUBLE)) AS chi2
          |FROM cell CROSS JOIN tot ORDER BY lang""".stripMargin,
+    "data_chunk_overlap" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS L
+        |  FROM documents),
+        |c AS (SELECT doc_id, (st - 1) // 3 AS chunk_id,
+        |    L[st:least(st + 5, len(L))] AS cw
+        |  FROM tok, LATERAL (SELECT
+        |    unnest(generate_series(1, len(L), 3)) AS st) g)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  CAST(len(cw) AS INT) AS n_words,
+        |  md5(array_to_string(cw, ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "data_token_budget" ->
       """WITH st AS (SELECT source,
         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens

@@ -1186,6 +1186,53 @@ object EventOps {
           (col("m_b_post") - col("m_b_pre")) -
             (col("m_a_post") - col("m_a_pre")))
     },
+    // Two-sample Kolmogorov–Smirnov test between the arms' per-user
+    // purchase-value distributions — the DISTRIBUTION-level A/B gate
+    // next to the mean (events_ab_lift), quantile (events_ab_quantiles)
+    // and count (events_srm_check) readouts: KS detects any
+    // distributional shift, not just a location move. EXACT integer
+    // core: D = max|F_A − F_B| is computed as max|cumA·nB − cumB·nA|
+    // over the per-metric-value cumulative counts (cum·n ≤ users² —
+    // fits int64 through ~3·10⁹ users; ANSI throws loudly beyond) and
+    // divided by nA·nB ONCE at the end; the 5%-level critical value
+    // 1.36·√((nA+nB)/(nA·nB)) is a fixed IEEE tree (sqrt is
+    // correctly-rounded on both engines). Shape: one user-keyed
+    // aggregate, then every window runs over the DISTINCT-metric-value
+    // frame (≤ users, typically far smaller) — never the event stream.
+    "events_ab_ks" -> { (s, d) =>
+      val perUser = Tables(s, d).events
+        .groupBy("user_id")
+        .agg(coalesce(
+          sum(when(col("event_type") === "purchase", col("value"))
+            .cast(DecimalType(28, 6))).cast(DoubleType),
+          lit(0.0)).as("m"))
+        .withColumn("arm",
+          when(pmod(xxhash64(concat(lit("AB"),
+            col("user_id").cast("string"))), lit(2)) === 0, "A")
+            .otherwise("B"))
+      val pv = perUser.groupBy("m")
+        .agg(count(when(col("arm") === "A", 1)).as("ca"),
+          count(when(col("arm") === "B", 1)).as("cb"))
+      val w = Window.orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gw = Window.partitionBy()
+      pv
+        .withColumn("cum_a", sum(col("ca")).over(w))
+        .withColumn("cum_b", sum(col("cb")).over(w))
+        .withColumn("na", sum(col("ca")).over(gw))
+        .withColumn("nb", sum(col("cb")).over(gw))
+        .agg(max(col("na")).as("users_a"), max(col("nb")).as("users_b"),
+          max(abs(col("cum_a") * col("nb") - col("cum_b") * col("na")))
+            .as("d_num"))
+        .select(col("users_a"), col("users_b"),
+          (col("d_num").cast("double") /
+            (col("users_a") * col("users_b")).cast("double")).as("ks_d"),
+          (lit(1.36) * sqrt((col("users_a") + col("users_b"))
+            .cast("double") /
+            (col("users_a") * col("users_b")).cast("double")))
+            .as("ks_crit"))
+        .withColumn("reject", col("ks_d") > col("ks_crit"))
+    },
     // View→purchase conversion latency — the time-to-convert readout the
     // funnel COUNTS (events_funnel*) drop: per user, the gap from the
     // first view to the first purchase strictly after it, rolled up as
@@ -2546,6 +2593,39 @@ object EventOps {
          |  m_b_pre, m_b_post,
          |  (m_b_post - m_b_pre) - (m_a_post - m_a_pre) AS did
          |FROM m""".stripMargin,
+    // KS replication: per-user DECIMAL metric, xxh64 arms, cumulative
+    // counts over distinct metric values, the same exact-integer D
+    "events_ab_ks" ->
+      s"""WITH pu AS (SELECT user_id,
+         |    COALESCE(CAST(sum(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(value AS DECIMAL(28,6)) END) AS DOUBLE), 0e0)
+         |      AS m
+         |  FROM events GROUP BY 1),
+         |arms AS (SELECT m, CASE WHEN
+         |    ((${XxhSql.expr("'AB' || CAST(user_id AS VARCHAR)", "42")}
+         |      % 2) + 2) % 2 = 0 THEN 'A' ELSE 'B' END AS arm FROM pu),
+         |pv AS (SELECT m, count(CASE WHEN arm = 'A' THEN 1 END) AS ca,
+         |    count(CASE WHEN arm = 'B' THEN 1 END) AS cb
+         |  FROM arms GROUP BY 1),
+         |c AS (SELECT
+         |    CAST(sum(ca) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+         |    CAST(sum(cb) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b,
+         |    CAST(sum(ca) OVER () AS BIGINT) AS na,
+         |    CAST(sum(cb) OVER () AS BIGINT) AS nb
+         |  FROM pv),
+         |g AS (SELECT max(na) AS users_a, max(nb) AS users_b,
+         |    max(abs(cum_a * nb - cum_b * na)) AS d_num FROM c)
+         |SELECT users_a, users_b,
+         |  CAST(d_num AS DOUBLE) / CAST(users_a * users_b AS DOUBLE)
+         |    AS ks_d,
+         |  1.36 * sqrt(CAST(users_a + users_b AS DOUBLE) /
+         |    CAST(users_a * users_b AS DOUBLE)) AS ks_crit,
+         |  CAST(d_num AS DOUBLE) / CAST(users_a * users_b AS DOUBLE) >
+         |    1.36 * sqrt(CAST(users_a + users_b AS DOUBLE) /
+         |      CAST(users_a * users_b AS DOUBLE)) AS reject
+         |FROM g""".stripMargin,
     "events_conversion_latency" ->
       """WITH v AS (SELECT user_id, min(epoch_ms(ts)) AS t_view
         |  FROM events WHERE event_type = 'view' GROUP BY 1),

@@ -822,6 +822,25 @@ class DataOpsSpec extends GraftSuite {
     assert(one.groupBy(_._1).forall(_._2.map(_._2).distinct.size == 1))
   }
 
+  test("chunk overlap: windows stride by 3, consecutive chunks share " +
+      "their boundary words, every word is covered") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.DataOps.queries("data_chunk_overlap")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val lens = graft.ops.Tables(spark, sfDir).documents
+      .select(col("doc_id"), size(split(col("text"), " ")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = got.groupBy(_._1)
+    for ((doc, n) <- lens) {
+      val chunks = byDoc(doc).sortBy(_._2)
+      // chunk k starts at word 3k+1 and spans min(6, n-3k) words
+      val wantN = (0 until (n + 2) / 3).map(k => math.min(6, n - 3 * k))
+      assert(chunks.map(_._3).toSeq == wantN, s"doc $doc")
+      // coverage: last chunk ends at word n
+      assert(3 * (chunks.size - 1) + chunks.last._3 == n, s"doc $doc end")
+    }
+  }
+
   test("token budget: planted waterfilling hits the exact cap; corpus " +
       "allocation lands within remaining-1 of the 60% target") {
     import spark.implicits._

@@ -1199,6 +1199,37 @@ class EventOpsSpec extends GraftSuite {
     assert(Seq(maPre, maPost, mbPre, mbPost).forall(_ > 0.0))
   }
 
+  test("ab ks: the statistic matches an exact driver-side replay over " +
+      "the per-user metric distributions") {
+    import org.apache.spark.sql.functions._
+    val pu = graft.ops.Tables(spark, sfDir).events
+      .groupBy("user_id")
+      .agg(coalesce(sum(when(col("event_type") === "purchase",
+        col("value")).cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+        .cast("double"), lit(0.0)).as("m"))
+      .withColumn("arm", when(pmod(xxhash64(concat(lit("AB"),
+        col("user_id").cast("string"))), lit(2)) === 0, "A")
+        .otherwise("B"))
+      .collect().map(r => (r.getDouble(1), r.getString(2)))
+    val na = pu.count(_._2 == "A").toLong
+    val nb = pu.count(_._2 == "B").toLong
+    val values = pu.map(_._1).distinct.sorted
+    var (cumA, cumB, dNum) = (0L, 0L, 0L)
+    for (v <- values) {
+      cumA += pu.count(p => p._1 == v && p._2 == "A")
+      cumB += pu.count(p => p._1 == v && p._2 == "B")
+      dNum = math.max(dNum, math.abs(cumA * nb - cumB * na))
+    }
+    val got = EventOps.queries("events_ab_ks")(spark, sfDir).collect()(0)
+    assert(got.getLong(0) == na && got.getLong(1) == nb)
+    assert(got.getDouble(2) == dNum.toDouble / (na * nb).toDouble)
+    val crit = 1.36 * math.sqrt((na + nb).toDouble / (na * nb).toDouble)
+    assert(got.getDouble(3) == crit)
+    assert(got.getBoolean(4) == (got.getDouble(2) > crit))
+    // the hash split should NOT reject on a null A/B (same distribution)
+    assert(!got.getBoolean(4), s"KS rejected a null split: $got")
+  }
+
   test("conversion latency: counts match a driver replay; quantiles are " +
       "ordered and interpolated") {
     import org.apache.spark.sql.functions._
