@@ -34,9 +34,14 @@ object TextOps {
     * adjacent repeats); returns the token array. Separated so the spec
     * can pin the adjacency cases ('tata' → [ta, ta]).
     */
-  def bpeEncode(word: Column): Column = {
+  def bpeEncode(word: Column): Column = bpeEncodeK(word, BpeMerges.size)
+
+  /** [[bpeEncode]] under only the first `k` merge rules — the
+    * vocabulary-size knob behind `text_bpe_compression_curve`.
+    */
+  def bpeEncodeK(word: Column, k: Int): Column = {
     val seq0 = concat(lit("  "), regexp_replace(word, "(.)", "$1  "))
-    val chain = BpeMerges.foldLeft(seq0) { case (acc, (from, to)) =>
+    val chain = BpeMerges.take(k).foldLeft(seq0) { case (acc, (from, to)) =>
       call_function("replace", acc,
         lit(s" ${from.replace(" ", "  ")} "), lit(s" $to "))
     }
@@ -542,6 +547,32 @@ object TextOps {
     // per-doc rollup reuses the same doc_id partitioning.
     "text_phrase_search" -> { (s, d) =>
       phraseSearchFrom(Tables(s, d).documents, "hash", "join")
+    },
+    // Tokenizer compression curve — the vocabulary-size tradeoff every
+    // tokenizer training run plots (Gage 1994 BPE; the curve is why
+    // vocabularies stop at 32k/50k: marginal merges buy less compression):
+    // corpus token count and chars-per-token under merge-table prefixes
+    // of 0, 2, 4 and 8 rules. ONE corpus pass computes all four encodings
+    // per word (four codegen'd replace chains side by side — no second
+    // scan per point), one partial+final aggregate, a 4-row stack. The
+    // division is one IEEE op per row.
+    "text_bpe_compression_curve" -> { (s, d) =>
+      val ks = Seq(0, 2, 4, 8)
+      val words = Tables(s, d).documents
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val aggs = ks.map(k =>
+        sum(size(bpeEncodeK(col("word"), k)).cast("long")).as(s"t_$k")) ++
+        Seq(sum(length(col("word")).cast("long")).as("nc"),
+          count(lit(1)).as("nw"))
+      val a = words.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = ks.map(k => s"$k, t_$k").mkString(", ")
+      a.selectExpr(s"stack(${ks.size}, $stackArgs) AS (n_merges, n_tokens)",
+          "nc", "nw")
+        .select(col("n_merges"), col("nw").as("n_words"), col("n_tokens"),
+          (col("nc").cast("double") / col("n_tokens").cast("double"))
+            .as("chars_per_token"))
+        .orderBy("n_merges")
     },
     // Gopher-style quality rule panel (Rae et al. 2021, arXiv:2112.11446,
     // Table A1 — the published heuristic suite behind MassiveText, and the
@@ -1477,6 +1508,37 @@ object TextOps {
          |SELECT lang, n_words, n_tokens, n_merged,
          |  CAST(n_chars AS DOUBLE) / n_tokens AS chars_per_token
          |FROM g ORDER BY lang""".stripMargin
+    },
+    // the four prefix-k replace chains side by side, as the operator
+    "text_bpe_compression_curve" -> {
+      def chainK(k: Int): String =
+        BpeMerges.take(k).foldLeft(
+          "'  ' || regexp_replace(word, '(.)', '\\1  ', 'g')") {
+          case (acc, (from, to)) =>
+            s"replace($acc, ' ${from.replace(" ", "  ")} ', ' $to ')"
+        }
+      def tokLen(k: Int): String =
+        s"len(list_filter(string_split(trim(${chainK(k)}), ' '), " +
+          s"x -> x <> ''))"
+      s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+         |    FROM documents),
+         |e AS (SELECT length(word) AS nc, ${tokLen(0)} AS t0,
+         |    ${tokLen(2)} AS t2, ${tokLen(4)} AS t4, ${tokLen(8)} AS t8
+         |  FROM w WHERE word <> ''),
+         |g AS (SELECT count(*) AS nw, CAST(sum(nc) AS BIGINT) AS nc,
+         |    CAST(sum(t0) AS BIGINT) AS t0, CAST(sum(t2) AS BIGINT) AS t2,
+         |    CAST(sum(t4) AS BIGINT) AS t4, CAST(sum(t8) AS BIGINT) AS t8
+         |  FROM e)
+         |SELECT CAST(0 AS INT) AS n_merges, nw AS n_words, t0 AS n_tokens,
+         |  CAST(nc AS DOUBLE) / CAST(t0 AS DOUBLE) AS chars_per_token
+         |FROM g
+         |UNION ALL SELECT 2, nw, t2, CAST(nc AS DOUBLE) / CAST(t2 AS DOUBLE)
+         |FROM g
+         |UNION ALL SELECT 4, nw, t4, CAST(nc AS DOUBLE) / CAST(t4 AS DOUBLE)
+         |FROM g
+         |UNION ALL SELECT 8, nw, t8, CAST(nc AS DOUBLE) / CAST(t8 AS DOUBLE)
+         |FROM g
+         |ORDER BY n_merges""".stripMargin
     },
     // doubled separators mirror the operator's shared-boundary fix
     "text_bpe_encode" -> {

@@ -639,6 +639,32 @@ class TextOpsSpec extends GraftSuite {
     assert(got(4L)._7(1), "mean-word-length must fire on doc 4")
   }
 
+  test("bpe compression curve: token counts are monotone in the merge " +
+      "count and match per-word encodes at every prefix") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.TextOps
+      .queries("text_bpe_compression_curve")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got.map(_._1) == Seq(0, 2, 4, 8))
+    // more merges never produce more tokens; chars/token never shrinks
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse)
+    assert(got.map(_._4) == got.map(_._4).sorted)
+    // k=0 is character tokenization: tokens == chars exactly
+    val chars = graft.ops.Tables(spark, sfDir).documents
+      .select(sum(length(col("text")) -
+        (size(split(col("text"), " ")) - 1)))
+      .collect()(0).getLong(0)
+    assert(got.head._3 == chars, s"${got.head._3} vs $chars")
+    // the full-table point agrees with an independent per-word encode
+    val t8 = graft.ops.Tables(spark, sfDir).documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .select(size(graft.ops.TextOps.bpeEncode(col("word"))).as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(got.last._3 == t8)
+  }
+
   test("gopher funnel: corpus waterfall matches a driver-side replay; " +
       "the cumulative column is monotone and ends at the keep count") {
     import org.apache.spark.sql.functions._
