@@ -584,6 +584,45 @@ object DedupOps {
     "dedup_minhash_quality" -> { (s, d) =>
       minhashQualityFrom(Tables(s, d).documents)
     },
+    // Dedup savings BY SOURCE — the ROI report that decides where dedup
+    // effort goes (crawl snapshots duplicate heavily, curated sources
+    // barely): per source, how many documents a keep-canonical policy
+    // drops and what fraction of the source's characters that reclaims.
+    // Rides the same component build as dedup_components; the canonical
+    // rule is dedup_canonical's (longest, ties to smallest id), so the
+    // three reports describe ONE consistent policy. Shape: the pair
+    // graph + components are graph-sized; the drop set joins back to
+    // the corpus on doc_id (equi) and collapses per source.
+    "dedup_savings_by_source" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      val pairs = jaccardDupPairs(shingleSets(docs), 4, 5)
+        .select(col("id1"), col("id2")).persist()
+      val nParts = math.max(1L, 2L * pairs.count() / 500000L).toInt
+      val edges = pairs.union(pairs.select(col("id2"), col("id1")))
+        .toDF("src", "dst").repartition(nParts).persist()
+      val comp = minLabelComponents(edges)
+        .select(col("id").as("doc_id"), col("lab").as("rep_id"))
+      val keep = canonicalFrom(comp,
+        docs.select(col("doc_id"), col("n_chars")))
+        .select(col("rep_id"), col("canonical_id"))
+      val dropped = comp.join(broadcast(keep), Seq("rep_id"))
+        .filter(col("doc_id") =!= col("canonical_id"))
+        .select("doc_id")
+      val dropStats = dropped.join(docs, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_dropped"),
+          sum(col("n_chars")).as("chars_dropped"))
+      docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("tot_chars"))
+        .join(dropStats, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          coalesce(col("chars_dropped"), lit(0L)).as("chars_dropped"),
+          (coalesce(col("chars_dropped"), lit(0L)).cast("double") /
+            col("tot_chars").cast("double")).as("savings_frac"))
+        .orderBy("source")
+    },
     // LSH candidate recall — the banding-tuning readout
     // dedup_minhash_quality (signature calibration) doesn't answer: of
     // the TRUE near-dup pairs (exact Jaccard ≥ 0.8, the complete PPJoin
@@ -896,6 +935,49 @@ object DedupOps {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // the dedup_canonical recursive-CTE chain through the rank-1 keep,
+    // the rn > 1 rows as the drop set, rolled up per source
+    "dedup_savings_by_source" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS L
+        |             FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, L[i] || ' ' || L[i+1] || ' ' || L[i+2] AS s
+        |       FROM tok,
+        |         LATERAL (SELECT unnest(generate_series(1, len(L)-2)) AS i) g),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pair AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |dp AS (SELECT id1, id2
+        |  FROM pair JOIN cnt ca ON ca.doc_id = id1
+        |            JOIN cnt cb ON cb.doc_id = id2
+        |  WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE)
+        |    >= 0.8),
+        |e AS (SELECT id1 AS a, id2 AS b FROM dp
+        |      UNION ALL SELECT id2, id1 FROM dp),
+        |nodes AS (SELECT DISTINCT a AS id FROM e),
+        |r(id, lab) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT e.b, r.lab FROM r JOIN e ON e.a = r.id
+        |),
+        |comp AS (SELECT id AS doc_id, min(lab) AS rep_id FROM r GROUP BY id),
+        |sel AS (SELECT rep_id, d.doc_id,
+        |    row_number() OVER (PARTITION BY rep_id
+        |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+        |  FROM comp JOIN documents d USING (doc_id)),
+        |dropped AS (SELECT doc_id FROM sel WHERE rn > 1),
+        |ds AS (SELECT source, count(*) AS n_dropped,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars_dropped
+        |  FROM dropped JOIN documents USING (doc_id) GROUP BY 1),
+        |tot AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS tot_chars
+        |  FROM documents GROUP BY 1)
+        |SELECT t.source, n_docs, COALESCE(n_dropped, 0) AS n_dropped,
+        |  COALESCE(chars_dropped, 0) AS chars_dropped,
+        |  CAST(COALESCE(chars_dropped, 0) AS DOUBLE) /
+        |    CAST(tot_chars AS DOUBLE) AS savings_frac
+        |FROM tot t LEFT JOIN ds ON ds.source = t.source
+        |ORDER BY t.source""".stripMargin,
     // the dedup_ngram_jaccard truth pairs + the minhash banding candidate
     // CTEs, rolled into the recall/efficiency scalar row
     "dedup_lsh_recall" ->

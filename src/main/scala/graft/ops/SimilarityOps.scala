@@ -451,6 +451,28 @@ object SimilarityOps {
             .as("recall_at_5"))
         .orderBy("query_id")
     },
+    // IVF recall-vs-nprobe tuning curve — the knob an operator actually
+    // turns (nprobe trades scanned-list volume for recall; the curve
+    // says where the knee is): mean recall@5 across the query set at
+    // nprobe ∈ {1, 2, 4} of the 10 lists, one row each. The per-point
+    // pipelines share the brute ground truth; at 100 TB each point is
+    // the sim_ann_ivf scan shape with a different list fan-in, and the
+    // curve is what justifies the production nprobe before the index
+    // ships. Mean recall = total hits / (queries·5), one division.
+    "sim_ivf_nprobe_curve" -> { (s, d) =>
+      val e = Tables(s, d).embeddings
+      val bf = bruteTopkFrom(e).select("query_id", "vec_id").persist()
+      Seq(1, 2, 4).map { np =>
+        val iv = ivfTopkFrom(e, np)
+          .select(col("query_id").as("lq"), col("vec_id").as("lv"))
+        bf.join(iv,
+            col("query_id") === col("lq") && col("vec_id") === col("lv"),
+            "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+          .select(lit(np).as("nprobe"), col("n_hit"),
+            (col("n_hit").cast("double") / 50.0).as("mean_recall_at_5"))
+      }.reduce(_ unionAll _).orderBy("nprobe")
+    },
     // Recall@5 of the PQ ADC ranking against brute force — the eval row
     // the compression stage owes the harness (brute/LSH/IVF/MIPS/Hamming
     // each ship one): 4-byte codes lose within-cell geometry, and this
@@ -1802,6 +1824,75 @@ object SimilarityOps {
         |      ORDER BY adist ASC, vec_id ASC) AS INT) AS rk FROM adc)
         |SELECT query_id, vec_id, adist, rk FROM ranked WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
+    // the sim_ann_ivf probe/candidate CTEs at nprobe=4 carrying the
+    // probe rank, exact scoring ONCE over the superset, per-k top-5 by
+    // restricting to prn <= k, the shared brute CTEs, 3-row union
+    "sim_ivf_nprobe_curve" ->
+      s"""WITH q AS (SELECT vec_id, label, i,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
+         |  FROM embeddings,
+         |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+         |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
+         |cent AS (SELECT label, i,
+         |    CAST(floor(CAST(sum(v) * 1000 AS DOUBLE) / count(*)) AS BIGINT)
+         |      AS cv
+         |  FROM q GROUP BY 1, 2),
+         |cn AS (SELECT label, sum(cv * cv) AS cnn FROM cent GROUP BY 1),
+         |cdot AS (SELECT a.vec_id AS query_id, c.label, sum(a.v * c.cv) AS dot
+         |         FROM q a JOIN cent c ON c.i = a.i
+         |         WHERE a.vec_id < 10 GROUP BY 1, 2),
+         |csim AS (SELECT query_id, cdot.label,
+         |    CASE WHEN na.nn = 0 OR cn.cnn = 0 THEN 0.0
+         |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+         |           sqrt(CAST(cn.cnn AS DOUBLE))) END AS sim
+         |  FROM cdot JOIN n na ON na.vec_id = query_id
+         |            JOIN cn ON cn.label = cdot.label),
+         |probe AS (SELECT query_id, label, rn FROM (
+         |    SELECT query_id, label, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, label ASC) AS rn FROM csim)
+         |  WHERE rn <= 4),
+         |cand AS (SELECT p.query_id, e.vec_id, min(p.rn) AS prn
+         |         FROM probe p JOIN (SELECT DISTINCT vec_id, label
+         |                            FROM embeddings WHERE vec_id >= 10) e
+         |           USING (label)
+         |         GROUP BY 1, 2),
+         |dt AS (SELECT c.query_id, c.vec_id, sum(a.v * b.v) AS dot
+         |       FROM cand c
+         |       JOIN q a ON a.vec_id = c.query_id
+         |       JOIN q b ON b.vec_id = c.vec_id AND b.i = a.i
+         |       GROUP BY 1, 2),
+         |scored AS (SELECT dt.query_id, dt.vec_id AS vec_id, c.prn,
+         |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+         |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+         |           sqrt(CAST(nb.nn AS DOUBLE))) END AS cos
+         |  FROM dt JOIN n na ON na.vec_id = dt.query_id
+         |          JOIN n nb ON nb.vec_id = dt.vec_id
+         |          JOIN cand c ON c.query_id = dt.query_id
+         |            AND c.vec_id = dt.vec_id),
+         |itop1 AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, vec_id ASC) AS rk
+         |    FROM scored WHERE prn <= 1) r WHERE rk <= 5),
+         |itop2 AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, vec_id ASC) AS rk
+         |    FROM scored WHERE prn <= 2) r WHERE rk <= 5),
+         |itop4 AS (SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, vec_id ASC) AS rk
+         |    FROM scored WHERE prn <= 4) r WHERE rk <= 5),
+         |$bruteTopSql,
+         |h1 AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM btop b
+         |  JOIN itop1 l ON l.query_id = b.query_id AND l.vec_id = b.vec_id),
+         |h2 AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM btop b
+         |  JOIN itop2 l ON l.query_id = b.query_id AND l.vec_id = b.vec_id),
+         |h4 AS (SELECT CAST(count(*) AS BIGINT) AS n_hit FROM btop b
+         |  JOIN itop4 l ON l.query_id = b.query_id AND l.vec_id = b.vec_id)
+         |SELECT CAST(1 AS INT) AS nprobe, n_hit,
+         |  CAST(n_hit AS DOUBLE) / 50.0 AS mean_recall_at_5 FROM h1
+         |UNION ALL SELECT 2, n_hit, CAST(n_hit AS DOUBLE) / 50.0 FROM h2
+         |UNION ALL SELECT 4, n_hit, CAST(n_hit AS DOUBLE) / 50.0 FROM h4
+         |ORDER BY nprobe""".stripMargin,
     // the sim_ann_pq CTE chain through its top-5, plus the brute-force
     // top-5 CTEs from sim_ann_recall, joined into recall@5
     "sim_ann_recall_pq" ->

@@ -454,6 +454,30 @@ class DedupSpec extends GraftSuite {
     }
   }
 
+  test("savings by source: dropped totals tile the cluster report and " +
+      "the keep-canonical policy") {
+    val got = graft.ops.DedupOps
+      .queries("dedup_savings_by_source")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    spark.catalog.clearCache()
+    // cross-report consistency: total dropped docs == the cluster-size
+    // histogram's reclaimable total (same components, same keep-one rule)
+    val reclaim = graft.ops.DedupOps
+      .queries("dedup_cluster_sizes")(spark, sfDir)
+      .collect().map(_.getLong(2)).sum
+    spark.catalog.clearCache()
+    assert(got.map(_._3).sum == reclaim,
+      s"${got.map(_._3).sum} vs $reclaim")
+    got.foreach { case (src, nDocs, nDropped, chars, frac) =>
+      assert(nDropped <= nDocs, src)
+      assert(frac >= 0.0 && frac < 1.0, src)
+      assert((chars == 0L) == (nDropped == 0L), src)
+    }
+    // every source is reported, dups exist somewhere on this corpus
+    assert(got.length == 20 && got.map(_._3).sum > 0L)
+  }
+
   test("lsh recall eval: planted exact clones are always candidates " +
       "(recall 1 when clones are the only truth); ratios are consistent") {
     import spark.implicits._

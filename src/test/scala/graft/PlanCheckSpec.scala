@@ -137,8 +137,14 @@ class PlanCheckSpec extends GraftSuite {
                           // 5-seed closeness rollup (BFS is equi-joins)
     "data_group_kfold",   // 1-row total-docs scalar broadcast under the
                           // 5-row fold rollup
-    "data_token_budget"   // 1-row waterfilling-cap scalar broadcast under
+    "data_token_budget",  // 1-row waterfilling-cap scalar broadcast under
                           // the source-sized allocation table
+    "sim_ivf_nprobe_curve", // three sim_ann_ivf coarse assignments (10
+                          // queries x label centroids) + the brute
+                          // ground-truth broadcast, unioned per nprobe
+    "dedup_lsh_recall"    // three 1-row scalar aggregates (truth /
+                          // candidate / hit counts) combined into the
+                          // single readout row
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides

@@ -709,6 +709,23 @@ class SimilarityOpsSpec extends GraftSuite {
     }
   }
 
+  test("ivf nprobe curve: recall is monotone in nprobe and the nprobe=2 " +
+      "point equals the standalone recall row's total") {
+    val got = graft.ops.SimilarityOps
+      .queries("sim_ivf_nprobe_curve")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    spark.catalog.clearCache()
+    assert(got.map(_._1).toSeq == Seq(1, 2, 4))
+    // more probed lists can only add candidates → recall is monotone
+    assert(got.map(_._2).toSeq == got.map(_._2).toSeq.sorted)
+    got.foreach { case (_, h, r) => assert(r == h.toDouble / 50.0) }
+    val ivf2 = graft.ops.SimilarityOps
+      .queries("sim_ann_recall_ivf")(spark, sfDir)
+      .collect().map(_.getLong(1)).sum
+    spark.catalog.clearCache()
+    assert(got(1)._2 == ivf2, s"${got(1)._2} vs $ivf2")
+  }
+
   test("pq and ivfpq recall count the exact brute/approx top-5 " +
       "intersections — the measured-recall matrix is complete") {
     val e = graft.ops.Tables(spark, sfDir).embeddings
