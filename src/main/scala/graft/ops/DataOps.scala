@@ -77,6 +77,42 @@ object DataOps {
             contrib(col("n_test"), col("t_test"))).as("chi2"))
         .orderBy("lang")
     },
+    // RAG index-build pipeline — the retrieval ingest composition, as one
+    // query: (1) overlapping 6/3 chunks (data_chunk_overlap's windows,
+    // text retained); (2) EXACT chunk dedup corpus-wide (keep the first
+    // (doc_id, chunk_id) instance — overlapping windows make duplicate
+    // chunks the NORM, and indexing them twice wastes store and recall
+    // slots); (3) 4-bit LSH bucket per surviving chunk (four salted
+    // xxh64 sign bits — the equi-join index shape of the dedup/ANN
+    // families); (4) per-bucket occupancy rollup (the index-balance
+    // readout that decides whether buckets need splitting). Shapes: one
+    // chunk-text shuffle for the dedup, a 16-group rollup; everything
+    // else is a map stage. All hashes are the oracle-replicable xxh64.
+    "pipeline_rag_index" -> { (s, d) =>
+      val chunks = Tables(s, d).documents
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1), size(col("w")), lit(3)),
+          st => slice(col("w"), st, lit(6)))).as(Seq("chunk_id", "cw")))
+        .select(col("doc_id"), col("chunk_id"),
+          array_join(col("cw"), " ").as("ctext"))
+      val keep = chunks.groupBy("ctext")
+        .agg(count(lit(1)).as("n_copies"))
+      // bucket bits hash the 16-hex-char md5 PREFIX of the chunk, not the
+      // raw text: the oracle's xxh64 SQL replica covers the short-input
+      // path (< 32 B) only, and a content digest is the production key
+      // anyway (fixed width regardless of chunk size)
+      val ckey = substring(md5(col("ctext")), 1, 16)
+      val bucket = (0 until 4).map(j =>
+        shiftleft(pmod(xxhash64(concat(lit(s"B$j"), ckey)),
+          lit(2L)), j)).reduce(_ + _)
+      keep.select(col("ctext"), col("n_copies"), bucket.as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_copies") - 1L).as("n_dups_removed"),
+          sum(length(col("ctext")).cast("long")).as("sum_chars"))
+        .orderBy("bucket")
+    },
     // Overlapping sliding-window chunking — the RAG/embedding-prep shape
     // data_chunk_documents (disjoint chunks) doesn't cover: 6-word
     // windows at stride 3 (50% overlap), so every boundary sentence
@@ -1535,6 +1571,26 @@ object DataOps {
          |     CAST(t_test AS DOUBLE) /
          |     CAST(t_train + t_val + t_test AS DOUBLE)) AS chi2
          |FROM cell CROSS JOIN tot ORDER BY lang""".stripMargin,
+    "pipeline_rag_index" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS L
+         |  FROM documents),
+         |c AS (SELECT doc_id, (st - 1) // 3 AS chunk_id,
+         |    array_to_string(L[st:least(st + 5, len(L))], ' ') AS ctext
+         |  FROM tok, LATERAL (SELECT
+         |    unnest(generate_series(1, len(L), 3)) AS st) g),
+         |keep AS (SELECT ctext, substr(md5(ctext), 1, 16) AS ckey,
+         |    count(*) AS n_copies FROM c GROUP BY 1, 2),
+         |b AS (SELECT ctext, n_copies,
+         |    ((${XxhSql.expr("'B0' || ckey", "42")} % 2) + 2) % 2
+         |    + (((${XxhSql.expr("'B1' || ckey", "42")} % 2) + 2) % 2) * 2
+         |    + (((${XxhSql.expr("'B2' || ckey", "42")} % 2) + 2) % 2) * 4
+         |    + (((${XxhSql.expr("'B3' || ckey", "42")} % 2) + 2) % 2) * 8
+         |      AS bucket
+         |  FROM keep)
+         |SELECT bucket, count(*) AS n_chunks,
+         |  CAST(sum(n_copies - 1) AS BIGINT) AS n_dups_removed,
+         |  CAST(sum(length(ctext)) AS BIGINT) AS sum_chars
+         |FROM b GROUP BY 1 ORDER BY bucket""".stripMargin,
     "data_chunk_overlap" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS L
         |  FROM documents),

@@ -822,6 +822,21 @@ class DataOpsSpec extends GraftSuite {
     assert(one.groupBy(_._1).forall(_._2.map(_._2).distinct.size == 1))
   }
 
+  test("rag index pipeline: bucket occupancy tiles the distinct chunk " +
+      "set and dedup removes exactly the duplicate instances") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.DataOps.queries("pipeline_rag_index")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.forall(g => g._1 >= 0L && g._1 < 16L))
+    // distinct chunks + removed duplicates == total chunk instances
+    val chunks = graft.ops.DataOps
+      .queries("data_chunk_overlap")(spark, sfDir).collect()
+    val distinctHashes = chunks.map(_.getString(3)).distinct.length
+    assert(got.map(_._2).sum == distinctHashes.toLong)
+    assert(got.map(_._2).sum + got.map(_._3).sum == chunks.length.toLong)
+  }
+
   test("chunk overlap: windows stride by 3, consecutive chunks share " +
       "their boundary words, every word is covered") {
     import org.apache.spark.sql.functions._
