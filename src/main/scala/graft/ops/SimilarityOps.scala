@@ -451,6 +451,42 @@ object SimilarityOps {
             .as("recall_at_5"))
         .orderBy("query_id")
     },
+    // Farthest-point (maximin) centroid initialization — the
+    // deterministic k-means++ variant (Gonzalez 1985) that seeds
+    // sim_kmeans_step: start from vector 0, then 3 rounds of "pick the
+    // vector maximizing its min squared distance to the chosen set"
+    // (ties → smallest id). The selection is SEQUENTIAL by nature — each
+    // round is one corpus scan against the ≤3-row broadcast chosen set
+    // plus a 1-row driver argmax (k driver steps for k centroids, the
+    // same legitimate iterative exception as the components convergence
+    // scalar; the corpus itself never collects). Exact integer distances
+    // end-to-end, so the oracle replays all three argmaxes CTE for CTE.
+    "sim_farthest_init" -> { (s, d) =>
+      val base = Tables(s, d).embeddings
+        .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+        .persist()
+      def sq(a: Column, b: Column): Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x)
+      var chosen = Seq(0L)
+      val picked = scala.collection.mutable.ArrayBuffer((0, 0L, 0L))
+      for (r <- 1 to 3) {
+        val ch = base.filter(col("vec_id").isin(chosen: _*))
+          .select(col("vec_id").as("cid"), col("qv").as("cqv"))
+        val next = base.filter(!col("vec_id").isin(chosen: _*))
+          .join(broadcast(ch))
+          .select(col("vec_id"), sq(col("qv"), col("cqv")).as("dd"))
+          .groupBy("vec_id").agg(min(col("dd")).as("mind"))
+          .agg(max(struct(col("mind"), (-col("vec_id")).as("nid"))).as("m"))
+          .select((-col("m.nid")).as("vec_id"), col("m.mind").as("mind"))
+          .collect()(0)
+        picked += ((r, next.getLong(0), next.getLong(1)))
+        chosen = chosen :+ next.getLong(0)
+      }
+      val spark = s
+      import spark.implicits._
+      picked.toSeq.toDF("round", "vec_id", "min_dist_sq")
+    },
     // IVF recall-vs-nprobe tuning curve — the knob an operator actually
     // turns (nprobe trades scanned-list volume for recall; the curve
     // says where the knee is): mean recall@5 across the query set at
@@ -1824,6 +1860,43 @@ object SimilarityOps {
         |      ORDER BY adist ASC, vec_id ASC) AS INT) AS rk FROM adc)
         |SELECT query_id, vec_id, adist, rk FROM ranked WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
+    // the three maximin argmaxes unrolled as CTEs (d_k = distances to
+    // pick k, m_k = running min, c_k = argmax with the same tie rule)
+    "sim_farthest_init" ->
+      """WITH q AS (SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |d0 AS (SELECT a.vec_id,
+        |    CAST(sum((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS dd
+        |  FROM q a JOIN q b ON b.i = a.i AND b.vec_id = 0
+        |  WHERE a.vec_id <> 0 GROUP BY 1),
+        |c1 AS (SELECT vec_id, dd FROM d0
+        |  ORDER BY dd DESC, vec_id ASC LIMIT 1),
+        |d1 AS (SELECT a.vec_id,
+        |    CAST(sum((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS dd
+        |  FROM q a JOIN c1 ON true
+        |  JOIN q b ON b.i = a.i AND b.vec_id = c1.vec_id
+        |  WHERE a.vec_id <> 0 AND a.vec_id <> c1.vec_id GROUP BY 1),
+        |m1 AS (SELECT d0.vec_id, least(d0.dd, d1.dd) AS mind
+        |  FROM d0 JOIN d1 USING (vec_id)),
+        |c2 AS (SELECT vec_id, mind FROM m1
+        |  ORDER BY mind DESC, vec_id ASC LIMIT 1),
+        |d2 AS (SELECT a.vec_id,
+        |    CAST(sum((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS dd
+        |  FROM q a JOIN c2 ON true
+        |  JOIN q b ON b.i = a.i AND b.vec_id = c2.vec_id
+        |  WHERE a.vec_id <> 0 AND a.vec_id <> c2.vec_id GROUP BY 1),
+        |m2 AS (SELECT m1.vec_id, least(m1.mind, d2.dd) AS mind
+        |  FROM m1 JOIN d2 USING (vec_id)),
+        |c3 AS (SELECT vec_id, mind FROM m2
+        |  ORDER BY mind DESC, vec_id ASC LIMIT 1)
+        |SELECT CAST(0 AS INT) AS round, CAST(0 AS BIGINT) AS vec_id,
+        |  CAST(0 AS BIGINT) AS min_dist_sq
+        |UNION ALL SELECT 1, vec_id, dd FROM c1
+        |UNION ALL SELECT 2, vec_id, mind FROM c2
+        |UNION ALL SELECT 3, vec_id, mind FROM c3
+        |ORDER BY round""".stripMargin,
     // the sim_ann_ivf probe/candidate CTEs at nprobe=4 carrying the
     // probe rank, exact scoring ONCE over the superset, per-k top-5 by
     // restricting to prn <= k, the shared brute CTEs, 3-row union

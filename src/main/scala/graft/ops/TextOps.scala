@@ -142,6 +142,32 @@ object TextOps {
           try_element_at(col("fps"), lit(1)).as("fp_min"))
         .orderBy("doc_id")
     },
+    // Shared-fingerprint pair detection — what the winnowing fingerprints
+    // are FOR (Schleimer et al. 2003, MOSS): any two documents sharing a
+    // >=23-byte substring share a fingerprint, so the pair join over the
+    // fingerprint index IS the plagiarism/quote detector. df-capped
+    // (fingerprints in > 50 docs are boilerplate "stop-fingerprints" —
+    // the same hot-key discipline as the PPJoin df-cap), pairs require
+    // >= 2 shared prints (one can be chance), top-20 by shared count.
+    // Scale: the join is an equi-join on the fingerprint value over the
+    // df-capped index — bounded fan-out per key, never all-pairs.
+    "text_winnow_pairs" -> { (s, d) =>
+      import graft.functions.functions.winnow_fingerprints
+      val fp = Tables(s, d).documents
+        .select(col("doc_id"),
+          explode(winnow_fingerprints(col("text"), 16, 8)).as("m"))
+        .persist()
+      val dfq = fp.groupBy("m").agg(count(lit(1)).as("df"))
+      val f2 = fp.join(dfq, "m").filter(col("df") <= 50)
+        .select("doc_id", "m")
+      f2.as("a").join(f2.as("b"),
+          col("a.m") === col("b.m") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy(col("n_shared").desc, col("id1").asc, col("id2").asc)
+        .limit(20)
+    },
     // Document fingerprinting: full-content hash + winnowing-style minimum
     // shingle hash (stable under local edits away from the minimum).
     "text_fingerprint" -> { (s, d) =>
@@ -1158,6 +1184,32 @@ object TextOps {
 
   private val tokSql = "string_split(text, ' ')"
 
+  /** Winnowing fingerprint rows (doc_id, m) as a DuckDB CTE body — the
+    * oracle replica of `winnow_fingerprints(text, 16, 8)`: per-position
+    * base-257 mod-2^64 rolling hashes, signed reinterpretation, window-8
+    * minima, distinct. Exposes `d` (all docs) and `fp`. Shared by the
+    * text_winnow and text_winnow_pairs oracles.
+    */
+  private lazy val winnowFpCteSql: String =
+    s"""d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+       |b AS (SELECT doc_id, L,
+       |        list_transform(string_split(text, ''),
+       |          x -> ord(x)::HUGEINT) AS bs
+       |      FROM d WHERE L >= 16),
+       |h AS (SELECT doc_id, j,
+       |        list_reduce(list_prepend(0::HUGEINT, list_slice(bs, j, j + 15)),
+       |          (acc, c) -> (acc * 257 + c) % 18446744073709551616) AS hu
+       |      FROM b,
+       |        LATERAL (SELECT unnest(generate_series(1, L - 15)) AS j) g),
+       |hs AS (SELECT doc_id, j, ${XxhSql.signed("hu")} AS h FROM h),
+       |wm AS (SELECT doc_id, j,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY j
+       |           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m,
+       |         count(*) OVER (PARTITION BY doc_id) AS nh
+       |       FROM hs),
+       |fp AS (SELECT DISTINCT doc_id, m FROM wm
+       |  WHERE j <= greatest(1, nh - 7))""".stripMargin
+
   /** ln(i) for i in 0..1024 (entry 0 unused) — the shared log table that
     * makes [[queries text_entropy]] engine-independent: both engines read
     * these EXACT doubles (the oracle embeds their shortest-roundtrip
@@ -1238,27 +1290,24 @@ object TextOps {
     // the window-8 minima — fp_min is the global min (every window minimum
     // covers it), n_fp counts distinct window minima.
     "text_winnow" ->
-      s"""WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
-         |b AS (SELECT doc_id, L,
-         |        list_transform(string_split(text, ''),
-         |          x -> ord(x)::HUGEINT) AS bs
-         |      FROM d WHERE L >= 16),
-         |h AS (SELECT doc_id, j,
-         |        list_reduce(list_prepend(0::HUGEINT, list_slice(bs, j, j + 15)),
-         |          (acc, c) -> (acc * 257 + c) % 18446744073709551616) AS hu
-         |      FROM b,
-         |        LATERAL (SELECT unnest(generate_series(1, L - 15)) AS j) g),
-         |hs AS (SELECT doc_id, j, ${XxhSql.signed("hu")} AS h FROM h),
-         |wm AS (SELECT doc_id, j,
-         |         min(h) OVER (PARTITION BY doc_id ORDER BY j
-         |           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m,
-         |         count(*) OVER (PARTITION BY doc_id) AS nh
-         |       FROM hs),
-         |fp AS (SELECT DISTINCT doc_id, m FROM wm WHERE j <= greatest(1, nh - 7)),
+      s"""WITH $winnowFpCteSql,
          |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_fp, min(m) AS fp_min
          |        FROM fp GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(agg.n_fp, 0) AS n_fp, agg.fp_min
          |FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // the same winnow fingerprint CTEs, joined into pairs on shared
+    // fingerprints (df-capped), counted per pair
+    "text_winnow_pairs" ->
+      s"""WITH $winnowFpCteSql,
+         |dfq AS (SELECT m, count(*) AS df FROM fp GROUP BY 1),
+         |f2 AS (SELECT doc_id, fp.m FROM fp JOIN dfq USING (m)
+         |  WHERE df <= 50),
+         |pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    count(*) AS n_shared
+         |  FROM f2 a JOIN f2 b ON a.m = b.m AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, n_shared FROM pr WHERE n_shared >= 2
+         |ORDER BY n_shared DESC, id1 ASC, id2 ASC LIMIT 20""".stripMargin,
     // Rarity: same unigram LM (token → corpus count) rebuilt in SQL; the
     // rare test is the exact integer compare c·V < N, and the two ratios
     // are single double divisions of exact integers.

@@ -709,6 +709,35 @@ class SimilarityOpsSpec extends GraftSuite {
     }
   }
 
+  test("farthest init: picks match an exact driver-side maximin replay") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.ops.Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding"))
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[Float](1)
+          .map(x => math.floor(x.toDouble * 1000.0 + 0.5).toLong).toArray
+      }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var chosen = Seq(0L)
+    val want = scala.collection.mutable.ArrayBuffer((0, 0L, 0L))
+    for (r <- 1 to 3) {
+      val best = vecs.keys.filterNot(chosen.contains).map { id =>
+        (chosen.map(c => d2(vecs(id), vecs(c))).min, id)
+      }.minBy { case (mind, id) => (-mind, id) }
+      want += ((r, best._2, best._1))
+      chosen = chosen :+ best._2
+    }
+    val got = graft.ops.SimilarityOps
+      .queries("sim_farthest_init")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    spark.catalog.clearCache()
+    assert(got == want.toSeq, s"got=$got want=$want")
+    // the picks are distinct and spread: each round's maximin decreases
+    assert(got.map(_._2).distinct.size == 4)
+    assert(got.drop(1).map(_._3) == got.drop(1).map(_._3).sorted.reverse)
+  }
+
   test("ivf nprobe curve: recall is monotone in nprobe and the nprobe=2 " +
       "point equals the standalone recall row's total") {
     val got = graft.ops.SimilarityOps

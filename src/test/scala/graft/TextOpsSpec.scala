@@ -639,6 +639,39 @@ class TextOpsSpec extends GraftSuite {
     assert(got(4L)._7(1), "mean-word-length must fire on doc 4")
   }
 
+  test("winnow pairs: a planted long quote surfaces the pair; unrelated " +
+      "docs share nothing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.functions.functions.winnow_fingerprints
+    // doc 1 quotes a 64-char span of doc 0 verbatim (>= 23-byte shared
+    // substrings guarantee shared fingerprints; 64 chars yields several);
+    // docs 2/3 are unrelated fillers
+    val quote = "the quick brown fox jumps over the lazy dog again and again yes"
+    val docs = Seq(
+      (0L, s"prefix words here $quote and a tail of original content"),
+      (1L, s"a completely different opening $quote closing remarks differ"),
+      (2L, "unrelated filler text one with its own vocabulary entirely"),
+      (3L, "another disjoint document about other things altogether now"))
+      .toDF("doc_id", "text")
+    val fp = docs.select(col("doc_id"),
+      explode(winnow_fingerprints(col("text"), 16, 8)).as("m"))
+    val pairs = fp.as("a").join(fp.as("b"),
+        col("a.m") === col("b.m") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(pairs.getOrElse((0L, 1L), 0L) >= 2L, pairs.toString)
+    assert(!pairs.contains((2L, 3L)), pairs.toString)
+    // corpus run is non-degenerate and honors the ordering contract
+    val got = graft.ops.TextOps.queries("text_winnow_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall(_._3 >= 2L))
+    assert(got.map(_._3).toSeq == got.map(_._3).toSeq.sorted.reverse)
+    spark.catalog.clearCache()
+  }
+
   test("bpe compression curve: token counts are monotone in the merge " +
       "count and match per-word encodes at every prefix") {
     import org.apache.spark.sql.functions._
