@@ -451,6 +451,56 @@ object SimilarityOps {
             .as("recall_at_5"))
         .orderBy("query_id")
     },
+    // FILTERED vector search, pre- vs post-filter — the design decision
+    // every vector store documents (Qdrant/Weaviate/pgvector docs all
+    // carry this page): a metadata predicate (here "same label as the
+    // query", the tenant-filter shape) can be applied BEFORE the scan
+    // (exact top-5 over the filtered corpus — always fills k) or AFTER
+    // a label-blind top-20 (cheap, but the filter eats the shortlist
+    // and under-fills — the classic recall hole). Per query: how many
+    // slots each strategy fills and how far they agree. At 100 TB
+    // pre-filter rides partition pruning on the label (the IVF-list
+    // layout), post-filter is the fallback when the predicate is not a
+    // partition key — this readout is the evidence for choosing.
+    "sim_ann_filtered" -> { (s, d) =>
+      val e = Tables(s, d).embeddings
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("label").as("qlabel"))
+      val corpus = e.filter(col("vec_id") >= 10)
+      val pre = topk(corpus.join(broadcast(qs),
+          col("label") === col("qlabel"))
+        .select(col("query_id"), col("vec_id"),
+          quant_cosine(col("qe"), col("embedding")).as("cos")), 5)
+        .select(col("query_id"), col("vec_id"))
+      val post20 = topk(corpus.join(
+          broadcast(qs.select(col("query_id"), col("qe"))))
+        .select(col("query_id"), col("vec_id"),
+          quant_cosine(col("qe"), col("embedding")).as("cos")), 20)
+      val postW = Window.partitionBy("query_id").orderBy(col("rk").asc)
+      val post = post20
+        .join(broadcast(corpus.select(col("vec_id"), col("label"))),
+          "vec_id")
+        .join(broadcast(qs.select(col("query_id"), col("qlabel"))),
+          "query_id")
+        .filter(col("label") === col("qlabel"))
+        .withColumn("prk", row_number().over(postW))
+        .filter(col("prk") <= 5)
+        .select(col("query_id"), col("vec_id"))
+      val overlap = pre.join(broadcast(post
+          .select(col("query_id").as("pq"), col("vec_id").as("pv"))),
+          col("query_id") === col("pq") && col("vec_id") === col("pv"),
+          "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+      pre.groupBy("query_id").agg(count(lit(1)).as("n_pre"))
+        .join(broadcast(post.groupBy("query_id")
+          .agg(count(lit(1)).as("n_post"))), Seq("query_id"), "left")
+        .join(broadcast(overlap), Seq("query_id"), "left")
+        .select(col("query_id"), col("n_pre"),
+          coalesce(col("n_post"), lit(0L)).as("n_post"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+        .orderBy("query_id")
+    },
     // Farthest-point (maximin) centroid initialization — the
     // deterministic k-means++ variant (Gonzalez 1985) that seeds
     // sim_kmeans_step: start from vector 0, then 3 rounds of "pick the
@@ -1860,6 +1910,47 @@ object SimilarityOps {
         |      ORDER BY adist ASC, vec_id ASC) AS INT) AS rk FROM adc)
         |SELECT query_id, vec_id, adist, rk FROM ranked WHERE rk <= 5
         |ORDER BY query_id, rk""".stripMargin,
+    // the shared brute CTEs label-blind, then both filter strategies:
+    // pre ranks within the label-matched corpus, post ranks the blind
+    // top-20 after the filter
+    "sim_ann_filtered" ->
+      s"""WITH q AS (SELECT vec_id, i,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
+         |  FROM embeddings,
+         |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+         |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
+         |$bruteTopSql,
+         |lab AS (SELECT DISTINCT vec_id, label FROM embeddings),
+         |ql AS (SELECT vec_id AS query_id, label AS qlabel FROM lab
+         |  WHERE vec_id < 10),
+         |pre AS (SELECT query_id, vec_id FROM (
+         |    SELECT s.query_id, s.vec_id,
+         |      row_number() OVER (PARTITION BY s.query_id
+         |        ORDER BY s.cos DESC, s.vec_id ASC) AS rk
+         |    FROM bscored s JOIN lab cl ON cl.vec_id = s.vec_id
+         |         JOIN ql ON ql.query_id = s.query_id
+         |    WHERE cl.label = ql.qlabel) r WHERE rk <= 5),
+         |post20 AS (SELECT query_id, vec_id, rk FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, vec_id ASC) AS rk
+         |    FROM bscored) r WHERE rk <= 20),
+         |post AS (SELECT query_id, vec_id FROM (
+         |    SELECT p.query_id, p.vec_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY p.rk ASC) AS prk
+         |    FROM post20 p JOIN lab cl ON cl.vec_id = p.vec_id
+         |         JOIN ql ON ql.query_id = p.query_id
+         |    WHERE cl.label = ql.qlabel) r WHERE prk <= 5),
+         |ov AS (SELECT pre.query_id, count(*) AS n_overlap
+         |  FROM pre JOIN post ON post.query_id = pre.query_id
+         |    AND post.vec_id = pre.vec_id GROUP BY 1),
+         |pc AS (SELECT query_id, count(*) AS n_pre FROM pre GROUP BY 1),
+         |oc AS (SELECT query_id, count(*) AS n_post FROM post GROUP BY 1)
+         |SELECT pc.query_id, n_pre, COALESCE(n_post, 0) AS n_post,
+         |  COALESCE(n_overlap, 0) AS n_overlap
+         |FROM pc LEFT JOIN oc USING (query_id) LEFT JOIN ov USING (query_id)
+         |ORDER BY query_id""".stripMargin,
     // the three maximin argmaxes unrolled as CTEs (d_k = distances to
     // pick k, m_k = running min, c_k = argmax with the same tie rule)
     "sim_farthest_init" ->

@@ -142,9 +142,13 @@ class PlanCheckSpec extends GraftSuite {
     "sim_ivf_nprobe_curve", // three sim_ann_ivf coarse assignments (10
                           // queries x label centroids) + the brute
                           // ground-truth broadcast, unioned per nprobe
-    "dedup_lsh_recall"    // three 1-row scalar aggregates (truth /
+    "dedup_lsh_recall",   // three 1-row scalar aggregates (truth /
                           // candidate / hit counts) combined into the
                           // single readout row
+    "sim_ann_filtered"    // the label-blind post-filter side broadcasts
+                          // the 10-query set against the corpus (the
+                          // sim_topk_bruteforce shape); the pre-filter
+                          // side is a label equi-join
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides

@@ -709,6 +709,25 @@ class SimilarityOpsSpec extends GraftSuite {
     }
   }
 
+  test("filtered search: pre-filter always fills k, post-filter " +
+      "under-fills, overlap is bounded by both") {
+    val got = graft.ops.SimilarityOps
+      .queries("sim_ann_filtered")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    spark.catalog.clearCache()
+    assert(got.map(_._1).toSeq == (0L to 9L))
+    got.foreach { case (q, pre, post, ov) =>
+      assert(pre == 5L, s"query $q: corpus has >5 same-label vectors")
+      assert(post <= 5L && ov <= math.min(pre, post), s"query $q")
+      // post-filter results, when they exist, come from the blind
+      // top-20, so they can only agree with pre where labels align
+    }
+    // the demonstration bites: at ~10 labels a blind top-20 holds ~2
+    // same-label hits, so SOME query must under-fill
+    assert(got.exists(_._3 < 5L), got.toSeq.toString)
+  }
+
   test("farthest init: picks match an exact driver-side maximin replay") {
     import org.apache.spark.sql.functions._
     val vecs = graft.ops.Tables(spark, sfDir).embeddings
