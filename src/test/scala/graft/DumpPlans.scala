@@ -138,6 +138,19 @@ object DumpPlans {
         "(tokens consumed inside update, no explode); pass 2 " +
         "exact-counts only the ≤k candidates via broadcast semi-join " +
         "— the vocabulary never shuffles"),
+      "text_gopher_quality" -> ("Gopher rule panel: the top-2/3/4-gram " +
+        "masses fold over each doc's own sorted shingle array inside " +
+        "whole-stage codegen — zero exchanges, zero joins, one scan; " +
+        "the whole filter is a map stage at any corpus size"),
+      "sim_ann_filtered" -> ("filtered search both ways: pre-filter is " +
+        "a label equi-join before the rank window (partition-prunable " +
+        "at scale); post-filter ranks the blind broadcast top-20 then " +
+        "filters — every metadata-scale rollup join explicitly " +
+        "broadcast"),
+      "data_token_budget" -> ("waterfilling: the corpus collapses to " +
+        "one row per source, every window runs over that source-sized " +
+        "frame, and the 1-row cap broadcasts back — the planner costs " +
+        "one aggregate regardless of corpus size"),
       "agg_kmv_intersect" -> ("KMV set algebra: one O(k)-state sketch " +
         "aggregate per side, a 1×1 cross of the two sketch rows, array " +
         "math for θ/c — union AND intersection estimates with no " +
