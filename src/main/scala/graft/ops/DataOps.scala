@@ -77,6 +77,47 @@ object DataOps {
             contrib(col("n_test"), col("t_test"))).as("chi2"))
         .orderBy("lang")
     },
+    // Split leakage audit — the measurement that motivates group-aware
+    // splitting: for every near-duplicate pair (the exact PPJoin ground
+    // truth at J ≥ 0.8), does the pair straddle a split boundary under
+    // (a) the per-document hash split and (b) the source-grouped K-fold?
+    // A straddling near-dup pair means the eval side contains a
+    // paraphrase of a training document — the leak that inflates eval
+    // scores. One row: pair counts and the two straddle rates (single
+    // IEEE divisions). The audit is a MEASUREMENT, not a verdict: on
+    // this synthetic corpus near-dups do NOT concentrate within sources
+    // (group rate 0.6 > hash rate 0.4 at sf0.01), which is exactly the
+    // reading that sends a curator to component-based splitting
+    // (dedup_components AS the grouping key) instead of source folds.
+    // Shape: the pair set is the bucketed PPJoin operator's; split/fold
+    // attach via two doc_id equi-joins; the rollup is scalar.
+    "data_split_leak_audit" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      val truth = DedupOps.jaccardDupPairs(DedupOps.shingleSets(docs), 4, 5)
+        .select("id1", "id2")
+      val b = pmod(xxhash64(col("doc_id").cast("string")), lit(100))
+      val sd = docs.select(col("doc_id"),
+        when(b < 80, "train").when(b < 90, "validation")
+          .otherwise("test").as("split"),
+        pmod(xxhash64(concat(lit("KF"), col("source"))), lit(5L))
+          .as("fold"))
+      truth
+        .join(sd.select(col("doc_id").as("id1"), col("split").as("s1"),
+          col("fold").as("f1")), "id1")
+        .join(sd.select(col("doc_id").as("id2"), col("split").as("s2"),
+          col("fold").as("f2")), "id2")
+        .agg(count(lit(1)).as("n_dup_pairs"),
+          sum(when(col("s1") =!= col("s2"), 1L).otherwise(0L))
+            .as("n_cross_split_hash"),
+          sum(when(col("f1") =!= col("f2"), 1L).otherwise(0L))
+            .as("n_cross_fold_group"))
+        .select(col("n_dup_pairs"), col("n_cross_split_hash"),
+          col("n_cross_fold_group"),
+          (col("n_cross_split_hash").cast("double") /
+            col("n_dup_pairs").cast("double")).as("leak_rate_hash"),
+          (col("n_cross_fold_group").cast("double") /
+            col("n_dup_pairs").cast("double")).as("leak_rate_group"))
+    },
     // RAG index-build pipeline — the retrieval ingest composition, as one
     // query: (1) overlapping 6/3 chunks (data_chunk_overlap's windows,
     // text retained); (2) EXACT chunk dedup corpus-wide (keep the first
@@ -1571,6 +1612,47 @@ object DataOps {
          |     CAST(t_test AS DOUBLE) /
          |     CAST(t_train + t_val + t_test AS DOUBLE)) AS chi2
          |FROM cell CROSS JOIN tot ORDER BY lang""".stripMargin,
+    // the PPJoin truth pairs + both split assignments, scalar rollup
+    "data_split_leak_audit" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS L
+         |  FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         L[i] || ' ' || L[i+1] || ' ' || L[i+2] AS s
+         |       FROM tok,
+         |         LATERAL (SELECT unnest(generate_series(1, len(L) - 2)) AS i) g),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pair AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+         |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2),
+         |truth AS (SELECT id1, id2
+         |  FROM pair JOIN cnt ca ON ca.doc_id = id1
+         |            JOIN cnt cb ON cb.doc_id = id2
+         |  WHERE CAST(inter AS DOUBLE) /
+         |    CAST(ca.n + cb.n - inter AS DOUBLE) >= 0.8),
+         |sd AS (SELECT doc_id,
+         |    CASE WHEN ((${XxhSql.expr("CAST(doc_id AS VARCHAR)", "42")}
+         |        % 100) + 100) % 100 < 80 THEN 'train'
+         |      WHEN ((${XxhSql.expr("CAST(doc_id AS VARCHAR)", "42")}
+         |        % 100) + 100) % 100 < 90 THEN 'validation'
+         |      ELSE 'test' END AS split,
+         |    ((${XxhSql.expr("'KF' || source", "42")} % 5) + 5) % 5 AS fold
+         |  FROM documents),
+         |j AS (SELECT t.id1, t.id2, a.split AS s1, a.fold AS f1,
+         |    b.split AS s2, b.fold AS f2
+         |  FROM truth t JOIN sd a ON a.doc_id = t.id1
+         |               JOIN sd b ON b.doc_id = t.id2),
+         |g AS (SELECT count(*) AS n_dup_pairs,
+         |    CAST(sum(CASE WHEN s1 <> s2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_cross_split_hash,
+         |    CAST(sum(CASE WHEN f1 <> f2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_cross_fold_group
+         |  FROM j)
+         |SELECT n_dup_pairs, n_cross_split_hash, n_cross_fold_group,
+         |  CAST(n_cross_split_hash AS DOUBLE) / CAST(n_dup_pairs AS DOUBLE)
+         |    AS leak_rate_hash,
+         |  CAST(n_cross_fold_group AS DOUBLE) / CAST(n_dup_pairs AS DOUBLE)
+         |    AS leak_rate_group
+         |FROM g""".stripMargin,
     "pipeline_rag_index" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS L
          |  FROM documents),

@@ -822,6 +822,36 @@ class DataOpsSpec extends GraftSuite {
     assert(one.groupBy(_._1).forall(_._2.map(_._2).distinct.size == 1))
   }
 
+  test("split leak audit: straddle counts match the truth pairs joined " +
+      "to both split assignments") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.ops.Tables(spark, sfDir).documents
+    val truth = graft.ops.DedupOps
+      .jaccardDupPairs(graft.ops.DedupOps.shingleSets(docs), 4, 5)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val b = pmod(xxhash64(col("doc_id").cast("string")), lit(100))
+    val sd = docs.select(col("doc_id"),
+        when(b < 80, "train").when(b < 90, "validation")
+          .otherwise("test").as("split"),
+        pmod(xxhash64(concat(lit("KF"), col("source"))), lit(5L))
+          .as("fold"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    spark.catalog.clearCache()
+    val wantHash = truth.count(p => sd(p._1)._1 != sd(p._2)._1).toLong
+    val wantFold = truth.count(p => sd(p._1)._2 != sd(p._2)._2).toLong
+    val got = graft.ops.DataOps
+      .queries("data_split_leak_audit")(spark, sfDir).collect()(0)
+    spark.catalog.clearCache()
+    assert(got.getLong(0) == truth.length.toLong)
+    assert(got.getLong(1) == wantHash && got.getLong(2) == wantFold)
+    assert(got.getDouble(3) == wantHash.toDouble / truth.length)
+    assert(got.getDouble(4) == wantFold.toDouble / truth.length)
+    // the audit is non-degenerate: dup pairs exist and some straddle
+    assert(truth.nonEmpty && (wantHash > 0L || wantFold > 0L))
+  }
+
   test("rag index pipeline: bucket occupancy tiles the distinct chunk " +
       "set and dedup removes exactly the duplicate instances") {
     import org.apache.spark.sql.functions._
