@@ -1307,6 +1307,117 @@ object DataOps {
             .as("n_purchases"),
           Oracle.dsum(s, col("value")).as("sum_value"))
         .orderBy("pseudonym")
+    },
+    // CDC apply — the change-data-capture merge every lakehouse table
+    // maintenance job runs: a base snapshot plus an LSN-ordered changelog
+    // of INSERT/UPDATE/DELETE ops collapses to the current table state by
+    // LAST-WRITER-WINS per key. The changelog here is derived
+    // deterministically from `orders` (inserts for the keys missing from
+    // the base, double-updates to prove last-wins, deletes, and a
+    // delete-then-reinsert to prove op ordering), because the corpus
+    // ships no log table — the APPLY machinery is the operator. Stated as
+    // ONE aggregate, not a window: `max(struct(lsn, op, price))` picks
+    // the final op per key map-side (LSNs are unique per key by
+    // construction), so the only shuffle is the key-partitioned combine —
+    // the same plan at 100 TB, where the base never sorts and the
+    // changelog is a fraction of the snapshot. Deleted keys drop out in
+    // one post-aggregate filter.
+    "data_cdc_apply" -> { (s, d) =>
+      val o = Tables(s, d).orders
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      def slice(cond: Column, lsnOff: Int, op: String, price: Column) =
+        o.filter(cond).select(col("k"),
+          (col("k") * 10 + lsnOff).as("lsn"), lit(op).as("op"),
+          price.as("p"))
+      val base = o.filter(pmod(col("k"), lit(4)) =!= 0)
+        .select(col("k"), lit(0L).as("lsn"), lit("I").as("op"), col("p"))
+      val log = Seq(
+        slice(pmod(col("k"), lit(4)) === 0, 1, "I", col("p")),
+        slice(pmod(col("k"), lit(10)) === 1, 2, "U", col("p") + 100.0),
+        slice(pmod(col("k"), lit(10)) === 1, 5, "U", col("p") + 200.0),
+        slice(pmod(col("k"), lit(10)) === 2, 3, "U", col("p") + 50.0),
+        slice(pmod(col("k"), lit(10)) === 3, 7, "D",
+          lit(null).cast("double")),
+        slice(pmod(col("k"), lit(10)) === 4, 2, "D",
+          lit(null).cast("double")),
+        slice(pmod(col("k"), lit(10)) === 4, 6, "I", col("p") + 1000.0)
+      ).reduce(_ union _)
+      base.union(log)
+        .groupBy("k")
+        .agg(max(struct(col("lsn"), col("op"), col("p"))).as("last"),
+          count(lit(1)).as("n_ops"))
+        .filter(col("last.op") =!= "D")
+        .select(col("k").as("o_orderkey"), col("last.p").as("price"),
+          col("last.lsn").as("last_lsn"), col("n_ops"))
+        .orderBy("o_orderkey")
+    },
+    // Dataset card — the one-row datasheet a corpus release ships
+    // (docs/tokens/chars, language and source diversity, the exact-dup
+    // rate, token-length center): the summary every "Datasheets for
+    // Datasets"-style release publishes next to the parquet. ONE scan,
+    // one global aggregate; the three countDistincts expand to the
+    // standard two-phase plan. Exact distinct-digest counting is the
+    // gate-checked semantics — at 100 TB a release pipeline would swap
+    // the digest distinct for the HLL sketch (agg_approx_sketch's
+    // machinery) and keep the rest unchanged. The mean and dup-rate are
+    // single IEEE divisions of exact counts; p50 rides the
+    // percentile ≡ quantile_cont parity agg_median pins.
+    "data_dataset_card" -> { (s, d) =>
+      val t = split(col("text"), " ")
+      Tables(s, d).documents
+        .select(col("lang"), col("source"), col("n_chars"),
+          size(t).cast("long").as("n_tokens"), md5(col("text")).as("digest"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("digest")).as("n_distinct_texts"),
+          percentile(col("n_tokens"), lit(0.5)).as("p50_tokens"))
+        .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+          col("n_langs"), col("n_sources"), col("n_distinct_texts"),
+          col("p50_tokens"),
+          (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+            .as("mean_tokens"),
+          ((col("n_docs") - col("n_distinct_texts")).cast("double") /
+            col("n_docs").cast("double")).as("dup_frac"))
+    },
+    // Block shuffle — the shuffle large-scale training loaders actually
+    // run: a full row-level shuffle (data_shuffle_deterministic) destroys
+    // sequential read locality at 100 TB (every row a random seek), so
+    // loaders shuffle fixed-size BLOCKS and keep rows sequential within
+    // each block (the shard+buffer shuffle of tf.data / torch datapipes /
+    // megatron loaders). Blocks of 64 docs by the natural key, block
+    // order permuted by salted xxh64, within-block order preserved.
+    // Pure map arithmetic + the presentation sort — no window, no
+    // shuffle, and at scale the sort is the write-side range partition.
+    "data_shuffle_blocks" -> { (s, d) =>
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          expr("doc_id div 64").as("block")) // ids are non-negative
+        .withColumn("block_key",
+          xxhash64(concat(lit("B"), col("block").cast("string"))))
+        .orderBy("block_key", "doc_id")
+    },
+    // Skew-salt PLAN — the actionable sibling of data_skew_report: for
+    // every join/agg key whose row count exceeds the per-task cap, the
+    // salt factor ceil(n / cap) that splits it into under-cap subkeys,
+    // and the post-split residual max. This is the table a salted join
+    // reads to fan out ONLY the hot keys (uniform salting multiplies
+    // the small-side rows for every key; planned salting pays the
+    // fan-out exactly where the skew is). All-integer arithmetic
+    // (ceil(n/cap) = (n + cap − 1) div cap); one key-count aggregate,
+    // plan rows only for the hot tail.
+    "data_skew_salt_plan" -> { (s, d) =>
+      val cap = 40L
+      Tables(s, d).lineitem
+        .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > cap)
+        .withColumn("salt_factor", expr(s"(n + ${cap - 1}) div $cap"))
+        .withColumn("max_per_salt",
+          expr(s"(n + salt_factor - 1) div salt_factor"))
+        .select(col("k"), col("n"), col("salt_factor"), col("max_per_salt"))
+        .orderBy(col("n").desc, col("k").asc)
     }
   )
 
@@ -2312,7 +2423,56 @@ object DataOps {
          |  count(CASE WHEN event_type = 'purchase' THEN 1 END)
          |    AS n_purchases,
          |  ${Oracle.sqlSum("value")} AS sum_value
-         |FROM events GROUP BY 1 ORDER BY pseudonym""".stripMargin
+         |FROM events GROUP BY 1 ORDER BY pseudonym""".stripMargin,
+    // the same derived changelog; arg_max replicates the struct-max
+    // last-writer pick (LSNs unique per key, so no tie to break)
+    "data_cdc_apply" ->
+      """WITH o AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+        |log AS (
+        |  SELECT k, 0 AS lsn, 'I' AS op, p FROM o WHERE k % 4 <> 0
+        |  UNION ALL SELECT k, k*10+1, 'I', p FROM o WHERE k % 4 = 0
+        |  UNION ALL SELECT k, k*10+2, 'U', p + 100.0 FROM o WHERE k % 10 = 1
+        |  UNION ALL SELECT k, k*10+5, 'U', p + 200.0 FROM o WHERE k % 10 = 1
+        |  UNION ALL SELECT k, k*10+3, 'U', p + 50.0 FROM o WHERE k % 10 = 2
+        |  UNION ALL SELECT k, k*10+7, 'D', NULL FROM o WHERE k % 10 = 3
+        |  UNION ALL SELECT k, k*10+2, 'D', NULL FROM o WHERE k % 10 = 4
+        |  UNION ALL SELECT k, k*10+6, 'I', p + 1000.0 FROM o WHERE k % 10 = 4),
+        |last AS (SELECT k, arg_max(op, lsn) AS op, arg_max(p, lsn) AS p,
+        |    max(lsn) AS last_lsn, count(*) AS n_ops
+        |  FROM log GROUP BY k)
+        |SELECT k AS o_orderkey, p AS price,
+        |  CAST(last_lsn AS BIGINT) AS last_lsn, n_ops
+        |FROM last WHERE op <> 'D' ORDER BY o_orderkey""".stripMargin,
+    "data_dataset_card" ->
+      """WITH b AS (SELECT lang, source, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5(text) AS digest
+        |  FROM documents),
+        |g AS (SELECT count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |    count(DISTINCT lang) AS n_langs,
+        |    count(DISTINCT source) AS n_sources,
+        |    count(DISTINCT digest) AS n_distinct_texts,
+        |    quantile_cont(n_tokens, 0.5) AS p50_tokens
+        |  FROM b)
+        |SELECT n_docs, n_tokens, n_chars, n_langs, n_sources,
+        |  n_distinct_texts, p50_tokens,
+        |  CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_tokens,
+        |  CAST(n_docs - n_distinct_texts AS DOUBLE) /
+        |    CAST(n_docs AS DOUBLE) AS dup_frac
+        |FROM g""".stripMargin,
+    "data_shuffle_blocks" ->
+      s"""SELECT doc_id, doc_id // 64 AS block,
+         |  ${XxhSql.expr("'B' || CAST(doc_id // 64 AS VARCHAR)", "42")}
+         |    AS block_key
+         |FROM documents ORDER BY block_key, doc_id""".stripMargin,
+    "data_skew_salt_plan" ->
+      """WITH k AS (SELECT l_partkey AS k, count(*) AS n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT k, n, (n + 39) // 40 AS salt_factor,
+        |  (n + (n + 39) // 40 - 1) // ((n + 39) // 40) AS max_per_salt
+        |FROM k WHERE n > 40 ORDER BY n DESC, k ASC""".stripMargin
   )
 
   /** Oracle spelling of [[graft.functions.Kernels.zorder2]]: the same 32

@@ -649,8 +649,132 @@ object DedupOps {
             .as("recall"),
           (col("n_hit").cast("double") /
             col("n_candidates").cast("double")).as("verify_efficiency"))
+    },
+    // Exact duplicated-SUBSTRING accounting (the ExactSubstr dedup of
+    // Lee et al., "Deduplicating Training Data Makes Language Models
+    // Better"): document-level hashing misses the verbatim passage
+    // pasted inside an otherwise-new page, and segment dedup only sees
+    // aligned 3-word blocks — this operator finds EVERY 8-token window
+    // duplicated anywhere in the corpus (keep-first: the lowest
+    // (doc_id, pos) instance is the retained original), merges each
+    // doc's duplicated windows into maximal spans (gaps-and-islands on
+    // the token intervals: a window opens a new span only when it
+    // starts past the running max end), and reports the per-doc
+    // duplicated-token mass — the removal plan an ExactSubstr scrubber
+    // executes. Scale shape: the instance stream is token-count-sized
+    // and the groupBy(shingle) shuffle is the intrinsic cost (the
+    // distributed stand-in for the paper's suffix array); only
+    // duplicated instances (a tiny fraction) reach the per-doc window,
+    // which is bounded by that doc's own window count. The paper uses
+    // 50-token windows at trillion-token scale; 8 fits this corpus's
+    // ~30-token documents — the plan is length-agnostic.
+    "dedup_substring_spans" -> { (s, d) =>
+      substringSpansFrom(Tables(s, d).documents, 8)
+    },
+    // Incremental near-dup ingest — the DAILY shape of the dedup family:
+    // a new crawl batch (doc_id % 10 == 7 stands in for today's arrivals)
+    // is screened against the EXISTING corpus without ever re-pairing the
+    // corpus with itself. Stage 1: exact — the batch's md5 digests probe
+    // the corpus digest table (broadcast of the BATCH side: the corpus,
+    // the 100 TB side, is a map-only scan). Stage 2: near — the batch's
+    // MinHash bands broadcast under the corpus band stream (same 16-sig /
+    // 4x4 layout as dedup_minhash_lsh), candidates verified by exact
+    // shingle Jaccard at 0.8. Verdict precedence exact > near > new, with
+    // candidate count and best verified overlap per batch doc — the
+    // admission ticket a curation pipeline attaches to every new
+    // document. At steady state the corpus band/digest tables are
+    // precomputed artifacts of previous ingests; only the batch-sized
+    // side is ever built fresh.
+    "dedup_incremental_ingest" -> { (s, d) =>
+      incrementalIngestFrom(Tables(s, d).documents,
+        pmod(col("doc_id"), lit(10)) === 7)
     }
   )
+
+  /** The `dedup_substring_spans` core over any (doc_id, text) frame with
+    * a parameterized window length — separated so specs can plant shared
+    * passages with known span geometry.
+    */
+  def substringSpansFrom(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inst = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        posexplode(graft.functions.functions.word_shingles(
+          split(col("text"), " "), k)).as(Seq("pos", "sh")))
+    val dupSh = inst.groupBy("sh")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("doc_id") * 1000000L + col("pos")).as("firstk"))
+      .filter(col("cnt") > 1)
+    val dup = inst.join(dupSh, "sh")
+      .filter(col("doc_id") * 1000000L + col("pos") =!= col("firstk"))
+      .select(col("doc_id"), col("n_tokens"), col("pos"))
+    val wOrd = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dup
+      .withColumn("prevmax", max(col("pos") + k)
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("ni",
+        when(col("prevmax").isNull || col("pos") > col("prevmax"), 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum(col("ni")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("n_tokens"), col("isl"))
+      .agg(min(col("pos")).as("st"), max(col("pos") + k).as("en"))
+    spans.groupBy("doc_id", "n_tokens")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("en") - col("st")).cast("long").as("dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_spans"),
+        col("dup_tokens"),
+        (col("dup_tokens").cast("double") / col("n_tokens").cast("double"))
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** The `dedup_incremental_ingest` core: screen the `isBatch` rows of a
+    * (doc_id, text) frame against the rest — exact digest probe, then
+    * LSH-banded near-dup candidates verified at Jaccard 0.8.
+    */
+  def incrementalIngestFrom(docs: DataFrame,
+      isBatch: org.apache.spark.sql.Column): DataFrame = {
+    val dig = docs.select(col("doc_id"), md5(col("text")).as("digest"),
+      isBatch.as("is_batch"))
+    val exactIds = dig.filter(!col("is_batch")).select(col("digest"))
+      .join(broadcast(dig.filter(col("is_batch"))), Seq("digest"))
+      .select(col("doc_id")).distinct()
+      .withColumn("is_exact", lit(1L))
+    val sh = shingleSets(docs).persist()
+    val sig = sh.select(col("doc_id"), minhash_sig(col("sh"), 16).as("sig"))
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until 4).map { b =>
+        struct((0 until 4).map(r =>
+          element_at(col("sig"), b * 4 + r + 1)): _*)
+      }: _*)).as(Seq("band", "bsig")))
+      .join(docs.select(col("doc_id"), isBatch.as("is_batch")), "doc_id")
+    val batchBands = bands.filter(col("is_batch"))
+      .select(col("doc_id").as("new_id"), col("band"), col("bsig"))
+    val cand = bands.filter(!col("is_batch"))
+      .join(broadcast(batchBands), Seq("band", "bsig"))
+      .select(col("new_id"), col("doc_id").as("old_id"))
+      .distinct()
+    val verified = cand
+      .join(sh.as("s1"), col("new_id") === col("s1.doc_id"))
+      .join(sh.as("s2"), col("old_id") === col("s2.doc_id"))
+      .select(col("new_id"), col("old_id"),
+        jaccard_sim(col("s1.sh"), col("s2.sh")).as("jac"))
+      .groupBy("new_id")
+      .agg(count(lit(1)).as("n_candidates"),
+        max(when(col("jac") >= 0.8, col("jac"))).as("best_near"))
+    docs.filter(isBatch).select(col("doc_id"))
+      .join(verified, col("doc_id") === col("new_id"), "left")
+      .join(exactIds, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("is_exact").isNotNull, lit("exact_dup"))
+          .when(col("best_near").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("verdict"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("best_near"), lit(0.0)).as("best_jaccard"))
+      .orderBy("doc_id")
+  }
 
   /** MinHash 4×4-band candidate pairs over a (doc_id, sh) shingle-set
     * frame — the candidate stage of the LSH pipeline in isolation (the
@@ -1251,6 +1375,87 @@ object DedupOps {
         |           sqrt(CAST(nb.nn AS DOUBLE))) END AS cos
         |  FROM p JOIN n na ON na.vec_id = id1 JOIN n nb ON nb.vec_id = id2)
         |SELECT id1, id2, cos FROM scored WHERE cos >= 0.45
-        |ORDER BY id1, id2""".stripMargin
+        |ORDER BY id1, id2""".stripMargin,
+    // full replication: 8-token windows, keep-first by packed (doc,pos)
+    // key, the same running-max islands merge, the same per-doc rollup
+    "dedup_substring_spans" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS L FROM documents),
+        |inst AS (SELECT doc_id, len(L) AS n_tokens, i - 1 AS pos,
+        |    L[i]||' '||L[i+1]||' '||L[i+2]||' '||L[i+3]||' '||L[i+4]||' '||
+        |      L[i+5]||' '||L[i+6]||' '||L[i+7] AS sh
+        |  FROM tok,
+        |    LATERAL (SELECT unnest(generate_series(1, len(L) - 7)) AS i) g),
+        |gd AS (SELECT sh, count(*) AS cnt,
+        |    min(doc_id * 1000000 + pos) AS firstk
+        |  FROM inst GROUP BY sh HAVING count(*) > 1),
+        |dup AS (SELECT i.doc_id, i.n_tokens, i.pos
+        |  FROM inst i JOIN gd ON gd.sh = i.sh
+        |  WHERE i.doc_id * 1000000 + i.pos <> gd.firstk),
+        |m AS (SELECT doc_id, n_tokens, pos,
+        |    max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+        |  FROM dup),
+        |isl AS (SELECT doc_id, n_tokens, pos,
+        |    sum(CASE WHEN prevmax IS NULL OR pos > prevmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM m),
+        |sp AS (SELECT doc_id, n_tokens, isl AS island,
+        |    min(pos) AS st, max(pos + 8) AS en
+        |  FROM isl GROUP BY doc_id, n_tokens, island)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  count(*) AS n_dup_spans,
+        |  CAST(sum(en - st) AS BIGINT) AS dup_tokens,
+        |  CAST(sum(en - st) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_frac
+        |FROM sp GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+    // the minhash band CTE chain restricted to batch x corpus candidates,
+    // exact-Jaccard verified, plus the text-equality exact stage (md5
+    // stands for text identity) and the verdict precedence
+    "dedup_incremental_ingest" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS L FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         L[i] || ' ' || L[i+1] || ' ' || L[i+2] AS s
+         |       FROM tok,
+         |         LATERAL (SELECT unnest(generate_series(1, len(L) - 2)) AS i) g),
+         |hs AS (SELECT s, sd, ${XxhSql.expr("s", "sd")} AS h
+         |       FROM (SELECT DISTINCT s FROM sh)
+         |       CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS sd) k),
+         |sig AS (SELECT doc_id, sd, min(h) AS mh
+         |        FROM sh JOIN hs USING (s) GROUP BY 1, 2),
+         |band AS (SELECT doc_id, sd // 4 AS band,
+         |           array_agg(mh ORDER BY sd) AS bsig
+         |         FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT b.doc_id AS new_id, a.doc_id AS old_id
+         |         FROM band a JOIN band b
+         |           ON a.band = b.band AND a.bsig = b.bsig
+         |         WHERE b.doc_id % 10 = 7 AND a.doc_id % 10 <> 7),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.new_id, c.old_id, count(*) AS i
+         |          FROM cand c
+         |          JOIN sh x ON x.doc_id = c.new_id
+         |          JOIN sh y ON y.doc_id = c.old_id AND y.s = x.s
+         |          GROUP BY 1, 2),
+         |j AS (SELECT c.new_id, c.old_id,
+         |        CAST(COALESCE(i.i, 0) AS DOUBLE) /
+         |          CAST(ca.n + cb.n - COALESCE(i.i, 0) AS DOUBLE) AS jac
+         |      FROM cand c
+         |      LEFT JOIN inter i
+         |        ON i.new_id = c.new_id AND i.old_id = c.old_id
+         |      JOIN cnt ca ON ca.doc_id = c.new_id
+         |      JOIN cnt cb ON cb.doc_id = c.old_id),
+         |ex AS (SELECT DISTINCT b.doc_id FROM documents b
+         |       JOIN documents o ON o.text = b.text AND o.doc_id % 10 <> 7
+         |       WHERE b.doc_id % 10 = 7),
+         |agg AS (SELECT d.doc_id,
+         |    CAST(count(j.old_id) AS BIGINT) AS n_candidates,
+         |    max(CASE WHEN j.jac >= 0.8 THEN j.jac END) AS best_near
+         |  FROM documents d LEFT JOIN j ON j.new_id = d.doc_id
+         |  WHERE d.doc_id % 10 = 7 GROUP BY 1)
+         |SELECT a.doc_id,
+         |  CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+         |       WHEN a.best_near IS NOT NULL THEN 'near_dup'
+         |       ELSE 'new' END AS verdict,
+         |  a.n_candidates, COALESCE(a.best_near, 0.0) AS best_jaccard
+         |FROM agg a LEFT JOIN ex e ON e.doc_id = a.doc_id
+         |ORDER BY a.doc_id""".stripMargin
   )
 }

@@ -956,6 +956,61 @@ object EventOps {
           element_at(col("qs"), 4).as("p90"))
         .orderBy("arm")
     },
+    // Power analysis / minimum-detectable-effect readout — the question
+    // every experiment review asks BEFORE reading the lift: "what effect
+    // size could this test even see?" Per-user purchase value (ITT, the
+    // events_ab_quantiles metric) under the same xxh64 arm split; the
+    // per-arm variance comes from EXACT integer sufficient statistics
+    // (Σx, Σx² in micro-units through the DECIMAL exact-sum contract —
+    // a double Σx² would be summation-order-dependent), and
+    // MDE = (z_{0.975} + z_{0.80})·sqrt(var_a/n_a + var_b/n_b) is a
+    // pinned IEEE tree over those exact inputs (the z constants are
+    // literals — erf⁻¹ is not bit-portable across engines; IEEE sqrt
+    // is correctly rounded everywhere). Shape: one user-keyed aggregate
+    // (map-side combined), one single-row conditional rollup — the same
+    // two-shuffle plan at any corpus size.
+    "events_power_mde" -> { (s, d) =>
+      val perUser = Tables(s, d).events
+        .groupBy("user_id")
+        .agg(coalesce(
+          sum(when(col("event_type") === "purchase", col("value"))
+            .cast(DecimalType(28, 6))),
+          lit(0).cast(DecimalType(28, 6))).as("m"))
+        .withColumn("arm",
+          when(pmod(xxhash64(concat(lit("AB"),
+            col("user_id").cast("string"))), lit(2)) === 0, "A")
+            .otherwise("B"))
+        .withColumn("mu", (col("m") * 1000000).cast(DecimalType(19, 0)))
+      val g = perUser.agg(
+        count(when(col("arm") === "A", 1)).as("n_a"),
+        count(when(col("arm") === "B", 1)).as("n_b"),
+        sum(when(col("arm") === "A", col("mu")))
+          .cast(DecimalType(38, 0)).as("s1a"),
+        sum(when(col("arm") === "B", col("mu")))
+          .cast(DecimalType(38, 0)).as("s1b"),
+        sum(when(col("arm") === "A", col("mu") * col("mu")))
+          .cast(DecimalType(38, 0)).as("s2a"),
+        sum(when(col("arm") === "B", col("mu") * col("mu")))
+          .cast(DecimalType(38, 0)).as("s2b"))
+      // sample variance in micro² units: (n·Σx² − (Σx)²) / (n·(n−1)),
+      // numerator exact in DECIMAL(38,0), ONE double division
+      def varMicro2(n: Column, s1: Column, s2: Column): Column =
+        (n * s2 - s1 * s1).cast(DoubleType) /
+          (n * (n - 1)).cast(DoubleType)
+      val vA = varMicro2(col("n_a"), col("s1a"), col("s2a"))
+      val vB = varMicro2(col("n_b"), col("s1b"), col("s2b"))
+      val meanA = col("s1a").cast(DoubleType) /
+        col("n_a").cast(DoubleType) / lit(1e6)
+      val mde = (lit(1.959964) + lit(0.841621)) *
+        sqrt(vA / col("n_a").cast(DoubleType) +
+          vB / col("n_b").cast(DoubleType)) / lit(1e6)
+      g.select(col("n_a"), col("n_b"),
+        meanA.as("mean_a"),
+        (vA / lit(1e12)).as("var_a"),
+        (vB / lit(1e12)).as("var_b"),
+        mde.as("mde_abs"),
+        (mde / meanA).as("mde_rel"))
+    },
     // Seasonal-naive forecast backtest — the baseline every forecasting
     // system must beat (and the honest first model for capacity
     // planning): predict each day's per-type event count with the count
@@ -2391,6 +2446,41 @@ object EventOps {
          |  (CAST(conv_b AS DOUBLE) / CAST(users_b AS DOUBLE)) /
          |    (CAST(conv_a AS DOUBLE) / CAST(users_a AS DOUBLE)) AS lift
          |FROM g""".stripMargin,
+    // exact HUGEINT sufficient statistics mirror the DECIMAL(38,0) ones;
+    // the variance/MDE expression trees are term-for-term identical
+    "events_power_mde" ->
+      s"""WITH pu AS (SELECT user_id,
+         |    COALESCE(sum(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(value AS DECIMAL(28, 6)) END),
+         |      CAST(0 AS DECIMAL(28, 6))) AS m
+         |  FROM events GROUP BY 1),
+         |arms AS (SELECT CAST(m * 1000000 AS HUGEINT) AS mu,
+         |    CASE WHEN
+         |      ((${XxhSql.expr("'AB' || CAST(user_id AS VARCHAR)", "42")}
+         |        % 2) + 2) % 2 = 0 THEN 'A' ELSE 'B' END AS arm FROM pu),
+         |g AS (SELECT
+         |    count(CASE WHEN arm = 'A' THEN 1 END) AS n_a,
+         |    count(CASE WHEN arm = 'B' THEN 1 END) AS n_b,
+         |    sum(CASE WHEN arm = 'A' THEN mu END) AS s1a,
+         |    sum(CASE WHEN arm = 'B' THEN mu END) AS s1b,
+         |    sum(CASE WHEN arm = 'A' THEN mu * mu END) AS s2a,
+         |    sum(CASE WHEN arm = 'B' THEN mu * mu END) AS s2b
+         |  FROM arms),
+         |v AS (SELECT n_a, n_b, s1a,
+         |    CAST(n_a * s2a - s1a * s1a AS DOUBLE) /
+         |      CAST(n_a * (n_a - 1) AS DOUBLE) AS va,
+         |    CAST(n_b * s2b - s1b * s1b AS DOUBLE) /
+         |      CAST(n_b * (n_b - 1) AS DOUBLE) AS vb
+         |  FROM g)
+         |SELECT n_a, n_b,
+         |  CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE) / 1e6 AS mean_a,
+         |  va / 1e12 AS var_a, vb / 1e12 AS var_b,
+         |  (1.959964 + 0.841621) * sqrt(va / CAST(n_a AS DOUBLE) +
+         |    vb / CAST(n_b AS DOUBLE)) / 1e6 AS mde_abs,
+         |  ((1.959964 + 0.841621) * sqrt(va / CAST(n_a AS DOUBLE) +
+         |    vb / CAST(n_b AS DOUBLE)) / 1e6) /
+         |    (CAST(s1a AS DOUBLE) / CAST(n_a AS DOUBLE) / 1e6) AS mde_rel
+         |FROM v""".stripMargin,
     "events_forecast_naive" ->
       """WITH daily AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
         |    count(*) AS n

@@ -412,6 +412,45 @@ object GraphOps {
             ((col("n_nodes") - 1L) * col("sum_dist")).cast("double"))
             .as("closeness"))
         .orderBy("seed")
+    },
+    // Shortest-path COUNTS from a seed (σ in Brandes' betweenness
+    // algorithm — the forward pass: σ(v) = Σ σ(u) over v's predecessors
+    // on shortest paths) over the support-≥2 co-purchase graph, ≤4 hops
+    // like graph_bfs_hops. Distances alone can't rank brokerage; path
+    // multiplicity is the input every centrality beyond closeness needs.
+    // ALL-INTEGER: σ values are exact long sums, so the result is
+    // hash-gateable regardless of partitioning. Shape per round: the
+    // newest frontier (only) joins the edge list (one equi-join shuffle
+    // bounded by frontier × degree), a dst-keyed partial+final sum
+    // accumulates σ, and a node-sized anti-join keeps only UNSEEN nodes
+    // (a node first reached at round k has distance k — the BFS
+    // invariant that makes the σ recursion correct level by level).
+    "graph_path_counts" -> { (s, d) =>
+      val it = Tables(s, d).lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val e0 = it.as("a").join(it.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+        .select("u", "v")
+      val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+        .persist()
+      var reach = edges.agg(min(col("u")).as("node"))
+        .withColumn("dist", lit(0)).withColumn("sigma", lit(1L))
+      for (step <- 1 to 4) {
+        val fresh = reach.filter(col("dist") === step - 1).as("f")
+          .join(edges.as("e"), col("f.node") === col("e.u"))
+          .groupBy(col("e.v").as("node"))
+          .agg(sum(col("f.sigma")).as("sigma"))
+          .join(reach.select("node"), Seq("node"), "left_anti")
+          .select(col("node"), lit(step).as("dist"), col("sigma"))
+        // node-sized cut per round — `reach` feeds BOTH the frontier
+        // filter and the anti-join; without it each round replans the
+        // whole prior chain twice (measured 27 s → ~3 s at sf0.1)
+        reach = reach.unionByName(fresh).cutLineage()
+      }
+      reach.orderBy("node")
     }
   )
 
@@ -1026,6 +1065,49 @@ object GraphOps {
           |  WHERE d.dist < 4)
           |SELECT node, min(dist) AS dist FROM d
           |GROUP BY node ORDER BY node""".stripMargin,
+      // σ recursion unrolled level by level (the BFS invariant: a node
+      // first reached at round k has distance k, so each level's σ sums
+      // ONLY the previous level's σ over incoming edges)
+      "graph_path_counts" ->
+        """WITH it AS (SELECT DISTINCT l_orderkey AS ok,
+          |    l_partkey AS p FROM lineitem),
+          |e0 AS (SELECT a.p AS u, b.p AS v FROM it a
+          |  JOIN it b ON a.ok = b.ok AND a.p < b.p
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+          |l0 AS (SELECT min(u) AS node, 0 AS dist,
+          |    CAST(1 AS BIGINT) AS sigma FROM e),
+          |l1 AS (SELECT e.v AS node, 1 AS dist,
+          |    CAST(sum(f.sigma) AS BIGINT) AS sigma
+          |  FROM l0 f JOIN e ON e.u = f.node
+          |  WHERE e.v NOT IN (SELECT node FROM l0)
+          |  GROUP BY e.v),
+          |l2 AS (SELECT e.v AS node, 2 AS dist,
+          |    CAST(sum(f.sigma) AS BIGINT) AS sigma
+          |  FROM l1 f JOIN e ON e.u = f.node
+          |  WHERE e.v NOT IN (SELECT node FROM l0
+          |    UNION ALL SELECT node FROM l1)
+          |  GROUP BY e.v),
+          |l3 AS (SELECT e.v AS node, 3 AS dist,
+          |    CAST(sum(f.sigma) AS BIGINT) AS sigma
+          |  FROM l2 f JOIN e ON e.u = f.node
+          |  WHERE e.v NOT IN (SELECT node FROM l0
+          |    UNION ALL SELECT node FROM l1
+          |    UNION ALL SELECT node FROM l2)
+          |  GROUP BY e.v),
+          |l4 AS (SELECT e.v AS node, 4 AS dist,
+          |    CAST(sum(f.sigma) AS BIGINT) AS sigma
+          |  FROM l3 f JOIN e ON e.u = f.node
+          |  WHERE e.v NOT IN (SELECT node FROM l0
+          |    UNION ALL SELECT node FROM l1
+          |    UNION ALL SELECT node FROM l2
+          |    UNION ALL SELECT node FROM l3)
+          |  GROUP BY e.v)
+          |SELECT node, CAST(dist AS INT) AS dist, sigma FROM (
+          |  SELECT * FROM l0 UNION ALL SELECT * FROM l1
+          |  UNION ALL SELECT * FROM l2 UNION ALL SELECT * FROM l3
+          |  UNION ALL SELECT * FROM l4)
+          |ORDER BY node""".stripMargin,
       "graph_degree_dist" ->
         s"""WITH $copurchaseSql,
            |und AS (SELECT u AS x FROM e0 UNION ALL SELECT v FROM e0),

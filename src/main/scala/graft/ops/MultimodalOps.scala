@@ -329,6 +329,80 @@ object MultimodalOps {
         }
         .toDF("doc_id", "level", "n_px", "mean_px", "px_md5")
         .orderBy("doc_id", "level")
+    },
+    // Sharpness / blur metric over the DECODED pixel stream — the image
+    // quality gate a vision-data pipeline runs before training (variance
+    // of the Laplacian, the standard public blur detector; here the 1-D
+    // second difference d_i = p_{i−1} − 2p_i + p_{i+1} over the RLE1
+    // decode, the same strict-parser path as mm_decode_real). Sufficient
+    // statistics (Σd, Σd²) are exact integers accumulated in the decode
+    // loop; the variance (n·Σd² − (Σd)²)/n² is ONE IEEE division of
+    // exact longs, so the oracle's codec-free recomputation is
+    // bit-identical. |d| ≤ 4·255 bounds n·Σd² ≤ ~2·10⁶·L² — Long-safe to
+    // ~10⁸-pixel assets; switch the statistics to DECIMAL beyond.
+    // Partition-batched map shape, zero shuffles beyond the sort.
+    "mm_sharpness" -> { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      Tables(s, d).documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { batch =>
+          batch.map { case (id, b) =>
+            val raw = if (b == null) Array.empty[Byte] else b
+            val dec = Rle1.decode(Rle1.encode(raw))
+            val L = dec.length
+            var sd = 0L
+            var sd2 = 0L
+            var i = 1
+            while (i < L - 1) {
+              val v = (dec(i - 1) & 0xFF) - 2 * (dec(i) & 0xFF) +
+                (dec(i + 1) & 0xFF)
+              sd += v
+              sd2 += v.toLong * v
+              i += 1
+            }
+            val n = math.max(L - 2, 0).toLong
+            val lapVar =
+              if (n > 0) (n * sd2 - sd * sd).toDouble / (n * n).toDouble
+              else 0.0
+            (id, L, n, sd, sd2, lapVar)
+          }
+        }
+        .toDF("doc_id", "n_pixels", "n_lap", "sum_lap", "sum_lap2",
+          "lap_var")
+        .orderBy("doc_id")
+    },
+    // Letterbox/pillarbox border detection over the DECODED pixel stream
+    // — the crop planner a video/image ingest pipeline runs before
+    // training (constant bars waste tokens and skew normalization): the
+    // maximal constant-value run at each end of the decoded stream, and
+    // the core payload between them. All-constant assets report
+    // lead = L, trail = 0, core = 0 (flagged for drop). Strict-parser
+    // RLE1 decode as the whole family; pure integer scan per asset,
+    // partition-batched, zero shuffles beyond the sort.
+    "mm_border_crop" -> { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      Tables(s, d).documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { batch =>
+          batch.map { case (id, b) =>
+            val raw = if (b == null) Array.empty[Byte] else b
+            val dec = Rle1.decode(Rle1.encode(raw))
+            val L = dec.length
+            var lead = 0
+            while (lead < L && dec(lead) == dec(0)) lead += 1
+            var trail = 0
+            if (lead < L) {
+              while (trail < L && dec(L - 1 - trail) == dec(L - 1)) trail += 1
+            }
+            (id, L, lead.toLong, trail.toLong, (L - lead - trail).toLong)
+          }
+        }
+        .toDF("doc_id", "n_pixels", "lead_run", "trail_run", "core_len")
+        .orderBy("doc_id")
     }
   )
 
@@ -695,7 +769,51 @@ object MultimodalOps {
         |       ELSE CAST(list_sum(px) AS DOUBLE) / len(px) END AS mean_px,
         |  md5(array_to_string(list_transform(px, x -> chr(CAST(x AS INT))),
         |    '')) AS px_md5
-        |FROM u ORDER BY doc_id, level""".stripMargin
+        |FROM u ORDER BY doc_id, level""".stripMargin,
+    // codec-free recomputation (ASCII corpus: byte = codepoint): the same
+    // second differences, exact BIGINT sums, the same single division
+    "mm_sharpness" ->
+      """WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+        |b AS (SELECT doc_id, length(text) AS L,
+        |    list_transform(string_split(text, ''),
+        |      x -> CAST(ord(x) AS BIGINT)) AS bs
+        |  FROM t),
+        |d AS (SELECT doc_id, L,
+        |    list_transform(range(2, CASE WHEN L < 2 THEN 2 ELSE L END),
+        |      i -> bs[i - 1] - 2 * bs[i] + bs[i + 1]) AS ds
+        |  FROM b),
+        |g AS (SELECT doc_id, L, greatest(L - 2, 0) AS n,
+        |    CAST(COALESCE(list_sum(ds), 0) AS BIGINT) AS sd,
+        |    CAST(COALESCE(list_sum(list_transform(ds, x -> x * x)), 0)
+        |      AS BIGINT) AS sd2
+        |  FROM d)
+        |SELECT doc_id, CAST(L AS INT) AS n_pixels,
+        |  CAST(n AS BIGINT) AS n_lap, sd AS sum_lap, sd2 AS sum_lap2,
+        |  CASE WHEN n > 0 THEN CAST(n * sd2 - sd * sd AS DOUBLE) /
+        |    CAST(n * n AS DOUBLE) ELSE 0.0 END AS lap_var
+        |FROM g ORDER BY doc_id""".stripMargin,
+    // codec-free border-run recomputation: lead = first index differing
+    // from the head (minus one), trail = distance from the last index
+    // differing from the tail; the all-constant rule matches the engine
+    "mm_border_crop" ->
+      """WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+        |b AS (SELECT doc_id, length(text) AS L,
+        |    list_transform(string_split(text, ''), x -> ord(x)) AS bs
+        |  FROM t),
+        |r AS (SELECT doc_id, L,
+        |    CASE WHEN L = 0 THEN 0
+        |         ELSE COALESCE(list_min(list_filter(range(1, L + 1),
+        |           i -> bs[i] <> bs[1])), L + 1) - 1 END AS lead
+        |  FROM b),
+        |r2 AS (SELECT r.doc_id, r.L, r.lead,
+        |    CASE WHEN r.L = 0 OR r.lead = r.L THEN 0
+        |         ELSE r.L - COALESCE(list_max(list_filter(range(1, r.L + 1),
+        |           i -> b.bs[i] <> b.bs[r.L])), 0) END AS trail
+        |  FROM r JOIN b ON b.doc_id = r.doc_id)
+        |SELECT doc_id, CAST(L AS INT) AS n_pixels,
+        |  CAST(lead AS BIGINT) AS lead_run, CAST(trail AS BIGINT) AS trail_run,
+        |  CAST(L - lead - trail AS BIGINT) AS core_len
+        |FROM r2 ORDER BY doc_id""".stripMargin
   )
 
   /** PCM16: the waveform codec behind `mm_audio_energy`. Sample k of the

@@ -391,23 +391,44 @@ object SimilarityOps {
     // threshold — not a k — bounds it, and the bucket recall tradeoff
     // is identical to the top-k path. Deterministic output order.
     "sim_range_search" -> { (s, d) =>
+      rangeSearchFrom(Tables(s, d).embeddings)
+        .orderBy("query_id", "vec_id")
+    },
+    // Recall of the multi-probe range search against the EXACT radius
+    // query — the eval row the range-search sibling was missing (every
+    // top-k variant ships one). Precision is 1.0 by construction (the
+    // probe path exact-scores its candidates with the same threshold),
+    // so recall — the neighbors the bucket probes never surface — is THE
+    // quality number. Ground truth broadcasts the 10-query set against
+    // the corpus (the sim_topk_bruteforce shape, whitelisted); the
+    // approximate side is the SHIPPED rangeSearchFrom pipeline, and a
+    // semi-join (rather than trusting found ⊆ truth) keeps the measured
+    // number honest under any future threshold drift.
+    "sim_range_recall" -> { (s, d) =>
       val e = Tables(s, d).embeddings
-        .withColumn("bucket",
-          element_at(lshBuckets(quantize(col("embedding")), 1, 8), 1))
-        .persist()
-      val probes = typedLit(0L +: (0 until 8).map(k => 1L << k))
+      val found = rangeSearchFrom(e).select("query_id", "vec_id")
       val qs = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          explode(transform(probes, m => col("bucket").bitwiseXOR(m)))
-            .as("bucket"))
-      e.filter(col("vec_id") >= 10)
-        .join(broadcast(qs), Seq("bucket"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val truth = e.filter(col("vec_id") >= 10)
+        .join(broadcast(qs))
         .select(col("query_id"), col("vec_id"),
           quant_cosine(col("qe"), col("embedding")).as("cos"))
         .filter(col("cos") >= 0.2)
-        // no dedup needed: the 9 probe buckets are distinct values and a
-        // corpus vector holds ONE bucket, so each pair matches at most once
-        .orderBy("query_id", "vec_id")
+        .select("query_id", "vec_id")
+      val hits = truth.join(found, Seq("query_id", "vec_id"), "left_semi")
+      qs.select("query_id")
+        .join(truth.groupBy("query_id").agg(count(lit(1)).as("n_true")),
+          Seq("query_id"), "left")
+        .join(hits.groupBy("query_id").agg(count(lit(1)).as("n_found")),
+          Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_true"), lit(0L)).as("n_true"),
+          coalesce(col("n_found"), lit(0L)).as("n_found"),
+          when(coalesce(col("n_true"), lit(0L)) > 0,
+            coalesce(col("n_found"), lit(0L)).cast("double") /
+              col("n_true").cast("double")).otherwise(lit(1.0))
+            .as("recall"))
+        .orderBy("query_id")
     },
     // Binary quantization + Hamming rerank — the modern two-stage
     // retrieval shape (sign-bit codes à la Charikar 2002 hyperplane
@@ -766,6 +787,85 @@ object SimilarityOps {
     // aggregate is label-keyed.
     "sim_silhouette" -> { (s, d) =>
       silhouetteFrom(s, Tables(s, d).embeddings)
+    },
+    // Lloyd-iteration convergence monitor — the stopping criterion
+    // sim_kmeans_step (one refinement step) doesn't answer: run TWO
+    // assignment→recompute rounds from the label seeds and report each
+    // cluster's centroid DISPLACEMENT between rounds (exact integer
+    // Σ(c1_i − c2_i)² over the quantized grid — zero means that cluster
+    // is at its fixpoint). A trainer loops exactly this until max
+    // displacement under ε. Shape: the corpus meets the k broadcast
+    // centroids twice (the whitelisted kmeans fan-out, once per round);
+    // everything after the two argmax aggregates is k-row metadata.
+    // Clusters emptied by round 2 drop from the (inner) displacement
+    // join — on this corpus every seed cluster survives (spec-pinned).
+    "sim_kmeans_convergence" -> { (s, d) =>
+      import graft.functions.aggregates.vec_sum_longs
+      val base = quantizedBase(Tables(s, d).embeddings).persist()
+      def assign(cent: DataFrame): DataFrame =
+        base.join(broadcast(cent))
+          .select(col("vec_id"), struct(
+            cosSim(col("nn"), col("cnn"), col("qv"), col("cvec")).as("sim"),
+            (-col("clabel")).as("nl"),
+            col("qv").as("qv")).as("sc"))
+          .groupBy("vec_id")
+          .agg(max(col("sc")).as("best"))
+          .select(col("best.qv").as("qv"), (-col("best.nl")).as("cluster"))
+      def centroids(assigned: DataFrame): DataFrame =
+        assigned.groupBy("cluster")
+          .agg(vec_sum_longs(col("qv")).as("svec"),
+            count(col("qv")).as("n"))
+          .select(col("cluster").as("clabel"),
+            transform(col("svec"),
+              sv => floor(sv * lit(1000) / col("n")).cast("long"))
+              .as("cvec"),
+            col("n"))
+          .withColumn("cnn", aggregate(transform(col("cvec"), x => x * x),
+            lit(0L), (a, x) => a + x))
+      val c1 = centroids(assign(labelCentroidsL(base))).persist()
+      val c2 = centroids(assign(c1))
+      c1.as("a").join(c2.as("b"), col("a.clabel") === col("b.clabel"))
+        .select(col("a.clabel").as("cluster"),
+          col("a.n").as("n_round1"), col("b.n").as("n_round2"),
+          aggregate(zip_with(col("a.cvec"), col("b.cvec"),
+            (x, y) => (x - y) * (x - y)), lit(0L), (a, x) => a + x)
+            .as("disp2"))
+        .withColumn("converged", col("disp2") === 0L)
+        .orderBy("cluster")
+    },
+    // Index shard plan — the serving-side step after the IVF family: the
+    // inverted lists (the per-label corpus partitions sim_ann_ivf probes)
+    // must be placed on k index servers with balanced vector load, or the
+    // hottest shard gates every query's tail latency. Deterministic
+    // serpentine placement (rank lists by size desc, deal rank r to shard
+    // r%k on even passes and k−1−(r%k) on odd — the boustrophedon
+    // balancing heuristic, within one list of LPT on near-uniform sizes)
+    // with a per-shard load readout: lists, vectors, and load_ratio =
+    // k·load/total (1.0 = perfectly even). Shape: one label-keyed count
+    // collapses the corpus to the list table (label-cardinality rows);
+    // the rank window and rollup run on that metadata-scale frame — the
+    // "window over everything" is safe because lists, not vectors, are
+    // the rows.
+    "sim_shard_plan" -> { (s, d) =>
+      val k = 4
+      val lists = Tables(s, d).embeddings.filter(col("vec_id") >= 10)
+        .groupBy("label").agg(count(lit(1)).as("n_vecs"))
+      val wr = Window.orderBy(col("n_vecs").desc, col("label").asc)
+      val assigned = lists
+        .withColumn("r", (row_number().over(wr) - 1).cast("long"))
+        .withColumn("pos", pmod(col("r"), lit(k.toLong)))
+        .withColumn("shard",
+          when(pmod(col("r").divide(lit(k)).cast("long"), lit(2L)) === 0L,
+            col("pos")).otherwise(lit((k - 1).toLong) - col("pos")))
+      val wAll = Window.orderBy(col("shard"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      assigned.groupBy("shard")
+        .agg(count(lit(1)).as("n_lists"), sum(col("n_vecs")).as("n_vectors"))
+        .withColumn("total", sum(col("n_vectors")).over(wAll))
+        .select(col("shard"), col("n_lists"), col("n_vectors"),
+          (col("n_vectors").cast("double") * k /
+            col("total").cast("double")).as("load_ratio"))
+        .orderBy("shard")
     }
   )
 
@@ -1154,6 +1254,30 @@ object SimilarityOps {
     * specs can drive it with planted clusters (the uniform synthetic
     * corpus rarely reassigns anything).
     */
+  /** The `sim_range_search` core: single-table 8-bit LSH bucket with
+    * Hamming-1 multi-probe, exact cosine verify at `t` — separated so
+    * the recall eval measures the SHIPPED search path. Unordered.
+    */
+  private[graft] def rangeSearchFrom(emb: DataFrame,
+      t: Double = 0.2): DataFrame = {
+    val e = emb
+      .withColumn("bucket",
+        element_at(lshBuckets(quantize(col("embedding")), 1, 8), 1))
+      .persist()
+    val probes = typedLit(0L +: (0 until 8).map(k => 1L << k))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(transform(probes, m => col("bucket").bitwiseXOR(m)))
+          .as("bucket"))
+    e.filter(col("vec_id") >= 10)
+      .join(broadcast(qs), Seq("bucket"))
+      .select(col("query_id"), col("vec_id"),
+        quant_cosine(col("qe"), col("embedding")).as("cos"))
+      .filter(col("cos") >= t)
+    // no dedup needed: the 9 probe buckets are distinct values and a
+    // corpus vector holds ONE bucket, so each pair matches at most once
+  }
+
   def kmeansStepFrom(emb: DataFrame): DataFrame = {
     val base = quantizedBase(emb)
       .persist() // read twice: seed-centroid build + assignment scoring
@@ -1480,6 +1604,54 @@ object SimilarityOps {
         |           JOIN n nb ON nb.vec_id = dot.vec_id)
         |SELECT query_id, vec_id, cos FROM scored
         |WHERE cos >= 0.2 ORDER BY query_id, vec_id""".stripMargin,
+    // the sim_range_search CTE chain as the found set, the brute radius
+    // query as the truth set, per-query rollup with the vacuous-1.0 rule
+    "sim_range_recall" ->
+      """WITH q AS (SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
+        |dots AS (SELECT vec_id, k,
+        |           sum(v * (((k * 131 + (i - 1) * 31 + 7) % 61) - 30)) AS dt
+        |         FROM q CROSS JOIN
+        |           (SELECT unnest(generate_series(0, 7)) AS k) pl
+        |         GROUP BY 1, 2),
+        |bkt AS (SELECT vec_id,
+        |          CAST(sum(CASE WHEN dt > 0 THEN 1 << k ELSE 0 END) AS BIGINT)
+        |            AS bucket
+        |        FROM dots GROUP BY 1),
+        |qs AS (SELECT vec_id AS query_id, xor(bucket, m) AS bucket
+        |       FROM bkt CROSS JOIN
+        |         (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m) pr
+        |       WHERE vec_id < 10),
+        |pairs AS (SELECT query_id, c.vec_id
+        |          FROM qs JOIN (SELECT vec_id, bucket FROM bkt
+        |                        WHERE vec_id >= 10) c USING (bucket)),
+        |tdot AS (SELECT a.vec_id AS query_id, b.vec_id, sum(a.v * b.v) AS dot
+        |         FROM q a JOIN q b ON b.i = a.i AND b.vec_id >= 10
+        |         WHERE a.vec_id < 10 GROUP BY 1, 2),
+        |truth AS (SELECT query_id, tdot.vec_id FROM tdot
+        |  JOIN n na ON na.vec_id = query_id
+        |  JOIN n nb ON nb.vec_id = tdot.vec_id
+        |  WHERE (CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+        |           sqrt(CAST(nb.nn AS DOUBLE))) END) >= 0.2),
+        |hits AS (SELECT t.query_id, t.vec_id FROM truth t
+        |  JOIN pairs p ON p.query_id = t.query_id AND p.vec_id = t.vec_id),
+        |nt AS (SELECT query_id, count(*) AS n_true FROM truth GROUP BY 1),
+        |nf AS (SELECT query_id, count(*) AS n_found FROM hits GROUP BY 1)
+        |SELECT b.vec_id AS query_id,
+        |  COALESCE(nt.n_true, 0) AS n_true,
+        |  COALESCE(nf.n_found, 0) AS n_found,
+        |  CASE WHEN COALESCE(nt.n_true, 0) > 0
+        |    THEN CAST(COALESCE(nf.n_found, 0) AS DOUBLE) /
+        |      CAST(nt.n_true AS DOUBLE)
+        |    ELSE 1.0 END AS recall
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) b
+        |LEFT JOIN nt ON nt.query_id = b.vec_id
+        |LEFT JOIN nf ON nf.query_id = b.vec_id
+        |ORDER BY query_id""".stripMargin,
     "sim_ann_lsh" ->
       """WITH q AS (SELECT vec_id, i,
         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
@@ -2186,6 +2358,66 @@ object SimilarityOps {
         |  CAST(sum(cv) AS BIGINT) AS csum,
         |  CAST(sum(cv * cv) AS BIGINT) AS csq
         |FROM nc GROUP BY cluster ORDER BY cluster""".stripMargin,
+    // the sim_kmeans_step CTE chain (round 1) extended by a second
+    // assignment round; displacement joins the two centroid grids per
+    // (cluster, dimension)
+    "sim_kmeans_convergence" ->
+      """WITH q AS (SELECT vec_id, label, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
+        |cent AS (SELECT label, i,
+        |    CAST(floor(CAST(sum(v) * 1000 AS DOUBLE) / count(*)) AS BIGINT)
+        |      AS cv
+        |  FROM q GROUP BY 1, 2),
+        |cn AS (SELECT label, sum(cv * cv) AS cnn FROM cent GROUP BY 1),
+        |dots AS (SELECT a.vec_id, c.label, sum(a.v * c.cv) AS dot
+        |         FROM q a JOIN cent c ON c.i = a.i GROUP BY 1, 2),
+        |sim AS (SELECT vec_id, dots.label,
+        |    CASE WHEN n.nn = 0 OR cn.cnn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(n.nn AS DOUBLE)) *
+        |           sqrt(CAST(cn.cnn AS DOUBLE))) END AS sim
+        |  FROM dots JOIN n USING (vec_id) JOIN cn ON cn.label = dots.label),
+        |assign AS (SELECT vec_id, label AS cluster FROM (
+        |    SELECT vec_id, label, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, label ASC) AS rn FROM sim) r
+        |  WHERE rn = 1),
+        |nc AS (SELECT cluster, i,
+        |    CAST(floor(CAST(sum(v) * 1000 AS DOUBLE) / count(*)) AS BIGINT)
+        |      AS cv,
+        |    count(*) AS cnt
+        |  FROM q JOIN assign USING (vec_id) GROUP BY 1, 2),
+        |cn1 AS (SELECT cluster, sum(cv * cv) AS cnn FROM nc GROUP BY 1),
+        |dots1 AS (SELECT a.vec_id, c.cluster, sum(a.v * c.cv) AS dot
+        |          FROM q a JOIN nc c ON c.i = a.i GROUP BY 1, 2),
+        |sim1 AS (SELECT vec_id, dots1.cluster,
+        |    CASE WHEN n.nn = 0 OR cn1.cnn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(n.nn AS DOUBLE)) *
+        |           sqrt(CAST(cn1.cnn AS DOUBLE))) END AS sim
+        |  FROM dots1 JOIN n USING (vec_id)
+        |  JOIN cn1 ON cn1.cluster = dots1.cluster),
+        |assign1 AS (SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, cluster ASC) AS rn FROM sim1) r
+        |  WHERE rn = 1),
+        |nc2 AS (SELECT a.cluster, i,
+        |    CAST(floor(CAST(sum(v) * 1000 AS DOUBLE) / count(*)) AS BIGINT)
+        |      AS cv,
+        |    count(*) AS cnt
+        |  FROM q JOIN assign1 a USING (vec_id) GROUP BY 1, 2),
+        |n1 AS (SELECT cluster, CAST(min(cnt) AS BIGINT) AS n_round1
+        |  FROM nc GROUP BY 1),
+        |n2 AS (SELECT cluster, CAST(min(cnt) AS BIGINT) AS n_round2
+        |  FROM nc2 GROUP BY 1),
+        |disp AS (SELECT a.cluster,
+        |    CAST(sum((a.cv - b.cv) * (a.cv - b.cv)) AS BIGINT) AS disp2
+        |  FROM nc a JOIN nc2 b ON b.cluster = a.cluster AND b.i = a.i
+        |  GROUP BY 1)
+        |SELECT CAST(d.cluster AS BIGINT) AS cluster, n1.n_round1,
+        |  n2.n_round2, d.disp2, d.disp2 = 0 AS converged
+        |FROM disp d JOIN n1 USING (cluster) JOIN n2 USING (cluster)
+        |ORDER BY cluster""".stripMargin,
     // Full SemDeDup replication: quantization, per-label seed centroids,
     // cosine-argmax cluster assignment (ties sim DESC, label ASC), the
     // within-cluster pair join, the 0.4 threshold, and the
@@ -2275,6 +2507,25 @@ object SimilarityOps {
          |  FROM sil GROUP BY 1)
          |SELECT label, n, sum_silhouette,
          |  sum_silhouette / CAST(n AS DOUBLE) AS avg_silhouette
-         |FROM g2 ORDER BY label""".stripMargin
+         |FROM g2 ORDER BY label""".stripMargin,
+    // the same serpentine rank → shard arithmetic over the list table
+    "sim_shard_plan" ->
+      """WITH lists AS (SELECT label, count(*) AS n_vecs
+        |  FROM embeddings WHERE vec_id >= 10 GROUP BY label),
+        |r AS (SELECT label, n_vecs,
+        |    row_number() OVER (ORDER BY n_vecs DESC, label ASC) - 1 AS r
+        |  FROM lists),
+        |a AS (SELECT n_vecs,
+        |    CASE WHEN (r // 4) % 2 = 0 THEN r % 4 ELSE 3 - (r % 4) END
+        |      AS shard
+        |  FROM r),
+        |g AS (SELECT shard, count(*) AS n_lists,
+        |    CAST(sum(n_vecs) AS BIGINT) AS n_vectors
+        |  FROM a GROUP BY shard),
+        |t AS (SELECT CAST(sum(n_vectors) AS BIGINT) AS total FROM g)
+        |SELECT CAST(shard AS BIGINT) AS shard, n_lists, n_vectors,
+        |  CAST(n_vectors AS DOUBLE) * 4 / CAST(total AS DOUBLE)
+        |    AS load_ratio
+        |FROM g, t ORDER BY shard""".stripMargin
   )
 }

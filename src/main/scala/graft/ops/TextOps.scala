@@ -660,6 +660,47 @@ object TextOps {
       a.selectExpr(s"stack(6, $stackArgs) AS " +
           "(rule_ord, rule, n_fail, n_unique_fail, n_survive_cum)")
         .orderBy("rule_ord")
+    },
+    // Kneser–Ney smoothed bigram LM — the n-gram language model behind
+    // the lm-familiarity quality signal, with the smoothing the field
+    // actually uses (absolute discounting + continuation probability:
+    // "Francisco" is frequent but only ever follows "San", so its
+    // continuation mass is low). P(w2|w1) = max(c(w1w2)−d, 0)/c(w1·) +
+    // d·N1+(w1·)/c(w1·) · N1+(·w2)/|bigrams|, d = 0.75 (the published
+    // default). Every count is exact (adjacent pairs via zip_with over
+    // two token-array slices — zero joins to build the stream); the
+    // probability is ONE fixed IEEE tree per row, and c ≥ 1 makes the
+    // max() vanish. Shape: one pair-keyed aggregate collapses the corpus
+    // to the bigram table; both marginals and the continuation counts
+    // derive from THAT table (never the corpus) and broadcast back under
+    // the ≥3-support survivors; |bigrams| is a 1-row scalar broadcast
+    // (whitelisted pattern). Top-30 by count bounds the output.
+    "text_kn_bigram" -> { (s, d) =>
+      val t = toks(col("text"))
+      val pairs = Tables(s, d).documents
+        .select(explode(zip_with(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("pr"))
+        .select(col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+      val bg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+        .persist()
+      val left = bg.groupBy("w1")
+        .agg(sum(col("c_ab")).as("c_left"), count(lit(1)).as("n_right"))
+      val right = bg.groupBy("w2").agg(count(lit(1)).as("n_left"))
+      val nbi = bg.agg(count(lit(1)).as("n_bigrams"))
+      bg.filter(col("c_ab") >= 3)
+        .join(broadcast(left), "w1")
+        .join(broadcast(right), "w2")
+        .crossJoin(broadcast(nbi))
+        .select(col("w1"), col("w2"), col("c_ab"),
+          ((col("c_ab").cast("double") - lit(0.75)) /
+            col("c_left").cast("double") +
+            (lit(0.75) * col("n_right").cast("double") /
+              col("c_left").cast("double")) *
+            (col("n_left").cast("double") /
+              col("n_bigrams").cast("double"))).as("p_kn"))
+        .orderBy(col("c_ab").desc, col("w1").asc, col("w2").asc)
+        .limit(30)
     }
   )
 
@@ -1779,7 +1820,30 @@ object TextOps {
          |UNION ALL SELECT 3, 'top2', f3_, u3, c3 FROM a
          |UNION ALL SELECT 4, 'top3', f4_, u4, c4 FROM a
          |UNION ALL SELECT 5, 'top4', f5, u5, c5 FROM a
-         |ORDER BY rule_ord""".stripMargin
+         |ORDER BY rule_ord""".stripMargin,
+    // the same bigram/marginal/continuation counts and the identical
+    // discounting tree (c >= 1 makes the max() vanish on both sides)
+    "text_kn_bigram" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS L
+        |  FROM documents),
+        |pr AS (SELECT L[i] AS w1, L[i + 1] AS w2
+        |  FROM tok,
+        |    LATERAL (SELECT unnest(generate_series(1, len(L) - 1)) AS i) g),
+        |bg AS (SELECT w1, w2, count(*) AS c_ab FROM pr GROUP BY 1, 2),
+        |lft AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_left,
+        |    count(*) AS n_right
+        |  FROM bg GROUP BY 1),
+        |rgt AS (SELECT w2, count(*) AS n_left FROM bg GROUP BY 1),
+        |nb AS (SELECT count(*) AS n_bigrams FROM bg)
+        |SELECT bg.w1, bg.w2, bg.c_ab,
+        |  (CAST(bg.c_ab AS DOUBLE) - 0.75) / CAST(lft.c_left AS DOUBLE) +
+        |    (0.75 * CAST(lft.n_right AS DOUBLE) /
+        |      CAST(lft.c_left AS DOUBLE)) *
+        |    (CAST(rgt.n_left AS DOUBLE) / CAST(nb.n_bigrams AS DOUBLE))
+        |    AS p_kn
+        |FROM bg JOIN lft USING (w1) JOIN rgt USING (w2), nb
+        |WHERE bg.c_ab >= 3
+        |ORDER BY bg.c_ab DESC, bg.w1 ASC, bg.w2 ASC LIMIT 30""".stripMargin
   )
 
   /** The Gopher flags table as a DuckDB CTE body — the oracle replica of

@@ -452,6 +452,35 @@ object StreamingOps {
             "unix_millis(win_start)", 3600000L)).as("win_hour"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("win_hour", "event_type")
+    },
+    // Tenth streaming parity row: the streaming-preagg + batch-serve
+    // TOP-K composition — chained aggregations (counts, then rank) are
+    // unsupported inside one streaming query, so the production shape is
+    // the stream maintaining the windowed count table in the state store
+    // and the serving layer ranking the (day x type)-sized sink — the
+    // materialized-view pattern every "trending now" dashboard runs. The
+    // oracle states the whole composition in batch form, so what's gated
+    // is that the split computes EXACTLY the one-query batch semantics.
+    "events_topk_stream" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = readEvents(s, d)
+        .withWatermark("event_ts", "2 hours")
+        .groupBy(window(col("event_ts"), "24 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"))
+      val res = runToMemory(daily, "events_topk_stream_sink",
+        OutputMode.Complete())
+      val w = Window.partitionBy("day")
+        .orderBy(col("n").desc, col("event_type").asc)
+      res
+        .select(expr(graft.ops.EventOps.floorDivSql(
+          "unix_millis(win_start)", 86400000L)).as("day"),
+          col("event_type"), col("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("day", "rk", "event_type", "n")
+        .orderBy("day", "rk")
     }
   )
 
@@ -550,6 +579,16 @@ object StreamingOps {
          |  UNION ALL SELECT event_type, value, hb FROM e)
          |SELECT win_hour, event_type, count(*) AS n,
          |  ${graft.ops.Oracle.sqlSum("value")} AS sum_value
-         |FROM w GROUP BY 1, 2 ORDER BY win_hour, event_type""".stripMargin
+         |FROM w GROUP BY 1, 2 ORDER BY win_hour, event_type""".stripMargin,
+    // the whole preagg+rank composition as ONE batch query
+    "events_topk_stream" ->
+      """WITH daily AS (SELECT epoch_ms(ts) // 86400000 AS day, event_type,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT day, event_type, n, CAST(row_number() OVER (
+        |    PARTITION BY day ORDER BY n DESC, event_type ASC) AS INT) AS rk
+        |  FROM daily)
+        |SELECT day, rk, event_type, n FROM r WHERE rk <= 3
+        |ORDER BY day, rk""".stripMargin
   )
 }

@@ -917,4 +917,124 @@ class DataOpsSpec extends GraftSuite {
       assert(got.filterNot(_._4).forall(_._2 <= c))
     }
   }
+
+  test("cdc apply: last-writer-wins replay matches; deletes drop, " +
+      "delete-then-reinsert survives with the reinserted value") {
+    val orders = Tables(spark, sfDir).orders
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val ops = orders.flatMap { case (k, p) =>
+      val b =
+        if (k % 4 != 0) Seq((k, 0L, "I", p)) else Seq((k, k * 10 + 1, "I", p))
+      val extra = Seq(
+        (k % 10 == 1) -> ((k, k * 10 + 2, "U", p + 100.0)),
+        (k % 10 == 1) -> ((k, k * 10 + 5, "U", p + 200.0)),
+        (k % 10 == 2) -> ((k, k * 10 + 3, "U", p + 50.0)),
+        (k % 10 == 3) -> ((k, k * 10 + 7, "D", 0.0)),
+        (k % 10 == 4) -> ((k, k * 10 + 2, "D", 0.0)),
+        (k % 10 == 4) -> ((k, k * 10 + 6, "I", p + 1000.0))
+      ).collect { case (true, t) => t }
+      b ++ extra
+    }
+    val want = ops.groupBy(_._1).flatMap { case (k, rows) =>
+      val last = rows.maxBy(_._2)
+      if (last._3 == "D") None
+      else Some((k, last._4, last._2, rows.size.toLong))
+    }.toSeq.sortBy(_._1)
+    val got = DataOps.queries("data_cdc_apply")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want, s"got=${got.take(3)} want=${want.take(3)}")
+    // semantics pins: plain deletes vanish, reinserts carry the new value
+    val byK = got.map(r => r._1 -> r).toMap
+    val prices = orders.toMap
+    assert(got.forall(_._1 % 10 != 3), "a deleted key survived")
+    orders.filter(_._1 % 10 == 4).foreach { case (k, p) =>
+      assert(byK(k)._2 == p + 1000.0 && byK(k)._3 == k * 10 + 6, s"key $k")
+    }
+    // double-update keys hold the LAST update
+    orders.filter(_._1 % 10 == 1).foreach { case (k, p) =>
+      assert(byK(k)._2 == p + 200.0, s"key $k")
+    }
+    assert(prices.nonEmpty && got.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
+  test("dataset card: every headline number matches a driver-side replay") {
+    val docs = Tables(spark, sfDir).documents
+      .select("text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    val toks = docs.map(_._1.split(" ").length.toLong).sorted
+    def p50(xs: Seq[Long]): Double = {
+      val n = xs.size
+      if (n % 2 == 1) xs(n / 2).toDouble
+      else (xs(n / 2 - 1) + xs(n / 2)).toDouble / 2.0
+    }
+    val nDocs = docs.length.toLong
+    val nDistinct = docs.map(_._1).distinct.length.toLong
+    val got = DataOps.queries("data_dataset_card")(spark, sfDir)
+      .collect()(0)
+    assert(got.getLong(0) == nDocs)
+    assert(got.getLong(1) == toks.sum)
+    assert(got.getLong(2) == docs.map(_._4).sum)
+    assert(got.getLong(3) == docs.map(_._2).distinct.length.toLong)
+    assert(got.getLong(4) == docs.map(_._3).distinct.length.toLong)
+    assert(got.getLong(5) == nDistinct)
+    assert(got.getDouble(6) == p50(toks))
+    assert(got.getDouble(7) == toks.sum.toDouble / nDocs.toDouble)
+    assert(got.getDouble(8) ==
+      (nDocs - nDistinct).toDouble / nDocs.toDouble)
+    spark.catalog.clearCache()
+  }
+
+  test("block shuffle: blocks stay contiguous with internal order kept, " +
+      "the permutation is total, and block order is genuinely shuffled") {
+    val got = DataOps.queries("data_shuffle_blocks")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = Tables(spark, sfDir).documents.count()
+    assert(got.length.toLong == nDocs, "permutation must be total")
+    assert(got.map(_._1).distinct.length == got.length)
+    // rows of one block are contiguous and ascending by doc_id
+    val runs = got.foldLeft(List.empty[(Long, Vector[Long])]) {
+      case (acc, (id, b, _)) => acc match {
+        case (pb, ids) :: tail if pb == b => (b, ids :+ id) :: tail
+        case _ => (b, Vector(id)) :: acc
+      }
+    }
+    assert(runs.map(_._1).distinct.size == runs.size,
+      "a block appeared in two separate runs — blocks must be contiguous")
+    runs.foreach { case (b, ids) =>
+      assert(ids == ids.sorted, s"block $b not in original order")
+      assert(ids.forall(_ / 64 == b), s"block $b holds a foreign doc")
+    }
+    // genuinely shuffled: the block sequence is not the identity
+    val blockSeq = runs.reverse.map(_._1)
+    assert(blockSeq != blockSeq.sorted, "block order was not permuted")
+    spark.catalog.clearCache()
+  }
+
+  test("skew salt plan: factors split every hot key under the cap and " +
+      "match an integer replay") {
+    val counts = Tables(spark, sfDir).lineitem
+      .groupBy("l_partkey").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cap = 40L
+    val want = counts.filter(_._2 > cap).map { case (k, n) =>
+      val f = (n + cap - 1) / cap
+      (k, n, f, (n + f - 1) / f)
+    }.sortBy(t => (-t._2, t._1)).toSeq
+    val got = DataOps.queries("data_skew_salt_plan")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == want, s"got=${got.take(3)} want=${want.take(3)}")
+    assert(got.nonEmpty, "corpus has no hot keys at cap=40 — dead plan")
+    // the plan's guarantee: every split lands under the cap
+    got.foreach { case (k, n, f, m) =>
+      assert(m <= cap && f >= 2L, s"key $k")
+      assert(f * m >= n, s"key $k: splits must cover the key")
+    }
+    spark.catalog.clearCache()
+  }
 }

@@ -508,4 +508,80 @@ class DedupSpec extends GraftSuite {
     assert(got.getDouble(4) == nH.toDouble / nC)
     spark.catalog.clearCache()
   }
+
+  test("substring spans: planted shared passage merges into one maximal " +
+      "span; keep-first spares the original; within-doc repeats count") {
+    import spark.implicits._
+    // doc 0 carries the original 10-token passage P (first occurrence —
+    // no dup rows); doc 1 quotes P verbatim (7 overlapping 4-token
+    // windows merge into ONE 10-token span); doc 2 repeats its own
+    // 4-token phrase (within-document duplication, exactly one window)
+    val p = (0 until 10).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"a0 a1 a2 a3 $p a4 a5"),
+      (1L, s"b0 b1 $p b2 b3 b4"),
+      (2L, "c0 c1 q0 q1 q2 q3 c2 c3 c4 q0 q1 q2 q3 c5"))
+      .toDF("doc_id", "text")
+    val got = graft.ops.DedupOps.substringSpansFrom(docs, 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, 15L, 1L, 10L, 10.0 / 15.0),
+      (2L, 14L, 1L, 4L, 4.0 / 14.0)), got.toSeq.toString)
+    spark.catalog.clearCache()
+    // corpus run: every span is at least one full window, fractions tile
+    val corpus = graft.ops.DedupOps
+      .queries("dedup_substring_spans")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(corpus.nonEmpty, "corpus has no duplicated 8-token window at all")
+    corpus.foreach { case (id, nTok, nSpans, dupTok, frac) =>
+      assert(nSpans >= 1 && dupTok >= 8L * nSpans && dupTok <= nTok,
+        s"doc $id")
+      assert(frac == dupTok.toDouble / nTok.toDouble, s"doc $id")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("incremental ingest: planted exact clone, near-dup, and fresh doc " +
+      "get the right verdicts; the corpus side never pairs with itself") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = (0 until 60).map(i => s"w$i").mkString(" ")
+    val near = ((0 until 30).map(i => s"w$i") ++ Seq("CHANGED") ++
+      (31 until 60).map(i => s"w$i")).mkString(" ")
+    val docs = Seq(
+      (0L, base),                                        // corpus original
+      (1L, "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9"),             // corpus filler
+      (7L, base),                                        // batch: exact clone
+      (17L, near),                                       // batch: near-dup
+      (27L, "z0 z1 z2 z3 z4 z5 z6 z7 z8 z9"))            // batch: fresh
+      .toDF("doc_id", "text")
+    val got = graft.ops.DedupOps
+      .incrementalIngestFrom(docs, pmod(col("doc_id"), lit(10)) === 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(got.map(_._1).toSeq == Seq(7L, 17L, 27L))
+    assert(byId(7L)._2 == "exact_dup" && byId(7L)._4 == 1.0, byId(7L))
+    assert(byId(17L)._2 == "near_dup" && byId(17L)._4 >= 0.8 &&
+      byId(17L)._4 < 1.0, byId(17L))
+    assert(byId(27L)._2 == "new" && byId(27L)._3 == 0L &&
+      byId(27L)._4 == 0.0, byId(27L))
+    spark.catalog.clearCache()
+    // corpus run: verdict partition is total, jaccard bounds hold
+    val corpus = graft.ops.DedupOps
+      .queries("dedup_incremental_ingest")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(corpus.forall(r => r._1 % 10 == 7))
+    corpus.foreach { case (id, verdict, nCand, bj) =>
+      assert(Set("exact_dup", "near_dup", "new")(verdict), s"doc $id")
+      if (verdict == "new") assert(bj < 0.8, s"doc $id")
+      if (verdict == "near_dup") assert(bj >= 0.8 && nCand >= 1, s"doc $id")
+    }
+    spark.catalog.clearCache()
+  }
 }

@@ -1280,4 +1280,44 @@ class EventOpsSpec extends GraftSuite {
     // at least one type IS the watermark (lag 0, never stale)
     assert(rows.exists(r => r._3 == 0L && !r._4))
   }
+
+  test("power/mde: exact sufficient statistics and the pinned IEEE tree " +
+      "match a BigInt replay; the MDE is positive and scale-consistent") {
+    import org.apache.spark.sql.functions._
+    def dec6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // per-user ITT metric in exact micro-units; arm via Spark's own
+    // xxhash64 (the one primitive the replay can't restate in Scala)
+    val ev = graft.ops.Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_type"), col("value"),
+        when(pmod(xxhash64(concat(lit("AB"),
+          col("user_id").cast("string"))), lit(2)) === 0, "A")
+          .otherwise("B").as("arm"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3)))
+    val mu = ev.groupBy(e => (e._1, e._4)).toSeq.map { case ((_, arm), es) =>
+      val m = es.filter(_._2 == "purchase").map(e => dec6(e._3)).sum
+      arm -> (m * 1000000).toBigInt
+    }
+    def stats(a: String): (Long, BigInt, BigInt) = {
+      val xs = mu.filter(_._1 == a).map(_._2)
+      (xs.size.toLong, xs.sum, xs.map(x => x * x).sum)
+    }
+    val (na, s1a, s2a) = stats("A")
+    val (nb, s1b, s2b) = stats("B")
+    def v(n: Long, s1: BigInt, s2: BigInt): Double =
+      (BigInt(n) * s2 - s1 * s1).toDouble / (n * (n - 1)).toDouble
+    val (va, vb) = (v(na, s1a, s2a), v(nb, s1b, s2b))
+    val meanA = s1a.toDouble / na.toDouble / 1e6
+    val mde = (1.959964 + 0.841621) * math.sqrt(va / na + vb / nb) / 1e6
+    val got = EventOps.queries("events_power_mde")(spark, sfDir)
+      .collect()(0)
+    assert((got.getLong(0), got.getLong(1)) == (na, nb))
+    assert(got.getDouble(2) == meanA, s"mean ${got.getDouble(2)} vs $meanA")
+    assert(got.getDouble(3) == va / 1e12 && got.getDouble(4) == vb / 1e12)
+    assert(got.getDouble(5) == mde && got.getDouble(6) == mde / meanA)
+    // non-degenerate: the metric varies, so a finite positive MDE exists
+    assert(mde > 0.0 && java.lang.Double.isFinite(mde))
+    assert(na + nb == mu.size)
+  }
 }

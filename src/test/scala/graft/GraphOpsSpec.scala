@@ -633,4 +633,41 @@ class GraphOpsSpec extends GraftSuite {
     assert(got.forall(g => g._2 > adj(g._1).size))
     spark.catalog.clearCache()
   }
+
+  test("path counts: sigma matches a driver-side Brandes forward pass " +
+      "and distances agree with graph_bfs_hops on the same graph") {
+    val it = graft.ops.Tables(spark, sfDir).lineitem
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairCnt = it.groupBy(_._1).values.toSeq.flatMap { rows =>
+      val ps = rows.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.size) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val und = pairCnt.filter(_._2 >= 2).keys.toSeq
+      .flatMap(p => Seq(p, p.swap))
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seed = und.map(_._1).min
+    var dist = Map(seed -> 0)
+    var sigma = Map(seed -> 1L)
+    for (step <- 1 to 4) {
+      val frontier = dist.collect { case (n, d) if d == step - 1 => n }
+      val contrib = frontier.toSeq
+        .flatMap(u => adj.getOrElse(u, Seq()).map(v => v -> sigma(u)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        .filter { case (v, _) => !dist.contains(v) }
+      dist ++= contrib.keys.map(_ -> step)
+      sigma ++= contrib
+    }
+    val want = dist.keys.toSeq.sorted.map(n => (n, dist(n), sigma(n)))
+    val got = graft.ops.GraphOps.queries("graph_path_counts")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == want, s"got=${got.take(5)} want=${want.take(5)}")
+    // distances agree with the BFS operator over the identical graph
+    val bfs = graft.ops.GraphOps.queries("graph_bfs_hops")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.forall { case (n, d, _) => bfs(n) == d })
+    // path multiplicity is real on this graph: some node has sigma > 1
+    assert(got.exists(_._3 > 1L), "no shortest-path multiplicity at all")
+    spark.catalog.clearCache()
+  }
 }

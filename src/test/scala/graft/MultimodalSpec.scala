@@ -276,4 +276,57 @@ class MultimodalSpec extends GraftSuite {
     assert(starts.length.toLong == framedDocs)
     assert(starts.forall(_._2 == 0))
   }
+
+  test("sharpness: decoded-pixel Laplacian variance matches a byte replay; " +
+      "repetitive runs score flatter than varied text") {
+    val docs = graft.ops.Tables(spark, sfDir).documents
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    val want = docs.map { case (id, text) =>
+      val bs = text.getBytes("UTF-8").map(_ & 0xFF)
+      val ds = (1 until math.max(bs.length - 1, 1)).map(i =>
+        bs(i - 1) - 2 * bs(i) + bs(i + 1))
+      val n = math.max(bs.length - 2, 0).toLong
+      val sd = ds.map(_.toLong).sum
+      val sd2 = ds.map(x => x.toLong * x).sum
+      val v = if (n > 0) (n * sd2 - sd * sd).toDouble / (n * n).toDouble
+        else 0.0
+      (id, bs.length, n, sd, sd2, v)
+    }.sortBy(_._1)
+    val got = MultimodalOps.queries("mm_sharpness")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == want.toSeq, s"got=${got.take(2)} want=${want.take(2)}")
+    // non-degenerate: the corpus has real texture (variance spread)
+    val vars = got.map(_._6)
+    assert(vars.max > vars.min && vars.max > 0.0)
+  }
+
+  test("border crop: lead/trail constant runs match a byte replay and " +
+      "tile each asset") {
+    val docs = graft.ops.Tables(spark, sfDir).documents
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    val want = docs.map { case (id, text) =>
+      val bs = text.getBytes("UTF-8")
+      val L = bs.length
+      var lead = 0
+      while (lead < L && bs(lead) == bs(0)) lead += 1
+      var trail = 0
+      if (lead < L) {
+        while (trail < L && bs(L - 1 - trail) == bs(L - 1)) trail += 1
+      }
+      (id, L, lead.toLong, trail.toLong, (L - lead - trail).toLong)
+    }.sortBy(_._1)
+    val got = MultimodalOps.queries("mm_border_crop")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want.toSeq, s"got=${got.take(2)} want=${want.take(2)}")
+    // runs tile: lead + core + trail = n_pixels, lead >= 1 on any
+    // non-empty asset (a pixel always matches itself)
+    got.foreach { case (id, l, lead, trail, core) =>
+      assert(lead + trail + core == l.toLong, s"doc $id")
+      if (l > 0) assert(lead >= 1L, s"doc $id")
+    }
+  }
 }

@@ -145,10 +145,20 @@ class PlanCheckSpec extends GraftSuite {
     "dedup_lsh_recall",   // three 1-row scalar aggregates (truth /
                           // candidate / hit counts) combined into the
                           // single readout row
-    "sim_ann_filtered"    // the label-blind post-filter side broadcasts
+    "sim_ann_filtered",   // the label-blind post-filter side broadcasts
                           // the 10-query set against the corpus (the
                           // sim_topk_bruteforce shape); the pre-filter
                           // side is a label equi-join
+    "text_kn_bigram",     // 1-row distinct-bigram-count scalar broadcast
+                          // under the ≥3-support bigram survivors (the
+                          // continuation-probability denominator — same
+                          // shape as text_cooccurrence_assoc)
+    "sim_range_recall",   // the exact-radius ground truth inside: the
+                          // 10-query set broadcast against the corpus
+                          // (the range search itself is bucket equi-joins)
+    "sim_kmeans_convergence" // two sim_kmeans_step-style assignment
+                          // rounds: corpus x 10 broadcast centroids each
+                          // (bounded by cluster count k)
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides

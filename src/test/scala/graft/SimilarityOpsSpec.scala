@@ -799,4 +799,97 @@ class SimilarityOpsSpec extends GraftSuite {
       spark.catalog.clearCache() // ivfpqTopkFrom persists its base
     }
   }
+
+  test("shard plan: serpentine placement matches a replay, tiles the " +
+      "corpus, and never balances worse than naive round-robin") {
+    val labels = graft.ops.Tables(spark, sfDir).embeddings
+      .filter(org.apache.spark.sql.functions.col("vec_id") >= 10)
+      .select("label").collect().map(_.getInt(0))
+    val counts = labels.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy { case (l, n) => (-n, l) }
+    val k = 4
+    def serp(r: Int): Int = if ((r / k) % 2 == 0) r % k else k - 1 - r % k
+    val byShard = counts.zipWithIndex
+      .groupBy { case (_, r) => serp(r) }.view
+      .mapValues(xs => (xs.size.toLong, xs.map(_._1._2).sum)).toMap
+    val total = counts.map(_._2).sum
+    val want = byShard.toSeq.sortBy(_._1).map { case (s, (nl, nv)) =>
+      (s.toLong, nl, nv, nv.toDouble * k / total.toDouble)
+    }
+    val got = graft.ops.SimilarityOps.queries("sim_shard_plan")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == want, s"got=$got want=$want")
+    assert(got.map(_._3).sum == total, "shards must tile the corpus")
+    // serpentine beats (or ties) naive round-robin on max shard load
+    val rr = counts.zipWithIndex.groupBy(_._2 % k).view
+      .mapValues(_.map(_._1._2).sum).values.max
+    assert(got.map(_._3).max <= rr,
+      s"serpentine max ${got.map(_._3).max} vs round-robin max $rr")
+    spark.catalog.clearCache()
+  }
+
+  test("range recall: ground truth matches an exact sweep; found is a " +
+      "subset of truth (precision 1 by construction)") {
+    import org.apache.spark.sql.functions._
+    val vecs = graft.ops.Tables(spark, sfDir).embeddings
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(f => math.floor(f.toDouble * 1000.0 + 0.5)
+          .toLong).toArray))
+    val norms = vecs.map { case (id, v) =>
+      id -> v.map(x => x * x).sum
+    }.toMap
+    def cos(a: Array[Long], b: Array[Long], na: Long, nb: Long): Double =
+      if (na == 0L || nb == 0L) 0.0
+      else a.zip(b).map { case (x, y) => x * y }.sum.toDouble /
+        (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    val qs = vecs.filter(_._1 < 10)
+    val corpus = vecs.filter(_._1 >= 10)
+    val truth = qs.map { case (q, qv) =>
+      q -> corpus.count { case (c, cv) =>
+        cos(qv, cv, norms(q), norms(c)) >= 0.2
+      }.toLong
+    }.toMap
+    val found = graft.ops.SimilarityOps
+      .queries("sim_range_search")(spark, sfDir)
+      .collect().map(r => r.getLong(0)).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val got = graft.ops.SimilarityOps
+      .queries("sim_range_recall")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.map(_._1).toSeq == (0L to 9L))
+    got.foreach { case (q, nTrue, nFound, rec) =>
+      assert(nTrue == truth(q), s"query $q: $nTrue vs ${truth(q)}")
+      assert(nFound == found.getOrElse(q, 0L), s"query $q found")
+      assert(nFound <= nTrue, s"query $q: precision must be 1")
+      if (nTrue > 0) assert(rec == nFound.toDouble / nTrue.toDouble)
+      else assert(rec == 1.0)
+    }
+    // the eval is non-degenerate: truth exists and the probes miss some
+    assert(got.map(_._2).sum > 0L)
+    spark.catalog.clearCache()
+  }
+
+  test("kmeans convergence: round-1 memberships equal sim_kmeans_step's, " +
+      "clusters tile the corpus both rounds, displacement is honest") {
+    val step = graft.ops.SimilarityOps
+      .queries("sim_kmeans_step")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = graft.ops.SimilarityOps
+      .queries("sim_kmeans_convergence")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    val total = graft.ops.Tables(spark, sfDir).embeddings.count()
+    assert(got.map(_._1).toSet == step.keySet, "cluster sets differ")
+    got.foreach { case (c, n1, n2, disp2, conv) =>
+      assert(n1 == step(c), s"cluster $c: round-1 members $n1 vs ${step(c)}")
+      assert(disp2 >= 0L && conv == (disp2 == 0L), s"cluster $c")
+      assert(n1 > 0L && n2 > 0L)
+    }
+    assert(got.map(_._2).sum == total && got.map(_._3).sum == total,
+      "assignments must tile the corpus in both rounds")
+    spark.catalog.clearCache()
+  }
 }

@@ -356,4 +356,31 @@ class StreamingSpec extends GraftSuite {
     // the two-window fan-out is total: window counts sum to 2x events
     assert(got.map(_._3).sum == 2L * ev.count())
   }
+
+  test("topk stream: ranked sink matches a batch daily-count replay") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.ops.Tables(spark, sfDir).events
+      .select((unix_millis(col("ts")) / 86400000L).cast("long").as("day"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = daily.keys.map(_._1).toSeq.distinct.sorted.flatMap { d =>
+      daily.filter(_._1._1 == d).toSeq
+        .map { case ((_, t), n) => (t, n) }
+        .sortBy { case (t, n) => (-n, t) }
+        .take(3).zipWithIndex
+        .map { case ((t, n), i) => (d, i + 1, t, n) }
+    }
+    val got = graft.streaming.StreamingOps
+      .queries("events_topk_stream")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == want, s"got=${got.take(6)} want=${want.take(6)}")
+    // every day ranks a full podium and counts are non-increasing in rank
+    got.groupBy(_._1).values.foreach { rows =>
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank == byRank.sorted.reverse)
+    }
+    spark.catalog.clearCache()
+  }
 }

