@@ -44,6 +44,7 @@ object RuleId {
   case object Project2PhysicalProject extends RuleId
   case object Filter2PhysicalFilter extends RuleId
   case object PushFilterThroughJoin extends RuleId
+  case object PushProjectionThroughJoin extends RuleId
 }
 
 /** Logical-property access for rules at bind time — the completed form of
@@ -378,6 +379,84 @@ object Rules {
         else None // ambiguous, opaque, or outer-join-unsafe: abstain
       case _ => None
     }
+  }
+
+  /** Beyond the reference: COLUMN PRUNING through joins — the Project
+    * dual of [[PushFilterThroughJoinRule]], and the rewrite that makes a
+    * wide scan narrow before the shuffle (at 100 TB the join exchanges
+    * only the columns the query's output and the join key actually
+    * need). A `Project` over a join inserts a per-input `Project`
+    * keeping exactly the columns that side must deliver (its share of
+    * the output columns plus its join key), gated on the same
+    * table-set/catalog provenance walk: every needed column must resolve
+    * to EXACTLY one side or the rule abstains. The OUTER projection is
+    * retained (it owns output order and width), so the rewrite reaches a
+    * fixpoint by detecting already-pruned inputs and abstaining — and it
+    * recurses naturally: the inserted per-side Project over a nested
+    * join matches the pattern again, pruning the whole join tree. Safe
+    * on every join type (projection drops no rows). HEP-only like the
+    * filter rule: cascades bindings expose opaque group handles, where
+    * the provenance walk returns None.
+    */
+  final case class PushProjectionThroughJoinRule(
+      catalog: Map[String, Seq[String]]) extends OptRule {
+    val id = RuleId.PushProjectionThroughJoin
+    val pattern = Pattern.node(_.isInstanceOf[LogicalProject],
+      Pattern.node(isJoin, Pattern.any, Pattern.any))
+
+    private def tablesOfPlan(p: PlanNode): Set[String] = (p.op match {
+      case LogicalScan(t, _)       => Set(t)
+      case PhysicalTableScan(t, _) => Set(t)
+      case _                       => Set.empty[String]
+    }) ++ p.inputs.flatMap(tablesOfPlan)
+
+    private def tables(e: OptExpression): Option[Set[String]] = e match {
+      case PlanHandle(p)  => Some(tablesOfPlan(p))
+      case GroupHandle(_) => None
+      case Node(op, inputs) =>
+        val own = op match {
+          case LogicalScan(t, _)       => Set(t)
+          case PhysicalTableScan(t, _) => Set(t)
+          case _                       => Set.empty[String]
+        }
+        inputs.foldLeft(Option(own)) { (acc, in) =>
+          for (a <- acc; t <- tables(in)) yield a ++ t
+        }
+    }
+
+    private def cols(ts: Set[String]): Set[String] =
+      ts.flatMap(t => catalog.getOrElse(t, Nil))
+
+    /** Wrap `in` in a Project(keep) unless it already is one. */
+    private def wrap(in: OptExpression,
+        keep: Seq[Col]): (OptExpression, Boolean) = in match {
+      case Node(LogicalProject(es), _) if es == keep => (in, false)
+      case PlanHandle(PlanNode(LogicalProject(es), _)) if es == keep =>
+        (in, false)
+      case _ => (Node(LogicalProject(keep), Seq(in)), true)
+    }
+
+    def apply(expr: Node, ctx: RuleContext): Option[OptExpression] =
+      expr match {
+        case Node(p @ LogicalProject(exprs),
+            Seq(Node(j @ LogicalJoin(_, EqCond(jl, jr)), Seq(a, b)))) =>
+          val outCols = exprs.collect { case c: Col => c }
+          if (outCols.length != exprs.length) None // non-column exprs
+          else {
+            val need = (outCols ++ Seq(jl, jr)).distinct
+            (for (ta <- tables(a); tb <- tables(b)) yield {
+              val (ca, cb) = (cols(ta), cols(tb))
+              if (!need.forall(c => ca(c.name) != cb(c.name))) None
+              else {
+                val (wa, chA) = wrap(a, need.filter(c => ca(c.name)))
+                val (wb, chB) = wrap(b, need.filter(c => cb(c.name)))
+                if (!chA && !chB) None // already pruned: fixpoint
+                else Some(Node(p, Seq(Node(j, Seq(wa, wb)))))
+              }
+            }).flatten
+          }
+        case _ => None
+      }
   }
 
   val rewriteRules: Seq[OptRule] =

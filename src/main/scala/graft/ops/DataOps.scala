@@ -1418,6 +1418,77 @@ object DataOps {
           expr(s"(n + salt_factor - 1) div salt_factor"))
         .select(col("k"), col("n"), col("salt_factor"), col("max_per_salt"))
         .orderBy(col("n").desc, col("k").asc)
+    },
+    // Fifth flagship pipeline — the RELEASE pipeline: everything between
+    // a raw crawl and a shippable training corpus, composed from the
+    // shipped stage machinery. Quality gate (pipeline_clean_corpus's
+    // rule) → near-dup removal (exact-Jaccard ≥ 0.8 PPJoin pairs, drop
+    // the higher id) → benchmark decontamination (exact 8-gram overlap
+    // with the doc_id < 20 eval set, data_decontaminate's rule) → hash
+    // split (data_split_hash's buckets) → the release manifest: per
+    // split, docs, tokens, and an order-independent content signature
+    // (the data_table_checksum DECIMAL contract) — the row a release
+    // pipeline publishes and a consumer re-verifies after download.
+    // Scale shape: the text is tokenized ONCE into a persisted base read
+    // by the gate, the pair join, and the split rollup; the dedup and
+    // decontamination stages are the already-bucketed operators' shapes.
+    "pipeline_release" -> { (s, d) =>
+      val toksC = split(col("text"), " ")
+      val nTok = size(toksC)
+      val base = Tables(s, d).documents
+        .select(col("doc_id"), col("text"), nTok.cast("long").as("n_tokens"),
+          (size(filter(toksC,
+            x => x.isin("the", "a", "of", "and", "to", "in")))
+            .cast("double") / nTok.cast("double")).as("stop_ratio"),
+          array_distinct(
+            graft.functions.functions.word_shingles(toksC, 3)).as("sh"))
+        .persist()
+      val dropIds = DedupOps
+        .jaccardDupPairs(base.select(col("doc_id"), col("sh")), 4, 5)
+        .select(col("id2").as("doc_id")).distinct()
+      val (bench, corpusGrams) = decontamGrams(Tables(s, d).documents)
+      val contaminated = corpusGrams
+        .join(broadcast(bench), Seq("g")).select("doc_id").distinct()
+      base
+        .filter(col("n_tokens") >= 50 && col("stop_ratio") <= 0.35)
+        .filter(col("doc_id") >= 20)
+        .join(dropIds, Seq("doc_id"), "left_anti")
+        .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+        .withColumn("b",
+          pmod(xxhash64(col("doc_id").cast("string")), lit(100)))
+        .withColumn("split", when(col("b") < 80, "train")
+          .when(col("b") < 90, "validation").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          // hash a 31-char md5 prefix, not the raw text: the oracle's
+          // XXH64 SQL replica is defined for < 32-byte inputs only
+          sum(pmod(xxhash64(substring(md5(col("text")), 1, 31)),
+            lit(1000000000000L)).cast("decimal(38,0)")).as("content_sig"))
+        .orderBy("split")
+    },
+    // Retention/TTL purge plan — the lifecycle job every day-partitioned
+    // event table runs: partitions older than the retention horizon (14
+    // days behind the table watermark = max event day) are marked for
+    // drop, with the row counts the job will reclaim. The corpus
+    // collapses to the day-partition table in ONE aggregate; the
+    // watermark is a window max over that metadata-scale frame (no
+    // scalar crossjoin needed), and at 100 TB the drops are O(1)
+    // partition-metadata deletes — exactly why day-partitioned layout
+    // (data_sink_partitioned) is the shape TTL needs.
+    "data_retention_ttl" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val wAll = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables(s, d).events
+        .select(expr("unix_millis(ts) div 86400000").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("n_rows"))
+        .withColumn("watermark_day", max(col("day")).over(wAll))
+        .select(col("day"), col("n_rows"),
+          (col("watermark_day") - col("day")).as("age_days"),
+          when(col("watermark_day") - col("day") > 14, lit("drop"))
+            .otherwise(lit("retain")).as("action"))
+        .orderBy("day")
     }
   )
 
@@ -2472,7 +2543,66 @@ object DataOps {
         |  FROM lineitem GROUP BY 1)
         |SELECT k, n, (n + 39) // 40 AS salt_factor,
         |  (n + (n + 39) // 40 - 1) // ((n + 39) // 40) AS max_per_salt
-        |FROM k WHERE n > 40 ORDER BY n DESC, k ASC""".stripMargin
+        |FROM k WHERE n > 40 ORDER BY n DESC, k ASC""".stripMargin,
+    // stage CTEs composed verbatim from the member operators' oracles:
+    // quality gate, exact-Jaccard dups, 8-gram decontamination, hash
+    // split, checksum contract
+    "pipeline_release" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS L
+         |  FROM documents),
+         |q AS (SELECT doc_id, len(L) AS n_tokens,
+         |    CAST(len(list_filter(L,
+         |      x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE)
+         |      / CAST(len(L) AS DOUBLE) AS stop_ratio
+         |  FROM tok),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         L[i] || ' ' || L[i+1] || ' ' || L[i+2] AS s
+         |       FROM tok,
+         |         LATERAL (SELECT unnest(generate_series(1, len(L)-2)) AS i) g),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pair AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+         |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2),
+         |dups AS (SELECT DISTINCT id2 AS doc_id
+         |  FROM pair JOIN cnt ca ON ca.doc_id = id1
+         |            JOIN cnt cb ON cb.doc_id = id2
+         |  WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE)
+         |    >= 0.8),
+         |g8 AS (SELECT DISTINCT doc_id,
+         |    L[i] || ' ' || L[i+1] || ' ' || L[i+2] || ' ' || L[i+3] || ' ' ||
+         |    L[i+4] || ' ' || L[i+5] || ' ' || L[i+6] || ' ' || L[i+7] AS g
+         |  FROM tok,
+         |    LATERAL (SELECT unnest(generate_series(1, len(L) - 7)) AS i) s),
+         |bench AS (SELECT DISTINCT g FROM g8 WHERE doc_id < 20),
+         |contam AS (SELECT DISTINCT doc_id FROM g8 JOIN bench USING (g)
+         |  WHERE doc_id >= 20),
+         |clean AS (SELECT d.doc_id, d.text, q.n_tokens FROM documents d
+         |  JOIN q ON q.doc_id = d.doc_id
+         |  WHERE q.n_tokens >= 50 AND q.stop_ratio <= 0.35
+         |    AND d.doc_id >= 20
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM dups)
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM contam)),
+         |h AS (SELECT n_tokens, text,
+         |    ((${XxhSql.expr("CAST(doc_id AS VARCHAR)", "42")} % 100) + 100)
+         |      % 100 AS b
+         |  FROM clean)
+         |SELECT CASE WHEN b < 80 THEN 'train'
+         |            WHEN b < 90 THEN 'validation'
+         |            ELSE 'test' END AS split,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(((${XxhSql.expr("substr(md5(text), 1, 31)", "42")}
+         |      % 1000000000000)
+         |      + 1000000000000) % 1000000000000) AS DECIMAL(38,0))
+         |    AS content_sig
+         |FROM h GROUP BY 1 ORDER BY split""".stripMargin,
+    "data_retention_ttl" ->
+      """WITH d AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    count(*) AS n_rows
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT day, n_rows, max(day) OVER () AS wm FROM d)
+        |SELECT day, n_rows, wm - day AS age_days,
+        |  CASE WHEN wm - day > 14 THEN 'drop' ELSE 'retain' END AS action
+        |FROM w ORDER BY day""".stripMargin
   )
 
   /** Oracle spelling of [[graft.functions.Kernels.zorder2]]: the same 32

@@ -671,6 +671,32 @@ object DedupOps {
     "dedup_substring_spans" -> { (s, d) =>
       substringSpansFrom(Tables(s, d).documents, 8)
     },
+    // Threshold tuning curve — the knob-setting readout for the MinHash
+    // pipeline: from ONE candidate generation pass (the 4×4 banding),
+    // how many pairs survive exact-Jaccard verification at t = 0.7 / 0.8
+    // / 0.9? The curve's slope is what a curation owner reads to pick
+    // the dedup aggressiveness (a cliff between 0.8 and 0.9 means the
+    // corpus has a near-exact-clone mode; a flat curve means template
+    // noise). Candidates are generated ONCE and each pair's Jaccard is
+    // computed once — the three thresholds are conditional counts over
+    // the same scored pair stream, not three pipeline runs.
+    "dedup_threshold_curve" -> { (s, d) =>
+      val sh = shingleSets(Tables(s, d).documents).persist()
+      val scored = minhashCandidates(sh)
+        .join(sh.as("s1"), col("id1") === col("s1.doc_id"))
+        .join(sh.as("s2"), col("id2") === col("s2.doc_id"))
+        .select(jaccard_sim(col("s1.sh"), col("s2.sh")).as("jac"))
+      scored.agg(
+        count(when(col("jac") >= 0.7, 1)).as("n7"),
+        count(when(col("jac") >= 0.8, 1)).as("n8"),
+        count(when(col("jac") >= 0.9, 1)).as("n9"),
+        count(lit(1)).as("nc"))
+        .selectExpr(
+          "stack(3, CAST(0.7 AS DOUBLE), n7, CAST(0.8 AS DOUBLE), n8, " +
+            "CAST(0.9 AS DOUBLE), n9) AS (threshold, n_pairs)",
+          "nc AS n_candidates")
+        .orderBy("threshold")
+    },
     // Incremental near-dup ingest — the DAILY shape of the dedup family:
     // a new crawl batch (doc_id % 10 == 7 stands in for today's arrivals)
     // is screened against the EXISTING corpus without ever re-pairing the
@@ -1407,6 +1433,49 @@ object DedupOps {
         |  CAST(sum(en - st) AS BIGINT) AS dup_tokens,
         |  CAST(sum(en - st) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_frac
         |FROM sp GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+    // the full banding chain once, per-pair Jaccard once (zero-overlap
+    // candidates kept via the left join), three conditional counts
+    "dedup_threshold_curve" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS L FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         L[i] || ' ' || L[i+1] || ' ' || L[i+2] AS s
+         |       FROM tok,
+         |         LATERAL (SELECT unnest(generate_series(1, len(L) - 2)) AS i) g),
+         |hs AS (SELECT s, sd, ${XxhSql.expr("s", "sd")} AS h
+         |       FROM (SELECT DISTINCT s FROM sh)
+         |       CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS sd) k),
+         |sig AS (SELECT doc_id, sd, min(h) AS mh
+         |        FROM sh JOIN hs USING (s) GROUP BY 1, 2),
+         |band AS (SELECT doc_id, sd // 4 AS band,
+         |           array_agg(mh ORDER BY sd) AS bsig
+         |         FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |         FROM band a JOIN band b
+         |           ON a.band = b.band AND a.bsig = b.bsig
+         |          AND a.doc_id < b.doc_id),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.id1, c.id2, count(*) AS i
+         |          FROM cand c
+         |          JOIN sh x ON x.doc_id = c.id1
+         |          JOIN sh y ON y.doc_id = c.id2 AND y.s = x.s
+         |          GROUP BY 1, 2),
+         |j AS (SELECT CAST(COALESCE(i.i, 0) AS DOUBLE) /
+         |        CAST(ca.n + cb.n - COALESCE(i.i, 0) AS DOUBLE) AS jac
+         |      FROM cand c
+         |      LEFT JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
+         |      JOIN cnt ca ON ca.doc_id = c.id1
+         |      JOIN cnt cb ON cb.doc_id = c.id2),
+         |g AS (SELECT
+         |    count(CASE WHEN jac >= 0.7 THEN 1 END) AS n7,
+         |    count(CASE WHEN jac >= 0.8 THEN 1 END) AS n8,
+         |    count(CASE WHEN jac >= 0.9 THEN 1 END) AS n9,
+         |    count(*) AS nc
+         |  FROM j)
+         |SELECT CAST(0.7 AS DOUBLE) AS threshold, n7 AS n_pairs,
+         |  nc AS n_candidates FROM g
+         |UNION ALL SELECT CAST(0.8 AS DOUBLE), n8, nc FROM g
+         |UNION ALL SELECT CAST(0.9 AS DOUBLE), n9, nc FROM g
+         |ORDER BY threshold""".stripMargin,
     // the minhash band CTE chain restricted to batch x corpus candidates,
     // exact-Jaccard verified, plus the text-equality exact stage (md5
     // stands for text identity) and the verdict precedence

@@ -230,6 +230,39 @@ object EventOps {
     "events_funnel" -> { (s, d) =>
       funnelFrom(withMs(Tables(s, d).events))
     },
+    // The composed experiment readout — the strict-order funnel PER ARM
+    // of the deterministic xxh64 A/B split: whether the treatment moves
+    // users THROUGH the funnel, not just the terminal conversion rate
+    // events_ab_lift reports (a treatment can raise clicks while killing
+    // purchases; only the staged view shows where). Same one-user-keyed-
+    // aggregate shape as events_funnel with the arm carried through the
+    // group key; the rollup is two rows. Stage rates are single IEEE
+    // divisions of exact counts.
+    "events_funnel_by_arm" -> { (s, d) =>
+      def firstTs(t: String): Column =
+        min(when(col("event_type") === t, col("ts_ms")))
+      withMs(Tables(s, d).events)
+        .withColumn("arm",
+          when(pmod(xxhash64(concat(lit("AB"),
+            col("user_id").cast("string"))), lit(2)) === 0, "A")
+            .otherwise("B"))
+        .groupBy("user_id", "arm")
+        .agg(firstTs("view").as("t_view"),
+          firstTs("click").as("t_click"),
+          firstTs("purchase").as("t_purchase"))
+        .groupBy("arm")
+        .agg(count(lit(1)).as("n_users"),
+          count(col("t_view")).as("n_view"),
+          count(when(col("t_click") > col("t_view"), 1)).as("n_view_click"),
+          count(when(col("t_click") > col("t_view") &&
+            col("t_purchase") > col("t_click"), 1))
+            .as("n_funnel_complete"))
+        .select(col("arm"), col("n_users"), col("n_view"),
+          col("n_view_click"), col("n_funnel_complete"),
+          (col("n_funnel_complete").cast("double") /
+            col("n_users").cast("double")).as("complete_rate"))
+        .orderBy("arm")
+    },
     // Sequence-pattern matching over each user's ordered event stream —
     // the MATCH_RECOGNIZE/Sequel-style primitive Spark has no native
     // operator for (composed per SURVEY §7.3 preference (a)): encode the
@@ -759,6 +792,33 @@ object EventOps {
           count(when(col("late_ms") > HourMs, 1)).as("n_late_1h"),
           max(col("late_ms")).as("max_late_ms"))
         .orderBy("event_type")
+    },
+    // SLO error-budget burn — the SRE readout next to the anomaly
+    // detectors: per day, the error rate against a 1% budget, the
+    // instantaneous burn rate (1.0 = exactly on budget, >1 = burning
+    // faster than the SLO allows), and the cumulative budget consumption
+    // since the window opened. Exact integer counts collapse the corpus
+    // to a day-sized frame in ONE aggregate; the cumulative sums run
+    // over that tiny frame, and every rate is a fixed IEEE tree over
+    // exact longs. This is the alerting-page readout (multiwindow burn
+    // alerts read exactly these columns at two horizons).
+    "events_slo_burn" -> { (s, d) =>
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      withMs(Tables(s, d).events)
+        .groupBy(expr(floorDivSql("ts_ms", DayMs)).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          count(when(col("event_type") === "error", 1)).as("n_errors"))
+        .withColumn("cum_n", sum(col("n_events")).over(w))
+        .withColumn("cum_e", sum(col("n_errors")).over(w))
+        .select(col("day"), col("n_events"), col("n_errors"),
+          (col("n_errors").cast("double") / col("n_events").cast("double"))
+            .as("error_rate"),
+          (lit(100.0) * col("n_errors").cast("double") /
+            col("n_events").cast("double")).as("burn_rate"),
+          (lit(100.0) * col("cum_e").cast("double") /
+            col("cum_n").cast("double")).as("cum_budget_used"))
+        .orderBy("day")
     },
     // Daily-reset EWMA (α = ½) over the hourly value series per event
     // type — the smoothing readout behind alerting dashboards. An
@@ -2446,6 +2506,43 @@ object EventOps {
          |  (CAST(conv_b AS DOUBLE) / CAST(users_b AS DOUBLE)) /
          |    (CAST(conv_a AS DOUBLE) / CAST(users_a AS DOUBLE)) AS lift
          |FROM g""".stripMargin,
+    // the events_funnel oracle with the xxh64 arm in the group key
+    "events_funnel_by_arm" ->
+      s"""WITH m AS (SELECT user_id,
+         |    CASE WHEN
+         |      ((${XxhSql.expr("'AB' || CAST(user_id AS VARCHAR)", "42")}
+         |        % 2) + 2) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         |    min(epoch_ms(ts)) FILTER (WHERE event_type = 'view') AS t_view,
+         |    min(epoch_ms(ts)) FILTER (WHERE event_type = 'click')
+         |      AS t_click,
+         |    min(epoch_ms(ts)) FILTER (WHERE event_type = 'purchase')
+         |      AS t_purchase
+         |  FROM events GROUP BY 1, 2),
+         |g AS (SELECT arm, count(*) AS n_users, count(t_view) AS n_view,
+         |    count(*) FILTER (WHERE t_click > t_view) AS n_view_click,
+         |    count(*) FILTER (WHERE t_click > t_view
+         |      AND t_purchase > t_click) AS n_funnel_complete
+         |  FROM m GROUP BY arm)
+         |SELECT arm, n_users, n_view, n_view_click, n_funnel_complete,
+         |  CAST(n_funnel_complete AS DOUBLE) / CAST(n_users AS DOUBLE)
+         |    AS complete_rate
+         |FROM g ORDER BY arm""".stripMargin,
+    "events_slo_burn" ->
+      """WITH d AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    count(*) AS n_events,
+        |    count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT day, n_events, n_errors,
+        |    sum(n_events) OVER (ORDER BY day) AS cum_n,
+        |    sum(n_errors) OVER (ORDER BY day) AS cum_e
+        |  FROM d)
+        |SELECT day, n_events, n_errors,
+        |  CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE) AS error_rate,
+        |  100.0 * CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE)
+        |    AS burn_rate,
+        |  100.0 * CAST(cum_e AS DOUBLE) / CAST(cum_n AS DOUBLE)
+        |    AS cum_budget_used
+        |FROM c ORDER BY day""".stripMargin,
     // exact HUGEINT sufficient statistics mirror the DECIMAL(38,0) ones;
     // the variance/MDE expression trees are term-for-term identical
     "events_power_mde" ->

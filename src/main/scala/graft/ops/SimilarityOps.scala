@@ -788,6 +788,33 @@ object SimilarityOps {
     "sim_silhouette" -> { (s, d) =>
       silhouetteFrom(s, Tables(s, d).embeddings)
     },
+    // kNN classification eval — what the embedding index is ultimately
+    // FOR: predict each query's label by majority vote over its exact
+    // top-5 cosine neighbors (ties: most votes, then smallest label) and
+    // score against the stored ground-truth label. The per-class
+    // correctness readout is the label-quality probe a curation pipeline
+    // runs before trusting embeddings for clustering or dedup. Reuses
+    // the shipped bruteTopkFrom path (whitelisted 10-query broadcast);
+    // voting and the argmax are k-row-per-query metadata aggregates
+    // (one max(struct) — no window over the corpus).
+    "sim_knn_classify" -> { (s, d) =>
+      val e = Tables(s, d).embeddings
+      val labels = e.select(col("vec_id"), col("label"))
+      val votes = bruteTopkFrom(e)
+        .join(labels.toDF("nid", "nlabel"), col("vec_id") === col("nid"))
+        .groupBy(col("query_id"), col("nlabel"))
+        .agg(count(lit(1)).as("votes"))
+      val pred = votes
+        .groupBy("query_id")
+        .agg(max(struct(col("votes"), (-col("nlabel")).as("nl"))).as("b"))
+        .select(col("query_id"), col("b.votes").as("n_votes"),
+          (-col("b.nl")).as("pred_label"))
+      pred.join(labels.toDF("query_id", "true_label"), "query_id")
+        .select(col("query_id"), col("true_label"), col("pred_label"),
+          col("n_votes"),
+          (col("pred_label") === col("true_label")).as("correct"))
+        .orderBy("query_id")
+    },
     // Lloyd-iteration convergence monitor — the stopping criterion
     // sim_kmeans_step (one refinement step) doesn't answer: run TWO
     // assignment→recompute rounds from the label seeds and report each
@@ -2358,6 +2385,43 @@ object SimilarityOps {
         |  CAST(sum(cv) AS BIGINT) AS csum,
         |  CAST(sum(cv * cv) AS BIGINT) AS csq
         |FROM nc GROUP BY cluster ORDER BY cluster""".stripMargin,
+    // the sim_topk_bruteforce CTE chain as the neighbor set, majority
+    // vote with the (votes DESC, label ASC) tie rule
+    "sim_knn_classify" ->
+      """WITH q AS (SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
+        |p AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+        |        sum(a.v * b.v) AS dot
+        |      FROM q a JOIN q b ON a.i = b.i
+        |      WHERE a.vec_id < 10 AND b.vec_id >= 10
+        |      GROUP BY 1, 2),
+        |scored AS (SELECT query_id, p.vec_id AS vec_id,
+        |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+        |           sqrt(CAST(nb.nn AS DOUBLE))) END AS cos
+        |  FROM p JOIN n na ON na.vec_id = query_id
+        |         JOIN n nb ON nb.vec_id = p.vec_id),
+        |top5 AS (SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk
+        |    FROM scored) r
+        |  WHERE rk <= 5),
+        |votes AS (SELECT t.query_id, e.label AS nlabel,
+        |    count(*) AS votes
+        |  FROM top5 t JOIN embeddings e ON e.vec_id = t.vec_id
+        |  GROUP BY 1, 2),
+        |pred AS (SELECT query_id, nlabel AS pred_label, votes AS n_votes
+        |  FROM (SELECT query_id, nlabel, votes, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY votes DESC, nlabel ASC) AS rn
+        |    FROM votes) r
+        |  WHERE rn = 1)
+        |SELECT p.query_id, e.label AS true_label, p.pred_label, p.n_votes,
+        |  p.pred_label = e.label AS correct
+        |FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+        |ORDER BY p.query_id""".stripMargin,
     // the sim_kmeans_step CTE chain (round 1) extended by a second
     // assignment round; displacement joins the two centroid grids per
     // (cluster, dimension)

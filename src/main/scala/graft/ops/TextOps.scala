@@ -126,6 +126,36 @@ object TextOps {
         pred.as("pred_lang"))
         .orderBy("doc_id")
     },
+    // Classifier-eval confusion matrix for the lang-id heuristic against
+    // the stored ground-truth label — the eval artifact any labeling
+    // heuristic ships with (text_lang_id reports predictions; this
+    // reports HOW WRONG they are, per class). Cells are exact counts;
+    // frac_of_true (the per-true-class recall row profile) divides each
+    // cell by its row total over the |langs|²-sized cell table — the
+    // corpus collapses in one aggregate, the window runs on metadata.
+    // The marker predictor scores poorly against the real labels on this
+    // corpus (markers are synthetic-domain unigrams) — honest readout;
+    // the EVAL machinery, not the toy predictor, is the operator.
+    "text_langid_confusion" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = toks(col("text"))
+      def score(markers: Seq[String]): Column =
+        size(filter(t, x => x.isin(markers: _*)))
+      val sEn = score(Seq("the", "a", "fast", "slow"))
+      val sQl = score(Seq("query", "table", "scan", "filter"))
+      val sDf = score(Seq("data", "stream", "batch", "window"))
+      val pred = when(sEn >= sQl && sEn >= sDf, lit("en"))
+        .when(sQl >= sDf, lit("ql"))
+        .otherwise(lit("df"))
+      val w = Window.partitionBy("true_lang")
+      Tables(s, d).documents
+        .select(col("lang").as("true_lang"), pred.as("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("frac_of_true",
+          col("n").cast("double") / sum(col("n")).over(w).cast("double"))
+        .orderBy("true_lang", "pred_lang")
+    },
     // Rolling-hash winnowing fingerprints (k=16 bytes, window 8): the
     // MOSS-style scheme — any shared >=23-byte substring yields a shared
     // fingerprint. The base-257 mod-2^64 rolling hash and the window minima
@@ -1326,6 +1356,28 @@ object TextOps {
          |       WHEN score_ql >= score_df THEN 'ql'
          |       ELSE 'df' END AS pred_lang
          |FROM sc ORDER BY doc_id""".stripMargin,
+    // the text_lang_id scorer + the confusion rollup with row-profile
+    "text_langid_confusion" ->
+      s"""WITH sc AS (
+         |  SELECT lang AS true_lang,
+         |    CAST(len(list_filter($tokSql,
+         |      x -> x IN ('the','a','fast','slow'))) AS INT) AS s_en,
+         |    CAST(len(list_filter($tokSql,
+         |      x -> x IN ('query','table','scan','filter'))) AS INT) AS s_ql,
+         |    CAST(len(list_filter($tokSql,
+         |      x -> x IN ('data','stream','batch','window'))) AS INT) AS s_df
+         |  FROM documents),
+         |pr AS (SELECT true_lang,
+         |    CASE WHEN s_en >= s_ql AND s_en >= s_df THEN 'en'
+         |         WHEN s_ql >= s_df THEN 'ql'
+         |         ELSE 'df' END AS pred_lang
+         |  FROM sc),
+         |cells AS (SELECT true_lang, pred_lang, count(*) AS n
+         |  FROM pr GROUP BY 1, 2)
+         |SELECT true_lang, pred_lang, n,
+         |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY true_lang)
+         |    AS DOUBLE) AS frac_of_true
+         |FROM cells ORDER BY true_lang, pred_lang""".stripMargin,
     // Winnowing replication: per-position base-257 rolling hash mod 2^64
     // (HUGEINT fold over the 16-byte gram), signed reinterpretation, then
     // the window-8 minima — fp_min is the global min (every window minimum

@@ -515,6 +515,85 @@ class CascadesSpec extends AnyFunSuite {
     assert(rule(bound, RuleContext.empty).isEmpty)
   }
 
+  // --- column pruning through joins (the Project dual) ---
+
+  private def pruneHep = new HepOptimizer(
+    Rules.rewriteRules :+ Rules.PushProjectionThroughJoinRule(pushCatalog))
+
+  test("projection prunes each join input to its output share + join key") {
+    val plan = project(join(scan("t1"), scan("t2"), "c1", "c2"), "a", "x")
+    val want = project(
+      join(project(scan("t1"), "a", "c1"), project(scan("t2"), "x", "c2"),
+        "c1", "c2"),
+      "a", "x")
+    val got = pruneHep.optimize(plan)
+    assert(got == want, s"got:\n${got.explain()}")
+    // fixpoint: re-optimizing the pruned plan is a no-op
+    assert(pruneHep.optimize(got) == got)
+  }
+
+  test("pruning recurses through a two-level join tree") {
+    val inner = join(scan("t1"), scan("t2"), "c1", "c2")
+    val plan = project(PlanNode(LogicalJoin(JoinType.Inner,
+      EqCond(Col("c1"), Col("c3"))), Seq(inner, scan("t3"))), "a", "y")
+    val got = pruneHep.optimize(plan)
+    // outer level: left side keeps (a, c1), right keeps (y, c3); the
+    // inserted left Project then fires again over the inner join,
+    // pruning t1 to (a, c1) + its key and t2 to just its key
+    val innerPruned = project(
+      join(project(scan("t1"), "a", "c1"), project(scan("t2"), "c2"),
+        "c1", "c2"),
+      "a", "c1")
+    val want = project(PlanNode(LogicalJoin(JoinType.Inner,
+      EqCond(Col("c1"), Col("c3"))),
+      Seq(innerPruned, project(scan("t3"), "y", "c3"))), "a", "y")
+    assert(got == want, s"got:\n${got.explain()}")
+  }
+
+  test("pruning abstains on ambiguous, uncataloged, or non-column exprs") {
+    // unknown output column resolves to neither side
+    val unknown = project(join(scan("t1"), scan("t2"), "c1", "c2"), "z")
+    assert(pruneHep.optimize(unknown) == unknown)
+    // non-column projection exprs: abstain (can't attribute them)
+    val nonCol = PlanNode(
+      LogicalProject(Seq(EqCond(Col("a"), Col("x")))),
+      Seq(join(scan("t1"), scan("t2"), "c1", "c2")))
+    assert(pruneHep.optimize(nonCol) == nonCol)
+  }
+
+  test("pruning abstains in the cascades binder (opaque group handles)") {
+    val rule = Rules.PushProjectionThroughJoinRule(pushCatalog)
+    val bound = OptExpression.Node(
+      LogicalProject(Seq(Col("a"))),
+      Seq(OptExpression.Node(
+        LogicalJoin(JoinType.Inner, EqCond(Col("c1"), Col("c2"))),
+        Seq(OptExpression.GroupHandle(1), OptExpression.GroupHandle(2)))))
+    assert(rule(bound, RuleContext.empty).isEmpty)
+  }
+
+  test("pruning composes with filter pushdown in one HEP pass") {
+    val hep = new HepOptimizer(Rules.rewriteRules ++ Seq(
+      Rules.PushFilterThroughJoinRule(pushCatalog),
+      Rules.PushProjectionThroughJoinRule(pushCatalog)))
+    val plan = project(
+      PlanNode(LogicalFilter(EqCond(Col("a"), Col("b")), Nil),
+        Seq(join(scan("t1"), scan("t2"), "c1", "c2"))), "a", "x")
+    // the projection pattern can't match until the filter descends (it
+    // sits between Project and Join), so the composed fixpoint is
+    // deterministic: filter onto t1 first, then both inputs prune —
+    // the inserted left Project lands ABOVE the pushed filter (the
+    // provenance walk sees tables through the filter node)
+    val want = project(
+      join(
+        PlanNode(LogicalProject(Seq(Col("a"), Col("c1"))),
+          Seq(PlanNode(LogicalFilter(EqCond(Col("a"), Col("b")), Nil),
+            Seq(scan("t1"))))),
+        project(scan("t2"), "x", "c2"), "c1", "c2"),
+      "a", "x")
+    val got = hep.optimize(plan)
+    assert(got == want, s"got:\n${got.explain()}")
+  }
+
   // --- join-order enumeration (associativity + commutation + cost) ---
 
   // chain big(1e6) —a_k=b_k— sml(10) —b_x=c_x— mid(1000): the left-assoc

@@ -1037,4 +1037,61 @@ class DataOpsSpec extends GraftSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("release pipeline: the manifest is exactly the member operators' " +
+      "composition (quality+dedup survivors, decontaminated, hash-split)") {
+    import graft.ops.DedupOps
+    // stage replay via the shipped member operators
+    val cleanIds = DedupOps.queries("pipeline_clean_corpus")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val decontamIds = DataOps
+      .queries("data_decontaminate_clean")(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    val survivors = cleanIds.keySet.filter(id => id >= 20 &&
+      decontamIds.contains(id))
+    val splits = DataOps.queries("data_split_hash")(spark, sfDir)
+    // fetch each survivor's split via the same hash rule
+    import org.apache.spark.sql.functions._
+    val splitOf = Tables(spark, sfDir).documents
+      .select(col("doc_id"),
+        pmod(xxhash64(col("doc_id").cast("string")), lit(100)).as("b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) match {
+        case b if b < 80 => "train"
+        case b if b < 90 => "validation"
+        case _ => "test"
+      })).toMap
+    val want = survivors.groupBy(splitOf).view.mapValues { ids =>
+      (ids.size.toLong, ids.toSeq.map(cleanIds).sum)
+    }.toMap
+    val got = DataOps.queries("pipeline_release")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDecimal(3)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (s, (nd, nt)) =>
+      assert(got(s)._1 == nd && got(s)._2 == nt, s"split $s")
+      assert(got(s)._3.signum >= 0, s"split $s signature")
+    }
+    assert(splits.count() == 3 && got.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
+  test("retention ttl: ages derive from the max-day watermark and the " +
+      "drop rule is exactly the 14-day horizon") {
+    val days = Tables(spark, sfDir).events
+      .select(expr("unix_millis(ts) div 86400000").as("day"))
+      .collect().map(_.getLong(0))
+    val byDay = days.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val wm = byDay.keys.max
+    val want = byDay.keys.toSeq.sorted.map { d =>
+      (d, byDay(d), wm - d, if (wm - d > 14) "drop" else "retain")
+    }
+    val got = DataOps.queries("data_retention_ttl")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(got == want, s"got=${got.take(3)} want=${want.take(3)}")
+    // both actions occur on this 30-day corpus, and rows tile the table
+    assert(got.exists(_._4 == "drop") && got.exists(_._4 == "retain"))
+    assert(got.map(_._2).sum == days.length.toLong)
+    spark.catalog.clearCache()
+  }
 }

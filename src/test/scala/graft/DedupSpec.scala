@@ -545,6 +545,23 @@ class DedupSpec extends GraftSuite {
     spark.catalog.clearCache()
   }
 
+  test("threshold curve: counts are monotone in t, the 0.8 point equals " +
+      "the shipped LSH dedup's pair count, all from one candidate set") {
+    val got = graft.ops.DedupOps
+      .queries("dedup_threshold_curve")(spark, sfDir)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == Seq(0.7, 0.8, 0.9))
+    val byT = got.map(r => r._1 -> r._2).toMap
+    assert(byT(0.7) >= byT(0.8) && byT(0.8) >= byT(0.9),
+      "pair counts must be non-increasing in the threshold")
+    assert(byT(0.8) == pairs("dedup_minhash_lsh").size.toLong,
+      "the 0.8 point must equal the shipped pipeline's verified pairs")
+    val nc = got.map(_._3).distinct
+    assert(nc.size == 1 && got.forall(r => r._2 <= r._3),
+      "one candidate set; survivors bounded by it")
+    spark.catalog.clearCache()
+  }
+
   test("incremental ingest: planted exact clone, near-dup, and fresh doc " +
       "get the right verdicts; the corpus side never pairs with itself") {
     import spark.implicits._

@@ -1320,4 +1320,52 @@ class EventOpsSpec extends GraftSuite {
     assert(mde > 0.0 && java.lang.Double.isFinite(mde))
     assert(na + nb == mu.size)
   }
+
+  test("funnel by arm: the two arm rows tile the global funnel and each " +
+      "arm's stages are monotone") {
+    val global = EventOps.queries("events_funnel")(spark, sfDir)
+      .collect()(0)
+    val got = EventOps.queries("events_funnel_by_arm")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.map(_._1).toSeq == Seq("A", "B"))
+    // arm partition is total: each stage sums to the global funnel
+    assert(got.map(_._2).sum == global.getLong(0))
+    assert(got.map(_._3).sum == global.getLong(1))
+    assert(got.map(_._4).sum == global.getLong(2))
+    assert(got.map(_._5).sum == global.getLong(3))
+    got.foreach { case (arm, nu, nv, nvc, nfc, rate) =>
+      assert(nu >= nv && nv >= nvc && nvc >= nfc, s"arm $arm not monotone")
+      assert(rate == nfc.toDouble / nu.toDouble, s"arm $arm rate")
+    }
+  }
+
+  test("slo burn: daily and cumulative budget numbers match an integer " +
+      "replay; cumulative is smoother than the daily series") {
+    import org.apache.spark.sql.functions._
+    val days = graft.ops.Tables(spark, sfDir).events
+      .select((unix_millis(col("ts")) / 86400000L).cast("long").as("day"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDay = days.groupBy(_._1).view.mapValues { es =>
+      (es.size.toLong, es.count(_._2 == "error").toLong)
+    }.toMap
+    var (cumN, cumE) = (0L, 0L)
+    val want = byDay.keys.toSeq.sorted.map { d =>
+      val (n, e) = byDay(d)
+      cumN += n; cumE += e
+      (d, n, e, e.toDouble / n.toDouble, 100.0 * e.toDouble / n.toDouble,
+        100.0 * cumE.toDouble / cumN.toDouble)
+    }
+    val got = EventOps.queries("events_slo_burn")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == want, s"got=${got.take(2)} want=${want.take(2)}")
+    // errors exist on this corpus, and the cumulative series varies less
+    // than the daily one (it is an average of the dailies)
+    assert(got.exists(_._3 > 0L))
+    val daily = got.map(_._5)
+    val cum = got.map(_._6)
+    assert(cum.max - cum.min <= daily.max - daily.min)
+  }
 }

@@ -156,9 +156,12 @@ class PlanCheckSpec extends GraftSuite {
     "sim_range_recall",   // the exact-radius ground truth inside: the
                           // 10-query set broadcast against the corpus
                           // (the range search itself is bucket equi-joins)
-    "sim_kmeans_convergence" // two sim_kmeans_step-style assignment
+    "sim_kmeans_convergence", // two sim_kmeans_step-style assignment
                           // rounds: corpus x 10 broadcast centroids each
                           // (bounded by cluster count k)
+    "sim_knn_classify"    // the bruteTopkFrom ground-truth side: the
+                          // 10-query set broadcast against the corpus
+                          // (voting/argmax are k-row equi-joins)
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides

@@ -892,4 +892,29 @@ class SimilarityOpsSpec extends GraftSuite {
       "assignments must tile the corpus in both rounds")
     spark.catalog.clearCache()
   }
+
+  test("knn classify: the vote matches the brute top-5's labels with the " +
+      "(votes, smallest-label) tie rule") {
+    val labels = graft.ops.Tables(spark, sfDir).embeddings
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val top5 = graft.ops.SimilarityOps
+      .queries("sim_topk_bruteforce")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = top5.groupBy(_._1).toSeq.map { case (q, ns) =>
+      val votes = ns.map(n => labels(n._2)).groupBy(identity).view
+        .mapValues(_.size.toLong).toSeq
+        .sortBy { case (l, v) => (-v, l) }
+      val (pl, nv) = votes.head
+      (q, labels(q), pl, nv, pl == labels(q))
+    }.sortBy(_._1)
+    val got = graft.ops.SimilarityOps
+      .queries("sim_knn_classify")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got == want, s"got=${got.take(3)} want=${want.take(3)}")
+    assert(got.map(_._1) == (0L to 9L))
+    assert(got.forall(g => g._4 >= 1L && g._4 <= 5L))
+    spark.catalog.clearCache()
+  }
 }

@@ -755,4 +755,26 @@ class TextOpsSpec extends GraftSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("langid confusion: cells tile the corpus and agree with the " +
+      "per-doc predictions; row profiles sum to one") {
+    val preds = graft.ops.TextOps.queries("text_lang_id")(spark, sfDir)
+      .collect().map(r => (r.getString(1), r.getString(5)))
+    val want = preds.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.map { case ((t, p), n) => (t, p, n) }
+      .sortBy(c => (c._1, c._2))
+    val got = graft.ops.TextOps
+      .queries("text_langid_confusion")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got.map(c => (c._1, c._2, c._3)) == want,
+      s"got=${got.take(4)} want=${want.take(4)}")
+    assert(got.map(_._3).sum == preds.length.toLong)
+    got.groupBy(_._1).values.foreach { row =>
+      assert(math.abs(row.map(_._4).sum - 1.0) < 1e-12)
+      val tot = row.map(_._3).sum
+      row.foreach(c => assert(c._4 == c._3.toDouble / tot.toDouble))
+    }
+    spark.catalog.clearCache()
+  }
 }
