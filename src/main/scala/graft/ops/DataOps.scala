@@ -1467,6 +1467,37 @@ object DataOps {
             lit(1000000000000L)).cast("decimal(38,0)")).as("content_sig"))
         .orderBy("split")
     },
+    // Temporal split — the OTHER split next to data_split_hash: events
+    // before the boundary day (min_day + 24) train, the rest evaluate —
+    // the design every forecasting/recommendation eval needs (a hash
+    // split leaks the future into training). The readout carries the
+    // LEAKAGE number a temporal split must publish: users active on
+    // both sides (their eval behavior is conditioned on trained-on
+    // history — the cross-user generalization caveat). Shape: one
+    // user-keyed aggregate derives each user's per-side presence; the
+    // split rollup and the 1-row shared-user count (scalar broadcast,
+    // whitelisted shape) are metadata-scale.
+    "data_split_temporal" -> { (s, d) =>
+      val day = expr("unix_millis(ts) div 86400000")
+      val ev = Tables(s, d).events.select(col("user_id"), day.as("day"))
+      // 1-row boundary scalar broadcast under the corpus scan (the
+      // events_did shape) — NOT a window over the raw stream
+      val b = ev.agg((min(col("day")) + 24L).as("boundary"))
+      val withB = ev.crossJoin(broadcast(b))
+        .withColumn("split",
+          when(col("day") < col("boundary"), "train").otherwise("eval"))
+      val perUser = withB.groupBy("user_id")
+        .agg(countDistinct(col("split")).as("n_sides"))
+      val shared = perUser.agg(
+        count(when(col("n_sides") === 2, 1)).as("n_shared_users"))
+      withB.groupBy("split")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .crossJoin(broadcast(shared))
+        .select(col("split"), col("n_events"), col("n_users"),
+          col("n_shared_users"))
+        .orderBy("split")
+    },
     // Retention/TTL purge plan — the lifecycle job every day-partitioned
     // event table runs: partitions older than the retention horizon (14
     // days behind the table watermark = max event day) are marked for
@@ -2595,6 +2626,21 @@ object DataOps {
          |      + 1000000000000) % 1000000000000) AS DECIMAL(38,0))
          |    AS content_sig
          |FROM h GROUP BY 1 ORDER BY split""".stripMargin,
+    "data_split_temporal" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day
+        |  FROM events),
+        |b AS (SELECT min(day) + 24 AS boundary FROM e),
+        |s AS (SELECT user_id,
+        |    CASE WHEN day < boundary THEN 'train' ELSE 'eval' END AS split
+        |  FROM e, b),
+        |pu AS (SELECT user_id, count(DISTINCT split) AS n_sides
+        |  FROM s GROUP BY 1),
+        |sh AS (SELECT count(CASE WHEN n_sides = 2 THEN 1 END)
+        |    AS n_shared_users FROM pu)
+        |SELECT split, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users, sh.n_shared_users
+        |FROM s, sh GROUP BY split, sh.n_shared_users
+        |ORDER BY split""".stripMargin,
     "data_retention_ttl" ->
       """WITH d AS (SELECT epoch_ms(ts) // 86400000 AS day,
         |    count(*) AS n_rows

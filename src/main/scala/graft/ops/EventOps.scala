@@ -793,6 +793,68 @@ object EventOps {
           max(col("late_ms")).as("max_late_ms"))
         .orderBy("event_type")
     },
+    // Multiwindow burn-rate alert — the SRE alerting rule the plain
+    // events_slo_burn readout feeds (the published multiwindow design:
+    // page only when BOTH a short and a long window breach, so a single
+    // bad minute can't page but a sustained burn can't hide): per hour,
+    // the 1 h and trailing-6 h error rates against a 20% budget, alert
+    // when both breach. The breach tests are all-integer cross-
+    // multiplications (5e > n); the trailing window is a RANGE frame on
+    // the integer hour key (gap-correct where a ROWS frame would slide
+    // over missing hours), and it runs on the hour-bucket table — the
+    // corpus collapses in one aggregate first.
+    "events_multiwindow_burn" -> { (s, d) =>
+      val w6 = Window.orderBy("hb").rangeBetween(-5, 0)
+      withMs(Tables(s, d).events)
+        .groupBy(expr(floorDivSql("ts_ms", HourMs)).as("hb"))
+        .agg(count(lit(1)).as("n_1h"),
+          count(when(col("event_type") === "error", 1)).as("e_1h"))
+        .withColumn("n_6h", sum(col("n_1h")).over(w6))
+        .withColumn("e_6h", sum(col("e_1h")).over(w6))
+        .select(col("hb"), col("n_1h"), col("e_1h"), col("n_6h"),
+          col("e_6h"),
+          (lit(5.0) * col("e_1h").cast("double") /
+            col("n_1h").cast("double")).as("burn_1h"),
+          (lit(5.0) * col("e_6h").cast("double") /
+            col("n_6h").cast("double")).as("burn_6h"),
+          (col("e_1h") * 5 > col("n_1h") &&
+            col("e_6h") * 5 > col("n_6h")).as("alert"))
+        .orderBy("hb")
+    },
+    // Bot/automation flags — the traffic-quality gate a training-data
+    // pipeline runs before trusting behavioral events (bot sessions
+    // poison engagement labels): per user, exact activity statistics
+    // (event count, active days, peak events in any one hour, error
+    // share) and three integer cross-multiplied rules — sustained rate
+    // (> 2.5 events/day: 2n > 5·days), hourly burst (≥ 3 in one hour),
+    // error-heavy (> 20% errors: 5e > n) — with verdict = ANY TWO.
+    // Thresholds are corpus-calibrated constants (a production run fits
+    // them to its own traffic); the rule PANEL and the exact statistics
+    // are the operator. Shape: one (user, hour) pre-aggregate feeds the
+    // per-user rollup — two key-partitioned shuffles, no windows over
+    // the raw stream, flags are pure map arithmetic on the user table.
+    "events_bot_flags" -> { (s, d) =>
+      val hourly = withMs(Tables(s, d).events)
+        .groupBy(col("user_id"),
+          expr(floorDivSql("ts_ms", HourMs)).as("hb"))
+        .agg(count(lit(1)).as("nh"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("eh"))
+      hourly.groupBy("user_id")
+        .agg(sum(col("nh")).as("n_events"),
+          countDistinct(expr(floorDivSql("hb", 24L))).as("active_days"),
+          max(col("nh")).as("max_hour_burst"),
+          sum(col("eh")).as("n_errors"))
+        .withColumn("f_rate",
+          col("n_events") * 2 > col("active_days") * 5)
+        .withColumn("f_burst", col("max_hour_burst") >= 3)
+        .withColumn("f_error", col("n_errors") * 5 > col("n_events"))
+        .withColumn("is_bot",
+          (when(col("f_rate"), 1).otherwise(0) +
+            when(col("f_burst"), 1).otherwise(0) +
+            when(col("f_error"), 1).otherwise(0)) >= 2)
+        .orderBy("user_id")
+    },
     // SLO error-budget burn — the SRE readout next to the anomaly
     // detectors: per day, the error rate against a 1% budget, the
     // instantaneous burn rate (1.0 = exactly on budget, >1 = burning
@@ -2527,6 +2589,40 @@ object EventOps {
          |  CAST(n_funnel_complete AS DOUBLE) / CAST(n_users AS DOUBLE)
          |    AS complete_rate
          |FROM g ORDER BY arm""".stripMargin,
+    "events_multiwindow_burn" ->
+      """WITH h AS (SELECT epoch_ms(ts) // 3600000 AS hb, count(*) AS n_1h,
+        |    count(CASE WHEN event_type = 'error' THEN 1 END) AS e_1h
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT hb, n_1h, e_1h,
+        |    CAST(sum(n_1h) OVER (ORDER BY hb
+        |      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_6h,
+        |    CAST(sum(e_1h) OVER (ORDER BY hb
+        |      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT) AS e_6h
+        |  FROM h)
+        |SELECT hb, n_1h, e_1h, n_6h, e_6h,
+        |  5.0 * CAST(e_1h AS DOUBLE) / CAST(n_1h AS DOUBLE) AS burn_1h,
+        |  5.0 * CAST(e_6h AS DOUBLE) / CAST(n_6h AS DOUBLE) AS burn_6h,
+        |  e_1h * 5 > n_1h AND e_6h * 5 > n_6h AS alert
+        |FROM w ORDER BY hb""".stripMargin,
+    "events_bot_flags" ->
+      """WITH h AS (SELECT user_id, epoch_ms(ts) // 3600000 AS hb,
+        |    count(*) AS nh,
+        |    count(CASE WHEN event_type = 'error' THEN 1 END) AS eh
+        |  FROM events GROUP BY 1, 2),
+        |u AS (SELECT user_id, CAST(sum(nh) AS BIGINT) AS n_events,
+        |    count(DISTINCT hb // 24) AS active_days,
+        |    max(nh) AS max_hour_burst,
+        |    CAST(sum(eh) AS BIGINT) AS n_errors
+        |  FROM h GROUP BY 1)
+        |SELECT user_id, n_events, active_days, max_hour_burst, n_errors,
+        |  n_events * 2 > active_days * 5 AS f_rate,
+        |  max_hour_burst >= 3 AS f_burst,
+        |  n_errors * 5 > n_events AS f_error,
+        |  (CASE WHEN n_events * 2 > active_days * 5 THEN 1 ELSE 0 END +
+        |   CASE WHEN max_hour_burst >= 3 THEN 1 ELSE 0 END +
+        |   CASE WHEN n_errors * 5 > n_events THEN 1 ELSE 0 END) >= 2
+        |    AS is_bot
+        |FROM u ORDER BY user_id""".stripMargin,
     "events_slo_burn" ->
       """WITH d AS (SELECT epoch_ms(ts) // 86400000 AS day,
         |    count(*) AS n_events,

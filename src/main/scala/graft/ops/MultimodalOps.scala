@@ -403,6 +403,105 @@ object MultimodalOps {
         }
         .toDF("doc_id", "n_pixels", "lead_run", "trail_run", "core_len")
         .orderBy("doc_id")
+    },
+    // Histogram equalization over the DECODED pixel stream — the classic
+    // contrast normalization a vision ingest pipeline applies before
+    // feature extraction: remap(v) = ⌊(cdf(v) − cdf_min)·255 / (L −
+    // cdf_min)⌋ (the standard OpenCV-documented formula), reported as
+    // before/after mean and value spread per asset (after-spread is 255
+    // whenever the asset has ≥ 2 distinct values — the stretch IS the
+    // point, spec-pinned). Everything is exact integer arithmetic
+    // (256-bin histogram, cumulative counts, one floor division per
+    // bin); the means are single IEEE divisions. Per-asset two-pass in
+    // the decode batch — zero shuffles beyond the sort.
+    "mm_hist_equalize" -> { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      Tables(s, d).documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { batch =>
+          batch.map { case (id, b) =>
+            val raw = if (b == null) Array.empty[Byte] else b
+            val dec = Rle1.decode(Rle1.encode(raw))
+            val L = dec.length.toLong
+            val hist = new Array[Long](256)
+            var sum = 0L
+            var i = 0
+            while (i < dec.length) {
+              val v = dec(i) & 0xFF
+              hist(v) += 1
+              sum += v
+              i += 1
+            }
+            var cum = 0L
+            var cdfmin = 0L
+            var seen = false
+            val remap = new Array[Long](256)
+            var v = 0
+            while (v < 256) {
+              if (hist(v) > 0 && !seen) { cdfmin = hist(v); seen = true }
+              cum += hist(v)
+              remap(v) =
+                if (L > cdfmin) ((cum - cdfmin) * 255L) / (L - cdfmin)
+                else 0L
+              v += 1
+            }
+            var sumEq = 0L
+            var vmin = -1
+            var vmax = -1
+            v = 0
+            while (v < 256) {
+              if (hist(v) > 0) {
+                sumEq += hist(v) * remap(v)
+                if (vmin < 0) vmin = v
+                vmax = v
+              }
+              v += 1
+            }
+            val spread = if (vmin < 0) 0 else vmax - vmin
+            val spreadEq =
+              if (vmin < 0) 0L else remap(vmax) - remap(vmin)
+            (id, dec.length,
+              if (L > 0) sum.toDouble / L.toDouble else 0.0,
+              if (L > 0) sumEq.toDouble / L.toDouble else 0.0,
+              spread, spreadEq.toInt)
+          }
+        }
+        .toDF("doc_id", "n_pixels", "mean_px", "mean_eq", "spread",
+          "spread_eq")
+        .orderBy("doc_id")
+    },
+    // Dominant-value palette over the DECODED pixel stream — the
+    // palette-extraction analog (top-3 values by mass, ties to the
+    // smaller value) a vision ingest uses for dedup blocking and
+    // solid-color/spam detection; share is ONE IEEE division of exact
+    // counts. Computed inside the decode batch from each asset's own
+    // 256-bin histogram (no explode, no per-pixel shuffle) — at any
+    // scale the emitted stream is 3 rows per asset.
+    "mm_palette" -> { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      Tables(s, d).documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { batch =>
+          batch.flatMap { case (id, b) =>
+            val raw = if (b == null) Array.empty[Byte] else b
+            val dec = Rle1.decode(Rle1.encode(raw))
+            val hist = new Array[Long](256)
+            dec.foreach(p => hist(p & 0xFF) += 1)
+            val top = (0 until 256).filter(hist(_) > 0)
+              .sortBy(v => (-hist(v), v)).take(3)
+            top.zipWithIndex.map { case (v, i) =>
+              (id, i + 1, v, hist(v),
+                if (dec.length > 0) hist(v).toDouble / dec.length.toDouble
+                else 0.0)
+            }
+          }
+        }
+        .toDF("doc_id", "rk", "pixel_value", "n", "share")
+        .orderBy("doc_id", "rk")
     }
   )
 
@@ -813,7 +912,54 @@ object MultimodalOps {
         |SELECT doc_id, CAST(L AS INT) AS n_pixels,
         |  CAST(lead AS BIGINT) AS lead_run, CAST(trail AS BIGINT) AS trail_run,
         |  CAST(L - lead - trail AS BIGINT) AS core_len
-        |FROM r2 ORDER BY doc_id""".stripMargin
+        |FROM r2 ORDER BY doc_id""".stripMargin,
+    // codec-free replication: per-value histogram, cumulative counts in
+    // value order, arg_min picks cdf_min (the smallest value's count),
+    // the identical floor-division remap, exact before/after sums
+    "mm_hist_equalize" ->
+      """WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+        |px AS (SELECT doc_id,
+        |    unnest(list_transform(string_split(text, ''), x -> ord(x))) AS v
+        |  FROM t WHERE length(text) > 0),
+        |h AS (SELECT doc_id, v, count(*) AS c FROM px GROUP BY 1, 2),
+        |cd AS (SELECT doc_id, v, c,
+        |    sum(c) OVER (PARTITION BY doc_id ORDER BY v) AS cum
+        |  FROM h),
+        |st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS L,
+        |    arg_min(c, v) AS cdfmin, min(v) AS vmin, max(v) AS vmax,
+        |    CAST(sum(CAST(v AS BIGINT) * c) AS BIGINT) AS sv
+        |  FROM h GROUP BY 1),
+        |r AS (SELECT cd.doc_id, cd.v, cd.c,
+        |    CASE WHEN st.L > st.cdfmin
+        |      THEN ((cd.cum - st.cdfmin) * 255) // (st.L - st.cdfmin)
+        |      ELSE 0 END AS rv
+        |  FROM cd JOIN st USING (doc_id)),
+        |g AS (SELECT doc_id, CAST(sum(c * rv) AS BIGINT) AS seq,
+        |    CAST(max(rv) - min(rv) AS INT) AS spread_eq
+        |  FROM r GROUP BY 1)
+        |SELECT t.doc_id, CAST(length(t.text) AS INT) AS n_pixels,
+        |  CASE WHEN st.L > 0 THEN CAST(st.sv AS DOUBLE) / CAST(st.L AS DOUBLE)
+        |       ELSE 0.0 END AS mean_px,
+        |  CASE WHEN st.L > 0 THEN CAST(g.seq AS DOUBLE) / CAST(st.L AS DOUBLE)
+        |       ELSE 0.0 END AS mean_eq,
+        |  COALESCE(CAST(st.vmax - st.vmin AS INT), 0) AS spread,
+        |  COALESCE(g.spread_eq, 0) AS spread_eq
+        |FROM t LEFT JOIN st ON st.doc_id = t.doc_id
+        |LEFT JOIN g ON g.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+    // per-value counts + the (count DESC, value ASC) rank, top 3
+    "mm_palette" ->
+      """WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+        |px AS (SELECT doc_id, length(text) AS L,
+        |    unnest(list_transform(string_split(text, ''), x -> ord(x))) AS v
+        |  FROM t WHERE length(text) > 0),
+        |h AS (SELECT doc_id, L, v, count(*) AS n FROM px GROUP BY 1, 2, 3),
+        |r AS (SELECT doc_id, v, n, L, CAST(row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY n DESC, v ASC) AS INT) AS rk
+        |  FROM h)
+        |SELECT doc_id, rk, v AS pixel_value, n,
+        |  CAST(n AS DOUBLE) / CAST(L AS DOUBLE) AS share
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
   )
 
   /** PCM16: the waveform codec behind `mm_audio_energy`. Sample k of the

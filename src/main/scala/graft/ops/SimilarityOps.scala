@@ -50,13 +50,13 @@ object SimilarityOps {
   /** Brute-force cosine top-5 (query vectors vec_id < 10 over the rest) —
     * shared by the contract query and the recall evaluation.
     */
-  private[graft] def bruteTopkFrom(e: DataFrame): DataFrame = {
+  private[graft] def bruteTopkFrom(e: DataFrame, k: Int = 5): DataFrame = {
     val qs = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val corpus = e.filter(col("vec_id") >= 10)
     topk(corpus.join(broadcast(qs))
       .select(col("query_id"), col("vec_id"),
-        quant_cosine(col("qe"), col("embedding")).as("cos")), 5)
+        quant_cosine(col("qe"), col("embedding")).as("cos")), k)
   }
 
   /** Multi-probe LSH top-5 — shared by the contract query and the recall
@@ -69,12 +69,12 @@ object SimilarityOps {
     * embedding this helper should do the same after materializing the
     * result, or repeated invocations accumulate cached copies.
     */
-  private[graft] def lshTopkFrom(e0: DataFrame): DataFrame = {
+  private[graft] def lshTopkFrom(e0: DataFrame, k: Int = 5): DataFrame = {
     val e = e0
       .withColumn("bucket",
         element_at(lshBuckets(quantize(col("embedding")), 1, 8), 1))
       .persist() // bucketed corpus read by both the query and corpus sides
-    val probes = typedLit(0L +: (0 until 8).map(k => 1L << k))
+    val probes = typedLit(0L +: (0 until 8).map(b => 1L << b))
     val qs = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         explode(transform(probes, m => col("bucket").bitwiseXOR(m)))
@@ -82,7 +82,7 @@ object SimilarityOps {
     val corpus = e.filter(col("vec_id") >= 10)
     topk(corpus.join(broadcast(qs), Seq("bucket"))
       .select(col("query_id"), col("vec_id"),
-        quant_cosine(col("qe"), col("embedding")).as("cos")), 5)
+        quant_cosine(col("qe"), col("embedding")).as("cos")), k)
   }
 
   /** MIPS top-5 via the norm-augmentation reduction (Bachrach et al.,
@@ -787,6 +787,35 @@ object SimilarityOps {
     // aggregate is label-keyed.
     "sim_silhouette" -> { (s, d) =>
       silhouetteFrom(s, Tables(s, d).embeddings)
+    },
+    // Recall-vs-depth curve for the multi-probe LSH search — the THIRD
+    // tuning axis next to the nprobe curve (IVF) and threshold curve
+    // (dedup): how recall@k moves with the result depth k ∈ {1, 5, 10}.
+    // A curve that IMPROVES with k means the misses are near-boundary
+    // rank inversions (retrieve deeper and rerank); flat means the
+    // bucketing loses the neighborhood outright (fix the planes, not
+    // k). Both sides come from ONE run each at depth 10 (the k-prefix
+    // property of ranked lists: top-k = first k of top-10), joined once;
+    // the three (k, hits) rows are conditional counts over that join.
+    "sim_recall_vs_k" -> { (s, d) =>
+      val e = Tables(s, d).embeddings
+      val bf = bruteTopkFrom(e, 10)
+        .select(col("query_id"), col("vec_id"), col("rk"))
+      val ls = lshTopkFrom(e, 10)
+        .select(col("query_id").as("lq"), col("vec_id").as("lv"),
+          col("rk").as("lrk"))
+      val joined = bf.join(ls,
+        col("query_id") === col("lq") && col("vec_id") === col("lv"))
+        .select(col("rk"), col("lrk"))
+      joined.agg(
+        count(when(col("rk") <= 1 && col("lrk") <= 1, 1)).as("h1"),
+        count(when(col("rk") <= 5 && col("lrk") <= 5, 1)).as("h5"),
+        count(when(col("rk") <= 10 && col("lrk") <= 10, 1)).as("h10"))
+        .selectExpr("stack(3, 1, h1, 5, h5, 10, h10) AS (k, n_hits)")
+        .select(col("k"), col("n_hits"),
+          (col("n_hits").cast("double") /
+            (col("k") * 10).cast("double")).as("mean_recall"))
+        .orderBy("k")
     },
     // kNN classification eval — what the embedding index is ultimately
     // FOR: predict each query's label by majority vote over its exact
@@ -2385,6 +2414,71 @@ object SimilarityOps {
         |  CAST(sum(cv) AS BIGINT) AS csum,
         |  CAST(sum(cv * cv) AS BIGINT) AS csq
         |FROM nc GROUP BY cluster ORDER BY cluster""".stripMargin,
+    // one brute top-10 chain + one LSH top-10 chain (the sim_ann_lsh
+    // CTEs at depth 10), joined once, three conditional prefix counts
+    "sim_recall_vs_k" ->
+      """WITH q AS (SELECT vec_id, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
+        |bp AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+        |        sum(a.v * b.v) AS dot
+        |      FROM q a JOIN q b ON a.i = b.i
+        |      WHERE a.vec_id < 10 AND b.vec_id >= 10
+        |      GROUP BY 1, 2),
+        |bsc AS (SELECT query_id, bp.vec_id AS vec_id,
+        |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+        |           sqrt(CAST(nb.nn AS DOUBLE))) END AS cos
+        |  FROM bp JOIN n na ON na.vec_id = query_id
+        |          JOIN n nb ON nb.vec_id = bp.vec_id),
+        |brk AS (SELECT query_id, vec_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk
+        |  FROM bsc),
+        |dots AS (SELECT vec_id, k,
+        |           sum(v * (((k * 131 + (i - 1) * 31 + 7) % 61) - 30)) AS dt
+        |         FROM q CROSS JOIN
+        |           (SELECT unnest(generate_series(0, 7)) AS k) pl
+        |         GROUP BY 1, 2),
+        |bkt AS (SELECT vec_id,
+        |          CAST(sum(CASE WHEN dt > 0 THEN 1 << k ELSE 0 END) AS BIGINT)
+        |            AS bucket
+        |        FROM dots GROUP BY 1),
+        |qs AS (SELECT vec_id AS query_id, xor(bucket, m) AS bucket
+        |       FROM bkt CROSS JOIN
+        |         (SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m) pr
+        |       WHERE vec_id < 10),
+        |pairs AS (SELECT query_id, c.vec_id
+        |          FROM qs JOIN (SELECT vec_id, bucket FROM bkt
+        |                        WHERE vec_id >= 10) c USING (bucket)),
+        |ldot AS (SELECT p.query_id, p.vec_id, sum(a.v * b.v) AS dot
+        |        FROM pairs p
+        |        JOIN q a ON a.vec_id = p.query_id
+        |        JOIN q b ON b.vec_id = p.vec_id AND b.i = a.i
+        |        GROUP BY 1, 2),
+        |lsc AS (SELECT query_id, ldot.vec_id AS vec_id,
+        |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+        |           sqrt(CAST(nb.nn AS DOUBLE))) END AS cos
+        |  FROM ldot JOIN n na ON na.vec_id = query_id
+        |            JOIN n nb ON nb.vec_id = ldot.vec_id),
+        |lrk AS (SELECT query_id, vec_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS lrk
+        |  FROM lsc),
+        |j AS (SELECT b.rk, l.lrk FROM brk b
+        |  JOIN lrk l ON l.query_id = b.query_id AND l.vec_id = b.vec_id
+        |  WHERE b.rk <= 10 AND l.lrk <= 10),
+        |g AS (SELECT
+        |    count(CASE WHEN rk <= 1 AND lrk <= 1 THEN 1 END) AS h1,
+        |    count(CASE WHEN rk <= 5 AND lrk <= 5 THEN 1 END) AS h5,
+        |    count(*) AS h10
+        |  FROM j)
+        |SELECT CAST(1 AS INT) AS k, h1 AS n_hits,
+        |  CAST(h1 AS DOUBLE) / 10.0 AS mean_recall FROM g
+        |UNION ALL SELECT 5, h5, CAST(h5 AS DOUBLE) / 50.0 FROM g
+        |UNION ALL SELECT 10, h10, CAST(h10 AS DOUBLE) / 100.0 FROM g
+        |ORDER BY k""".stripMargin,
     // the sim_topk_bruteforce CTE chain as the neighbor set, majority
     // vote with the (votes DESC, label ASC) tie rule
     "sim_knn_classify" ->

@@ -1075,6 +1075,27 @@ class DataOpsSpec extends GraftSuite {
     spark.catalog.clearCache()
   }
 
+  test("temporal split: the 24-day boundary partitions events and the " +
+      "leakage count is exactly the both-sides user set") {
+    val ev = Tables(spark, sfDir).events
+      .select(expr("user_id"), expr("unix_millis(ts) div 86400000"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val boundary = ev.map(_._2).min + 24
+    val bySplit = ev.groupBy(e => if (e._2 < boundary) "train" else "eval")
+    val shared = bySplit.values.map(_.map(_._1).toSet)
+      .reduceOption(_ intersect _).map(_.size.toLong).getOrElse(0L)
+    val want = bySplit.toSeq.map { case (s, es) =>
+      (s, es.size.toLong, es.map(_._1).distinct.size.toLong, shared)
+    }.sortBy(_._1)
+    val got = DataOps.queries("data_split_temporal")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == want, s"got=$got want=$want")
+    // leakage is real on this corpus (users span the boundary)
+    assert(shared > 0L && got.forall(_._4 == shared))
+    spark.catalog.clearCache()
+  }
+
   test("retention ttl: ages derive from the max-day watermark and the " +
       "drop rule is exactly the 14-day horizon") {
     val days = Tables(spark, sfDir).events

@@ -1321,6 +1321,62 @@ class EventOpsSpec extends GraftSuite {
     assert(na + nb == mu.size)
   }
 
+  test("multiwindow burn: gap-correct 6h range sums match a replay; " +
+      "alerts require BOTH windows to breach") {
+    import org.apache.spark.sql.functions._
+    val hours = graft.ops.Tables(spark, sfDir).events
+      .select((unix_millis(col("ts")) / 3600000L).cast("long").as("hb"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues { es =>
+        (es.size.toLong, es.count(_._2 == "error").toLong)
+      }.toMap
+    val want = hours.keys.toSeq.sorted.map { hb =>
+      val (n1, e1) = hours(hb)
+      val win = (hb - 5 to hb).flatMap(hours.get)
+      val (n6, e6) = (win.map(_._1).sum, win.map(_._2).sum)
+      (hb, n1, e1, n6, e6, 5.0 * e1.toDouble / n1.toDouble,
+        5.0 * e6.toDouble / n6.toDouble, e1 * 5 > n1 && e6 * 5 > n6)
+    }
+    val got = EventOps.queries("events_multiwindow_burn")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6),
+        r.getBoolean(7))).toSeq
+    assert(got == want, s"got=${got.take(2)} want=${want.take(2)}")
+    // the multiwindow rule is strictly tighter than either single test
+    val oneHourBreaches = got.count(r => r._3 * 5 > r._2)
+    assert(got.count(_._8) <= oneHourBreaches)
+    assert(got.exists(r => r._3 * 5 > r._2 && !r._8),
+      "some 1h spike must be suppressed by the 6h window")
+  }
+
+  test("bot flags: statistics and the three-rule verdict match an " +
+      "integer replay; the corpus flags a non-degenerate bot set") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.ops.Tables(spark, sfDir).events
+      .select(col("user_id"), (unix_millis(col("ts")) / 3600000L)
+        .cast("long").as("hb"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val want = ev.groupBy(_._1).toSeq.map { case (u, es) =>
+      val byHour = es.groupBy(_._2)
+      val n = es.size.toLong
+      val days = es.map(_._2 / 24).distinct.size.toLong
+      val burst = byHour.values.map(_.size).max.toLong
+      val errs = es.count(_._3 == "error").toLong
+      val (fr, fb, fe) =
+        (n * 2 > days * 5, burst >= 3, errs * 5 > n)
+      (u, n, days, burst, errs, fr, fb, fe,
+        Seq(fr, fb, fe).count(identity) >= 2)
+    }.sortBy(_._1)
+    val got = EventOps.queries("events_bot_flags")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6),
+        r.getBoolean(7), r.getBoolean(8))).toSeq
+    assert(got == want, s"got=${got.take(2)} want=${want.take(2)}")
+    // the panel bites on this corpus, and not on everyone
+    assert(got.exists(_._9) && got.exists(!_._9))
+  }
+
   test("funnel by arm: the two arm rows tile the global funnel and each " +
       "arm's stages are monotone") {
     val global = EventOps.queries("events_funnel")(spark, sfDir)

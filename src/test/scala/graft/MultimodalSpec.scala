@@ -329,4 +329,66 @@ class MultimodalSpec extends GraftSuite {
       if (l > 0) assert(lead >= 1L, s"doc $id")
     }
   }
+
+  test("hist equalize: the OpenCV remap formula matches a byte replay; " +
+      "equalization stretches every multi-valued asset to full range") {
+    val docs = graft.ops.Tables(spark, sfDir).documents
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    val want = docs.map { case (id, text) =>
+      val bs = text.getBytes("UTF-8").map(_ & 0xFF)
+      val L = bs.length.toLong
+      val hist = new Array[Long](256)
+      bs.foreach(hist(_) += 1)
+      var cum = 0L
+      var cdfmin = 0L
+      var seen = false
+      val remap = new Array[Long](256)
+      for (v <- 0 until 256) {
+        if (hist(v) > 0 && !seen) { cdfmin = hist(v); seen = true }
+        cum += hist(v)
+        remap(v) =
+          if (L > cdfmin) ((cum - cdfmin) * 255L) / (L - cdfmin) else 0L
+      }
+      val occ = (0 until 256).filter(hist(_) > 0)
+      val sumEq = occ.map(v => hist(v) * remap(v)).sum
+      (id, bs.length,
+        if (L > 0) bs.map(_.toLong).sum.toDouble / L.toDouble else 0.0,
+        if (L > 0) sumEq.toDouble / L.toDouble else 0.0,
+        if (occ.isEmpty) 0 else occ.max - occ.min,
+        if (occ.isEmpty) 0 else (remap(occ.max) - remap(occ.min)).toInt)
+    }.sortBy(_._1)
+    val got = MultimodalOps.queries("mm_hist_equalize")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getInt(4), r.getInt(5))).toSeq
+    assert(got == want.toSeq, s"got=${got.take(2)} want=${want.take(2)}")
+    // the stretch IS the point: >= 2 distinct values -> full 0..255 range
+    got.foreach { case (id, _, _, _, spread, spreadEq) =>
+      if (spread > 0) assert(spreadEq == 255, s"doc $id")
+    }
+    assert(got.exists(_._5 > 0))
+  }
+
+  test("palette: top-3 dominant values match a byte replay with the " +
+      "(count desc, value asc) tie rule; shares are rank-ordered") {
+    val docs = graft.ops.Tables(spark, sfDir).documents
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    val want = docs.flatMap { case (id, text) =>
+      val bs = text.getBytes("UTF-8").map(_ & 0xFF)
+      val hist = bs.groupBy(identity).view.mapValues(_.length.toLong)
+      hist.keys.toSeq.sortBy(v => (-hist(v), v)).take(3).zipWithIndex
+        .map { case (v, i) =>
+          (id, i + 1, v, hist(v), hist(v).toDouble / bs.length.toDouble)
+        }
+    }.sortBy(t => (t._1, t._2))
+    val got = MultimodalOps.queries("mm_palette")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == want.toSeq, s"got=${got.take(4)} want=${want.take(4)}")
+    got.groupBy(_._1).values.foreach { rows =>
+      val byRk = rows.sortBy(_._2).map(_._4)
+      assert(byRk == byRk.sorted.reverse)
+    }
+  }
 }

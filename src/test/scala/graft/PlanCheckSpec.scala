@@ -159,9 +159,14 @@ class PlanCheckSpec extends GraftSuite {
     "sim_kmeans_convergence", // two sim_kmeans_step-style assignment
                           // rounds: corpus x 10 broadcast centroids each
                           // (bounded by cluster count k)
-    "sim_knn_classify"    // the bruteTopkFrom ground-truth side: the
+    "sim_knn_classify",   // the bruteTopkFrom ground-truth side: the
                           // 10-query set broadcast against the corpus
                           // (voting/argmax are k-row equi-joins)
+    "sim_recall_vs_k",    // the brute top-10 ground-truth side: the
+                          // 10-query set broadcast against the corpus
+                          // (the LSH side is bucket equi-joins)
+    "data_split_temporal" // 1-row boundary-day scalar broadcast under
+                          // the corpus scan (the events_did shape)
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides

@@ -893,6 +893,27 @@ class SimilarityOpsSpec extends GraftSuite {
     spark.catalog.clearCache()
   }
 
+  test("recall vs k: prefix counts are monotone, the k=5 point agrees " +
+      "with sim_ann_recall's per-query hit total") {
+    val got = graft.ops.SimilarityOps
+      .queries("sim_recall_vs_k")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq(1, 5, 10))
+    val byK = got.map(r => r._1 -> r._2).toMap
+    assert(byK(1) <= byK(5) && byK(5) <= byK(10),
+      "prefix hit counts must be monotone in k")
+    got.foreach { case (k, h, rec) =>
+      assert(rec == h.toDouble / (k * 10).toDouble)
+      assert(h >= 0L && h <= 10L * k)
+    }
+    spark.catalog.clearCache()
+    val r5 = graft.ops.SimilarityOps.queries("sim_ann_recall")(spark, sfDir)
+      .collect().map(_.getLong(1)).sum
+    assert(byK(5) == r5,
+      s"k=5 hits ${byK(5)} vs sim_ann_recall total $r5")
+    spark.catalog.clearCache()
+  }
+
   test("knn classify: the vote matches the brute top-5's labels with the " +
       "(votes, smallest-label) tie rule") {
     val labels = graft.ops.Tables(spark, sfDir).embeddings
