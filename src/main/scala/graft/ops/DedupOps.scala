@@ -396,27 +396,44 @@ object DedupOps {
     // the zero 16-bit chunks of sig_x XOR sig_y, the emit test is plain
     // bit arithmetic on the two sigs (no extra array rides the shuffle).
     "dedup_simhash" -> { (s, d) =>
-      val sig = Tables(s, d).documents
-        .select(col("doc_id"), simhash64(split(col("text"), " ")).as("sig"))
+      simhashPairs(Tables(s, d).documents).orderBy("id1", "id2")
+    },
+    // Method-agreement audit over the three shipped near-dup detectors —
+    // the calibration table a curation owner reads before picking ONE:
+    // exact (md5 identity), shingle-Jaccard ≥ 0.8 (LSH-verified), and
+    // SimHash Hamming ≤ 3 pair sets, with every pairwise overlap. The
+    // containments are provable (an exact clone has Jaccard 1 and
+    // Hamming 0 — spec-pinned); the interesting numbers are the two
+    // exclusive regions: Jaccard-only pairs are reordered/partial
+    // overlaps SimHash's global fingerprint smears out, SimHash-only
+    // pairs are sub-0.8 lookalikes with aligned token mixes. One row of
+    // scalar combines over three already-bucketed pair frames
+    // (whitelisted 1-row pattern, as dedup_lsh_recall).
+    "dedup_method_overlap" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      val jp = jaccardDupPairs(shingleSets(docs), 4, 5)
+        .select("id1", "id2").persist()
+      val sp = simhashPairs(docs).select("id1", "id2").persist()
+      val dig = docs.select(col("doc_id"), md5(col("text")).as("dg"))
+      val ep = dig.as("a")
+        .join(dig.as("b"),
+          col("a.dg") === col("b.dg") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
         .persist()
-      val chunks = sig.select(col("doc_id"), col("sig"),
-        posexplode(array((0 until 4).map(c =>
-          shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
-          .as(Seq("chunk", "ck")))
-      val x = col("x.sig").bitwiseXOR(col("y.sig"))
-      def chunkZero(c: Int) =
-        shiftrightunsigned(x, c * 16).bitwiseAND(lit(0xFFFFL)) === 0
-      val firstSharedChunk = when(chunkZero(0), 0)
-        .when(chunkZero(1), 1).when(chunkZero(2), 2).otherwise(3)
-      chunks.as("x")
-        .join(chunks.as("y"),
-          col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
-            col("x.doc_id") < col("y.doc_id") &&
-            firstSharedChunk === col("x.chunk"))
-        .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
-          bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
-        .filter(col("hamming") <= 3)
-        .orderBy("id1", "id2")
+      val jAndS = jp.join(sp, Seq("id1", "id2"), "left_semi")
+      val eAndJ = ep.join(jp, Seq("id1", "id2"), "left_semi")
+      val eAndS = ep.join(sp, Seq("id1", "id2"), "left_semi")
+      ep.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(jp.agg(count(lit(1)).as("n_jaccard"))))
+        .crossJoin(broadcast(sp.agg(count(lit(1)).as("n_simhash"))))
+        .crossJoin(broadcast(jAndS.agg(count(lit(1)).as("n_jac_and_sim"))))
+        .crossJoin(broadcast(eAndJ.agg(count(lit(1)).as("n_exact_in_jac"))))
+        .crossJoin(broadcast(eAndS.agg(count(lit(1)).as("n_exact_in_sim"))))
+        .select(col("n_exact"), col("n_jaccard"), col("n_simhash"),
+          col("n_jac_and_sim"), col("n_exact_in_jac"),
+          col("n_exact_in_sim"),
+          (col("n_jaccard") - col("n_jac_and_sim")).as("n_jaccard_only"),
+          (col("n_simhash") - col("n_jac_and_sim")).as("n_simhash_only"))
     },
     // End-to-end corpus cleaning — the composed training-data pipeline:
     // quality gate (length + stopword ratio) THEN near-dup removal (drop
@@ -800,6 +817,34 @@ object DedupOps {
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("best_near"), lit(0.0)).as("best_jaccard"))
       .orderBy("doc_id")
+  }
+
+  /** SimHash Hamming ≤ 3 pairs over a (doc_id, text) frame: signatures
+    * in one codegen'd pass, 16-bit chunk banding with first-shared-chunk
+    * exactly-once emission, exact Hamming verify (the `dedup_simhash`
+    * core — separated for the method-agreement audit). Unordered.
+    */
+  private[graft] def simhashPairs(docs: DataFrame): DataFrame = {
+    val sig = docs
+      .select(col("doc_id"), simhash64(split(col("text"), " ")).as("sig"))
+      .persist()
+    val chunks = sig.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("chunk", "ck")))
+    val x = col("x.sig").bitwiseXOR(col("y.sig"))
+    def chunkZero(c: Int) =
+      shiftrightunsigned(x, c * 16).bitwiseAND(lit(0xFFFFL)) === 0
+    val firstSharedChunk = when(chunkZero(0), 0)
+      .when(chunkZero(1), 1).when(chunkZero(2), 2).otherwise(3)
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ck") === col("y.ck") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          firstSharedChunk === col("x.chunk"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .filter(col("hamming") <= 3)
   }
 
   /** MinHash 4×4-band candidate pairs over a (doc_id, sh) shingle-set
@@ -1433,6 +1478,59 @@ object DedupOps {
         |  CAST(sum(en - st) AS BIGINT) AS dup_tokens,
         |  CAST(sum(en - st) AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS dup_frac
         |FROM sp GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+    // the exact-Jaccard pair chain + the full simhash signature chain +
+    // text-identity pairs, combined as scalar counts
+    "dedup_method_overlap" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS L FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, L[i] || ' ' || L[i+1] || ' ' || L[i+2] AS s
+         |       FROM tok,
+         |         LATERAL (SELECT unnest(generate_series(1, len(L)-2)) AS i) g),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pair AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+         |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2),
+         |jp AS (SELECT id1, id2
+         |  FROM pair JOIN cnt ca ON ca.doc_id = id1
+         |            JOIN cnt cb ON cb.doc_id = id2
+         |  WHERE CAST(inter AS DOUBLE) / CAST(ca.n + cb.n - inter AS DOUBLE)
+         |    >= 0.8),
+         |tc AS (SELECT doc_id, tok2 AS tok, count(*) AS cnt
+         |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok2
+         |             FROM documents) GROUP BY 1, 2),
+         |th AS (SELECT tok, ${XxhSql.expr("tok", "42")} AS h
+         |       FROM (SELECT DISTINCT tok FROM tc)),
+         |thu AS (SELECT tok,
+         |          CASE WHEN h < 0 THEN h::HUGEINT + 18446744073709551616
+         |               ELSE h::HUGEINT END AS hu
+         |        FROM th),
+         |bits AS (SELECT doc_id, bit,
+         |           sum(CASE WHEN (hu // (${XxhSql.pow2List})[bit + 1]) % 2 = 1
+         |               THEN cnt ELSE -cnt END) AS bsum
+         |         FROM tc JOIN thu USING (tok)
+         |         CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) bb
+         |         GROUP BY 1, 2),
+         |sigu AS (SELECT doc_id,
+         |           sum(CASE WHEN bsum > 0 THEN (${XxhSql.pow2List})[bit + 1]
+         |               ELSE 0::HUGEINT END) AS su
+         |         FROM bits GROUP BY 1),
+         |sigs AS (SELECT doc_id, ${XxhSql.signed("su")} AS sig FROM sigu),
+         |sp AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |       FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |       WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+         |ep AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |       FROM documents a JOIN documents b
+         |         ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id),
+         |ne AS (SELECT count(*) AS n FROM ep),
+         |nj AS (SELECT count(*) AS n FROM jp),
+         |ns AS (SELECT count(*) AS n FROM sp),
+         |njs AS (SELECT count(*) AS n FROM jp JOIN sp USING (id1, id2)),
+         |nej AS (SELECT count(*) AS n FROM ep JOIN jp USING (id1, id2)),
+         |nes AS (SELECT count(*) AS n FROM ep JOIN sp USING (id1, id2))
+         |SELECT ne.n AS n_exact, nj.n AS n_jaccard, ns.n AS n_simhash,
+         |  njs.n AS n_jac_and_sim, nej.n AS n_exact_in_jac,
+         |  nes.n AS n_exact_in_sim,
+         |  nj.n - njs.n AS n_jaccard_only, ns.n - njs.n AS n_simhash_only
+         |FROM ne, nj, ns, njs, nej, nes""".stripMargin,
     // the full banding chain once, per-pair Jaccard once (zero-overlap
     // candidates kept via the left join), three conditional counts
     "dedup_threshold_curve" ->

@@ -451,6 +451,39 @@ object GraphOps {
         reach = reach.unionByName(fresh).cutLineage()
       }
       reach.orderBy("node")
+    },
+    // 3-truss extraction — the EDGE-density filter next to graph_kcore's
+    // node filter: keep only edges supported by ≥ 1 triangle (k−2 for
+    // k = 3), iterating because removing an unsupported edge can orphan
+    // its neighbors' triangles. Trusses are the community-core extractor
+    // that survives the "barely attached hub" k-core admits (a hub with
+    // many degree-1-style ties has high degree but triangle-free edges).
+    // FIXED-ROUND like kcore: three synchronous peel rounds (the spec
+    // shows the corpus reaches its fixpoint within them; peeling is
+    // monotone, so extra rounds are no-ops), each a wedge equi-join of
+    // the surviving edge list against itself — the candidate stream is
+    // bounded by Σ deg(u)·deg(v) over surviving edges, kept sparse by
+    // the support-≥2 projection exactly as the triangle kernel. Edge-
+    // list-sized `cutLineage()` per round (the graph_path_counts
+    // lesson: the round frame feeds three consumers).
+    "graph_ktruss" -> { (s, d) =>
+      var edges = copurchaseEdges(Tables(s, d), minSupport = 2)
+        .cutLineage()
+      def support(e: DataFrame): DataFrame = {
+        val und = e.select(col("u").as("src"), col("v").as("dst"))
+          .union(e.select(col("v"), col("u")))
+        e.as("e")
+          .join(und.as("a"), col("a.src") === col("e.u"))
+          .join(und.as("b"),
+            col("b.src") === col("e.v") && col("b.dst") === col("a.dst"))
+          .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+          .agg(count(lit(1)).as("support"))
+      }
+      for (_ <- 1 to 3) {
+        edges = support(edges).filter(col("support") >= 1)
+          .select("u", "v").cutLineage()
+      }
+      support(edges).orderBy("u", "v")
     }
   )
 
@@ -1142,6 +1175,29 @@ object GraphOps {
            |WHERE src IN (SELECT node FROM a6)
            |  AND dst IN (SELECT node FROM a6)
            |GROUP BY 1 ORDER BY node""".stripMargin
+      },
+      "graph_ktruss" -> {
+        // the same three synchronous edge-peel rounds, CTE for CTE:
+        // each round keeps edges with >= 1 wedge closing over the
+        // SURVIVING edge set
+        def round(prev: String, tn: String): String =
+          s"""u$tn AS (SELECT u AS src, v AS dst FROM $prev
+             |  UNION ALL SELECT v, u FROM $prev),
+             |$tn AS (SELECT e.u, e.v FROM $prev e
+             |  JOIN u$tn a ON a.src = e.u
+             |  JOIN u$tn b ON b.src = e.v AND b.dst = a.dst
+             |  GROUP BY 1, 2 HAVING count(*) >= 1)""".stripMargin
+        val chain = (1 to 3)
+          .map(i => round(s"t${i - 1}", s"t$i")).mkString(",\n")
+        s"""WITH $copurchaseSql,
+           |t0 AS (SELECT u, v FROM e0),
+           |$chain,
+           |uf AS (SELECT u AS src, v AS dst FROM t3
+           |  UNION ALL SELECT v, u FROM t3)
+           |SELECT e.u, e.v, count(*) AS support FROM t3 e
+           |JOIN uf a ON a.src = e.u
+           |JOIN uf b ON b.src = e.v AND b.dst = a.dst
+           |GROUP BY 1, 2 ORDER BY u, v""".stripMargin
       },
       "graph_random_walk" -> {
         // the same three hash-seeded argmin steps, CTE for CTE

@@ -545,6 +545,42 @@ class DedupSpec extends GraftSuite {
     spark.catalog.clearCache()
   }
 
+  test("method overlap: exact clones are inside BOTH detectors, counts " +
+      "agree with the shipped operators, regions tile") {
+    val got = graft.ops.DedupOps
+      .queries("dedup_method_overlap")(spark, sfDir)
+      .collect()(0)
+    val (ne, nj, ns) = (got.getLong(0), got.getLong(1), got.getLong(2))
+    val (njs, nej, nes) = (got.getLong(3), got.getLong(4), got.getLong(5))
+    val (jOnly, sOnly) = (got.getLong(6), got.getLong(7))
+    // provable containments: an exact clone has Jaccard 1 and Hamming 0
+    assert(nej == ne && nes == ne,
+      "exact pairs must be inside both near-dup detectors")
+    assert(jOnly == nj - njs && sOnly == ns - njs)
+    assert(njs <= nj && njs <= ns && ne <= njs)
+    spark.catalog.clearCache()
+    // totals equal the shipped operators' pair counts
+    assert(nj == pairs("dedup_ngram_jaccard").size.toLong)
+    assert(ns == pairs("dedup_simhash").size.toLong)
+    spark.catalog.clearCache()
+    // planted containment: an exact clone pair surfaces in BOTH
+    // detectors (sf0.001 has no organic exact dups — sf0.01 does, and
+    // the oracle gate covers that; this pins the CLAIM itself)
+    import spark.implicits._
+    val clone = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val planted = Seq(
+      (0L, clone), (1L, clone),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val pj = graft.ops.DedupOps
+      .jaccardDupPairs(graft.ops.DedupOps.shingleSets(planted), 4, 5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ps = graft.ops.DedupOps.simhashPairs(planted)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pj.contains((0L, 1L)) && ps.contains((0L, 1L)))
+    spark.catalog.clearCache()
+  }
+
   test("threshold curve: counts are monotone in t, the 0.8 point equals " +
       "the shipped LSH dedup's pair count, all from one candidate set") {
     val got = graft.ops.DedupOps

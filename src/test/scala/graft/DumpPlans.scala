@@ -173,7 +173,19 @@ object DumpPlans {
       "sim_dbscan_core" -> ("approximate DBSCAN core points: LSH " +
         "signatures computed map-side, candidate pairs from a bucket " +
         "equi-join (never all-pairs), exact-cosine verify on candidates " +
-        "only, endpoint fan-out is a map-side explode"))
+        "only, endpoint fan-out is a map-side explode"),
+      "dedup_substring_spans" -> ("ExactSubstr dedup: the token-count-" +
+        "sized window stream collapses in ONE groupBy(shingle) shuffle " +
+        "(the distributed suffix-array stand-in); only duplicated " +
+        "instances reach the per-doc islands window"),
+      "graph_path_counts" -> ("Brandes sigma forward pass: per round one " +
+        "frontier-edges equi-join + a dst-keyed sum, node-sized lineage " +
+        "cut per round (without it the chain replans ~2^k times — " +
+        "measured 27 s -> 3 s at sf0.1)"),
+      "pipeline_release" -> ("the release flagship: ONE persisted " +
+        "tokenized base read by the quality gate, the PPJoin pair graph " +
+        "and the split rollup; decontamination broadcasts the bench " +
+        "grams; the manifest is one split-keyed aggregate"))
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.DumpPlans\"` " +

@@ -670,4 +670,40 @@ class GraphOpsSpec extends GraftSuite {
     assert(got.exists(_._3 > 1L), "no shortest-path multiplicity at all")
     spark.catalog.clearCache()
   }
+
+  test("ktruss: three peel rounds reach the true fixpoint, every edge " +
+      "keeps >= 1 supporting triangle, and the truss prunes real edges") {
+    val it = graft.ops.Tables(spark, sfDir).lineitem
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val e0 = it.groupBy(_._1).values.toSeq.flatMap { rows =>
+      val ps = rows.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.size) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+      .filter(_._2 >= 2).keys.toSet
+    def peel(es: Set[(Long, Long)]): Set[(Long, Long)] = {
+      val adj = (es.toSeq ++ es.toSeq.map(_.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      es.filter { case (u, v) => (adj(u) & adj(v)).nonEmpty }
+    }
+    // peel to the TRUE fixpoint, counting rounds
+    var cur = e0
+    var rounds = 0
+    var prev = Set.empty[(Long, Long)]
+    while (cur != prev) { prev = cur; cur = peel(cur); rounds += 1 }
+    assert(rounds <= 3, s"fixpoint needs $rounds rounds — raise the cap")
+    val adj = (cur.toSeq ++ cur.toSeq.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = cur.toSeq.sorted.map { case (u, v) =>
+      (u, v, (adj(u) & adj(v)).size.toLong)
+    }
+    val got = graft.ops.GraphOps.queries("graph_ktruss")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"got=${got.take(3)} want=${want.take(3)}")
+    assert(got.forall(_._3 >= 1L))
+    // the truss is a strict subgraph on this corpus (peeling bites)
+    assert(got.size < e0.size && got.nonEmpty,
+      s"truss ${got.size} vs edges ${e0.size}")
+    spark.catalog.clearCache()
+  }
 }

@@ -165,8 +165,11 @@ class PlanCheckSpec extends GraftSuite {
     "sim_recall_vs_k",    // the brute top-10 ground-truth side: the
                           // 10-query set broadcast against the corpus
                           // (the LSH side is bucket equi-joins)
-    "data_split_temporal" // 1-row boundary-day scalar broadcast under
+    "data_split_temporal", // 1-row boundary-day scalar broadcast under
                           // the corpus scan (the events_did shape)
+    "dedup_method_overlap" // six 1-row scalar pair-count aggregates
+                          // combined into the single audit row (the
+                          // dedup_lsh_recall shape)
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides
