@@ -38,7 +38,8 @@ trait StatsModel {
     case _: LogicalFilter | _: PhysicalFilter =>
       math.max(1L, inputRows.head / 10) // fixed 10% selectivity
     case _: LogicalProject | _: PhysicalProject => inputRows.head
-    case _: LogicalJoin | _: PhysicalHashJoin =>
+    case _: LogicalJoin | _: PhysicalHashJoin |
+        _: PhysicalBroadcastHashJoin =>
       // FK-join heuristic: |A ⋈ B| ~ max(|A|,|B|) — symmetric, so the
       // commuted join lands in a group with the same cardinality and only
       // the COST (build-side choice) differentiates the two
@@ -78,6 +79,12 @@ final class CardinalityCostModel extends CostModel {
     case PhysicalProject(_)        => inputRows.head.toDouble
     case PhysicalHashJoin(_, _)    =>
       inputRows(0).toDouble + 2.0 * inputRows(1).toDouble
+    // never chosen under this model (replication factor 2W > the hash
+    // join's 2x build) — the single-node model sees no shuffle to avoid.
+    // ClusterCostModel is where the tradeoff exists.
+    case PhysicalBroadcastHashJoin(_, _) =>
+      inputRows(0).toDouble +
+        2.0 * ClusterCostModel.W * inputRows(1).toDouble
     case PhysicalSort(_)           =>
       val n = inputRows.head.toDouble
       n * (math.log(n + 1.0) / math.log(2.0))
@@ -86,5 +93,45 @@ final class CardinalityCostModel extends CostModel {
     case PhysicalExchange(keys)    =>
       val n = inputRows.head.toDouble
       if (keys.isEmpty) 3.0 * n else 2.0 * n
+  }
+}
+
+object ClusterCostModel {
+  /** Modeled executor count: what broadcast replication multiplies by.
+    * Spark's analog is the implicit ratio behind autoBroadcastJoinThreshold
+    * — replicating the build side W times must beat shuffling both sides
+    * once. Small on purpose: the golden tests want both outcomes reachable
+    * with reference-sized catalogs.
+    */
+  val W = 8
+}
+
+/** [[CardinalityCostModel]] plus the terms a CLUSTER pays for a join's
+  * data placement, folded into the join operators themselves (the mini IR
+  * tracks no base-table partitioning, so a shuffled hash join always pays
+  * its two exchanges and a broadcast join always pays W-fold build
+  * replication):
+  *
+  *  - shuffled hash join: both sides exchange once (2 rows-touched each,
+  *    the [[PhysicalExchange]] price) + probe + 2x build hash table;
+  *  - broadcast hash join: NO exchanges — the build side is serialized
+  *    once and materialized on each of W executors (W x 2 build), probe
+  *    streams in place.
+  *
+  * Crossover at build = probe / (2W - 2 - 2) ≈ probe/12 for W=8: a small
+  * dimension broadcasts, a comparable-size build side shuffles — decided
+  * by the memo's winner comparison, not a size threshold. Opt-in next to
+  * [[Rules.joinStrategyRules]].
+  */
+final class ClusterCostModel extends CostModel {
+  private val base = new CardinalityCostModel
+  def operatorCost(op: PhysicalOp, inputRows: Seq[Long]): Double = op match {
+    case PhysicalHashJoin(_, _) =>
+      2.0 * inputRows(0).toDouble + 2.0 * inputRows(1).toDouble +
+        inputRows(0).toDouble + 2.0 * inputRows(1).toDouble
+    case PhysicalBroadcastHashJoin(_, _) =>
+      inputRows(0).toDouble +
+        2.0 * ClusterCostModel.W * inputRows(1).toDouble
+    case other => base.operatorCost(other, inputRows)
   }
 }

@@ -56,6 +56,19 @@ final case class PhysicalProject(exprs: Seq[Expr]) extends PhysicalOp {
 }
 final case class PhysicalHashJoin(joinType: JoinType, cond: EqCond)
     extends PhysicalOp { def arity = 2 }
+/** Broadcast hash join — the second physical join strategy, beyond the
+  * reference's single `PhysicalHashJoin` (`operator/physical.rs:15-20`):
+  * the RIGHT (build) input is replicated to every partition of the probe
+  * side, so neither side shuffles. Only correct when unmatched BUILD rows
+  * never need emitting (Inner/Left; a Full join must see every build row
+  * exactly once — broadcast would emit its unmatched rows once PER COPY).
+  * Whether it beats the shuffle variant is a pure cost question
+  * ([[ClusterCostModel]]: W-fold replication vs two exchanges), decided by
+  * the cascades search — Spark's BroadcastHashJoinExec vs
+  * ShuffledHashJoinExec choice in miniature.
+  */
+final case class PhysicalBroadcastHashJoin(joinType: JoinType, cond: EqCond)
+    extends PhysicalOp { def arity = 2 }
 /** Sort ENFORCER — one step beyond the reference, which declares the
   * enforcer hook but returns an empty vec (`properties/physical.rs:16-24`,
   * consumed at `task.rs:431-462`) and stubs `OrderSpec::satisfies` to true
@@ -105,6 +118,8 @@ final case class PlanNode(op: Operator, inputs: Seq[PlanNode] = Nil) {
     case PhysicalFilter(p, _)    => s"PhysicalFilter($p)"
     case PhysicalProject(e)      => s"PhysicalProjection(${e.mkString(",")})"
     case PhysicalHashJoin(jt, c) => s"PhysicalHashJoin($jt, $c)"
+    case PhysicalBroadcastHashJoin(jt, c) =>
+      s"PhysicalBroadcastHashJoin($jt, $c, BuildRight)"
     case PhysicalSort(cols)      => s"PhysicalSort(${cols.mkString(",")})"
     case PhysicalExchange(keys) =>
       if (keys.isEmpty) "PhysicalExchange(gather)"
@@ -218,6 +233,11 @@ object PhysicalPropertySet {
       // key is NULL — not co-partitioned by cond.left (Spark likewise
       // reports UnknownPartitioning for full-outer shuffled hash joins).
       case (PhysicalHashJoin(jt, cond), DistributionSpec.Hashed(keys))
+          if keys == Seq(cond.left) &&
+            (jt == JoinType.Inner || jt == JoinType.Left) => Some(0)
+      // the broadcast variant streams the probe side through IDENTICALLY
+      // (the build side is replicated everywhere, touching no placement)
+      case (PhysicalBroadcastHashJoin(jt, cond), DistributionSpec.Hashed(keys))
           if keys == Seq(cond.left) &&
             (jt == JoinType.Inner || jt == JoinType.Left) => Some(0)
       case _ => None

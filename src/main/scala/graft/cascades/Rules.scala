@@ -40,6 +40,7 @@ object RuleId {
   case object CommutateJoin extends RuleId
   case object AssociateJoin extends RuleId
   case object Join2HashJoin extends RuleId
+  case object Join2BroadcastJoin extends RuleId
   case object Scan2TableScan extends RuleId
   case object Project2PhysicalProject extends RuleId
   case object Filter2PhysicalFilter extends RuleId
@@ -271,6 +272,29 @@ object Rules {
     }
   }
 
+  /** Second join implementation, beyond the reference's single physical
+    * join: [[PhysicalBroadcastHashJoin]] (build = RIGHT, replicated to
+    * every probe partition). Inner/Left only — a Full join must emit each
+    * unmatched build row exactly once, which a replicated build side
+    * cannot guarantee (each copy would emit it). Both implementations land
+    * in the same memo group and the cost search picks per query; under
+    * [[ClusterCostModel]] the small-build join goes broadcast and the
+    * big-big join keeps the shuffled variant — Spark's
+    * autoBroadcastJoinThreshold decision, made by search instead of a
+    * size cutoff.
+    */
+  object Join2BroadcastJoinRule extends OptRule {
+    val id = RuleId.Join2BroadcastJoin
+    override val isImplementation = true
+    val pattern = Pattern.node(isJoin, Pattern.any, Pattern.any)
+    def apply(expr: Node, ctx: RuleContext): Option[OptExpression] = expr match {
+      case Node(LogicalJoin(jt, cond), inputs)
+          if jt == JoinType.Inner || jt == JoinType.Left =>
+        Some(Node(PhysicalBroadcastHashJoin(jt, cond), inputs))
+      case _ => None
+    }
+  }
+
   /** Logical scan → physical table scan (implementation) —
     * `dolomite/src/rules/table_scan.rs:20-57`.
     */
@@ -472,4 +496,11 @@ object Rules {
     * rule abstains on every binding.
     */
   val joinEnumerationRules: Seq[OptRule] = all :+ JoinAssociativityRule
+  /** `all` + the broadcast join implementation: join-STRATEGY enumeration.
+    * Opt-in like join-order enumeration — the default search stays
+    * reference-faithful (one physical join) — and only meaningful with a
+    * cost model that prices distribution ([[ClusterCostModel]]); under the
+    * constant model both implementations tie and the first insertion wins.
+    */
+  val joinStrategyRules: Seq[OptRule] = all :+ Join2BroadcastJoinRule
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import graft.ops.Checkpoints._
 import org.apache.spark.sql.functions._
@@ -484,6 +484,42 @@ object GraphOps {
           .select("u", "v").cutLineage()
       }
       support(edges).orderBy("u", "v")
+    },
+    // One synchronous Louvain refinement pass (Blondel et al. 2008) over
+    // the label-propagation partition — the modularity-OPTIMIZING move
+    // step graph_modularity only scores: each node weighs moving to a
+    // neighboring community by the exact modularity delta
+    //   ΔQ ∝ 2m·(e_u→C − e_u→own) − d_u·(D_C − D_own + d_u)
+    // (common denominator 2m² dropped — sign and argmax survive), ALL
+    // INTEGER via the cross-multiplied numerator (the comparison doctrine
+    // of events_bot_flags), carried in DECIMAL(38,0): 2m·e overflows
+    // int64 past ~10⁹ edges, the table-checksum lesson. Per-node gains
+    // are computed against the FROZEN partition (synchronous variant —
+    // each individual move provably improves Q if applied alone, which
+    // the spec pins; production Louvain serializes moves, a driver loop
+    // this pass is the inner kernel of). Shape: per-(node, neighboring
+    // community) edge counts are one edge-keyed aggregate; community
+    // degree sums are label-sized; the argmax is a map-side max(struct);
+    // the 1-row edge total broadcasts (whitelisted scalar).
+    "graph_louvain_move" -> { (s, d) =>
+      val e0 = copurchaseEdges(Tables(s, d), minSupport = 2)
+      louvainMoveFrom(e0, labelPropagationFrom(e0, rounds = 3))
+    },
+    // Bottleneck (must-pass) nodes between seed pairs — the exact-integer
+    // fragment of Brandes betweenness that IS hash-gateable: v lies on
+    // EVERY shortest s–t path iff d(s,v)+d(v,t)=d(s,t) AND
+    // σ(s,v)·σ(v,t)=σ(s,t) (fractional dependencies δ would need
+    // order-sensitive IEEE sums — not portable across engines; the
+    // all-paths predicate is pure integers). The readout: per node, how
+    // many of the seed pairs it is unavoidable for — cut-vertex risk
+    // between those endpoints. 3 seeds (smallest node ids), 4-hop
+    // horizon like graph_path_counts; σ tables are one multi-seed
+    // forward BFS (seed rides the frontier key), pairs check via two
+    // (seed,node)-sized equi-joins; σ products compare in DECIMAL
+    // (σ grows multiplicatively with hops).
+    "graph_bottlenecks" -> { (s, d) =>
+      bottlenecksFrom(copurchaseEdges(Tables(s, d), minSupport = 2),
+        nSeeds = 3, hops = 4)
     }
   )
 
@@ -534,6 +570,109 @@ object GraphOps {
         count(when(pmod(col("node"), lit(2)) === 0, 1)).as("n_cust"),
         count(when(pmod(col("node"), lit(2)) === 1, 1)).as("n_supp"))
       .orderBy("scc_id")
+  }
+
+  /** One synchronous Louvain move pass over a canonical (u < v, distinct)
+    * edge list and a (node, label) partition — see the
+    * `graph_louvain_move` query comment. Separated (and taking the
+    * partition as an INPUT) so specs can plant a deliberately-suboptimal
+    * partition and hand-check the exact gains. Returns
+    * (node, from_label, to_label, gain_num) with gain_num = the exact
+    * cross-multiplied ΔQ numerator (2m² denominator), 0 when staying.
+    */
+  def louvainMoveFrom(edges0: DataFrame, partition: DataFrame): DataFrame = {
+    val edges = edges0.persist()
+    val und = edges.select(col("u").as("src"), col("v").as("dst"))
+      .union(edges.select(col("v").as("src"), col("u").as("dst")))
+    val labels = partition.cutLineage() // node-sized, read by 3 consumers
+    val m = edges.agg(count(lit(1)).as("m_edges"))
+    val deg = und.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("dg"))
+    val dc = labels.join(deg, "node")
+      .groupBy("label").agg(sum(col("dg")).as("dsum")) // label-sized
+    // per-node edge count into each ADJACENT community (≤ 2m rows total)
+    val eUC = und
+      .join(labels.select(col("node").as("dst"), col("label").as("cand")),
+        "dst")
+      .groupBy(col("src").as("node"), col("cand"))
+      .agg(count(lit(1)).as("e_uc"))
+    val eOwn = eUC.join(labels,
+        eUC("node") === labels("node") && eUC("cand") === labels("label"))
+      .select(eUC("node"), col("e_uc").as("e_own"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val gains = labels.as("c")
+      .join(eUC.as("q"),
+        col("q.node") === col("c.node") && col("q.cand") =!= col("c.label"))
+      .join(eOwn.as("o"), col("o.node") === col("c.node"), "left")
+      .join(deg.as("dg"), col("dg.node") === col("c.node"))
+      .join(dc.select(col("label").as("cand"), col("dsum").as("d_cand")),
+        Seq("cand"))
+      .join(dc.select(col("label"), col("dsum").as("d_own")), Seq("label"))
+      .crossJoin(broadcast(m))
+      .select(col("c.node").as("node"), col("label"), col("cand"),
+        (dec(col("m_edges") * 2) *
+          dec(col("e_uc") - coalesce(col("e_own"), lit(0L))) -
+          dec(col("dg.dg")) *
+            dec(col("d_cand") - col("d_own") + col("dg.dg"))).as("g"))
+    val best = gains
+      .groupBy("node")
+      .agg(max(struct(col("g"), (-col("cand")).as("neg"))).as("b"))
+      .select(col("node"), col("b.g").as("g"), (-col("b.neg")).as("cand"))
+    labels.join(best, Seq("node"), "left")
+      .select(col("node"), col("label").as("from_label"),
+        when(col("g") > 0, col("cand")).otherwise(col("label"))
+          .as("to_label"),
+        coalesce(when(col("g") > 0, col("g")), lit(0L))
+          .cast("decimal(38,0)").as("gain_num"))
+      .orderBy("node")
+  }
+
+  /** Multi-seed must-pass-node extraction — see the `graph_bottlenecks`
+    * query comment. Seeds are the `nSeeds` smallest node ids; the BFS
+    * horizon is `hops` (pairs farther apart are not evaluated, matching
+    * the oracle's capped unrolling). Returns (node, n_pairs) for nodes
+    * unavoidable on at least one seed pair's shortest paths.
+    */
+  def bottlenecksFrom(edges0: DataFrame, nSeeds: Int, hops: Int): DataFrame = {
+    val edges = edges0
+      .union(edges0.select(col("v").as("u"), col("u").as("v")))
+      .persist()
+    val seeds = edges.select(col("u")).distinct()
+      .orderBy("u").limit(nSeeds).select(col("u").as("seed"))
+    var reach = seeds
+      .select(col("seed"), col("seed").as("node"),
+        lit(0).as("dist"), lit(1L).as("sigma"))
+      .cutLineage()
+    for (step <- 1 to hops) {
+      val fresh = reach.filter(col("dist") === step - 1).as("f")
+        .join(edges.as("e"), col("f.node") === col("e.u"))
+        .groupBy(col("f.seed").as("seed"), col("e.v").as("node"))
+        .agg(sum(col("f.sigma")).as("sigma"))
+        .join(reach.select("seed", "node"), Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(step).as("dist"), col("sigma"))
+      // (seed,node)-sized cut per round — the graph_path_counts lesson
+      reach = reach.unionByName(fresh).cutLineage()
+    }
+    val pairs = seeds.as("a")
+      .join(seeds.as("b"), col("a.seed") < col("b.seed"))
+      .select(col("a.seed").as("s"), col("b.seed").as("t"))
+      .join(reach.as("r"),
+        col("r.seed") === col("s") && col("r.node") === col("t"))
+      .select(col("s"), col("t"),
+        col("r.dist").as("d_st"), col("r.sigma").as("s_st"))
+    val fromS = reach.select(col("seed").as("s"), col("node"),
+      col("dist").as("d_sv"), col("sigma").as("s_sv"))
+    val fromT = reach.select(col("seed").as("t"), col("node"),
+      col("dist").as("d_tv"), col("sigma").as("s_tv"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    broadcast(pairs)
+      .join(fromS, Seq("s"))
+      .join(fromT, Seq("t", "node"))
+      .filter(col("node") =!= col("s") && col("node") =!= col("t") &&
+        col("d_sv") + col("d_tv") === col("d_st") &&
+        dec(col("s_sv")) * dec(col("s_tv")) === dec(col("s_st")))
+      .groupBy("node").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("node")
   }
 
   /** Degree-assortativity coefficient over an undirected edge list given
@@ -1198,6 +1337,82 @@ object GraphOps {
            |JOIN uf a ON a.src = e.u
            |JOIN uf b ON b.src = e.v AND b.dst = a.dst
            |GROUP BY 1, 2 ORDER BY u, v""".stripMargin
+      },
+      // the label-propagation chain verbatim, then the exact
+      // cross-multiplied gain numerators; arithmetic in HUGEINT (the
+      // Spark side uses DECIMAL(38,0)), argmax via row_number with the
+      // identical (gain DESC, community ASC) tie order
+      "graph_louvain_move" ->
+        s"""WITH $copurchaseSql,
+           |$labelPropChainSql,
+           |m AS (SELECT count(*) AS m_edges FROM e0),
+           |deg AS (SELECT src AS node, count(*) AS dg FROM und
+           |  GROUP BY 1),
+           |dc AS (SELECT l.label, CAST(sum(dg) AS HUGEINT) AS dsum
+           |  FROM deg d JOIN l3 l ON l.node = d.node GROUP BY 1),
+           |euc AS (SELECT e.src AS node, l.label AS cand,
+           |    count(*) AS e_uc
+           |  FROM und e JOIN l3 l ON l.node = e.dst GROUP BY 1, 2),
+           |own AS (SELECT c.node, COALESCE(euc.e_uc, 0) AS e_own
+           |  FROM l3 c LEFT JOIN euc
+           |    ON euc.node = c.node AND euc.cand = c.label),
+           |gain AS (SELECT c.node, euc.cand,
+           |    CAST(2 * m_edges AS HUGEINT) * (euc.e_uc - own.e_own)
+           |      - CAST(deg.dg AS HUGEINT) *
+           |        (dcc.dsum - dco.dsum + deg.dg) AS g
+           |  FROM l3 c
+           |  JOIN euc ON euc.node = c.node AND euc.cand <> c.label
+           |  JOIN own ON own.node = c.node
+           |  JOIN deg ON deg.node = c.node
+           |  JOIN dc dcc ON dcc.label = euc.cand
+           |  JOIN dc dco ON dco.label = c.label
+           |  CROSS JOIN m),
+           |best AS (SELECT node, cand, g, row_number() OVER (
+           |    PARTITION BY node ORDER BY g DESC, cand ASC) AS rk
+           |  FROM gain)
+           |SELECT c.node, c.label AS from_label,
+           |  CASE WHEN b.g > 0 THEN b.cand ELSE c.label END AS to_label,
+           |  CAST(CASE WHEN b.g > 0 THEN b.g ELSE 0 END
+           |    AS DECIMAL(38,0)) AS gain_num
+           |FROM l3 c LEFT JOIN best b ON b.node = c.node AND b.rk = 1
+           |ORDER BY c.node""".stripMargin,
+      // the graph_path_counts unrolling with the seed riding the key,
+      // then the exact all-shortest-paths membership predicate
+      "graph_bottlenecks" -> {
+        def level(prev: String, acc: String, ln: String,
+            an: String, k: Int): String =
+          s"""$ln AS (SELECT f.seed, e.v AS node, $k AS dist,
+             |    CAST(sum(f.sigma) AS BIGINT) AS sigma
+             |  FROM $prev f JOIN e ON e.u = f.node
+             |  WHERE NOT EXISTS (SELECT 1 FROM $acc p
+             |    WHERE p.seed = f.seed AND p.node = e.v)
+             |  GROUP BY 1, 2),
+             |$an AS (SELECT * FROM $acc UNION ALL SELECT * FROM $ln)"""
+            .stripMargin
+        val chain = (1 to 4)
+          .map(k => level(s"l${k - 1}", s"a${k - 1}", s"l$k", s"a$k", k))
+          .mkString(",\n")
+        s"""WITH $copurchaseSql,
+           |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           |sd AS (SELECT DISTINCT u AS seed FROM e ORDER BY 1 LIMIT 3),
+           |l0 AS (SELECT seed, seed AS node, 0 AS dist,
+           |    CAST(1 AS BIGINT) AS sigma FROM sd),
+           |a0 AS (SELECT * FROM l0),
+           |$chain,
+           |p AS (SELECT a.seed AS s, b.seed AS t,
+           |    r.dist AS d_st, r.sigma AS s_st
+           |  FROM sd a JOIN sd b ON a.seed < b.seed
+           |  JOIN a4 r ON r.seed = a.seed AND r.node = b.seed),
+           |bt AS (SELECT fv.node
+           |  FROM p
+           |  JOIN a4 fv ON fv.seed = p.s
+           |    AND fv.node <> p.s AND fv.node <> p.t
+           |  JOIN a4 tv ON tv.seed = p.t AND tv.node = fv.node
+           |  WHERE fv.dist + tv.dist = p.d_st
+           |    AND CAST(fv.sigma AS HUGEINT) * CAST(tv.sigma AS HUGEINT)
+           |      = CAST(p.s_st AS HUGEINT))
+           |SELECT node, count(*) AS n_pairs FROM bt
+           |GROUP BY 1 ORDER BY node""".stripMargin
       },
       "graph_random_walk" -> {
         // the same three hash-seeded argmin steps, CTE for CTE

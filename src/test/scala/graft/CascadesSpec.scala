@@ -685,6 +685,80 @@ class CascadesSpec extends AnyFunSuite {
     assert(memo.group(joinGroup).cols == Set("a_k", "b_k", "b_x"))
   }
 
+  // --- join-STRATEGY enumeration (broadcast vs shuffled hash, by cost) ---
+
+  private def bestWith(rules: Seq[OptRule], stats: TableStats,
+      plan: PlanNode): (PlanNode, Double) = {
+    val opt = new CascadesOptimizer(rules,
+      costModel = new ClusterCostModel, stats = stats)
+    val (out, memo) = opt.optimizeWithMemo(plan)
+    (out.get,
+      memo.group(memo.root).winner(PhysicalPropertySet.default).get.cost)
+  }
+
+  test("strategy enumeration broadcasts a small build side under " +
+      "cluster costs, and the saving is the two exchanges") {
+    val stats = TableStats(Map("fact" -> 1000000L, "dim" -> 10L))
+    val plan = join(scan("fact"), scan("dim"), "f_k", "d_k")
+    val (plain, plainCost) = bestWith(Rules.all, stats, plan)
+    val (chosen, chosenCost) = bestWith(Rules.joinStrategyRules, stats, plan)
+    // reference-faithful rule set: only the shuffled variant exists, and
+    // the cluster model prices its two exchanges (2*(1e6+10)) on top of
+    // probe + 2x build
+    assert(plain == PlanNode(
+      PhysicalHashJoin(JoinType.Inner, EqCond(Col("f_k"), Col("d_k"))),
+      Seq(PlanNode(PhysicalTableScan("fact")),
+        PlanNode(PhysicalTableScan("dim")))), s"got:\n${plain.explain()}")
+    // with the broadcast implementation in the search, the 10-row build
+    // side replicates (2*W*10 = 160) instead of shuffling the fact table
+    assert(chosen == PlanNode(
+      PhysicalBroadcastHashJoin(JoinType.Inner,
+        EqCond(Col("f_k"), Col("d_k"))),
+      Seq(PlanNode(PhysicalTableScan("fact")),
+        PlanNode(PhysicalTableScan("dim")))), s"got:\n${chosen.explain()}")
+    // the saving is both exchanges minus the replication overhead:
+    // plain = 3e6 + 4*10 + scans; broadcast = 1e6 + 160 + scans
+    assert(chosenCost < plainCost - 1900000.0,
+      s"broadcast $chosenCost vs shuffled $plainCost")
+  }
+
+  test("strategy enumeration keeps the shuffled hash join for a " +
+      "comparable-size build side") {
+    val stats = TableStats(Map("fact" -> 1000000L, "fact2" -> 900000L))
+    val plan = join(scan("fact"), scan("fact2"), "f_k", "g_k")
+    val (chosen, _) =
+      bestWith(Rules.joinStrategyRules, stats, plan)
+    // replicating 9e5 rows W times (1.44e7) loses to shuffling both
+    // sides once (3.8e6): the memo keeps BOTH physical members and the
+    // winner comparison picks the exchange plan
+    assert(chosen == PlanNode(
+      PhysicalHashJoin(JoinType.Inner, EqCond(Col("f_k"), Col("g_k"))),
+      Seq(PlanNode(PhysicalTableScan("fact")),
+        PlanNode(PhysicalTableScan("fact2")))),
+      s"got:\n${chosen.explain()}")
+  }
+
+  test("broadcast join passes a probe-key distribution requirement " +
+      "through to the probe side, never the build side") {
+    // required Hashed(f_k) with f_k = the probe-side join key: the
+    // requirement pushes through the broadcast join to the fact scan
+    // (one exchange below the join) rather than enforcing above it —
+    // same contract as the shuffled probe-side passthrough
+    assert(PhysicalPropertySet.distributionPushdownChild(
+      PhysicalBroadcastHashJoin(JoinType.Inner,
+        EqCond(Col("f_k"), Col("d_k"))),
+      DistributionSpec.Hashed(Seq(Col("f_k")))) == Some(0))
+    assert(PhysicalPropertySet.distributionPushdownChild(
+      PhysicalBroadcastHashJoin(JoinType.Inner,
+        EqCond(Col("f_k"), Col("d_k"))),
+      DistributionSpec.Hashed(Seq(Col("d_k")))).isEmpty)
+    // Full joins never broadcast: unmatched build rows would emit per copy
+    assert(Rules.Join2BroadcastJoinRule(
+      Node(LogicalJoin(JoinType.Full, EqCond(Col("a"), Col("b"))),
+        Seq(GroupHandle(0), GroupHandle(1))),
+      new MemoContext(new Memo)).isEmpty)
+  }
+
   // --- explain (plan/explain.rs:44-95) ---
 
   test("explain renders the operator tree") {

@@ -706,4 +706,98 @@ class GraphOpsSpec extends GraftSuite {
       s"truss ${got.size} vs edges ${e0.size}")
     spark.catalog.clearCache()
   }
+
+  test("louvain move: planted misassignment moves with the hand gain, " +
+      "and applying any single positive move raises exact modularity") {
+    import spark.implicits._
+    // two triangles bridged at 3–4; node 3 is misassigned to the RIGHT
+    // community {4,5,6} — its only tie there is the bridge, while two
+    // ties pull it left: the pass must move 3 to community 1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("u", "v")
+    val part = Seq((1L, 1L), (2L, 1L), (3L, 4L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("node", "label")
+    val got = GraphOps.louvainMoveFrom(edges, part)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).toBigInteger.longValueExact()))
+    spark.catalog.clearCache()
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val m = es.size.toLong
+    val labels = Map(1L -> 1L, 2L -> 1L, 3L -> 4L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L)
+    val deg = es.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def exactQnum(lab: Map[Long, Long]): BigInt = {
+      // Q·(4m²) = Σ_c 4m·e_c − D_c² — exact integers
+      lab.values.toSeq.distinct.map { c =>
+        val nodes = lab.filter(_._2 == c).keySet
+        val eC = es.count(e => nodes(e._1) && nodes(e._2)).toLong
+        val dC = nodes.toSeq.map(deg).sum
+        BigInt(4 * m) * BigInt(eC) - BigInt(dC) * BigInt(dC)
+      }.sum
+    }
+    // hand replay of every node's best gain against the frozen partition
+    val und = es ++ es.map(_.swap)
+    val dsum = labels.groupBy(_._2).view
+      .mapValues(_.keySet.toSeq.map(deg).sum).toMap
+    val want = labels.keys.toSeq.sorted.map { u =>
+      val eTo = und.filter(_._1 == u).groupBy(e => labels(e._2))
+        .view.mapValues(_.size.toLong).toMap
+      val own = labels(u)
+      val cands = eTo.keys.filter(_ != own).toSeq.map { c =>
+        val g = BigInt(2 * m) *
+          BigInt(eTo(c) - eTo.getOrElse(own, 0L)) -
+          BigInt(deg(u)) * BigInt(dsum(c) - dsum(own) + deg(u))
+        (g, c)
+      }
+      val best = cands.sortBy { case (g, c) => (-g, c) }.headOption
+      best match {
+        case Some((g, c)) if g > 0 => (u, own, c, g.toLong)
+        case _                     => (u, own, own, 0L)
+      }
+    }
+    assert(got.toSeq == want, s"got=${got.toSeq} want=$want")
+    // the planted misassignment moves, and nodes already home stay
+    val row3 = got.find(_._1 == 3L).get
+    assert(row3._3 == 1L && row3._4 > 0L, s"node 3: $row3")
+    assert(got.count(_._4 > 0L) >= 1)
+    // Louvain invariant: each positive-gain move, applied ALONE to the
+    // frozen partition, strictly raises exact modularity, and the gain
+    // numerator IS the Q·(4m²) delta
+    got.filter(_._4 > 0L).foreach { case (u, _, to, g) =>
+      val before = exactQnum(labels)
+      val after = exactQnum(labels.updated(u, to))
+      assert(after - before == BigInt(2) * BigInt(g),
+        s"node $u: ΔQnum ${after - before} vs 2·gain ${2 * g}")
+    }
+  }
+
+  test("bottlenecks: path cut-vertex counts both pairs through it; a " +
+      "diamond has none; sf corpus rows are within pair bounds") {
+    import spark.implicits._
+    // path 1–2–3 plus diamond 3–4/3–5–6? keep two shapes separate:
+    // seeds are the 3 smallest nodes = 1, 2, 3
+    // graph A: path 1–2–3 and detour-free tail — 2 is unavoidable for
+    // (1,3); pairs (1,2) and (2,3) have no interior node
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val gotPath = GraphOps.bottlenecksFrom(path, nSeeds = 3, hops = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotPath == Seq((2L, 1L)), s"got=$gotPath")
+    // graph B: diamond 1–4–2, 1–5–2 (two parallel shortest paths) plus
+    // seed 3 hanging off 4: neither 4 nor 5 is unavoidable for (1,2)
+    // (σ=2 splits), but 4 IS for (1,3) and (2,3)
+    val diamond = Seq((1L, 4L), (4L, 2L), (1L, 5L), (5L, 2L), (4L, 3L))
+      .toDF("u", "v")
+    val gotD = GraphOps.bottlenecksFrom(diamond, nSeeds = 3, hops = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotD == Seq((4L, 2L)), s"got=$gotD")
+    spark.catalog.clearCache()
+    // sf corpus: counts bounded by the 3 pairs, no seed reported
+    val sf = GraphOps.queries("graph_bottlenecks")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sf.forall(r => r._2 >= 1L && r._2 <= 3L), sf.take(5))
+    spark.catalog.clearCache()
+  }
 }

@@ -167,9 +167,15 @@ class PlanCheckSpec extends GraftSuite {
                           // (the LSH side is bucket equi-joins)
     "data_split_temporal", // 1-row boundary-day scalar broadcast under
                           // the corpus scan (the events_did shape)
-    "dedup_method_overlap" // six 1-row scalar pair-count aggregates
+    "dedup_method_overlap", // six 1-row scalar pair-count aggregates
                           // combined into the single audit row (the
                           // dedup_lsh_recall shape)
+    "graph_louvain_move", // 1-row edge-count scalar broadcast under the
+                          // node-sized gain table (the graph_modularity
+                          // shape)
+    "graph_bottlenecks"   // 3-row seed frame self-paired on an inequality
+                          // (seed-pair enumeration); everything data-sized
+                          // is equi-joined on (seed, node)
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides
