@@ -46,6 +46,14 @@ object SyntheticSource {
     StructField("id", LongType, nullable = false),
     StructField("val", DoubleType, nullable = false),
     StructField("tag", StringType, nullable = false)))
+
+  /** Test-only observability: the last runtime filter each scan received
+    * via [[SupportsRuntimeFiltering]] and the range it narrowed to —
+    * runtime filtering happens DURING execution (AQE re-plans the batch
+    * scan's partitions), so a plan-string assertion can't see the effect;
+    * this hook records it. Not consulted by any production path.
+    */
+  @volatile var lastRuntimeFilter: Option[(Seq[Long], Long, Long)] = None
 }
 
 final class SyntheticTable(rows: Long, byTag: Boolean = false)
@@ -209,7 +217,41 @@ final class SingleRowReaderFactory(values: Array[Any])
   */
 final class SyntheticScan(lo: Long, hi: Long, limit: Option[Long],
     schema: StructType, pushed: Array[Filter], byTag: Boolean = false)
-  extends Scan with Batch with SupportsReportPartitioning {
+  extends Scan with Batch with SupportsReportPartitioning
+  with SupportsRuntimeFiltering {
+
+  // RUNTIME (post-planning) range, narrowed by dynamic partition pruning:
+  // Spark collects the join's build-side keys at execution time and hands
+  // them here as an In filter; BatchScanExec then re-plans input
+  // partitions against the narrowed range. Pruning-only semantics — the
+  // join above re-checks the keys, so collapsing the In-set to its
+  // [min, max] envelope is safe (same contract as parquet row-group
+  // pruning) and keeps partitions contiguous ranges. At 100 TB this is
+  // the difference between scanning the fact table's full id range and
+  // only the slice the dimension actually references.
+  @volatile private var rtLo: Long = Long.MinValue
+  @volatile private var rtHi: Long = Long.MaxValue // exclusive
+
+  // only while `id` survives column pruning: PartitionPruning resolves
+  // these against the scan OUTPUT and throws on a pruned column
+  override def filterAttributes(): Array[NamedReference] =
+    if (schema.fieldNames.contains("id"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column("id"))
+    else Array.empty
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case org.apache.spark.sql.sources.In("id", values) =>
+      val ids = values.collect { case v: Long => v }
+      if (ids.nonEmpty) {
+        rtLo = math.max(rtLo, ids.min)
+        rtHi = math.min(rtHi, ids.max + 1)
+      } else { rtLo = 0L; rtHi = 0L } // empty build side: nothing to scan
+      SyntheticSource.lastRuntimeFilter =
+        Some((ids.toSeq.sorted, math.max(lo, rtLo),
+          math.min(effectiveHi, rtHi)))
+    case _ => // unsupported runtime filter shapes are advisory: ignore
+  }
 
   private val effectiveHi: Long =
     limit.fold(hi)(n => math.min(hi, lo + n))
@@ -238,17 +280,21 @@ final class SyntheticScan(lo: Long, hi: Long, limit: Option[Long],
         .UnknownPartitioning(planInputPartitions().length)
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // runtime-narrowed bounds: identical to the planning-time range until
+    // a dynamic filter arrives, after which AQE re-plans through here
+    val rLo = math.max(lo, rtLo)
+    val rHi = math.min(effectiveHi, rtHi)
     if (keyGrouped) {
       (0 until 10).map { b =>
-        TagPartition(b, lo, effectiveHi): InputPartition
+        TagPartition(b, rLo, rHi): InputPartition
       }.toArray
     } else {
-      val span = math.max(0L, effectiveHi - lo)
+      val span = math.max(0L, rHi - rLo)
       val partSize = 4096L
       val n = math.max(1L, (span + partSize - 1) / partSize)
       (0L until n).map { i =>
-        SyntheticPartition(lo + i * partSize,
-          math.min(effectiveHi, lo + (i + 1) * partSize)): InputPartition
+        SyntheticPartition(rLo + i * partSize,
+          math.min(rHi, rLo + (i + 1) * partSize)): InputPartition
       }.toArray
     }
   }

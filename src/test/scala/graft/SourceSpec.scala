@@ -124,6 +124,35 @@ class SourceSpec extends GraftSuite {
     assert(d2.contains("range=[50,100)"), s"pushable range filter lost:\n$d2")
   }
 
+  test("runtime filtering: a selective broadcast dim dynamically narrows " +
+      "the generated id range (DSv2 dynamic partition pruning)") {
+    graft.sources.SyntheticSource.lastRuntimeFilter = None
+    val fact = synth(1000000)
+    // the build side must keep a live selective Filter node for the
+    // planner to insert a DynamicPruningSubquery (a local Seq folds to a
+    // LocalRelation and the predicate disappears — range() does not)
+    val dim = spark.range(0, 42)
+      .select((col("id") * 5 + 100).as("id"), pmod(col("id"), lit(7)).as("g"))
+      .filter(col("g") === 1)
+    val wantIds = (0L until 42L).filter(_ % 7 == 1).map(_ * 5 + 100)
+    val joined = fact.join(dim, Seq("id"))
+    val got = joined.collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == wantIds, s"got=$got")
+    // the runtime In-filter reached the scan and the re-planned range is
+    // the [min, max] envelope of the surviving build keys — 245 fact
+    // partitions (1e6/4096) collapse to ONE
+    val rf = graft.sources.SyntheticSource.lastRuntimeFilter
+    assert(rf.isDefined, "runtime filter never reached the scan — DPP " +
+      "did not fire")
+    val (ids, rLo, rHi) = rf.get
+    assert(ids == wantIds, s"ids=$ids")
+    assert(rLo == wantIds.min && rHi == wantIds.max + 1,
+      s"range=[$rLo,$rHi)")
+    // and the executed plan carries the dynamic pruning expression
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(2000))
+  }
+
   test("scan_source_join: the range filter and pruning reach the DSv2 " +
       "scan under a broadcast join with parquet") {
     val df = graft.ops.Relational.queries("scan_source_join")(spark, sfDir)
