@@ -1520,8 +1520,79 @@ object DataOps {
           when(col("watermark_day") - col("day") > 14, lit("drop"))
             .otherwise(lit("retain")).as("action"))
         .orderBy("day")
+    },
+    // Length-bucketed batching vs sequential batching — the padding-waste
+    // readout every fixed-shape training loop pays for: a batch pads every
+    // sequence to its longest member, so batching docs of similar length
+    // (bucket = n_tokens div 64) recovers the tokens sequential batching
+    // burns as padding. Both strategies batch 16 docs in doc_id order
+    // WITHIN a shard (pmod(doc_id, 8) — the pack_sequences sharding; a
+    // global order would be a single-reducer window at 100 TB, per-shard
+    // windows scale with the shard count). Exact integers end-to-end
+    // (padded = n_in_batch x max_tokens), one IEEE division per strategy
+    // row for the waste share.
+    "data_length_buckets" -> { (s, d) =>
+      val base = Tables(s, d).documents
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      def strat(name: String, parts: Seq[String]): DataFrame = {
+        val w = Window.partitionBy(parts.map(col): _*).orderBy("doc_id")
+        base
+          .withColumn("bucket", expr("n_tokens div 64"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("batch", expr("(rn - 1) div 16"))
+          .groupBy((parts.map(col) :+ col("batch")): _*)
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("real_t"),
+            max(col("n_tokens")).as("max_t"))
+          .agg(count(lit(1)).as("n_batches"),
+            sum(col("real_t")).as("real_tokens"),
+            sum(col("n_docs") * col("max_t")).as("padded_tokens"))
+          .select(lit(name).as("strategy"), col("n_batches"),
+            col("real_tokens"), col("padded_tokens"),
+            ((col("padded_tokens") - col("real_tokens")).cast("double") /
+              col("padded_tokens").cast("double")).as("waste_share"))
+      }
+      strat("bucketed", Seq("shard", "bucket"))
+        .unionByName(strat("sequential", Seq("shard")))
+        .orderBy("strategy")
+    },
+    // ε-differentially-private per-source histogram (ε=1, sensitivity 1):
+    // true counts + discrete-Laplace noise + the max(0, ·) post-processing
+    // release. The noise is the REAL two-sided geometric mechanism
+    // (P(k) ∝ e^{-|k|}, truncated at ±8 ≈ 3.4e-4 tail mass) drawn by
+    // inverse-CDF lookup over a PINNED cumulative threshold table on
+    // h = xxh64('DP' || source) mod 2^20 — deterministic so the oracle
+    // can gate the mechanism bit-for-bit (a production run swaps h for a
+    // fresh uniform draw; everything downstream is unchanged). The true
+    // count is emitted NEXT to the release for the gate's sake — a real
+    // release drops it. Shape: one partial+final count per source, noise
+    // is a map-side expression on the |sources|-sized rollup.
+    "data_dp_histogram" -> { (s, d) =>
+      val h = pmod(xxhash64(concat(lit("DP"), col("source"))),
+        lit(1048576L))
+      val noise = DpThresholds.foldRight(lit(null).cast("long")) {
+        case ((k, t), rest) => when(h < t, lit(k.toLong)).otherwise(rest)
+      }
+      Tables(s, d).documents
+        .groupBy("source").agg(count(lit(1)).as("n_true"))
+        .select(col("source"), col("n_true"), noise.as("noise"),
+          greatest(col("n_true") + noise, lit(0L)).as("n_dp"))
+        .orderBy("source")
     }
   )
+
+  /** Cumulative inverse-CDF thresholds for the truncated discrete Laplace
+    * (b = 1/ε = 1, support −8..8) on a 2^20 uniform grid: noise = the
+    * first k with h < threshold. Shared verbatim with the DuckDB oracle —
+    * the pinned-table doctrine of [[graft.functions.Kernels.LnTable]].
+    * Last threshold is exactly 2^20 so every h maps.
+    */
+  private val DpThresholds: Seq[(Int, Long)] = Seq(
+    -8 -> 162L, -7 -> 604L, -6 -> 1805L, -5 -> 5071L, -4 -> 13948L,
+    -3 -> 38077L, -2 -> 103668L, -1 -> 281961L, 0 -> 766614L,
+    1 -> 944907L, 2 -> 1010498L, 3 -> 1034627L, 4 -> 1043504L,
+    5 -> 1046770L, 6 -> 1047971L, 7 -> 1048413L, 8 -> 1048576L)
 
   /** The `data_encoding_advisor` core over any events-shaped frame
     * (event_id, event_type, user_id, value) — separated so specs can
@@ -2648,7 +2719,46 @@ object DataOps {
         |w AS (SELECT day, n_rows, max(day) OVER () AS wm FROM d)
         |SELECT day, n_rows, wm - day AS age_days,
         |  CASE WHEN wm - day > 14 THEN 'drop' ELSE 'retain' END AS action
-        |FROM w ORDER BY day""".stripMargin
+        |FROM w ORDER BY day""".stripMargin,
+    // the identical per-shard(/bucket) row_number batching, both
+    // strategies, rolled up with the same exact-integer padding arithmetic
+    "data_length_buckets" -> {
+      def strat(name: String, parts: String): String =
+        s"""SELECT '$name' AS strategy, count(*) AS n_batches,
+           |  CAST(sum(real_t) AS BIGINT) AS real_tokens,
+           |  CAST(sum(n_docs * max_t) AS BIGINT) AS padded_tokens,
+           |  CAST(sum(n_docs * max_t) - sum(real_t) AS DOUBLE) /
+           |    CAST(sum(n_docs * max_t) AS DOUBLE) AS waste_share
+           |FROM (
+           |  SELECT $parts, (rn - 1) // 16 AS batch, count(*) AS n_docs,
+           |    sum(n_tokens) AS real_t, max(n_tokens) AS max_t
+           |  FROM (SELECT *, row_number() OVER (
+           |      PARTITION BY $parts ORDER BY doc_id) AS rn FROM base)
+           |  GROUP BY $parts, batch)""".stripMargin
+      s"""WITH base AS (SELECT doc_id, doc_id % 8 AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) // 64 AS bucket
+         |  FROM documents)
+         |SELECT * FROM (
+         |${strat("bucketed", "shard, bucket")}
+         |UNION ALL
+         |${strat("sequential", "shard")})
+         |ORDER BY strategy""".stripMargin
+    },
+    // the same pinned inverse-CDF threshold table over the XXH64 replica
+    "data_dp_histogram" -> {
+      val h = s"((${XxhSql.expr("'DP' || source", "42")} % 1048576)" +
+        " + 1048576) % 1048576"
+      val noiseCase = DpThresholds
+        .map { case (k, t) => s"WHEN h < $t THEN CAST($k AS BIGINT)" }
+        .mkString("CASE ", " ", " END")
+      s"""WITH c AS (SELECT source, count(*) AS n_true FROM documents
+         |  GROUP BY 1),
+         |n AS (SELECT source, n_true, $h AS h FROM c)
+         |SELECT source, n_true, $noiseCase AS noise,
+         |  greatest(n_true + ($noiseCase), 0) AS n_dp
+         |FROM n ORDER BY source""".stripMargin
+    }
   )
 
   /** Oracle spelling of [[graft.functions.Kernels.zorder2]]: the same 32

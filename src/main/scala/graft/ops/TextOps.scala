@@ -106,6 +106,38 @@ object TextOps {
         meanLen.as("mean_token_len"))
         .orderBy("doc_id")
     },
+    // Readability panel (Flesch reading ease + Flesch-Kincaid grade):
+    // the published formulas over exact-integer counts — words (the
+    // shared tokenizer), syllables (vowel-run count [aeiouy]+, the
+    // standard heuristic), and sentences. The corpus carries no sentence
+    // punctuation (verified), so sentences fall back to fixed 16-word
+    // segments — ceil(words/16), the documented degradation; a punctuated
+    // corpus would count [.!?] runs instead. Both scores are one pinned
+    // IEEE tree over the integer counts (literal constants exponent-form
+    // in the oracle so DuckDB parses them as DOUBLE — the LnTable
+    // lesson). Pure map stage, zero shuffles beyond the presentation
+    // sort.
+    "text_readability" -> { (s, d) =>
+      val w = size(toks(col("text"))).cast("long")
+      Tables(s, d).documents
+        .select(col("doc_id"), w.as("n_words"),
+          regexp_count(lower(col("text")), lit("[aeiouy]+"))
+            .cast("long").as("n_syllables"))
+        .withColumn("n_sentences", expr("(n_words + 15) div 16"))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          (lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") /
+              col("n_sentences").cast("double")) -
+            lit(84.6) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double"))).as("flesch_ease"),
+          (lit(0.39) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) +
+            lit(11.8) * (col("n_syllables").cast("double") /
+              col("n_words").cast("double")) -
+            lit(15.59)).as("fk_grade"))
+        .orderBy("doc_id")
+    },
     // Heuristic language ID: score candidate languages by marker-token hit
     // counts (an n-gram-profile scorer degenerated to unigram markers — the
     // corpus vocabulary is synthetic); deterministic argmax with fixed
@@ -1341,6 +1373,25 @@ object TextOps {
          |  CAST(length(text) - (len($tokSql) - 1) AS DOUBLE)
          |    / CAST(len($tokSql) AS DOUBLE) AS mean_token_len
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // the same exact-integer counts and the same pinned IEEE trees;
+    // constants exponent-form so DuckDB parses DOUBLE, not DECIMAL
+    "text_readability" ->
+      s"""WITH c AS (SELECT doc_id,
+         |    CAST(len($tokSql) AS BIGINT) AS n_words,
+         |    (CAST(len($tokSql) AS BIGINT) + 15) // 16 AS n_sentences,
+         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+         |      AS BIGINT) AS n_syllables
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  206.835e0 - 1.015e0 * (CAST(n_words AS DOUBLE) /
+         |      CAST(n_sentences AS DOUBLE)) -
+         |    84.6e0 * (CAST(n_syllables AS DOUBLE) /
+         |      CAST(n_words AS DOUBLE)) AS flesch_ease,
+         |  0.39e0 * (CAST(n_words AS DOUBLE) /
+         |      CAST(n_sentences AS DOUBLE)) +
+         |    11.8e0 * (CAST(n_syllables AS DOUBLE) /
+         |      CAST(n_words AS DOUBLE)) - 15.59e0 AS fk_grade
+         |FROM c ORDER BY doc_id""".stripMargin,
     "text_lang_id" ->
       s"""WITH sc AS (
          |  SELECT doc_id, lang,

@@ -1115,4 +1115,67 @@ class DataOpsSpec extends GraftSuite {
     assert(got.map(_._2).sum == days.length.toLong)
     spark.catalog.clearCache()
   }
+
+  test("length buckets: both strategies match a driver-side batching " +
+      "replay, and bucketing never pads more than sequential") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.ops.Tables(spark, sfDir).documents
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def replay(key: ((Long, Long)) => Seq[Long]): (Long, Long, Long) = {
+      val batches = docs.groupBy(key).values.flatMap { grp =>
+        grp.sortBy(_._1).map(_._2).grouped(16).toSeq
+      }.toSeq
+      (batches.size.toLong, batches.map(_.sum).sum,
+        batches.map(b => b.size.toLong * b.max).sum)
+    }
+    val wantB = replay { case (id, n) => Seq(id % 8, n / 64) }
+    val wantS = replay { case (id, _) => Seq(id % 8) }
+    val got = graft.ops.DataOps.queries("data_length_buckets")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got.map(_._1) == Seq("bucketed", "sequential"))
+    val b = got(0); val q = got(1)
+    assert((b._2, b._3, b._4) == wantB, s"bucketed $b vs $wantB")
+    assert((q._2, q._3, q._4) == wantS, s"sequential $q vs $wantS")
+    // the whole point: same real tokens, less padding when bucketed
+    assert(b._3 == q._3 && b._4 < q._4,
+      s"bucketed padding ${b._4} vs sequential ${q._4}")
+    assert(b._5 == (b._4 - b._3).toDouble / b._4.toDouble)
+    spark.catalog.clearCache()
+  }
+
+  test("dp histogram: the release is max(0, true + noise), noise is the " +
+      "pinned table's inverse-CDF draw, and the table is a valid CDF") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ops.DataOps.queries("data_dp_histogram")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got.nonEmpty)
+    got.foreach { case (src, nTrue, noise, nDp) =>
+      assert(noise >= -8L && noise <= 8L, s"$src noise=$noise")
+      assert(nDp == math.max(0L, nTrue + noise), s"$src")
+    }
+    // replay the draw: h = xxh64('DP'||source) mod 2^20 over the pinned
+    // cumulative thresholds (recomputed here from e^-|k| — the spec
+    // guards the table itself against drift)
+    val ths = {
+      val ks = -8 to 8
+      val w = ks.map(k => math.exp(-math.abs(k).toDouble))
+      val z = w.sum
+      val cum = w.scanLeft(0.0)(_ + _).tail
+      ks.zip(cum.map(c => math.min(1L << 20,
+        math.floor(c / z * (1L << 20)).toLong)))
+        .toSeq.init :+ (8 -> (1L << 20))
+    }
+    val hs = got.map(_._1).map { src =>
+      spark.sql(s"SELECT pmod(xxhash64('DP$src'), 1048576)")
+        .collect()(0).getLong(0)
+    }
+    got.zip(hs).foreach { case ((src, _, noise, _), h) =>
+      val want = ths.find(h < _._2).get._1.toLong
+      assert(noise == want, s"$src h=$h noise=$noise want=$want")
+    }
+    spark.catalog.clearCache()
+  }
 }

@@ -777,4 +777,29 @@ class TextOpsSpec extends GraftSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("readability: counts match a driver-side replay and the scores " +
+      "are the exact pinned formula trees") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.ops.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.sortBy(_._1).map { case (id, text) =>
+      val w = text.split(" ", -1).length.toLong
+      val s = (w + 15) / 16
+      val syl = "[aeiouy]+".r.findAllIn(text.toLowerCase).size.toLong
+      val ease = 206.835 - 1.015 * (w.toDouble / s.toDouble) -
+        84.6 * (syl.toDouble / w.toDouble)
+      val grade = 0.39 * (w.toDouble / s.toDouble) +
+        11.8 * (syl.toDouble / w.toDouble) - 15.59
+      (id, w, s, syl, ease, grade)
+    }.toSeq
+    val got = graft.ops.TextOps.queries("text_readability")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == want, s"got=${got.take(2)} want=${want.take(2)}")
+    // every doc has vowels (the scores are live, not a degenerate 0/w)
+    assert(got.forall(_._4 > 0L))
+    spark.catalog.clearCache()
+  }
 }
