@@ -106,6 +106,69 @@ object StreamingOps {
       .toDF()
   }
 
+  final case class ClosedSession(user_id: Long, n_events: Long,
+      start_ms: Long, last_ms: Long)
+  /** Carries the WATERMARKED TimestampType column through to the stateful
+    * operator — event-time timeouts require the watermark column to
+    * survive into the [flatMap]GroupsWithState input, a projection that
+    * drops it fails analysis.
+    */
+  final case class TimedEvent(user_id: Long, event_id: Long, ts_ms: Long,
+      event_ts: java.sql.Timestamp)
+
+  /** Append-mode sessionization with EVENT-TIME TIMEOUTS — see the
+    * `events_session_timeout_stream` query comment. State is one open
+    * session per user (O(keys)); a session leaves state either when a
+    * later in-batch event closes it or when the watermark passes
+    * last + gap and the timeout callback fires.
+    */
+  def timeoutSessions(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val GapMs = 1800000L
+    events
+      .withWatermark("event_ts", "2 hours")
+      .select(col("user_id"), col("event_id"), tsMs.as("ts_ms"),
+        col("event_ts"))
+      .as[TimedEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(
+        (user: Long, rows: Iterator[TimedEvent],
+         state: GroupState[UserSessionState]) => {
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: the open session is final
+            val st = state.get
+            state.remove()
+            Iterator(ClosedSession(user, st.nEvents, st.startMs, st.lastMs))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts_ms, e.event_id))
+            var open = state.getOption
+            val closed =
+              scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            sorted.foreach { e =>
+              open match {
+                case Some(st) if e.ts_ms - st.lastMs <= GapMs =>
+                  open = Some(st.copy(nEvents = st.nEvents + 1,
+                    startMs = math.min(st.startMs, e.ts_ms),
+                    lastMs = math.max(st.lastMs, e.ts_ms)))
+                case Some(st) =>
+                  closed +=
+                    ClosedSession(user, st.nEvents, st.startMs, st.lastMs)
+                  open = Some(UserSessionState(1L, e.ts_ms, e.ts_ms))
+                case None =>
+                  open = Some(UserSessionState(1L, e.ts_ms, e.ts_ms))
+              }
+            }
+            open.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastMs + GapMs)
+            }
+            closed.iterator
+          }
+        })
+      .toDF()
+  }
+
   final case class FunnelEvent(user_id: Long, event_type: String, ts_ms: Long)
   /** Per-user first-occurrence stage times; Long.MaxValue = not seen. */
   final case class FunnelMins(v: Long, c: Long, p: Long)
@@ -481,6 +544,24 @@ object StreamingOps {
         .filter(col("rk") <= 3)
         .select("day", "rk", "event_type", "n")
         .orderBy("day", "rk")
+    },
+    // Eleventh streaming parity row: EVENT-TIME TIMEOUT — the state-store
+    // mechanism none of the other rows exercise. Sessions (30-min gap)
+    // emit through TWO paths a production session job has: (a) closed
+    // WITHIN a batch because a later same-user event follows, emitted
+    // immediately; (b) the user's open tail session, held in state with
+    // setTimeoutTimestamp(last + gap) and emitted by the TIMEOUT callback
+    // when the watermark passes it — which for this finite source happens
+    // in the trailing no-data microbatch (noDataMicroBatches), with
+    // Spark's strict predicate timeoutTs < watermark. Tail sessions
+    // within 2h+gap of stream end therefore NEVER emit — that held-back
+    // set is part of the contract and the oracle recomputes it exactly:
+    // emitted iff (not the user's last session) or
+    // last_ms + gap < max_ms − 2h.
+    "events_session_timeout_stream" -> { (s, d) =>
+      val res = runToMemory(timeoutSessions(s, readEvents(s, d)),
+        "events_session_timeout_stream_sink", OutputMode.Append())
+      res.orderBy("user_id", "start_ms")
     }
   )
 
@@ -589,6 +670,33 @@ object StreamingOps {
         |    PARTITION BY day ORDER BY n DESC, event_type ASC) AS INT) AS rk
         |  FROM daily)
         |SELECT day, rk, event_type, n FROM r WHERE rk <= 3
-        |ORDER BY day, rk""".stripMargin
+        |ORDER BY day, rk""".stripMargin,
+    // the gap-sessionization, then the EXACT emission rule: a session is
+    // in the sink iff a later same-user session closed it in-batch, or
+    // the final watermark (max_ms − 2h) STRICTLY passed last + gap
+    // (Spark's timeout predicate is timeoutTs < watermark)
+    "events_session_timeout_stream" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms
+        |  FROM events),
+        |wm AS (SELECT max(ms) - 7200000 AS w FROM e),
+        |f AS (SELECT *,
+        |    CASE WHEN lag(ms) OVER (PARTITION BY user_id
+        |        ORDER BY ms ASC, event_id ASC) IS NULL
+        |      OR ms - lag(ms) OVER (PARTITION BY user_id
+        |        ORDER BY ms ASC, event_id ASC) > 1800000
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+        |    ORDER BY ms ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f),
+        |s AS (SELECT user_id, sid, count(*) AS n_events,
+        |    min(ms) AS start_ms, max(ms) AS last_ms
+        |  FROM g GROUP BY 1, 2),
+        |h AS (SELECT *, max(sid) OVER (PARTITION BY user_id) AS last_sid
+        |  FROM s)
+        |SELECT user_id, n_events, start_ms, last_ms FROM h, wm
+        |WHERE sid < last_sid OR last_ms + 1800000 < w
+        |ORDER BY user_id, start_ms""".stripMargin
   )
 }

@@ -383,4 +383,50 @@ class StreamingSpec extends GraftSuite {
     }
     spark.catalog.clearCache()
   }
+
+  test("event-time timeout sessions: the sink holds exactly the batch " +
+      "sessions minus the watermark-held tail, via BOTH emission paths") {
+    import org.apache.spark.sql.functions._
+    val GapMs = 1800000L
+    val DelayMs = 7200000L
+    val ev = graft.ops.Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wm = ev.map(_._3).max - DelayMs
+    // driver-side gap sessionization
+    val sessions = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._3, e._2)).map(_._3)
+      val splits = sorted.zip(sorted.head +: sorted)
+        .map { case (cur, prev) => cur - prev > GapMs }
+      val ids = splits.scanLeft(0) { case (s, brk) =>
+        if (brk) s + 1 else s
+      }.tail
+      sorted.zip(ids).groupBy(_._2).toSeq.map { case (sid, ms) =>
+        (u, sid, ms.size.toLong, ms.map(_._1).min, ms.map(_._1).max)
+      }
+    }
+    val lastSid = sessions.groupBy(_._1).view.mapValues(_.map(_._2).max)
+    // emitted: closed in-batch (a later session exists) OR the timeout
+    // fired (strict <, Spark's predicate)
+    val want = sessions
+      .filter(s => s._2 < lastSid(s._1) || s._5 + GapMs < wm)
+      .map(s => (s._1, s._3, s._4, s._5))
+      .sortBy(s => (s._1, s._3))
+    val got = graft.streaming.StreamingOps
+      .queries("events_session_timeout_stream")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == want, s"got=${got.take(3)} want=${want.take(3)}")
+    // both paths fire and the held-back tail is real: some users' last
+    // sessions emitted via timeout, some sessions stayed in state
+    val timedOut = sessions
+      .filter(s => s._2 == lastSid(s._1) && s._5 + GapMs < wm)
+    val heldBack = sessions
+      .filter(s => s._2 == lastSid(s._1) && s._5 + GapMs >= wm)
+    assert(timedOut.nonEmpty, "no session emitted via the timeout path")
+    assert(heldBack.nonEmpty, "watermark held nothing back — the " +
+      "timeout boundary is untested")
+    assert(got.size == sessions.size - heldBack.size)
+    spark.catalog.clearCache()
+  }
 }
