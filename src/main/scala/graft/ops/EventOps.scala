@@ -892,6 +892,56 @@ object EventOps {
     // stays tiny and every factor is an exact power of two. One shuffle
     // on (type, day); the running sum is a bounded 24-row frame in both
     // engines, accumulated in the same ORDER BY order — bit-identical.
+    // Holt LINEAR-TREND exponential smoothing over the daily revenue
+    // series — the forecasting step up from events_ewma_daily (level
+    // only) and events_forecast_naive: level and trend recursions
+    // l_i = α·y_i + (1−α)·(l_{i−1}+t_{i−1}),
+    // t_i = β·(l_i − l_{i−1}) + (1−β)·t_{i−1}, α=0.5, β=0.3, zero-trend
+    // init. A linear recurrence is order-SENSITIVE IEEE, which is exactly
+    // why the EWMA row avoided it — here both engines run the SAME
+    // sequential fold (Spark: the `aggregate` higher-order function over
+    // the day-sorted array; DuckDB: a recursive CTE stepping rn → rn+1)
+    // with the identical expression tree, so the doubles match bitwise.
+    // Scale: the fold runs over the DAY-sized series (calendar length,
+    // ~10³ rows at any corpus size) after one partial+final day rollup —
+    // the single-row collect_list is day-frame-sized, never corpus-sized.
+    "events_holt_forecast" -> { (s, d) =>
+      val days = withMs(Tables(s, d).events)
+        .groupBy(expr(floorDivSql("ts_ms", DayMs)).as("day"))
+        .agg(dsum(s, col("value")).as("rev"))
+        .select(col("day"), col("rev").cast("double").as("y"))
+      days
+        .agg(sort_array(collect_list(struct(col("day"), col("y"))))
+          .as("s"))
+        .select(explode(expr(
+          """aggregate(
+            |  s,
+            |  named_struct(
+            |    'rows', cast(array() as
+            |      array<struct<day:bigint,y:double,level:double,
+            |                   trend:double>>),
+            |    'l', 0.0D, 't', 0.0D, 'i', 0),
+            |  (acc, x) -> if(acc.i = 0,
+            |    named_struct(
+            |      'rows', array_append(acc.rows, named_struct(
+            |        'day', x.day, 'y', x.y, 'level', x.y, 'trend', 0.0D)),
+            |      'l', x.y, 't', 0.0D, 'i', 1),
+            |    named_struct(
+            |      'rows', array_append(acc.rows, named_struct(
+            |        'day', x.day, 'y', x.y,
+            |        'level', 0.5D * x.y + 0.5D * (acc.l + acc.t),
+            |        'trend', 0.3D * ((0.5D * x.y + 0.5D * (acc.l + acc.t))
+            |          - acc.l) + 0.7D * acc.t)),
+            |      'l', 0.5D * x.y + 0.5D * (acc.l + acc.t),
+            |      't', 0.3D * ((0.5D * x.y + 0.5D * (acc.l + acc.t))
+            |        - acc.l) + 0.7D * acc.t,
+            |      'i', acc.i + 1)),
+            |  acc -> acc.rows)""".stripMargin)).as("r"))
+        .select(col("r.day").as("day"), col("r.y").as("y"),
+          col("r.level").as("level"), col("r.trend").as("trend"),
+          (col("r.level") + col("r.trend")).as("forecast_next"))
+        .orderBy("day")
+    },
     "events_ewma_daily" -> { (s, d) =>
       val hourly = withMs(Tables(s, d).events)
         .groupBy(expr(floorDivSql("ts_ms", HourMs)).as("hb"),
@@ -2482,6 +2532,27 @@ object EventOps {
         |  count(CASE WHEN late_ms > 3600000 THEN 1 END) AS n_late_1h,
         |  max(late_ms) AS max_late_ms
         |FROM l GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // the identical sequential fold as a recursive CTE (rn → rn+1), the
+    // identical IEEE trees; constants exponent-form so DuckDB parses
+    // DOUBLE
+    "events_holt_forecast" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT epoch_ms(ts) // 86400000 AS day,
+         |    ${sqlSum("value")} AS rev
+         |  FROM events GROUP BY 1),
+         |i AS (SELECT day, CAST(rev AS DOUBLE) AS y,
+         |    row_number() OVER (ORDER BY day) AS rn FROM d),
+         |h AS (
+         |  SELECT day, y, rn, y AS level, CAST(0 AS DOUBLE) AS trend
+         |  FROM i WHERE rn = 1
+         |  UNION ALL
+         |  SELECT i.day, i.y, i.rn,
+         |    0.5e0 * i.y + 0.5e0 * (h.level + h.trend),
+         |    0.3e0 * ((0.5e0 * i.y + 0.5e0 * (h.level + h.trend))
+         |      - h.level) + 0.7e0 * h.trend
+         |  FROM h JOIN i ON i.rn = h.rn + 1)
+         |SELECT day, y, level, trend, level + trend AS forecast_next
+         |FROM h ORDER BY day""".stripMargin,
     "events_ewma_daily" ->
       s"""WITH h AS (SELECT epoch_ms(ts) // 3600000 AS hb, event_type,
          |    ${sqlSum("value")} AS v

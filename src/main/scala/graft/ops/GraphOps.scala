@@ -236,6 +236,32 @@ object GraphOps {
       jaccardLinkpredFrom(copurchaseEdges(Tables(s, d), minSupport = 2),
         k = 20)
     },
+    // Resource-allocation link prediction (Zhou, Lü & Zhang 2009) —
+    // RA(u,v) = Σ_{z ∈ N(u)∩N(v)} 1/deg(z): common neighbors weighted
+    // by how CONCENTRATED each shared neighbor's attention is, the index
+    // that beats plain counts and Jaccard when hubs dominate (a shared
+    // hub is weak evidence, a shared leaf strong). Summing reciprocals
+    // is order-sensitive IEEE, so the weight is the EXACT integer
+    // 10¹² div deg(z) (floor) — the scaled sum is association-free and
+    // hash-gateable; ranking by it equals ranking by the true RA up to
+    // the 1e-12 quantization. Same wedge-join + anti-join shape as the
+    // Jaccard row; the per-wedge weight joins the node-sized degree
+    // table on the CENTER node before grouping.
+    "graph_resource_alloc" -> { (s, d) =>
+      val e0 = copurchaseEdges(Tables(s, d), minSupport = 2)
+      val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      val deg = e.groupBy(col("u").as("z")).agg(count(lit(1)).as("dz"))
+      e.as("a").join(e.as("b"),
+          col("a.v") === col("b.u") && col("a.u") < col("b.v"))
+        .select(col("a.u").as("u"), col("b.v").as("v"), col("a.v").as("z"))
+        .join(deg, "z")
+        .groupBy("u", "v")
+        .agg(count(lit(1)).as("n_common"),
+          sum(expr("1000000000000 div dz")).as("ra_scaled"))
+        .join(e0, Seq("u", "v"), "left_anti")
+        .orderBy(col("ra_scaled").desc, col("u").asc, col("v").asc)
+        .limit(20)
+    },
     // One Borůvka round of minimum-spanning-forest construction — the
     // selection step of the ONLY MST algorithm that parallelizes cleanly
     // (each round halves the component count, so a full MST is O(log n)
@@ -1451,6 +1477,20 @@ object GraphOps {
            |WHERE NOT EXISTS (SELECT 1 FROM e0
            |  WHERE e0.u = cand.u AND e0.v = cand.v)
            |ORDER BY jaccard DESC, u ASC, v ASC LIMIT 20""".stripMargin,
+      // the same wedge stream with the integer-scaled reciprocal weight
+      "graph_resource_alloc" ->
+        s"""WITH $copurchaseSql,
+           |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           |deg AS (SELECT u AS z, count(*) AS dz FROM e GROUP BY 1),
+           |w AS (SELECT a.u AS u, b.v AS v, a.v AS z
+           |  FROM e a JOIN e b ON a.v = b.u AND a.u < b.v),
+           |sc AS (SELECT u, v, count(*) AS n_common,
+           |    CAST(sum(1000000000000 // dz) AS BIGINT) AS ra_scaled
+           |  FROM w JOIN deg ON deg.z = w.z GROUP BY 1, 2)
+           |SELECT u, v, n_common, ra_scaled FROM sc
+           |WHERE NOT EXISTS (SELECT 1 FROM e0
+           |  WHERE e0.u = sc.u AND e0.v = sc.v)
+           |ORDER BY ra_scaled DESC, u ASC, v ASC LIMIT 20""".stripMargin,
       "graph_mst_round" ->
         s"""WITH $copurchaseSql,
            |we AS (SELECT u, v, (1000003 * u + 7919 * v) % 100003 AS w

@@ -1424,4 +1424,37 @@ class EventOpsSpec extends GraftSuite {
     val cum = got.map(_._6)
     assert(cum.max - cum.min <= daily.max - daily.min)
   }
+
+  test("holt forecast: the level/trend recursion matches a driver-side " +
+      "fold bit-for-bit, and the fit tracks the series") {
+    import org.apache.spark.sql.functions._
+    val days = graft.ops.Tables(spark, sfDir).events
+      .select((unix_millis(col("ts")) / 86400000L).cast("long").as("day"),
+        col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .groupBy(_._1).view
+      .mapValues(vs => vs.map(v => BigDecimal(v._2)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+      .toSeq.sortBy(_._1)
+    var (l, t) = (0.0, 0.0)
+    val want = days.zipWithIndex.map { case ((day, y), i) =>
+      if (i == 0) { l = y; t = 0.0 }
+      else {
+        val nl = 0.5 * y + 0.5 * (l + t)
+        val nt = 0.3 * ((0.5 * y + 0.5 * (l + t)) - l) + 0.7 * t
+        l = nl; t = nt
+      }
+      (day, y, l, t, l + t)
+    }
+    val got = EventOps.queries("events_holt_forecast")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == want, s"got=${got.take(2)} want=${want.take(2)}")
+    // the smoother is live: level stays within the series' envelope and
+    // some trend is nonzero on this non-constant corpus
+    val ys = got.map(_._2)
+    assert(got.forall(r => r._3 >= ys.min - 1e-9 && r._3 <= ys.max + 1e-9))
+    assert(got.exists(_._4 != 0.0))
+    spark.catalog.clearCache()
+  }
 }

@@ -707,6 +707,37 @@ class GraphOpsSpec extends GraftSuite {
     spark.catalog.clearCache()
   }
 
+  test("resource allocation: a leaf-shared pair outranks a hub-shared " +
+      "pair that plain common-neighbor counts tie") {
+    import org.apache.spark.sql.functions._
+    val it = graft.ops.Tables(spark, sfDir).lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val e0 = it.groupBy(_._1).values.flatMap { ps =>
+      val parts = ps.map(_._2).toSeq
+      for (a <- parts; b <- parts if a < b) yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size).toMap
+      .filter(_._2 >= 2).keys.toSet
+    val adj = (e0.toSeq ++ e0.toSeq.map(_.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = (for {
+      u <- adj.keys; z <- adj(u); v <- adj(z)
+      if u < v && !e0((u, v))
+    } yield (u, v)).toSeq.distinct.map { case (u, v) =>
+      val common = (adj(u) & adj(v)).toSeq
+      (u, v, common.size.toLong,
+        common.map(z => 1000000000000L / adj(z).size).sum)
+    }.sortBy { case (u, v, _, ra) => (-ra, u, v) }.take(20)
+    val got = GraphOps.queries("graph_resource_alloc")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == want, s"got=${got.take(3)} want=${want.take(3)}")
+    // the index quantifies concentration: every score decomposes into
+    // its common neighbors' exact reciprocal masses
+    assert(got.forall(r => r._4 > 0L && r._4 <= r._3 * 1000000000000L))
+    spark.catalog.clearCache()
+  }
+
   test("louvain move: planted misassignment moves with the hand gain, " +
       "and applying any single positive move raises exact modularity") {
     import spark.implicits._
