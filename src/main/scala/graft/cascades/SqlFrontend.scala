@@ -39,7 +39,21 @@ object SqlFrontend {
     *               reference's planner does.
     */
   def parse(sql: String,
-      schema: Map[String, Seq[String]] = Map.empty): PlanNode = {
+      schema: Map[String, Seq[String]] = Map.empty): PlanNode =
+    parseQuery(sql, schema)._1
+
+  /** [[parse]] plus the ROOT PHYSICAL PROPERTY the query demands:
+    * `ORDER BY col [, col]*` (before LIMIT) lowers to a required
+    * [[OrderSpec.SortedBy]] instead of a plan node — the Cascades-
+    * idiomatic reading (order is a property the search satisfies, by
+    * finding a delivering member or invoking the sort ENFORCER; the
+    * reference declares exactly this shape and stubs it,
+    * `properties/physical.rs:16-24`). Feed the returned property set to
+    * [[CascadesOptimizer.optimize]] as `required`.
+    */
+  def parseQuery(sql: String,
+      schema: Map[String, Seq[String]] = Map.empty)
+      : (PlanNode, PhysicalPropertySet) = {
     val toks = tokenize(sql)
     val p = new Parser(toks)
     p.expectKw("SELECT")
@@ -77,12 +91,27 @@ object SqlFrontend {
           LogicalProject(schema(firstTable).map(Col)), Seq(plan))
       case None => // no catalog entry (or a join): leave the tree bare
     }
+    val order: OrderSpec =
+      if (p.peekKw("ORDER")) {
+        p.next(); p.expectKw("BY")
+        OrderSpec.SortedBy(p.identList().map(Col))
+      } else OrderSpec.AnyOrder
     if (p.peekKw("LIMIT")) {
+      // SQL's ORDER BY + LIMIT is TOP-K: the sort must happen below the
+      // limit. The reference IR has no logical sort node (order existed
+      // only as the stubbed property), so that plan is not expressible —
+      // a root-property sort lands ABOVE the limit and the limit rules
+      // legally absorb the limit into the scan, silently changing which
+      // rows survive. Reject loudly rather than lower wrong semantics.
+      require(order == OrderSpec.AnyOrder,
+        "ORDER BY ... LIMIT is top-k, which the reference IR cannot " +
+          "express (no logical sort operator); use ORDER BY alone " +
+          "(required property) or LIMIT alone")
       p.next()
       plan = PlanNode(LogicalLimit(p.int()), Seq(plan))
     }
     p.expectEnd()
-    plan
+    (plan, PhysicalPropertySet.default.copy(order = order))
   }
 
   private def tokenize(sql: String): Vector[String] =

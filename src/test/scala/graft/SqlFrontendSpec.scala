@@ -127,4 +127,33 @@ class SqlFrontendSpec extends GraftSuite {
       intercept[IllegalArgumentException](SqlFrontend.parse(sql))
     }
   }
+
+  test("ORDER BY lowers to a required sort PROPERTY, the cascades search " +
+      "satisfies it with the enforcer, and top-k is rejected loudly") {
+    val (plan, req) =
+      SqlFrontend.parseQuery("SELECT a FROM t1 ORDER BY a")
+    // order is a property, not a node: the plan carries project/scan only
+    assert(req.order == OrderSpec.SortedBy(Seq(Col("a"))), req)
+    assert(plan == PlanNode(LogicalProject(Seq(Col("a"))),
+      Seq(PlanNode(LogicalScan("t1")))), plan.explain())
+    // end-to-end: the search implements physically and tops the winner
+    // with the PhysicalSort enforcer (no rule produces sorts)
+    val opt = new CascadesOptimizer(Rules.all)
+    val got = opt.optimize(plan, req).get
+    assert(got == PlanNode(PhysicalSort(Seq(Col("a"))),
+      Seq(PlanNode(PhysicalProject(Seq(Col("a"))),
+        Seq(PlanNode(PhysicalTableScan("t1")))))),
+      got.explain())
+    // without ORDER BY the same SQL demands nothing: no sort appears
+    val (p2, r2) = SqlFrontend.parseQuery("SELECT a FROM t1 LIMIT 5")
+    assert(r2 == PhysicalPropertySet.default)
+    val flat = opt.optimize(p2, r2).get
+    assert(flat == PlanNode(PhysicalProject(Seq(Col("a"))),
+      Seq(PlanNode(PhysicalTableScan("t1", Some(5))))), flat.explain())
+    // ORDER BY + LIMIT is top-k — inexpressible in the reference IR (no
+    // logical sort node; limit absorption below an enforced sort would
+    // silently change which rows survive): rejected, not lowered wrong
+    intercept[IllegalArgumentException](
+      SqlFrontend.parseQuery("SELECT a FROM t1 ORDER BY a LIMIT 5"))
+  }
 }
