@@ -182,6 +182,70 @@ object SimilarityOps {
       .otherwise(quant_dot(a, b).cast("double") /
         (sqrt(nn.cast("double")) * sqrt(cnn.cast("double"))))
 
+  /** NSW-style greedy search over a cell-partitioned proximity graph —
+    * see the `sim_ann_graph_greedy` query comment. Returns the full walk
+    * (query_id, step, vec_id, cos) for steps 0..`steps`.
+    */
+  private[graft] def graphGreedyFrom(emb: DataFrame, m: Int,
+      steps: Int): DataFrame = {
+    val base = quantizedBase(emb).persist()
+    val corpus = base.filter(col("vec_id") >= 10)
+    val centVec = labelCentroids(base)
+    val queries = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("qv").as("qq"),
+        col("nn").as("qnn"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("csim").desc, col("label").asc)
+    val probes = queries.join(broadcast(centVec))
+      .select(col("query_id"), col("label"),
+        cosSim(col("qnn"), col("cnn"), col("qq"), col("cvec")).as("csim"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") === 1)
+      .select("query_id", "label")
+    val wm = Window.partitionBy("label")
+      .orderBy(col("msim").desc, col("vec_id").asc)
+    val medoids = corpus.join(broadcast(centVec), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        cosSim(col("nn"), col("cnn"), col("qv"), col("cvec")).as("msim"))
+      .withColumn("rn", row_number().over(wm)).filter(col("rn") === 1)
+      .select(col("label"), col("vec_id").as("entry"))
+    val we = Window.partitionBy("src")
+      .orderBy(col("ecos").desc, col("dst").asc)
+    val edges = corpus.as("a").join(corpus.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        cosSim(col("a.nn"), col("b.nn"), col("a.qv"), col("b.qv"))
+          .as("ecos"))
+      .withColumn("rn", row_number().over(we)).filter(col("rn") <= m)
+      .select("src", "dst").persist()
+    def score(cand: DataFrame): DataFrame =
+      cand
+        .join(corpus.select(col("vec_id"), col("qv"), col("nn")), "vec_id")
+        .join(broadcast(queries), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          cosSim(col("qnn"), col("nn"), col("qq"), col("qv")).as("cos"))
+    var cur = score(probes.join(medoids, "label")
+        .select(col("query_id"), col("entry").as("vec_id")))
+      .withColumn("step", lit(0)).cutLineage()
+    var walk = cur
+    for (k <- 1 to steps) {
+      val cand = cur.select("query_id", "vec_id")
+        .unionByName(cur
+          .join(edges, cur("vec_id") === edges("src"))
+          .select(col("query_id"), col("dst").as("vec_id")))
+      cur = score(cand)
+        .groupBy("query_id")
+        .agg(max(struct(col("cos"), (-col("vec_id")).as("nv"))).as("b"))
+        .select(col("query_id"), (-col("b.nv")).as("vec_id"),
+          col("b.cos").as("cos"))
+        .withColumn("step", lit(k))
+        .cutLineage() // 10-row walk frame feeds union AND the next step
+      walk = walk.unionByName(cur)
+    }
+    walk.select("query_id", "step", "vec_id", "cos")
+      .orderBy("query_id", "step")
+  }
+
   /** IVF cosine top-5: coarse-assign each query to its `nprobe` nearest
     * per-label centroids, probe only those inverted lists, exact-score
     * the candidates. Shared by `sim_ann_ivf` and `sim_ann_recall_ivf` so
@@ -308,6 +372,24 @@ object SimilarityOps {
     // oracle replicates the whole pipeline (assignment included).
     "sim_ann_ivf" -> { (s, d) =>
       ivfTopkFrom(Tables(s, d).embeddings, nprobe = 2)
+    },
+    // GRAPH-based ANN (the NSW/HNSW family — the ANN shape the bucket
+    // (LSH), list (IVF), and code (PQ) variants don't cover): greedy
+    // best-first walk over a proximity graph. Graph build: within each
+    // coarse cell, every corpus vector keeps its top-4 neighbors by exact
+    // quantized cosine (the DiskANN-style partitioned build — the
+    // quadratic term is bounded per cell, never corpus-wide). Search:
+    // enter at the query's nearest cell's MEDOID (the member closest to
+    // the cell centroid), then three synchronous greedy steps — move to
+    // the best-scoring neighbor-or-self, ties to the smaller id. Three
+    // FIXED steps keep the oracle CTE-unrollable (the kcore doctrine);
+    // greedy is monotone so extra steps only extend converged walks.
+    // Emits the whole walk (step 0..3) — the monotone cos trajectory IS
+    // the readout. The engine scores ONLY visited candidates (≤ 5 per
+    // step per query); the oracle affords the full query×corpus matrix
+    // because it runs at sf0.01.
+    "sim_ann_graph_greedy" -> { (s, d) =>
+      graphGreedyFrom(Tables(s, d).embeddings, m = 4, steps = 3)
     },
     // Recall@5 of the IVF search against the brute-force ground truth —
     // the evaluation row the LSH path already has (sim_ann_recall),
@@ -1945,6 +2027,94 @@ object SimilarityOps {
         |  FROM scored)
         |SELECT query_id, vec_id, cos, rk FROM ranked
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // the quantize/centroid CTEs, then: medoid entry, within-cell top-4
+    // edges, and the three greedy steps unrolled (argmax via row_number
+    // with the identical (cos DESC, vec_id ASC) tie order); the oracle
+    // scores the full query×corpus matrix once for convenience — the
+    // VALUES equal the engine's visited-candidates-only scoring
+    "sim_ann_graph_greedy" -> {
+      def stepSql(prev: String, out: String): String =
+        s"""$out AS (SELECT query_id, vec_id, cos FROM (
+           |  SELECT c.query_id, c.vec_id, c.cos, row_number() OVER (
+           |      PARTITION BY c.query_id
+           |      ORDER BY c.cos DESC, c.vec_id ASC) AS rn
+           |  FROM (SELECT s.query_id, s.vec_id, s.cos FROM $prev s
+           |        UNION ALL
+           |        SELECT s.query_id, qc.vec_id, qc.cos FROM $prev s
+           |        JOIN edges e ON e.src = s.vec_id
+           |        JOIN qc ON qc.query_id = s.query_id
+           |          AND qc.vec_id = e.dst) c) WHERE rn = 1)""".stripMargin
+      """WITH q AS (SELECT vec_id, label, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
+        |cent AS (SELECT label, i,
+        |    CAST(floor(CAST(sum(v) * 1000 AS DOUBLE) / count(*)) AS BIGINT)
+        |      AS cv
+        |  FROM q GROUP BY 1, 2),
+        |cn AS (SELECT label, sum(cv * cv) AS cnn FROM cent GROUP BY 1),
+        |cdot AS (SELECT a.vec_id AS query_id, c.label, sum(a.v * c.cv) AS dot
+        |         FROM q a JOIN cent c ON c.i = a.i
+        |         WHERE a.vec_id < 10 GROUP BY 1, 2),
+        |csim AS (SELECT query_id, cdot.label,
+        |    CASE WHEN na.nn = 0 OR cn.cnn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+        |           sqrt(CAST(cn.cnn AS DOUBLE))) END AS sim
+        |  FROM cdot JOIN n na ON na.vec_id = query_id
+        |            JOIN cn ON cn.label = cdot.label),
+        |probe AS (SELECT query_id, label FROM (
+        |    SELECT query_id, label, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, label ASC) AS rn FROM csim)
+        |  WHERE rn = 1),
+        |mdot AS (SELECT b.vec_id, b.label, sum(b.v * c.cv) AS dot
+        |         FROM q b JOIN cent c ON c.label = b.label AND c.i = b.i
+        |         WHERE b.vec_id >= 10 GROUP BY 1, 2),
+        |msim AS (SELECT mdot.vec_id, mdot.label,
+        |    CASE WHEN nb.nn = 0 OR cn.cnn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(nb.nn AS DOUBLE)) *
+        |           sqrt(CAST(cn.cnn AS DOUBLE))) END AS sim
+        |  FROM mdot JOIN n nb ON nb.vec_id = mdot.vec_id
+        |            JOIN cn ON cn.label = mdot.label),
+        |med AS (SELECT label, vec_id AS entry FROM (
+        |    SELECT label, vec_id, row_number() OVER (PARTITION BY label
+        |      ORDER BY sim DESC, vec_id ASC) AS rn FROM msim)
+        |  WHERE rn = 1),
+        |pd AS (SELECT a.vec_id AS src, b.vec_id AS dst, sum(a.v * b.v) AS dot
+        |       FROM q a JOIN q b ON a.label = b.label AND a.i = b.i
+        |         AND a.vec_id <> b.vec_id
+        |       WHERE a.vec_id >= 10 AND b.vec_id >= 10 GROUP BY 1, 2),
+        |es AS (SELECT src, dst,
+        |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+        |           sqrt(CAST(nb.nn AS DOUBLE))) END AS cos
+        |  FROM pd JOIN n na ON na.vec_id = src
+        |          JOIN n nb ON nb.vec_id = dst),
+        |edges AS (SELECT src, dst FROM (
+        |    SELECT src, dst, row_number() OVER (PARTITION BY src
+        |      ORDER BY cos DESC, dst ASC) AS rn FROM es) WHERE rn <= 4),
+        |qd AS (SELECT a.vec_id AS query_id, b.vec_id, sum(a.v * b.v) AS dot
+        |       FROM q a JOIN q b ON a.i = b.i
+        |       WHERE a.vec_id < 10 AND b.vec_id >= 10 GROUP BY 1, 2),
+        |qc AS (SELECT query_id, qd.vec_id,
+        |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+        |           sqrt(CAST(nb.nn AS DOUBLE))) END AS cos
+        |  FROM qd JOIN n na ON na.vec_id = query_id
+        |          JOIN n nb ON nb.vec_id = qd.vec_id),
+        |s0 AS (SELECT p.query_id, qc.vec_id, qc.cos
+        |  FROM probe p JOIN med m USING (label)
+        |  JOIN qc ON qc.query_id = p.query_id AND qc.vec_id = m.entry),
+        |""".stripMargin +
+        stepSql("s0", "s1") + ",\n" + stepSql("s1", "s2") + ",\n" +
+        stepSql("s2", "s3") + "\n" +
+        """SELECT query_id, CAST(step AS INT) AS step, vec_id, cos FROM (
+          |  SELECT query_id, 0 AS step, vec_id, cos FROM s0
+          |  UNION ALL SELECT query_id, 1, vec_id, cos FROM s1
+          |  UNION ALL SELECT query_id, 2, vec_id, cos FROM s2
+          |  UNION ALL SELECT query_id, 3, vec_id, cos FROM s3)
+          |ORDER BY query_id, step""".stripMargin
+    },
     // the sim_ann_ivf CTE chain verbatim through `scored`, plus the
     // brute-force top-5 CTEs from sim_ann_recall, joined into recall@5
     "sim_ann_recall_ivf" ->

@@ -938,4 +938,46 @@ class SimilarityOpsSpec extends GraftSuite {
     assert(got.forall(g => g._4 >= 1L && g._4 <= 5L))
     spark.catalog.clearCache()
   }
+
+  test("graph greedy: walks are monotone and fixed, and on a planted " +
+      "chain the walk climbs to the true nearest neighbor") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // ONE cell: query 0 plus a chain 10..13 of increasing similarity to
+    // the query; each corpus vector's nearest neighbors link the chain,
+    // so the greedy walk must climb entry -> ... -> 13 (the true NN)
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val planted = Seq(
+      (0L, v(1.0, 0.0), 1),         // query: direction (1, 0)
+      (10L, v(-0.2, 1.0), 1),       // far
+      (11L, v(0.4, 1.0), 1),
+      (12L, v(1.0, 0.8), 1),
+      (13L, v(1.0, 0.2), 1))        // true NN
+      .toDF("vec_id", "embedding", "label")
+    val gotP = graft.ops.SimilarityOps
+      .graphGreedyFrom(planted, m = 1, steps = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(gotP.map(_._2) == Seq(0, 1, 2, 3))
+    // m=1 chain: each hop moves exactly one link toward the NN, so the
+    // terminal step must reach 13 regardless of the entry medoid
+    assert(gotP.last._3 == 13L, s"walk=$gotP")
+    val cosP = gotP.map(_._4)
+    assert(cosP.zip(cosP.tail).forall { case (a, b) => b >= a },
+      s"non-monotone walk: $cosP")
+    spark.catalog.clearCache()
+    // sf corpus: 10 queries x 4 steps, monotone per query, final step a
+    // LOCAL optimum (no graph neighbor of the endpoint scores higher)
+    val sf = graft.ops.SimilarityOps
+      .queries("sim_ann_graph_greedy")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(sf.size == 40 && sf.map(_._1).distinct.size == 10)
+    sf.groupBy(_._1).values.foreach { rows =>
+      val walk = rows.sortBy(_._2).map(_._4)
+      assert(walk.zip(walk.tail).forall { case (a, b) => b >= a },
+        s"non-monotone: $walk")
+    }
+    spark.catalog.clearCache()
+  }
 }
