@@ -248,8 +248,12 @@ object GraphOps {
     // Jaccard row; the per-wedge weight joins the node-sized degree
     // table on the CENTER node before grouping.
     "graph_resource_alloc" -> { (s, d) =>
-      val e0 = copurchaseEdges(Tables(s, d), minSupport = 2)
+      // edge list persisted once: it feeds the degree rollup, BOTH wedge
+      // sides, and the known-edge anti-join (4 consumers — the
+      // graph_triangles persist contract)
+      val e0 = copurchaseEdges(Tables(s, d), minSupport = 2).persist()
       val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+        .persist()
       val deg = e.groupBy(col("u").as("z")).agg(count(lit(1)).as("dz"))
       e.as("a").join(e.as("b"),
           col("a.v") === col("b.u") && col("a.u") < col("b.v"))
@@ -644,7 +648,11 @@ object GraphOps {
       .groupBy("node")
       .agg(max(struct(col("g"), (-col("cand")).as("neg"))).as("b"))
       .select(col("node"), col("b.g").as("g"), (-col("b.neg")).as("cand"))
-    labels.join(best, Seq("node"), "left")
+    // both sides are node-sized and stats-free after the lineage cut —
+    // left to itself Spark falls back to a sort-merge join; pin the
+    // co-partitioned shuffled-hash shape (one node exchange each side,
+    // no sorts) the gate demands
+    labels.join(best.hint("shuffle_hash"), Seq("node"), "left")
       .select(col("node"), col("label").as("from_label"),
         when(col("g") > 0, col("cand")).otherwise(col("label"))
           .as("to_label"),
