@@ -531,6 +531,40 @@ object DataOps {
         .orderBy("z")
         .limit(100)
     },
+    // File-SKIPPING evaluation of the z-order layout — the number that
+    // justifies data_zorder_cluster's sort: lay the pair projection out
+    // linearly (partkey-major) and z-ordered, cut 64-row blocks, compute
+    // each block's suppkey zone map, and count blocks a range predicate
+    // on l_suppkey IN [40, 49] can skip (mx < lo OR mn > hi — exactly the
+    // parquet row-group pruning test). Linear-by-partkey blocks span the
+    // whole suppkey domain (skip ≈ 0); z-order blocks confine BOTH
+    // dimensions (skip ≈ the selectivity complement). The global
+    // row_number is the block-definition device of the EVAL harness
+    // (same single-reducer caveat as data_shuffle_blocks) — a production
+    // run reads block stats from file footers written by the clustered
+    // sink; this query is the decision readout, not the write path.
+    "data_zorder_skipping" -> { (s, d) =>
+      val pairs = Tables(s, d).lineitem
+        .select("l_partkey", "l_suppkey").distinct()
+        .withColumn("z", graft.functions.functions.zorder2(
+          col("l_partkey"), col("l_suppkey")))
+      def eval(name: String, ord: Seq[Column]): DataFrame =
+        pairs
+          .withColumn("rn", row_number().over(Window.orderBy(ord: _*)))
+          .withColumn("blk", expr("(rn - 1) div 64"))
+          .groupBy("blk")
+          .agg(min(col("l_suppkey")).as("mn"), max(col("l_suppkey")).as("mx"))
+          .agg(count(lit(1)).as("n_blocks"),
+            count(when(col("mx") < 40 || col("mn") > 49, 1))
+              .as("n_skipped"))
+          .select(lit(name).as("layout"), col("n_blocks"), col("n_skipped"),
+            (col("n_skipped").cast("double") / col("n_blocks").cast("double"))
+              .as("skip_frac"))
+      eval("linear_partkey", Seq(col("l_partkey"), col("l_suppkey")))
+        .unionByName(eval("zorder",
+          Seq(col("z"), col("l_partkey"), col("l_suppkey"))))
+        .orderBy("layout")
+    },
     // FLAGSHIP end-to-end pretraining-corpus build — the full chain a
     // training-data pipeline runs, composed from the operators above as
     // ONE dataflow: language filter → quality gate (token count + stopword
@@ -2136,6 +2170,26 @@ object DataOps {
          |    AS z
          |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) p
          |ORDER BY z LIMIT 100""".stripMargin,
+    // the same two layouts, 64-row blocks, and the row-group pruning test
+    "data_zorder_skipping" -> {
+      def layout(name: String, ord: String): String =
+        s"""(SELECT '$name' AS layout, count(*) AS n_blocks,
+           |  count(CASE WHEN mx < 40 OR mn > 49 THEN 1 END) AS n_skipped
+           |FROM (SELECT (rn - 1) // 64 AS blk, min(l_suppkey) AS mn,
+           |    max(l_suppkey) AS mx
+           |  FROM (SELECT *, row_number() OVER (ORDER BY $ord) AS rn
+           |        FROM zp) GROUP BY 1))""".stripMargin
+      s"""WITH p AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+         |zp AS (SELECT l_partkey, l_suppkey,
+         |    ${zorderSql("l_partkey", "l_suppkey")} AS z FROM p)
+         |SELECT layout, n_blocks, n_skipped,
+         |  CAST(n_skipped AS DOUBLE) / CAST(n_blocks AS DOUBLE)
+         |    AS skip_frac
+         |FROM (${layout("linear_partkey", "l_partkey, l_suppkey")}
+         |  UNION ALL
+         |  ${layout("zorder", "z, l_partkey, l_suppkey")})
+         |ORDER BY layout""".stripMargin
+    },
     // the five pipeline stages as CTEs, sharing the gram CTEs with the
     // decontamination oracles and the scrub regexes with text_pii_scrub
     "pipeline_pretrain" ->

@@ -1145,6 +1145,42 @@ class DataOpsSpec extends GraftSuite {
     spark.catalog.clearCache()
   }
 
+  test("zorder skipping: block zone maps match a driver replay, the " +
+      "z-order layout skips blocks and the linear layout cannot") {
+    import org.apache.spark.sql.functions._
+    // sf0.01: the suppkey domain at sf0.001 is 0..9 — entirely below the
+    // operator's [40, 49] predicate, so both layouts trivially skip
+    // every block and the inequality is vacuous
+    val sfDir = "/root/testdata/sf0.01"
+    val pairs = graft.ops.Tables(spark, sfDir).lineitem
+      .select("l_partkey", "l_suppkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def interleave(a: Long, b: Long): Long =
+      (0 until 32).map(i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+    def replay(key: ((Long, Long)) => (Long, Long, Long)): (Long, Long) = {
+      val blocks = pairs.sortBy(key).grouped(64).toSeq
+      (blocks.size.toLong,
+        blocks.count { b =>
+          val ss = b.map(_._2); ss.max < 40 || ss.min > 49
+        }.toLong)
+    }
+    val wantLin = replay { case (p, sk) => (p, sk, 0L) }
+    val wantZ = replay { case (p, sk) => (interleave(p, sk), p, sk) }
+    val got = graft.ops.DataOps.queries("data_zorder_skipping")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got.map(_._1) == Seq("linear_partkey", "zorder"))
+    assert((got(0)._2, got(0)._3) == wantLin, s"${got(0)} vs $wantLin")
+    assert((got(1)._2, got(1)._3) == wantZ, s"${got(1)} vs $wantZ")
+    // the layout decision: zorder prunes real blocks under the suppkey
+    // predicate, partkey-major prunes (essentially) none
+    assert(got(1)._4 > got(0)._4 + 0.3,
+      s"zorder ${got(1)._4} vs linear ${got(0)._4}")
+    spark.catalog.clearCache()
+  }
+
   test("dp histogram: the release is max(0, true + noise), noise is the " +
       "pinned table's inverse-CDF draw, and the table is a valid CDF") {
     import org.apache.spark.sql.functions._
