@@ -216,10 +216,19 @@ final class CascadesOptimizer(
             val selfCost =
               costModel.operatorCost(op, e.inputs.map(memo.group(_).card))
             if (selfCost <= bound) { // upper-bound pruning (`task.rs:418-421`)
+              // correctness-required child distribution (Final/Complete
+              // aggregates): composes with parent-requirement pushdown —
+              // operators with an own child requirement never appear in
+              // distributionPushdownChild, so the two cannot collide
+              val ownReq =
+                PhysicalPropertySet.requiredChildDistribution(op)
               val childProps = e.inputs.indices.map { i =>
                 if (pushChild.contains(i))
                   PhysicalPropertySet.default.copy(
                     distribution = req.distribution)
+                else if (i == 0 && ownReq.isDefined)
+                  PhysicalPropertySet.default.copy(
+                    distribution = ownReq.get)
                 else PhysicalPropertySet.default
               }
               val winners = e.inputs.zip(childProps).map { case (in, cp) =>

@@ -47,6 +47,18 @@ trait StatsModel {
     case LogicalLimit(n)       => math.min(inputRows.head, n.toLong)
     case _: PhysicalSort       => inputRows.head
     case _: PhysicalExchange   => inputRows.head // repartition: same rows
+    // textbook reduction factors: a partial (per-partition) aggregate
+    // collapses ~5x, the grouped result ~10x of the raw input. The split
+    // decision only needs the ORDERING — partial output < raw input — to
+    // price the exchanged bytes correctly.
+    case PhysicalHashAggregate(AggMode.Partial, g, _) =>
+      if (g.isEmpty) 1L else math.max(1L, inputRows.head / 5)
+    case _: LogicalAggregate | _: PhysicalHashAggregate =>
+      op match {
+        case LogicalAggregate(g, _) if g.isEmpty          => 1L
+        case PhysicalHashAggregate(_, g, _) if g.isEmpty  => 1L
+        case _ => math.max(1L, inputRows.head / 10)
+      }
   }
 
   private def limited(rows: Long, limit: Option[Int]): Long =
@@ -88,6 +100,8 @@ final class CardinalityCostModel extends CostModel {
     case PhysicalSort(_)           =>
       val n = inputRows.head.toDouble
       n * (math.log(n + 1.0) / math.log(2.0))
+    // a hash aggregate touches every input row once (probe + update)
+    case PhysicalHashAggregate(_, _, _) => inputRows.head.toDouble
     // a shuffle serializes + transfers every input row (2x a plain
     // row-touch pass); a gather additionally funnels through one task
     case PhysicalExchange(keys)    =>

@@ -46,6 +46,29 @@ final case class LogicalJoin(joinType: JoinType, cond: EqCond)
     extends LogicalOp { def arity = 2 }
 /** `Limit { limit }` — `operator/limit.rs:7-13`. */
 final case class LogicalLimit(n: Int) extends LogicalOp { def arity = 1 }
+/** Aggregate call: `count` (col = None) or `sum(col)` — the minimal
+  * surface the split rule needs. Beyond the reference (its IR has no
+  * aggregation, `operator/mod.rs:26-47`); the point here is the
+  * DISTRIBUTED planning shape, not expression breadth.
+  */
+final case class AggCall(fn: String, col: Option[Col] = None)
+/** GROUP BY aggregation — beyond-reference logical node. */
+final case class LogicalAggregate(groupCols: Seq[Col], aggs: Seq[AggCall])
+    extends LogicalOp { def arity = 1 }
+/** Aggregation phase: Complete = one-shot over co-partitioned input;
+  * Partial = per-partition pre-aggregation (requires nothing, emits
+  * partial states); Final = merge of partials (requires Hashed(group)
+  * input — a count partial merges by SUM, the standard rewrite, carried
+  * implicitly by the mode).
+  */
+sealed trait AggMode
+object AggMode {
+  case object Partial extends AggMode
+  case object Final extends AggMode
+  case object Complete extends AggMode
+}
+final case class PhysicalHashAggregate(mode: AggMode, groupCols: Seq[Col],
+    aggs: Seq[AggCall]) extends PhysicalOp { def arity = 1 }
 
 final case class PhysicalTableScan(table: String, limit: Option[Int] = None)
     extends PhysicalOp { def arity = 0 }
@@ -114,6 +137,14 @@ final case class PlanNode(op: Operator, inputs: Seq[PlanNode] = Nil) {
     case LogicalProject(e)       => s"LogicalProjection(${e.mkString(",")})"
     case LogicalJoin(jt, c)      => s"LogicalJoin($jt, $c)"
     case LogicalLimit(n)         => s"LogicalLimit($n)"
+    case LogicalAggregate(g, a) =>
+      s"LogicalAggregate(keys=[${g.mkString(",")}], " +
+        s"aggs=[${a.map(c => c.fn + c.col.fold("")(x => s"(${x.name})"))
+          .mkString(",")}])"
+    case PhysicalHashAggregate(m, g, a) =>
+      s"PhysicalHashAggregate($m, keys=[${g.mkString(",")}], " +
+        s"aggs=[${a.map(c => c.fn + c.col.fold("")(x => s"(${x.name})"))
+          .mkString(",")}])"
     case PhysicalTableScan(t, l) => s"PhysicalTableScan($t${l.fold("")(n => s", limit=$n")})"
     case PhysicalFilter(p, _)    => s"PhysicalFilter($p)"
     case PhysicalProject(e)      => s"PhysicalProjection(${e.mkString(",")})"
@@ -189,8 +220,28 @@ object PhysicalPropertySet {
       if (keys.isEmpty) DistributionSpec.Singleton
       else DistributionSpec.Hashed(keys)
     case _: PhysicalTableScan => DistributionSpec.Random
+    // Final/Complete REQUIRE a co-partitioned (or gathered) input — see
+    // [[requiredChildDistribution]] — so their output provably carries
+    // that same placement: each group key lives in exactly one partition
+    case PhysicalHashAggregate(AggMode.Final | AggMode.Complete, g, _) =>
+      if (g.isEmpty) DistributionSpec.Singleton else DistributionSpec.Hashed(g)
     case _                    => DistributionSpec.Any
   }
+
+  /** Distribution an operator demands of its (single) input for
+    * CORRECTNESS — not an optimization, the operator is wrong without it:
+    * a Final/Complete hash aggregate must see every row of a group in one
+    * partition (Hashed on the group keys; Singleton when there are no
+    * keys). Partial aggregates run anywhere — that is their point.
+    * Spark's requiredChildDistribution is the production counterpart.
+    */
+  def requiredChildDistribution(op: PhysicalOp): Option[DistributionSpec] =
+    op match {
+      case PhysicalHashAggregate(AggMode.Final | AggMode.Complete, g, _) =>
+        Some(if (g.isEmpty) DistributionSpec.Singleton
+        else DistributionSpec.Hashed(g))
+      case _ => None
+    }
 
   /** Does `op` itself establish `required.distribution`? */
   def deliversDistribution(

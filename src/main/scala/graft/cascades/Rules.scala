@@ -41,6 +41,8 @@ object RuleId {
   case object AssociateJoin extends RuleId
   case object Join2HashJoin extends RuleId
   case object Join2BroadcastJoin extends RuleId
+  case object Agg2HashAgg extends RuleId
+  case object SplitAgg extends RuleId
   case object Scan2TableScan extends RuleId
   case object Project2PhysicalProject extends RuleId
   case object Filter2PhysicalFilter extends RuleId
@@ -88,7 +90,12 @@ object Provenance {
       if (proj.nonEmpty) proj.map(_.name).toSet else inputs.head
     case LogicalProject(es) => es.collect { case Col(n) => n }.toSet
     case PhysicalProject(es) => es.collect { case Col(n) => n }.toSet
-    case _: LogicalJoin | _: PhysicalHashJoin => inputs(0) ++ inputs(1)
+    case _: LogicalJoin | _: PhysicalHashJoin |
+        _: PhysicalBroadcastHashJoin => inputs(0) ++ inputs(1)
+    // an aggregate provides its group keys (the agg outputs are unnamed
+    // in this schema-less IR — provide only what is provably a column)
+    case LogicalAggregate(g, _)         => g.map(_.name).toSet
+    case PhysicalHashAggregate(_, g, _) => g.map(_.name).toSet
     case _ => inputs.headOption.getOrElse(Set.empty)
   }
 
@@ -141,6 +148,7 @@ object Rules {
     case _                              => false
   }
   private def isJoin(op: Operator) = op.isInstanceOf[LogicalJoin]
+  private def isAgg(op: Operator) = op.isInstanceOf[LogicalAggregate]
 
   /** `Limit(a, Limit(b, x))` → `Limit(min(a,b), x)` —
     * `dolomite/src/rules/limit.rs:73-115`.
@@ -483,12 +491,53 @@ object Rules {
       }
   }
 
+  /** One-phase implementation: aggregate over co-partitioned input
+    * (the Complete mode's [[PhysicalPropertySet.requiredChildDistribution]]
+    * makes the search exchange the RAW input — correct, and the baseline
+    * the split rule must beat on cost).
+    */
+  object Agg2HashAggRule extends OptRule {
+    val id = RuleId.Agg2HashAgg
+    override val isImplementation = true
+    val pattern = Pattern.node(isAgg, Pattern.any)
+    def apply(expr: Node, ctx: RuleContext): Option[OptExpression] =
+      expr match {
+        case Node(LogicalAggregate(g, aggs), inputs) =>
+          Some(Node(PhysicalHashAggregate(AggMode.Complete, g, aggs), inputs))
+        case _ => None
+      }
+  }
+
+  /** Two-phase split — THE distributed-aggregation optimization: a
+    * Partial aggregate below (runs on raw placement, shrinks each
+    * partition's rows before they move) and a Final above (its child
+    * requirement pulls the exchange between the two, now moving partial
+    * states instead of raw rows). Both implementations land in the same
+    * memo group; the cost search decides — under [[CardinalityCostModel]]
+    * the split wins whenever the partial reduction outpays the extra
+    * aggregate pass, exactly Spark's partial-agg planning made explicit.
+    */
+  object SplitAggRule extends OptRule {
+    val id = RuleId.SplitAgg
+    override val isImplementation = true
+    val pattern = Pattern.node(isAgg, Pattern.any)
+    def apply(expr: Node, ctx: RuleContext): Option[OptExpression] =
+      expr match {
+        case Node(LogicalAggregate(g, aggs), inputs) =>
+          Some(Node(PhysicalHashAggregate(AggMode.Final, g, aggs),
+            Seq(Node(PhysicalHashAggregate(AggMode.Partial, g, aggs),
+              inputs))))
+        case _ => None
+      }
+  }
+
   val rewriteRules: Seq[OptRule] =
     Seq(RemoveLimitRule, PushLimitOverProjectionRule, PushLimitToTableScanRule)
   val explorationRules: Seq[OptRule] = Seq(CommutateJoinRule)
   val implementationRules: Seq[OptRule] =
     Seq(Join2HashJoinRule, Scan2TableScanRule,
-      Project2PhysicalProjectRule, Filter2PhysicalFilterRule)
+      Project2PhysicalProjectRule, Filter2PhysicalFilterRule,
+      Agg2HashAggRule, SplitAggRule)
   val all: Seq[OptRule] = rewriteRules ++ explorationRules ++ implementationRules
   /** `all` + associativity: join-order enumeration. Not in `all` — the
     * default search stays reference-faithful (commutation only); opt in

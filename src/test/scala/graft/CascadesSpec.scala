@@ -759,6 +759,67 @@ class CascadesSpec extends AnyFunSuite {
       new MemoContext(new Memo)).isEmpty)
   }
 
+  // --- partial-aggregate split (beyond reference: distributed agg) ---
+
+  test("aggregate split: the search picks partial->exchange->final over " +
+      "exchanging raw rows, by cost — and one-phase under constant cost") {
+    val aggs = Seq(AggCall("count"), AggCall("sum", Some(Col("v"))))
+    val plan = PlanNode(LogicalAggregate(Seq(Col("g")), aggs),
+      Seq(scan("big")))
+    val stats = TableStats(Map("big" -> 1000000L))
+    val opt = new CascadesOptimizer(Rules.all,
+      costModel = new CardinalityCostModel, stats = stats)
+    val got = opt.optimize(plan).get
+    // split: partial shrinks 1e6 -> 2e5 BEFORE the exchange; the
+    // correctness-required Hashed(g) of the Final lands as one exchange
+    // over partial states (cost 1e6 + 2*2e5 + 2e5 = 1.6e6), beating the
+    // one-phase plan that exchanges raw rows (2e6 + 1e6 = 3e6)
+    assert(got == PlanNode(
+      PhysicalHashAggregate(AggMode.Final, Seq(Col("g")), aggs),
+      Seq(PlanNode(PhysicalExchange(Seq(Col("g"))),
+        Seq(PlanNode(
+          PhysicalHashAggregate(AggMode.Partial, Seq(Col("g")), aggs),
+          Seq(PlanNode(PhysicalTableScan("big")))))))),
+      got.explain())
+    // the constant model can't tell the plans apart: reference-faithful
+    // search keeps whichever implementation it saw first — but the
+    // Complete form STILL gets its correctness exchange (child
+    // requirements are not a cost feature)
+    val flat = new CascadesOptimizer(Rules.all).optimize(plan).get
+    def exchangedInput(p: PlanNode): Boolean = p.op match {
+      case PhysicalHashAggregate(AggMode.Complete, _, _) =>
+        p.inputs.head.op == PhysicalExchange(Seq(Col("g")))
+      case PhysicalHashAggregate(AggMode.Final, _, _) =>
+        p.inputs.head.op == PhysicalExchange(Seq(Col("g")))
+      case _ => false
+    }
+    assert(exchangedInput(flat), flat.explain())
+  }
+
+  test("aggregate distribution: a downstream Hashed(g) requirement is " +
+      "satisfied by the final aggregate itself — no second exchange") {
+    val aggs = Seq(AggCall("count"))
+    val plan = PlanNode(LogicalAggregate(Seq(Col("g")), aggs),
+      Seq(scan("big")))
+    val stats = TableStats(Map("big" -> 1000000L))
+    val opt = new CascadesOptimizer(Rules.all,
+      costModel = new CardinalityCostModel, stats = stats)
+    val got = opt.optimize(plan, PhysicalPropertySet.default.copy(
+      distribution = DistributionSpec.Hashed(Seq(Col("g"))))).get
+    // the winner under the requirement is the same split plan: the Final
+    // aggregate DELIVERS Hashed(g) (its input was co-partitioned), so no
+    // enforcer tops the plan
+    assert(got.op ==
+      PhysicalHashAggregate(AggMode.Final, Seq(Col("g")), aggs),
+      got.explain())
+    assert(!got.explain().linesIterator.next().contains("Exchange"))
+    // a global aggregate requires (and delivers) Singleton
+    val global = PlanNode(LogicalAggregate(Nil, aggs), Seq(scan("big")))
+    val g2 = opt.optimize(global, PhysicalPropertySet.default.copy(
+      distribution = DistributionSpec.Singleton)).get
+    assert(g2.op.isInstanceOf[PhysicalHashAggregate], g2.explain())
+  }
+
   // --- explain (plan/explain.rs:44-95) ---
 
   test("explain renders the operator tree") {
