@@ -13,11 +13,13 @@ package graft.cascades
   *
   * Grammar (case-insensitive keywords, whitespace-separated):
   * {{{
-  * SELECT ( '*' | col [, col]* )
+  * SELECT ( '*' | item [, item]* )      item := col | COUNT(*) | SUM(col)
   * FROM table
   * [ (JOIN | LEFT JOIN | FULL JOIN) table ON col = col ]*
   * [ WHERE col = col ]
-  * [ LIMIT n ]
+  * [ GROUP BY col [, col]* ]            (iff an aggregate item appears)
+  * [ ORDER BY col [, col]* ]            (lowered to a required property)
+  * [ LIMIT n ]                          (not combinable with ORDER BY)
   * }}}
   *
   * Lowering mirrors the reference's SqlToRel output shape (visible in
@@ -57,9 +59,15 @@ object SqlFrontend {
     val toks = tokenize(sql)
     val p = new Parser(toks)
     p.expectKw("SELECT")
-    val projection: Option[Seq[Col]] =
+    // select items: plain columns, and/or count(*) / sum(col) aggregate
+    // calls (beyond the reference surface — see [[LogicalAggregate]])
+    val items: Option[Seq[Either[Col, AggCall]]] =
       if (p.peek.contains("*")) { p.next(); None }
-      else Some(p.identList().map(Col))
+      else Some(p.selectList())
+    val aggCalls = items.toSeq.flatten.collect { case Right(a) => a }
+    val plainCols = items.toSeq.flatten.collect { case Left(c) => c }
+    val projection: Option[Seq[Col]] =
+      if (aggCalls.nonEmpty) None else items.map(_ => plainCols)
     p.expectKw("FROM")
     val firstTable = p.ident()
     var plan = PlanNode(LogicalScan(firstTable))
@@ -82,6 +90,17 @@ object SqlFrontend {
       // carries the projection list separately from the predicate)
       plan = PlanNode(LogicalFilter(EqCond(l, r), Nil), Seq(plan))
     }
+    if (aggCalls.nonEmpty) {
+      val groupCols: Seq[Col] =
+        if (p.peekKw("GROUP")) { p.next(); p.expectKw("BY");
+          p.identList().map(Col) }
+        else Nil
+      // standard SQL rule: every bare select column must be a group key
+      plainCols.foreach(c => require(groupCols.contains(c),
+        s"column ${c.name} is neither aggregated nor in GROUP BY"))
+      plan = PlanNode(LogicalAggregate(groupCols, aggCalls), Seq(plan))
+    } else require(!p.peekKw("GROUP"),
+      "GROUP BY without an aggregate in the select list")
     projection match {
       case Some(cols) => plan = PlanNode(LogicalProject(cols), Seq(plan))
       case None if !joined && schema.contains(firstTable) =>
@@ -116,6 +135,7 @@ object SqlFrontend {
 
   private def tokenize(sql: String): Vector[String] =
     sql.replace(",", " , ").replace("=", " = ")
+      .replace("(", " ( ").replace(")", " ) ")
       .split("\\s+").iterator.filter(_.nonEmpty).toVector
 
   /** Hand-rolled LL(1) cursor — four token kinds (keyword, identifier,
@@ -145,6 +165,30 @@ object SqlFrontend {
     def identList(): Seq[String] = {
       val buf = scala.collection.mutable.ArrayBuffer(ident())
       while (peek.contains(",")) { next(); buf += ident() }
+      buf.toSeq
+    }
+    /** col | count ( * ) | sum ( col ), comma-separated. */
+    def selectList(): Seq[Either[Col, AggCall]] = {
+      def item(): Either[Col, AggCall] = {
+        val t = ident()
+        if (peek.contains("(")) {
+          next()
+          val call = t.toLowerCase match {
+            case "count" =>
+              require(peek.contains("*"),
+                s"count takes * at #$pos (count(col) not supported)")
+              next(); AggCall("count")
+            case "sum" => AggCall("sum", Some(Col(ident())))
+            case other =>
+              throw new IllegalArgumentException(
+                s"unsupported aggregate '$other' (count/sum)")
+          }
+          expectKw(")")
+          Right(call)
+        } else Left(Col(t))
+      }
+      val buf = scala.collection.mutable.ArrayBuffer(item())
+      while (peek.contains(",")) { next(); buf += item() }
       buf.toSeq
     }
     def int(): Int = {

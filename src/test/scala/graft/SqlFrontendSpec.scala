@@ -156,4 +156,36 @@ class SqlFrontendSpec extends GraftSuite {
     intercept[IllegalArgumentException](
       SqlFrontend.parseQuery("SELECT a FROM t1 ORDER BY a LIMIT 5"))
   }
+
+  test("aggregate SQL lowers to LogicalAggregate and the cost search " +
+      "splits it into partial/final around one exchange") {
+    val aggs = Seq(AggCall("count"), AggCall("sum", Some(Col("v"))))
+    val plan = SqlFrontend.parse(
+      "SELECT g, count(*), sum(v) FROM big WHERE g = h GROUP BY g")
+    assert(plan == PlanNode(LogicalAggregate(Seq(Col("g")), aggs),
+      Seq(PlanNode(LogicalFilter(EqCond(Col("g"), Col("h")), Nil),
+        Seq(PlanNode(LogicalScan("big")))))), plan.explain())
+    val opt = new CascadesOptimizer(Rules.all,
+      costModel = new CardinalityCostModel,
+      stats = TableStats(Map("big" -> 1000000L)))
+    val got = opt.optimize(plan).get
+    // SQL all the way to the distributed plan: filter below, partial
+    // above it, the correctness exchange, final on top
+    assert(got == PlanNode(
+      PhysicalHashAggregate(AggMode.Final, Seq(Col("g")), aggs),
+      Seq(PlanNode(PhysicalExchange(Seq(Col("g"))),
+        Seq(PlanNode(
+          PhysicalHashAggregate(AggMode.Partial, Seq(Col("g")), aggs),
+          Seq(PlanNode(PhysicalFilter(EqCond(Col("g"), Col("h")), Nil),
+            Seq(PlanNode(PhysicalTableScan("big")))))))))),
+      got.explain())
+    // bare column outside GROUP BY, aggregate-less GROUP BY, and unknown
+    // aggregate functions fail loudly
+    intercept[IllegalArgumentException](SqlFrontend.parse(
+      "SELECT g, h, count(*) FROM t GROUP BY g"))
+    intercept[IllegalArgumentException](SqlFrontend.parse(
+      "SELECT g FROM t GROUP BY g"))
+    intercept[IllegalArgumentException](SqlFrontend.parse(
+      "SELECT avg(v) FROM t"))
+  }
 }
