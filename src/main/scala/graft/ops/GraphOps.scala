@@ -312,6 +312,19 @@ object GraphOps {
       modularityFrom(copurchaseEdges(Tables(s, d), minSupport = 2),
         rounds = 3)
     },
+    // Conductance of each label-propagation community — the CUT-quality
+    // metric next to modularity's density metric: φ(C) = cut(C) /
+    // min(vol(C), 2m − vol(C)), where cut counts edges leaving C and vol
+    // sums member degrees. Low conductance = a community that keeps its
+    // edges inside — the partition readout spectral methods bound
+    // (Cheeger). Exact integer sufficient statistics (cut, vol, 2m) into
+    // ONE IEEE division, the modularity doctrine; shape is identical
+    // (edge-keyed endpoint tags, label-sized rollup, 1-row edge total
+    // broadcast — whitelisted scalar).
+    "graph_conductance" -> { (s, d) =>
+      conductanceFrom(copurchaseEdges(Tables(s, d), minSupport = 2),
+        rounds = 3)
+    },
     // HITS hubs & authorities (Kleinberg 1999) on the DIRECTED bipartite
     // trade graph (customer → supplier) — the mutual-reinforcement
     // readout PageRank's single score can't express: a hub customer is
@@ -603,6 +616,39 @@ object GraphOps {
         count(when(pmod(col("node"), lit(2)) === 0, 1)).as("n_cust"),
         count(when(pmod(col("node"), lit(2)) === 1, 1)).as("n_supp"))
       .orderBy("scc_id")
+  }
+
+  /** Per-community conductance of the [[labelPropagationFrom]] partition
+    * — see the `graph_conductance` query comment. `edges` must be
+    * canonical undirected (u < v, distinct). Separated so specs can
+    * plant graphs with hand-computable cuts.
+    */
+  def conductanceFrom(edges0: DataFrame, rounds: Int): DataFrame = {
+    val edges = edges0.persist()
+    val labels = labelPropagationFrom(edges, rounds).cutLineage()
+    val m = edges.agg(count(lit(1)).as("m_edges"))
+    val deg = edges.select(col("u").as("x"))
+      .unionAll(edges.select(col("v").as("x")))
+      .groupBy("x").agg(count(lit(1)).as("dg"))
+    val vol = deg
+      .join(labels.select(col("node").as("x"), col("label")), "x")
+      .groupBy("label").agg(sum(col("dg")).as("vol"))
+    val cut = edges
+      .join(labels.select(col("node").as("u"), col("label").as("lu")), "u")
+      .join(labels.select(col("node").as("v"), col("label").as("lv")), "v")
+      .filter(col("lu") =!= col("lv"))
+    // each cross edge leaves BOTH endpoint communities once
+    val cutPer = cut.select(col("lu").as("label"))
+      .unionAll(cut.select(col("lv").as("label")))
+      .groupBy("label").agg(count(lit(1)).as("cut_edges"))
+    vol.join(cutPer, Seq("label"), "left")
+      .na.fill(0L, Seq("cut_edges"))
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("vol"), col("cut_edges"),
+        (col("cut_edges").cast("double") /
+          least(col("vol"), col("m_edges") * 2 - col("vol"))
+            .cast("double")).as("conductance"))
+      .orderBy("label")
   }
 
   /** One synchronous Louvain move pass over a canonical (u < v, distinct)
@@ -1375,6 +1421,29 @@ object GraphOps {
            |JOIN uf b ON b.src = e.v AND b.dst = a.dst
            |GROUP BY 1, 2 ORDER BY u, v""".stripMargin
       },
+      // the label-propagation chain verbatim, then cut/vol exact integers
+      // and the single pinned division
+      "graph_conductance" ->
+        s"""WITH $copurchaseSql,
+           |$labelPropChainSql,
+           |m AS (SELECT count(*) AS m_edges FROM e0),
+           |deg AS (SELECT src AS node, count(*) AS dg FROM und
+           |  GROUP BY 1),
+           |vol AS (SELECT l.label, CAST(sum(dg) AS BIGINT) AS vol
+           |  FROM deg d JOIN l3 l ON l.node = d.node GROUP BY 1),
+           |x AS (SELECT lu.label AS lu, lv.label AS lv
+           |  FROM e0 JOIN l3 lu ON lu.node = e0.u
+           |    JOIN l3 lv ON lv.node = e0.v
+           |  WHERE lu.label <> lv.label),
+           |cp AS (SELECT label, count(*) AS cut_edges FROM (
+           |    SELECT lu AS label FROM x UNION ALL SELECT lv FROM x)
+           |  GROUP BY 1)
+           |SELECT vol.label, vol, COALESCE(cut_edges, 0) AS cut_edges,
+           |  CAST(COALESCE(cut_edges, 0) AS DOUBLE) /
+           |    CAST(least(vol, m_edges * 2 - vol) AS DOUBLE)
+           |    AS conductance
+           |FROM vol LEFT JOIN cp ON cp.label = vol.label CROSS JOIN m
+           |ORDER BY vol.label""".stripMargin,
       // the label-propagation chain verbatim, then the exact
       // cross-multiplied gain numerators; arithmetic in HUGEINT (the
       // Spark side uses DECIMAL(38,0)), argmax via row_number with the

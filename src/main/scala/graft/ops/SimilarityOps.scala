@@ -246,6 +246,39 @@ object SimilarityOps {
       .orderBy("query_id", "step")
   }
 
+  /** Cross-cohort centroid cosine per label — see the
+    * `sim_embedding_drift` query comment. Cohort = vec_id parity. On an
+    * i.i.d. mean-zero corpus the cohort centroids are NOISE vectors and
+    * the cosine is near-chance (the LSH-recall honesty precedent) — the
+    * spec plants directional labels where stability reads ~1 and a
+    * shifted cohort reads low; the sf row gates the MACHINERY.
+    */
+  private[graft] def embeddingDriftFrom(emb: DataFrame): DataFrame = {
+    val base = quantizedBase(emb)
+      .withColumn("half", pmod(col("vec_id"), lit(2L)))
+    val cent = base.groupBy("label", "half")
+      .agg(graft.functions.aggregates.vec_sum_longs(col("qv"))
+        .as("svec"), count(col("qv")).as("cnt"))
+      .select(col("label"), col("half"), col("cnt"),
+        transform(col("svec"),
+          sv => floor(sv * lit(1000) / col("cnt")).cast("long"))
+          .as("cvec"))
+      .withColumn("cnn",
+        aggregate(transform(col("cvec"), x => x * x), lit(0L),
+          (a, x) => a + x))
+    val ev = cent.filter(col("half") === 0)
+      .select(col("label"), col("cnt").as("n_even"),
+        col("cvec").as("v0"), col("cnn").as("nn0"))
+    val od = cent.filter(col("half") === 1)
+      .select(col("label"), col("cnt").as("n_odd"),
+        col("cvec").as("v1"), col("cnn").as("nn1"))
+    ev.join(od, "label")
+      .select(col("label"), col("n_even"), col("n_odd"),
+        cosSim(col("nn0"), col("nn1"), col("v0"), col("v1"))
+          .as("drift_cos"))
+      .orderBy("label")
+  }
+
   /** IVF cosine top-5: coarse-assign each query to its `nprobe` nearest
     * per-label centroids, probe only those inverted lists, exact-score
     * the candidates. Shared by `sim_ann_ivf` and `sim_ann_recall_ivf` so
@@ -390,6 +423,19 @@ object SimilarityOps {
     // because it runs at sf0.01.
     "sim_ann_graph_greedy" -> { (s, d) =>
       graphGreedyFrom(Tables(s, d).embeddings, m = 4, steps = 3)
+    },
+    // Embedding DRIFT monitor — the production check every vector
+    // pipeline runs when the embedder, corpus, or upstream filters
+    // change: split the corpus into two cohorts (vec_id parity here; in
+    // production, before/after the change), compute each label's integer
+    // centroid per cohort, and report the cross-cohort centroid cosine.
+    // drift_cos ≈ 1 = stable geometry; a drop flags the label whose
+    // distribution moved (retrain/reindex trigger). Exact integer
+    // centroids (the labelCentroids arithmetic keyed by cohort) into one
+    // IEEE cosine per label; one vec_sum_longs aggregate, label-sized
+    // everything after.
+    "sim_embedding_drift" -> { (s, d) =>
+      embeddingDriftFrom(Tables(s, d).embeddings)
     },
     // Recall@5 of the IVF search against the brute-force ground truth —
     // the evaluation row the LSH path already has (sim_ann_recall),
@@ -2115,6 +2161,34 @@ object SimilarityOps {
           |  UNION ALL SELECT query_id, 3, vec_id, cos FROM s3)
           |ORDER BY query_id, step""".stripMargin
     },
+    // the same quantize/centroid arithmetic keyed by parity cohort, then
+    // one cosine per label
+    "sim_embedding_drift" ->
+      """WITH q AS (SELECT vec_id, label, vec_id % 2 AS half, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+        |cent AS (SELECT label, half, i,
+        |    CAST(floor(CAST(sum(v) * 1000 AS DOUBLE) / count(*)) AS BIGINT)
+        |      AS cv
+        |  FROM q GROUP BY 1, 2, 3),
+        |cn AS (SELECT label, half, sum(cv * cv) AS cnn
+        |  FROM cent GROUP BY 1, 2),
+        |ct AS (SELECT label, half, count(DISTINCT vec_id) AS cnt
+        |  FROM q GROUP BY 1, 2),
+        |dt AS (SELECT a.label, sum(a.cv * b.cv) AS dot
+        |  FROM cent a JOIN cent b ON a.label = b.label AND a.i = b.i
+        |  WHERE a.half = 0 AND b.half = 1 GROUP BY 1)
+        |SELECT dt.label, ce.cnt AS n_even, co.cnt AS n_odd,
+        |  CASE WHEN n0.cnn = 0 OR n1.cnn = 0 THEN 0.0
+        |       ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(n0.cnn AS DOUBLE)) *
+        |         sqrt(CAST(n1.cnn AS DOUBLE))) END AS drift_cos
+        |FROM dt
+        |JOIN ct ce ON ce.label = dt.label AND ce.half = 0
+        |JOIN ct co ON co.label = dt.label AND co.half = 1
+        |JOIN cn n0 ON n0.label = dt.label AND n0.half = 0
+        |JOIN cn n1 ON n1.label = dt.label AND n1.half = 1
+        |ORDER BY dt.label""".stripMargin,
     // the sim_ann_ivf CTE chain verbatim through `scored`, plus the
     // brute-force top-5 CTEs from sim_ann_recall, joined into recall@5
     "sim_ann_recall_ivf" ->

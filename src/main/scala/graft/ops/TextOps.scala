@@ -106,6 +106,34 @@ object TextOps {
         meanLen.as("mean_token_len"))
         .orderBy("doc_id")
     },
+    // Term BURSTINESS (Church & Gale): function words spread evenly
+    // across documents, content words clump — the variance-to-mean ratio
+    // of per-document counts over the documents CONTAINING the term
+    // separates them, which is a real curation feature (burstiness-
+    // weighted vocabularies beat raw df for topic keys). Exact integer
+    // sufficient statistics per term (df, Σc, Σc²) folded into
+    //   mean = Σc/df,  VMR = (df·Σc² − (Σc)²) / (df·Σc)
+    // — cross products in DECIMAL(38,0) (df·Σc² outgrows int64 at corpus
+    // scale), ONE IEEE division each. Top-20 by (df DESC, term ASC)
+    // keeps the output fixed-size; the term stream is one explode +
+    // partial+final aggregate.
+    "text_burstiness" -> { (s, d) =>
+      val perDoc = Tables(s, d).documents
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      perDoc.groupBy("term")
+        .agg(count(lit(1)).as("df"), sum(col("c")).as("cf"),
+          sum(col("c") * col("c")).as("cf2"))
+        .select(col("term"), col("df"), col("cf"),
+          (col("cf").cast("double") / col("df").cast("double"))
+            .as("mean_per_doc"),
+          ((dec(col("df")) * dec(col("cf2")) -
+            dec(col("cf")) * dec(col("cf"))).cast("double") /
+            (dec(col("df")) * dec(col("cf"))).cast("double")).as("vmr"))
+        .orderBy(col("df").desc, col("term").asc)
+        .limit(20)
+    },
     // Readability panel (Flesch reading ease + Flesch-Kincaid grade):
     // the published formulas over exact-integer counts — words (the
     // shared tokenizer), syllables (vowel-run count [aeiouy]+, the
@@ -1373,6 +1401,23 @@ object TextOps {
          |  CAST(length(text) - (len($tokSql) - 1) AS DOUBLE)
          |    / CAST(len($tokSql) AS DOUBLE) AS mean_token_len
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // the same per-(term, doc) counts and exact sufficient statistics;
+    // cross products in HUGEINT (the Spark side uses DECIMAL(38,0))
+    "text_burstiness" ->
+      s"""WITH pd AS (SELECT term, doc_id, count(*) AS c FROM (
+         |    SELECT doc_id, unnest($tokSql) AS term FROM documents)
+         |  GROUP BY 1, 2),
+         |st AS (SELECT term, count(*) AS df,
+         |    CAST(sum(c) AS BIGINT) AS cf,
+         |    CAST(sum(c * c) AS HUGEINT) AS cf2
+         |  FROM pd GROUP BY 1)
+         |SELECT term, df, cf,
+         |  CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) AS mean_per_doc,
+         |  CAST(CAST(df AS HUGEINT) * cf2
+         |      - CAST(cf AS HUGEINT) * CAST(cf AS HUGEINT) AS DOUBLE) /
+         |    CAST(CAST(df AS HUGEINT) * CAST(cf AS HUGEINT) AS DOUBLE)
+         |    AS vmr
+         |FROM st ORDER BY df DESC, term ASC LIMIT 20""".stripMargin,
     // the same exact-integer counts and the same pinned IEEE trees;
     // constants exponent-form so DuckDB parses DOUBLE, not DECIMAL
     "text_readability" ->

@@ -707,6 +707,33 @@ class GraphOpsSpec extends GraftSuite {
     spark.catalog.clearCache()
   }
 
+  test("conductance: barbell communities score cut/min(vol, 2m-vol) " +
+      "exactly, and cut edges tile the cross-community edge count") {
+    import spark.implicits._
+    // two triangles + one bridge: label prop resolves the two triangles;
+    // each community: cut = 1 (the bridge), vol = 7 (3 internal edges
+    // doubled + the bridge endpoint), 2m - vol = 7 -> conductance 1/7
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("u", "v")
+    val got = GraphOps.conductanceFrom(edges, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // labels under the min-tie-break: 1 (left triangle) and 3 (right —
+    // the bridge node's label wins the right triangle's argmax)
+    assert(got == Seq((1L, 7L, 1L, 1.0 / 7.0), (3L, 7L, 1L, 1.0 / 7.0)),
+      got)
+    spark.catalog.clearCache()
+    // sf corpus: values in range, cut edges tile (each cross edge is
+    // counted once per side, so the total is even)
+    val sf = GraphOps.queries("graph_conductance")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(sf.nonEmpty)
+    assert(sf.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    assert(sf.map(_._3).sum % 2 == 0, "cut total must be even (2x cross)")
+    spark.catalog.clearCache()
+  }
+
   test("resource allocation: a leaf-shared pair outranks a hub-shared " +
       "pair that plain common-neighbor counts tie") {
     import org.apache.spark.sql.functions._

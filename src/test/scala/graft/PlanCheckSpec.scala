@@ -176,9 +176,12 @@ class PlanCheckSpec extends GraftSuite {
     "graph_bottlenecks",  // 3-row seed frame self-paired on an inequality
                           // (seed-pair enumeration); everything data-sized
                           // is equi-joined on (seed, node)
-    "sim_ann_graph_greedy" // the sim_ann_ivf coarse-assignment shape: 10
+    "sim_ann_graph_greedy", // the sim_ann_ivf coarse-assignment shape: 10
                           // queries x label centroids broadcast; graph
                           // build and walk are label/vec_id equi-joins
+    "graph_conductance"   // 1-row edge-count scalar broadcast under the
+                          // label-sized cut/vol table (the
+                          // graph_modularity shape)
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides

@@ -939,6 +939,60 @@ class SimilarityOpsSpec extends GraftSuite {
     spark.catalog.clearCache()
   }
 
+  test("embedding drift: parity cohorts of the sf corpus score near-1 " +
+      "for stable labels, and the cosine matches a driver replay") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).toArray))
+    def q(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(x.toDouble * 1000.0 + 0.5).toLong)
+    val byKey = rows.groupBy(r => (r._2, r._1 % 2))
+    def cent(label: Int, half: Long): (Array[Long], Long, Long) = {
+      val vs = byKey((label, half)).map(r => q(r._3))
+      val d = vs.head.length
+      val sum = Array.tabulate(d)(i => vs.map(_(i)).sum)
+      val cv = sum.map(sv => Math.floorDiv(sv * 1000L, vs.length.toLong))
+      (cv, cv.map(x => x * x).sum, vs.length.toLong)
+    }
+    val want = rows.map(_._2).distinct.sorted.map { l =>
+      val (v0, nn0, n0) = cent(l, 0L)
+      val (v1, nn1, n1) = cent(l, 1L)
+      val dot = v0.zip(v1).map { case (a, b) => a * b }.sum
+      val cos = if (nn0 == 0L || nn1 == 0L) 0.0
+        else dot.toDouble / (math.sqrt(nn0.toDouble) *
+          math.sqrt(nn1.toDouble))
+      (l, n0, n1, cos)
+    }.toSeq
+    val got = graft.ops.SimilarityOps
+      .queries("sim_embedding_drift")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == want, s"got=${got.take(3)} want=${want.take(3)}")
+    // the sf corpus is i.i.d. mean-zero: cohort centroids are NOISE and
+    // the cosine is honestly near-chance — bounded, not near 1
+    assert(got.forall(r => r._4 >= -1.0 && r._4 <= 1.0), got)
+    spark.catalog.clearCache()
+    // planted structure is where the monitor reads: label 1's vectors
+    // share a direction (stable across cohorts -> cos ~ 1); label 2's
+    // odd cohort is SHIFTED to an orthogonal direction -> cos low
+    import spark.implicits._
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val planted = (0 until 8).map { i =>
+      (i.toLong, v(1.0 + 0.01 * i, 0.1 * (i % 2)), 1)
+    } ++ (8 until 16).map { i =>
+      if (i % 2 == 0) (i.toLong, v(1.0 + 0.01 * i, 0.0), 2)
+      else (i.toLong, v(0.0, 1.0 + 0.01 * i), 2)
+    }
+    val pd = planted.toDF("vec_id", "embedding", "label")
+    val gp = graft.ops.SimilarityOps.embeddingDriftFrom(pd)
+      .collect().map(r => (r.getInt(0), r.getDouble(3))).toMap
+    assert(gp(1) > 0.95, s"stable label drifted: ${gp(1)}")
+    assert(gp(2) < 0.2, s"shifted label read stable: ${gp(2)}")
+    spark.catalog.clearCache()
+  }
+
   test("graph greedy: walks are monotone and fixed, and on a planted " +
       "chain the walk climbs to the true nearest neighbor") {
     import spark.implicits._

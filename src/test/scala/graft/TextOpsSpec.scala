@@ -778,6 +778,39 @@ class TextOpsSpec extends GraftSuite {
     spark.catalog.clearCache()
   }
 
+  test("burstiness: sufficient statistics match a driver replay and the " +
+      "VMR identity holds against per-doc variance") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.ops.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val perDoc = docs.flatMap { case (id, t) =>
+      t.split(" ", -1).groupBy(identity).map { case (w, o) =>
+        (w, id, o.length.toLong) }
+    }
+    val want = perDoc.groupBy(_._1).map { case (term, rs) =>
+      val df = rs.size.toLong
+      val cf = rs.map(_._3).sum
+      val cf2 = rs.map(c => c._3 * c._3).sum
+      (term, df, cf, cf.toDouble / df.toDouble,
+        (BigInt(df) * BigInt(cf2) - BigInt(cf) * BigInt(cf)).toDouble /
+          (BigInt(df) * BigInt(cf)).toDouble)
+    }.toSeq.sortBy { case (t, df, _, _, _) => (-df, t) }.take(20)
+    val got = graft.ops.TextOps.queries("text_burstiness")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == want, s"got=${got.take(3)} want=${want.take(3)}")
+    // VMR is a variance over containing docs: nonnegative, and zero only
+    // when every containing doc has the identical count
+    got.foreach { case (term, df, _, _, vmr) =>
+      val counts = perDoc.filter(_._1 == term).map(_._3)
+      assert(vmr >= -1e-12, s"$term vmr=$vmr")
+      if (counts.distinct.size == 1) assert(vmr == 0.0, term)
+      else assert(vmr > 0.0, term)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("readability: counts match a driver-side replay and the scores " +
       "are the exact pinned formula trees") {
     import org.apache.spark.sql.functions._
