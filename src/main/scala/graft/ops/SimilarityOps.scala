@@ -424,6 +424,33 @@ object SimilarityOps {
     "sim_ann_graph_greedy" -> { (s, d) =>
       graphGreedyFrom(Tables(s, d).embeddings, m = 4, steps = 3)
     },
+    // Endpoint quality of the greedy graph walk vs brute-force ground
+    // truth — the measured-recall row every ANN variant ships (LSH, IVF,
+    // PQ, IVF-PQ, Hamming, MIPS, matryoshka all have one): per query,
+    // whether the walk's terminal point IS the true top-1 and whether it
+    // lands in the true top-5. Greedy returns ONE point, so the readout
+    // is hit@1/hit@5, not recall@k. The walk side is exactly the shipped
+    // sim_ann_graph_greedy machinery (the oracle embeds that query's SQL
+    // verbatim as a CTE — same doctrine as the other recall rows).
+    "sim_ann_recall_graph" -> { (s, d) =>
+      val e = Tables(s, d).embeddings
+      val end = graphGreedyFrom(e, m = 4, steps = 3)
+        .filter(col("step") === 3)
+        .select(col("query_id"), col("vec_id").as("found"))
+      val bf = bruteTopkFrom(e)
+      val top1 = bf.filter(col("rk") === 1)
+        .select(col("query_id"), col("vec_id").as("t1"))
+      val in5 = end
+        .join(bf.select(col("query_id"), col("vec_id")), Seq("query_id"))
+        .filter(col("vec_id") === col("found"))
+        .groupBy("query_id").agg(count(lit(1)).as("n5"))
+      end.join(top1, Seq("query_id"))
+        .join(in5, Seq("query_id"), "left")
+        .select(col("query_id"), col("found").as("vec_id"),
+          (col("found") === col("t1")).as("hit_at_1"),
+          (coalesce(col("n5"), lit(0L)) > 0).as("hit_at_5"))
+        .orderBy("query_id")
+    },
     // Embedding DRIFT monitor — the production check every vector
     // pipeline runs when the embedder, corpus, or upstream filters
     // change: split the corpus into two cohorts (vec_id parity here; in
@@ -1492,7 +1519,8 @@ object SimilarityOps {
       .orderBy("cluster")
   }
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = {
+    val base = Map(
     // Hamming replication: the shared quantize CTE, sign-bit words as a
     // sum of shifted weights (2^(32-i) within each half ≡ the Spark-side
     // Horner fold), xor+bit_count Hamming, row_number shortlist, then the
@@ -2929,5 +2957,37 @@ object SimilarityOps {
         |  CAST(n_vectors AS DOUBLE) * 4 / CAST(total AS DOUBLE)
         |    AS load_ratio
         |FROM g, t ORDER BY shard""".stripMargin
-  )
+    )
+    // composed AFTER the base map so the walk side embeds the shipped
+    // sim_ann_graph_greedy oracle VERBATIM as a CTE — the recall row
+    // gates exactly the same walk, never a drifted copy
+    base + ("sim_ann_recall_graph" ->
+      s"""WITH walk AS (
+         |${base("sim_ann_graph_greedy")}),
+         |q AS (SELECT vec_id, i,
+         |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS v
+         |  FROM embeddings,
+         |    LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g),
+         |n AS (SELECT vec_id, sum(v * v) AS nn FROM q GROUP BY vec_id),
+         |bdot AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         |           sum(a.v * b.v) AS dot
+         |         FROM q a JOIN q b ON b.i = a.i AND b.vec_id >= 10
+         |         WHERE a.vec_id < 10 GROUP BY 1, 2),
+         |bscored AS (SELECT query_id, bdot.vec_id AS vec_id,
+         |    CASE WHEN na.nn = 0 OR nb.nn = 0 THEN 0.0
+         |         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) *
+         |           sqrt(CAST(nb.nn AS DOUBLE))) END AS cos
+         |  FROM bdot JOIN n na ON na.vec_id = query_id
+         |            JOIN n nb ON nb.vec_id = bdot.vec_id),
+         |bt AS (SELECT query_id, vec_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk
+         |  FROM bscored),
+         |e3 AS (SELECT query_id, vec_id FROM walk WHERE step = 3)
+         |SELECT e3.query_id, e3.vec_id,
+         |  e3.vec_id = t1.vec_id AS hit_at_1,
+         |  EXISTS (SELECT 1 FROM bt WHERE bt.query_id = e3.query_id
+         |    AND bt.vec_id = e3.vec_id AND bt.rk <= 5) AS hit_at_5
+         |FROM e3 JOIN bt t1 ON t1.query_id = e3.query_id AND t1.rk = 1
+         |ORDER BY e3.query_id""".stripMargin)
+  }
 }

@@ -179,9 +179,12 @@ class PlanCheckSpec extends GraftSuite {
     "sim_ann_graph_greedy", // the sim_ann_ivf coarse-assignment shape: 10
                           // queries x label centroids broadcast; graph
                           // build and walk are label/vec_id equi-joins
-    "graph_conductance"   // 1-row edge-count scalar broadcast under the
+    "graph_conductance",  // 1-row edge-count scalar broadcast under the
                           // label-sized cut/vol table (the
                           // graph_modularity shape)
+    "sim_ann_recall_graph" // both measured pipelines inside: the greedy
+                          // walk's coarse assignment and the brute-force
+                          // ground truth each broadcast the 10-query set
   )
 
   /** Queries allowed a sort-merge join: full-outer needs both sides

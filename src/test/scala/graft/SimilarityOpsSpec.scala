@@ -1033,5 +1033,24 @@ class SimilarityOpsSpec extends GraftSuite {
         s"non-monotone: $walk")
     }
     spark.catalog.clearCache()
+    // the recall row agrees with the walk endpoints and the brute truth,
+    // and hit@1 implies hit@5
+    val ends = sf.filter(_._2 == 3).map(r => r._1 -> r._3).toMap
+    val brute = graft.ops.SimilarityOps
+      .queries("sim_topk_bruteforce")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val rec = graft.ops.SimilarityOps
+      .queries("sim_ann_recall_graph")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3))).toSeq
+    assert(rec.map(_._1) == (0L to 9L))
+    rec.foreach { case (qid, v, h1, h5) =>
+      assert(v == ends(qid), s"endpoint mismatch for $qid")
+      val t1 = brute.find(b => b._1 == qid && b._3 == 1).get._2
+      val t5 = brute.filter(_._1 == qid).map(_._2).toSet
+      assert(h1 == (v == t1) && h5 == t5(v), s"$qid: $h1/$h5")
+      assert(!h1 || h5)
+    }
+    spark.catalog.clearCache()
   }
 }
