@@ -185,7 +185,19 @@ object DumpPlans {
       "pipeline_release" -> ("the release flagship: ONE persisted " +
         "tokenized base read by the quality gate, the PPJoin pair graph " +
         "and the split rollup; decontamination broadcasts the bench " +
-        "grams; the manifest is one split-keyed aggregate"))
+        "grams; the manifest is one split-keyed aggregate"),
+      "sim_ann_graph_greedy" -> ("graph ANN: within-cell kNN edges from " +
+        "a label-keyed equi self-join (cell-bounded quadratic), walk " +
+        "rounds are 10-row frames joining the persisted edge list — " +
+        "the corpus is scored only at visited candidates"),
+      "graph_louvain_move" -> ("Louvain move pass: per-(node, adjacent " +
+        "community) edge counts in one edge-keyed aggregate, label-sized " +
+        "degree sums, map-side max(struct) argmax, shuffle_hash-pinned " +
+        "final node join (both sides node-sized and stats-free after " +
+        "their lineage cuts — SMJ fallback caught by the plan gate)"),
+      "data_length_buckets" -> ("padding-waste eval: both strategies are " +
+        "per-shard row_number windows (no global sort) over one token " +
+        "count scan; rollups are two-level aggregates"))
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.DumpPlans\"` " +
