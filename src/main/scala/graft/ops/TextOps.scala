@@ -690,6 +690,29 @@ object TextOps {
             .as("chars_per_token"))
         .orderBy("n_merges")
     },
+    // Tokenizer FERTILITY by language — the standard multilingual
+    // tokenizer eval (tokens emitted per word; SentencePiece/HF report
+    // exactly this): a vocabulary trained on one language family inflates
+    // token counts (and training cost) for the others, and the per-lang
+    // fertility table is the evidence. Full pinned merge table, per-lang
+    // exact integer sums, two IEEE divisions (fertility, chars/token).
+    // Same one-scan explode + partial+final aggregate as the compression
+    // curve — lang just joins the group key.
+    "text_bpe_fertility" -> { (s, d) =>
+      Tables(s, d).documents
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum(size(bpeEncode(col("word"))).cast("long")).as("n_tokens"),
+          sum(length(col("word")).cast("long")).as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_tokens"),
+          (col("n_tokens").cast("double") / col("n_words").cast("double"))
+            .as("fertility"),
+          (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+            .as("chars_per_token"))
+        .orderBy("lang")
+    },
     // Gopher-style quality rule panel (Rae et al. 2021, arXiv:2112.11446,
     // Table A1 — the published heuristic suite behind MassiveText, and the
     // de-facto default first filter of every open pretraining corpus
@@ -1777,6 +1800,28 @@ object TextOps {
          |UNION ALL SELECT 8, nw, t8, CAST(nc AS DOUBLE) / CAST(t8 AS DOUBLE)
          |FROM g
          |ORDER BY n_merges""".stripMargin
+    },
+    // the same doubled-separator encode chain, grouped by lang
+    "text_bpe_fertility" -> {
+      val chain = BpeMerges.foldLeft(
+        "'  ' || regexp_replace(word, '(.)', '\\1  ', 'g')") {
+        case (acc, (from, to)) =>
+          s"replace($acc, ' ${from.replace(" ", "  ")} ', ' $to ')"
+      }
+      s"""WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+         |    FROM documents),
+         |e AS (SELECT lang, length(word) AS nc,
+         |    len(list_filter(string_split(trim($chain), ' '),
+         |      x -> x <> '')) AS nt
+         |  FROM w WHERE word <> ''),
+         |g AS (SELECT lang, count(*) AS n_words,
+         |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |    CAST(sum(nc) AS BIGINT) AS nc
+         |  FROM e GROUP BY 1)
+         |SELECT lang, n_words, n_tokens,
+         |  CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE) AS fertility,
+         |  CAST(nc AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS chars_per_token
+         |FROM g ORDER BY lang""".stripMargin
     },
     // doubled separators mirror the operator's shared-boundary fix
     "text_bpe_encode" -> {

@@ -778,6 +778,37 @@ class TextOpsSpec extends GraftSuite {
     spark.catalog.clearCache()
   }
 
+  test("fertility: per-lang sums match a driver replay through the real " +
+      "encoder, and fertility is bounded by 1 and word length") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ops.Tables(spark, sfDir).documents
+      .select(col("lang"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // drive the SAME encoder column on a driver-built frame per word
+    import spark.implicits._
+    val words = rows.flatMap { case (l, t) =>
+      t.split(" ", -1).filter(_.nonEmpty).map(w => (l, w)) }
+    val enc = words.toSeq.toDF("lang", "word")
+      .select(col("lang"), length(col("word")).as("nc"),
+        size(graft.ops.TextOps.bpeEncode(col("word"))).as("nt"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    val want = enc.groupBy(_._1).toSeq.sortBy(_._1).map { case (l, es) =>
+      val nw = es.size.toLong
+      val nt = es.map(_._3.toLong).sum
+      val nchars = es.map(_._2.toLong).sum
+      (l, nw, nt, nt.toDouble / nw.toDouble, nchars.toDouble / nt.toDouble)
+    }
+    val got = graft.ops.TextOps.queries("text_bpe_fertility")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == want, s"got=${got.take(3)} want=${want.take(3)}")
+    // every word emits >= 1 token; merges only shrink
+    got.foreach { case (l, nw, nt, f, _) =>
+      assert(nt >= nw && f >= 1.0, s"$l fertility $f")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("burstiness: sufficient statistics match a driver replay and the " +
       "VMR identity holds against per-doc variance") {
     import org.apache.spark.sql.functions._
