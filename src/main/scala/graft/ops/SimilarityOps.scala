@@ -440,12 +440,15 @@ object SimilarityOps {
       val bf = bruteTopkFrom(e)
       val top1 = bf.filter(col("rk") === 1)
         .select(col("query_id"), col("vec_id").as("t1"))
-      val in5 = end
+      // explicit broadcasts: every frame here is 10-query-sized but
+      // stats-free after the walk's lineage cut — unhinted, Spark falls
+      // back to sort-merge joins (the sim_mmr_diversify lesson)
+      val in5 = broadcast(end)
         .join(bf.select(col("query_id"), col("vec_id")), Seq("query_id"))
         .filter(col("vec_id") === col("found"))
         .groupBy("query_id").agg(count(lit(1)).as("n5"))
-      end.join(top1, Seq("query_id"))
-        .join(in5, Seq("query_id"), "left")
+      end.join(broadcast(top1), Seq("query_id"))
+        .join(broadcast(in5), Seq("query_id"), "left")
         .select(col("query_id"), col("found").as("vec_id"),
           (col("found") === col("t1")).as("hit_at_1"),
           (coalesce(col("n5"), lit(0L)) > 0).as("hit_at_5"))
