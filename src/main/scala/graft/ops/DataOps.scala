@@ -1591,6 +1591,28 @@ object DataOps {
         .unionByName(strat("sequential", Seq("shard")))
         .orderBy("strategy")
     },
+    // Duplication rate BY LENGTH band — the curation diagnostic behind
+    // length-dependent dedup thresholds: short documents duplicate far
+    // more often (boilerplate, templates), and a single corpus-wide
+    // Jaccard threshold over- or under-fires by band. Exact-dup
+    // instances (md5 multiplicity > 1) per fixed 16-token band, capped
+    // at band 7 — fixed thresholds, no quantile sort. One hash
+    // aggregate + one hash-keyed equi-join + the band rollup.
+    "data_dup_rate_by_length" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val mult = docs.groupBy("h").agg(count(lit(1)).as("k"))
+      docs.join(mult, "h")
+        .withColumn("band", expr("least(n_tokens div 16, 7)"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("k") > 1, 1)).as("n_dup_instances"))
+        .select(col("band"), col("n_docs"), col("n_dup_instances"),
+          (col("n_dup_instances").cast("double") /
+            col("n_docs").cast("double")).as("dup_rate"))
+        .orderBy("band")
+    },
     // ε-differentially-private per-source histogram (ε=1, sensitivity 1):
     // true counts + discrete-Laplace noise + the max(0, ·) post-processing
     // release. The noise is the REAL two-sided geometric mechanism
@@ -2799,6 +2821,19 @@ object DataOps {
          |${strat("sequential", "shard")})
          |ORDER BY strategy""".stripMargin
     },
+    // the same md5 multiplicity + fixed band arithmetic
+    "data_dup_rate_by_length" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |k AS (SELECT h, count(*) AS k FROM d GROUP BY 1),
+        |b AS (SELECT least(n_tokens // 16, 7) AS band,
+        |    CASE WHEN k.k > 1 THEN 1 END AS dup
+        |  FROM d JOIN k USING (h))
+        |SELECT band, count(*) AS n_docs, count(dup) AS n_dup_instances,
+        |  CAST(count(dup) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |    AS dup_rate
+        |FROM b GROUP BY 1 ORDER BY band""".stripMargin,
     // the same pinned inverse-CDF threshold table over the XXH64 replica
     "data_dp_histogram" -> {
       val h = s"((${XxhSql.expr("'DP' || source", "42")} % 1048576)" +

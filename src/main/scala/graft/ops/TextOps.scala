@@ -690,6 +690,33 @@ object TextOps {
             .as("chars_per_token"))
         .orderBy("n_merges")
     },
+    // Character-trigram PROFILES per language — the statistic real
+    // language identifiers (TextCat, CLD) are built from: the top-5
+    // trigrams by frequency per language, with their in-language share.
+    // text_lang_id consumes a hand-pinned marker table; this query BUILDS
+    // the profile from data — the training half of that detector. One
+    // explode (per-position substring over a sequence — the shingle
+    // machinery's shape), a (lang, gram) partial+final count, and a
+    // WindowGroupLimit top-5 per lang; share is one IEEE division of
+    // exact counts.
+    "text_char_trigrams" -> { (s, d) =>
+      val g2 = Tables(s, d).documents
+        .filter(length(col("text")) >= 3)
+        .select(col("lang"), expr(
+          "explode(transform(sequence(1, length(text) - 2), " +
+            "i -> substring(text, i, 3)))").as("g"))
+      val counts = g2.groupBy("lang", "g").agg(count(lit(1)).as("n"))
+      val tot = counts.groupBy("lang").agg(sum(col("n")).as("n_lang"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        .orderBy(col("n").desc, col("g").asc)
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .join(tot, "lang")
+        .select(col("lang"), col("rk"), col("g"), col("n"),
+          (col("n").cast("double") / col("n_lang").cast("double"))
+            .as("share"))
+        .orderBy("lang", "rk")
+    },
     // Tokenizer FERTILITY by language — the standard multilingual
     // tokenizer eval (tokens emitted per word; SentencePiece/HF report
     // exactly this): a vocabulary trained on one language family inflates
@@ -1801,6 +1828,23 @@ object TextOps {
          |FROM g
          |ORDER BY n_merges""".stripMargin
     },
+    // the same per-position substring fan-out and (lang, gram) counts
+    "text_char_trigrams" ->
+      """WITH g AS (SELECT lang, text[i:i+2] AS g
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(1, length(text) - 2))
+        |      AS i) p
+        |  WHERE length(text) >= 3),
+        |c AS (SELECT lang, g, count(*) AS n FROM g GROUP BY 1, 2),
+        |t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang FROM c
+        |  GROUP BY 1),
+        |r AS (SELECT lang, g, n, CAST(row_number() OVER (
+        |    PARTITION BY lang ORDER BY n DESC, g ASC) AS INT) AS rk
+        |  FROM c)
+        |SELECT r.lang, rk, g, n,
+        |  CAST(n AS DOUBLE) / CAST(n_lang AS DOUBLE) AS share
+        |FROM r JOIN t ON t.lang = r.lang
+        |WHERE rk <= 5 ORDER BY r.lang, rk""".stripMargin,
     // the same doubled-separator encode chain, grouped by lang
     "text_bpe_fertility" -> {
       val chain = BpeMerges.foldLeft(

@@ -1145,6 +1145,31 @@ class DataOpsSpec extends GraftSuite {
     spark.catalog.clearCache()
   }
 
+  test("dup rate by length: bands match a driver replay, docs tile the " +
+      "corpus, and duplicate instances tile the global exact-dup count") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.ops.Tables(spark, sfDir).documents
+      .select(col("doc_id"), md5(col("text")),
+        size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val mult = docs.groupBy(_._2).view.mapValues(_.size.toLong)
+    val want = docs
+      .groupBy(d => math.min(d._3 / 16, 7L)).toSeq.sortBy(_._1)
+      .map { case (band, ds) =>
+        val dup = ds.count(d => mult(d._2) > 1).toLong
+        (band, ds.size.toLong, dup, dup.toDouble / ds.size.toDouble)
+      }
+    val got = graft.ops.DataOps
+      .queries("data_dup_rate_by_length")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(got == want, s"got=${got.take(3)} want=${want.take(3)}")
+    assert(got.map(_._2).sum == docs.length.toLong)
+    assert(got.map(_._3).sum ==
+      docs.count(d => mult(d._2) > 1).toLong)
+    spark.catalog.clearCache()
+  }
+
   test("zorder skipping: block zone maps match a driver replay, the " +
       "z-order layout skips blocks and the linear layout cannot") {
     import org.apache.spark.sql.functions._

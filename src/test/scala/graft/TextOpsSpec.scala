@@ -778,6 +778,35 @@ class TextOpsSpec extends GraftSuite {
     spark.catalog.clearCache()
   }
 
+  test("char trigrams: top-5 per lang match a driver replay, shares are " +
+      "the exact count ratios, ranks are count-ordered") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.ops.Tables(spark, sfDir).documents
+      .select(col("lang"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val grams = docs.filter(_._2.length >= 3).flatMap { case (l, t) =>
+      (0 to t.length - 3).map(i => (l, t.substring(i, i + 3)))
+    }
+    val counts = grams.groupBy(identity).view.mapValues(_.size.toLong)
+    val want = grams.map(_._1).distinct.sorted.flatMap { l =>
+      val cs = counts.filter(_._1._1 == l).toSeq
+        .map { case ((_, g), n) => (g, n) }
+      val tot = cs.map(_._2).sum
+      cs.sortBy { case (g, n) => (-n, g) }.take(5).zipWithIndex.map {
+        case ((g, n), i) => (l, i + 1, g, n, n.toDouble / tot.toDouble)
+      }
+    }.toSeq
+    val got = graft.ops.TextOps.queries("text_char_trigrams")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == want, s"got=${got.take(3)} want=${want.take(3)}")
+    got.groupBy(_._1).values.foreach { rows =>
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank == byRank.sorted.reverse)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("fertility: per-lang sums match a driver replay through the real " +
       "encoder, and fertility is bounded by 1 and word length") {
     import org.apache.spark.sql.functions._
