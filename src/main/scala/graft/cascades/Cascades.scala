@@ -214,7 +214,8 @@ final class CascadesOptimizer(
           if (PhysicalPropertySet.deliversOrder(op, req) &&
               (selfDist || pushChild.isDefined)) {
             val selfCost =
-              costModel.operatorCost(op, e.inputs.map(memo.group(_).card))
+              costModel.operatorCost(op, e.inputs.map(memo.group(_).card),
+                e.inputs.map(memo.group(_).width))
             if (selfCost <= bound) { // upper-bound pruning (`task.rs:418-421`)
               // correctness-required child distribution (Final/Complete
               // aggregates): composes with parent-requirement pushdown —
@@ -271,8 +272,8 @@ final class CascadesOptimizer(
             req.order match {
               case OrderSpec.SortedBy(cols) =>
                 val sortOp = PhysicalSort(cols)
-                val cost = costModel.operatorCost(
-                  sortOp, Seq(memo.group(g).card)) + w.cost
+                val cost = costModel.operatorCost(sortOp,
+                  Seq(memo.group(g).card), Seq(memo.group(g).width)) + w.cost
                 if (cost <= bound)
                   memo.group(g).updateWinner(req,
                     Winner(GroupExpr(sortOp, Seq(g)), cost, Seq(relaxed)))
@@ -297,8 +298,8 @@ final class CascadesOptimizer(
             }
             keys.foreach { ks =>
               val exch = PhysicalExchange(ks)
-              val cost = costModel.operatorCost(
-                exch, Seq(memo.group(g).card)) + w.cost
+              val cost = costModel.operatorCost(exch,
+                Seq(memo.group(g).card), Seq(memo.group(g).width)) + w.cost
               if (cost <= bound)
                 memo.group(g).updateWinner(req,
                   Winner(GroupExpr(exch, Seq(g)), cost, Seq(relaxed)))

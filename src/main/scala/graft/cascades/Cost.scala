@@ -19,6 +19,15 @@ trait CostModel {
     * derived cardinalities of its input groups (empty for leaves).
     */
   def operatorCost(op: PhysicalOp, inputRows: Seq[Long]): Double
+
+  /** Byte-aware variant: `inputWidths` are the derived bytes-per-row of
+    * the input groups ([[StatsModel.deriveWidth]]). Default ignores the
+    * width axis — only [[ByteWeightedClusterCostModel]] uses it, because
+    * the broadcast-vs-shuffle decision is byte-based in production
+    * (Spark's autoBroadcastJoinThreshold counts bytes, not rows).
+    */
+  def operatorCost(op: PhysicalOp, inputRows: Seq[Long],
+      inputWidths: Seq[Long]): Double = operatorCost(op, inputRows)
 }
 
 object ConstantCostModel extends CostModel {
@@ -31,6 +40,29 @@ object ConstantCostModel extends CostModel {
   */
 trait StatsModel {
   def tableRows(table: String): Long
+
+  /** Estimated bytes per row of a base table (default: two 8-byte
+    * columns). The SECOND stats axis — a join decision made on rows
+    * alone mis-prices a small-but-wide build side (few rows, huge
+    * serialized size), exactly the case Spark's byte-based
+    * autoBroadcastJoinThreshold exists for.
+    */
+  def tableWidth(table: String): Long = 16L
+
+  /** Bytes-per-row derivation, the width lattice next to [[derive]]:
+    * joins concatenate their input rows (widths add); every tuple-
+    * preserving operator passes its input width through (the schema-less
+    * IR cannot see how much a projection narrows — conservative).
+    */
+  final def deriveWidth(op: Operator, inputWidths: Seq[Long]): Long =
+    op match {
+      case LogicalScan(t, _)       => tableWidth(t)
+      case PhysicalTableScan(t, _) => tableWidth(t)
+      case _: LogicalJoin | _: PhysicalHashJoin |
+          _: PhysicalBroadcastHashJoin =>
+        inputWidths(0) + inputWidths(1)
+      case _ => inputWidths.headOption.getOrElse(16L)
+    }
 
   final def derive(op: Operator, inputRows: Seq[Long]): Long = op match {
     case LogicalScan(t, l)       => limited(tableRows(t), l)
@@ -45,12 +77,21 @@ trait StatsModel {
       // the COST (build-side choice) differentiates the two
       math.max(inputRows(0), inputRows(1))
     case LogicalLimit(n)       => math.min(inputRows.head, n.toLong)
+    case LogicalTopK(n, _)     => math.min(inputRows.head, n.toLong)
+    case PhysicalTopK(n, _)    => math.min(inputRows.head, n.toLong)
     case _: PhysicalSort       => inputRows.head
     case _: PhysicalExchange   => inputRows.head // repartition: same rows
     // textbook reduction factors: a partial (per-partition) aggregate
     // collapses ~5x, the grouped result ~10x of the raw input. The split
     // decision only needs the ORDERING — partial output < raw input — to
     // price the exchanged bytes correctly.
+    // DELIBERATE single-state simplification for keyless partials: a
+    // real keyless Partial emits one row PER PARTITION (~W rows, see
+    // ClusterCostModel.W), not 1 — so the gather exchange above a
+    // global partial is underpriced by ~W× and the model leans toward
+    // splitting global aggregates. Harmless here (one partial state row
+    // per task is ~free and splitting a global agg is never a
+    // regression at W=32), but a byte-weighted model must use W.
     case PhysicalHashAggregate(AggMode.Partial, g, _) =>
       if (g.isEmpty) 1L else math.max(1L, inputRows.head / 5)
     case _: LogicalAggregate | _: PhysicalHashAggregate =>
@@ -72,8 +113,11 @@ object NoStats extends StatsModel {
   def tableRows(table: String): Long = 1L
 }
 
-final case class TableStats(catalog: Map[String, Long]) extends StatsModel {
+final case class TableStats(catalog: Map[String, Long],
+    widths: Map[String, Long] = Map.empty) extends StatsModel {
   def tableRows(table: String): Long = catalog.getOrElse(table, 1000L)
+  override def tableWidth(table: String): Long =
+    widths.getOrElse(table, 16L)
 }
 
 /** Rows-touched cost: scans pay their output, filters/projections pay their
@@ -100,6 +144,11 @@ final class CardinalityCostModel extends CostModel {
     case PhysicalSort(_)           =>
       val n = inputRows.head.toDouble
       n * (math.log(n + 1.0) / math.log(2.0))
+    // one streaming pass maintaining a size-k ordered buffer:
+    // n·log2(k+1) — strictly cheaper than the full n·log2(n) sort
+    // whenever k < n, which is why top-k beats sort-then-limit
+    case PhysicalTopK(k, _)        =>
+      inputRows.head.toDouble * (math.log(k + 1.0) / math.log(2.0))
     // a hash aggregate touches every input row once (probe + update)
     case PhysicalHashAggregate(_, _, _) => inputRows.head.toDouble
     // a shuffle serializes + transfers every input row (2x a plain
@@ -146,6 +195,37 @@ final class ClusterCostModel extends CostModel {
     case PhysicalBroadcastHashJoin(_, _) =>
       inputRows(0).toDouble +
         2.0 * ClusterCostModel.W * inputRows(1).toDouble
+    case other => base.operatorCost(other, inputRows)
+  }
+}
+
+/** [[ClusterCostModel]] with the join placement terms priced in BYTES
+  * (rows × derived bytes-per-row, normalized to 16-byte row-equivalents
+  * so non-join costs stay commensurate). This is the axis Spark's
+  * autoBroadcastJoinThreshold actually cuts on: a build side of FEW but
+  * WIDE rows (a dimension carrying embeddings, say) is cheap on the
+  * row-count model but W-fold replication of its bytes is not — the
+  * byte-weighted decision flips to the shuffled join while a narrow
+  * same-row-count build still broadcasts. The reference's cost framework
+  * is the stub this completes (`cost/trivial.rs:23-29` — constant cost,
+  * no statistics at all).
+  */
+final class ByteWeightedClusterCostModel extends CostModel {
+  private val base = new ClusterCostModel
+  def operatorCost(op: PhysicalOp, inputRows: Seq[Long]): Double =
+    base.operatorCost(op, inputRows)
+  override def operatorCost(op: PhysicalOp, inputRows: Seq[Long],
+      inputWidths: Seq[Long]): Double = op match {
+    case PhysicalHashJoin(_, _) | PhysicalBroadcastHashJoin(_, _) =>
+      // row-equivalents: bytes moved / default row width
+      val probe = inputRows(0).toDouble * inputWidths(0).toDouble / 16.0
+      val build = inputRows(1).toDouble * inputWidths(1).toDouble / 16.0
+      op match {
+        case PhysicalHashJoin(_, _) => // 2 exchanges + probe + 2x build
+          2.0 * probe + 2.0 * build + probe + 2.0 * build
+        case _ => // replicate the build BYTES to each of W executors
+          probe + 2.0 * ClusterCostModel.W * build
+      }
     case other => base.operatorCost(other, inputRows)
   }
 }

@@ -46,6 +46,17 @@ final case class LogicalJoin(joinType: JoinType, cond: EqCond)
     extends LogicalOp { def arity = 2 }
 /** `Limit { limit }` — `operator/limit.rs:7-13`. */
 final case class LogicalLimit(n: Int) extends LogicalOp { def arity = 1 }
+/** Top-k: the first `n` rows under `cols` order — SQL's ORDER BY + LIMIT,
+  * which a root-property sort plus [[LogicalLimit]] CANNOT express (the
+  * property lands above the limit, and the limit rules legally absorb the
+  * limit into the scan, changing which rows survive). Beyond the
+  * reference (its IR has no logical sort, `operator/mod.rs:26-47`);
+  * Spark's `Limit(Sort(...))` → `TakeOrderedAndProject` planning is the
+  * production counterpart.
+  */
+final case class LogicalTopK(n: Int, cols: Seq[Col]) extends LogicalOp {
+  def arity = 1
+}
 /** Aggregate call: `count` (col = None) or `sum(col)` — the minimal
   * surface the split rule needs. Beyond the reference (its IR has no
   * aggregation, `operator/mod.rs:26-47`); the point here is the
@@ -69,6 +80,16 @@ object AggMode {
 }
 final case class PhysicalHashAggregate(mode: AggMode, groupCols: Seq[Col],
     aggs: Seq[AggCall]) extends PhysicalOp { def arity = 1 }
+/** Physical top-k, Spark's `TakeOrderedAndProjectExec` in miniature:
+  * keeps a size-`n` ordered buffer per input partition and merges the
+  * per-partition winners, so it REQUIRES nothing of its child
+  * (UnspecifiedDistribution in Spark) and DELIVERS both the order and a
+  * Singleton placement. Never absorbed into the scan — unlike a bare
+  * limit, the top-k rows are order-dependent.
+  */
+final case class PhysicalTopK(n: Int, cols: Seq[Col]) extends PhysicalOp {
+  def arity = 1
+}
 
 final case class PhysicalTableScan(table: String, limit: Option[Int] = None)
     extends PhysicalOp { def arity = 0 }
@@ -137,6 +158,10 @@ final case class PlanNode(op: Operator, inputs: Seq[PlanNode] = Nil) {
     case LogicalProject(e)       => s"LogicalProjection(${e.mkString(",")})"
     case LogicalJoin(jt, c)      => s"LogicalJoin($jt, $c)"
     case LogicalLimit(n)         => s"LogicalLimit($n)"
+    case LogicalTopK(n, cols) =>
+      s"LogicalTopK(n=$n, order=[${cols.mkString(",")}])"
+    case PhysicalTopK(n, cols) =>
+      s"PhysicalTopK(n=$n, order=[${cols.mkString(",")}])"
     case LogicalAggregate(g, a) =>
       s"LogicalAggregate(keys=[${g.mkString(",")}], " +
         s"aggs=[${a.map(c => c.fn + c.col.fold("")(x => s"(${x.name})"))
@@ -198,8 +223,9 @@ object PhysicalPropertySet {
     * are the exception handled by EnsureRequirements).
     */
   def deliveredOrder(op: PhysicalOp): OrderSpec = op match {
-    case PhysicalSort(cols) => OrderSpec.SortedBy(cols)
-    case _                  => OrderSpec.AnyOrder
+    case PhysicalSort(cols)    => OrderSpec.SortedBy(cols)
+    case PhysicalTopK(_, cols) => OrderSpec.SortedBy(cols)
+    case _                     => OrderSpec.AnyOrder
   }
 
   /** Does `op`'s delivered order satisfy `required.order`? */
@@ -225,6 +251,9 @@ object PhysicalPropertySet {
     // that same placement: each group key lives in exactly one partition
     case PhysicalHashAggregate(AggMode.Final | AggMode.Complete, g, _) =>
       if (g.isEmpty) DistributionSpec.Singleton else DistributionSpec.Hashed(g)
+    // per-partition buffers merged into one ordered result — Spark's
+    // TakeOrderedAndProjectExec reports SinglePartition likewise
+    case _: PhysicalTopK      => DistributionSpec.Singleton
     case _                    => DistributionSpec.Any
   }
 

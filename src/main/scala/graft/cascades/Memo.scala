@@ -39,6 +39,11 @@ final class Group(val id: Int) {
     * property of the equivalence group, derived from its first member.
     */
   var card: Long = 1L
+  /** Derived bytes-per-row ([[StatsModel.deriveWidth]]), the byte axis of
+    * the group's statistics — rows × width is what a byte-weighted cost
+    * model ([[ByteWeightedClusterCostModel]]) prices.
+    */
+  var width: Long = 16L
   /** Derived provided-columns logical property ([[Provenance]]), derived
     * like `card` at group birth; empty when the memo has no column catalog.
     */
@@ -119,6 +124,8 @@ final class Memo(stats: StatsModel = NoStats,
         // them
         if (created) {
           g.card = stats.derive(expr.op, expr.inputs.map(group(_).card))
+          g.width =
+            stats.deriveWidth(expr.op, expr.inputs.map(group(_).width))
           g.cols = Provenance.derive(
             expr.op, expr.inputs.map(group(_).cols), columns)
         }
@@ -157,8 +164,10 @@ final class Memo(stats: StatsModel = NoStats,
       val from = group(dup)
       val to = group(keep)
       // equivalent groups provide the same columns in a consistent plan;
-      // union is the safe merge for the derived property
+      // union is the safe merge for the derived property (and max for
+      // the conservative width estimate)
       to.cols = to.cols ++ from.cols
+      to.width = math.max(to.width, from.width)
       (from.logicalExprs ++ from.physicalExprs).foreach { e =>
         to.add(e)
         exprToGroup(e) = to.id

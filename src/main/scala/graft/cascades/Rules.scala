@@ -43,6 +43,7 @@ object RuleId {
   case object Join2BroadcastJoin extends RuleId
   case object Agg2HashAgg extends RuleId
   case object SplitAgg extends RuleId
+  case object TopK2PhysicalTopK extends RuleId
   case object Scan2TableScan extends RuleId
   case object Project2PhysicalProject extends RuleId
   case object Filter2PhysicalFilter extends RuleId
@@ -531,13 +532,31 @@ object Rules {
       }
   }
 
+  /** Top-k implementation — the only way a [[LogicalTopK]] becomes
+    * physical (no rewrite touches it: unlike a bare limit, the surviving
+    * rows are order-dependent, so absorption into the scan would be
+    * wrong). Mirrors Spark's SpecialLimits strategy planning
+    * `TakeOrderedAndProject` from `Limit(Sort(...))`.
+    */
+  object TopK2PhysicalTopKRule extends OptRule {
+    val id = RuleId.TopK2PhysicalTopK
+    override val isImplementation = true
+    val pattern = Pattern.node(_.isInstanceOf[LogicalTopK], Pattern.any)
+    def apply(expr: Node, ctx: RuleContext): Option[OptExpression] =
+      expr match {
+        case Node(LogicalTopK(n, cols), inputs) =>
+          Some(Node(PhysicalTopK(n, cols), inputs))
+        case _ => None
+      }
+  }
+
   val rewriteRules: Seq[OptRule] =
     Seq(RemoveLimitRule, PushLimitOverProjectionRule, PushLimitToTableScanRule)
   val explorationRules: Seq[OptRule] = Seq(CommutateJoinRule)
   val implementationRules: Seq[OptRule] =
     Seq(Join2HashJoinRule, Scan2TableScanRule,
       Project2PhysicalProjectRule, Filter2PhysicalFilterRule,
-      Agg2HashAggRule, SplitAggRule)
+      Agg2HashAggRule, SplitAggRule, TopK2PhysicalTopKRule)
   val all: Seq[OptRule] = rewriteRules ++ explorationRules ++ implementationRules
   /** `all` + associativity: join-order enumeration. Not in `all` — the
     * default search stays reference-faithful (commutation only); opt in

@@ -19,7 +19,7 @@ package graft.cascades
   * [ WHERE col = col ]
   * [ GROUP BY col [, col]* ]            (iff an aggregate item appears)
   * [ ORDER BY col [, col]* ]            (lowered to a required property)
-  * [ LIMIT n ]                          (not combinable with ORDER BY)
+  * [ LIMIT n ]                          (with ORDER BY: LogicalTopK)
   * }}}
   *
   * Lowering mirrors the reference's SqlToRel output shape (visible in
@@ -103,12 +103,17 @@ object SqlFrontend {
       "GROUP BY without an aggregate in the select list")
     projection match {
       case Some(cols) => plan = PlanNode(LogicalProject(cols), Seq(plan))
-      case None if !joined && schema.contains(firstTable) =>
+      case None if aggCalls.isEmpty && !joined &&
+          schema.contains(firstTable) =>
         // SELECT * over one cataloged table: expand like the reference's
-        // planner (limit.yaml golden 1 keeps an explicit projection)
+        // planner (limit.yaml golden 1 keeps an explicit projection).
+        // aggCalls.isEmpty guard: an aggregate query also has
+        // projection == None, and expanding the catalog columns ABOVE
+        // the LogicalAggregate would project columns the aggregate
+        // does not produce (it provides only group keys + agg values).
         plan = PlanNode(
           LogicalProject(schema(firstTable).map(Col)), Seq(plan))
-      case None => // no catalog entry (or a join): leave the tree bare
+      case None => // aggregate, no catalog entry, or a join: leave bare
     }
     val order: OrderSpec =
       if (p.peekKw("ORDER")) {
@@ -116,18 +121,22 @@ object SqlFrontend {
         OrderSpec.SortedBy(p.identList().map(Col))
       } else OrderSpec.AnyOrder
     if (p.peekKw("LIMIT")) {
-      // SQL's ORDER BY + LIMIT is TOP-K: the sort must happen below the
-      // limit. The reference IR has no logical sort node (order existed
-      // only as the stubbed property), so that plan is not expressible —
-      // a root-property sort lands ABOVE the limit and the limit rules
-      // legally absorb the limit into the scan, silently changing which
-      // rows survive. Reject loudly rather than lower wrong semantics.
-      require(order == OrderSpec.AnyOrder,
-        "ORDER BY ... LIMIT is top-k, which the reference IR cannot " +
-          "express (no logical sort operator); use ORDER BY alone " +
-          "(required property) or LIMIT alone")
       p.next()
-      plan = PlanNode(LogicalLimit(p.int()), Seq(plan))
+      val n = p.int()
+      order match {
+        // SQL's ORDER BY + LIMIT is TOP-K: the sort must happen below
+        // the limit, which a root-property sort + LogicalLimit cannot
+        // express (the property lands ABOVE the limit and the limit
+        // rules legally absorb the limit into the scan, silently
+        // changing which rows survive). Lower to [[LogicalTopK]] — the
+        // order rides ON the node, the limit rules cannot touch it,
+        // and the physical TopK delivers the root's required order
+        // itself (Spark's Limit(Sort(...)) → TakeOrderedAndProject).
+        case OrderSpec.SortedBy(cols) =>
+          plan = PlanNode(LogicalTopK(n, cols), Seq(plan))
+        case OrderSpec.AnyOrder =>
+          plan = PlanNode(LogicalLimit(n), Seq(plan))
+      }
     }
     p.expectEnd()
     (plan, PhysicalPropertySet.default.copy(order = order))

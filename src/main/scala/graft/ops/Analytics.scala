@@ -50,6 +50,10 @@ object Analytics {
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(s, col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
+        // date-pure values rendered as DATE: a timestamp_ntz OUTPUT is a
+        // cross-stack canonicalization hazard (plan-gate type audit)
+        .select(col("l_orderkey"),
+          col("o_orderdate").cast("date").as("o_orderdate"), col("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     },
@@ -66,7 +70,8 @@ object Analytics {
       t.orders.join(big, col("o_orderkey") === col("l_orderkey"))
         .join(t.customer, col("o_custkey") === col("c_custkey"))
         .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
-          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+          col("o_orderdate").cast("date").as("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(20)
     },
@@ -457,7 +462,7 @@ object Analytics {
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping" ->
-      s"""SELECT l_orderkey, o_orderdate,
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
          |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
          |FROM customer JOIN orders ON c_custkey = o_custkey
          |  JOIN lineitem ON o_orderkey = l_orderkey
@@ -469,7 +474,8 @@ object Analytics {
     "q18_large_orders" ->
       s"""WITH s AS (SELECT l_orderkey, ${sqlSum("l_quantity")} AS sum_qty
          |  FROM lineitem GROUP BY l_orderkey)
-         |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         |SELECT c_name, c_custkey, o_orderkey,
+         |  CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
          |  sum_qty
          |FROM s JOIN orders ON o_orderkey = l_orderkey
          |  JOIN customer ON o_custkey = c_custkey

@@ -472,8 +472,11 @@ object DataOps {
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
           col("o_orderstatus"))
         .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+        // date-pure validity bounds rendered as DATE: a timestamp_ntz
+        // OUTPUT is a cross-stack hazard (plan-gate type audit)
         .select(col("o_custkey"), col("o_orderkey"),
-          col("o_orderdate").as("valid_from"), col("valid_to"),
+          col("o_orderdate").cast("date").as("valid_from"),
+          col("valid_to").cast("date").as("valid_to"),
           col("o_orderstatus").as("status"),
           col("valid_to").isNull.as("is_current"))
         .orderBy("o_custkey", "valid_from", "o_orderkey")
@@ -692,6 +695,11 @@ object DataOps {
     // check) so it is exact to 10²⁶ rows per table — a Long would
     // silently overflow past ~9·10⁶ rows, exactly the scale a
     // replica checksum exists for, while DuckDB sums in HUGEINT.
+    // The OUTPUT renders the sum as STRING: wide decimals
+    // (precision > 18) canonicalize differently across arrow/duckdb
+    // stacks (r6 driver-gate finding — the suite's only 3 hash fails
+    // were exactly its only DECIMAL(38,0) output columns); digits are
+    // exact and collation-free on every consumer.
     "data_table_checksum" -> { (s, d) =>
       val t = Tables(s, d)
       def sig(df: DataFrame, name: String, canonical: Column) = {
@@ -700,7 +708,7 @@ object DataOps {
           .agg(count(lit(1)).as("n_rows"),
             expr("bit_xor(h)").as("xor_sig"),
             sum(pmod(col("h"), lit(1000000000000L))
-              .cast("decimal(38,0)")).as("sum_sig"))
+              .cast("decimal(38,0)")).cast("string").as("sum_sig"))
           .select(lit(name).as("table_name"), col("n_rows"),
             col("xor_sig"), col("sum_sig"))
       }
@@ -1496,9 +1504,13 @@ object DataOps {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("n_tokens"),
           // hash a 31-char md5 prefix, not the raw text: the oracle's
-          // XXH64 SQL replica is defined for < 32-byte inputs only
+          // XXH64 SQL replica is defined for < 32-byte inputs only.
+          // Sum in DECIMAL(38,0) (exact), render as STRING: wide
+          // decimals canonicalize differently across arrow/duckdb
+          // stacks (r6 driver-gate finding).
           sum(pmod(xxhash64(substring(md5(col("text")), 1, 31)),
-            lit(1000000000000L)).cast("decimal(38,0)")).as("content_sig"))
+            lit(1000000000000L)).cast("decimal(38,0)")).cast("string")
+            .as("content_sig"))
         .orderBy("split")
     },
     // Temporal split — the OTHER split next to data_split_hash: events
@@ -1635,6 +1647,147 @@ object DataOps {
         .select(col("source"), col("n_true"), noise.as("noise"),
           greatest(col("n_true") + noise, lit(0L)).as("n_dp"))
         .orderBy("source")
+    },
+    // Partition-column advisor — the layout decision every lakehouse
+    // write makes once and pays for forever: for each candidate
+    // partition column, the partition count (small-file risk), the max
+    // partition's rows, and the imbalance factor max/mean =
+    // max·ndv/rows (cross-multiplied exact integers, ONE division).
+    // Three candidate rollups, each a partial+final count — at 100 TB
+    // the advisor reads column STATISTICS scale, never data scale.
+    "data_partition_advisor" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      def score(key: Column, name: String): DataFrame =
+        docs.groupBy(key.as("k")).agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_partitions"),
+            sum(col("n")).as("n_rows"), max(col("n")).as("max_rows"))
+          .select(lit(name).as("candidate"), col("n_partitions"),
+            col("n_rows"), col("max_rows"),
+            ((col("max_rows") * col("n_partitions")).cast("double") /
+              col("n_rows").cast("double")).as("imbalance"))
+      score(col("lang"), "lang")
+        .unionAll(score(col("source"), "source"))
+        .unionAll(score(concat_ws("/", col("lang"), col("source")),
+          "lang/source"))
+        .orderBy("candidate")
+    },
+    // Target-file-size write plan — the small-files report: per
+    // partition (lang), bytes (Σ n_chars as the proxy), file count at a
+    // 64 KiB target (ceiling division — exact), rows per file, and the
+    // fill percentage of the last-file-averaged layout (integer percent:
+    // bytes·100 div (files·target)). The planner output is
+    // partition-count-sized metadata.
+    "data_file_plan" -> { (s, d) =>
+      val T = 65536L
+      Tables(s, d).documents
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("bytes"))
+        .select(col("lang"), col("n_rows"), col("bytes"),
+          expr(s"(bytes + ${T - 1}) div $T").as("n_files"),
+          expr(s"(n_rows + (bytes + ${T - 1}) div $T - 1) div " +
+            s"((bytes + ${T - 1}) div $T)").as("rows_per_file"),
+          expr(s"bytes * 100 div (((bytes + ${T - 1}) div $T) * $T)")
+            .as("fill_pct"))
+        .orderBy("lang")
+    },
+    // Quality quarantine — failing rows routed OUT of the pipeline with
+    // machine-readable reason bits (the pattern that makes a 100 TB
+    // clean re-runnable: the quarantine is the diff, the reasons are the
+    // dashboard). Three Gopher-style rules as EXACT integer predicates
+    // (the stopword rule cross-multiplies — no float ratio at the
+    // boundary); bitmask = too_short·1 + stop_heavy·2 + non_en·4. Pure
+    // map stage over the scan; only failing rows survive the filter.
+    "data_quarantine" -> { (s, d) =>
+      val t = split(col("text"), " ")
+      val nt = size(t).cast("long")
+      val ns = size(filter(t,
+        x => x.isin("the", "a", "of", "and", "to", "in"))).cast("long")
+      Tables(s, d).documents
+        .select(col("doc_id"), col("lang"),
+          (nt < 50L).as("too_short"),
+          (ns * 100L > nt * 35L).as("stop_heavy"),
+          (col("lang") =!= "en").as("non_en"))
+        .withColumn("reason_mask",
+          when(col("too_short"), 1L).otherwise(0L) +
+            when(col("stop_heavy"), 2L).otherwise(0L) +
+            when(col("non_en"), 4L).otherwise(0L))
+        .filter(col("reason_mask") > 0L)
+        .orderBy("doc_id")
+    },
+    // Distribution drift between snapshot halves — the schema/content
+    // monitor a daily-partitioned table needs: split the event stream at
+    // the midpoint day and compare each event_type's share across the
+    // halves. Counts exact; the midpoint is a 1-row broadcast; the
+    // share delta is two IEEE divisions per type row. At 100 TB both
+    // halves are one partial+final aggregate over the same scan.
+    "data_schema_drift" -> { (s, d) =>
+      val day = expr("unix_millis(ts) div 86400000")
+      val ev = Tables(s, d).events.select(col("event_type"), day.as("day"))
+      val mid = ev.agg((min(col("day")) +
+        expr("(max(day) - min(day)) div 2")).as("mid_day"))
+      val halves = ev.crossJoin(broadcast(mid))
+        .select(col("event_type"),
+          when(col("day") < col("mid_day"), 1L).otherwise(0L).as("first"))
+        .groupBy("event_type")
+        .agg(sum(col("first")).as("n_first"),
+          sum(lit(1L) - col("first")).as("n_second"))
+      val tot = halves.agg(sum(col("n_first")).as("t_first"),
+        sum(col("n_second")).as("t_second"))
+      halves.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n_first"), col("n_second"),
+          (col("n_first").cast("double") / col("t_first").cast("double") -
+            col("n_second").cast("double") / col("t_second").cast("double"))
+            .as("share_delta"))
+        .orderBy("event_type")
+    },
+    // Wide-to-long metric melt via the `stack` GENERATOR — the second of
+    // Spark's two unpivot surfaces (`unpivot_metrics` in AnalyticsExt
+    // exercises the native DataFrame.unpivot operator; this one the
+    // codegen'd stack() generator, the form SQL-only callers reach for),
+    // over the day-keyed metrics rollup every metrics store ingests.
+    // One pass over the day-sized rollup, no joins; the rollup is one
+    // partial+final aggregate over the scan.
+    "data_unpivot_metrics" -> { (s, d) =>
+      Tables(s, d).events
+        .select(expr("unix_millis(ts) div 86400000").as("day"),
+          col("user_id"), col("event_type"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchases"))
+        .selectExpr("day",
+          "stack(3, 'n_events', n_events, 'n_users', n_users, " +
+            "'n_purchases', n_purchases) AS (metric, value)")
+        .orderBy("day", "metric")
+    },
+    // CDC net-effect collapse — the changelog compaction that turns N
+    // ops per key into ONE effective op before a merge (less write
+    // amplification than applying every row). Changelog = each user's
+    // signup/click/error events as insert/update/delete in (ts,
+    // event_id) order; first/last op via min/max(struct) aggregates (no
+    // window pass), net classified by the standard collapse matrix
+    // (I..D → none, I..U/I → insert, U..D → delete, else upsert). One
+    // key-partitioned aggregate; output is key-sized.
+    "data_cdc_net_effect" -> { (s, d) =>
+      val ops = Tables(s, d).events
+        .filter(col("event_type").isin("signup", "click", "error"))
+        .select(col("user_id"), expr("unix_millis(ts)").as("ts_ms"),
+          col("event_id"),
+          when(col("event_type") === "signup", "I")
+            .when(col("event_type") === "click", "U")
+            .otherwise("D").as("op"))
+      ops.groupBy("user_id")
+        .agg(count(lit(1)).as("n_ops"),
+          min(struct(col("ts_ms"), col("event_id"), col("op"))).as("f"),
+          max(struct(col("ts_ms"), col("event_id"), col("op"))).as("l"))
+        .select(col("user_id"), col("n_ops"),
+          col("f.op").as("first_op"), col("l.op").as("last_op"),
+          when(col("l.op") === "D",
+            when(col("f.op") === "I", "none").otherwise("delete"))
+            .otherwise(
+              when(col("f.op") === "I", "insert").otherwise("upsert"))
+            .as("net"))
+        .orderBy("user_id")
     }
   )
 
@@ -2249,9 +2402,10 @@ object DataOps {
          |FROM documents ORDER BY doc_id""".stripMargin,
     // the same lead() interval build; DATE columns compare exactly
     "data_scd2" ->
-      """SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
-        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS valid_to,
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS valid_from,
+        |  CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS DATE) AS valid_to,
         |  o_orderstatus AS status,
         |  lead(o_orderdate) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate ASC, o_orderkey ASC) IS NULL AS is_current
@@ -2299,8 +2453,8 @@ object DataOps {
         val h = XxhSql.expr(canonical, "42")
         s"""SELECT '$name' AS table_name, count(*) AS n_rows,
            |    bit_xor(($h)::BIGINT) AS xor_sig,
-           |    CAST(sum(((($h) % 1000000000000) + 1000000000000)
-           |      % 1000000000000) AS DECIMAL(38,0)) AS sum_sig
+           |    CAST(CAST(sum(((($h) % 1000000000000) + 1000000000000)
+           |      % 1000000000000) AS DECIMAL(38,0)) AS VARCHAR) AS sum_sig
            |  FROM $table""".stripMargin
       }
       sig("documents", "documents",
@@ -2768,10 +2922,10 @@ object DataOps {
          |            WHEN b < 90 THEN 'validation'
          |            ELSE 'test' END AS split,
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-         |  CAST(sum(((${XxhSql.expr("substr(md5(text), 1, 31)", "42")}
+         |  CAST(CAST(sum(((${XxhSql.expr("substr(md5(text), 1, 31)", "42")}
          |      % 1000000000000)
          |      + 1000000000000) % 1000000000000) AS DECIMAL(38,0))
-         |    AS content_sig
+         |    AS VARCHAR) AS content_sig
          |FROM h GROUP BY 1 ORDER BY split""".stripMargin,
     "data_split_temporal" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day
@@ -2847,7 +3001,106 @@ object DataOps {
          |SELECT source, n_true, $noiseCase AS noise,
          |  greatest(n_true + ($noiseCase), 0) AS n_dp
          |FROM n ORDER BY source""".stripMargin
-    }
+    },
+    // the same per-candidate rollups with the cross-multiplied imbalance
+    "data_partition_advisor" -> {
+      def score(key: String, name: String) =
+        s"""SELECT '$name' AS candidate,
+           |  count(*) AS n_partitions, CAST(sum(n) AS BIGINT) AS n_rows,
+           |  CAST(max(n) AS BIGINT) AS max_rows,
+           |  CAST(max(n) * count(*) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+           |    AS imbalance
+           |FROM (SELECT $key AS k, count(*) AS n FROM documents
+           |  GROUP BY 1)""".stripMargin
+      score("lang", "lang") + "\nUNION ALL\n" +
+        score("source", "source") + "\nUNION ALL\n" +
+        score("lang || '/' || source", "lang/source") +
+        "\nORDER BY candidate"
+    },
+    "data_file_plan" ->
+      """WITH p AS (SELECT lang, count(*) AS n_rows,
+        |    CAST(sum(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1)
+        |SELECT lang, n_rows, bytes,
+        |  (bytes + 65535) // 65536 AS n_files,
+        |  (n_rows + (bytes + 65535) // 65536 - 1)
+        |    // ((bytes + 65535) // 65536) AS rows_per_file,
+        |  bytes * 100 // (((bytes + 65535) // 65536) * 65536) AS fill_pct
+        |FROM p ORDER BY lang""".stripMargin,
+    // the identical integer predicates and bitmask
+    "data_quarantine" ->
+      """WITH q AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','of','and','to','in'))) AS BIGINT)
+        |      AS ns
+        |  FROM documents)
+        |SELECT doc_id, lang, nt < 50 AS too_short,
+        |  ns * 100 > nt * 35 AS stop_heavy, lang <> 'en' AS non_en,
+        |  CAST((CASE WHEN nt < 50 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN ns * 100 > nt * 35 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN lang <> 'en' THEN 4 ELSE 0 END) AS BIGINT)
+        |    AS reason_mask
+        |FROM q
+        |WHERE nt < 50 OR ns * 100 > nt * 35 OR lang <> 'en'
+        |ORDER BY doc_id""".stripMargin,
+    "data_schema_drift" ->
+      """WITH e AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day
+        |  FROM events),
+        |m AS (SELECT min(day) + (max(day) - min(day)) // 2 AS mid_day
+        |  FROM e),
+        |h AS (SELECT event_type,
+        |    CAST(sum(CASE WHEN day < mid_day THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_first,
+        |    CAST(sum(CASE WHEN day < mid_day THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n_second
+        |  FROM e, m GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_first) AS BIGINT) AS t_first,
+        |    CAST(sum(n_second) AS BIGINT) AS t_second FROM h)
+        |SELECT event_type, n_first, n_second,
+        |  CAST(n_first AS DOUBLE) / CAST(t_first AS DOUBLE) -
+        |    CAST(n_second AS DOUBLE) / CAST(t_second AS DOUBLE)
+        |    AS share_delta
+        |FROM h, t ORDER BY event_type""".stripMargin,
+    "data_unpivot_metrics" ->
+      """WITH w AS (SELECT epoch_ms(ts) // 86400000 AS day,
+        |    count(*) AS n_events,
+        |    count(DISTINCT user_id) AS n_users,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |      AS n_purchases
+        |  FROM events GROUP BY 1)
+        |SELECT day, metric, value FROM (
+        |  SELECT day, 'n_events' AS metric, n_events AS value FROM w
+        |  UNION ALL
+        |  SELECT day, 'n_users', n_users FROM w
+        |  UNION ALL
+        |  SELECT day, 'n_purchases', n_purchases FROM w)
+        |ORDER BY day, metric""".stripMargin,
+    // first/last op via the identical (ts_ms, event_id) total order;
+    // the same collapse matrix
+    "data_cdc_net_effect" ->
+      """WITH ops AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id,
+        |    CASE event_type WHEN 'signup' THEN 'I' WHEN 'click' THEN 'U'
+        |      ELSE 'D' END AS op
+        |  FROM events
+        |  WHERE event_type IN ('signup', 'click', 'error')),
+        |w AS (SELECT user_id, op,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_ms ASC, event_id ASC) AS rf,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_ms DESC, event_id DESC) AS rl
+        |  FROM ops),
+        |c AS (SELECT user_id, count(*) AS n_ops FROM ops GROUP BY 1),
+        |f AS (SELECT user_id, op AS first_op FROM w WHERE rf = 1),
+        |l AS (SELECT user_id, op AS last_op FROM w WHERE rl = 1)
+        |SELECT c.user_id, n_ops, first_op, last_op,
+        |  CASE WHEN last_op = 'D' THEN
+        |    (CASE WHEN first_op = 'I' THEN 'none' ELSE 'delete' END)
+        |  ELSE (CASE WHEN first_op = 'I' THEN 'insert' ELSE 'upsert' END)
+        |  END AS net
+        |FROM c JOIN f ON f.user_id = c.user_id
+        |  JOIN l ON l.user_id = c.user_id
+        |ORDER BY c.user_id""".stripMargin
   )
 
   /** Oracle spelling of [[graft.functions.Kernels.zorder2]]: the same 32

@@ -1491,6 +1491,108 @@ object EventOps {
           (col("n_converted").cast("double") /
             col("n_viewed").cast("double")).as("conversion_rate"),
           col("median_ms"), col("p90_ms"))
+    },
+    // Heterogeneous treatment effect — the A/B readout segmented by a
+    // BEHAVIORAL cohort (each user's first event type): overall lift
+    // hides sign-flipping subgroups, so every experimentation platform
+    // publishes the per-segment panel next to events_ab_lift. Segment =
+    // argmin over (ts_ms, event_id) via one min(struct) aggregate (no
+    // second window pass); arm = the same deterministic user hash as
+    // events_ab_lift; all sufficient statistics exact integers, the
+    // three rates/lift are fixed IEEE divisions per segment row.
+    "events_uplift_segments" -> { (s, d) =>
+      val e = withMs(Tables(s, d).events)
+      val perUser = e.groupBy("user_id")
+        .agg(min(struct(col("ts_ms"), col("event_id"),
+          col("event_type"))).as("fst"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("converted"))
+        .select(col("fst.event_type").as("segment"), col("converted"),
+          when(pmod(xxhash64(concat(lit("AB"),
+            col("user_id").cast("string"))), lit(2)) === 0, "A")
+            .otherwise("B").as("arm"))
+      perUser.groupBy("segment")
+        .agg(count(when(col("arm") === "A", 1)).as("users_a"),
+          sum(when(col("arm") === "A", col("converted")).otherwise(0L))
+            .as("conv_a"),
+          count(when(col("arm") === "B", 1)).as("users_b"),
+          sum(when(col("arm") === "B", col("converted")).otherwise(0L))
+            .as("conv_b"))
+        .select(col("segment"), col("users_a"), col("conv_a"),
+          col("users_b"), col("conv_b"),
+          (col("conv_b").cast("double") / col("users_b").cast("double") -
+            col("conv_a").cast("double") / col("users_a").cast("double"))
+            .as("lift"))
+        .orderBy("segment")
+    },
+    // Session-depth histogram — the engagement-shape panel the
+    // sessionizer feeds: how many sessions have 1, 2, ... events. The
+    // session assignment is events_sessionize's exact window chain; the
+    // histogram is session-count-sized and the share is ONE division
+    // against the broadcast total. At 100 TB the output is bounded by
+    // the max session depth, not the session count.
+    "events_session_depth_dist" -> { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ms").asc, col("event_id").asc)
+      val sess = withMs(Tables(s, d).events)
+        .withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ms").isNull ||
+            col("ts_ms") - col("prev_ms") > GapMs, 1).otherwise(0))
+        .withColumn("session_idx",
+          sum(col("new_session")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"))
+      val hist = sess.groupBy("n_events")
+        .agg(count(lit(1)).as("n_sessions"))
+      val tot = hist.agg(sum(col("n_sessions")).as("n_total"))
+      hist.crossJoin(broadcast(tot))
+        .select(col("n_events"), col("n_sessions"),
+          (col("n_sessions").cast("double") / col("n_total").cast("double"))
+            .as("share"))
+        .orderBy("n_events")
+    },
+    // Per-user contribution capping — the bot/power-user mitigation every
+    // event pipeline applies before modeling: cap each user at K events
+    // per type and report what the cap removes. One (type, user) count,
+    // one type-keyed rollup of exact integers (Σn, Σmin(n,K), heavy-user
+    // count), ONE division for the kept share. At 100 TB both aggregates
+    // are partial+final with map-side combine; no row-level pass re-reads
+    // the corpus after the first count.
+    "events_heavy_user_cap" -> { (s, d) =>
+      val K = 50L
+      Tables(s, d).events
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(sum(col("n")).as("n_events"),
+          sum(least(col("n"), lit(K))).as("n_capped"),
+          count(when(col("n") > K, 1)).as("n_heavy_users"))
+        .select(col("event_type"), col("n_events"), col("n_capped"),
+          col("n_heavy_users"),
+          (col("n_capped").cast("double") / col("n_events").cast("double"))
+            .as("kept_share"))
+        .orderBy("event_type")
+    },
+    // Inactivity (churn-risk) cohorts — users bucketed by WEEKS since
+    // their last event, measured against the corpus max timestamp: the
+    // retention team's "how stale is our user base" histogram, with a
+    // running cumulative count (the "at least this stale" curve). Floor
+    // division on exact epoch-ms integers; the corpus max is a 1-row
+    // broadcast; the cumsum window runs over the bucket-count-sized
+    // histogram, never the user table.
+    "events_inactivity_churn" -> { (s, d) =>
+      val e = withMs(Tables(s, d).events)
+      val lastPer = e.groupBy("user_id").agg(max(col("ts_ms")).as("last_ms"))
+      val corpusMax = e.agg(max(col("ts_ms")).as("max_ms"))
+      val hist = lastPer.crossJoin(broadcast(corpusMax))
+        .select(expr(s"(max_ms - last_ms) div ${7 * 86400000L}")
+          .as("weeks_inactive"))
+        .groupBy("weeks_inactive").agg(count(lit(1)).as("n_users"))
+      hist.withColumn("cum_users",
+        sum(col("n_users")).over(Window.orderBy(col("weeks_inactive").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .orderBy("weeks_inactive")
     }
   )
 
@@ -2994,6 +3096,82 @@ object EventOps {
         |  CAST(count(lat) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |    AS conversion_rate,
         |  median(lat) AS median_ms, quantile_cont(lat, 0.9) AS p90_ms
-        |FROM l""".stripMargin
+        |FROM l""".stripMargin,
+    // first-event segment via the identical (ts_ms, event_id) total
+    // order; the same AB hash as events_ab_lift; lift = two divisions
+    "events_uplift_segments" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |    epoch_ms(ts) AS ts_ms FROM events),
+         |fe AS (SELECT user_id, event_type AS segment FROM (
+         |    SELECT user_id, event_type, row_number() OVER (
+         |      PARTITION BY user_id ORDER BY ts_ms ASC, event_id ASC)
+         |      AS rn FROM e) WHERE rn = 1),
+         |pu AS (SELECT user_id,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS converted
+         |  FROM e GROUP BY 1),
+         |arms AS (SELECT segment, converted, CASE WHEN
+         |    ((${XxhSql.expr("'AB' || CAST(fe.user_id AS VARCHAR)", "42")}
+         |      % 2) + 2) % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+         |  FROM fe JOIN pu ON pu.user_id = fe.user_id)
+         |SELECT segment,
+         |  count(CASE WHEN arm = 'A' THEN 1 END) AS users_a,
+         |  CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END)
+         |    AS BIGINT) AS conv_a,
+         |  count(CASE WHEN arm = 'B' THEN 1 END) AS users_b,
+         |  CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END)
+         |    AS BIGINT) AS conv_b,
+         |  CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END)
+         |      AS DOUBLE) /
+         |    CAST(count(CASE WHEN arm = 'B' THEN 1 END) AS DOUBLE) -
+         |  CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END)
+         |      AS DOUBLE) /
+         |    CAST(count(CASE WHEN arm = 'A' THEN 1 END) AS DOUBLE) AS lift
+         |FROM arms GROUP BY segment ORDER BY segment""".stripMargin,
+    // the events_sessionize window chain verbatim, collapsed to a
+    // depth histogram with one share division
+    "events_session_depth_dist" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
+        |           FROM events),
+        |f AS (SELECT *,
+        |    CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id
+        |        ORDER BY ts_ms ASC, event_id ASC) IS NULL
+        |      OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+        |        ORDER BY ts_ms ASC, event_id ASC) > 1800000
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM e),
+        |g AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts_ms ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS session_idx
+        |  FROM f),
+        |s AS (SELECT user_id, session_idx, count(*) AS n_events
+        |  FROM g GROUP BY 1, 2),
+        |h AS (SELECT n_events, count(*) AS n_sessions FROM s GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_sessions) AS BIGINT) AS n_total FROM h)
+        |SELECT n_events, n_sessions,
+        |  CAST(n_sessions AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+        |FROM h, t ORDER BY n_events""".stripMargin,
+    "events_heavy_user_cap" ->
+      """WITH pu AS (SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(least(n, 50)) AS BIGINT) AS n_capped,
+        |  count(CASE WHEN n > 50 THEN 1 END) AS n_heavy_users,
+        |  CAST(sum(least(n, 50)) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+        |    AS kept_share
+        |FROM pu GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_inactivity_churn" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+        |lp AS (SELECT user_id, max(ts_ms) AS last_ms FROM e GROUP BY 1),
+        |mx AS (SELECT max(ts_ms) AS max_ms FROM e),
+        |h AS (SELECT (max_ms - last_ms) // 604800000 AS weeks_inactive,
+        |    count(*) AS n_users
+        |  FROM lp, mx GROUP BY 1)
+        |SELECT weeks_inactive, n_users,
+        |  CAST(sum(n_users) OVER (ORDER BY weeks_inactive ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM h ORDER BY weeks_inactive""".stripMargin
   )
 }

@@ -153,8 +153,12 @@ object GraphOps {
         val next = dist.filter(col("dist") === step - 1).as("f")
           .join(edges.as("e"), col("f.node") === col("e.u"))
           .select(col("e.v").as("node"), lit(step).as("dist"))
+        // dist is consumed TWICE per round (frontier filter + union):
+        // without a per-round lineage cut, round k's plan holds 2^k
+        // copies of round 0 — the sccFrom/graph_path_counts pattern
         dist = dist.union(next)
           .groupBy("node").agg(min(col("dist")).as("dist"))
+          .cutLineage()
       }
       dist.orderBy("node")
     },
@@ -566,6 +570,17 @@ object GraphOps {
     "graph_bottlenecks" -> { (s, d) =>
       bottlenecksFrom(copurchaseEdges(Tables(s, d), minSupport = 2),
         nSeeds = 3, hops = 4)
+    },
+    // Capped eccentricity from the 3 smallest-id seeds — the diameter
+    // lower-bound probe (iFUB-style seeding) every graph health check
+    // runs before committing to O(n·m) exact diameters: per seed, the
+    // max BFS distance within the 4-hop horizon and the reached-set
+    // size (a reach far below n flags fragmentation). The multi-seed
+    // frontier BFS with the per-round (seed, node)-sized lineage cut —
+    // the bottlenecksFrom shape minus the path counting.
+    "graph_eccentricity" -> { (s, d) =>
+      eccentricityFrom(copurchaseEdges(Tables(s, d), minSupport = 2),
+        nSeeds = 3, hops = 4)
     }
   )
 
@@ -645,9 +660,15 @@ object GraphOps {
       .na.fill(0L, Seq("cut_edges"))
       .crossJoin(broadcast(m))
       .select(col("label"), col("vol"), col("cut_edges"),
-        (col("cut_edges").cast("double") /
-          least(col("vol"), col("m_edges") * 2 - col("vol"))
-            .cast("double")).as("conductance"))
+        // denominator guard: when LPA collapses to ONE community,
+        // least(vol, 2m−vol) = 0 and cut = 0 — Spark double 0/0 is NaN
+        // while DuckDB's differs by ieee_floating_point_ops setting;
+        // pin 0.0 on both engines (the cosSim zero-norm pattern)
+        when(least(col("vol"), col("m_edges") * 2 - col("vol")) === 0,
+          lit(0.0))
+          .otherwise(col("cut_edges").cast("double") /
+            least(col("vol"), col("m_edges") * 2 - col("vol"))
+              .cast("double")).as("conductance"))
       .orderBy("label")
   }
 
@@ -705,8 +726,11 @@ object GraphOps {
       .select(col("node"), col("label").as("from_label"),
         when(col("g") > 0, col("cand")).otherwise(col("label"))
           .as("to_label"),
+        // exact DECIMAL(38,0) internally, STRING in the OUTPUT: wide
+        // decimals canonicalize differently across arrow/duckdb stacks
+        // (r6 driver-gate finding — see data_table_checksum)
         coalesce(when(col("g") > 0, col("g")), lit(0L))
-          .cast("decimal(38,0)").as("gain_num"))
+          .cast("decimal(38,0)").cast("string").as("gain_num"))
       .orderBy("node")
   }
 
@@ -756,6 +780,36 @@ object GraphOps {
         dec(col("s_sv")) * dec(col("s_tv")) === dec(col("s_st")))
       .groupBy("node").agg(count(lit(1)).as("n_pairs"))
       .orderBy("node")
+  }
+
+  /** Capped multi-seed BFS eccentricity — see the `graph_eccentricity`
+    * query comment. Seeds are the `nSeeds` smallest node ids; returns
+    * (seed, ecc_capped, n_reached) with ecc capped at `hops`. Separated
+    * so specs can plant paths/stars with hand-computable eccentricities.
+    */
+  def eccentricityFrom(edges0: DataFrame, nSeeds: Int, hops: Int)
+      : DataFrame = {
+    val edges = edges0
+      .union(edges0.select(col("v").as("u"), col("u").as("v")))
+      .persist()
+    val seeds = edges.select(col("u")).distinct()
+      .orderBy("u").limit(nSeeds).select(col("u").as("seed"))
+    var reach = seeds
+      .select(col("seed"), col("seed").as("node"), lit(0).as("dist"))
+      .cutLineage()
+    for (step <- 1 to hops) {
+      val fresh = reach.filter(col("dist") === step - 1).as("f")
+        .join(edges.as("e"), col("f.node") === col("e.u"))
+        .select(col("f.seed").as("seed"), col("e.v").as("node")).distinct()
+        .join(reach.select("seed", "node"), Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(step).as("dist"))
+      // (seed, node)-sized cut per round — the graph_path_counts lesson
+      reach = reach.unionByName(fresh).cutLineage()
+    }
+    reach.groupBy("seed")
+      .agg(max(col("dist")).as("ecc_capped"),
+        count(lit(1)).as("n_reached"))
+      .orderBy("seed")
   }
 
   /** Degree-assortativity coefficient over an undirected edge list given
@@ -874,6 +928,10 @@ object GraphOps {
         .groupBy(col("src").as("node"))
         .agg(max(struct(col("n"), (-col("label")).as("neg"))).as("m"))
         .select(col("node"), (-col("m.neg")).as("label"))
+        // single-reference loop (no recompute blow-up), but an uncut
+        // r-round chain grows superlinear analysis/codegen cost and is
+        // stats-opaque to AQE — cut the node-sized frame per round
+        .cutLineage()
     }
     labels.orderBy("node")
   }
@@ -1143,6 +1201,10 @@ object GraphOps {
           (lit(Base) + expr(
             "(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100"))
             .as("pr"))
+        // node-sized per-round cut: single-reference chain, but uncut
+        // depth grows superlinear analysis/codegen cost (stats-opaque
+        // to AQE) — same rationale as labelPropagationFrom
+        .cutLineage()
     }
     r.orderBy(col("pr").desc, col("node").asc).limit(k)
   }
@@ -1170,6 +1232,7 @@ object GraphOps {
           (when(nodes("seed"), lit(Base)).otherwise(lit(0L)) + expr(
             "(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100"))
             .as("pr"))
+        .cutLineage() // per-round node-sized cut, see pageRankFrom
     }
     r.select(col("node"), col("pr"))
       .orderBy(col("pr").desc, col("node").asc).limit(k)
@@ -1439,9 +1502,10 @@ object GraphOps {
            |    SELECT lu AS label FROM x UNION ALL SELECT lv FROM x)
            |  GROUP BY 1)
            |SELECT vol.label, vol, COALESCE(cut_edges, 0) AS cut_edges,
-           |  CAST(COALESCE(cut_edges, 0) AS DOUBLE) /
-           |    CAST(least(vol, m_edges * 2 - vol) AS DOUBLE)
-           |    AS conductance
+           |  CASE WHEN least(vol, m_edges * 2 - vol) = 0 THEN 0.0
+           |    ELSE CAST(COALESCE(cut_edges, 0) AS DOUBLE) /
+           |      CAST(least(vol, m_edges * 2 - vol) AS DOUBLE)
+           |    END AS conductance
            |FROM vol LEFT JOIN cp ON cp.label = vol.label CROSS JOIN m
            |ORDER BY vol.label""".stripMargin,
       // the label-propagation chain verbatim, then the exact
@@ -1478,8 +1542,8 @@ object GraphOps {
            |  FROM gain)
            |SELECT c.node, c.label AS from_label,
            |  CASE WHEN b.g > 0 THEN b.cand ELSE c.label END AS to_label,
-           |  CAST(CASE WHEN b.g > 0 THEN b.g ELSE 0 END
-           |    AS DECIMAL(38,0)) AS gain_num
+           |  CAST(CAST(CASE WHEN b.g > 0 THEN b.g ELSE 0 END
+           |    AS DECIMAL(38,0)) AS VARCHAR) AS gain_num
            |FROM l3 c LEFT JOIN best b ON b.node = c.node AND b.rk = 1
            |ORDER BY c.node""".stripMargin,
       // the graph_path_counts unrolling with the seed riding the key,
@@ -1519,6 +1583,29 @@ object GraphOps {
            |      = CAST(p.s_st AS HUGEINT))
            |SELECT node, count(*) AS n_pairs FROM bt
            |GROUP BY 1 ORDER BY node""".stripMargin
+      },
+      // the bottlenecks level-chain minus the sigma accounting
+      "graph_eccentricity" -> {
+        def level(prev: String, acc: String, ln: String,
+            an: String, k: Int): String =
+          s"""$ln AS (SELECT DISTINCT f.seed, e.v AS node, $k AS dist
+             |  FROM $prev f JOIN e ON e.u = f.node
+             |  WHERE NOT EXISTS (SELECT 1 FROM $acc p
+             |    WHERE p.seed = f.seed AND p.node = e.v)),
+             |$an AS (SELECT * FROM $acc UNION ALL SELECT * FROM $ln)"""
+            .stripMargin
+        val chain = (1 to 4)
+          .map(k => level(s"l${k - 1}", s"a${k - 1}", s"l$k", s"a$k", k))
+          .mkString(",\n")
+        s"""WITH $copurchaseSql,
+           |e AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           |sd AS (SELECT DISTINCT u AS seed FROM e ORDER BY 1 LIMIT 3),
+           |l0 AS (SELECT seed, seed AS node, 0 AS dist FROM sd),
+           |a0 AS (SELECT * FROM l0),
+           |$chain
+           |SELECT seed, CAST(max(dist) AS INT) AS ecc_capped,
+           |  count(*) AS n_reached
+           |FROM a4 GROUP BY 1 ORDER BY seed""".stripMargin
       },
       "graph_random_walk" -> {
         // the same three hash-seeded argmin steps, CTE for CTE

@@ -502,6 +502,95 @@ object MultimodalOps {
         }
         .toDF("doc_id", "rk", "pixel_value", "n", "share")
         .orderBy("doc_id", "rk")
+    },
+    // ViT patch-plan geometry — the batching arithmetic a vision ingest
+    // runs per asset: reshape the decoded pixel stream to the squarest
+    // W x H grid (W = floor(sqrt(L)) — IEEE sqrt is correctly rounded,
+    // so floor(sqrt) of a small integer is bit-portable; H = ceil(L/W)),
+    // then the 16x16 patch count and the padding the reshape wastes.
+    // Token budgeting per asset = n_patches; skew in this histogram is
+    // what drives aspect-bucketed batching. Pure integer map stage.
+    "mm_patch_plan" -> { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      Tables(s, d).documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { batch =>
+          batch.map { case (id, b) =>
+            val raw = if (b == null) Array.empty[Byte] else b
+            val dec = Rle1.decode(Rle1.encode(raw))
+            val L = dec.length.toLong
+            val w = math.max(1L, math.sqrt(L.toDouble).toLong)
+            val h = (L + w - 1L) / w
+            val patches = ((w + 15L) / 16L) * ((h + 15L) / 16L)
+            (id, L, w, h, patches, w * h - L)
+          }
+        }
+        .toDF("doc_id", "n_pixels", "w", "h", "n_patches", "pad_pixels")
+        .orderBy("doc_id")
+    },
+    // Clipping detection over the PARSED PCM samples — the audio-QC
+    // counterpart of mm_sharpness: assets whose waveform spends a large
+    // fraction of samples beyond the hot threshold (|s| >= 16384 — half
+    // rail) distort after any gain normalization. Exact integer counts
+    // from the strict-parser decode; clip_rate is ONE division.
+    // Partition-batched map, zero shuffles.
+    "mm_clip_detect" -> { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      Tables(s, d).documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { batch =>
+          batch.map { case (id, b) =>
+            val raw = if (b == null) Array.empty[Byte] else b
+            val samples = Pcm16.decode(Pcm16.encode(raw))
+            var clipped = 0L
+            var peak = 0
+            samples.foreach { s0 =>
+              val a = math.abs(s0.toInt)
+              if (a >= 16384) clipped += 1
+              if (a > peak) peak = a
+            }
+            val n = samples.length.toLong
+            (id, n, clipped, peak,
+              if (n > 0) clipped.toDouble / n.toDouble else 0.0)
+          }
+        }
+        .toDF("doc_id", "n_samples", "n_clipped", "peak", "clip_rate")
+        .orderBy("doc_id")
+    },
+    // Leading/trailing silence trim — the VAD-shaped preprocessing cut:
+    // the maximal |s| < 8192 runs at each end of the parsed sample
+    // stream, and the kept core between them (all-silent assets report
+    // lead = L, trail = 0, kept = 0 — the mm_border_crop convention).
+    // Pure integer scan per asset, partition-batched.
+    "mm_silence_trim" -> { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      Tables(s, d).documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { batch =>
+          batch.map { case (id, b) =>
+            val raw = if (b == null) Array.empty[Byte] else b
+            val samples = Pcm16.decode(Pcm16.encode(raw))
+            val L = samples.length
+            def loud(i: Int): Boolean = math.abs(samples(i).toInt) >= 8192
+            var lead = 0
+            while (lead < L && !loud(lead)) lead += 1
+            var trail = 0
+            if (lead < L) {
+              while (trail < L && !loud(L - 1 - trail)) trail += 1
+            }
+            val kept = math.max(L - lead - trail, 0)
+            (id, L.toLong, lead.toLong, trail.toLong, kept.toLong)
+          }
+        }
+        .toDF("doc_id", "n_samples", "lead_silence", "trail_silence",
+          "n_kept")
+        .orderBy("doc_id")
     }
   )
 
@@ -959,7 +1048,55 @@ object MultimodalOps {
         |  FROM h)
         |SELECT doc_id, rk, v AS pixel_value, n,
         |  CAST(n AS DOUBLE) / CAST(L AS DOUBLE) AS share
-        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // the same floor(sqrt)/ceiling-division geometry; IEEE sqrt of a
+    // small integer is correctly rounded on both engines
+    "mm_patch_plan" ->
+      """WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+        |g AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS L FROM t),
+        |p AS (SELECT doc_id, L, greatest(1,
+        |    CAST(floor(sqrt(CAST(L AS DOUBLE))) AS BIGINT)) AS w
+        |  FROM g)
+        |SELECT doc_id, L AS n_pixels, w, (L + w - 1) // w AS h,
+        |  ((w + 15) // 16) * (((L + w - 1) // w + 15) // 16) AS n_patches,
+        |  w * ((L + w - 1) // w) - L AS pad_pixels
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // the same centered-scaled samples; exact hot-sample count
+    "mm_clip_detect" ->
+      """WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+        |b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
+        |    list_transform(string_split(text, ''),
+        |      x -> (ord(x) - 128) * 256) AS ss
+        |  FROM t),
+        |c AS (SELECT doc_id, L,
+        |    CAST(COALESCE(list_sum(list_transform(ss,
+        |      x -> CASE WHEN abs(x) >= 16384 THEN 1 ELSE 0 END)), 0)
+        |      AS BIGINT) AS n_clipped,
+        |    CAST(COALESCE(list_max(list_transform(ss, x -> abs(x))), 0)
+        |      AS INT) AS peak
+        |  FROM b)
+        |SELECT doc_id, L AS n_samples, n_clipped, peak,
+        |  CASE WHEN L > 0
+        |    THEN CAST(n_clipped AS DOUBLE) / CAST(L AS DOUBLE)
+        |    ELSE 0.0 END AS clip_rate
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // first/last loud positions via min/max over the unnested index
+    // stream; the engine's two end-scans derive from the same pair
+    "mm_silence_trim" ->
+      """WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+        |b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,
+        |    list_transform(string_split(text, ''),
+        |      x -> (ord(x) - 128) * 256) AS ss
+        |  FROM t),
+        |loud AS (SELECT doc_id, min(i) AS fl, max(i) AS ll
+        |  FROM b, LATERAL (SELECT unnest(generate_series(1, L)) AS i) g
+        |  WHERE abs(ss[i]) >= 8192 GROUP BY 1)
+        |SELECT b.doc_id, L AS n_samples,
+        |  COALESCE(fl - 1, L) AS lead_silence,
+        |  CASE WHEN fl IS NULL THEN 0 ELSE L - ll END AS trail_silence,
+        |  COALESCE(ll - fl + 1, 0) AS n_kept
+        |FROM b LEFT JOIN loud ON loud.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin
   )
 
   /** PCM16: the waveform codec behind `mm_audio_energy`. Sample k of the

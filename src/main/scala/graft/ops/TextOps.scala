@@ -841,6 +841,102 @@ object TextOps {
               col("n_bigrams").cast("double"))).as("p_kn"))
         .orderBy(col("c_ab").desc, col("w1").asc, col("w2").asc)
         .limit(30)
+    },
+    // Zipf-law conformance check — the corpus-health statistic: under
+    // Zipf, rank x frequency is ~constant, so the top-20 tokens' rank·n
+    // products (EXACT integers) and their ratio to the rank-1 count
+    // (ONE IEEE division) expose a truncated or synthetic vocabulary at
+    // a glance (flat c_norm = healthy; collapsing c_norm = head-heavy).
+    // No logs anywhere — ln is not bit-portable across engines and the
+    // rank·n form carries the same information. Shape: one explode +
+    // partial+final token count, distributed top-20 (TakeOrderedAnd-
+    // Project, never a global sort), then a 20-row window for the rank.
+    "text_zipf_check" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables(s, d).documents
+        .select(explode(toks(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+      val top = tf.orderBy(col("n").desc, col("tok").asc).limit(20)
+      val n1 = top.agg(max(col("n")).as("n1")) // rank-1 count (20 rows in)
+      top
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("tok").asc)))
+        .crossJoin(broadcast(n1))
+        .select(col("rank"), col("tok"), col("n"),
+          (col("rank") * col("n")).as("rank_x_n"),
+          ((col("rank") * col("n")).cast("double") /
+            col("n1").cast("double")).as("c_norm"))
+        .orderBy("rank")
+    },
+    // Pooled type-token ratio by document-length bucket — the lexical-
+    // diversity QC panel: TTR falls with length by construction, so the
+    // comparable statistic is POOLED within 50-token buckets (Σ types /
+    // Σ tokens per bucket — exact integer sufficient statistics, ONE
+    // IEEE division per bucket; never an average of per-doc ratios,
+    // which is order-dependent float summation across partitions).
+    "text_ttr_buckets" -> { (s, d) =>
+      val t = toks(col("text"))
+      Tables(s, d).documents
+        .select((size(t) - pmod(size(t), lit(50))).cast("long")
+            .as("len_bucket"),
+          size(t).cast("long").as("n_tok"),
+          size(array_distinct(t)).cast("long").as("n_uniq"))
+        .groupBy("len_bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tokens"),
+          sum(col("n_uniq")).as("sum_types"))
+        .select(col("len_bucket"), col("n_docs"), col("sum_tokens"),
+          col("sum_types"),
+          (col("sum_types").cast("double") /
+            col("sum_tokens").cast("double")).as("pooled_ttr"))
+        .orderBy("len_bucket")
+    },
+    // Token-length distribution by language — the tokenizer-budget
+    // input: mean bytes/token by language decides vocabulary allocation
+    // (agglutinative languages shift the histogram right). Per-language
+    // share is count x cross-multiplied against the language total
+    // (lang-sized, broadcast back). One explode + one aggregate.
+    "text_word_len_dist" -> { (s, d) =>
+      val hist = Tables(s, d).documents
+        .select(col("lang"), explode(toks(col("text"))).as("tok"))
+        .select(col("lang"), length(col("tok")).as("len"))
+        .groupBy("lang", "len").agg(count(lit(1)).as("n"))
+      val tot = hist.groupBy("lang").agg(sum(col("n")).as("n_lang"))
+      hist.join(broadcast(tot), "lang")
+        .select(col("lang"), col("len"), col("n"),
+          (col("n").cast("double") / col("n_lang").cast("double"))
+            .as("share"))
+        .orderBy("lang", "len")
+    },
+    // Stopword-rate decile histogram by language — the CCNet-style
+    // filter-calibration readout: where a corpus' stopword-ratio mass
+    // sits decides the quality threshold per language. The bucket is
+    // EXACT integer arithmetic ((n_stop*10) div n_tok — floor(ratio*10)
+    // computed without touching a float, so no last-ulp boundary flips
+    // between engines). Pure map stage + one aggregate.
+    "text_stopword_buckets" -> { (s, d) =>
+      val t = toks(col("text"))
+      Tables(s, d).documents
+        .select(col("lang"),
+          size(filter(t, x => x.isin(stopwords: _*)))
+            .cast("long").as("ns"),
+          size(t).cast("long").as("nt"))
+        .select(col("lang"), expr("ns * 10 div nt").as("decile"))
+        .groupBy("lang", "decile").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "decile")
+    },
+    // Shared-prefix boilerplate detection — duplicated 32-char document
+    // heads (scraped headers, injected banners) that full-document dedup
+    // misses because the bodies differ. Exact groupBy on the prefix
+    // (map-side combine; at 100 TB the prefix table is cluster-count
+    // sized after the filter), canonical keep = smallest doc_id.
+    "text_prefix_dup" -> { (s, d) =>
+      Tables(s, d).documents
+        .select(substring(col("text"), 1, 32).as("prefix"), col("doc_id"))
+        .groupBy("prefix")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("prefix")
     }
   )
 
@@ -2080,7 +2176,53 @@ object TextOps {
         |    AS p_kn
         |FROM bg JOIN lft USING (w1) JOIN rgt USING (w2), nb
         |WHERE bg.c_ab >= 3
-        |ORDER BY bg.c_ab DESC, bg.w1 ASC, bg.w2 ASC LIMIT 30""".stripMargin
+        |ORDER BY bg.c_ab DESC, bg.w1 ASC, bg.w2 ASC LIMIT 30""".stripMargin,
+    // same count/rank/cross-product arithmetic; rank assigned AFTER the
+    // top-20 cut on the identical (n DESC, tok ASC) total order
+    "text_zipf_check" ->
+      s"""WITH tf AS (SELECT unnest($tokSql) AS tok FROM documents),
+         |c AS (SELECT tok, count(*) AS n FROM tf GROUP BY 1),
+         |top AS (SELECT tok, n FROM c ORDER BY n DESC, tok ASC LIMIT 20),
+         |r AS (SELECT tok, n, CAST(row_number() OVER (
+         |    ORDER BY n DESC, tok ASC) AS INT) AS rank FROM top),
+         |f AS (SELECT max(n) AS n1 FROM top)
+         |SELECT rank, tok, n, rank * n AS rank_x_n,
+         |  CAST(rank * n AS DOUBLE) / CAST(n1 AS DOUBLE) AS c_norm
+         |FROM r, f ORDER BY rank""".stripMargin,
+    "text_ttr_buckets" ->
+      s"""WITH tk AS (SELECT CAST(len($tokSql) AS BIGINT) AS n,
+         |    CAST(len(list_distinct($tokSql)) AS BIGINT) AS u
+         |  FROM documents)
+         |SELECT n - (n % 50) AS len_bucket, count(*) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS sum_tokens,
+         |  CAST(sum(u) AS BIGINT) AS sum_types,
+         |  CAST(sum(u) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS pooled_ttr
+         |FROM tk GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_word_len_dist" ->
+      s"""WITH t AS (SELECT lang, unnest($tokSql) AS tok FROM documents),
+         |h AS (SELECT lang, CAST(length(tok) AS INT) AS len,
+         |    count(*) AS n
+         |  FROM t GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_lang
+         |  FROM h GROUP BY 1)
+         |SELECT h.lang, len, n,
+         |  CAST(n AS DOUBLE) / CAST(n_lang AS DOUBLE) AS share
+         |FROM h JOIN tot ON tot.lang = h.lang
+         |ORDER BY h.lang, len""".stripMargin,
+    "text_stopword_buckets" ->
+      s"""WITH tk AS (SELECT lang,
+         |    CAST(len(list_filter($tokSql,
+         |      x -> x IN ('the','a','of','and','to','in'))) AS BIGINT)
+         |      AS ns,
+         |    CAST(len($tokSql) AS BIGINT) AS nt
+         |  FROM documents)
+         |SELECT lang, (ns * 10) // nt AS decile, count(*) AS n_docs
+         |FROM tk GROUP BY 1, 2 ORDER BY lang, decile""".stripMargin,
+    "text_prefix_dup" ->
+      """SELECT substr(text, 1, 32) AS prefix, count(*) AS n_docs,
+        |  min(doc_id) AS keep_doc
+        |FROM documents GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY prefix""".stripMargin
   )
 
   /** The Gopher flags table as a DuckDB CTE body — the oracle replica of

@@ -24,6 +24,18 @@ object StreamingOps {
     * ([[graft.ops.Tables.eventsSchema]] pins it against NTZ inference), so
     * event-time is the column itself — no unit conversion.
     */
+  /** SINGLE-MICROBATCH PRECONDITION: this reads the one
+    * `events.parquet` file with no `maxFilesPerTrigger`, so the whole
+    * table arrives in ONE microbatch. The batch oracles of the stateful
+    * queries (notably `events_session_timeout_stream`, whose emission
+    * rule — emitted iff a later same-user session exists OR
+    * last_ms + gap < final watermark — is only batch-invariant under
+    * this delivery) DEPEND on it: a multi-file or rate-limited source
+    * delivering events out of order across batches would let
+    * intermediate watermarks fire timeouts that split sessions the
+    * oracle merges. Do not add `maxFilesPerTrigger`/multi-file inputs
+    * here without restating those oracles per-batch.
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val schema = graft.ops.Tables(spark, dir).events.schema
     spark.readStream

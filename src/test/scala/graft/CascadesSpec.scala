@@ -738,6 +738,40 @@ class CascadesSpec extends AnyFunSuite {
       s"got:\n${chosen.explain()}")
   }
 
+  test("byte-weighted cluster costs flip the broadcast decision for a " +
+      "small-but-wide build side (the threshold is byte-based, like " +
+      "Spark's autoBroadcastJoinThreshold)") {
+    def bestBytes(stats: TableStats, plan: PlanNode): PlanNode = {
+      val opt = new CascadesOptimizer(Rules.joinStrategyRules,
+        costModel = new ByteWeightedClusterCostModel, stats = stats)
+      opt.optimize(plan).get
+    }
+    val plan = join(scan("fact"), scan("dim"), "f_k", "d_k")
+    // narrow 100-row dim: row and byte models agree — broadcast
+    // (replicating 100×16B rows beats exchanging the fact table)
+    val narrow = TableStats(Map("fact" -> 1000000L, "dim" -> 100L))
+    assert(bestBytes(narrow, plan).op ==
+      PhysicalBroadcastHashJoin(JoinType.Inner,
+        EqCond(Col("f_k"), Col("d_k"))),
+      s"got:\n${bestBytes(narrow, plan).explain()}")
+    // SAME row counts, but each dim row carries 64 KiB (an embeddings
+    // dimension): W-fold replication of 6.4 MB loses to two exchanges
+    // — the byte-weighted decision flips to the shuffled join
+    val wide = TableStats(Map("fact" -> 1000000L, "dim" -> 100L),
+      widths = Map("fact" -> 16L, "dim" -> 65536L))
+    assert(bestBytes(wide, plan).op ==
+      PhysicalHashJoin(JoinType.Inner, EqCond(Col("f_k"), Col("d_k"))),
+      s"got:\n${bestBytes(wide, plan).explain()}")
+    // control: the ROW-count ClusterCostModel cannot see the width and
+    // still broadcasts the wide dim — the flip is the byte axis, not
+    // the stats plumbing
+    val (rowChosen, _) = bestWith(Rules.joinStrategyRules, wide, plan)
+    assert(rowChosen.op ==
+      PhysicalBroadcastHashJoin(JoinType.Inner,
+        EqCond(Col("f_k"), Col("d_k"))),
+      s"got:\n${rowChosen.explain()}")
+  }
+
   test("broadcast join passes a probe-key distribution requirement " +
       "through to the probe side, never the build side") {
     // required Hashed(f_k) with f_k = the probe-side join key: the

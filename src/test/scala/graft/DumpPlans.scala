@@ -162,7 +162,9 @@ object DumpPlans {
         "single-partition sort"),
       "graph_bfs_hops" -> ("frontier-join BFS: per round one equi-join " +
         "of ONLY the newest frontier against the persisted edge list, " +
-        "node-sized min-dist aggregate; depth cap bounds rounds"),
+        "node-sized min-dist aggregate, and a per-round lineage cut " +
+        "(dist is consumed twice per round — uncut, round k's plan " +
+        "held 2^k copies of round 0); depth cap bounds rounds"),
       "text_bm25" -> ("BM25 retrieval: the posting filter runs BEFORE " +
         "the shuffle (only the two query terms' postings move), df and " +
         "corpus stats broadcast as scalars, per-doc term sum pivoted " +

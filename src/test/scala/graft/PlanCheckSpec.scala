@@ -200,7 +200,33 @@ class PlanCheckSpec extends GraftSuite {
   // a single pre-filtered scan; the gate now catches any regression back
   // to the full-outer SMJ shape.
 
-  test("gate: no unplanned cartesian joins, no sort-merge joins, anywhere") {
+  /** OUTPUT-TYPE hazards: types whose canonicalization is known to
+    * differ across arrow/duckdb consumer stacks, so a provably-correct
+    * result can hash-mismatch at a driver-side gate. The r6 round's only
+    * 3 driver-gate fails were exactly its only DECIMAL(38,0) output
+    * columns; `agg_quantiles_multi`'s arrow-metadata lesson is the list
+    * case; TIMESTAMP_NTZ round-trips differently by session zone config.
+    * Queries must render such columns as STRING (exact, collation-free)
+    * or split them into BIGINT limbs before they reach the gate.
+    */
+  private def outputTypeHazards(
+      schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types._
+    def walk(name: String, dt: DataType): Seq[String] = dt match {
+      case d: DecimalType if d.precision > 18 =>
+        Seq(s"$name: DECIMAL(${d.precision},${d.scale}) > 18 digits")
+      case _: ArrayType => Seq(s"$name: array-typed output")
+      case _: MapType   => Seq(s"$name: map-typed output")
+      case _: TimestampNTZType => Seq(s"$name: timestamp_ntz output")
+      case s: StructType =>
+        s.fields.toSeq.flatMap(f => walk(s"$name.${f.name}", f.dataType))
+      case _ => Nil
+    }
+    schema.fields.toSeq.flatMap(f => walk(f.name, f.dataType))
+  }
+
+  test("gate: no unplanned cartesian joins, no sort-merge joins, and no " +
+      "hazardous output types, anywhere") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         val df = fn(spark, sfDir)
@@ -212,7 +238,8 @@ class PlanCheckSpec extends GraftSuite {
         val bad = Seq(
           (cartesian && !cartesianWhitelist(name)) -> "cartesian/BNLJ",
           (a.hasSortMergeJoin && !smjWhitelist(name)) -> "sort-merge join")
-          .collect { case (true, what) => s"$name: $what" }
+          .collect { case (true, what) => s"$name: $what" } ++
+          outputTypeHazards(df.schema).map(h => s"$name: $h")
         spark.catalog.clearCache()
         bad
     }

@@ -129,7 +129,7 @@ class SqlFrontendSpec extends GraftSuite {
   }
 
   test("ORDER BY lowers to a required sort PROPERTY, the cascades search " +
-      "satisfies it with the enforcer, and top-k is rejected loudly") {
+      "satisfies it with the enforcer, and top-k plans a PhysicalTopK") {
     val (plan, req) =
       SqlFrontend.parseQuery("SELECT a FROM t1 ORDER BY a")
     // order is a property, not a node: the plan carries project/scan only
@@ -150,11 +150,33 @@ class SqlFrontendSpec extends GraftSuite {
     val flat = opt.optimize(p2, r2).get
     assert(flat == PlanNode(PhysicalProject(Seq(Col("a"))),
       Seq(PlanNode(PhysicalTableScan("t1", Some(5))))), flat.explain())
-    // ORDER BY + LIMIT is top-k — inexpressible in the reference IR (no
-    // logical sort node; limit absorption below an enforced sort would
-    // silently change which rows survive): rejected, not lowered wrong
-    intercept[IllegalArgumentException](
-      SqlFrontend.parseQuery("SELECT a FROM t1 ORDER BY a LIMIT 5"))
+    // ORDER BY + LIMIT is top-k: lowered to LogicalTopK (order rides ON
+    // the node — the limit rules cannot absorb it into the scan), and
+    // the search plans PhysicalTopK which DELIVERS the root's required
+    // order itself, so NO sort enforcer appears — Spark's
+    // Limit(Sort(...)) → TakeOrderedAndProject shape
+    val (pk, rk) =
+      SqlFrontend.parseQuery("SELECT a FROM t1 ORDER BY a LIMIT 5")
+    assert(rk.order == OrderSpec.SortedBy(Seq(Col("a"))), rk)
+    assert(pk == PlanNode(LogicalTopK(5, Seq(Col("a"))),
+      Seq(PlanNode(LogicalProject(Seq(Col("a"))),
+        Seq(PlanNode(LogicalScan("t1")))))), pk.explain())
+    val topk = opt.optimize(pk, rk).get
+    assert(topk == PlanNode(PhysicalTopK(5, Seq(Col("a"))),
+      Seq(PlanNode(PhysicalProject(Seq(Col("a"))),
+        Seq(PlanNode(PhysicalTableScan("t1")))))), topk.explain())
+    // enforcer INTERACTION: a root order the TopK does NOT deliver still
+    // gets the sort enforcer — above the TopK, preserving its row set
+    val other = opt.optimize(pk,
+      PhysicalPropertySet.default.copy(
+        order = OrderSpec.SortedBy(Seq(Col("b"))))).get
+    assert(other == PlanNode(PhysicalSort(Seq(Col("b"))),
+      Seq(PlanNode(PhysicalTopK(5, Seq(Col("a"))),
+        Seq(PlanNode(PhysicalProject(Seq(Col("a"))),
+          Seq(PlanNode(PhysicalTableScan("t1")))))))), other.explain())
+    // and crucially the top-k LIMIT is NOT absorbed into the scan (the
+    // bare-limit query above absorbs; the ordered one must not)
+    assert(!topk.explain().contains("limit=5"), topk.explain())
   }
 
   test("aggregate SQL lowers to LogicalAggregate and the cost search " +
@@ -179,6 +201,19 @@ class SqlFrontendSpec extends GraftSuite {
           Seq(PlanNode(PhysicalFilter(EqCond(Col("g"), Col("h")), Nil),
             Seq(PlanNode(PhysicalTableScan("big")))))))))),
       got.explain())
+    // aggregate query WITH a catalog entry for its table: the SELECT-*
+    // star-expansion branch must NOT fire (it would project catalog
+    // columns the aggregate does not produce) — the aggregate tops the
+    // tree with no projection above it
+    val aggCat = SqlFrontend.parse("SELECT count(*) FROM t1", t1Schema)
+    assert(aggCat == PlanNode(
+      LogicalAggregate(Nil, Seq(AggCall("count"))),
+      Seq(PlanNode(LogicalScan("t1")))), aggCat.explain())
+    val aggCatG = SqlFrontend.parse(
+      "SELECT f1, sum(f2) FROM t1 GROUP BY f1", t1Schema)
+    assert(aggCatG == PlanNode(
+      LogicalAggregate(Seq(Col("f1")), Seq(AggCall("sum", Some(Col("f2"))))),
+      Seq(PlanNode(LogicalScan("t1")))), aggCatG.explain())
     // bare column outside GROUP BY, aggregate-less GROUP BY, and unknown
     // aggregate functions fail loudly
     intercept[IllegalArgumentException](SqlFrontend.parse(
