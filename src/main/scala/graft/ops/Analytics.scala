@@ -258,6 +258,22 @@ object Analytics {
         .select("o_custkey", "o_orderkey", "prev_price")
         .orderBy("o_custkey", "o_orderkey")
     },
+    // Window: the two SQL-standard relative-position functions —
+    // percent_rank ((rank-1)/(N-1), tie-aware) and cume_dist (rows ≤
+    // current / N). Both are single IEEE divisions of exact integers
+    // with identical standard definitions on both engines; values are
+    // tie-invariant, so the output is deterministic under any within-
+    // partition execution order.
+    "window_percent_rank" -> { (s, d) =>
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").asc)
+      Tables(s, d).orders
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
     // Distribution window functions: percent_rank/cume_dist are rank-based,
     // so they are deterministic under o_totalprice ties regardless of
     // within-tie order; each is one exact-integer IEEE division, identical
@@ -578,6 +594,13 @@ object Analytics {
         |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_percent_rank" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  percent_rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice ASC) AS pct_rank,
+        |  cume_dist() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice ASC) AS cume
+        |FROM orders ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "window_distribution" ->
       """SELECT o_custkey, o_orderkey,
         |  percent_rank() OVER (PARTITION BY o_custkey

@@ -124,6 +124,33 @@ object AnalyticsExt {
         .agg(count(lit(1)).as("n"), dsum(s, col("l_extendedprice")).as("rev"))
         .orderBy("o_orderstatus")
     },
+    // BANDED range join — the scale-safe plan for "rows within Δt of
+    // each other": a naive |t_a − t_b| ≤ W predicate is a per-key cross
+    // join; bucketing time into W-sized bands and emitting each LEFT row
+    // under its own band and the next turns it into an EQUI-join on
+    // (key, band) that covers every qualifying pair exactly once (the
+    // band gap of a qualifying pair is 0 or 1). 2x probe fan-out buys a
+    // linear shuffle — the same trade as the LSH band joins. Pairs are
+    // ordered (t, id) strictly, so no self-pairs and no double counting.
+    "join_range_bucket" -> { (s, d) =>
+      val W = 1800000L
+      val ev = Tables(s, d).events
+        .select(col("user_id"), col("event_id"),
+          expr("unix_millis(ts)").as("ts_ms"))
+        .withColumn("bucket", expr(s"ts_ms div $W"))
+      val probe = ev.select(col("user_id"), col("event_id").as("id_a"),
+          col("ts_ms").as("t_a"),
+          explode(array(col("bucket"), col("bucket") + 1)).as("k"))
+      val build = ev.select(col("user_id"), col("event_id").as("id_b"),
+        col("ts_ms").as("t_b"), col("bucket").as("k"))
+      probe.join(build, Seq("user_id", "k"))
+        .filter(col("t_b") >= col("t_a") &&
+          col("t_b") - col("t_a") <= W &&
+          (col("t_a") < col("t_b") || col("id_a") < col("id_b")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    },
     // 30-day rolling revenue per customer (value-range window frame).
     "window_rolling_30d" -> { (s, d) =>
       val dayNum = datediff(col("o_orderdate"), lit("1990-01-01").cast("date"))
@@ -1111,6 +1138,15 @@ object AnalyticsExt {
          |JOIN (SELECT o_orderkey AS k, o_orderstatus FROM orders) o
          |  USING (k)
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the plain range predicate — the banded equi-join must equal it
+    "join_range_bucket" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
+        |  FROM events)
+        |SELECT a.user_id, count(*) AS n_pairs
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.ts_ms >= a.ts_ms AND b.ts_ms - a.ts_ms <= 1800000
+        |  AND (a.ts_ms < b.ts_ms OR a.event_id < b.event_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "window_rolling_30d" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(datediff('day', DATE '1990-01-01',

@@ -667,6 +667,50 @@ object DedupOps {
           (col("n_hit").cast("double") /
             col("n_candidates").cast("double")).as("verify_efficiency"))
     },
+    // LSH band/row tuning curve — the (b, r) knob behind every MinHash
+    // deployment: the SAME 16-hash signature table re-banded three ways
+    // (2x8 precise, 4x4 balanced, 8x2 recall-heavy), each config's
+    // candidate count, recall and precision measured against the exact
+    // Jaccard >= 0.8 ground truth. The S-curve P(cand) = 1-(1-j^r)^b
+    // says 8x2 floods candidates and 2x8 starves recall — this query is
+    // the measured version of that tradeoff, the number a curation owner
+    // reads before fixing the config. One signature pass (signatures are
+    // the expensive part — re-banding is free), three banded equi-joins.
+    "dedup_band_tuning" -> { (s, d) =>
+      val sh = shingleSets(Tables(s, d).documents).persist()
+      val sig = sh.select(col("doc_id"),
+        minhash_sig(col("sh"), 16).as("sig")).persist()
+      val truth = jaccardDupPairs(sh, 4, 5).select("id1", "id2").persist()
+      val tcount = truth.agg(count(lit(1)).as("n_truth"))
+      def config(b: Int, r: Int): DataFrame = {
+        val bands = sig.select(col("doc_id"),
+          posexplode(array((0 until b).map { bi =>
+            struct((0 until r).map(ri =>
+              element_at(col("sig"), bi * r + ri + 1)): _*)
+          }: _*)).as(Seq("band", "bsig")))
+        val cand = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.bsig") === col("y.bsig") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+          .distinct().persist()
+        val hits = truth.join(cand, Seq("id1", "id2"), "left_semi")
+        cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hit"))))
+          .crossJoin(broadcast(tcount))
+          .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+            col("n_candidates"), col("n_hit"), col("n_truth"),
+            when(col("n_candidates") === 0L, lit(0.0))
+              .otherwise(col("n_hit").cast("double") /
+                col("n_candidates").cast("double")).as("precision"),
+            when(col("n_truth") === 0L, lit(0.0))
+              .otherwise(col("n_hit").cast("double") /
+                col("n_truth").cast("double")).as("recall"))
+      }
+      config(2, 8).unionAll(config(4, 4)).unionAll(config(8, 2))
+        .orderBy("bands")
+    },
     // Exact duplicated-SUBSTRING accounting (the ExactSubstr dedup of
     // Lee et al., "Deduplicating Training Data Makes Language Models
     // Better"): document-level hashing misses the verbatim passage
@@ -1213,6 +1257,68 @@ object DedupOps {
          |  CAST(n_hit AS DOUBLE) / CAST(n_candidates AS DOUBLE)
          |    AS verify_efficiency
          |FROM g""".stripMargin,
+    // the dedup_lsh_recall truth + signature CTEs, re-banded per config
+    // (band = sd // r) — three one-row configs unioned. Every heavy CTE
+    // is AS MATERIALIZED and every count is taken ONCE in a 1-row CTE:
+    // DuckDB inlines plain CTEs per reference, and the first cut of
+    // this oracle (scalar subqueries re-reading cand_*) recomputed the
+    // full minhash pipeline ~45x — minutes instead of seconds.
+    "dedup_band_tuning" -> {
+      def cfg(b: Int, r: Int): String =
+        s"""cand_$b AS MATERIALIZED (
+           |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           |  FROM (SELECT doc_id, sd // $r AS band,
+           |      array_agg(mh ORDER BY sd) AS bsig FROM sig GROUP BY 1, 2) a
+           |  JOIN (SELECT doc_id, sd // $r AS band,
+           |      array_agg(mh ORDER BY sd) AS bsig FROM sig GROUP BY 1, 2) b
+           |    ON a.band = b.band AND a.bsig = b.bsig
+           |   AND a.doc_id < b.doc_id),
+           |c_$b AS (SELECT count(*) AS n_c FROM cand_$b),
+           |h_$b AS (SELECT count(*) AS n_h FROM truth t JOIN cand_$b c
+           |  ON c.id1 = t.id1 AND c.id2 = t.id2)""".stripMargin
+      def row(b: Int, r: Int): String =
+        s"""SELECT $b AS bands, $r AS rows_per_band,
+           |  n_c AS n_candidates, n_h AS n_hit, n_t AS n_truth,
+           |  CASE WHEN n_c = 0 THEN 0.0
+           |    ELSE CAST(n_h AS DOUBLE) / CAST(n_c AS DOUBLE) END
+           |    AS precision,
+           |  CASE WHEN n_t = 0 THEN 0.0
+           |    ELSE CAST(n_h AS DOUBLE) / CAST(n_t AS DOUBLE) END
+           |    AS recall
+           |FROM c_$b, h_$b, t0""".stripMargin
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS L
+         |  FROM documents),
+         |sh AS MATERIALIZED (SELECT DISTINCT doc_id,
+         |         L[i] || ' ' || L[i+1] || ' ' || L[i+2] AS s
+         |       FROM tok,
+         |         LATERAL (SELECT unnest(generate_series(1, len(L) - 2))
+         |           AS i) g),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pair AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |           count(*) AS inter
+         |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2),
+         |truth AS MATERIALIZED (SELECT id1, id2
+         |  FROM pair JOIN cnt ca ON ca.doc_id = id1
+         |            JOIN cnt cb ON cb.doc_id = id2
+         |  WHERE CAST(inter AS DOUBLE) /
+         |    CAST(ca.n + cb.n - inter AS DOUBLE) >= 0.8),
+         |t0 AS (SELECT count(*) AS n_t FROM truth),
+         |hs AS (SELECT s, sd, ${XxhSql.expr("s", "sd")} AS h
+         |       FROM (SELECT DISTINCT s FROM sh)
+         |       CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS sd) k),
+         |sig AS MATERIALIZED (SELECT doc_id, sd, min(h) AS mh
+         |        FROM sh JOIN hs USING (s) GROUP BY 1, 2),
+         |${cfg(2, 8)},
+         |${cfg(4, 4)},
+         |${cfg(8, 2)}
+         |${row(2, 8)}
+         |UNION ALL
+         |${row(4, 4)}
+         |UNION ALL
+         |${row(8, 2)}
+         |ORDER BY bands""".stripMargin
+    },
     "dedup_ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS L FROM documents),
         |sh AS (SELECT DISTINCT doc_id, L[i] || ' ' || L[i+1] || ' ' || L[i+2] AS s

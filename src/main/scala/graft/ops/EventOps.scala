@@ -1520,8 +1520,14 @@ object EventOps {
             .as("conv_b"))
         .select(col("segment"), col("users_a"), col("conv_a"),
           col("users_b"), col("conv_b"),
-          (col("conv_b").cast("double") / col("users_b").cast("double") -
-            col("conv_a").cast("double") / col("users_a").cast("double"))
+          // NULL when a small segment lands entirely in one arm (no
+          // counterfactual — at sf0.001 this happens; ANSI division
+          // would throw and DuckDB's 0-divisor behavior differs)
+          when(col("users_a") === 0L || col("users_b") === 0L,
+            lit(null).cast("double"))
+            .otherwise(
+              col("conv_b").cast("double") / col("users_b").cast("double") -
+                col("conv_a").cast("double") / col("users_a").cast("double"))
             .as("lift"))
         .orderBy("segment")
     },
@@ -1593,6 +1599,26 @@ object EventOps {
         sum(col("n_users")).over(Window.orderBy(col("weeks_inactive").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .orderBy("weeks_inactive")
+    },
+    // Inter-arrival-time profile — the traffic-model statistic under
+    // rate limits and capacity planning: per-user gaps between
+    // consecutive events (one user-keyed window pass, exact integer ms),
+    // summarized by median/p90 (quantile interpolation is engine-
+    // identical — the agg_median parity) and the exact sub-minute share.
+    "events_interarrival" -> { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_ms").asc, col("event_id").asc)
+      withMs(Tables(s, d).events)
+        .withColumn("gap_ms", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+        .filter(col("gap_ms").isNotNull)
+        .agg(count(lit(1)).as("n_gaps"),
+          median(col("gap_ms")).as("median_gap_ms"),
+          percentile(col("gap_ms"), lit(0.9)).as("p90_gap_ms"),
+          count(when(col("gap_ms") < 60000L, 1)).as("n_under_1m"))
+        .select(col("n_gaps"), col("median_gap_ms"), col("p90_gap_ms"),
+          col("n_under_1m"),
+          (col("n_under_1m").cast("double") / col("n_gaps").cast("double"))
+            .as("under_1m_share"))
     }
   )
 
@@ -3113,21 +3139,21 @@ object EventOps {
          |arms AS (SELECT segment, converted, CASE WHEN
          |    ((${XxhSql.expr("'AB' || CAST(fe.user_id AS VARCHAR)", "42")}
          |      % 2) + 2) % 2 = 0 THEN 'A' ELSE 'B' END AS arm
-         |  FROM fe JOIN pu ON pu.user_id = fe.user_id)
-         |SELECT segment,
-         |  count(CASE WHEN arm = 'A' THEN 1 END) AS users_a,
-         |  CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END)
-         |    AS BIGINT) AS conv_a,
-         |  count(CASE WHEN arm = 'B' THEN 1 END) AS users_b,
-         |  CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END)
-         |    AS BIGINT) AS conv_b,
-         |  CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END)
-         |      AS DOUBLE) /
-         |    CAST(count(CASE WHEN arm = 'B' THEN 1 END) AS DOUBLE) -
-         |  CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END)
-         |      AS DOUBLE) /
-         |    CAST(count(CASE WHEN arm = 'A' THEN 1 END) AS DOUBLE) AS lift
-         |FROM arms GROUP BY segment ORDER BY segment""".stripMargin,
+         |  FROM fe JOIN pu ON pu.user_id = fe.user_id),
+         |g AS (SELECT segment,
+         |    count(CASE WHEN arm = 'A' THEN 1 END) AS users_a,
+         |    CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END)
+         |      AS BIGINT) AS conv_a,
+         |    count(CASE WHEN arm = 'B' THEN 1 END) AS users_b,
+         |    CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END)
+         |      AS BIGINT) AS conv_b
+         |  FROM arms GROUP BY segment)
+         |SELECT segment, users_a, conv_a, users_b, conv_b,
+         |  CASE WHEN users_a = 0 OR users_b = 0 THEN NULL
+         |    ELSE CAST(conv_b AS DOUBLE) / CAST(users_b AS DOUBLE) -
+         |      CAST(conv_a AS DOUBLE) / CAST(users_a AS DOUBLE) END
+         |    AS lift
+         |FROM g ORDER BY segment""".stripMargin,
     // the events_sessionize window chain verbatim, collapsed to a
     // depth histogram with one share division
     "events_session_depth_dist" ->
@@ -3172,6 +3198,17 @@ object EventOps {
         |  CAST(sum(n_users) OVER (ORDER BY weeks_inactive ASC
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_users
-        |FROM h ORDER BY weeks_inactive""".stripMargin
+        |FROM h ORDER BY weeks_inactive""".stripMargin,
+    "events_interarrival" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms
+        |  FROM events),
+        |g AS (SELECT ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+        |    ORDER BY ts_ms ASC, event_id ASC) AS gap_ms FROM e)
+        |SELECT count(*) AS n_gaps, median(gap_ms) AS median_gap_ms,
+        |  quantile_cont(gap_ms, 0.9) AS p90_gap_ms,
+        |  count(CASE WHEN gap_ms < 60000 THEN 1 END) AS n_under_1m,
+        |  CAST(count(CASE WHEN gap_ms < 60000 THEN 1 END) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE) AS under_1m_share
+        |FROM g WHERE gap_ms IS NOT NULL""".stripMargin
   )
 }

@@ -581,6 +581,32 @@ object GraphOps {
     "graph_eccentricity" -> { (s, d) =>
       eccentricityFrom(copurchaseEdges(Tables(s, d), minSupport = 2),
         nSeeds = 3, hops = 4)
+    },
+    // Two-hop reach — the friend-of-friend audience size behind
+    // recommendation fan-out budgeting: per node, |N1| and the EXCLUSIVE
+    // |N2| (two-hop neighbors that are not direct neighbors and not the
+    // node). One edge self-join (the intrinsic shuffle) + distinct +
+    // per-node counts; direct neighbors drop via a left_anti on the edge
+    // list. Top-20 by (n2 DESC, node) = TakeOrderedAndProject. At 100 TB
+    // the support-2 threshold bounds hub degree like the triangle
+    // queries; a production run caps df on the join key first.
+    "graph_2hop_reach" -> { (s, d) =>
+      val e0 = copurchaseEdges(Tables(s, d), minSupport = 2)
+      val und = e0
+        .union(e0.select(col("v").as("u"), col("u").as("v")))
+        .persist()
+      val n1 = und.groupBy("u").agg(count(lit(1)).as("n1"))
+      val two = und.as("a").join(und.as("b"), col("a.v") === col("b.u"))
+        .select(col("a.u").as("u"), col("b.v").as("w"))
+        .filter(col("u") =!= col("w"))
+        .distinct()
+        .join(und.select(col("u"), col("v").as("w")),
+          Seq("u", "w"), "left_anti")
+      two.groupBy("u").agg(count(lit(1)).as("n2"))
+        .join(n1, "u")
+        .select(col("u").as("node"), col("n1"), col("n2"))
+        .orderBy(col("n2").desc, col("node").asc)
+        .limit(20)
     }
   )
 
@@ -1607,6 +1633,19 @@ object GraphOps {
            |  count(*) AS n_reached
            |FROM a4 GROUP BY 1 ORDER BY seed""".stripMargin
       },
+      "graph_2hop_reach" ->
+        s"""WITH $copurchaseSql,
+           |und AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           |n1 AS (SELECT u, count(*) AS n1 FROM und GROUP BY 1),
+           |two AS (SELECT DISTINCT a.u, b.v AS w
+           |  FROM und a JOIN und b ON b.u = a.v
+           |  WHERE a.u <> b.v
+           |    AND NOT EXISTS (SELECT 1 FROM und d
+           |      WHERE d.u = a.u AND d.v = b.v)),
+           |n2 AS (SELECT u, count(*) AS n2 FROM two GROUP BY 1)
+           |SELECT n2.u AS node, n1, n2
+           |FROM n2 JOIN n1 ON n1.u = n2.u
+           |ORDER BY n2 DESC, node ASC LIMIT 20""".stripMargin,
       "graph_random_walk" -> {
         // the same three hash-seeded argmin steps, CTE for CTE
         // (row_number over the identical mixing function)

@@ -1080,6 +1080,48 @@ object SimilarityOps {
           (col("n_vectors").cast("double") * k /
             col("total").cast("double")).as("load_ratio"))
         .orderBy("shard")
+    },
+    // IVF list-balance panel — the health check BEFORE committing to an
+    // IVF layout (sim_shard_plan packs lists; this decides whether the
+    // lists are usable at all): per coarse cell, the corpus share a
+    // 1-probe query scans and the load factor vs a perfectly even split
+    // (n·k/total — cross-multiplied exact integers, ONE division). A
+    // load factor far above 1 means the hot cell dominates every probe —
+    // the signal to re-train or split the cell. One partial+final count
+    // plus a 1-row broadcast.
+    "sim_cluster_balance" -> { (s, d) =>
+      val lists = Tables(s, d).embeddings.filter(col("vec_id") >= 10)
+        .groupBy("label").agg(count(lit(1)).as("n_vecs"))
+      val tot = lists.agg(sum(col("n_vecs")).as("n_total"),
+        count(lit(1)).as("k"))
+      lists.crossJoin(broadcast(tot))
+        .select(col("label"), col("n_vecs"),
+          (col("n_vecs").cast("double") / col("n_total").cast("double"))
+            .as("scan_share"),
+          ((col("n_vecs") * col("k")).cast("double") /
+            col("n_total").cast("double")).as("load_factor"))
+        .orderBy("label")
+    },
+    // Pairwise centroid affinity — the cluster-confusion matrix: cosine
+    // between every pair of label centroids (k(k-1)/2 rows). High
+    // affinity = clusters an ANN probe will cross-talk between (the
+    // nprobe>1 motivation) and the merge candidates for SemDeDup-style
+    // semantic dedup. Centroids via the shared one-pass vec_sum_longs
+    // aggregate; the pair join is a k-row x k-row broadcast nested loop
+    // (k = 10 — METADATA scale, never corpus scale; the corpus touches
+    // only the centroid aggregate).
+    "sim_centroid_affinity" -> { (s, d) =>
+      val base = quantizedBase(
+        Tables(s, d).embeddings.filter(col("embedding").isNotNull))
+      val cents = labelCentroids(base)
+      val a = cents.select(col("label").as("label_a"),
+        col("cvec").as("va"), col("cnn").as("na"))
+      val b = cents.select(col("label").as("label_b"),
+        col("cvec").as("vb"), col("cnn").as("nb"))
+      a.join(broadcast(b), col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"),
+          cosSim(col("na"), col("nb"), col("va"), col("vb")).as("csim"))
+        .orderBy("label_a", "label_b")
     }
   )
 
@@ -2959,7 +3001,44 @@ object SimilarityOps {
         |SELECT CAST(shard AS BIGINT) AS shard, n_lists, n_vectors,
         |  CAST(n_vectors AS DOUBLE) * 4 / CAST(total AS DOUBLE)
         |    AS load_ratio
-        |FROM g, t ORDER BY shard""".stripMargin
+        |FROM g, t ORDER BY shard""".stripMargin,
+    "sim_cluster_balance" ->
+      """WITH l AS (SELECT label, count(*) AS n_vecs
+        |  FROM embeddings WHERE vec_id >= 10 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_total,
+        |    count(*) AS k FROM l)
+        |SELECT label, n_vecs,
+        |  CAST(n_vecs AS DOUBLE) / CAST(n_total AS DOUBLE) AS scan_share,
+        |  CAST(n_vecs * k AS DOUBLE) / CAST(n_total AS DOUBLE)
+        |    AS load_factor
+        |FROM l, t ORDER BY label""".stripMargin,
+    // the sim_label_centroid quantized-centroid CTE, then the pairwise
+    // exact integer dot/norms and the identical guarded cosine tree
+    "sim_centroid_affinity" ->
+      """WITH q AS (SELECT label, i,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000.0 + 0.5)
+        |      AS BIGINT) AS v
+        |  FROM embeddings,
+        |    LATERAL (SELECT unnest(generate_series(1, len(embedding)))
+        |      AS i) g),
+        |centq AS (SELECT label, i,
+        |    CAST(floor(CAST(sum(v) * 1000 AS DOUBLE) / count(*))
+        |      AS BIGINT) AS cv
+        |  FROM q GROUP BY 1, 2),
+        |nn AS (SELECT label, CAST(sum(cv * cv) AS BIGINT) AS n2
+        |  FROM centq GROUP BY 1),
+        |dt AS (SELECT a.label AS label_a, b.label AS label_b,
+        |    CAST(sum(a.cv * b.cv) AS BIGINT) AS d
+        |  FROM centq a JOIN centq b ON b.i = a.i AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b,
+        |  CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0.0
+        |    ELSE CAST(d AS DOUBLE) /
+        |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+        |    END AS csim
+        |FROM dt JOIN nn na ON na.label = dt.label_a
+        |  JOIN nn nb ON nb.label = dt.label_b
+        |ORDER BY label_a, label_b""".stripMargin
     )
     // composed AFTER the base map so the walk side embeds the shipped
     // sim_ann_graph_greedy oracle VERBATIM as a CTE — the recall row

@@ -937,6 +937,47 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc"))
         .filter(col("n_docs") >= 2)
         .orderBy("prefix")
+    },
+    // Hapax-legomena share by source — the vocabulary-health ratio: a
+    // source whose vocabulary is mostly once-seen tokens is either
+    // genuinely diverse or noisy (OCR garbage, IDs); either way its
+    // n-gram statistics are untrustworthy and the curation owner reads
+    // this panel before weighting the source. Two partial+final
+    // aggregates (term counts, then per-source rollup), ONE division.
+    "text_hapax_share" -> { (s, d) =>
+      Tables(s, d).documents
+        .select(col("source"), explode(toks(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("vocab"),
+          count(when(col("n") === 1L, 1)).as("hapax"))
+        .select(col("source"), col("vocab"), col("hapax"),
+          (col("hapax").cast("double") / col("vocab").cast("double"))
+            .as("hapax_share"))
+        .orderBy("source")
+    },
+    // Character-case profile by language — the shouting/boilerplate
+    // signal word-level filters miss (ALL-CAPS legal headers, lowercase
+    // chat logs): exact per-class character counts via regexp_replace
+    // deletion (codegen'd, one pass over the scan), pooled per language,
+    // ONE division for the headline upper-case share.
+    "text_case_profile" -> { (s, d) =>
+      val upper = length(regexp_replace(col("text"), "[^A-Z]", ""))
+      val lower = length(regexp_replace(col("text"), "[^a-z]", ""))
+      val digit = length(regexp_replace(col("text"), "[^0-9]", ""))
+      Tables(s, d).documents
+        .select(col("lang"), upper.cast("long").as("u"),
+          lower.cast("long").as("l"), digit.cast("long").as("g"),
+          length(col("text")).cast("long").as("n"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_chars"),
+          sum(col("u")).as("n_upper"), sum(col("l")).as("n_lower"),
+          sum(col("g")).as("n_digit"))
+        .select(col("lang"), col("n_docs"), col("n_chars"),
+          col("n_upper"), col("n_lower"), col("n_digit"),
+          (col("n_upper").cast("double") / col("n_chars").cast("double"))
+            .as("upper_share"))
+        .orderBy("lang")
     }
   )
 
@@ -2222,7 +2263,34 @@ object TextOps {
       """SELECT substr(text, 1, 32) AS prefix, count(*) AS n_docs,
         |  min(doc_id) AS keep_doc
         |FROM documents GROUP BY 1 HAVING count(*) >= 2
-        |ORDER BY prefix""".stripMargin
+        |ORDER BY prefix""".stripMargin,
+    "text_hapax_share" ->
+      s"""WITH tf AS (SELECT source, tok, count(*) AS n FROM (
+         |    SELECT source, unnest($tokSql) AS tok FROM documents)
+         |  GROUP BY 1, 2)
+         |SELECT source, count(*) AS vocab,
+         |  count(CASE WHEN n = 1 THEN 1 END) AS hapax,
+         |  CAST(count(CASE WHEN n = 1 THEN 1 END) AS DOUBLE) /
+         |    CAST(count(*) AS DOUBLE) AS hapax_share
+         |FROM tf GROUP BY source ORDER BY source""".stripMargin,
+    // regexp_replace needs the 'g' flag in DuckDB (Spark replaces all
+    // matches by default)
+    "text_case_profile" ->
+      """WITH c AS (SELECT lang,
+        |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+        |      AS BIGINT) AS u,
+        |    CAST(length(regexp_replace(text, '[^a-z]', '', 'g'))
+        |      AS BIGINT) AS l,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |      AS BIGINT) AS g,
+        |    CAST(length(text) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_chars,
+        |  CAST(sum(u) AS BIGINT) AS n_upper,
+        |  CAST(sum(l) AS BIGINT) AS n_lower,
+        |  CAST(sum(g) AS BIGINT) AS n_digit,
+        |  CAST(sum(u) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS upper_share
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin
   )
 
   /** The Gopher flags table as a DuckDB CTE body — the oracle replica of

@@ -34,6 +34,9 @@ class PlanCheckSpec extends GraftSuite {
     "fuzzy_nation_pairs", // nation x nation, 25 x 25, Levenshtein all-pairs
     "subquery_scalar",    // 1-row scalar aggregate broadcast under all rows
     "sim_topk_bruteforce", // 10-query vector set broadcast against corpus
+    "sim_centroid_affinity", // label_a < label_b pair join of TWO 10-row
+                          // centroid tables (k x k metadata scale; the
+                          // corpus touches only the centroid aggregate)
     "sim_ann_ivf",        // coarse assignment: 10 queries x per-label
                           // centroids (bounded by label cardinality)
     "sim_ann_recall_ivf", // the same IVF coarse assignment (shared
