@@ -88,6 +88,14 @@ object GraphOps {
     "graph_clustering_coeff" -> { (s, d) =>
       clusteringCoeffFrom(cosupplyEdges(Tables(s, d), minSupport = 5))
     },
+    // Local bridges over the CO-PURCHASE (part) graph — that projection
+    // is sparse (parts outnumber suppliers 20:1, so support >= 2 keeps
+    // ~3.4k edges over 2k nodes with real triangle structure), where
+    // the co-supply graph is near-complete and bridge-free. See
+    // [[localBridgesFrom]] for the kernel.
+    "graph_local_bridges" -> { (s, d) =>
+      localBridgesFrom(copurchaseEdges(Tables(s, d), minSupport = 2))
+    },
     // Market-basket association mining: co-purchased part pairs with
     // support ≥ 3 orders, scored by lift = P(ab)/(P(a)·P(b)) — the
     // classic recommendation readout over the order/item bipartite
@@ -1157,6 +1165,19 @@ object GraphOps {
     * `trianglesFrom` and [[clusteringCoeffFrom]].
     */
   def triangleCountsFrom(edges0: DataFrame): DataFrame = {
+    val tri = triangleTriplesFrom(edges0)
+    tri.select(col("a").as("node"))
+      .union(tri.select(col("b").as("node")))
+      .union(tri.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Each triangle exactly once as an (a, b, c) corner triple in strict
+    * (degree, id) rank order — the shared enumeration stage of
+    * [[triangleCountsFrom]] and [[localBridgesFrom]]. Same cache
+    * contract as `trianglesFrom`: caller releases via `clearCache()`.
+    */
+  def triangleTriplesFrom(edges0: DataFrame): DataFrame = {
     val edges = edges0.persist()
     val und = edges.select(col("u").as("x"))
       .union(edges.select(col("v").as("x")))
@@ -1174,13 +1195,39 @@ object GraphOps {
     val o2 = o.select(col("src"), col("dst").as("c"), col("ddst").as("dc"))
     val wedges = o1.join(o2, "src")
       .filter(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
-    val tri = wedges.join(
+    wedges.join(
       o.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
       .select(col("src").as("a"), col("b"), col("c"))
-    tri.select(col("a").as("node"))
-      .union(tri.select(col("b").as("node")))
-      .union(tri.select(col("c").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Local bridges (Granovetter's weak ties): edges whose endpoints
+    * share NO common neighbor — equivalently, edges in no triangle.
+    * Removing one lengthens its endpoints' distance to >= 3, so these
+    * are the inter-community conduits; in a crawl/citation graph they
+    * are the links worth protecting from dedup/pruning. Implementation
+    * rides the degree-ordered triangle kernel (O(m^1.5) bound): the
+    * triangle corner triples map back to their three canonical edges,
+    * and bridges are one ANTI-join of the edge list against that set —
+    * no wedge enumeration per edge, no neighborhood intersections.
+    */
+  def localBridgesFrom(edges0: DataFrame): DataFrame = {
+    val edges = edges0.persist()
+    val tri = triangleTriplesFrom(edges)
+    val triEdges = tri.select(least(col("a"), col("b")).as("u"),
+        greatest(col("a"), col("b")).as("v"))
+      .union(tri.select(least(col("a"), col("c")).as("u"),
+        greatest(col("a"), col("c")).as("v")))
+      .union(tri.select(least(col("b"), col("c")).as("u"),
+        greatest(col("b"), col("c")).as("v")))
+      .distinct()
+    val und = edges.select(col("u").as("x"))
+      .union(edges.select(col("v").as("x")))
+    val deg = und.groupBy("x").agg(count(lit(1)).as("dg"))
+    edges.join(triEdges, Seq("u", "v"), "left_anti")
+      .join(deg.select(col("x").as("u"), col("dg").as("deg_u")), "u")
+      .join(deg.select(col("x").as("v"), col("dg").as("deg_v")), "v")
+      .select(col("u"), col("v"), col("deg_u"), col("deg_v"))
+      .orderBy("u", "v")
   }
 
   /** Local clustering coefficient cc = 2·T/(d·(d−1)) per node of a
@@ -1344,6 +1391,28 @@ object GraphOps {
           |  UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
           |SELECT node, count(*) AS n_tri FROM corners GROUP BY 1
           |ORDER BY n_tri DESC, node LIMIT 20""".stripMargin,
+      // triangle-free edges of the co-purchase graph: each triangle is
+      // enumerated once in id order (canonical edges make the degree
+      // ordering unnecessary in the oracle), its three edges collected,
+      // and bridges are the anti-set
+      "graph_local_bridges" ->
+        """WITH it AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+          |  FROM lineitem),
+          |e AS (SELECT a.p AS u, b.p AS v FROM it a
+          |  JOIN it b ON a.ok = b.ok AND a.p < b.p
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          |  FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+          |  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+          |te AS (SELECT a AS u, b AS v FROM tri
+          |  UNION SELECT a, c FROM tri UNION SELECT b, c FROM tri),
+          |und AS (SELECT u AS x FROM e UNION ALL SELECT v FROM e),
+          |deg AS (SELECT x, count(*) AS dg FROM und GROUP BY 1)
+          |SELECT e.u, e.v, du.dg AS deg_u, dv.dg AS deg_v
+          |FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
+          |WHERE NOT EXISTS (SELECT 1 FROM te
+          |  WHERE te.u = e.u AND te.v = e.v)
+          |ORDER BY u, v""".stripMargin,
       // the same triangle pipeline, joined back to degrees for cc
       "graph_clustering_coeff" ->
         """WITH pe AS (SELECT DISTINCT a.l_orderkey AS ok,

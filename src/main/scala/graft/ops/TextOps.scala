@@ -851,6 +851,33 @@ object TextOps {
     // rank·n form carries the same information. Shape: one explode +
     // partial+final token count, distributed top-20 (TakeOrderedAnd-
     // Project, never a global sort), then a 20-row window for the rank.
+    // Heaps-law vocabulary growth: cumulative distinct-word count vs
+    // cumulative token count over the corpus in doc_id order, by doc-id
+    // decile — the curve that sizes a tokenizer vocabulary (does the
+    // vocab saturate, and where?). The scale trick: "distinct words
+    // seen by decile i" never re-scans prefixes — each word contributes
+    // ONE row at its FIRST-occurrence decile (min over its postings),
+    // and the curve is a 10-row cumulative window. One explode, two
+    // hash aggregations, a 1-row max-doc broadcast; nothing quadratic.
+    "text_heaps_law" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, d).documents
+      val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      val md = docs.agg(max(col("doc_id")).as("maxd"))
+      val tb = tok.crossJoin(broadcast(md))
+        .withColumn("b", expr("int(doc_id * 10 div (maxd + 1)) + 1"))
+      val tokensPerB = tb.groupBy("b").agg(count(lit(1)).as("toks"))
+      val firstB = tb.groupBy("w").agg(min(col("b")).as("fb"))
+        .groupBy(col("fb").as("b")).agg(count(lit(1)).as("new_words"))
+      val w10 = Window.orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tokensPerB.join(firstB, Seq("b"), "left")
+        .select(col("b"),
+          sum(col("toks")).over(w10).as("tokens_cum"),
+          sum(coalesce(col("new_words"), lit(0L))).over(w10).as("vocab_cum"),
+          coalesce(col("new_words"), lit(0L)).as("new_words"))
+        .orderBy("b")
+    },
     "text_zipf_check" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val tf = Tables(s, d).documents
@@ -2220,6 +2247,21 @@ object TextOps {
         |ORDER BY bg.c_ab DESC, bg.w1 ASC, bg.w2 ASC LIMIT 30""".stripMargin,
     // same count/rank/cross-product arithmetic; rank assigned AFTER the
     // top-20 cut on the identical (n DESC, tok ASC) total order
+    "text_heaps_law" ->
+      s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS w FROM documents),
+         |md AS (SELECT max(doc_id) AS maxd FROM documents),
+         |tb AS (SELECT doc_id, w,
+         |    CAST(doc_id * 10 // (maxd + 1) AS INTEGER) + 1 AS b
+         |  FROM tok, md),
+         |tpb AS (SELECT b, count(*) AS toks FROM tb GROUP BY b),
+         |fb AS (SELECT b, count(*) AS new_words FROM (
+         |    SELECT w, min(b) AS b FROM tb GROUP BY w) GROUP BY b)
+         |SELECT b,
+         |  CAST(sum(toks) OVER (ORDER BY b) AS BIGINT) AS tokens_cum,
+         |  CAST(sum(coalesce(new_words, 0)) OVER (ORDER BY b) AS BIGINT)
+         |    AS vocab_cum,
+         |  coalesce(new_words, CAST(0 AS BIGINT)) AS new_words
+         |FROM tpb LEFT JOIN fb USING (b) ORDER BY b""".stripMargin,
     "text_zipf_check" ->
       s"""WITH tf AS (SELECT unnest($tokSql) AS tok FROM documents),
          |c AS (SELECT tok, count(*) AS n FROM tf GROUP BY 1),

@@ -339,6 +339,37 @@ object StreamingOps {
       col("purchase_ts") < col("click_ts") + expr(s"INTERVAL $w MILLISECOND"))
   }
 
+  /** Stream-stream LEFT OUTER join with the same event-time range
+    * condition as [[intervalJoinStream]] — the outer variant exercises
+    * the join-state EVICTION path the inner join never does: an
+    * unmatched click emits its null-extended row only when the joint
+    * watermark (min over both sides) passes the end of its join window
+    * (click_ts + w), i.e. when no future purchase could still match.
+    * Clicks whose window end is inside the final watermark horizon are
+    * HELD BACK forever on a finite source — that held-back set is part
+    * of the contract and the oracle recomputes it exactly, the same
+    * discipline as events_session_timeout_stream's timeout rule.
+    * Matched pairs emit as soon as both rows arrive, exactly the inner
+    * join's pair set.
+    */
+  def leftJoinStream(clicks: DataFrame, purchases: DataFrame,
+      w: Long): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"),
+        timestamp_millis(col("ts_ms")).as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val p = purchases
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"),
+        timestamp_millis(col("ts_ms")).as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    c.join(p, col("c_user") === col("p_user") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") < col("click_ts") + expr(s"INTERVAL $w MILLISECOND"),
+      "left_outer")
+  }
+
   /** Run a streaming DataFrame to completion against the (finite) file
     * source and return the memory-sink table. NOTE: in Update mode the
     * memory sink appends each microbatch's updated rows — with multiple
@@ -574,6 +605,24 @@ object StreamingOps {
       val res = runToMemory(timeoutSessions(s, readEvents(s, d)),
         "events_session_timeout_stream_sink", OutputMode.Append())
       res.orderBy("user_id", "start_ms")
+    },
+    // Twelfth streaming parity row: stream-stream LEFT OUTER join —
+    // the state-EVICTION emission path (null-extended rows fire when
+    // the joint watermark passes the join-window end; the trailing
+    // no-data microbatch drives it on this finite source). Matched
+    // pairs must equal events_interval_stream's set exactly; the
+    // held-back unmatched tail is recomputed by the oracle.
+    "events_leftjoin_stream" -> { (s, d) =>
+      val ev = readEvents(s, d).withColumn("ts_ms", tsMs)
+      val joined = leftJoinStream(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        w = 1800000L)
+      runToMemory(joined, "events_leftjoin_stream_sink", OutputMode.Append())
+        .select(col("click_id"), col("purchase_id"),
+          (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))
+            .as("delta_ms"))
+        .orderBy("click_id", "purchase_id")
     }
   )
 
@@ -657,6 +706,32 @@ object StreamingOps {
         |FROM c JOIN p USING (user_id)
         |WHERE purchase_ms >= click_ms AND purchase_ms < click_ms + 1800000
         |ORDER BY click_id, purchase_id""".stripMargin,
+    // the inner pair set UNION the evicted-unmatched clicks: a click
+    // emits null-extended iff it has no match AND its join-window end
+    // (click_ms + w) is at or below the joint final watermark
+    // (min(max click, max purchase) − 2h) — clicks nearer the stream
+    // end are held back forever on a finite source
+    "events_leftjoin_stream" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id,
+        |    epoch_ms(ts) AS click_ms
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id,
+        |    epoch_ms(ts) AS purchase_ms
+        |  FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(click_ms) FROM c),
+        |    (SELECT max(purchase_ms) FROM p)) - 7200000 AS w),
+        |m AS (SELECT click_id, purchase_id,
+        |    purchase_ms - click_ms AS delta_ms
+        |  FROM c JOIN p USING (user_id)
+        |  WHERE purchase_ms >= click_ms
+        |    AND purchase_ms < click_ms + 1800000),
+        |u AS (SELECT click_id, CAST(NULL AS BIGINT) AS purchase_id,
+        |    CAST(NULL AS BIGINT) AS delta_ms
+        |  FROM c, wm
+        |  WHERE click_id NOT IN (SELECT click_id FROM m)
+        |    AND click_ms + 1800000 <= wm.w)
+        |SELECT * FROM m UNION ALL SELECT * FROM u
+        |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
     // the equivalent batch enrichment join, hour-bucketed per nation
     "events_enrich_stream" ->
       s"""SELECT epoch_ms(ts) // 3600000 AS hour_bucket, c_nationkey,

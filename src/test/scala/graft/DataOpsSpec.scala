@@ -681,8 +681,9 @@ class DataOpsSpec extends GraftSuite {
       % 1000000000000L).sum
     val got = graft.ops.DataOps.queries("data_table_checksum")(spark, sfDir)
       .collect().map(r => r.getString(0) ->
-        // sum_sig is DECIMAL(38,0) (overflow-proof accumulator)
-        ((r.getLong(1), r.getLong(2), r.getDecimal(3).longValueExact())))
+        // sum_sig accumulates in DECIMAL(38,0) internally but renders
+        // as STRING for driver-gate portability (round-7 contract)
+        ((r.getLong(1), r.getLong(2), BigInt(r.getString(3)).toLong)))
       .toMap
     assert(got("documents") == ((hs.length.toLong, wantXor, wantSum)))
     // sensitivity: dropping one row must change the xor signature
@@ -1065,7 +1066,7 @@ class DataOpsSpec extends GraftSuite {
     }.toMap
     val got = DataOps.queries("pipeline_release")(spark, sfDir)
       .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDecimal(3)))).toMap
+        ((r.getLong(1), r.getLong(2), BigInt(r.getString(3))))).toMap
     assert(got.keySet == want.keySet)
     want.foreach { case (s, (nd, nt)) =>
       assert(got(s)._1 == nd && got(s)._2 == nt, s"split $s")

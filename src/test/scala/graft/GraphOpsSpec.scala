@@ -778,7 +778,7 @@ class GraphOpsSpec extends GraftSuite {
     val got = GraphOps.louvainMoveFrom(edges, part)
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDecimal(3).toBigInteger.longValueExact()))
+        BigInt(r.getString(3)).toLong))
     spark.catalog.clearCache()
     val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
       (5L, 6L), (3L, 4L))

@@ -100,6 +100,25 @@ class PlanCheckSpec extends GraftSuite {
                           // customer (the spatial argmin assignment);
                           // geo_grid_join deliberately NOT here — its
                           // candidate join is a cell-id equi-join
+    "geo_knn_hubs",       // the same 25-row hub dimension broadcast
+                          // (top-3 variant of geo_nearest_hub)
+    "geo_candidate_eval", // two 1-row scalar combines (candidate/exact
+                          // counts x cross-size); the candidate join
+                          // itself is the geo_grid_join cell equi-join
+    "text_zipf_check",    // 1-row rank-1-count scalar broadcast under
+                          // the 20-row top-k frame (the Zipf normalizer)
+    "data_schema_drift",  // two 1-row scalar broadcasts (corpus midpoint
+                          // day; half totals) under day-sized rollups
+    "events_inactivity_churn", // 1-row corpus-max-timestamp scalar
+                          // broadcast under the per-user last-seen table
+    "events_session_depth_dist", // 1-row session-total scalar broadcast
+                          // under the depth histogram (share column)
+    "sim_cluster_balance", // 1-row list-total scalar broadcast under the
+                          // k-row per-label list sizes (skew readout)
+    "dedup_band_tuning",  // per-config 1-row candidate/hit/truth count
+                          // combines (three scalar frames per banding)
+    "text_heaps_law",     // 1-row max-doc-id scalar broadcast under the
+                          // token stream (the decile bucketing bound)
     "events_freshness",   // 1-row corpus-watermark scalar broadcast under
                           // the |types|-sized last-seen table
     "sim_pq_train_step",  // the sim_ann_pq 1-row codebook broadcast under

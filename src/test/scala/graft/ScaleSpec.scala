@@ -307,13 +307,23 @@ class ScaleSpec extends GraftSuite {
     df.collect()
     val s = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    // all three iterations read the SAME persisted edge list — count the
-    // InMemoryRelation references in the optimized LOGICAL plan (the
-    // adaptive physical text collapses executed stages, hiding the
-    // earlier iterations' cache reads)
+    // every iteration reads the SAME persisted edge list; since the
+    // round-7 per-round lineage cut each round executes EAGERLY at its
+    // localCheckpoint and the visible plan is the CONSTANT-SIZE tail —
+    // a top-k over the cut node-sized rank table (LogicalRDD). That
+    // constant-size tail is the point of the cut (the pre-fix shape
+    // grew per round and is what inflated bfs_hops 6x in the r6 driver
+    // bench). One-materialization of the edge cache is persist()'s
+    // contract; pin that the cache is still resident after the run
+    // (the rounds would have rebuilt the edge join from parquet each
+    // iteration if it were not).
     val opt = df.queryExecution.optimizedPlan.toString
-    assert(opt.split("InMemoryRelation").length - 1 >= 3,
-      s"want >=3 edge-cache reads\n$opt")
+    assert(opt.contains("LogicalRDD"),
+      s"want the per-round lineage cut (LogicalRDD)\n$opt")
+    assert(opt.linesIterator.size <= 8,
+      s"final plan must be the constant-size top-k tail\n$opt")
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "the degree-annotated edge cache must be resident")
     assert(!s.contains("SortMergeJoin"), s)
     assert(s.contains("TakeOrderedAndProject"), s)
     spark.catalog.clearCache()
