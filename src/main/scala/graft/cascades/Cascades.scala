@@ -217,20 +217,25 @@ final class CascadesOptimizer(
               costModel.operatorCost(op, e.inputs.map(memo.group(_).card),
                 e.inputs.map(memo.group(_).width))
             if (selfCost <= bound) { // upper-bound pruning (`task.rs:418-421`)
-              // correctness-required child distribution (Final/Complete
-              // aggregates): composes with parent-requirement pushdown —
-              // operators with an own child requirement never appear in
-              // distributionPushdownChild, so the two cannot collide
+              // correctness-required child properties: the full per-child
+              // form (sort-merge join: Hashed+SortedBy per side) wins over
+              // the single-axis aggregate form; both compose with parent-
+              // requirement pushdown because operators with own child
+              // requirements never appear in distributionPushdownChild
+              val fullReq =
+                PhysicalPropertySet.requiredChildProperties(op)
               val ownReq =
                 PhysicalPropertySet.requiredChildDistribution(op)
               val childProps = e.inputs.indices.map { i =>
-                if (pushChild.contains(i))
-                  PhysicalPropertySet.default.copy(
-                    distribution = req.distribution)
-                else if (i == 0 && ownReq.isDefined)
-                  PhysicalPropertySet.default.copy(
-                    distribution = ownReq.get)
-                else PhysicalPropertySet.default
+                fullReq.map(_(i)).getOrElse {
+                  if (pushChild.contains(i))
+                    PhysicalPropertySet.default.copy(
+                      distribution = req.distribution)
+                  else if (i == 0 && ownReq.isDefined)
+                    PhysicalPropertySet.default.copy(
+                      distribution = ownReq.get)
+                  else PhysicalPropertySet.default
+                }
               }
               val winners = e.inputs.zip(childProps).map { case (in, cp) =>
                 memo.group(in).winner(cp)

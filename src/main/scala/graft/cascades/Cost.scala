@@ -56,22 +56,22 @@ trait StatsModel {
     */
   final def deriveWidth(op: Operator, inputWidths: Seq[Long]): Long =
     op match {
-      case LogicalScan(t, _)       => tableWidth(t)
-      case PhysicalTableScan(t, _) => tableWidth(t)
+      case LogicalScan(t, _, _, _) => tableWidth(t)
+      case PhysicalTableScan(t, _, _, _) => tableWidth(t)
       case _: LogicalJoin | _: PhysicalHashJoin |
-          _: PhysicalBroadcastHashJoin =>
+          _: PhysicalBroadcastHashJoin | _: PhysicalSortMergeJoin =>
         inputWidths(0) + inputWidths(1)
       case _ => inputWidths.headOption.getOrElse(16L)
     }
 
   final def derive(op: Operator, inputRows: Seq[Long]): Long = op match {
-    case LogicalScan(t, l)       => limited(tableRows(t), l)
-    case PhysicalTableScan(t, l) => limited(tableRows(t), l)
+    case LogicalScan(t, l, _, _) => limited(tableRows(t), l)
+    case PhysicalTableScan(t, l, _, _) => limited(tableRows(t), l)
     case _: LogicalFilter | _: PhysicalFilter =>
       math.max(1L, inputRows.head / 10) // fixed 10% selectivity
     case _: LogicalProject | _: PhysicalProject => inputRows.head
     case _: LogicalJoin | _: PhysicalHashJoin |
-        _: PhysicalBroadcastHashJoin =>
+        _: PhysicalBroadcastHashJoin | _: PhysicalSortMergeJoin =>
       // FK-join heuristic: |A ⋈ B| ~ max(|A|,|B|) — symmetric, so the
       // commuted join lands in a group with the same cardinality and only
       // the COST (build-side choice) differentiates the two
@@ -130,7 +130,7 @@ final case class TableStats(catalog: Map[String, Long],
   */
 final class CardinalityCostModel extends CostModel {
   def operatorCost(op: PhysicalOp, inputRows: Seq[Long]): Double = op match {
-    case PhysicalTableScan(_, _)   => 1.0 // output rows priced by parent
+    case PhysicalTableScan(_, _, _, _) => 1.0 // output rows priced by parent
     case PhysicalFilter(_, _)      => inputRows.head.toDouble
     case PhysicalProject(_)        => inputRows.head.toDouble
     case PhysicalHashJoin(_, _)    =>
@@ -141,6 +141,15 @@ final class CardinalityCostModel extends CostModel {
     case PhysicalBroadcastHashJoin(_, _) =>
       inputRows(0).toDouble +
         2.0 * ClusterCostModel.W * inputRows(1).toDouble
+    // one interleaved streaming pass over both (already-sorted, already-
+    // co-partitioned) inputs — the sorts and exchanges it REQUIRES are
+    // explicit child-plan operators (enforcers), priced where they stand;
+    // when a clustered base-table layout or a reusable sort satisfies
+    // them for free, none appear and the merge is the whole price. That
+    // asymmetry vs the 2x build of a hash join is exactly the
+    // interesting-orders tradeoff the goldens pin.
+    case PhysicalSortMergeJoin(_, _) =>
+      inputRows(0).toDouble + inputRows(1).toDouble
     case PhysicalSort(_)           =>
       val n = inputRows.head.toDouble
       n * (math.log(n + 1.0) / math.log(2.0))

@@ -31,8 +31,14 @@ sealed trait Operator {
 sealed trait LogicalOp extends Operator { final def isLogical = true }
 sealed trait PhysicalOp extends Operator { final def isLogical = false }
 
-/** `TableScan { limit, table_name }` — `operator/table_scan.rs:13-19`. */
-final case class LogicalScan(table: String, limit: Option[Int] = None)
+/** `TableScan { limit, table_name }` — `operator/table_scan.rs:13-19`.
+  * `bucketBy`/`sortBy` declare a CLUSTERED physical layout (Spark's
+  * bucketed+sorted tables; the write-side shuffle paid once so reads
+  * deliver Hashed/SortedBy for free) — beyond the reference, whose scan
+  * carries no layout metadata. Empty = plain heap layout.
+  */
+final case class LogicalScan(table: String, limit: Option[Int] = None,
+    bucketBy: Seq[Col] = Nil, sortBy: Seq[Col] = Nil)
     extends LogicalOp { def arity = 0 }
 /** `Filter { filter, projected_columns }` — `operator/filter.rs:14-27`. */
 final case class LogicalFilter(pred: Expr, projected: Seq[Col])
@@ -91,7 +97,8 @@ final case class PhysicalTopK(n: Int, cols: Seq[Col]) extends PhysicalOp {
   def arity = 1
 }
 
-final case class PhysicalTableScan(table: String, limit: Option[Int] = None)
+final case class PhysicalTableScan(table: String, limit: Option[Int] = None,
+    bucketBy: Seq[Col] = Nil, sortBy: Seq[Col] = Nil)
     extends PhysicalOp { def arity = 0 }
 final case class PhysicalFilter(pred: Expr, projected: Seq[Col])
     extends PhysicalOp { def arity = 1 }
@@ -99,6 +106,21 @@ final case class PhysicalProject(exprs: Seq[Expr]) extends PhysicalOp {
   def arity = 1
 }
 final case class PhysicalHashJoin(joinType: JoinType, cond: EqCond)
+    extends PhysicalOp { def arity = 2 }
+/** Sort-merge join — the THIRD physical join strategy, and the one that
+  * makes sort an INTERESTING ORDER (System R's term): it REQUIRES each
+  * child Hashed+SortedBy its join key ([[PhysicalPropertySet
+  * .requiredChildProperties]]) and in exchange DELIVERS key order and
+  * key partitioning at its output — so an ORDER BY on the join key above
+  * it, or a bucketed+sorted base-table layout below it, is satisfied
+  * with no extra operator. Whether paying two child sorts beats one hash
+  * build (or beats sorting the join output) is decided by the memo's
+  * winner comparison, never by a heuristic — Spark's SortMergeJoinExec /
+  * EnsureRequirements interplay in miniature. Full joins keep delivery
+  * conservative (null-extended rows break key order/placement claims on
+  * the LEFT key; Spark likewise degrades outer SMJ ordering).
+  */
+final case class PhysicalSortMergeJoin(joinType: JoinType, cond: EqCond)
     extends PhysicalOp { def arity = 2 }
 /** Broadcast hash join — the second physical join strategy, beyond the
   * reference's single `PhysicalHashJoin` (`operator/physical.rs:15-20`):
@@ -153,7 +175,10 @@ final case class PlanNode(op: Operator, inputs: Seq[PlanNode] = Nil) {
   }
 
   private def describe(op: Operator): String = op match {
-    case LogicalScan(t, l)       => s"LogicalScan($t${l.fold("")(n => s", limit=$n")})"
+    case LogicalScan(t, l, b, so) =>
+      s"LogicalScan($t${l.fold("")(n => s", limit=$n")}" +
+        s"${if (b.nonEmpty) s", bucketBy=[${b.mkString(",")}]" else ""}" +
+        s"${if (so.nonEmpty) s", sortBy=[${so.mkString(",")}]" else ""})"
     case LogicalFilter(p, _)     => s"LogicalFilter($p)"
     case LogicalProject(e)       => s"LogicalProjection(${e.mkString(",")})"
     case LogicalJoin(jt, c)      => s"LogicalJoin($jt, $c)"
@@ -170,10 +195,14 @@ final case class PlanNode(op: Operator, inputs: Seq[PlanNode] = Nil) {
       s"PhysicalHashAggregate($m, keys=[${g.mkString(",")}], " +
         s"aggs=[${a.map(c => c.fn + c.col.fold("")(x => s"(${x.name})"))
           .mkString(",")}])"
-    case PhysicalTableScan(t, l) => s"PhysicalTableScan($t${l.fold("")(n => s", limit=$n")})"
+    case PhysicalTableScan(t, l, b, so) =>
+      s"PhysicalTableScan($t${l.fold("")(n => s", limit=$n")}" +
+        s"${if (b.nonEmpty) s", bucketBy=[${b.mkString(",")}]" else ""}" +
+        s"${if (so.nonEmpty) s", sortBy=[${so.mkString(",")}]" else ""})"
     case PhysicalFilter(p, _)    => s"PhysicalFilter($p)"
     case PhysicalProject(e)      => s"PhysicalProjection(${e.mkString(",")})"
     case PhysicalHashJoin(jt, c) => s"PhysicalHashJoin($jt, $c)"
+    case PhysicalSortMergeJoin(jt, c) => s"PhysicalSortMergeJoin($jt, $c)"
     case PhysicalBroadcastHashJoin(jt, c) =>
       s"PhysicalBroadcastHashJoin($jt, $c, BuildRight)"
     case PhysicalSort(cols)      => s"PhysicalSort(${cols.mkString(",")})"
@@ -225,6 +254,13 @@ object PhysicalPropertySet {
   def deliveredOrder(op: PhysicalOp): OrderSpec = op match {
     case PhysicalSort(cols)    => OrderSpec.SortedBy(cols)
     case PhysicalTopK(_, cols) => OrderSpec.SortedBy(cols)
+    // a clustered (bucketed+sorted) layout paid its sort at write time
+    case PhysicalTableScan(_, _, _, so) if so.nonEmpty =>
+      OrderSpec.SortedBy(so)
+    // the merge emits in key order; Inner/Left only — a Full join's
+    // null-extended right rows have no left-key position to claim
+    case PhysicalSortMergeJoin(JoinType.Inner | JoinType.Left, cond) =>
+      OrderSpec.SortedBy(Seq(cond.left))
     case _                     => OrderSpec.AnyOrder
   }
 
@@ -245,7 +281,15 @@ object PhysicalPropertySet {
     case PhysicalExchange(keys) =>
       if (keys.isEmpty) DistributionSpec.Singleton
       else DistributionSpec.Hashed(keys)
+    // a bucketed layout paid its shuffle at write time
+    case PhysicalTableScan(_, _, b, _) if b.nonEmpty =>
+      DistributionSpec.Hashed(b)
     case _: PhysicalTableScan => DistributionSpec.Random
+    // children arrive Hashed on their keys (requiredChildProperties), so
+    // matched outputs stay co-partitioned by the left key; Full joins
+    // also emit null-left-key rows — no claim (as the hash join comment)
+    case PhysicalSortMergeJoin(JoinType.Inner | JoinType.Left, cond) =>
+      DistributionSpec.Hashed(Seq(cond.left))
     // Final/Complete REQUIRE a co-partitioned (or gathered) input — see
     // [[requiredChildDistribution]] — so their output provably carries
     // that same placement: each group key lives in exactly one partition
@@ -271,6 +315,26 @@ object PhysicalPropertySet {
         else DistributionSpec.Hashed(g))
       case _ => None
     }
+
+  /** FULL per-child property requirements (distribution AND order) an
+    * operator demands for correctness — the generalization of
+    * [[requiredChildDistribution]] for operators whose contract spans
+    * both property axes and both children. Sort-merge join: each side
+    * co-partitioned AND sorted on its own join key (Spark's
+    * SortMergeJoinExec requiredChildDistribution/requiredChildOrdering
+    * pair). Operators listed here never appear in
+    * [[distributionPushdownChild]] (same non-collision invariant as
+    * requiredChildDistribution).
+    */
+  def requiredChildProperties(
+      op: PhysicalOp): Option[Seq[PhysicalPropertySet]] = op match {
+    case PhysicalSortMergeJoin(_, cond) => Some(Seq(
+      PhysicalPropertySet(DistributionSpec.Hashed(Seq(cond.left)),
+        OrderSpec.SortedBy(Seq(cond.left))),
+      PhysicalPropertySet(DistributionSpec.Hashed(Seq(cond.right)),
+        OrderSpec.SortedBy(Seq(cond.right)))))
+    case _ => None
+  }
 
   /** Does `op` itself establish `required.distribution`? */
   def deliversDistribution(

@@ -41,6 +41,7 @@ object RuleId {
   case object AssociateJoin extends RuleId
   case object Join2HashJoin extends RuleId
   case object Join2BroadcastJoin extends RuleId
+  case object Join2SortMergeJoin extends RuleId
   case object Agg2HashAgg extends RuleId
   case object SplitAgg extends RuleId
   case object TopK2PhysicalTopK extends RuleId
@@ -83,8 +84,8 @@ object RuleContext {
 object Provenance {
   def derive(op: Operator, inputs: Seq[Set[String]],
       catalog: Map[String, Seq[String]]): Set[String] = op match {
-    case LogicalScan(t, _)        => catalog.getOrElse(t, Nil).toSet
-    case PhysicalTableScan(t, _)  => catalog.getOrElse(t, Nil).toSet
+    case LogicalScan(t, _, _, _)  => catalog.getOrElse(t, Nil).toSet
+    case PhysicalTableScan(t, _, _, _) => catalog.getOrElse(t, Nil).toSet
     case LogicalFilter(_, proj) =>
       if (proj.nonEmpty) proj.map(_.name).toSet else inputs.head
     case PhysicalFilter(_, proj) =>
@@ -184,8 +185,9 @@ object Rules {
     val id = RuleId.PushLimitToTableScan
     val pattern = Pattern.node(isLimit, Pattern.node(isScan))
     def apply(expr: Node, ctx: RuleContext): Option[OptExpression] = expr match {
-      case Node(LogicalLimit(n), Seq(Node(LogicalScan(t, l), Nil))) =>
-        Some(Node(LogicalScan(t, Some(l.fold(n)(math.min(n, _)))), Nil))
+      case Node(LogicalLimit(n), Seq(Node(LogicalScan(t, l, b, so), Nil))) =>
+        Some(Node(LogicalScan(t, Some(l.fold(n)(math.min(n, _))), b, so),
+          Nil))
       case _ => None
     }
   }
@@ -304,6 +306,26 @@ object Rules {
     }
   }
 
+  /** Third join implementation: [[PhysicalSortMergeJoin]]. Any join type
+    * merges correctly (like the shuffled hash join — full outers too,
+    * both streams advance in key order); what varies by type is what the
+    * operator can DELIVER (see [[PhysicalPropertySet.deliveredOrder]]).
+    * Lands in the same memo group as the hash variants; whether the two
+    * enforced child sorts beat one hash build — or cost NOTHING because
+    * a bucketed+sorted scan layout or an interesting order already
+    * provides them — is the memo winner comparison's call.
+    */
+  object Join2SortMergeJoinRule extends OptRule {
+    val id = RuleId.Join2SortMergeJoin
+    override val isImplementation = true
+    val pattern = Pattern.node(isJoin, Pattern.any, Pattern.any)
+    def apply(expr: Node, ctx: RuleContext): Option[OptExpression] = expr match {
+      case Node(LogicalJoin(jt, cond), inputs) =>
+        Some(Node(PhysicalSortMergeJoin(jt, cond), inputs))
+      case _ => None
+    }
+  }
+
   /** Logical scan → physical table scan (implementation) —
     * `dolomite/src/rules/table_scan.rs:20-57`.
     */
@@ -312,8 +334,8 @@ object Rules {
     override val isImplementation = true
     val pattern = Pattern.node(isScan)
     def apply(expr: Node, ctx: RuleContext): Option[OptExpression] = expr match {
-      case Node(LogicalScan(t, l), Nil) =>
-        Some(Node(PhysicalTableScan(t, l), Nil))
+      case Node(LogicalScan(t, l, b, so), Nil) =>
+        Some(Node(PhysicalTableScan(t, l, b, so), Nil))
       case _ => None
     }
   }
@@ -374,8 +396,8 @@ object Rules {
       Pattern.node(isJoin, Pattern.any, Pattern.any))
 
     private def tablesOfPlan(p: PlanNode): Set[String] = (p.op match {
-      case LogicalScan(t, _)       => Set(t)
-      case PhysicalTableScan(t, _) => Set(t)
+      case LogicalScan(t, _, _, _) => Set(t)
+      case PhysicalTableScan(t, _, _, _) => Set(t)
       case _                       => Set.empty[String]
     }) ++ p.inputs.flatMap(tablesOfPlan)
 
@@ -387,8 +409,8 @@ object Rules {
       case GroupHandle(_) => None
       case Node(op, inputs) =>
         val own = op match {
-          case LogicalScan(t, _)       => Set(t)
-          case PhysicalTableScan(t, _) => Set(t)
+          case LogicalScan(t, _, _, _) => Set(t)
+          case PhysicalTableScan(t, _, _, _) => Set(t)
           case _                       => Set.empty[String]
         }
         inputs.foldLeft(Option(own)) { (acc, in) =>
@@ -438,8 +460,8 @@ object Rules {
       Pattern.node(isJoin, Pattern.any, Pattern.any))
 
     private def tablesOfPlan(p: PlanNode): Set[String] = (p.op match {
-      case LogicalScan(t, _)       => Set(t)
-      case PhysicalTableScan(t, _) => Set(t)
+      case LogicalScan(t, _, _, _) => Set(t)
+      case PhysicalTableScan(t, _, _, _) => Set(t)
       case _                       => Set.empty[String]
     }) ++ p.inputs.flatMap(tablesOfPlan)
 
@@ -448,8 +470,8 @@ object Rules {
       case GroupHandle(_) => None
       case Node(op, inputs) =>
         val own = op match {
-          case LogicalScan(t, _)       => Set(t)
-          case PhysicalTableScan(t, _) => Set(t)
+          case LogicalScan(t, _, _, _) => Set(t)
+          case PhysicalTableScan(t, _, _, _) => Set(t)
           case _                       => Set.empty[String]
         }
         inputs.foldLeft(Option(own)) { (acc, in) =>
@@ -571,4 +593,12 @@ object Rules {
     * constant model both implementations tie and the first insertion wins.
     */
   val joinStrategyRules: Seq[OptRule] = all :+ Join2BroadcastJoinRule
+  /** Join-strategy enumeration incl. the sort-merge implementation — the
+    * interesting-orders search space (clustered scan layouts and ORDER BY
+    * requirements can make the merge join free of enforcers). Opt-in for
+    * the same reasons as [[joinStrategyRules]], and only meaningful with
+    * a stats-bearing cost model.
+    */
+  val fullJoinStrategyRules: Seq[OptRule] =
+    joinStrategyRules :+ Join2SortMergeJoinRule
 }

@@ -1577,6 +1577,44 @@ object DataOps {
     // windows scale with the shard count). Exact integers end-to-end
     // (padded = n_in_batch x max_tokens), one IEEE division per strategy
     // row for the waste share.
+    // Curriculum staging: order the corpus easy -> hard by a difficulty
+    // proxy (document length) and cut it into 4 stages of ~equal doc
+    // count, emitting the schedule manifest (docs, real tokens,
+    // cumulative tokens per stage) a curriculum trainer consumes. The
+    // scale path avoids any global sort/ntile over documents: a
+    // 16-char-bucket length histogram (bounded, metadata scale) gets a
+    // cumulative window, each bucket maps to the stage its PRECEDING
+    // mass lands in (stage = 1 + 4*cum_before/N, capped), and documents
+    // equi-join their bucket's stage — the full corpus is touched by
+    // one aggregation and one broadcast join, never a single-partition
+    // window.
+    "data_curriculum_stages" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"),
+          expr("n_chars div 16").as("lb"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val hist = docs.groupBy("lb").agg(count(lit(1)).as("n"))
+      val wcum = Window.orderBy("lb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = hist.agg(sum(col("n")).as("nt"))
+      val stages = hist
+        .withColumn("cum_before", sum(col("n")).over(wcum) - col("n"))
+        .crossJoin(broadcast(tot))
+        .select(col("lb"),
+          least(lit(4L), expr("cum_before * 4 div nt") + 1L).as("stage"))
+      val w4 = Window.orderBy("stage")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.join(broadcast(stages), "lb")
+        .groupBy("stage")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("stage_tokens"),
+          min(col("lb") * 16).as("min_len"),
+          max(col("lb") * 16 + 15).as("max_len"))
+        .select(col("stage"), col("n_docs"), col("stage_tokens"),
+          sum(col("stage_tokens")).over(w4).as("cum_tokens"),
+          col("min_len"), col("max_len"))
+        .orderBy("stage")
+    },
     "data_length_buckets" -> { (s, d) =>
       val base = Tables(s, d).documents
         .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
@@ -2950,6 +2988,28 @@ object DataOps {
         |SELECT day, n_rows, wm - day AS age_days,
         |  CASE WHEN wm - day > 14 THEN 'drop' ELSE 'retain' END AS action
         |FROM w ORDER BY day""".stripMargin,
+    // the same histogram → preceding-mass stage rule → stage rollup;
+    // the cumulative windows run over the bounded bucket/stage frames
+    "data_curriculum_stages" ->
+      """WITH docs AS (SELECT doc_id, n_chars // 16 AS lb,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |hist AS (SELECT lb, count(*) AS n FROM docs GROUP BY lb),
+        |tot AS (SELECT sum(n) AS nt FROM hist),
+        |st AS (SELECT lb, CAST(least(4,
+        |    (sum(n) OVER (ORDER BY lb) - n) * 4 // nt + 1) AS BIGINT)
+        |    AS stage
+        |  FROM hist, tot),
+        |agg AS (SELECT stage, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS stage_tokens,
+        |    CAST(min(lb * 16) AS BIGINT) AS min_len,
+        |    CAST(max(lb * 16 + 15) AS BIGINT) AS max_len
+        |  FROM docs JOIN st USING (lb) GROUP BY stage)
+        |SELECT stage, n_docs, stage_tokens,
+        |  CAST(sum(stage_tokens) OVER (ORDER BY stage) AS BIGINT)
+        |    AS cum_tokens,
+        |  min_len, max_len
+        |FROM agg ORDER BY stage""".stripMargin,
     // the identical per-shard(/bucket) row_number batching, both
     // strategies, rolled up with the same exact-integer padding arithmetic
     "data_length_buckets" -> {

@@ -591,6 +591,87 @@ object MultimodalOps {
         .toDF("doc_id", "n_samples", "lead_silence", "trail_silence",
           "n_kept")
         .orderBy("doc_id")
+    },
+    // Global 1-D motion estimation between consecutive 64-pixel frames
+    // — the ingest-side stabilization/pan detector: SAD (sum of
+    // absolute differences) of each frame against its predecessor at
+    // pixel shifts -1/0/+1 over the overlap, argmin shift (tie to the
+    // smaller magnitude, then the smaller shift). Exact integers, the
+    // same strict RLE1 decode and partition-batched zero-shuffle map
+    // as the rest of the family. A real encoder does this per block
+    // over a 2-D window; the plan shape (decode → per-asset scan →
+    // frame rows) is identical.
+    "mm_motion" -> { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      Tables(s, d).documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { batch =>
+          batch.flatMap { case (id, b) =>
+            val raw = if (b == null) Array.empty[Byte] else b
+            val dec = Rle1.decode(Rle1.encode(raw))
+            val nf = dec.length / 64
+            def px(f: Int, i: Int): Long = (dec(f * 64 + i) & 0xFF).toLong
+            (1 until nf).iterator.map { f =>
+              // sad(s) = sum |cur[i+s] - prev[i]| over valid i
+              def sad(s: Int): Long = {
+                var acc = 0L
+                var i = math.max(0, -s)
+                val until = 64 - math.max(0, s)
+                while (i < until) {
+                  acc += math.abs(px(f, i + s) - px(f - 1, i))
+                  i += 1
+                }
+                acc
+              }
+              val cands = Seq(0, -1, 1).map(s => (sad(s), s))
+              val best = cands.minBy { case (v, s) => (v, math.abs(s), s) }
+              (id, f, best._2, best._1, sad(0))
+            }
+          }
+        }
+        .toDF("doc_id", "frame_idx", "best_shift", "sad_best", "sad_zero")
+        .orderBy("doc_id", "frame_idx")
+    },
+    // Fundamental-period estimate per audio asset: integer
+    // autocorrelation R(tau) of the parsed PCM16 samples over lags
+    // 4..16, argmax (tie to the smaller lag) — the pitch-tracking
+    // primitive behind voice-activity and music/speech routing. R(0)
+    // (the energy) rides along as the normalizer a downstream
+    // confidence score divides by. Exact int64 arithmetic throughout
+    // (samples <= 2^15, so a product is < 2^30 and corpus-length sums
+    // fit with > 20 bits of headroom).
+    "mm_audio_autocorr" -> { (s, d) =>
+      val spark = s
+      import spark.implicits._
+      Tables(s, d).documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { batch =>
+          batch.flatMap { case (id, b) =>
+            val raw = if (b == null) Array.empty[Byte] else b
+            val ss = Pcm16.decode(Pcm16.encode(raw))
+            val L = ss.length
+            if (L <= 16) Iterator.empty
+            else {
+              def r(tau: Int): Long = {
+                var acc = 0L
+                var i = 0
+                while (i + tau < L) {
+                  acc += ss(i).toLong * ss(i + tau).toLong
+                  i += 1
+                }
+                acc
+              }
+              val best = (4 to 16).map(t => (r(t), t))
+                .maxBy { case (v, t) => (v, -t) }
+              Iterator((id, best._2, best._1, r(0)))
+            }
+          }
+        }
+        .toDF("doc_id", "best_lag", "r_best", "r0")
+        .orderBy("doc_id")
     }
   )
 
@@ -1082,6 +1163,58 @@ object MultimodalOps {
         |FROM c ORDER BY doc_id""".stripMargin,
     // first/last loud positions via min/max over the unnested index
     // stream; the engine's two end-scans derive from the same pair
+    // SAD at shifts -1/0/+1 over frame overlaps, recomputed from the
+    // raw codepoints (ASCII corpus: byte = codepoint), argmin via a
+    // (sad, |s|, s) rank — ties must resolve identically to the engine
+    "mm_motion" ->
+      """WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+        |b AS (SELECT doc_id, length(text) // 64 AS nf,
+        |    list_transform(string_split(text, ''),
+        |      x -> CAST(ord(x) AS BIGINT)) AS bs
+        |  FROM t),
+        |fr AS (SELECT doc_id, bs,
+        |    unnest(generate_series(1, nf - 1)) AS f
+        |  FROM b WHERE nf > 1),
+        |sh AS (SELECT doc_id, f, s,
+        |    CAST(list_sum(list_transform(
+        |      generate_series(greatest(0, -s), 63 - greatest(0, s)),
+        |      i -> abs(bs[f * 64 + i + s + 1] - bs[(f - 1) * 64 + i + 1])))
+        |      AS BIGINT) AS sad
+        |  FROM fr, LATERAL (SELECT unnest([-1, 0, 1]) AS s) u),
+        |best AS (SELECT doc_id, f, s, sad,
+        |    row_number() OVER (PARTITION BY doc_id, f
+        |      ORDER BY sad, abs(s), s) AS rn
+        |  FROM sh)
+        |SELECT b1.doc_id, CAST(b1.f AS INT) AS frame_idx,
+        |  CAST(b1.s AS INT) AS best_shift, b1.sad AS sad_best,
+        |  z.sad AS sad_zero
+        |FROM best b1 JOIN sh z ON z.doc_id = b1.doc_id AND z.f = b1.f
+        |  AND z.s = 0
+        |WHERE b1.rn = 1
+        |ORDER BY b1.doc_id, frame_idx""".stripMargin,
+    // integer autocorrelation over the centered-scaled samples, lags
+    // 4..16, argmax with ties to the smaller lag; R(0) is the energy
+    "mm_audio_autocorr" ->
+      """WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+        |b AS (SELECT doc_id, length(text) AS L,
+        |    list_transform(string_split(text, ''),
+        |      x -> CAST((ord(x) - 128) * 256 AS BIGINT)) AS ss
+        |  FROM t WHERE length(text) > 16),
+        |l AS (SELECT doc_id, L, ss,
+        |    unnest(generate_series(4, 16)) AS tau FROM b),
+        |r AS (SELECT doc_id, tau,
+        |    CAST(list_sum(list_transform(generate_series(1, L - tau),
+        |      i -> ss[i] * ss[i + tau])) AS BIGINT) AS rv
+        |  FROM l),
+        |r0 AS (SELECT doc_id,
+        |    CAST(list_sum(list_transform(ss, x -> x * x)) AS BIGINT) AS r0
+        |  FROM b),
+        |best AS (SELECT doc_id, tau, rv, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY rv DESC, tau ASC) AS rn FROM r)
+        |SELECT best.doc_id, CAST(tau AS INT) AS best_lag, rv AS r_best,
+        |  r0.r0
+        |FROM best JOIN r0 USING (doc_id) WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "mm_silence_trim" ->
       """WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
         |b AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS L,

@@ -81,7 +81,7 @@ class CascadesPropertySpec extends AnyFunSuite {
     * more).
     */
   private def naive(p: PlanNode): PlanNode = p.op match {
-    case LogicalScan(t, l)   => PlanNode(PhysicalTableScan(t, l))
+    case LogicalScan(t, l, b, so) => PlanNode(PhysicalTableScan(t, l, b, so))
     case LogicalFilter(c, j) => PlanNode(PhysicalFilter(c, j),
       p.inputs.map(naive))
     case LogicalProject(e)   => PlanNode(PhysicalProject(e),

@@ -96,8 +96,8 @@ class CascadesSpec extends AnyFunSuite {
     val p = out.get
     p match {
       case PlanNode(PhysicalHashJoin(JoinType.Inner, _),
-          Seq(PlanNode(PhysicalTableScan(a, None), Nil),
-              PlanNode(PhysicalTableScan(b, None), Nil))) =>
+          Seq(PlanNode(PhysicalTableScan(a, None, _, _), Nil),
+              PlanNode(PhysicalTableScan(b, None, _, _), Nil))) =>
         // commutation explored; constant cost model ties → either order wins
         assert(Set(a, b) == Set("t1", "t2"))
       case other => fail(s"unexpected plan:\n${other.explain()}")
@@ -110,7 +110,7 @@ class CascadesSpec extends AnyFunSuite {
     assert(out.isDefined)
     out.get match {
       case PlanNode(PhysicalProject(_),
-          Seq(PlanNode(PhysicalTableScan("t1", Some(5)), Nil))) =>
+          Seq(PlanNode(PhysicalTableScan("t1", Some(5), _, _), Nil))) =>
       case other => fail(s"unexpected plan:\n${other.explain()}")
     }
   }
@@ -170,7 +170,7 @@ class CascadesSpec extends AnyFunSuite {
     assert(out.isDefined)
     out.get match {
       case PlanNode(PhysicalExchange(Seq(Col("c1"))),
-          Seq(PlanNode(PhysicalTableScan("t1", None), Nil))) =>
+          Seq(PlanNode(PhysicalTableScan("t1", None, _, _), Nil))) =>
       case other => fail(s"expected Exchange over TableScan:\n${other.explain()}")
     }
     // the same search without the requirement must NOT pay for an exchange
@@ -248,7 +248,7 @@ class CascadesSpec extends AnyFunSuite {
         // an exchange directly over a scan must key a column that scan
         // owns — in this plan only t2 owns c2
         p.inputs.head.op match {
-          case PhysicalTableScan(t, _) if keys == Seq(Col("c2")) =>
+          case PhysicalTableScan(t, _, _, _) if keys == Seq(Col("c2")) =>
             assert(t == "t2", s"hashed t1 by t2's column:\n${out.explain()}")
           case _ =>
         }
@@ -324,8 +324,8 @@ class CascadesSpec extends AnyFunSuite {
     assert(out.isDefined)
     out.get match {
       case PlanNode(PhysicalHashJoin(JoinType.Inner, cond),
-          Seq(PlanNode(PhysicalTableScan(l, None), Nil),
-              PlanNode(PhysicalTableScan(r, None), Nil))) =>
+          Seq(PlanNode(PhysicalTableScan(l, None, _, _), Nil),
+              PlanNode(PhysicalTableScan(r, None, _, _), Nil))) =>
         assert(l == "big" && r == "small",
           s"build side should be 'small': got left=$l right=$r")
         // the condition commutes with the inputs
@@ -347,8 +347,8 @@ class CascadesSpec extends AnyFunSuite {
     out.get match {
       case PlanNode(PhysicalSort(Seq(Col("c2"))),
           Seq(PlanNode(PhysicalHashJoin(JoinType.Inner, _),
-            Seq(PlanNode(PhysicalTableScan(l, None), Nil),
-                PlanNode(PhysicalTableScan(r, None), Nil))))) =>
+            Seq(PlanNode(PhysicalTableScan(l, None, _, _), Nil),
+                PlanNode(PhysicalTableScan(r, None, _, _), Nil))))) =>
         assert(l == "big" && r == "small",
           s"build side should still be 'small' under the sort: $l/$r")
       case other => fail(s"unexpected plan:\n${other.explain()}")
@@ -367,7 +367,7 @@ class CascadesSpec extends AnyFunSuite {
     val (out, memo) = opt.optimizeWithMemo(plan)
     assert(out.isDefined)
     out.get match {
-      case PlanNode(PhysicalTableScan("t1", Some(3)), Nil) =>
+      case PlanNode(PhysicalTableScan("t1", Some(3), Nil, Nil), Nil) =>
       case other => fail(s"unexpected plan:\n${other.explain()}")
     }
     // all recorded duplicates were consumed by the merge
@@ -419,8 +419,8 @@ class CascadesSpec extends AnyFunSuite {
     // implementation rules still fire, producing the physical form
     hep.optimize(plan) match {
       case PlanNode(PhysicalHashJoin(JoinType.Inner, EqCond(Col("c1"), Col("c2"))),
-          Seq(PlanNode(PhysicalTableScan("t1", None), Nil),
-              PlanNode(PhysicalTableScan("t2", None), Nil))) =>
+          Seq(PlanNode(PhysicalTableScan("t1", None, _, _), Nil),
+              PlanNode(PhysicalTableScan("t2", None, _, _), Nil))) =>
       case other => fail(s"unexpected:\n${other.explain()}")
     }
   }
@@ -791,6 +791,88 @@ class CascadesSpec extends AnyFunSuite {
       Node(LogicalJoin(JoinType.Full, EqCond(Col("a"), Col("b"))),
         Seq(GroupHandle(0), GroupHandle(1))),
       new MemoContext(new Memo)).isEmpty)
+  }
+
+  // --- sort-merge join + interesting orders (clustered scan layouts) ---
+
+  private def bestOrdered(rules: Seq[OptRule], stats: TableStats,
+      plan: PlanNode, req: PhysicalPropertySet): (PlanNode, Double) = {
+    val opt = new CascadesOptimizer(rules,
+      costModel = new ClusterCostModel, stats = stats)
+    val (out, memo) = opt.optimizeWithMemo(plan, req)
+    (out.get, memo.group(memo.root).winner(req).get.cost)
+  }
+
+  test("bucketed+sorted scan layouts make the sort-merge join free of " +
+      "enforcers, and the search picks it over both hash variants") {
+    val stats = TableStats(Map("fact" -> 1000000L, "dim" -> 100000L))
+    val fact = PlanNode(LogicalScan("fact",
+      bucketBy = Seq(Col("f_k")), sortBy = Seq(Col("f_k"))))
+    val dim = PlanNode(LogicalScan("dim",
+      bucketBy = Seq(Col("d_k")), sortBy = Seq(Col("d_k"))))
+    val plan = join(fact, dim, "f_k", "d_k")
+    val (chosen, cost) =
+      bestWith(Rules.fullJoinStrategyRules, stats, plan)
+    // the clustered layout delivers each side's required Hashed+SortedBy
+    // at the scan, so the merge (1e6 + 1e5) beats the shuffled hash join
+    // (2 exchanges + probe + 2x build = 3.4e6) and the broadcast variant
+    // (1e6 + 2*W*1e5 = 2.6e6) — with NO Sort or Exchange anywhere
+    assert(chosen == PlanNode(
+      PhysicalSortMergeJoin(JoinType.Inner,
+        EqCond(Col("f_k"), Col("d_k"))),
+      Seq(PlanNode(PhysicalTableScan("fact", None,
+        Seq(Col("f_k")), Seq(Col("f_k")))),
+        PlanNode(PhysicalTableScan("dim", None,
+          Seq(Col("d_k")), Seq(Col("d_k")))))),
+      s"got:\n${chosen.explain()}")
+    assert(cost < 3400000.0 * 0.5, s"merge should cost ~1.1e6, got $cost")
+  }
+
+  test("on plain heap scans the sort-merge join prices out (two enforced " +
+      "sorts + exchanges lose to one hash build)") {
+    val stats = TableStats(Map("fact" -> 1000000L, "dim" -> 100000L))
+    val plan = join(scan("fact"), scan("dim"), "f_k", "d_k")
+    val (chosen, _) = bestWith(Rules.fullJoinStrategyRules, stats, plan)
+    // sorting 1e6 rows (n·log2 n ~ 2e7) dwarfs everything: the winner is
+    // the broadcast hash join (2.6e6), same as without the SMJ rule —
+    // the memo HOLDS the merge member, the comparison rejects it
+    assert(chosen.op == PhysicalBroadcastHashJoin(JoinType.Inner,
+      EqCond(Col("f_k"), Col("d_k"))), s"got:\n${chosen.explain()}")
+  }
+
+  test("interesting orders: a root ORDER BY on the probe key turns the " +
+      "merge join into the winner — its delivered order replaces the " +
+      "top sort, and only the dim side pays enforcers") {
+    val stats = TableStats(Map("fact" -> 1000000L, "dim" -> 100000L))
+    // production shape: the big fact table is clustered on its join key
+    // (bucketed+sorted at write), the small dim arrives unclustered
+    val fact = PlanNode(LogicalScan("fact",
+      bucketBy = Seq(Col("f_k")), sortBy = Seq(Col("f_k"))))
+    val plan = join(fact, scan("dim"), "f_k", "d_k")
+    val req = PhysicalPropertySet(order = OrderSpec.SortedBy(Seq(Col("f_k"))))
+    val (chosen, cost) =
+      bestOrdered(Rules.fullJoinStrategyRules, stats, plan, req)
+    // merge delivers SortedBy(f_k) itself: no Sort above the join; the
+    // fact side rides its layout; the dim side pays Sort(Exchange(scan))
+    // (~1.9e6 for 1e5 rows). Every hash alternative must SORT THE JOIN
+    // OUTPUT (1e6·log2(1e6) ~ 2e7) on top — an order of magnitude worse.
+    chosen match {
+      case PlanNode(PhysicalSortMergeJoin(JoinType.Inner,
+          EqCond(Col("f_k"), Col("d_k"))), Seq(left, right)) =>
+        assert(left == PlanNode(PhysicalTableScan("fact", None,
+          Seq(Col("f_k")), Seq(Col("f_k")))), s"left:\n${left.explain()}")
+        right match {
+          case PlanNode(PhysicalSort(Seq(Col("d_k"))),
+              Seq(PlanNode(PhysicalExchange(Seq(Col("d_k"))),
+                Seq(PlanNode(PhysicalTableScan("dim", None, Nil, Nil),
+                  Nil))))) => // the enforcer pair lands on the dim side only
+          case other => fail(s"dim side:\n${other.explain()}")
+        }
+      case other => fail(s"want a sort-merge join root:\n${other.explain()}")
+    }
+    // crossover arithmetic: SMJ ~ 1e5·(2+log2(1e5)) + 1.1e6 merge ~ 3e6;
+    // best hash plan + top sort ~ 2.6e6 + 2e7
+    assert(cost < 5000000.0, s"want the no-top-sort price, got $cost")
   }
 
   // --- partial-aggregate split (beyond reference: distributed agg) ---

@@ -119,6 +119,8 @@ class PlanCheckSpec extends GraftSuite {
                           // combines (three scalar frames per banding)
     "text_heaps_law",     // 1-row max-doc-id scalar broadcast under the
                           // token stream (the decile bucketing bound)
+    "data_curriculum_stages", // 1-row doc-total scalar broadcast under
+                          // the bounded length-bucket histogram
     "events_freshness",   // 1-row corpus-watermark scalar broadcast under
                           // the |types|-sized last-seen table
     "sim_pq_train_step",  // the sim_ann_pq 1-row codebook broadcast under

@@ -171,4 +171,90 @@ class Round7OpsSpec extends GraftSuite {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, ns.toSeq)
     spark.catalog.clearCache()
   }
+
+  // --- session-3 additions ---
+
+  test("motion: shifts stay in {-1,0,1} and the argmin never beats " +
+      "the zero-shift SAD it was chosen against") {
+    val rows = MultimodalOps.queries("mm_motion")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(Set(-1, 0, 1)(r.getInt(2)), r.toString)
+      assert(r.getLong(3) <= r.getLong(4),
+        s"sad_best > sad_zero: $r") // best is a min over a set incl. 0
+      if (r.getInt(2) == 0) assert(r.getLong(3) == r.getLong(4))
+    }
+  }
+
+  test("autocorr: lag in [4,16] and R(best) <= R(0) (Cauchy-Schwarz)") {
+    val rows = MultimodalOps.queries("mm_audio_autocorr")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 4 && r.getInt(1) <= 16, r.toString)
+      assert(r.getLong(2) <= r.getLong(3),
+        s"R(tau) > R(0): $r") // |R(tau)| <= R(0) for any real signal
+    }
+  }
+
+  test("heaps law: both curves are monotone, the final vocab is the " +
+      "corpus distinct-word count and final tokens the corpus total") {
+    val rows = TextOps.queries("text_heaps_law")(spark, sfDir).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.length == 10)
+    val toks = Tables(spark, sfDir).documents
+      .select(explode(split(col("text"), " ")).as("w"))
+    assert(rows.last.getLong(1) == toks.count())
+    assert(rows.last.getLong(2) == toks.distinct().count())
+    rows.sliding(2).foreach { p =>
+      assert(p(0).getLong(1) < p(1).getLong(1)) // tokens strictly grow
+      assert(p(0).getLong(2) <= p(1).getLong(2)) // vocab never shrinks
+    }
+  }
+
+  test("local bridges: no reported edge participates in any triangle " +
+      "(independent adjacency-intersection recompute)") {
+    val bridges = GraphOps.queries("graph_local_bridges")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    spark.catalog.clearCache()
+    assert(bridges.nonEmpty)
+    // independent ground truth: undirected adjacency sets in the test
+    val t = Tables(spark, sfDir)
+    val it = t.lineitem.select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("p")).distinct()
+    val edges = it.as("a").join(it.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    bridges.foreach { case (u, v) =>
+      assert((adj(u) & adj(v)).isEmpty, s"($u,$v) shares a neighbor")
+    }
+    // and completeness: every triangle-free edge IS reported
+    val want = edges.filter { case (u, v) => (adj(u) & adj(v)).isEmpty }
+    assert(bridges.toSet == want.toSet,
+      s"missing ${want.toSet -- bridges.toSet}")
+  }
+
+  test("curriculum stages: stages partition the corpus ~equally (within " +
+      "one length-bucket's mass) and cum_tokens telescopes") {
+    val rows = DataOps.queries("data_curriculum_stages")(spark, sfDir)
+      .collect().sortBy(_.getLong(0))
+    val nDocs = Tables(spark, sfDir).documents.count()
+    assert(rows.map(_.getLong(1)).sum == nDocs) // stages partition
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length))
+    var cum = 0L
+    rows.foreach { r =>
+      cum += r.getLong(2)
+      assert(r.getLong(3) == cum, s"cum_tokens breaks at stage ${r.get(0)}")
+      assert(r.getLong(4) <= r.getLong(5)) // min_len <= max_len
+    }
+    // stage lengths ascend: a later stage never starts below an earlier
+    rows.sliding(2).foreach { p =>
+      assert(p(0).getLong(5) <= p(1).getLong(4) + 15,
+        s"stage overlap beyond bucket width: ${p(0)} vs ${p(1)}")
+    }
+  }
 }
