@@ -1212,7 +1212,11 @@ object GraphOps {
     */
   def localBridgesFrom(edges0: DataFrame): DataFrame = {
     val edges = edges0.persist()
-    val tri = triangleTriplesFrom(edges)
+    // tri is consumed THREE times (one union branch per triangle edge);
+    // uncut, each branch re-expands the whole wedge-join tree into the
+    // plan (5k+ plan lines, superlinear analysis/codegen cost) — the
+    // multi-consumer pattern the lineage-cut doctrine exists for
+    val tri = triangleTriplesFrom(edges).cutLineage()
     val triEdges = tri.select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
       .union(tri.select(least(col("a"), col("c")).as("u"),

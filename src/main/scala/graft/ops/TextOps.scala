@@ -89,6 +89,31 @@ object TextOps {
     "text_cooccurrence_assoc" -> { (s, d) =>
       cooccurrenceAssocFrom(Tables(s, d).documents, minSupport = 5, k = 30)
     },
+    // Skip-gram training-pair generation (word2vec/GloVe data prep):
+    // every (center, context) pair within a ±2 token window, counted
+    // corpus-wide, top-30. The scale shape is the point: pairs are
+    // built ARRAY-LOCALLY per document (slice + arrays_zip at offsets
+    // 1 and 2, then both orientations) — zero joins, zero extra
+    // shuffles; the only shuffle is the final pair count's
+    // partial+final aggregate. The positional self-join formulation
+    // the oracle uses would shuffle the token stream twice and skew on
+    // hot documents at 100 TB.
+    "text_skipgrams" -> { (s, d) =>
+      val t = toks(col("text"))
+      val n = size(t)
+      def fwd(o: Int) =
+        arrays_zip(slice(t, lit(1), greatest(n - lit(o), lit(0))),
+          slice(t, lit(o + 1), greatest(n - lit(o), lit(0))))
+      Tables(s, d).documents
+        .select(explode(concat(fwd(1), fwd(2))).as("p"))
+        .select(explode(array(
+          struct(col("p.0").as("center"), col("p.1").as("ctx")),
+          struct(col("p.1").as("center"), col("p.0").as("ctx")))).as("q"))
+        .select(col("q.center"), col("q.ctx"))
+        .groupBy("center", "ctx").agg(count(lit(1)).as("n_pairs"))
+        .orderBy(desc("n_pairs"), col("center"), col("ctx"))
+        .limit(30)
+    },
     // Quality scoring: stopword ratio, mean token length, type-token ratio.
     "text_quality" -> { (s, d) =>
       val t = toks(col("text"))
@@ -2247,6 +2272,19 @@ object TextOps {
         |ORDER BY bg.c_ab DESC, bg.w1 ASC, bg.w2 ASC LIMIT 30""".stripMargin,
     // same count/rank/cross-product arithmetic; rank assigned AFTER the
     // top-20 cut on the identical (n DESC, tok ASC) total order
+    // the naive positional self-join the array-local plan must equal:
+    // all pairs with |Δpos| in {1, 2}
+    "text_skipgrams" ->
+      s"""WITH t AS (SELECT doc_id, $tokSql AS L FROM documents),
+         |tok AS (SELECT doc_id, i AS pos, L[i] AS w
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(L))) AS i)
+         |    g),
+         |p AS (SELECT a.w AS center, b.w AS ctx
+         |  FROM tok a JOIN tok b
+         |    ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) BETWEEN 1 AND 2)
+         |SELECT center, ctx, count(*) AS n_pairs
+         |FROM p GROUP BY 1, 2
+         |ORDER BY n_pairs DESC, center, ctx LIMIT 30""".stripMargin,
     "text_heaps_law" ->
       s"""WITH tok AS (SELECT doc_id, unnest($tokSql) AS w FROM documents),
          |md AS (SELECT max(doc_id) AS maxd FROM documents),

@@ -199,7 +199,19 @@ object DumpPlans {
         "their lineage cuts — SMJ fallback caught by the plan gate)"),
       "data_length_buckets" -> ("padding-waste eval: both strategies are " +
         "per-shard row_number windows (no global sort) over one token " +
-        "count scan; rollups are two-level aggregates"))
+        "count scan; rollups are two-level aggregates"),
+      "geo_grid_join" -> ("spatial distance join: the supplier dimension " +
+        "fans out to its 3x3 neighbor cells and broadcasts; the fact " +
+        "side computes its cell in a codegen'd map and equi-joins — " +
+        "map-only at any fact size, candidates bounded by density x 9"),
+      "graph_local_bridges" -> ("weak-tie detection: the degree-ordered " +
+        "triangle kernel (O(m^1.5) wedge bound) enumerates triangle " +
+        "edges once; bridges are one anti-join of the edge list against " +
+        "that set — no per-edge neighborhood intersections"),
+      "text_skipgrams" -> ("skip-gram pair generation: pairs built " +
+        "array-locally per document (slice + arrays_zip at both " +
+        "offsets), zero joins — the only shuffle is the final " +
+        "partial+final pair count"))
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.DumpPlans\"` " +
