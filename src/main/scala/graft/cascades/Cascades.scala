@@ -211,7 +211,17 @@ final class CascadesOptimizer(
             if (selfDist || req.distribution == DistributionSpec.Any) None
             else PhysicalPropertySet.distributionPushdownChild(
               op, req.distribution)
-          if (PhysicalPropertySet.deliversOrder(op, req) &&
+          // the ORDER axis mirrors the distribution axis: an operator
+          // wins under a required order by delivering it itself, or by
+          // pushing the requirement through to a child it provably
+          // preserves order from (filter/project) — the sort then lands
+          // below, where a clustered layout or a merge join may satisfy
+          // it for free; the EnforceOrder task covers everything else
+          val selfOrd = PhysicalPropertySet.deliversOrder(op, req)
+          val pushOrd =
+            if (selfOrd || req.order == OrderSpec.AnyOrder) None
+            else PhysicalPropertySet.orderPushdownChild(op, req.order)
+          if ((selfOrd || pushOrd.isDefined) &&
               (selfDist || pushChild.isDefined)) {
             val selfCost =
               costModel.operatorCost(op, e.inputs.map(memo.group(_).card),
@@ -227,7 +237,7 @@ final class CascadesOptimizer(
               val ownReq =
                 PhysicalPropertySet.requiredChildDistribution(op)
               val childProps = e.inputs.indices.map { i =>
-                fullReq.map(_(i)).getOrElse {
+                val base = fullReq.map(_(i)).getOrElse {
                   if (pushChild.contains(i))
                     PhysicalPropertySet.default.copy(
                       distribution = req.distribution)
@@ -236,6 +246,8 @@ final class CascadesOptimizer(
                       distribution = ownReq.get)
                   else PhysicalPropertySet.default
                 }
+                if (pushOrd.contains(i)) base.copy(order = req.order)
+                else base
               }
               val winners = e.inputs.zip(childProps).map { case (in, cp) =>
                 memo.group(in).winner(cp)
@@ -246,9 +258,10 @@ final class CascadesOptimizer(
                   val w = Winner(e, total, childProps)
                   memo.group(g).updateWinner(req, w)
                   // a plan needing no child requirements is also a valid
-                  // default-property plan — never the pushdown variant,
-                  // whose cost includes an enforced child exchange
-                  if (req != PhysicalPropertySet.default && pushChild.isEmpty)
+                  // default-property plan — never a pushdown variant,
+                  // whose cost includes an enforced child exchange/sort
+                  if (req != PhysicalPropertySet.default &&
+                      pushChild.isEmpty && pushOrd.isEmpty)
                     memo.group(g).updateWinner(PhysicalPropertySet.default, w)
                 }
               } else if (round < MaxRounds) {

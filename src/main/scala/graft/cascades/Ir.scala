@@ -359,6 +359,29 @@ object PhysicalPropertySet {
     * The Catalyst counterpart is `outputPartitioning` passthrough on the
     * streamed side, which likewise rewrites only provable key lineage.
     */
+  /** Which child (if any) a required ORDER can be pushed down to — the
+    * order-axis twin of [[distributionPushdownChild]]: legal only when
+    * the operator provably preserves its child's row order AND the order
+    * columns survive its output. Filter/Project are per-partition
+    * tuple-order-preserving (they drop/compute columns, never reorder
+    * rows); joins/aggregates/exchanges are not. This is what lets an
+    * ORDER BY above a projection be satisfied BELOW it — by a clustered
+    * scan layout or a merge join's delivered order — instead of always
+    * enforcing a top sort (Spark's counterpart: outputOrdering
+    * passthrough on ProjectExec/FilterExec in EnsureRequirements).
+    */
+  def orderPushdownChild(op: PhysicalOp, order: OrderSpec): Option[Int] = {
+    def keptBy(cols: Seq[Col], keys: Seq[Col]): Boolean =
+      cols.isEmpty || keys.forall(cols.contains)
+    (op, order) match {
+      case (PhysicalFilter(_, projected), OrderSpec.SortedBy(keys))
+          if keptBy(projected, keys) => Some(0)
+      case (PhysicalProject(exprs), OrderSpec.SortedBy(keys))
+          if keys.forall(exprs.contains) => Some(0)
+      case _ => None
+    }
+  }
+
   def distributionPushdownChild(
       op: PhysicalOp, dist: DistributionSpec): Option[Int] = {
     def keptBy(cols: Seq[Col], keys: Seq[Col]): Boolean =

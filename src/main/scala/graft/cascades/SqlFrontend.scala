@@ -41,8 +41,9 @@ object SqlFrontend {
     *               reference's planner does.
     */
   def parse(sql: String,
-      schema: Map[String, Seq[String]] = Map.empty): PlanNode =
-    parseQuery(sql, schema)._1
+      schema: Map[String, Seq[String]] = Map.empty,
+      layouts: Map[String, (Seq[Col], Seq[Col])] = Map.empty): PlanNode =
+    parseQuery(sql, schema, layouts)._1
 
   /** [[parse]] plus the ROOT PHYSICAL PROPERTY the query demands:
     * `ORDER BY col [, col]*` (before LIMIT) lowers to a required
@@ -54,8 +55,20 @@ object SqlFrontend {
     * [[CascadesOptimizer.optimize]] as `required`.
     */
   def parseQuery(sql: String,
-      schema: Map[String, Seq[String]] = Map.empty)
+      schema: Map[String, Seq[String]] = Map.empty,
+      /** table → (bucketBy, sortBy) clustered-layout catalog: scans of a
+        * listed table carry the layout (a bucketed+sorted table whose
+        * write-side shuffle/sort was already paid — Spark's bucketed
+        * tables), which [[PhysicalPropertySet]] turns into delivered
+        * Hashed/SortedBy and the search can exploit (merge joins without
+        * enforcers, ORDER BY without a sort).
+        */
+      layouts: Map[String, (Seq[Col], Seq[Col])] = Map.empty)
       : (PlanNode, PhysicalPropertySet) = {
+    def scanOf(t: String): LogicalScan = layouts.get(t) match {
+      case Some((b, so)) => LogicalScan(t, None, b, so)
+      case None          => LogicalScan(t)
+    }
     val toks = tokenize(sql)
     val p = new Parser(toks)
     p.expectKw("SELECT")
@@ -70,14 +83,14 @@ object SqlFrontend {
       if (aggCalls.nonEmpty) None else items.map(_ => plainCols)
     p.expectKw("FROM")
     val firstTable = p.ident()
-    var plan = PlanNode(LogicalScan(firstTable))
+    var plan = PlanNode(scanOf(firstTable))
     var joined = false
     while (p.peekKw("JOIN") || p.peekKw("LEFT") || p.peekKw("FULL")) {
       val jt =
         if (p.peekKw("JOIN")) { p.next(); JoinType.Inner }
         else if (p.peekKw("LEFT")) { p.next(); p.expectKw("JOIN"); JoinType.Left }
         else { p.next(); p.expectKw("JOIN"); JoinType.Full }
-      val right = PlanNode(LogicalScan(p.ident()))
+      val right = PlanNode(scanOf(p.ident()))
       p.expectKw("ON")
       val (l, r) = p.equality()
       plan = PlanNode(LogicalJoin(jt, EqCond(l, r)), Seq(plan, right))

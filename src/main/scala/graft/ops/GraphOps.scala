@@ -96,6 +96,14 @@ object GraphOps {
     "graph_local_bridges" -> { (s, d) =>
       localBridgesFrom(copurchaseEdges(Tables(s, d), minSupport = 2))
     },
+    // Bipartiteness certificate per component of the same co-purchase
+    // projection: its tree-like fringe components are bipartite, the
+    // triangle-bearing cores are not — the structural readout a
+    // two-mode-vs-one-mode modeling decision reads. See
+    // [[bipartiteCheckFrom]] for the doubled-graph reduction.
+    "graph_bipartite_check" -> { (s, d) =>
+      bipartiteCheckFrom(copurchaseEdges(Tables(s, d), minSupport = 2))
+    },
     // Market-basket association mining: co-purchased part pairs with
     // support ≥ 3 orders, scored by lift = P(ab)/(P(a)·P(b)) — the
     // classic recommendation readout over the order/item bipartite
@@ -1210,6 +1218,42 @@ object GraphOps {
     * and bridges are one ANTI-join of the edge list against that set —
     * no wedge enumeration per edge, no neighborhood intersections.
     */
+  /** Per-component bipartiteness via the DOUBLED-GRAPH reduction: split
+    * every node v into (v,0)/(v,1) = 2v/2v+1, connect each edge (u,v) as
+    * (u,0)-(v,1) and (u,1)-(v,0); G's component is bipartite iff no node
+    * has its two copies in one doubled component (an odd cycle is exactly
+    * a walk that flips parity back to itself). Fully distributed and
+    * EXACT at any diameter — two pointer-jumping component runs
+    * (O(log d) rounds each, [[DedupOps.minLabelComponents]]) replace the
+    * sequential BFS 2-coloring a single machine would use; no round cap
+    * that could mis-certify a deep component. Output one row per
+    * component: (rep, n_nodes, n_conflicted, bipartite).
+    */
+  def bipartiteCheckFrom(edges0: DataFrame): DataFrame = {
+    val e0 = edges0.persist()
+    val und = e0.select(col("u").as("src"), col("v").as("dst"))
+      .union(e0.select(col("v").as("src"), col("u").as("dst")))
+    val comp = DedupOps.minLabelComponents(und)
+    val dbl = e0.select((col("u") * 2).as("src"), (col("v") * 2 + 1).as("dst"))
+      .union(e0.select((col("v") * 2 + 1).as("src"), (col("u") * 2).as("dst")))
+      .union(e0.select((col("u") * 2 + 1).as("src"), (col("v") * 2).as("dst")))
+      .union(e0.select((col("v") * 2).as("src"), (col("u") * 2 + 1).as("dst")))
+    val c2 = DedupOps.minLabelComponents(dbl)
+    val even = c2.filter(col("id") % 2 === 0)
+      .select(expr("id div 2").as("vv"), col("lab").as("l0"))
+    val odd = c2.filter(col("id") % 2 === 1)
+      .select(expr("id div 2").as("vv"), col("lab").as("l1"))
+    val conf = even.join(odd, "vv")
+      .filter(col("l0") === col("l1"))
+      .select(col("vv"), lit(1).as("c"))
+    comp.join(conf, comp("id") === conf("vv"), "left")
+      .groupBy(col("lab").as("rep"))
+      .agg(count(lit(1)).as("n_nodes"),
+        count(col("c")).as("n_conflicted"))
+      .withColumn("bipartite", col("n_conflicted") === 0)
+      .orderBy("rep")
+  }
+
   def localBridgesFrom(edges0: DataFrame): DataFrame = {
     val edges = edges0.persist()
     // tri is consumed THREE times (one union branch per triangle edge);
@@ -1417,6 +1461,41 @@ object GraphOps {
           |WHERE NOT EXISTS (SELECT 1 FROM te
           |  WHERE te.u = e.u AND te.v = e.v)
           |ORDER BY u, v""".stripMargin,
+      // the doubled-graph reduction replayed with recursive label
+      // closures: node copies 2v/2v+1, conflict = both copies share a
+      // doubled component, rolled up per base component
+      "graph_bipartite_check" ->
+        """WITH RECURSIVE it AS (SELECT DISTINCT l_orderkey AS ok,
+          |    l_partkey AS p FROM lineitem),
+          |e0 AS (SELECT a.p AS u, b.p AS v FROM it a
+          |  JOIN it b ON a.ok = b.ok AND a.p < b.p
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          |e AS (SELECT u AS a, v AS b FROM e0
+          |  UNION ALL SELECT v, u FROM e0),
+          |nodes AS (SELECT DISTINCT a AS id FROM e),
+          |r(id, lab) AS (
+          |  SELECT id, id FROM nodes
+          |  UNION
+          |  SELECT e.b, r.lab FROM r JOIN e ON e.a = r.id),
+          |comp AS (SELECT id, min(lab) AS rep FROM r GROUP BY id),
+          |d AS (SELECT 2*u AS a, 2*v+1 AS b FROM e0
+          |  UNION ALL SELECT 2*v+1, 2*u FROM e0
+          |  UNION ALL SELECT 2*u+1, 2*v FROM e0
+          |  UNION ALL SELECT 2*v, 2*u+1 FROM e0),
+          |dn AS (SELECT DISTINCT a AS id FROM d),
+          |r2(id, lab) AS (
+          |  SELECT id, id FROM dn
+          |  UNION
+          |  SELECT d.b, r2.lab FROM r2 JOIN d ON d.a = r2.id),
+          |c2 AS (SELECT id, min(lab) AS rep2 FROM r2 GROUP BY id),
+          |conf AS (SELECT a.id // 2 AS vv
+          |  FROM c2 a JOIN c2 b ON b.id = a.id + 1
+          |  WHERE a.id % 2 = 0 AND a.rep2 = b.rep2)
+          |SELECT CAST(rep AS BIGINT) AS rep, count(*) AS n_nodes,
+          |  count(conf.vv) AS n_conflicted,
+          |  (count(conf.vv) = 0) AS bipartite
+          |FROM comp LEFT JOIN conf ON conf.vv = comp.id
+          |GROUP BY rep ORDER BY rep""".stripMargin,
       // the same triangle pipeline, joined back to degrees for cc
       "graph_clustering_coeff" ->
         """WITH pe AS (SELECT DISTINCT a.l_orderkey AS ok,

@@ -352,8 +352,29 @@ object StreamingOps {
     * Matched pairs emit as soon as both rows arrive, exactly the inner
     * join's pair set.
     */
+  /** [[leftJoinStream]] generalized to FULL OUTER — both state stores
+    * evict, with ASYMMETRIC boundaries that fall out of the half-open
+    * range condition `purchase_ts in [click_ts, click_ts + w)`:
+    * an unmatched click null-extends when `click_ts + w <= watermark`
+    * (every admissible purchase is strictly below the window end, so a
+    * window ending AT the watermark is closed), while an unmatched
+    * purchase needs `purchase_ts < watermark` STRICTLY (a click with
+    * ts equal to the watermark is still admissible — not late — and
+    * `click_ts = purchase_ts` matches, so a purchase AT the watermark
+    * must stay in state). Both boundaries are pinned by the planted
+    * StreamingSpec eviction test; each side's held-back tail is
+    * recomputed exactly by the oracle.
+    */
+  def fullJoinStream(clicks: DataFrame, purchases: DataFrame,
+      w: Long): DataFrame =
+    joinStream(clicks, purchases, w, "full_outer")
+
   def leftJoinStream(clicks: DataFrame, purchases: DataFrame,
-      w: Long): DataFrame = {
+      w: Long): DataFrame =
+    joinStream(clicks, purchases, w, "left_outer")
+
+  private def joinStream(clicks: DataFrame, purchases: DataFrame,
+      w: Long, joinType: String): DataFrame = {
     val c = clicks
       .select(col("event_id").as("click_id"),
         col("user_id").as("c_user"),
@@ -367,7 +388,7 @@ object StreamingOps {
     c.join(p, col("c_user") === col("p_user") &&
       col("purchase_ts") >= col("click_ts") &&
       col("purchase_ts") < col("click_ts") + expr(s"INTERVAL $w MILLISECOND"),
-      "left_outer")
+      joinType)
   }
 
   /** Run a streaming DataFrame to completion against the (finite) file
@@ -623,6 +644,23 @@ object StreamingOps {
           (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))
             .as("delta_ms"))
         .orderBy("click_id", "purchase_id")
+    },
+    // Thirteenth streaming parity row: FULL OUTER stream-stream join —
+    // BOTH state stores evict, with ASYMMETRIC boundaries (left <=,
+    // right strict < — see the fullJoinStream scaladoc and the planted
+    // StreamingSpec eviction test that pins both). Matched pairs = the
+    // inner set; both held-back tails recomputed by the oracle.
+    "events_fulljoin_stream" -> { (s, d) =>
+      val ev = readEvents(s, d).withColumn("ts_ms", tsMs)
+      val joined = fullJoinStream(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        w = 1800000L)
+      runToMemory(joined, "events_fulljoin_stream_sink", OutputMode.Append())
+        .select(col("click_id"), col("purchase_id"),
+          (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))
+            .as("delta_ms"))
+        .orderBy("click_id", "purchase_id")
     }
   )
 
@@ -732,6 +770,42 @@ object StreamingOps {
         |    AND click_ms + 1800000 <= wm.w)
         |SELECT * FROM m UNION ALL SELECT * FROM u
         |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin,
+    // the left oracle plus the RIGHT eviction rule: an unmatched
+    // purchase null-extends once the watermark STRICTLY passes
+    // purchase_ms — strict because the range condition admits
+    // click_ts = purchase_ts, and a click with ts equal to the
+    // watermark is still admissible (not late), so a purchase AT the
+    // watermark could still match; the left side's click window
+    // [click_ts, click_ts+w) is half-open, so ITS boundary is <=.
+    // Both boundaries pinned by StreamingSpec's planted eviction test.
+    "events_fulljoin_stream" ->
+      """WITH c AS (SELECT user_id, event_id AS click_id,
+        |    epoch_ms(ts) AS click_ms
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS purchase_id,
+        |    epoch_ms(ts) AS purchase_ms
+        |  FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(click_ms) FROM c),
+        |    (SELECT max(purchase_ms) FROM p)) - 7200000 AS w),
+        |m AS (SELECT click_id, purchase_id,
+        |    purchase_ms - click_ms AS delta_ms
+        |  FROM c JOIN p USING (user_id)
+        |  WHERE purchase_ms >= click_ms
+        |    AND purchase_ms < click_ms + 1800000),
+        |lu AS (SELECT click_id, CAST(NULL AS BIGINT) AS purchase_id,
+        |    CAST(NULL AS BIGINT) AS delta_ms
+        |  FROM c, wm
+        |  WHERE click_id NOT IN (SELECT click_id FROM m)
+        |    AND click_ms + 1800000 <= wm.w),
+        |ru AS (SELECT CAST(NULL AS BIGINT) AS click_id, purchase_id,
+        |    CAST(NULL AS BIGINT) AS delta_ms
+        |  FROM p, wm
+        |  WHERE purchase_id NOT IN (SELECT purchase_id FROM m)
+        |    AND purchase_ms < wm.w)
+        |SELECT * FROM m UNION ALL SELECT * FROM lu UNION ALL
+        |SELECT * FROM ru
+        |ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST"""
+        .stripMargin,
     // the equivalent batch enrichment join, hour-bucketed per nation
     "events_enrich_stream" ->
       s"""SELECT epoch_ms(ts) // 3600000 AS hour_bucket, c_nationkey,

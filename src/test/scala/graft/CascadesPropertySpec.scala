@@ -365,4 +365,173 @@ class CascadesPropertySpec extends AnyFunSuite {
       s"applied-rule-mask gap appeared at (n,seed)=${gapSeeds.reverse}: " +
         "the masked enumeration no longer reaches the exhaustive optimum")
   }
+
+  // --- round 7: sort-merge join, clustered layouts, order pushdown ---
+
+  /** genPlan with randomly CLUSTERED scans (bucketBy, and sometimes
+    * sortBy, on one random column) — the layout axis the SMJ search
+    * exploits.
+    */
+  private def genLayoutPlan(depth: Int): Gen[PlanNode] = {
+    val scan = for {
+      t <- Gen.oneOf(tables)
+      layout <- Gen.option(for {
+        k <- genCol
+        sorted <- Gen.oneOf(true, false)
+      } yield (Seq(k), if (sorted) Seq(k) else Nil))
+    } yield PlanNode(layout match {
+      case Some((b, so)) => LogicalScan(t, None, b, so)
+      case None          => LogicalScan(t)
+    })
+    if (depth <= 0) scan
+    else {
+      val child = Gen.lzy(genLayoutPlan(depth - 1))
+      val filter = for { c <- child; p <- genCond }
+        yield PlanNode(LogicalFilter(p, Nil), Seq(c))
+      val project = for { c <- child; e <- genCol }
+        yield PlanNode(LogicalProject(Seq(e)), Seq(c))
+      val join = for {
+        l <- child; r <- child
+        jt <- Gen.frequency(3 -> Gen.const(JoinType.Inner),
+          1 -> Gen.const(JoinType.Left), 1 -> Gen.const(JoinType.Full))
+        cond <- genCond
+      } yield PlanNode(LogicalJoin(jt, cond), Seq(l, r))
+      Gen.frequency(4 -> scan, 2 -> filter, 2 -> project, 2 -> join)
+    }
+  }
+
+  /** Bottom-up DELIVERED properties of a physical tree — the test-side
+    * mirror of [[PhysicalPropertySet]] delivery + the pushdown
+    * passthrough rules (what the optimizer CLAIMS must be independently
+    * derivable from the plan it returns).
+    */
+  private def deliveredProps(p: PlanNode): PhysicalPropertySet = {
+    val op = p.op.asInstanceOf[PhysicalOp]
+    val childProps = p.inputs.map(deliveredProps)
+    def keptBy(cols: Seq[Col], keys: Seq[Col]): Boolean =
+      cols.isEmpty || keys.forall(cols.contains)
+    val selfOrd = PhysicalPropertySet.deliveredOrder(op)
+    val ord =
+      if (selfOrd != OrderSpec.AnyOrder) selfOrd
+      else op match {
+        case PhysicalFilter(_, projected) => childProps.head.order match {
+          case s @ OrderSpec.SortedBy(ks) if keptBy(projected, ks) => s
+          case _ => OrderSpec.AnyOrder
+        }
+        case PhysicalProject(exprs) => childProps.head.order match {
+          case s @ OrderSpec.SortedBy(ks) if ks.forall(exprs.contains) => s
+          case _ => OrderSpec.AnyOrder
+        }
+        case _ => OrderSpec.AnyOrder
+      }
+    val selfDist = PhysicalPropertySet.deliveredDistribution(op)
+    val dist =
+      if (selfDist != DistributionSpec.Any &&
+        selfDist != DistributionSpec.Random) selfDist
+      else op match {
+        case _: PhysicalSort => childProps.head.distribution
+        case PhysicalFilter(_, projected) =>
+          childProps.head.distribution match {
+            case h @ DistributionSpec.Hashed(ks) if keptBy(projected, ks) => h
+            case DistributionSpec.Singleton => DistributionSpec.Singleton
+            case _ => DistributionSpec.Any
+          }
+        case PhysicalProject(exprs) => childProps.head.distribution match {
+          case h @ DistributionSpec.Hashed(ks) if ks.forall(exprs.contains) =>
+            h
+          case DistributionSpec.Singleton => DistributionSpec.Singleton
+          case _ => DistributionSpec.Any
+        }
+        case PhysicalHashJoin(jt, cond)
+            if jt == JoinType.Inner || jt == JoinType.Left =>
+          childProps(0).distribution match {
+            case h @ DistributionSpec.Hashed(ks) if ks == Seq(cond.left) => h
+            case _ => DistributionSpec.Any
+          }
+        case PhysicalBroadcastHashJoin(jt, cond)
+            if jt == JoinType.Inner || jt == JoinType.Left =>
+          childProps(0).distribution match {
+            case h @ DistributionSpec.Hashed(ks) if ks == Seq(cond.left) => h
+            case _ => DistributionSpec.Any
+          }
+        case _ => selfDist
+      }
+    PhysicalPropertySet(dist, ord)
+  }
+
+  test("layout trees: optimize stays total under random required " +
+      "properties, and the returned plan INDEPENDENTLY derives as " +
+      "delivering them (order pushdown included)") {
+    (1 to Trials).foreach { seed =>
+      val plan = sample(genLayoutPlan(3), seed.toLong)
+      val req = PhysicalPropertySet(
+        distribution =
+          if (seed % 3 == 0) DistributionSpec.Hashed(Seq(Col("a")))
+          else if (seed % 3 == 1) DistributionSpec.Singleton
+          else DistributionSpec.Any,
+        order =
+          if (seed % 2 == 0) OrderSpec.SortedBy(Seq(Col("b")))
+          else OrderSpec.AnyOrder)
+      val out = new CascadesOptimizer(Rules.fullJoinStrategyRules,
+        costModel = new ClusterCostModel, stats = stats)
+        .optimize(plan, req)
+      assert(out.isDefined, s"seed $seed: no plan for\n${plan.explain()}")
+      val got = deliveredProps(out.get)
+      assert(got.satisfies(req),
+        s"seed $seed: delivered $got does not satisfy $req:\n" +
+          out.get.explain())
+    }
+  }
+
+  test("every sort-merge join in a returned plan has children that " +
+      "independently deliver its Hashed+SortedBy contract") {
+    var found = 0
+    (1 to Trials).foreach { seed =>
+      val plan = sample(genLayoutPlan(3), seed.toLong)
+      val out = new CascadesOptimizer(Rules.fullJoinStrategyRules,
+        costModel = new ClusterCostModel, stats = stats)
+        .optimize(plan).get
+      def walk(n: PlanNode): Unit = {
+        n.op match {
+          case PhysicalSortMergeJoin(_, cond) =>
+            found += 1
+            val lp = deliveredProps(n.inputs(0))
+            val rp = deliveredProps(n.inputs(1))
+            val lreq = PhysicalPropertySet(
+              DistributionSpec.Hashed(Seq(cond.left)),
+              OrderSpec.SortedBy(Seq(cond.left)))
+            val rreq = PhysicalPropertySet(
+              DistributionSpec.Hashed(Seq(cond.right)),
+              OrderSpec.SortedBy(Seq(cond.right)))
+            assert(lp.satisfies(lreq),
+              s"seed $seed: left delivers $lp, needs $lreq:\n${n.explain()}")
+            assert(rp.satisfies(rreq),
+              s"seed $seed: right delivers $rp, needs $rreq:\n${n.explain()}")
+          case _ =>
+        }
+        n.inputs.foreach(walk)
+      }
+      walk(out)
+    }
+    // clustered layouts make merge joins worth choosing somewhere in the
+    // sample — a zero count means the rule stopped participating
+    assert(found > 0, "no sort-merge join chosen across the whole sample")
+  }
+
+  test("adding the merge-join strategy never worsens the optimum") {
+    (1 to Trials).foreach { seed =>
+      val plan = sample(genLayoutPlan(3), seed.toLong)
+      def cost(rules: Seq[OptRule]): Double = {
+        val opt = new CascadesOptimizer(rules,
+          costModel = new ClusterCostModel, stats = stats)
+        val (out, memo) = opt.optimizeWithMemo(plan)
+        assert(out.isDefined, s"seed $seed")
+        memo.group(memo.root).winner(PhysicalPropertySet.default).get.cost
+      }
+      val without = cost(Rules.joinStrategyRules)
+      val withSmj = cost(Rules.fullJoinStrategyRules)
+      assert(withSmj <= without + 1e-9,
+        s"seed $seed: SMJ rule worsened $without -> $withSmj")
+    }
+  }
 }

@@ -875,6 +875,59 @@ class CascadesSpec extends AnyFunSuite {
     assert(cost < 5000000.0, s"want the no-top-sort price, got $cost")
   }
 
+  test("order pushdown: an ORDER BY above a projection is satisfied by " +
+      "the clustered scan below it — no sort anywhere") {
+    val stats = TableStats(Map("t" -> 1000000L))
+    val plan = project(PlanNode(LogicalScan("t",
+      bucketBy = Seq(Col("k")), sortBy = Seq(Col("k")))), "k", "x")
+    val req = PhysicalPropertySet(order = OrderSpec.SortedBy(Seq(Col("k"))))
+    val (chosen, cost) =
+      bestOrdered(Rules.fullJoinStrategyRules, stats, plan, req)
+    // projections preserve row order, so the requirement pushes through
+    // to the scan, whose layout delivers it: the enforcer's
+    // Sort(Project(scan)) candidate (~2e7) loses to the sortless plan
+    assert(chosen == PlanNode(
+      PhysicalProject(Seq(Col("k"), Col("x"))),
+      Seq(PlanNode(PhysicalTableScan("t", None,
+        Seq(Col("k")), Seq(Col("k")))))), s"got:\n${chosen.explain()}")
+    assert(cost < 2000000.0, s"no-sort price expected, got $cost")
+    // but ordering on a column the projection DROPS cannot push through
+    // (and nothing delivers it): only the enforcer path remains
+    val reqDropped =
+      PhysicalPropertySet(order = OrderSpec.SortedBy(Seq(Col("y"))))
+    val (viaSort, _) =
+      bestOrdered(Rules.fullJoinStrategyRules, stats, plan, reqDropped)
+    assert(viaSort.op == PhysicalSort(Seq(Col("y"))),
+      s"got:\n${viaSort.explain()}")
+  }
+
+  test("SQL path end-to-end: clustered layouts in the catalog plan a " +
+      "projected merge join with zero sorts for ORDER BY join key") {
+    val stats = TableStats(Map("a" -> 1000000L, "b" -> 100000L))
+    val layouts = Map(
+      "a" -> ((Seq(Col("a_k")), Seq(Col("a_k")))),
+      "b" -> ((Seq(Col("b_k")), Seq(Col("b_k")))))
+    val (plan, req) = SqlFrontend.parseQuery(
+      "SELECT a_k, b_x FROM a JOIN b ON a_k = b_k ORDER BY a_k",
+      layouts = layouts)
+    assert(req.order == OrderSpec.SortedBy(Seq(Col("a_k"))))
+    val opt = new CascadesOptimizer(Rules.fullJoinStrategyRules,
+      costModel = new ClusterCostModel, stats = stats)
+    val out = opt.optimize(plan, req).get
+    // the ORDER BY pushes through the projection; the merge join
+    // delivers it; both scans' layouts feed the join's child
+    // requirements — no Sort, no Exchange, end to end from SQL text
+    assert(out == PlanNode(
+      PhysicalProject(Seq(Col("a_k"), Col("b_x"))),
+      Seq(PlanNode(PhysicalSortMergeJoin(JoinType.Inner,
+        EqCond(Col("a_k"), Col("b_k"))),
+        Seq(PlanNode(PhysicalTableScan("a", None,
+          Seq(Col("a_k")), Seq(Col("a_k")))),
+          PlanNode(PhysicalTableScan("b", None,
+            Seq(Col("b_k")), Seq(Col("b_k")))))))),
+      s"got:\n${out.explain()}")
+  }
+
   // --- partial-aggregate split (beyond reference: distributed agg) ---
 
   test("aggregate split: the search picks partial->exchange->final over " +

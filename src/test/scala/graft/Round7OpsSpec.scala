@@ -238,6 +238,21 @@ class Round7OpsSpec extends GraftSuite {
       s"missing ${want.toSet -- bridges.toSet}")
   }
 
+  test("bipartite check: a planted even cycle certifies bipartite, a " +
+      "triangle does not, and an odd-cycle-with-tail flags the whole " +
+      "component") {
+    import spark.implicits._
+    // component A: 4-cycle 1-2-3-4-1 (bipartite); component B: triangle
+    // 10-11-12 with tail 12-13 (odd cycle poisons the tail's component)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (12L, 13L)).toDF("u", "v")
+    val got = GraphOps.bipartiteCheckFrom(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    spark.catalog.clearCache()
+    assert(got == Seq((1L, 4L, 0L, true), (10L, 4L, 4L, false)), got)
+  }
+
   test("curriculum stages: stages partition the corpus ~equally (within " +
       "one length-bucket's mass) and cum_tokens telescopes") {
     val rows = DataOps.queries("data_curriculum_stages")(spark, sfDir)

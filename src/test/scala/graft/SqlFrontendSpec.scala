@@ -136,12 +136,16 @@ class SqlFrontendSpec extends GraftSuite {
     assert(req.order == OrderSpec.SortedBy(Seq(Col("a"))), req)
     assert(plan == PlanNode(LogicalProject(Seq(Col("a"))),
       Seq(PlanNode(LogicalScan("t1")))), plan.explain())
-    // end-to-end: the search implements physically and tops the winner
-    // with the PhysicalSort enforcer (no rule produces sorts)
+    // end-to-end: the search implements physically and the PhysicalSort
+    // enforcer satisfies the requirement (no rule produces sorts).
+    // Since the round-7 order-pushdown axis, the requirement pushes
+    // THROUGH the order-preserving projection and the sort lands below
+    // it — same cost here (the projection is row-preserving), and the
+    // shape a clustered layout could satisfy for free.
     val opt = new CascadesOptimizer(Rules.all)
     val got = opt.optimize(plan, req).get
-    assert(got == PlanNode(PhysicalSort(Seq(Col("a"))),
-      Seq(PlanNode(PhysicalProject(Seq(Col("a"))),
+    assert(got == PlanNode(PhysicalProject(Seq(Col("a"))),
+      Seq(PlanNode(PhysicalSort(Seq(Col("a"))),
         Seq(PlanNode(PhysicalTableScan("t1")))))),
       got.explain())
     // without ORDER BY the same SQL demands nothing: no sort appears

@@ -429,4 +429,72 @@ class StreamingSpec extends GraftSuite {
     assert(got.size == sessions.size - heldBack.size)
     spark.catalog.clearCache()
   }
+
+  test("outer stream-stream join eviction boundary: a click whose window " +
+      "end EQUALS the final watermark emits null-extended (<=), while a " +
+      "purchase AT the watermark is held (strict <) — asymmetric by the " +
+      "half-open range condition") {
+    import org.apache.spark.sql.{Row, SaveMode}
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evict").toString
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("event_type", StringType)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // one file = one microbatch (the queries' single-batch contract).
+    // w = 30 min, watermark delay = 2 h; max event time on EACH side is
+    // 20:00, so the final joint watermark = 18:00.
+    val rows = Seq(
+      Row(1L, 10L, ts("2024-01-01 16:00:00"), "click"),    // matched
+      Row(2L, 10L, ts("2024-01-01 16:10:00"), "purchase"), // its partner
+      Row(3L, 20L, ts("2024-01-01 17:00:00"), "click"),    // end 17:30<18
+      Row(4L, 30L, ts("2024-01-01 17:30:00"), "click"),    // end == 18:00
+      Row(5L, 40L, ts("2024-01-01 17:31:00"), "click"),    // end > wm: held
+      Row(6L, 50L, ts("2024-01-01 20:00:00"), "click"),    // wm driver
+      Row(7L, 60L, ts("2024-01-01 16:30:00"), "purchase"), // < wm: evicts
+      Row(8L, 70L, ts("2024-01-01 18:00:00"), "purchase"), // == wm: HELD
+      Row(9L, 80L, ts("2024-01-01 18:01:00"), "purchase"), // > wm: held
+      Row(10L, 90L, ts("2024-01-01 20:00:00"), "purchase"))// wm driver
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode(SaveMode.Append).parquet(dir)
+    def side(tpe: String) = spark.readStream.schema(schema).parquet(dir)
+      .filter(col("event_type") === tpe)
+      .withColumn("ts_ms", unix_millis(col("ts")))
+    val left = graft.streaming.StreamingOps.runToMemory(
+      graft.streaming.StreamingOps.leftJoinStream(
+        side("click"), side("purchase"), w = 1800000L),
+      "evict_left_sink", org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_ => r.getLong(3))))
+      .toSet
+    // matched: click 1 x purchase 2; null-extended: 3 (well below) AND
+    // 4 (window end EXACTLY at the watermark — the boundary this test
+    // pins); held: 5 and the 20:00 driver 6
+    assert(left == Set((1L, Some(2L)), (3L, None), (4L, None)),
+      s"left-join emission set changed: $left — if click 4 vanished, " +
+        "Spark's eviction became STRICT (<) and the " +
+        "events_leftjoin_stream oracle boundary must flip with it")
+    val full = graft.streaming.StreamingOps.runToMemory(
+      graft.streaming.StreamingOps.fullJoinStream(
+        side("click"), side("purchase"), w = 1800000L),
+      "evict_full_sink", org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect()
+      .map(r => (Option(r.get(0)).map(_ => r.getLong(0)),
+        Option(r.get(3)).map(_ => r.getLong(3))))
+      .toSet
+    // adds the right side: purchase 7 (strictly below the watermark)
+    // evicts null-extended; purchase 8 sits EXACTLY at the watermark
+    // and is HELD — a click with ts == watermark is still admissible
+    // and click_ts = purchase_ts matches, so the right boundary is
+    // STRICT (<), asymmetric to the left side's <= (whose window END
+    // is exclusive). 9 and the 20:00 driver 10 are held too.
+    assert(full == Set((Some(1L), Some(2L)), (Some(3L), None),
+      (Some(4L), None), (None, Some(7L))),
+      s"full-join emission set changed: $full — if purchase 8 appeared, " +
+        "the right-side eviction became <=; flip the " +
+        "events_fulljoin_stream oracle boundary with it")
+  }
 }
