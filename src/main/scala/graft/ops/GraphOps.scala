@@ -100,7 +100,11 @@ object GraphOps {
     // projection: its tree-like fringe components are bipartite, the
     // triangle-bearing cores are not — the structural readout a
     // two-mode-vs-one-mode modeling decision reads. See
-    // [[bipartiteCheckFrom]] for the doubled-graph reduction.
+    // [[bipartiteCheckFrom]] for the doubled-graph reduction. Bench
+    // note: the sf0.1 wall time (~8 s) is ITERATION overhead (the
+    // pointer-jumping rounds' jobs + checkpoints on a 3.6k-edge graph),
+    // not data volume — the fixed per-round cost amortizes at 100 TB
+    // where each round moves real data; rounds stay O(log diameter).
     "graph_bipartite_check" -> { (s, d) =>
       bipartiteCheckFrom(copurchaseEdges(Tables(s, d), minSupport = 2))
     },
@@ -1231,25 +1235,25 @@ object GraphOps {
     */
   def bipartiteCheckFrom(edges0: DataFrame): DataFrame = {
     val e0 = edges0.persist()
-    val und = e0.select(col("u").as("src"), col("v").as("dst"))
-      .union(e0.select(col("v").as("src"), col("u").as("dst")))
-    val comp = DedupOps.minLabelComponents(und)
     val dbl = e0.select((col("u") * 2).as("src"), (col("v") * 2 + 1).as("dst"))
       .union(e0.select((col("v") * 2 + 1).as("src"), (col("u") * 2).as("dst")))
       .union(e0.select((col("u") * 2 + 1).as("src"), (col("v") * 2).as("dst")))
       .union(e0.select((col("v") * 2).as("src"), (col("u") * 2 + 1).as("dst")))
     val c2 = DedupOps.minLabelComponents(dbl)
+    // ONE component run suffices — the BASE component rep falls out of
+    // the doubled labels: a bipartite base component splits into exactly
+    // two doubled components each holding one copy of every node, a
+    // non-bipartite one is a single doubled component holding both, so
+    // in either case min(lab(2v), lab(2v+1)) is the same for every v of
+    // a base component and equals 2x its minimum node id.
     val even = c2.filter(col("id") % 2 === 0)
       .select(expr("id div 2").as("vv"), col("lab").as("l0"))
     val odd = c2.filter(col("id") % 2 === 1)
       .select(expr("id div 2").as("vv"), col("lab").as("l1"))
-    val conf = even.join(odd, "vv")
-      .filter(col("l0") === col("l1"))
-      .select(col("vv"), lit(1).as("c"))
-    comp.join(conf, comp("id") === conf("vv"), "left")
-      .groupBy(col("lab").as("rep"))
+    even.join(odd, "vv")
+      .groupBy(expr("least(l0, l1) div 2").as("rep"))
       .agg(count(lit(1)).as("n_nodes"),
-        count(col("c")).as("n_conflicted"))
+        count(when(col("l0") === col("l1"), 1)).as("n_conflicted"))
       .withColumn("bipartite", col("n_conflicted") === 0)
       .orderBy("rep")
   }
@@ -1470,14 +1474,6 @@ object GraphOps {
           |e0 AS (SELECT a.p AS u, b.p AS v FROM it a
           |  JOIN it b ON a.ok = b.ok AND a.p < b.p
           |  GROUP BY 1, 2 HAVING count(*) >= 2),
-          |e AS (SELECT u AS a, v AS b FROM e0
-          |  UNION ALL SELECT v, u FROM e0),
-          |nodes AS (SELECT DISTINCT a AS id FROM e),
-          |r(id, lab) AS (
-          |  SELECT id, id FROM nodes
-          |  UNION
-          |  SELECT e.b, r.lab FROM r JOIN e ON e.a = r.id),
-          |comp AS (SELECT id, min(lab) AS rep FROM r GROUP BY id),
           |d AS (SELECT 2*u AS a, 2*v+1 AS b FROM e0
           |  UNION ALL SELECT 2*v+1, 2*u FROM e0
           |  UNION ALL SELECT 2*u+1, 2*v FROM e0
@@ -1488,14 +1484,14 @@ object GraphOps {
           |  UNION
           |  SELECT d.b, r2.lab FROM r2 JOIN d ON d.a = r2.id),
           |c2 AS (SELECT id, min(lab) AS rep2 FROM r2 GROUP BY id),
-          |conf AS (SELECT a.id // 2 AS vv
+          |pairs AS (SELECT a.id // 2 AS vv, a.rep2 AS l0, b.rep2 AS l1
           |  FROM c2 a JOIN c2 b ON b.id = a.id + 1
-          |  WHERE a.id % 2 = 0 AND a.rep2 = b.rep2)
-          |SELECT CAST(rep AS BIGINT) AS rep, count(*) AS n_nodes,
-          |  count(conf.vv) AS n_conflicted,
-          |  (count(conf.vv) = 0) AS bipartite
-          |FROM comp LEFT JOIN conf ON conf.vv = comp.id
-          |GROUP BY rep ORDER BY rep""".stripMargin,
+          |  WHERE a.id % 2 = 0)
+          |SELECT CAST(least(l0, l1) // 2 AS BIGINT) AS rep,
+          |  count(*) AS n_nodes,
+          |  count(*) FILTER (WHERE l0 = l1) AS n_conflicted,
+          |  (count(*) FILTER (WHERE l0 = l1) = 0) AS bipartite
+          |FROM pairs GROUP BY 1 ORDER BY rep""".stripMargin,
       // the same triangle pipeline, joined back to degrees for cc
       "graph_clustering_coeff" ->
         """WITH pe AS (SELECT DISTINCT a.l_orderkey AS ok,
