@@ -225,13 +225,22 @@ final class ByteWeightedClusterCostModel extends CostModel {
     base.operatorCost(op, inputRows)
   override def operatorCost(op: PhysicalOp, inputRows: Seq[Long],
       inputWidths: Seq[Long]): Double = op match {
-    case PhysicalHashJoin(_, _) | PhysicalBroadcastHashJoin(_, _) =>
+    case PhysicalHashJoin(_, _) | PhysicalBroadcastHashJoin(_, _) |
+        PhysicalSortMergeJoin(_, _) =>
       // row-equivalents: bytes moved / default row width
       val probe = inputRows(0).toDouble * inputWidths(0).toDouble / 16.0
       val build = inputRows(1).toDouble * inputWidths(1).toDouble / 16.0
       op match {
         case PhysicalHashJoin(_, _) => // 2 exchanges + probe + 2x build
           2.0 * probe + 2.0 * build + probe + 2.0 * build
+        case PhysicalSortMergeJoin(_, _) =>
+          // one interleaved streaming pass over both sides' BYTES — the
+          // required child sorts/exchanges are explicit enforcer nodes,
+          // priced where they stand (as in CardinalityCostModel), so the
+          // merge itself stays 1x each side; without this case SMJ fell
+          // through to the ROW-count price and was systematically
+          // underpriced for wide rows vs the byte-priced hash joins
+          probe + build
         case _ => // replicate the build BYTES to each of W executors
           probe + 2.0 * ClusterCostModel.W * build
       }

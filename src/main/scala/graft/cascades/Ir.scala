@@ -232,6 +232,23 @@ sealed trait OrderSpec
 object OrderSpec {
   case object AnyOrder extends OrderSpec
   final case class SortedBy(cols: Seq[Col]) extends OrderSpec
+
+  /** Does a DELIVERED order satisfy a REQUIRED one? Prefix semantics: rows
+    * sorted by [k, x] are a fortiori sorted by [k], so a longer delivered
+    * order satisfies any required prefix of itself (Spark's
+    * SortOrder.satisfies in EnsureRequirements is the production
+    * counterpart). Exact equality was the pre-r8 behavior and inserted a
+    * redundant sort enforcer over e.g. a scan clustered by [k, x] when
+    * the query only needed [k] — a missed optimization, never unsound.
+    */
+  def satisfiedBy(delivered: OrderSpec, required: OrderSpec): Boolean =
+    required match {
+      case AnyOrder => true
+      case SortedBy(req) => delivered match {
+        case SortedBy(del) => del.startsWith(req)
+        case AnyOrder      => false
+      }
+    }
 }
 
 final case class PhysicalPropertySet(
@@ -240,7 +257,7 @@ final case class PhysicalPropertySet(
   def satisfies(required: PhysicalPropertySet): Boolean =
     (required.distribution == DistributionSpec.Any ||
       distribution == required.distribution) &&
-      (required.order == OrderSpec.AnyOrder || order == required.order)
+      OrderSpec.satisfiedBy(order, required.order)
 }
 
 object PhysicalPropertySet {
@@ -264,10 +281,12 @@ object PhysicalPropertySet {
     case _                     => OrderSpec.AnyOrder
   }
 
-  /** Does `op`'s delivered order satisfy `required.order`? */
+  /** Does `op`'s delivered order satisfy `required.order`? Prefix
+    * semantics ([[OrderSpec.satisfiedBy]]): a scan clustered by [k, x]
+    * satisfies a required SortedBy([k]) with no enforcer.
+    */
   def deliversOrder(op: PhysicalOp, required: PhysicalPropertySet): Boolean =
-    required.order == OrderSpec.AnyOrder ||
-      deliveredOrder(op) == required.order
+    OrderSpec.satisfiedBy(deliveredOrder(op), required.order)
 
   /** The distribution a physical operator ESTABLISHES itself: only the
     * exchange enforcer creates one (hash keys -> Hashed, no keys ->
@@ -342,23 +361,6 @@ object PhysicalPropertySet {
     required.distribution == DistributionSpec.Any ||
       deliveredDistribution(op) == required.distribution
 
-  /** Which child (if any) a required distribution can be pushed down to,
-    * instead of enforcing an exchange above the operator. Pushdown is only
-    * legal when the operator provably PRESERVES the requirement:
-    *
-    *  - `Sort` keeps every column and every row placement — always legal;
-    *  - `Filter`/`Project` keep placement but may drop columns: Hashed(keys)
-    *    pushes down only if the keys survive the projection (a filter with
-    *    an empty projected list keeps all columns);
-    *  - `HashJoin` streams its LEFT (probe) side through unchanged, so only
-    *    Hashed on exactly the probe-side join key is known-preserved (any
-    *    other column's provenance is unknowable in this schema-less IR);
-    *    Singleton can NEVER push through a join — gathering one side does
-    *    not make the join output single-partition.
-    *
-    * The Catalyst counterpart is `outputPartitioning` passthrough on the
-    * streamed side, which likewise rewrites only provable key lineage.
-    */
   /** Which child (if any) a required ORDER can be pushed down to — the
     * order-axis twin of [[distributionPushdownChild]]: legal only when
     * the operator provably preserves its child's row order AND the order
@@ -382,6 +384,23 @@ object PhysicalPropertySet {
     }
   }
 
+  /** Which child (if any) a required distribution can be pushed down to,
+    * instead of enforcing an exchange above the operator. Pushdown is only
+    * legal when the operator provably PRESERVES the requirement:
+    *
+    *  - `Sort` keeps every column and every row placement — always legal;
+    *  - `Filter`/`Project` keep placement but may drop columns: Hashed(keys)
+    *    pushes down only if the keys survive the projection (a filter with
+    *    an empty projected list keeps all columns);
+    *  - `HashJoin` streams its LEFT (probe) side through unchanged, so only
+    *    Hashed on exactly the probe-side join key is known-preserved (any
+    *    other column's provenance is unknowable in this schema-less IR);
+    *    Singleton can NEVER push through a join — gathering one side does
+    *    not make the join output single-partition.
+    *
+    * The Catalyst counterpart is `outputPartitioning` passthrough on the
+    * streamed side, which likewise rewrites only provable key lineage.
+    */
   def distributionPushdownChild(
       op: PhysicalOp, dist: DistributionSpec): Option[Int] = {
     def keptBy(cols: Seq[Col], keys: Seq[Col]): Boolean =
