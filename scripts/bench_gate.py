@@ -32,6 +32,20 @@ def medians(path):
                      "with repeats >= 2)")
 
 
+# Streaming parity queries pay a FIXED state-store/microbatch startup cost
+# (~2 s standalone, ~2-8 s driver-side; BASELINE.md "streaming machinery")
+# that is machinery, not plan work — ratios must compare the part the plan
+# controls, or ambient drift in startup cost trips the 2x gate on queries
+# whose plans never moved (r7 VERDICT "what's wrong" #3).
+STREAMING_MACHINERY_S = 2.0
+
+
+def plan_work(query, seconds):
+    if "stream" in query:
+        return max(seconds - STREAMING_MACHINERY_S, 0.05)
+    return seconds
+
+
 def main():
     ref_path, new_path = sys.argv[1], sys.argv[2]
     factor = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
@@ -39,7 +53,8 @@ def main():
     ref, new = medians(ref_path), medians(new_path)
     regressed, added = [], sorted(set(new) - set(ref))
     for q in sorted(set(ref) & set(new)):
-        if new[q] > factor * ref[q] and new[q] > floor:
+        if (plan_work(q, new[q]) > factor * plan_work(q, ref[q])
+                and new[q] > floor):
             regressed.append((q, ref[q], new[q]))
     for q in added:
         print(f"NEW     {q}: {new[q]:.3f}s (no recorded median)")

@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Build BENCH_SCALE.json from a two-leg scaling capture (r8 directive #1:
+measure the 100 TB claims instead of design-reviewing them).
+
+Input: a raw capture file holding two bench_standalone.sh outputs separated
+by `=== sf0.1 ===` / `=== sf1 ===` markers (same protocol both legs: same
+query subset, cpus, repeats — the ratio is only meaningful when the ONLY
+difference is the data volume). Output: per-query medians at both scales,
+the sf1/sf0.1 ratio, and a verdict bucket per query:
+
+  sublinear   ratio <  5   (fixed cost amortizing — the 100 TB-friendly end)
+  linear      ratio <= 13  (~10x data -> ~10x work, +/- scheduler noise)
+  superlinear ratio >  13  (work grows faster than data: isolate->fix)
+
+The data is 10 structure-preserving copies (tools/ScaleGen), so the
+EXPECTED cost ratio of a per-copy-local query is exactly 10; candidate-pair
+queries may legitimately exceed it slightly (cross-copy hash collisions).
+
+Usage: scale_adjudicate.py <raw_capture> <out_json>
+"""
+import json
+import sys
+
+
+def parse(path):
+    legs, cur = {}, None
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith("==="):
+                cur = line.strip("= ").strip()
+                legs[cur] = {}
+            elif line.startswith("{") and cur is not None:
+                d = json.loads(line)
+                if d.get("metric") == "runs":
+                    legs[cur]["medians"] = {
+                        q: sorted(r)[len(r) // 2]
+                        for q, r in d["queries"].items()
+                        if all(x >= 0 for x in r)
+                    }
+                    legs[cur]["repeats"] = d.get("repeats")
+                elif d.get("metric") == "total" and "top_slowest" not in d:
+                    legs[cur]["total"] = d.get("value")
+                    legs[cur]["n_failed"] = d.get("n_failed")
+                    legs[cur]["sf_dir"] = d.get("sf")
+    return legs
+
+
+def main():
+    raw, out = sys.argv[1], sys.argv[2]
+    legs = parse(raw)
+    small, big = legs["sf0.1"], legs["sf1"]
+    rows = []
+    for q in sorted(small["medians"]):
+        if q == "q5_region_revenue_fast_sums" or q not in big["medians"]:
+            continue
+        a, b = small["medians"][q], big["medians"][q]
+        ratio = b / a if a > 0 else float("inf")
+        bucket = ("sublinear" if ratio < 5
+                  else "linear" if ratio <= 13 else "superlinear")
+        rows.append({"query": q, "sf0.1_s": a, "sf1_s": b,
+                     "ratio": round(ratio, 2), "bucket": bucket})
+    rows.sort(key=lambda r: -r["ratio"])
+    doc = {
+        "protocol": {
+            "generator": "tools/ScaleGen: 10 key-shifted salted copies of "
+                         "sf0.1 (exactly-linear ground truth)",
+            "data_ratio": 10,
+            "legs": {k: {"sf_dir": v.get("sf_dir"),
+                         "repeats": v.get("repeats"),
+                         "total_s": v.get("total"),
+                         "n_failed": v.get("n_failed")}
+                     for k, v in legs.items()},
+            "cpus": 32, "driver_mem": "48g",
+            "note": "same java-standalone protocol both legs, medians of "
+                    "repeats; 30 heaviest non-streaming queries of "
+                    "BENCH_LOCAL_r13",
+        },
+        "queries": rows,
+        "summary": {
+            "n": len(rows),
+            "superlinear": [r["query"] for r in rows
+                            if r["bucket"] == "superlinear"],
+            "median_ratio": sorted(r["ratio"] for r in rows)[len(rows) // 2]
+            if rows else None,
+        },
+    }
+    with open(out, "w") as f:
+        json.dump(doc, f, indent=1)
+    for r in rows:
+        print(f"{r['query']:32s} {r['sf0.1_s']:7.2f}s {r['sf1_s']:8.2f}s "
+              f"{r['ratio']:6.2f}x {r['bucket']}")
+    print(f"\nmedian ratio {doc['summary']['median_ratio']}; "
+          f"superlinear: {doc['summary']['superlinear'] or 'none'}")
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,8 @@ object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
     Map[String, String])] = Seq(
     (Relational.queries, Relational.oracles),
+    // cascades winners executed end to end (planner.rs:29-55 lifecycle)
+    (CascadesExecOps.queries, CascadesExecOps.oracles),
     (Analytics.queries, Analytics.oracles),
     (AnalyticsTpch.queries, AnalyticsTpch.oracles),
     (AnalyticsExt.queries, AnalyticsExt.oracles),

@@ -12,6 +12,17 @@ package graft.cascades
 sealed trait Expr
 final case class Col(name: String) extends Expr
 final case class EqCond(left: Col, right: Col) extends Expr
+/** Integer literal — beyond the reference's column-only physical surface
+  * (`conversion/physical.rs:120-129`), required by HAVING predicates.
+  */
+final case class Lit(value: Long) extends Expr
+/** Comparison predicate (`op` ∈ =, <, >, <=, >=) over columns/literals —
+  * the minimal predicate surface HAVING needs. Rules that inspect filter
+  * predicates pattern-match [[EqCond]] and abstain on this shape.
+  */
+final case class CmpCond(op: String, left: Expr, right: Expr) extends Expr {
+  require(Set("=", "<", ">", "<=", ">=")(op), s"unsupported cmp op $op")
+}
 
 sealed trait JoinType
 object JoinType {
@@ -63,12 +74,22 @@ final case class LogicalLimit(n: Int) extends LogicalOp { def arity = 1 }
 final case class LogicalTopK(n: Int, cols: Seq[Col]) extends LogicalOp {
   def arity = 1
 }
-/** Aggregate call: `count` (col = None) or `sum(col)` — the minimal
-  * surface the split rule needs. Beyond the reference (its IR has no
-  * aggregation, `operator/mod.rs:26-47`); the point here is the
-  * DISTRIBUTED planning shape, not expression breadth.
+/** Aggregate call: `count` (col = None) or `sum/min/max/avg(col)` — the
+  * minimal surface the split rule needs. Beyond the reference (its IR has
+  * no aggregation, `operator/mod.rs:26-47`); the point here is the
+  * DISTRIBUTED planning shape, not expression breadth. All four column
+  * aggregates decompose partial/final the same way (sum/min/max merge by
+  * themselves; avg carries a (sum, count) partial state — the mode encodes
+  * it, as with count-merges-by-sum).
   */
-final case class AggCall(fn: String, col: Option[Col] = None)
+final case class AggCall(fn: String, col: Option[Col] = None) {
+  /** Canonical OUTPUT column name, shared by HAVING resolution, the
+    * DataFrame lowering ([[graft.cascades.Execution]]) and oracle SQL:
+    * `count` → `cnt`, `sum(x)` → `sum_x`, etc.
+    */
+  def outName: String =
+    col.fold(if (fn == "count") "cnt" else fn)(c => s"${fn}_${c.name}")
+}
 /** GROUP BY aggregation — beyond-reference logical node. */
 final case class LogicalAggregate(groupCols: Seq[Col], aggs: Seq[AggCall])
     extends LogicalOp { def arity = 1 }

@@ -94,10 +94,13 @@ object Provenance {
     case PhysicalProject(es) => es.collect { case Col(n) => n }.toSet
     case _: LogicalJoin | _: PhysicalHashJoin |
         _: PhysicalBroadcastHashJoin => inputs(0) ++ inputs(1)
-    // an aggregate provides its group keys (the agg outputs are unnamed
-    // in this schema-less IR — provide only what is provably a column)
-    case LogicalAggregate(g, _)         => g.map(_.name).toSet
-    case PhysicalHashAggregate(_, g, _) => g.map(_.name).toSet
+    // an aggregate provides its group keys plus its canonically-named
+    // aggregate outputs ([[AggCall.outName]] — cnt, sum_x, …), which is
+    // what lets a HAVING filter above it resolve columns
+    case LogicalAggregate(g, a) =>
+      g.map(_.name).toSet ++ a.map(_.outName)
+    case PhysicalHashAggregate(_, g, a) =>
+      g.map(_.name).toSet ++ a.map(_.outName)
     case _ => inputs.headOption.getOrElse(Set.empty)
   }
 

@@ -13,14 +13,26 @@ package graft.cascades
   *
   * Grammar (case-insensitive keywords, whitespace-separated):
   * {{{
-  * SELECT ( '*' | item [, item]* )      item := col | COUNT(*) | SUM(col)
+  * SELECT ( '*' | item [, item]* )
+  *     item := col | COUNT(*) | (SUM|MIN|MAX|AVG)(col)
   * FROM table
   * [ (JOIN | LEFT JOIN | FULL JOIN) table ON col = col ]*
-  * [ WHERE col = col ]
+  * [ WHERE col = ( col | '(' scalar-subquery ')' ) ]
+  *     scalar-subquery := SELECT aggitem FROM table [ WHERE col = col ]
   * [ GROUP BY col [, col]* ]            (iff an aggregate item appears)
+  * [ HAVING ( aggitem | col ) cmp int ] (cmp ∈ = < > <= >=)
   * [ ORDER BY col [, col]* ]            (lowered to a required property)
   * [ LIMIT n ]                          (with ORDER BY: LogicalTopK)
   * }}}
+  *
+  * An uncorrelated scalar subquery lowers to the textbook decorrelation:
+  * an inner equi-join against the subquery's one-row global aggregate
+  * (named by [[AggCall.outName]]) — the join IS the comparison, so the
+  * full plan stays inside the reference-shaped IR and every optimizer
+  * rule (join strategy choice included: a one-row build side is the
+  * broadcast-join poster child) applies to it. HAVING lowers to a
+  * [[LogicalFilter]] carrying a [[CmpCond]] over the aggregate's named
+  * output — a post-aggregate filter, exactly Spark's HAVING resolution.
   *
   * Lowering mirrors the reference's SqlToRel output shape (visible in
   * `resources/limit.yaml` goldens): joins fold left-deep over scans, the
@@ -98,10 +110,23 @@ object SqlFrontend {
     }
     if (p.peekKw("WHERE")) {
       p.next()
-      val (l, r) = p.equality()
-      // projected_columns empty = keep all (operator/filter.rs:14-27
-      // carries the projection list separately from the predicate)
-      plan = PlanNode(LogicalFilter(EqCond(l, r), Nil), Seq(plan))
+      val l = Col(p.ident())
+      p.expectKw("=")
+      if (p.peek.contains("(")) {
+        // scalar subquery: decorrelate to an inner join against the
+        // subquery's single-row global aggregate — the equality IS the
+        // join condition, so the whole query stays in the relational IR
+        p.next()
+        val (subPlan, outCol) = scalarSubquery(p, scanOf)
+        p.expectKw(")")
+        plan = PlanNode(LogicalJoin(JoinType.Inner, EqCond(l, outCol)),
+          Seq(plan, subPlan))
+      } else {
+        val r = Col(p.ident())
+        // projected_columns empty = keep all (operator/filter.rs:14-27
+        // carries the projection list separately from the predicate)
+        plan = PlanNode(LogicalFilter(EqCond(l, r), Nil), Seq(plan))
+      }
     }
     if (aggCalls.nonEmpty) {
       val groupCols: Seq[Col] =
@@ -112,8 +137,29 @@ object SqlFrontend {
       plainCols.foreach(c => require(groupCols.contains(c),
         s"column ${c.name} is neither aggregated nor in GROUP BY"))
       plan = PlanNode(LogicalAggregate(groupCols, aggCalls), Seq(plan))
-    } else require(!p.peekKw("GROUP"),
-      "GROUP BY without an aggregate in the select list")
+      if (p.peekKw("HAVING")) {
+        // post-aggregate filter over the aggregate's NAMED outputs
+        // (AggCall.outName) or its group keys — Spark's HAVING resolution
+        p.next()
+        val lhs: String = {
+          val t = p.ident()
+          if (p.peek.contains("(")) {
+            p.pushBack(t)
+            val call = p.aggItem()
+            require(aggCalls.contains(call),
+              s"HAVING aggregate ${call.outName} must appear in the " +
+                "select list")
+            call.outName
+          } else t
+        }
+        val cmp = p.cmpOp()
+        val n = p.int()
+        plan = PlanNode(
+          LogicalFilter(CmpCond(cmp, Col(lhs), Lit(n.toLong)), Nil),
+          Seq(plan))
+      }
+    } else require(!p.peekKw("GROUP") && !p.peekKw("HAVING"),
+      "GROUP BY/HAVING without an aggregate in the select list")
     projection match {
       case Some(cols) => plan = PlanNode(LogicalProject(cols), Seq(plan))
       case None if aggCalls.isEmpty && !joined &&
@@ -155,9 +201,31 @@ object SqlFrontend {
     (plan, PhysicalPropertySet.default.copy(order = order))
   }
 
+  /** Uncorrelated scalar-aggregate subquery body (after the opening
+    * paren): `SELECT fn(col|*) FROM table [WHERE col = col]`. Returns the
+    * single-row aggregate sub-plan and its output column.
+    */
+  private def scalarSubquery(p: Parser,
+      scanOf: String => LogicalScan): (PlanNode, Col) = {
+    p.expectKw("SELECT")
+    val call = p.aggItem()
+    p.expectKw("FROM")
+    var sub = PlanNode(scanOf(p.ident()))
+    if (p.peekKw("WHERE")) {
+      p.next()
+      val (a, b) = p.equality()
+      sub = PlanNode(LogicalFilter(EqCond(a, b), Nil), Seq(sub))
+    }
+    (PlanNode(LogicalAggregate(Nil, Seq(call)), Seq(sub)),
+      Col(call.outName))
+  }
+
   private def tokenize(sql: String): Vector[String] =
-    sql.replace(",", " , ").replace("=", " = ")
+    sql.replace("<=", " §le ").replace(">=", " §ge ")
+      .replace(",", " , ").replace("=", " = ")
+      .replace("<", " < ").replace(">", " > ")
       .replace("(", " ( ").replace(")", " ) ")
+      .replace("§le", "<=").replace("§ge", ">=")
       .split("\\s+").iterator.filter(_.nonEmpty).toVector
 
   /** Hand-rolled LL(1) cursor — four token kinds (keyword, identifier,
@@ -171,6 +239,18 @@ object SqlFrontend {
       val t = toks.lift(pos).getOrElse(
         throw new IllegalArgumentException("unexpected end of SQL"))
       pos += 1; t
+    }
+    /** One-token backtrack (LL(2) corner: HAVING's `ident (` lookahead). */
+    def pushBack(t: String): Unit = {
+      require(pos > 0 && toks(pos - 1) == t, s"cannot push back '$t'")
+      pos -= 1
+    }
+    /** One comparison operator token. */
+    def cmpOp(): String = {
+      val t = next()
+      require(Set("=", "<", ">", "<=", ">=")(t),
+        s"expected comparison op at #$pos, got '$t'")
+      t
     }
     def peekKw(kw: String): Boolean =
       peek.exists(_.equalsIgnoreCase(kw))
@@ -189,25 +269,32 @@ object SqlFrontend {
       while (peek.contains(",")) { next(); buf += ident() }
       buf.toSeq
     }
-    /** col | count ( * ) | sum ( col ), comma-separated. */
+    /** count ( * ) | (sum|min|max|avg) ( col ) — one aggregate call. */
+    def aggItem(): AggCall = {
+      val t = ident()
+      require(peek.contains("("), s"expected ( after $t at #$pos")
+      next()
+      val call = t.toLowerCase match {
+        case "count" =>
+          require(peek.contains("*"),
+            s"count takes * at #$pos (count(col) not supported)")
+          next(); AggCall("count")
+        case fn @ ("sum" | "min" | "max" | "avg") =>
+          AggCall(fn, Some(Col(ident())))
+        case other =>
+          throw new IllegalArgumentException(
+            s"unsupported aggregate '$other' (count/sum/min/max/avg)")
+      }
+      expectKw(")")
+      call
+    }
+
+    /** col | aggItem, comma-separated. */
     def selectList(): Seq[Either[Col, AggCall]] = {
       def item(): Either[Col, AggCall] = {
         val t = ident()
-        if (peek.contains("(")) {
-          next()
-          val call = t.toLowerCase match {
-            case "count" =>
-              require(peek.contains("*"),
-                s"count takes * at #$pos (count(col) not supported)")
-              next(); AggCall("count")
-            case "sum" => AggCall("sum", Some(Col(ident())))
-            case other =>
-              throw new IllegalArgumentException(
-                s"unsupported aggregate '$other' (count/sum)")
-          }
-          expectKw(")")
-          Right(call)
-        } else Left(Col(t))
+        if (peek.contains("(")) { pushBack(t); Right(aggItem()) }
+        else Left(Col(t))
       }
       val buf = scala.collection.mutable.ArrayBuffer(item())
       while (peek.contains(",")) { next(); buf += item() }

@@ -490,4 +490,64 @@ object Kernels {
     }
     math.min(prev(m), inf)
   }
+
+  /** Viterbi segmentation of `word` under a unigram LM with integer piece
+    * costs (cost ≈ 1000·ln(1/p), so MINIMIZING total cost maximizes the
+    * segmentation likelihood — SentencePiece's hard-EM E step over a
+    * char+bigram lattice). `pieces`/`costs` are parallel arrays (the
+    * vocabulary: every corpus character plus the top-k bigrams); unknown
+    * bigrams are simply not candidates, unknown characters cost INF/4 (a
+    * char outside the vocabulary cannot occur when the vocabulary was
+    * built from the same corpus). DP over positions with the bigram
+    * preferred on exact cost ties (`<=`) — the tie rule the DuckDB oracle
+    * mirrors. Returns the chosen pieces in order.
+    */
+  def unigramViterbi(word: UTF8String, pieces: ArrayData,
+      costs: ArrayData): ArrayData = {
+    val s = word.toString
+    val n = s.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val np = pieces.numElements()
+    val m = new java.util.HashMap[String, java.lang.Long](np * 2)
+    var i = 0
+    while (i < np) {
+      if (!pieces.isNullAt(i))
+        m.put(pieces.getUTF8String(i).toString,
+          java.lang.Long.valueOf(costs.getLong(i)))
+      i += 1
+    }
+    val INF = Long.MaxValue / 4
+    val best = new Array[Long](n + 1)
+    val choice = new Array[Int](n + 1)
+    var p = 1
+    while (p <= n) {
+      val c1 = m.get(s.substring(p - 1, p))
+      var b = best(p - 1) + (if (c1 == null) INF else c1.longValue)
+      var ch = 1
+      if (p >= 2) {
+        val cb = m.get(s.substring(p - 2, p))
+        if (cb != null && best(p - 2) + cb.longValue <= b) {
+          b = best(p - 2) + cb.longValue
+          ch = 2
+        }
+      }
+      best(p) = b
+      choice(p) = ch
+      p += 1
+    }
+    val out = new Array[Any](n) // at most n pieces
+    var cnt = 0
+    var q = n
+    while (q > 0) {
+      val k = choice(q)
+      out(cnt) = UTF8String.fromString(s.substring(q - k, q))
+      cnt += 1
+      q -= k
+    }
+    // reverse into emission order
+    val res = new Array[Any](cnt)
+    var r = 0
+    while (r < cnt) { res(r) = out(cnt - 1 - r); r += 1 }
+    new GenericArrayData(res)
+  }
 }

@@ -257,6 +257,35 @@ case class LevenshteinWithin(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Unigram-LM Viterbi segmentation ([[Kernels.unigramViterbi]]): word →
+  * minimum-cost piece sequence under integer piece costs (parallel
+  * piece/cost vocabulary arrays, broadcast via a one-row cross join).
+  * TernaryExpression so all three inputs stay inside whole-stage codegen.
+  */
+case class UnigramViterbiSegment(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ExpectsInputTypes {
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "unigram_viterbi"
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, ArrayType(StringType), ArrayType(LongType))
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(w: Any, p: Any, c: Any): Any =
+    Kernels.unigramViterbi(
+      w.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      p.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, p, c) =>
+      s"${codegenNames.kernels}.unigramViterbi($w, $p, $c)")
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Contiguous n-token shingles of a token array (single pass). */
 case class WordShingles(child: Expression, n: Int) extends UnaryExpression
     with ExpectsInputTypes {
@@ -531,4 +560,9 @@ object functions {
   def levenshtein_within(a: Column, b: Column, k: Int): Column =
     ColumnBridge.column(LevenshteinWithin(
       ColumnBridge.expression(a), ColumnBridge.expression(b), k))
+
+  def unigram_viterbi(word: Column, pieces: Column, costs: Column): Column =
+    ColumnBridge.column(UnigramViterbiSegment(
+      ColumnBridge.expression(word), ColumnBridge.expression(pieces),
+      ColumnBridge.expression(costs)))
 }

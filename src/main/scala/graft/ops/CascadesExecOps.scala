@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.cascades._
+
+/** MiniCascades winners EXECUTED end to end — the reference's
+  * `DFQueryPlanner` lifecycle (`datafusion-dolomite-integration/src/
+  * planner.rs:29-55`: parse SQL → optimize in cascades → hand the WINNER
+  * physical plan to the host engine), completed through the CORRECTNESS
+  * gate: each query here parses mini-SQL ([[SqlFrontend]]), optimizes in
+  * the cascades search against REAL parquet-footer statistics
+  * ([[ParquetStats]] — `stat.rs:5-21` computed, not stubbed), lowers the
+  * winner to DataFrame operators ([[Execution]], the `to_df_physical`
+  * analog), executes on Spark, and is row/schema/hash-compared against
+  * DuckDB running the equivalent ANSI SQL. [[graft.CascadesExecSpec]]
+  * additionally pins that the EXECUTED SparkPlan carries the winner's
+  * operator choices (broadcast vs shuffle build, top-k, split aggregate).
+  *
+  * The optimizer choices exercised: filter/projection implementation,
+  * top-k planning, broadcast-vs-shuffle join strategy under footer stats,
+  * join commutation (small side to the build), two-phase aggregate split,
+  * HAVING as a post-aggregate filter, and scalar-subquery decorrelation
+  * to a one-row broadcast join.
+  */
+object CascadesExecOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val tables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "documents", "embeddings")
+
+  private val schemaCat: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey", "r_name"),
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+      "p_retailprice"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding", "label"))
+
+  /** Parse → optimize (cascades, footer stats) → lower → DataFrame.
+    * Exposed for the plan-shape spec, which needs the winner too.
+    */
+  def planAndLower(s: SparkSession, d: String, sql: String,
+      rules: Seq[OptRule], cost: CostModel): (PlanNode, DataFrame) = {
+    val stats = ParquetStats.fromDir(d, tables)
+    val (logical, required) = SqlFrontend.parseQuery(sql, schemaCat)
+    val opt = new CascadesOptimizer(rules, costModel = cost, stats = stats,
+      columns = schemaCat)
+    val winner = opt.optimize(logical, required).getOrElse(
+      sys.error(s"cascades found no winner for: $sql"))
+    val t = Tables(s, d)
+    val catalog: String => DataFrame = {
+      case "region" => t.region;     case "nation" => t.nation
+      case "customer" => t.customer; case "supplier" => t.supplier
+      case "part" => t.part;         case "orders" => t.orders
+      case "lineitem" => t.lineitem; case "documents" => t.documents
+      case "embeddings" => t.embeddings
+      case other => sys.error(s"unknown table $other")
+    }
+    (winner, Execution.lower(winner, catalog))
+  }
+
+  private def exec(sql: String, rules: Seq[OptRule],
+      cost: CostModel): Q =
+    (s, d) => planAndLower(s, d, sql, rules, cost)._2
+
+  /** The mini-SQL of each executed query (shared with the spec). */
+  val sqls: Map[String, String] = Map(
+    // filter impl + projection + top-k planning (PhysicalTopK →
+    // TakeOrderedAndProject: no global sort at any scale)
+    "cascades_exec_filter_topk" ->
+      ("SELECT l_orderkey, l_linenumber FROM lineitem " +
+        "WHERE l_partkey = l_suppkey " +
+        "ORDER BY l_orderkey, l_linenumber LIMIT 50"),
+    // broadcast-vs-shuffle decided by FOOTER stats: nation (25 rows)
+    // lands on the build side and broadcasts — zero shuffles on the
+    // 100 TB-side fact scan
+    "cascades_exec_broadcast_dim" ->
+      ("SELECT c_name, n_name FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "ORDER BY c_name LIMIT 100"),
+    // join COMMUTATION: the query names nation first; the search flips
+    // the sides so the 25-row dimension builds/broadcasts
+    "cascades_exec_commute_build" ->
+      ("SELECT n_name, c_name FROM nation " +
+        "JOIN customer ON n_nationkey = c_nationkey " +
+        "ORDER BY c_name LIMIT 100"),
+    // two-phase aggregate split (SplitAgg winner) executed as Spark's
+    // partial/final HashAggregate pair
+    "cascades_exec_split_agg" ->
+      ("SELECT source, count ( * ), sum ( n_chars ) FROM documents " +
+        "GROUP BY source ORDER BY source"),
+    // HAVING → post-aggregate CmpCond filter
+    "cascades_exec_having" ->
+      ("SELECT lang, count ( * ) FROM documents GROUP BY lang " +
+        "HAVING count ( * ) > 70 ORDER BY lang"),
+    // min/max/avg through the same split machinery
+    "cascades_exec_minmax" ->
+      ("SELECT lang, min ( n_chars ), max ( n_chars ), avg ( n_chars ) " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    // scalar subquery decorrelated to a one-row broadcast join
+    "cascades_exec_scalar_subquery" ->
+      ("SELECT o_orderkey, o_custkey FROM orders " +
+        "WHERE o_custkey = ( SELECT max ( c_custkey ) FROM customer ) " +
+        "ORDER BY o_orderkey"))
+
+  /** Rule set + cost model per query — join queries opt into strategy
+    * enumeration with the cluster cost model (the decision needs priced
+    * distribution); the rest run the default search with cardinalities.
+    */
+  val configs: Map[String, (Seq[OptRule], CostModel)] = Map(
+    "cascades_exec_filter_topk" ->
+      ((Rules.all, new CardinalityCostModel)),
+    "cascades_exec_broadcast_dim" ->
+      ((Rules.joinStrategyRules, new ClusterCostModel)),
+    "cascades_exec_commute_build" ->
+      ((Rules.joinStrategyRules, new ClusterCostModel)),
+    "cascades_exec_split_agg" ->
+      ((Rules.all, new CardinalityCostModel)),
+    "cascades_exec_having" ->
+      ((Rules.all, new CardinalityCostModel)),
+    "cascades_exec_minmax" ->
+      ((Rules.all, new CardinalityCostModel)),
+    "cascades_exec_scalar_subquery" ->
+      ((Rules.joinStrategyRules, new ClusterCostModel)))
+
+  def queries: Map[String, Q] =
+    sqls.map { case (name, sql) =>
+      val (rules, cost) = configs(name)
+      name -> exec(sql, rules, cost)
+    }
+
+  def oracles: Map[String, String] = Map(
+    "cascades_exec_filter_topk" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+         WHERE l_partkey = l_suppkey
+         ORDER BY l_orderkey, l_linenumber LIMIT 50""",
+    "cascades_exec_broadcast_dim" ->
+      """SELECT c_name, n_name FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         ORDER BY c_name LIMIT 100""",
+    "cascades_exec_commute_build" ->
+      """SELECT n_name, c_name FROM nation
+         JOIN customer ON n_nationkey = c_nationkey
+         ORDER BY c_name LIMIT 100""",
+    "cascades_exec_split_agg" ->
+      """SELECT source, count(*) AS cnt,
+           CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+         FROM documents GROUP BY source ORDER BY source""",
+    "cascades_exec_having" ->
+      """SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+         HAVING count(*) > 70 ORDER BY lang""",
+    "cascades_exec_minmax" ->
+      """SELECT lang, CAST(min(n_chars) AS BIGINT) AS min_n_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_n_chars,
+           CAST(avg(n_chars) AS DECIMAL(28,6)) AS avg_n_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "cascades_exec_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE o_custkey = (SELECT max(c_custkey) FROM customer)
+         ORDER BY o_orderkey""")
+}

@@ -1030,6 +1030,90 @@ object TextOps {
           (col("n_upper").cast("double") / col("n_chars").cast("double"))
             .as("upper_share"))
         .orderBy("lang")
+    },
+    // Unigram-LM tokenizer, one HARD-EM step (SentencePiece's training
+    // loop, Kudo 2018, over a char+top-30-bigram lattice): piece costs
+    // quantize -ln p(piece) through the SHARED 1025-entry ln table (the
+    // text_entropy parity doctrine — both engines read identical doubles,
+    // never their own libm), the E step Viterbi-segments every DISTINCT
+    // word once ([[graft.functions.Kernels.unigramViterbi]], a codegen'd
+    // integer DP; occurrence counts re-weight after), and the M step IS
+    // the output: piece usage counts, the renormalization numerators.
+    // Scale shape: vocabulary build = two count-over-vocabulary
+    // aggregates; the encode pass is one broadcast (vocab blob) map stage
+    // over distinct words — zero joins on the corpus stream; a bigger
+    // vocab changes the blob, not the plan. Bigrams beat their two chars
+    // exactly when quantized PMI > 0 — the collocation criterion, so the
+    // learned pieces are the corpus' real digraphs ('th', 'in', 'er').
+    "text_unigram_em" -> { (s, d) =>
+      val words = Tables(s, d).documents
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "" && length(col("word")) <= 16)
+        .groupBy("word").agg(count(lit(1)).as("wn"))
+        .persist() // read 3x: char freqs, bigram freqs, the encode pass
+      val chars = words
+        .select(explode(split(col("word"), "")).as("p"), col("wn"))
+        .filter(col("p") =!= "")
+        .groupBy("p").agg(sum(col("wn")).as("f"))
+      val bigrams = words
+        .select(explode(expr(
+          "CASE WHEN length(word) >= 2 THEN transform(" +
+            "sequence(1, length(word) - 1), i -> substring(word, i, 2)) " +
+            "ELSE array() END")).as("p"), col("wn"))
+        .groupBy("p").agg(sum(col("wn")).as("f"))
+        .orderBy(col("f").desc, col("p").asc).limit(30)
+      val tot = chars.agg(sum(col("f")).as("t"))
+      val lnArr = typedLit(lnTable.toSeq)
+      // q in [1, 1024] by exact integer division; cost =
+      // round(1000 * ln(1024 / q)) via the shared table — integer DP after
+      def withCost(df: DataFrame): DataFrame = df.crossJoin(broadcast(tot))
+        .select(col("p"),
+          floor(lit(1000.0) * (element_at(lnArr, lit(1025)) -
+            element_at(lnArr,
+              (expr("(1023 * f) div t") + lit(2)).cast("int"))) +
+            lit(0.5)).cast("long").as("cost"))
+      val vocab = withCost(chars).unionAll(withCost(bigrams))
+        .agg(collect_list(col("p")).as("ps"),
+          collect_list(col("cost")).as("cs"))
+      words.crossJoin(broadcast(vocab))
+        .select(explode(graft.functions.functions.unigram_viterbi(
+          col("word"), col("ps"), col("cs"))).as("piece"), col("wn"))
+        .groupBy("piece").agg(sum(col("wn")).as("em_count"))
+        .orderBy(col("em_count").desc, col("piece").asc)
+        .limit(40)
+    },
+    // Linear quality-classifier INFERENCE, fastText shape (Joulin et al.
+    // 2016): hashed unigram + bigram features (xxh64 mod 4096 — the
+    // hashing trick; bigram ids by seed chaining, Spark's multi-arg
+    // xxhash64 contract) dotted with a deterministic weight vector
+    // (pseudo-weights derived from the feature id — a production run
+    // broadcasts learned weights; the pinned ones keep the oracle
+    // integer-exact). One codegen'd map stage over the token stream plus
+    // one partial+final aggregate per doc — at 100 TB the classifier is
+    // a marginal cost over the scan, exactly fastText's design point.
+    // Integer weights, integer score, exact parity.
+    "text_quality_classifier" -> { (s, d) =>
+      val dim = 4096
+      val ts = Tables(s, d).documents
+        .select(col("doc_id"),
+          filter(split(col("text"), " "), t => t =!= "").as("ts"))
+        .filter(size(col("ts")) >= 1)
+      val uni = ts.select(col("doc_id"), explode(col("ts")).as("t"))
+        .select(col("doc_id"), pmod(xxhash64(col("t")), lit(dim)).as("fid"))
+      val bi = ts.filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ts) - 1), " +
+            "i -> struct(element_at(ts, i) AS a, element_at(ts, i + 1) AS b))"
+          )).as("pr"))
+        .select(col("doc_id"),
+          pmod(xxhash64(col("pr.a"), col("pr.b")), lit(dim)).as("fid"))
+      uni.unionAll(bi)
+        .select(col("doc_id"),
+          ((col("fid") * lit(2654435761L)) % 2001 - 1000).as("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score"))
+        .withColumn("flagged_low_quality", col("score") < 0)
+        .orderBy("doc_id")
     }
   )
 
@@ -2370,7 +2454,106 @@ object TextOps {
         |  CAST(sum(l) AS BIGINT) AS n_lower,
         |  CAST(sum(g) AS BIGINT) AS n_digit,
         |  CAST(sum(u) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS upper_share
-        |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+    // Same quantized cost table (exact integer division into the shared
+    // ln list), same Viterbi DP (forward recursion carries best[i] and
+    // best[i-1]; backtrack recomputes the <=-prefers-bigram tie rule
+    // against the stored forward values) — DuckDB's recursive CTEs play
+    // the role of the codegen'd integer DP kernel.
+    "text_unigram_em" ->
+      s"""WITH RECURSIVE
+         |lt AS (SELECT $lnTableSql AS l),
+         |w0 AS (SELECT unnest($tokSql) AS word FROM documents),
+         |words AS (SELECT word, count(*) AS wn FROM w0
+         |  WHERE word <> '' AND length(word) <= 16 GROUP BY word),
+         |cf AS (SELECT substr(word, CAST(g AS INT), 1) AS p,
+         |    CAST(sum(wn) AS BIGINT) AS f
+         |  FROM (SELECT word, wn, unnest(range(1, length(word)+1)) AS g
+         |    FROM words) GROUP BY 1),
+         |bf AS (SELECT substr(word, CAST(g AS INT), 2) AS p,
+         |    CAST(sum(wn) AS BIGINT) AS f
+         |  FROM (SELECT word, wn, unnest(range(1, length(word))) AS g
+         |    FROM words)
+         |  GROUP BY 1 ORDER BY f DESC, p ASC LIMIT 30),
+         |tot AS (SELECT CAST(sum(f) AS BIGINT) AS t FROM cf),
+         |vocab AS (
+         |  SELECT p, CAST(floor(1000.0*(l[1025] -
+         |      l[CAST((1023*f) // t AS INT) + 2]) + 0.5) AS BIGINT) AS cost
+         |    FROM cf, tot, lt
+         |  UNION ALL
+         |  SELECT p, CAST(floor(1000.0*(l[1025] -
+         |      l[CAST((1023*f) // t AS INT) + 2]) + 0.5) AS BIGINT) AS cost
+         |    FROM bf, tot, lt),
+         |dp AS (
+         |  SELECT word, 0 AS i, CAST(0 AS BIGINT) AS best,
+         |    CAST(NULL AS BIGINT) AS prevb FROM words
+         |  UNION ALL
+         |  SELECT d.word, d.i + 1,
+         |    CASE WHEN d.i + 1 >= 2 AND b.cost IS NOT NULL
+         |        AND d.prevb + b.cost <= d.best + c.cost
+         |      THEN d.prevb + b.cost ELSE d.best + c.cost END,
+         |    d.best
+         |  FROM dp d
+         |  JOIN vocab c ON c.p = substr(d.word, d.i + 1, 1)
+         |  LEFT JOIN vocab b ON d.i + 1 >= 2
+         |    AND b.p = substr(d.word, d.i, 2)
+         |  WHERE d.i < length(d.word)),
+         |bt AS (
+         |  SELECT word, length(word) AS pos, CAST(NULL AS VARCHAR) AS piece
+         |    FROM words
+         |  UNION ALL
+         |  SELECT t.word,
+         |    t.pos - CASE WHEN t.pos >= 2 AND b.cost IS NOT NULL
+         |        AND d2.best + b.cost <= d1.best + c.cost THEN 2 ELSE 1 END,
+         |    CASE WHEN t.pos >= 2 AND b.cost IS NOT NULL
+         |        AND d2.best + b.cost <= d1.best + c.cost
+         |      THEN substr(t.word, t.pos - 1, 2)
+         |      ELSE substr(t.word, t.pos, 1) END
+         |  FROM bt t
+         |  JOIN dp d1 ON d1.word = t.word AND d1.i = t.pos - 1
+         |  JOIN vocab c ON c.p = substr(t.word, t.pos, 1)
+         |  LEFT JOIN dp d2 ON t.pos >= 2 AND d2.word = t.word
+         |    AND d2.i = t.pos - 2
+         |  LEFT JOIN vocab b ON t.pos >= 2
+         |    AND b.p = substr(t.word, t.pos - 1, 2)
+         |  WHERE t.pos > 0)
+         |SELECT bt.piece, CAST(sum(words.wn) AS BIGINT) AS em_count
+         |FROM bt JOIN words ON bt.word = words.word
+         |WHERE bt.piece IS NOT NULL
+         |GROUP BY bt.piece ORDER BY em_count DESC, piece ASC
+         |LIMIT 40""".stripMargin,
+    // Unigram ids: xxh64(token, 42) mod 4096. Bigram ids: seed CHAINING,
+    // xxh64(tok2, seed = unsigned(xxh64(tok1, 42))) — exactly Spark's
+    // multi-column xxhash64 contract (each column hashed with the running
+    // hash as seed); the CASE re-biases the signed BIGINT back to the
+    // unsigned seed domain. Weights derive from the id by the pinned
+    // integer formula — fully integer downstream.
+    "text_quality_classifier" -> {
+      val h1 = XxhSql.expr("a", "42")
+      val chained = XxhSql.expr("b",
+        "CASE WHEN h1 < 0 THEN h1::HUGEINT + 18446744073709551616 " +
+          "ELSE h1::HUGEINT END")
+      s"""WITH tk AS (SELECT doc_id, list_filter($tokSql, x -> x <> '') AS ts
+         |    FROM documents),
+         |tk1 AS (SELECT doc_id, ts FROM tk WHERE len(ts) >= 1),
+         |uni AS (SELECT doc_id, unnest(ts) AS a FROM tk1),
+         |uh AS (SELECT doc_id,
+         |    ((${XxhSql.expr("a", "42")}) % 4096 + 4096) % 4096 AS fid
+         |  FROM uni),
+         |pr AS (SELECT doc_id, ts[g] AS a, ts[g + 1] AS b
+         |  FROM (SELECT doc_id, ts, CAST(unnest(range(1, len(ts))) AS INT)
+         |      AS g FROM tk1 WHERE len(ts) >= 2)),
+         |ph0 AS (SELECT doc_id, b, ($h1) AS h1 FROM pr),
+         |ph AS (SELECT doc_id, (($chained) % 4096 + 4096) % 4096 AS fid
+         |  FROM ph0),
+         |f AS (SELECT doc_id, fid FROM uh UNION ALL
+         |      SELECT doc_id, fid FROM ph),
+         |w AS (SELECT doc_id, (fid * 2654435761) % 2001 - 1000 AS w FROM f)
+         |SELECT doc_id, count(*) AS n_feats,
+         |  CAST(sum(w) AS BIGINT) AS score,
+         |  CAST(sum(w) AS BIGINT) < 0 AS flagged_low_quality
+         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }
   )
 
   /** The Gopher flags table as a DuckDB CTE body — the oracle replica of

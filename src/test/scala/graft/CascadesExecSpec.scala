@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.cascades._
+import graft.ops.CascadesExecOps
+
+/** Cascades winners EXECUTED — the `planner.rs:29-55` lifecycle edge
+  * (optimize in cascades, run on the host engine), pinned structurally:
+  * for every [[CascadesExecOps]] query the EXECUTED SparkPlan must carry
+  * the winner's operator choices (broadcast vs shuffled build, top-k,
+  * split aggregate pair), so the rows the CORRECTNESS gate compares
+  * provably came from the cascades-chosen plan, not from a Catalyst
+  * default that happens to agree.
+  */
+class CascadesExecSpec extends GraftSuite {
+
+  // sf0.01: big enough that footer stats discriminate (customer 1500 vs
+  // nation 25; sf0.001's 150-vs-25 TIES the ClusterCostModel crossover)
+  private val d = "/root/testdata/sf0.01"
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }).toString
+  }
+
+  /** The Spark physical operator each winner node must appear as. */
+  private def marks(p: PlanNode): Seq[String] = {
+    val own = p.op match {
+      case _: PhysicalBroadcastHashJoin => Seq("BroadcastHashJoin")
+      case _: PhysicalHashJoin          => Seq("ShuffledHashJoin")
+      case _: PhysicalSortMergeJoin     => Seq("SortMergeJoin")
+      case _: PhysicalTopK              => Seq("TakeOrderedAndProject")
+      case _: PhysicalHashAggregate     => Seq("HashAggregate")
+      case _: PhysicalSort              => Seq("Sort ")
+      case _                            => Nil
+    }
+    own ++ p.inputs.flatMap(marks)
+  }
+
+  test("every exec query's executed SparkPlan carries its winner's " +
+      "operator choices") {
+    CascadesExecOps.sqls.keys.foreach { name =>
+      val (rules, cost) = CascadesExecOps.configs(name)
+      val (winner, df) = CascadesExecOps.planAndLower(
+        spark, d, CascadesExecOps.sqls(name), rules, cost)
+      val plan = executedPlan(df)
+      marks(winner).distinct.foreach(m =>
+        assert(plan.contains(m),
+          s"$name: winner chose $m but executed plan lacks it\n" +
+            s"winner:\n${winner.explain()}\nexecuted:\n$plan"))
+    }
+  }
+
+  test("broadcast_dim: footer stats put the 25-row nation on a " +
+      "BROADCAST build side (winner and executed plan agree)") {
+    val (rules, cost) = CascadesExecOps.configs("cascades_exec_broadcast_dim")
+    val (winner, df) = CascadesExecOps.planAndLower(spark, d,
+      CascadesExecOps.sqls("cascades_exec_broadcast_dim"), rules, cost)
+    // winner: TopK over Project over BroadcastHashJoin(customer, nation)
+    def findJoin(p: PlanNode): Option[PlanNode] = p.op match {
+      case _: PhysicalBroadcastHashJoin | _: PhysicalHashJoin |
+          _: PhysicalSortMergeJoin => Some(p)
+      case _ => p.inputs.flatMap(findJoin).headOption
+    }
+    val j = findJoin(winner).getOrElse(fail(winner.explain()))
+    assert(j.op.isInstanceOf[PhysicalBroadcastHashJoin], winner.explain())
+    assert(j.inputs(1).op == PhysicalTableScan("nation"), winner.explain())
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("commute_build: the query names nation FIRST; the search flips " +
+      "the sides so the dimension builds") {
+    val (rules, cost) =
+      CascadesExecOps.configs("cascades_exec_commute_build")
+    val (winner, _) = CascadesExecOps.planAndLower(spark, d,
+      CascadesExecOps.sqls("cascades_exec_commute_build"), rules, cost)
+    def findJoin(p: PlanNode): Option[PlanNode] = p.op match {
+      case _: PhysicalBroadcastHashJoin | _: PhysicalHashJoin => Some(p)
+      case _ => p.inputs.flatMap(findJoin).headOption
+    }
+    val j = findJoin(winner).getOrElse(fail(winner.explain()))
+    // commuted: customer is the PROBE (left), nation the build (right)
+    assert(j.inputs(0).op == PhysicalTableScan("customer"), winner.explain())
+    assert(j.inputs(1).op == PhysicalTableScan("nation"), winner.explain())
+  }
+
+  test("split_agg: the SplitAgg winner executes as Spark's " +
+      "partial+final HashAggregate pair around one exchange") {
+    val (rules, cost) = CascadesExecOps.configs("cascades_exec_split_agg")
+    val (winner, df) = CascadesExecOps.planAndLower(spark, d,
+      CascadesExecOps.sqls("cascades_exec_split_agg"), rules, cost)
+    // the winner itself is the split pyramid
+    val rendered = winner.explain()
+    assert(rendered.contains("PhysicalHashAggregate(Final"), rendered)
+    assert(rendered.contains("PhysicalHashAggregate(Partial"), rendered)
+    val plan = executedPlan(df)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("stats flip the join strategy: synthetic equal-size catalogs " +
+      "shuffle, REAL parquet footers broadcast (stat.rs:5-21 computed " +
+      "against actual tables)") {
+    val sql = CascadesExecOps.sqls("cascades_exec_broadcast_dim")
+    val (logical, required) = SqlFrontend.parseQuery(sql)
+    def joinOp(stats: StatsModel): Operator = {
+      val opt = new CascadesOptimizer(Rules.joinStrategyRules,
+        costModel = new ClusterCostModel, stats = stats)
+      val w = opt.optimize(logical, required).get
+      def find(p: PlanNode): Option[Operator] = p.op match {
+        case j @ (_: PhysicalBroadcastHashJoin | _: PhysicalHashJoin) =>
+          Some(j)
+        case _ => p.inputs.flatMap(find).headOption
+      }
+      find(w).get
+    }
+    // synthetic: both sides "10k rows" — comparable sides shuffle
+    // (broadcast needs build < probe/6 under ClusterCostModel at W=8)
+    val synthetic = TableStats(
+      Map("customer" -> 10000L, "nation" -> 10000L))
+    assert(joinOp(synthetic).isInstanceOf[PhysicalHashJoin])
+    // real: nation's footer says 25 rows — broadcast wins
+    val real = ParquetStats.fromDir(d, Seq("customer", "nation"))
+    assert(real.tableRows("nation") == 25L)
+    assert(real.tableRows("customer") == 1500L)
+    assert(joinOp(real).isInstanceOf[PhysicalBroadcastHashJoin])
+  }
+
+  test("footer stats carry the byte axis: width = uncompressed bytes " +
+      "per row from row-group metadata") {
+    val s = ParquetStats.fromDir(d, Seq("documents", "nation"))
+    // documents rows are text-heavy — far wider than the 16-byte default
+    assert(s.tableWidth("documents") > 100L, s.tableWidth("documents"))
+    assert(s.tableRows("documents") == 500L)
+  }
+
+  test("HAVING lowers to a post-aggregate CmpCond filter") {
+    val (plan, _) = SqlFrontend.parseQuery(
+      "SELECT lang, count ( * ) FROM documents GROUP BY lang " +
+        "HAVING count ( * ) > 70")
+    assert(plan.op ==
+      LogicalFilter(CmpCond(">", Col("cnt"), Lit(70L)), Nil), plan.explain())
+    assert(plan.inputs.head.op ==
+      LogicalAggregate(Seq(Col("lang")), Seq(AggCall("count"))),
+      plan.explain())
+  }
+
+  test("scalar subquery decorrelates to an inner join against the " +
+      "one-row global aggregate") {
+    val (plan, _) = SqlFrontend.parseQuery(
+      "SELECT o_orderkey FROM orders WHERE o_custkey = " +
+        "( SELECT max ( c_custkey ) FROM customer )")
+    // Project(Join(orders, Agg))
+    val join = plan.inputs.head
+    assert(join.op == LogicalJoin(JoinType.Inner,
+      EqCond(Col("o_custkey"), Col("max_c_custkey"))), plan.explain())
+    assert(join.inputs(1).op ==
+      LogicalAggregate(Nil, Seq(AggCall("max", Some(Col("c_custkey"))))),
+      plan.explain())
+  }
+
+  test("min/max/avg parse and the HAVING aggregate must be selected") {
+    val (plan, _) = SqlFrontend.parseQuery(
+      "SELECT lang, min ( n_chars ), max ( n_chars ), avg ( n_chars ) " +
+        "FROM documents GROUP BY lang")
+    assert(plan.op == LogicalAggregate(Seq(Col("lang")), Seq(
+      AggCall("min", Some(Col("n_chars"))),
+      AggCall("max", Some(Col("n_chars"))),
+      AggCall("avg", Some(Col("n_chars"))))), plan.explain())
+    intercept[IllegalArgumentException] {
+      SqlFrontend.parseQuery(
+        "SELECT lang FROM documents GROUP BY lang HAVING count ( * ) > 1")
+    }
+  }
+}

@@ -211,7 +211,22 @@ object DumpPlans {
       "text_skipgrams" -> ("skip-gram pair generation: pairs built " +
         "array-locally per document (slice + arrays_zip at both " +
         "offsets), zero joins — the only shuffle is the final " +
-        "partial+final pair count"))
+        "partial+final pair count"),
+      "text_unigram_em" -> ("unigram-LM hard-EM step: vocabulary costs " +
+        "from two count-over-vocabulary aggregates, then ONE broadcast " +
+        "(vocab blob) codegen'd Viterbi pass over distinct words — no " +
+        "join touches the corpus stream; bigger vocab changes the blob, " +
+        "not the plan"),
+      "text_quality_classifier" -> ("fastText-shape inference: hashed " +
+        "unigram+bigram features and the weight dot product are one " +
+        "codegen'd map stage over the token stream; one partial+final " +
+        "aggregate per doc — classifier cost is marginal over the scan"),
+      "cascades_exec_broadcast_dim" -> ("a MiniCascades WINNER executed: " +
+        "parquet-footer stats chose BroadcastHashJoin(build=nation) in " +
+        "the cascades memo; the lowered DataFrame plan carries exactly " +
+        "that choice (broadcast exchange on the 25-row side, zero " +
+        "shuffles on the fact side) — the planner.rs:29-55 lifecycle " +
+        "closed"))
     val sb = new StringBuilder
     sb.append("# PLANS — executed physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"Test/runMain graft.DumpPlans\"` " +

@@ -224,7 +224,12 @@ class SqlFrontendSpec extends GraftSuite {
       "SELECT g, h, count(*) FROM t GROUP BY g"))
     intercept[IllegalArgumentException](SqlFrontend.parse(
       "SELECT g FROM t GROUP BY g"))
+    // avg joined the supported set in round 8 (with min/max); a genuinely
+    // unknown aggregate still fails loudly
+    assert(SqlFrontend.parse("SELECT avg(v) FROM t") == PlanNode(
+      LogicalAggregate(Nil, Seq(AggCall("avg", Some(Col("v"))))),
+      Seq(PlanNode(LogicalScan("t")))))
     intercept[IllegalArgumentException](SqlFrontend.parse(
-      "SELECT avg(v) FROM t"))
+      "SELECT median(v) FROM t"))
   }
 }
