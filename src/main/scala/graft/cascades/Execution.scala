@@ -127,7 +127,12 @@ object Execution {
     case "min"   => min(col(a.col.get.name)).as(a.outName)
     case "max"   => max(col(a.col.get.name)).as(a.outName)
     case "avg"   =>
-      avg(col(a.col.get.name)).cast("decimal(28,6)").as(a.outName)
+      // quantize through the oracle-contract decimal, then render DOUBLE
+      // (graft.ops.Oracle doctrine: the same exact decimal renders to
+      // the same double in both engines; a decimal OUTPUT column is the
+      // r6 hash-hazard class PlanCheckSpec's type audit blocks)
+      avg(col(a.col.get.name)).cast("decimal(28,6)").cast("double")
+        .as(a.outName)
     case other =>
       throw new IllegalArgumentException(s"unsupported aggregate: $other")
   }

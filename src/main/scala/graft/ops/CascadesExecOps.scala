@@ -47,17 +47,24 @@ object CascadesExecOps {
 
   /** Parse → optimize (cascades, footer stats) → lower → DataFrame.
     * Exposed for the plan-shape spec, which needs the winner too.
+    * `layouts` marks tables CLUSTERED for the frontend/search (Spark's
+    * bucketed+sorted tables); `catalogOverride` supplies the matching
+    * physical DataFrames (e.g. `spark.table` of a bucketed table) so the
+    * lowered plan actually READS the layout the winner exploited.
     */
   def planAndLower(s: SparkSession, d: String, sql: String,
-      rules: Seq[OptRule], cost: CostModel): (PlanNode, DataFrame) = {
+      rules: Seq[OptRule], cost: CostModel,
+      layouts: Map[String, (Seq[Col], Seq[Col])] = Map.empty,
+      catalogOverride: Map[String, DataFrame] = Map.empty)
+      : (PlanNode, DataFrame) = {
     val stats = ParquetStats.fromDir(d, tables)
-    val (logical, required) = SqlFrontend.parseQuery(sql, schemaCat)
+    val (logical, required) = SqlFrontend.parseQuery(sql, schemaCat, layouts)
     val opt = new CascadesOptimizer(rules, costModel = cost, stats = stats,
       columns = schemaCat)
     val winner = opt.optimize(logical, required).getOrElse(
       sys.error(s"cascades found no winner for: $sql"))
     val t = Tables(s, d)
-    val catalog: String => DataFrame = {
+    val base: String => DataFrame = {
       case "region" => t.region;     case "nation" => t.nation
       case "customer" => t.customer; case "supplier" => t.supplier
       case "part" => t.part;         case "orders" => t.orders
@@ -65,12 +72,54 @@ object CascadesExecOps {
       case "embeddings" => t.embeddings
       case other => sys.error(s"unknown table $other")
     }
+    val catalog: String => DataFrame =
+      name => catalogOverride.getOrElse(name, base(name))
     (winner, Execution.lower(winner, catalog))
   }
 
-  private def exec(sql: String, rules: Seq[OptRule],
-      cost: CostModel): Q =
-    (s, d) => planAndLower(s, d, sql, rules, cost)._2
+  /** Write `src` (at scale dir `d`) as an 8-bucket table sorted within
+    * buckets by `key`, ONE FILE PER BUCKET (the repartition on the bucket
+    * key makes each writer task own exactly one bucket — the layout
+    * Spark's scan trusts for both Hashed and SortedBy, so a merge join
+    * over two such tables plans with ZERO exchanges and ZERO sorts).
+    * This is the write-side-paid-once pattern: at 100 TB the shuffle+sort
+    * happens once at ingest; every subsequent co-clustered join is free.
+    */
+  private def bucketedTable(s: SparkSession, d: String, src: String,
+      key: String, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val t = Tables(s, d)
+    val df = src match {
+      case "customer" => t.customer
+      case "orders"   => t.orders
+      case other      => sys.error(s"no bucketed source for $other")
+    }
+    df.repartition(8, col(key))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, key).sortBy(key)
+      .saveAsTable(table)
+    s.table(table)
+  }
+
+  /** Full pipeline for a named exec query, bucketed-table setup included
+    * — shared by [[queries]] and the plan-shape spec.
+    */
+  def planFor(s: SparkSession, d: String,
+      name: String): (PlanNode, DataFrame) = {
+    val (rules, cost) = configs(name)
+    if (name == "cascades_exec_smj_clustered") {
+      val cust = bucketedTable(s, d, "customer", "c_custkey",
+        "graft_bk_customer")
+      val ord = bucketedTable(s, d, "orders", "o_custkey",
+        "graft_bk_orders")
+      planAndLower(s, d, sqls(name), rules, cost,
+        layouts = Map(
+          "customer" ->
+            ((Seq(Col("c_custkey")), Seq(Col("c_custkey")))),
+          "orders" -> ((Seq(Col("o_custkey")), Seq(Col("o_custkey"))))),
+        catalogOverride = Map("customer" -> cust, "orders" -> ord))
+    } else planAndLower(s, d, sqls(name), rules, cost)
+  }
 
   /** The mini-SQL of each executed query (shared with the spec). */
   val sqls: Map[String, String] = Map(
@@ -110,7 +159,15 @@ object CascadesExecOps {
     "cascades_exec_scalar_subquery" ->
       ("SELECT o_orderkey, o_custkey FROM orders " +
         "WHERE o_custkey = ( SELECT max ( c_custkey ) FROM customer ) " +
-        "ORDER BY o_orderkey"))
+        "ORDER BY o_orderkey"),
+    // INTERESTING ORDERS executed: both sides are real bucketed+sorted
+    // tables, the layouts catalog tells the search, the winner is a
+    // SortMergeJoin with ZERO enforcers, and the executed Spark plan
+    // joins the bucketed tables with zero exchanges and zero sorts
+    "cascades_exec_smj_clustered" ->
+      ("SELECT c_custkey, c_name, o_orderkey FROM customer " +
+        "JOIN orders ON c_custkey = o_custkey " +
+        "ORDER BY o_orderkey LIMIT 100"))
 
   /** Rule set + cost model per query — join queries opt into strategy
     * enumeration with the cluster cost model (the decision needs priced
@@ -130,13 +187,13 @@ object CascadesExecOps {
     "cascades_exec_minmax" ->
       ((Rules.all, new CardinalityCostModel)),
     "cascades_exec_scalar_subquery" ->
-      ((Rules.joinStrategyRules, new ClusterCostModel)))
+      ((Rules.joinStrategyRules, new ClusterCostModel)),
+    "cascades_exec_smj_clustered" ->
+      ((Rules.fullJoinStrategyRules, new ClusterCostModel)))
 
   def queries: Map[String, Q] =
-    sqls.map { case (name, sql) =>
-      val (rules, cost) = configs(name)
-      name -> exec(sql, rules, cost)
-    }
+    sqls.keys.map(name =>
+      name -> ((s: SparkSession, d: String) => planFor(s, d, name)._2)).toMap
 
   def oracles: Map[String, String] = Map(
     "cascades_exec_filter_topk" ->
@@ -161,10 +218,17 @@ object CascadesExecOps {
     "cascades_exec_minmax" ->
       """SELECT lang, CAST(min(n_chars) AS BIGINT) AS min_n_chars,
            CAST(max(n_chars) AS BIGINT) AS max_n_chars,
-           CAST(avg(n_chars) AS DECIMAL(28,6)) AS avg_n_chars
+           CAST(CAST(avg(n_chars) AS DECIMAL(28,6)) AS DOUBLE)
+             AS avg_n_chars
          FROM documents GROUP BY lang ORDER BY lang""",
     "cascades_exec_scalar_subquery" ->
       """SELECT o_orderkey, o_custkey FROM orders
          WHERE o_custkey = (SELECT max(c_custkey) FROM customer)
-         ORDER BY o_orderkey""")
+         ORDER BY o_orderkey""",
+    // the bucketed tables hold exactly the parquet rows — the oracle
+    // reads the originals
+    "cascades_exec_smj_clustered" ->
+      """SELECT c_custkey, c_name, o_orderkey FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         ORDER BY o_orderkey LIMIT 100""")
 }

@@ -44,15 +44,32 @@ class CascadesExecSpec extends GraftSuite {
   test("every exec query's executed SparkPlan carries its winner's " +
       "operator choices") {
     CascadesExecOps.sqls.keys.foreach { name =>
-      val (rules, cost) = CascadesExecOps.configs(name)
-      val (winner, df) = CascadesExecOps.planAndLower(
-        spark, d, CascadesExecOps.sqls(name), rules, cost)
+      val (winner, df) = CascadesExecOps.planFor(spark, d, name)
       val plan = executedPlan(df)
       marks(winner).distinct.foreach(m =>
         assert(plan.contains(m),
           s"$name: winner chose $m but executed plan lacks it\n" +
             s"winner:\n${winner.explain()}\nexecuted:\n$plan"))
     }
+  }
+
+  test("smj_clustered: the winner is an enforcer-free SortMergeJoin " +
+      "over clustered scans, and the EXECUTED plan joins the bucketed " +
+      "tables with zero exchanges and zero sorts") {
+    val (winner, df) =
+      CascadesExecOps.planFor(spark, d, "cascades_exec_smj_clustered")
+    def ops(p: PlanNode): Seq[Operator] = p.op +: p.inputs.flatMap(ops)
+    val w = ops(winner)
+    assert(w.exists(_.isInstanceOf[PhysicalSortMergeJoin]),
+      winner.explain())
+    assert(!w.exists(_.isInstanceOf[PhysicalSort]), winner.explain())
+    assert(!w.exists(_.isInstanceOf[PhysicalExchange]), winner.explain())
+    val plan = executedPlan(df)
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"clustered join must not shuffle:\n$plan")
+    assert(!plan.contains("+- Sort "),
+      s"one-file-per-bucket sorted scan must not re-sort:\n$plan")
   }
 
   test("broadcast_dim: footer stats put the 25-row nation on a " +

@@ -70,6 +70,11 @@ class PlanCheckSpec extends GraftSuite {
                           // scan (the probe side of the prefilter)
     "text_tfidf_topk",    // 1-row corpus-count aggregate broadcast under
                           // the scored token stream
+    "text_unigram_em",    // 1-row corpus-total broadcast under the
+                          // per-piece cost table, then the 1-row vocab
+                          // blob (pieces+costs) broadcast under the
+                          // distinct-word Viterbi pass — both bounded by
+                          // vocabulary size, never the corpus
     "agg_cms_union",      // 1-row merged sketch x 1-row direct sketch
     "sim_ann_recall",     // contains the brute-force side: 10-query set
                           // broadcast against the corpus (the ground
@@ -219,7 +224,11 @@ class PlanCheckSpec extends GraftSuite {
   private val smjWhitelist = Set("join_full",
     // bucket-co-located SMJ with zero exchanges IS the demonstrandum:
     // the write-side bucket layout replaces the join shuffle
-    "data_sink_bucketed")
+    "data_sink_bucketed",
+    // the cascades WINNER chose an enforcer-free SortMergeJoin over
+    // clustered layouts and the lowering executes exactly that choice —
+    // CascadesExecSpec additionally pins zero exchanges AND zero sorts
+    "cascades_exec_smj_clustered")
   // data_snapshot_diff deliberately NOT here (r5): rewritten join-free —
   // a single pre-filtered scan; the gate now catches any regression back
   // to the full-outer SMJ shape.
