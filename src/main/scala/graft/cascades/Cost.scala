@@ -41,6 +41,17 @@ object ConstantCostModel extends CostModel {
 trait StatsModel {
   def tableRows(table: String): Long
 
+  /** Observed (min, max) of an integer column, when known — the THIRD
+    * stats axis (after rows and width): parquet footers carry per-column
+    * min/max in every row group ([[ParquetStats]] aggregates them), which
+    * turns a literal predicate's selectivity from the blind 10% default
+    * into a range estimate — Spark CBO's `FilterEstimation` on column
+    * stats is the production counterpart. Column names are globally
+    * unique in the TPC-H-style schemas, so the lookup needs no table
+    * qualifier. Default: unknown.
+    */
+  def columnRange(column: String): Option[(Long, Long)] = None
+
   /** Estimated bytes per row of a base table (default: two 8-byte
     * columns). The SECOND stats axis — a join decision made on rows
     * alone mis-prices a small-but-wide build side (few rows, huge
@@ -67,8 +78,8 @@ trait StatsModel {
   final def derive(op: Operator, inputRows: Seq[Long]): Long = op match {
     case LogicalScan(t, l, _, _) => limited(tableRows(t), l)
     case PhysicalTableScan(t, l, _, _) => limited(tableRows(t), l)
-    case _: LogicalFilter | _: PhysicalFilter =>
-      math.max(1L, inputRows.head / 10) // fixed 10% selectivity
+    case LogicalFilter(p, _)  => filtered(p, inputRows.head)
+    case PhysicalFilter(p, _) => filtered(p, inputRows.head)
     case _: LogicalProject | _: PhysicalProject => inputRows.head
     case _: LogicalJoin | _: PhysicalHashJoin |
         _: PhysicalBroadcastHashJoin | _: PhysicalSortMergeJoin =>
@@ -104,6 +115,33 @@ trait StatsModel {
 
   private def limited(rows: Long, limit: Option[Int]): Long =
     limit.fold(rows)(l => math.min(rows, l.toLong))
+
+  /** Filter output estimate: a column-vs-literal comparison with a known
+    * column range prices by the covered fraction under the textbook
+    * uniformity assumption (clamped to [0,1], floored at 1 row); every
+    * other predicate keeps the fixed 10% fallback. The point, as with
+    * every estimate here, is ORDERING plans correctly — a `<= small-key`
+    * filter must make its side broadcast-cheap, which the blind 10%
+    * provably cannot see ([[graft.CascadesExecSpec]] pins the flip).
+    */
+  private def filtered(pred: Expr, in: Long): Long = pred match {
+    case CmpCond(op, Col(c), Lit(v)) =>
+      columnRange(c) match {
+        case Some((lo, hi)) if hi >= lo =>
+          val width = (hi - lo + 1).toDouble
+          val frac = op match {
+            case "<=" => (v - lo + 1).toDouble / width
+            case "<"  => (v - lo).toDouble / width
+            case ">=" => (hi - v + 1).toDouble / width
+            case ">"  => (hi - v).toDouble / width
+            case _    => 1.0 / width // "="
+          }
+          math.max(1L,
+            math.round(in * math.min(1.0, math.max(0.0, frac))))
+        case _ => math.max(1L, in / 10)
+      }
+    case _ => math.max(1L, in / 10)
+  }
 }
 
 /** No statistics: every group has cardinality 1 (keeps the constant-model
@@ -114,10 +152,13 @@ object NoStats extends StatsModel {
 }
 
 final case class TableStats(catalog: Map[String, Long],
-    widths: Map[String, Long] = Map.empty) extends StatsModel {
+    widths: Map[String, Long] = Map.empty,
+    ranges: Map[String, (Long, Long)] = Map.empty) extends StatsModel {
   def tableRows(table: String): Long = catalog.getOrElse(table, 1000L)
   override def tableWidth(table: String): Long =
     widths.getOrElse(table, 16L)
+  override def columnRange(column: String): Option[(Long, Long)] =
+    ranges.get(column)
 }
 
 /** Rows-touched cost: scans pay their output, filters/projections pay their

@@ -22,8 +22,12 @@ import scala.jdk.CollectionConverters._
   */
 object ParquetStats {
 
-  /** (rows, uncompressedBytes) of one parquet file-or-directory. */
-  def footerStats(path: String): (Long, Long) = {
+  /** (rows, uncompressedBytes, integer-column min/max) of one parquet
+    * file-or-directory — everything from row-group metadata, no data
+    * pages read.
+    */
+  def footerStats(path: String)
+      : (Long, Long, Map[String, (Long, Long)]) = {
     val conf = new Configuration()
     val p = new Path(path)
     val fs = FileSystem.getLocal(conf)
@@ -34,27 +38,54 @@ object ParquetStats {
           .filter(_.getName.endsWith(".parquet"))
       else Seq(p)
     }
-    files.foldLeft((0L, 0L)) { case ((rows, bytes), f) =>
+    var rows = 0L
+    var bytes = 0L
+    val ranges = scala.collection.mutable.Map[String, (Long, Long)]()
+    files.foreach { f =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
-      try {
-        val blocks = reader.getFooter.getBlocks.asScala
-        (rows + blocks.map(_.getRowCount).sum,
-          bytes + blocks.map(_.getTotalByteSize).sum)
+      try reader.getFooter.getBlocks.asScala.foreach { b =>
+        rows += b.getRowCount
+        bytes += b.getTotalByteSize
+        b.getColumns.asScala.foreach { c =>
+          val st = c.getStatistics
+          if (st != null && st.hasNonNullValue) {
+            // integer columns only: the selectivity model reasons over
+            // long ranges (the TPC-H surrogate keys and counters)
+            val mm: Option[(Long, Long)] =
+              (st.genericGetMin, st.genericGetMax) match {
+                case (lo: java.lang.Long, hi: java.lang.Long) =>
+                  Some((lo.longValue, hi.longValue))
+                case (lo: java.lang.Integer, hi: java.lang.Integer) =>
+                  Some((lo.longValue, hi.longValue))
+                case _ => None
+              }
+            mm.foreach { case (lo, hi) =>
+              val name = c.getPath.toDotString
+              val cur = ranges.get(name)
+              ranges(name) = (
+                cur.fold(lo)(x => math.min(x._1, lo)),
+                cur.fold(hi)(x => math.max(x._2, hi)))
+            }
+          }
+        }
       } finally reader.close()
     }
+    (rows, bytes, ranges.toMap)
   }
 
   /** A [[TableStats]] catalog for `tables` under `dir` (the TESTDATA
     * layout: `dir/<table>.parquet`). Width = uncompressed bytes / rows,
-    * floored at 1.
+    * floored at 1; integer-column ranges feed literal-predicate
+    * selectivity ([[StatsModel.columnRange]]).
     */
   def fromDir(dir: String, tables: Seq[String]): TableStats = {
     val entries = tables.map { t =>
-      val (rows, bytes) = footerStats(s"$dir/$t.parquet")
-      t -> (rows, if (rows > 0) math.max(1L, bytes / rows) else 16L)
+      val (rows, bytes, ranges) = footerStats(s"$dir/$t.parquet")
+      (t, rows, if (rows > 0) math.max(1L, bytes / rows) else 16L, ranges)
     }
     TableStats(
-      entries.map { case (t, (r, _)) => t -> r }.toMap,
-      entries.map { case (t, (_, w)) => t -> w }.toMap)
+      entries.map { case (t, r, _, _) => t -> r }.toMap,
+      entries.map { case (t, _, w, _) => t -> w }.toMap,
+      entries.flatMap(_._4).toMap)
   }
 }

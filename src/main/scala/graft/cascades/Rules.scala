@@ -424,17 +424,31 @@ object Rules {
     private def cols(ts: Set[String]): Set[String] =
       ts.flatMap(t => catalog.getOrElse(t, Nil))
 
+    /** Columns a pushable predicate references: both sides of an
+      * equality, the column of a column-vs-literal comparison (the r8
+      * literal-predicate surface — also null-rejecting, so the same
+      * outer-join legality table applies). Anything else: not pushable.
+      */
+    private def predCols(pred: Expr): Option[Set[String]] = pred match {
+      case EqCond(l, r)                 => Some(Set(l.name, r.name))
+      case CmpCond(_, Col(c), Lit(_))   => Some(Set(c))
+      case _                            => None
+    }
+
     def apply(expr: Node, ctx: RuleContext): Option[OptExpression] = expr match {
-      case Node(f @ LogicalFilter(EqCond(l, r), Nil),
+      case Node(f @ LogicalFilter(pred, Nil),
           Seq(Node(j @ LogicalJoin(jt, _), Seq(a, b)))) =>
-        val need = Set(l.name, r.name)
-        val leftHas = tables(a).exists(ts => need.subsetOf(cols(ts)))
-        val rightHas = tables(b).exists(ts => need.subsetOf(cols(ts)))
-        val pushLeft = leftHas && !rightHas && jt != JoinType.Full
-        val pushRight = rightHas && !leftHas && jt == JoinType.Inner
-        if (pushLeft) Some(Node(j, Seq(Node(f, Seq(a)), b)))
-        else if (pushRight) Some(Node(j, Seq(a, Node(f, Seq(b)))))
-        else None // ambiguous, opaque, or outer-join-unsafe: abstain
+        predCols(pred) match {
+          case Some(need) =>
+            val leftHas = tables(a).exists(ts => need.subsetOf(cols(ts)))
+            val rightHas = tables(b).exists(ts => need.subsetOf(cols(ts)))
+            val pushLeft = leftHas && !rightHas && jt != JoinType.Full
+            val pushRight = rightHas && !leftHas && jt == JoinType.Inner
+            if (pushLeft) Some(Node(j, Seq(Node(f, Seq(a)), b)))
+            else if (pushRight) Some(Node(j, Seq(a, Node(f, Seq(b)))))
+            else None // ambiguous, opaque, or outer-join-unsafe: abstain
+          case None => None
+        }
       case _ => None
     }
   }

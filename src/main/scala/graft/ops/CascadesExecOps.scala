@@ -55,10 +55,19 @@ object CascadesExecOps {
   def planAndLower(s: SparkSession, d: String, sql: String,
       rules: Seq[OptRule], cost: CostModel,
       layouts: Map[String, (Seq[Col], Seq[Col])] = Map.empty,
-      catalogOverride: Map[String, DataFrame] = Map.empty)
+      catalogOverride: Map[String, DataFrame] = Map.empty,
+      /** Heuristic REWRITE pass before the cost search — the reference's
+        * own two-stage pipeline (HEP rewrite, then cascades): filter
+        * pushdown through joins runs here because the cascades binder's
+        * opaque group handles make the provenance walk abstain.
+        */
+      hepRules: Seq[OptRule] = Nil)
       : (PlanNode, DataFrame) = {
     val stats = ParquetStats.fromDir(d, tables)
-    val (logical, required) = SqlFrontend.parseQuery(sql, schemaCat, layouts)
+    val (parsed, required) = SqlFrontend.parseQuery(sql, schemaCat, layouts)
+    val logical =
+      if (hepRules.isEmpty) parsed
+      else new HepOptimizer(hepRules).optimize(parsed)
     val opt = new CascadesOptimizer(rules, costModel = cost, stats = stats,
       columns = schemaCat)
     val winner = opt.optimize(logical, required).getOrElse(
@@ -107,7 +116,13 @@ object CascadesExecOps {
   def planFor(s: SparkSession, d: String,
       name: String): (PlanNode, DataFrame) = {
     val (rules, cost) = configs(name)
-    if (name == "cascades_exec_smj_clustered") {
+    if (name == "cascades_exec_selective_filter") {
+      // the reference's two-stage pipeline: HEP pushes the literal
+      // filter onto the orders side, THEN the cost search prices the
+      // filtered build from footer min/max selectivity
+      planAndLower(s, d, sqls(name), rules, cost,
+        hepRules = Seq(Rules.PushFilterThroughJoinRule(schemaCat)))
+    } else if (name == "cascades_exec_smj_clustered") {
       val cust = bucketedTable(s, d, "customer", "c_custkey",
         "graft_bk_customer")
       val ord = bucketedTable(s, d, "orders", "o_custkey",
@@ -160,6 +175,15 @@ object CascadesExecOps {
       ("SELECT o_orderkey, o_custkey FROM orders " +
         "WHERE o_custkey = ( SELECT max ( c_custkey ) FROM customer ) " +
         "ORDER BY o_orderkey"),
+    // SELECTIVITY executed: HEP pushes the literal predicate onto the
+    // orders side, footer min/max prices the filtered build at ~101
+    // rows (o_orderkey uniform on [0, 15k)), and the strategy search
+    // flips to BROADCASTING the filtered fact side — a decision the
+    // blind 10% default provably cannot make (the spec pins the flip)
+    "cascades_exec_selective_filter" ->
+      ("SELECT o_orderkey, c_name FROM customer " +
+        "JOIN orders ON c_custkey = o_custkey " +
+        "WHERE o_orderkey <= 100 ORDER BY o_orderkey"),
     // INTERESTING ORDERS executed: both sides are real bucketed+sorted
     // tables, the layouts catalog tells the search, the winner is a
     // SortMergeJoin with ZERO enforcers, and the executed Spark plan
@@ -187,6 +211,8 @@ object CascadesExecOps {
     "cascades_exec_minmax" ->
       ((Rules.all, new CardinalityCostModel)),
     "cascades_exec_scalar_subquery" ->
+      ((Rules.joinStrategyRules, new ClusterCostModel)),
+    "cascades_exec_selective_filter" ->
       ((Rules.joinStrategyRules, new ClusterCostModel)),
     "cascades_exec_smj_clustered" ->
       ((Rules.fullJoinStrategyRules, new ClusterCostModel)))
@@ -225,6 +251,10 @@ object CascadesExecOps {
       """SELECT o_orderkey, o_custkey FROM orders
          WHERE o_custkey = (SELECT max(c_custkey) FROM customer)
          ORDER BY o_orderkey""",
+    "cascades_exec_selective_filter" ->
+      """SELECT o_orderkey, c_name FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         WHERE o_orderkey <= 100 ORDER BY o_orderkey""",
     // the bucketed tables hold exactly the parquet rows — the oracle
     // reads the originals
     "cascades_exec_smj_clustered" ->

@@ -149,6 +149,47 @@ class CascadesExecSpec extends GraftSuite {
     assert(joinOp(real).isInstanceOf[PhysicalBroadcastHashJoin])
   }
 
+  test("selective_filter: footer min/max selectivity flips the filtered " +
+      "fact side to a broadcast build — the blind 10% default keeps it " +
+      "shuffled") {
+    val sql = CascadesExecOps.sqls("cascades_exec_selective_filter")
+    val (parsed, required) = SqlFrontend.parseQuery(sql)
+    val schemaCat = Map(
+      "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment"),
+      "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority"))
+    val pushed = new HepOptimizer(
+      Seq(Rules.PushFilterThroughJoinRule(schemaCat))).optimize(parsed)
+    // HEP landed the literal filter on the orders input
+    def hasFilterOverScan(p: PlanNode): Boolean = p.op match {
+      case LogicalFilter(CmpCond("<=", Col("o_orderkey"), Lit(100L)), _) =>
+        p.inputs.head.op == LogicalScan("orders")
+      case _ => p.inputs.exists(hasFilterOverScan)
+    }
+    assert(hasFilterOverScan(pushed), pushed.explain())
+    def joinOf(stats: StatsModel): Operator = {
+      val opt = new CascadesOptimizer(Rules.joinStrategyRules,
+        costModel = new ClusterCostModel, stats = stats)
+      val w = opt.optimize(pushed, required).get
+      def find(p: PlanNode): Option[Operator] = p.op match {
+        case j @ (_: PhysicalBroadcastHashJoin | _: PhysicalHashJoin) =>
+          Some(j)
+        case _ => p.inputs.flatMap(find).headOption
+      }
+      find(w).get
+    }
+    val real = ParquetStats.fromDir(d,
+      Seq("customer", "orders"))
+    assert(real.columnRange("o_orderkey").contains((0L, 14999L)), real)
+    // blind: same row counts, NO ranges — filter estimates 10% = 1500
+    // rows, too big to broadcast against a 1500-row probe
+    val blind = TableStats(real.catalog, real.widths)
+    assert(joinOf(blind).isInstanceOf[PhysicalHashJoin])
+    // ranges: ~101 of 15000 rows survive <= 100 — broadcast the build
+    assert(joinOf(real).isInstanceOf[PhysicalBroadcastHashJoin])
+  }
+
   test("footer stats carry the byte axis: width = uncompressed bytes " +
       "per row from row-group metadata") {
     val s = ParquetStats.fromDir(d, Seq("documents", "nation"))
