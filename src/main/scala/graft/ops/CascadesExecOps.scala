@@ -175,6 +175,19 @@ object CascadesExecOps {
       ("SELECT o_orderkey, o_custkey FROM orders " +
         "WHERE o_custkey = ( SELECT max ( c_custkey ) FROM customer ) " +
         "ORDER BY o_orderkey"),
+    // JOIN-ORDER ENUMERATION executed: the SQL's left-deep
+    // ((lineitem ⋈ orders) ⋈ customer) is NOT the winner — the
+    // associativity exploration rewrites to
+    // lineitem ⋈ (orders ⋈ customer), where the dimension broadcasts
+    // into orders FIRST (39k cost units vs 84k) and only then the fact
+    // joins — the System R bushy-tree decision, made by the memo's
+    // winner comparison over footer stats and EXECUTED (the spec pins
+    // the reshaped tree and the broadcast-inside-hash executed plan)
+    "cascades_exec_three_way" ->
+      ("SELECT l_orderkey, l_linenumber, c_name FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY l_orderkey, l_linenumber LIMIT 200"),
     // SELECTIVITY executed: HEP pushes the literal predicate onto the
     // orders side, footer min/max prices the filtered build at ~101
     // rows (o_orderkey uniform on [0, 15k)), and the strategy search
@@ -214,6 +227,12 @@ object CascadesExecOps {
       ((Rules.joinStrategyRules, new ClusterCostModel)),
     "cascades_exec_selective_filter" ->
       ((Rules.joinStrategyRules, new ClusterCostModel)),
+    // enumeration (commute + associate) AND strategy choice in one
+    // search space — needs the columns catalog (the optimizer gets it
+    // in planAndLower), without which associativity abstains everywhere
+    "cascades_exec_three_way" ->
+      ((Rules.joinEnumerationRules :+ Rules.Join2BroadcastJoinRule,
+        new ClusterCostModel)),
     "cascades_exec_smj_clustered" ->
       ((Rules.fullJoinStrategyRules, new ClusterCostModel)))
 
@@ -255,6 +274,11 @@ object CascadesExecOps {
       """SELECT o_orderkey, c_name FROM customer
          JOIN orders ON c_custkey = o_custkey
          WHERE o_orderkey <= 100 ORDER BY o_orderkey""",
+    "cascades_exec_three_way" ->
+      """SELECT l_orderkey, l_linenumber, c_name FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY l_orderkey, l_linenumber LIMIT 200""",
     // the bucketed tables hold exactly the parquet rows — the oracle
     // reads the originals
     "cascades_exec_smj_clustered" ->

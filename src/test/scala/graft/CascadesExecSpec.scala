@@ -190,6 +190,38 @@ class CascadesExecSpec extends GraftSuite {
     assert(joinOf(real).isInstanceOf[PhysicalBroadcastHashJoin])
   }
 
+  test("three_way: the associativity search reshapes the left-deep SQL " +
+      "into fact ⋈ (orders ⋈ broadcast customer), and the executed plan " +
+      "carries both strategy choices") {
+    val (winner, df) =
+      CascadesExecOps.planFor(spark, d, "cascades_exec_three_way")
+    def findJoins(p: PlanNode): Seq[PlanNode] = (p.op match {
+      case _: PhysicalBroadcastHashJoin | _: PhysicalHashJoin |
+          _: PhysicalSortMergeJoin => Seq(p)
+      case _ => Nil
+    }) ++ p.inputs.flatMap(findJoins)
+    val joins = findJoins(winner)
+    assert(joins.length == 2, winner.explain())
+    val top = joins.head
+    // top join: shuffled hash, fact (lineitem) on the probe side, and
+    // its BUILD side is the (orders ⋈ customer) join — the reshaped
+    // right-deep tree, not the SQL's left-deep order
+    assert(top.op.isInstanceOf[PhysicalHashJoin], winner.explain())
+    assert(top.inputs(0).op == PhysicalTableScan("lineitem"),
+      winner.explain())
+    val inner = findJoins(top.inputs(1)).headOption
+      .getOrElse(fail(winner.explain()))
+    assert(inner.op.isInstanceOf[PhysicalBroadcastHashJoin],
+      winner.explain())
+    assert(inner.inputs(0).op == PhysicalTableScan("orders"),
+      winner.explain())
+    assert(inner.inputs(1).op == PhysicalTableScan("customer"),
+      winner.explain())
+    val plan = executedPlan(df)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("footer stats carry the byte axis: width = uncompressed bytes " +
       "per row from row-group metadata") {
     val s = ParquetStats.fromDir(d, Seq("documents", "nation"))
