@@ -52,6 +52,16 @@ trait StatsModel {
     */
   def columnRange(column: String): Option[(Long, Long)] = None
 
+  /** Runtime-OBSERVED output rows of a filter predicate, when a prior
+    * execution measured it — the feedback axis static estimation cannot
+    * reach: a cross-column predicate (`l_partkey = l_suppkey`) has no
+    * range to reason over and falls to the blind 10%, while one counted
+    * execution knows the truth exactly. Spark AQE's runtime stage
+    * statistics are the production counterpart ([[FeedbackStats]] carries
+    * them back into the search). Default: nothing observed.
+    */
+  def observedFilterRows(pred: Expr): Option[Long] = None
+
   /** Estimated bytes per row of a base table (default: two 8-byte
     * columns). The SECOND stats axis — a join decision made on rows
     * alone mis-prices a small-but-wide build side (few rows, huge
@@ -124,7 +134,10 @@ trait StatsModel {
     * filter must make its side broadcast-cheap, which the blind 10%
     * provably cannot see ([[graft.CascadesExecSpec]] pins the flip).
     */
-  private def filtered(pred: Expr, in: Long): Long = pred match {
+  private def filtered(pred: Expr, in: Long): Long =
+    observedFilterRows(pred).getOrElse(estimated(pred, in))
+
+  private def estimated(pred: Expr, in: Long): Long = pred match {
     case CmpCond(op, Col(c), Lit(v)) =>
       columnRange(c) match {
         case Some((lo, hi)) if hi >= lo =>
@@ -159,6 +172,23 @@ final case class TableStats(catalog: Map[String, Long],
     widths.getOrElse(table, 16L)
   override def columnRange(column: String): Option[(Long, Long)] =
     ranges.get(column)
+}
+
+/** A base model plus runtime-observed filter cardinalities keyed by the
+  * exact predicate — the adaptive re-planning loop's second pass: plan
+  * with estimates, execute (or probe) once, feed the measured rows back,
+  * re-search. [[StatsModel.observedFilterRows]] wins over every static
+  * estimate, exactly as AQE's runtime stage statistics override Spark's
+  * logical estimates at re-planning time.
+  */
+final case class FeedbackStats(base: StatsModel,
+    observed: Map[Expr, Long]) extends StatsModel {
+  def tableRows(table: String): Long = base.tableRows(table)
+  override def tableWidth(table: String): Long = base.tableWidth(table)
+  override def columnRange(column: String): Option[(Long, Long)] =
+    base.columnRange(column)
+  override def observedFilterRows(pred: Expr): Option[Long] =
+    observed.get(pred).orElse(base.observedFilterRows(pred))
 }
 
 /** Rows-touched cost: scans pay their output, filters/projections pay their

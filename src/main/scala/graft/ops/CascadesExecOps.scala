@@ -61,9 +61,13 @@ object CascadesExecOps {
         * pushdown through joins runs here because the cascades binder's
         * opaque group handles make the provenance walk abstain.
         */
-      hepRules: Seq[OptRule] = Nil)
+      hepRules: Seq[OptRule] = Nil,
+      /** Replaces the footer-stats model — the adaptive pass feeds
+        * [[FeedbackStats]] (runtime-observed filter rows) through here.
+        */
+      statsOverride: Option[StatsModel] = None)
       : (PlanNode, DataFrame) = {
-    val stats = ParquetStats.fromDir(d, tables)
+    val stats = statsOverride.getOrElse(ParquetStats.fromDir(d, tables))
     val (parsed, required) = SqlFrontend.parseQuery(sql, schemaCat, layouts)
     val logical =
       if (hepRules.isEmpty) parsed
@@ -116,7 +120,25 @@ object CascadesExecOps {
   def planFor(s: SparkSession, d: String,
       name: String): (PlanNode, DataFrame) = {
     val (rules, cost) = configs(name)
-    if (name == "cascades_exec_selective_filter") {
+    if (name == "cascades_exec_adaptive") {
+      // ADAPTIVE RE-PLAN (Spark AQE in MiniCascades miniature): the
+      // cross-column predicate is statically unestimable (no range to
+      // reason over — the model falls to the blind 10%, 6000 rows),
+      // so pass 1's winner shuffles. ONE probe of the filtered side
+      // measures the truth (~40 rows at sf0.01) — a driver-side scalar,
+      // the runtime statistic itself, exactly AQE's shuffle-stage row
+      // count — and pass 2 re-searches with FeedbackStats: the tiny
+      // build now BROADCASTS. The spec pins the estimate→observed gap
+      // and the strategy flip; this query returns the pass-2 execution.
+      import org.apache.spark.sql.functions.col
+      val pred = EqCond(Col("l_partkey"), Col("l_suppkey"))
+      val observed = Tables(s, d).lineitem
+        .filter(col("l_partkey") === col("l_suppkey")).count()
+      planAndLower(s, d, sqls(name), rules, cost,
+        hepRules = Seq(Rules.PushFilterThroughJoinRule(schemaCat)),
+        statsOverride = Some(FeedbackStats(
+          ParquetStats.fromDir(d, tables), Map(pred -> observed))))
+    } else if (name == "cascades_exec_selective_filter") {
       // the reference's two-stage pipeline: HEP pushes the literal
       // filter onto the orders side, THEN the cost search prices the
       // filtered build from footer min/max selectivity
@@ -175,6 +197,14 @@ object CascadesExecOps {
       ("SELECT o_orderkey, o_custkey FROM orders " +
         "WHERE o_custkey = ( SELECT max ( c_custkey ) FROM customer ) " +
         "ORDER BY o_orderkey"),
+    // ADAPTIVE RE-PLAN executed: statically-unestimable predicate →
+    // probe once → FeedbackStats → the re-search flips shuffle to
+    // broadcast (see planFor; the spec pins both passes)
+    "cascades_exec_adaptive" ->
+      ("SELECT o_orderkey, l_linenumber, o_totalprice FROM orders " +
+        "JOIN lineitem ON o_orderkey = l_orderkey " +
+        "WHERE l_partkey = l_suppkey " +
+        "ORDER BY o_orderkey, l_linenumber"),
     // JOIN-ORDER ENUMERATION executed: the SQL's left-deep
     // ((lineitem ⋈ orders) ⋈ customer) is NOT the winner — the
     // associativity exploration rewrites to
@@ -226,6 +256,8 @@ object CascadesExecOps {
     "cascades_exec_scalar_subquery" ->
       ((Rules.joinStrategyRules, new ClusterCostModel)),
     "cascades_exec_selective_filter" ->
+      ((Rules.joinStrategyRules, new ClusterCostModel)),
+    "cascades_exec_adaptive" ->
       ((Rules.joinStrategyRules, new ClusterCostModel)),
     // enumeration (commute + associate) AND strategy choice in one
     // search space — needs the columns catalog (the optimizer gets it
@@ -279,6 +311,11 @@ object CascadesExecOps {
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          ORDER BY l_orderkey, l_linenumber LIMIT 200""",
+    "cascades_exec_adaptive" ->
+      """SELECT o_orderkey, l_linenumber, o_totalprice FROM orders
+         JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE l_partkey = l_suppkey
+         ORDER BY o_orderkey, l_linenumber""",
     // the bucketed tables hold exactly the parquet rows — the oracle
     // reads the originals
     "cascades_exec_smj_clustered" ->

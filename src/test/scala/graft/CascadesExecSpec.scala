@@ -222,6 +222,51 @@ class CascadesExecSpec extends GraftSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("adaptive: the statically-unestimable predicate plans a shuffle " +
+      "on pass 1; runtime-observed rows flip pass 2 to broadcast") {
+    import org.apache.spark.sql.functions.col
+    val sql = CascadesExecOps.sqls("cascades_exec_adaptive")
+    val (parsed, required) = SqlFrontend.parseQuery(sql)
+    val schemaCat = Map(
+      "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"))
+    val pushed = new HepOptimizer(
+      Seq(Rules.PushFilterThroughJoinRule(schemaCat))).optimize(parsed)
+    def joinOf(stats: StatsModel): Operator = {
+      val opt = new CascadesOptimizer(Rules.joinStrategyRules,
+        costModel = new ClusterCostModel, stats = stats)
+      val w = opt.optimize(pushed, required).get
+      def find(p: PlanNode): Option[Operator] = p.op match {
+        case j @ (_: PhysicalBroadcastHashJoin | _: PhysicalHashJoin) =>
+          Some(j)
+        case _ => p.inputs.flatMap(find).headOption
+      }
+      find(w).get
+    }
+    val footer = ParquetStats.fromDir(d, Seq("orders", "lineitem"))
+    // pass 1: the cross-column equality has no range — blind 10% says
+    // 6000 rows, far too big to broadcast against a 15k probe
+    assert(joinOf(footer).isInstanceOf[PhysicalHashJoin])
+    // the runtime statistic: the truth is two orders of magnitude lower
+    val pred = EqCond(Col("l_partkey"), Col("l_suppkey"))
+    val observed = graft.ops.Tables(spark, d).lineitem
+      .filter(col("l_partkey") === col("l_suppkey")).count()
+    assert(observed < 100L, s"observed=$observed")
+    // pass 2: feedback flips the strategy
+    val fed = FeedbackStats(footer, Map(pred -> observed))
+    assert(joinOf(fed).isInstanceOf[PhysicalBroadcastHashJoin])
+    // and the shipped query executes the pass-2 winner
+    val (winner, df) =
+      CascadesExecOps.planFor(spark, d, "cascades_exec_adaptive")
+    def ops(p: PlanNode): Seq[Operator] = p.op +: p.inputs.flatMap(ops)
+    assert(ops(winner).exists(_.isInstanceOf[PhysicalBroadcastHashJoin]),
+      winner.explain())
+    assert(executedPlan(df).contains("BroadcastHashJoin"))
+  }
+
   test("footer stats carry the byte axis: width = uncompressed bytes " +
       "per row from row-group metadata") {
     val s = ParquetStats.fromDir(d, Seq("documents", "nation"))
