@@ -107,6 +107,16 @@ object CascadesExecOps {
       case "orders"   => t.orders
       case other      => sys.error(s"no bucketed source for $other")
     }
+    // idempotent across JVMs: a previous session's managed-table
+    // directory survives in the warehouse while a fresh in-memory
+    // catalog knows nothing of it — DROP covers the registered case and
+    // the explicit location delete covers the orphaned one (otherwise
+    // CREATE trips LOCATION_ALREADY_EXISTS)
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.delete(wh, true)
     df.repartition(8, col(key))
       .write.mode("overwrite").format("parquet")
       .bucketBy(8, key).sortBy(key)

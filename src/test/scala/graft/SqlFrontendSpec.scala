@@ -122,10 +122,21 @@ class SqlFrontendSpec extends GraftSuite {
       "SELECT FROM t1",                 // missing column list
       "SELECT * FROM t1 LIMIT x",       // non-integer limit
       "SELECT * FROM t1 extra",         // trailing tokens
-      "SELECT a FROM t1 WHERE a > b")   // only equality is expressible
+      "SELECT a FROM t1 WHERE a ! b")   // not a comparison operator
     bad.foreach { sql =>
       intercept[IllegalArgumentException](SqlFrontend.parse(sql))
     }
+    // r8: non-equality comparisons joined the WHERE surface — col-vs-col
+    // carries CmpCond, col-vs-int the literal-selectivity shape
+    assert(SqlFrontend.parse("SELECT a FROM t1 WHERE a > b") ==
+      PlanNode(LogicalProject(Seq(Col("a"))),
+        Seq(PlanNode(LogicalFilter(CmpCond(">", Col("a"), Col("b")), Nil),
+          Seq(PlanNode(LogicalScan("t1")))))))
+    assert(SqlFrontend.parse("SELECT a FROM t1 WHERE a <= 42") ==
+      PlanNode(LogicalProject(Seq(Col("a"))),
+        Seq(PlanNode(
+          LogicalFilter(CmpCond("<=", Col("a"), Lit(42L)), Nil),
+          Seq(PlanNode(LogicalScan("t1")))))))
   }
 
   test("ORDER BY lowers to a required sort PROPERTY, the cascades search " +
