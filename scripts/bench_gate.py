@@ -53,8 +53,14 @@ def main():
     ref, new = medians(ref_path), medians(new_path)
     regressed, added = [], sorted(set(new) - set(ref))
     for q in sorted(set(ref) & set(new)):
+        # streaming: removing the machinery constant makes sub-second
+        # ambient drift look like a huge plan-work ratio, so the ratio
+        # check additionally requires a REAL absolute movement (>= 1 s)
+        # before flagging — a genuine 2x plan regression always moves
+        # whole seconds; +-0.3 s of state-store startup drift never does
+        abs_guard = (new[q] - ref[q] >= 1.0) if "stream" in q else True
         if (plan_work(q, new[q]) > factor * plan_work(q, ref[q])
-                and new[q] > floor):
+                and new[q] > floor and abs_guard):
             regressed.append((q, ref[q], new[q]))
     for q in added:
         print(f"NEW     {q}: {new[q]:.3f}s (no recorded median)")
