@@ -50,6 +50,7 @@ def main():
     raw, out = sys.argv[1], sys.argv[2]
     legs = parse(raw)
     small, big = legs["sf0.1"], legs["sf1"]
+    mid = legs.get("sf0.3", {}).get("medians", {})
     rows = []
     for q in sorted(small["medians"]):
         if q == "q5_region_revenue_fast_sums" or q not in big["medians"]:
@@ -58,8 +59,18 @@ def main():
         ratio = b / a if a > 0 else float("inf")
         bucket = ("sublinear" if ratio < 5
                   else "linear" if ratio <= 13 else "superlinear")
-        rows.append({"query": q, "sf0.1_s": a, "sf1_s": b,
-                     "ratio": round(ratio, 2), "bucket": bucket})
+        row = {"query": q, "sf0.1_s": a, "sf1_s": b,
+               "ratio": round(ratio, 2), "bucket": bucket}
+        # implied scaling exponent: t ~ data^alpha (alpha 1 = linear);
+        # with the sf0.3 midpoint the curve has three points and the
+        # exponent comes from the endpoints, curvature is visible in
+        # the mid ratio
+        import math
+        row["alpha"] = round(math.log(max(ratio, 1e-9)) / math.log(10), 2)
+        if q in mid:
+            row["sf0.3_s"] = mid[q]
+            row["ratio_0.3"] = round(mid[q] / a, 2) if a > 0 else None
+        rows.append(row)
     rows.sort(key=lambda r: -r["ratio"])
     doc = {
         "protocol": {

@@ -207,6 +207,16 @@ object CascadesExecOps {
       ("SELECT o_orderkey, o_custkey FROM orders " +
         "WHERE o_custkey = ( SELECT max ( c_custkey ) FROM customer ) " +
         "ORDER BY o_orderkey"),
+    // OUTER JOIN through the cascades lifecycle: LEFT join lowering
+    // (null-extended embedding columns for the 300 docs without a
+    // vector — the "rows missing enrichment" pipeline shape); the
+    // broadcast rule correctly stays legal (build side is the right,
+    // whose unmatched rows never emit) and the cost search picks the
+    // shuffled build at these sizes
+    "cascades_exec_left_join" ->
+      ("SELECT doc_id, lang, label FROM documents " +
+        "LEFT JOIN embeddings ON doc_id = vec_id " +
+        "ORDER BY doc_id"),
     // ADAPTIVE RE-PLAN executed: statically-unestimable predicate →
     // probe once → FeedbackStats → the re-search flips shuffle to
     // broadcast (see planFor; the spec pins both passes)
@@ -269,6 +279,8 @@ object CascadesExecOps {
       ((Rules.joinStrategyRules, new ClusterCostModel)),
     "cascades_exec_adaptive" ->
       ((Rules.joinStrategyRules, new ClusterCostModel)),
+    "cascades_exec_left_join" ->
+      ((Rules.joinStrategyRules, new ClusterCostModel)),
     // enumeration (commute + associate) AND strategy choice in one
     // search space — needs the columns catalog (the optimizer gets it
     // in planAndLower), without which associativity abstains everywhere
@@ -326,6 +338,10 @@ object CascadesExecOps {
          JOIN lineitem ON o_orderkey = l_orderkey
          WHERE l_partkey = l_suppkey
          ORDER BY o_orderkey, l_linenumber""",
+    "cascades_exec_left_join" ->
+      """SELECT doc_id, lang, label FROM documents
+         LEFT JOIN embeddings ON doc_id = vec_id
+         ORDER BY doc_id""",
     // the bucketed tables hold exactly the parquet rows — the oracle
     // reads the originals
     "cascades_exec_smj_clustered" ->

@@ -41,6 +41,13 @@ class CascadesExecSpec extends GraftSuite {
     own ++ p.inputs.flatMap(marks)
   }
 
+  test("exec maps align: every sql has a config and an oracle") {
+    assert(CascadesExecOps.sqls.keySet == CascadesExecOps.configs.keySet,
+      CascadesExecOps.sqls.keySet.diff(CascadesExecOps.configs.keySet))
+    assert(CascadesExecOps.sqls.keySet == CascadesExecOps.oracles.keySet,
+      CascadesExecOps.sqls.keySet.diff(CascadesExecOps.oracles.keySet))
+  }
+
   test("every exec query's executed SparkPlan carries its winner's " +
       "operator choices") {
     CascadesExecOps.sqls.keys.foreach { name =>
