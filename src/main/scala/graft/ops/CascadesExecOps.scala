@@ -207,6 +207,14 @@ object CascadesExecOps {
       ("SELECT o_orderkey, o_custkey FROM orders " +
         "WHERE o_custkey = ( SELECT max ( c_custkey ) FROM customer ) " +
         "ORDER BY o_orderkey"),
+    // AGGREGATE OVER JOIN: the full distributed pyramid in one winner —
+    // Sort(Final(Exchange(Partial(BroadcastHashJoin(fact, dim))))) —
+    // the dimension broadcasts below, the partial aggregate shrinks the
+    // joined stream before the only shuffle, the final merges per key
+    "cascades_exec_join_agg" ->
+      ("SELECT n_name, count ( * ), sum ( c_custkey ) FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name"),
     // OUTER JOIN through the cascades lifecycle: LEFT join lowering
     // (null-extended embedding columns for the 300 docs without a
     // vector — the "rows missing enrichment" pipeline shape); the
@@ -281,6 +289,8 @@ object CascadesExecOps {
       ((Rules.joinStrategyRules, new ClusterCostModel)),
     "cascades_exec_left_join" ->
       ((Rules.joinStrategyRules, new ClusterCostModel)),
+    "cascades_exec_join_agg" ->
+      ((Rules.joinStrategyRules, new ClusterCostModel)),
     // enumeration (commute + associate) AND strategy choice in one
     // search space — needs the columns catalog (the optimizer gets it
     // in planAndLower), without which associativity abstains everywhere
@@ -342,6 +352,11 @@ object CascadesExecOps {
       """SELECT doc_id, lang, label FROM documents
          LEFT JOIN embeddings ON doc_id = vec_id
          ORDER BY doc_id""",
+    "cascades_exec_join_agg" ->
+      """SELECT n_name, count(*) AS cnt,
+           CAST(sum(c_custkey) AS BIGINT) AS sum_c_custkey
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
     // the bucketed tables hold exactly the parquet rows — the oracle
     // reads the originals
     "cascades_exec_smj_clustered" ->
