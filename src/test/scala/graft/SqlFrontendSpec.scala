@@ -83,8 +83,19 @@ class SqlFrontendSpec extends GraftSuite {
         }
         (jt, s"t$j", Col(s"l$j"), Col(s"r$j"))
       }
-      val where = if (rnd.nextBoolean()) Some(EqCond(Col("wa"), Col("wb")))
-        else None
+      // the r8 WHERE surface: col = col (EqCond), col cmp col, and
+      // col cmp int-literal (CmpCond) are all drawn
+      val cmps = Seq("=", "<", ">", "<=", ">=")
+      val where: Option[Expr] = rnd.nextInt(4) match {
+        case 0 => Some(EqCond(Col("wa"), Col("wb")))
+        case 1 =>
+          val op = cmps(1 + rnd.nextInt(4)) // non-= keeps CmpCond shape
+          Some(CmpCond(op, Col("wa"), Col("wb")))
+        case 2 =>
+          val op = cmps(rnd.nextInt(5))
+          Some(CmpCond(op, Col("wa"), Lit(rnd.nextInt(1000).toLong)))
+        case _ => None
+      }
       val proj = if (rnd.nextBoolean())
         Some((0 to rnd.nextInt(3)).map(k => Col(s"c$k"))) else None
       val limit = if (rnd.nextBoolean()) Some(1 + rnd.nextInt(99)) else None
@@ -100,15 +111,27 @@ class SqlFrontendSpec extends GraftSuite {
         }
         sql ++= s" $kw $t ON ${l.name} = ${r.name}"
       }
-      where.foreach(c => sql ++= s" WHERE ${c.left.name} = ${c.right.name}")
+      where.foreach {
+        case EqCond(l, r) => sql ++= s" WHERE ${l.name} = ${r.name}"
+        case CmpCond(op, Col(l), Col(r)) => sql ++= s" WHERE $l $op $r"
+        case CmpCond(op, Col(l), Lit(v)) => sql ++= s" WHERE $l $op $v"
+        case other => fail(s"unexpected pred $other")
+      }
       limit.foreach(n => sql ++= s" LIMIT $n")
-      // expected IR, constructed independently of the parser
+      // expected IR, constructed independently of the parser: an
+      // equality over two columns keeps the reference's EqCond shape
       var want = PlanNode(LogicalScan("t0"))
       joins.foreach { case (jt, t, l, r) =>
         want = PlanNode(LogicalJoin(jt, EqCond(l, r)),
           Seq(want, PlanNode(LogicalScan(t))))
       }
-      where.foreach(c => want = PlanNode(LogicalFilter(c, Nil), Seq(want)))
+      where.foreach { c =>
+        val pred = c match {
+          case CmpCond("=", l: Col, r: Col) => EqCond(l, r)
+          case other                        => other
+        }
+        want = PlanNode(LogicalFilter(pred, Nil), Seq(want))
+      }
       proj.foreach(cols =>
         want = PlanNode(LogicalProject(cols), Seq(want)))
       limit.foreach(n => want = PlanNode(LogicalLimit(n), Seq(want)))
