@@ -154,6 +154,13 @@ object CascadesExecOps {
       // filtered build from footer min/max selectivity
       planAndLower(s, d, sqls(name), rules, cost,
         hepRules = Seq(Rules.PushFilterThroughJoinRule(schemaCat)))
+    } else if (name == "cascades_exec_agg_clustered") {
+      val cust = bucketedTable(s, d, "customer", "c_custkey",
+        "graft_bk_customer")
+      planAndLower(s, d, sqls(name), rules, cost,
+        layouts = Map("customer" ->
+          ((Seq(Col("c_custkey")), Seq(Col("c_custkey"))))),
+        catalogOverride = Map("customer" -> cust))
     } else if (name == "cascades_exec_smj_clustered") {
       val cust = bucketedTable(s, d, "customer", "c_custkey",
         "graft_bk_customer")
@@ -255,6 +262,16 @@ object CascadesExecOps {
       ("SELECT o_orderkey, c_name FROM customer " +
         "JOIN orders ON c_custkey = o_custkey " +
         "WHERE o_orderkey <= 100 ORDER BY o_orderkey"),
+    // INTERESTING PARTITIONINGS executed, the aggregation counterpart
+    // of the SMJ demo: the group keys equal the bucket keys, so the
+    // Complete-mode aggregate's required Hashed(c_custkey) is satisfied
+    // by the CLUSTERED SCAN itself — the winner carries no exchange and
+    // beats the two-phase split (whose extra pass buys nothing when the
+    // input is already co-partitioned), and the executed Spark plan
+    // aggregates the bucketed table with ZERO shuffles
+    "cascades_exec_agg_clustered" ->
+      ("SELECT c_custkey, count ( * ) FROM customer " +
+        "GROUP BY c_custkey ORDER BY c_custkey LIMIT 50"),
     // INTERESTING ORDERS executed: both sides are real bucketed+sorted
     // tables, the layouts catalog tells the search, the winner is a
     // SortMergeJoin with ZERO enforcers, and the executed Spark plan
@@ -298,7 +315,9 @@ object CascadesExecOps {
       ((Rules.joinEnumerationRules :+ Rules.Join2BroadcastJoinRule,
         new ClusterCostModel)),
     "cascades_exec_smj_clustered" ->
-      ((Rules.fullJoinStrategyRules, new ClusterCostModel)))
+      ((Rules.fullJoinStrategyRules, new ClusterCostModel)),
+    "cascades_exec_agg_clustered" ->
+      ((Rules.all, new CardinalityCostModel)))
 
   def queries: Map[String, Q] =
     sqls.keys.map(name =>
@@ -357,6 +376,9 @@ object CascadesExecOps {
            CAST(sum(c_custkey) AS BIGINT) AS sum_c_custkey
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+    "cascades_exec_agg_clustered" ->
+      """SELECT c_custkey, count(*) AS cnt FROM customer
+         GROUP BY c_custkey ORDER BY c_custkey LIMIT 50""",
     // the bucketed tables hold exactly the parquet rows — the oracle
     // reads the originals
     "cascades_exec_smj_clustered" ->

@@ -274,6 +274,27 @@ class CascadesExecSpec extends GraftSuite {
     assert(executedPlan(df).contains("BroadcastHashJoin"))
   }
 
+  test("agg_clustered: group keys = bucket keys, so the Complete-mode " +
+      "aggregate wins with NO exchange and the executed plan aggregates " +
+      "the bucketed table shuffle-free") {
+    val (winner, df) =
+      CascadesExecOps.planFor(spark, d, "cascades_exec_agg_clustered")
+    def ops(p: PlanNode): Seq[Operator] = p.op +: p.inputs.flatMap(ops)
+    val w = ops(winner)
+    assert(w.exists {
+      case PhysicalHashAggregate(AggMode.Complete, _, _) => true
+      case _ => false
+    }, winner.explain())
+    assert(!w.exists(_.isInstanceOf[PhysicalExchange]), winner.explain())
+    assert(!w.exists {
+      case PhysicalHashAggregate(AggMode.Partial, _, _) => true
+      case _ => false
+    }, winner.explain())
+    val plan = executedPlan(df)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"clustered aggregation must not shuffle:\n$plan")
+  }
+
   test("footer stats carry the byte axis: width = uncompressed bytes " +
       "per row from row-group metadata") {
     val s = ParquetStats.fromDir(d, Seq("documents", "nation"))
