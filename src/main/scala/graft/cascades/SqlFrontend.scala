@@ -17,8 +17,10 @@ package graft.cascades
   *     item := col | COUNT(*) | (SUM|MIN|MAX|AVG)(col)
   * FROM table
   * [ (JOIN | LEFT JOIN | FULL JOIN) table ON col = col ]*
-  * [ WHERE col cmp ( col | int | '(' scalar-subquery ')' ) ]
-  *     (subquery only with cmp `=`; cmp ∈ = < > <= >=)
+  * [ WHERE pred [AND pred]* ]
+  *     pred := col cmp ( col | int | '(' scalar-subquery ')' )
+  *     (subquery only with cmp `=`; cmp ∈ = < > <= >=; each conjunct
+  *      stacks its own LogicalFilter — CNF by construction)
   *     scalar-subquery := SELECT aggitem FROM table [ WHERE col = col ]
   * [ GROUP BY col [, col]* ]            (iff an aggregate item appears)
   * [ HAVING ( aggitem | col ) cmp int ] (cmp ∈ = < > <= >=)
@@ -110,34 +112,43 @@ object SqlFrontend {
       joined = true
     }
     if (p.peekKw("WHERE")) {
+      // conjunction: each AND-separated predicate stacks its own
+      // [[LogicalFilter]] (CNF-by-construction), so the HEP fixed point
+      // pushes each conjunct independently to whichever join side
+      // provides its columns — two conjuncts over a join can land on
+      // OPPOSITE sides, each with its own selectivity estimate
       p.next()
-      val l = Col(p.ident())
-      val cmp = p.cmpOp()
-      if (cmp == "=" && p.peek.contains("(")) {
-        // scalar subquery: decorrelate to an inner join against the
-        // subquery's single-row global aggregate — the equality IS the
-        // join condition, so the whole query stays in the relational IR
-        p.next()
-        val (subPlan, outCol) = scalarSubquery(p, scanOf)
-        p.expectKw(")")
-        plan = PlanNode(LogicalJoin(JoinType.Inner, EqCond(l, outCol)),
-          Seq(plan, subPlan))
-      } else if (p.peek.exists(t => t.nonEmpty && t.forall(_.isDigit))) {
-        // column-vs-integer-literal predicate: the r8 selectivity
-        // surface — [[StatsModel.columnRange]] prices it from footer
-        // min/max instead of the blind 10%
-        val v = p.int()
-        plan = PlanNode(
-          LogicalFilter(CmpCond(cmp, l, Lit(v.toLong)), Nil), Seq(plan))
-      } else {
-        val r = Col(p.ident())
-        // projected_columns empty = keep all (operator/filter.rs:14-27
-        // carries the projection list separately from the predicate);
-        // equality keeps the reference's EqCond shape, other
-        // comparisons carry the r8 CmpCond
-        val pred: Expr =
-          if (cmp == "=") EqCond(l, r) else CmpCond(cmp, l, r)
-        plan = PlanNode(LogicalFilter(pred, Nil), Seq(plan))
+      var more = true
+      while (more) {
+        val l = Col(p.ident())
+        val cmp = p.cmpOp()
+        if (cmp == "=" && p.peek.contains("(")) {
+          // scalar subquery: decorrelate to an inner join against the
+          // subquery's single-row global aggregate — the equality IS the
+          // join condition, so the whole query stays in the relational IR
+          p.next()
+          val (subPlan, outCol) = scalarSubquery(p, scanOf)
+          p.expectKw(")")
+          plan = PlanNode(LogicalJoin(JoinType.Inner, EqCond(l, outCol)),
+            Seq(plan, subPlan))
+        } else if (p.peek.exists(t => t.nonEmpty && t.forall(_.isDigit))) {
+          // column-vs-integer-literal predicate: the r8 selectivity
+          // surface — [[StatsModel.columnRange]] prices it from footer
+          // min/max instead of the blind 10%
+          val v = p.int()
+          plan = PlanNode(
+            LogicalFilter(CmpCond(cmp, l, Lit(v.toLong)), Nil), Seq(plan))
+        } else {
+          val r = Col(p.ident())
+          // projected_columns empty = keep all (operator/filter.rs:14-27
+          // carries the projection list separately from the predicate);
+          // equality keeps the reference's EqCond shape, other
+          // comparisons carry the r8 CmpCond
+          val pred: Expr =
+            if (cmp == "=") EqCond(l, r) else CmpCond(cmp, l, r)
+          plan = PlanNode(LogicalFilter(pred, Nil), Seq(plan))
+        }
+        if (p.peekKw("AND")) p.next() else more = false
       }
     }
     if (aggCalls.nonEmpty) {

@@ -130,7 +130,10 @@ object CascadesExecOps {
   def planFor(s: SparkSession, d: String,
       name: String): (PlanNode, DataFrame) = {
     val (rules, cost) = configs(name)
-    if (name == "cascades_exec_adaptive") {
+    if (name == "cascades_exec_conjunction") {
+      planAndLower(s, d, sqls(name), rules, cost,
+        hepRules = Seq(Rules.PushFilterThroughJoinRule(schemaCat)))
+    } else if (name == "cascades_exec_adaptive") {
       // ADAPTIVE RE-PLAN (Spark AQE in MiniCascades miniature): the
       // cross-column predicate is statically unestimable (no range to
       // reason over — the model falls to the blind 10%, 6000 rows),
@@ -213,6 +216,15 @@ object CascadesExecOps {
     "cascades_exec_scalar_subquery" ->
       ("SELECT o_orderkey, o_custkey FROM orders " +
         "WHERE o_custkey = ( SELECT max ( c_custkey ) FROM customer ) " +
+        "ORDER BY o_orderkey"),
+    // CONJUNCTION pushed to OPPOSITE join sides: each AND conjunct is
+    // its own filter, the HEP fixed point lands the orders predicate on
+    // the right scan and the customer predicate on the left scan, and
+    // both selectivities price from footer ranges
+    "cascades_exec_conjunction" ->
+      ("SELECT o_orderkey, c_name FROM customer " +
+        "JOIN orders ON c_custkey = o_custkey " +
+        "WHERE o_orderkey <= 500 AND c_custkey <= 300 " +
         "ORDER BY o_orderkey"),
     // AGGREGATE OVER JOIN: the full distributed pyramid in one winner —
     // Sort(Final(Exchange(Partial(BroadcastHashJoin(fact, dim))))) —
@@ -308,6 +320,8 @@ object CascadesExecOps {
       ((Rules.joinStrategyRules, new ClusterCostModel)),
     "cascades_exec_join_agg" ->
       ((Rules.joinStrategyRules, new ClusterCostModel)),
+    "cascades_exec_conjunction" ->
+      ((Rules.joinStrategyRules, new ClusterCostModel)),
     // enumeration (commute + associate) AND strategy choice in one
     // search space — needs the columns catalog (the optimizer gets it
     // in planAndLower), without which associativity abstains everywhere
@@ -371,6 +385,11 @@ object CascadesExecOps {
       """SELECT doc_id, lang, label FROM documents
          LEFT JOIN embeddings ON doc_id = vec_id
          ORDER BY doc_id""",
+    "cascades_exec_conjunction" ->
+      """SELECT o_orderkey, c_name FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         WHERE o_orderkey <= 500 AND c_custkey <= 300
+         ORDER BY o_orderkey""",
     "cascades_exec_join_agg" ->
       """SELECT n_name, count(*) AS cnt,
            CAST(sum(c_custkey) AS BIGINT) AS sum_c_custkey

@@ -295,6 +295,35 @@ class CascadesExecSpec extends GraftSuite {
       s"clustered aggregation must not shuffle:\n$plan")
   }
 
+  test("conjunction: the two AND conjuncts land on OPPOSITE join sides " +
+      "(HEP fixed point), each directly over its scan") {
+    val (winner, _) =
+      CascadesExecOps.planFor(spark, d, "cascades_exec_conjunction")
+    def findJoin(p: PlanNode): Option[PlanNode] = p.op match {
+      case _: PhysicalBroadcastHashJoin | _: PhysicalHashJoin |
+          _: PhysicalSortMergeJoin => Some(p)
+      case _ => p.inputs.flatMap(findJoin).headOption
+    }
+    val j = findJoin(winner).getOrElse(fail(winner.explain()))
+    def filterOverScan(p: PlanNode, colName: String,
+        table: String): Boolean = p.op match {
+      case PhysicalFilter(CmpCond("<=", Col(c), Lit(_)), _) =>
+        c == colName && p.inputs.head.op == PhysicalTableScan(table)
+      case _ => p.inputs.exists(filterOverScan(_, colName, table))
+    }
+    // side-agnostic (the commute rule may flip the build side): each
+    // conjunct sits directly over ITS OWN scan somewhere under the join
+    assert(filterOverScan(j, "c_custkey", "customer"), winner.explain())
+    assert(filterOverScan(j, "o_orderkey", "orders"), winner.explain())
+    // and they landed on different children (opposite sides)
+    val leftHasC = filterOverScan(j.inputs(0), "c_custkey", "customer")
+    val rightHasC = filterOverScan(j.inputs(1), "c_custkey", "customer")
+    val leftHasO = filterOverScan(j.inputs(0), "o_orderkey", "orders")
+    val rightHasO = filterOverScan(j.inputs(1), "o_orderkey", "orders")
+    assert((leftHasC && rightHasO) || (rightHasC && leftHasO),
+      winner.explain())
+  }
+
   test("footer stats carry the byte axis: width = uncompressed bytes " +
       "per row from row-group metadata") {
     val s = ParquetStats.fromDir(d, Seq("documents", "nation"))
