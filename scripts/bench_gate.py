@@ -57,10 +57,15 @@ def main():
         # ambient drift look like a huge plan-work ratio, so the ratio
         # check additionally requires a REAL absolute movement (>= 1 s)
         # before flagging — a genuine 2x plan regression always moves
-        # whole seconds; +-0.3 s of state-store startup drift never does
-        abs_guard = (new[q] - ref[q] >= 1.0) if "stream" in q else True
-        if (plan_work(q, new[q]) > factor * plan_work(q, ref[q])
-                and new[q] > floor and abs_guard):
+        # whole seconds; +-0.3 s of state-store startup drift never does.
+        # Escape hatch for small-but-real streaming plan regressions the
+        # absolute guard would otherwise hide forever (ADVICE r8): a
+        # plan-work ratio beyond 3x trips regardless of absolute movement.
+        ratio_ok = plan_work(q, new[q]) > factor * plan_work(q, ref[q])
+        big_ratio = plan_work(q, new[q]) > 3.0 * plan_work(q, ref[q])
+        abs_guard = ((new[q] - ref[q] >= 1.0) or big_ratio) \
+            if "stream" in q else True
+        if ratio_ok and new[q] > floor and abs_guard:
             regressed.append((q, ref[q], new[q]))
     for q in added:
         print(f"NEW     {q}: {new[q]:.3f}s (no recorded median)")

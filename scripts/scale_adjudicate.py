@@ -16,7 +16,9 @@ The data is 10 structure-preserving copies (tools/ScaleGen), so the
 EXPECTED cost ratio of a per-copy-local query is exactly 10; candidate-pair
 queries may legitimately exceed it slightly (cross-copy hash collisions).
 
-Usage: scale_adjudicate.py <raw_capture> <out_json>
+Usage: scale_adjudicate.py <raw_capture> <out_json> [generator_note]
+(generator_note overrides protocol.generator — used by the skew leg,
+whose sf1 data comes from ScaleGen's group-growth mode)
 """
 import json
 import sys
@@ -33,11 +35,24 @@ def parse(path):
             elif line.startswith("{") and cur is not None:
                 d = json.loads(line)
                 if d.get("metric") == "runs":
+                    # median of an even-length repeat list = mean of the
+                    # two middle elements (the upper-element shortcut
+                    # biased even captures high — ADVICE r8)
+                    def med(r):
+                        s = sorted(r)
+                        mid = len(s) // 2
+                        return (s[mid] if len(s) % 2 == 1
+                                else (s[mid - 1] + s[mid]) / 2.0)
                     legs[cur]["medians"] = {
-                        q: sorted(r)[len(r) // 2]
-                        for q, r in d["queries"].items()
+                        q: med(r) for q, r in d["queries"].items()
                         if all(x >= 0 for x in r)
                     }
+                    # a query with ANY negative timing FAILED in this leg:
+                    # surface it loudly instead of silently dropping the
+                    # row from the verdict (ADVICE r8)
+                    legs[cur]["failed"] = sorted(
+                        q for q, r in d["queries"].items()
+                        if any(x < 0 for x in r))
                     legs[cur]["repeats"] = d.get("repeats")
                 elif d.get("metric") == "total" and "top_slowest" not in d:
                     legs[cur]["total"] = d.get("value")
@@ -72,10 +87,12 @@ def main():
             row["ratio_0.3"] = round(mid[q] / a, 2) if a > 0 else None
         rows.append(row)
     rows.sort(key=lambda r: -r["ratio"])
+    note = (sys.argv[3] if len(sys.argv) > 3 else
+            "tools/ScaleGen: 10 key-shifted salted copies of "
+            "sf0.1 (exactly-linear ground truth)")
     doc = {
         "protocol": {
-            "generator": "tools/ScaleGen: 10 key-shifted salted copies of "
-                         "sf0.1 (exactly-linear ground truth)",
+            "generator": note,
             "data_ratio": 10,
             "legs": {k: {"sf_dir": v.get("sf_dir"),
                          "repeats": v.get("repeats"),
@@ -94,6 +111,10 @@ def main():
                             if r["bucket"] == "superlinear"],
             "median_ratio": sorted(r["ratio"] for r in rows)[len(rows) // 2]
             if rows else None,
+            # per-leg failures (negative timings): a leg with failures
+            # must not masquerade as a clean sublinear run
+            "failed": {k: v.get("failed", []) for k, v in legs.items()
+                       if v.get("failed")},
         },
     }
     with open(out, "w") as f:
@@ -101,8 +122,12 @@ def main():
     for r in rows:
         print(f"{r['query']:32s} {r['sf0.1_s']:7.2f}s {r['sf1_s']:8.2f}s "
               f"{r['ratio']:6.2f}x {r['bucket']}")
+    for leg, failed in doc["summary"].get("failed", {}).items():
+        for q in failed:
+            print(f"FAILED  {q}: negative timing in leg {leg}")
     print(f"\nmedian ratio {doc['summary']['median_ratio']}; "
-          f"superlinear: {doc['summary']['superlinear'] or 'none'}")
+          f"superlinear: {doc['summary']['superlinear'] or 'none'}; "
+          f"failed: {doc['summary'].get('failed') or 'none'}")
 
 
 if __name__ == "__main__":
