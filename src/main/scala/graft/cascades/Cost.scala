@@ -41,6 +41,25 @@ object ConstantCostModel extends CostModel {
 trait StatsModel {
   def tableRows(table: String): Long
 
+  /** Observed (min, max) of a STRING column from footer statistics, when
+    * known — the text axis of range selectivity: an out-of-range string
+    * equality provably selects nothing, and ordered comparisons price by
+    * byte interpolation between the bounds (DB2-style character
+    * interpolation; Spark CBO interpolates numeric ranges the same way).
+    * Default: unknown.
+    */
+  def columnRangeStr(column: String): Option[(String, String)] = None
+
+  /** Distinct-value-count estimate of a column, when known — from parquet
+    * DICTIONARY pages ([[ParquetStats]]: a dictionary-encoded column
+    * chunk's dictionary size IS its per-row-group NDV; the max across row
+    * groups is a lower bound on table NDV, which UNDERestimates NDV and
+    * therefore OVERestimates equality output — the conservative
+    * direction for broadcast decisions). The `stat.rs:5-21` `ndv` field
+    * the reference declares and never computes. Default: unknown.
+    */
+  def columnNdv(column: String): Option[Long] = None
+
   /** Observed (min, max) of an integer column, when known — the THIRD
     * stats axis (after rows and width): parquet footers carry per-column
     * min/max in every row group ([[ParquetStats]] aggregates them), which
@@ -79,6 +98,14 @@ trait StatsModel {
     op match {
       case LogicalScan(t, _, _, _) => tableWidth(t)
       case PhysicalTableScan(t, _, _, _) => tableWidth(t)
+      // semi/anti joins emit LEFT rows only — no width concatenation
+      case LogicalJoin(JoinType.Semi | JoinType.Anti, _) => inputWidths(0)
+      case PhysicalHashJoin(JoinType.Semi | JoinType.Anti, _) =>
+        inputWidths(0)
+      case PhysicalBroadcastHashJoin(JoinType.Semi | JoinType.Anti, _) =>
+        inputWidths(0)
+      case PhysicalSortMergeJoin(JoinType.Semi | JoinType.Anti, _) =>
+        inputWidths(0)
       case _: LogicalJoin | _: PhysicalHashJoin |
           _: PhysicalBroadcastHashJoin | _: PhysicalSortMergeJoin =>
         inputWidths(0) + inputWidths(1)
@@ -91,6 +118,14 @@ trait StatsModel {
     case LogicalFilter(p, _)  => filtered(p, inputRows.head)
     case PhysicalFilter(p, _) => filtered(p, inputRows.head)
     case _: LogicalProject | _: PhysicalProject => inputRows.head
+    // semi/anti joins emit a SUBSET of left rows — |A| is the honest
+    // upper bound (the schema-less IR has no containment statistic)
+    case LogicalJoin(JoinType.Semi | JoinType.Anti, _) => inputRows(0)
+    case PhysicalHashJoin(JoinType.Semi | JoinType.Anti, _) => inputRows(0)
+    case PhysicalBroadcastHashJoin(JoinType.Semi | JoinType.Anti, _) =>
+      inputRows(0)
+    case PhysicalSortMergeJoin(JoinType.Semi | JoinType.Anti, _) =>
+      inputRows(0)
     case _: LogicalJoin | _: PhysicalHashJoin |
         _: PhysicalBroadcastHashJoin | _: PhysicalSortMergeJoin =>
       // FK-join heuristic: |A ⋈ B| ~ max(|A|,|B|) — symmetric, so the
@@ -137,7 +172,18 @@ trait StatsModel {
   private def filtered(pred: Expr, in: Long): Long =
     observedFilterRows(pred).getOrElse(estimated(pred, in))
 
-  private def estimated(pred: Expr, in: Long): Long = pred match {
+  private def estimated(pred: Expr, in: Long): Long =
+    math.max(1L, math.round(in * selectivity(pred, in)))
+
+  /** Selectivity in [0, 1] of one predicate. Disjunctions combine their
+    * disjuncts' selectivities under the textbook independence assumption
+    * (`1 − ∏(1 − fᵢ)` — exact for disjoint ranges, an overcount for
+    * overlapping ones, never an undercount); everything unestimable keeps
+    * the fixed 10% fallback.
+    */
+  private def selectivity(pred: Expr, in: Long): Double = pred match {
+    case OrCond(ds) =>
+      math.min(1.0, 1.0 - ds.map(d => 1.0 - selectivity(d, in)).product)
     case CmpCond(op, Col(c), Lit(v)) =>
       columnRange(c) match {
         case Some((lo, hi)) if hi >= lo =>
@@ -149,11 +195,55 @@ trait StatsModel {
             case ">"  => (hi - v).toDouble / width
             case _    => 1.0 / width // "="
           }
-          math.max(1L,
-            math.round(in * math.min(1.0, math.max(0.0, frac))))
-        case _ => math.max(1L, in / 10)
+          math.min(1.0, math.max(0.0, frac))
+        case _ => 0.1
       }
-    case _ => math.max(1L, in / 10)
+    case CmpCond(op, Col(c), StrLit(v)) =>
+      columnRangeStr(c) match {
+        case Some((lo, hi)) if lo <= hi =>
+          op match {
+            case "=" =>
+              // out of the footer range: provably empty (floored to one
+              // row by the caller); in range: 1/NDV from the dictionary
+              // axis when known, else the blind fallback
+              if (v < lo || v > hi) 0.0
+              else columnNdv(c).fold(0.1)(n => 1.0 / math.max(1L, n))
+            case _ =>
+              // ordered comparison: byte interpolation of v's position
+              // between the bounds (uniformity over the byte span)
+              val pos = StatsModel.strPos(v, lo, hi)
+              val frac = op match {
+                case "<=" | "<" => pos
+                case _          => 1.0 - pos // ">=" | ">"
+              }
+              math.min(1.0, math.max(0.0, frac))
+          }
+        case _ => 0.1
+      }
+    case _ => 0.1
+  }
+}
+
+object StatsModel {
+  /** Fractional position of `v` within [lo, hi] by 8-byte big-endian
+    * interpolation of each string's UTF-8 prefix — the classic character
+    * interpolation for string range selectivity. Clamped to [0, 1];
+    * degenerate ranges (lo == hi) return 1 iff v >= lo.
+    */
+  def strPos(v: String, lo: String, hi: String): Double = {
+    def key(s: String): Double = {
+      val b = s.getBytes("UTF-8")
+      var x = 0.0
+      var i = 0
+      while (i < 8) {
+        x = x * 256.0 + (if (i < b.length) (b(i) & 0xff).toDouble else 0.0)
+        i += 1
+      }
+      x
+    }
+    val (kl, kh, kv) = (key(lo), key(hi), key(v))
+    if (kh <= kl) { if (kv >= kl) 1.0 else 0.0 }
+    else math.min(1.0, math.max(0.0, (kv - kl) / (kh - kl)))
   }
 }
 
@@ -166,12 +256,17 @@ object NoStats extends StatsModel {
 
 final case class TableStats(catalog: Map[String, Long],
     widths: Map[String, Long] = Map.empty,
-    ranges: Map[String, (Long, Long)] = Map.empty) extends StatsModel {
+    ranges: Map[String, (Long, Long)] = Map.empty,
+    strRanges: Map[String, (String, String)] = Map.empty,
+    ndvs: Map[String, Long] = Map.empty) extends StatsModel {
   def tableRows(table: String): Long = catalog.getOrElse(table, 1000L)
   override def tableWidth(table: String): Long =
     widths.getOrElse(table, 16L)
   override def columnRange(column: String): Option[(Long, Long)] =
     ranges.get(column)
+  override def columnRangeStr(column: String): Option[(String, String)] =
+    strRanges.get(column)
+  override def columnNdv(column: String): Option[Long] = ndvs.get(column)
 }
 
 /** A base model plus runtime-observed filter cardinalities keyed by the
@@ -187,6 +282,10 @@ final case class FeedbackStats(base: StatsModel,
   override def tableWidth(table: String): Long = base.tableWidth(table)
   override def columnRange(column: String): Option[(Long, Long)] =
     base.columnRange(column)
+  override def columnRangeStr(column: String): Option[(String, String)] =
+    base.columnRangeStr(column)
+  override def columnNdv(column: String): Option[Long] =
+    base.columnNdv(column)
   override def observedFilterRows(pred: Expr): Option[Long] =
     observed.get(pred).orElse(base.observedFilterRows(pred))
 }
@@ -247,6 +346,29 @@ object ClusterCostModel {
     * with reference-sized catalogs.
     */
   val W = 8
+}
+
+/** Re-price an EXTRACTED physical plan outside the memo: the identical
+  * bottom-up accumulation the cascades winner comparison performs —
+  * `operatorCost` over derived child cardinalities/widths, summed over
+  * the tree. Because enforcers are explicit plan nodes and `derive` is a
+  * pure function of (operator, child cards), this equals the memo's
+  * winner cost for the plan it extracted ([[graft.CascadesExecSpec]]
+  * pins the equality). Used by the calibration dump (CASCADES.md, r9
+  * directive #7): predicted cost vs measured runtime per executed query.
+  */
+object PlanCost {
+  def total(plan: PlanNode, cost: CostModel, stats: StatsModel): Double = {
+    def walk(p: PlanNode): (Long, Long, Double) = {
+      val kids = p.inputs.map(walk)
+      val card = stats.derive(p.op, kids.map(_._1))
+      val width = stats.deriveWidth(p.op, kids.map(_._2))
+      val own = cost.operatorCost(p.op.asInstanceOf[PhysicalOp],
+        kids.map(_._1), kids.map(_._2))
+      (card, width, own + kids.map(_._3).sum)
+    }
+    walk(plan)._3
+  }
 }
 
 /** [[CardinalityCostModel]] plus the terms a CLUSTER pays for a join's

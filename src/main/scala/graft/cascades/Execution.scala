@@ -89,15 +89,18 @@ object Execution {
     case JoinType.Inner => "inner"
     case JoinType.Left  => "left_outer"
     case JoinType.Full  => "full_outer"
+    case JoinType.Semi  => "left_semi"
+    case JoinType.Anti  => "left_anti"
   }
 
   private def joinCond(cond: EqCond): Column =
     col(cond.left.name) === col(cond.right.name)
 
   private def exprToColumn(e: Expr): Column = e match {
-    case Col(n)   => col(n)
-    case Lit(v)   => lit(v)
-    case other    =>
+    case Col(n)    => col(n)
+    case Lit(v)    => lit(v)
+    case StrLit(v) => lit(v)
+    case other     =>
       throw new IllegalArgumentException(s"not a projection expr: $other")
   }
 
@@ -112,6 +115,7 @@ object Execution {
         case "<=" => a <= b
         case ">=" => a >= b
       }
+    case OrCond(ds) => ds.map(predicate).reduce(_ || _)
     case other =>
       throw new IllegalArgumentException(s"not a predicate: $other")
   }

@@ -92,8 +92,16 @@ object Provenance {
       if (proj.nonEmpty) proj.map(_.name).toSet else inputs.head
     case LogicalProject(es) => es.collect { case Col(n) => n }.toSet
     case PhysicalProject(es) => es.collect { case Col(n) => n }.toSet
+    // semi/anti joins output the LEFT schema only
+    case LogicalJoin(JoinType.Semi | JoinType.Anti, _) => inputs(0)
+    case PhysicalHashJoin(JoinType.Semi | JoinType.Anti, _) => inputs(0)
+    case PhysicalBroadcastHashJoin(JoinType.Semi | JoinType.Anti, _) =>
+      inputs(0)
+    case PhysicalSortMergeJoin(JoinType.Semi | JoinType.Anti, _) =>
+      inputs(0)
     case _: LogicalJoin | _: PhysicalHashJoin |
-        _: PhysicalBroadcastHashJoin => inputs(0) ++ inputs(1)
+        _: PhysicalBroadcastHashJoin | _: PhysicalSortMergeJoin =>
+      inputs(0) ++ inputs(1)
     // an aggregate provides its group keys plus its canonically-named
     // aggregate outputs ([[AggCall.outName]] — cnt, sum_x, …), which is
     // what lets a HAVING filter above it resolve columns
@@ -288,8 +296,9 @@ object Rules {
 
   /** Second join implementation, beyond the reference's single physical
     * join: [[PhysicalBroadcastHashJoin]] (build = RIGHT, replicated to
-    * every probe partition). Inner/Left only — a Full join must emit each
-    * unmatched build row exactly once, which a replicated build side
+    * every probe partition). Inner/Left/Semi/Anti — every type whose
+    * output never emits an unmatched BUILD row; a Full join must emit
+    * each unmatched build row exactly once, which a replicated build side
     * cannot guarantee (each copy would emit it). Both implementations land
     * in the same memo group and the cost search picks per query; under
     * [[ClusterCostModel]] the small-build join goes broadcast and the
@@ -302,8 +311,7 @@ object Rules {
     override val isImplementation = true
     val pattern = Pattern.node(isJoin, Pattern.any, Pattern.any)
     def apply(expr: Node, ctx: RuleContext): Option[OptExpression] = expr match {
-      case Node(LogicalJoin(jt, cond), inputs)
-          if jt == JoinType.Inner || jt == JoinType.Left =>
+      case Node(LogicalJoin(jt, cond), inputs) if jt != JoinType.Full =>
         Some(Node(PhysicalBroadcastHashJoin(jt, cond), inputs))
       case _ => None
     }
@@ -427,12 +435,21 @@ object Rules {
     /** Columns a pushable predicate references: both sides of an
       * equality, the column of a column-vs-literal comparison (the r8
       * literal-predicate surface — also null-rejecting, so the same
-      * outer-join legality table applies). Anything else: not pushable.
+      * outer-join legality table applies; string literals likewise), and
+      * a disjunction iff EVERY disjunct is pushable (the union of their
+      * columns must then resolve to one side — a disjunct referencing
+      * the other side would change meaning after pushdown). Anything
+      * else: not pushable.
       */
     private def predCols(pred: Expr): Option[Set[String]] = pred match {
-      case EqCond(l, r)                 => Some(Set(l.name, r.name))
-      case CmpCond(_, Col(c), Lit(_))   => Some(Set(c))
-      case _                            => None
+      case EqCond(l, r)                  => Some(Set(l.name, r.name))
+      case CmpCond(_, Col(c), Lit(_))    => Some(Set(c))
+      case CmpCond(_, Col(c), StrLit(_)) => Some(Set(c))
+      case OrCond(ds) =>
+        ds.foldLeft(Option(Set.empty[String])) { (acc, d) =>
+          for (a <- acc; c <- predCols(d)) yield a ++ c
+        }
+      case _                             => None
     }
 
     def apply(expr: Node, ctx: RuleContext): Option[OptExpression] = expr match {

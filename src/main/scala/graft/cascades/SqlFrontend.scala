@@ -17,10 +17,20 @@ package graft.cascades
   *     item := col | COUNT(*) | (SUM|MIN|MAX|AVG)(col)
   * FROM table
   * [ (JOIN | LEFT JOIN | FULL JOIN) table ON col = col ]*
-  * [ WHERE pred [AND pred]* ]
-  *     pred := col cmp ( col | int | '(' scalar-subquery ')' )
-  *     (subquery only with cmp `=`; cmp ∈ = < > <= >=; each conjunct
-  *      stacks its own LogicalFilter — CNF by construction)
+  * [ WHERE conjunct [AND conjunct]* ]
+  *     conjunct := simple
+  *               | '(' simple OR simple [OR simple]* ')'
+  *               | col BETWEEN int AND int   (two stacked filters)
+  *               | [NOT] EXISTS '(' SELECT * FROM table
+  *                     WHERE col = col [AND simple]* ')'
+  *               | col = '(' scalar-subquery ')'
+  *     simple := col cmp ( col | int | 'str' )
+  *     (cmp ∈ = < > <= >=; each conjunct stacks its own LogicalFilter —
+  *      CNF by construction; OR groups must be PARENTHESIZED so the
+  *      grammar never silently disagrees with SQL's AND-over-OR
+  *      precedence; EXISTS decorrelates to a SEMI join, NOT EXISTS to
+  *      an ANTI join — the textbook unnesting, resolving which equality
+  *      side is the inner column via the schema catalog)
   *     scalar-subquery := SELECT aggitem FROM table [ WHERE col = col ]
   * [ GROUP BY col [, col]* ]            (iff an aggregate item appears)
   * [ HAVING ( aggitem | col ) cmp int ] (cmp ∈ = < > <= >=)
@@ -120,33 +130,96 @@ object SqlFrontend {
       p.next()
       var more = true
       while (more) {
-        val l = Col(p.ident())
-        val cmp = p.cmpOp()
-        if (cmp == "=" && p.peek.contains("(")) {
-          // scalar subquery: decorrelate to an inner join against the
-          // subquery's single-row global aggregate — the equality IS the
-          // join condition, so the whole query stays in the relational IR
-          p.next()
-          val (subPlan, outCol) = scalarSubquery(p, scanOf)
+        if (p.peekKw("EXISTS") || p.peekKw("NOT")) {
+          // [NOT] EXISTS subquery → SEMI/ANTI join (textbook unnesting:
+          // the correlation equality IS the join condition; the schema
+          // catalog resolves which side is the subquery's column)
+          val jt =
+            if (p.peekKw("EXISTS")) { p.next(); JoinType.Semi }
+            else { p.next(); p.expectKw("EXISTS"); JoinType.Anti }
+          p.expectKw("(")
+          p.expectKw("SELECT")
+          require(p.next() == "*", "EXISTS subquery must SELECT *")
+          p.expectKw("FROM")
+          val subTable = p.ident()
+          p.expectKw("WHERE")
+          val (x, y) = p.equality()
+          val subCols = schema.getOrElse(subTable, Nil).toSet
+          require(subCols.nonEmpty,
+            s"EXISTS decorrelation needs a catalog entry for $subTable")
+          // optional UNCORRELATED conjuncts (`AND col cmp lit`) filter
+          // the subquery's table before the semi/anti join — so footer
+          // selectivity prices the build side like any pushed filter
+          var sub = PlanNode(scanOf(subTable))
+          while (p.peekKw("AND")) {
+            p.next()
+            val pred = p.simplePred()
+            val refs: Set[String] = pred match {
+              case CmpCond(_, Col(c), Lit(_))    => Set(c)
+              case CmpCond(_, Col(c), StrLit(_)) => Set(c)
+              case CmpCond(_, Col(a), Col(b))    => Set(a, b)
+              case EqCond(a, b)                  => Set(a.name, b.name)
+              case _                             => Set("?")
+            }
+            require(refs.subsetOf(subCols),
+              s"EXISTS subquery conjunct $pred must reference only " +
+                s"$subTable columns (correlation is the single equality)")
+            sub = PlanNode(LogicalFilter(pred, Nil), Seq(sub))
+          }
           p.expectKw(")")
-          plan = PlanNode(LogicalJoin(JoinType.Inner, EqCond(l, outCol)),
-            Seq(plan, subPlan))
-        } else if (p.peek.exists(t => t.nonEmpty && t.forall(_.isDigit))) {
-          // column-vs-integer-literal predicate: the r8 selectivity
-          // surface — [[StatsModel.columnRange]] prices it from footer
-          // min/max instead of the blind 10%
-          val v = p.int()
-          plan = PlanNode(
-            LogicalFilter(CmpCond(cmp, l, Lit(v.toLong)), Nil), Seq(plan))
+          val (outer, inner) =
+            if (subCols(y.name) && !subCols(x.name)) (x, y)
+            else if (subCols(x.name) && !subCols(y.name)) (y, x)
+            else throw new IllegalArgumentException(
+              s"EXISTS correlation $x = $y does not resolve to exactly " +
+                s"one column of $subTable")
+          plan = PlanNode(LogicalJoin(jt, EqCond(outer, inner)),
+            Seq(plan, sub))
+        } else if (p.peek.contains("(")) {
+          // parenthesized disjunction: ONE filter carrying an OrCond
+          // (the disjuncts share a selectivity union and must push as a
+          // unit — see [[OrCond]])
+          p.next()
+          val buf = scala.collection.mutable.ArrayBuffer(p.simplePred())
+          p.expectKw("OR")
+          buf += p.simplePred()
+          while (p.peekKw("OR")) { p.next(); buf += p.simplePred() }
+          p.expectKw(")")
+          plan = PlanNode(LogicalFilter(OrCond(buf.toSeq), Nil), Seq(plan))
         } else {
-          val r = Col(p.ident())
-          // projected_columns empty = keep all (operator/filter.rs:14-27
-          // carries the projection list separately from the predicate);
-          // equality keeps the reference's EqCond shape, other
-          // comparisons carry the r8 CmpCond
-          val pred: Expr =
-            if (cmp == "=") EqCond(l, r) else CmpCond(cmp, l, r)
-          plan = PlanNode(LogicalFilter(pred, Nil), Seq(plan))
+          val l = Col(p.ident())
+          if (p.peekKw("BETWEEN")) {
+            // BETWEEN lo AND hi → two stacked range conjuncts (its AND
+            // is consumed here, not the conjunct separator)
+            p.next()
+            val lo = p.int()
+            p.expectKw("AND")
+            val hi = p.int()
+            plan = PlanNode(LogicalFilter(
+              CmpCond(">=", l, Lit(lo.toLong)), Nil), Seq(plan))
+            plan = PlanNode(LogicalFilter(
+              CmpCond("<=", l, Lit(hi.toLong)), Nil), Seq(plan))
+          } else {
+            val cmp = p.cmpOp()
+            if (cmp == "=" && p.peek.contains("(")) {
+              // scalar subquery: decorrelate to an inner join against
+              // the subquery's single-row global aggregate — the
+              // equality IS the join condition, so the whole query
+              // stays in the relational IR
+              p.next()
+              val (subPlan, outCol) = scalarSubquery(p, scanOf)
+              p.expectKw(")")
+              plan = PlanNode(
+                LogicalJoin(JoinType.Inner, EqCond(l, outCol)),
+                Seq(plan, subPlan))
+            } else {
+              // projected_columns empty = keep all (operator/filter.rs:
+              // 14-27 carries the projection list separately); equality
+              // over columns keeps the reference's EqCond shape
+              plan = PlanNode(
+                LogicalFilter(p.predRhs(cmp, l), Nil), Seq(plan))
+            }
+          }
         }
         if (p.peekKw("AND")) p.next() else more = false
       }
@@ -274,6 +347,31 @@ object SqlFrontend {
       require(Set("=", "<", ">", "<=", ">=")(t),
         s"expected comparison op at #$pos, got '$t'")
       t
+    }
+    /** Is the next token a single-quoted string literal? */
+    def peekStr: Boolean =
+      peek.exists(t => t.length >= 2 && t.head == '\'' && t.last == '\'')
+    /** One quoted string literal, unquoted. */
+    def str(): String = {
+      require(peekStr, s"expected string literal at #$pos, got '${peek}'")
+      val t = next()
+      t.substring(1, t.length - 1)
+    }
+    /** The right-hand side of `col cmp …` (int, string, or column) as a
+      * complete predicate expression.
+      */
+    def predRhs(cmp: String, l: Col): Expr =
+      if (peek.exists(t => t.nonEmpty && t.forall(_.isDigit)))
+        CmpCond(cmp, l, Lit(int().toLong))
+      else if (peekStr) CmpCond(cmp, l, StrLit(str()))
+      else {
+        val r = Col(ident())
+        if (cmp == "=") EqCond(l, r) else CmpCond(cmp, l, r)
+      }
+    /** One `col cmp (col | int | 'str')` comparison — an OR disjunct. */
+    def simplePred(): Expr = {
+      val l = Col(ident())
+      predRhs(cmpOp(), l)
     }
     def peekKw(kw: String): Boolean =
       peek.exists(_.equalsIgnoreCase(kw))

@@ -496,7 +496,7 @@ object Kernels {
     * segmentation likelihood — SentencePiece's hard-EM E step over a
     * char+bigram lattice). `pieces`/`costs` are parallel arrays (the
     * vocabulary: every corpus character plus the top-k bigrams); unknown
-    * bigrams are simply not candidates, unknown characters cost INF/4 (a
+    * bigrams are simply not candidates, unknown characters cost INF (a
     * char outside the vocabulary cannot occur when the vocabulary was
     * built from the same corpus). DP over positions with the bigram
     * preferred on exact cost ties (`<=`) — the tie rule the DuckDB oracle
@@ -516,7 +516,11 @@ object Kernels {
           java.lang.Long.valueOf(costs.getLong(i)))
       i += 1
     }
-    val INF = Long.MaxValue / 4
+    // small enough that n consecutive unknown-char adds can never wrap
+    // best() negative (Long.MaxValue/4 accumulated additively overflowed
+    // at 4+ out-of-vocabulary chars — ADVICE r8); 2^40 keeps headroom for
+    // words up to ~8M chars while still dominating any real piece cost
+    val INF = 1L << 40
     val best = new Array[Long](n + 1)
     val choice = new Array[Int](n + 1)
     var p = 1

@@ -27,13 +27,33 @@ import org.apache.spark.sql.functions._
   * Dimension-style tables (`region`, `nation`) stay fixed, as in TPC-H,
   * where nation/region are scale-factor-independent.
   *
-  * Usage: `runMain graft.tools.ScaleGen <srcDir> <outDir> <copies>`
+  * SECOND MODE — `skew` (r9, VERDICT r8 "what's wrong" #4): the keyed
+  * replication above grows the NUMBER of groups while every per-key
+  * group size and skew profile stays constant, so it cannot surface
+  * per-key quadratic blowups. Skew mode replicates rows UNDER THE SAME
+  * GROUPING KEYS: primary keys still shift (uniqueness assumptions
+  * hold), but `o_custkey`/`user_id`/`l_partkey`/`l_suppkey`/document
+  * TEXT/embedding VECTORS stay identical across copies — at k copies
+  * every customer has k× the orders, every user k× the events (copy i's
+  * timestamps offset by i×31 days, so sessions stay distinct), every
+  * document text has k exact duplicates (dup-pair counts grow ~k²/group
+  * BY DESIGN — the axis the window/PPJoin/sessionize families must
+  * survive), every embedding vector k cosine-identical copies.
+  * Dimension tables customer/supplier/part are written UNREPLICATED in
+  * this mode (they are the group-key domains whose per-key fan-out the
+  * fact growth multiplies).
+  *
+  * Usage: `runMain graft.tools.ScaleGen <srcDir> <outDir> <copies> [mode]`
+  * (mode ∈ keys | skew, default keys)
   */
 object ScaleGen {
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleGen <srcDir> <outDir> <copies>")
-    val Array(src, out, copiesStr) = args
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleGen <srcDir> <outDir> <copies> [keys|skew]")
+    val Array(src, out, copiesStr) = args.take(3)
+    val mode = if (args.length == 4) args(3) else "keys"
+    require(Set("keys", "skew")(mode), s"unknown mode $mode")
     val copies = copiesStr.toInt
     require(copies >= 1, "copies must be >= 1")
     val spark = SparkSession.builder()
@@ -43,8 +63,69 @@ object ScaleGen {
       .appName("graft-scalegen")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try generate(spark, src, out, copies)
-    finally spark.stop()
+    try {
+      if (mode == "skew") generateSkew(spark, src, out, copies)
+      else generate(spark, src, out, copies)
+    } finally spark.stop()
+  }
+
+  /** Group-growth replication (mode `skew`) — see the object scaladoc. */
+  def generateSkew(spark: SparkSession, src: String, out: String,
+      copies: Int): Unit = {
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def write(t: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scalegen] wrote $t (skew)")
+    }
+    def span(df: DataFrame, key: String): Long =
+      df.agg(max(col(key))).head().getAs[Any](0) match {
+        case l: Long => l + 1L
+        case i: Int  => i + 1L
+        case other   => sys.error(s"unexpected key type: $other")
+      }
+    /** k copies shifting ONLY the listed primary keys; grouping keys and
+      * payloads stay byte-identical, so per-key group sizes grow k-fold.
+      */
+    def grow(df: DataFrame, pkShifts: Map[String, Long],
+        tsOffset: Option[String] = None): DataFrame =
+      (0 until copies).map { i =>
+        val shifted = pkShifts.foldLeft(df) { case (d, (k, sp)) =>
+          d.withColumn(k, col(k) + lit(i * sp))
+        }
+        tsOffset.fold(shifted)(t =>
+          // copy i's month: within-copy session/window structure is
+          // preserved, cross-copy events never collide in time — the
+          // per-user event COUNT grows k-fold, the axis under test
+          shifted.withColumn(t,
+            col(t) + expr(s"INTERVAL ${i * 31} DAYS")))
+      }.reduce(_ unionAll _)
+
+    // dimensions AND group-key domains: unreplicated
+    Seq("region", "nation", "customer", "supplier", "part")
+      .foreach(t => write(t, read(t)))
+    val orders = read("orders")
+    val lineitem = read("lineitem")
+    val events = read("events")
+    val documents = read("documents")
+    val embeddings = read("embeddings")
+    val oSpan = span(orders, "o_orderkey")
+    val eSpan = span(events, "event_id")
+    val dSpan = span(documents, "doc_id")
+    val vSpan = span(embeddings, "vec_id")
+    // same o_custkey: every customer gets k× the orders
+    write("orders", grow(orders, Map("o_orderkey" -> oSpan)))
+    // l_orderkey shifts IN SYNC with orders (the join stays consistent);
+    // same part/supplier keys: k× fan-out per part and supplier
+    write("lineitem", grow(lineitem, Map("l_orderkey" -> oSpan)))
+    // same user_id, month-offset timestamps: k× events/sessions per user
+    write("events", grow(events, Map("event_id" -> eSpan),
+      tsOffset = Some("ts")))
+    // same TEXT: every document gains k−1 exact duplicates — dup groups
+    // grow k-fold, candidate PAIRS ~k² per group (the quadratic axis)
+    write("documents", grow(documents, Map("doc_id" -> dSpan)))
+    // same vectors: cosine-identical clusters grow k-fold
+    write("embeddings", grow(embeddings, Map("vec_id" -> vSpan)))
+    println(s"[scalegen] done (skew): $copies copies of $src -> $out")
   }
 
   def generate(spark: SparkSession, src: String, out: String,

@@ -71,12 +71,42 @@ class CascadesExecSpec extends GraftSuite {
       winner.explain())
     assert(!w.exists(_.isInstanceOf[PhysicalSort]), winner.explain())
     assert(!w.exists(_.isInstanceOf[PhysicalExchange]), winner.explain())
-    val plan = executedPlan(df)
-    assert(plan.contains("SortMergeJoin"), plan)
-    assert(!plan.contains("Exchange hashpartitioning"),
-      s"clustered join must not shuffle:\n$plan")
-    assert(!plan.contains("+- Sort "),
-      s"one-file-per-bucket sorted scan must not re-sort:\n$plan")
+    // TREE WALK over the executed SparkPlan, not a string match: r8's
+    // `!plan.contains("+- Sort ")` could never fire — whole-stage
+    // codegen renders sorts as `+- *(n) Sort ` — and two local sorts
+    // shipped under a vacuous "zero sorts" claim (VERDICT r8 #1). A
+    // naive TreeNode.collect is blind too: AQE wraps the result in a
+    // QueryStageExec whose wrapped `plan` is NOT a tree child, so the
+    // walk must descend through stages explicitly. Verified non-vacuous
+    // by flipping the outputOrdering conf off: the two SortExec nodes
+    // surface and this test fails (r9 negative control, BASELINE.md).
+    df.collect()
+    val executed = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    })
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flatten(q.plan)
+      case _ => p +: p.children.flatMap(flatten)
+    }
+    val nodes = flatten(executed)
+    val sorts = nodes.filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.SortExec])
+    val exchanges = nodes.filter(_.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(nodes.exists(_.nodeName.contains("SortMergeJoin")),
+      executed.toString)
+    assert(exchanges.isEmpty,
+      s"clustered join must not shuffle:\n$executed")
+    // belt-and-braces: the rendering shows everything the walk might
+    // miss if a future Spark adds another wrapper node class
+    assert(!executed.toString.contains("Exchange hashpartitioning"),
+      s"clustered join must not shuffle:\n$executed")
+    assert(sorts.isEmpty,
+      "one-file-per-bucket sorted scan must be trusted at read " +
+        s"(legacy bucketedTableScan.outputOrdering): \n$executed")
   }
 
   test("broadcast_dim: footer stats put the 25-row nation on a " +
@@ -324,6 +354,22 @@ class CascadesExecSpec extends GraftSuite {
       winner.explain())
   }
 
+  test("PlanCost re-pricing equals the memo's winner cost (the " +
+      "calibration table's predicted column IS the memo's number)") {
+    val sql = CascadesExecOps.sqls("cascades_exec_broadcast_dim")
+    val (logical, required) = SqlFrontend.parseQuery(sql)
+    val stats = ParquetStats.fromDir(d, Seq("customer", "nation"))
+    val model = new ClusterCostModel
+    val opt = new CascadesOptimizer(Rules.joinStrategyRules,
+      costModel = model, stats = stats)
+    val (winnerOpt, memo) = opt.optimizeWithMemo(logical, required)
+    val winner = winnerOpt.get
+    val memoCost = memo.group(memo.root).winner(required).get.cost
+    val repriced = PlanCost.total(winner, model, stats)
+    assert(math.abs(memoCost - repriced) < 1e-6,
+      s"memo=$memoCost repriced=$repriced\n${winner.explain()}")
+  }
+
   test("footer stats carry the byte axis: width = uncompressed bytes " +
       "per row from row-group metadata") {
     val s = ParquetStats.fromDir(d, Seq("documents", "nation"))
@@ -355,6 +401,173 @@ class CascadesExecSpec extends GraftSuite {
     assert(join.inputs(1).op ==
       LogicalAggregate(Nil, Seq(AggCall("max", Some(Col("c_custkey"))))),
       plan.explain())
+  }
+
+  test("EXISTS decorrelates to a SEMI join (NOT EXISTS to ANTI), the " +
+      "catalog resolving the inner column; footer range selectivity " +
+      "BROADCASTS the filtered semi build where blind 10% shuffles") {
+    val (plan, _) = SqlFrontend.parseQuery(
+      CascadesExecOps.sqls("cascades_exec_semi_join"),
+      Map("orders" -> Seq("o_orderkey", "o_custkey")))
+    def joins(p: PlanNode): Seq[Operator] = (p.op match {
+      case j: LogicalJoin => Seq(j)
+      case _              => Nil
+    }) ++ p.inputs.flatMap(joins)
+    assert(joins(plan) == Seq(LogicalJoin(JoinType.Semi,
+      EqCond(Col("c_custkey"), Col("o_custkey")))), plan.explain())
+    // the winner BROADCASTS the ~101-row filtered build; executed plan
+    // carries BroadcastHashJoin LeftSemi
+    val (winner, df) =
+      CascadesExecOps.planFor(spark, d, "cascades_exec_semi_join")
+    def ops(p: PlanNode): Seq[Operator] = p.op +: p.inputs.flatMap(ops)
+    assert(ops(winner).exists {
+      case PhysicalBroadcastHashJoin(JoinType.Semi, _) => true
+      case _ => false
+    }, winner.explain())
+    val plan2 = executedPlan(df)
+    assert(plan2.contains("BroadcastHashJoin") &&
+      plan2.contains("LeftSemi"), plan2)
+    // blind stats (rows only, no ranges): the 10% estimate (1500 rows)
+    // keeps the build shuffled — the flip is the footer range's doing
+    val real = ParquetStats.fromDir(d, Seq("customer", "orders"))
+    val blind = TableStats(real.catalog, real.widths)
+    val (parsed, required) = SqlFrontend.parseQuery(
+      CascadesExecOps.sqls("cascades_exec_semi_join"),
+      Map("customer" -> Seq("c_custkey", "c_name"),
+        "orders" -> Seq("o_orderkey", "o_custkey")))
+    val opt = new CascadesOptimizer(Rules.joinStrategyRules,
+      costModel = new ClusterCostModel, stats = blind)
+    val w = opt.optimize(parsed, required).get
+    def findJoin(p: PlanNode): Option[Operator] = p.op match {
+      case j @ (_: PhysicalBroadcastHashJoin | _: PhysicalHashJoin) =>
+        Some(j)
+      case _ => p.inputs.flatMap(findJoin).headOption
+    }
+    assert(findJoin(w).exists {
+      case PhysicalHashJoin(JoinType.Semi, _) => true
+      case _ => false
+    }, w.explain())
+  }
+
+  test("anti_join: NOT EXISTS plans a shuffled LEFT-ANTI hash join " +
+      "(the ~501-row build is past the broadcast crossover)") {
+    val (winner, df) =
+      CascadesExecOps.planFor(spark, d, "cascades_exec_anti_join")
+    def ops(p: PlanNode): Seq[Operator] = p.op +: p.inputs.flatMap(ops)
+    assert(ops(winner).exists {
+      case PhysicalHashJoin(JoinType.Anti, _) => true
+      case _ => false
+    }, winner.explain())
+    val plan = executedPlan(df)
+    assert(plan.contains("ShuffledHashJoin") && plan.contains("LeftAnti"),
+      plan)
+  }
+
+  test("disjunction: the parenthesized OR parses to ONE OrCond filter, " +
+      "and the UNIONED range selectivity flips the build to broadcast " +
+      "where the blind 10% shuffles") {
+    val (plan, _) = SqlFrontend.parseQuery(
+      CascadesExecOps.sqls("cascades_exec_disjunction"))
+    def filters(p: PlanNode): Seq[Expr] = (p.op match {
+      case LogicalFilter(e, _) => Seq(e)
+      case _                   => Nil
+    }) ++ p.inputs.flatMap(filters)
+    assert(filters(plan) == Seq(OrCond(Seq(
+      CmpCond("<=", Col("o_orderkey"), Lit(100L)),
+      CmpCond(">=", Col("o_orderkey"), Lit(14900L))))), plan.explain())
+    val (winner, df) =
+      CascadesExecOps.planFor(spark, d, "cascades_exec_disjunction")
+    def ops(p: PlanNode): Seq[Operator] = p.op +: p.inputs.flatMap(ops)
+    assert(ops(winner).exists(_.isInstanceOf[PhysicalBroadcastHashJoin]),
+      winner.explain())
+    assert(executedPlan(df).contains("BroadcastHashJoin"))
+    // blind: no ranges → OrCond falls to the 10% fallback → shuffled
+    val real = ParquetStats.fromDir(d, Seq("customer", "orders"))
+    val blind = TableStats(real.catalog, real.widths)
+    val schemaCat = Map(
+      "customer" -> Seq("c_custkey", "c_name"),
+      "orders" -> Seq("o_orderkey", "o_custkey"))
+    val pushed = new HepOptimizer(
+      Seq(Rules.PushFilterThroughJoinRule(schemaCat))).optimize(
+      SqlFrontend.parse(CascadesExecOps.sqls("cascades_exec_disjunction")))
+    val opt = new CascadesOptimizer(Rules.joinStrategyRules,
+      costModel = new ClusterCostModel, stats = blind)
+    val w = opt.optimize(pushed,
+      PhysicalPropertySet.default).get
+    def findJoin(p: PlanNode): Option[Operator] = p.op match {
+      case j @ (_: PhysicalBroadcastHashJoin | _: PhysicalHashJoin) =>
+        Some(j)
+      case _ => p.inputs.flatMap(findJoin).headOption
+    }
+    assert(findJoin(w).exists(_.isInstanceOf[PhysicalHashJoin]),
+      w.explain())
+  }
+
+  test("BETWEEN lowers to two stacked range conjuncts and the combined " +
+      "selectivity broadcasts the filtered build") {
+    val (plan, _) = SqlFrontend.parseQuery(
+      "SELECT o_orderkey FROM orders " +
+        "WHERE o_orderkey BETWEEN 100 AND 200")
+    def filters(p: PlanNode): Seq[Expr] = (p.op match {
+      case LogicalFilter(e, _) => Seq(e)
+      case _                   => Nil
+    }) ++ p.inputs.flatMap(filters)
+    assert(filters(plan) == Seq(
+      CmpCond("<=", Col("o_orderkey"), Lit(200L)),
+      CmpCond(">=", Col("o_orderkey"), Lit(100L))), plan.explain())
+    val (winner, df) =
+      CascadesExecOps.planFor(spark, d, "cascades_exec_between")
+    def ops(p: PlanNode): Seq[Operator] = p.op +: p.inputs.flatMap(ops)
+    assert(ops(winner).exists(_.isInstanceOf[PhysicalBroadcastHashJoin]),
+      winner.explain())
+    assert(executedPlan(df).contains("BroadcastHashJoin"))
+  }
+
+  test("string_filter: footer string stats (range + dictionary NDV) " +
+      "keep the truly-218-row 'en' build SHUFFLED where the blind 10% " +
+      "would wrongly broadcast") {
+    // footer axes present: lang range [de, zh], dictionary NDV = 5
+    val real = ParquetStats.fromDir(d, Seq("documents", "embeddings"))
+    assert(real.columnRangeStr("lang").contains(("de", "zh")), real)
+    assert(real.columnNdv("lang").contains(5L), real.ndvs.get("lang"))
+    val (winner, df) =
+      CascadesExecOps.planFor(spark, d, "cascades_exec_string_filter")
+    def ops(p: PlanNode): Seq[Operator] = p.op +: p.inputs.flatMap(ops)
+    assert(ops(winner).exists(_.isInstanceOf[PhysicalHashJoin]),
+      winner.explain())
+    assert(!ops(winner).exists(_.isInstanceOf[PhysicalBroadcastHashJoin]),
+      winner.explain())
+    assert(executedPlan(df).contains("ShuffledHashJoin"))
+    // blind: 10% of 500 = 50 rows — under the crossover, broadcasts
+    val blind = TableStats(real.catalog, real.widths)
+    val schemaCat = Map(
+      "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+      "embeddings" -> Seq("vec_id", "embedding", "label"))
+    val pushed = new HepOptimizer(
+      Seq(Rules.PushFilterThroughJoinRule(schemaCat))).optimize(
+      SqlFrontend.parse(
+        CascadesExecOps.sqls("cascades_exec_string_filter")))
+    val opt = new CascadesOptimizer(Rules.joinStrategyRules,
+      costModel = new ClusterCostModel, stats = blind)
+    val w = opt.optimize(pushed, PhysicalPropertySet.default).get
+    def findJoin(p: PlanNode): Option[Operator] = p.op match {
+      case j @ (_: PhysicalBroadcastHashJoin | _: PhysicalHashJoin) =>
+        Some(j)
+      case _ => p.inputs.flatMap(findJoin).headOption
+    }
+    assert(findJoin(w).exists(_.isInstanceOf[PhysicalBroadcastHashJoin]),
+      w.explain())
+    // and the out-of-range equality axis: a literal below the footer
+    // min prices ~0 rows (string ranges are decision-grade, not lexical
+    // trivia)
+    val zero = TableStats(real.catalog, real.widths,
+      strRanges = real.strRanges, ndvs = real.ndvs)
+    assert(zero.derive(
+      LogicalFilter(CmpCond("=", Col("lang"), StrLit("aa")), Nil),
+      Seq(500L)) == 1L)
+    assert(zero.derive(
+      LogicalFilter(CmpCond("=", Col("lang"), StrLit("en")), Nil),
+      Seq(500L)) == 100L) // 1/NDV of 500
   }
 
   test("min/max/avg parse and the HAVING aggregate must be selected") {

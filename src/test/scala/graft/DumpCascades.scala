@@ -4,15 +4,77 @@ import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
+import graft.cascades._
 import graft.ops.CascadesExecOps
 
 /** Regenerates CASCADES.md: for every cascades-executed query, the
   * mini-SQL, the WINNER physical plan the memo chose (MiniCascades
-  * explain), and the executed SparkPlan it lowered to — the full
-  * `planner.rs:29-55` lifecycle on one page. Run:
-  * `sbt "Test/runMain graft.DumpCascades"`.
+  * explain) with its memo cost, and the executed SparkPlan it lowered to
+  * — the full `planner.rs:29-55` lifecycle on one page. Ends with the
+  * COST-MODEL CALIBRATION table (r9 directive #7): every executed query
+  * re-planned at sf0.1 (the bench scale), its predicted memo cost next
+  * to its measured standalone median from the committed
+  * BENCH_LOCAL_r15.json, with Spearman rank correlation per cost-model
+  * family. Run: `sbt "Test/runMain graft.DumpCascades"`.
   */
 object DumpCascades {
+
+  /** Stats mirror of [[CascadesExecOps.planFor]] for re-pricing: the
+    * footer stats of the scale dir, with the adaptive query's runtime
+    * feedback replayed the same way planFor feeds it.
+    */
+  private def statsFor(s: org.apache.spark.sql.SparkSession, d: String,
+      name: String): StatsModel = {
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents", "embeddings")
+    val footer = ParquetStats.fromDir(d, tables)
+    if (name == "cascades_exec_adaptive") {
+      import org.apache.spark.sql.functions.col
+      val pred = EqCond(Col("l_partkey"), Col("l_suppkey"))
+      val observed = graft.ops.Tables(s, d).lineitem
+        .filter(col("l_partkey") === col("l_suppkey")).count()
+      FeedbackStats(footer, Map(pred -> observed))
+    } else footer
+  }
+
+  /** Median of the bench runs line for each query, from a committed
+    * BENCH_LOCAL capture (json4s ships with Spark).
+    */
+  private def benchMedians(path: String): Map[String, Double] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val runsLine = scala.io.Source.fromFile(path).getLines()
+      .find(_.contains("\"metric\":\"runs\"")).getOrElse(
+        sys.error(s"no runs line in $path"))
+    val parsed = JsonMethods.parse(runsLine)
+    (parsed \ "queries") match {
+      case JObject(fields) => fields.collect {
+        case (q, JArray(vals)) =>
+          val xs = vals.collect {
+            case JDouble(x) => x
+            case JInt(x)    => x.toDouble
+          }.sorted
+          q -> xs(xs.length / 2)
+      }.toMap
+      case _ => sys.error(s"unexpected runs shape in $path")
+    }
+  }
+
+  private def spearman(pairs: Seq[(Double, Double)]): Double = {
+    def ranks(xs: Seq[Double]): Seq[Double] = {
+      val sorted = xs.zipWithIndex.sortBy(_._1)
+      val r = new Array[Double](xs.length)
+      sorted.zipWithIndex.foreach { case ((_, orig), rank) =>
+        r(orig) = rank + 1.0
+      }
+      r.toSeq
+    }
+    val (as, bs) = (ranks(pairs.map(_._1)), ranks(pairs.map(_._2)))
+    val n = pairs.length.toDouble
+    val d2 = as.zip(bs).map { case (a, b) => (a - b) * (a - b) }.sum
+    1.0 - 6.0 * d2 / (n * (n * n - 1.0))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkTestBase.spark
     spark.sparkContext.setLogLevel("ERROR")
@@ -20,7 +82,8 @@ object DumpCascades {
     val sb = new StringBuilder
     sb.append("# CASCADES — winners executed end to end\n\n")
     sb.append("For each query: the mini-SQL, the physical plan the " +
-      "MiniCascades memo chose (over REAL parquet-footer statistics), " +
+      "MiniCascades memo chose (over REAL parquet-footer statistics) " +
+      "with its memo cost, " +
       "and the Spark plan the lowering executed — join-strategy hints " +
       "pin Catalyst to the winner's choices, so the executed operators " +
       "ARE the cascades decisions. Regenerate with `sbt \"Test/runMain " +
@@ -32,12 +95,60 @@ object DumpCascades {
         case a: AdaptiveSparkPlanExec => a.executedPlan
         case p                        => p
       }).toString
+      val cost = PlanCost.total(winner,
+        CascadesExecOps.configs(name)._2, statsFor(spark, d, name))
       sb.append(s"\n## $name\n\n```sql\n${sql.trim}\n```\n\n")
-      sb.append(s"Winner (MiniCascades):\n\n```\n${winner.explain()}\n```\n\n")
+      sb.append(f"Winner (MiniCascades, memo cost $cost%.0f):\n\n" +
+        s"```\n${winner.explain()}\n```\n\n")
       sb.append("Executed (Spark):\n\n```\n")
       sb.append(plan.linesIterator.map(_.take(200)).mkString("\n"))
       sb.append("\n```\n")
       spark.catalog.clearCache()
+    }
+
+    // ---- calibration: predicted memo cost vs measured runtime (r9) ----
+    val benchPath = sys.env.getOrElse("GRAFT_BENCH_JSON",
+      "BENCH_LOCAL_r15.json")
+    val d01 = "/root/testdata/sf0.1"
+    val medians = benchMedians(benchPath)
+    sb.append("\n## Cost-model calibration (predicted vs measured)\n\n")
+    sb.append("Every executed query re-planned at sf0.1 (the bench " +
+      "scale): the winner's memo cost (PlanCost re-pricing — identical " +
+      "to the memo's accumulation) against its measured standalone " +
+      s"median from `$benchPath`. Rank agreement is the honest ask of " +
+      "an ordinal cost model — absolute costs are unit-free " +
+      "row-touches, runtimes carry ~0.2–0.5 s of fixed per-query " +
+      "session/scan overhead the model deliberately does not price.\n\n")
+    val rows = CascadesExecOps.sqls.keys.toSeq.sorted.flatMap { name =>
+      medians.get(name).map { measured =>
+        val (winner, _) = CascadesExecOps.planFor(spark, d01, name)
+        val model = CascadesExecOps.configs(name)._2
+        val family = model.getClass.getSimpleName
+        val cost = PlanCost.total(winner, model, statsFor(spark, d01, name))
+        (name, family, cost, measured)
+      }
+    }
+    sb.append("| query | model | predicted cost | measured s |\n")
+    sb.append("|---|---|---|---|\n")
+    rows.foreach { case (n, fam, c, m) =>
+      sb.append(f"| $n | $fam | $c%.0f | $m%.3f |\n")
+    }
+    rows.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (fam, rs) =>
+      if (rs.length >= 3) {
+        val rho = spearman(rs.map(r => (r._3, r._4)))
+        sb.append(f"\nSpearman rank correlation ($fam, " +
+          f"n=${rs.length}): **$rho%.2f**\n")
+        // surface the worst inversion so a mispriced pair is a reading,
+        // not a hunt
+        val byCost = rs.sortBy(_._3).map(_._1)
+        val byTime = rs.sortBy(_._4).map(_._1)
+        if (byCost != byTime) {
+          val firstDiff = byCost.zip(byTime).indexWhere(p => p._1 != p._2)
+          sb.append(s"First rank divergence at position $firstDiff: " +
+            s"cost says `${byCost(firstDiff)}`, time says " +
+            s"`${byTime(firstDiff)}`.\n")
+        }
+      }
     }
     Files.writeString(Paths.get("CASCADES.md"), sb.toString)
     println("### wrote CASCADES.md")

@@ -108,6 +108,9 @@ class SqlFrontendSpec extends GraftSuite {
           case JoinType.Inner => "JOIN"
           case JoinType.Left  => "LEFT JOIN"
           case JoinType.Full  => "FULL JOIN"
+          // the generator never draws semi/anti (they have no JOIN-kw
+          // surface syntax — EXISTS is their entry)
+          case other          => fail(s"generator drew $other")
         }
         sql ++= s" $kw $t ON ${l.name} = ${r.name}"
       }
