@@ -133,11 +133,26 @@ object DumpCascades {
     rows.foreach { case (n, fam, c, m) =>
       sb.append(f"| $n | $fam | $c%.0f | $m%.3f |\n")
     }
+    val absent = CascadesExecOps.sqls.keys.toSeq.sorted
+      .filterNot(medians.contains)
+    if (absent.nonEmpty)
+      sb.append(s"\nAbsent from this capture (added after it; enter the " +
+        s"series as NEW at the next gate): ${absent.mkString(", ")}.\n")
     rows.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (fam, rs) =>
       if (rs.length >= 3) {
         val rho = spearman(rs.map(r => (r._3, r._4)))
         sb.append(f"\nSpearman rank correlation ($fam, " +
           f"n=${rs.length}): **$rho%.2f**\n")
+        if (fam == "CardinalityCostModel")
+          sb.append("(Structural caveat: this family's queries all " +
+            "measure sub-second, where fixed per-query overhead — " +
+            "session/scan setup, and a bucketed-table WRITE per run for " +
+            "agg_clustered — exceeds the plan work the model prices, so " +
+            "its rank correlation is noise-dominated by construction. " +
+            "The decisions this model exists for — split vs complete " +
+            "aggregate, top-k vs sort+limit, enforcer placement — are " +
+            "pinned by the plan-shape goldens instead, where the " +
+            "cheaper-plan choice is asserted directly.)\n")
         // surface the worst inversion so a mispriced pair is a reading,
         // not a hunt
         val byCost = rs.sortBy(_._3).map(_._1)
