@@ -127,6 +127,12 @@ object Execution {
     */
   private def aggColumn(a: AggCall): Column = a.fn match {
     case "count" => count(lit(1)).as(a.outName)
+    // the direct (Complete, co-partitioned) implementation of a distinct
+    // count — only sound because the mode's required Hashed(group) input
+    // puts every group in one partition; the usually-cheaper plan is the
+    // dedup-first rewrite, which never reaches this case
+    case "count_distinct" =>
+      count_distinct(col(a.col.get.name)).as(a.outName)
     case "sum"   => sum(col(a.col.get.name)).as(a.outName)
     case "min"   => min(col(a.col.get.name)).as(a.outName)
     case "max"   => max(col(a.col.get.name)).as(a.outName)

@@ -97,21 +97,34 @@ final case class LogicalLimit(n: Int) extends LogicalOp { def arity = 1 }
 final case class LogicalTopK(n: Int, cols: Seq[Col]) extends LogicalOp {
   def arity = 1
 }
-/** Aggregate call: `count` (col = None) or `sum/min/max/avg(col)` — the
-  * minimal surface the split rule needs. Beyond the reference (its IR has
-  * no aggregation, `operator/mod.rs:26-47`); the point here is the
-  * DISTRIBUTED planning shape, not expression breadth. All four column
-  * aggregates decompose partial/final the same way (sum/min/max merge by
-  * themselves; avg carries a (sum, count) partial state — the mode encodes
-  * it, as with count-merges-by-sum).
+/** Aggregate call: `count` (col = None), `sum/min/max/avg(col)`, or
+  * `count_distinct(col)` — the minimal surface the split machinery
+  * needs. Beyond the reference (its IR has no aggregation,
+  * `operator/mod.rs:26-47`); the point here is the DISTRIBUTED planning
+  * shape, not expression breadth. The four plain column aggregates
+  * decompose partial/final the same way (sum/min/max merge by
+  * themselves; avg carries a (sum, count) partial state — the mode
+  * encodes it, as with count-merges-by-sum). `count_distinct` does NOT:
+  * per-partition distinct counts cannot merge, so [[graft.cascades
+  * .Rules.SplitAggRule]] abstains on it and the search reaches the
+  * distributed shape through [[graft.cascades.Rules
+  * .RewriteDistinctAggRule]]'s dedup-first nesting instead.
+  *
+  * `as` overrides the canonical output name — the distinct rewrite
+  * turns the outer count_distinct into a plain row count whose OUTPUT
+  * must still carry the original column name the query (and oracle)
+  * aliased.
   */
-final case class AggCall(fn: String, col: Option[Col] = None) {
+final case class AggCall(fn: String, col: Option[Col] = None,
+    as: Option[String] = None) {
   /** Canonical OUTPUT column name, shared by HAVING resolution, the
     * DataFrame lowering ([[graft.cascades.Execution]]) and oracle SQL:
-    * `count` → `cnt`, `sum(x)` → `sum_x`, etc.
+    * `count` → `cnt`, `sum(x)` → `sum_x`, `count(distinct x)` →
+    * `cntd_x`, etc.
     */
-  def outName: String =
-    col.fold(if (fn == "count") "cnt" else fn)(c => s"${fn}_${c.name}")
+  def outName: String = as.getOrElse(
+    col.fold(if (fn == "count") "cnt" else fn)(c =>
+      if (fn == "count_distinct") s"cntd_${c.name}" else s"${fn}_${c.name}"))
 }
 /** GROUP BY aggregation — beyond-reference logical node. */
 final case class LogicalAggregate(groupCols: Seq[Col], aggs: Seq[AggCall])

@@ -44,6 +44,7 @@ object RuleId {
   case object Join2SortMergeJoin extends RuleId
   case object Agg2HashAgg extends RuleId
   case object SplitAgg extends RuleId
+  case object RewriteDistinctAgg extends RuleId
   case object TopK2PhysicalTopK extends RuleId
   case object Scan2TableScan extends RuleId
   case object Project2PhysicalProject extends RuleId
@@ -573,6 +574,13 @@ object Rules {
     * memo group; the cost search decides — under [[CardinalityCostModel]]
     * the split wins whenever the partial reduction outpays the extra
     * aggregate pass, exactly Spark's partial-agg planning made explicit.
+    *
+    * ABSTAINS on `count_distinct`: per-partition distinct counts do not
+    * merge (the same value seen on two partitions would be counted
+    * twice), so the Final-over-Partial shape is semantically WRONG for
+    * it — the distributed path for distinct is
+    * [[RewriteDistinctAggRule]]'s dedup-first nesting, whose inner
+    * DEDUP aggregate this rule may then legally split.
     */
   object SplitAggRule extends OptRule {
     val id = RuleId.SplitAgg
@@ -580,9 +588,44 @@ object Rules {
     val pattern = Pattern.node(isAgg, Pattern.any)
     def apply(expr: Node, ctx: RuleContext): Option[OptExpression] =
       expr match {
-        case Node(LogicalAggregate(g, aggs), inputs) =>
+        case Node(LogicalAggregate(g, aggs), inputs)
+            if !aggs.exists(_.fn == "count_distinct") =>
           Some(Node(PhysicalHashAggregate(AggMode.Final, g, aggs),
             Seq(Node(PhysicalHashAggregate(AggMode.Partial, g, aggs),
+              inputs))))
+        case _ => None
+      }
+  }
+
+  /** The textbook DISTINCT-aggregate rewrite (Spark's
+    * RewriteDistinctAggregates / the partial-distinct planning in its
+    * AggUtils, as an explicit exploration rule):
+    * `Agg(g, [count_distinct(x)])` ≡
+    * `Agg(g, [count AS cntd_x])  ∘  Agg(g ++ [x], [count])` — the inner
+    * aggregate IS the dedup (one row per (g, x)), the outer counts the
+    * surviving rows per g. Both alternatives land in the same memo
+    * group and COST decides: the direct Complete implementation must
+    * exchange RAW rows on g, while the nested form's inner aggregate
+    * splits partial/final (dedup shrinks per partition BEFORE its
+    * exchange) and the outer's exchange then moves already-deduped
+    * (g, x) rows — strictly fewer bytes at any real scale, which is
+    * why every engine plans distinct this way. Single-distinct-only:
+    * mixed plain+distinct calls need an expand (out of scope; abstain),
+    * and a second distinct column would need one dedup branch per
+    * column.
+    */
+  object RewriteDistinctAggRule extends OptRule {
+    val id = RuleId.RewriteDistinctAgg
+    override val isExploration = true
+    val pattern = Pattern.node(isAgg, Pattern.any)
+    def apply(expr: Node, ctx: RuleContext): Option[OptExpression] =
+      expr match {
+        case Node(LogicalAggregate(g, Seq(a @ AggCall("count_distinct",
+            Some(x), _))), inputs) =>
+          Some(Node(
+            LogicalAggregate(g, Seq(AggCall("count", None,
+              as = Some(a.outName)))),
+            Seq(Node(LogicalAggregate(g :+ x, Seq(AggCall("count"))),
               inputs))))
         case _ => None
       }
@@ -608,7 +651,11 @@ object Rules {
 
   val rewriteRules: Seq[OptRule] =
     Seq(RemoveLimitRule, PushLimitOverProjectionRule, PushLimitToTableScanRule)
-  val explorationRules: Seq[OptRule] = Seq(CommutateJoinRule)
+  // RewriteDistinctAggRule abstains on everything but a single
+  // count_distinct, so its presence in the default set never perturbs a
+  // distinct-free search
+  val explorationRules: Seq[OptRule] =
+    Seq(CommutateJoinRule, RewriteDistinctAggRule)
   val implementationRules: Seq[OptRule] =
     Seq(Join2HashJoinRule, Scan2TableScanRule,
       Project2PhysicalProjectRule, Filter2PhysicalFilterRule,

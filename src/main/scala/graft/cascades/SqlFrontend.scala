@@ -14,7 +14,8 @@ package graft.cascades
   * Grammar (case-insensitive keywords, whitespace-separated):
   * {{{
   * SELECT ( '*' | item [, item]* )
-  *     item := col | COUNT(*) | (SUM|MIN|MAX|AVG)(col)
+  *     item := col | COUNT(*) | COUNT(DISTINCT col)
+  *           | (SUM|MIN|MAX|AVG)(col)
   * FROM table
   * [ (JOIN | LEFT JOIN | FULL JOIN) table ON col = col ]*
   * [ WHERE conjunct [AND conjunct]* ]
@@ -397,9 +398,15 @@ object SqlFrontend {
       next()
       val call = t.toLowerCase match {
         case "count" =>
-          require(peek.contains("*"),
-            s"count takes * at #$pos (count(col) not supported)")
-          next(); AggCall("count")
+          if (peekKw("DISTINCT")) {
+            // count(distinct x) — planned via the dedup-first rewrite
+            // ([[graft.cascades.Rules.RewriteDistinctAggRule]])
+            next(); AggCall("count_distinct", Some(Col(ident())))
+          } else {
+            require(peek.contains("*"),
+              s"count takes * or DISTINCT col at #$pos")
+            next(); AggCall("count")
+          }
         case fn @ ("sum" | "min" | "max" | "avg") =>
           AggCall(fn, Some(Col(ident())))
         case other =>

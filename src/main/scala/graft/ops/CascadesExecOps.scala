@@ -140,6 +140,9 @@ object CascadesExecOps {
     if (hepPushed(name)) {
       planAndLower(s, d, sqls(name), rules, cost,
         hepRules = Seq(Rules.PushFilterThroughJoinRule(schemaCat)))
+    } else if (name == "cascades_exec_prune") {
+      planAndLower(s, d, sqls(name), rules, cost,
+        hepRules = Seq(Rules.PushProjectionThroughJoinRule(schemaCat)))
     } else if (name == "cascades_exec_adaptive") {
       // ADAPTIVE RE-PLAN (Spark AQE in MiniCascades miniature): the
       // cross-column predicate is statically unestimable (no range to
@@ -362,7 +365,30 @@ object CascadesExecOps {
     "cascades_exec_string_filter" ->
       ("SELECT doc_id, lang, label FROM embeddings " +
         "JOIN documents ON vec_id = doc_id " +
-        "WHERE lang = 'en' ORDER BY doc_id"))
+        "WHERE lang = 'en' ORDER BY doc_id"),
+    // DISTINCT AGGREGATION executed (r9): the naive split is semantically
+    // wrong for count(distinct) (per-partition distinct counts do not
+    // merge — SplitAggRule abstains), so the search reaches the
+    // distributed shape through the dedup-first REWRITE: an inner
+    // (source, lang) dedup aggregate — which the split rule then legally
+    // splits, shrinking rows BEFORE the exchange — under an outer
+    // per-source row count. Cost picks the rewrite over the direct
+    // Complete form (which must exchange raw rows); the spec pins both
+    // the nesting and the abstention
+    "cascades_exec_count_distinct" ->
+      ("SELECT source, count ( distinct lang ) FROM documents " +
+        "GROUP BY source ORDER BY source"),
+    // COLUMN PRUNING executed (r9): the HEP projection-pushdown rule
+    // inserts a per-side Project keeping exactly each side's share of
+    // the output columns plus its join key, so the lowered plan SELECTs
+    // narrow before the join — at 100 TB the shuffle moves three
+    // columns, not two whole tables. The spec pins the winner's
+    // per-side projects AND that the executed parquet scans read ONLY
+    // the pruned schema (`ReadSchema`)
+    "cascades_exec_prune" ->
+      ("SELECT o_orderkey, c_name, o_orderpriority FROM customer " +
+        "JOIN orders ON c_custkey = o_custkey " +
+        "ORDER BY o_orderkey LIMIT 300"))
 
   /** Rule set + cost model per query — join queries opt into strategy
     * enumeration with the cluster cost model (the decision needs priced
@@ -412,6 +438,10 @@ object CascadesExecOps {
     "cascades_exec_between" ->
       ((Rules.joinStrategyRules, new ClusterCostModel)),
     "cascades_exec_string_filter" ->
+      ((Rules.joinStrategyRules, new ClusterCostModel)),
+    "cascades_exec_count_distinct" ->
+      ((Rules.all, new CardinalityCostModel)),
+    "cascades_exec_prune" ->
       ((Rules.joinStrategyRules, new ClusterCostModel)))
 
   def queries: Map[String, Q] =
@@ -508,5 +538,12 @@ object CascadesExecOps {
     "cascades_exec_string_filter" ->
       """SELECT doc_id, lang, label FROM embeddings
          JOIN documents ON vec_id = doc_id
-         WHERE lang = 'en' ORDER BY doc_id""")
+         WHERE lang = 'en' ORDER BY doc_id""",
+    "cascades_exec_count_distinct" ->
+      """SELECT source, count(DISTINCT lang) AS cntd_lang
+         FROM documents GROUP BY source ORDER BY source""",
+    "cascades_exec_prune" ->
+      """SELECT o_orderkey, c_name, o_orderpriority FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         ORDER BY o_orderkey LIMIT 300""")
 }

@@ -570,6 +570,68 @@ class CascadesExecSpec extends GraftSuite {
       Seq(500L)) == 100L) // 1/NDV of 500
   }
 
+  test("count(distinct): the split rule ABSTAINS (per-partition distinct " +
+      "counts don't merge) and the dedup-first rewrite wins — an inner " +
+      "(source, lang) dedup aggregate, itself split, under an outer row " +
+      "count") {
+    val (plan, _) = SqlFrontend.parseQuery(
+      CascadesExecOps.sqls("cascades_exec_count_distinct"))
+    assert(plan.op == LogicalAggregate(Seq(Col("source")),
+      Seq(AggCall("count_distinct", Some(Col("lang"))))), plan.explain())
+    // the naive split shape must not exist for the distinct call
+    assert(Rules.SplitAggRule.apply(
+      OptExpression.Node(plan.op, Seq(OptExpression.GroupHandle(0))),
+      RuleContext.empty).isEmpty)
+    val (winner, df) =
+      CascadesExecOps.planFor(spark, d, "cascades_exec_count_distinct")
+    def aggs(p: PlanNode): Seq[PhysicalHashAggregate] = (p.op match {
+      case a: PhysicalHashAggregate => Seq(a)
+      case _                        => Nil
+    }) ++ p.inputs.flatMap(aggs)
+    val ws = aggs(winner)
+    // no physical aggregate carries the distinct call itself…
+    assert(!ws.exists(_.aggs.exists(_.fn == "count_distinct")),
+      winner.explain())
+    // …the inner dedup groups by (source, lang) and is SPLIT (its
+    // partial shrinks rows before the exchange)…
+    assert(ws.exists(a => a.groupCols == Seq(Col("source"), Col("lang")) &&
+      a.mode == AggMode.Partial), winner.explain())
+    // …and the outer count emits the distinct call's OUTPUT name
+    assert(ws.exists(a => a.groupCols == Seq(Col("source")) &&
+      a.aggs.exists(_.outName == "cntd_lang")), winner.explain())
+    val plan2 = executedPlan(df)
+    assert(plan2.contains("HashAggregate"), plan2)
+    // the executed dedup layer: an aggregate keyed by BOTH columns
+    assert(plan2.contains("source#") && plan2.contains("lang#"), plan2)
+  }
+
+  test("prune: the HEP projection pushdown narrows BOTH join inputs to " +
+      "their output share + join key, and the executed scans read ONLY " +
+      "the pruned schema") {
+    val (winner, df) = CascadesExecOps.planFor(spark, d,
+      "cascades_exec_prune")
+    def projOverScan(p: PlanNode): Seq[(Seq[Expr], String)] = (p.op match {
+      case PhysicalProject(es)
+          if p.inputs.head.op.isInstanceOf[PhysicalTableScan] =>
+        Seq((es,
+          p.inputs.head.op.asInstanceOf[PhysicalTableScan].table))
+      case _ => Nil
+    }) ++ p.inputs.flatMap(projOverScan)
+    val pruned = projOverScan(winner).toMap.map(_.swap)
+    assert(pruned.get("customer").contains(
+      Seq(Col("c_name"), Col("c_custkey"))), winner.explain())
+    assert(pruned.get("orders").contains(
+      Seq(Col("o_orderkey"), Col("o_orderpriority"), Col("o_custkey"))),
+      winner.explain())
+    val plan = executedPlan(df)
+    // the parquet scans request exactly the pruned columns — the wide
+    // columns (c_acctbal, o_totalprice, …) never leave the files
+    assert(plan.contains("ReadSchema: struct<c_custkey:bigint," +
+      "c_name:string>"), plan)
+    assert(!plan.contains("c_acctbal") && !plan.contains("o_totalprice"),
+      plan)
+  }
+
   test("min/max/avg parse and the HAVING aggregate must be selected") {
     val (plan, _) = SqlFrontend.parseQuery(
       "SELECT lang, min ( n_chars ), max ( n_chars ), avg ( n_chars ) " +

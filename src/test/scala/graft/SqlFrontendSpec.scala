@@ -83,17 +83,27 @@ class SqlFrontendSpec extends GraftSuite {
         }
         (jt, s"t$j", Col(s"l$j"), Col(s"r$j"))
       }
-      // the r8 WHERE surface: col = col (EqCond), col cmp col, and
-      // col cmp int-literal (CmpCond) are all drawn
+      // the WHERE surface: col = col (EqCond), col cmp col, col cmp
+      // int-literal, col cmp string-literal (r9), and a parenthesized
+      // OR of 2-3 such comparisons (r9 OrCond) are all drawn
       val cmps = Seq("=", "<", ">", "<=", ">=")
-      val where: Option[Expr] = rnd.nextInt(4) match {
-        case 0 => Some(EqCond(Col("wa"), Col("wb")))
-        case 1 =>
-          val op = cmps(1 + rnd.nextInt(4)) // non-= keeps CmpCond shape
-          Some(CmpCond(op, Col("wa"), Col("wb")))
-        case 2 =>
+      def simple(): Expr = rnd.nextInt(3) match {
+        case 0 =>
           val op = cmps(rnd.nextInt(5))
-          Some(CmpCond(op, Col("wa"), Lit(rnd.nextInt(1000).toLong)))
+          if (op == "=") EqCond(Col("wa"), Col("wb"))
+          else CmpCond(op, Col("wa"), Col("wb"))
+        case 1 =>
+          CmpCond(cmps(rnd.nextInt(5)), Col("wa"),
+            Lit(rnd.nextInt(1000).toLong))
+        case _ =>
+          CmpCond(cmps(rnd.nextInt(5)), Col("wa"),
+            StrLit(s"v${rnd.nextInt(100)}"))
+      }
+      val where: Option[Expr] = rnd.nextInt(5) match {
+        case 0 => Some(EqCond(Col("wa"), Col("wb")))
+        case 1 | 2 => Some(simple())
+        case 3 => Some(OrCond(
+          (0 to rnd.nextInt(2)).map(_ => simple()) :+ simple()))
         case _ => None
       }
       val proj = if (rnd.nextBoolean())
@@ -114,11 +124,17 @@ class SqlFrontendSpec extends GraftSuite {
         }
         sql ++= s" $kw $t ON ${l.name} = ${r.name}"
       }
-      where.foreach {
-        case EqCond(l, r) => sql ++= s" WHERE ${l.name} = ${r.name}"
-        case CmpCond(op, Col(l), Col(r)) => sql ++= s" WHERE $l $op $r"
-        case CmpCond(op, Col(l), Lit(v)) => sql ++= s" WHERE $l $op $v"
+      def predSql(p: Expr): String = p match {
+        case EqCond(l, r)                   => s"${l.name} = ${r.name}"
+        case CmpCond(op, Col(l), Col(r))    => s"$l $op $r"
+        case CmpCond(op, Col(l), Lit(v))    => s"$l $op $v"
+        case CmpCond(op, Col(l), StrLit(v)) => s"$l $op '$v'"
         case other => fail(s"unexpected pred $other")
+      }
+      where.foreach {
+        case OrCond(ds) =>
+          sql ++= s" WHERE ( ${ds.map(predSql).mkString(" OR ")} )"
+        case p => sql ++= s" WHERE ${predSql(p)}"
       }
       limit.foreach(n => sql ++= s" LIMIT $n")
       // expected IR, constructed independently of the parser: an
