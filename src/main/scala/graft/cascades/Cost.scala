@@ -184,6 +184,16 @@ trait StatsModel {
   private def selectivity(pred: Expr, in: Long): Double = pred match {
     case OrCond(ds) =>
       math.min(1.0, 1.0 - ds.map(d => 1.0 - selectivity(d, in)).product)
+    // BETWEEN prices EXACTLY: the covered fraction of the footer range
+    // (intersection width / range width) — no independence assumption
+    case RangeCond(Col(c), lo, hi) =>
+      columnRange(c) match {
+        case Some((rlo, rhi)) if rhi >= rlo =>
+          val covered = math.min(hi, rhi) - math.max(lo, rlo) + 1
+          math.min(1.0, math.max(0.0,
+            covered.toDouble / (rhi - rlo + 1).toDouble))
+        case _ => 0.1
+      }
     case CmpCond(op, Col(c), Lit(v)) =>
       columnRange(c) match {
         case Some((lo, hi)) if hi >= lo =>

@@ -115,6 +115,8 @@ object Execution {
         case "<=" => a <= b
         case ">=" => a >= b
       }
+    case RangeCond(c, lo, hi) =>
+      col(c.name) >= lit(lo) && col(c.name) <= lit(hi)
     case OrCond(ds) => ds.map(predicate).reduce(_ || _)
     case other =>
       throw new IllegalArgumentException(s"not a predicate: $other")

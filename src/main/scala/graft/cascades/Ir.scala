@@ -29,6 +29,17 @@ final case class CmpCond(op: String, left: Expr, right: Expr) extends Expr {
   * of the blind 10%.
   */
 final case class StrLit(value: String) extends Expr
+/** Inclusive integer range predicate — SQL's `col BETWEEN lo AND hi` as
+  * ONE node. Kept whole instead of splitting into two stacked `>=`/`<=`
+  * filters because selectivity then prices EXACTLY (the covered
+  * fraction of the footer range) where two independent conjuncts would
+  * multiply full-range fractions and double-count — the textbook
+  * correlated-conjunct flaw, avoided by construction for the one shape
+  * where the correlation is syntactically certain.
+  */
+final case class RangeCond(col: Col, lo: Long, hi: Long) extends Expr {
+  require(lo <= hi, s"empty BETWEEN range [$lo, $hi]")
+}
 /** Disjunction of comparison predicates — one WHERE conjunct of the form
   * `( a OR b [OR c]* )`. Selectivity combines per-disjunct estimates
   * under independence ([[StatsModel]]); rules that inspect predicates

@@ -446,6 +446,7 @@ object Rules {
       case EqCond(l, r)                  => Some(Set(l.name, r.name))
       case CmpCond(_, Col(c), Lit(_))    => Some(Set(c))
       case CmpCond(_, Col(c), StrLit(_)) => Some(Set(c))
+      case RangeCond(c, _, _)            => Some(Set(c.name))
       case OrCond(ds) =>
         ds.foldLeft(Option(Set.empty[String])) { (acc, d) =>
           for (a <- acc; c <- predCols(d)) yield a ++ c

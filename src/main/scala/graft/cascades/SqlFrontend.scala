@@ -21,7 +21,7 @@ package graft.cascades
   * [ WHERE conjunct [AND conjunct]* ]
   *     conjunct := simple
   *               | '(' simple OR simple [OR simple]* ')'
-  *               | col BETWEEN int AND int   (two stacked filters)
+  *               | col BETWEEN int AND int   (one RangeCond filter)
   *               | [NOT] EXISTS '(' SELECT * FROM table
   *                     WHERE col = col [AND simple]* ')'
   *               | col = '(' scalar-subquery ')'
@@ -190,16 +190,15 @@ object SqlFrontend {
         } else {
           val l = Col(p.ident())
           if (p.peekKw("BETWEEN")) {
-            // BETWEEN lo AND hi → two stacked range conjuncts (its AND
-            // is consumed here, not the conjunct separator)
+            // BETWEEN lo AND hi → ONE RangeCond filter (its AND is
+            // consumed here, not the conjunct separator) — a single
+            // node so selectivity prices the covered fraction exactly
             p.next()
             val lo = p.int()
             p.expectKw("AND")
             val hi = p.int()
             plan = PlanNode(LogicalFilter(
-              CmpCond(">=", l, Lit(lo.toLong)), Nil), Seq(plan))
-            plan = PlanNode(LogicalFilter(
-              CmpCond("<=", l, Lit(hi.toLong)), Nil), Seq(plan))
+              RangeCond(l, lo.toLong, hi.toLong), Nil), Seq(plan))
           } else {
             val cmp = p.cmpOp()
             if (cmp == "=" && p.peek.contains("(")) {

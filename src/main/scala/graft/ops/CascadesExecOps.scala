@@ -349,9 +349,10 @@ object CascadesExecOps {
         "JOIN orders ON c_custkey = o_custkey " +
         "WHERE ( o_orderkey <= 100 OR o_orderkey >= 14900 ) " +
         "ORDER BY o_orderkey"),
-    // BETWEEN executed (r9): lowers to two stacked range conjuncts, each
-    // pushed through the join and priced from footer min/max — the
-    // conjunction of range fractions lands under the broadcast crossover
+    // BETWEEN executed (r9): lowers to ONE RangeCond filter, pushed
+    // through the join whole and priced EXACTLY from footer min/max
+    // (covered fraction — no independence double-count), landing under
+    // the broadcast crossover
     "cascades_exec_between" ->
       ("SELECT o_orderkey, c_name FROM customer " +
         "JOIN orders ON c_custkey = o_custkey " +

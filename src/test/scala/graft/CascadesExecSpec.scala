@@ -503,7 +503,7 @@ class CascadesExecSpec extends GraftSuite {
       w.explain())
   }
 
-  test("BETWEEN lowers to two stacked range conjuncts and the combined " +
+  test("BETWEEN lowers to ONE RangeCond whose EXACT covered-fraction " +
       "selectivity broadcasts the filtered build") {
     val (plan, _) = SqlFrontend.parseQuery(
       "SELECT o_orderkey FROM orders " +
@@ -513,8 +513,13 @@ class CascadesExecSpec extends GraftSuite {
       case _                   => Nil
     }) ++ p.inputs.flatMap(filters)
     assert(filters(plan) == Seq(
-      CmpCond("<=", Col("o_orderkey"), Lit(200L)),
-      CmpCond(">=", Col("o_orderkey"), Lit(100L))), plan.explain())
+      RangeCond(Col("o_orderkey"), 100L, 200L)), plan.explain())
+    // exact pricing: 101 of 15000 (two independent stacked conjuncts
+    // would have said ~200 — the double-count this node exists to avoid)
+    val real = ParquetStats.fromDir(d, Seq("orders"))
+    assert(real.derive(
+      LogicalFilter(RangeCond(Col("o_orderkey"), 100L, 200L), Nil),
+      Seq(15000L)) == 101L)
     val (winner, df) =
       CascadesExecOps.planFor(spark, d, "cascades_exec_between")
     def ops(p: PlanNode): Seq[Operator] = p.op +: p.inputs.flatMap(ops)

@@ -99,11 +99,15 @@ class SqlFrontendSpec extends GraftSuite {
           CmpCond(cmps(rnd.nextInt(5)), Col("wa"),
             StrLit(s"v${rnd.nextInt(100)}"))
       }
-      val where: Option[Expr] = rnd.nextInt(5) match {
+      val where: Option[Expr] = rnd.nextInt(6) match {
         case 0 => Some(EqCond(Col("wa"), Col("wb")))
         case 1 | 2 => Some(simple())
         case 3 => Some(OrCond(
           (0 to rnd.nextInt(2)).map(_ => simple()) :+ simple()))
+        case 4 =>
+          val lo = rnd.nextInt(500)
+          Some(RangeCond(Col("wa"), lo.toLong,
+            (lo + rnd.nextInt(500)).toLong))
         case _ => None
       }
       val proj = if (rnd.nextBoolean())
@@ -129,6 +133,8 @@ class SqlFrontendSpec extends GraftSuite {
         case CmpCond(op, Col(l), Col(r))    => s"$l $op $r"
         case CmpCond(op, Col(l), Lit(v))    => s"$l $op $v"
         case CmpCond(op, Col(l), StrLit(v)) => s"$l $op '$v'"
+        case RangeCond(c, lo, hi)           =>
+          s"${c.name} BETWEEN $lo AND $hi"
         case other => fail(s"unexpected pred $other")
       }
       where.foreach {
