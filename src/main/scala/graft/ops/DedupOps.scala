@@ -977,10 +977,33 @@ object DedupOps {
   /** Exact quantized-cosine verification of candidate (id1, id2) pairs. */
   /** The `sim_dbscan_core` pipeline over any (vec_id, embedding) frame —
     * separated so specs can plant dense clusters with known core sets.
+    *
+    * MULTIPLICITY GROUPING (r9, found by the skew scaling leg): the
+    * LSH-candidate pair join runs over UNIQUE quantized vectors, each
+    * carrying its duplicate count `m` — identical vectors (cos = 1,
+    * always mutual eps-neighbors, identically bucketed) contribute through
+    * arithmetic instead of pair enumeration: a member of a group of
+    * size m has (m - 1) twin neighbors plus the sum of neighbor-group
+    * multiplicities, and every member of a group shares one flag. Without
+    * this, k exact copies per vector made the intermediate pair set
+    * grow k² per group (the r9 skew leg measured 15.2× wall for 10×
+    * data); with it the pair join is over distinct vectors, whose count
+    * the duplication does not grow. Output is IDENTICAL: twin pairs
+    * pass verification trivially (cos = 1 ≥ t) and LSH never misses
+    * them (equal vectors share every bucket), so enumerating vs
+    * counting them is a pure plan choice.
     */
   def dbscanCoreFrom(embeddings: DataFrame, t: Double,
       minPts: Int): DataFrame = {
-    val emb = quantizedEmbeddings(embeddings)
+    // quantize ONCE (the fan-back join at the end reuses this frame —
+    // without the persist the final join would re-scan and re-quantize)
+    val qe = quantizedEmbeddings(embeddings).persist()
+    // one representative per distinct quantized vector + its member count
+    val groups = qe
+      .groupBy(col("q"), col("nn"))
+      .agg(min(col("vec_id")).as("vec_id"), count(lit(1)).as("m"))
+      .persist()
+    val emb = groups
       .withColumn("bkts", SimilarityOps.lshBuckets(col("q"), 16, 4))
       .persist()
     val keys = emb.select(col("vec_id"), col("bkts"),
@@ -992,10 +1015,29 @@ object DedupOps {
           graft.functions.functions
             .first_match(col("a.bkts"), col("b.bkts")) === col("a.tb"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
-    verifyCosine(cand, emb, t)
-      .select(explode(array(col("id1"), col("id2"))).as("vec_id"))
-      .groupBy("vec_id").agg(count(lit(1)).as("n_neighbors"))
+    val mOf = groups.select(col("vec_id"), col("m"))
+    // each verified cross-group pair contributes the OTHER side's
+    // multiplicity to each endpoint's neighbor count
+    val crossCounts = verifyCosine(cand, emb, t)
+      .join(mOf.as("m1"), col("id1") === col("m1.vec_id"))
+      .join(mOf.as("m2"), col("id2") === col("m2.vec_id"))
+      .select(explode(array(
+        struct(col("id1").as("rep"), col("m2.m").as("w")),
+        struct(col("id2").as("rep"), col("m1.m").as("w")))).as("e"))
+      .groupBy(col("e.rep").as("rep")).agg(sum(col("e.w")).as("cross"))
+    // per-representative neighbor count = twins + cross; fan back out to
+    // every member of the group (a row per original vec_id, as before)
+    val perRep = mOf.join(crossCounts,
+        mOf("vec_id") === crossCounts("rep"), "left")
+      .select(mOf("vec_id").as("rep"), col("m"),
+        (coalesce(col("cross"), lit(0L)) + col("m") - 1L)
+          .as("n_neighbors"))
       .filter(col("n_neighbors") >= minPts)
+    qe
+      .join(groups.select(col("q"), col("nn"), col("vec_id").as("rep")),
+        Seq("q", "nn"))
+      .join(perRep, Seq("rep"))
+      .select(col("vec_id"), col("n_neighbors"))
       .orderBy("vec_id")
   }
 
