@@ -215,8 +215,9 @@ trait StatsModel {
             case "=" =>
               // out of the footer range: provably empty (floored to one
               // row by the caller); in range: 1/NDV from the dictionary
-              // axis when known, else the blind fallback
-              if (v < lo || v > hi) 0.0
+              // axis when known, else the blind fallback. Unsigned UTF-8
+              // compare — the order the footer bounds were written in
+              if (StatsModel.utf8Lt(v, lo) || StatsModel.utf8Lt(hi, v)) 0.0
               else columnNdv(c).fold(0.1)(n => 1.0 / math.max(1L, n))
             case _ =>
               // ordered comparison: byte interpolation of v's position
@@ -235,6 +236,26 @@ trait StatsModel {
 }
 
 object StatsModel {
+  /** Unsigned UTF-8 byte comparison — the order parquet uses for Binary
+    * min/max statistics. Java String `<` compares UTF-16 code units,
+    * which diverges on non-ASCII (e.g. supplementary-plane surrogates
+    * sort below U+E000 in UTF-16 but above in UTF-8), so an in-range
+    * literal could be misjudged out of range against footer bounds
+    * (ADVICE r9). Returns <0 / 0 / >0 like compareTo.
+    */
+  def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+  def utf8Lt(a: String, b: String): Boolean = utf8Cmp(a, b) < 0
+
   /** Fractional position of `v` within [lo, hi] by 8-byte big-endian
     * interpolation of each string's UTF-8 prefix — the classic character
     * interpolation for string range selectivity. Clamped to [0, 1];

@@ -129,6 +129,9 @@ object Execution {
     */
   private def aggColumn(a: AggCall): Column = a.fn match {
     case "count" => count(lit(1)).as(a.outName)
+    // SQL COUNT(x): null-skipping — the outer aggregate of the distinct
+    // rewrite (skips the (g, NULL) dedup row; keeps all-NULL groups)
+    case "count_nonnull" => count(col(a.col.get.name)).as(a.outName)
     // the direct (Complete, co-partitioned) implementation of a distinct
     // count — only sound because the mode's required Hashed(group) input
     // puts every group in one partition; the usually-cheaper plan is the

@@ -126,9 +126,13 @@ object ParquetStats {
   private def mergeStr(
       m: scala.collection.mutable.Map[String, (String, String)],
       name: String, lo: String, hi: String): Unit = {
+    // unsigned UTF-8 byte order — the comparator parquet itself uses for
+    // Binary min/max statistics; Java's UTF-16 String order diverges on
+    // non-ASCII (ADVICE r9)
+    import StatsModel.utf8Lt
     val cur = m.get(name)
-    m(name) = (cur.fold(lo)(x => if (lo < x._1) lo else x._1),
-      cur.fold(hi)(x => if (hi > x._2) hi else x._2))
+    m(name) = (cur.fold(lo)(x => if (utf8Lt(lo, x._1)) lo else x._1),
+      cur.fold(hi)(x => if (utf8Lt(x._2, hi)) hi else x._2))
   }
 
   /** A [[TableStats]] catalog for `tables` under `dir` (the TESTDATA
@@ -143,7 +147,9 @@ object ParquetStats {
   def fromDir(dir: String, tables: Seq[String]): TableStats = {
     val entries = tables.map(t => t -> footerStats(s"$dir/$t.parquet"))
     val allCols = entries.flatMap { case (_, f) =>
-      (f.intRanges.keySet ++ f.strRanges.keySet).toSeq
+      // ndvs included: a dictionary-encoded column with no usable
+      // min/max stats still collides by NDV (ADVICE r9)
+      (f.intRanges.keySet ++ f.strRanges.keySet ++ f.ndvs.keySet).toSeq
     }
     val dups = allCols.groupBy(identity).collect {
       case (c, occ) if occ.length > 1 => c

@@ -614,6 +614,15 @@ object Rules {
     * mixed plain+distinct calls need an expand (out of scope; abstain),
     * and a second distinct column would need one dedup branch per
     * column.
+    *
+    * NULL handling (ADVICE r9): SQL `COUNT(DISTINCT x)` ignores NULLs,
+    * but the inner dedup aggregate emits a row for the `(g, NULL)`
+    * group — so the outer aggregate is `count_nonnull(x)` (SQL
+    * `COUNT(x)`), not `count(*)`: the NULL-x dedup row is skipped AND a
+    * group whose x values are ALL NULL still surfaces as `(g, 0)`,
+    * which a NULL-filter below the inner aggregate would lose. Both
+    * memo alternatives (this and the direct `count_distinct`) now agree
+    * on NULL-bearing columns.
     */
   object RewriteDistinctAggRule extends OptRule {
     val id = RuleId.RewriteDistinctAgg
@@ -624,7 +633,7 @@ object Rules {
         case Node(LogicalAggregate(g, Seq(a @ AggCall("count_distinct",
             Some(x), _))), inputs) =>
           Some(Node(
-            LogicalAggregate(g, Seq(AggCall("count", None,
+            LogicalAggregate(g, Seq(AggCall("count_nonnull", Some(x),
               as = Some(a.outName)))),
             Seq(Node(LogicalAggregate(g :+ x, Seq(AggCall("count"))),
               inputs))))

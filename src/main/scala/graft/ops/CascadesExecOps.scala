@@ -187,16 +187,23 @@ object CascadesExecOps {
       // always trustworthy at read — the conf makes Spark trust it, and
       // the executed SMJ carries ZERO sorts as well as zero exchanges
       // (r8 shipped two partition-local sorts here; VERDICT r8 #1).
-      // Session-wide on purpose: every graft_bk_* table satisfies the
-      // one-file precondition, and the only cost is a per-bucket file
-      // listing at planning.
-      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+      // Scoped to a DEDICATED child session (ADVICE r9): the claim is
+      // only sound under graft's one-file-per-bucket doctrine, so it
+      // must not leak to later queries in the caller's session, where a
+      // future multi-file bucketed table would silently skip required
+      // sorts. newSession shares the SparkContext and the external
+      // catalog (saveAsTable tables are visible) but carries its own
+      // SQLConf; the returned DataFrame stays bound to it, so the
+      // execution-time planner still sees the conf — restoring a
+      // session-wide set after lazy planAndLower would not.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
         "true")
-      val cust = bucketedTable(s, d, "customer", "c_custkey",
+      val cust = bucketedTable(s2, d, "customer", "c_custkey",
         "graft_bk_customer")
-      val ord = bucketedTable(s, d, "orders", "o_custkey",
+      val ord = bucketedTable(s2, d, "orders", "o_custkey",
         "graft_bk_orders")
-      planAndLower(s, d, sqls(name), rules, cost,
+      planAndLower(s2, d, sqls(name), rules, cost,
         layouts = Map(
           "customer" ->
             ((Seq(Col("c_custkey")), Seq(Col("c_custkey")))),

@@ -1015,7 +1015,7 @@ object DedupOps {
           graft.functions.functions
             .first_match(col("a.bkts"), col("b.bkts")) === col("a.tb"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
-    val mOf = groups.select(col("vec_id"), col("m"))
+    val mOf = groups.select(col("vec_id"), col("m"), col("nn"))
     // each verified cross-group pair contributes the OTHER side's
     // multiplicity to each endpoint's neighbor count
     val crossCounts = verifyCosine(cand, emb, t)
@@ -1030,7 +1030,12 @@ object DedupOps {
     val perRep = mOf.join(crossCounts,
         mOf("vec_id") === crossCounts("rep"), "left")
       .select(mOf("vec_id").as("rep"), col("m"),
-        (coalesce(col("cross"), lit(0L)) + col("m") - 1L)
+        // twin credit gated on nn > 0: verifyCosine's zero-norm guard
+        // yields cos 0 for a zero vector, so the enumerated path never
+        // admitted twin pairs of zero-norm groups — the arithmetic
+        // credit must not either (ADVICE r9)
+        (coalesce(col("cross"), lit(0L)) +
+          when(mOf("nn") > 0L, col("m") - 1L).otherwise(lit(0L)))
           .as("n_neighbors"))
       .filter(col("n_neighbors") >= minPts)
     qe

@@ -575,6 +575,64 @@ class CascadesExecSpec extends GraftSuite {
       Seq(500L)) == 100L) // 1/NDV of 500
   }
 
+  test("string stats compare by unsigned UTF-8 bytes (parquet's Binary " +
+      "stat order), not UTF-16: a supplementary-plane upper bound keeps " +
+      "U+FFFF in range") {
+    val supp = new String(Character.toChars(0x10000)) // UTF-8 F0 90 80 80
+    val v = "￿"                                  // UTF-8 EF BF BF
+    // UTF-16 code-unit order inverts the byte order parquet wrote the
+    // footer bounds in — the ADVICE r9 misjudged-empty hazard
+    assert(v.compareTo(supp) > 0)
+    assert(StatsModel.utf8Cmp(v, supp) < 0)
+    val ts = TableStats(Map("t" -> 1000L), Map.empty,
+      strRanges = Map("s" -> (("a", supp))))
+    // in range under byte order → the blind 10% fallback (no NDV axis),
+    // NOT the provably-empty 1-row floor the UTF-16 compare produced
+    assert(ts.derive(
+      LogicalFilter(CmpCond("=", Col("s"), StrLit(v)), Nil),
+      Seq(1000L)) == 100L)
+  }
+
+  test("count(distinct) NULL semantics: the dedup-first outer " +
+      "count_nonnull skips the (g, NULL) dedup row AND keeps an all-NULL " +
+      "group as (g, 0) — agreeing with the direct count_distinct") {
+    import spark.implicits._
+    val df = Seq(("a", Option(1L)), ("a", Option(1L)), ("a", Option(2L)),
+      ("a", Option.empty[Long]), ("b", Option.empty[Long]),
+      ("b", Option.empty[Long])).toDF("g", "x")
+    // the rewrite emits count_nonnull (SQL COUNT(x)), not count(*)
+    val rewritten = Rules.RewriteDistinctAggRule.apply(
+      OptExpression.Node(
+        LogicalAggregate(Seq(Col("g")),
+          Seq(AggCall("count_distinct", Some(Col("x"))))),
+        Seq(OptExpression.GroupHandle(0))),
+      RuleContext.empty)
+    assert(rewritten.exists {
+      case OptExpression.Node(LogicalAggregate(_, aggs), _) =>
+        aggs.exists(a => a.fn == "count_nonnull" && a.outName == "cntd_x")
+      case _ => false
+    }, rewritten)
+    // both memo alternatives, lowered and executed on NULL-bearing data
+    val scan = PlanNode(PhysicalTableScan("t"))
+    val dedupFirst = PlanNode(
+      PhysicalHashAggregate(AggMode.Final, Seq(Col("g")),
+        Seq(AggCall("count_nonnull", Some(Col("x")),
+          as = Some("cntd_x")))),
+      Seq(PlanNode(
+        PhysicalHashAggregate(AggMode.Final, Seq(Col("g"), Col("x")),
+          Seq(AggCall("count"))), Seq(scan))))
+    val direct = PlanNode(
+      PhysicalHashAggregate(AggMode.Complete, Seq(Col("g")),
+        Seq(AggCall("count_distinct", Some(Col("x")),
+          as = Some("cntd_x")))), Seq(scan))
+    val expected = Seq(("a", 2L), ("b", 0L))
+    for (p <- Seq(dedupFirst, direct)) {
+      val got = Execution.lower(p, Map("t" -> df)).orderBy("g")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == expected, s"${p.explain()} -> $got")
+    }
+  }
+
   test("count(distinct): the split rule ABSTAINS (per-partition distinct " +
       "counts don't merge) and the dedup-first rewrite wins — an inner " +
       "(source, lang) dedup aggregate, itself split, under an outer row " +

@@ -411,6 +411,21 @@ class DedupSpec extends GraftSuite {
     assert(got == Seq((1L, 2L), (2L, 2L), (3L, 2L)), got.toList)
   }
 
+  test("dbscan core: duplicated ZERO vectors gain no twin neighbors — " +
+      "the multiplicity credit matches verifyCosine's zero-norm guard " +
+      "(cos 0 < t), so the group is noise, not core") {
+    import spark.implicits._
+    val zero = Array.fill(64)(0.0f)
+    val emb = Seq((1L, zero), (2L, zero), (3L, zero))
+      .toDF("vec_id", "embedding")
+    // the enumerated path rejected every twin pair (0/0 guarded to cos
+    // 0); the m−1 arithmetic credit must not resurrect them (ADVICE r9)
+    val got = ops.DedupOps.dbscanCoreFrom(emb, t = 0.35, minPts = 2)
+      .collect()
+    spark.catalog.clearCache()
+    assert(got.isEmpty, got.toList)
+  }
+
   test("neardup decontamination: per-bench report against a driver-side " +
     "exact-jaccard sweep") {
     import org.apache.spark.sql.functions._
