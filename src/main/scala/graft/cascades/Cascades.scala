@@ -288,8 +288,8 @@ final class CascadesOptimizer(
           val relaxed = req.copy(order = OrderSpec.AnyOrder)
           memo.group(g).winner(relaxed).foreach { w =>
             req.order match {
-              case OrderSpec.SortedBy(cols) =>
-                val sortOp = PhysicalSort(cols)
+              case OrderSpec.SortedBy(keys) =>
+                val sortOp = PhysicalSort(keys)
                 val cost = costModel.operatorCost(sortOp,
                   Seq(memo.group(g).card), Seq(memo.group(g).width)) + w.cost
                 if (cost <= bound)

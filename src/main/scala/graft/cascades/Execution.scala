@@ -70,12 +70,12 @@ object Execution {
               joinCond(cond), joinTypeStr(jt))
           case PhysicalHashAggregate(_, g, aggs) =>
             aggregate(kids.head, g, aggs)
-          case PhysicalTopK(n, cols) =>
+          case PhysicalTopK(n, keys) =>
             // orderBy+limit => Spark's TakeOrderedAndProjectExec, the
             // PhysicalTopK counterpart (no global sort)
-            kids.head.orderBy(cols.map(c => col(c.name)): _*).limit(n)
-          case PhysicalSort(cols) =>
-            kids.head.orderBy(cols.map(c => col(c.name)): _*)
+            kids.head.orderBy(keys.map(sortColumn): _*).limit(n)
+          case PhysicalSort(keys) =>
+            kids.head.orderBy(keys.map(sortColumn): _*)
           case PhysicalExchange(keys) =>
             if (keys.isEmpty) kids.head.repartition(1)
             else kids.head.repartition(keys.map(c => col(c.name)): _*)
@@ -95,6 +95,18 @@ object Execution {
 
   private def joinCond(cond: EqCond): Column =
     col(cond.left.name) === col(cond.right.name)
+
+  /** A [[SortKey]]'s exact Spark sort column — direction AND null
+    * placement explicit, never the dialect default (Spark and DuckDB
+    * disagree on default null placement, so the lowering and the oracle
+    * SQL both spell it out).
+    */
+  private def sortColumn(k: SortKey): Column = (k.asc, k.nullsFirst) match {
+    case (true, true)   => col(k.col.name).asc_nulls_first
+    case (true, false)  => col(k.col.name).asc_nulls_last
+    case (false, true)  => col(k.col.name).desc_nulls_first
+    case (false, false) => col(k.col.name).desc_nulls_last
+  }
 
   private def exprToColumn(e: Expr): Column = e match {
     case Col(n)    => col(n)

@@ -273,7 +273,7 @@ object SqlFrontend {
     val order: OrderSpec =
       if (p.peekKw("ORDER")) {
         p.next(); p.expectKw("BY")
-        OrderSpec.SortedBy(p.identList().map(Col))
+        OrderSpec.SortedBy(p.sortKeyList())
       } else OrderSpec.AnyOrder
     if (p.peekKw("LIMIT")) {
       p.next()
@@ -287,8 +287,8 @@ object SqlFrontend {
         // order rides ON the node, the limit rules cannot touch it,
         // and the physical TopK delivers the root's required order
         // itself (Spark's Limit(Sort(...)) → TakeOrderedAndProject).
-        case OrderSpec.SortedBy(cols) =>
-          plan = PlanNode(LogicalTopK(n, cols), Seq(plan))
+        case OrderSpec.SortedBy(keys) =>
+          plan = PlanNode(LogicalTopK(n, keys), Seq(plan))
         case OrderSpec.AnyOrder =>
           plan = PlanNode(LogicalLimit(n), Seq(plan))
       }
@@ -388,6 +388,31 @@ object SqlFrontend {
     def identList(): Seq[String] = {
       val buf = scala.collection.mutable.ArrayBuffer(ident())
       while (peek.contains(",")) { next(); buf += ident() }
+      buf.toSeq
+    }
+    /** One ORDER BY axis: `col [ASC|DESC] [NULLS FIRST|LAST]`. Default
+      * null placement follows the direction (Spark's SortOrder pairing:
+      * ASC → NULLS FIRST, DESC → NULLS LAST) — oracle SQL should spell
+      * the placement explicitly since DuckDB's dialect default differs.
+      */
+    def sortKey(): SortKey = {
+      val c = Col(ident())
+      val asc =
+        if (peekKw("DESC")) { next(); false }
+        else { if (peekKw("ASC")) next(); true }
+      val nullsFirst =
+        if (peekKw("NULLS")) {
+          next()
+          val t = next()
+          require(t.equalsIgnoreCase("FIRST") || t.equalsIgnoreCase("LAST"),
+            s"expected FIRST or LAST after NULLS at #$pos, got '$t'")
+          t.equalsIgnoreCase("FIRST")
+        } else asc
+      SortKey(c, asc, nullsFirst)
+    }
+    def sortKeyList(): Seq[SortKey] = {
+      val buf = scala.collection.mutable.ArrayBuffer(sortKey())
+      while (peek.contains(",")) { next(); buf += sortKey() }
       buf.toSeq
     }
     /** count ( * ) | (sum|min|max|avg) ( col ) — one aggregate call. */

@@ -220,6 +220,13 @@ object CascadesExecOps {
       ("SELECT l_orderkey, l_linenumber FROM lineitem " +
         "WHERE l_partkey = l_suppkey " +
         "ORDER BY l_orderkey, l_linenumber LIMIT 50"),
+    // DESCENDING top-k (VERDICT r9 directive #2): the order axes carry
+    // direction + null placement through parse → LogicalTopK →
+    // PhysicalTopK → TakeOrderedAndProject — "largest 50" never pays a
+    // global sort at any scale (per-partition heaps + one merge)
+    "cascades_exec_topk_desc" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 50"),
     // broadcast-vs-shuffle decided by FOOTER stats: nation (25 rows)
     // lands on the build side and broadcasts — zero shuffles on the
     // 100 TB-side fact scan
@@ -405,6 +412,8 @@ object CascadesExecOps {
   val configs: Map[String, (Seq[OptRule], CostModel)] = Map(
     "cascades_exec_filter_topk" ->
       ((Rules.all, new CardinalityCostModel)),
+    "cascades_exec_topk_desc" ->
+      ((Rules.all, new CardinalityCostModel)),
     "cascades_exec_broadcast_dim" ->
       ((Rules.joinStrategyRules, new ClusterCostModel)),
     "cascades_exec_commute_build" ->
@@ -461,6 +470,10 @@ object CascadesExecOps {
       """SELECT l_orderkey, l_linenumber FROM lineitem
          WHERE l_partkey = l_suppkey
          ORDER BY l_orderkey, l_linenumber LIMIT 50""",
+    "cascades_exec_topk_desc" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC NULLS LAST, o_orderkey DESC NULLS LAST
+         LIMIT 50""",
     "cascades_exec_broadcast_dim" ->
       """SELECT c_name, n_name FROM customer
          JOIN nation ON c_nationkey = n_nationkey

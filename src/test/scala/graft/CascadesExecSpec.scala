@@ -575,6 +575,53 @@ class CascadesExecSpec extends GraftSuite {
       Seq(500L)) == 100L) // 1/NDV of 500
   }
 
+  test("topk desc: ORDER BY ... DESC plans as PhysicalTopK carrying " +
+      "direction+nulls, executes as TakeOrderedAndProject (no global " +
+      "sort), and the rows really descend") {
+    val (winner, df) =
+      CascadesExecOps.planFor(spark, d, "cascades_exec_topk_desc")
+    def ops(p: PlanNode): Seq[Operator] = p.op +: p.inputs.flatMap(ops)
+    assert(ops(winner).contains(PhysicalTopK(50,
+      Seq(SortKey.desc(Col("o_totalprice")),
+        SortKey.desc(Col("o_orderkey"))))), winner.explain())
+    val plan = executedPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+    val prices = df.collect().map(_.getDouble(1))
+    assert(prices.length == 50)
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b },
+      prices.take(10).toList)
+  }
+
+  test("order direction satisfaction: an ASC-clustered layout satisfies " +
+      "the ASC requirement with ZERO sorts but FAILS the DESC " +
+      "requirement and pays the sort enforcer") {
+    val stats = TableStats(Map("customer" -> 1500L))
+    val clustered = PlanNode(LogicalScan("customer", None,
+      bucketBy = Seq(Col("c_custkey")), sortBy = Seq(Col("c_custkey"))))
+    def optimize(req: PhysicalPropertySet): PlanNode =
+      new CascadesOptimizer(Rules.all,
+        costModel = new CardinalityCostModel, stats = stats)
+        .optimize(clustered, req).get
+    def sorts(p: PlanNode): Seq[PhysicalSort] = (p.op match {
+      case s: PhysicalSort => Seq(s)
+      case _               => Nil
+    }) ++ p.inputs.flatMap(sorts)
+    // ASC: the write-time sort already delivers the order — no enforcer
+    val ascW = optimize(PhysicalPropertySet(
+      order = OrderSpec.SortedBy.asc(Seq(Col("c_custkey")))))
+    assert(sorts(ascW).isEmpty, ascW.explain())
+    // DESC over the SAME layout: direction-aware satisfaction rejects
+    // the ascending clustered order — the enforcer sort appears and
+    // carries the DESC key (the r9 ascending-only SortedBy could never
+    // express this requirement at all)
+    val descReq = OrderSpec.SortedBy(Seq(SortKey.desc(Col("c_custkey"))))
+    val descW = optimize(PhysicalPropertySet(order = descReq))
+    assert(sorts(descW) ==
+      Seq(PhysicalSort(Seq(SortKey.desc(Col("c_custkey"))))),
+      descW.explain())
+  }
+
   test("string stats compare by unsigned UTF-8 bytes (parquet's Binary " +
       "stat order), not UTF-16: a supplementary-plane upper bound keeps " +
       "U+FFFF in range") {

@@ -140,7 +140,7 @@ class CascadesPropertySpec extends AnyFunSuite {
   }
 
   test("required order is enforced: a PhysicalSort on the delivered plan") {
-    val req = PhysicalPropertySet(order = OrderSpec.SortedBy(Seq(Col("a"))))
+    val req = PhysicalPropertySet(order = OrderSpec.SortedBy.asc(Seq(Col("a"))))
     (1 to Trials).foreach { seed =>
       val plan = sample(genPlan(3, withLimit = false), seed.toLong)
       val out = new CascadesOptimizer(
@@ -149,7 +149,7 @@ class CascadesPropertySpec extends AnyFunSuite {
       assert(out.isDefined, s"seed $seed")
       // only PhysicalSort delivers an order, so it must appear
       assert(physicalOps(out.get).exists {
-        case PhysicalSort(cs) => cs == Seq(Col("a"))
+        case PhysicalSort(cs) => cs == Seq(SortKey(Col("a")))
         case _                => false
       }, s"seed $seed: no enforcing sort:\n${out.get.explain()}")
     }
@@ -408,7 +408,9 @@ class CascadesPropertySpec extends AnyFunSuite {
   private def deliveredProps(p: PlanNode): PhysicalPropertySet = {
     val op = p.op.asInstanceOf[PhysicalOp]
     val childProps = p.inputs.map(deliveredProps)
-    def keptBy(cols: Seq[Col], keys: Seq[Col]): Boolean =
+    def keptBy(cols: Seq[Col], keys: Seq[SortKey]): Boolean =
+      cols.isEmpty || keys.forall(k => cols.contains(k.col))
+    def keptByCols(cols: Seq[Col], keys: Seq[Col]): Boolean =
       cols.isEmpty || keys.forall(cols.contains)
     val selfOrd = PhysicalPropertySet.deliveredOrder(op)
     val ord =
@@ -419,7 +421,8 @@ class CascadesPropertySpec extends AnyFunSuite {
           case _ => OrderSpec.AnyOrder
         }
         case PhysicalProject(exprs) => childProps.head.order match {
-          case s @ OrderSpec.SortedBy(ks) if ks.forall(exprs.contains) => s
+          case s @ OrderSpec.SortedBy(ks)
+              if ks.forall(k => exprs.contains(k.col)) => s
           case _ => OrderSpec.AnyOrder
         }
         case _ => OrderSpec.AnyOrder
@@ -432,7 +435,8 @@ class CascadesPropertySpec extends AnyFunSuite {
         case _: PhysicalSort => childProps.head.distribution
         case PhysicalFilter(_, projected) =>
           childProps.head.distribution match {
-            case h @ DistributionSpec.Hashed(ks) if keptBy(projected, ks) => h
+            case h @ DistributionSpec.Hashed(ks)
+              if keptByCols(projected, ks) => h
             case DistributionSpec.Singleton => DistributionSpec.Singleton
             case _ => DistributionSpec.Any
           }
@@ -470,7 +474,7 @@ class CascadesPropertySpec extends AnyFunSuite {
           else if (seed % 3 == 1) DistributionSpec.Singleton
           else DistributionSpec.Any,
         order =
-          if (seed % 2 == 0) OrderSpec.SortedBy(Seq(Col("b")))
+          if (seed % 2 == 0) OrderSpec.SortedBy.asc(Seq(Col("b")))
           else OrderSpec.AnyOrder)
       val out = new CascadesOptimizer(Rules.fullJoinStrategyRules,
         costModel = new ClusterCostModel, stats = stats)
@@ -499,10 +503,10 @@ class CascadesPropertySpec extends AnyFunSuite {
             val rp = deliveredProps(n.inputs(1))
             val lreq = PhysicalPropertySet(
               DistributionSpec.Hashed(Seq(cond.left)),
-              OrderSpec.SortedBy(Seq(cond.left)))
+              OrderSpec.SortedBy.asc(Seq(cond.left)))
             val rreq = PhysicalPropertySet(
               DistributionSpec.Hashed(Seq(cond.right)),
-              OrderSpec.SortedBy(Seq(cond.right)))
+              OrderSpec.SortedBy.asc(Seq(cond.right)))
             assert(lp.satisfies(lreq),
               s"seed $seed: left delivers $lp, needs $lreq:\n${n.explain()}")
             assert(rp.satisfies(rreq),

@@ -136,11 +136,11 @@ class CascadesSpec extends AnyFunSuite {
 
   test("requiring sorted output inserts PhysicalSort above the hash join") {
     val plan = join(scan("t1"), scan("t2"), "c1", "c2")
-    val req = PhysicalPropertySet(order = OrderSpec.SortedBy(Seq(Col("c1"))))
+    val req = PhysicalPropertySet(order = OrderSpec.SortedBy.asc(Seq(Col("c1"))))
     val out = new CascadesOptimizer().optimize(plan, req)
     assert(out.isDefined)
     out.get match {
-      case PlanNode(PhysicalSort(Seq(Col("c1"))),
+      case PlanNode(PhysicalSort(Seq(SortKey(Col("c1"), true, true))),
           Seq(PlanNode(PhysicalHashJoin(JoinType.Inner, _), _))) =>
       case other => fail(s"expected Sort over HashJoin:\n${other.explain()}")
     }
@@ -151,7 +151,7 @@ class CascadesSpec extends AnyFunSuite {
 
   test("enforcer costs still prune: sorted requirement adds sort cost once") {
     val plan = join(scan("t1"), scan("t2"), "c1", "c2")
-    val req = PhysicalPropertySet(order = OrderSpec.SortedBy(Seq(Col("c1"))))
+    val req = PhysicalPropertySet(order = OrderSpec.SortedBy.asc(Seq(Col("c1"))))
     val (out, memo) = new CascadesOptimizer().optimizeWithMemo(plan, req)
     assert(out.isDefined)
     val sorted = memo.group(memo.root).winner(req).get
@@ -281,12 +281,12 @@ class CascadesSpec extends AnyFunSuite {
     val plan = join(scan("t1"), scan("t2"), "c1", "c2")
     val req = PhysicalPropertySet(
       distribution = DistributionSpec.Hashed(Seq(Col("c1"))),
-      order = OrderSpec.SortedBy(Seq(Col("c1"))))
+      order = OrderSpec.SortedBy.asc(Seq(Col("c1"))))
     val out = new CascadesOptimizer().optimize(plan, req).get
     // an exchange destroys order, so the only correct stacking is
     // Sort(...Exchange...) — sort at the root, exchange somewhere below
     out match {
-      case PlanNode(PhysicalSort(Seq(Col("c1"))), _) =>
+      case PlanNode(PhysicalSort(Seq(SortKey(Col("c1"), true, true))), _) =>
       case other => fail(s"expected Sort at root:\n${other.explain()}")
     }
     assert(out.explain().contains("PhysicalExchange"))
@@ -339,13 +339,13 @@ class CascadesSpec extends AnyFunSuite {
     // for the cheaper build side AND top it with the required sort
     val stats = TableStats(Map("small" -> 10L, "big" -> 10000L))
     val plan = join(scan("small"), scan("big"), "c1", "c2")
-    val req = PhysicalPropertySet(order = OrderSpec.SortedBy(Seq(Col("c2"))))
+    val req = PhysicalPropertySet(order = OrderSpec.SortedBy.asc(Seq(Col("c2"))))
     val out = new CascadesOptimizer(
       costModel = new CardinalityCostModel, stats = stats)
       .optimize(plan, req)
     assert(out.isDefined)
     out.get match {
-      case PlanNode(PhysicalSort(Seq(Col("c2"))),
+      case PlanNode(PhysicalSort(Seq(SortKey(Col("c2"), true, true))),
           Seq(PlanNode(PhysicalHashJoin(JoinType.Inner, _),
             Seq(PlanNode(PhysicalTableScan(l, None, _, _), Nil),
                 PlanNode(PhysicalTableScan(r, None, _, _), Nil))))) =>
@@ -849,7 +849,7 @@ class CascadesSpec extends AnyFunSuite {
     val fact = PlanNode(LogicalScan("fact",
       bucketBy = Seq(Col("f_k")), sortBy = Seq(Col("f_k"))))
     val plan = join(fact, scan("dim"), "f_k", "d_k")
-    val req = PhysicalPropertySet(order = OrderSpec.SortedBy(Seq(Col("f_k"))))
+    val req = PhysicalPropertySet(order = OrderSpec.SortedBy.asc(Seq(Col("f_k"))))
     val (chosen, cost) =
       bestOrdered(Rules.fullJoinStrategyRules, stats, plan, req)
     // merge delivers SortedBy(f_k) itself: no Sort above the join; the
@@ -862,7 +862,7 @@ class CascadesSpec extends AnyFunSuite {
         assert(left == PlanNode(PhysicalTableScan("fact", None,
           Seq(Col("f_k")), Seq(Col("f_k")))), s"left:\n${left.explain()}")
         right match {
-          case PlanNode(PhysicalSort(Seq(Col("d_k"))),
+          case PlanNode(PhysicalSort(Seq(SortKey(Col("d_k"), true, true))),
               Seq(PlanNode(PhysicalExchange(Seq(Col("d_k"))),
                 Seq(PlanNode(PhysicalTableScan("dim", None, Nil, Nil),
                   Nil))))) => // the enforcer pair lands on the dim side only
@@ -880,7 +880,7 @@ class CascadesSpec extends AnyFunSuite {
     val stats = TableStats(Map("t" -> 1000000L))
     val plan = project(PlanNode(LogicalScan("t",
       bucketBy = Seq(Col("k")), sortBy = Seq(Col("k")))), "k", "x")
-    val req = PhysicalPropertySet(order = OrderSpec.SortedBy(Seq(Col("k"))))
+    val req = PhysicalPropertySet(order = OrderSpec.SortedBy.asc(Seq(Col("k"))))
     val (chosen, cost) =
       bestOrdered(Rules.fullJoinStrategyRules, stats, plan, req)
     // projections preserve row order, so the requirement pushes through
@@ -894,10 +894,10 @@ class CascadesSpec extends AnyFunSuite {
     // but ordering on a column the projection DROPS cannot push through
     // (and nothing delivers it): only the enforcer path remains
     val reqDropped =
-      PhysicalPropertySet(order = OrderSpec.SortedBy(Seq(Col("y"))))
+      PhysicalPropertySet(order = OrderSpec.SortedBy.asc(Seq(Col("y"))))
     val (viaSort, _) =
       bestOrdered(Rules.fullJoinStrategyRules, stats, plan, reqDropped)
-    assert(viaSort.op == PhysicalSort(Seq(Col("y"))),
+    assert(viaSort.op == PhysicalSort(Seq(SortKey(Col("y")))),
       s"got:\n${viaSort.explain()}")
   }
 
@@ -910,7 +910,7 @@ class CascadesSpec extends AnyFunSuite {
     val (plan, req) = SqlFrontend.parseQuery(
       "SELECT a_k, b_x FROM a JOIN b ON a_k = b_k ORDER BY a_k",
       layouts = layouts)
-    assert(req.order == OrderSpec.SortedBy(Seq(Col("a_k"))))
+    assert(req.order == OrderSpec.SortedBy.asc(Seq(Col("a_k"))))
     val opt = new CascadesOptimizer(Rules.fullJoinStrategyRules,
       costModel = new ClusterCostModel, stats = stats)
     val out = opt.optimize(plan, req).get

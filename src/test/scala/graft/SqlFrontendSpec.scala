@@ -192,7 +192,7 @@ class SqlFrontendSpec extends GraftSuite {
     val (plan, req) =
       SqlFrontend.parseQuery("SELECT a FROM t1 ORDER BY a")
     // order is a property, not a node: the plan carries project/scan only
-    assert(req.order == OrderSpec.SortedBy(Seq(Col("a"))), req)
+    assert(req.order == OrderSpec.SortedBy.asc(Seq(Col("a"))), req)
     assert(plan == PlanNode(LogicalProject(Seq(Col("a"))),
       Seq(PlanNode(LogicalScan("t1")))), plan.explain())
     // end-to-end: the search implements physically and the PhysicalSort
@@ -204,7 +204,7 @@ class SqlFrontendSpec extends GraftSuite {
     val opt = new CascadesOptimizer(Rules.all)
     val got = opt.optimize(plan, req).get
     assert(got == PlanNode(PhysicalProject(Seq(Col("a"))),
-      Seq(PlanNode(PhysicalSort(Seq(Col("a"))),
+      Seq(PlanNode(PhysicalSort(Seq(SortKey(Col("a")))),
         Seq(PlanNode(PhysicalTableScan("t1")))))),
       got.explain())
     // without ORDER BY the same SQL demands nothing: no sort appears
@@ -220,21 +220,21 @@ class SqlFrontendSpec extends GraftSuite {
     // Limit(Sort(...)) → TakeOrderedAndProject shape
     val (pk, rk) =
       SqlFrontend.parseQuery("SELECT a FROM t1 ORDER BY a LIMIT 5")
-    assert(rk.order == OrderSpec.SortedBy(Seq(Col("a"))), rk)
-    assert(pk == PlanNode(LogicalTopK(5, Seq(Col("a"))),
+    assert(rk.order == OrderSpec.SortedBy.asc(Seq(Col("a"))), rk)
+    assert(pk == PlanNode(LogicalTopK(5, Seq(SortKey(Col("a")))),
       Seq(PlanNode(LogicalProject(Seq(Col("a"))),
         Seq(PlanNode(LogicalScan("t1")))))), pk.explain())
     val topk = opt.optimize(pk, rk).get
-    assert(topk == PlanNode(PhysicalTopK(5, Seq(Col("a"))),
+    assert(topk == PlanNode(PhysicalTopK(5, Seq(SortKey(Col("a")))),
       Seq(PlanNode(PhysicalProject(Seq(Col("a"))),
         Seq(PlanNode(PhysicalTableScan("t1")))))), topk.explain())
     // enforcer INTERACTION: a root order the TopK does NOT deliver still
     // gets the sort enforcer — above the TopK, preserving its row set
     val other = opt.optimize(pk,
       PhysicalPropertySet.default.copy(
-        order = OrderSpec.SortedBy(Seq(Col("b"))))).get
-    assert(other == PlanNode(PhysicalSort(Seq(Col("b"))),
-      Seq(PlanNode(PhysicalTopK(5, Seq(Col("a"))),
+        order = OrderSpec.SortedBy.asc(Seq(Col("b"))))).get
+    assert(other == PlanNode(PhysicalSort(Seq(SortKey(Col("b")))),
+      Seq(PlanNode(PhysicalTopK(5, Seq(SortKey(Col("a")))),
         Seq(PlanNode(PhysicalProject(Seq(Col("a"))),
           Seq(PlanNode(PhysicalTableScan("t1")))))))), other.explain())
     // and crucially the top-k LIMIT is NOT absorbed into the scan (the
