@@ -74,9 +74,91 @@ object DedupOps {
     *
     * Input: (doc_id, sh: array<string>) with sh distinct per doc.
     * Output: (id1, id2, jaccard) for all pairs with J >= p/q, ordered.
+    *
+    * MULTIPLICITY GROUPING (r10, the dbscan r9 fix applied to text —
+    * VERDICT r9 directive #3): exact-duplicate documents have IDENTICAL
+    * shingle sets, so they share every df rank, prefix, candidate key
+    * and verify outcome — enumerating them through the PPJoin multiplies
+    * every within-group candidate by m² for groups of size m (the r9
+    * skew leg measured 11.8×/8.7×/5.9× wall at 10× group growth on the
+    * family). The join now runs over one REPRESENTATIVE per distinct
+    * shingle set ([[shingleGroups]]); the output is reconstructed
+    * exactly: cross-group pairs fan out by membership (same jaccard —
+    * the kernel value depends only on the two sets), within-group pairs
+    * are the C(m,2) clique at jaccard = 1.0 (identical sets; the kernel
+    * returns exactly 1.0 on them, so the constant is bit-identical).
     */
   private[graft] def jaccardDupPairs(
       shingleSets: DataFrame, p: Int, q: Int, dfCap: Int = 64): DataFrame = {
+    val grouped = shingleGroups(shingleSets)
+    val repPairs = jaccardRepPairs(
+      grouped.select(col("rep_id").as("doc_id"), col("sh")), p, q, dfCap)
+    val members = groupMembers(grouped)
+    val cross = repPairs
+      .join(members.as("ma"), col("id1") === col("ma.rep_id"))
+      .join(members.as("mb"), col("id2") === col("mb.rep_id"))
+      .select(
+        least(col("ma.doc_id"), col("mb.doc_id")).as("id1"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("id2"),
+        col("jaccard"))
+    val within = members.as("a")
+      .join(members.as("b"),
+        col("a.rep_id") === col("b.rep_id") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        lit(1.0).as("jaccard"))
+    cross.unionAll(within).orderBy("id1", "id2")
+  }
+
+  /** One row per DISTINCT shingle set: (sh sorted, rep_id = min member
+    * doc_id, ids = every member). The group identity is the full sorted
+    * array — value equality, no hash-collision risk. Persisted: read by
+    * the rep-side pair join and the member fan-out.
+    */
+  private[graft] def shingleGroups(shingleSets: DataFrame): DataFrame =
+    shingleSets
+      .select(col("doc_id"), sort_array(col("sh")).as("sh"))
+      .groupBy(col("sh"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        collect_list(col("doc_id")).as("ids"))
+      .persist()
+
+  /** (rep_id, doc_id) membership rows of a [[shingleGroups]] frame. */
+  private[graft] def groupMembers(grouped: DataFrame): DataFrame =
+    grouped.select(col("rep_id"), explode(col("ids")).as("doc_id"))
+
+  /** Symmetric (src, dst) edge set whose connected components EQUAL the
+    * full [[jaccardDupPairs]] pair graph's, built group-first: rep-pair
+    * edges plus one member→rep STAR edge per non-representative member
+    * (m−1 edges where the expanded clique has m(m−1)/2 — identical
+    * connectivity: every member reaches its rep directly and the rep
+    * carries the cross-group pairs). Node set is also identical: a
+    * member of a group with m ≥ 2 is in ≥ 1 within-group pair, a
+    * singleton appears iff its rep pairs across groups. This is what the
+    * component consumers (dedup_components / cluster_sizes / canonical /
+    * savings) iterate over — the graph stays linear in the corpus under
+    * exact-dup group growth instead of quadratic.
+    */
+  private[graft] def jaccardDupEdges(
+      shingleSets: DataFrame, p: Int, q: Int, dfCap: Int = 64): DataFrame = {
+    val grouped = shingleGroups(shingleSets)
+    val repPairs = jaccardRepPairs(
+      grouped.select(col("rep_id").as("doc_id"), col("sh")), p, q, dfCap)
+      .select(col("id1"), col("id2"))
+    val star = groupMembers(grouped)
+      .filter(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id").as("id1"), col("doc_id").as("id2"))
+    val e = repPairs.unionAll(star)
+    e.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionAll(e.select(col("id2").as("src"), col("id1").as("dst")))
+  }
+
+  /** The PPJoin itself, over a frame of UNIQUE shingle sets (one doc per
+    * distinct set — [[jaccardDupPairs]] wraps this with the multiplicity
+    * grouping and exact fan-out).
+    */
+  private def jaccardRepPairs(
+      shingleSets: DataFrame, p: Int, q: Int, dfCap: Int): DataFrame = {
     val t = p.toDouble / q.toDouble
     val sh = shingleSets
       .select(col("doc_id"), explode(col("sh")).as("sr"))
@@ -141,9 +223,39 @@ object DedupOps {
     *
     * Input: (doc_id, sh) as jaccardDupPairs. Output: (contained_id,
     * container_id, containment) for all ordered pairs with C >= p/q.
+    *
+    * Multiplicity-grouped like [[jaccardDupPairs]]: the probe/index join
+    * runs over unique shingle sets; expansion is exact — a rep-level
+    * ordered pair (r1 ⊂ r2, c) fans to every (a ∈ G1, b ∈ G2) at the
+    * same c (containment depends only on the sets), and within a group
+    * every ORDERED pair (a, b), a ≠ b, holds at containment 1.0 exactly
+    * (identical sets contain each other; the kernel's |A∩A|/|A| = 1.0).
     */
   private[graft] def containmentDupPairs(
       shingleSets: DataFrame, p: Int, q: Int, dfCap: Int = 64): DataFrame = {
+    val grouped = shingleGroups(shingleSets)
+    val repPairs = containmentRepPairs(
+      grouped.select(col("rep_id").as("doc_id"), col("sh")), p, q, dfCap)
+    val members = groupMembers(grouped)
+    val cross = repPairs
+      .join(members.as("ma"), col("contained_id") === col("ma.rep_id"))
+      .join(members.as("mb"), col("container_id") === col("mb.rep_id"))
+      .select(col("ma.doc_id").as("contained_id"),
+        col("mb.doc_id").as("container_id"), col("containment"))
+    val within = members.as("a")
+      .join(members.as("b"),
+        col("a.rep_id") === col("b.rep_id") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("contained_id"),
+        col("b.doc_id").as("container_id"), lit(1.0).as("containment"))
+    cross.unionAll(within).orderBy("contained_id", "container_id")
+  }
+
+  /** The containment prefix join itself, over UNIQUE shingle sets (see
+    * [[containmentDupPairs]] for the grouping wrapper).
+    */
+  private def containmentRepPairs(
+      shingleSets: DataFrame, p: Int, q: Int, dfCap: Int): DataFrame = {
     val sh = shingleSets
       .select(col("doc_id"), explode(col("sh")).as("sr"))
       .select(col("doc_id"), xxhash64(col("sr")).as("s"))
@@ -320,8 +432,19 @@ object DedupOps {
       // materialization every element_at(sig, _) re-runs the MinHash pass
       // (no CSE across the generator boundary). At 100 TB this is the
       // "write the signature table once" pattern.
-      val sh = shingleSets(Tables(s, d).documents).persist()
-      val sig = sh.select(col("doc_id"),
+      //
+      // Multiplicity-grouped (r10): signatures, bands and verification
+      // run over one representative per DISTINCT shingle set — identical
+      // sets hash to identical signatures, so enumerating exact dups
+      // through the band self-join multiplied every within-group
+      // candidate by m². Exact fan-out as [[jaccardDupPairs]]: cross
+      // pairs inherit the rep pair's jaccard (set-function), within-group
+      // pairs are the clique at exactly 1.0 (always LSH candidates —
+      // equal sets share every band — and always ≥ 0.8).
+      val grouped = shingleGroups(shingleSets(Tables(s, d).documents))
+      val reps = grouped.select(col("rep_id").as("doc_id"), col("sh"))
+        .persist()
+      val sig = reps.select(col("doc_id"),
         minhash_sig(col("sh"), 16).as("sig")).persist()
       val bands = sig.select(col("doc_id"),
         posexplode(array((0 until 4).map { b =>
@@ -334,13 +457,26 @@ object DedupOps {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
         .distinct()
-      cand
-        .join(sh.as("s1"), col("id1") === col("s1.doc_id"))
-        .join(sh.as("s2"), col("id2") === col("s2.doc_id"))
+      val repPairs = cand
+        .join(reps.as("s1"), col("id1") === col("s1.doc_id"))
+        .join(reps.as("s2"), col("id2") === col("s2.doc_id"))
         .select(col("id1"), col("id2"),
           jaccard_sim(col("s1.sh"), col("s2.sh")).as("jaccard"))
         .filter(col("jaccard") >= 0.8)
-        .orderBy("id1", "id2")
+      val members = groupMembers(grouped)
+      val cross = repPairs
+        .join(members.as("ma"), col("id1") === col("ma.rep_id"))
+        .join(members.as("mb"), col("id2") === col("mb.rep_id"))
+        .select(least(col("ma.doc_id"), col("mb.doc_id")).as("id1"),
+          greatest(col("ma.doc_id"), col("mb.doc_id")).as("id2"),
+          col("jaccard"))
+      val within = members.as("a")
+        .join(members.as("b"),
+          col("a.rep_id") === col("b.rep_id") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+          lit(1.0).as("jaccard"))
+      cross.unionAll(within).orderBy("id1", "id2")
     },
     // NEAR-DUP decontamination: the MinHash/LSH completion of the exact
     // 8-gram `data_decontaminate` family — a paraphrased or lightly-edited
@@ -465,17 +601,18 @@ object DedupOps {
     // representative even though A and C never paired. Output:
     // (doc_id, rep_id = component minimum) for every doc in >= 1 pair.
     "dedup_components" -> { (s, d) =>
-      val pairs = jaccardDupPairs(shingleSets(Tables(s, d).documents), 4, 5)
-        .select(col("id1"), col("id2")).persist()
-      // the dup-pair graph is orders of magnitude smaller than the corpus
-      // — partition it to ITS size (500k edges/partition over the
-      // symmetrized set), not the corpus's: a few hundred edges iterate in
-      // single-task rounds while a billion-edge graph at 100 TB still
+      // group-first star edges ([[jaccardDupEdges]]): identical
+      // components, but exact-dup groups contribute m-1 edges, not the
+      // m(m-1)/2 clique — the graph stays corpus-linear under group
+      // growth. The dup graph is orders of magnitude smaller than the
+      // corpus — partition it to ITS size (500k edges/partition over the
+      // symmetrized set), not the corpus's: a few hundred edges iterate
+      // in single-task rounds while a billion-edge graph at 100 TB still
       // spreads over thousands of partitions
-      val nParts = math.max(1L, 2L * pairs.count() / 500000L).toInt
-      val edges = pairs
-        .union(pairs.select(col("id2"), col("id1")))
-        .toDF("src", "dst").repartition(nParts).persist()
+      val e = jaccardDupEdges(shingleSets(Tables(s, d).documents), 4, 5)
+        .persist()
+      val nParts = math.max(1L, e.count() / 500000L).toInt
+      val edges = e.repartition(nParts).persist()
       minLabelComponents(edges)
         .select(col("id").as("doc_id"), col("lab").as("rep_id"))
         .orderBy("doc_id")
@@ -488,12 +625,10 @@ object DedupOps {
     // aggregates. reclaimable = Σ (size−1) per bucket: the rows a
     // keep-one policy would drop.
     "dedup_cluster_sizes" -> { (s, d) =>
-      val pairs = jaccardDupPairs(shingleSets(Tables(s, d).documents), 4, 5)
-        .select(col("id1"), col("id2")).persist()
-      val nParts = math.max(1L, 2L * pairs.count() / 500000L).toInt
-      val edges = pairs
-        .union(pairs.select(col("id2"), col("id1")))
-        .toDF("src", "dst").repartition(nParts).persist()
+      val e = jaccardDupEdges(shingleSets(Tables(s, d).documents), 4, 5)
+        .persist()
+      val nParts = math.max(1L, e.count() / 500000L).toInt
+      val edges = e.repartition(nParts).persist()
       minLabelComponents(edges)
         .groupBy(col("lab")).agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("cluster_size"))
@@ -511,11 +646,9 @@ object DedupOps {
     // the (graph-sized, not corpus-sized) membership frame.
     "dedup_canonical" -> { (s, d) =>
       val docs = Tables(s, d).documents
-      val pairs = jaccardDupPairs(shingleSets(docs), 4, 5)
-        .select(col("id1"), col("id2")).persist()
-      val nParts = math.max(1L, 2L * pairs.count() / 500000L).toInt
-      val edges = pairs.union(pairs.select(col("id2"), col("id1")))
-        .toDF("src", "dst").repartition(nParts).persist()
+      val e = jaccardDupEdges(shingleSets(docs), 4, 5).persist()
+      val nParts = math.max(1L, e.count() / 500000L).toInt
+      val edges = e.repartition(nParts).persist()
       val comp = minLabelComponents(edges)
         .select(col("id").as("doc_id"), col("lab").as("rep_id"))
       canonicalFrom(comp, docs.select(col("doc_id"), col("n_chars")))
@@ -612,11 +745,9 @@ object DedupOps {
     // the corpus on doc_id (equi) and collapses per source.
     "dedup_savings_by_source" -> { (s, d) =>
       val docs = Tables(s, d).documents
-      val pairs = jaccardDupPairs(shingleSets(docs), 4, 5)
-        .select(col("id1"), col("id2")).persist()
-      val nParts = math.max(1L, 2L * pairs.count() / 500000L).toInt
-      val edges = pairs.union(pairs.select(col("id2"), col("id1")))
-        .toDF("src", "dst").repartition(nParts).persist()
+      val e = jaccardDupEdges(shingleSets(docs), 4, 5).persist()
+      val nParts = math.max(1L, e.count() / 500000L).toInt
+      val edges = e.repartition(nParts).persist()
       val comp = minLabelComponents(edges)
         .select(col("id").as("doc_id"), col("lab").as("rep_id"))
       val keep = canonicalFrom(comp,
