@@ -48,6 +48,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(_ => LimitRules.RemoveLimit)
     e.injectOptimizerRule(_ => LimitRules.PushLimitOverProjection)
     e.injectOptimizerRule(_ => LimitRules.PushLimitToTableScan)
+    // the full DFQueryPlanner pattern: the mini-cascades SEARCH as a host
+    // planner strategy. Conf-gated off by default (see the object doc);
+    // injected FIRST — when enabled its winner must precede
+    // Join2HashJoinStrategy's unconditional shuffled-hash candidate
+    // (Spark's planner takes the first strategy that emits a plan)
+    e.injectPlannerStrategy(_ => GraftCascadesStrategy)
     e.injectPlannerStrategy(_ => Join2HashJoinStrategy)
 
     fn(e, "quant_cosine", classOf[QuantizedCosine],

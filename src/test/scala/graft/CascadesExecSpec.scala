@@ -575,6 +575,44 @@ class CascadesExecSpec extends GraftSuite {
       Seq(500L)) == 100L) // 1/NDV of 500
   }
 
+  test("injected planner strategy (DFQueryPlanner pattern): the " +
+      "mini-cascades winner decides the Spark join — BroadcastHashJoin " +
+      "with Catalyst's own broadcast DISABLED; gate off -> SortMergeJoin " +
+      "(negative control proving only the strategy can broadcast here)") {
+    import org.apache.spark.sql.functions.col
+    // session inherits GraftExtensions (SparkTestBase) — the strategy is
+    // present via injectPlannerStrategy; only the conf gate turns it on
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def run(): String = {
+      val t = graft.ops.Tables(s2, d)
+      val df = t.customer
+        .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_name"), col("n_name"))
+      df.collect()
+      executedPlan(df)
+    }
+    s2.conf.set(graft.rules.GraftCascadesStrategy.DirKey, d)
+    val withStrategy = run()
+    assert(withStrategy.contains("BroadcastHashJoin"), withStrategy)
+    assert(!withStrategy.contains("SortMergeJoin"), withStrategy)
+    // negative control: gate off, same session/confs — nothing else can
+    // broadcast at threshold -1: this session's Join2HashJoinStrategy
+    // claims the join as ShuffledHashJoin (a plain session would
+    // sort-merge); either way NO broadcast
+    s2.conf.unset(graft.rules.GraftCascadesStrategy.DirKey)
+    val without = run()
+    assert(without.contains("ShuffledHashJoin") ||
+      without.contains("SortMergeJoin"), without)
+    assert(!without.contains("BroadcastHashJoin"), without)
+    // and the winner surface agrees: planFor's search broadcasts nation
+    val (winner, _) =
+      CascadesExecOps.planFor(spark, d, "cascades_exec_strategy")
+    def ops(p: PlanNode): Seq[Operator] = p.op +: p.inputs.flatMap(ops)
+    assert(ops(winner).exists(_.isInstanceOf[PhysicalBroadcastHashJoin]),
+      winner.explain())
+  }
+
   test("topk desc: ORDER BY ... DESC plans as PhysicalTopK carrying " +
       "direction+nulls, executes as TakeOrderedAndProject (no global " +
       "sort), and the rows really descend") {
