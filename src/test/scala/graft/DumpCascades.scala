@@ -165,6 +165,93 @@ object DumpCascades {
         }
       }
     }
+    // ---- grounded calibration (r10, VERDICT r9 directive #4): plan-work
+    // isolated — graft.tools.CalibrateCost times noop re-executions of the
+    // already-planned DataFrame at a 10x scale dir (planFor, footer reads,
+    // the memo search, and the bucketed-table writes all happen UN-timed)
+    sys.env.get("GRAFT_CALIB_JSON").foreach { path =>
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val lines = scala.io.Source.fromFile(path).getLines()
+        .filter(_.startsWith("{")).toSeq
+      val rows = lines.flatMap { line =>
+        val j = JsonMethods.parse(line)
+        def num(v: JValue): Double = v match {
+          case JDouble(x)  => x
+          case JInt(x)     => x.toDouble
+          case JDecimal(x) => x.toDouble
+          case _           => Double.NaN
+        }
+        (j \ "query", j \ "family", j \ "cost", j \ "median_s") match {
+          case (JString(q), JString(f), c: JValue, m: JValue)
+              if c != JNothing && m != JNothing =>
+            Some((q, f, num(c), num(m), num(j \ "exchanges").toInt))
+          case _ => None
+        }
+      }
+      val proto = lines.lastOption.getOrElse("")
+      sb.append("\n## Cost-model calibration — GROUNDED " +
+        "(plan-work isolated, r10)\n\n")
+      sb.append("`graft.tools.CalibrateCost` at the 10× keys-scaled dir: " +
+        "planFor (parse, stats, memo search, bucketed-table writes) runs " +
+        "UN-timed; the measurement is the median of noop-sink " +
+        "re-executions of the winner's DataFrame — the plan work the " +
+        "model prices and nothing else. This replaces the r9 " +
+        "sub-second-capture caveat for the CardinalityCostModel family " +
+        s"(source: `$path`).\n\n")
+      sb.append("| query | model | predicted cost | exchanges | " +
+        "median s (plan only) |\n")
+      sb.append("|---|---|---|---|---|\n")
+      rows.sortBy(_._1).foreach { case (q, f, c, m, x) =>
+        sb.append(f"| $q | $f | $c%.0f | $x | $m%.3f |\n")
+      }
+      rows.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (fam, rs) =>
+        if (rs.length >= 3) {
+          val rho = spearman(rs.map(r => (r._3, r._4)))
+          sb.append(f"\nSpearman rank correlation ($fam, grounded, " +
+            f"n=${rs.length}): **$rho%.2f**\n")
+          // the r10 mechanism finding: at this scale measured wall ranks
+          // by the plan's EXCHANGE COUNT (the fixed per-stage floor),
+          // which the row-touch model deliberately does not price; the
+          // honest test of the row model is therefore WITHIN each
+          // equal-exchange-count stratum
+          val stageRho = spearman(rs.map(r => (r._5.toDouble, r._4)))
+          sb.append(f"Stage-floor check ($fam): Spearman(exchange count, " +
+            f"time) = **$stageRho%.2f**\n")
+          rs.groupBy(_._5).toSeq.sortBy(_._1).foreach { case (x, srs) =>
+            if (srs.length >= 3) {
+              val r2 = spearman(srs.map(r => (r._3, r._4)))
+              sb.append(f"Within the $x-exchange stratum " +
+                f"(n=${srs.length}): Spearman(cost, time) = **$r2%.2f**\n")
+            }
+          }
+        }
+      }
+      sb.append("\nReading (r10): the CardinalityCostModel prices " +
+        "row-touches, which dominate wall time at the 100 TB design " +
+        "point; at calibration scale every query in this family " +
+        "measures 0.07-0.21 s — a 3x wall spread against a 100x cost " +
+        "spread — because two terms the model deliberately does not " +
+        "price dominate: (a) the per-stage fixed floor (the " +
+        "exchange-count correlation above), and (b) the hash-vs-" +
+        "streaming per-row gap (the grounded rows put one hash-" +
+        "aggregate row-touch at roughly 30-45x a filter/top-k row: " +
+        "150k aggregated rows cost about as much wall as 6M filtered " +
+        "rows). Both candidate corrections were evaluated against this " +
+        "capture and rejected with numbers: a fixed per-exchange term " +
+        "large enough to explain the floor flips the distinct-rewrite " +
+        "and split-aggregate decisions at small scale (pinned, and " +
+        "correct for the scale-out design point); a hash-work weight " +
+        "alone leaves the overall rank negative because the stage floor " +
+        "still dominates the family's spread. The one term that was " +
+        "mechanically WRONG rather than unpriced — TopK's n*log2(k+1) " +
+        "for a bounded-heap streaming pass that measures at filter rate " +
+        "— is fixed this round (Cost.scala PhysicalTopK). The model " +
+        "remains a row-touch model; this section documents its " +
+        "operating envelope instead of curve-fitting seven sub-second " +
+        "points.\n")
+      sb.append(s"\nCapture summary line: `$proto`\n")
+    }
     Files.writeString(Paths.get("CASCADES.md"), sb.toString)
     println("### wrote CASCADES.md")
   }
