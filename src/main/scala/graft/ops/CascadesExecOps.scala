@@ -264,6 +264,15 @@ object CascadesExecOps {
     "cascades_exec_topk_desc" ->
       ("SELECT o_orderkey, o_totalprice FROM orders " +
         "ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 50"),
+    // root-order DESC with NO limit: the required order rides the ROOT
+    // property set (not a TopK node), so the winner is the relaxed plan
+    // under the SORT ENFORCER — which must carry the DESC key and lower
+    // to the exact Spark sort variant. The ASC tiebreak in the same
+    // clause pins mixed-direction keys through one enforcer
+    "cascades_exec_sort_desc" ->
+      ("SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_orderkey <= 3000 " +
+        "ORDER BY o_totalprice DESC, o_orderkey ASC"),
     // planned by CATALYST with the mini-search injected as a planner
     // strategy (the DFQueryPlanner pattern — see planFor's branch); the
     // SQL here documents the query, the plan path is the strategy's
@@ -458,6 +467,8 @@ object CascadesExecOps {
       ((Rules.all, new CardinalityCostModel)),
     "cascades_exec_topk_desc" ->
       ((Rules.all, new CardinalityCostModel)),
+    "cascades_exec_sort_desc" ->
+      ((Rules.all, new CardinalityCostModel)),
     "cascades_exec_strategy" ->
       ((Rules.joinStrategyRules, new ClusterCostModel)),
     "cascades_exec_broadcast_dim" ->
@@ -520,6 +531,10 @@ object CascadesExecOps {
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC NULLS LAST, o_orderkey DESC NULLS LAST
          LIMIT 50""",
+    "cascades_exec_sort_desc" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderkey <= 3000
+         ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST""",
     "cascades_exec_strategy" ->
       """SELECT c_name, n_name FROM customer
          JOIN nation ON c_nationkey = n_nationkey

@@ -631,6 +631,27 @@ class CascadesExecSpec extends GraftSuite {
       prices.take(10).toList)
   }
 
+  test("sort desc (root order, no limit): the enforcer PhysicalSort " +
+      "carries mixed DESC/ASC keys and the executed Sort uses the exact " +
+      "Spark variants") {
+    val (winner, df) =
+      CascadesExecOps.planFor(spark, d, "cascades_exec_sort_desc")
+    def sorts(p: PlanNode): Seq[PhysicalSort] = (p.op match {
+      case s: PhysicalSort => Seq(s)
+      case _               => Nil
+    }) ++ p.inputs.flatMap(sorts)
+    assert(sorts(winner) == Seq(PhysicalSort(Seq(
+      SortKey.desc(Col("o_totalprice")),
+      SortKey(Col("o_orderkey"))))), winner.explain())
+    val plan = executedPlan(df)
+    assert(plan.contains("o_totalprice") && plan.contains("DESC NULLS LAST"),
+      plan)
+    val rows = df.collect()
+    val prices = rows.map(_.getDouble(1))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b },
+      prices.take(5).toList)
+  }
+
   test("order direction satisfaction: an ASC-clustered layout satisfies " +
       "the ASC requirement with ZERO sorts but FAILS the DESC " +
       "requirement and pays the sort enforcer") {
