@@ -273,6 +273,22 @@ object CascadesExecOps {
       ("SELECT o_orderkey, o_totalprice FROM orders " +
         "WHERE o_orderkey <= 3000 " +
         "ORDER BY o_totalprice DESC, o_orderkey ASC"),
+    // the BYTE axis decides a join (r10, first EXECUTED
+    // ByteWeightedClusterCostModel winner): embeddings is tiny by rows
+    // (500 at sf0.01) but each row carries a float vector — ~390
+    // footer-bytes/row against orders' 25 — so ROW pricing broadcasts
+    // it while BYTE pricing sees W-fold replication of 24 row-
+    // equivalents per row and keeps the join SHUFFLED, at every scale
+    // leg (the probe grows with SF, the decision doesn't flip: sf0.01
+    // 119k vs 219k, sf0.1 1.19M vs 2.19M cost units). This is Spark's
+    // autoBroadcastJoinThreshold failure mode for embedding-carrying
+    // dimensions, decided by the memo instead of a size guess; the spec
+    // pins the row-model counterfactual (same SQL, ClusterCostModel →
+    // broadcast) so the flip is attributable to the width axis alone
+    "cascades_exec_wide_build" ->
+      ("SELECT o_orderkey, o_totalprice, label FROM orders " +
+        "JOIN embeddings ON o_orderkey = vec_id " +
+        "ORDER BY o_orderkey"),
     // planned by CATALYST with the mini-search injected as a planner
     // strategy (the DFQueryPlanner pattern — see planFor's branch); the
     // SQL here documents the query, the plan path is the strategy's
@@ -469,6 +485,8 @@ object CascadesExecOps {
       ((Rules.all, new CardinalityCostModel)),
     "cascades_exec_sort_desc" ->
       ((Rules.all, new CardinalityCostModel)),
+    "cascades_exec_wide_build" ->
+      ((Rules.joinStrategyRules, new ByteWeightedClusterCostModel)),
     "cascades_exec_strategy" ->
       ((Rules.joinStrategyRules, new ClusterCostModel)),
     "cascades_exec_broadcast_dim" ->
@@ -535,6 +553,10 @@ object CascadesExecOps {
       """SELECT o_orderkey, o_totalprice FROM orders
          WHERE o_orderkey <= 3000
          ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST""",
+    "cascades_exec_wide_build" ->
+      """SELECT o_orderkey, o_totalprice, label FROM orders
+         JOIN embeddings ON o_orderkey = vec_id
+         ORDER BY o_orderkey""",
     "cascades_exec_strategy" ->
       """SELECT c_name, n_name FROM customer
          JOIN nation ON c_nationkey = n_nationkey

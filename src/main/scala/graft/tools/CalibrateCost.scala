@@ -80,7 +80,7 @@ object CalibrateCost {
           s""""runs":[${runs.map(r => f"$r%.3f").mkString(",")}],""" +
           f""""median_s":$med%.3f}""")
         spark.catalog.clearCache()
-        Some((name, fam, cost, med))
+        Some((name, fam, cost, med, exchanges(winner)))
       } catch {
         case NonFatal(e) =>
           System.err.println(s"[calibrate] $name failed: ${e.getMessage}")
@@ -90,11 +90,71 @@ object CalibrateCost {
     }
     val fams = rows.groupBy(_._2).toSeq.sortBy(_._1).map { case (fam, rs) =>
       val rho = spearman(rs.map(r => (r._3, r._4)))
-      f""""$fam":{"n":${rs.length},"spearman":$rho%.3f}"""
+      f""""$fam":{"n":${rs.length},"spearman":$rho%.3f${fitJson(rs)}}"""
     }
-    println(s"""{"summary":{${fams.mkString(",")}},"sf":"$sfDir",""" +
-      s""""repeats":$repeats}""")
+    val pooled = f""""pooled":{"n":${rows.length},""" +
+      f""""spearman":${spearman(rows.map(r => (r._3, r._4)))}%.3f""" +
+      s"${fitJson(rows)}}"
+    println(s"""{"summary":{${fams.mkString(",")},$pooled},""" +
+      s""""sf":"$sfDir","repeats":$repeats}""")
     spark.stop()
+  }
+
+  /** Two-term least-squares fit `time ≈ a + b·exchanges + c·cost` — the
+    * quantitative sufficiency test of the r10 stage-floor explanation:
+    * if the floor (per-exchange fixed latency) plus the priced row-work
+    * RANKS the measurements, the inversion in the cost-only Spearman is
+    * the unpriced-constant term, not a wrong row model. Fitted `b` is
+    * the per-stage floor in seconds; `c` the seconds per cost unit;
+    * `spearman_fit` ranks the fitted prediction against the measurement.
+    */
+  private def fitJson(rs: Seq[(String, String, Double, Double, Int)])
+      : String = {
+    if (rs.length < 4) return ""
+    val x1 = rs.map(_._5.toDouble); val x2 = rs.map(_._3)
+    val y = rs.map(_._4)
+    ols3(x1, x2, y) match {
+      case Some((a, b, c)) =>
+        val pred = x1.zip(x2).map { case (e, w) => a + b * e + c * w }
+        val rho = spearman(pred.zip(y))
+        f""","fit":{"a_s":$a%.4f,"b_s_per_exchange":$b%.4f,""" +
+          f""""c_s_per_cost":$c%.3e,"spearman_fit":$rho%.3f}"""
+      case None => ""
+    }
+  }
+
+  /** OLS for y ≈ a + b·x1 + c·x2 via the 3×3 normal equations (None on a
+    * singular system, e.g. all exchange counts equal).
+    */
+  private def ols3(x1: Seq[Double], x2: Seq[Double],
+      y: Seq[Double]): Option[(Double, Double, Double)] = {
+    val n = x1.length.toDouble
+    val m = Array(
+      Array(n, x1.sum, x2.sum),
+      Array(x1.sum, x1.map(v => v * v).sum,
+        x1.zip(x2).map(p => p._1 * p._2).sum),
+      Array(x2.sum, x1.zip(x2).map(p => p._1 * p._2).sum,
+        x2.map(v => v * v).sum))
+    val b = Array(y.sum, x1.zip(y).map(p => p._1 * p._2).sum,
+      x2.zip(y).map(p => p._1 * p._2).sum)
+    // gaussian elimination with partial pivoting
+    for (col <- 0 until 3) {
+      val piv = (col until 3).maxBy(r => math.abs(m(r)(col)))
+      if (math.abs(m(piv)(col)) < 1e-12) return None
+      val (tm, tb) = (m(col), b(col))
+      m(col) = m(piv); b(col) = b(piv); m(piv) = tm; b(piv) = tb
+      for (r <- col + 1 until 3) {
+        val f = m(r)(col) / m(col)(col)
+        for (c <- col until 3) m(r)(c) -= f * m(col)(c)
+        b(r) -= f * b(col)
+      }
+    }
+    val beta = new Array[Double](3)
+    for (r <- 2 to 0 by -1) {
+      beta(r) = (b(r) - (r + 1 until 3).map(c => m(r)(c) * beta(c)).sum) /
+        m(r)(r)
+    }
+    Some((beta(0), beta(1), beta(2)))
   }
 
   /** Stats mirror of planFor for re-pricing (the adaptive query replays

@@ -652,6 +652,34 @@ class CascadesExecSpec extends GraftSuite {
       prices.take(5).toList)
   }
 
+  test("wide_build: BYTE pricing keeps the embedding-carrying build " +
+      "SHUFFLED where ROW pricing broadcasts it — the width axis alone " +
+      "flips the decision (footer bytes/row ~390 vs orders' ~25)") {
+    val (winner, df) =
+      CascadesExecOps.planFor(spark, d, "cascades_exec_wide_build")
+    def ops(p: PlanNode): Seq[Operator] = p.op +: p.inputs.flatMap(ops)
+    // byte model: W-fold replication of the wide build loses to two
+    // narrow-side exchanges at every scale leg (probe grows with SF,
+    // build bytes dominate regardless)
+    assert(ops(winner).exists {
+      case PhysicalHashJoin(JoinType.Inner, _) => true
+      case _ => false
+    }, winner.explain())
+    assert(!ops(winner).exists(_.isInstanceOf[PhysicalBroadcastHashJoin]),
+      winner.explain())
+    val plan = executedPlan(df)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    // row-model counterfactual: the SAME SQL priced by row counts
+    // broadcasts the 500-row build — pinning that the executed flip is
+    // attributable to the byte axis, not the search or the stats
+    val (rowWinner, _) = CascadesExecOps.planAndLower(spark, d,
+      CascadesExecOps.sqls("cascades_exec_wide_build"),
+      Rules.joinStrategyRules, new ClusterCostModel)
+    assert(ops(rowWinner).exists(_.isInstanceOf[PhysicalBroadcastHashJoin]),
+      rowWinner.explain())
+  }
+
   test("order direction satisfaction: an ASC-clustered layout satisfies " +
       "the ASC requirement with ZERO sorts but FAILS the DESC " +
       "requirement and pays the sort enforcer") {

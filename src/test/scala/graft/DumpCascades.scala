@@ -174,14 +174,14 @@ object DumpCascades {
       import org.json4s.jackson.JsonMethods
       val lines = scala.io.Source.fromFile(path).getLines()
         .filter(_.startsWith("{")).toSeq
+      def num(v: JValue): Double = v match {
+        case JDouble(x)  => x
+        case JInt(x)     => x.toDouble
+        case JDecimal(x) => x.toDouble
+        case _           => Double.NaN
+      }
       val rows = lines.flatMap { line =>
         val j = JsonMethods.parse(line)
-        def num(v: JValue): Double = v match {
-          case JDouble(x)  => x
-          case JInt(x)     => x.toDouble
-          case JDecimal(x) => x.toDouble
-          case _           => Double.NaN
-        }
         (j \ "query", j \ "family", j \ "cost", j \ "median_s") match {
           case (JString(q), JString(f), c: JValue, m: JValue)
               if c != JNothing && m != JNothing =>
@@ -225,6 +225,20 @@ object DumpCascades {
                 f"(n=${srs.length}): Spearman(cost, time) = **$r2%.2f**\n")
             }
           }
+          // the quantitative sufficiency test (r10): least-squares
+          // `time ≈ a + b·exchanges + c·cost` fitted by CalibrateCost —
+          // if floor + priced work RANKS the family, the cost-only
+          // inversion IS the unpriced constant, not a wrong row model
+          val fit = JsonMethods.parse(proto) \ "summary" \ fam \ "fit"
+          (num(fit \ "b_s_per_exchange"), num(fit \ "c_s_per_cost"),
+            num(fit \ "spearman_fit")) match {
+            case (b, c, rf) if !b.isNaN && !rf.isNaN =>
+              sb.append(f"Two-term fit `time ≈ a + b·exchanges + c·cost` " +
+                f"($fam): b = ${b * 1000}%.0f ms/exchange, " +
+                f"c = $c%.2e s/cost-unit, Spearman(fit, time) = " +
+                f"**$rf%.2f**\n")
+            case _ =>
+          }
         }
       }
       sb.append("\nReading (r10): the CardinalityCostModel prices " +
@@ -237,19 +251,25 @@ object DumpCascades {
         "streaming per-row gap (the grounded rows put one hash-" +
         "aggregate row-touch at roughly 30-45x a filter/top-k row: " +
         "150k aggregated rows cost about as much wall as 6M filtered " +
-        "rows). Both candidate corrections were evaluated against this " +
-        "capture and rejected with numbers: a fixed per-exchange term " +
-        "large enough to explain the floor flips the distinct-rewrite " +
-        "and split-aggregate decisions at small scale (pinned, and " +
-        "correct for the scale-out design point); a hash-work weight " +
-        "alone leaves the overall rank negative because the stage floor " +
-        "still dominates the family's spread. The one term that was " +
-        "mechanically WRONG rather than unpriced — TopK's n*log2(k+1) " +
-        "for a bounded-heap streaming pass that measures at filter rate " +
-        "— is fixed this round (Cost.scala PhysicalTopK). The model " +
-        "remains a row-touch model; this section documents its " +
-        "operating envelope instead of curve-fitting seven sub-second " +
-        "points.\n")
+        "rows). The two-term fit above is the quantitative sufficiency " +
+        "test: floor + priced row-work RANKS the family the cost-only " +
+        "Spearman inverted, so the inversion is the unpriced CONSTANT, " +
+        "not a wrong row model. Pricing that constant in the decision " +
+        "model is a scale statement, adjudicated in code rather than " +
+        "prose: `StageFloorCostModel` (Cost.scala) carries the fitted " +
+        "floor as an opt-in wrapper, and `CostFloorSpec` pins both " +
+        "directions — floor = 0 is winner-identical to the base model " +
+        "on every executed cascades query (the 100 TB limit, where the " +
+        "constant vanishes into scaling row-work), while the measured " +
+        "floor flips count(distinct) to the fewer-exchange direct form " +
+        "(the genuinely faster plan at calibration scale, deliberately " +
+        "NOT taken by the pinned winners, which encode the scale-out " +
+        "design point). The one term that was mechanically WRONG rather " +
+        "than unpriced — TopK's n*log2(k+1) for a bounded-heap " +
+        "streaming pass that measures at filter rate — is fixed this " +
+        "round (Cost.scala PhysicalTopK). The search models remain " +
+        "row-touch models; the floor lives in the calibration layer " +
+        "where the measurement says it lives.\n")
       sb.append(s"\nCapture summary line: `$proto`\n")
     }
     Files.writeString(Paths.get("CASCADES.md"), sb.toString)
