@@ -307,6 +307,124 @@ object StreamingOps {
     events.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Streaming scan of the documents parquet — the ingest side of the
+    * dedup-at-ingest ops below. Same single-file delivery note as
+    * [[readEvents]]; unlike the session ops, the two registry ops are
+    * batch-INVARIANT (pair emission happens when the later element
+    * arrives, against registry state or in-batch predecessors — any
+    * partitioning of the corpus into microbatches yields the same
+    * output, which [[graft.StreamingSpec]] pins with a two-batch
+    * MemoryStream delivery).
+    */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.ops.Tables(spark, dir).documents.schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
+  final case class ChunkArrival(chunk: Int, ck: Long, doc_id: Long,
+      sig: Long)
+  final case class NearDupPair(id1: Long, id2: Long, hamming: Int)
+
+  /** Streaming NEAR-DUP dedup-at-ingest: a SimHash band registry in
+    * keyed state. Each document's 64-bit SimHash splits into four
+    * 16-bit chunks (the same complete-for-Hamming≤3 banding as the
+    * batch `dedup_simhash` — pigeonhole: ≤3 flipped bits leave ≥1 chunk
+    * intact); the stream is keyed by (chunk, chunk-value) and state
+    * holds the bucket's registry of (doc_id, sig) — 16 bytes per doc
+    * per band, sharded across the state store by bucket key. An
+    * arriving doc compares against its bucket's registry plus in-batch
+    * predecessors ONLY (the LSH contract: work per arrival = bucket
+    * occupancy, never corpus size) and emits verified pairs at
+    * Hamming ≤ 3. Cross-band exactly-once without coordination: a pair
+    * emits only in its FIRST shared zero chunk, computable in-group
+    * from the two signatures alone.
+    *
+    * Scale: state is O(corpus × 4) longs, distributed by bucket key —
+    * the registry IS the product at ingest (it must know everything
+    * seen to dedup against it); an unbounded stream would bound it with
+    * a retention policy (registry TTL = the dedup horizon). Output
+    * equals the batch pair set for ANY microbatch delivery.
+    */
+  def simhashIngestPairs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    def firstZeroChunk(x: Long): Int =
+      (0 until 4).find(c => ((x >>> (c * 16)) & 0xFFFFL) == 0L).getOrElse(-1)
+    docs
+      .select(col("doc_id"),
+        graft.functions.functions.simhash64(
+          split(col("text"), " ")).as("sig"))
+      .select(
+        posexplode(array((0 until 4).map(c =>
+          shiftrightunsigned(col("sig"), c * 16)
+            .bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("chunk", "ck")),
+        col("doc_id"), col("sig"))
+      .as[ChunkArrival]
+      .groupByKey(a => (a.chunk, a.ck))
+      .flatMapGroupsWithState[Array[(Long, Long)], NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case ((chunk, _), rows, state) =>
+          // sort within the batch so in-batch pair order is
+          // deterministic; across batches arrival order is irrelevant
+          // (min/max normalization + the first-zero-chunk rule)
+          val arrivals = rows.map(a => (a.doc_id, a.sig)).toArray
+            .sortBy(_._1)
+          val registry = state.getOption.getOrElse(Array.empty[(Long, Long)])
+          val out = Seq.newBuilder[NearDupPair]
+          var seen = registry
+          arrivals.foreach { case (id, sig) =>
+            seen.foreach { case (oid, osig) =>
+              val x = osig ^ sig
+              val hamming = java.lang.Long.bitCount(x)
+              if (hamming <= 3 && firstZeroChunk(x) == chunk)
+                out += NearDupPair(math.min(id, oid), math.max(id, oid),
+                  hamming)
+            }
+            seen = seen :+ ((id, sig))
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
+  final case class DigestArrival(digest: String, doc_id: Long)
+  final case class IngestVerdict(doc_id: Long, keep_id: Long, is_dup: Long)
+
+  /** Streaming EXACT dedup-at-ingest: the keeper registry keyed by text
+    * digest, emitting the routing DECISION a pipeline applies at ingest
+    * (keeper → corpus, duplicate → quarantine with its keeper id).
+    * State per distinct digest is ONE long — the keeper — so the
+    * registry is O(unique corpus), sharded by digest across the state
+    * store; each arrival costs one state lookup, no joins, no shuffle
+    * beyond the digest partitioning.
+    *
+    * SINGLE-MICROBATCH PRECONDITION (as [[readEvents]]): the keeper is
+    * first-arrival; the min-doc_id oracle equates the two because one
+    * batch is sorted by doc_id in-group. A multi-batch delivery keeps
+    * the op exactly-once and deterministic, but the keeper becomes
+    * arrival order — restate the oracle if the delivery changes.
+    */
+  def exactIngestVerdicts(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs
+      .select(md5(col("text")).as("digest"), col("doc_id"))
+      .as[DigestArrival]
+      .groupByKey(_.digest)
+      .flatMapGroupsWithState[Long, IngestVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          val arrivals = rows.map(_.doc_id).toArray.sorted
+          val keeper = state.getOption.getOrElse(arrivals.head)
+          state.update(keeper)
+          arrivals.iterator.map(id =>
+            IngestVerdict(id, keeper, if (id == keeper) 0L else 1L))
+      }
+      .toDF()
+  }
+
   /** Stream-stream inner join with an event-time range condition — the
     * join-state surface of Structured Streaming (the earlier parity rows
     * cover aggregates, session windows, keyed state, and dedup; this is
@@ -661,11 +779,40 @@ object StreamingOps {
           (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))
             .as("delta_ms"))
         .orderBy("click_id", "purchase_id")
+    },
+    // dedup-at-ingest, near-dup: the SimHash band registry. Output =
+    // the batch dedup_simhash pair set (same oracle, verbatim) — the
+    // streaming form is what a 100 TB corpus build actually runs:
+    // documents dedup against everything already ingested as they
+    // arrive, with per-arrival work bounded by bucket occupancy
+    "dedup_simhash_stream" -> { (s, d) =>
+      runToMemory(simhashIngestPairs(s, readDocuments(s, d)),
+        "dedup_simhash_stream_sink", OutputMode.Append())
+        .orderBy("id1", "id2")
+    },
+    // dedup-at-ingest, exact: the digest keeper registry emitting the
+    // per-document routing decision (keep vs quarantine + keeper id)
+    "dedup_ingest_stream" -> { (s, d) =>
+      runToMemory(exactIngestVerdicts(s, readDocuments(s, d)),
+        "dedup_ingest_stream_sink", OutputMode.Append())
+        .orderBy("doc_id")
     }
   )
 
   /** Identical to the batch oracles — that IS the point. */
   def oracles: Map[String, String] = Map(
+    // the batch dedup_simhash oracle, VERBATIM — streaming/batch parity
+    // for the near-dup registry (exactly-once across bands and batches)
+    "dedup_simhash_stream" -> graft.ops.DedupOps.oracles("dedup_simhash"),
+    // keeper = min doc_id per digest group (equals first-arrival under
+    // the single-microbatch sorted-in-group delivery — see the op doc)
+    "dedup_ingest_stream" ->
+      """WITH k AS (SELECT doc_id, md5(text) AS dg FROM documents),
+        |m AS (SELECT dg, min(doc_id) AS keep_id FROM k GROUP BY dg)
+        |SELECT doc_id, keep_id,
+        |  CAST(CASE WHEN doc_id = keep_id THEN 0 ELSE 1 END AS BIGINT)
+        |    AS is_dup
+        |FROM k JOIN m USING (dg) ORDER BY doc_id""".stripMargin,
     "events_hourly_stream" ->
       s"""SELECT epoch_ms(ts) // 3600000 AS hour_bucket, event_type,
          |  count(*) AS n, ${graft.ops.Oracle.sqlSum("value")} AS sum_value

@@ -497,4 +497,71 @@ class StreamingSpec extends GraftSuite {
         "the right-side eviction became <=; flip the " +
         "events_fulljoin_stream oracle boundary with it")
   }
+
+  test("dedup-at-ingest is batch-INVARIANT: a two-batch odd/even split " +
+      "delivery emits exactly the batch SimHash pair set (cross-batch " +
+      "pairs resolve against registry state, in-batch against " +
+      "predecessors)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = graft.ops.Tables(spark, sfDir).documents
+    val docs = corpus.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // odd/even split: every near-dup pair of adjacent ids straddles the
+    // batch boundary, exercising the registry path, not just in-batch
+    val (b1, b2) = docs.partition(_._1 % 2 == 0)
+    val in = MemoryStream[(Long, String)]
+    val shaped = in.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = StreamingOps.simhashIngestPairs(spark, shaped)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("simhash_2batch").start()
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("simhash_2batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = graft.ops.DedupOps.simhashPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(want.nonEmpty, "corpus must contain Hamming<=3 pairs")
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
+  test("exact ingest registry across batches: exactly one keeper per " +
+      "digest group, every verdict points at it, keeper is " +
+      "first-arrival") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = graft.ops.Tables(spark, sfDir).documents
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = docs.partition(_._1 % 2 == 0)
+    val in = MemoryStream[(Long, String)]
+    val shaped = in.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"))
+    val q = StreamingOps.exactIngestVerdicts(spark, shaped)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ingest_2batch").start()
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = spark.table("ingest_2batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly one verdict per document
+    assert(verdicts.map(_._1).distinct.length == docs.length, "dup verdicts")
+    val byKeeper = verdicts.groupBy(_._2)
+    byKeeper.foreach { case (keeper, vs) =>
+      // the keeper belongs to its own group with is_dup = 0, everyone
+      // else in the group is a dup of it
+      assert(vs.count(v => v._1 == keeper && v._3 == 0L) == 1, vs.toSeq)
+      assert(vs.filter(_._1 != keeper).forall(_._3 == 1L), vs.toSeq)
+      // first-arrival: the keeper is batch-1 (even id) whenever the
+      // group has any batch-1 member
+      if (vs.exists(_._1 % 2 == 0)) assert(keeper % 2 == 0, vs.toSeq)
+    }
+  }
 }
