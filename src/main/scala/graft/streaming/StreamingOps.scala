@@ -390,6 +390,106 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Streaming scan of the embeddings parquet — same delivery notes as
+    * [[readDocuments]].
+    */
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.ops.Tables(spark, dir).embeddings.schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+  }
+
+  final case class VecArrival(tb: Int, bkt: Long, vec_id: Long,
+      q: Array[Long], nn: Long, bkts: Array[Long])
+  final case class VecEntry(vec_id: Long, q: Array[Long], nn: Long,
+      bkts: Array[Long])
+  final case class EmbDupPair(id1: Long, id2: Long, cos: Double)
+
+  /** Streaming EMBEDDING dedup-at-ingest (SemDeDup's decision applied
+    * online): the batch `dedup_embedding` pipeline — quantize to
+    * integers, 16×4 OR-amplified integer-hyperplane LSH, exactly-once
+    * emission from the FIRST shared table, exact quantized-cosine
+    * verify at 0.45 — as a bucket-keyed registry. Every stage of the
+    * bucketing is integer-deterministic, so the streaming pair set
+    * equals the batch pair set for ANY microbatch delivery, and the
+    * cosine arithmetic (exact Long dot + the same double sqrt/divide,
+    * zero-norm guarded) is bit-identical to the batch expression and
+    * the DuckDB oracle.
+    *
+    * Scale: state per bucket holds the quantized vectors of its
+    * members — the exact-verify registry is O(corpus × dims) ints,
+    * sharded by (table, bucket) key; per-arrival work = bucket
+    * occupancy × dims (the LSH contract). A production registry
+    * compresses entries to PQ codes (8-16 B/vector, `sim_ann_pq`'s
+    * tradeoff measured batch-side) — kept exact here because the
+    * correctness gate verifies true cosine, and the honest cost of
+    * exact-verify-at-ingest is precisely this state.
+    */
+  def embeddingIngestPairs(spark: SparkSession, embs: DataFrame)
+      : DataFrame = {
+    import spark.implicits._
+    val L = 16
+    val b = 4
+    val threshold = 0.45
+    val F = graft.functions.functions
+    embs
+      .select(col("vec_id"), F.quantize1000(col("embedding")).as("q"))
+      .withColumn("nn",
+        aggregate(transform(col("q"), x => x * x), lit(0L), (a, x) => a + x))
+      .withColumn("bkts", F.lsh_buckets(col("q"), L, b))
+      .select(posexplode(col("bkts")).as(Seq("tb", "bkt")),
+        col("vec_id"), col("q"), col("nn"), col("bkts"))
+      .as[VecArrival]
+      .groupByKey(a => (a.tb, a.bkt))
+      .flatMapGroupsWithState[Array[VecEntry], EmbDupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case ((tb, _), rows, state) =>
+          // exact Long dot + the SAME double ops as the batch quant_dot
+          // cast/sqrt/divide — bit-identical cosine
+          def cos(x: VecEntry, y: VecEntry): Double =
+            if (x.nn == 0L || y.nn == 0L) 0.0
+            else {
+              val n = math.min(x.q.length, y.q.length)
+              var dot = 0L
+              var i = 0
+              while (i < n) { dot += x.q(i) * y.q(i); i += 1 }
+              dot.toDouble /
+                (math.sqrt(x.nn.toDouble) * math.sqrt(y.nn.toDouble))
+            }
+          // the batch first_match rule: emit only in the first table
+          // where the two bucket vectors collide — exactly-once across
+          // the 16 tables without a candidate-distinct shuffle
+          def firstShared(a: Array[Long], bv: Array[Long]): Int = {
+            val n = math.min(a.length, bv.length)
+            var i = 0
+            while (i < n) { if (a(i) == bv(i)) return i; i += 1 }
+            -1
+          }
+          val arrivals = rows
+            .map(a => VecEntry(a.vec_id, a.q, a.nn, a.bkts)).toArray
+            .sortBy(_.vec_id)
+          val registry = state.getOption.getOrElse(Array.empty[VecEntry])
+          val out = Seq.newBuilder[EmbDupPair]
+          var seen = registry
+          arrivals.foreach { v =>
+            seen.foreach { o =>
+              if (firstShared(v.bkts, o.bkts) == tb) {
+                val c = cos(v, o)
+                if (c >= threshold)
+                  out += EmbDupPair(math.min(v.vec_id, o.vec_id),
+                    math.max(v.vec_id, o.vec_id), c)
+              }
+            }
+            seen = seen :+ v
+          }
+          state.update(seen)
+          out.result().iterator
+      }
+      .toDF()
+  }
+
   final case class DigestArrival(digest: String, doc_id: Long)
   final case class IngestVerdict(doc_id: Long, keep_id: Long, is_dup: Long)
 
@@ -796,6 +896,14 @@ object StreamingOps {
       runToMemory(exactIngestVerdicts(s, readDocuments(s, d)),
         "dedup_ingest_stream_sink", OutputMode.Append())
         .orderBy("doc_id")
+    },
+    // dedup-at-ingest, embeddings: the LSH-bucketed quantized-vector
+    // registry — output = the batch dedup_embedding pair set (same
+    // oracle, verbatim), emitted online as vectors arrive
+    "dedup_embedding_stream" -> { (s, d) =>
+      runToMemory(embeddingIngestPairs(s, readEmbeddings(s, d)),
+        "dedup_embedding_stream_sink", OutputMode.Append())
+        .orderBy("id1", "id2")
     }
   )
 
@@ -804,6 +912,10 @@ object StreamingOps {
     // the batch dedup_simhash oracle, VERBATIM — streaming/batch parity
     // for the near-dup registry (exactly-once across bands and batches)
     "dedup_simhash_stream" -> graft.ops.DedupOps.oracles("dedup_simhash"),
+    // the batch dedup_embedding oracle, VERBATIM — the integer
+    // bucketing and exact quantized cosine are delivery-independent
+    "dedup_embedding_stream" ->
+      graft.ops.DedupOps.oracles("dedup_embedding"),
     // keeper = min doc_id per digest group (equals first-arrival under
     // the single-microbatch sorted-in-group delivery — see the op doc)
     "dedup_ingest_stream" ->

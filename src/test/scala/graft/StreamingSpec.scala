@@ -529,6 +529,35 @@ class StreamingSpec extends GraftSuite {
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("embedding ingest registry is batch-invariant: a two-batch " +
+      "odd/even split emits the batch dedup_embedding pair set with " +
+      "bit-identical cosines") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vecs = graft.ops.Tables(spark, sfDir).embeddings
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (b1, b2) = vecs.partition(_._1 % 2 == 0)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val shaped = in.toDF()
+      .select(col("_1").as("vec_id"), col("_2").as("embedding"))
+    val q = StreamingOps.embeddingIngestPairs(spark, shaped)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("emb_2batch").start()
+    try {
+      in.addData(b1.toIndexedSeq); q.processAllAvailable()
+      in.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("emb_2batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = graft.ops.DedupOps.queries("dedup_embedding")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(want.nonEmpty, "corpus must contain cos>=0.45 pairs")
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("exact ingest registry across batches: exactly one keeper per " +
       "digest group, every verdict points at it, keeper is " +
       "first-arrival") {
