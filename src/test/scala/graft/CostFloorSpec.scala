@@ -72,6 +72,33 @@ class CostFloorSpec extends AnyFunSuite {
     }
   }
 
+  test("wide_build is scale-STABLE: the byte-priced winner stays " +
+      "SHUFFLED at 1x, 10x, and 100x the footer catalog while the " +
+      "row-priced winner broadcasts at every leg") {
+    val sql = CascadesExecOps.sqls("cascades_exec_wide_build")
+    val (rules, byteModel) = CascadesExecOps.configs("cascades_exec_wide_build")
+    def ops(p: PlanNode): Seq[Operator] = p.op +: p.inputs.flatMap(ops)
+    Seq(1L, 10L, 100L).foreach { f =>
+      // sf0.01 footer shapes scaled f×: rows grow, bytes/row don't
+      val scaled = TableStats(
+        catalog = Map("orders" -> 15000L * f, "embeddings" -> 500L * f),
+        widths = Map("orders" -> 25L, "embeddings" -> 390L))
+      val (parsed, required) =
+        SqlFrontend.parseQuery(sql, CascadesExecOps.schemaCat)
+      def winner(cost: CostModel): PlanNode =
+        new CascadesOptimizer(rules, costModel = cost, stats = scaled,
+          columns = CascadesExecOps.schemaCat)
+          .optimize(parsed, required).get
+      val byByte = winner(byteModel)
+      assert(ops(byByte).exists(_.isInstanceOf[PhysicalHashJoin]) &&
+        !ops(byByte).exists(_.isInstanceOf[PhysicalBroadcastHashJoin]),
+        s"byte model at ${f}x:\n" + byByte.explain())
+      val byRow = winner(new ClusterCostModel)
+      assert(ops(byRow).exists(_.isInstanceOf[PhysicalBroadcastHashJoin]),
+        s"row model at ${f}x:\n" + byRow.explain())
+    }
+  }
+
   test("the measured floor flips count(distinct) to the fewer-exchange " +
       "direct form — the small-scale decision the pinned winners " +
       "deliberately do not take") {
