@@ -558,6 +558,50 @@ class StreamingSpec extends GraftSuite {
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("registry state survives a RESTART: stop after batch 1, restart " +
+      "the same query from its checkpoint, feed batch 2 — the final " +
+      "pair set is exactly the batch set (no lost registry, no " +
+      "re-emission)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = graft.ops.Tables(spark, sfDir).documents
+    val docs = corpus.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = docs.partition(_._1 % 2 == 0)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-registry-ckpt").toString
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-registry-out").toString
+    val in = MemoryStream[(Long, String)]
+    val shaped = in.toDF()
+      .select(col("_1").as("doc_id"), col("_2").as("text"))
+    val pairs = StreamingOps.simhashIngestPairs(spark, shaped)
+    // FILE sink: fault-tolerant (memory sink refuses checkpoint
+    // recovery), exactly-once via the sink's commit log — the output
+    // dir accumulates both runs, so a replayed batch would surface as
+    // duplicated rows and a lost registry as missing cross-batch pairs
+    def start() = pairs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .option("path", outDir)
+      .format("parquet").start()
+    val q1 = start()
+    try { in.addData(b1.toIndexedSeq); q1.processAllAvailable() }
+    finally q1.stop()
+    val q2 = start()
+    try { in.addData(b2.toIndexedSeq); q2.processAllAvailable() }
+    finally q2.stop()
+    val got = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val want = graft.ops.DedupOps.simhashPairs(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got.distinct.length == got.length,
+      s"duplicated emissions after restart: ${got.diff(got.distinct)}")
+    assert(got.toSet == want.toSet,
+      s"missing=${want.toSet -- got.toSet} extra=${got.toSet -- want.toSet}")
+  }
+
   test("exact ingest registry across batches: exactly one keeper per " +
       "digest group, every verdict points at it, keeper is " +
       "first-arrival") {
