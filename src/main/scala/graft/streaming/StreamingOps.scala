@@ -490,6 +490,56 @@ object StreamingOps {
       .toDF()
   }
 
+  final case class ServeCand(query_id: Long, vec_id: Long, cos: Double)
+  final case class ServeHit(query_id: Long, vec_id: Long, cos: Double,
+      rk: Int)
+
+  /** ONLINE ANN SERVING: a stream of query vectors answered on arrival
+    * against a static corpus — the retrieval half of a RAG/serving
+    * deployment (the ingest half is the registry ops above). The static
+    * index BROADCASTS into every microbatch (stream-static join, no
+    * stream-side shuffle of the corpus); scoring is the exact
+    * `quant_cosine` expression the batch `sim_topk_bruteforce` uses,
+    * and the per-query top-k finalizes IN the query's own microbatch —
+    * every candidate row of a query is generated from the query's own
+    * arrival, so the answer is complete and final by construction,
+    * under any delivery. One boolean of state per answered query
+    * guards against source re-delivery (at-least-once input →
+    * exactly-once answers).
+    *
+    * Scale: brute-force scoring is the honest serving baseline (the
+    * batch side carries the IVF/PQ/LSH variants with measured recall);
+    * the broadcast corpus is the index shard a real deployment
+    * partitions — queries fan out to shards and a top-k merge combines,
+    * which is this same operator with a two-level topk.
+    */
+  def annServeTopk(spark: SparkSession, queries: DataFrame,
+      corpus: DataFrame, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val qs = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"))
+    qs.crossJoin(broadcast(corpus.select(col("vec_id"), col("embedding"))))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.functions
+          .quant_cosine(col("qe"), col("embedding")).as("cos"))
+      .as[ServeCand]
+      .groupByKey(_.query_id)
+      .flatMapGroupsWithState[Boolean, ServeHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (qid, rows, state) =>
+          // re-delivered query: already answered, emit nothing
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.toArray.sortBy(c => (-c.cos, c.vec_id)).take(k)
+              .zipWithIndex.map { case (c, i) =>
+                ServeHit(qid, c.vec_id, c.cos, i + 1)
+              }.iterator
+          }
+      }
+      .toDF()
+  }
+
   final case class DigestArrival(digest: String, doc_id: Long)
   final case class IngestVerdict(doc_id: Long, keep_id: Long, is_dup: Long)
 
@@ -904,6 +954,17 @@ object StreamingOps {
       runToMemory(embeddingIngestPairs(s, readEmbeddings(s, d)),
         "dedup_embedding_stream_sink", OutputMode.Append())
         .orderBy("id1", "id2")
+    },
+    // online ANN serving: the query-vector stream (vec_id < 10, the
+    // batch convention) answered on arrival against the static corpus;
+    // oracle = the batch sim_topk_bruteforce SQL verbatim
+    "sim_ann_serve_stream" -> { (s, d) =>
+      import org.apache.spark.sql.functions.col
+      runToMemory(annServeTopk(s,
+          readEmbeddings(s, d).filter(col("vec_id") < 10),
+          graft.ops.Tables(s, d).embeddings.filter(col("vec_id") >= 10)),
+        "sim_ann_serve_stream_sink", OutputMode.Append())
+        .orderBy("query_id", "rk")
     }
   )
 
@@ -916,6 +977,10 @@ object StreamingOps {
     // bucketing and exact quantized cosine are delivery-independent
     "dedup_embedding_stream" ->
       graft.ops.DedupOps.oracles("dedup_embedding"),
+    // the batch sim_topk_bruteforce oracle, VERBATIM — same scoring
+    // expression, same (cos DESC, vec_id ASC) rank tiebreak
+    "sim_ann_serve_stream" ->
+      graft.ops.SimilarityOps.oracles("sim_topk_bruteforce"),
     // keeper = min doc_id per digest group (equals first-arrival under
     // the single-microbatch sorted-in-group delivery — see the op doc)
     "dedup_ingest_stream" ->

@@ -602,6 +602,41 @@ class StreamingSpec extends GraftSuite {
       s"missing=${want.toSet -- got.toSet} extra=${got.toSet -- want.toSet}")
   }
 
+  test("online ANN serving: queries answered per-batch, RE-DELIVERED " +
+      "queries answered exactly once, result == batch brute-force topk") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val emb = graft.ops.Tables(spark, sfDir).embeddings
+    val queries = emb.filter(col("vec_id") < 10)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val (q1, q2) = queries.partition(_._1 < 5)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val shaped = in.toDF()
+      .select(col("_1").as("vec_id"), col("_2").as("embedding"))
+    val served = StreamingOps.annServeTopk(spark, shaped,
+      emb.filter(col("vec_id") >= 10))
+    val q = served.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ann_serve_2batch").start()
+    try {
+      in.addData(q1.toIndexedSeq); q.processAllAvailable()
+      // batch 2 RE-DELIVERS batch 1's queries (at-least-once source):
+      // the answered-flag state must suppress duplicate answers
+      in.addData((q2 ++ q1).toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ann_serve_2batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    assert(got.distinct.length == got.length, "duplicate answers")
+    val want = graft.ops.SimilarityOps.bruteTopkFrom(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+    assert(want.nonEmpty)
+    assert(got.toSet == want.toSet,
+      s"missing=${want.toSet -- got.toSet} extra=${got.toSet -- want.toSet}")
+  }
+
   test("exact ingest registry across batches: exactly one keeper per " +
       "digest group, every verdict points at it, keeper is " +
       "first-arrival") {
