@@ -637,6 +637,57 @@ class StreamingSpec extends GraftSuite {
       s"missing=${want.toSet -- got.toSet} extra=${got.toSet -- want.toSet}")
   }
 
+  test("ingest routing via foreachBatch dual sink: keepers land in the " +
+      "corpus dir, duplicates in quarantine with their keeper id — " +
+      "partitions of the oracle verdict set") {
+    import org.apache.spark.sql.DataFrame
+    val corpusDir = java.nio.file.Files
+      .createTempDirectory("graft-ingest-corpus").toString
+    val quarDir = java.nio.file.Files
+      .createTempDirectory("graft-ingest-quarantine").toString
+    val verdicts = StreamingOps.exactIngestVerdicts(spark,
+      StreamingOps.readDocuments(spark, sfDir))
+    // the production writer shape: one stateful pass produces the
+    // decision, foreachBatch routes each microbatch to BOTH sinks
+    // atomically per batch (batchDf is reused, so cache per batch)
+    val q = verdicts.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        batch.filter(col("is_dup") === 0L).select("doc_id")
+          .write.mode("append").parquet(corpusDir)
+        batch.filter(col("is_dup") === 1L).select("doc_id", "keep_id")
+          .write.mode("append").parquet(quarDir)
+        batch.unpersist()
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val kept = spark.read.parquet(corpusDir).collect()
+      .map(_.getLong(0)).toSet
+    val quarantined = spark.read.parquet(quarDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // oracle: keeper = min doc_id per md5(text) group (single-batch
+    // delivery — the same contract as the dedup_ingest_stream oracle)
+    val docs = graft.ops.Tables(spark, sfDir).documents
+      .select(col("doc_id"), md5(col("text")).as("dg")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val keeperOf = docs.groupBy(_._2).map { case (dg, g) =>
+      dg -> g.map(_._1).min
+    }
+    val wantKept = keeperOf.values.toSet
+    val wantQuar = docs.collect {
+      case (id, dg) if keeperOf(dg) != id => (id, keeperOf(dg))
+    }.toSet
+    assert(kept == wantKept,
+      s"corpus dir: missing=${wantKept -- kept} extra=${kept -- wantKept}")
+    assert(quarantined == wantQuar,
+      s"quarantine dir: missing=${wantQuar -- quarantined} " +
+        s"extra=${quarantined -- wantQuar}")
+    assert(kept.size + quarantined.size == docs.length,
+      "routing must partition the corpus")
+  }
+
   test("exact ingest registry across batches: exactly one keeper per " +
       "digest group, every verdict points at it, keeper is " +
       "first-arrival") {
