@@ -1,0 +1,45 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump `.explain("formatted")` of named queries to files — the judge's
+  * plan-claim evidence for optimization rounds (plans/rN/<q>_{before,after}.txt).
+  *
+  * Usage: ExplainDump <sfDir> <outDir> <suffix> <q1,q2,...>
+  * Writes <outDir>/<query>_<suffix>.txt for each query.
+  */
+object ExplainDump {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, suffix, qlist) = args.take(4)
+    val names = qlist.split(",").map(_.trim).filter(_.nonEmpty)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(outDir))
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name"))
+      try {
+        val df = fn(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"), plan)
+        println(s"wrote $outDir/${name}_$suffix.txt")
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[explain] $name failed: ${e.getMessage}")
+      } finally {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+      }
+    }
+    spark.stop()
+  }
+}
