@@ -93,7 +93,8 @@ object DataOps {
     // attach via two doc_id equi-joins; the rollup is scalar.
     "data_split_leak_audit" -> { (s, d) =>
       val docs = Tables(s, d).documents
-      val truth = DedupOps.jaccardDupPairs(DedupOps.shingleSets(docs), 4, 5)
+      val truth = DedupOps
+        .jaccardDupPairsUnsorted(DedupOps.shingleSets(docs), 4, 5)
         .select("id1", "id2")
       val b = pmod(xxhash64(col("doc_id").cast("string")), lit(100))
       val sd = docs.select(col("doc_id"),
@@ -547,10 +548,13 @@ object DataOps {
     // run reads block stats from file footers written by the clustered
     // sink; this query is the decision readout, not the write path.
     "data_zorder_skipping" -> { (s, d) =>
+      // r10: the pair projection feeds BOTH layout evaluations — persist
+      // so the fact-table distinct runs once, not per eval branch
       val pairs = Tables(s, d).lineitem
         .select("l_partkey", "l_suppkey").distinct()
         .withColumn("z", graft.functions.functions.zorder2(
           col("l_partkey"), col("l_suppkey")))
+        .persist()
       def eval(name: String, ord: Seq[Column]): DataFrame =
         pairs
           .withColumn("rn", row_number().over(Window.orderBy(ord: _*)))
@@ -1486,7 +1490,7 @@ object DataOps {
             graft.functions.functions.word_shingles(toksC, 3)).as("sh"))
         .persist()
       val dropIds = DedupOps
-        .jaccardDupPairs(base.select(col("doc_id"), col("sh")), 4, 5)
+        .jaccardDupPairsUnsorted(base.select(col("doc_id"), col("sh")), 4, 5)
         .select(col("id2").as("doc_id")).distinct()
       val (bench, corpusGrams) = decontamGrams(Tables(s, d).documents)
       val contaminated = corpusGrams

@@ -89,6 +89,15 @@ object DedupOps {
     * returns exactly 1.0 on them, so the constant is bit-identical).
     */
   private[graft] def jaccardDupPairs(
+      shingleSets: DataFrame, p: Int, q: Int, dfCap: Int = 64): DataFrame =
+    jaccardDupPairsUnsorted(shingleSets, p, q, dfCap).orderBy("id1", "id2")
+
+  /** [[jaccardDupPairs]] without the terminal global sort — for consumers
+    * that aggregate or join the pair set (recall/tuning truth sets, drop
+    * lists), where sorting the expanded pairs is a wasted exchange+sort
+    * (r10). Same rows, unspecified order.
+    */
+  private[graft] def jaccardDupPairsUnsorted(
       shingleSets: DataFrame, p: Int, q: Int, dfCap: Int = 64): DataFrame = {
     val grouped = shingleGroups(shingleSets)
     val repPairs = jaccardRepPairs(
@@ -107,7 +116,7 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
         lit(1.0).as("jaccard"))
-    cross.unionAll(within).orderBy("id1", "id2")
+    cross.unionAll(within)
   }
 
   /** One row per DISTINCT shingle set: (sh sorted, rep_id = min member
@@ -148,7 +157,12 @@ object DedupOps {
     val star = groupMembers(grouped)
       .filter(col("doc_id") =!= col("rep_id"))
       .select(col("rep_id").as("id1"), col("doc_id").as("id2"))
-    val e = repPairs.unionAll(star)
+    // r10 (optimization round): persist before the symmetrizing union —
+    // its two branches project differently, so exchange reuse cannot
+    // dedupe them and the FULL PPJoin upstream would otherwise execute
+    // twice (measured as ~2x the edge-build cost in every component
+    // consumer: dedup_components / cluster_sizes / canonical / savings)
+    val e = repPairs.unionAll(star).persist()
     e.select(col("id1").as("src"), col("id2").as("dst"))
       .unionAll(e.select(col("id2").as("src"), col("id1").as("dst")))
   }
@@ -204,7 +218,10 @@ object DedupOps {
         graft.functions.functions
           .jaccard_sorted_longs(col("x.ss"), col("y.ss")).as("jaccard"))
       .filter(col("jaccard") >= t)
-      .orderBy("id1", "id2")
+    // r10: no terminal orderBy here — every caller either re-sorts
+    // (jaccardDupPairs ends with its own orderBy) or is order-free
+    // (jaccardDupEdges feeds components); the global sort exchange was
+    // pure waste inside 8+ queries
   }
 
   /** Asymmetric CONTAINMENT near-dup pairs: C(A→B) = |S(A)∩S(B)| / |S(A)|
@@ -296,7 +313,8 @@ object DedupOps {
       .select(col("contained_id"), col("container_id"),
         (col("inter").cast("double") / col("na").cast("double"))
           .as("containment"))
-      .orderBy("contained_id", "container_id")
+    // r10: terminal orderBy dropped — containmentDupPairs re-sorts after
+    // the membership fan-out (see jaccardRepPairs)
   }
 
   /** Connected components of an undirected edge set `(src, dst)` (both
@@ -547,7 +565,7 @@ object DedupOps {
     // (whitelisted 1-row pattern, as dedup_lsh_recall).
     "dedup_method_overlap" -> { (s, d) =>
       val docs = Tables(s, d).documents
-      val jp = jaccardDupPairs(shingleSets(docs), 4, 5)
+      val jp = jaccardDupPairsUnsorted(shingleSets(docs), 4, 5)
         .select("id1", "id2").persist()
       val sp = simhashPairs(docs).select("id1", "id2").persist()
       val dig = docs.select(col("doc_id"), md5(col("text")).as("dg"))
@@ -588,7 +606,8 @@ object DedupOps {
           array_distinct(
             graft.functions.functions.word_shingles(toks, 3)).as("sh"))
         .persist()
-      val dupPairs = jaccardDupPairs(base.select(col("doc_id"), col("sh")), 4, 5)
+      val dupPairs = jaccardDupPairsUnsorted(
+          base.select(col("doc_id"), col("sh")), 4, 5)
         .select(col("id2").as("drop_id")).distinct()
       base
         .filter(col("n_tokens") >= 50 && col("stop_ratio") <= 0.35)
@@ -785,7 +804,7 @@ object DedupOps {
     // bucketed operators' shapes; the rollup is three scalar aggregates.
     "dedup_lsh_recall" -> { (s, d) =>
       val sh = shingleSets(Tables(s, d).documents).persist()
-      val truth = jaccardDupPairs(sh, 4, 5).select("id1", "id2")
+      val truth = jaccardDupPairsUnsorted(sh, 4, 5).select("id1", "id2")
         .persist()
       val cand = minhashCandidates(sh).persist()
       val hits = truth.join(cand, Seq("id1", "id2"), "left_semi")
@@ -811,7 +830,7 @@ object DedupOps {
       val sh = shingleSets(Tables(s, d).documents).persist()
       val sig = sh.select(col("doc_id"),
         minhash_sig(col("sh"), 16).as("sig")).persist()
-      val truth = jaccardDupPairs(sh, 4, 5).select("id1", "id2").persist()
+      val truth = jaccardDupPairsUnsorted(sh, 4, 5).select("id1", "id2").persist()
       val tcount = truth.agg(count(lit(1)).as("n_truth"))
       def config(b: Int, r: Int): DataFrame = {
         val bands = sig.select(col("doc_id"),

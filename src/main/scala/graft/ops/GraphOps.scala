@@ -120,9 +120,13 @@ object GraphOps {
     // ≤7 items). lift divides exact integers, so the doubles are the
     // same IEEE tree on both engines; ties order by the pair key.
     "basket_pair_lift" -> { (s, d) =>
+      // r10: the distinct (order, part) stream feeds BOTH self-join
+      // sides and the marginal rollup — persist so the fact-table
+      // distinct runs once, not three times
       val it = Tables(s, d).lineitem
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
         .distinct()
+        .persist()
       val n = Tables(s, d).orders
         .agg(countDistinct(col("o_orderkey")).as("n_orders"))
       val marg = it.groupBy(col("p")).agg(count(lit(1)).as("n_item"))
@@ -157,14 +161,11 @@ object GraphOps {
     // co-supply graph is near-complete — wrong fixture for BFS). The
     // oracle is the textbook recursive CTE with the same depth cap.
     "graph_bfs_hops" -> { (s, d) =>
-      val it = Tables(s, d).lineitem
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
-      val e0 = it.as("a").join(it.as("b"),
-          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
-        .select("u", "v")
+      // r10: the inline pair projection was copurchaseEdges(support>=2)
+      // verbatim — use the (now persisted) shared builder so the mirror
+      // union below reads the cached edge list instead of re-running the
+      // fact-table join per branch
+      val e0 = copurchaseEdges(Tables(s, d), minSupport = 2)
       val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
         .persist()
       var dist = edges.agg(min(col("u")).as("node"))
@@ -493,14 +494,9 @@ object GraphOps {
     // (a node first reached at round k has distance k — the BFS
     // invariant that makes the σ recursion correct level by level).
     "graph_path_counts" -> { (s, d) =>
-      val it = Tables(s, d).lineitem
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-        .distinct()
-      val e0 = it.as("a").join(it.as("b"),
-          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
-        .select("u", "v")
+      // r10: inline build was copurchaseEdges(support>=2) verbatim — use
+      // the persisted shared builder (see graph_bfs_hops)
+      val e0 = copurchaseEdges(Tables(s, d), minSupport = 2)
       val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
         .persist()
       var reach = edges.agg(min(col("u")).as("node"))
@@ -645,12 +641,15 @@ object GraphOps {
     * at any scale. A positive value pins K explicitly (specs).
     */
   def sccFrom(pairs: DataFrame, doublings: Int = 0): DataFrame = {
+    // r10: `pairs` feeds BOTH window branches (fc, fs) — persist so the
+    // upstream pair aggregation runs once, not once per branch
+    val pp = pairs.persist()
     val wc = Window.partitionBy("c").orderBy(col("cnt").desc, col("s").asc)
     val ws = Window.partitionBy("s").orderBy(col("qty").desc, col("c").asc)
-    val fc = pairs.withColumn("rn", row_number().over(wc))
+    val fc = pp.withColumn("rn", row_number().over(wc))
       .filter(col("rn") === 1)
       .select((col("c") * 2).as("node"), (col("s") * 2 + 1).as("ptr"))
-    val fs = pairs.withColumn("rn", row_number().over(ws))
+    val fs = pp.withColumn("rn", row_number().over(ws))
       .filter(col("rn") === 1)
       .select((col("s") * 2 + 1).as("node"), (col("c") * 2).as("ptr"))
     var g = fc.union(fs)
@@ -864,8 +863,13 @@ object GraphOps {
     */
   def assortativityFrom(edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val e = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // r10: the caller's fact-table edge build feeds both mirror-union
+    // branches, and the mirrored `e` feeds the degree rollup AND the
+    // pair join — persist both (edge-sized) so the build runs once
+    val e0 = edges.persist()
+    val e = e0.select(col("src"), col("dst"))
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val pairs = e.join(deg, "src")
       .withColumnRenamed("deg", "dx")
@@ -1123,6 +1127,19 @@ object GraphOps {
     * its partial state — a pre-distinct would be a second full shuffle
     * on a wider key for nothing.
     */
+  /** r10 (optimization round, guide §2.4/§5): both edge builders PERSIST
+    * their output. Every consumer mirror-unions the canonical list
+    * (`(u,v) ∪ (v,u)`) or reads it from several join branches, and the
+    * mirrored projections differ map-side, so exchange reuse does NOT
+    * dedupe them — un-persisted, the full fact-table pair projection
+    * (a multi-million-row shuffle at sf0.1, the dominant cost of every
+    * graph query) re-executed once per branch (measured: lineitem
+    * scanned 3x in graph_kcore's `und` materialization). The edge list
+    * itself is support-thresholded and tiny relative to the fact table
+    * at any scale — persisting it is the "write the signature table
+    * once" pattern, and the cache is released by the harness's
+    * per-query `clearCache()`.
+    */
   private def cosupplyEdges(t: Tables, minSupport: Long): DataFrame = {
     val bySupp = t.lineitem.select(col("l_orderkey").as("ok"),
         col("l_suppkey").as("sk"))
@@ -1134,6 +1151,7 @@ object GraphOps {
       .select(col("p.u").as("u"), col("p.v").as("v"))
       .groupBy("u", "v").agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport).select("u", "v")
+      .persist()
   }
 
   private def copurchaseEdges(t: Tables, minSupport: Long): DataFrame = {
@@ -1145,6 +1163,7 @@ object GraphOps {
       .groupBy(col("a.p").as("u"), col("b.p").as("v"))
       .agg(count(lit(1)).as("n")).filter(col("n") >= minSupport)
       .select("u", "v")
+      .persist()
   }
 
   /** Degree-ordered triangle counting (the MapReduce-optimal formulation,
@@ -1312,17 +1331,23 @@ object GraphOps {
     */
   def pageRankFrom(edges: DataFrame, nodes: DataFrame, iters: Int, k: Int)
       : DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // r10: the caller's edge build is consumed twice by the mirror union
+    // (differing projections defeat exchange reuse) — persist it so the
+    // fact-table join behind it runs once; `nodes` is re-read every
+    // iteration's rank rebuild — persist the node-sized frame too
+    val e0 = edges.persist()
+    val np = nodes.persist()
+    val e = e0.select(col("src"), col("dst"))
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val ed = e.join(deg, "src").persist()
-    var r = nodes.withColumn("pr", lit(Scale))
+    var r = np.withColumn("pr", lit(Scale))
     for (_ <- 1 to iters) {
       val contrib = ed.join(r, ed("src") === r("node"))
         .select(col("dst"), expr("pr div outdeg").as("share"))
         .groupBy("dst").agg(sum(col("share")).as("contrib"))
-      r = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(nodes("node"),
+      r = np.join(contrib, np("node") === contrib("dst"), "left")
+        .select(np("node"),
           (lit(Base) + expr(
             "(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100"))
             .as("pr"))
@@ -1342,19 +1367,23 @@ object GraphOps {
     */
   def pprFrom(edges: DataFrame, nodes: DataFrame, iters: Int, k: Int)
       : DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // r10: persist the mirror-union input + the per-iteration node frame
+    // (see pageRankFrom)
+    val e0 = edges.persist()
+    val np = nodes.persist()
+    val e = e0.select(col("src"), col("dst"))
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
     val ed = e.join(deg, "src").persist()
-    var r = nodes.withColumn("pr",
+    var r = np.withColumn("pr",
       when(col("seed"), lit(Scale)).otherwise(lit(0L)))
     for (_ <- 1 to iters) {
       val contrib = ed.join(r, ed("src") === r("node"))
         .select(col("dst"), expr("pr div outdeg").as("share"))
         .groupBy("dst").agg(sum(col("share")).as("contrib"))
-      r = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-        .select(nodes("node"), nodes("seed"),
-          (when(nodes("seed"), lit(Base)).otherwise(lit(0L)) + expr(
+      r = np.join(contrib, np("node") === contrib("dst"), "left")
+        .select(np("node"), np("seed"),
+          (when(np("seed"), lit(Base)).otherwise(lit(0L)) + expr(
             "(85 * coalesce(contrib, CAST(0 AS BIGINT))) div 100"))
             .as("pr"))
         .cutLineage() // per-round node-sized cut, see pageRankFrom
