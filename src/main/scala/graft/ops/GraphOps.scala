@@ -731,8 +731,12 @@ object GraphOps {
       .union(edges.select(col("v").as("src"), col("u").as("dst")))
     val labels = partition.cutLineage() // node-sized, read by 3 consumers
     val m = edges.agg(count(lit(1)).as("m_edges"))
+    // r10: deg feeds the community-degree rollup AND the gains join;
+    // eUC feeds the own-community extract AND the gains join — persist
+    // both (node-sized / ≤2m rows) so each aggregate runs once
     val deg = und.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("dg"))
+      .persist()
     val dc = labels.join(deg, "node")
       .groupBy("label").agg(sum(col("dg")).as("dsum")) // label-sized
     // per-node edge count into each ADJACENT community (≤ 2m rows total)
@@ -741,6 +745,7 @@ object GraphOps {
         "dst")
       .groupBy(col("src").as("node"), col("cand"))
       .agg(count(lit(1)).as("e_uc"))
+      .persist()
     val eOwn = eUC.join(labels,
         eUC("node") === labels("node") && eUC("cand") === labels("label"))
       .select(eUC("node"), col("e_uc").as("e_own"))
@@ -1196,7 +1201,10 @@ object GraphOps {
     * `trianglesFrom` and [[clusteringCoeffFrom]].
     */
   def triangleCountsFrom(edges0: DataFrame): DataFrame = {
-    val tri = triangleTriplesFrom(edges0)
+    // r10: the corner-projection union consumes the triple stream THREE
+    // times with differing projections (no exchange reuse) — persist, or
+    // the wedge join (the O(m^1.5) bulk of the query) runs three times
+    val tri = triangleTriplesFrom(edges0).persist()
     tri.select(col("a").as("node"))
       .union(tri.select(col("b").as("node")))
       .union(tri.select(col("c").as("node")))

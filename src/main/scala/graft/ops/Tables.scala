@@ -17,6 +17,37 @@ final class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scale-adaptive post-scan rebalance for CPU-heavy per-row kernels
+    * (r10, guide §2.5 "input skew — one huge unsplittable file ...
+    * repartition immediately after the read"): a parquet file smaller
+    * than the scan split size is ONE row group, so its scan is a single
+    * task and a fused codegen kernel behind it runs on ONE core — at
+    * sf0.1 every table is a single-row-group file, so kernel queries
+    * serialized regardless of core count (measured: sim_pq_train_step
+    * 1.8 s of executorRunTime in 1 task). The round-robin repartition
+    * costs one shuffle of the (tiny, provably sub-split-size) input and
+    * buys full-core parallelism for the kernel stage. SCALE-ADAPTIVE BY
+    * CONSTRUCTION: fires only when the backing file cannot fill the
+    * cores (bytes < cores x maxPartitionBytes); a production-scale input
+    * spans many splits, the predicate is false, and the frame is
+    * returned untouched — no shuffle is ever added at 100 TB. Apply only
+    * where downstream aggregation is partition-order-insensitive (exact
+    * integer/decimal sums, counts, min/max) — the repo-wide doctrine.
+    */
+  private[graft] def rebalanced(name: String, df: DataFrame): DataFrame = {
+    val bytes = new java.io.File(s"$dir/$name.parquet").length()
+    val cores = spark.sparkContext.defaultParallelism
+    val maxSplit = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    if (bytes < cores * maxSplit) df.repartition(cores) else df
+  }
+
+  /** [[lineitem]] rebalanced for kernel-stage parallelism — opt-in (the
+    * relational family's aggregates shuffle early anyway; the rebalance
+    * pays off only where per-row kernel work dominates the scan stage).
+    */
+  def lineitemPar: DataFrame = rebalanced("lineitem", lineitem)
+
   def region: DataFrame = t("region")
   def nation: DataFrame = t("nation")
   def customer: DataFrame = t("customer")
@@ -34,10 +65,18 @@ final class Tables(spark: SparkSession, dir: String) {
     * UTC, where LTZ-vs-NTZ is the identity and `unix_millis` agrees with
     * DuckDB's `epoch_ms` (see [[EventOps.withMs]]).
     */
-  def events: DataFrame =
-    spark.read.schema(Tables.eventsSchema).parquet(s"$dir/events.parquet")
-  def documents: DataFrame = t("documents")
-  def embeddings: DataFrame = t("embeddings")
+  def events: DataFrame = rebalanced("events",
+    spark.read.schema(Tables.eventsSchema).parquet(s"$dir/events.parquet"))
+  /** Documents and embeddings feed the CPU-kernel families (text/dedup/
+    * sim/mm) — rebalanced by default (r10): every aggregate over them is
+    * partition-order-insensitive by the repo's DuckDB-parity doctrine
+    * (exact integer/decimal sums, set-semantics collects, length-tie
+    * Viterbi — audited this round), so the round-robin split changes no
+    * result, only kernel-stage parallelism. At production scale the
+    * rebalance is the identity (see [[rebalanced]]).
+    */
+  def documents: DataFrame = rebalanced("documents", t("documents"))
+  def embeddings: DataFrame = rebalanced("embeddings", t("embeddings"))
 }
 
 object Tables {
