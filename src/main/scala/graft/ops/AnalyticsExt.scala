@@ -332,7 +332,7 @@ object AnalyticsExt {
           pmod(xxhash64(lit(r.toString + p.toString)), lit(W)).cast("int") +
           lit(1))
       }: _*)
-      Tables(s, d).lineitem
+      Tables(s, d).lineitemPar // r10: D hashes/row kernel, see Tables.rebalanced
         .groupBy("l_returnflag")
         .agg(cms_counters(buckets, D, W).as("cms"),
           probes.map(p =>
@@ -359,6 +359,11 @@ object AnalyticsExt {
           pmod(xxhash64(lit(r.toString + p.toString)), lit(W)).cast("int") +
           lit(1))
       }: _*)
+      // r10: measured and reverted — both the kernel rebalance and a
+      // projected persist LOST to the plain dual pruned scan here (2.0 s
+      // vs 1.7 s median): the two sketch builds aggregate differently
+      // (grouped vs global), each over a 2-column pruned scan, and the
+      // added exchange/cache store exceeds the fused-scan saving
       val li = Tables(s, d).lineitem
       val merged = li.groupBy("l_returnflag")
         .agg(cms_counters(buckets, D, W).as("cms"))
@@ -423,7 +428,7 @@ object AnalyticsExt {
       // value by construction, ~2x faster than a 128-bit decimal sum).
       def msum(c: Column): Column =
         decimal_to_double_duckdb(Oracle.exactDecimalSumWide(c))
-      Tables(s, d).lineitem
+      Tables(s, d).lineitemPar // r10: wide-decimal moment sums per row
         .groupBy("l_returnflag")
         .agg(count(lit(1)).cast("double").as("n"),
           msum(q).as("sx"), msum(p).as("sy"),
@@ -745,7 +750,7 @@ object AnalyticsExt {
     // 2*cum vs tot avoids the halving division); the only double is the
     // final cents→price display division, one IEEE op in both engines.
     "agg_weighted_median" -> { (s, d) =>
-      val li = Tables(s, d).lineitem.select(
+      val li = Tables(s, d).lineitemPar.select( // r10: kernel rebalance
         col("l_returnflag"),
         round(col("l_extendedprice") * 100).cast("long").as("pc"),
         round(col("l_quantity")).cast("long").as("w"))

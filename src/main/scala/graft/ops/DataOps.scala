@@ -866,7 +866,7 @@ object DataOps {
     // rank is deterministic (the sorted multiset doesn't care which tied
     // row got which rank), which is all the threshold extraction reads.
     "data_winsorize" -> { (s, d) =>
-      winsorizeFrom(s, Tables(s, d).lineitem
+      winsorizeFrom(s, Tables(s, d).lineitemPar // r10: kernel rebalance
         .select(col("l_returnflag").as("grp"), col("l_extendedprice").as("v")))
     },
     // Small-file compaction planner — the OPTIMIZE/bin-packing step a
