@@ -1000,6 +1000,9 @@ object DataOps {
     "data_incremental_join" -> { (s, d) =>
       val isDelta = (c: Column) =>
         pmod(xxhash64(concat(lit("D"), c.cast("string"))), lit(10)) === 0
+      // r10: persisting these projections for the four old/new terms was
+      // measured SLOWER (1.92 s vs 1.81 s median) — the cache store costs
+      // what the re-scans cost at this width; left on pruned scans
       val li = Tables(s, d).lineitem
         .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
           isDelta(col("l_orderkey") * 10000 + col("l_linenumber"))
