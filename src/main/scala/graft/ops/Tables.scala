@@ -65,8 +65,15 @@ final class Tables(spark: SparkSession, dir: String) {
     * UTC, where LTZ-vs-NTZ is the identity and `unix_millis` agrees with
     * DuckDB's `epoch_ms` (see [[EventOps.withMs]]).
     */
-  def events: DataFrame = rebalanced("events",
-    spark.read.schema(Tables.eventsSchema).parquet(s"$dir/events.parquet"))
+  // events deliberately NOT rebalanced (r10, measured): the family is 64
+  // mostly-tiny queries whose heavy work happens post-shuffle (windows /
+  // grouped state), so the extra round-robin exchange cost more than the
+  // parallel-decode gain (family total 36.2 s -> 44.1 s in the flipped
+  // capture; e.g. events_slo_burn 0.17 -> 0.41 s isolated). The
+  // documents/embeddings flip stays: their consumers are per-row CPU
+  // kernels where the same trade measured a large net win.
+  def events: DataFrame =
+    spark.read.schema(Tables.eventsSchema).parquet(s"$dir/events.parquet")
   /** Documents and embeddings feed the CPU-kernel families (text/dedup/
     * sim/mm) — rebalanced by default (r10): every aggregate over them is
     * partition-order-insensitive by the repo's DuckDB-parity doctrine
