@@ -659,23 +659,71 @@ object StreamingOps {
       joinType)
   }
 
+  /** Explicit override for the state-store partition count of the
+    * streaming ops; when unset it is DERIVED from input size (see
+    * [[statePartitionsFor]]). A production deployment sets this to its
+    * measured key cardinality / state-size target.
+    */
+  val StatePartitionsKey = "spark.graft.streamStatePartitions"
+
+  /** Input bytes per state-store partition when deriving the count. */
+  val StateChunkKey = "spark.graft.streamState.chunkBytes"
+  val DefaultStateChunkBytes: Long = 32L * 1024 * 1024
+
+  /** Scale-derived state-store partition count: `min(shuffle.partitions,
+    * ceil(inputBytes / chunk))`. Structured Streaming fixes the state
+    * partition count at `spark.sql.shuffle.partitions` when the query
+    * first starts; with the harness setting that to the CORE count, toy
+    * inputs paid per-partition state-store commit/maintenance overhead on
+    * EVERY microbatch for partitions holding a handful of keys (driver
+    * r10 at 32 cores: events_fulljoin_stream 10.2 s vs 3.1 s at 8 — the
+    * family is fixed-cost bound, guide §2.2). State must scale with KEYS,
+    * not cores: deriving the count from input bytes gives few stores on
+    * toy data and `shuffle.partitions` (the deployment's own sizing) once
+    * the input spans `chunk` bytes per partition — at 100 TB the derived
+    * value saturates the cap, so no production parallelism is lost.
+    */
+  private[graft] def statePartitionsFor(spark: SparkSession, dir: String,
+      table: String): Int =
+    spark.conf.getOption(StatePartitionsKey).map(_.toInt).getOrElse {
+      val (bytes, _) =
+        graft.ops.Tables.dataSize(spark, s"$dir/$table.parquet")
+      val chunk = spark.conf
+        .get(StateChunkKey, DefaultStateChunkBytes.toString).toLong
+      val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      math.max(1L, math.min(cap.toLong, (bytes + chunk - 1) / chunk)).toInt
+    }
+
   /** Run a streaming DataFrame to completion against the (finite) file
     * source and return the memory-sink table. NOTE: in Update mode the
     * memory sink appends each microbatch's updated rows — with multiple
     * microbatches the table holds superseded versions of a key; callers
     * needing latest-only must dedup (or run a single batch, as the specs
     * do).
+    *
+    * `statePartitions > 0` pins `spark.sql.shuffle.partitions` for the
+    * DURATION OF THE STREAM only (state-store count is fixed at query
+    * start from that conf; restored before the post-materialization batch
+    * ops run). Results are partition-count-independent: state is keyed,
+    * every declared query re-sorts after materialization.
     */
   def runToMemory(
-      df: DataFrame, name: String, mode: OutputMode): DataFrame = {
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    df.sparkSession.table(name)
+      df: DataFrame, name: String, mode: OutputMode,
+      statePartitions: Int = -1): DataFrame = {
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if (statePartitions > 0)
+      spark.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    try {
+      val q = df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    spark.table(name)
   }
 
   /** Driver-contract surface: the streaming hourly aggregate materialized
@@ -691,7 +739,8 @@ object StreamingOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_hourly_stream" -> { (s, d) =>
       val res = runToMemory(hourlyCounts(readEvents(s, d)),
-        "events_hourly_stream_sink", OutputMode.Complete())
+        "events_hourly_stream_sink", OutputMode.Complete(),
+        statePartitionsFor(s, d, "events"))
       res
         .select(
           expr(graft.ops.EventOps.floorDivSql(
@@ -708,7 +757,8 @@ object StreamingOps {
     "events_sessionize_stream" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val res = runToMemory(sessionWindows(readEvents(s, d)),
-        "events_sessionize_stream_sink", OutputMode.Complete())
+        "events_sessionize_stream_sink", OutputMode.Complete(),
+        statePartitionsFor(s, d, "events"))
       val w = Window.partitionBy("user_id").orderBy(col("start_ms").asc)
       res
         .withColumn("session_idx", row_number().over(w).cast("long"))
@@ -725,7 +775,8 @@ object StreamingOps {
     // documented at [[runToMemory]].)
     "events_funnel_stream" -> { (s, d) =>
       val res = runToMemory(funnelStages(s, readEvents(s, d)),
-        "events_funnel_stream_sink", OutputMode.Update())
+        "events_funnel_stream_sink", OutputMode.Update(),
+        statePartitionsFor(s, d, "events"))
       res.agg(count(lit(1)).as("n_users"),
         count_if(col("has_view")).as("n_view"),
         count_if(col("view_click")).as("n_view_click"),
@@ -746,7 +797,8 @@ object StreamingOps {
         .withColumn("k", col("event_id") % 1000)
       val deduped = dedupWithinWatermark(keyed, "event_ts", "48 hours",
         Seq("k")).select("k")
-      runToMemory(deduped, "events_dedup_stream_sink", OutputMode.Append())
+      runToMemory(deduped, "events_dedup_stream_sink", OutputMode.Append(),
+        statePartitionsFor(s, d, "events"))
         .orderBy("k")
     },
     // Fifth streaming parity row (r6): keyed-state transition pairing
@@ -761,7 +813,8 @@ object StreamingOps {
         .groupBy("event_type", "next_type")
         .agg(count(lit(1)).as("n"))
       val res = runToMemory(counts, "events_transition_stream_sink",
-        OutputMode.Complete())
+        OutputMode.Complete(),
+        statePartitionsFor(s, d, "events"))
       res
         .withColumn("p", col("n").cast("double") /
           sum(col("n")).over(org.apache.spark.sql.expressions.Window
@@ -779,7 +832,8 @@ object StreamingOps {
     // integer ms arithmetic.
     "events_hourly_closed_stream" -> { (s, d) =>
       val res = runToMemory(hourlyCounts(readEvents(s, d)),
-        "events_hourly_closed_stream_sink", OutputMode.Append())
+        "events_hourly_closed_stream_sink", OutputMode.Append(),
+        statePartitionsFor(s, d, "events"))
       res
         .select(
           expr(graft.ops.EventOps.floorDivSql(
@@ -800,7 +854,8 @@ object StreamingOps {
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase"),
         w = 1800000L)
-      runToMemory(joined, "events_interval_stream_sink", OutputMode.Append())
+      runToMemory(joined, "events_interval_stream_sink", OutputMode.Append(),
+        statePartitionsFor(s, d, "events"))
         .select(col("click_id"), col("purchase_id"),
           (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))
             .as("delta_ms"))
@@ -826,7 +881,8 @@ object StreamingOps {
         .select(col("window.start").as("win_start"), col("c_nationkey"),
           col("n"), col("sum_value"))
       runToMemory(enriched, "events_enrich_stream_sink",
-          OutputMode.Complete())
+          OutputMode.Complete(),
+        statePartitionsFor(s, d, "events"))
         .select(
           expr(graft.ops.EventOps.floorDivSql(
             "unix_millis(win_start)", 3600000L)).as("hour_bucket"),
@@ -840,7 +896,8 @@ object StreamingOps {
     // itself is what's gated, values included (exact-sum contract).
     "events_sliding_stream" -> { (s, d) =>
       val res = runToMemory(slidingCounts(readEvents(s, d)),
-        "events_sliding_stream_sink", OutputMode.Complete())
+        "events_sliding_stream_sink", OutputMode.Complete(),
+        statePartitionsFor(s, d, "events"))
       res
         .select(
           expr(graft.ops.EventOps.floorDivSql(
@@ -865,7 +922,8 @@ object StreamingOps {
         .select(col("window.start").as("win_start"), col("event_type"),
           col("n"))
       val res = runToMemory(daily, "events_topk_stream_sink",
-        OutputMode.Complete())
+        OutputMode.Complete(),
+        statePartitionsFor(s, d, "events"))
       val w = Window.partitionBy("day")
         .orderBy(col("n").desc, col("event_type").asc)
       res
@@ -892,7 +950,8 @@ object StreamingOps {
     // last_ms + gap < max_ms − 2h.
     "events_session_timeout_stream" -> { (s, d) =>
       val res = runToMemory(timeoutSessions(s, readEvents(s, d)),
-        "events_session_timeout_stream_sink", OutputMode.Append())
+        "events_session_timeout_stream_sink", OutputMode.Append(),
+        statePartitionsFor(s, d, "events"))
       res.orderBy("user_id", "start_ms")
     },
     // Twelfth streaming parity row: stream-stream LEFT OUTER join —
@@ -907,7 +966,8 @@ object StreamingOps {
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase"),
         w = 1800000L)
-      runToMemory(joined, "events_leftjoin_stream_sink", OutputMode.Append())
+      runToMemory(joined, "events_leftjoin_stream_sink", OutputMode.Append(),
+        statePartitionsFor(s, d, "events"))
         .select(col("click_id"), col("purchase_id"),
           (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))
             .as("delta_ms"))
@@ -924,7 +984,8 @@ object StreamingOps {
         ev.filter(col("event_type") === "click"),
         ev.filter(col("event_type") === "purchase"),
         w = 1800000L)
-      runToMemory(joined, "events_fulljoin_stream_sink", OutputMode.Append())
+      runToMemory(joined, "events_fulljoin_stream_sink", OutputMode.Append(),
+        statePartitionsFor(s, d, "events"))
         .select(col("click_id"), col("purchase_id"),
           (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts")))
             .as("delta_ms"))
@@ -937,14 +998,16 @@ object StreamingOps {
     // arrive, with per-arrival work bounded by bucket occupancy
     "dedup_simhash_stream" -> { (s, d) =>
       runToMemory(simhashIngestPairs(s, readDocuments(s, d)),
-        "dedup_simhash_stream_sink", OutputMode.Append())
+        "dedup_simhash_stream_sink", OutputMode.Append(),
+        statePartitionsFor(s, d, "documents"))
         .orderBy("id1", "id2")
     },
     // dedup-at-ingest, exact: the digest keeper registry emitting the
     // per-document routing decision (keep vs quarantine + keeper id)
     "dedup_ingest_stream" -> { (s, d) =>
       runToMemory(exactIngestVerdicts(s, readDocuments(s, d)),
-        "dedup_ingest_stream_sink", OutputMode.Append())
+        "dedup_ingest_stream_sink", OutputMode.Append(),
+        statePartitionsFor(s, d, "documents"))
         .orderBy("doc_id")
     },
     // dedup-at-ingest, embeddings: the LSH-bucketed quantized-vector
@@ -952,7 +1015,8 @@ object StreamingOps {
     // oracle, verbatim), emitted online as vectors arrive
     "dedup_embedding_stream" -> { (s, d) =>
       runToMemory(embeddingIngestPairs(s, readEmbeddings(s, d)),
-        "dedup_embedding_stream_sink", OutputMode.Append())
+        "dedup_embedding_stream_sink", OutputMode.Append(),
+        statePartitionsFor(s, d, "embeddings"))
         .orderBy("id1", "id2")
     },
     // online ANN serving: the query-vector stream (vec_id < 10, the
@@ -963,7 +1027,8 @@ object StreamingOps {
       runToMemory(annServeTopk(s,
           readEmbeddings(s, d).filter(col("vec_id") < 10),
           graft.ops.Tables(s, d).embeddings.filter(col("vec_id") >= 10)),
-        "sim_ann_serve_stream_sink", OutputMode.Append())
+        "sim_ann_serve_stream_sink", OutputMode.Append(),
+        statePartitionsFor(s, d, "embeddings"))
         .orderBy("query_id", "rk")
     }
   )

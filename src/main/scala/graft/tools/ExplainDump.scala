@@ -12,6 +12,10 @@ import org.apache.spark.sql.SparkSession
   */
 object ExplainDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println("usage: ExplainDump <sfDir> <outDir> <suffix> <q1,q2,...>")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir, suffix, qlist) = args.take(4)
     val names = qlist.split(",").map(_.trim).filter(_.nonEmpty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

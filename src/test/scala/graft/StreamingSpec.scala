@@ -723,4 +723,29 @@ class StreamingSpec extends GraftSuite {
       if (vs.exists(_._1 % 2 == 0)) assert(keeper % 2 == 0, vs.toSeq)
     }
   }
+
+  test("state partitions derive from input bytes, honor the override, " +
+    "and runToMemory restores shuffle.partitions after the stream") {
+    val cap = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // derived: min(cap, ceil(bytes/chunk)) — sf0.001 events is tiny, so
+    // the derived count collapses far below the core-count default the
+    // r10 harness paid per-microbatch state-store overhead for
+    val derived = StreamingOps.statePartitionsFor(spark, sfDir, "events")
+    val (bytes, _) = graft.ops.Tables.dataSize(
+      spark, s"$sfDir/events.parquet")
+    val chunk = StreamingOps.DefaultStateChunkBytes
+    val want = math.max(1L, math.min(cap.toLong, (bytes + chunk - 1) / chunk))
+    assert(derived.toLong == want, s"derived=$derived want=$want")
+    // explicit override wins (the production knob)
+    spark.conf.set(StreamingOps.StatePartitionsKey, "3")
+    try assert(StreamingOps.statePartitionsFor(spark, sfDir, "events") == 3)
+    finally spark.conf.unset(StreamingOps.StatePartitionsKey)
+    // the conf is pinned only for the stream's duration
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    StreamingOps.runToMemory(
+      StreamingOps.hourlyCounts(StreamingOps.readEvents(spark, sfDir)),
+      "state_parts_probe", org.apache.spark.sql.streaming.OutputMode
+        .Complete(), statePartitions = 2)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == before)
+  }
 }
