@@ -400,7 +400,7 @@ object DedupOps {
         .join(nbrMin, col("id") === col("src"), "left")
         .select(col("id"),
           least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-        .persist()
+        .cutLineage()
       // pointer jump: lab <- lab(lab). Every lab IS a node id (a min over
       // ids), so the inner self-join keeps every row. The convergence sum
       // rides the SAME materialization job via observe() — the per-check
@@ -413,7 +413,6 @@ object DedupOps {
         .select(col("id"), col("jlab").as("lab"))
         .observe(obs, sum(col("lab").cast("decimal(38,0)")).as("s"))
         .cutLineage()
-      prop.unpersist()
       steps += 1
       // sum over an EMPTY graph is null — normalize to 0 so a pair-free
       // corpus converges to an empty result instead of throwing
