@@ -954,8 +954,12 @@ object GraphOps {
     * semantics.
     */
   def kcoreFrom(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    // pre-partitioned on src (guide §2.4): every peel round's in-core
+    // degree count groups by src, so the aggregate exchange is satisfied
+    // by the cache layout in all `rounds` rounds — see pageRankFrom
     val und = edges.select(col("u").as("src"), col("v").as("dst"))
       .union(edges.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("src"))
       .persist()
     def degIn(alive: DataFrame): DataFrame = und
       .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
@@ -977,8 +981,12 @@ object GraphOps {
     * most-frequent neighbor label. Returns (node, label) ordered by node.
     */
   def labelPropagationFrom(edges: DataFrame, rounds: Int): DataFrame = {
+    // pre-partitioned on dst (guide §2.4): each round joins the edge list
+    // on dst against the label table — the cache layout feeds that join's
+    // edge side every round without re-shuffling it
     val und = edges.select(col("u").as("src"), col("v").as("dst"))
       .union(edges.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("dst"))
       .persist()
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
@@ -1167,13 +1175,23 @@ object GraphOps {
   }
 
   private def copurchaseEdges(t: Tables, minSupport: Long): DataFrame = {
-    val it = t.lineitem
+    // r11: pair enumeration via per-order sorted item sets (the
+    // cosupplyEdges shape) instead of a self-join — one shuffle of the
+    // (ok, p) projection + map-side pair expansion replaces two passes
+    // and a join. Same pair multiset: collect_set = the old distinct,
+    // sorted ascending so slice(i+2..) enumerates exactly the a.p < b.p
+    // pairs; per-order item counts are bounded (≤7 here, bounded at any
+    // scale), so the expansion is linear in the pair count.
+    val byOrder = t.lineitem
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      .distinct()
-    it.as("a").join(it.as("b"),
-        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-      .agg(count(lit(1)).as("n")).filter(col("n") >= minSupport)
+      .groupBy("ok").agg(sort_array(collect_set(col("p"))).as("ps"))
+    byOrder
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
+          y => struct(x.as("u"), y.as("v")))))).as("pr"))
+      .select(col("pr.u").as("u"), col("pr.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
       .select("u", "v")
       .persist()
   }
@@ -1355,7 +1373,12 @@ object GraphOps {
     val e = e0.select(col("src"), col("dst"))
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val ed = e.join(deg, "src").persist()
+    // r11 (guide §2.4): the cached edge table is PRE-PARTITIONED on src —
+    // each iteration joins it on src against the (stats-opaque, never
+    // broadcast) rank table, so the edge-sized join exchange is satisfied
+    // by the cache layout every round (one build-time shuffle buys iters
+    // round shuffles — the bucketed-table trade at 100 TB)
+    val ed = e.join(deg, "src").repartition(col("src")).persist()
     var r = np.withColumn("pr", lit(Scale))
     for (_ <- 1 to iters) {
       val contrib = ed.join(r, ed("src") === r("node"))
@@ -1391,7 +1414,8 @@ object GraphOps {
     val e = e0.select(col("src"), col("dst"))
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val ed = e.join(deg, "src").persist()
+    // pre-partitioned on src for the per-iteration join — see pageRankFrom
+    val ed = e.join(deg, "src").repartition(col("src")).persist()
     var r = np.withColumn("pr",
       when(col("seed"), lit(Scale)).otherwise(lit(0L)))
     for (_ <- 1 to iters) {
