@@ -912,20 +912,20 @@ object GraphOps {
       // the normalized select — eager localCheckpoint (node-sized)
       // truncates the lineage so the edges join behind it runs exactly
       // once, not once per consumer. r11 (VERDICT r10 #8): the L1 total
-      // rides the SAME checkpoint job via observe() and is injected as a
-      // LITERAL — the per-half-step broadcast build job (and the outer
-      // lineage cut the broadcast forced at every call site) are gone;
-      // the output is a trivial projection of the checkpointed frame,
-      // cheap to recompute per consumer. Same DECIMAL(38,0) integral
-      // divide, bit-identical scores.
-      val obs = org.apache.spark.sql.Observation()
-      val df = df0
-        .observe(obs, sum(col("v").cast(DecimalType(38, 0))).as("tot"))
-        .cutLineage()
-      val tot = obs.get.get("tot").filter(_ != null).map {
-        case d: java.math.BigDecimal => d.toPlainString
-        case d => d.toString
-      }.getOrElse("NULL")
+      // is one SYNCHRONOUS scalar collect over the checkpointed
+      // node-sized frame, injected as a LITERAL — the per-half-step
+      // broadcast build (and the outer lineage cut the broadcast forced
+      // at every call site) are gone; the output is a trivial projection
+      // of the checkpointed frame, cheap to recompute per consumer.
+      // (First tried observe() on the checkpoint job — works, but
+      // obs.get waits on the ASYNC listener bus, measured slower than
+      // the tiny collect under 32-core task storms.) Same DECIMAL(38,0)
+      // integral divide, bit-identical scores.
+      val df = df0.cutLineage()
+      val tot = Option(
+        df.agg(sum(col("v").cast(DecimalType(38, 0))).as("tot"))
+          .collect()(0).getDecimal(0))
+        .map(_.toPlainString).getOrElse("NULL")
       df.select(col(id),
         expr(s"CAST(v AS DECIMAL(38,0)) * 1000000000 div " +
           s"CAST($tot AS DECIMAL(38,0))").as("v"))

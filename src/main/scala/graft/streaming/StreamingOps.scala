@@ -1022,13 +1022,18 @@ object StreamingOps {
     // online ANN serving: the query-vector stream (vec_id < 10, the
     // batch convention) answered on arrival against the static corpus;
     // oracle = the batch sim_topk_bruteforce SQL verbatim
+    // NOT byte-derived (measured r11: 1.4 s -> 3.4 s with the derived
+    // count): the brute-force scoring fan-out makes per-key work huge
+    // relative to input bytes, so the bytes proxy starves the topk stage;
+    // the session default (the deployment's own shuffle sizing) is right
+    // here. The explicit spark.graft.streamStatePartitions override still
+    // applies through the session conf at query start.
     "sim_ann_serve_stream" -> { (s, d) =>
       import org.apache.spark.sql.functions.col
       runToMemory(annServeTopk(s,
           readEmbeddings(s, d).filter(col("vec_id") < 10),
           graft.ops.Tables(s, d).embeddings.filter(col("vec_id") >= 10)),
-        "sim_ann_serve_stream_sink", OutputMode.Append(),
-        statePartitionsFor(s, d, "embeddings"))
+        "sim_ann_serve_stream_sink", OutputMode.Append())
         .orderBy("query_id", "rk")
     }
   )
