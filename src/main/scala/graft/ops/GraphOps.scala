@@ -167,6 +167,7 @@ object GraphOps {
       // fact-table join per branch
       val e0 = copurchaseEdges(Tables(s, d), minSupport = 2)
       val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u")) // per-round frontier-join key (guide §2.4)
         .persist()
       var dist = edges.agg(min(col("u")).as("node"))
         .withColumn("dist", lit(0))
@@ -456,6 +457,7 @@ object GraphOps {
       import Checkpoints.LineageCutOps
       val e0 = copurchaseEdges(Tables(s, d), minSupport = 2)
       val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u")) // per-round frontier-join key (guide §2.4)
         .persist()
       val nodes = edges.select(col("u").as("x")).distinct()
       val n = nodes.agg(count(lit(1)).as("n_nodes"))
@@ -498,6 +500,7 @@ object GraphOps {
       // the persisted shared builder (see graph_bfs_hops)
       val e0 = copurchaseEdges(Tables(s, d), minSupport = 2)
       val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+        .repartition(col("u")) // per-round frontier-join key (guide §2.4)
         .persist()
       var reach = edges.agg(min(col("u")).as("node"))
         .withColumn("dist", lit(0)).withColumn("sigma", lit(1L))
@@ -791,8 +794,12 @@ object GraphOps {
     * unavoidable on at least one seed pair's shortest paths.
     */
   def bottlenecksFrom(edges0: DataFrame, nSeeds: Int, hops: Int): DataFrame = {
+    // cache pre-partitioned on u (guide §2.4): every BFS round joins the
+    // frontier on u against this table — one build shuffle buys `hops`
+    // round shuffles of the edge side (see pageRankFrom)
     val edges = edges0
       .union(edges0.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u"))
       .persist()
     val seeds = edges.select(col("u")).distinct()
       .orderBy("u").limit(nSeeds).select(col("u").as("seed"))
@@ -841,6 +848,7 @@ object GraphOps {
       : DataFrame = {
     val edges = edges0
       .union(edges0.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("u")) // per-round frontier-join key, see bottlenecksFrom
       .persist()
     val seeds = edges.select(col("u")).distinct()
       .orderBy("u").limit(nSeeds).select(col("u").as("seed"))
