@@ -1258,6 +1258,11 @@ object GraphOps {
       .join(deg.select(col("x").as("u"), col("dg").as("du")), "u")
       .join(deg.select(col("x").as("v"), col("dg").as("dv")), "v")
     val lowFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    // NOT pre-partitioned on src (measured r11): unlike the iterative
+    // loops, the wedge SELF-join's two exchange subtrees are identical,
+    // so ReusedExchange already executes only one — a src repartition at
+    // build moved the shuffle rather than removing one (total shuffle
+    // read 17.2 -> 17.5 MB, walls flat); reverted.
     val o = ranked.select(
       when(lowFirst, col("u")).otherwise(col("v")).as("src"),
       when(lowFirst, col("v")).otherwise(col("u")).as("dst"),
